@@ -19,9 +19,18 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = t(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame   = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = t(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame   = t(s, d, "events")
   def documents(s: SparkSession, d: String): DataFrame  = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+
+  /** `events.parquet` carries INT64 TIMESTAMP(NANOS) which Spark's parquet
+    * reader rejects outright; read it as nanosecond longs and truncate to
+    * microseconds (integer division — the values exceed double precision),
+    * which is exactly what DuckDB's µs-resolution TIMESTAMP does on read.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, d, "events").withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
 }
 
 /** Column helpers shared by the query inventory.
@@ -31,23 +40,59 @@ object Tables {
   * DuckDB oracle (and from itself) in the last ulps. All summed doubles are
   * therefore routed through an exact DECIMAL(28,6) cast: the per-row cast is
   * a deterministic function of the double, decimal addition is associative,
-  * and the final cast back to double is exact — giving bit-identical results
+  * and the final cast back to double is exact — giving identical results
   * in both engines regardless of aggregation order.
+  *
+  * Limitations (deliberate, documented): the double→decimal cast is only
+  * guaranteed to agree between Spark (HALF_UP on the shortest-decimal
+  * representation) and DuckDB (round of the exact binary value) for values
+  * that are not within ~1 ulp of a 6-fractional-digit rounding boundary,
+  * and Spark's non-ANSI cast nulls out |x| ≥ 1e22. Safe for the money/
+  * quantity/ratio columns used here; not a universal guarantee.
   */
 object Cols {
-  private val Dec = DecimalType(28, 6)
+  val Dec: DecimalType = DecimalType(28, 6)
 
   /** Exact, order-independent sum of a double column, returned as double. */
   def dsum(c: Column): Column = sum(c.cast(Dec)).cast("double")
 
-  /** Exact average of a double column (decimal sum / count, double division). */
+  /** Exact average with SQL AVG null semantics: decimal sum of non-null
+    * values divided by the count of non-null values (not COUNT(*)).
+    */
   def davg(c: Column): Column =
-    sum(c.cast(Dec)).cast("double") / count(lit(1)).cast("double")
+    sum(c.cast(Dec)).cast("double") / count(c).cast("double")
 
   /** Oracle-SQL spelling of [[dsum]]. */
   def dsumSql(e: String): String = s"CAST(SUM(CAST($e AS DECIMAL(28,6))) AS DOUBLE)"
 
   /** Oracle-SQL spelling of [[davg]]. */
   def davgSql(e: String): String =
-    s"CAST(SUM(CAST($e AS DECIMAL(28,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)"
+    s"CAST(SUM(CAST($e AS DECIMAL(28,6))) AS DOUBLE) / CAST(COUNT($e) AS DOUBLE)"
+
+  private val DotDec = DecimalType(28, 12)
+
+  /** Exact, order-independent dot product of two float-array columns:
+    * per-element products are computed in double (IEEE-identical in both
+    * engines), cast to DECIMAL(28,12), and summed associatively.
+    */
+  def dotDec(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0).cast(DotDec),
+      (acc, z) => (acc + z.cast(DotDec)).cast(DotDec)
+    ).cast("double")
+
+  /** Oracle-SQL spelling of [[dotDec]] for DuckDB list columns. */
+  def dotDecSql(a: String, b: String): String =
+    s"CAST(list_sum(list_transform(list_zip($a, $b), " +
+      s"z -> CAST(CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE) AS DECIMAL(28,12)))) AS DOUBLE)"
+
+  /** Cosine similarity from [[dotDec]] building blocks (deterministic:
+    * decimal dots, then double sqrt/division — IEEE-identical per element).
+    */
+  def cosine(a: Column, b: Column): Column =
+    dotDec(a, b) / (sqrt(dotDec(a, a)) * sqrt(dotDec(b, b)))
+
+  def cosineSql(a: String, b: String): String =
+    s"${dotDecSql(a, b)} / (sqrt(${dotDecSql(a, a)}) * sqrt(${dotDecSql(b, b)}))"
 }

@@ -1,0 +1,542 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Cols, Tables}
+import graft.Cols.{davg, davgSql, dsum, dsumSql}
+
+/** Relational operator inventory over the driver's star schema.
+  *
+  * Each entry re-expresses an operator class from SURVEY.md §2 (reference:
+  * kinecosystem/history-collector) as an idiomatic Catalyst plan, paired
+  * with an ANSI-SQL oracle for DuckDB. Keys carry the §2 operator ids.
+  * All queries order their output deterministically (unique sort keys) so
+  * the driver's hash compare is stable, and all floating-point aggregates
+  * go through [[graft.Cols]]' decimal casts for cross-engine bit-equality.
+  */
+object CoreRelational {
+  type Q = (SparkSession, String) => DataFrame
+
+  def queries: Map[String, Q] = Map(
+    // ── Aggregations (§2.7) ────────────────────────────────────────────
+    // A1 count/sum/avg family — TPC-H Q1-shaped pricing summary.
+    "a1_pricing_summary" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= to_timestamp(lit("1997-06-30")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+          davg(col("l_quantity")).as("avg_qty"),
+          davg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+    // A2 last-value-by-key (reference python/main.py:108-123 builds
+    // last-wins dicts; here as max/max_by per key).
+    "a2_last_by_key" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(
+          max(col("ts")).as("last_ts"),
+          max_by(col("event_type"), col("ts")).as("last_type"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    },
+    // DISTINCT aggregation (absent in reference; §2.7 gap coverage).
+    "a3_distinct_agg" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(col("l_partkey")).as("n_part"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    },
+    // ROLLUP over region→nation hierarchy.
+    "a4_rollup" -> { (s, d) =>
+      val c = Tables.customer(s, d); val n = Tables.nation(s, d); val r = Tables.region(s, d)
+      c.join(n, c("c_nationkey") === n("n_nationkey"))
+        .join(r, n("n_regionkey") === r("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("sum_bal"))
+        .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+    },
+    // CUBE over two lineitem dimensions.
+    "a5_cube" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    },
+    // Exact median (sort-based aggregate).
+    "a6_median" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(median(col("l_quantity")).as("med_qty"))
+        .orderBy("l_returnflag")
+    },
+
+    // ── Joins (§2.3) ───────────────────────────────────────────────────
+    // J1 broadcast hash join, small dim side (reference ledgers dict).
+    "j1_broadcast_join" -> { (s, d) =>
+      val li = Tables.lineitem(s, d); val sup = Tables.supplier(s, d)
+      li.join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+        .groupBy("s_name")
+        .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_items"))
+        .orderBy("s_name")
+    },
+    // J2 large-large equi join planned as sort-merge (shuffle on key).
+    "j2_shuffle_join" -> { (s, d) =>
+      val li = Tables.lineitem(s, d).hint("merge")
+      val o = Tables.orders(s, d)
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"), dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy("o_orderpriority")
+    },
+    // Multi-way star join (lineitem⋈orders⋈customer⋈nation⋈region).
+    "j3_star_join" -> { (s, d) =>
+      val li = Tables.lineitem(s, d); val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d); val n = Tables.nation(s, d); val r = Tables.region(s, d)
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .filter(col("r_name") === "ASIA" &&
+          col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("o_orderdate") < to_timestamp(lit("1998-01-01")))
+        .groupBy("n_name")
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+    // Left outer join preserving unmatched left rows (reference dict.get
+    // miss → NULL, python/main.py:134).
+    "j4_left_outer" -> { (s, d) =>
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_f_orders"), dsum(col("o_totalprice")).as("sum_f_price"))
+        .orderBy("c_custkey")
+    },
+    // Left semi join (EXISTS).
+    "j5_semi_join" -> { (s, d) =>
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d).filter(col("o_totalprice") > 40000.0)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+    // Left anti join (NOT EXISTS).
+    "j6_anti_join" -> { (s, d) =>
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d).filter(col("o_totalprice") > 40000.0)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+    // Range (non-equi) join against a broadcast interval dim.
+    "j7_range_join" -> { (s, d) =>
+      val p = Tables.part(s, d)
+      val classes = s.createDataFrame(Seq((1, 10, "small"), (11, 25, "medium"), (26, 50, "large")))
+        .toDF("lo", "hi", "size_class")
+      p.join(broadcast(classes), p("p_size") >= classes("lo") && p("p_size") <= classes("hi"))
+        .groupBy("size_class")
+        .agg(count(lit(1)).as("n_parts"), davg(col("p_retailprice")).as("avg_price"))
+        .orderBy("size_class")
+    },
+    // As-of join (Spark has no native one): composed shuffle-free as a
+    // per-key RANGE window carrying the latest signup time forward —
+    // matches DuckDB `ASOF LEFT JOIN ... ON e.ts >= s.ts` incl. ties,
+    // and scales as one shuffle-by-key + sort instead of a pairwise join.
+    "j8_asof_join" -> { (s, d) =>
+      val ev = Tables.events(s, d).filter(col("event_type").isin("signup", "purchase"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.withColumn("prior_signup_ts",
+          last(when(col("event_type") === "signup", col("ts")), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "prior_signup_ts")
+        .orderBy("event_id")
+    },
+
+    // ── Flatten / generators (§2.2) ────────────────────────────────────
+    // F1 explode (reference tx-set iteration) as token explode + count.
+    "f1_explode_tokens" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy("word")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word"))
+        .limit(100)
+    },
+    // F2/J3 positional explode of zipped arrays (reference
+    // enumerate(zip(ops, result_ops)), python/main.py:155-157).
+    "f2_posexplode_zip" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") < 100)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          posexplode(arrays_zip(
+            array(col("l_quantity"), col("l_extendedprice")).as("a"),
+            array(col("l_discount"), col("l_tax")).as("b"))))
+        .select(col("l_orderkey"), col("l_linenumber"), col("pos"),
+          col("col.a").as("a_val"), col("col.b").as("b_val"))
+        .orderBy("l_orderkey", "l_linenumber", "pos")
+    },
+
+    // ── Set operations (§2.6) ──────────────────────────────────────────
+    // U1 union-with-discriminator (payments ∪ creations,
+    // python/adapters/s3_storage_adapter.py:57-62): missing columns NULL.
+    "u1_union_discriminated" -> { (s, d) =>
+      val pay = Tables.orders(s, d).select(
+        col("o_orderkey").as("id"), col("o_totalprice").as("amount"),
+        lit("payment").as("type"))
+      val cre = Tables.customer(s, d).select(
+        col("c_custkey").as("id"), col("c_acctbal").as("starting_balance"),
+        lit("creation").as("type"))
+      pay.unionByName(cre, allowMissingColumns = true).orderBy("type", "id")
+    },
+    "u2_intersect" -> { (s, d) =>
+      Tables.orders(s, d).select(col("o_custkey").as("custkey"))
+        .intersect(Tables.customer(s, d).filter(col("c_acctbal") > 5000.0)
+          .select(col("c_custkey").as("custkey")))
+        .orderBy("custkey")
+    },
+    "u3_except" -> { (s, d) =>
+      Tables.customer(s, d).select(col("c_custkey").as("custkey"))
+        .except(Tables.orders(s, d).filter(col("o_orderstatus") === "O")
+          .select(col("o_custkey").as("custkey")))
+        .orderBy("custkey")
+    },
+
+    // ── Sorts / limits (§2.8) + serving (§3 Q1/Q2) ─────────────────────
+    // O1/S6 serving scan: filter + project + limit (sample/main.py:25),
+    // with a deterministic ORDER BY the reference lacks (SURVEY §7.4).
+    "o1_serving_filter_limit" -> { (s, d) =>
+      Tables.orders(s, d)
+        .filter(col("o_custkey") === 7)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+          col("o_orderpriority"))
+        .orderBy("o_orderkey")
+        .limit(20)
+    },
+    // O2 top-k by value → TakeOrderedAndProject, no full sort.
+    "o2_topk" -> { (s, d) =>
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(5)
+    },
+    // Q2 point lookup by derived hash key (sample/main.py:42).
+    "q2_point_lookup" -> { (s, d) =>
+      Tables.orders(s, d)
+        .withColumn("hash", md5(concat(lit("order|"), col("o_orderkey").cast("string"))))
+        .filter(col("hash") === md5(lit("order|500")))
+        .select("hash", "o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+
+    // ── Window functions (§2.9) ────────────────────────────────────────
+    "w1_row_number" -> { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("user_id", "rn", "event_id", "event_type")
+        .orderBy("user_id", "rn")
+    },
+    "w2_lag_delta" -> { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("prev_value", lag(col("value"), 1).over(w))
+        .withColumn("delta", col("value") - col("prev_value"))
+        .select("event_id", "user_id", "value", "prev_value", "delta")
+        .orderBy("event_id")
+    },
+    "w3_running_sum" -> { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("running_value",
+          sum(col("value").cast(Cols.Dec)).over(w).cast("double"))
+        .select("event_id", "user_id", "value", "running_value")
+        .orderBy("event_id")
+    },
+    // Gap-based sessionization (30 min inactivity) — lag + running flag
+    // sum; the streaming-native variant lives in graft.streaming.
+    "w4_sessionize" -> { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_us").isNull ||
+            (unix_micros(col("ts")) - col("prev_us") > 1800L * 1000 * 1000), 1).otherwise(0))
+        .withColumn("session_id", sum(col("new_sess")).over(cum))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"))
+        .orderBy("user_id", "session_id")
+    },
+    // Event-time tumbling window (batch shape of §2.12's windowed aggs).
+    "w5_tumbling_window" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .select(col("window.start").as("hour_start"), col("n"), col("sum_value"))
+        .orderBy("hour_start")
+    },
+
+    // ── Scalar transforms (§2.5, §2.10) ────────────────────────────────
+    // T5/T9 epoch↔timestamp↔string round trips.
+    "t5_epoch_roundtrip" -> { (s, d) =>
+      Tables.events(s, d)
+        .filter(col("event_id") % 97 === 0)
+        .select(col("event_id"), col("ts"),
+          unix_timestamp(col("ts")).as("epoch_s"),
+          timestamp_seconds(unix_timestamp(col("ts"))).as("ts_s"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_str"),
+          date_format(col("ts"), "yyyy-MM-dd").as("date_str"))
+        .orderBy("event_id")
+    },
+    // T8 hex archive-sequence arithmetic + nibble-pair dir fan-out
+    // (python/main.py:82-86, 205-228).
+    "t8_hex_sequence" -> { (s, d) =>
+      Tables.events(s, d)
+        .filter(col("event_id") % 97 === 0)
+        .withColumn("seq", lower(lpad(hex(col("event_id") * 64), 8, "0")))
+        .withColumn("next_seq",
+          lower(lpad(hex(conv(col("seq"), 16, 10).cast("long") + 64), 8, "0")))
+        .withColumn("dir", concat_ws("/",
+          substring(col("seq"), 1, 2), substring(col("seq"), 3, 2), substring(col("seq"), 5, 2)))
+        .select("event_id", "seq", "next_seq", "dir")
+        .orderBy("event_id")
+    },
+    // JSON field extraction (serving payloads, sample/main.py:32,46).
+    "t9_json_extract" -> { (s, d) =>
+      Tables.events(s, d)
+        .filter(col("event_id") % 53 === 0)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").as("k_str"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .orderBy("event_id")
+    },
+    // T10 char-strip munge via translate (python/main.py:331-334).
+    "t10_translate_munge" -> { (s, d) =>
+      Tables.events(s, d)
+        .filter(col("event_id") % 53 === 0)
+        .select(col("event_id"),
+          translate(col("props"), "{}\": k", "").as("stripped"),
+          translate(col("props"), "{}\": k", "").cast("int").as("k_num"))
+        .orderBy("event_id")
+    },
+    // P1 app-id memo filter: rlike with the reference's literal [A-z]
+    // class + split-index predicate (python/main.py:57-58,141-148).
+    "p1_appid_memo_filter" -> { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("memo",
+          concat(lit("1-"), substring(md5(col("text")), 1, 4), lit("-"), col("source")))
+        .filter(col("memo").rlike("^1-[A-z0-9]{4}-.*") &&
+          substring(split(col("memo"), "-")(1), 1, 1).between("a", "c"))
+        .select("doc_id", "memo")
+        .orderBy("doc_id")
+    }
+  )
+
+  def oracles: Map[String, String] = Map(
+    "a1_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${dsumSql("l_quantity")} AS sum_qty,
+         |  ${dsumSql("l_extendedprice")} AS sum_base_price,
+         |  ${dsumSql("(l_extendedprice * (1.0 - l_discount))")} AS sum_disc_price,
+         |  ${davgSql("l_quantity")} AS avg_qty,
+         |  ${davgSql("l_discount")} AS avg_disc,
+         |  count(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1997-06-30 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "a2_last_by_key" ->
+      """SELECT user_id, max(ts) AS last_ts, arg_max(event_type, ts) AS last_type,
+        |  count(*) AS n_events
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "a3_distinct_agg" ->
+      """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
+        |  count(DISTINCT l_partkey) AS n_part, count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "a4_rollup" ->
+      s"""SELECT r_name, n_name, count(*) AS n_cust, ${dsumSql("c_acctbal")} AS sum_bal
+         |FROM customer JOIN nation ON c_nationkey = n_nationkey
+         |  JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY ROLLUP(r_name, n_name)
+         |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+    "a5_cube" ->
+      s"""SELECT l_returnflag, l_linestatus, count(*) AS n, ${dsumSql("l_quantity")} AS sum_qty
+         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "a6_median" ->
+      """SELECT l_returnflag, median(l_quantity) AS med_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "j1_broadcast_join" ->
+      s"""SELECT s_name, ${dsumSql("l_quantity")} AS sum_qty, count(*) AS n_items
+         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         |GROUP BY s_name ORDER BY s_name""".stripMargin,
+    "j2_shuffle_join" ->
+      s"""SELECT o_orderpriority, count(*) AS n_items, ${dsumSql("l_extendedprice")} AS sum_price
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "j3_star_join" ->
+      s"""SELECT n_name, ${dsumSql("(l_extendedprice * (1.0 - l_discount))")} AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation ON c_nationkey = n_nationkey
+         |  JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "j4_left_outer" ->
+      s"""SELECT c_custkey, count(o_orderkey) AS n_f_orders, ${dsumSql("o_totalprice")} AS sum_f_price
+         |FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_orderstatus = 'F') o
+         |  ON c_custkey = o.o_custkey
+         |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "j5_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 40000.0)
+        |ORDER BY c_custkey""".stripMargin,
+    "j6_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 40000.0)
+        |ORDER BY c_custkey""".stripMargin,
+    "j7_range_join" ->
+      s"""SELECT size_class, count(*) AS n_parts, ${davgSql("p_retailprice")} AS avg_price
+         |FROM part JOIN (VALUES (1, 10, 'small'), (11, 25, 'medium'), (26, 50, 'large'))
+         |  AS c(lo, hi, size_class) ON p_size BETWEEN lo AND hi
+         |GROUP BY size_class ORDER BY size_class""".stripMargin,
+    "j8_asof_join" ->
+      """SELECT e.event_id, e.user_id, s.ts AS prior_signup_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') e
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+        |  ON e.user_id = s.user_id AND e.ts >= s.ts
+        |ORDER BY e.event_id""".stripMargin,
+    "f1_explode_tokens" ->
+      """SELECT word, count(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |WHERE length(word) > 0
+        |GROUP BY word ORDER BY n DESC, word LIMIT 100""".stripMargin,
+    "f2_posexplode_zip" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  generate_subscripts([l_quantity, l_extendedprice], 1) - 1 AS pos,
+        |  unnest([l_quantity, l_extendedprice]) AS a_val,
+        |  unnest([l_discount, l_tax]) AS b_val
+        |FROM lineitem WHERE l_orderkey < 100
+        |ORDER BY l_orderkey, l_linenumber, pos""".stripMargin,
+    "u1_union_discriminated" ->
+      """SELECT o_orderkey AS id, o_totalprice AS amount, 'payment' AS type,
+        |  CAST(NULL AS DOUBLE) AS starting_balance
+        |FROM orders
+        |UNION ALL
+        |SELECT c_custkey, CAST(NULL AS DOUBLE), 'creation', c_acctbal FROM customer
+        |ORDER BY type, id""".stripMargin,
+    "u2_intersect" ->
+      """SELECT o_custkey AS custkey FROM orders
+        |INTERSECT
+        |SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0
+        |ORDER BY custkey""".stripMargin,
+    "u3_except" ->
+      """SELECT c_custkey AS custkey FROM customer
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY custkey""".stripMargin,
+    "o1_serving_filter_limit" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS order_date, o_orderpriority
+        |FROM orders WHERE o_custkey = 7 ORDER BY o_orderkey LIMIT 20""".stripMargin,
+    "o2_topk" ->
+      """SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 5""".stripMargin,
+    "q2_point_lookup" ->
+      """SELECT md5('order|' || CAST(o_orderkey AS VARCHAR)) AS hash,
+        |  o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |WHERE md5('order|' || CAST(o_orderkey AS VARCHAR)) = md5('order|500')
+        |ORDER BY o_orderkey""".stripMargin,
+    "w1_row_number" ->
+      """SELECT user_id, rn, event_id, event_type FROM (
+        |  SELECT user_id, event_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events)
+        |WHERE rn <= 3 ORDER BY user_id, rn""".stripMargin,
+    "w2_lag_delta" ->
+      """SELECT event_id, user_id, value, prev_value, value - prev_value AS delta FROM (
+        |  SELECT event_id, user_id, value,
+        |    lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+        |  FROM events)
+        |ORDER BY event_id""".stripMargin,
+    "w3_running_sum" ->
+      """SELECT event_id, user_id, value,
+        |  CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+        |FROM events ORDER BY event_id""".stripMargin,
+    "w4_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |      OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |      THEN 1 ELSE 0 END AS new_sess
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts, CAST(SUM(new_sess) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM g)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  min(ts) AS session_start, max(ts) AS session_end
+        |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    "w5_tumbling_window" ->
+      s"""SELECT date_trunc('hour', ts) AS hour_start, count(*) AS n,
+         |  ${dsumSql("value")} AS sum_value
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "t5_epoch_roundtrip" ->
+      """SELECT event_id, ts,
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+        |  CAST(to_timestamp(CAST(floor(epoch(ts)) AS BIGINT)) AS TIMESTAMP) AS ts_s,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+        |  strftime(ts, '%Y-%m-%d') AS date_str
+        |FROM events WHERE event_id % 97 = 0 ORDER BY event_id""".stripMargin,
+    "t8_hex_sequence" ->
+      """SELECT event_id,
+        |  lower(lpad(to_hex(event_id * 64), 8, '0')) AS seq,
+        |  lower(lpad(to_hex(event_id * 64 + 64), 8, '0')) AS next_seq,
+        |  concat_ws('/',
+        |    substr(lower(lpad(to_hex(event_id * 64), 8, '0')), 1, 2),
+        |    substr(lower(lpad(to_hex(event_id * 64), 8, '0')), 3, 2),
+        |    substr(lower(lpad(to_hex(event_id * 64), 8, '0')), 5, 2)) AS dir
+        |FROM events WHERE event_id % 97 = 0 ORDER BY event_id""".stripMargin,
+    "t9_json_extract" ->
+      """SELECT event_id,
+        |  CAST(json_extract(props, '$.k') AS VARCHAR) AS k_str,
+        |  CAST(CAST(json_extract(props, '$.k') AS VARCHAR) AS INTEGER) AS k
+        |FROM events WHERE event_id % 53 = 0 ORDER BY event_id""".stripMargin,
+    "t10_translate_munge" ->
+      """SELECT event_id,
+        |  translate(props, '{}": k', '') AS stripped,
+        |  CAST(translate(props, '{}": k', '') AS INTEGER) AS k_num
+        |FROM events WHERE event_id % 53 = 0 ORDER BY event_id""".stripMargin,
+    "p1_appid_memo_filter" ->
+      """WITH m AS (
+        |  SELECT doc_id, '1-' || substr(md5(text), 1, 4) || '-' || source AS memo
+        |  FROM documents)
+        |SELECT doc_id, memo FROM m
+        |WHERE regexp_matches(memo, '^1-[A-z0-9]{4}-.*')
+        |  AND substr(split_part(memo, '-', 2), 1, 1) BETWEEN 'a' AND 'c'
+        |ORDER BY doc_id""".stripMargin
+  )
+}
