@@ -19,11 +19,17 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.CoreRelational.queries
+    graft.queries.CoreRelational.queries ++
+      graft.operators.Dedup.queries ++
+      graft.operators.Similarity.queries ++
+      graft.operators.TextAnalysis.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    graft.queries.CoreRelational.oracles
+    graft.queries.CoreRelational.oracles ++
+      graft.operators.Dedup.oracles ++
+      graft.operators.Similarity.oracles ++
+      graft.operators.TextAnalysis.oracles
 }

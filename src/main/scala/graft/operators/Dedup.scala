@@ -1,0 +1,197 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Cols, Tables}
+
+/** Deduplication operator family over the `documents` / `embeddings`
+  * tables — the training-data-pipeline extensions beyond the reference's
+  * own surface (SURVEY.md §7.5 north star).
+  *
+  * Scale design (the 100 TB story):
+  *  - exact dedup is a single hash-shuffle on `md5(text)`;
+  *  - MinHash-LSH is the standard shingle→signature→band pipeline: one
+  *    explode + partial-aggregated groupBy(doc) for signatures, then a
+  *    self-equi-join on (band_id, band_hash) — i.e. a shuffle keyed on
+  *    band buckets, never an all-pairs product. Near-duplicate-heavy
+  *    corpora skew individual buckets; AQE skew-join handles moderate
+  *    skew, and a bucket-size cap (count per bh, drop pathological
+  *    buckets) is the documented escape hatch;
+  *  - SimHash is one explode + one groupBy(doc) — embarrassingly
+  *    parallel, no pairwise stage at all;
+  *  - embedding near-dup blocks pairs by `label` (stand-in for an IVF /
+  *    coarse-quantizer cell at scale) so the pairwise stage is per-block.
+  *
+  * All hash material is md5 (identical in Spark and DuckDB), decimal-cast
+  * dot products keep float results bit-identical cross-engine.
+  */
+object Dedup {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val NumHashes = 8
+  private val NumBands  = 4 // 2 rows per band
+
+  /** Distinct 3-word shingles per document: transform-with-index over the
+    * split array (0-based in Spark), nulls filtered for docs < 3 words.
+    */
+  private def shingles(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("l"))
+      .select(col("doc_id"), explode(array_distinct(expr(
+        """filter(
+          |  transform(l, (x, i) ->
+          |    CASE WHEN i <= size(l) - 3
+          |         THEN concat(l[i], ' ', l[i+1], ' ', l[i+2]) END),
+          |  sh -> sh IS NOT NULL)""".stripMargin))).as("shingle"))
+
+  /** MinHash signature: h_i = min over shingles of md5(i || '|' || shingle).
+    * Lexicographic min over a cross-engine-stable hash — one partial-agg
+    * groupBy, no UDFs.
+    */
+  private def minhashSig(s: SparkSession, d: String): DataFrame = {
+    val hs = (0 until NumHashes).map(i =>
+      min(md5(concat(lit(s"$i|"), col("shingle")))).as(s"h$i"))
+    shingles(s, d).groupBy("doc_id").agg(hs.head, hs.tail: _*)
+  }
+
+  /** (doc_id, band_id, band_hash) rows — LSH bucket keys. */
+  private def bands(s: SparkSession, d: String): DataFrame = {
+    val bandCols = (0 until NumBands).map(j =>
+      md5(concat(col(s"h${2 * j}"), col(s"h${2 * j + 1}"))))
+    minhashSig(s, d)
+      .select(col("doc_id"), posexplode(array(bandCols: _*)))
+      .withColumnRenamed("pos", "band_id")
+      .withColumnRenamed("col", "bh")
+  }
+
+  /** Candidate pairs: docs sharing at least one LSH band bucket. */
+  private def candidatePairs(s: SparkSession, d: String): DataFrame = {
+    val a = bands(s, d).select(col("doc_id").as("doc_a"), col("band_id"), col("bh"))
+    val b = bands(s, d).select(col("doc_id").as("doc_b"), col("band_id"), col("bh"))
+    a.join(b, Seq("band_id", "bh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+  }
+
+  // ── Shared oracle CTE fragments (DuckDB spelling of the same algebra;
+  //    1-based list indexing there) ─────────────────────────────────────
+  private val shinglesCte: String =
+    """w AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      |shraw AS (SELECT doc_id, unnest(generate_series(1, len(l)-2)) AS i, l FROM w),
+      |shingles AS (SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS shingle FROM shraw)""".stripMargin
+  private val mhCte: String =
+    s"mh AS (SELECT doc_id, ${(0 until NumHashes)
+      .map(i => s"min(md5('$i|' || shingle)) AS h$i").mkString(", ")} FROM shingles GROUP BY doc_id)"
+  private val bandsCte: String =
+    "bands AS (" + (0 until NumBands)
+      .map(j => s"SELECT doc_id, $j AS band_id, md5(h${2 * j} || h${2 * j + 1}) AS bh FROM mh")
+      .mkString(" UNION ALL ") + ")"
+  private val candCte: String =
+    """cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.bh = b.bh
+      |  WHERE a.doc_id < b.doc_id)""".stripMargin
+
+  def queries: Map[String, Q] = Map(
+    // Exact dedup: one hash-shuffle; canonical = min doc_id per content hash.
+    "d1_exact_dedup" -> { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(md5(col("text")).as("text_hash"))
+        .agg(min(col("doc_id")).as("canonical_doc"), count(lit(1)).as("n_copies"))
+        .orderBy("text_hash")
+    },
+    // MinHash-LSH candidate pairs (8 hashes, 4 bands × 2 rows, 3-word shingles).
+    "d2_minhash_lsh" -> { (s, d) =>
+      candidatePairs(s, d).orderBy("doc_a", "doc_b")
+    },
+    // n-gram Jaccard verification of the LSH candidates (exact shingle-set
+    // overlap computed only on candidate pairs — never all-pairs).
+    "d3_ngram_jaccard" -> { (s, d) =>
+      val toks = shingles(s, d)
+      val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val inter = candidatePairs(s, d)
+        .join(toks.as("ta"), col("doc_a") === col("ta.doc_id"))
+        .join(toks.as("tb"),
+          col("doc_b") === col("tb.doc_id") && col("ta.shingle") === col("tb.shingle"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
+      inter
+        .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+        .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+        .withColumn("jaccard",
+          col("n_common").cast("double") /
+            (col("sa.sz") + col("sb.sz") - col("n_common")).cast("double"))
+        .filter(col("jaccard") >= 0.3)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    },
+    // SimHash: 16-bit fingerprint; per-bit pseudo-random sign from md5,
+    // weighted by term frequency. No pairwise stage.
+    "d4_simhash" -> { (s, d) =>
+      val wc = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("cnt"))
+      val sums = (0 until 16).map(i =>
+        sum(when(substring(md5(concat(lit(s"$i#"), col("word"))), 1, 1) < "8",
+          col("cnt")).otherwise(-col("cnt"))).as(s"s$i"))
+      val bits = (0 until 16).map(i => when(col(s"s$i") > 0, lit("1")).otherwise(lit("0")))
+      wc.groupBy("doc_id").agg(sums.head, sums.tail: _*)
+        .select(col("doc_id"), concat(bits: _*).as("simhash"))
+        .orderBy("doc_id")
+    },
+    // Embedding cosine near-dup, blocked by label (per-block pairwise;
+    // at scale the block key is an IVF cell id).
+    "d5_embedding_neardup" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val a = e.select(col("label"), col("vec_id").as("vec_a"), col("embedding").as("ea"))
+      val b = e.select(col("label"), col("vec_id").as("vec_b"), col("embedding").as("eb"))
+      a.join(b, Seq("label"))
+        .filter(col("vec_a") < col("vec_b"))
+        .withColumn("cos", Cols.cosine(col("ea"), col("eb")))
+        .filter(col("cos") >= 0.35)
+        .select("label", "vec_a", "vec_b", "cos")
+        .orderBy("vec_a", "vec_b")
+    }
+  )
+
+  def oracles: Map[String, String] = Map(
+    "d1_exact_dedup" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS canonical_doc, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY text_hash""".stripMargin,
+    "d2_minhash_lsh" ->
+      s"""WITH $shinglesCte, $mhCte, $bandsCte, $candCte
+         |SELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b""".stripMargin,
+    "d3_ngram_jaccard" ->
+      s"""WITH $shinglesCte, $mhCte, $bandsCte, $candCte,
+         |sz AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+         |inter AS (
+         |  SELECT doc_a, doc_b, count(*) AS n_common
+         |  FROM cand
+         |  JOIN shingles ta ON doc_a = ta.doc_id
+         |  JOIN shingles tb ON doc_b = tb.doc_id AND ta.shingle = tb.shingle
+         |  GROUP BY doc_a, doc_b)
+         |SELECT doc_a, doc_b, n_common,
+         |  CAST(n_common AS DOUBLE) / CAST(sa.sz + sb.sz - n_common AS DOUBLE) AS jaccard
+         |FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+         |WHERE CAST(n_common AS DOUBLE) / CAST(sa.sz + sb.sz - n_common AS DOUBLE) >= 0.3
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "d4_simhash" -> {
+      val sums = (0 until 16).map(i =>
+        s"SUM(CASE WHEN substr(md5('$i#' || word), 1, 1) < '8' THEN cnt ELSE -cnt END) AS s$i")
+        .mkString(", ")
+      val bits = (0 until 16).map(i => s"(CASE WHEN s$i > 0 THEN '1' ELSE '0' END)")
+        .mkString(" || ")
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+         |wc AS (SELECT doc_id, word, count(*) AS cnt FROM toks
+         |  WHERE length(word) > 0 GROUP BY doc_id, word),
+         |s AS (SELECT doc_id, $sums FROM wc GROUP BY doc_id)
+         |SELECT doc_id, $bits AS simhash FROM s ORDER BY doc_id""".stripMargin
+    },
+    "d5_embedding_neardup" ->
+      s"""SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |  ${Cols.cosineSql("a.embedding", "b.embedding")} AS cos
+         |FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE ${Cols.cosineSql("a.embedding", "b.embedding")} >= 0.35
+         |ORDER BY vec_a, vec_b""".stripMargin
+  )
+}

@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text-analysis operators over the `documents` table: language ID,
+  * quality scoring, token counting, document fingerprinting
+  * (SURVEY.md §7.5 training-data-pipeline extensions).
+  *
+  * Everything here is one scan + narrow transforms (optionally one
+  * explode + re-agg keyed by doc_id), so it parallelizes trivially at
+  * 100 TB; the only shuffle is the per-doc re-aggregation, which is
+  * map-side combinable.
+  */
+object TextAnalysis {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Demo marker-word lists (stand-in for real per-language stopword /
+    * character-n-gram profiles, which this synthetic shared-vocabulary
+    * corpus cannot exercise): each language scores by marker hits and the
+    * argmax (ties → lexicographic) wins; zero hits → "und".
+    */
+  private val markers: Seq[(String, String)] = Seq(
+    "en" -> "the", "en" -> "a", "en" -> "fast",
+    "es" -> "data", "es" -> "query", "es" -> "row",
+    "de" -> "merge", "de" -> "sort", "de" -> "window",
+    "fr" -> "join", "fr" -> "filter", "fr" -> "stream",
+    "zh" -> "hash", "zh" -> "batch", "zh" -> "scan")
+
+  private val StopRe = "\\b(the|a|of|is|in)\\b"
+
+  def queries: Map[String, Q] = Map(
+    // Language ID: explode → broadcast-join marker table → per-(doc,lang)
+    // hit counts → rank-1 per doc.
+    "x1_langid" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val m = s.createDataFrame(markers).toDF("cand_lang", "word")
+      val hits = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .join(broadcast(m), "word")
+        .groupBy("doc_id", "cand_lang").agg(count(lit(1)).as("hits"))
+      val w = Window.partitionBy("doc_id").orderBy(col("hits").desc, col("cand_lang"))
+      val best = hits.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      docs.select("doc_id", "lang")
+        .join(best.select(col("doc_id"), col("cand_lang"), col("hits")), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lang"),
+          coalesce(col("cand_lang"), lit("und")).as("pred_lang"),
+          coalesce(col("hits"), lit(0L)).as("hits"))
+        .orderBy("doc_id")
+    },
+    // Quality scoring: length / alpha-ratio / stopword-density heuristics.
+    "x2_quality_score" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
+          length(regexp_replace(col("text"), "[^a-z]", "")).cast("long").as("n_alpha"),
+          regexp_count(col("text"), lit(StopRe)).cast("long").as("stop_hits"))
+        .withColumn("mean_token_len",
+          col("n_alpha").cast("double") / col("n_tokens").cast("double"))
+        .withColumn("stopword_ratio",
+          col("stop_hits").cast("double") / col("n_tokens").cast("double"))
+        .withColumn("quality_score",
+          least(col("n_tokens").cast("double") / 300.0, lit(1.0)) * 0.5 +
+            least(col("mean_token_len") / 5.0, lit(1.0)) * 0.2 +
+            least(col("stopword_ratio") * 5.0, lit(1.0)) * 0.3)
+        .withColumn("is_quality", col("quality_score") >= 0.6)
+        .orderBy("doc_id")
+    },
+    // Token counting: whitespace tokens, regex word tokens, and the
+    // chars/4 BPE-ish estimate.
+    "x3_token_count" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("ws_tokens"),
+          regexp_count(col("text"), lit("[a-z0-9]+")).cast("long").as("re_tokens"),
+          ceil(col("n_chars").cast("double") / 4.0).cast("long").as("approx_bpe_tokens"))
+        .orderBy("doc_id")
+    },
+    // Fingerprint: md5 over the sorted distinct token set (key-collision
+    // clustering); canonical doc per fingerprint via window min.
+    "x4_fingerprint" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          md5(array_join(array_sort(array_distinct(split(col("text"), " "))), " "))
+            .as("fingerprint"),
+          size(array_distinct(split(col("text"), " "))).cast("long").as("n_distinct_tokens"))
+        .withColumn("canonical_doc",
+          min(col("doc_id")).over(Window.partitionBy("fingerprint")))
+        .orderBy("doc_id")
+    }
+  )
+
+  def oracles: Map[String, String] = Map(
+    "x1_langid" -> {
+      val vals = markers.map { case (l, w) => s"('$l', '$w')" }.mkString(", ")
+      s"""WITH m(cand_lang, word) AS (VALUES $vals),
+         |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+         |hits AS (SELECT doc_id, cand_lang, count(*) AS hits
+         |  FROM toks JOIN m USING (word) GROUP BY doc_id, cand_lang),
+         |best AS (SELECT doc_id, cand_lang, hits FROM (
+         |    SELECT doc_id, cand_lang, hits,
+         |      row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, cand_lang) AS rn
+         |    FROM hits) WHERE rn = 1)
+         |SELECT d.doc_id, d.lang,
+         |  coalesce(b.cand_lang, 'und') AS pred_lang,
+         |  coalesce(b.hits, 0) AS hits
+         |FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+    },
+    "x2_quality_score" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, n_chars,
+         |    CAST(length(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+         |    CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT) AS n_alpha,
+         |    CAST(length(regexp_extract_all(text, '$StopRe')) AS BIGINT) AS stop_hits
+         |  FROM documents),
+         |m AS (
+         |  SELECT *, CAST(n_alpha AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS mean_token_len,
+         |    CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stopword_ratio
+         |  FROM base)
+         |SELECT doc_id, n_chars, n_tokens, n_alpha, stop_hits, mean_token_len, stopword_ratio,
+         |  least(CAST(n_tokens AS DOUBLE) / 300.0, 1.0) * 0.5 +
+         |    least(mean_token_len / 5.0, 1.0) * 0.2 +
+         |    least(stopword_ratio * 5.0, 1.0) * 0.3 AS quality_score,
+         |  (least(CAST(n_tokens AS DOUBLE) / 300.0, 1.0) * 0.5 +
+         |    least(mean_token_len / 5.0, 1.0) * 0.2 +
+         |    least(stopword_ratio * 5.0, 1.0) * 0.3) >= 0.6 AS is_quality
+         |FROM m ORDER BY doc_id""".stripMargin,
+    "x3_token_count" ->
+      """SELECT doc_id,
+        |  CAST(length(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
+        |  CAST(length(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS re_tokens,
+        |  CAST(ceil(CAST(n_chars AS DOUBLE) / 4.0) AS BIGINT) AS approx_bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "x4_fingerprint" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens
+        |  FROM documents)
+        |SELECT doc_id, fingerprint, n_distinct_tokens,
+        |  min(doc_id) OVER (PARTITION BY fingerprint) AS canonical_doc
+        |FROM f ORDER BY doc_id""".stripMargin
+  )
+}
