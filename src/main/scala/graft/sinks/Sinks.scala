@@ -1,0 +1,133 @@
+package graft.sinks
+
+import java.nio.file.{Files, Path, Paths, StandardOpenOption}
+import java.sql.Connection
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, lit}
+
+/** Sink contract mirroring the reference's storage-adapter ABC
+  * (python/adapters/hc_storage_adapter.py:12-59): save a checkpoint's
+  * rows and advance the offset atomically (or as close as the medium
+  * allows), and recover the last committed sequence on restart.
+  */
+trait CheckpointSink {
+  /** Persist one checkpoint's operations and record `seq` as committed.
+    * Must be idempotent per `seq` (replays overwrite, never duplicate).
+    */
+  def save(ops: DataFrame, seq: Long): Unit
+
+  /** Last committed sequence, if any (offset recovery, S5). */
+  def lastSequence: Option[Long]
+}
+
+/** Hive-partitioned file sink (K3/K4/K5 of SURVEY.md §2.11):
+  * `<root>/ledgers/ledger=<hexseq>/` part files + an empty
+  * `completed_ledgers/<hexseq>` marker + `last_file` pointer.
+  *
+  * Exactly-once comes from partition-overwrite idempotence: a replayed
+  * checkpoint rewrites its own `ledger=` partition (INSERT OVERWRITE
+  * semantics) before the marker lands — the manual rollback/compensating
+  * deletes of the reference (s3_storage_adapter.py:80-108) disappear.
+  * Empty checkpoints write the marker only (P4,
+  * s3_storage_adapter.py:201-203).
+  */
+final class PartitionedFileSink(root: String, format: String = "csv") extends CheckpointSink {
+  private def seqStr(seq: Long) = f"$seq%08x"
+  private val markers: Path = Paths.get(root, "completed_ledgers")
+  private val lastFile: Path = Paths.get(root, "last_file")
+
+  override def save(ops: DataFrame, seq: Long): Unit = {
+    val s = seqStr(seq)
+    if (!ops.isEmpty) {
+      val w = ops.withColumn("ledger", lit(s))
+        .write.mode("overwrite")
+      val target = s"$root/ledgers/ledger=$s"
+      (if (format == "csv") w.option("header", "false") else w)
+        .format(format)
+        .save(target)
+    }
+    Files.createDirectories(markers)
+    Files.write(markers.resolve(s), Array.emptyByteArray,
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    Files.write(lastFile, s.getBytes("UTF-8"),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+  }
+
+  override def lastSequence: Option[Long] =
+    if (Files.exists(lastFile))
+      Some(java.lang.Long.parseLong(new String(Files.readAllBytes(lastFile), "UTF-8").trim, 16))
+    else None
+
+  /** Completion markers present (external-consumer parity, K4). */
+  def completed: Seq[String] =
+    if (Files.exists(markers))
+      Files.list(markers).iterator().asScala.map(_.getFileName.toString).toSeq.sorted
+    else Nil
+}
+
+/** Transactional JDBC sink (K1/K2): one database transaction inserts the
+  * checkpoint's rows and upserts the `lastfile` pointer, then commits —
+  * the reference's exactly-once contract
+  * (python/adapters/postgres_storage_adapter.py:28-54). Idempotent on
+  * replay: a checkpoint ≤ the committed `lastfile` is skipped.
+  *
+  * Row delivery happens on the driver via `collect()` by design: a
+  * checkpoint is ≤64 ledgers of extracted ops (bounded small); for bulk
+  * backfills use [[PartitionedFileSink]] or
+  * `df.write.format("jdbc").option("batchsize", …)` instead.
+  */
+final class JdbcTxnSink(
+    connect: () => Connection,
+    table: String = "operations") extends CheckpointSink {
+
+  def ensureSchema(): Unit = {
+    val c = connect()
+    try {
+      val st = c.createStatement()
+      st.execute(
+        s"""CREATE TABLE IF NOT EXISTS $table (
+           |  type VARCHAR(8), source VARCHAR(56), destination VARCHAR(56),
+           |  amount DOUBLE PRECISION, starting_balance DOUBLE PRECISION,
+           |  memo_text VARCHAR(28), fee INT, fee_charged INT,
+           |  operation_index INT, tx_status TEXT, op_status TEXT,
+           |  hash VARCHAR(64), time TIMESTAMP)""".stripMargin)
+      st.execute("CREATE TABLE IF NOT EXISTS lastfile (name VARCHAR(8))")
+      c.commit()
+    } finally c.close()
+  }
+
+  private val columns = Seq("type", "source", "destination", "amount",
+    "starting_balance", "memo_text", "fee", "fee_charged",
+    "operation_index", "tx_status", "op_status", "hash", "time")
+
+  override def save(ops: DataFrame, seq: Long): Unit = {
+    if (lastSequence.exists(_ >= seq)) return // replay: already committed
+    val rows = ops.select(columns.map(col): _*).collect()
+    val c = connect()
+    try {
+      c.setAutoCommit(false)
+      val ps = c.prepareStatement(
+        s"INSERT INTO $table (${columns.mkString(", ")}) VALUES (${columns.map(_ => "?").mkString(", ")})")
+      rows.foreach { r =>
+        columns.indices.foreach(i => ps.setObject(i + 1, r.get(i)))
+        ps.addBatch()
+      }
+      ps.executeBatch()
+      val st = c.createStatement()
+      st.execute("DELETE FROM lastfile")
+      st.execute(s"INSERT INTO lastfile (name) VALUES ('${f"$seq%08x"}')")
+      c.commit() // data + offset atomically (K2)
+    } catch {
+      case e: Throwable => c.rollback(); throw e
+    } finally c.close()
+  }
+
+  override def lastSequence: Option[Long] = {
+    val c = connect()
+    try {
+      val rs = c.createStatement().executeQuery("SELECT name FROM lastfile")
+      if (rs.next()) Some(java.lang.Long.parseLong(rs.getString(1), 16)) else None
+    } catch { case _: Throwable => None } finally c.close()
+  }
+}

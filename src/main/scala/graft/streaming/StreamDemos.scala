@@ -1,0 +1,85 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.Cols.dsum
+
+/** Structured-Streaming operator coverage (SURVEY.md §2.12): event-time
+  * windows with watermarks, session windows, streaming dedup, and custom
+  * state via flatMapGroupsWithState. All transforms are stream/batch
+  * agnostic DataFrame functions; specs drive them with MemoryStream.
+  *
+  * Scale: state stores are keyed by (window × type) / user — bounded by
+  * the watermark horizon; dropDuplicates state is likewise watermark-
+  * bounded, which is the 100 TB-safe configuration (unbounded dedup state
+  * is the classic streaming OOM).
+  */
+object StreamDemos {
+
+  /** Tumbling event-time counts with a 10-minute watermark. */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"), col("n"), col("sum_value"))
+
+  /** Native session windows (30-minute gap). */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("user_id"), col("n_events"))
+
+  /** Watermark-bounded streaming dedup on event_id. */
+  def dedupByEventId(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour").dropDuplicates("event_id")
+
+  final case class Ev(user_id: Long, ts: Timestamp, value: Double)
+  final case class SessionAgg(n_events: Int, startMs: Long, lastMs: Long)
+  final case class SessionOut(user_id: Long, n_events: Int, session_start: Timestamp, session_end: Timestamp)
+
+  /** Custom stateful sessionization (30-minute gap) with event-time
+    * timeout — emits a session once the watermark passes its gap.
+    */
+  def sessionize(events: Dataset[Ev]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val GapMs = 30L * 60 * 1000
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[Ev], state: GroupState[SessionAgg]) =>
+          if (rows.isEmpty && state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(user, s.n_events, new Timestamp(s.startMs), new Timestamp(s.lastMs)))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var cur = state.getOption
+            val closed = Seq.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastMs <= GapMs =>
+                  cur = Some(s.copy(n_events = s.n_events + 1, lastMs = math.max(s.lastMs, t)))
+                case Some(s) =>
+                  closed += SessionOut(user, s.n_events, new Timestamp(s.startMs), new Timestamp(s.lastMs))
+                  cur = Some(SessionAgg(1, t, t))
+                case None =>
+                  cur = Some(SessionAgg(1, t, t))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastMs + GapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+}

@@ -1,0 +1,95 @@
+package graft
+
+import java.lang.reflect.{InvocationHandler, Method, Proxy}
+import java.sql.{Connection, PreparedStatement, ResultSet, Statement}
+import scala.collection.mutable
+
+/** Minimal in-memory transactional JDBC fake (reflection proxies) — just
+  * enough surface for JdbcTxnSink's protocol: staged writes that only
+  * become visible on commit, discarded on rollback.
+  */
+final class FakeDb {
+  var ops: Vector[Seq[Any]] = Vector.empty
+  var lastfile: Option[String] = None
+  /** when set, executeBatch throws — fault injection for rollback tests */
+  @volatile var failBatch: Boolean = false
+  var commits: Int = 0
+  var rollbacks: Int = 0
+
+  def connection(): Connection = new FakeConn(this).asConnection
+}
+
+private final class FakeConn(db: FakeDb) {
+  private var stagedOps = Vector.empty[Seq[Any]]
+  private var stagedLast: Option[Option[String]] = None
+
+  private def proxy[T](cls: Class[T])(handle: PartialFunction[(String, Array[AnyRef]), AnyRef]): T =
+    Proxy.newProxyInstance(cls.getClassLoader, Array(cls), new InvocationHandler {
+      override def invoke(p: Any, m: Method, args: Array[AnyRef]): AnyRef = {
+        val a = if (args == null) Array.empty[AnyRef] else args
+        handle.applyOrElse((m.getName, a), { (_: (String, Array[AnyRef])) =>
+          m.getReturnType match {
+            case java.lang.Boolean.TYPE => java.lang.Boolean.FALSE
+            case java.lang.Integer.TYPE => Integer.valueOf(0)
+            case _ => null
+          }
+        })
+      }
+    }).asInstanceOf[T]
+
+  private def resultSet(rows: Seq[Seq[Any]]): ResultSet = {
+    var idx = -1
+    proxy(classOf[ResultSet]) {
+      case ("next", _) =>
+        idx += 1; java.lang.Boolean.valueOf(idx < rows.size)
+      case ("getString", Array(i: Integer)) =>
+        rows(idx)(i - 1).asInstanceOf[AnyRef].toString
+    }
+  }
+
+  private def exec(sql: String): AnyRef = {
+    val s = sql.trim
+    if (s.startsWith("CREATE TABLE")) java.lang.Boolean.TRUE
+    else if (s.startsWith("DELETE FROM lastfile")) { stagedLast = Some(None); java.lang.Boolean.TRUE }
+    else if (s.startsWith("INSERT INTO lastfile")) {
+      val v = "'([0-9a-f]{8})'".r.findFirstMatchIn(s).get.group(1)
+      stagedLast = Some(Some(v)); java.lang.Boolean.TRUE
+    } else if (s.startsWith("SELECT name FROM lastfile")) resultSet(db.lastfile.map(Seq[Any](_)).toSeq)
+    else throw new IllegalArgumentException(s"FakeDb cannot handle: $s")
+  }
+
+  private def statement(): Statement = proxy(classOf[Statement]) {
+    case ("execute", Array(sql: String)) => exec(sql) match {
+      case b: java.lang.Boolean => b
+      case _ => java.lang.Boolean.TRUE
+    }
+    case ("executeQuery", Array(sql: String)) => exec(sql)
+  }
+
+  private def prepared(sql: String): PreparedStatement = {
+    val current = mutable.Map[Int, Any]()
+    val batch = mutable.Buffer[Seq[Any]]()
+    proxy(classOf[PreparedStatement]) {
+      case ("setObject", Array(i: Integer, v)) => current(i.toInt) = v; null
+      case ("addBatch", _) =>
+        batch += (1 to current.keys.max).map(current.getOrElse(_, null)); current.clear(); null
+      case ("executeBatch", _) =>
+        if (db.failBatch) throw new java.sql.SQLException("injected failure")
+        stagedOps ++= batch.toVector; batch.clear(); Array.emptyIntArray
+    }
+  }
+
+  def asConnection: Connection = proxy(classOf[Connection]) {
+    case ("createStatement", _) => statement()
+    case ("prepareStatement", Array(sql: String)) => prepared(sql)
+    case ("setAutoCommit", _) => null
+    case ("commit", _) =>
+      db.ops ++= stagedOps
+      stagedLast.foreach(v => db.lastfile = v)
+      stagedOps = Vector.empty; stagedLast = None
+      db.commits += 1; null
+    case ("rollback", _) =>
+      stagedOps = Vector.empty; stagedLast = None; db.rollbacks += 1; null
+    case ("close", _) => null
+  }
+}

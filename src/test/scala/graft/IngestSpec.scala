@@ -1,0 +1,116 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline._
+import graft.sinks.{JdbcTxnSink, PartitionedFileSink}
+import graft.sources.Archive
+import graft.streaming.ArchiveTail
+import graft.xdr.{Stellar, StellarWriter}
+
+class IngestSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val Passphrase = "Test Net"
+  private def addr(seed: Int): String =
+    Stellar.strkeyEncode(Array.tabulate(32)(i => ((seed * 31 + i) & 0xff).toByte))
+  private val issuer = addr(1)
+  private val cfg = ExtractConfig(assetIssuer = issuer)
+
+  /** Write one checkpoint triple (n payment ops, or none) under root. */
+  private def writeCheckpoint(root: String, seq: Long, nOps: Int): Unit = {
+    val ops = (0 until nOps).map(i => Operation(Nil, OpBody(1, Some(PaymentOp(
+      Asset(Some(AssetAlphaNum4("KIN", Ed25519(issuer)))), Ed25519(addr(10 + i)), 1000000.0 + i)), None)))
+    val txe = TxHistoryEntry(seq, TxSet(
+      if (nOps == 0) Nil
+      else Seq(TxWithHash("", TxCore(None, 100, Ed25519(addr(2)), ops)))))
+    val txGz = Archive.gzip(StellarWriter.encodeTxEntry(txe))
+    val resSet =
+      if (nOps == 0) TxResultEntry(TxResultSet(Nil))
+      else {
+        val hash = Stellar.decodeTxEntries(Archive.gunzip(txGz), Passphrase).head.txSet.txs.head.hash
+        TxResultEntry(TxResultSet(Seq(TxResultPair(hash, TxResultOuter(100, TxResultInner("txSUCCESS",
+          Some(Seq.fill(nOps)(OpResult(OpResultTr(Some("PAYMENT_SUCCESS"), None))))))))))
+      }
+    def put(cat: String, bytes: Array[Byte]): Unit = {
+      val p = Paths.get(Archive.pathFor(root, cat, seq))
+      Files.createDirectories(p.getParent)
+      Files.write(p, bytes)
+    }
+    put("transactions", txGz)
+    put("ledger", Archive.gzip(StellarWriter.encodeLedgerEntry(
+      LedgerEntry(LedgerHeader(seq, ScpValue(1600000000L + seq))))))
+    put("results", Archive.gzip(StellarWriter.encodeResultEntry(resSet, seq)))
+  }
+
+  test("tail drains checkpoints in order into the partitioned file sink") {
+    val archive = Files.createTempDirectory("graft-arch").toString
+    val out = Files.createTempDirectory("graft-out").toString
+    writeCheckpoint(archive, 0x3fL, 2)
+    writeCheckpoint(archive, 0x7fL, 0) // empty: marker only (P4)
+    writeCheckpoint(archive, 0xbfL, 1)
+
+    val sink = new PartitionedFileSink(out)
+    val tail = new ArchiveTail(spark, archive, Passphrase, cfg, sink)
+    assert(tail.resumeSeq === 0x3fL)
+    assert(tail.runOnce() === 3)
+    assert(sink.lastSequence === Some(0xbfL))
+    assert(sink.completed === Seq("0000003f", "0000007f", "000000bf"))
+    assert(Files.exists(Paths.get(out, "ledgers", "ledger=0000003f")))
+    assert(!Files.exists(Paths.get(out, "ledgers", "ledger=0000007f"))) // empty skipped
+    assert(Files.exists(Paths.get(out, "ledgers", "ledger=000000bf")))
+    // hive-partitioned layout readable back with partition column
+    val back = spark.read.option("header", "false").csv(s"$out/ledgers")
+    assert(back.count() === 3)
+
+    // nothing new → no work, no sleep loop in runOnce
+    assert(tail.runOnce() === 0)
+    // new checkpoint appears → picked up from the recovered offset
+    writeCheckpoint(archive, 0xffL, 1)
+    val tail2 = new ArchiveTail(spark, archive, Passphrase, cfg, sink)
+    assert(tail2.resumeSeq === 0xffL)
+    assert(tail2.runOnce() === 1)
+    assert(sink.lastSequence === Some(0xffL))
+  }
+
+  test("tail polling retries then gives up after maxRetries") {
+    val archive = Files.createTempDirectory("graft-empty").toString
+    val out = Files.createTempDirectory("graft-out2").toString
+    var sleeps = 0
+    val tail = new ArchiveTail(spark, archive, Passphrase, cfg,
+      new PartitionedFileSink(out), maxRetries = 3, sleeper = _ => sleeps += 1)
+    assert(tail.run(maxIterations = 100) === 0)
+    assert(sleeps === 3)
+  }
+
+  test("jdbc sink commits rows + offset atomically, skips replays, rolls back on failure") {
+    val archive = Files.createTempDirectory("graft-arch2").toString
+    writeCheckpoint(archive, 0x3fL, 2)
+    writeCheckpoint(archive, 0x7fL, 1)
+    val db = new FakeDb
+    val sink = new JdbcTxnSink(() => db.connection())
+    val tail = new ArchiveTail(spark, archive, Passphrase, cfg, sink)
+
+    assert(tail.runOnce() === 2)
+    assert(db.ops.size === 3)
+    assert(db.lastfile === Some("0000007f"))
+    assert(db.commits === 2)
+
+    // replay is a no-op (idempotence on batch sequence)
+    assert(tail.processOne(0x3fL))
+    assert(db.ops.size === 3)
+
+    // fault injection: batch failure rolls back rows AND offset together
+    writeCheckpoint(archive, 0xbfL, 1)
+    db.failBatch = true
+    intercept[java.sql.SQLException](tail.processOne(0xbfL))
+    assert(db.rollbacks === 1)
+    assert(db.ops.size === 3)
+    assert(db.lastfile === Some("0000007f"))
+    // recovery after the fault
+    db.failBatch = false
+    assert(tail.processOne(0xbfL))
+    assert(db.ops.size === 4)
+    assert(db.lastfile === Some("000000bf"))
+  }
+}

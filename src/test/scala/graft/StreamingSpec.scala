@@ -1,0 +1,101 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.StreamDemos
+import graft.streaming.StreamDemos.Ev
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def ts(minutes: Long): Timestamp = new Timestamp(minutes * 60000L)
+
+  final case class REv(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+  test("windowed counts finalize once the watermark passes") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[REv]
+    val q = StreamDemos.windowedCounts(ms.toDF())
+      .writeStream.format("memory").queryName("win_out").outputMode("append").start()
+    try {
+      ms.addData(
+        REv(1, ts(5), 1, "click", 1.5),
+        REv(2, ts(10), 1, "click", 2.5),
+        REv(3, ts(20), 2, "buy", 4.0))
+      q.processAllAvailable()
+      // advance event time beyond hour 0 + watermark → finalizes hour 0
+      ms.addData(REv(4, ts(200), 1, "click", 1.0))
+      q.processAllAvailable()
+      ms.addData(REv(5, ts(400), 1, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_out").collect()
+        .map(r => (r.getAs[Timestamp]("hour_start").getTime / 60000, r.getAs[String]("event_type"),
+          r.getAs[Long]("n"), r.getAs[Double]("sum_value"))).toSet
+      assert(rows.contains((0L, "click", 2L, 4.0)))
+      assert(rows.contains((0L, "buy", 1L, 4.0)))
+    } finally q.stop()
+  }
+
+  test("session windows merge events within the gap") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[REv]
+    val q = StreamDemos.sessionCounts(ms.toDF())
+      .writeStream.format("memory").queryName("sess_out").outputMode("append").start()
+    try {
+      ms.addData(
+        REv(1, ts(0), 1, "a", 0), REv(2, ts(10), 1, "a", 0), // one session
+        REv(3, ts(100), 1, "a", 0))                          // second session
+      q.processAllAvailable()
+      ms.addData(REv(4, ts(500), 2, "a", 0)) // watermark push
+      q.processAllAvailable()
+      ms.addData(REv(5, ts(900), 2, "a", 0))
+      q.processAllAvailable()
+      val sessions = spark.table("sess_out").collect()
+        .filter(_.getAs[Long]("user_id") == 1L)
+        .map(r => (r.getAs[Timestamp]("session_start").getTime / 60000, r.getAs[Long]("n_events"))).toSet
+      assert(sessions === Set((0L, 2L), (100L, 1L)))
+    } finally q.stop()
+  }
+
+  test("streaming dedup drops same-id replays within the watermark") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[REv]
+    val q = StreamDemos.dedupByEventId(ms.toDF())
+      .writeStream.format("memory").queryName("dedup_out").outputMode("append").start()
+    try {
+      ms.addData(REv(1, ts(0), 1, "a", 0), REv(1, ts(1), 1, "a", 0), REv(2, ts(2), 1, "a", 0))
+      q.processAllAvailable()
+      ms.addData(REv(1, ts(3), 1, "a", 0), REv(3, ts(4), 1, "a", 0))
+      q.processAllAvailable()
+      assert(spark.table("dedup_out").select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+        === Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState emits sessions on gap or timeout") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = StreamDemos.sessionize(ms.toDS())
+      .writeStream.format("memory").queryName("fmgws_out").outputMode("append").start()
+    try {
+      // base offset: an event exactly at the initial watermark (epoch 0)
+      // would be dropped as late
+      val B = 10000L
+      ms.addData(Ev(1, ts(B), 1.0), Ev(1, ts(B + 5), 2.0), Ev(1, ts(B + 60), 3.0)) // gap closes first
+      q.processAllAvailable()
+      ms.addData(Ev(2, ts(B + 300), 0.0)) // watermark → times out user 1's open session
+      q.processAllAvailable()
+      ms.addData(Ev(2, ts(B + 600), 0.0))
+      q.processAllAvailable()
+      val sessions = spark.table("fmgws_out").collect()
+        .filter(_.getAs[Long]("user_id") == 1L)
+        .map(r => (r.getAs[Timestamp]("session_start").getTime / 60000 - B, r.getAs[Int]("n_events"))).toSet
+      assert(sessions === Set((0L, 2), (60L, 1)))
+    } finally q.stop()
+  }
+}
