@@ -1,0 +1,58 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.{GraftFunctions, TopKDoubles}
+
+/** Queries exercising the custom extension surface (SURVEY.md §2.13/§7.5):
+  * a native codegen'd Catalyst expression, a typed Aggregator, and the
+  * built-in sketch aggregates.
+  */
+object CustomFns {
+  type Q = (SparkSession, String) => DataFrame
+
+  def queries: Map[String, Q] = Map(
+    // Custom Catalyst expression (whole-stage codegen) — polynomial
+    // rolling hash as a per-doc fingerprint.
+    "x5_rolling_hash" -> { (s, d) =>
+      GraftFunctions.register(s)
+      Tables.documents(s, d)
+        .select(col("doc_id"), call_function("rolling_hash", col("text")).as("rhash"))
+        .orderBy("doc_id")
+    },
+    // Typed Aggregator with bounded per-group state (top-3 values).
+    "n3_topk_agg" -> { (s, d) =>
+      val topk = udaf(new TopKDoubles(3))
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(topk(col("value")).as("top_values"))
+        .orderBy("event_type")
+    },
+    // Sketch aggregates (HLL++ / quantile sketch) — approximate by
+    // construction, so no hash oracle: the driver records a rows-only
+    // check, and the spec asserts error bounds instead.
+    "a7_approx_sketch" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(
+          approx_count_distinct(col("user_id")).as("approx_users"),
+          percentile_approx(col("value"), lit(0.5), lit(1000)).as("approx_median"))
+        .orderBy("event_type")
+    }
+  )
+
+  def oracles: Map[String, String] = Map(
+    "x5_rolling_hash" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(7 AS BIGINT),
+        |      list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT))),
+        |    (acc, x) -> (acc * 31 + x) % 1000000007) AS rhash
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "n3_topk_agg" ->
+      """SELECT event_type, (list_sort(list(value), 'DESC'))[1:3] AS top_values
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+    // a7_approx_sketch: intentionally no oracle (approximate results)
+  )
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{GraftFunctions, RollingHash, TopKDoubles}
+import org.apache.spark.unsafe.types.UTF8String
+
+class FunctionsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("rolling_hash matches the reference recurrence and handles nulls") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    def expected(s: String): Long = {
+      var h = 7L
+      s.foreach(c => h = (h * 31 + c) % 1000000007L)
+      h
+    }
+    val rows = Seq(Some("abc"), Some(""), None, Some("the quick brown fox"))
+      .toDF("s")
+      .select(call_function("rolling_hash", col("s")).as("h"))
+      .collect()
+    assert(rows(0).getLong(0) === expected("abc"))
+    assert(rows(1).getLong(0) === expected(""))
+    assert(rows(2).isNullAt(0))
+    assert(rows(3).getLong(0) === expected("the quick brown fox"))
+    // direct hot-path helper (what generated code calls)
+    assert(RollingHash.hash(UTF8String.fromString("abc")) === expected("abc"))
+  }
+
+  test("GraftExtensions injects rolling_hash into a fresh session") {
+    val s2 = SparkSession.builder().master("local[2]")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .appName("ext-test")
+      .getOrCreate()
+    try {
+      // newSession shares the context but re-applies extensions cleanly
+      val out = s2.sql("SELECT rolling_hash('abc') AS h").collect()
+      assert(out(0).getLong(0) === {
+        var h = 7L; "abc".foreach(c => h = (h * 31 + c) % 1000000007L); h
+      })
+    } finally () // keep shared context alive for other suites
+  }
+
+  test("TopKDoubles keeps a bounded buffer and returns sorted top-k") {
+    import spark.implicits._
+    val topk = udaf(new TopKDoubles(3))
+    val out = Seq(("a", 1.0), ("a", 9.0), ("a", 5.0), ("a", 7.0), ("b", 2.0))
+      .toDF("k", "v")
+      .repartition(4) // force partial + merge paths
+      .groupBy("k").agg(topk(col("v")).as("top"))
+      .orderBy("k")
+      .collect()
+    assert(out(0).getAs[Seq[Double]]("top") === Seq(9.0, 7.0, 5.0))
+    assert(out(1).getAs[Seq[Double]]("top") === Seq(2.0))
+  }
+
+  test("approx sketches stay within documented error bounds at sf0.001") {
+    val d = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("a7_approx_sketch")(spark, d).collect()
+    val exactUsers = Tables.events(spark, d).groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    got.foreach { r =>
+      val approx = r.getAs[Long]("approx_users").toDouble
+      val exact = exactUsers(r.getString(0)).toDouble
+      assert(math.abs(approx - exact) / exact < 0.1, s"HLL off for ${r.getString(0)}")
+    }
+  }
+}
