@@ -87,6 +87,12 @@ object Cols {
     s"CAST(list_sum(list_transform(list_zip($a, $b), " +
       s"z -> CAST(CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE) AS DECIMAL(28,12)))) AS DOUBLE)"
 
+  /** Bit-identical native spelling of [[dotDec]]
+    * ([[graft.functions.DecimalDot]]); the session must have called
+    * `GraftFunctions.register` (or carry GraftExtensions).
+    */
+  def fastDot(a: Column, b: Column): Column = call_function("decimal_dot", a, b)
+
   /** Cosine similarity from [[dotDec]] building blocks (deterministic:
     * decimal dots, then double sqrt/division — IEEE-identical per element).
     */

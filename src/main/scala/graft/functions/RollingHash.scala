@@ -55,7 +55,9 @@ object RollingHash {
   */
 object GraftFunctions {
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "rolling_hash" -> (exprs => RollingHash(exprs.head)))
+    "rolling_hash" -> (exprs => RollingHash(exprs.head)),
+    "decimal_dot" -> (exprs => DecimalDot(exprs.head, exprs(1))),
+    "float_dot" -> (exprs => FloatDot(exprs.head, exprs(1))))
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (name, builder) =>

