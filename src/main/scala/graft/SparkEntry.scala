@@ -20,6 +20,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.CoreRelational.queries ++
+      graft.queries.SqlSurface.queries ++
       graft.queries.CustomFns.queries ++
       graft.operators.Dedup.queries ++
       graft.operators.Similarity.queries ++
@@ -30,6 +31,7 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     graft.queries.CoreRelational.oracles ++
+      graft.queries.SqlSurface.oracles ++
       graft.queries.CustomFns.oracles ++
       graft.operators.Dedup.oracles ++
       graft.operators.Similarity.oracles ++

@@ -1,0 +1,213 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.Cols.{dsum, dsumSql}
+
+/** Extended scalar / window / SQL surface (SURVEY.md §2.10 function
+  * classes beyond the reference's minimal set, plus subquery shapes) —
+  * each suite bundles one function family into a single oracle-checked
+  * projection.
+  */
+object SqlSurface {
+  type Q = (SparkSession, String) => DataFrame
+
+  def queries: Map[String, Q] = Map(
+    // String function family.
+    "t11_string_suite" -> { (s, d) =>
+      Tables.part(s, d)
+        .select(col("p_partkey"),
+          upper(col("p_name")).as("u"),
+          lower(col("p_brand")).as("lo"),
+          substring(col("p_type"), 2, 5).as("sub"),
+          length(col("p_name")).as("len"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("cw"),
+          regexp_replace(col("p_type"), "a", "_").as("re"),
+          lpad(col("p_brand"), 12, ".").as("lp"),
+          reverse(col("p_brand")).as("rv"),
+          instr(col("p_type"), "a").as("ins"),
+          col("p_type").like("%BRASS%").as("lk"))
+        .orderBy("p_partkey")
+    },
+    // Math function family (floor/ceil cast to double: Spark returns
+    // LONG, DuckDB DOUBLE).
+    "t12_math_suite" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") < 200)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          abs(-col("l_quantity")).as("ab"),
+          floor(col("l_extendedprice")).cast("double").as("fl"),
+          ceil(col("l_extendedprice")).cast("double").as("ce"),
+          round(col("l_extendedprice"), 1).as("ro"),
+          sqrt(col("l_quantity")).as("sq"),
+          pow(col("l_quantity"), 2.0).as("pw"),
+          pmod(col("l_orderkey"), lit(7)).as("md"),
+          sign(col("l_discount") - 0.05).as("sg"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    // Conditionals: CASE/coalesce/nullif/greatest/least.
+    "t13_conditional_suite" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") < 200)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          when(col("l_quantity") > 25, "big")
+            .when(col("l_quantity") > 10, "mid")
+            .otherwise("small").as("bucket"),
+          coalesce(lit(null).cast("string"), col("l_returnflag")).as("co"),
+          nullif(col("l_linestatus"), lit("O")).as("nf"),
+          greatest(col("l_tax"), col("l_discount")).as("gr"),
+          least(col("l_tax"), col("l_discount")).as("le"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    // Array function family over constructed arrays.
+    "t14_array_suite" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") < 200)
+        .withColumn("arr", array(col("l_quantity"), col("l_tax"), col("l_discount")))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          array_contains(col("arr"), col("l_tax")).as("ac"),
+          size(col("arr")).as("sz"),
+          slice(col("arr"), 1, 2).as("sl"),
+          sort_array(col("arr")).as("so"),
+          array_max(col("arr")).as("am"),
+          array_min(col("arr")).as("amin"),
+          array_position(col("arr"), col("l_discount")).as("ap"),
+          flatten(array(col("arr"), array(col("l_quantity")))).as("fl"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    // Ranking window family.
+    "w6_ranking_suite" -> { (s, d) =>
+      val w = Window.partitionBy(col("o_orderstatus")).orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          ntile(4).over(w).as("nt"),
+          percent_rank().over(w).as("prnk"),
+          cume_dist().over(w).as("cd"))
+        .orderBy("o_orderkey")
+    },
+    // GROUPING SETS + grouping() marker.
+    "a8_grouping_sets" -> { (s, d) =>
+      val o = Tables.orders(s, d)
+      o.createOrReplaceTempView("orders_gs")
+      s.sql(
+        s"""SELECT o_orderstatus, o_orderpriority,
+           |  grouping(o_orderstatus) AS g_status, count(*) AS n,
+           |  ${dsumSql("o_totalprice")} AS sum_price
+           |FROM orders_gs
+           |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+           |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
+    },
+    // LIMIT + OFFSET pagination.
+    "o3_offset" -> { (s, d) =>
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+        .offset(10)
+        .limit(5)
+    },
+    // Explode of an array of structs (inline-shaped generator).
+    "f3_inline_structs" -> { (s, d) =>
+      Tables.documents(s, d)
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"), explode(array(
+          struct(lit("hdr").as("w"), lit(1).as("n")),
+          struct(col("source").as("w"), lit(2).as("n")))).as("u"))
+        .select(col("doc_id"), col("u.w").as("w"), col("u.n").as("n"))
+        .orderBy("doc_id", "n")
+    },
+    // Correlated EXISTS + scalar subquery through the SQL entry point.
+    "q3_subqueries" -> { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("orders_sq")
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_sq")
+      s.sql(
+        """SELECT o_orderkey, o_totalprice,
+          |  (SELECT CAST(max(l_linenumber) AS BIGINT) FROM lineitem_sq
+          |   WHERE l_orderkey = o_orderkey) AS max_line
+          |FROM orders_sq o
+          |WHERE EXISTS (SELECT 1 FROM lineitem_sq
+          |  WHERE l_orderkey = o.o_orderkey AND l_quantity > 45)
+          |ORDER BY o_orderkey""".stripMargin)
+    },
+    // Cartesian product of two tiny dims.
+    "j9_cross_join" -> { (s, d) =>
+      val r = Tables.region(s, d)
+      val st = Tables.orders(s, d).select(col("o_orderstatus")).distinct()
+      r.crossJoin(st)
+        .select(col("r_name"), col("o_orderstatus"))
+        .orderBy("r_name", "o_orderstatus")
+    }
+  )
+
+  def oracles: Map[String, String] = Map(
+    "t11_string_suite" ->
+      """SELECT p_partkey, upper(p_name) AS u, lower(p_brand) AS lo,
+        |  substr(p_type, 2, 5) AS sub, length(p_name) AS len,
+        |  concat_ws('|', p_brand, p_type) AS cw,
+        |  regexp_replace(p_type, 'a', '_', 'g') AS re,
+        |  lpad(p_brand, 12, '.') AS lp, reverse(p_brand) AS rv,
+        |  instr(p_type, 'a') AS ins, (p_type LIKE '%BRASS%') AS lk
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "t12_math_suite" ->
+      """SELECT l_orderkey, l_linenumber, abs(-l_quantity) AS ab,
+        |  floor(l_extendedprice) AS fl, ceil(l_extendedprice) AS ce,
+        |  round(l_extendedprice, 1) AS ro, sqrt(l_quantity) AS sq,
+        |  power(l_quantity, 2.0) AS pw, l_orderkey % 7 AS md,
+        |  CAST(sign(l_discount - 0.05) AS DOUBLE) AS sg
+        |FROM lineitem WHERE l_orderkey < 200 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "t13_conditional_suite" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN l_quantity > 25 THEN 'big'
+        |       WHEN l_quantity > 10 THEN 'mid' ELSE 'small' END AS bucket,
+        |  coalesce(CAST(NULL AS VARCHAR), l_returnflag) AS co,
+        |  nullif(l_linestatus, 'O') AS nf,
+        |  greatest(l_tax, l_discount) AS gr, least(l_tax, l_discount) AS le
+        |FROM lineitem WHERE l_orderkey < 200 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "t14_array_suite" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  list_contains([l_quantity, l_tax, l_discount], l_tax) AS ac,
+        |  CAST(len([l_quantity, l_tax, l_discount]) AS INT) AS sz,
+        |  ([l_quantity, l_tax, l_discount])[1:2] AS sl,
+        |  list_sort([l_quantity, l_tax, l_discount]) AS so,
+        |  list_max([l_quantity, l_tax, l_discount]) AS am,
+        |  list_min([l_quantity, l_tax, l_discount]) AS amin,
+        |  CAST(list_position([l_quantity, l_tax, l_discount], l_discount) AS BIGINT) AS ap,
+        |  flatten([[l_quantity, l_tax, l_discount], [l_quantity]]) AS fl
+        |FROM lineitem WHERE l_orderkey < 200 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "w6_ranking_suite" ->
+      """SELECT o_orderkey, rank() OVER w AS rnk, dense_rank() OVER w AS drnk,
+        |  ntile(4) OVER w AS nt, percent_rank() OVER w AS prnk, cume_dist() OVER w AS cd
+        |FROM orders WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+    "a8_grouping_sets" ->
+      s"""SELECT o_orderstatus, o_orderpriority,
+         |  CAST(grouping(o_orderstatus) AS INT) AS g_status, count(*) AS n,
+         |  ${dsumSql("o_totalprice")} AS sum_price
+         |FROM orders
+         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "o3_offset" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_orderkey LIMIT 5 OFFSET 10""".stripMargin,
+    "f3_inline_structs" ->
+      """SELECT doc_id, u.w AS w, u.n AS n FROM (
+        |  SELECT doc_id, unnest([{'w': 'hdr', 'n': 1}, {'w': source, 'n': 2}]) AS u
+        |  FROM documents WHERE doc_id < 50)
+        |ORDER BY doc_id, n""".stripMargin,
+    "q3_subqueries" ->
+      """SELECT o_orderkey, o_totalprice,
+        |  (SELECT CAST(max(l_linenumber) AS BIGINT) FROM lineitem
+        |   WHERE l_orderkey = o_orderkey) AS max_line
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o.o_orderkey AND l_quantity > 45)
+        |ORDER BY o_orderkey""".stripMargin,
+    "j9_cross_join" ->
+      """SELECT r_name, o_orderstatus
+        |FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+        |ORDER BY r_name, o_orderstatus""".stripMargin
+  )
+}
