@@ -1,0 +1,197 @@
+package graft.sources
+
+import java.util
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Full-fidelity custom Structured Streaming source for the history
+  * archive (SURVEY.md §7.5 "sequenced micro-batch source"): the offset IS
+  * the reference's 8-hex checkpoint sequence, advancing in strides of 64
+  * (python/main.py:205-228), so Spark's offset log replaces `lastfile`
+  * natively and restarts resume exactly-once.
+  *
+  * Each emitted row is one checkpoint triple: (seq, transactions bytes,
+  * ledger bytes, results bytes). Decode + extraction stay in the normal
+  * declarative plan downstream (foreachBatch → graft.pipeline.Extract),
+  * keeping the source a pure availability/offset concern.
+  *
+  * Usage:
+  * {{{
+  *   spark.readStream.format("graft.sources.ArchiveStreamProvider")
+  *     .option("root", root).option("firstSeq", "63")
+  *     .option("maxPerBatch", "128").load()
+  * }}}
+  */
+object ArchiveStreamTable {
+  val Schema: StructType = StructType(Seq(
+    StructField("seq", LongType, nullable = false),
+    StructField("transactions", BinaryType, nullable = false),
+    StructField("ledger", BinaryType, nullable = false),
+    StructField("results", BinaryType, nullable = false)))
+}
+
+class ArchiveStreamProvider extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = ArchiveStreamTable.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new ArchiveStreamTable(properties)
+}
+
+class ArchiveStreamTable(props: util.Map[String, String]) extends Table with SupportsRead {
+  override def name(): String = s"archive(${props.get("root")})"
+  override def schema(): StructType = ArchiveStreamTable.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new Scan {
+      override def readSchema(): StructType = ArchiveStreamTable.Schema
+      override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+        new ArchiveMicroBatchStream(
+          options.get("root"),
+          Option(options.get("firstSeq")).map(_.toLong).getOrElse(0x3fL),
+          Option(options.get("maxPerBatch")).map(_.toInt).getOrElse(64))
+    }
+}
+
+/** Offset = highest checkpoint sequence already committed (exclusive
+  * start of the next batch); JSON form is the decimal sequence.
+  */
+case class SeqOffset(seq: Long) extends Offset {
+  override def json(): String = seq.toString
+}
+
+class ArchiveMicroBatchStream(root: String, firstSeq: Long, maxPerBatch: Int)
+    extends MicroBatchStream {
+  require(Archive.isCheckpoint(firstSeq), s"firstSeq $firstSeq must satisfy (seq+1)%64==0")
+
+  @transient private lazy val fs: FileSystem =
+    new HPath(root).getFileSystem(new Configuration())
+
+  private def available(seq: Long): Boolean =
+    Seq("transactions", "ledger", "results")
+      .forall(c => fs.exists(new HPath(Archive.pathFor(root, c, seq))))
+
+  /** Before the first checkpoint: one stride below it (exclusive). */
+  override def initialOffset(): Offset = SeqOffset(firstSeq - 64)
+
+  override def latestOffset(): Offset = {
+    // walk forward from nothing-committed-yet; Spark passes progress via
+    // planInputPartitions(start,...), so track the scan frontier lazily:
+    // we only need "highest available", bounded per batch for pacing.
+    var last = lastSeen
+    var n = 0
+    while (n < maxPerBatch && available(Archive.nextSeq(last))) {
+      last = Archive.nextSeq(last); n += 1
+    }
+    lastSeen = last
+    SeqOffset(last)
+  }
+  // frontier cache: starts at initial; latestOffset only moves forward,
+  // matching the strictly-ordered archive contract.
+  @volatile private var lastSeen: Long = firstSeq - 64
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[SeqOffset].seq
+    val e = end.asInstanceOf[SeqOffset].seq
+    ((s + 64) to e by 64).map(seq => ArchivePartition(root, seq): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = new ArchiveReaderFactory
+
+  override def deserializeOffset(json: String): Offset = {
+    val o = SeqOffset(json.trim.toLong)
+    if (o.seq > lastSeen) lastSeen = o.seq // restart: resume frontier
+    o
+  }
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+case class ArchivePartition(root: String, seq: Long) extends InputPartition
+
+class ArchiveReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[ArchivePartition]
+    new PartitionReader[InternalRow] {
+      private var done = false
+      override def next(): Boolean = !done
+      override def get(): InternalRow = {
+        done = true
+        val fs = new HPath(p.root).getFileSystem(new Configuration())
+        def read(cat: String): Array[Byte] = {
+          val in = fs.open(new HPath(Archive.pathFor(p.root, cat, p.seq)))
+          try {
+            val out = new java.io.ByteArrayOutputStream()
+            val buf = new Array[Byte](65536)
+            var n = in.read(buf)
+            while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+            out.toByteArray
+          } finally in.close()
+        }
+        new GenericInternalRow(Array[Any](
+          p.seq, read("transactions"), read("ledger"), read("results")))
+      }
+      override def close(): Unit = ()
+    }
+  }
+}
+
+/** Driver for the custom source: per micro-batch, splits the triple
+  * columns, decodes via the executor-side decoders, runs the extraction
+  * plan per checkpoint, and commits through a [[graft.sinks.CheckpointSink]]
+  * (replays are idempotent per seq; Spark's offset log provides resume).
+  */
+object ArchiveStreamRunner {
+  import org.apache.spark.sql.streaming.Trigger
+  import graft.pipeline.{Extract, ExtractConfig}
+  import graft.sinks.CheckpointSink
+
+  def runAvailableNow(
+      spark: SparkSession,
+      root: String,
+      passphrase: String,
+      cfg: ExtractConfig,
+      sink: CheckpointSink,
+      checkpointDir: String,
+      firstSeq: Long = 0x3fL): Unit = {
+    val stream = spark.readStream
+      .format("graft.sources.ArchiveStreamProvider")
+      .option("root", root)
+      .option("firstSeq", firstSeq.toString)
+      .load()
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        import s.implicits._
+        batch.select("seq", "transactions", "ledger", "results")
+          .collect() // ≤ maxPerBatch small rows: triples fan back out below
+          .sortBy(_.getLong(0))
+          .foreach { row =>
+            val seq = row.getLong(0)
+            val bin = org.apache.spark.sql.Encoders.BINARY
+            val txs = s.createDataset(Seq(row.getAs[Array[Byte]](1)))(bin)
+              .flatMap(b => graft.xdr.Stellar.decodeTxEntries(Archive.gunzip(b), passphrase))
+            val ledgers = s.createDataset(Seq(row.getAs[Array[Byte]](2)))(bin)
+              .flatMap(b => graft.xdr.Stellar.decodeLedgerEntries(Archive.gunzip(b)))
+            val results = s.createDataset(Seq(row.getAs[Array[Byte]](3)))(bin)
+              .flatMap(b => graft.xdr.Stellar.decodeResultEntries(Archive.gunzip(b)))
+            sink.save(Extract.operations(txs, ledgers, results, cfg), seq)
+          }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+}

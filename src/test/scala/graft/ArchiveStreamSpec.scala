@@ -1,0 +1,63 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline._
+import graft.sinks.PartitionedFileSink
+import graft.sources.{Archive, ArchiveStreamRunner}
+import graft.xdr.{Stellar, StellarWriter}
+
+/** Drives the custom DSv2 MicroBatchStream source end-to-end: offsets are
+  * checkpoint sequences, restarts resume from Spark's offset log.
+  */
+class ArchiveStreamSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val Passphrase = "Test Net"
+  private def addr(seed: Int): String =
+    Stellar.strkeyEncode(Array.tabulate(32)(i => ((seed * 31 + i) & 0xff).toByte))
+  private val issuer = addr(1)
+  private val cfg = ExtractConfig(assetIssuer = issuer)
+
+  private def writeCheckpoint(root: String, seq: Long): Unit = {
+    val op = Operation(Nil, OpBody(1, Some(PaymentOp(
+      Asset(Some(AssetAlphaNum4("KIN", Ed25519(issuer)))), Ed25519(addr(3)), 1000000.0 + seq)), None))
+    val txe = TxHistoryEntry(seq, TxSet(Seq(TxWithHash("", TxCore(None, 100, Ed25519(addr(2)), Seq(op))))))
+    val txGz = Archive.gzip(StellarWriter.encodeTxEntry(txe))
+    val hash = Stellar.decodeTxEntries(Archive.gunzip(txGz), Passphrase).head.txSet.txs.head.hash
+    val res = TxResultEntry(TxResultSet(Seq(TxResultPair(hash, TxResultOuter(100,
+      TxResultInner("txSUCCESS", Some(Seq(OpResult(OpResultTr(Some("PAYMENT_SUCCESS"), None))))))))))
+    def put(cat: String, bytes: Array[Byte]): Unit = {
+      val p = Paths.get(Archive.pathFor(root, cat, seq))
+      Files.createDirectories(p.getParent)
+      Files.write(p, bytes)
+    }
+    put("transactions", txGz)
+    put("ledger", Archive.gzip(StellarWriter.encodeLedgerEntry(
+      LedgerEntry(LedgerHeader(seq, ScpValue(1600000000L + seq))))))
+    put("results", Archive.gzip(StellarWriter.encodeResultEntry(res, seq)))
+  }
+
+  test("custom MicroBatchStream source: seq offsets, AvailableNow drain, restart resume") {
+    val archive = Files.createTempDirectory("graft-stream-arch").toString
+    val out = Files.createTempDirectory("graft-stream-out").toString
+    val ckpt = Files.createTempDirectory("graft-stream-ckpt").toString
+    writeCheckpoint(archive, 0x3fL)
+    writeCheckpoint(archive, 0x7fL)
+
+    val sink = new PartitionedFileSink(out)
+    ArchiveStreamRunner.runAvailableNow(spark, archive, Passphrase, cfg, sink, ckpt)
+    assert(sink.lastSequence === Some(0x7fL))
+    assert(sink.completed === Seq("0000003f", "0000007f"))
+    val rows1 = spark.read.option("header", "false").csv(s"$out/ledgers").count()
+    assert(rows1 === 2)
+
+    // restart with a new checkpoint available: Spark's offset log resumes
+    // past the two already-committed sequences
+    writeCheckpoint(archive, 0xbfL)
+    ArchiveStreamRunner.runAvailableNow(spark, archive, Passphrase, cfg, sink, ckpt)
+    assert(sink.lastSequence === Some(0xbfL))
+    assert(sink.completed === Seq("0000003f", "0000007f", "000000bf"))
+    assert(spark.read.option("header", "false").csv(s"$out/ledgers").count() === 3)
+  }
+}
