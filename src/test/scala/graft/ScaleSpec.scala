@@ -1,0 +1,81 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.Cols.dsum
+
+/** Executable demonstrations of the 100 TB techniques PLANS.md narrates:
+  * bucketed co-located joins (no join-side shuffle), salted two-phase
+  * aggregation for skewed keys, and partition pruning on the sink's
+  * `ledger=` layout.
+  */
+class ScaleSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def executedPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect() // materialize so AQE finalizes
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("bucketed tables co-locate the join: no shuffle before SortMergeJoin") {
+    val d = "/root/testdata/sf0.001"
+    Tables.lineitem(spark, d).write.mode("overwrite")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("li_bucketed")
+    Tables.orders(spark, d).write.mode("overwrite")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("o_bucketed")
+
+    // keep the planner honest: disable auto-broadcast so the join takes
+    // the sort-merge path where bucketing can remove both exchanges
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val li = spark.table("li_bucketed")
+      val o = spark.table("o_bucketed")
+      val joined = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .select("l_orderkey", "l_quantity", "o_totalprice")
+
+      val plan = executedPlan(joined)
+      assert(plan.contains("SortMergeJoin"))
+      assert(!plan.contains("Exchange"), s"bucketed join should not shuffle:\n$plan")
+      assert(joined.count() === Tables.lineitem(spark, d).count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
+  test("salted two-phase aggregation equals direct aggregation on skewed keys") {
+    import spark.implicits._
+    // 100k rows, 95% on one hot key — the classic skew shape
+    val skewed = spark.range(100000)
+      .select(
+        when(col("id") % 100 < 95, "hot").otherwise(concat(lit("k"), col("id") % 100)).as("key"),
+        (col("id") % 997).cast("double").as("v"))
+
+    val direct = skewed.groupBy("key").agg(dsum(col("v")).as("s"), count(lit(1)).as("n"))
+
+    val Salts = 16
+    val salted = skewed
+      .withColumn("salt", pmod(hash(col("v")), lit(Salts)))
+      .groupBy("key", "salt")                      // phase 1: spreads the hot key
+      .agg(sum(col("v").cast(Cols.Dec)).as("ps"), count(lit(1)).as("pn"))
+      .groupBy("key")                              // phase 2: tiny re-agg
+      .agg(sum(col("ps")).cast("double").as("s"), sum(col("pn")).as("n"))
+
+    val a = direct.orderBy("key").collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    val b = salted.orderBy("key").collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    assert(a.toSeq === b.toSeq) // decimal sums are association-free → exactly equal
+  }
+
+  test("ledger= layout prunes partitions at read time") {
+    val out = Files.createTempDirectory("graft-prune").toString
+    Tables.orders(spark, "/root/testdata/sf0.001")
+      .withColumn("ledger", format_string("%08x", col("o_orderkey") % 4))
+      .write.partitionBy("ledger").mode("overwrite").parquet(out)
+
+    val pruned = spark.read.parquet(out).filter(col("ledger") === "00000002")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(ledger"), plan)
+    val expected = Tables.orders(spark, "/root/testdata/sf0.001")
+      .filter(col("o_orderkey") % 4 === 2).count()
+    assert(pruned.count() === expected && expected > 0)
+  }
+}
