@@ -24,6 +24,7 @@ object SparkEntry {
       graft.queries.CustomFns.queries ++
       graft.operators.Dedup.queries ++
       graft.operators.Similarity.queries ++
+      graft.operators.Ivf.queries ++
       graft.operators.TextAnalysis.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -35,5 +36,6 @@ object SparkEntry {
       graft.queries.CustomFns.oracles ++
       graft.operators.Dedup.oracles ++
       graft.operators.Similarity.oracles ++
+      graft.operators.Ivf.oracles ++
       graft.operators.TextAnalysis.oracles
 }

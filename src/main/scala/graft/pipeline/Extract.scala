@@ -149,6 +149,19 @@ object Extract {
       .select("type", "source", "destination", "amount", "starting_balance",
         "memo_text", "fee", "fee_charged", "operation_index", "tx_status",
         "op_status", "hash", "time")
+
+  /** The S3 adapter's column-name variant of the same logical schema
+    * (python/adapters/s3_storage_adapter.py:110-144; SURVEY.md §1.2) —
+    * one canonical StructType, mapped at the sink.
+    */
+  def toS3Naming(ops: DataFrame): DataFrame =
+    ops.withColumnsRenamed(Map(
+      "memo_text" -> "memo",
+      "fee" -> "tx_fee",
+      "fee_charged" -> "tx_charged_fee",
+      "operation_index" -> "op_index",
+      "hash" -> "tx_hash",
+      "time" -> "timestamp"))
 }
 
 /** Serving queries (sample/main.py:19-48) as DataFrame functions —

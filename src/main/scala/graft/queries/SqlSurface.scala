@@ -132,6 +132,14 @@ object SqlSurface {
           |  WHERE l_orderkey = o.o_orderkey AND l_quantity > 45)
           |ORDER BY o_orderkey""".stripMargin)
     },
+    // Pivot (wide conditional aggregation).
+    "a9_pivot" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(dsum(col("l_quantity")))
+        .orderBy("l_returnflag")
+    },
     // Cartesian product of two tiny dims.
     "j9_cross_join" -> { (s, d) =>
       val r = Tables.region(s, d)
@@ -205,6 +213,11 @@ object SqlSurface {
         |WHERE EXISTS (SELECT 1 FROM lineitem
         |  WHERE l_orderkey = o.o_orderkey AND l_quantity > 45)
         |ORDER BY o_orderkey""".stripMargin,
+    "a9_pivot" ->
+      s"""SELECT l_returnflag,
+         |  ${dsumSql("CASE WHEN l_linestatus = 'F' THEN l_quantity END")} AS F,
+         |  ${dsumSql("CASE WHEN l_linestatus = 'O' THEN l_quantity END")} AS O
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "j9_cross_join" ->
       """SELECT r_name, o_orderstatus
         |FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s

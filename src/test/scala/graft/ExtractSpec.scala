@@ -130,6 +130,17 @@ class ExtractSpec extends AnyFunSuite {
     assert(out.map(_.getAs[String]("destination")).toSeq === Seq("GD1"))
   }
 
+  test("S3 naming variant maps the canonical schema (SURVEY §1.2)") {
+    val txs = Seq(TxHistoryEntry(100L, TxSet(Seq(tx("h9", None, Seq(kinPay("GD1", 1.0)))))))
+    val results = Seq(TxResultEntry(TxResultSet(Seq(
+      res("h9", "txSUCCESS", Some(Seq(payLeg("ok"))))))))
+    val out = Extract.toS3Naming(
+      Extract.operations(txs.toDS(), ledgers.toDS(), results.toDS(), cfg))
+    assert(out.columns.toSeq === Seq("type", "source", "destination", "amount",
+      "starting_balance", "memo", "tx_fee", "tx_charged_fee", "op_index",
+      "tx_status", "op_status", "tx_hash", "timestamp"))
+  }
+
   test("serving queries filter, format and order") {
     val txs = Seq(TxHistoryEntry(100L, TxSet(Seq(
       tx("s1", None, Seq(kinPay("GD1", 1.0))),
