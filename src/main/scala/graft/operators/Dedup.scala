@@ -54,7 +54,13 @@ object Dedup {
     shingles(s, d).groupBy("doc_id").agg(hs.head, hs.tail: _*)
   }
 
-  /** (doc_id, band_id, band_hash) rows — LSH bucket keys. */
+  /** (doc_id, band_id, band_hash) rows — LSH bucket keys. Cached: the
+    * candidate self-join references this subplan twice and Catalyst does
+    * not share subplans across a self-join; the bands table is tiny
+    * (docs × 4 rows of hashes), so caching converts a double signature
+    * computation into one. At 100 TB this is the materialize-the-
+    * signature-table step (write once, consumed by every dedup pass).
+    */
   private def bands(s: SparkSession, d: String): DataFrame = {
     val bandCols = (0 until NumBands).map(j =>
       md5(concat(col(s"h${2 * j}"), col(s"h${2 * j + 1}"))))
@@ -62,6 +68,7 @@ object Dedup {
       .select(col("doc_id"), posexplode(array(bandCols: _*)))
       .withColumnRenamed("pos", "band_id")
       .withColumnRenamed("col", "bh")
+      .cache()
   }
 
   /** Candidate pairs: docs sharing at least one LSH band bucket. */
@@ -107,7 +114,9 @@ object Dedup {
     // n-gram Jaccard verification of the LSH candidates (exact shingle-set
     // overlap computed only on candidate pairs — never all-pairs).
     "d3_ngram_jaccard" -> { (s, d) =>
-      val toks = shingles(s, d)
+      // cached: referenced three times (two sides of the intersection
+      // join + the per-doc sizes)
+      val toks = shingles(s, d).cache()
       val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
       val inter = candidatePairs(s, d)
         .join(toks.as("ta"), col("doc_a") === col("ta.doc_id"))
