@@ -1,0 +1,109 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline._
+import graft.sources.Archive
+import graft.xdr.{Stellar, StellarWriter}
+
+/** Property tests generalizing the reference's schema-driven random-row
+  * generators (reference python/tests/test_postgres_storage_adapter.py:
+  * 278-302) to the whole XDR round trip: for arbitrary valid model
+  * values, encode → (gzip) → decode is the identity.
+  */
+class PropertySpec extends AnyFunSuite {
+
+  private val genKey: Gen[Array[Byte]] =
+    Gen.containerOfN[Array, Byte](32, Gen.choose(Byte.MinValue, Byte.MaxValue))
+  private val genAddr: Gen[String] = genKey.map(Stellar.strkeyEncode)
+
+  private val genAsset: Gen[Asset] = Gen.oneOf(
+    Gen.const(Asset(None)),
+    for {
+      code <- Gen.oneOf("KIN", "USD", "ABCD", "X")
+      iss <- genAddr
+    } yield Asset(Some(AssetAlphaNum4(code, Ed25519(iss)))))
+
+  private val genOp: Gen[Operation] = for {
+    src <- Gen.option(genAddr)
+    dest <- genAddr
+    amt <- Gen.choose(0L, 1L << 53) // doubles stay exact
+    isPay <- Gen.oneOf(true, false)
+    asset <- genAsset
+  } yield
+    if (isPay)
+      Operation(src.map(Ed25519(_)).toSeq,
+        OpBody(1, Some(PaymentOp(asset, Ed25519(dest), amt.toDouble)), None))
+    else
+      Operation(src.map(Ed25519(_)).toSeq,
+        OpBody(0, None, Some(CreateAccountOp(Ed25519(dest), amt.toDouble))))
+
+  private val genTx: Gen[TxWithHash] = for {
+    memo <- Gen.option(Gen.alphaNumStr.map(_.take(28)))
+    fee <- Gen.choose(0, 1000000)
+    src <- genAddr
+    ops <- Gen.listOfN(3, genOp).map(_.take(3))
+    nOps <- Gen.choose(0, 3)
+  } yield TxWithHash("", TxCore(memo, fee, Ed25519(src), ops.take(nOps)))
+
+  private val genTxEntry: Gen[TxHistoryEntry] = for {
+    seq <- Gen.choose(0L, 0xffffffffL)
+    n <- Gen.choose(0, 4)
+    txs <- Gen.listOfN(n, genTx)
+  } yield TxHistoryEntry(seq, TxSet(txs))
+
+  private val genLedger: Gen[LedgerEntry] = for {
+    seq <- Gen.choose(0L, 0xffffffffL)
+    close <- Gen.choose(0L, 4102444800L)
+  } yield LedgerEntry(LedgerHeader(seq, ScpValue(close)))
+
+  private val genOpResult: Gen[OpResult] = Gen.oneOf(
+    Gen.const(OpResult(OpResultTr(None, None))),
+    Gen.oneOf("PAYMENT_SUCCESS", "PAYMENT_UNDERFUNDED", "PAYMENT_NO_TRUST")
+      .map(c => OpResult(OpResultTr(Some(c), None))),
+    Gen.oneOf("CREATE_ACCOUNT_SUCCESS", "CREATE_ACCOUNT_LOW_RESERVE")
+      .map(c => OpResult(OpResultTr(None, Some(c)))))
+
+  private val genResultPair: Gen[TxResultPair] = for {
+    hashBytes <- Gen.containerOfN[Array, Byte](32, Gen.choose(Byte.MinValue, Byte.MaxValue))
+    fee <- Gen.choose(0, 1000000)
+    code <- Gen.oneOf("txSUCCESS", "txFAILED", "txBAD_SEQ", "txNO_ACCOUNT")
+    legs <- if (code == "txSUCCESS" || code == "txFAILED")
+      Gen.some(Gen.listOfN(2, genOpResult).map(_.toSeq)) else Gen.const(None)
+  } yield TxResultPair(hashBytes.map(b => f"$b%02x").mkString,
+    TxResultOuter(fee, TxResultInner(code, legs)))
+
+  private def check(name: String, prop: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(40), prop)
+    assert(res.passed, s"$name: $res")
+  }
+
+  test("strkey: encode/decode identity for arbitrary 32-byte keys") {
+    check("strkey", Prop.forAll(genKey) { k =>
+      Stellar.strkeyDecode(Stellar.strkeyEncode(k)).sameElements(k)
+    })
+  }
+
+  test("tx entries: encode → gzip → decode is the identity (modulo computed hash)") {
+    check("tx", Prop.forAll(genTxEntry) { e =>
+      val decoded = Stellar.decodeTxEntries(
+        Archive.gunzip(Archive.gzip(StellarWriter.encodeTxEntry(e))), "PropNet").head
+      decoded.ledgerSeq == e.ledgerSeq &&
+        decoded.txSet.txs.map(_.tx) == e.txSet.txs.map(_.tx) &&
+        decoded.txSet.txs.forall(_.hash.matches("^[0-9a-f]{64}$"))
+    })
+  }
+
+  test("ledger entries: encode → decode identity") {
+    check("ledger", Prop.forAll(genLedger) { e =>
+      Stellar.decodeLedgerEntries(StellarWriter.encodeLedgerEntry(e)).head == e
+    })
+  }
+
+  test("result entries: encode → decode identity") {
+    check("results", Prop.forAll(Gen.listOfN(3, genResultPair)) { pairs =>
+      val e = TxResultEntry(TxResultSet(pairs))
+      Stellar.decodeResultEntries(StellarWriter.encodeResultEntry(e, 1L)).head == e
+    })
+  }
+}
