@@ -1,0 +1,60 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types._
+
+/** Optimizer rule: rewrite the portable decimal-dot lambda pipeline
+  *
+  * {{{ CAST(aggregate(zip_with(a, b, (x,y) -> CAST(x AS DOUBLE)*CAST(y AS DOUBLE)),
+  *          0 :: DECIMAL(28,12), (acc,z) -> CAST(acc + CAST(z AS DECIMAL(28,12))
+  *          AS DECIMAL(28,12))) AS DOUBLE) }}}
+  *
+  * into the native [[DecimalDot]] kernel — value-identical by
+  * construction (DecimalDot reproduces exactly that cast/sum semantics),
+  * ~10× cheaper than interpreting the higher-order functions. Users keep
+  * the declarative cross-engine spelling; the optimizer swaps the
+  * implementation. Injected via
+  * `spark.sql.extensions=graft.functions.GraftExtensions`.
+  *
+  * Guards: only float-array inputs (DecimalDot reads packed floats) and
+  * only the exact DECIMAL(28,12) accumulator shape.
+  */
+object NativeDotRule extends Rule[LogicalPlan] {
+  private val Dec = DecimalType(28, 12)
+
+  private def isFloatArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  private object ProductLambda {
+    def unapply(f: Expression): Boolean = f match {
+      case LambdaFunction(Multiply(Cast(_: NamedLambdaVariable, DoubleType, _, _),
+        Cast(_: NamedLambdaVariable, DoubleType, _, _), _), _, _) => true
+      case _ => false
+    }
+  }
+
+  private object DecimalSumLambda {
+    def unapply(f: Expression): Boolean = f match {
+      case LambdaFunction(Cast(Add(acc: NamedLambdaVariable,
+        Cast(_: NamedLambdaVariable, d1: DecimalType, _, _), _), d2: DecimalType, _, _), _, _) =>
+        acc.dataType == Dec && d1 == Dec && d2 == Dec
+      case _ => false
+    }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    case Cast(ArrayAggregate(
+          ZipWith(a, b, ProductLambda()),
+          Literal(zero: org.apache.spark.sql.types.Decimal, zt: DecimalType),
+          DecimalSumLambda(),
+          LambdaFunction(fin: NamedLambdaVariable, _, _)),
+        DoubleType, _, _)
+        if zt == Dec && zero.toBigDecimal.signum == 0 &&
+          isFloatArray(a) && isFloatArray(b) && fin.dataType == Dec =>
+      DecimalDot(a, b)
+  }
+}

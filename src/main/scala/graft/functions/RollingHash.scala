@@ -67,11 +67,13 @@ object GraftFunctions {
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, builder) =>
       e.injectFunction((
         new FunctionIdentifier(name),
         new ExpressionInfo(classOf[RollingHash].getName, name),
         builder))
     }
+    e.injectOptimizerRule(_ => NativeDotRule)
+  }
 }

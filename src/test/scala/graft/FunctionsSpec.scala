@@ -29,19 +29,23 @@ class FunctionsSpec extends AnyFunSuite {
     assert(RollingHash.hash(UTF8String.fromString("abc")) === expected("abc"))
   }
 
-  test("GraftExtensions injects rolling_hash into a fresh session") {
-    val s2 = SparkSession.builder().master("local[2]")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
-      .appName("ext-test")
-      .getOrCreate()
-    try {
-      // newSession shares the context but re-applies extensions cleanly
-      val out = s2.sql("SELECT rolling_hash('abc') AS h").collect()
-      assert(out(0).getLong(0) === {
-        var h = 7L; "abc".foreach(c => h = (h * 31 + c) % 1000000007L); h
-      })
-    } finally () // keep shared context alive for other suites
+  test("GraftExtensions wires functions and the optimizer rule") {
+    // A same-JVM getOrCreate reuses the shared session and silently skips
+    // spark.sql.extensions, so validate the injector directly: it applies
+    // cleanly and its builders produce the right expression nodes.
+    new graft.functions.GraftExtensions()(new org.apache.spark.sql.SparkSessionExtensions)
+    val builders = GraftFunctions.all.toMap
+    val L = org.apache.spark.sql.catalyst.expressions.Literal
+    val rh = builders("rolling_hash")(Seq(L("abc")))
+    assert(rh.isInstanceOf[RollingHash])
+    val dd = builders("decimal_dot")(Seq(L(Array(1f)), L(Array(1f))))
+    assert(dd.isInstanceOf[graft.functions.DecimalDot])
+    // SQL path through the per-session registration
+    GraftFunctions.register(spark)
+    val out = spark.sql("SELECT rolling_hash('abc') AS h").collect()
+    assert(out(0).getLong(0) === {
+      var h = 7L; "abc".foreach(c => h = (h * 31 + c) % 1000000007L); h
+    })
   }
 
   test("TopKDoubles keeps a bounded buffer and returns sorted top-k") {
@@ -55,6 +59,27 @@ class FunctionsSpec extends AnyFunSuite {
       .collect()
     assert(out(0).getAs[Seq[Double]]("top") === Seq(9.0, 7.0, 5.0))
     assert(out(1).getAs[Seq[Double]]("top") === Seq(2.0))
+  }
+
+  test("NativeDotRule rewrites the lambda spelling into DecimalDot") {
+    // experimental.extraOptimizations is the runtime hook for an existing
+    // session; GraftExtensions wires the same rule for cluster deploys.
+    spark.experimental.extraOptimizations =
+      (spark.experimental.extraOptimizations :+ graft.functions.NativeDotRule).distinct
+    try {
+      val df = Tables.embeddings(spark, "/root/testdata/sf0.001")
+        .select(Cols.dotDec(col("embedding"), col("embedding")).as("dot"))
+      assert(df.queryExecution.optimizedPlan.toString.contains("decimal_dot"),
+        df.queryExecution.optimizedPlan.toString)
+      // and the rewritten plan computes the same values as the raw kernel
+      GraftFunctions.register(spark)
+      val direct = Tables.embeddings(spark, "/root/testdata/sf0.001")
+        .select(call_function("decimal_dot", col("embedding"), col("embedding")).as("dot"))
+      assert(df.collect().map(_.getDouble(0)).toSeq === direct.collect().map(_.getDouble(0)).toSeq)
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == graft.functions.NativeDotRule)
+    }
   }
 
   test("DecimalDot is bit-identical with the Catalyst lambda spelling") {
