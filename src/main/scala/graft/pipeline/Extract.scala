@@ -150,6 +150,19 @@ object Extract {
         "memo_text", "fee", "fee_charged", "operation_index", "tx_status",
         "op_status", "hash", "time")
 
+  /** Kin3 fidelity variant (SURVEY.md §7.4): the reference stores raw
+    * int64 quark amounts in a FLOAT column with a "TODO: change for Kin3"
+    * (postgres_storage_adapter.py:100). This carries amounts as exact
+    * DECIMAL(20,5) whole-unit values (quarks / 1e5) instead; emit
+    * `.cast("double")` at a sink that needs reference parity.
+    */
+  def withDecimalAmounts(ops: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(20, 5)
+    Seq("amount", "starting_balance").filter(ops.columns.contains).foldLeft(ops) {
+      (df, c) => df.withColumn(c, (col(c).cast(dec) / lit(100000).cast(dec)).cast(dec))
+    }
+  }
+
   /** The S3 adapter's column-name variant of the same logical schema
     * (python/adapters/s3_storage_adapter.py:110-144; SURVEY.md §1.2) —
     * one canonical StructType, mapped at the sink.

@@ -132,6 +132,16 @@ object SqlSurface {
           |  WHERE l_orderkey = o.o_orderkey AND l_quantity > 45)
           |ORDER BY o_orderkey""".stripMargin)
     },
+    // Hash function family (S4's sha-256 + the md5 the dedup keys use).
+    "t15_hash_suite" -> { (s, d) =>
+      Tables.documents(s, d)
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"),
+          md5(col("text")).as("h_md5"),
+          sha2(col("text"), 256).as("h_sha256"),
+          sha2(concat(col("source"), lit("|"), col("lang")), 256).as("h_keyed"))
+        .orderBy("doc_id")
+    },
     // Pivot (wide conditional aggregation).
     "a9_pivot" -> { (s, d) =>
       Tables.lineitem(s, d)
@@ -213,6 +223,10 @@ object SqlSurface {
         |WHERE EXISTS (SELECT 1 FROM lineitem
         |  WHERE l_orderkey = o.o_orderkey AND l_quantity > 45)
         |ORDER BY o_orderkey""".stripMargin,
+    "t15_hash_suite" ->
+      """SELECT doc_id, md5(text) AS h_md5, sha256(text) AS h_sha256,
+        |  sha256(source || '|' || lang) AS h_keyed
+        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
     "a9_pivot" ->
       s"""SELECT l_returnflag,
          |  ${dsumSql("CASE WHEN l_linestatus = 'F' THEN l_quantity END")} AS F,

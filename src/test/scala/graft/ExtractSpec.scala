@@ -141,6 +141,17 @@ class ExtractSpec extends AnyFunSuite {
       "tx_status", "op_status", "tx_hash", "timestamp"))
   }
 
+  test("Kin3 decimal amounts: quarks → exact DECIMAL(20,5) whole units") {
+    val txs = Seq(TxHistoryEntry(100L, TxSet(Seq(
+      tx("hk", None, Seq(kinPay("GD1", 123456789.0)))))))  // raw quarks
+    val results = Seq(TxResultEntry(TxResultSet(Seq(
+      res("hk", "txSUCCESS", Some(Seq(payLeg("ok"))))))))
+    val out = Extract.withDecimalAmounts(
+      Extract.payments(txs.toDS(), ledgers.toDS(), results.toDS(), cfg)).collect()
+    val amt = out(0).getAs[java.math.BigDecimal]("amount")
+    assert(amt.compareTo(new java.math.BigDecimal("1234.56789")) === 0)
+  }
+
   test("serving queries filter, format and order") {
     val txs = Seq(TxHistoryEntry(100L, TxSet(Seq(
       tx("s1", None, Seq(kinPay("GD1", 1.0))),

@@ -73,6 +73,19 @@ class IngestSpec extends AnyFunSuite {
     assert(sink.lastSequence === Some(0xffL))
   }
 
+  test("Engine facade: collect backfills through the public entry point") {
+    val archive = Files.createTempDirectory("graft-engine-arch").toString
+    val out = Files.createTempDirectory("graft-engine-out").toString
+    writeCheckpoint(archive, 0x3fL, 1)
+    writeCheckpoint(archive, 0x7fL, 2)
+    val sink = new PartitionedFileSink(out)
+    val n = Engine.collect(spark, archive, Passphrase, cfg, sink)
+    assert(n === 2)
+    assert(sink.lastSequence === Some(0x7fL))
+    val collected = spark.read.option("header", "false").csv(s"$out/ledgers")
+    assert(collected.count() === 3)
+  }
+
   test("tail polling retries then gives up after maxRetries") {
     val archive = Files.createTempDirectory("graft-empty").toString
     val out = Files.createTempDirectory("graft-out2").toString
