@@ -1,0 +1,65 @@
+package graft.functions
+
+import java.security.MessageDigest
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** All `n` MinHash signature values of a shingle array in one pass — the
+  * native replacement for explode + n× `min(md5(i || '|' || shingle))`
+  * aggregates: no generator, no shuffle, one digest per (seed, shingle)
+  * in a tight loop. Value-identical with the SQL spelling: same md5
+  * input bytes, min taken over the digest bytes (unsigned lexicographic —
+  * the same order as the hex strings the oracle compares), hex-encoded at
+  * the end.
+  */
+case class MinHashSigs(child: Expression, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "minhash_sigs"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val mins = Array.fill[Array[Byte]](numHashes)(null)
+    val md = MessageDigest.getInstance("MD5")
+    val prefixes = Array.tabulate(numHashes)(i => s"$i|".getBytes("UTF-8"))
+    var j = 0
+    while (j < n) {
+      val shingle = arr.getUTF8String(j).getBytes
+      var i = 0
+      while (i < numHashes) {
+        md.reset()
+        md.update(prefixes(i))
+        md.update(shingle)
+        val dig = md.digest()
+        if (mins(i) == null || unsignedLess(dig, mins(i))) mins(i) = dig
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(mins.map(d => UTF8String.fromString(hex(d))): Array[Any])
+  }
+
+  private def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < a.length) {
+      val x = a(i) & 0xff; val y = b(i) & 0xff
+      if (x != y) return x < y
+      i += 1
+    }
+    false
+  }
+
+  private def hex(d: Array[Byte]): String = {
+    val sb = new StringBuilder(32)
+    d.foreach(b => sb.append(f"$b%02x"))
+    sb.toString
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigs =
+    copy(child = newChild)
+}

@@ -57,7 +57,8 @@ object GraftFunctions {
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "rolling_hash" -> (exprs => RollingHash(exprs.head)),
     "decimal_dot" -> (exprs => DecimalDot(exprs.head, exprs(1))),
-    "float_dot" -> (exprs => FloatDot(exprs.head, exprs(1))))
+    "float_dot" -> (exprs => FloatDot(exprs.head, exprs(1))),
+    "minhash_sigs" -> (exprs => MinHashSigs(exprs.head, 8)))
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (name, builder) =>

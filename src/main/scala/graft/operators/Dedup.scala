@@ -31,39 +31,47 @@ object Dedup {
   private val NumHashes = 8
   private val NumBands  = 4 // 2 rows per band
 
-  /** Distinct 3-word shingles per document: transform-with-index over the
-    * split array (0-based in Spark), nulls filtered for docs < 3 words.
+  /** Distinct 3-word shingle ARRAY per document: transform-with-index
+    * over the split array (0-based in Spark), nulls filtered for docs
+    * < 3 words.
     */
-  private def shingles(s: SparkSession, d: String): DataFrame =
+  private def shingleArrays(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("l"))
-      .select(col("doc_id"), explode(array_distinct(expr(
+      .select(col("doc_id"), array_distinct(expr(
         """filter(
           |  transform(l, (x, i) ->
           |    CASE WHEN i <= size(l) - 3
           |         THEN concat(l[i], ' ', l[i+1], ' ', l[i+2]) END),
-          |  sh -> sh IS NOT NULL)""".stripMargin))).as("shingle"))
+          |  sh -> sh IS NOT NULL)""".stripMargin)).as("sh"))
 
-  /** MinHash signature: h_i = min over shingles of md5(i || '|' || shingle).
-    * Lexicographic min over a cross-engine-stable hash — one partial-agg
-    * groupBy, no UDFs.
+  /** Exploded shingle rows (the n-gram Jaccard intersection join input). */
+  private def shingles(s: SparkSession, d: String): DataFrame =
+    shingleArrays(s, d).select(col("doc_id"), explode(col("sh")).as("shingle"))
+
+  /** MinHash signature: h_i = min over shingles of md5(i || '|' || shingle),
+    * all 8 computed in ONE narrow pass by the native [[graft.functions
+    * .MinHashSigs]] expression — no explode, no aggregate, no shuffle
+    * (value-identical with the SQL min-of-md5 spelling the oracle uses).
+    * Docs with zero shingles are dropped, matching the oracle's explode
+    * semantics.
     */
   private def minhashSig(s: SparkSession, d: String): DataFrame = {
-    val hs = (0 until NumHashes).map(i =>
-      min(md5(concat(lit(s"$i|"), col("shingle")))).as(s"h$i"))
-    shingles(s, d).groupBy("doc_id").agg(hs.head, hs.tail: _*)
+    graft.functions.GraftFunctions.register(s)
+    shingleArrays(s, d)
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), call_function("minhash_sigs", col("sh")).as("sig"))
   }
 
   /** (doc_id, band_id, band_hash) rows — LSH bucket keys. Cached: the
     * candidate self-join references this subplan twice and Catalyst does
-    * not share subplans across a self-join; the bands table is tiny
-    * (docs × 4 rows of hashes), so caching converts a double signature
-    * computation into one. At 100 TB this is the materialize-the-
-    * signature-table step (write once, consumed by every dedup pass).
+    * not share subplans across a self-join. At 100 TB this is the
+    * materialize-the-signature-table step (write once, consumed by every
+    * dedup pass).
     */
   private def bands(s: SparkSession, d: String): DataFrame = {
     val bandCols = (0 until NumBands).map(j =>
-      md5(concat(col(s"h${2 * j}"), col(s"h${2 * j + 1}"))))
+      md5(concat(col("sig")(2 * j), col("sig")(2 * j + 1))))
     minhashSig(s, d)
       .select(col("doc_id"), posexplode(array(bandCols: _*)))
       .withColumnRenamed("pos", "band_id")

@@ -142,6 +142,32 @@ object SqlSurface {
           sha2(concat(col("source"), lit("|"), col("lang")), 256).as("h_keyed"))
         .orderBy("doc_id")
     },
+    // Datetime function family.
+    "t16_datetime_suite" -> { (s, d) =>
+      Tables.orders(s, d)
+        .filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).as("y"),
+          quarter(col("o_orderdate")).as("q"),
+          month(col("o_orderdate")).as("m"),
+          dayofmonth(col("o_orderdate")).as("dom"),
+          dayofyear(col("o_orderdate")).as("doy"),
+          weekday(col("o_orderdate")).as("wd"),
+          date_trunc("month", col("o_orderdate")).as("trunc_m"),
+          last_day(col("o_orderdate")).as("ld"),
+          datediff(to_timestamp(lit("2002-01-01")), col("o_orderdate")).as("days_to"))
+        .orderBy("o_orderkey")
+    },
+    // JSON family: parse (from_json), extract, serialize (to_json).
+    "t17_json_suite" -> { (s, d) =>
+      Tables.events(s, d)
+        .filter(col("event_id") % 101 === 0)
+        .select(col("event_id"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k").as("k"),
+          to_json(struct(col("event_id").as("id"), col("event_type").as("t"))).as("j"))
+        .orderBy("event_id")
+    },
     // Pivot (wide conditional aggregation).
     "a9_pivot" -> { (s, d) =>
       Tables.lineitem(s, d)
@@ -227,6 +253,23 @@ object SqlSurface {
       """SELECT doc_id, md5(text) AS h_md5, sha256(text) AS h_sha256,
         |  sha256(source || '|' || lang) AS h_keyed
         |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
+    "t16_datetime_suite" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INT) AS y,
+        |  CAST(quarter(o_orderdate) AS INT) AS q,
+        |  CAST(month(o_orderdate) AS INT) AS m,
+        |  CAST(day(o_orderdate) AS INT) AS dom,
+        |  CAST(dayofyear(o_orderdate) AS INT) AS doy,
+        |  CAST(isodow(o_orderdate) - 1 AS INT) AS wd,
+        |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS trunc_m,
+        |  CAST(last_day(o_orderdate) AS DATE) AS ld,
+        |  CAST(date_diff('day', o_orderdate, TIMESTAMP '2002-01-01') AS INT) AS days_to
+        |FROM orders WHERE o_orderkey % 7 = 0 ORDER BY o_orderkey""".stripMargin,
+    "t17_json_suite" ->
+      """SELECT event_id,
+        |  CAST(json_extract(props, '$.k') AS INT) AS k,
+        |  to_json({'id': event_id, 't': event_type}) AS j
+        |FROM events WHERE event_id % 101 = 0 ORDER BY event_id""".stripMargin,
     "a9_pivot" ->
       s"""SELECT l_returnflag,
          |  ${dsumSql("CASE WHEN l_linestatus = 'F' THEN l_quantity END")} AS F,
