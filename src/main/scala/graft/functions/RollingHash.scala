@@ -58,7 +58,8 @@ object GraftFunctions {
     "rolling_hash" -> (exprs => RollingHash(exprs.head)),
     "decimal_dot" -> (exprs => DecimalDot(exprs.head, exprs(1))),
     "float_dot" -> (exprs => FloatDot(exprs.head, exprs(1))),
-    "minhash_sigs" -> (exprs => MinHashSigs(exprs.head, 8)))
+    "minhash_sigs" -> (exprs => MinHashSigs(exprs.head, 8)),
+    "word_shingles" -> (exprs => WordShingles(exprs.head, 3)))
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (name, builder) =>

@@ -31,19 +31,16 @@ object Dedup {
   private val NumHashes = 8
   private val NumBands  = 4 // 2 rows per band
 
-  /** Distinct 3-word shingle ARRAY per document: transform-with-index
-    * over the split array (0-based in Spark), nulls filtered for docs
-    * < 3 words.
+  /** Distinct 3-word shingle ARRAY per document via the native one-pass
+    * [[graft.functions.WordShingles]] expression (the declarative
+    * transform/filter/array_distinct spelling is value-identical but its
+    * interpreted lambdas + O(n²) distinct dominated the pipeline cost).
     */
-  private def shingleArrays(s: SparkSession, d: String): DataFrame =
+  private def shingleArrays(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     Tables.documents(s, d)
-      .select(col("doc_id"), split(col("text"), " ").as("l"))
-      .select(col("doc_id"), array_distinct(expr(
-        """filter(
-          |  transform(l, (x, i) ->
-          |    CASE WHEN i <= size(l) - 3
-          |         THEN concat(l[i], ' ', l[i+1], ' ', l[i+2]) END),
-          |  sh -> sh IS NOT NULL)""".stripMargin)).as("sh"))
+      .select(col("doc_id"), call_function("word_shingles", col("text")).as("sh"))
+  }
 
   /** Exploded shingle rows (the n-gram Jaccard intersection join input). */
   private def shingles(s: SparkSession, d: String): DataFrame =
@@ -60,6 +57,9 @@ object Dedup {
     graft.functions.GraftFunctions.register(s)
     shingleArrays(s, d)
       .filter(size(col("sh")) > 0)
+      // the documents table is one small parquet split; spread the
+      // digest-heavy signature computation across all cores
+      .repartition(col("doc_id"))
       .select(col("doc_id"), call_function("minhash_sigs", col("sh")).as("sig"))
   }
 
