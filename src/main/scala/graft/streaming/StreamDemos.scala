@@ -39,6 +39,24 @@ object StreamDemos {
   def dedupByEventId(events: DataFrame): DataFrame =
     events.withWatermark("ts", "1 hour").dropDuplicates("event_id")
 
+  /** Stream-stream inner join with watermarks + event-time interval:
+    * purchases matched to the same user's signups within the preceding
+    * hour. State on both sides is bounded by the watermark + interval.
+    */
+  def purchasesWithRecentSignup(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "10 minutes")
+    val signups = events.filter(col("event_type") === "signup")
+      .select(col("event_id").as("s_id"), col("user_id").as("s_user"), col("ts").as("s_ts"))
+      .withWatermark("s_ts", "10 minutes")
+    purchases.join(signups,
+      col("user_id") === col("s_user") &&
+        col("s_ts") <= col("p_ts") &&
+        col("s_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+      .select("p_id", "user_id", "p_ts", "s_id", "s_ts")
+  }
+
   final case class Ev(user_id: Long, ts: Timestamp, value: Double)
   final case class SessionAgg(n_events: Int, startMs: Long, lastMs: Long)
   final case class SessionOut(user_id: Long, n_events: Int, session_start: Timestamp, session_end: Timestamp)

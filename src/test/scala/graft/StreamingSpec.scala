@@ -76,6 +76,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches purchases to recent signups") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[REv]
+    val q = StreamDemos.purchasesWithRecentSignup(ms.toDF())
+      .writeStream.format("memory").queryName("ssj_out").outputMode("append").start()
+    try {
+      val B = 20000L
+      ms.addData(
+        REv(1, ts(B), 1, "signup", 0),
+        REv(2, ts(B + 30), 1, "purchase", 5.0),   // joined: signup 30 min before
+        REv(3, ts(B + 200), 2, "purchase", 1.0),  // no signup → dropped (inner)
+        REv(4, ts(B + 300), 1, "purchase", 2.0))  // signup 5h before → outside interval
+      q.processAllAvailable()
+      ms.addData(REv(5, ts(B + 1000), 3, "signup", 0)) // advance watermark
+      q.processAllAvailable()
+      val rows = spark.table("ssj_out").collect()
+        .map(r => (r.getAs[Long]("p_id"), r.getAs[Long]("s_id"))).toSet
+      assert(rows === Set((2L, 1L)))
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState emits sessions on gap or timeout") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
