@@ -23,6 +23,7 @@ object SparkEntry {
       graft.queries.SqlSurface.queries ++
       graft.queries.CustomFns.queries ++
       graft.operators.Dedup.queries ++
+      graft.operators.Dedup.queries2 ++
       graft.operators.Similarity.queries ++
       graft.operators.Ivf.queries ++
       graft.operators.TextAnalysis.queries
@@ -35,6 +36,7 @@ object SparkEntry {
       graft.queries.SqlSurface.oracles ++
       graft.queries.CustomFns.oracles ++
       graft.operators.Dedup.oracles ++
+      graft.operators.Dedup.oracles2 ++
       graft.operators.Similarity.oracles ++
       graft.operators.Ivf.oracles ++
       graft.operators.TextAnalysis.oracles

@@ -142,19 +142,9 @@ object Dedup {
         .orderBy("doc_a", "doc_b")
     },
     // SimHash: 16-bit fingerprint; per-bit pseudo-random sign from md5,
-    // weighted by term frequency. No pairwise stage.
+    // weighted by term frequency. No pairwise stage (pairs: d6).
     "d4_simhash" -> { (s, d) =>
-      val wc = Tables.documents(s, d)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-        .filter(length(col("word")) > 0)
-        .groupBy("doc_id", "word").agg(count(lit(1)).as("cnt"))
-      val sums = (0 until 16).map(i =>
-        sum(when(substring(md5(concat(lit(s"$i#"), col("word"))), 1, 1) < "8",
-          col("cnt")).otherwise(-col("cnt"))).as(s"s$i"))
-      val bits = (0 until 16).map(i => when(col(s"s$i") > 0, lit("1")).otherwise(lit("0")))
-      wc.groupBy("doc_id").agg(sums.head, sums.tail: _*)
-        .select(col("doc_id"), concat(bits: _*).as("simhash"))
-        .orderBy("doc_id")
+      simhashes(s, d).orderBy("doc_id")
     },
     // Embedding cosine near-dup, blocked by label (per-block pairwise;
     // at scale the block key is an IVF cell id). Norms are computed once
@@ -181,6 +171,85 @@ object Dedup {
         .filter(col("cos") >= 0.35)
         .select("label", "vec_a", "vec_b", "cos")
         .orderBy("vec_a", "vec_b")
+    }
+  )
+
+  /** SimHash fingerprint per doc (shared by d4 and d6). */
+  private def simhashes(s: SparkSession, d: String): DataFrame = {
+    val wc = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("cnt"))
+    val sums = (0 until 16).map(i =>
+      sum(when(substring(md5(concat(lit(s"$i#"), col("word"))), 1, 1) < "8",
+        col("cnt")).otherwise(-col("cnt"))).as(s"s$i"))
+    val bits = (0 until 16).map(i => when(col(s"s$i") > 0, lit("1")).otherwise(lit("0")))
+    wc.groupBy("doc_id").agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"), concat(bits: _*).as("simhash"))
+  }
+
+  def queries2: Map[String, Q] = Map(
+    // SimHash near-dup pairs: hamming distance ≤ 2 over the 16-bit
+    // fingerprints. Candidates via pigeonhole banding — split the
+    // fingerprint into 4 nibbles; ≤2 differing bits touch ≤2 nibbles, so
+    // every true pair shares at least one of the C(4,2)=6 nibble-pair
+    // keys — then verify the exact bit distance. Never all-pairs.
+    "d6_simhash_pairs" -> { (s, d) =>
+      val sh = simhashes(s, d).cache()
+      val combos = Seq((0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3))
+      val keyCols = combos.zipWithIndex.map { case ((i, j), c) =>
+        struct(lit(c).as("combo"),
+          substring(col("simhash"), i * 4 + 1, 4).as("ni"),
+          substring(col("simhash"), j * 4 + 1, 4).as("nj"))
+      }
+      val keyed = sh.select(col("doc_id"), col("simhash"),
+        explode(array(keyCols: _*)).as("k"))
+      val a = keyed.select(col("doc_id").as("doc_a"), col("simhash").as("ha"), col("k"))
+      val b = keyed.select(col("doc_id").as("doc_b"), col("simhash").as("hb"), col("k"))
+      val hamming = (0 until 16).map(i =>
+        when(substring(col("ha"), i + 1, 1) =!= substring(col("hb"), i + 1, 1), 1).otherwise(0))
+        .reduce(_ + _)
+      a.join(b, "k")
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b", "ha", "hb").distinct()
+        .withColumn("hamming", hamming)
+        .filter(col("hamming") <= 2)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    }
+  )
+
+  def oracles2: Map[String, String] = Map(
+    "d6_simhash_pairs" -> {
+      val sums = (0 until 16).map(i =>
+        s"SUM(CASE WHEN substr(md5('$i#' || word), 1, 1) < '8' THEN cnt ELSE -cnt END) AS s$i")
+        .mkString(", ")
+      val bits = (0 until 16).map(i => s"(CASE WHEN s$i > 0 THEN '1' ELSE '0' END)")
+        .mkString(" || ")
+      val combos = Seq((0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3))
+      val keys = combos.zipWithIndex.map { case ((i, j), c) =>
+        s"SELECT doc_id, simhash, $c AS combo, substr(simhash, ${i * 4 + 1}, 4) AS ni, " +
+          s"substr(simhash, ${j * 4 + 1}, 4) AS nj FROM sh"
+      }.mkString(" UNION ALL ")
+      val hamming = (0 until 16)
+        .map(i => s"(CASE WHEN substr(ha, ${i + 1}, 1) <> substr(hb, ${i + 1}, 1) THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+         |wc AS (SELECT doc_id, word, count(*) AS cnt FROM toks
+         |  WHERE length(word) > 0 GROUP BY doc_id, word),
+         |sm AS (SELECT doc_id, $sums FROM wc GROUP BY doc_id),
+         |sh AS (SELECT doc_id, $bits AS simhash FROM sm),
+         |keyed AS ($keys),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.ha, b.hb FROM
+         |    (SELECT doc_id, simhash AS ha, combo, ni, nj FROM keyed) a
+         |    JOIN (SELECT doc_id, simhash AS hb, combo, ni, nj FROM keyed) b
+         |    USING (combo, ni, nj)
+         |  WHERE a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, $hamming AS hamming
+         |FROM cand a_b
+         |WHERE ($hamming) <= 2
+         |ORDER BY doc_a, doc_b""".stripMargin
     }
   )
 

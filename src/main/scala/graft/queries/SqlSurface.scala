@@ -176,6 +176,21 @@ object SqlSurface {
         .agg(dsum(col("l_quantity")))
         .orderBy("l_returnflag")
     },
+    // TPC-H Q3-shaped composite: selective dims, fact join, grouped
+    // revenue, top-10 by (revenue desc, date) — join + agg + top-k in one.
+    "j10_shipping_priority" -> { (s, d) =>
+      val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") < to_timestamp(lit("1998-01-01")))
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") > to_timestamp(lit("1998-01-01")))
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+        .limit(10)
+    },
     // Cartesian product of two tiny dims.
     "j9_cross_join" -> { (s, d) =>
       val r = Tables.region(s, d)
@@ -275,6 +290,17 @@ object SqlSurface {
          |  ${dsumSql("CASE WHEN l_linestatus = 'F' THEN l_quantity END")} AS F,
          |  ${dsumSql("CASE WHEN l_linestatus = 'O' THEN l_quantity END")} AS O
          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "j10_shipping_priority" ->
+      s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+         |  ${dsumSql("(l_extendedprice * (1.0 - l_discount))")} AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         |ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""".stripMargin,
     "j9_cross_join" ->
       """SELECT r_name, o_orderstatus
         |FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
