@@ -176,6 +176,33 @@ object SqlSurface {
         .agg(dsum(col("l_quantity")))
         .orderBy("l_returnflag")
     },
+    // Higher-order array function family (lambdas stay declarative).
+    "t18_higher_order_suite" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") < 50)
+        .withColumn("n", col("l_linenumber").cast("int"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          transform(sequence(lit(1), col("n")), x => x * 2).as("t"),
+          filter(sequence(lit(1), lit(6)), x => x % 2 === 0).as("f"),
+          exists(sequence(lit(1), lit(6)), x => x === col("n")).as("e"),
+          forall(sequence(lit(1), lit(6)), x => x > 0).as("fa"),
+          aggregate(sequence(lit(1), col("n")), lit(0), (a, x) => a + x).as("red"),
+          zip_with(sequence(lit(1), lit(3)), sequence(lit(4), lit(6)), (a, b) => a * b).as("zw"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    // Map type construction/inspection (scalars + arrays out, so the
+    // parquet/oracle compare stays engine-neutral).
+    "t19_map_suite" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") < 50)
+        .withColumn("m", map(lit("q"), col("l_quantity"), lit("d"), col("l_discount")))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          map_keys(col("m")).as("mk"),
+          map_values(col("m")).as("mv"),
+          col("m")(lit("q")).as("mq"),
+          size(col("m")).as("ms"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
     // TPC-H Q3-shaped composite: selective dims, fact join, grouped
     // revenue, top-10 by (revenue desc, date) — join + agg + top-k in one.
     "j10_shipping_priority" -> { (s, d) =>
@@ -290,6 +317,24 @@ object SqlSurface {
          |  ${dsumSql("CASE WHEN l_linestatus = 'F' THEN l_quantity END")} AS F,
          |  ${dsumSql("CASE WHEN l_linestatus = 'O' THEN l_quantity END")} AS O
          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "t18_higher_order_suite" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  list_transform(generate_series(1, CAST(l_linenumber AS INT)), x -> x * 2) AS t,
+        |  list_filter(generate_series(1, 6), x -> x % 2 = 0) AS f,
+        |  list_contains(generate_series(1, 6), CAST(l_linenumber AS INT)) AS e,
+        |  true AS fa,
+        |  list_reduce(list_prepend(0, generate_series(1, CAST(l_linenumber AS INT))),
+        |    (a, x) -> a + x) AS red,
+        |  list_transform(list_zip(generate_series(1, 3), generate_series(4, 6)),
+        |    z -> z[1] * z[2]) AS zw
+        |FROM lineitem WHERE l_orderkey < 50 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "t19_map_suite" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  map_keys(MAP {'q': l_quantity, 'd': l_discount}) AS mk,
+        |  map_values(MAP {'q': l_quantity, 'd': l_discount}) AS mv,
+        |  (MAP {'q': l_quantity, 'd': l_discount})['q'][1] AS mq,
+        |  CAST(cardinality(MAP {'q': l_quantity, 'd': l_discount}) AS INT) AS ms
+        |FROM lineitem WHERE l_orderkey < 50 ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "j10_shipping_priority" ->
       s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
          |  ${dsumSql("(l_extendedprice * (1.0 - l_discount))")} AS revenue

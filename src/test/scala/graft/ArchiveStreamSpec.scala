@@ -38,6 +38,22 @@ class ArchiveStreamSpec extends AnyFunSuite {
     put("results", Archive.gzip(StellarWriter.encodeResultEntry(res, seq)))
   }
 
+  test("custom source feeds the transactional JDBC sink exactly-once") {
+    val archive = Files.createTempDirectory("graft-stream-jdbc").toString
+    val ckpt = Files.createTempDirectory("graft-stream-jdbc-ckpt").toString
+    writeCheckpoint(archive, 0x3fL)
+    val db = new FakeDb
+    val sink = new graft.sinks.JdbcTxnSink(() => db.connection())
+    ArchiveStreamRunner.runAvailableNow(spark, archive, Passphrase, cfg, sink, ckpt)
+    assert(db.ops.size === 1)
+    assert(db.lastfile === Some("0000003f"))
+    // replay the whole stream from a fresh offset log: the sink's
+    // committed-sequence check makes it a no-op
+    val ckpt2 = Files.createTempDirectory("graft-stream-jdbc-ckpt2").toString
+    ArchiveStreamRunner.runAvailableNow(spark, archive, Passphrase, cfg, sink, ckpt2)
+    assert(db.ops.size === 1)
+  }
+
   test("custom MicroBatchStream source: seq offsets, AvailableNow drain, restart resume") {
     val archive = Files.createTempDirectory("graft-stream-arch").toString
     val out = Files.createTempDirectory("graft-stream-out").toString
