@@ -141,7 +141,7 @@ object Dedup {
         .select("doc_a", "doc_b", "n_common", "jaccard")
         .orderBy("doc_a", "doc_b")
     },
-    // SimHash: 16-bit fingerprint; per-bit pseudo-random sign from md5,
+    // SimHash: 32-bit fingerprint; per-bit pseudo-random sign from md5,
     // weighted by term frequency. No pairwise stage (pairs: d6).
     "d4_simhash" -> { (s, d) =>
       simhashes(s, d).orderBy("doc_id")
@@ -174,64 +174,117 @@ object Dedup {
     }
   )
 
-  /** SimHash fingerprint per doc (shared by d4 and d6). */
+  private val SimBits = 32
+
+  /** SimHash fingerprint per doc (shared by d4 and d6), 32 bits. */
   private def simhashes(s: SparkSession, d: String): DataFrame = {
     val wc = Tables.documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy("doc_id", "word").agg(count(lit(1)).as("cnt"))
-    val sums = (0 until 16).map(i =>
+    val sums = (0 until SimBits).map(i =>
       sum(when(substring(md5(concat(lit(s"$i#"), col("word"))), 1, 1) < "8",
         col("cnt")).otherwise(-col("cnt"))).as(s"s$i"))
-    val bits = (0 until 16).map(i => when(col(s"s$i") > 0, lit("1")).otherwise(lit("0")))
+    val bits = (0 until SimBits).map(i => when(col(s"s$i") > 0, lit("1")).otherwise(lit("0")))
     wc.groupBy("doc_id").agg(sums.head, sums.tail: _*)
       .select(col("doc_id"), concat(bits: _*).as("simhash"))
   }
 
   def queries2: Map[String, Q] = Map(
-    // SimHash near-dup pairs: hamming distance ≤ 2 over the 16-bit
+    // Dedup clustering: connected components over the LSH candidate
+    // graph — pairs → clusters → canonical doc (min id). Iterative
+    // min-label propagation, each round one self-join + aggregate; the
+    // loop is driver-side control flow over distributed steps (the
+    // Pregel shape; at 100 TB add per-round localCheckpoint to cut
+    // lineage and AQE handles the skewed hub components).
+    "d7_dedup_clusters" -> { (s, d) =>
+      // The candidate graph is tiny relative to the corpus (near-dup
+      // pairs), so coalesce the iteration to a few partitions — per-round
+      // task overhead, not data volume, dominates. localCheckpoint(eager)
+      // truncates the per-round lineage (the classic iterative-algorithm
+      // failure mode: exponentially growing plans).
+      val edges0 = candidatePairs(s, d)
+      val pairs = edges0.repartition(4).localCheckpoint(true)
+      val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+        .unionByName(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+        .localCheckpoint(true)
+      var labels = edges.select(col("u").as("id")).distinct()
+        .select(col("id"), col("id").as("label")).localCheckpoint(true)
+      var changed = 1L
+      var rounds = 0
+      while (changed > 0 && rounds < 20) {
+        val neighborMin = edges
+          .join(labels.withColumnRenamed("id", "v").withColumnRenamed("label", "nlabel"), "v")
+          .groupBy(col("u").as("id")).agg(min(col("nlabel")).as("nmin"))
+        val next = labels.join(neighborMin, Seq("id"), "left")
+          .select(col("id"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+          .localCheckpoint(true)
+        changed = next.join(labels.withColumnRenamed("label", "old"), "id")
+          .filter(col("label") =!= col("old")).count()
+        labels = next
+        rounds += 1
+      }
+      labels.select(col("id").as("doc_id"), col("label").as("cluster")).orderBy("doc_id")
+    },
+    // SimHash near-dup pairs: hamming distance ≤ 1 over the 32-bit
     // fingerprints. Candidates via pigeonhole banding — split the
-    // fingerprint into 4 nibbles; ≤2 differing bits touch ≤2 nibbles, so
-    // every true pair shares at least one of the C(4,2)=6 nibble-pair
-    // keys — then verify the exact bit distance. Never all-pairs.
+    // fingerprint into 8 nibbles; ≤1 differing bit touches ≤1 nibble, so
+    // every true pair shares one of the 8 drop-one-nibble keys (28-bit
+    // keys keep buckets selective) — then verify the exact bit distance.
+    // Never all-pairs.
     "d6_simhash_pairs" -> { (s, d) =>
       val sh = simhashes(s, d).cache()
-      val combos = Seq((0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3))
-      val keyCols = combos.zipWithIndex.map { case ((i, j), c) =>
-        struct(lit(c).as("combo"),
-          substring(col("simhash"), i * 4 + 1, 4).as("ni"),
-          substring(col("simhash"), j * 4 + 1, 4).as("nj"))
+      val nNibs = SimBits / 4
+      val combos = (0 until nNibs).map(drop => (0 until nNibs).filterNot(_ == drop))
+      val keyCols = combos.zipWithIndex.map { case (nibs, c) =>
+        struct(lit(c).as("combo") +:
+          nibs.zipWithIndex.map { case (nib, pos) =>
+            substring(col("simhash"), nib * 4 + 1, 4).as(s"n$pos")
+          }: _*)
       }
       val keyed = sh.select(col("doc_id"), col("simhash"),
         explode(array(keyCols: _*)).as("k"))
       val a = keyed.select(col("doc_id").as("doc_a"), col("simhash").as("ha"), col("k"))
       val b = keyed.select(col("doc_id").as("doc_b"), col("simhash").as("hb"), col("k"))
-      val hamming = (0 until 16).map(i =>
+      val hamming = (0 until SimBits).map(i =>
         when(substring(col("ha"), i + 1, 1) =!= substring(col("hb"), i + 1, 1), 1).otherwise(0))
         .reduce(_ + _)
       a.join(b, "k")
         .filter(col("doc_a") < col("doc_b"))
         .select("doc_a", "doc_b", "ha", "hb").distinct()
         .withColumn("hamming", hamming)
-        .filter(col("hamming") <= 2)
+        .filter(col("hamming") <= 1)
         .select("doc_a", "doc_b", "hamming")
         .orderBy("doc_a", "doc_b")
     }
   )
 
   def oracles2: Map[String, String] = Map(
+    "d7_dedup_clusters" ->
+      s"""WITH RECURSIVE $shinglesCte, $mhCte, $bandsCte, $candCte,
+         |edges AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM cand
+         |  UNION SELECT doc_b, doc_a FROM cand),
+         |reach(src, dst) AS (
+         |  SELECT u, u FROM edges
+         |  UNION
+         |  SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u)
+         |SELECT src AS doc_id, min(dst) AS cluster
+         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
     "d6_simhash_pairs" -> {
-      val sums = (0 until 16).map(i =>
+      val sums = (0 until 32).map(i =>
         s"SUM(CASE WHEN substr(md5('$i#' || word), 1, 1) < '8' THEN cnt ELSE -cnt END) AS s$i")
         .mkString(", ")
-      val bits = (0 until 16).map(i => s"(CASE WHEN s$i > 0 THEN '1' ELSE '0' END)")
+      val bits = (0 until 32).map(i => s"(CASE WHEN s$i > 0 THEN '1' ELSE '0' END)")
         .mkString(" || ")
-      val combos = Seq((0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3))
-      val keys = combos.zipWithIndex.map { case ((i, j), c) =>
-        s"SELECT doc_id, simhash, $c AS combo, substr(simhash, ${i * 4 + 1}, 4) AS ni, " +
-          s"substr(simhash, ${j * 4 + 1}, 4) AS nj FROM sh"
+      val combos = (0 until 8).map(drop => (0 until 8).filterNot(_ == drop))
+      val keys = combos.zipWithIndex.map { case (nibs, c) =>
+        val cols = nibs.zipWithIndex.map { case (nib, pos) =>
+          s"substr(simhash, ${nib * 4 + 1}, 4) AS n$pos"
+        }.mkString(", ")
+        s"SELECT doc_id, simhash, $c AS combo, $cols FROM sh"
       }.mkString(" UNION ALL ")
-      val hamming = (0 until 16)
+      val hamming = (0 until 32)
         .map(i => s"(CASE WHEN substr(ha, ${i + 1}, 1) <> substr(hb, ${i + 1}, 1) THEN 1 ELSE 0 END)")
         .mkString(" + ")
       s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
@@ -242,13 +295,13 @@ object Dedup {
          |keyed AS ($keys),
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.ha, b.hb FROM
-         |    (SELECT doc_id, simhash AS ha, combo, ni, nj FROM keyed) a
-         |    JOIN (SELECT doc_id, simhash AS hb, combo, ni, nj FROM keyed) b
-         |    USING (combo, ni, nj)
+         |    (SELECT doc_id, simhash AS ha, combo, n0, n1, n2, n3, n4, n5, n6 FROM keyed) a
+         |    JOIN (SELECT doc_id, simhash AS hb, combo, n0, n1, n2, n3, n4, n5, n6 FROM keyed) b
+         |    USING (combo, n0, n1, n2, n3, n4, n5, n6)
          |  WHERE a.doc_id < b.doc_id)
          |SELECT doc_a, doc_b, $hamming AS hamming
          |FROM cand a_b
-         |WHERE ($hamming) <= 2
+         |WHERE ($hamming) <= 1
          |ORDER BY doc_a, doc_b""".stripMargin
     }
   )
@@ -275,10 +328,10 @@ object Dedup {
          |WHERE CAST(n_common AS DOUBLE) / CAST(sa.sz + sb.sz - n_common AS DOUBLE) >= 0.3
          |ORDER BY doc_a, doc_b""".stripMargin,
     "d4_simhash" -> {
-      val sums = (0 until 16).map(i =>
+      val sums = (0 until 32).map(i =>
         s"SUM(CASE WHEN substr(md5('$i#' || word), 1, 1) < '8' THEN cnt ELSE -cnt END) AS s$i")
         .mkString(", ")
-      val bits = (0 until 16).map(i => s"(CASE WHEN s$i > 0 THEN '1' ELSE '0' END)")
+      val bits = (0 until 32).map(i => s"(CASE WHEN s$i > 0 THEN '1' ELSE '0' END)")
         .mkString(" || ")
       s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
          |wc AS (SELECT doc_id, word, count(*) AS cnt FROM toks

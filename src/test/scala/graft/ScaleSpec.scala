@@ -65,6 +65,30 @@ class ScaleSpec extends AnyFunSuite {
     assert(a.toSeq === b.toSeq) // decimal sums are association-free → exactly equal
   }
 
+  test("AQE splits a skewed sort-merge join at runtime") {
+    import spark.implicits._
+    val prev = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> spark.conf.get("spark.sql.autoBroadcastJoinThreshold"),
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" ->
+        spark.conf.get("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"),
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" ->
+        spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+    try {
+      // 500k fact rows, 90% on one key; tiny dim with matching keys
+      val fact = spark.range(500000)
+        .select(when(col("id") % 10 < 9, 0L).otherwise(col("id") % 50).as("k"),
+          col("id").as("payload"))
+      val dim = spark.range(50).select(col("id").as("k"), (col("id") * 10).as("attr"))
+      val joined = fact.join(dim.hint("merge"), "k")
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), s"expected AQE skew handling in:\n$plan")
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("ledger= layout prunes partitions at read time") {
     val out = Files.createTempDirectory("graft-prune").toString
     Tables.orders(spark, "/root/testdata/sf0.001")
