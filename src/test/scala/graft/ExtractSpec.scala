@@ -141,6 +141,20 @@ class ExtractSpec extends AnyFunSuite {
       "tx_status", "op_status", "tx_hash", "timestamp"))
   }
 
+  test("legacyAzClass=false uses the sane [A-Za-z0-9] class (SURVEY §7.4)") {
+    // '^' (between Z and a in ASCII) passes the reference's quirky [A-z]
+    // class but not the sane variant
+    val quirkMemo = Some("1-ab^d-x")
+    val txs = Seq(TxHistoryEntry(100L, TxSet(Seq(tx("hz", quirkMemo, Seq(kinPay("GD1", 1.0)))))))
+    val results = Seq(TxResultEntry(TxResultSet(Seq(
+      res("hz", "txSUCCESS", Some(Seq(payLeg("ok"))))))))
+    def count(legacy: Boolean): Long =
+      Extract.payments(txs.toDS(), ledgers.toDS(), results.toDS(),
+        cfg.copy(appId = Some("ab^d"), legacyAzClass = legacy)).count()
+    assert(count(legacy = true) === 1)  // reference fidelity: [A-z] admits '^'
+    assert(count(legacy = false) === 0) // sane default rejects it
+  }
+
   test("Kin3 decimal amounts: quarks → exact DECIMAL(20,5) whole units") {
     val txs = Seq(TxHistoryEntry(100L, TxSet(Seq(
       tx("hk", None, Seq(kinPay("GD1", 123456789.0)))))))  // raw quarks
