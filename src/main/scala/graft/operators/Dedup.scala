@@ -182,8 +182,10 @@ object Dedup {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy("doc_id", "word").agg(count(lit(1)).as("cnt"))
+    // one md5 per word: hex digit i supplies the pseudo-random sign for
+    // bit i (32 digits = 32 bits), instead of 32 digests per word
     val sums = (0 until SimBits).map(i =>
-      sum(when(substring(md5(concat(lit(s"$i#"), col("word"))), 1, 1) < "8",
+      sum(when(substring(md5(col("word")), i + 1, 1) < "8",
         col("cnt")).otherwise(-col("cnt"))).as(s"s$i"))
     val bits = (0 until SimBits).map(i => when(col(s"s$i") > 0, lit("1")).otherwise(lit("0")))
     wc.groupBy("doc_id").agg(sums.head, sums.tail: _*)
@@ -273,7 +275,7 @@ object Dedup {
          |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
     "d6_simhash_pairs" -> {
       val sums = (0 until 32).map(i =>
-        s"SUM(CASE WHEN substr(md5('$i#' || word), 1, 1) < '8' THEN cnt ELSE -cnt END) AS s$i")
+        s"SUM(CASE WHEN substr(md5(word), ${i + 1}, 1) < '8' THEN cnt ELSE -cnt END) AS s$i")
         .mkString(", ")
       val bits = (0 until 32).map(i => s"(CASE WHEN s$i > 0 THEN '1' ELSE '0' END)")
         .mkString(" || ")
@@ -329,7 +331,7 @@ object Dedup {
          |ORDER BY doc_a, doc_b""".stripMargin,
     "d4_simhash" -> {
       val sums = (0 until 32).map(i =>
-        s"SUM(CASE WHEN substr(md5('$i#' || word), 1, 1) < '8' THEN cnt ELSE -cnt END) AS s$i")
+        s"SUM(CASE WHEN substr(md5(word), ${i + 1}, 1) < '8' THEN cnt ELSE -cnt END) AS s$i")
         .mkString(", ")
       val bits = (0 until 32).map(i => s"(CASE WHEN s$i > 0 THEN '1' ELSE '0' END)")
         .mkString(" || ")
