@@ -78,6 +78,23 @@ object TextAnalysis {
           ceil(col("n_chars").cast("double") / 4.0).cast("long").as("approx_bpe_tokens"))
         .orderBy("doc_id")
     },
+    // Deterministic hash sampling + stratified rates + train/test split:
+    // md5-bucket the key so both engines (and reruns) select identical
+    // rows — the reproducible alternative to RNG-based TABLESAMPLE, and
+    // the standard trick for stable train/test assignment at 100 TB
+    // (no global shuffle, no state, pure map-side).
+    "x6_hash_sampling" -> { (s, d) =>
+      val bucket = conv(substring(md5(concat(lit("smp|"), col("doc_id").cast("string"))), 1, 4), 16, 10)
+        .cast("long")
+      val rate = when(col("lang") === "en", lit(0.25)).otherwise(lit(0.5)) // stratified
+      Tables.documents(s, d)
+        .withColumn("bucket", bucket)
+        .filter(col("bucket") < rate * 65536)
+        .withColumn("split",
+          when(col("bucket") < lit(0.8) * rate * 65536, "train").otherwise("test"))
+        .select("doc_id", "lang", "bucket", "split")
+        .orderBy("doc_id")
+    },
     // Fingerprint: md5 over the sorted distinct token set (key-collision
     // clustering); canonical doc per fingerprint via window min.
     "x4_fingerprint" -> { (s, d) =>
@@ -134,6 +151,15 @@ object TextAnalysis {
         |  CAST(length(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS re_tokens,
         |  CAST(ceil(CAST(n_chars AS DOUBLE) / 4.0) AS BIGINT) AS approx_bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "x6_hash_sampling" ->
+      """WITH b AS (
+        |  SELECT doc_id, lang,
+        |    CAST(('0x' || substr(md5('smp|' || CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) AS bucket,
+        |    CASE WHEN lang = 'en' THEN 0.25 ELSE 0.5 END AS rate
+        |  FROM documents)
+        |SELECT doc_id, lang, bucket,
+        |  CASE WHEN bucket < 0.8 * rate * 65536 THEN 'train' ELSE 'test' END AS split
+        |FROM b WHERE bucket < rate * 65536 ORDER BY doc_id""".stripMargin,
     "x4_fingerprint" ->
       """WITH f AS (
         |  SELECT doc_id,
