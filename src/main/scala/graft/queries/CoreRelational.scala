@@ -285,6 +285,17 @@ object CoreRelational {
           max(col("ts")).as("session_end"))
         .orderBy("user_id", "session_id")
     },
+    // Native session_window (batch shape): Spark's built-in gap-merge
+    // semantics cross-checked against the manual lag/cumsum construction
+    // (w4) in the oracle — session end = last event + gap.
+    "w7_session_window_native" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("sw.start").as("session_start"), col("sw.end").as("session_end"),
+          col("user_id"), col("n_events"))
+        .orderBy("user_id", "session_start")
+    },
     // Event-time tumbling window (batch shape of §2.12's windowed aggs).
     "w5_tumbling_window" -> { (s, d) =>
       Tables.events(s, d)
@@ -500,6 +511,23 @@ object CoreRelational {
         |SELECT user_id, session_id, count(*) AS n_events,
         |  min(ts) AS session_start, max(ts) AS session_end
         |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    "w7_session_window_native" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |      OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |      THEN 1 ELSE 0 END AS new_sess
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts, SUM(new_sess) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM g)
+        |SELECT min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  user_id, count(*) AS n_events
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, session_start""".stripMargin,
     "w5_tumbling_window" ->
       s"""SELECT date_trunc('hour', ts) AS hour_start, count(*) AS n,
          |  ${dsumSql("value")} AS sum_value
