@@ -2,7 +2,7 @@ package graft.functions
 
 import java.math.{BigDecimal => JBigDecimal, RoundingMode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{DataType, DoubleType}
 
@@ -13,25 +13,33 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   *
   * Bit-identical by construction with both the Catalyst lambda spelling
   * and DuckDB's decimal cast on this data: each per-element product is
-  * computed in double (IEEE-identical), rounded to scale 12 exactly like
-  * Spark's double→decimal cast (HALF_UP on the shortest-decimal string,
-  * which is what `BigDecimal.valueOf(double)` yields), summed exactly as
-  * scaled longs (associative — order-independent), and converted back via
-  * BigDecimal.doubleValue like a decimal→double cast.
+  * computed in double (IEEE-identical in both engines), rounded to scale
+  * 12 exactly like Spark's double→decimal cast (HALF_UP on the shortest-
+  * decimal string, which is what `BigDecimal.valueOf(double)` yields),
+  * summed exactly as scaled longs (associative — order-independent), and
+  * converted back via BigDecimal.doubleValue like a decimal→double cast.
   *
-  * CodegenFallback is fine here: the expression itself is one tight JVM
-  * loop per row; falling out of whole-stage codegen for a 64-element
-  * array dot costs far less than the interpreted higher-order pipeline.
+  * Generated code is a single static call, so surrounding operators stay
+  * inside one whole-stage-codegen span.
   */
-case class DecimalDot(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+case class DecimalDot(left: Expression, right: Expression) extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "decimal_dot"
 
-  override protected def nullSafeEval(a: Any, b: Any): Any = {
-    val xs = a.asInstanceOf[ArrayData]
-    val ys = b.asInstanceOf[ArrayData]
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    DecimalDot.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.DecimalDot.dot($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DecimalDot =
+    copy(left = l, right = r)
+}
+
+object DecimalDot {
+  /** Static hot path shared by eval and generated code. */
+  def dot(xs: ArrayData, ys: ArrayData): Double = {
     val n = math.min(xs.numElements(), ys.numElements())
     var acc = 0L // unscaled at scale 12
     var i = 0
@@ -43,9 +51,6 @@ case class DecimalDot(left: Expression, right: Expression)
     }
     JBigDecimal.valueOf(acc, 12).doubleValue()
   }
-
-  override protected def withNewChildrenInternal(l: Expression, r: Expression): DecimalDot =
-    copy(left = l, right = r)
 }
 
 /** Plain double dot product (sequential summation) — NOT cross-engine
@@ -53,15 +58,23 @@ case class DecimalDot(left: Expression, right: Expression)
   * (|FloatDot − DecimalDot| ≤ 64·5e-13 for unit-scale embeddings, so a
   * 1e-6 threshold margin is conservative).
   */
-case class FloatDot(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+case class FloatDot(left: Expression, right: Expression) extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "float_dot"
 
-  override protected def nullSafeEval(a: Any, b: Any): Any = {
-    val xs = a.asInstanceOf[ArrayData]
-    val ys = b.asInstanceOf[ArrayData]
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    FloatDot.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.FloatDot.dot($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): FloatDot =
+    copy(left = l, right = r)
+}
+
+object FloatDot {
+  def dot(xs: ArrayData, ys: ArrayData): Double = {
     val n = math.min(xs.numElements(), ys.numElements())
     var acc = 0.0
     var i = 0
@@ -71,7 +84,4 @@ case class FloatDot(left: Expression, right: Expression)
     }
     acc
   }
-
-  override protected def withNewChildrenInternal(l: Expression, r: Expression): FloatDot =
-    copy(left = l, right = r)
 }

@@ -2,7 +2,7 @@ package graft.functions
 
 import java.security.MessageDigest
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -15,14 +15,24 @@ import org.apache.spark.unsafe.types.UTF8String
   * the same order as the hex strings the oracle compares), hex-encoded at
   * the end.
   */
-case class MinHashSigs(child: Expression, numHashes: Int)
-    extends UnaryExpression with CodegenFallback {
+case class MinHashSigs(child: Expression, numHashes: Int) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "minhash_sigs"
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashSigs.sigs(input.asInstanceOf[ArrayData], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MinHashSigs.sigs($c, $numHashes)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigs =
+    copy(child = newChild)
+}
+
+object MinHashSigs {
+  /** Static hot path shared by eval and generated code. */
+  def sigs(arr: ArrayData, numHashes: Int): GenericArrayData = {
     val n = arr.numElements()
     val mins = Array.fill[Array[Byte]](numHashes)(null)
     val md = MessageDigest.getInstance("MD5")
@@ -59,7 +69,4 @@ case class MinHashSigs(child: Expression, numHashes: Int)
     d.foreach(b => sb.append(f"$b%02x"))
     sb.toString
   }
-
-  override protected def withNewChildInternal(newChild: Expression): MinHashSigs =
-    copy(child = newChild)
 }

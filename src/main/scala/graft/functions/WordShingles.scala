@@ -2,7 +2,7 @@ package graft.functions
 
 import scala.collection.mutable
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -18,14 +18,26 @@ import org.apache.spark.unsafe.types.UTF8String
   * joined by spaces, distinct as a set (first-occurrence order; every
   * consumer is order-insensitive).
   */
-case class WordShingles(child: Expression, n: Int) extends UnaryExpression with CodegenFallback {
+case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
   require(n >= 1)
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "word_shingles"
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val words = input.asInstanceOf[UTF8String].toString.split(" ", -1)
+  override protected def nullSafeEval(input: Any): Any =
+    WordShingles.shingles(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WordShingles.shingles($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
+object WordShingles {
+  /** Static hot path shared by eval and generated code. */
+  def shingles(text: UTF8String, n: Int): GenericArrayData = {
+    val words = text.toString.split(" ", -1)
     val out = new mutable.LinkedHashSet[String]
     var i = 0
     while (i + n <= words.length) {
@@ -41,7 +53,4 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression with 
     }
     new GenericArrayData(out.iterator.map(UTF8String.fromString).toArray[Any])
   }
-
-  override protected def withNewChildInternal(newChild: Expression): WordShingles =
-    copy(child = newChild)
 }
