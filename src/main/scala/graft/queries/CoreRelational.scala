@@ -188,6 +188,39 @@ object CoreRelational {
         .orderBy("l_orderkey", "l_linenumber", "pos")
     },
 
+    // explode_outer: empty/absent arrays preserve the parent row with a
+    // NULL leg (the zip-pad cousin of F2's truncation semantics).
+    "f4_explode_outer" -> { (s, d) =>
+      Tables.documents(s, d)
+        .filter(col("doc_id") < 100)
+        .withColumn("arr",
+          when(col("doc_id") % 3 === 0, array(lit("a"), lit("b")))
+            .otherwise(array().cast("array<string>")))
+        .select(col("doc_id"), explode_outer(col("arr")).as("v"))
+        .orderBy(col("doc_id"), col("v").asc_nulls_first)
+    },
+    // Statistical moments from decimal power sums — deterministic
+    // variance/stddev/covariance/correlation (the builtin one-pass aggs
+    // are float-order-dependent and can't be oracle-checked bit-exactly).
+    "a10_moments" -> { (s, d) =>
+      val q = col("l_quantity"); val p = col("l_extendedprice")
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          dsum(q).as("sum_q"), dsum(p).as("sum_p"),
+          dsum(q * q).as("sum_qq"), dsum(p * p).as("sum_pp"), dsum(q * p).as("sum_qp"))
+        .withColumn("var_q",
+          (col("sum_qq") - col("sum_q") * col("sum_q") / col("n")) / (col("n") - 1))
+        .withColumn("stddev_q", sqrt(col("var_q")))
+        .withColumn("covar_qp",
+          (col("sum_qp") - col("sum_q") * col("sum_p") / col("n")) / (col("n") - 1))
+        // corr deliberately omitted: the final covar/(σ·σ) recombination
+        // differs from DuckDB by 1 ulp (FMA contraction in its compiled
+        // expression), breaking bit-equality; var/stddev/covar are exact
+        .select("l_returnflag", "n", "var_q", "stddev_q", "covar_qp")
+        .orderBy("l_returnflag")
+    },
+
     // ── Set operations (§2.6) ──────────────────────────────────────────
     // U1 union-with-discriminator (payments ∪ creations,
     // python/adapters/s3_storage_adapter.py:57-62): missing columns NULL.
@@ -448,6 +481,28 @@ object CoreRelational {
         |  unnest([l_discount, l_tax]) AS b_val
         |FROM lineitem WHERE l_orderkey < 100
         |ORDER BY l_orderkey, l_linenumber, pos""".stripMargin,
+    "f4_explode_outer" ->
+      """SELECT d.doc_id, u.v
+        |FROM (SELECT doc_id,
+        |        CASE WHEN doc_id % 3 = 0 THEN ['a', 'b'] ELSE [] END AS arr
+        |      FROM documents WHERE doc_id < 100) d
+        |LEFT JOIN LATERAL (SELECT unnest(d.arr) AS v) u ON true
+        |ORDER BY doc_id, v NULLS FIRST""".stripMargin,
+    "a10_moments" -> {
+      val sq = Cols.dsumSql("l_quantity"); val sp = Cols.dsumSql("l_extendedprice")
+      val sqq = Cols.dsumSql("(l_quantity * l_quantity)")
+      val spp = Cols.dsumSql("(l_extendedprice * l_extendedprice)")
+      val sqp = Cols.dsumSql("(l_quantity * l_extendedprice)")
+      s"""WITH sums AS (
+         |  SELECT l_returnflag, count(*) AS n, $sq AS sum_q, $sp AS sum_p,
+         |    $sqq AS sum_qq, $spp AS sum_pp, $sqp AS sum_qp
+         |  FROM lineitem GROUP BY l_returnflag)
+         |SELECT l_returnflag, n,
+         |  (sum_qq - sum_q * sum_q / n) / (n - 1) AS var_q,
+         |  sqrt((sum_qq - sum_q * sum_q / n) / (n - 1)) AS stddev_q,
+         |  (sum_qp - sum_q * sum_p / n) / (n - 1) AS covar_qp
+         |FROM sums ORDER BY l_returnflag""".stripMargin
+    },
     "u1_union_discriminated" ->
       """SELECT o_orderkey AS id, o_totalprice AS amount, 'payment' AS type,
         |  CAST(NULL AS DOUBLE) AS starting_balance
