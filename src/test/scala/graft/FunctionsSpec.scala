@@ -97,6 +97,32 @@ class FunctionsSpec extends AnyFunSuite {
         java.lang.Double.doubleToLongBits(r.getDouble(1))))
   }
 
+  test("WordShingles edge cases match the declarative spelling") {
+    import graft.functions.WordShingles
+    def sh(text: String, n: Int = 3): Seq[String] =
+      WordShingles.shingles(UTF8String.fromString(text), n).array.toSeq
+        .map(_.asInstanceOf[UTF8String].toString)
+    assert(sh("a b c d") === Seq("a b c", "b c d"))
+    assert(sh("a b") === Nil)                    // shorter than n
+    assert(sh("") === Nil)                       // one empty token
+    assert(sh("a  b c") === Seq("a  b", " b c")) // double space → empty token kept
+    assert(sh("x x x x") === Seq("x x x"))       // duplicates collapse
+    assert(sh("a b c", 1) === Seq("a", "b", "c"))
+  }
+
+  test("MinHashSigs equals the min-of-md5 aggregate spelling") {
+    import graft.functions.MinHashSigs
+    import java.security.MessageDigest
+    def md5hex(s: String): String =
+      MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val shingles = Seq("a b c", "b c d", "c d e")
+    val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      shingles.map(UTF8String.fromString).toArray[Any])
+    val got = MinHashSigs.sigs(arr, 8).array.toSeq.map(_.asInstanceOf[UTF8String].toString)
+    val expected = (0 until 8).map(i => shingles.map(s => md5hex(s"$i|$s")).min)
+    assert(got === expected)
+  }
+
   test("approx sketches stay within documented error bounds at sf0.001") {
     val d = "/root/testdata/sf0.001"
     val got = SparkEntry.queries("a7_approx_sketch")(spark, d).collect()
