@@ -101,4 +101,28 @@ object Cols {
 
   def cosineSql(a: String, b: String): String =
     s"${dotDecSql(a, b)} / (sqrt(${dotDecSql(a, a)}) * sqrt(${dotDecSql(b, b)}))"
+
+  /** Engine-neutral serialization of a double-array column: each element is
+    * cast to DECIMAL(28,6) (deterministic per the header note) and joined
+    * with ','. Queries emit this instead of raw `array<double>`, which the
+    * driver's pandas-based comparator cannot sort or hash.
+    */
+  def djoin(c: Column): Column =
+    array_join(transform(c, x => x.cast(Dec).cast("string")), ",")
+
+  /** Oracle-SQL spelling of [[djoin]]. */
+  def djoinSql(e: String): String =
+    s"array_to_string(list_transform($e, x -> CAST(CAST(x AS DECIMAL(28,6)) AS VARCHAR)), ',')"
+
+  /** As [[djoin]] for integer/long arrays: plain decimal-free rendering
+    * (INT and BIGINT stringify identically in both engines).
+    */
+  def ijoin(c: Column): Column = array_join(transform(c, _.cast("string")), ",")
+
+  /** Oracle-SQL spelling of [[ijoin]]. */
+  def ijoinSql(e: String): String =
+    s"array_to_string(list_transform($e, x -> CAST(x AS VARCHAR)), ',')"
+
+  /** [[djoin]] for an already-string array. */
+  def sjoin(c: Column): Column = array_join(c, ",")
 }

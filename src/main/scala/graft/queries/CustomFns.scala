@@ -22,11 +22,13 @@ object CustomFns {
         .orderBy("doc_id")
     },
     // Typed Aggregator with bounded per-group state (top-3 values).
+    // Output serialized via Cols.djoin: the driver's comparator cannot
+    // hash a raw array<double> cell (round-2 gate error).
     "n3_topk_agg" -> { (s, d) =>
       val topk = udaf(new TopKDoubles(3))
       Tables.events(s, d)
         .groupBy("event_type")
-        .agg(topk(col("value")).as("top_values"))
+        .agg(graft.Cols.djoin(topk(col("value"))).as("top_values"))
         .orderBy("event_type")
     },
     // Sketch aggregates (HLL++ / quantile sketch) — approximate by
@@ -51,8 +53,9 @@ object CustomFns {
         |    (acc, x) -> (acc * 31 + x) % 1000000007) AS rhash
         |FROM documents ORDER BY doc_id""".stripMargin,
     "n3_topk_agg" ->
-      """SELECT event_type, (list_sort(list(value), 'DESC'))[1:3] AS top_values
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+      s"""SELECT event_type,
+         |  ${graft.Cols.djoinSql("(list_sort(list(value), 'DESC'))[1:3]")} AS top_values
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
     // a7_approx_sketch: intentionally no oracle (approximate results)
   )
 }

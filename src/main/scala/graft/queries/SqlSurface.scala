@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.Cols.{dsum, dsumSql}
+import graft.Cols.{dsum, dsumSql, djoinSql, ijoinSql}
 
 /** Extended scalar / window / SQL surface (SURVEY.md §2.10 function
   * classes beyond the reference's minimal set, plus subquery shapes) —
@@ -61,7 +61,9 @@ object SqlSurface {
           least(col("l_tax"), col("l_discount")).as("le"))
         .orderBy("l_orderkey", "l_linenumber")
     },
-    // Array function family over constructed arrays.
+    // Array function family over constructed arrays. Array-typed outputs
+    // are serialized via Cols.djoin — the driver's comparator cannot hash
+    // raw array cells (round-2 gate errors on t14/t18/t19/n3).
     "t14_array_suite" -> { (s, d) =>
       Tables.lineitem(s, d)
         .filter(col("l_orderkey") < 200)
@@ -69,12 +71,12 @@ object SqlSurface {
         .select(col("l_orderkey"), col("l_linenumber"),
           array_contains(col("arr"), col("l_tax")).as("ac"),
           size(col("arr")).as("sz"),
-          slice(col("arr"), 1, 2).as("sl"),
-          sort_array(col("arr")).as("so"),
+          graft.Cols.djoin(slice(col("arr"), 1, 2)).as("sl"),
+          graft.Cols.djoin(sort_array(col("arr"))).as("so"),
           array_max(col("arr")).as("am"),
           array_min(col("arr")).as("amin"),
           array_position(col("arr"), col("l_discount")).as("ap"),
-          flatten(array(col("arr"), array(col("l_quantity")))).as("fl"))
+          graft.Cols.djoin(flatten(array(col("arr"), array(col("l_quantity"))))).as("fl"))
         .orderBy("l_orderkey", "l_linenumber")
     },
     // Ranking window family.
@@ -182,12 +184,12 @@ object SqlSurface {
         .filter(col("l_orderkey") < 50)
         .withColumn("n", col("l_linenumber").cast("int"))
         .select(col("l_orderkey"), col("l_linenumber"),
-          transform(sequence(lit(1), col("n")), x => x * 2).as("t"),
-          filter(sequence(lit(1), lit(6)), x => x % 2 === 0).as("f"),
+          graft.Cols.ijoin(transform(sequence(lit(1), col("n")), x => x * 2)).as("t"),
+          graft.Cols.ijoin(filter(sequence(lit(1), lit(6)), x => x % 2 === 0)).as("f"),
           exists(sequence(lit(1), lit(6)), x => x === col("n")).as("e"),
           forall(sequence(lit(1), lit(6)), x => x > 0).as("fa"),
           aggregate(sequence(lit(1), col("n")), lit(0), (a, x) => a + x).as("red"),
-          zip_with(sequence(lit(1), lit(3)), sequence(lit(4), lit(6)), (a, b) => a * b).as("zw"))
+          graft.Cols.ijoin(zip_with(sequence(lit(1), lit(3)), sequence(lit(4), lit(6)), (a, b) => a * b)).as("zw"))
         .orderBy("l_orderkey", "l_linenumber")
     },
     // Map type construction/inspection (scalars + arrays out, so the
@@ -197,8 +199,8 @@ object SqlSurface {
         .filter(col("l_orderkey") < 50)
         .withColumn("m", map(lit("q"), col("l_quantity"), lit("d"), col("l_discount")))
         .select(col("l_orderkey"), col("l_linenumber"),
-          map_keys(col("m")).as("mk"),
-          map_values(col("m")).as("mv"),
+          graft.Cols.sjoin(map_keys(col("m"))).as("mk"),
+          graft.Cols.djoin(map_values(col("m"))).as("mv"),
           col("m")(lit("q")).as("mq"),
           size(col("m")).as("ms"))
         .orderBy("l_orderkey", "l_linenumber")
@@ -253,16 +255,16 @@ object SqlSurface {
         |  greatest(l_tax, l_discount) AS gr, least(l_tax, l_discount) AS le
         |FROM lineitem WHERE l_orderkey < 200 ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "t14_array_suite" ->
-      """SELECT l_orderkey, l_linenumber,
-        |  list_contains([l_quantity, l_tax, l_discount], l_tax) AS ac,
-        |  CAST(len([l_quantity, l_tax, l_discount]) AS INT) AS sz,
-        |  ([l_quantity, l_tax, l_discount])[1:2] AS sl,
-        |  list_sort([l_quantity, l_tax, l_discount]) AS so,
-        |  list_max([l_quantity, l_tax, l_discount]) AS am,
-        |  list_min([l_quantity, l_tax, l_discount]) AS amin,
-        |  CAST(list_position([l_quantity, l_tax, l_discount], l_discount) AS BIGINT) AS ap,
-        |  flatten([[l_quantity, l_tax, l_discount], [l_quantity]]) AS fl
-        |FROM lineitem WHERE l_orderkey < 200 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+      s"""SELECT l_orderkey, l_linenumber,
+         |  list_contains([l_quantity, l_tax, l_discount], l_tax) AS ac,
+         |  CAST(len([l_quantity, l_tax, l_discount]) AS INT) AS sz,
+         |  ${djoinSql("([l_quantity, l_tax, l_discount])[1:2]")} AS sl,
+         |  ${djoinSql("list_sort([l_quantity, l_tax, l_discount])")} AS so,
+         |  list_max([l_quantity, l_tax, l_discount]) AS am,
+         |  list_min([l_quantity, l_tax, l_discount]) AS amin,
+         |  CAST(list_position([l_quantity, l_tax, l_discount], l_discount) AS BIGINT) AS ap,
+         |  ${djoinSql("flatten([[l_quantity, l_tax, l_discount], [l_quantity]])")} AS fl
+         |FROM lineitem WHERE l_orderkey < 200 ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "w6_ranking_suite" ->
       """SELECT o_orderkey, rank() OVER w AS rnk, dense_rank() OVER w AS drnk,
         |  ntile(4) OVER w AS nt, percent_rank() OVER w AS prnk, cume_dist() OVER w AS cd
@@ -318,23 +320,22 @@ object SqlSurface {
          |  ${dsumSql("CASE WHEN l_linestatus = 'O' THEN l_quantity END")} AS O
          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "t18_higher_order_suite" ->
-      """SELECT l_orderkey, l_linenumber,
-        |  list_transform(generate_series(1, CAST(l_linenumber AS INT)), x -> x * 2) AS t,
-        |  list_filter(generate_series(1, 6), x -> x % 2 = 0) AS f,
-        |  list_contains(generate_series(1, 6), CAST(l_linenumber AS INT)) AS e,
-        |  true AS fa,
-        |  list_reduce(list_prepend(0, generate_series(1, CAST(l_linenumber AS INT))),
-        |    (a, x) -> a + x) AS red,
-        |  list_transform(list_zip(generate_series(1, 3), generate_series(4, 6)),
-        |    z -> z[1] * z[2]) AS zw
-        |FROM lineitem WHERE l_orderkey < 50 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+      s"""SELECT l_orderkey, l_linenumber,
+         |  ${ijoinSql("list_transform(generate_series(1, CAST(l_linenumber AS INT)), x -> x * 2)")} AS t,
+         |  ${ijoinSql("list_filter(generate_series(1, 6), x -> x % 2 = 0)")} AS f,
+         |  list_contains(generate_series(1, 6), CAST(l_linenumber AS INT)) AS e,
+         |  true AS fa,
+         |  list_reduce(list_prepend(0, generate_series(1, CAST(l_linenumber AS INT))),
+         |    (a, x) -> a + x) AS red,
+         |  ${ijoinSql("list_transform(list_zip(generate_series(1, 3), generate_series(4, 6)), z -> z[1] * z[2])")} AS zw
+         |FROM lineitem WHERE l_orderkey < 50 ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "t19_map_suite" ->
-      """SELECT l_orderkey, l_linenumber,
-        |  map_keys(MAP {'q': l_quantity, 'd': l_discount}) AS mk,
-        |  map_values(MAP {'q': l_quantity, 'd': l_discount}) AS mv,
-        |  (MAP {'q': l_quantity, 'd': l_discount})['q'][1] AS mq,
-        |  CAST(cardinality(MAP {'q': l_quantity, 'd': l_discount}) AS INT) AS ms
-        |FROM lineitem WHERE l_orderkey < 50 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+      s"""SELECT l_orderkey, l_linenumber,
+         |  array_to_string(map_keys(MAP {'q': l_quantity, 'd': l_discount}), ',') AS mk,
+         |  ${djoinSql("map_values(MAP {'q': l_quantity, 'd': l_discount})")} AS mv,
+         |  (MAP {'q': l_quantity, 'd': l_discount})['q'][1] AS mq,
+         |  CAST(cardinality(MAP {'q': l_quantity, 'd': l_discount}) AS INT) AS ms
+         |FROM lineitem WHERE l_orderkey < 50 ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "j10_shipping_priority" ->
       s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
          |  ${dsumSql("(l_extendedprice * (1.0 - l_discount))")} AS revenue
