@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -71,7 +71,7 @@ case class SeqOffset(seq: Long) extends Offset {
 }
 
 class ArchiveMicroBatchStream(root: String, firstSeq: Long, maxPerBatch: Int)
-    extends MicroBatchStream {
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
   require(Archive.isCheckpoint(firstSeq), s"firstSeq $firstSeq must satisfy (seq+1)%64==0")
 
   @transient private lazy val fs: FileSystem =
@@ -90,7 +90,8 @@ class ArchiveMicroBatchStream(root: String, firstSeq: Long, maxPerBatch: Int)
     // we only need "highest available", bounded per batch for pacing.
     var last = lastSeen
     var n = 0
-    while (n < maxPerBatch && available(Archive.nextSeq(last))) {
+    while (n < maxPerBatch && available(Archive.nextSeq(last)) &&
+        availableNowCap.forall(Archive.nextSeq(last) <= _)) {
       last = Archive.nextSeq(last); n += 1
     }
     lastSeen = last
@@ -99,6 +100,28 @@ class ArchiveMicroBatchStream(root: String, firstSeq: Long, maxPerBatch: Int)
   // frontier cache: starts at initial; latestOffset only moves forward,
   // matching the strictly-ordered archive contract.
   @volatile private var lastSeen: Long = firstSeq - 64
+
+  // ── Trigger.AvailableNow (proper multi-batch drain): snapshot the
+  //    highest currently-available checkpoint; subsequent batches are
+  //    paced by maxPerBatch but never read past the snapshot, so the
+  //    query stops at exactly the data that existed at start.
+  @volatile private var availableNowCap: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit = {
+    var last = lastSeen
+    while (available(Archive.nextSeq(last))) last = Archive.nextSeq(last)
+    availableNowCap = Some(last)
+  }
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(maxPerBatch.toLong)
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[SeqOffset].seq
+    if (s > lastSeen) lastSeen = s
+    latestOffset()
+  }
+
+  override def reportLatestOffset(): Offset = SeqOffset(lastSeen)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[SeqOffset].seq
@@ -146,14 +169,22 @@ class ArchiveReaderFactory extends PartitionReaderFactory {
   }
 }
 
-/** Driver for the custom source: per micro-batch, splits the triple
-  * columns, decodes via the executor-side decoders, runs the extraction
-  * plan per checkpoint, and commits through a [[graft.sinks.CheckpointSink]]
+/** Driver for the custom source: per micro-batch, decodes the triple
+  * columns ON EXECUTORS (the archive bytes never transit the driver — the
+  * only thing collected is the batch's list of checkpoint sequences, a
+  * handful of longs), runs the extraction plan per checkpoint, and commits
+  * through a [[graft.sinks.CheckpointSink]] in strict sequence order
   * (replays are idempotent per seq; Spark's offset log provides resume).
+  *
+  * The batch is persisted once so the per-seq filter jobs re-read cached
+  * partitions instead of re-fetching archive files; each per-seq plan is
+  * `filter(seq) → mapPartitions(decode)` — the same executor-side decode
+  * path as the batch [[Archive]] readers.
   */
 object ArchiveStreamRunner {
+  import org.apache.spark.sql.Encoders
   import org.apache.spark.sql.streaming.Trigger
-  import graft.pipeline.{Extract, ExtractConfig}
+  import graft.pipeline.{Extract, ExtractConfig, LedgerEntry, TxHistoryEntry, TxResultEntry}
   import graft.sinks.CheckpointSink
 
   def runAvailableNow(
@@ -173,23 +204,26 @@ object ArchiveStreamRunner {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val s = batch.sparkSession
-        import s.implicits._
-        batch.select("seq", "transactions", "ledger", "results")
-          .collect() // ≤ maxPerBatch small rows: triples fan back out below
-          .sortBy(_.getLong(0))
-          .foreach { row =>
-            val seq = row.getLong(0)
-            val bin = org.apache.spark.sql.Encoders.BINARY
-            val txs = s.createDataset(Seq(row.getAs[Array[Byte]](1)))(bin)
-              .flatMap(b => graft.xdr.Stellar.decodeTxEntries(Archive.gunzip(b), passphrase))
-            val ledgers = s.createDataset(Seq(row.getAs[Array[Byte]](2)))(bin)
-              .flatMap(b => graft.xdr.Stellar.decodeLedgerEntries(Archive.gunzip(b)))
-            val results = s.createDataset(Seq(row.getAs[Array[Byte]](3)))(bin)
-              .flatMap(b => graft.xdr.Stellar.decodeResultEntries(Archive.gunzip(b)))
+        val cached = batch.persist()
+        try {
+          // seq longs only — content columns stay distributed.
+          val seqs = cached.select("seq")
+            .as[Long](Encoders.scalaLong).collect().sorted
+          seqs.foreach { seq =>
+            val one = cached.filter(org.apache.spark.sql.functions.col("seq") === seq)
+            def bytes(c: String) = one.select(c).as[Array[Byte]](Encoders.BINARY)
+            val txs = bytes("transactions").mapPartitions(
+              _.flatMap(b => graft.xdr.Stellar.decodeTxEntries(Archive.gunzip(b), passphrase)))(
+              Encoders.product[TxHistoryEntry])
+            val ledgers = bytes("ledger").mapPartitions(
+              _.flatMap(b => graft.xdr.Stellar.decodeLedgerEntries(Archive.gunzip(b))))(
+              Encoders.product[LedgerEntry])
+            val results = bytes("results").mapPartitions(
+              _.flatMap(b => graft.xdr.Stellar.decodeResultEntries(Archive.gunzip(b))))(
+              Encoders.product[TxResultEntry])
             sink.save(Extract.operations(txs, ledgers, results, cfg), seq)
           }
-        ()
+        } finally { cached.unpersist(); () }
       }
       .start()
     q.awaitTermination()
