@@ -19,6 +19,13 @@ trait CheckpointSink {
 
   /** Last committed sequence, if any (offset recovery, S5). */
   def lastSequence: Option[Long]
+
+  /** Startup connection probe (K6): dry-run the medium's read/write/
+    * delete permissions with a canned row and leave no trace, throwing
+    * BEFORE any ingest if the sink is misconfigured — the reference's
+    * `__test_connection` (python/adapters/s3_storage_adapter.py:169-192).
+    */
+  def selfTest(): Unit
 }
 
 /** Hive-partitioned file sink (K3/K4/K5 of SURVEY.md §2.11):
@@ -58,6 +65,28 @@ final class PartitionedFileSink(root: String, format: String = "csv") extends Ch
     if (Files.exists(lastFile))
       Some(java.lang.Long.parseLong(new String(Files.readAllBytes(lastFile), "UTF-8").trim, 16))
     else None
+
+  /** R/W/D probe: read the offset, write a probe file, read it back,
+    * delete it (s3_storage_adapter.py:169-192 — save a canned row, then
+    * roll it back).
+    */
+  override def selfTest(): Unit =
+    try {
+      lastSequence // read permission on the offset pointer
+      val dir = Paths.get(root, ".connection_probe")
+      Files.createDirectories(dir)
+      val probe = dir.resolve("probe")
+      val payload = "graft-selftest".getBytes("UTF-8")
+      Files.write(probe, payload,
+        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+      if (!java.util.Arrays.equals(Files.readAllBytes(probe), payload))
+        throw new IllegalStateException("probe payload did not round-trip")
+      Files.delete(probe)
+      Files.delete(dir)
+    } catch {
+      case e: Exception => throw new IllegalStateException(
+        s"file sink self-test failed for $root (requires read/write/delete)", e)
+    }
 
   /** Completion markers present (external-consumer parity, K4). */
   def completed: Seq[String] =
@@ -129,5 +158,40 @@ final class JdbcTxnSink(
       val rs = c.createStatement().executeQuery("SELECT name FROM lastfile")
       if (rs.next()) Some(java.lang.Long.parseLong(rs.getString(1), 16)) else None
     } catch { case _: Throwable => None } finally c.close()
+  }
+
+  /** Insert/select/delete probe inside one rolled-back transaction: the
+    * reference's canned creation row (s3_storage_adapter.py:180-188),
+    * written, read back, deleted, then the whole transaction rolled back
+    * so no trace remains even on a partially-permissioned database.
+    */
+  override def selfTest(): Unit = {
+    val probeHash = "a17aa64d4f0ae434dceb16501dd1d2217a59e42d555e24fdf7e17fffa13a1331"
+    val row: Seq[Any] = Seq(
+      "creation",
+      "GCQTAWULBNFLBAEQLEN6FDGGCPYTVZ3Y55AB4F7HSTMQKNX3HZINMQJM",
+      "GDDFYG3OSTSHADS7SP6TZ4XM62EQ522CI7UYJSNAETGJJCGOX66TP5Q5",
+      null, 10.0, null, 100, 100, 0,
+      "txFAILED", "CREATE_ACCOUNT_LOW_RESERVE",
+      probeHash, java.sql.Timestamp.valueOf("2018-06-20 12:47:21"))
+    val c = connect()
+    try {
+      c.setAutoCommit(false)
+      val ps = c.prepareStatement(
+        s"INSERT INTO $table (${columns.mkString(", ")}) VALUES (${columns.map(_ => "?").mkString(", ")})")
+      row.zipWithIndex.foreach { case (v, i) => ps.setObject(i + 1, v) }
+      ps.addBatch()
+      ps.executeBatch()
+      val rs = c.createStatement().executeQuery(
+        s"SELECT hash FROM $table WHERE hash = '$probeHash'")
+      if (!rs.next()) throw new IllegalStateException("probe row did not round-trip")
+      c.createStatement().execute(s"DELETE FROM $table WHERE hash = '$probeHash'")
+      c.rollback() // leave no trace
+    } catch {
+      case e: Throwable =>
+        try c.rollback() catch { case _: Throwable => () }
+        throw new IllegalStateException(
+          s"jdbc sink self-test failed for table $table (requires insert/select/delete)", e)
+    } finally c.close()
   }
 }

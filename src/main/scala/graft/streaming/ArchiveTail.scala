@@ -31,7 +31,13 @@ final class ArchiveTail(
     firstSeq: Long = 0x3fL,
     maxRetries: Int = 5,
     pollMillis: Long = 180000L,
-    sleeper: Long => Unit = Thread.sleep) {
+    sleeper: Long => Unit = Thread.sleep,
+    alerts: IngestAlerts = IngestAlerts.Noop) {
+
+  // Startup probe (K6): a misconfigured sink must fail here, before any
+  // ingest work — the reference runs the same dry-run at adapter init
+  // (python/adapters/s3_storage_adapter.py:169-192).
+  sink.selfTest()
 
   private val fs: FileSystem =
     new HPath(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -71,8 +77,19 @@ final class ArchiveTail(
     * sleep `pollMillis` and retry up to `maxRetries` times before giving
     * up (python/main.py:88-105, 295-309). `maxIterations` bounds the loop
     * for tests; pass Int.MaxValue for a real tail.
+    *
+    * Alert contract (python/main.py:286-309): `alerts.onDelay` fires on
+    * the FIRST miss of a delay episode only; `alerts.onGiveUp` fires once
+    * when retries exhaust, just before the tail stops. Alert transport
+    * failures are logged and swallowed — alerting must never kill ingest.
     */
   def run(maxIterations: Int): Int = {
+    def alert(f: => Unit): Unit =
+      try f catch {
+        case e: Exception =>
+          org.slf4j.LoggerFactory.getLogger(getClass)
+            .warn(s"ingest alert callback failed: ${e.getMessage}")
+      }
     var n = 0
     var retries = 0
     var iter = 0
@@ -80,8 +97,10 @@ final class ArchiveTail(
       iter += 1
       if (processOne(resumeSeq)) { n += 1; retries = 0 }
       else {
+        if (retries == 0) alert(alerts.onDelay(resumeSeq))
         retries += 1
         if (retries <= maxRetries) sleeper(pollMillis)
+        else alert(alerts.onGiveUp(resumeSeq, retries))
       }
     }
     n

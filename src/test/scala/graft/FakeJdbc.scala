@@ -55,7 +55,16 @@ private final class FakeConn(db: FakeDb) {
       val v = "'([0-9a-f]{8})'".r.findFirstMatchIn(s).get.group(1)
       stagedLast = Some(Some(v)); java.lang.Boolean.TRUE
     } else if (s.startsWith("SELECT name FROM lastfile")) resultSet(db.lastfile.map(Seq[Any](_)).toSeq)
-    else throw new IllegalArgumentException(s"FakeDb cannot handle: $s")
+    else if (s.startsWith("SELECT hash FROM")) {
+      // self-test probe lookup: rows (committed or staged in this txn)
+      // whose any column equals the quoted hash
+      val h = "'([0-9a-f]{64})'".r.findFirstMatchIn(s).get.group(1)
+      resultSet((db.ops ++ stagedOps).filter(_.contains(h)).map(_ => Seq[Any](h)))
+    } else if (s.startsWith("DELETE FROM")) {
+      val h = "'([0-9a-f]{64})'".r.findFirstMatchIn(s).map(_.group(1))
+      h.foreach(hash => stagedOps = stagedOps.filterNot(_.contains(hash)))
+      java.lang.Boolean.TRUE
+    } else throw new IllegalArgumentException(s"FakeDb cannot handle: $s")
   }
 
   private def statement(): Statement = proxy(classOf[Statement]) {

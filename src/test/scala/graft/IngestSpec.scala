@@ -96,6 +96,55 @@ class IngestSpec extends AnyFunSuite {
     assert(sleeps === 3)
   }
 
+  test("alerts fire once on first miss and once more when retries exhaust (S2 parity)") {
+    val archive = Files.createTempDirectory("graft-alert").toString
+    val out = Files.createTempDirectory("graft-alert-out").toString
+    writeCheckpoint(archive, 0x3fL, 1)
+    var delays = Vector.empty[Long]
+    var giveUps = Vector.empty[(Long, Int)]
+    val rec = new graft.streaming.IngestAlerts {
+      override def onDelay(seq: Long): Unit = delays :+= seq
+      override def onGiveUp(seq: Long, attempts: Int): Unit = giveUps :+= ((seq, attempts))
+    }
+    val tail = new ArchiveTail(spark, archive, Passphrase, cfg,
+      new PartitionedFileSink(out), maxRetries = 2, sleeper = _ => (), alerts = rec)
+    assert(tail.run(maxIterations = 100) === 1) // 0x3f ingests, then 0x7f is missing
+    assert(delays === Vector(0x7fL))            // one alert per delay episode
+    assert(giveUps === Vector((0x7fL, 3)))      // alerted once more on give-up
+
+    // a throwing alert transport must not kill the tail
+    val boom = new graft.streaming.IngestAlerts {
+      override def onDelay(seq: Long): Unit = throw new RuntimeException("pager down")
+      override def onGiveUp(seq: Long, attempts: Int): Unit = throw new RuntimeException("pager down")
+    }
+    val tail2 = new ArchiveTail(spark, archive, Passphrase, cfg,
+      new PartitionedFileSink(out), maxRetries = 1, sleeper = _ => (), alerts = boom)
+    assert(tail2.run(maxIterations = 100) === 0) // completes despite alert failures
+  }
+
+  test("sink self-test probes R/W/D at startup; failure raises before any ingest (K6)") {
+    // file sink: probe passes on a writable root and leaves no trace
+    val out = Files.createTempDirectory("graft-probe").toString
+    new PartitionedFileSink(out).selfTest()
+    assert(!Files.exists(Paths.get(out, ".connection_probe")))
+    // ...and fails when the root cannot host directories
+    val f = Files.createTempFile("graft-probe-file", "")
+    intercept[IllegalStateException](new PartitionedFileSink(f.toString).selfTest())
+
+    // jdbc sink: canned row round-trips inside one rolled-back transaction
+    val db = new FakeDb
+    val sink = new JdbcTxnSink(() => db.connection())
+    sink.selfTest()
+    assert(db.ops.isEmpty && db.commits === 0 && db.rollbacks === 1)
+
+    // a failing database raises at tail construction, before any ingest
+    val archive = Files.createTempDirectory("graft-probe-arch").toString
+    writeCheckpoint(archive, 0x3fL, 1)
+    db.failBatch = true
+    intercept[IllegalStateException](new ArchiveTail(spark, archive, Passphrase, cfg, sink))
+    assert(db.ops.isEmpty)
+  }
+
   test("jdbc sink commits rows + offset atomically, skips replays, rolls back on failure") {
     val archive = Files.createTempDirectory("graft-arch2").toString
     writeCheckpoint(archive, 0x3fL, 2)
@@ -103,6 +152,7 @@ class IngestSpec extends AnyFunSuite {
     val db = new FakeDb
     val sink = new JdbcTxnSink(() => db.connection())
     val tail = new ArchiveTail(spark, archive, Passphrase, cfg, sink)
+    assert(db.rollbacks === 1) // construction self-test probe, rolled back
 
     assert(tail.runOnce() === 2)
     assert(db.ops.size === 3)
@@ -117,7 +167,7 @@ class IngestSpec extends AnyFunSuite {
     writeCheckpoint(archive, 0xbfL, 1)
     db.failBatch = true
     intercept[java.sql.SQLException](tail.processOne(0xbfL))
-    assert(db.rollbacks === 1)
+    assert(db.rollbacks === 2) // probe rollback + this fault
     assert(db.ops.size === 3)
     assert(db.lastfile === Some("0000007f"))
     // recovery after the fault
