@@ -103,16 +103,18 @@ object Cols {
     s"${dotDecSql(a, b)} / (sqrt(${dotDecSql(a, a)}) * sqrt(${dotDecSql(b, b)}))"
 
   /** Engine-neutral serialization of a double-array column: each element is
-    * cast to DECIMAL(28,6) (deterministic per the header note) and joined
-    * with ','. Queries emit this instead of raw `array<double>`, which the
-    * driver's pandas-based comparator cannot sort or hash.
+    * cast to DECIMAL(28,12) (scale 12 like [[dotDec]], so the window where
+    * Spark's shortest-decimal HALF_UP and DuckDB's exact-binary rounding
+    * could disagree is ~1e-12 wide instead of ~1e-6) and joined with ','.
+    * Queries emit this instead of raw `array<double>`, which the driver's
+    * pandas-based comparator cannot sort or hash.
     */
   def djoin(c: Column): Column =
-    array_join(transform(c, x => x.cast(Dec).cast("string")), ",")
+    array_join(transform(c, x => x.cast(DotDec).cast("string")), ",")
 
   /** Oracle-SQL spelling of [[djoin]]. */
   def djoinSql(e: String): String =
-    s"array_to_string(list_transform($e, x -> CAST(CAST(x AS DECIMAL(28,6)) AS VARCHAR)), ',')"
+    s"array_to_string(list_transform($e, x -> CAST(CAST(x AS DECIMAL(28,12)) AS VARCHAR)), ',')"
 
   /** As [[djoin]] for integer/long arrays: plain decimal-free rendering
     * (INT and BIGINT stringify identically in both engines).

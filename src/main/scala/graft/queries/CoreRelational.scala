@@ -214,10 +214,19 @@ object CoreRelational {
         .withColumn("stddev_q", sqrt(col("var_q")))
         .withColumn("covar_qp",
           (col("sum_qp") - col("sum_q") * col("sum_p") / col("n")) / (col("n") - 1))
-        // corr deliberately omitted: the final covar/(σ·σ) recombination
-        // differs from DuckDB by 1 ulp (FMA contraction in its compiled
-        // expression), breaking bit-equality; var/stddev/covar are exact
-        .select("l_returnflag", "n", "var_q", "stddev_q", "covar_qp")
+        .withColumn("var_p",
+          (col("sum_pp") - col("sum_p") * col("sum_p") / col("n")) / (col("n") - 1))
+        // corr recombined from the already-exact doubles — but DuckDB's
+        // sqrt is libm, not correctly rounded (sqrt(var_p) for one flag
+        // differs from the IEEE result by 1 ulp), so the full-precision
+        // quotient is not verifiable bit-exactly. Emit round(·, 9): a
+        // 1-ulp input wiggle can only flip the rounded value within
+        // ~1e-16 of a 5e-10 boundary (same documented boundary-window
+        // class as the Cols.Dec casts; 9 digits is ample for a
+        // correlation statistic).
+        .withColumn("corr_qp",
+          round(col("covar_qp") / col("stddev_q") / sqrt(col("var_p")), 9))
+        .select("l_returnflag", "n", "var_q", "stddev_q", "covar_qp", "corr_qp")
         .orderBy("l_returnflag")
     },
 
@@ -496,12 +505,17 @@ object CoreRelational {
       s"""WITH sums AS (
          |  SELECT l_returnflag, count(*) AS n, $sq AS sum_q, $sp AS sum_p,
          |    $sqq AS sum_qq, $spp AS sum_pp, $sqp AS sum_qp
-         |  FROM lineitem GROUP BY l_returnflag)
-         |SELECT l_returnflag, n,
-         |  (sum_qq - sum_q * sum_q / n) / (n - 1) AS var_q,
-         |  sqrt((sum_qq - sum_q * sum_q / n) / (n - 1)) AS stddev_q,
-         |  (sum_qp - sum_q * sum_p / n) / (n - 1) AS covar_qp
-         |FROM sums ORDER BY l_returnflag""".stripMargin
+         |  FROM lineitem GROUP BY l_returnflag),
+         |m AS (
+         |  SELECT l_returnflag, n,
+         |    (sum_qq - sum_q * sum_q / n) / (n - 1) AS var_q,
+         |    sqrt((sum_qq - sum_q * sum_q / n) / (n - 1)) AS stddev_q,
+         |    (sum_qp - sum_q * sum_p / n) / (n - 1) AS covar_qp,
+         |    (sum_pp - sum_p * sum_p / n) / (n - 1) AS var_p
+         |  FROM sums)
+         |SELECT l_returnflag, n, var_q, stddev_q, covar_qp,
+         |  round(covar_qp / stddev_q / sqrt(var_p), 9) AS corr_qp
+         |FROM m ORDER BY l_returnflag""".stripMargin
     },
     "u1_union_discriminated" ->
       """SELECT o_orderkey AS id, o_totalprice AS amount, 'payment' AS type,

@@ -1,0 +1,71 @@
+package graft.serve
+
+import java.net.{InetSocketAddress, URLDecoder}
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.functions._
+import graft.pipeline.Serve
+
+/** Thin HTTP facade over [[graft.pipeline.Serve]] mirroring the
+  * reference's sample API (sample/main.py:19-53):
+  *
+  *  - `GET /payments?source=<addr>&limit=<n>` — payments sent from one
+  *    account (limit defaults to 20, sample/main.py:24-25);
+  *  - `GET /tx?id=<hash>` — one transaction by id (sample/main.py:40-42).
+  *
+  * Rows serialize with `time` as a `yyyy-MM-dd` string exactly like the
+  * sample's strftime (sample/main.py:31,45); unlike the sample's
+  * concatenated objects, the body is a well-formed JSON array. Built on
+  * the JDK's HttpServer so the library adds no dependency — this is the
+  * demo-serving tier (the reference's equivalent is a Flask dev server);
+  * production serving belongs behind a real gateway reading the same
+  * collected table.
+  */
+final class HttpServe(payments: DataFrame, port: Int = 0) {
+
+  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+
+  /** Actual bound port (pass port=0 for an ephemeral one). */
+  def boundPort: Int = server.getAddress.getPort
+
+  private def params(ex: HttpExchange): Map[String, String] =
+    Option(ex.getRequestURI.getRawQuery).getOrElse("").split("&").toSeq
+      .filter(_.contains("="))
+      .map { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        URLDecoder.decode(k, "UTF-8") -> URLDecoder.decode(v, "UTF-8")
+      }.toMap
+
+  private def rowsJson(df: DataFrame): String = {
+    val shaped = df.withColumn("time", col("date")).drop("date")
+    shaped.select(to_json(struct(shaped.columns.map(col): _*)))
+      .as[String](Encoders.STRING)
+      .collect()
+      .mkString("[", ",", "]")
+  }
+
+  private def handle(ex: HttpExchange)(body: Map[String, String] => String): Unit = {
+    val (code, bytes) =
+      try (200, body(params(ex)).getBytes("UTF-8"))
+      catch {
+        case e: NoSuchElementException =>
+          (400, s"""{"error":"missing parameter: ${e.getMessage}"}""".getBytes("UTF-8"))
+        case e: Exception =>
+          (500, s"""{"error":"${e.getClass.getSimpleName}"}""".getBytes("UTF-8"))
+      }
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length.toLong)
+    val os = ex.getResponseBody
+    try os.write(bytes) finally os.close()
+  }
+
+  server.createContext("/payments", (ex: HttpExchange) => handle(ex) { p =>
+    rowsJson(Serve.paymentsBySource(payments, p("source"), p.getOrElse("limit", "20").toInt))
+  })
+  server.createContext("/tx", (ex: HttpExchange) => handle(ex) { p =>
+    rowsJson(Serve.txByHash(payments, p("id")))
+  })
+
+  def start(): Unit = server.start()
+  def stop(): Unit = server.stop(0)
+}

@@ -1,0 +1,55 @@
+package graft
+
+import java.net.{HttpURLConnection, URI}
+import java.sql.Timestamp
+import org.scalatest.funsuite.AnyFunSuite
+import graft.serve.HttpServe
+
+/** Drives the HTTP facade end-to-end against an in-memory payments table:
+  * the reference's sample API surface (sample/main.py:19-53) — /payments
+  * with source+limit, /tx by id, time rendered yyyy-MM-dd.
+  */
+class HttpServeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def get(url: String): (Int, String) = {
+    val conn = URI.create(url).toURL.openConnection().asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod("GET")
+    val code = conn.getResponseCode
+    val is = if (code < 400) conn.getInputStream else conn.getErrorStream
+    val body = try scala.io.Source.fromInputStream(is).mkString finally is.close()
+    (code, body)
+  }
+
+  test("/payments and /tx serve JSON rows like the reference sample") {
+    import spark.implicits._
+    val pays = Seq(
+      ("SRC_A", "DST_1", 21.0, "1-kit-x", "a" * 64, Timestamp.valueOf("2018-10-20 12:47:21"), 0),
+      ("SRC_A", "DST_2", 30.5, "1-kit-y", "b" * 64, Timestamp.valueOf("2018-10-20 12:47:25"), 0),
+      ("SRC_A", "DST_3", 11.0, "1-kit-z", "c" * 64, Timestamp.valueOf("2018-10-20 12:47:30"), 0),
+      ("SRC_B", "DST_4", 99.0, "other", "d" * 64, Timestamp.valueOf("2018-10-21 01:00:00"), 0)
+    ).toDF("source", "destination", "amount", "memo_text", "hash", "time", "operation_index")
+
+    val srv = new HttpServe(pays)
+    srv.start()
+    try {
+      val base = s"http://127.0.0.1:${srv.boundPort}"
+
+      val (c1, payments) = get(s"$base/payments?source=SRC_A&limit=2")
+      assert(c1 === 200)
+      assert(payments.startsWith("[") && payments.endsWith("]"))
+      // limit honored, deterministic time order, strftime-style date
+      assert(payments.contains("\"destination\":\"DST_1\""))
+      assert(payments.contains("\"destination\":\"DST_2\""))
+      assert(!payments.contains("DST_3") && !payments.contains("DST_4"))
+      assert(payments.contains("\"time\":\"2018-10-20\""))
+
+      val (c2, tx) = get(s"$base/tx?id=${"d" * 64}")
+      assert(c2 === 200)
+      assert(tx.contains("\"destination\":\"DST_4\"") && tx.contains("\"time\":\"2018-10-21\""))
+
+      val (c3, err) = get(s"$base/payments")
+      assert(c3 === 400 && err.contains("missing parameter"))
+    } finally srv.stop()
+  }
+}
