@@ -95,6 +95,49 @@ object TextAnalysis {
         .select("doc_id", "lang", "bucket", "split")
         .orderBy("doc_id")
     },
+    // TF-IDF: term frequency × inverse document frequency, top-3 terms
+    // per doc. Shape at 100 TB: one explode + map-side-combinable tf agg,
+    // a df agg over the (already much smaller) distinct doc-term pairs,
+    // a shuffle join keyed on term (df dim is vocabulary-sized — often
+    // broadcastable; here joined), and a bounded per-doc top-k window.
+    // ln() is libm in both engines, so the score is rounded to 9 digits
+    // (same documented boundary-window class as a10's corr).
+    "x7_tfidf" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val tf = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+      val scored = tf.join(dfreq, "word")
+        .crossJoin(broadcast(docs.agg(count(lit(1)).as("n_docs"))))
+        .withColumn("tfidf", round(
+          col("tf").cast("double") *
+            log(col("n_docs").cast("double") / col("df").cast("double")), 9))
+      val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("word"))
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .select("doc_id", "word", "tf", "df", "tfidf")
+        .orderBy("doc_id", "word")
+    },
+    // Sequence packing (concat-then-chunk): documents are concatenated in
+    // doc_id order and split into fixed 512-token context windows; each
+    // doc learns its chunk id and offset from the exclusive prefix sum of
+    // token counts. The window is PARTITIONED BY the language shard — a
+    // global ordered prefix sum would serialize onto one partition at
+    // 100 TB, whereas per-shard packing is how training pipelines
+    // parallelize this (shards are packed independently).
+    "x8_sequence_pack" -> { (s, d) =>
+      val B = 512
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+        .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .withColumn("chunk_id", expr(s"cum_before div $B"))
+        .withColumn("offset_in_chunk", col("cum_before") % B)
+        .orderBy("doc_id")
+    },
     // Fingerprint: md5 over the sorted distinct token set (key-collision
     // clustering); canonical doc per fingerprint via window min.
     "x4_fingerprint" -> { (s, d) =>
@@ -160,6 +203,29 @@ object TextAnalysis {
         |SELECT doc_id, lang, bucket,
         |  CASE WHEN bucket < 0.8 * rate * 65536 THEN 'train' ELSE 'test' END AS split
         |FROM b WHERE bucket < rate * 65536 ORDER BY doc_id""".stripMargin,
+    "x7_tfidf" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+        |  FROM toks WHERE length(word) > 0 GROUP BY doc_id, word),
+        |dfreq AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY word),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        |sc AS (SELECT doc_id, word, tf, df,
+        |    round(CAST(tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 9) AS tfidf
+        |  FROM tf JOIN dfreq USING (word), nd),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word) AS rn FROM sc)
+        |SELECT doc_id, word, tf, df, tfidf FROM r WHERE rn <= 3
+        |ORDER BY doc_id, word""".stripMargin,
+    "x8_sequence_pack" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |    CAST(length(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, lang, n_tokens,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+        |  FROM t)
+        |SELECT doc_id, lang, n_tokens, cum_before,
+        |  cum_before // 512 AS chunk_id, cum_before % 512 AS offset_in_chunk
+        |FROM c ORDER BY doc_id""".stripMargin,
     "x4_fingerprint" ->
       """WITH f AS (
         |  SELECT doc_id,
