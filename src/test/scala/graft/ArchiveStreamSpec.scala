@@ -54,6 +54,41 @@ class ArchiveStreamSpec extends AnyFunSuite {
     assert(db.ops.size === 1)
   }
 
+  test("AvailableNow drains multiple paced micro-batches under the start snapshot") {
+    val archive = Files.createTempDirectory("graft-stream-paced").toString
+    val out = Files.createTempDirectory("graft-stream-paced-out").toString
+    val ckpt = Files.createTempDirectory("graft-stream-paced-ckpt").toString
+    writeCheckpoint(archive, 0x3fL)
+    writeCheckpoint(archive, 0x7fL)
+    writeCheckpoint(archive, 0xbfL)
+
+    val sink = new PartitionedFileSink(out)
+    // maxPerBatch=1 → the drain needs three micro-batches; the
+    // SupportsTriggerAvailableNow snapshot lets the query run them all
+    // and stop exactly at the data that existed at start.
+    val stream = spark.readStream
+      .format("graft.sources.ArchiveStreamProvider")
+      .option("root", archive)
+      .option("firstSeq", 0x3fL.toString)
+      .option("maxPerBatch", "1")
+      .load()
+    val batchSizes = scala.collection.mutable.Buffer.empty[Long]
+    val q = stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val seqs = batch.select("seq").collect().map(_.getLong(0)).sorted
+        batchSizes.synchronized { batchSizes += seqs.length.toLong }
+        seqs.foreach(seq => sink.save(
+          batch.sparkSession.emptyDataFrame.limit(0), seq)) // marker-only commit
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    assert(batchSizes.toSeq === Seq(1L, 1L, 1L)) // paced: one checkpoint per batch
+    assert(sink.completed === Seq("0000003f", "0000007f", "000000bf"))
+  }
+
   test("custom MicroBatchStream source: seq offsets, AvailableNow drain, restart resume") {
     val archive = Files.createTempDirectory("graft-stream-arch").toString
     val out = Files.createTempDirectory("graft-stream-out").toString
