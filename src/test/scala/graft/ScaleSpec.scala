@@ -89,6 +89,30 @@ class ScaleSpec extends AnyFunSuite {
     } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
+  test("n2 ANN serves from the materialized store with partition pruning") {
+    val d = "/root/testdata/sf0.001"
+    val n2 = SparkEntry.queries("n2_ann_lsh")(spark, d)
+    val plan = n2.queryExecution.executedPlan.toString
+    // the corpus scan must be pruned to the query's bucket directory and
+    // carry the pushed vec_id predicate — no signature recompute inline
+    assert(plan.contains("PartitionFilters: [isnotnull(bucket"), plan)
+    assert(plan.contains("PushedFilters: [IsNotNull(vec_id)"), plan)
+    assert(!plan.toLowerCase.contains("crossjoin") || !plan.contains("md5"),
+      s"n2 must not rebuild signatures inline:\n$plan")
+  }
+
+  test("d2 candidate plan reads the materialized store with no repartition exchange") {
+    val d = "/root/testdata/sf0.001"
+    val d2 = SparkEntry.queries("d2_minhash_lsh")(spark, d)
+    d2.collect()
+    val plan = d2.queryExecution.executedPlan.toString
+    // no minhash_sigs/word_shingles recompute and no full-corpus
+    // repartition in the recurring path — signatures come from parquet
+    assert(!plan.contains("minhash_sigs") && !plan.contains("word_shingles"),
+      s"d2 must read precomputed signatures:\n$plan")
+    assert(!plan.contains("REPARTITION_BY_COL"), s"no recurring repartition:\n$plan")
+  }
+
   test("ledger= layout prunes partitions at read time") {
     val out = Files.createTempDirectory("graft-prune").toString
     Tables.orders(spark, "/root/testdata/sf0.001")
