@@ -239,9 +239,12 @@ object Dedup {
         val neighborMin = edges
           .join(labels.withColumnRenamed("id", "v").withColumnRenamed("label", "nlabel"), "v")
           .groupBy(col("u").as("id")).agg(min(col("nlabel")).as("nmin"))
+        // lazy checkpoint: the convergence count below materializes it,
+        // so each round is ONE job instead of checkpoint-job + count-job
+        // (driver job-dispatch latency dominates on the tiny label table)
         val next = labels.join(neighborMin, Seq("id"), "left")
           .select(col("id"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         changed = next.join(labels.withColumnRenamed("label", "old"), "id")
           .filter(col("label") =!= col("old")).count()
         labels = next

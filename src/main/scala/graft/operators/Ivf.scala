@@ -20,6 +20,12 @@ object Ivf {
 
   private val Dec12 = DecimalType(28, 12)
 
+  /** Cells probed per query — the standard IVF recall/latency lever:
+    * scanning the nprobe nearest cells instead of one recovers neighbors
+    * that fell just across a cell boundary at nprobe× the scan cost.
+    */
+  private val NProbe = 2
+
   def queries: Map[String, Q] = Map(
     "n4_ann_ivf" -> { (s, d) =>
       graft.functions.GraftFunctions.register(s)
@@ -38,8 +44,8 @@ object Ivf {
         .groupBy("label")
         .agg(sum(((col("qv") - col("c")) * (col("qv") - col("c"))).cast(Dec12))
           .cast("double").as("d2"))
-      val bestCell = dist.orderBy(col("d2"), col("label")).limit(1).select("label")
-      // probe only the chosen cell; exact cosine re-rank
+      val bestCell = dist.orderBy(col("d2"), col("label")).limit(NProbe).select("label")
+      // probe only the chosen cells; exact cosine re-rank
       val en = e.withColumn("norm", sqrt(Cols.fastDot(col("embedding"), col("embedding"))))
       val qv = en.filter(col("vec_id") === 0)
         .select(col("embedding").as("qv"), col("norm").as("qn"))
@@ -68,7 +74,7 @@ object Ivf {
          |  SELECT label,
          |    CAST(SUM(CAST((qv - c) * (qv - c) AS DECIMAL(28,12))) AS DOUBLE) AS d2
          |  FROM cent JOIN qx USING (dim) GROUP BY label),
-         |best AS (SELECT label FROM dist ORDER BY d2, label LIMIT 1),
+         |best AS (SELECT label FROM dist ORDER BY d2, label LIMIT $NProbe),
          |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
          |SELECT e.vec_id, e.label, ${Cols.cosineSql("e.embedding", "qv")} AS cos
          |FROM embeddings e JOIN best USING (label), q
