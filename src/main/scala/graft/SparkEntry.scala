@@ -25,6 +25,7 @@ object SparkEntry {
       graft.operators.Dedup.queries ++
       graft.operators.Dedup.queries2 ++
       graft.operators.Similarity.queries ++
+      graft.operators.Similarity.queries2 ++
       graft.operators.Ivf.queries ++
       graft.operators.TextAnalysis.queries
 
@@ -38,6 +39,7 @@ object SparkEntry {
       graft.operators.Dedup.oracles ++
       graft.operators.Dedup.oracles2 ++
       graft.operators.Similarity.oracles ++
+      graft.operators.Similarity.oracles2 ++
       graft.operators.Ivf.oracles ++
       graft.operators.TextAnalysis.oracles
 }

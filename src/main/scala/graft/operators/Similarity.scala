@@ -129,6 +129,53 @@ object Similarity {
     }
   )
 
+  /** Scalar (int8) quantization + quantized top-k: every vector stores a
+    * per-vector scale (max |v|) and 64 int8 codes — 4× less memory and
+    * bandwidth than float32, the first compression rung of a 100 TB
+    * embedding store (the dataflow of PQ without trained codebooks). The
+    * quantized dot runs entirely in integer arithmetic (exact in i64);
+    * only the final rescale is floating point. floor() quantization keeps
+    * every step IEEE-exact and therefore bit-identical cross-engine (round
+    * would be friendlier to symmetric error but is decimal-boundary-
+    * dependent between engines).
+    */
+  private def quantized(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .withColumn("scale", array_max(transform(col("embedding"), v => abs(v.cast("double")))))
+      .withColumn("qarr", transform(col("embedding"),
+        v => floor(v.cast("double") * 127.0 / col("scale")).cast("long")))
+
+  def queries2: Map[String, Q] = Map(
+    "n5_quantized_dot" -> { (s, d) =>
+      val withQ = quantized(s, d)
+      val q = withQ.filter(col("vec_id") === 0).select(col("qarr").as("qq"), col("scale").as("qs"))
+      withQ.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .withColumn("qsum",
+          aggregate(zip_with(col("qarr"), col("qq"), (a, b) => a * b), lit(0L), (acc, x) => acc + x))
+        .withColumn("qdot", col("qsum").cast("double") * col("scale") * col("qs") / lit(16129.0))
+        .select("vec_id", "label", "qdot")
+        .orderBy(col("qdot").desc, col("vec_id"))
+        .limit(10)
+    }
+  )
+
+  def oracles2: Map[String, String] = Map(
+    "n5_quantized_dot" ->
+      """WITH sc AS (SELECT vec_id, label, embedding,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale
+        |  FROM embeddings),
+        |qz AS (SELECT vec_id, label, scale,
+        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / scale) AS BIGINT)) AS qarr
+        |  FROM sc),
+        |q AS (SELECT qarr AS qq, scale AS qs FROM qz WHERE vec_id = 0)
+        |SELECT vec_id, label,
+        |  CAST(list_sum(list_transform(list_zip(qarr, qq), z -> z[1] * z[2])) AS DOUBLE)
+        |    * scale * qs / 16129.0 AS qdot
+        |FROM qz, q WHERE vec_id <> 0
+        |ORDER BY qdot DESC, vec_id LIMIT 10""".stripMargin
+  )
+
   def oracles: Map[String, String] = Map(
     "n1_ann_bruteforce" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
