@@ -252,6 +252,33 @@ object Dedup {
       }
       labels.select(col("id").as("doc_id"), col("label").as("cluster")).orderBy("doc_id")
     },
+    // Test-set contamination sweep: split the corpus 80/20 by the same
+    // deterministic md5-bucket trick as x6_hash_sampling, then find test
+    // docs sharing ≥30% of their 3-gram shingles with any train doc.
+    // Scale shape: one shuffle join keyed on shingle (the standard
+    // contamination sweep over a training corpus) + a per-pair count —
+    // both map-side combinable; shingles come from the materialized
+    // store, so no digest recompute.
+    "d8_contamination" -> { (s, d) =>
+      val assigned = Tables.documents(s, d).select(col("doc_id"),
+        conv(substring(md5(concat(lit("smp|"), col("doc_id").cast("string"))), 1, 4), 16, 10)
+          .cast("long").as("bucket"))
+        .withColumn("split",
+          when(col("bucket") < lit(0.8) * 65536, "train").otherwise("test"))
+      val toks = shingles(s, d).join(assigned, "doc_id")
+      val train = toks.filter(col("split") === "train")
+        .select(col("doc_id").as("train_doc"), col("shingle"))
+      val test = toks.filter(col("split") === "test")
+        .select(col("doc_id").as("test_doc"), col("shingle"))
+      val sizes = test.groupBy("test_doc").agg(count(lit(1)).as("test_sz"))
+      test.join(train, "shingle")
+        .groupBy("test_doc", "train_doc").agg(count(lit(1)).as("n_common"))
+        .join(sizes, "test_doc")
+        .withColumn("overlap", col("n_common").cast("double") / col("test_sz").cast("double"))
+        .filter(col("overlap") >= 0.3)
+        .select("test_doc", "train_doc", "n_common", "overlap")
+        .orderBy("test_doc", "train_doc")
+    },
     // SimHash near-dup pairs: hamming distance ≤ 1 over the 32-bit
     // fingerprints. Candidates via pigeonhole banding — split the
     // fingerprint into 8 nibbles; ≤1 differing bit touches ≤1 nibble, so
@@ -286,6 +313,24 @@ object Dedup {
   )
 
   def oracles2: Map[String, String] = Map(
+    "d8_contamination" ->
+      s"""WITH $shinglesCte,
+         |a AS (SELECT doc_id,
+         |    CAST(('0x' || substr(md5('smp|' || CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) AS bucket
+         |  FROM documents),
+         |sp AS (SELECT doc_id,
+         |    CASE WHEN bucket < 0.8 * 65536 THEN 'train' ELSE 'test' END AS split FROM a),
+         |tk AS (SELECT s.doc_id, shingle, split FROM shingles s JOIN sp USING (doc_id)),
+         |tr AS (SELECT doc_id AS train_doc, shingle FROM tk WHERE split = 'train'),
+         |te AS (SELECT doc_id AS test_doc, shingle FROM tk WHERE split = 'test'),
+         |sz AS (SELECT test_doc, CAST(count(*) AS BIGINT) AS test_sz FROM te GROUP BY test_doc),
+         |ov AS (SELECT test_doc, train_doc, CAST(count(*) AS BIGINT) AS n_common
+         |  FROM te JOIN tr USING (shingle) GROUP BY test_doc, train_doc)
+         |SELECT test_doc, train_doc, n_common,
+         |  CAST(n_common AS DOUBLE) / CAST(test_sz AS DOUBLE) AS overlap
+         |FROM ov JOIN sz USING (test_doc)
+         |WHERE CAST(n_common AS DOUBLE) / CAST(test_sz AS DOUBLE) >= 0.3
+         |ORDER BY test_doc, train_doc""".stripMargin,
     "d7_dedup_clusters" ->
       s"""WITH RECURSIVE $shinglesCte, $mhCte, $bandsCte, $candCte,
          |edges AS (
