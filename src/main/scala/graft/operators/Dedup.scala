@@ -239,12 +239,22 @@ object Dedup {
         val neighborMin = edges
           .join(labels.withColumnRenamed("id", "v").withColumnRenamed("label", "nlabel"), "v")
           .groupBy(col("u").as("id")).agg(min(col("nlabel")).as("nmin"))
+        val propagated = labels.join(neighborMin, Seq("id"), "left")
+          .select(col("id"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        // pointer doubling: label ← label(label). Neighbor-min alone needs
+        // O(diameter) shuffle rounds; the shortcut halves every label
+        // chain, so convergence is O(log diameter) rounds — the term that
+        // matters at 100 TB, where each round is a full shuffle. (labels
+        // only ever decrease, so label(label(x)) ≤ label(x) when present.)
+        val short = propagated.as("a")
+          .join(propagated.select(col("id").as("lid"), col("label").as("llabel")),
+            col("a.label") === col("lid"), "left")
+          .select(col("a.id").as("id"),
+            least(col("a.label"), coalesce(col("llabel"), col("a.label"))).as("label"))
         // lazy checkpoint: the convergence count below materializes it,
         // so each round is ONE job instead of checkpoint-job + count-job
         // (driver job-dispatch latency dominates on the tiny label table)
-        val next = labels.join(neighborMin, Seq("id"), "left")
-          .select(col("id"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-          .localCheckpoint(false)
+        val next = short.localCheckpoint(false)
         changed = next.join(labels.withColumnRenamed("label", "old"), "id")
           .filter(col("label") =!= col("old")).count()
         labels = next
