@@ -220,6 +220,32 @@ object SqlSurface {
         .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
         .limit(10)
     },
+    // TPC-H Q5-shaped composite: local supplier volume — the fact table
+    // flows through FOUR chained broadcast dims (customer, supplier with
+    // the local-supplier same-nation predicate, nation, region) plus one
+    // fact-fact join, then a single grouped decimal-exact revenue agg.
+    // At 100 TB every dim still broadcasts (region/nation are tiny;
+    // customer/supplier are filter-reduced) — the only shuffles are the
+    // lineitem-orders join and the final 5-row aggregate.
+    "j11_local_supplier_volume" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("o_orderdate") < to_timestamp(lit("1997-01-01")))
+      val c = Tables.customer(s, d)
+      val sup = Tables.supplier(s, d)
+      val n = Tables.nation(s, d)
+      val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(sup),
+          li("l_suppkey") === sup("s_suppkey") && c("c_nationkey") === sup("s_nationkey"))
+        .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
     // Cartesian product of two tiny dims.
     "j9_cross_join" -> { (s, d) =>
       val r = Tables.region(s, d)
@@ -347,6 +373,19 @@ object SqlSurface {
          |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
          |GROUP BY l_orderkey, o_orderdate, o_orderpriority
          |ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""".stripMargin,
+    "j11_local_supplier_volume" ->
+      s"""SELECT n_name, ${dsumSql("(l_extendedprice * (1.0 - l_discount))")} AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+         |GROUP BY n_name
+         |ORDER BY revenue DESC, n_name""".stripMargin,
     "j9_cross_join" ->
       """SELECT r_name, o_orderstatus
         |FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
