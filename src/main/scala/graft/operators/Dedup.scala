@@ -207,6 +207,15 @@ object Dedup {
       s.read.parquet(out)
     })
 
+  /** Force the one-time materializations (minhash signature store,
+    * simhash fingerprint store) for `d` — called by Bench's warm-up so
+    * recorded medians reflect steady-state serving, not ingest cost.
+    */
+  def ensureStores(s: SparkSession, d: String): Unit = {
+    sigStore(s, d)
+    simhashes(s, d)
+  }
+
   def queries2: Map[String, Q] = Map(
     // Dedup clustering: connected components over the LSH candidate
     // graph — pairs → clusters → canonical doc (min id). Iterative

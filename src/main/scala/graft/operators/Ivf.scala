@@ -2,18 +2,30 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types._
 import graft.{Cols, Tables}
 
 /** IVF-style ANN (SURVEY.md §7.5 scale path): a coarse quantizer assigns
-  * every vector to a cell; queries probe only their nearest cell.
+  * every vector to a cell; queries probe only their nprobe nearest cells.
   *
   * The coarse centroids here are the per-label per-dimension decimal-exact
   * means (deterministic in both engines — no iterative k-means, whose
-  * float order-dependence would break the oracle); at 100 TB the cell id
-  * would be a real trained quantizer, the dataflow is identical:
-  * centroid table (tiny, broadcast) → cell assignment → `partitionBy(cell)`
-  * storage → per-query single-cell scan + exact re-rank.
+  * float order-dependence would break the oracle; see [[Ivf.kmeans]] for
+  * the trained-quantizer variant); at 100 TB the cell id would come from
+  * that trained quantizer, but the dataflow is identical either way:
+  *
+  *   - '''ingest time''' (once per dataset): centroid table (tiny) +
+  *     vectors-with-norms written `partitionBy(cell)` — [[cellStore]];
+  *   - '''query time''': score the query against the ~k-row centroid
+  *     table, pick the nprobe nearest cells, and scan only those `cell=`
+  *     directories (partition-pruned — pinned in ScaleSpec) + exact
+  *     cosine re-rank.
+  *
+  * This mirrors the reference's serve-from-precomputed-store pattern
+  * (sample/main.py:25: queries hit tables the ingest pipeline wrote, they
+  * never recompute the pipeline): before round 5 the quantizer was derived
+  * inline per query — a full corpus posexplode + groupBy that made IVF
+  * slower than the brute-force scan it exists to prune.
   */
 object Ivf {
   type Q = (SparkSession, String) => DataFrame
@@ -26,33 +38,96 @@ object Ivf {
     */
   private val NProbe = 2
 
+  /** Materialized IVF store per (JVM, dataset): `(centroids, vectors)`.
+    *
+    * `centroids` is (cell → per-dim mean) — k×dims values, small enough
+    * to live on the driver (a real deployment would broadcast it; either
+    * way it is query-planning state, not corpus-scale data). `vectors` is
+    * the corpus + precomputed norm written with `partitionBy(cell)` so a
+    * probe reads only the chosen `cell=` directories. Built once
+    * (TrieMap-guarded) like the n2 signature store
+    * (Similarity.signatureTable).
+    */
+  private val cellCache =
+    scala.collection.concurrent.TrieMap.empty[String, (Array[(Int, Array[Double])], DataFrame)]
+
+  private val VecSchema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType),
+    StructField("norm", DoubleType),
+    // explicit schema so the partition value type is pinned (inference
+    // would also pick int here, but pinning keeps the contract obvious)
+    StructField("cell", IntegerType)))
+
+  private def cellStore(s: SparkSession, d: String): (Array[(Int, Array[Double])], DataFrame) =
+    cellCache.getOrElseUpdate(d, {
+      val out = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+      val e = Tables.embeddings(s, d)
+      // coarse quantizer: per-cell per-dimension decimal-exact means
+      val ex = e.select(col("label"), posexplode(col("embedding")))
+        .withColumnRenamed("pos", "dim")
+        .withColumnRenamed("col", "v")
+      val centDf = ex.groupBy(col("label").as("cell"), col("dim"))
+        .agg((sum(col("v").cast("double").cast(Dec12)).cast("double") /
+          count(lit(1)).cast("double")).as("c"))
+      centDf.coalesce(1) // k×dims rows — one file (the durable artifact)
+        .write.mode("overwrite").parquet(s"$out/centroids")
+      val centroids = centDf.collect()
+        .groupBy(_.getInt(0)).toArray
+        .map { case (cell, rows) =>
+          val dims = rows.map(r => r.getInt(1) -> r.getDouble(2)).toMap
+          (cell, Array.tabulate(dims.size)(dims))
+        }
+        .sortBy(_._1)
+      // cell-partitioned vector store with precomputed norms
+      e.withColumn("norm", sqrt(Cols.fastDot(col("embedding"), col("embedding"))))
+        .withColumn("cell", col("label"))
+        .repartition(col("cell")) // one file per cell directory
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$out/vectors")
+      // cache the resolved relation: directory listing happens once per JVM
+      (centroids, s.read.schema(VecSchema).parquet(s"$out/vectors"))
+    })
+
+  /** Force the one-time centroid + cell-store materialization for `d` —
+    * called by Bench's warm-up so recorded medians reflect steady-state
+    * serving, not ingest cost.
+    */
+  def ensureStores(s: SparkSession, d: String): Unit = {
+    graft.functions.GraftFunctions.register(s)
+    cellStore(s, d)
+  }
+
   def queries: Map[String, Q] = Map(
     "n4_ann_ivf" -> { (s, d) =>
       graft.functions.GraftFunctions.register(s)
-      val e = Tables.embeddings(s, d)
-      // exploded view: (label, vec_id, dim, v)
-      val ex = e.select(col("label"), col("vec_id"), posexplode(col("embedding")))
-        .withColumnRenamed("pos", "dim")
-        .withColumnRenamed("col", "v")
-      // per-cell centroids: decimal-exact per-dimension means
-      val cent = ex.groupBy("label", "dim")
-        .agg((sum(col("v").cast("double").cast(Dec12)).cast("double") /
-          count(lit(1)).cast("double")).as("c"))
-      // squared distance of the query vector to every centroid
-      val qx = ex.filter(col("vec_id") === 0).select(col("dim"), col("v").cast("double").as("qv"))
-      val dist = cent.join(qx, "dim")
-        .groupBy("label")
-        .agg(sum(((col("qv") - col("c")) * (col("qv") - col("c"))).cast(Dec12))
-          .cast("double").as("d2"))
-      val bestCell = dist.orderBy(col("d2"), col("label")).limit(NProbe).select("label")
-      // probe only the chosen cells; exact cosine re-rank
-      val en = e.withColumn("norm", sqrt(Cols.fastDot(col("embedding"), col("embedding"))))
-      val qv = en.filter(col("vec_id") === 0)
-        .select(col("embedding").as("qv"), col("norm").as("qn"))
-      en.join(broadcast(bestCell), "label")
-        .filter(col("vec_id") =!= 0)
-        .crossJoin(broadcast(qv))
-        .withColumn("cos", Cols.fastDot(col("embedding"), col("qv")) / (col("norm") * col("qn")))
+      val (cent, vecs) = cellStore(s, d)
+      // Query planning (driver-side, mirroring n2's serving path): fetch
+      // the query vector (pushed-filter point read) and score it against
+      // the k×dims centroid cache with the same arithmetic Spark's
+      // columnar plan would use — per-dim squared diff in double (IEEE-
+      // identical), cast to DECIMAL(28,12) via HALF_UP on the shortest-
+      // decimal rendering (java BigDecimal.valueOf = Spark's
+      // Decimal.set(double)), exact decimal sum. The nprobe cells resolve
+      // to literals so the vector scan is partition-pruned before it runs.
+      val q = Tables.embeddings(s, d).filter(col("vec_id") === 0)
+        .select("embedding").head.getSeq[Float](0).toArray
+      val qd = q.map(_.toDouble)
+      val cells = cent.map { case (cell, c) =>
+        val d2 = c.indices.foldLeft(java.math.BigDecimal.ZERO) { (acc, i) =>
+          val diff = qd(i) - c(i)
+          acc.add(java.math.BigDecimal.valueOf(diff * diff)
+            .setScale(12, java.math.RoundingMode.HALF_UP))
+        }.doubleValue()
+        (cell, d2)
+      }.sortBy { case (cell, d2) => (d2, cell) }.take(NProbe).map(_._1).toSeq
+      def ad(a: Array[Float]) =
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(a.map(x => x: Any))
+      val qn = math.sqrt(graft.functions.DecimalDot.dot(ad(q), ad(q)))
+      // probe: partition-pruned scan of the chosen cells + exact re-rank
+      vecs.filter(col("cell").isin(cells: _*) && col("vec_id") =!= 0)
+        .withColumn("cos",
+          Cols.fastDot(col("embedding"), typedLit(q)) / (col("norm") * lit(qn)))
         .select("vec_id", "label", "cos")
         .orderBy(col("cos").desc, col("vec_id"))
         .limit(10)

@@ -79,6 +79,15 @@ object Similarity {
       s.read.schema(SigSchema).parquet(out)
     })
 
+  /** Force the one-time bucket-partitioned signature materialization for
+    * `d` — called by Bench's warm-up so recorded medians reflect
+    * steady-state serving, not ingest cost.
+    */
+  def ensureStores(s: SparkSession, d: String): Unit = {
+    graft.functions.GraftFunctions.register(s)
+    signatureTable(s, d)
+  }
+
   def queries: Map[String, Q] = Map(
     // Brute-force exact top-10 by cosine against the vec_id=0 query
     // vector: one scan, broadcast query row, TakeOrderedAndProject.

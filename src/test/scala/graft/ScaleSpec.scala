@@ -101,6 +101,17 @@ class ScaleSpec extends AnyFunSuite {
       s"n2 must not rebuild signatures inline:\n$plan")
   }
 
+  test("n4 IVF probes the materialized cell store with partition pruning") {
+    val d = "/root/testdata/sf0.001"
+    val n4 = SparkEntry.queries("n4_ann_ivf")(spark, d)
+    val plan = n4.queryExecution.executedPlan.toString
+    // the vector scan must be pruned to the nprobe `cell=` directories and
+    // must not rebuild the coarse quantizer inline (no posexplode/groupBy
+    // over the corpus in the probe plan)
+    assert(plan.contains("PartitionFilters: [cell"), plan)
+    assert(!plan.contains("Generate"), s"n4 must not recompute centroids inline:\n$plan")
+  }
+
   test("d2 candidate plan reads the materialized store with no repartition exchange") {
     val d = "/root/testdata/sf0.001"
     val d2 = SparkEntry.queries("d2_minhash_lsh")(spark, d)
