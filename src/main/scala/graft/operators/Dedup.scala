@@ -15,8 +15,9 @@ import graft.{Cols, Tables}
   *    self-equi-join on (band_id, band_hash) — i.e. a shuffle keyed on
   *    band buckets, never an all-pairs product. Near-duplicate-heavy
   *    corpora skew individual buckets; AQE skew-join handles moderate
-  *    skew, and a bucket-size cap (count per bh, drop pathological
-  *    buckets) is the documented escape hatch;
+  *    skew, and the [[MaxBucketDocs]] bucket-size cap drops pathological
+  *    buckets (with [[MaxShingleDf]] doing the same for d8's raw-shingle
+  *    join) so one degenerate boilerplate bucket can't go quadratic;
   *  - SimHash is one explode + one groupBy(doc) — embarrassingly
   *    parallel, no pairwise stage at all;
   *  - embedding near-dup blocks pairs by `label` (stand-in for an IVF /
@@ -81,10 +82,39 @@ object Dedup {
       .withColumnRenamed("col", "bh")
   }
 
-  /** Candidate pairs: docs sharing at least one LSH band bucket. */
+  /** Bucket-size cap for the LSH self-join: a band bucket holding more
+    * than this many docs contributes O(n²) candidate pairs — on a
+    * boilerplate-heavy corpus one degenerate bucket (every page sharing a
+    * banner) can dwarf the rest of the job. Buckets above the cap are
+    * dropped entirely: their members look alike in ≥2 of 8 MinHash
+    * coordinates purely by mass, and true near-dup pairs inside them are
+    * still recoverable from their other 3 band keys. Sized ~2× the
+    * largest observed real bucket (sf0.1 max shingle df is 25), so it
+    * only engages on pathological skew.
+    */
+  private val MaxBucketDocs = 50
+
+  /** Document-frequency cap for the d8 shingle join, same rationale: a
+    * stopword-like shingle ("the end of") present in df docs creates a
+    * df² join blow-up while carrying no contamination signal. Shingles
+    * with df above the cap are removed from the shingle universe before
+    * splitting (so overlap denominators stay consistent).
+    */
+  private val MaxShingleDf = 100
+
+  /** Candidate pairs: docs sharing at least one LSH band bucket, with the
+    * [[MaxBucketDocs]] skew cap applied. The hot-bucket list is tiny by
+    * construction (only pathological buckets exceed the cap), so the cap
+    * is a broadcast anti-join — no extra shuffle of the band table.
+    */
   private def candidatePairs(s: SparkSession, d: String): DataFrame = {
-    val a = bands(s, d).select(col("doc_id").as("doc_a"), col("band_id"), col("bh"))
-    val b = bands(s, d).select(col("doc_id").as("doc_b"), col("band_id"), col("bh"))
+    val hot = bands(s, d).groupBy("band_id", "bh")
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") > MaxBucketDocs)
+      .select("band_id", "bh")
+    val capped = bands(s, d).join(broadcast(hot), Seq("band_id", "bh"), "left_anti")
+    val a = capped.select(col("doc_id").as("doc_a"), col("band_id"), col("bh"))
+    val b = capped.select(col("doc_id").as("doc_b"), col("band_id"), col("bh"))
     a.join(b, Seq("band_id", "bh"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
@@ -105,9 +135,13 @@ object Dedup {
       .map(j => s"SELECT doc_id, $j AS band_id, md5(h${2 * j} || h${2 * j + 1}) AS bh FROM mh")
       .mkString(" UNION ALL ") + ")"
   private val candCte: String =
-    """cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      |  FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.bh = b.bh
-      |  WHERE a.doc_id < b.doc_id)""".stripMargin
+    s"""bhot AS (SELECT band_id, bh FROM bands GROUP BY band_id, bh
+       |  HAVING count(*) > $MaxBucketDocs),
+       |bcap AS (SELECT b.* FROM bands b ANTI JOIN bhot h
+       |  ON b.band_id = h.band_id AND b.bh = h.bh),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bcap a JOIN bcap b ON a.band_id = b.band_id AND a.bh = b.bh
+       |  WHERE a.doc_id < b.doc_id)""".stripMargin
 
   def queries: Map[String, Q] = Map(
     // Exact dedup: one hash-shuffle; canonical = min doc_id per content hash.
@@ -284,7 +318,17 @@ object Dedup {
           .cast("long").as("bucket"))
         .withColumn("split",
           when(col("bucket") < lit(0.8) * 65536, "train").otherwise("test"))
-      val toks = shingles(s, d).join(assigned, "doc_id")
+      // df-cap ([[MaxShingleDf]]): stopword-like shingles are removed
+      // from the universe before the split, killing the quadratic bucket
+      // a common shingle would create in the test×train join. The hot
+      // list is tiny → broadcast anti-join.
+      val hotShingles = shingles(s, d).groupBy("shingle")
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") > MaxShingleDf)
+        .select("shingle")
+      val toks = shingles(s, d)
+        .join(broadcast(hotShingles), Seq("shingle"), "left_anti")
+        .join(assigned, "doc_id")
       val train = toks.filter(col("split") === "train")
         .select(col("doc_id").as("train_doc"), col("shingle"))
       val test = toks.filter(col("split") === "test")
@@ -339,7 +383,9 @@ object Dedup {
          |  FROM documents),
          |sp AS (SELECT doc_id,
          |    CASE WHEN bucket < 0.8 * 65536 THEN 'train' ELSE 'test' END AS split FROM a),
-         |tk AS (SELECT s.doc_id, shingle, split FROM shingles s JOIN sp USING (doc_id)),
+         |shot AS (SELECT shingle FROM shingles GROUP BY shingle HAVING count(*) > $MaxShingleDf),
+         |shf AS (SELECT s.* FROM shingles s ANTI JOIN shot h ON s.shingle = h.shingle),
+         |tk AS (SELECT s.doc_id, shingle, split FROM shf s JOIN sp USING (doc_id)),
          |tr AS (SELECT doc_id AS train_doc, shingle FROM tk WHERE split = 'train'),
          |te AS (SELECT doc_id AS test_doc, shingle FROM tk WHERE split = 'test'),
          |sz AS (SELECT test_doc, CAST(count(*) AS BIGINT) AS test_sz FROM te GROUP BY test_doc),

@@ -1,0 +1,50 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The LSH bucket-size / shingle-df skew caps (Dedup.MaxBucketDocs,
+  * Dedup.MaxShingleDf) on a pathological boilerplate corpus: 200 copies
+  * of one banner text would make every one of its band buckets (and every
+  * one of its shingles) quadratic — C(200,2) ≈ 20k candidate pairs from
+  * content that carries no near-dup signal. With the caps, the degenerate
+  * mass is dropped while genuinely near-duplicate small groups are still
+  * found via their own (tiny) buckets.
+  */
+class DedupCapSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  /** Fixture: 200 identical boilerplate docs (ids 1000+) + one true
+    * near-dup pair (ids 1, 2) with its own distinct content.
+    */
+  private lazy val fixtureDir: String = {
+    val out = Files.createTempDirectory("graft-dedup-cap").toString
+    import spark.implicits._
+    val banner = "this page is part of the example corpus archive collection maintained here"
+    val pair = "a genuinely unique document about spark native analytics engines and their tests"
+    val rows =
+      Seq((1L, pair), (2L, pair)) ++ (0 until 200).map(i => (1000L + i, banner))
+    rows.toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'fix' AS source",
+        "CAST(length(text) AS BIGINT) AS n_chars")
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    out
+  }
+
+  test("d2 drops quadratic boilerplate buckets but keeps true near-dup pairs") {
+    val d2 = SparkEntry.queries("d2_minhash_lsh")(spark, fixtureDir)
+    val pairs = d2.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq === Seq((1L, 2L)),
+      s"expected only the true pair, got ${pairs.length} pairs (uncapped would be ~19900)")
+  }
+
+  test("d8 drops stopword-like shingles from the contamination join") {
+    val d8 = SparkEntry.queries("d8_contamination")(spark, fixtureDir)
+    val rows = d8.collect()
+    // boilerplate docs (ids >= 1000) all share every shingle; uncapped the
+    // 80/20 split would emit ~160×40 full-overlap rows — the df cap must
+    // remove them entirely
+    assert(rows.forall(r => r.getLong(0) < 1000L && r.getLong(1) < 1000L),
+      s"boilerplate contamination rows leaked: ${rows.take(5).mkString(", ")}")
+  }
+}
