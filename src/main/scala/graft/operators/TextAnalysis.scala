@@ -31,6 +31,14 @@ object TextAnalysis {
 
   private val StopRe = "\\b(the|a|of|is|in)\\b"
 
+  /** Sub-shards per language for x8 sequence packing: the prefix-sum
+    * window is keyed (lang, shard) so parallelism is #langs × this, not
+    * #langs. At 100 TB this would be sized so each shard's token stream
+    * fits one task's sort (e.g. 2^10-2^14 shards); 8 keeps the sf fixture
+    * readable.
+    */
+  private val NumPackShards = 8
+
   def queries: Map[String, Q] = Map(
     // Language ID: explode → broadcast-join marker table → per-(doc,lang)
     // hit counts → rank-1 per doc.
@@ -122,17 +130,23 @@ object TextAnalysis {
     // Sequence packing (concat-then-chunk): documents are concatenated in
     // doc_id order and split into fixed 512-token context windows; each
     // doc learns its chunk id and offset from the exclusive prefix sum of
-    // token counts. The window is PARTITIONED BY the language shard — a
-    // global ordered prefix sum would serialize onto one partition at
-    // 100 TB, whereas per-shard packing is how training pipelines
-    // parallelize this (shards are packed independently).
+    // token counts. The window is PARTITIONED BY (lang, shard) where the
+    // shard is a deterministic md5 bucket of doc_id: a global (or even
+    // per-language — a corpus has a handful of languages) ordered prefix
+    // sum would serialize onto one task at 100 TB, whereas (lang, shard)
+    // gives #langs × NumPackShards independent windows, each packed in
+    // parallel — how training pipelines shard this in practice (shards
+    // are packed independently; chunk ids are per-shard).
     "x8_sequence_pack" -> { (s, d) =>
       val B = 512
-      val w = Window.partitionBy("lang").orderBy("doc_id")
+      val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
       Tables.documents(s, d)
         .select(col("doc_id"), col("lang"),
           size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+        .withColumn("shard",
+          conv(substring(md5(concat(lit("pk|"), col("doc_id").cast("string"))), 1, 2), 16, 10)
+            .cast("long") % NumPackShards)
         .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
         .withColumn("chunk_id", expr(s"cum_before div $B"))
         .withColumn("offset_in_chunk", col("cum_before") % B)
@@ -216,16 +230,18 @@ object TextAnalysis {
         |SELECT doc_id, word, tf, df, tfidf FROM r WHERE rn <= 3
         |ORDER BY doc_id, word""".stripMargin,
     "x8_sequence_pack" ->
-      """WITH t AS (SELECT doc_id, lang,
-        |    CAST(length(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
-        |  FROM documents),
-        |c AS (SELECT doc_id, lang, n_tokens,
-        |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
-        |  FROM t)
-        |SELECT doc_id, lang, n_tokens, cum_before,
-        |  cum_before // 512 AS chunk_id, cum_before % 512 AS offset_in_chunk
-        |FROM c ORDER BY doc_id""".stripMargin,
+      s"""WITH t AS (SELECT doc_id, lang,
+         |    CAST(length(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+         |    CAST(('0x' || substr(md5('pk|' || CAST(doc_id AS VARCHAR)), 1, 2)) AS BIGINT)
+         |      % $NumPackShards AS shard
+         |  FROM documents),
+         |c AS (SELECT doc_id, lang, n_tokens, shard,
+         |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+         |  FROM t)
+         |SELECT doc_id, lang, n_tokens, shard, cum_before,
+         |  cum_before // 512 AS chunk_id, cum_before % 512 AS offset_in_chunk
+         |FROM c ORDER BY doc_id""".stripMargin,
     "x4_fingerprint" ->
       """WITH f AS (
         |  SELECT doc_id,
