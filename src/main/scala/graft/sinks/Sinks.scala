@@ -195,3 +195,148 @@ final class JdbcTxnSink(
     } finally c.close()
   }
 }
+
+/** Reference-fidelity two-table JDBC sink: payment rows land in
+  * `payments`, creation rows in `creations`, with the exact per-table
+  * column sets of the reference's Postgres adapter
+  * (python/adapters/postgres_storage_adapter.py:90-130) — one database
+  * transaction per checkpoint inserts both batches and UPDATEs the
+  * seeded single-row `lastfile` pointer
+  * (postgres_storage_adapter.py:49-52), then commits.
+  *
+  * [[JdbcTxnSink]]'s unified `operations` table remains the canonical
+  * layout (SURVEY §1.2 documents the canonicalization); this variant
+  * exists so a consumer pointing reference SQL at the sink sees the
+  * reference's own shape. `save` expects the unified extract (the
+  * `type`-discriminated union from Extract.operations) and routes rows
+  * by discriminator.
+  *
+  * [[bootstrap]] mirrors build_database.py:30-83: skip if the database
+  * is already seeded, validate the first file sequence
+  * (`(seq+1) % 64 == 0` — checkpoints close at 64-ledger boundaries),
+  * create database/user/tables, seed `lastfile` with the first file, and
+  * grant the ingest user its minimal INSERT/SELECT/UPDATE set.
+  */
+final class JdbcTwoTableSink(connect: () => Connection) extends CheckpointSink {
+  private val paymentCols = Seq("source", "destination", "amount", "memo_text",
+    "fee", "fee_charged", "operation_index", "tx_status", "op_status", "hash", "time")
+  private val creationCols = Seq("source", "destination", "starting_balance", "memo_text",
+    "fee", "fee_charged", "operation_index", "tx_status", "op_status", "hash", "time")
+
+  /** One-time database bootstrap (build_database.py:30-83). Returns false
+    * without touching anything if `lastfile` is already seeded (the
+    * reference's "using existing database" path). `createDbAndUser`
+    * controls the Postgres-specific CREATE DATABASE / CREATE USER / GRANT
+    * statements; disable on engines without them.
+    */
+  def bootstrap(firstFile: String, createDbAndUser: Boolean = true): Boolean = {
+    if (lastSequence.isDefined) return false // existing database: leave as-is
+    val seq = java.lang.Long.parseLong(firstFile.trim, 16)
+    // seed validation (build_database.py:25-28): the first scanned file
+    // must be the last ledger of a 64-ledger checkpoint span
+    if ((seq + 1) % 64 != 0)
+      throw new IllegalArgumentException(
+        s"first file $firstFile is not a checkpoint boundary ((seq+1) % 64 != 0)")
+    val c = connect()
+    try {
+      val st = c.createStatement()
+      if (createDbAndUser) {
+        st.execute("CREATE DATABASE kin")
+        st.execute("CREATE USER python")
+      }
+      def ddl(tbl: String, amountCol: String): Unit =
+        st.execute(s"""CREATE TABLE IF NOT EXISTS $tbl (
+          |  source VARCHAR(56) NOT NULL, destination VARCHAR(56) NOT NULL,
+          |  $amountCol DOUBLE PRECISION NOT NULL, memo_text VARCHAR(28),
+          |  fee INT NOT NULL, fee_charged INT NOT NULL, operation_index INT NOT NULL,
+          |  tx_status TEXT, op_status TEXT, hash VARCHAR(64) NOT NULL,
+          |  time TIMESTAMP NOT NULL)""".stripMargin)
+      ddl("payments", "amount")
+      ddl("creations", "starting_balance")
+      st.execute("CREATE TABLE IF NOT EXISTS lastfile (name VARCHAR(8) NOT NULL)")
+      st.execute(s"INSERT INTO lastfile VALUES ('${firstFile.trim}')")
+      if (createDbAndUser)
+        for {
+          tbl <- Seq("payments", "creations")
+          g <- Seq("INSERT", "SELECT")
+        } st.execute(s"GRANT $g ON $tbl TO python")
+      if (createDbAndUser)
+        Seq("INSERT", "SELECT", "UPDATE").foreach(g =>
+          st.execute(s"GRANT $g ON lastfile TO python"))
+      c.commit()
+      true
+    } finally c.close()
+  }
+
+  override def save(ops: DataFrame, seq: Long): Unit = {
+    if (lastSequence.exists(_ >= seq)) return // replay: already committed
+    val unified = Seq("type", "source", "destination", "amount", "starting_balance",
+      "memo_text", "fee", "fee_charged", "operation_index", "tx_status", "op_status",
+      "hash", "time")
+    val rows = ops.select(unified.map(col): _*).collect()
+    val byName = unified.zipWithIndex.toMap
+    val c = connect()
+    try {
+      c.setAutoCommit(false)
+      def insert(tbl: String, cols: Seq[String], kind: String): Unit = {
+        val batch = rows.filter(_.getString(byName("type")) == kind)
+        if (batch.nonEmpty) {
+          val ps = c.prepareStatement(
+            s"INSERT INTO $tbl (${cols.mkString(", ")}) VALUES (${cols.map(_ => "?").mkString(", ")})")
+          batch.foreach { r =>
+            cols.zipWithIndex.foreach { case (cn, i) => ps.setObject(i + 1, r.get(byName(cn))) }
+            ps.addBatch()
+          }
+          ps.executeBatch()
+        }
+      }
+      insert("payments", paymentCols, "payment")
+      insert("creations", creationCols, "creation")
+      c.createStatement().execute(s"UPDATE lastfile SET name = '${f"$seq%08x"}'")
+      c.commit() // both tables + offset atomically (K2)
+    } catch {
+      case e: Throwable => c.rollback(); throw e
+    } finally c.close()
+  }
+
+  override def lastSequence: Option[Long] = {
+    val c = connect()
+    try {
+      val rs = c.createStatement().executeQuery("SELECT name FROM lastfile")
+      if (rs.next()) Some(java.lang.Long.parseLong(rs.getString(1), 16)) else None
+    } catch { case _: Throwable => None } finally c.close()
+  }
+
+  /** Canned creation row written to `creations`, read back, deleted, all
+    * inside one rolled-back transaction (the reference's probe uses a
+    * creation row too, s3_storage_adapter.py:180-188).
+    */
+  override def selfTest(): Unit = {
+    val probeHash = "a17aa64d4f0ae434dceb16501dd1d2217a59e42d555e24fdf7e17fffa13a1331"
+    val row: Seq[Any] = Seq(
+      "GCQTAWULBNFLBAEQLEN6FDGGCPYTVZ3Y55AB4F7HSTMQKNX3HZINMQJM",
+      "GDDFYG3OSTSHADS7SP6TZ4XM62EQ522CI7UYJSNAETGJJCGOX66TP5Q5",
+      10.0, null, 100, 100, 0,
+      "txFAILED", "CREATE_ACCOUNT_LOW_RESERVE",
+      probeHash, java.sql.Timestamp.valueOf("2018-06-20 12:47:21"))
+    val c = connect()
+    try {
+      c.setAutoCommit(false)
+      val ps = c.prepareStatement(
+        s"INSERT INTO creations (${creationCols.mkString(", ")}) VALUES (${creationCols.map(_ => "?").mkString(", ")})")
+      row.zipWithIndex.foreach { case (v, i) => ps.setObject(i + 1, v) }
+      ps.addBatch()
+      ps.executeBatch()
+      val rs = c.createStatement().executeQuery(
+        s"SELECT hash FROM creations WHERE hash = '$probeHash'")
+      if (!rs.next()) throw new IllegalStateException("probe row did not round-trip")
+      c.createStatement().execute(s"DELETE FROM creations WHERE hash = '$probeHash'")
+      c.rollback() // leave no trace
+    } catch {
+      case e: Throwable =>
+        try c.rollback() catch { case _: Throwable => () }
+        throw new IllegalStateException(
+          "jdbc two-table self-test failed (requires insert/select/delete on creations)", e)
+    } finally c.close()
+  }
+}

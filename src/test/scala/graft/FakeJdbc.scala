@@ -5,23 +5,34 @@ import java.sql.{Connection, PreparedStatement, ResultSet, Statement}
 import scala.collection.mutable
 
 /** Minimal in-memory transactional JDBC fake (reflection proxies) — just
-  * enough surface for JdbcTxnSink's protocol: staged writes that only
-  * become visible on commit, discarded on rollback.
+  * enough surface for the JDBC sinks' protocol: staged per-table writes
+  * that only become visible on commit, discarded on rollback, plus the
+  * bootstrap DDL/GRANT statements (accepted and logged).
   */
 final class FakeDb {
-  var ops: Vector[Seq[Any]] = Vector.empty
+  val tables: mutable.Map[String, Vector[Seq[Any]]] =
+    mutable.Map.empty.withDefaultValue(Vector.empty)
   var lastfile: Option[String] = None
+  /** CREATE DATABASE/USER, ALTER, GRANT statements seen (bootstrap log). */
+  val ddl: mutable.Buffer[String] = mutable.Buffer.empty
   /** when set, executeBatch throws — fault injection for rollback tests */
   @volatile var failBatch: Boolean = false
   var commits: Int = 0
   var rollbacks: Int = 0
 
+  /** The unified single-table sink's rows (back-compat accessor). */
+  def ops: Vector[Seq[Any]] = tables("operations")
+
   def connection(): Connection = new FakeConn(this).asConnection
 }
 
 private final class FakeConn(db: FakeDb) {
-  private var stagedOps = Vector.empty[Seq[Any]]
+  private val staged: mutable.Map[String, Vector[Seq[Any]]] =
+    mutable.Map.empty.withDefaultValue(Vector.empty)
   private var stagedLast: Option[Option[String]] = None
+
+  private val insertTableRe = "INSERT INTO (\\w+)".r
+  private val hashTableRe = "FROM (\\w+)".r
 
   private def proxy[T](cls: Class[T])(handle: PartialFunction[(String, Array[AnyRef]), AnyRef]): T =
     Proxy.newProxyInstance(cls.getClassLoader, Array(cls), new InvocationHandler {
@@ -50,19 +61,23 @@ private final class FakeConn(db: FakeDb) {
   private def exec(sql: String): AnyRef = {
     val s = sql.trim
     if (s.startsWith("CREATE TABLE")) java.lang.Boolean.TRUE
-    else if (s.startsWith("DELETE FROM lastfile")) { stagedLast = Some(None); java.lang.Boolean.TRUE }
-    else if (s.startsWith("INSERT INTO lastfile")) {
+    else if (s.startsWith("CREATE") || s.startsWith("GRANT") || s.startsWith("ALTER")) {
+      db.ddl += s; java.lang.Boolean.TRUE // bootstrap DDL: accept and log
+    } else if (s.startsWith("DELETE FROM lastfile")) { stagedLast = Some(None); java.lang.Boolean.TRUE }
+    else if (s.startsWith("INSERT INTO lastfile") || s.startsWith("UPDATE lastfile")) {
       val v = "'([0-9a-f]{8})'".r.findFirstMatchIn(s).get.group(1)
       stagedLast = Some(Some(v)); java.lang.Boolean.TRUE
     } else if (s.startsWith("SELECT name FROM lastfile")) resultSet(db.lastfile.map(Seq[Any](_)).toSeq)
     else if (s.startsWith("SELECT hash FROM")) {
-      // self-test probe lookup: rows (committed or staged in this txn)
-      // whose any column equals the quoted hash
+      // self-test probe lookup: rows of that table (committed or staged in
+      // this txn) whose any column equals the quoted hash
+      val tbl = hashTableRe.findFirstMatchIn(s).get.group(1)
       val h = "'([0-9a-f]{64})'".r.findFirstMatchIn(s).get.group(1)
-      resultSet((db.ops ++ stagedOps).filter(_.contains(h)).map(_ => Seq[Any](h)))
+      resultSet((db.tables(tbl) ++ staged(tbl)).filter(_.contains(h)).map(_ => Seq[Any](h)))
     } else if (s.startsWith("DELETE FROM")) {
+      val tbl = hashTableRe.findFirstMatchIn(s).get.group(1)
       val h = "'([0-9a-f]{64})'".r.findFirstMatchIn(s).map(_.group(1))
-      h.foreach(hash => stagedOps = stagedOps.filterNot(_.contains(hash)))
+      h.foreach(hash => staged(tbl) = staged(tbl).filterNot(_.contains(hash)))
       java.lang.Boolean.TRUE
     } else throw new IllegalArgumentException(s"FakeDb cannot handle: $s")
   }
@@ -76,6 +91,7 @@ private final class FakeConn(db: FakeDb) {
   }
 
   private def prepared(sql: String): PreparedStatement = {
+    val tbl = insertTableRe.findFirstMatchIn(sql).map(_.group(1)).getOrElse("operations")
     val current = mutable.Map[Int, Any]()
     val batch = mutable.Buffer[Seq[Any]]()
     proxy(classOf[PreparedStatement]) {
@@ -84,7 +100,7 @@ private final class FakeConn(db: FakeDb) {
         batch += (1 to current.keys.max).map(current.getOrElse(_, null)); current.clear(); null
       case ("executeBatch", _) =>
         if (db.failBatch) throw new java.sql.SQLException("injected failure")
-        stagedOps ++= batch.toVector; batch.clear(); Array.emptyIntArray
+        staged(tbl) = staged(tbl) ++ batch.toVector; batch.clear(); Array.emptyIntArray
     }
   }
 
@@ -93,12 +109,12 @@ private final class FakeConn(db: FakeDb) {
     case ("prepareStatement", Array(sql: String)) => prepared(sql)
     case ("setAutoCommit", _) => null
     case ("commit", _) =>
-      db.ops ++= stagedOps
+      staged.foreach { case (tbl, rows) => db.tables(tbl) = db.tables(tbl) ++ rows }
       stagedLast.foreach(v => db.lastfile = v)
-      stagedOps = Vector.empty; stagedLast = None
+      staged.clear(); stagedLast = None
       db.commits += 1; null
     case ("rollback", _) =>
-      stagedOps = Vector.empty; stagedLast = None; db.rollbacks += 1; null
+      staged.clear(); stagedLast = None; db.rollbacks += 1; null
     case ("close", _) => null
   }
 }

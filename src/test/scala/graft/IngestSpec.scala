@@ -3,7 +3,7 @@ package graft
 import java.nio.file.{Files, Paths}
 import org.scalatest.funsuite.AnyFunSuite
 import graft.pipeline._
-import graft.sinks.{JdbcTxnSink, PartitionedFileSink}
+import graft.sinks.{JdbcTwoTableSink, JdbcTxnSink, PartitionedFileSink}
 import graft.sources.Archive
 import graft.streaming.ArchiveTail
 import graft.xdr.{Stellar, StellarWriter}
@@ -174,6 +174,78 @@ class IngestSpec extends AnyFunSuite {
     db.failBatch = false
     assert(tail.processOne(0xbfL))
     assert(db.ops.size === 4)
+    assert(db.lastfile === Some("000000bf"))
+  }
+
+  /** Mixed payment + creation checkpoint for the two-table layout. */
+  private def writeMixedCheckpoint(root: String, seq: Long): Unit = {
+    val ops = Seq(
+      Operation(Nil, OpBody(1, Some(PaymentOp(
+        Asset(Some(AssetAlphaNum4("KIN", Ed25519(issuer)))), Ed25519(addr(10)), 1000000.0)), None)),
+      Operation(Nil, OpBody(0, None, Some(CreateAccountOp(Ed25519(addr(20)), 50.0)))))
+    val txe = TxHistoryEntry(seq, TxSet(Seq(TxWithHash("", TxCore(None, 100, Ed25519(addr(2)), ops)))))
+    val txGz = Archive.gzip(StellarWriter.encodeTxEntry(txe))
+    val hash = Stellar.decodeTxEntries(Archive.gunzip(txGz), Passphrase).head.txSet.txs.head.hash
+    val resSet = TxResultEntry(TxResultSet(Seq(TxResultPair(hash, TxResultOuter(100,
+      TxResultInner("txSUCCESS", Some(Seq(
+        OpResult(OpResultTr(Some("PAYMENT_SUCCESS"), None)),
+        OpResult(OpResultTr(None, Some("CREATE_ACCOUNT_SUCCESS")))))))))))
+    def put(cat: String, bytes: Array[Byte]): Unit = {
+      val p = Paths.get(Archive.pathFor(root, cat, seq))
+      Files.createDirectories(p.getParent)
+      Files.write(p, bytes)
+    }
+    put("transactions", txGz)
+    put("ledger", Archive.gzip(StellarWriter.encodeLedgerEntry(
+      LedgerEntry(LedgerHeader(seq, ScpValue(1600000000L + seq))))))
+    put("results", Archive.gzip(StellarWriter.encodeResultEntry(resSet, seq)))
+  }
+
+  test("two-table sink bootstraps reference DDL and routes rows by type (fidelity)") {
+    val db = new FakeDb
+    val sink = new JdbcTwoTableSink(() => db.connection())
+
+    // bootstrap parity (build_database.py:30-83): invalid first file rejected
+    intercept[IllegalArgumentException](sink.bootstrap("00000040"))
+    // valid boundary seeds lastfile, creates db/user, grants the minimal set
+    assert(sink.bootstrap("0000003f"))
+    assert(db.lastfile === Some("0000003f"))
+    assert(db.ddl.exists(_.startsWith("CREATE DATABASE")))
+    assert(db.ddl.exists(_.startsWith("CREATE USER")))
+    assert(db.ddl.count(_.startsWith("GRANT")) === 7) // 2×(payments,creations) + 3×lastfile
+    // second bootstrap: existing database → untouched no-op
+    assert(!sink.bootstrap("0000003f"))
+
+    // probe: canned creation row, rolled back, no trace in creations
+    sink.selfTest()
+    assert(db.tables("creations").isEmpty && db.rollbacks === 1)
+
+    // a mixed checkpoint routes payments and creations to their own tables
+    val archive = Files.createTempDirectory("graft-arch-2t").toString
+    writeMixedCheckpoint(archive, 0x7fL)
+    val tail = new ArchiveTail(spark, archive, Passphrase, cfg, sink)
+    assert(tail.resumeSeq === 0x7fL) // resumes from the seeded lastfile
+    assert(tail.runOnce() === 1)
+    assert(db.tables("payments").size === 1)
+    assert(db.tables("creations").size === 1)
+    assert(db.lastfile === Some("0000007f"))
+    // per-table shapes: payments carry amount, creations starting_balance
+    assert(db.tables("payments").head(2) === 1000000.0)  // amount (3rd col)
+    assert(db.tables("creations").head(2) === 50.0)      // starting_balance (3rd col)
+
+    // replay is a no-op (idempotence on batch sequence)
+    assert(tail.processOne(0x7fL))
+    assert(db.tables("payments").size === 1 && db.tables("creations").size === 1)
+
+    // fault injection: both tables + offset roll back together
+    writeMixedCheckpoint(archive, 0xbfL)
+    db.failBatch = true
+    intercept[java.sql.SQLException](tail.processOne(0xbfL))
+    assert(db.tables("payments").size === 1 && db.tables("creations").size === 1)
+    assert(db.lastfile === Some("0000007f"))
+    db.failBatch = false
+    assert(tail.processOne(0xbfL))
+    assert(db.tables("payments").size === 2 && db.tables("creations").size === 2)
     assert(db.lastfile === Some("000000bf"))
   }
 }
