@@ -57,6 +57,25 @@ object StreamDemos {
       .select("p_id", "user_id", "p_ts", "s_id", "s_ts")
   }
 
+  /** Stream-stream AS-OF join (horizon-bounded): each purchase matched to
+    * the LATEST signup of the same user within the preceding hour — the
+    * streaming counterpart of the batch j8 as-of join, with the unbounded
+    * "any prior signup" lookback replaced by a 1-hour horizon so both
+    * sides' join state stays watermark-bounded (a true unbounded as-of
+    * would keep every user's last signup forever — the classic streaming
+    * state leak; bounding the lookback is how production pipelines ship
+    * this).
+    *
+    * Shape: interval join (candidate signups) → per-purchase `max(s_ts)`
+    * — chained stateful operators; the watermark propagates through the
+    * join so the append-mode aggregation finalizes each purchase group
+    * once the global watermark passes its event time.
+    */
+  def asOfRecentSignup(events: DataFrame): DataFrame =
+    purchasesWithRecentSignup(events)
+      .groupBy(col("p_id"), col("user_id"), col("p_ts"))
+      .agg(max(col("s_ts")).as("asof_signup_ts"))
+
   final case class Ev(user_id: Long, ts: Timestamp, value: Double)
   final case class SessionAgg(n_events: Int, startMs: Long, lastMs: Long)
   final case class SessionOut(user_id: Long, n_events: Int, session_start: Timestamp, session_end: Timestamp)

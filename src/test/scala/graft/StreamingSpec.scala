@@ -98,6 +98,55 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream as-of join picks the latest in-horizon signup (batch j8 parity)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val B = 30000L
+    val fixture = Seq(
+      REv(1, ts(B), 1, "signup", 0),
+      REv(2, ts(B + 30), 1, "signup", 0),       // later signup — the as-of winner
+      REv(3, ts(B + 40), 1, "purchase", 5.0),
+      REv(4, ts(B + 50), 2, "purchase", 1.0),   // no signup → dropped (inner)
+      REv(5, ts(B + 10), 3, "signup", 0),
+      REv(6, ts(B + 100), 3, "purchase", 2.0))  // signup 90 min prior → outside horizon
+    val ms = MemoryStream[REv]
+    val q = StreamDemos.asOfRecentSignup(ms.toDF())
+      .writeStream.format("memory").queryName("asof_out").outputMode("append").start()
+    try {
+      ms.addData(fixture: _*)
+      q.processAllAvailable()
+      // advance BOTH sides' watermarks past the purchases so the chained
+      // join → aggregation finalizes (disjoint users: no join output)
+      ms.addData(REv(7, ts(B + 1000), 8, "purchase", 0), REv(8, ts(B + 1000), 9, "signup", 0))
+      q.processAllAvailable()
+      ms.addData(REv(9, ts(B + 2000), 8, "purchase", 0), REv(10, ts(B + 2000), 9, "signup", 0))
+      q.processAllAvailable()
+      val got = spark.table("asof_out").collect()
+        .filter(_.getAs[Long]("user_id") < 8L)
+        .map(r => (r.getAs[Long]("p_id"), r.getAs[Timestamp]("asof_signup_ts").getTime / 60000))
+        .toSet
+
+      // batch j8 shape (window-function as-of) restricted to the same
+      // 1-hour horizon, on the same fixture
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      val expected = fixture.map(e => (e.event_id, e.ts, e.user_id, e.event_type))
+        .toDF("event_id", "ts", "user_id", "event_type")
+        .withColumn("prior_signup_ts",
+          last(when(col("event_type") === "signup", col("ts")), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase" &&
+          col("prior_signup_ts") >= col("ts") - expr("INTERVAL 1 HOUR"))
+        .select(col("event_id"), col("prior_signup_ts"))
+        .collect()
+        .map(r => (r.getAs[Long]("event_id"), r.getAs[Timestamp]("prior_signup_ts").getTime / 60000))
+        .toSet
+      assert(expected === Set((3L, B + 30)))
+      assert(got === expected)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState emits sessions on gap or timeout") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
