@@ -89,52 +89,189 @@ object Ivf {
       (centroids, s.read.schema(VecSchema).parquet(s"$out/vectors"))
     })
 
-  /** Force the one-time centroid + cell-store materialization for `d` —
-    * called by Bench's warm-up so recorded medians reflect steady-state
-    * serving, not ingest cost.
+  /** Force the one-time centroid + cell-store materializations (label
+    * quantizer and k-means quantizer) for `d` — called by Bench's warm-up
+    * so recorded medians reflect steady-state serving, not ingest cost.
     */
   def ensureStores(s: SparkSession, d: String): Unit = {
     graft.functions.GraftFunctions.register(s)
     cellStore(s, d)
+    kmeansStore(s, d)
   }
+
+  /** Query-time IVF probe shared by n4/n6 (driver-side planning,
+    * mirroring n2's serving path): fetch the query vector (pushed-filter
+    * point read) and score it against the k×dims centroid cache with the
+    * same arithmetic Spark's columnar plan would use — per-dim squared
+    * diff in double (IEEE-identical), cast to DECIMAL(28,12) via HALF_UP
+    * on the shortest-decimal rendering (java BigDecimal.valueOf = Spark's
+    * Decimal.set(double)), exact decimal sum. The nprobe cells resolve to
+    * literals so the vector scan is partition-pruned before it runs.
+    */
+  private def probe(s: SparkSession, d: String,
+      cent: Array[(Int, Array[Double])], vecs: DataFrame, tagCol: String): DataFrame = {
+    val q = Tables.embeddings(s, d).filter(col("vec_id") === 0)
+      .select("embedding").head.getSeq[Float](0).toArray
+    val qd = q.map(_.toDouble)
+    val cells = cent.map { case (cell, c) =>
+      val d2 = c.indices.foldLeft(java.math.BigDecimal.ZERO) { (acc, i) =>
+        val diff = qd(i) - c(i)
+        acc.add(java.math.BigDecimal.valueOf(diff * diff)
+          .setScale(12, java.math.RoundingMode.HALF_UP))
+      }.doubleValue()
+      (cell, d2)
+    }.sortBy { case (cell, d2) => (d2, cell) }.take(NProbe).map(_._1).toSeq
+    def ad(a: Array[Float]) =
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(a.map(x => x: Any))
+    val qn = math.sqrt(graft.functions.DecimalDot.dot(ad(q), ad(q)))
+    // probe: partition-pruned scan of the chosen cells + exact re-rank
+    vecs.filter(col("cell").isin(cells: _*) && col("vec_id") =!= 0)
+      .withColumn("cos",
+        Cols.fastDot(col("embedding"), typedLit(q)) / (col("norm") * lit(qn)))
+      .select("vec_id", tagCol, "cos")
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  // ── k-means-trained quantizer (n6) ─────────────────────────────────────
+
+  /** Lloyd iterations for the trained quantizer. Fixed and small: the
+    * point is the iterative-training dataflow (assign → update, driver
+    * orchestrating distributed rounds — the d7 shape), not convergence;
+    * determinism requires a fixed count, decimal-exact means, and stable
+    * argmin tie-breaks so the DuckDB oracle can unroll the same rounds.
+    */
+  private val KmIters = 2
+
+  private val kmCache =
+    scala.collection.concurrent.TrieMap.empty[String, (Array[(Int, Array[Double])], DataFrame)]
+
+  private def exploded(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), col("label"), posexplode(col("embedding")))
+      .withColumnRenamed("pos", "dim")
+      .withColumnRenamed("col", "v")
+
+  /** Nearest-centroid assignment: per-(vector, cell) decimal-exact squared
+    * distance, argmin with (d2, cell) tie-break. Centroids are a k×dims
+    * broadcast; the heavy side is one corpus-scale groupBy + window.
+    */
+  private def assign(ex: DataFrame, cent: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vd = col("v").cast("double")
+    val dist = ex.join(broadcast(cent), "dim")
+      .groupBy(col("vec_id"), col("cell"))
+      .agg(sum(((vd - col("c")) * (vd - col("c"))).cast(Dec12))
+        .cast("double").as("d2"))
+    val w = Window.partitionBy("vec_id").orderBy(col("d2"), col("cell"))
+    dist.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("vec_id", "cell")
+  }
+
+  /** Decimal-exact per-(cell, dim) means over an assignment. */
+  private def means(ex: DataFrame, asg: DataFrame): DataFrame =
+    ex.join(asg, "vec_id")
+      .groupBy("cell", "dim")
+      .agg((sum(col("v").cast("double").cast(Dec12)).cast("double") /
+        count(lit(1)).cast("double")).as("c"))
+
+  /** Trained-quantizer store: KmIters rounds of Lloyd's (seeded by the
+    * label means), final assignment, vectors written `partitionBy(cell)`.
+    * Each round's centroids pass through the driver (k×dims values), so
+    * rounds have independent lineage — no checkpointing needed, unlike
+    * d7 where the iterated state is corpus-sized.
+    */
+  private def kmeansStore(s: SparkSession, d: String): (Array[(Int, Array[Double])], DataFrame) =
+    kmCache.getOrElseUpdate(d, {
+      import s.implicits._
+      val out = java.nio.file.Files.createTempDirectory("graft-ivf-km").toString
+      val e = Tables.embeddings(s, d)
+      val ex = exploded(e)
+      def local(c: DataFrame): DataFrame =
+        c.collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+          .toSeq.toDF("cell", "dim", "c")
+      var cent = local(ex.groupBy(col("label").as("cell"), col("dim"))
+        .agg((sum(col("v").cast("double").cast(Dec12)).cast("double") /
+          count(lit(1)).cast("double")).as("c")))
+      (1 to KmIters).foreach { _ =>
+        cent = local(means(ex, assign(ex, cent)))
+      }
+      cent.coalesce(1).write.mode("overwrite").parquet(s"$out/centroids")
+      val centroids = cent.collect()
+        .groupBy(_.getInt(0)).toArray
+        .map { case (cell, rows) =>
+          val dims = rows.map(r => r.getInt(1) -> r.getDouble(2)).toMap
+          (cell, Array.tabulate(dims.size)(dims))
+        }
+        .sortBy(_._1)
+      e.join(assign(ex, cent), "vec_id")
+        .withColumn("norm", sqrt(Cols.fastDot(col("embedding"), col("embedding"))))
+        .select("vec_id", "embedding", "label", "norm", "cell")
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$out/vectors")
+      (centroids, s.read.schema(VecSchema).parquet(s"$out/vectors"))
+    })
 
   def queries: Map[String, Q] = Map(
     "n4_ann_ivf" -> { (s, d) =>
       graft.functions.GraftFunctions.register(s)
       val (cent, vecs) = cellStore(s, d)
-      // Query planning (driver-side, mirroring n2's serving path): fetch
-      // the query vector (pushed-filter point read) and score it against
-      // the k×dims centroid cache with the same arithmetic Spark's
-      // columnar plan would use — per-dim squared diff in double (IEEE-
-      // identical), cast to DECIMAL(28,12) via HALF_UP on the shortest-
-      // decimal rendering (java BigDecimal.valueOf = Spark's
-      // Decimal.set(double)), exact decimal sum. The nprobe cells resolve
-      // to literals so the vector scan is partition-pruned before it runs.
-      val q = Tables.embeddings(s, d).filter(col("vec_id") === 0)
-        .select("embedding").head.getSeq[Float](0).toArray
-      val qd = q.map(_.toDouble)
-      val cells = cent.map { case (cell, c) =>
-        val d2 = c.indices.foldLeft(java.math.BigDecimal.ZERO) { (acc, i) =>
-          val diff = qd(i) - c(i)
-          acc.add(java.math.BigDecimal.valueOf(diff * diff)
-            .setScale(12, java.math.RoundingMode.HALF_UP))
-        }.doubleValue()
-        (cell, d2)
-      }.sortBy { case (cell, d2) => (d2, cell) }.take(NProbe).map(_._1).toSeq
-      def ad(a: Array[Float]) =
-        new org.apache.spark.sql.catalyst.util.GenericArrayData(a.map(x => x: Any))
-      val qn = math.sqrt(graft.functions.DecimalDot.dot(ad(q), ad(q)))
-      // probe: partition-pruned scan of the chosen cells + exact re-rank
-      vecs.filter(col("cell").isin(cells: _*) && col("vec_id") =!= 0)
-        .withColumn("cos",
-          Cols.fastDot(col("embedding"), typedLit(q)) / (col("norm") * lit(qn)))
-        .select("vec_id", "label", "cos")
-        .orderBy(col("cos").desc, col("vec_id"))
-        .limit(10)
+      probe(s, d, cent, vecs, "label")
+    },
+    // k-means IVF: identical probe, trained quantizer — the output's
+    // `cell` column is the trained cell id (vs n4's label cell).
+    "n6_ann_kmeans" -> { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      val (cent, vecs) = kmeansStore(s, d)
+      probe(s, d, cent, vecs, "cell")
     }
   )
 
+  /** One unrolled Lloyd round in DuckDB: distances vs cent{i-1}, argmin
+    * assignment a{i}, updated means cent{i} — the same decimal-exact
+    * spellings as the Spark round.
+    */
+  private def kmRoundSql(i: Int): String =
+    s"""dist$i AS (SELECT e.vec_id, c.cell,
+       |    CAST(SUM(CAST((CAST(e.v AS DOUBLE) - c.c) * (CAST(e.v AS DOUBLE) - c.c)
+       |      AS DECIMAL(28,12))) AS DOUBLE) AS d2
+       |  FROM ex e JOIN cent${i - 1} c USING (dim) GROUP BY e.vec_id, c.cell),
+       |a$i AS (SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+       |    FROM dist$i) WHERE rn = 1),
+       |cent$i AS (SELECT a.cell, e.dim,
+       |    CAST(SUM(CAST(CAST(e.v AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
+       |      / CAST(COUNT(*) AS DOUBLE) AS c
+       |  FROM ex e JOIN a$i a USING (vec_id) GROUP BY a.cell, e.dim)""".stripMargin
+
   def oracles: Map[String, String] = Map(
+    "n6_ann_kmeans" -> {
+      s"""WITH ex AS (
+         |  SELECT label, vec_id, generate_subscripts(embedding, 1) AS dim, unnest(embedding) AS v
+         |  FROM embeddings),
+         |cent0 AS (
+         |  SELECT label AS cell, dim,
+         |    CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
+         |      / CAST(COUNT(*) AS DOUBLE) AS c
+         |  FROM ex GROUP BY label, dim),
+         |${(1 to KmIters).map(kmRoundSql).mkString(",\n")},
+         |distF AS (SELECT e.vec_id, c.cell,
+         |    CAST(SUM(CAST((CAST(e.v AS DOUBLE) - c.c) * (CAST(e.v AS DOUBLE) - c.c)
+         |      AS DECIMAL(28,12))) AS DOUBLE) AS d2
+         |  FROM ex e JOIN cent$KmIters c USING (dim) GROUP BY e.vec_id, c.cell),
+         |aF AS (SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+         |    FROM distF) WHERE rn = 1),
+         |qx AS (SELECT dim, CAST(v AS DOUBLE) AS qv FROM ex WHERE vec_id = 0),
+         |qd AS (SELECT c.cell,
+         |    CAST(SUM(CAST((qv - c.c) * (qv - c.c) AS DECIMAL(28,12))) AS DOUBLE) AS d2
+         |  FROM cent$KmIters c JOIN qx USING (dim) GROUP BY c.cell),
+         |best AS (SELECT cell FROM qd ORDER BY d2, cell LIMIT $NProbe),
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id, a.cell, ${Cols.cosineSql("e.embedding", "qv")} AS cos
+         |FROM embeddings e JOIN aF a ON e.vec_id = a.vec_id JOIN best USING (cell), q
+         |WHERE e.vec_id <> 0
+         |ORDER BY cos DESC, e.vec_id LIMIT 10""".stripMargin
+    },
     "n4_ann_ivf" ->
       s"""WITH ex AS (
          |  SELECT label, vec_id, generate_subscripts(embedding, 1) AS dim, unnest(embedding) AS v
