@@ -187,6 +187,40 @@ object ArchiveStreamRunner {
   import graft.pipeline.{Extract, ExtractConfig, LedgerEntry, TxHistoryEntry, TxResultEntry}
   import graft.sinks.CheckpointSink
 
+  /** Decode + extract + commit one micro-batch (the shared foreachBatch
+    * body of both runners).
+    */
+  private def drainBatch(
+      batch: DataFrame, passphrase: String, cfg: ExtractConfig, sink: CheckpointSink): Unit = {
+    val cached = batch.persist()
+    try {
+      // seq longs only — content columns stay distributed.
+      val seqs = cached.select("seq")
+        .as[Long](Encoders.scalaLong).collect().sorted
+      seqs.foreach { seq =>
+        val one = cached.filter(org.apache.spark.sql.functions.col("seq") === seq)
+        def bytes(c: String) = one.select(c).as[Array[Byte]](Encoders.BINARY)
+        val txs = bytes("transactions").mapPartitions(
+          _.flatMap(b => graft.xdr.Stellar.decodeTxEntries(Archive.gunzip(b), passphrase)))(
+          Encoders.product[TxHistoryEntry])
+        val ledgers = bytes("ledger").mapPartitions(
+          _.flatMap(b => graft.xdr.Stellar.decodeLedgerEntries(Archive.gunzip(b))))(
+          Encoders.product[LedgerEntry])
+        val results = bytes("results").mapPartitions(
+          _.flatMap(b => graft.xdr.Stellar.decodeResultEntries(Archive.gunzip(b))))(
+          Encoders.product[TxResultEntry])
+        sink.save(Extract.operations(txs, ledgers, results, cfg), seq)
+      }
+    } finally { cached.unpersist(); () }
+  }
+
+  private def stream(spark: SparkSession, root: String, firstSeq: Long): DataFrame =
+    spark.readStream
+      .format("graft.sources.ArchiveStreamProvider")
+      .option("root", root)
+      .option("firstSeq", firstSeq.toString)
+      .load()
+
   def runAvailableNow(
       spark: SparkSession,
       root: String,
@@ -195,37 +229,34 @@ object ArchiveStreamRunner {
       sink: CheckpointSink,
       checkpointDir: String,
       firstSeq: Long = 0x3fL): Unit = {
-    val stream = spark.readStream
-      .format("graft.sources.ArchiveStreamProvider")
-      .option("root", root)
-      .option("firstSeq", firstSeq.toString)
-      .load()
-    val q = stream.writeStream
+    val q = stream(spark, root, firstSeq).writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val cached = batch.persist()
-        try {
-          // seq longs only — content columns stay distributed.
-          val seqs = cached.select("seq")
-            .as[Long](Encoders.scalaLong).collect().sorted
-          seqs.foreach { seq =>
-            val one = cached.filter(org.apache.spark.sql.functions.col("seq") === seq)
-            def bytes(c: String) = one.select(c).as[Array[Byte]](Encoders.BINARY)
-            val txs = bytes("transactions").mapPartitions(
-              _.flatMap(b => graft.xdr.Stellar.decodeTxEntries(Archive.gunzip(b), passphrase)))(
-              Encoders.product[TxHistoryEntry])
-            val ledgers = bytes("ledger").mapPartitions(
-              _.flatMap(b => graft.xdr.Stellar.decodeLedgerEntries(Archive.gunzip(b))))(
-              Encoders.product[LedgerEntry])
-            val results = bytes("results").mapPartitions(
-              _.flatMap(b => graft.xdr.Stellar.decodeResultEntries(Archive.gunzip(b))))(
-              Encoders.product[TxResultEntry])
-            sink.save(Extract.operations(txs, ledgers, results, cfg), seq)
-          }
-        } finally { cached.unpersist(); () }
-      }
+      .foreachBatch((batch: DataFrame, _: Long) => drainBatch(batch, passphrase, cfg, sink))
       .start()
     q.awaitTermination()
   }
+
+  /** Live tail on the DSv2 source (the reference's continuous main loop,
+    * python/main.py:254-309, as a ProcessingTime streaming query): polls
+    * the archive every `intervalMs`, each micro-batch draining whatever
+    * new checkpoints `latestOffset` finds. Returns the running query —
+    * the caller owns its lifecycle (`stop()`/`awaitTermination`); Spark's
+    * offset log + the sink's committed-sequence check give the same
+    * exactly-once resume as the AvailableNow path.
+    */
+  def runProcessingTime(
+      spark: SparkSession,
+      root: String,
+      passphrase: String,
+      cfg: ExtractConfig,
+      sink: CheckpointSink,
+      checkpointDir: String,
+      firstSeq: Long = 0x3fL,
+      intervalMs: Long = 1000L): org.apache.spark.sql.streaming.StreamingQuery =
+    stream(spark, root, firstSeq).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime(intervalMs))
+      .foreachBatch((batch: DataFrame, _: Long) => drainBatch(batch, passphrase, cfg, sink))
+      .start()
 }

@@ -89,6 +89,34 @@ class ArchiveStreamSpec extends AnyFunSuite {
     assert(sink.completed === Seq("0000003f", "0000007f", "000000bf"))
   }
 
+  test("ProcessingTime tail picks up a checkpoint appended mid-stream") {
+    val archive = Files.createTempDirectory("graft-stream-live").toString
+    val out = Files.createTempDirectory("graft-stream-live-out").toString
+    val ckpt = Files.createTempDirectory("graft-stream-live-ckpt").toString
+    writeCheckpoint(archive, 0x3fL)
+
+    val sink = new PartitionedFileSink(out)
+    val q = ArchiveStreamRunner.runProcessingTime(
+      spark, archive, Passphrase, cfg, sink, ckpt, intervalMs = 50L)
+    try {
+      def waitFor(cond: => Boolean): Unit = {
+        val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        while (!cond && System.nanoTime() < deadline) {
+          q.processAllAvailable()
+          Thread.sleep(50)
+        }
+        assert(cond, "condition not reached within timeout")
+      }
+      waitFor(sink.lastSequence.contains(0x3fL))
+      // a checkpoint lands while the query is live: the next poll's
+      // latestOffset advances and the tail ingests it
+      writeCheckpoint(archive, 0x7fL)
+      waitFor(sink.lastSequence.contains(0x7fL))
+      assert(sink.completed === Seq("0000003f", "0000007f"))
+      assert(spark.read.option("header", "false").csv(s"$out/ledgers").count() === 2)
+    } finally q.stop()
+  }
+
   test("custom MicroBatchStream source: seq offsets, AvailableNow drain, restart resume") {
     val archive = Files.createTempDirectory("graft-stream-arch").toString
     val out = Files.createTempDirectory("graft-stream-out").toString
