@@ -23,7 +23,14 @@ object CustomFns {
     },
     // Typed Aggregator with bounded per-group state (top-3 values).
     // Output serialized via Cols.djoin: the driver's comparator cannot
-    // hash a raw array<double> cell (round-2 gate error).
+    // hash a raw array<double> cell (round-2 gate error). The djoin
+    // DECIMAL(28,12) rendering is guaranteed exact here because
+    // events.value carries 2 decimal digits (verified over the full
+    // table), far from the documented ~1-ulp-of-a-rounding-boundary
+    // window where Spark's shortest-decimal HALF_UP and DuckDB's
+    // exact-binary rounding could diverge; a wider scale would not help
+    // (beyond ~15 fractional digits the two rounding sources disagree
+    // systematically, e.g. on 0.1).
     "n3_topk_agg" -> { (s, d) =>
       val topk = udaf(new TopKDoubles(3))
       Tables.events(s, d)

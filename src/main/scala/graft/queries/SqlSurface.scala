@@ -63,7 +63,11 @@ object SqlSurface {
     },
     // Array function family over constructed arrays. Array-typed outputs
     // are serialized via Cols.djoin — the driver's comparator cannot hash
-    // raw array cells (round-2 gate errors on t14/t18/t19/n3).
+    // raw array cells (round-2 gate errors on t14/t18/t19/n3). COVERAGE
+    // NOTE: the hash gate therefore verifies the string rendering, not
+    // array-typed delivery itself; ArraySurfaceSpec closes that gap by
+    // asserting the pre-join values and element types of every array
+    // column these suites produce.
     "t14_array_suite" -> { (s, d) =>
       Tables.lineitem(s, d)
         .filter(col("l_orderkey") < 200)
