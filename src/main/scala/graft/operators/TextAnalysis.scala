@@ -152,6 +152,69 @@ object TextAnalysis {
         .withColumn("offset_in_chunk", col("cum_before") % B)
         .orderBy("doc_id")
     },
+    // Repetition signals (the published web-corpus quality heuristics:
+    // duplicate-token and duplicate-n-gram fractions flag boilerplate /
+    // keyword-stuffed pages). Per doc: distinct-token ratio, the mass of
+    // the single most frequent token, and the duplicate-3-gram fraction
+    // (1 − distinct/total 3-grams). One explode + two map-side-combinable
+    // aggs keyed by doc_id — embarrassingly parallel at 100 TB; all
+    // ratios are long/long double divisions (correctly rounded in both
+    // engines, no decimal routing needed).
+    "x9_repetition" -> { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      val docs = Tables.documents(s, d)
+      val wc = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("cnt"))
+      val perDoc = wc.groupBy("doc_id").agg(
+        sum(col("cnt")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max(col("cnt")).as("top_cnt"))
+      docs.select(col("doc_id"),
+          size(call_function("word_shingles", col("text"))).cast("long").as("n_distinct_3grams"))
+        .join(perDoc, "doc_id")
+        .withColumn("distinct_ratio",
+          col("n_distinct").cast("double") / col("n_tokens").cast("double"))
+        .withColumn("top_token_frac",
+          col("top_cnt").cast("double") / col("n_tokens").cast("double"))
+        .withColumn("dup_3gram_frac",
+          when(col("n_tokens") > 2,
+            lit(1.0) - col("n_distinct_3grams").cast("double") /
+              (col("n_tokens") - 2).cast("double"))
+            .otherwise(lit(0.0)))
+        .withColumn("is_repetitive",
+          col("top_token_frac") > 0.2 || col("dup_3gram_frac") > 0.3)
+        .select("doc_id", "n_tokens", "n_distinct", "distinct_ratio",
+          "top_token_frac", "dup_3gram_frac", "is_repetitive")
+        .orderBy("doc_id")
+    },
+    // Corpus unigram language-model quality score: every token scores
+    // ln p(w) under the corpus unigram distribution; a document's score
+    // is the mean. Low scores → rare-token soup (lorem-ipsum, code,
+    // mojibake); the cheap statistical stand-in for model-based fluency
+    // filtering. Each ln is rounded to 9 digits BEFORE the decimal-exact
+    // per-doc sum (the x7 pattern — summing raw libm values first would
+    // accumulate cross-engine ulps past the rounding guard). Shape at
+    // 100 TB: explode → combinable vocab agg, vocabulary-sized logp dim
+    // joined back on term, one combinable per-doc re-agg.
+    "x10_unigram_lm" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      val cnts = toks.groupBy("word").agg(count(lit(1)).as("cnt"))
+      val total = toks.agg(count(lit(1)).as("total"))
+      val logp = cnts.crossJoin(broadcast(total))
+        .select(col("word"),
+          round(log(col("cnt").cast("double") / col("total").cast("double")), 9).as("lp"))
+      toks.join(logp, "word")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          // DECIMAL(28,12): scale 12 holds the 9-digit-rounded lp exactly
+          // (Cols.Dec's scale 6 would re-round it)
+          (sum(col("lp").cast(org.apache.spark.sql.types.DecimalType(28, 12))).cast("double") /
+            count(lit(1)).cast("double")).as("avg_logp"))
+        .withColumn("is_fluent", col("avg_logp") > -7.0)
+        .orderBy("doc_id")
+    },
     // Fingerprint: md5 over the sorted distinct token set (key-collision
     // clustering); canonical doc per fingerprint via window min.
     "x4_fingerprint" -> { (s, d) =>
@@ -242,6 +305,43 @@ object TextAnalysis {
          |SELECT doc_id, lang, n_tokens, shard, cum_before,
          |  cum_before // 512 AS chunk_id, cum_before % 512 AS offset_in_chunk
          |FROM c ORDER BY doc_id""".stripMargin,
+    "x9_repetition" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |wc AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY doc_id, word),
+        |pd AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+        |    CAST(count(*) AS BIGINT) AS n_distinct, MAX(cnt) AS top_cnt
+        |  FROM wc GROUP BY doc_id),
+        |w AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |shraw AS (SELECT doc_id, unnest(generate_series(1, len(l)-2)) AS i, l FROM w),
+        |sh AS (SELECT doc_id, CAST(count(DISTINCT l[i] || ' ' || l[i+1] || ' ' || l[i+2]) AS BIGINT)
+        |    AS n_distinct_3grams
+        |  FROM shraw GROUP BY doc_id),
+        |j AS (SELECT p.doc_id, n_tokens, n_distinct, top_cnt,
+        |    COALESCE(n_distinct_3grams, 0) AS n_distinct_3grams
+        |  FROM pd p LEFT JOIN sh USING (doc_id))
+        |SELECT doc_id, n_tokens, n_distinct,
+        |  CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS distinct_ratio,
+        |  CAST(top_cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS top_token_frac,
+        |  CASE WHEN n_tokens > 2
+        |    THEN 1.0 - CAST(n_distinct_3grams AS DOUBLE) / CAST(n_tokens - 2 AS DOUBLE)
+        |    ELSE 0.0 END AS dup_3gram_frac,
+        |  (CAST(top_cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE) > 0.2 OR
+        |   (CASE WHEN n_tokens > 2
+        |      THEN 1.0 - CAST(n_distinct_3grams AS DOUBLE) / CAST(n_tokens - 2 AS DOUBLE)
+        |      ELSE 0.0 END) > 0.3) AS is_repetitive
+        |FROM j ORDER BY doc_id""".stripMargin,
+    "x10_unigram_lm" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |cnts AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY word),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM toks),
+        |logp AS (SELECT word,
+        |    round(ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)), 9) AS lp
+        |  FROM cnts, tot)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(CAST(lp AS DECIMAL(28,12))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_logp,
+        |  CAST(SUM(CAST(lp AS DECIMAL(28,12))) AS DOUBLE) / CAST(count(*) AS DOUBLE) > -7.0 AS is_fluent
+        |FROM toks JOIN logp USING (word)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "x4_fingerprint" ->
       """WITH f AS (
         |  SELECT doc_id,
