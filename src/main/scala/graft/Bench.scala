@@ -76,6 +76,7 @@ object Bench {
     graft.operators.Dedup.ensureStores(spark, sfDir)
     graft.operators.Similarity.ensureStores(spark, sfDir)
     graft.operators.Ivf.ensureStores(spark, sfDir)
+    graft.operators.Pq.ensureStores(spark, sfDir)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to Runs).map { _ =>
         val t0 = System.nanoTime()

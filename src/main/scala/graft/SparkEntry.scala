@@ -27,6 +27,7 @@ object SparkEntry {
       graft.operators.Similarity.queries ++
       graft.operators.Similarity.queries2 ++
       graft.operators.Ivf.queries ++
+      graft.operators.Pq.queries ++
       graft.operators.TextAnalysis.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -41,5 +42,6 @@ object SparkEntry {
       graft.operators.Similarity.oracles ++
       graft.operators.Similarity.oracles2 ++
       graft.operators.Ivf.oracles ++
+      graft.operators.Pq.oracles ++
       graft.operators.TextAnalysis.oracles
 }

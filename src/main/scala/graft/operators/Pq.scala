@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Product quantization (n7): the third rung of the vector-compression
+  * ladder (n5 int8 scalar → n4/n6 coarse cells → PQ codes), and the
+  * serving dataflow of inverted-file-with-PQ systems.
+  *
+  * The 64-dim space splits into [[M]] 8-dim subspaces; each subspace has
+  * its own [[K]]-entry codebook (here the decimal-exact per-label
+  * sub-centroids — deterministic in both engines, same seeding rationale
+  * as the n4 coarse quantizer; n6 shows the trained path). A vector is
+  * stored as M small codes (nearest sub-centroid per subspace, stable
+  * (d2, code) tie-break) — 8 bytes instead of 256, which is what makes a
+  * 100 TB embedding store scannable.
+  *
+  * Query time is asymmetric distance computation (ADC): one tiny
+  * distance table (M×K decimal-exact squared distances from the query's
+  * subvectors to every codebook entry) is joined against the codes store
+  * and summed per vector — the corpus-side work is a scan of the code
+  * table plus two broadcast joins; no float vectors are touched until
+  * nothing needs re-ranking. Distances stay DECIMAL(28,12) end-to-end in
+  * BOTH engines (summing them as doubles would reorder across engines;
+  * recasting a decimal-born double back to decimal risks the documented
+  * shortest-decimal-vs-exact-binary window at 15+ significant digits).
+  *
+  * Ingest artifacts (one-time per (JVM, dataset), Bench warm-up builds
+  * them): `codebook` parquet (M×K×8 rows) + `codes` parquet (M rows per
+  * vector).
+  */
+object Pq {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val Dec12 = DecimalType(28, 12)
+  private val M = 8        // subspaces
+  private val SubDim = 8   // dims per subspace (64 total)
+
+  private val pqCache =
+    scala.collection.concurrent.TrieMap.empty[String, (DataFrame, DataFrame)]
+
+  /** Exploded corpus with subspace index: (vec_id, label, m, dim, v). */
+  private def ex(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), col("label"), posexplode(col("embedding")))
+      .withColumnRenamed("pos", "dim")
+      .withColumnRenamed("col", "v")
+      .withColumn("m", expr(s"dim div $SubDim"))
+
+  /** `(codebook, codes)` — codebook (m, code, dim, c); codes (vec_id, m,
+    * code) with one code per (vector, subspace).
+    */
+  private def pqStore(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    pqCache.getOrElseUpdate(d, {
+      val out = java.nio.file.Files.createTempDirectory("graft-pq").toString
+      val e = Tables.embeddings(s, d)
+      val exd = ex(e)
+      val cb = exd.groupBy(col("m"), col("label").as("code"), col("dim"))
+        .agg((sum(col("v").cast("double").cast(Dec12)).cast("double") /
+          count(lit(1)).cast("double")).as("c"))
+      cb.coalesce(1).write.mode("overwrite").parquet(s"$out/codebook")
+      val cbr = s.read.parquet(s"$out/codebook")
+      // encode: per (vector, subspace) nearest sub-centroid
+      val vd = col("v").cast("double")
+      val dist = exd.join(broadcast(cbr), Seq("m", "dim"))
+        .groupBy(col("vec_id"), col("m"), col("code"))
+        .agg(sum(((vd - col("c")) * (vd - col("c"))).cast(Dec12))
+          .cast("double").as("d2"))
+      val w = Window.partitionBy("vec_id", "m").orderBy(col("d2"), col("code"))
+      dist.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("vec_id", "m", "code")
+        .write.mode("overwrite").parquet(s"$out/codes")
+      (cbr, s.read.parquet(s"$out/codes"))
+    })
+
+  def ensureStores(s: SparkSession, d: String): Unit = { pqStore(s, d); () }
+
+  def queries: Map[String, Q] = Map(
+    "n7_ann_pq" -> { (s, d) =>
+      val (cb, codes) = pqStore(s, d)
+      // ADC distance table: M×K decimal squared distances from the
+      // query's subvectors to every codebook entry — stays DECIMAL so
+      // the per-vector sum is order-independent in both engines.
+      val q = Tables.embeddings(s, d).filter(col("vec_id") === 0)
+        .select(posexplode(col("embedding")))
+        .withColumnRenamed("pos", "dim")
+        .withColumnRenamed("col", "qv")
+        .select(col("dim"), col("qv").cast("double").as("qv"))
+      val qtab = cb.join(broadcast(q), "dim")
+        .groupBy(col("m"), col("code"))
+        .agg(sum(((col("qv") - col("c")) * (col("qv") - col("c"))).cast(Dec12)).as("d2"))
+      codes.filter(col("vec_id") =!= 0)
+        .join(broadcast(qtab), Seq("m", "code"))
+        .groupBy("vec_id")
+        .agg(sum(col("d2")).cast("double").as("approx_d2"))
+        .orderBy(col("approx_d2"), col("vec_id"))
+        .limit(10)
+    }
+  )
+
+  def oracles: Map[String, String] = Map(
+    "n7_ann_pq" ->
+      s"""WITH ex AS (
+         |  SELECT vec_id, label, generate_subscripts(embedding, 1) - 1 AS dim, unnest(embedding) AS v
+         |  FROM embeddings),
+         |exm AS (SELECT vec_id, label, dim, dim // $SubDim AS m, v FROM ex),
+         |cb AS (
+         |  SELECT m, label AS code, dim,
+         |    CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
+         |      / CAST(COUNT(*) AS DOUBLE) AS c
+         |  FROM exm GROUP BY m, label, dim),
+         |dist AS (
+         |  SELECT e.vec_id, c.m, c.code,
+         |    CAST(SUM(CAST((CAST(e.v AS DOUBLE) - c.c) * (CAST(e.v AS DOUBLE) - c.c)
+         |      AS DECIMAL(28,12))) AS DOUBLE) AS d2
+         |  FROM exm e JOIN cb c ON e.m = c.m AND e.dim = c.dim
+         |  GROUP BY e.vec_id, c.m, c.code),
+         |codes AS (SELECT vec_id, m, code FROM (
+         |    SELECT vec_id, m, code, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, code) AS rn
+         |    FROM dist) WHERE rn = 1),
+         |qx AS (SELECT dim, CAST(v AS DOUBLE) AS qv FROM exm WHERE vec_id = 0),
+         |qtab AS (
+         |  SELECT c.m, c.code,
+         |    CAST(SUM(CAST((qv - c.c) * (qv - c.c) AS DECIMAL(28,12))) AS DECIMAL(28,12)) AS d2
+         |  FROM cb c JOIN qx USING (dim) GROUP BY c.m, c.code)
+         |SELECT c.vec_id, CAST(SUM(q.d2) AS DOUBLE) AS approx_d2
+         |FROM codes c JOIN qtab q ON c.m = q.m AND c.code = q.code
+         |WHERE c.vec_id <> 0
+         |GROUP BY c.vec_id
+         |ORDER BY approx_d2, c.vec_id LIMIT 10""".stripMargin
+  )
+}
