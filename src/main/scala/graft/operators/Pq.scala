@@ -18,14 +18,19 @@ import graft.Tables
   * (d2, code) tie-break) — 8 bytes instead of 256, which is what makes a
   * 100 TB embedding store scannable.
   *
-  * Query time is asymmetric distance computation (ADC): one tiny
-  * distance table (M×K decimal-exact squared distances from the query's
-  * subvectors to every codebook entry) is joined against the codes store
-  * and summed per vector — the corpus-side work is a scan of the code
-  * table plus two broadcast joins; no float vectors are touched until
-  * nothing needs re-ranking. Distances stay DECIMAL(28,12) end-to-end in
-  * BOTH engines (summing them as doubles would reorder across engines;
-  * recasting a decimal-born double back to decimal risks the documented
+  * Query time is asymmetric distance computation (ADC) + refine: one
+  * tiny distance table (M×K decimal-exact squared distances from the
+  * query's subvectors to every codebook entry) is joined against the
+  * codes store and summed per vector; the [[ShortlistR]] best by
+  * approximate distance are then re-ranked with the exact cosine — the
+  * standard two-stage PQ serving shape, because quantization collapses
+  * within-cell distinctions (vectors sharing all M codes tie exactly;
+  * AnnRecallSpec shows the shortlist-then-refine stage is what restores
+  * recall). The corpus-side work is a scan of the code table plus two
+  * broadcast joins; float vectors are touched only for the R shortlist
+  * rows. ADC distances stay DECIMAL(28,12) end-to-end in BOTH engines
+  * (summing them as doubles would reorder across engines; recasting a
+  * decimal-born double back to decimal risks the documented
   * shortest-decimal-vs-exact-binary window at 15+ significant digits).
   *
   * Ingest artifacts (one-time per (JVM, dataset), Bench warm-up builds
@@ -38,6 +43,7 @@ object Pq {
   private val Dec12 = DecimalType(28, 12)
   private val M = 8        // subspaces
   private val SubDim = 8   // dims per subspace (64 total)
+  private val ShortlistR = 50 // ADC shortlist size re-ranked exactly
 
   private val pqCache =
     scala.collection.concurrent.TrieMap.empty[String, (DataFrame, DataFrame)]
@@ -91,11 +97,24 @@ object Pq {
       val qtab = cb.join(broadcast(q), "dim")
         .groupBy(col("m"), col("code"))
         .agg(sum(((col("qv") - col("c")) * (col("qv") - col("c"))).cast(Dec12)).as("d2"))
-      codes.filter(col("vec_id") =!= 0)
+      val shortlist = codes.filter(col("vec_id") =!= 0)
         .join(broadcast(qtab), Seq("m", "code"))
         .groupBy("vec_id")
         .agg(sum(col("d2")).cast("double").as("approx_d2"))
         .orderBy(col("approx_d2"), col("vec_id"))
+        .limit(ShortlistR)
+      // refine: exact cosine on the R shortlist rows only
+      graft.functions.GraftFunctions.register(s)
+      val e = Tables.embeddings(s, d)
+        .withColumn("norm", sqrt(graft.Cols.fastDot(col("embedding"), col("embedding"))))
+      val qrow = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qemb"), col("norm").as("qn"))
+      e.join(broadcast(shortlist.select("vec_id")), "vec_id")
+        .crossJoin(broadcast(qrow))
+        .withColumn("cos",
+          graft.Cols.fastDot(col("embedding"), col("qemb")) / (col("norm") * col("qn")))
+        .select("vec_id", "label", "cos")
+        .orderBy(col("cos").desc, col("vec_id"))
         .limit(10)
     }
   )
@@ -124,11 +143,16 @@ object Pq {
          |qtab AS (
          |  SELECT c.m, c.code,
          |    CAST(SUM(CAST((qv - c.c) * (qv - c.c) AS DECIMAL(28,12))) AS DECIMAL(28,12)) AS d2
-         |  FROM cb c JOIN qx USING (dim) GROUP BY c.m, c.code)
-         |SELECT c.vec_id, CAST(SUM(q.d2) AS DOUBLE) AS approx_d2
-         |FROM codes c JOIN qtab q ON c.m = q.m AND c.code = q.code
-         |WHERE c.vec_id <> 0
-         |GROUP BY c.vec_id
-         |ORDER BY approx_d2, c.vec_id LIMIT 10""".stripMargin
+         |  FROM cb c JOIN qx USING (dim) GROUP BY c.m, c.code),
+         |shortlist AS (
+         |  SELECT c.vec_id, CAST(SUM(q.d2) AS DOUBLE) AS approx_d2
+         |  FROM codes c JOIN qtab q ON c.m = q.m AND c.code = q.code
+         |  WHERE c.vec_id <> 0
+         |  GROUP BY c.vec_id
+         |  ORDER BY approx_d2, c.vec_id LIMIT $ShortlistR),
+         |q AS (SELECT embedding AS qemb FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id, e.label, ${graft.Cols.cosineSql("e.embedding", "qemb")} AS cos
+         |FROM embeddings e JOIN shortlist s ON e.vec_id = s.vec_id, q
+         |ORDER BY cos DESC, e.vec_id LIMIT 10""".stripMargin
   )
 }
