@@ -372,10 +372,40 @@ object Dedup {
         .filter(col("hamming") <= 1)
         .select("doc_a", "doc_b", "hamming")
         .orderBy("doc_a", "doc_b")
+    },
+    // Per-source dedup report — the sweep a pipeline runs before
+    // training to decide where its duplicate mass lives: per `source`,
+    // exact-duplicate rate (distinct md5(text)) and token-set-duplicate
+    // rate (x4's order/multiplicity-insensitive fingerprint). One scan,
+    // one combinable agg keyed by source; count(DISTINCT md5) is
+    // two-level-agg-able at 100 TB (Spark plans it as such).
+    "d9_dedup_stats" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("source"), md5(col("text")).as("th"),
+          md5(array_join(array_sort(array_distinct(split(col("text"), " "))), " ")).as("fp"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("th")).as("n_unique_texts"),
+          countDistinct(col("fp")).as("n_unique_tokensets"))
+        .withColumn("exact_dup_rate",
+          lit(1.0) - col("n_unique_texts").cast("double") / col("n_docs").cast("double"))
+        .withColumn("tokenset_dup_rate",
+          lit(1.0) - col("n_unique_tokensets").cast("double") / col("n_docs").cast("double"))
+        .orderBy("source")
     }
   )
 
   def oracles2: Map[String, String] = Map(
+    "d9_dedup_stats" ->
+      """WITH f AS (SELECT source, md5(text) AS th,
+        |    md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+        |  FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT th) AS BIGINT) AS n_unique_texts,
+        |  CAST(count(DISTINCT fp) AS BIGINT) AS n_unique_tokensets,
+        |  1.0 - CAST(count(DISTINCT th) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS exact_dup_rate,
+        |  1.0 - CAST(count(DISTINCT fp) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS tokenset_dup_rate
+        |FROM f GROUP BY source ORDER BY source""".stripMargin,
     "d8_contamination" ->
       s"""WITH $shinglesCte,
          |a AS (SELECT doc_id,
