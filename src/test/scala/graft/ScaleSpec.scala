@@ -132,6 +132,34 @@ class ScaleSpec extends AnyFunSuite {
     assert(!plan.contains("REPARTITION_BY_COL"), s"no recurring repartition:\n$plan")
   }
 
+  test("runtime bloom filter from a selective dim prunes the fact side") {
+    val d = "/root/testdata/sf0.001"
+    val prev = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> spark.conf.get("spark.sql.autoBroadcastJoinThreshold"),
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" ->
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled"),
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" ->
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"))
+    // disable broadcast so the join is SMJ (where a runtime filter pays),
+    // and drop the application-side size threshold (default 10GB) so the
+    // optimizer injects the filter at test scale
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    try {
+      val o = Tables.orders(spark, d).filter(col("o_orderpriority") === "1-URGENT")
+      val li = Tables.lineitem(spark, d)
+      val joined = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .select("l_orderkey", "l_quantity", "o_orderpriority")
+      val plan = joined.queryExecution.executedPlan.toString
+      // the selective dim side builds a bloom filter that is pushed into
+      // the fact scan — at 100 TB this skips most of the fact read for
+      // selective dims too big to broadcast
+      assert(plan.contains("might_contain"), s"expected runtime bloom filter in:\n$plan")
+      assert(joined.count() > 0)
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("ledger= layout prunes partitions at read time") {
     val out = Files.createTempDirectory("graft-prune").toString
     Tables.orders(spark, "/root/testdata/sf0.001")
