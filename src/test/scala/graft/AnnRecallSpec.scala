@@ -67,5 +67,10 @@ class AnnRecallSpec extends AnyFunSuite {
     // multi-probe (also scan the buckets at Hamming distance 1, i.e.
     // flip the weakest sign bits), which multiplies probes, not state.
     assert(recall("n2_ann_lsh") >= 0.2, s"n2 recall ${recall("n2_ann_lsh")}")
+    // n8 probes the query bucket + its 8 Hamming-1 neighbors: recall must
+    // strictly improve on the single probe at 9× the pruned scan.
+    assert(recall("n8_ann_multiprobe") > recall("n2_ann_lsh"),
+      s"n8 ${recall("n8_ann_multiprobe")} vs n2 ${recall("n2_ann_lsh")}")
+    assert(recall("n8_ann_multiprobe") >= 0.5, s"n8 recall ${recall("n8_ann_multiprobe")}")
   }
 }
