@@ -215,6 +215,45 @@ object TextAnalysis {
         .withColumn("is_fluent", col("avg_logp") > -7.0)
         .orderBy("doc_id")
     },
+    // End-to-end corpus pipeline — the composed user story of the
+    // training-data engine, as ONE declarative plan Catalyst optimizes
+    // whole: exact-dedup (keep the min-doc_id canonical per md5(text)
+    // group) → quality filter (x2's score ≥ 0.35 — the corpus median is ~0.37, so the gate keeps a meaningful survivor set) → sequence packing of
+    // the SURVIVORS (x8's (lang, shard)-keyed prefix sum — chunk ids
+    // shift as upstream stages drop docs, which is why packing must run
+    // last). Three chained stages, three shuffles (dedup window, the
+    // packing window; the quality stage is narrow) — at 100 TB each
+    // stage is the already-audited shape of its standalone operator.
+    "x11_pipeline" -> { (s, d) =>
+      val B = 512
+      val canonical = Window.partitionBy(md5(col("text")))
+      val surv = Tables.documents(s, d)
+        .withColumn("canonical_doc", min(col("doc_id")).over(canonical))
+        .filter(col("doc_id") === col("canonical_doc"))
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("text"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
+          length(regexp_replace(col("text"), "[^a-z]", "")).cast("long").as("n_alpha"),
+          regexp_count(col("text"), lit(StopRe)).cast("long").as("stop_hits"))
+        .withColumn("quality_score",
+          least(col("n_tokens").cast("double") / 300.0, lit(1.0)) * 0.5 +
+            least(col("n_alpha").cast("double") / col("n_tokens").cast("double") / 5.0,
+              lit(1.0)) * 0.2 +
+            least(col("stop_hits").cast("double") / col("n_tokens").cast("double") * 5.0,
+              lit(1.0)) * 0.3)
+        .filter(col("quality_score") >= 0.35)
+      val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      surv
+        .withColumn("shard",
+          conv(substring(md5(concat(lit("pk|"), col("doc_id").cast("string"))), 1, 2), 16, 10)
+            .cast("long") % NumPackShards)
+        .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .withColumn("chunk_id", expr(s"cum_before div $B"))
+        .withColumn("offset_in_chunk", col("cum_before") % B)
+        .select("doc_id", "lang", "n_tokens", "quality_score", "shard",
+          "cum_before", "chunk_id", "offset_in_chunk")
+        .orderBy("doc_id")
+    },
     // Fingerprint: md5 over the sorted distinct token set (key-collision
     // clustering); canonical doc per fingerprint via window min.
     "x4_fingerprint" -> { (s, d) =>
@@ -246,6 +285,34 @@ object TextAnalysis {
          |FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
          |ORDER BY d.doc_id""".stripMargin
     },
+    "x11_pipeline" ->
+      s"""WITH c AS (
+         |  SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_doc
+         |  FROM documents),
+         |s1 AS (
+         |  SELECT doc_id, lang,
+         |    CAST(length(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+         |    CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT) AS n_alpha,
+         |    CAST(length(regexp_extract_all(text, '$StopRe')) AS BIGINT) AS stop_hits
+         |  FROM c WHERE doc_id = canonical_doc),
+         |s2 AS (
+         |  SELECT doc_id, lang, n_tokens,
+         |    least(CAST(n_tokens AS DOUBLE) / 300.0, 1.0) * 0.5 +
+         |      least(CAST(n_alpha AS DOUBLE) / CAST(n_tokens AS DOUBLE) / 5.0, 1.0) * 0.2 +
+         |      least(CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 5.0, 1.0) * 0.3
+         |      AS quality_score
+         |  FROM s1),
+         |s3 AS (
+         |  SELECT *, CAST(('0x' || substr(md5('pk|' || CAST(doc_id AS VARCHAR)), 1, 2)) AS BIGINT)
+         |      % $NumPackShards AS shard
+         |  FROM s2 WHERE quality_score >= 0.35),
+         |p AS (
+         |  SELECT *, CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+         |  FROM s3)
+         |SELECT doc_id, lang, n_tokens, quality_score, shard, cum_before,
+         |  cum_before // 512 AS chunk_id, cum_before % 512 AS offset_in_chunk
+         |FROM p ORDER BY doc_id""".stripMargin,
     "x2_quality_score" ->
       s"""WITH base AS (
          |  SELECT doc_id, n_chars,
