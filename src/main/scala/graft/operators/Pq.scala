@@ -97,22 +97,28 @@ object Pq {
       val qtab = cb.join(broadcast(q), "dim")
         .groupBy(col("m"), col("code"))
         .agg(sum(((col("qv") - col("c")) * (col("qv") - col("c"))).cast(Dec12)).as("d2"))
+      // shortlist resolved to literals driver-side (R longs — the same
+      // serving-path pattern as n2's bucket / n4's cells), so the float
+      // re-rank is a pushed-filter point read of R rows, not a join
       val shortlist = codes.filter(col("vec_id") =!= 0)
         .join(broadcast(qtab), Seq("m", "code"))
         .groupBy("vec_id")
         .agg(sum(col("d2")).cast("double").as("approx_d2"))
         .orderBy(col("approx_d2"), col("vec_id"))
         .limit(ShortlistR)
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
       // refine: exact cosine on the R shortlist rows only
       graft.functions.GraftFunctions.register(s)
-      val e = Tables.embeddings(s, d)
+      val qarr = Tables.embeddings(s, d).filter(col("vec_id") === 0)
+        .select("embedding").head.getSeq[Float](0).toArray
+      def ad(a: Array[Float]) =
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(a.map(x => x: Any))
+      val qn = math.sqrt(graft.functions.DecimalDot.dot(ad(qarr), ad(qarr)))
+      Tables.embeddings(s, d)
+        .filter(col("vec_id").isin(shortlist: _*))
         .withColumn("norm", sqrt(graft.Cols.fastDot(col("embedding"), col("embedding"))))
-      val qrow = e.filter(col("vec_id") === 0)
-        .select(col("embedding").as("qemb"), col("norm").as("qn"))
-      e.join(broadcast(shortlist.select("vec_id")), "vec_id")
-        .crossJoin(broadcast(qrow))
         .withColumn("cos",
-          graft.Cols.fastDot(col("embedding"), col("qemb")) / (col("norm") * col("qn")))
+          graft.Cols.fastDot(col("embedding"), typedLit(qarr)) / (col("norm") * lit(qn)))
         .select("vec_id", "label", "cos")
         .orderBy(col("cos").desc, col("vec_id"))
         .limit(10)
