@@ -31,6 +31,8 @@ final case class MediaRow(media_id: Long, meta: MediaMeta, content: Array[Byte])
 
 final case class Frame(media_id: Long, frame_index: Int, width: Int, height: Int, pixels: Array[Byte])
 final case class MediaFeatures(media_id: Long, modality: String, feature: Array[Float])
+final case class FrameHash(media_id: Long, frame_index: Int, dhash: String)
+final case class MediaFingerprint(media_id: Long, media_fp: String, canonical_media: Long)
 
 /** Decode stub: deterministic byte expansion standing in for a real
   * image/video codec (??? boundary of this module).
@@ -115,6 +117,56 @@ object Multimodal {
       }
       Frame(fr.media_id, fr.frame_index, outW, outH, out)
     })
+
+  /** Difference hash (dHash) per frame: one bit per horizontally
+    * adjacent R-channel pixel pair ((w−1)×h bits) — the standard
+    * perceptual fingerprint: with a REAL codec, visually near-identical
+    * images keep most bits and land within small Hamming distance (the
+    * d6 pigeonhole machinery then finds near-dup pairs). With
+    * [[FakeCodec]]'s avalanche expansion only EXACT content collides —
+    * the spec exercises that path; the plumbing is codec-independent.
+    */
+  def dhash(frames: Dataset[Frame]): Dataset[FrameHash] = {
+    import frames.sparkSession.implicits._
+    frames.mapPartitions(_.map { fr =>
+      val sb = new StringBuilder((fr.width - 1) * fr.height)
+      var y = 0
+      while (y < fr.height) {
+        var x = 0
+        while (x < fr.width - 1) {
+          val a = fr.pixels((y * fr.width + x) * 3) & 0xff
+          val b = fr.pixels((y * fr.width + x + 1) * 3) & 0xff
+          sb.append(if (a > b) '1' else '0')
+          x += 1
+        }
+        y += 1
+      }
+      FrameHash(fr.media_id, fr.frame_index, sb.toString)
+    })
+  }
+
+  /** Media-level dedup bridge into the d1/d7 family: per-media
+    * fingerprint = md5 over the frame-order-joined dHashes (frame order
+    * restored explicitly — `mapGroups` iterators carry no order
+    * guarantee), canonical = min media_id per fingerprint. One combinable
+    * group per media + one hash-shuffle on the fingerprint — the d1
+    * shape, with media_fp standing in for md5(text).
+    */
+  def dedupByFingerprint(hashes: Dataset[FrameHash]): Dataset[MediaFingerprint] = {
+    import hashes.sparkSession.implicits._
+    val perMedia = hashes.groupByKey(_.media_id).mapGroups { (id, hs) =>
+      val joined = hs.toSeq.sortBy(_.frame_index).map(_.dhash).mkString("|")
+      val md = MessageDigest.getInstance("MD5")
+      val fp = md.digest(joined.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (id, fp)
+    }.toDF("media_id", "media_fp")
+    import org.apache.spark.sql.functions.{col, min}
+    import org.apache.spark.sql.expressions.Window
+    perMedia
+      .withColumn("canonical_media",
+        min(col("media_id")).over(Window.partitionBy(col("media_fp"))))
+      .as[MediaFingerprint]
+  }
 
   /** Feature extraction: per-channel means + an 8-bin luma histogram →
     * 11-dim float feature, averaged over a medium's frames.

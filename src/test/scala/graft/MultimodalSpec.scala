@@ -36,6 +36,31 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.pixels((y * 4 + x) * 3) === full.pixels((sy * full.width + sx) * 3))
   }
 
+  test("dHash fingerprints group exact-content media; dedup picks min-id canonical") {
+    import spark.implicits._
+    // media 0 and 5 share identical content bytes → identical frames →
+    // identical dHashes → one dedup group; everything else is singleton
+    val base = Multimodal.syntheticMedia(spark, 5).collect()
+    val dup = base(0).copy(media_id = 5L)
+    val media = spark.createDataset(base.toSeq :+ dup).repartition(3)
+    val hashes = Multimodal.dhash(Multimodal.decode(media, FakeCodec))
+    val fps = Multimodal.dedupByFingerprint(hashes).collect()
+    assert(fps.length === 6)
+    val byId = fps.map(f => f.media_id -> f).toMap
+    assert(byId(5L).media_fp === byId(0L).media_fp)
+    assert(byId(5L).canonical_media === 0L) // dup resolves to the min id
+    assert(byId(0L).canonical_media === 0L)
+    assert(fps.filter(f => f.media_id != 5L).forall(f => f.canonical_media == f.media_id))
+    // dhash shape: (w−1)×h bits per frame
+    val h = hashes.collect()
+    assert(h.forall(x => x.dhash.length === 7 * 6 && x.dhash.forall(c => c == '0' || c == '1')))
+    // deterministic across partitionings (groupBy order independence)
+    val fps2 = Multimodal.dedupByFingerprint(
+      Multimodal.dhash(Multimodal.decode(media.repartition(1), FakeCodec)))
+      .collect().map(f => (f.media_id, f.media_fp, f.canonical_media)).sortBy(_._1)
+    assert(fps2.toSeq === fps.map(f => (f.media_id, f.media_fp, f.canonical_media)).sortBy(_._1).toSeq)
+  }
+
   test("features: 11-dim vector, channel means in [0,1], histogram sums to 1") {
     val media = Multimodal.syntheticMedia(spark, 6)
     val feats = Multimodal.features(Multimodal.decode(media, FakeCodec)).collect()
