@@ -138,6 +138,38 @@ object SqlSurface {
           |  WHERE l_orderkey = o.o_orderkey AND l_quantity > 45)
           |ORDER BY o_orderkey""".stripMargin)
     },
+    // Correlated-subquery family beyond q3: NOT EXISTS (anti), IN
+    // (semi), and a correlated scalar aggregate — Catalyst decorrelates
+    // all three into joins (anti/semi/aggregated-left), so at 100 TB
+    // they plan as the j5/j6 shapes, not per-row probes.
+    "q4_correlated" -> { (s, d) =>
+      Tables.customer(s, d).createOrReplaceTempView("customer_cq")
+      Tables.orders(s, d).createOrReplaceTempView("orders_cq")
+      Tables.nation(s, d).createOrReplaceTempView("nation_cq")
+      s.sql(
+        """SELECT c_custkey, c_acctbal, c_nationkey
+          |FROM customer_cq c
+          |WHERE NOT EXISTS (SELECT 1 FROM orders_cq
+          |    WHERE o_custkey = c.c_custkey AND o_orderpriority = '1-URGENT')
+          |  AND c_nationkey IN (SELECT n_nationkey FROM nation_cq WHERE n_regionkey <= 2)
+          |  AND c_acctbal > (SELECT CAST(avg(CAST(c2.c_acctbal AS DECIMAL(28,6))) AS DOUBLE)
+          |    FROM customer_cq c2 WHERE c2.c_nationkey = c.c_nationkey)
+          |ORDER BY c_custkey""".stripMargin)
+    },
+    // Event-time RANGE window frame: per-user rolling 1-hour sums — the
+    // frame is defined by the ORDER BY value (timestamp interval), not
+    // row counts, so ties and gaps behave identically in both engines.
+    "w8_range_interval" -> { (s, d) =>
+      Tables.events(s, d).createOrReplaceTempView("events_rw")
+      s.sql(
+        """SELECT event_id, user_id, ts,
+          |  CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE) AS rolling_sum,
+          |  COUNT(*) OVER w AS rolling_n
+          |FROM events_rw
+          |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+          |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+          |ORDER BY event_id""".stripMargin)
+    },
     // Hash function family (S4's sha-256 + the md5 the dedup keys use).
     "t15_hash_suite" -> { (s, d) =>
       Tables.documents(s, d)
@@ -344,6 +376,23 @@ object SqlSurface {
         |WHERE EXISTS (SELECT 1 FROM lineitem
         |  WHERE l_orderkey = o.o_orderkey AND l_quantity > 45)
         |ORDER BY o_orderkey""".stripMargin,
+    "q4_correlated" ->
+      """SELECT c_custkey, c_acctbal, c_nationkey
+        |FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |    WHERE o_custkey = c.c_custkey AND o_orderpriority = '1-URGENT')
+        |  AND c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey <= 2)
+        |  AND c_acctbal > (SELECT CAST(avg(CAST(c2.c_acctbal AS DECIMAL(28,6))) AS DOUBLE)
+        |    FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "w8_range_interval" ->
+      """SELECT event_id, user_id, ts,
+        |  CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE) AS rolling_sum,
+        |  COUNT(*) OVER w AS rolling_n
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
     "t15_hash_suite" ->
       """SELECT doc_id, md5(text) AS h_md5, sha256(text) AS h_sha256,
         |  sha256(source || '|' || lang) AS h_keyed

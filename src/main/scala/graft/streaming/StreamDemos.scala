@@ -39,6 +39,17 @@ object StreamDemos {
   def dedupByEventId(events: DataFrame): DataFrame =
     events.withWatermark("ts", "1 hour").dropDuplicates("event_id")
 
+  /** Dedup with state EVICTED at the watermark: unlike [[dedupByEventId]]
+    * (whose per-key state lives for the stream's lifetime unless the key
+    * column set includes the event-time column), keys here are dropped
+    * once the watermark passes their event time + delay — the correct
+    * shape when duplicates only arrive within a bounded replay window
+    * (an at-least-once upstream), because state is O(watermark horizon),
+    * not O(distinct keys ever seen).
+    */
+  def dedupWithinWatermark(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark("event_id")
+
   /** Stream-stream inner join with watermarks + event-time interval:
     * purchases matched to the same user's signups within the preceding
     * hour. State on both sides is bounded by the watermark + interval.

@@ -76,6 +76,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dropDuplicatesWithinWatermark dedups replays and evicts expired keys") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[REv]
+    val q = StreamDemos.dedupWithinWatermark(ms.toDF())
+      .writeStream.format("memory").queryName("dedup_wm_out").outputMode("append").start()
+    try {
+      val B = 40000L
+      ms.addData(REv(1, ts(B), 1, "a", 0), REv(1, ts(B + 1), 1, "a", 0)) // replay within window
+      q.processAllAvailable()
+      // advance the watermark far past id 1's eviction horizon…
+      ms.addData(REv(2, ts(B + 600), 1, "a", 0))
+      q.processAllAvailable()
+      ms.addData(REv(3, ts(B + 1200), 1, "a", 0))
+      q.processAllAvailable()
+      // …then id 1 arrives again: its state was evicted, so it re-emits —
+      // the bounded-replay contract (state is O(horizon), not O(keys))
+      ms.addData(REv(1, ts(B + 1250), 1, "a", 0))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_wm_out").select("event_id").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq === Seq(1L, 1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches purchases to recent signups") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
