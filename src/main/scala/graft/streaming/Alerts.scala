@@ -30,3 +30,21 @@ object IngestAlerts {
   /** Default: no alerting bound. */
   object Noop extends IngestAlerts
 }
+
+/** Per-commit ingest observability, the hook form of the reference's
+  * post-save logging ("Successfully stored the data of file: X",
+  * python/adapters/hc_storage_adapter.py:47-58 — which also knows how
+  * many payments/creations it just stored). Bound to Noop by default:
+  * the counts cost one extra aggregation pass over the checkpoint's
+  * (small, ≤64-ledger) extract, so the engine only pays it when a
+  * deployment actually wires the hook to its metrics system.
+  */
+trait IngestMetrics {
+  /** A checkpoint committed: `seq` plus its payment/creation row counts. */
+  def onCommit(seq: Long, nPayments: Long, nCreations: Long): Unit = ()
+}
+
+object IngestMetrics {
+  /** Default: no metrics bound (and no counting pass run). */
+  object Noop extends IngestMetrics
+}

@@ -32,7 +32,8 @@ final class ArchiveTail(
     maxRetries: Int = 5,
     pollMillis: Long = 180000L,
     sleeper: Long => Unit = Thread.sleep,
-    alerts: IngestAlerts = IngestAlerts.Noop) {
+    alerts: IngestAlerts = IngestAlerts.Noop,
+    metrics: IngestMetrics = IngestMetrics.Noop) {
 
   // Startup probe (K6): a misconfigured sink must fail here, before any
   // ingest work — the reference runs the same dry-run at adapter init
@@ -60,6 +61,15 @@ final class ArchiveTail(
       Archive.results(spark, Seq(resP)),
       cfg)
     sink.save(ops, seq)
+    if (metrics ne IngestMetrics.Noop) {
+      // per-commit counts (hc_storage_adapter.py:47-58 logging parity):
+      // one extra agg over the ≤64-ledger extract, only when a metrics
+      // sink is actually bound
+      val counts = ops.groupBy("type").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      metrics.onCommit(seq,
+        counts.getOrElse("payment", 0L), counts.getOrElse("creation", 0L))
+    }
     true
   }
 
