@@ -138,6 +138,30 @@ object SqlSurface {
           |  WHERE l_orderkey = o.o_orderkey AND l_quantity > 45)
           |ORDER BY o_orderkey""".stripMargin)
     },
+    // Unpivot/melt — the inverse of a9's pivot: wide measure columns to
+    // long (metric, val) rows. Narrow per-row transform (Spark plans an
+    // Expand), no shuffle.
+    "f5_unpivot" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") < 100)
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_tax"), col("l_discount")),
+          "metric", "val")
+        .orderBy("l_orderkey", "l_linenumber", "metric")
+    },
+    // Bitwise expression + aggregate family over the integer keys.
+    "t20_bitwise_suite" -> { (s, d) =>
+      Tables.orders(s, d)
+        .filter(col("o_orderkey") < 500)
+        .select(col("o_orderkey"),
+          (col("o_orderkey").bitwiseAND(col("o_custkey"))).as("band"),
+          (col("o_orderkey").bitwiseOR(col("o_custkey"))).as("bor"),
+          (col("o_orderkey").bitwiseXOR(col("o_custkey"))).as("bxor"),
+          shiftleft(col("o_orderkey"), 3).as("shl"),
+          shiftright(col("o_orderkey"), 2).as("shr"))
+        .orderBy("o_orderkey")
+    },
     // Correlated-subquery family beyond q3: NOT EXISTS (anti), IN
     // (semi), and a correlated scalar aggregate — Catalyst decorrelates
     // all three into joins (anti/semi/aggregated-left), so at 100 TB
@@ -376,6 +400,20 @@ object SqlSurface {
         |WHERE EXISTS (SELECT 1 FROM lineitem
         |  WHERE l_orderkey = o.o_orderkey AND l_quantity > 45)
         |ORDER BY o_orderkey""".stripMargin,
+    "f5_unpivot" -> {
+      val arms = Seq("l_quantity", "l_tax", "l_discount").map(m =>
+        s"""SELECT l_orderkey, l_linenumber, '$m' AS metric, CAST($m AS DOUBLE) AS val
+           |FROM lineitem WHERE l_orderkey < 100""".stripMargin)
+      arms.mkString("", "\nUNION ALL\n", "\nORDER BY l_orderkey, l_linenumber, metric")
+    },
+    "t20_bitwise_suite" ->
+      """SELECT o_orderkey,
+        |  o_orderkey & o_custkey AS band,
+        |  o_orderkey | o_custkey AS bor,
+        |  xor(o_orderkey, o_custkey) AS bxor,
+        |  o_orderkey << 3 AS shl,
+        |  o_orderkey >> 2 AS shr
+        |FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin,
     "q4_correlated" ->
       """SELECT c_custkey, c_acctbal, c_nationkey
         |FROM customer c
