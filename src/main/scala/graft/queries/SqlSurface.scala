@@ -138,6 +138,22 @@ object SqlSurface {
           |  WHERE l_orderkey = o.o_orderkey AND l_quantity > 45)
           |ORDER BY o_orderkey""".stripMargin)
     },
+    // Correlated LATERAL subquery with per-row LIMIT — top-2 lineitems
+    // per order, the "top-N per group via lateral" idiom. Catalyst
+    // decorrelates the limit into a per-key window under a regular join,
+    // so it plans as the w1/o2 shapes at scale, not per-row probes.
+    "q5_lateral" -> { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("orders_lt")
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_lt")
+      s.sql(
+        """SELECT o_orderkey, l.l_linenumber, l.l_quantity
+          |FROM orders_lt o,
+          |LATERAL (SELECT l_linenumber, l_quantity FROM lineitem_lt
+          |  WHERE l_orderkey = o.o_orderkey
+          |  ORDER BY l_quantity DESC, l_linenumber LIMIT 2) l
+          |WHERE o_orderkey < 500
+          |ORDER BY o_orderkey, l_linenumber""".stripMargin)
+    },
     // Unpivot/melt — the inverse of a9's pivot: wide measure columns to
     // long (metric, val) rows. Narrow per-row transform (Spark plans an
     // Expand), no shuffle.
@@ -400,6 +416,14 @@ object SqlSurface {
         |WHERE EXISTS (SELECT 1 FROM lineitem
         |  WHERE l_orderkey = o.o_orderkey AND l_quantity > 45)
         |ORDER BY o_orderkey""".stripMargin,
+    "q5_lateral" ->
+      """SELECT o_orderkey, l.l_linenumber, l.l_quantity
+        |FROM orders o,
+        |LATERAL (SELECT l_linenumber, l_quantity FROM lineitem
+        |  WHERE l_orderkey = o.o_orderkey
+        |  ORDER BY l_quantity DESC, l_linenumber LIMIT 2) l
+        |WHERE o_orderkey < 500
+        |ORDER BY o_orderkey, l_linenumber""".stripMargin,
     "f5_unpivot" -> {
       val arms = Seq("l_quantity", "l_tax", "l_discount").map(m =>
         s"""SELECT l_orderkey, l_linenumber, '$m' AS metric, CAST($m AS DOUBLE) AS val
