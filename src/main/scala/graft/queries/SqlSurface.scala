@@ -138,6 +138,22 @@ object SqlSurface {
           |  WHERE l_orderkey = o.o_orderkey AND l_quantity > 45)
           |ORDER BY o_orderkey""".stripMargin)
     },
+    // SQL-standard FILTER clause on aggregates — per-group conditional
+    // aggregation without CASE scaffolding; plans as a single
+    // partial-aggregable pass.
+    "a11_filter_clause" -> { (s, d) =>
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_fc")
+      s.sql(
+        s"""SELECT l_returnflag,
+           |  COUNT(*) AS n_all,
+           |  COUNT(*) FILTER (WHERE l_quantity > 25) AS n_big,
+           |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6)))
+           |    FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS discounted_revenue,
+           |  COUNT(DISTINCT l_suppkey) FILTER (WHERE l_tax > 0.04) AS taxed_suppliers
+           |FROM lineitem_fc
+           |GROUP BY l_returnflag
+           |ORDER BY l_returnflag""".stripMargin)
+    },
     // Correlated LATERAL subquery with per-row LIMIT — top-2 lineitems
     // per order, the "top-N per group via lateral" idiom. Catalyst
     // decorrelates the limit into a per-key window under a regular join,
@@ -416,6 +432,16 @@ object SqlSurface {
         |WHERE EXISTS (SELECT 1 FROM lineitem
         |  WHERE l_orderkey = o.o_orderkey AND l_quantity > 45)
         |ORDER BY o_orderkey""".stripMargin,
+    "a11_filter_clause" ->
+      """SELECT l_returnflag,
+        |  CAST(COUNT(*) AS BIGINT) AS n_all,
+        |  CAST(COUNT(*) FILTER (WHERE l_quantity > 25) AS BIGINT) AS n_big,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6)))
+        |    FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS discounted_revenue,
+        |  CAST(COUNT(DISTINCT l_suppkey) FILTER (WHERE l_tax > 0.04) AS BIGINT) AS taxed_suppliers
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "q5_lateral" ->
       """SELECT o_orderkey, l.l_linenumber, l.l_quantity
         |FROM orders o,
