@@ -77,6 +77,20 @@ object Bench {
     graft.operators.Similarity.ensureStores(spark, sfDir)
     graft.operators.Ivf.ensureStores(spark, sfDir)
     graft.operators.Pq.ensureStores(spark, sfDir)
+    // Machine-calibration floor: median wall time of a trivial fixed job
+    // (1M-row range count — no I/O, no shuffle). Per-job scheduling
+    // overhead on this VM varies severalfold between sessions (measured
+    // 0.008 s vs 0.13 s for identical code), which dominates sub-second
+    // query medians; recording the floor lets cross-round comparisons
+    // subtract the machine from the plan.
+    val floor = {
+      val ts = (1 to 5).map { _ =>
+        val t0 = System.nanoTime()
+        spark.range(1000000L).count()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      ts(2)
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to Runs).map { _ =>
         val t0 = System.nanoTime()
@@ -105,7 +119,7 @@ object Bench {
     }
     val reg = json(regressions)
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$Runs,"queries":$qs,"spread":$spread,"regressions":$reg,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$Runs,"floor":$floor,"queries":$qs,"spread":$spread,"regressions":$reg,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
