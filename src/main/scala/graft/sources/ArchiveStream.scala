@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -50,7 +50,7 @@ class ArchiveStreamTable(props: util.Map[String, String]) extends Table with Sup
   override def name(): String = s"archive(${props.get("root")})"
   override def schema(): StructType = ArchiveStreamTable.Schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     () => new Scan {
@@ -60,7 +60,33 @@ class ArchiveStreamTable(props: util.Map[String, String]) extends Table with Sup
           options.get("root"),
           Option(options.get("firstSeq")).map(_.toLong).getOrElse(0x3fL),
           Option(options.get("maxPerBatch")).map(_.toInt).getOrElse(64))
+      // batch path (`spark.read.format(...)`): one InputPartition per
+      // currently-available checkpoint, same executor-side reader as the
+      // stream — backfill parallelism = number of archive triples
+      override def toBatch: Batch = new ArchiveBatch(
+        options.get("root"),
+        Option(options.get("firstSeq")).map(_.toLong).getOrElse(0x3fL))
     }
+}
+
+/** Batch scan of every checkpoint available at plan time (the DSv2 form
+  * of [[ArchiveTail.runOnce]]'s availability walk).
+  */
+class ArchiveBatch(root: String, firstSeq: Long) extends Batch {
+  require(Archive.isCheckpoint(firstSeq), s"firstSeq $firstSeq must satisfy (seq+1)%64==0")
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val fs = new HPath(root).getFileSystem(new Configuration())
+    def available(seq: Long): Boolean =
+      Seq("transactions", "ledger", "results")
+        .forall(c => fs.exists(new HPath(Archive.pathFor(root, c, seq))))
+    Iterator.iterate(firstSeq)(Archive.nextSeq)
+      .takeWhile(available)
+      .map(seq => ArchivePartition(root, seq): InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = new ArchiveReaderFactory
 }
 
 /** Offset = highest checkpoint sequence already committed (exclusive

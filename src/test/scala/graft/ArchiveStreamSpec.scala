@@ -89,6 +89,30 @@ class ArchiveStreamSpec extends AnyFunSuite {
     assert(sink.completed === Seq("0000003f", "0000007f", "000000bf"))
   }
 
+  test("batch read path plans one partition per available checkpoint") {
+    val archive = Files.createTempDirectory("graft-batch-read").toString
+    writeCheckpoint(archive, 0x3fL)
+    writeCheckpoint(archive, 0x7fL)
+    writeCheckpoint(archive, 0xbfL)
+    val df = spark.read
+      .format("graft.sources.ArchiveStreamProvider")
+      .option("root", archive)
+      .option("firstSeq", 0x3fL.toString)
+      .load()
+    assert(df.rdd.getNumPartitions === 3) // backfill parallelism = #triples
+    val rows = df.collect().sortBy(_.getLong(0))
+    assert(rows.map(_.getLong(0)).toSeq === Seq(0x3fL, 0x7fL, 0xbfL))
+    // content decodes through the same path the stream uses
+    val decoded = Stellar.decodeTxEntries(
+      Archive.gunzip(rows.head.getAs[Array[Byte]]("transactions")), Passphrase)
+    assert(decoded.head.ledgerSeq === 0x3fL)
+    // a gap stops the walk: only contiguous checkpoints are planned
+    writeCheckpoint(archive, 0x13fL) // skips 0xff
+    assert(spark.read.format("graft.sources.ArchiveStreamProvider")
+      .option("root", archive).option("firstSeq", 0x3fL.toString)
+      .load().count() === 3)
+  }
+
   test("ProcessingTime tail picks up a checkpoint appended mid-stream") {
     val archive = Files.createTempDirectory("graft-stream-live").toString
     val out = Files.createTempDirectory("graft-stream-live-out").toString
