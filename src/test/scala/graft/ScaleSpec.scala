@@ -132,6 +132,21 @@ class ScaleSpec extends AnyFunSuite {
     assert(!plan.contains("REPARTITION_BY_COL"), s"no recurring repartition:\n$plan")
   }
 
+  test("files.maxPartitionBytes controls scan split granularity") {
+    val d = "/root/testdata/sf0.01"
+    val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try {
+      // small splits → more input partitions (how executor-memory fit is
+      // tuned at the design point); large splits → fewer
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "65536")
+      val many = Tables.lineitem(spark, d).rdd.getNumPartitions
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "134217728")
+      val few = Tables.lineitem(spark, d).rdd.getNumPartitions
+      assert(many > few, s"64KB splits gave $many partitions vs 128MB's $few")
+      assert(few >= 1)
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+  }
+
   test("runtime bloom filter from a selective dim prunes the fact side") {
     val d = "/root/testdata/sf0.001"
     val prev = Map(
