@@ -248,6 +248,9 @@ class IngestSpec extends AnyFunSuite {
     // per-table shapes: payments carry amount, creations starting_balance
     assert(db.tables("payments").head(2) === 1000000.0)  // amount (3rd col)
     assert(db.tables("creations").head(2) === 50.0)      // starting_balance (3rd col)
+    // nullable column tolerance (reference test_save_payments_with_null_value):
+    // no memo on the fixture ops → memo_text lands as NULL, row still stored
+    assert(db.tables("payments").head(3) === null)       // memo_text (4th col)
 
     // replay is a no-op (idempotence on batch sequence)
     assert(tail.processOne(0x7fL))
