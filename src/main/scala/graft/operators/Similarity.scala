@@ -136,6 +136,27 @@ object Similarity {
         .orderBy(col("cos").desc, col("vec_id"))
         .limit(10)
     },
+    // Batched multi-query retrieval: top-3 neighbors for EACH of five
+    // query vectors from ONE corpus scan — broadcast the (tiny) query
+    // set, score every (corpus row × query) pair, bounded per-query
+    // window. The offline form of ANN serving (embedding dedup sweeps,
+    // eval-set retrieval): Q queries cost one scan + a Q×-wider
+    // projection, not Q scans.
+    "n9_ann_batch" -> { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      val e = withNorm(Tables.embeddings(s, d))
+      val qs = e.filter(col("vec_id").between(1, 5))
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"), col("norm").as("qn"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+      e.filter(col("vec_id") > 5)
+        .crossJoin(broadcast(qs))
+        .withColumn("cos", Cols.fastDot(col("embedding"), col("qv")) / (col("norm") * col("qn")))
+        .withColumn("rn", row_number().over(w).cast("long")) // DuckDB row_number is BIGINT
+        .filter(col("rn") <= 3)
+        .select("q_id", "vec_id", "cos", "rn")
+        .orderBy("q_id", "rn")
+    },
     // Multi-probe LSH: the query bucket PLUS its 8 Hamming-distance-1
     // neighbors (each sign bit flipped once) — the standard recall lever
     // for sign-LSH: near neighbors that fell just across one hyperplane
@@ -235,6 +256,16 @@ object Similarity {
          |FROM embeddings e JOIN sig s USING (vec_id), q
          |WHERE s.bucket = q.qbucket AND e.vec_id <> 0
          |ORDER BY cos DESC, e.vec_id LIMIT 10""".stripMargin,
+    "n9_ann_batch" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings
+         |  WHERE vec_id BETWEEN 1 AND 5),
+         |scored AS (
+         |  SELECT q.q_id, e.vec_id, ${Cols.cosineSql("e.embedding", "qv")} AS cos
+         |  FROM embeddings e, q WHERE e.vec_id > 5),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+         |  FROM scored)
+         |SELECT q_id, vec_id, cos, CAST(rn AS BIGINT) AS rn
+         |FROM r WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin,
     "n8_ann_multiprobe" -> {
       val flips = (1 to NumPlanes).map(i =>
         s"""SELECT substr(qbucket, 1, ${i - 1}) ||
