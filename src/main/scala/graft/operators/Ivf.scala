@@ -60,6 +60,17 @@ object Ivf {
     // would also pick int here, but pinning keeps the contract obvious)
     StructField("cell", IntegerType)))
 
+  /** (cell, dim, c) rows → per-cell dim-indexed centroid arrays, sorted
+    * by cell (shared by the label and k-means stores).
+    */
+  private def decodeCentroids(rows: Array[org.apache.spark.sql.Row]): Array[(Int, Array[Double])] =
+    rows.groupBy(_.getInt(0)).toArray
+      .map { case (cell, rs) =>
+        val dims = rs.map(r => r.getInt(1) -> r.getDouble(2)).toMap
+        (cell, Array.tabulate(dims.size)(dims))
+      }
+      .sortBy(_._1)
+
   private def cellStore(s: SparkSession, d: String): (Array[(Int, Array[Double])], DataFrame) =
     cellCache.getOrElseUpdate(d, {
       val out = java.nio.file.Files.createTempDirectory("graft-ivf").toString
@@ -73,13 +84,9 @@ object Ivf {
           count(lit(1)).cast("double")).as("c"))
       centDf.coalesce(1) // k×dims rows — one file (the durable artifact)
         .write.mode("overwrite").parquet(s"$out/centroids")
-      val centroids = centDf.collect()
-        .groupBy(_.getInt(0)).toArray
-        .map { case (cell, rows) =>
-          val dims = rows.map(r => r.getInt(1) -> r.getDouble(2)).toMap
-          (cell, Array.tabulate(dims.size)(dims))
-        }
-        .sortBy(_._1)
+      // decode from the written file, not the lineage: collecting centDf
+      // would re-run the corpus-scale posexplode + groupBy a second time
+      val centroids = decodeCentroids(s.read.parquet(s"$out/centroids").collect())
       // cell-partitioned vector store with precomputed norms
       e.withColumn("norm", sqrt(Cols.fastDot(col("embedding"), col("embedding"))))
         .withColumn("cell", col("label"))
@@ -196,13 +203,9 @@ object Ivf {
         cent = local(means(ex, assign(ex, cent)))
       }
       cent.coalesce(1).write.mode("overwrite").parquet(s"$out/centroids")
-      val centroids = cent.collect()
-        .groupBy(_.getInt(0)).toArray
-        .map { case (cell, rows) =>
-          val dims = rows.map(r => r.getInt(1) -> r.getDouble(2)).toMap
-          (cell, Array.tabulate(dims.size)(dims))
-        }
-        .sortBy(_._1)
+      // cent is a driver-local DataFrame here (built from collected
+      // rows), so this collect is trivial — no corpus recompute
+      val centroids = decodeCentroids(cent.collect())
       e.join(assign(ex, cent), "vec_id")
         .withColumn("norm", sqrt(Cols.fastDot(col("embedding"), col("embedding"))))
         .select("vec_id", "embedding", "label", "norm", "cell")

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -39,6 +39,27 @@ object TextAnalysis {
     */
   private val NumPackShards = 8
 
+  // Shared expression spellings: x11 is defined as the COMPOSITION of
+  // x2's score and x8's sharding, so all four spellings (Spark + SQL ×
+  // score + shard) live here once — a tweak to either formula cannot
+  // silently diverge the composed pipeline from its standalone stages.
+  private def qualityScore(nTokens: Column, nAlpha: Column, stopHits: Column): Column =
+    least(nTokens.cast("double") / 300.0, lit(1.0)) * 0.5 +
+      least(nAlpha.cast("double") / nTokens.cast("double") / 5.0, lit(1.0)) * 0.2 +
+      least(stopHits.cast("double") / nTokens.cast("double") * 5.0, lit(1.0)) * 0.3
+
+  private def qualityScoreSql(nTokens: String, nAlpha: String, stopHits: String): String =
+    s"""least(CAST($nTokens AS DOUBLE) / 300.0, 1.0) * 0.5 +
+       |      least(CAST($nAlpha AS DOUBLE) / CAST($nTokens AS DOUBLE) / 5.0, 1.0) * 0.2 +
+       |      least(CAST($stopHits AS DOUBLE) / CAST($nTokens AS DOUBLE) * 5.0, 1.0) * 0.3""".stripMargin
+
+  private def packShard(docId: Column): Column =
+    conv(substring(md5(concat(lit("pk|"), docId.cast("string"))), 1, 2), 16, 10)
+      .cast("long") % NumPackShards
+
+  private def packShardSql(docId: String): String =
+    s"CAST(('0x' || substr(md5('pk|' || CAST($docId AS VARCHAR)), 1, 2)) AS BIGINT) % $NumPackShards"
+
   def queries: Map[String, Q] = Map(
     // Language ID: explode → broadcast-join marker table → per-(doc,lang)
     // hit counts → rank-1 per doc.
@@ -70,9 +91,7 @@ object TextAnalysis {
         .withColumn("stopword_ratio",
           col("stop_hits").cast("double") / col("n_tokens").cast("double"))
         .withColumn("quality_score",
-          least(col("n_tokens").cast("double") / 300.0, lit(1.0)) * 0.5 +
-            least(col("mean_token_len") / 5.0, lit(1.0)) * 0.2 +
-            least(col("stopword_ratio") * 5.0, lit(1.0)) * 0.3)
+          qualityScore(col("n_tokens"), col("n_alpha"), col("stop_hits")))
         .withColumn("is_quality", col("quality_score") >= 0.6)
         .orderBy("doc_id")
     },
@@ -144,9 +163,7 @@ object TextAnalysis {
       Tables.documents(s, d)
         .select(col("doc_id"), col("lang"),
           size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
-        .withColumn("shard",
-          conv(substring(md5(concat(lit("pk|"), col("doc_id").cast("string"))), 1, 2), 16, 10)
-            .cast("long") % NumPackShards)
+        .withColumn("shard", packShard(col("doc_id")))
         .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
         .withColumn("chunk_id", expr(s"cum_before div $B"))
         .withColumn("offset_in_chunk", col("cum_before") % B)
@@ -235,18 +252,12 @@ object TextAnalysis {
           length(regexp_replace(col("text"), "[^a-z]", "")).cast("long").as("n_alpha"),
           regexp_count(col("text"), lit(StopRe)).cast("long").as("stop_hits"))
         .withColumn("quality_score",
-          least(col("n_tokens").cast("double") / 300.0, lit(1.0)) * 0.5 +
-            least(col("n_alpha").cast("double") / col("n_tokens").cast("double") / 5.0,
-              lit(1.0)) * 0.2 +
-            least(col("stop_hits").cast("double") / col("n_tokens").cast("double") * 5.0,
-              lit(1.0)) * 0.3)
+          qualityScore(col("n_tokens"), col("n_alpha"), col("stop_hits")))
         .filter(col("quality_score") >= 0.35)
       val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
       surv
-        .withColumn("shard",
-          conv(substring(md5(concat(lit("pk|"), col("doc_id").cast("string"))), 1, 2), 16, 10)
-            .cast("long") % NumPackShards)
+        .withColumn("shard", packShard(col("doc_id")))
         .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
         .withColumn("chunk_id", expr(s"cum_before div $B"))
         .withColumn("offset_in_chunk", col("cum_before") % B)
@@ -297,14 +308,11 @@ object TextAnalysis {
          |  FROM c WHERE doc_id = canonical_doc),
          |s2 AS (
          |  SELECT doc_id, lang, n_tokens,
-         |    least(CAST(n_tokens AS DOUBLE) / 300.0, 1.0) * 0.5 +
-         |      least(CAST(n_alpha AS DOUBLE) / CAST(n_tokens AS DOUBLE) / 5.0, 1.0) * 0.2 +
-         |      least(CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 5.0, 1.0) * 0.3
+         |    ${qualityScoreSql("n_tokens", "n_alpha", "stop_hits")}
          |      AS quality_score
          |  FROM s1),
          |s3 AS (
-         |  SELECT *, CAST(('0x' || substr(md5('pk|' || CAST(doc_id AS VARCHAR)), 1, 2)) AS BIGINT)
-         |      % $NumPackShards AS shard
+         |  SELECT *, ${packShardSql("doc_id")} AS shard
          |  FROM s2 WHERE quality_score >= 0.35),
          |p AS (
          |  SELECT *, CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
@@ -325,12 +333,8 @@ object TextAnalysis {
          |    CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stopword_ratio
          |  FROM base)
          |SELECT doc_id, n_chars, n_tokens, n_alpha, stop_hits, mean_token_len, stopword_ratio,
-         |  least(CAST(n_tokens AS DOUBLE) / 300.0, 1.0) * 0.5 +
-         |    least(mean_token_len / 5.0, 1.0) * 0.2 +
-         |    least(stopword_ratio * 5.0, 1.0) * 0.3 AS quality_score,
-         |  (least(CAST(n_tokens AS DOUBLE) / 300.0, 1.0) * 0.5 +
-         |    least(mean_token_len / 5.0, 1.0) * 0.2 +
-         |    least(stopword_ratio * 5.0, 1.0) * 0.3) >= 0.6 AS is_quality
+         |  ${qualityScoreSql("n_tokens", "n_alpha", "stop_hits")} AS quality_score,
+         |  (${qualityScoreSql("n_tokens", "n_alpha", "stop_hits")}) >= 0.6 AS is_quality
          |FROM m ORDER BY doc_id""".stripMargin,
     "x3_token_count" ->
       """SELECT doc_id,
@@ -362,8 +366,7 @@ object TextAnalysis {
     "x8_sequence_pack" ->
       s"""WITH t AS (SELECT doc_id, lang,
          |    CAST(length(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
-         |    CAST(('0x' || substr(md5('pk|' || CAST(doc_id AS VARCHAR)), 1, 2)) AS BIGINT)
-         |      % $NumPackShards AS shard
+         |    ${packShardSql("doc_id")} AS shard
          |  FROM documents),
          |c AS (SELECT doc_id, lang, n_tokens, shard,
          |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id

@@ -208,7 +208,8 @@ object SqlSurface {
           |WHERE NOT EXISTS (SELECT 1 FROM orders_cq
           |    WHERE o_custkey = c.c_custkey AND o_orderpriority = '1-URGENT')
           |  AND c_nationkey IN (SELECT n_nationkey FROM nation_cq WHERE n_regionkey <= 2)
-          |  AND c_acctbal > (SELECT CAST(avg(CAST(c2.c_acctbal AS DECIMAL(28,6))) AS DOUBLE)
+          |  AND c_acctbal > (SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(28,6))) AS DOUBLE)
+          |      / CAST(COUNT(c2.c_acctbal) AS DOUBLE)
           |    FROM customer_cq c2 WHERE c2.c_nationkey = c.c_nationkey)
           |ORDER BY c_custkey""".stripMargin)
     },
@@ -470,7 +471,8 @@ object SqlSurface {
         |WHERE NOT EXISTS (SELECT 1 FROM orders
         |    WHERE o_custkey = c.c_custkey AND o_orderpriority = '1-URGENT')
         |  AND c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey <= 2)
-        |  AND c_acctbal > (SELECT CAST(avg(CAST(c2.c_acctbal AS DECIMAL(28,6))) AS DOUBLE)
+        |  AND c_acctbal > (SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(28,6))) AS DOUBLE)
+        |      / CAST(COUNT(c2.c_acctbal) AS DOUBLE)
         |    FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
         |ORDER BY c_custkey""".stripMargin,
     "w8_range_interval" ->

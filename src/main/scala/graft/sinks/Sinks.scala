@@ -113,6 +113,9 @@ final class JdbcTxnSink(
   def ensureSchema(): Unit = {
     val c = connect()
     try {
+      // autocommit: DDL is self-committing; an explicit commit() on a
+      // fresh (autocommit-on) connection throws on Postgres
+      c.setAutoCommit(true)
       val st = c.createStatement()
       st.execute(
         s"""CREATE TABLE IF NOT EXISTS $table (
@@ -122,7 +125,6 @@ final class JdbcTxnSink(
            |  operation_index INT, tx_status TEXT, op_status TEXT,
            |  hash VARCHAR(64), time TIMESTAMP)""".stripMargin)
       st.execute("CREATE TABLE IF NOT EXISTS lastfile (name VARCHAR(8))")
-      c.commit()
     } finally c.close()
   }
 
@@ -225,11 +227,18 @@ final class JdbcTwoTableSink(connect: () => Connection) extends CheckpointSink {
 
   /** One-time database bootstrap (build_database.py:30-83). Returns false
     * without touching anything if `lastfile` is already seeded (the
-    * reference's "using existing database" path). `createDbAndUser`
-    * controls the Postgres-specific CREATE DATABASE / CREATE USER / GRANT
-    * statements; disable on engines without them.
+    * reference's "using existing database" path).
+    *
+    * Connection semantics mirror the reference's two-phase connect: the
+    * server-level CREATE DATABASE / CREATE USER run on `adminConnect`
+    * when provided (build_database.py connects to the postgres admin DB
+    * first, then RECONNECTS to /kin for the table DDL, :17-22, :63-64);
+    * everything else runs on the sink's own `connect`, which must point
+    * at the destination database. All statements run in autocommit mode
+    * — DDL is self-committing on Postgres and an explicit commit() on an
+    * autocommit connection throws there.
     */
-  def bootstrap(firstFile: String, createDbAndUser: Boolean = true): Boolean = {
+  def bootstrap(firstFile: String, adminConnect: Option[() => Connection] = None): Boolean = {
     if (lastSequence.isDefined) return false // existing database: leave as-is
     val seq = java.lang.Long.parseLong(firstFile.trim, 16)
     // seed validation (build_database.py:25-28): the first scanned file
@@ -237,13 +246,18 @@ final class JdbcTwoTableSink(connect: () => Connection) extends CheckpointSink {
     if ((seq + 1) % 64 != 0)
       throw new IllegalArgumentException(
         s"first file $firstFile is not a checkpoint boundary ((seq+1) % 64 != 0)")
-    val c = connect()
-    try {
-      val st = c.createStatement()
-      if (createDbAndUser) {
+    adminConnect.foreach { ac =>
+      val a = ac()
+      try {
+        val st = a.createStatement()
         st.execute("CREATE DATABASE kin")
         st.execute("CREATE USER python")
-      }
+      } finally a.close()
+    }
+    val c = connect()
+    try {
+      c.setAutoCommit(true)
+      val st = c.createStatement()
       def ddl(tbl: String, amountCol: String): Unit =
         st.execute(s"""CREATE TABLE IF NOT EXISTS $tbl (
           |  source VARCHAR(56) NOT NULL, destination VARCHAR(56) NOT NULL,
@@ -255,15 +269,14 @@ final class JdbcTwoTableSink(connect: () => Connection) extends CheckpointSink {
       ddl("creations", "starting_balance")
       st.execute("CREATE TABLE IF NOT EXISTS lastfile (name VARCHAR(8) NOT NULL)")
       st.execute(s"INSERT INTO lastfile VALUES ('${firstFile.trim}')")
-      if (createDbAndUser)
+      if (adminConnect.isDefined) {
         for {
           tbl <- Seq("payments", "creations")
           g <- Seq("INSERT", "SELECT")
         } st.execute(s"GRANT $g ON $tbl TO python")
-      if (createDbAndUser)
         Seq("INSERT", "SELECT", "UPDATE").foreach(g =>
           st.execute(s"GRANT $g ON lastfile TO python"))
-      c.commit()
+      }
       true
     } finally c.close()
   }
@@ -292,7 +305,12 @@ final class JdbcTwoTableSink(connect: () => Connection) extends CheckpointSink {
       }
       insert("payments", paymentCols, "payment")
       insert("creations", creationCols, "creation")
-      c.createStatement().execute(s"UPDATE lastfile SET name = '${f"$seq%08x"}'")
+      // UPDATE assumes the bootstrap-seeded single row; on an unseeded
+      // lastfile it would silently touch 0 rows and the offset would
+      // never advance (infinite re-ingest), so fall back to INSERT
+      val st = c.createStatement()
+      if (st.executeUpdate(s"UPDATE lastfile SET name = '${f"$seq%08x"}'") == 0)
+        st.execute(s"INSERT INTO lastfile VALUES ('${f"$seq%08x"}')")
       c.commit() // both tables + offset atomically (K2)
     } catch {
       case e: Throwable => c.rollback(); throw e

@@ -60,16 +60,20 @@ final class ArchiveTail(
       Archive.ledgers(spark, Seq(ledP)),
       Archive.results(spark, Seq(resP)),
       cfg)
-    sink.save(ops, seq)
     if (metrics ne IngestMetrics.Noop) {
-      // per-commit counts (hc_storage_adapter.py:47-58 logging parity):
-      // one extra agg over the ≤64-ledger extract, only when a metrics
-      // sink is actually bound
-      val counts = ops.groupBy("type").count().collect()
-        .map(r => r.getString(0) -> r.getLong(1)).toMap
-      metrics.onCommit(seq,
-        counts.getOrElse("payment", 0L), counts.getOrElse("creation", 0L))
-    }
+      // per-commit counts (hc_storage_adapter.py:47-58 logging parity).
+      // Persist so the counting agg reuses the partitions the save
+      // already computed instead of re-running gunzip + XDR decode +
+      // extraction from the raw archive bytes a second time.
+      val cached = ops.persist()
+      try {
+        sink.save(cached, seq)
+        val counts = cached.groupBy("type").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        metrics.onCommit(seq,
+          counts.getOrElse("payment", 0L), counts.getOrElse("creation", 0L))
+      } finally { cached.unpersist(); () }
+    } else sink.save(ops, seq)
     true
   }
 

@@ -30,6 +30,17 @@ private final class FakeConn(db: FakeDb) {
   private val staged: mutable.Map[String, Vector[Seq[Any]]] =
     mutable.Map.empty.withDefaultValue(Vector.empty)
   private var stagedLast: Option[Option[String]] = None
+  // JDBC default: autocommit on — each statement flushes immediately;
+  // sinks opt into transactions with setAutoCommit(false)
+  private var autoCommit: Boolean = true
+
+  private def flush(): Unit = {
+    staged.foreach { case (tbl, rows) => db.tables(tbl) = db.tables(tbl) ++ rows }
+    stagedLast.foreach(v => db.lastfile = v)
+    staged.clear(); stagedLast = None
+  }
+
+  private def maybeAutoFlush(): Unit = if (autoCommit) flush()
 
   private val insertTableRe = "INSERT INTO (\\w+)".r
   private val hashTableRe = "FROM (\\w+)".r
@@ -83,10 +94,21 @@ private final class FakeConn(db: FakeDb) {
   }
 
   private def statement(): Statement = proxy(classOf[Statement]) {
-    case ("execute", Array(sql: String)) => exec(sql) match {
-      case b: java.lang.Boolean => b
-      case _ => java.lang.Boolean.TRUE
-    }
+    case ("execute", Array(sql: String)) =>
+      val r = exec(sql) match {
+        case b: java.lang.Boolean => b
+        case _ => java.lang.Boolean.TRUE
+      }
+      maybeAutoFlush(); r
+    case ("executeUpdate", Array(sql: String)) =>
+      // row-count semantics for the UPDATE-vs-INSERT offset fallback:
+      // UPDATE lastfile touches 1 row iff a row exists (committed or
+      // staged in this txn), 0 otherwise
+      val existed = sql.trim.startsWith("UPDATE lastfile") &&
+        (stagedLast.map(_.isDefined).getOrElse(db.lastfile.isDefined))
+      exec(sql)
+      maybeAutoFlush()
+      Integer.valueOf(if (sql.trim.startsWith("UPDATE lastfile") && !existed) 0 else 1)
     case ("executeQuery", Array(sql: String)) => exec(sql)
   }
 
@@ -100,18 +122,19 @@ private final class FakeConn(db: FakeDb) {
         batch += (1 to current.keys.max).map(current.getOrElse(_, null)); current.clear(); null
       case ("executeBatch", _) =>
         if (db.failBatch) throw new java.sql.SQLException("injected failure")
-        staged(tbl) = staged(tbl) ++ batch.toVector; batch.clear(); Array.emptyIntArray
+        staged(tbl) = staged(tbl) ++ batch.toVector; batch.clear()
+        maybeAutoFlush(); Array.emptyIntArray
     }
   }
 
   def asConnection: Connection = proxy(classOf[Connection]) {
     case ("createStatement", _) => statement()
     case ("prepareStatement", Array(sql: String)) => prepared(sql)
-    case ("setAutoCommit", _) => null
+    case ("setAutoCommit", Array(b: java.lang.Boolean)) =>
+      autoCommit = b.booleanValue(); null
     case ("commit", _) =>
-      staged.foreach { case (tbl, rows) => db.tables(tbl) = db.tables(tbl) ++ rows }
-      stagedLast.foreach(v => db.lastfile = v)
-      staged.clear(); stagedLast = None
+      if (autoCommit) throw new java.sql.SQLException("cannot commit when autoCommit is enabled")
+      flush()
       db.commits += 1; null
     case ("rollback", _) =>
       staged.clear(); stagedLast = None; db.rollbacks += 1; null

@@ -223,8 +223,9 @@ class IngestSpec extends AnyFunSuite {
 
     // bootstrap parity (build_database.py:30-83): invalid first file rejected
     intercept[IllegalArgumentException](sink.bootstrap("00000040"))
-    // valid boundary seeds lastfile, creates db/user, grants the minimal set
-    assert(sink.bootstrap("0000003f"))
+    // valid boundary seeds lastfile; db/user creation + grants run on the
+    // admin connection (the reference's two-phase connect)
+    assert(sink.bootstrap("0000003f", adminConnect = Some(() => db.connection())))
     assert(db.lastfile === Some("0000003f"))
     assert(db.ddl.exists(_.startsWith("CREATE DATABASE")))
     assert(db.ddl.exists(_.startsWith("CREATE USER")))
@@ -266,5 +267,20 @@ class IngestSpec extends AnyFunSuite {
     assert(tail.processOne(0xbfL))
     assert(db.tables("payments").size === 2 && db.tables("creations").size === 2)
     assert(db.lastfile === Some("000000bf"))
+  }
+
+  test("two-table sink advances the offset even on an unseeded lastfile") {
+    // pre-provisioned schema without bootstrap: the reference's UPDATE
+    // would touch 0 rows and the offset would never advance (silent
+    // re-ingest forever); the sink falls back to INSERT
+    val db = new FakeDb
+    val sink = new JdbcTwoTableSink(() => db.connection())
+    val archive = Files.createTempDirectory("graft-arch-2t-unseeded").toString
+    writeMixedCheckpoint(archive, 0x3fL)
+    val tail = new ArchiveTail(spark, archive, Passphrase, cfg, sink)
+    assert(tail.runOnce() === 1)
+    assert(db.lastfile === Some("0000003f"))
+    assert(tail.runOnce() === 0) // offset advanced: no re-ingest
+    assert(db.tables("payments").size === 1)
   }
 }
