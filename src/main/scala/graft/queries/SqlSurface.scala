@@ -138,6 +138,22 @@ object SqlSurface {
           |  WHERE l_orderkey = o.o_orderkey AND l_quantity > 45)
           |ORDER BY o_orderkey""".stripMargin)
     },
+    // Exact interpolated percentiles (multi-quantile in one pass).
+    // Cross-engine safety: l_quantity is integer-valued (verified) and
+    // the quantile fractions are exact binary (k/4), so the linear
+    // interpolation a + (b−a)·f is exact regardless of which algebraic
+    // form each engine uses — no rounding guard needed.
+    "a12_percentiles" -> { (s, d) =>
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_pc")
+      s.sql(
+        """SELECT l_returnflag,
+          |  percentile(l_quantity, 0.25) AS q1,
+          |  percentile(l_quantity, 0.5)  AS med,
+          |  percentile(l_quantity, 0.75) AS q3
+          |FROM lineitem_pc
+          |GROUP BY l_returnflag
+          |ORDER BY l_returnflag""".stripMargin)
+    },
     // SQL-standard FILTER clause on aggregates — per-group conditional
     // aggregation without CASE scaffolding; plans as a single
     // partial-aggregable pass.
@@ -433,6 +449,14 @@ object SqlSurface {
         |WHERE EXISTS (SELECT 1 FROM lineitem
         |  WHERE l_orderkey = o.o_orderkey AND l_quantity > 45)
         |ORDER BY o_orderkey""".stripMargin,
+    "a12_percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.25) AS q1,
+        |  quantile_cont(l_quantity, 0.5)  AS med,
+        |  quantile_cont(l_quantity, 0.75) AS q3
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "a11_filter_clause" ->
       """SELECT l_returnflag,
         |  CAST(COUNT(*) AS BIGINT) AS n_all,
