@@ -1,5 +1,6 @@
 package graft.operators
 
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -45,8 +46,12 @@ object Pq {
   private val SubDim = 8   // dims per subspace (64 total)
   private val ShortlistR = 50 // ADC shortlist size re-ranked exactly
 
+  /** Per-dataset store: codebook entries collected driver-side
+    * ((m, code) → dim-indexed sub-centroid — M×K×SubDim doubles, query-
+    * planning state like n4's centroid cache) + the codes relation.
+    */
   private val pqCache =
-    scala.collection.concurrent.TrieMap.empty[String, (DataFrame, DataFrame)]
+    scala.collection.concurrent.TrieMap.empty[String, (Map[(Int, Int), Array[Double]], DataFrame)]
 
   /** Exploded corpus with subspace index: (vec_id, label, m, dim, v). */
   private def ex(e: DataFrame): DataFrame =
@@ -58,7 +63,7 @@ object Pq {
   /** `(codebook, codes)` — codebook (m, code, dim, c); codes (vec_id, m,
     * code) with one code per (vector, subspace).
     */
-  private def pqStore(s: SparkSession, d: String): (DataFrame, DataFrame) =
+  private def pqStore(s: SparkSession, d: String): (Map[(Int, Int), Array[Double]], DataFrame) =
     pqCache.getOrElseUpdate(d, {
       val out = java.nio.file.Files.createTempDirectory("graft-pq").toString
       val e = Tables.embeddings(s, d)
@@ -78,7 +83,14 @@ object Pq {
       dist.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
         .select("vec_id", "m", "code")
         .write.mode("overwrite").parquet(s"$out/codes")
-      (cbr, s.read.parquet(s"$out/codes"))
+      val cbLocal = cbr.collect() // M×K×SubDim rows — query-planning state
+        .groupBy(r => (r.getLong(0).toInt, r.getInt(1))) // m is LONG (dim div 8)
+        .map { case (k, rows) =>
+          val dims = rows.map(r => r.getInt(2) -> r.getDouble(3)).toMap
+          // dims are global indices; sub-centroid is indexed by offset in m
+          k -> Array.tabulate(SubDim)(i => dims(k._1 * SubDim + i))
+        }
+      (cbLocal, s.read.parquet(s"$out/codes"))
     })
 
   def ensureStores(s: SparkSession, d: String): Unit = { pqStore(s, d); () }
@@ -87,16 +99,27 @@ object Pq {
     "n7_ann_pq" -> { (s, d) =>
       val (cb, codes) = pqStore(s, d)
       // ADC distance table: M×K decimal squared distances from the
-      // query's subvectors to every codebook entry — stays DECIMAL so
-      // the per-vector sum is order-independent in both engines.
-      val q = Tables.embeddings(s, d).filter(col("vec_id") === 0)
-        .select(posexplode(col("embedding")))
-        .withColumnRenamed("pos", "dim")
-        .withColumnRenamed("col", "qv")
-        .select(col("dim"), col("qv").cast("double").as("qv"))
-      val qtab = cb.join(broadcast(q), "dim")
-        .groupBy(col("m"), col("code"))
-        .agg(sum(((col("qv") - col("c")) * (col("qv") - col("c"))).cast(Dec12)).as("d2"))
+      // query's subvectors to every codebook entry — computed DRIVER-side
+      // over the codebook cache (n4's planning pattern: BigDecimal
+      // HALF_UP = Spark's double→decimal cast semantics) and shipped as
+      // a tiny decimal-typed local relation, so no corpus-side job runs
+      // before the codes scan. Stays DECIMAL end-to-end so the
+      // per-vector sum is order-independent in both engines.
+      val qArr = Tables.embeddings(s, d).filter(col("vec_id") === 0)
+        .select("embedding").head.getSeq[Float](0).toArray.map(_.toDouble)
+      val qtabRows = cb.toSeq.map { case ((m, code), c) =>
+        val d2 = c.indices.foldLeft(java.math.BigDecimal.ZERO) { (acc, i) =>
+          val diff = qArr(m * SubDim + i) - c(i)
+          acc.add(java.math.BigDecimal.valueOf(diff * diff)
+            .setScale(12, java.math.RoundingMode.HALF_UP))
+        }
+        org.apache.spark.sql.Row(m.toLong, code, d2) // m is LONG in the codes store
+      }
+      val qtab = s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](qtabRows.asJava),
+        StructType(Seq(
+          StructField("m", LongType), StructField("code", IntegerType),
+          StructField("d2", DecimalType(38, 12)))))
       // shortlist resolved to literals driver-side (R longs — the same
       // serving-path pattern as n2's bucket / n4's cells), so the float
       // re-rank is a pushed-filter point read of R rows, not a join
