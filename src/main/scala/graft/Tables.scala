@@ -127,4 +127,19 @@ object Cols {
 
   /** [[djoin]] for an already-string array. */
   def sjoin(c: Column): Column = array_join(c, ",")
+
+  /** Driver-side decimal-exact squared distance, bit-matching the
+    * in-engine spelling `SUM(CAST((q−c)² AS DECIMAL(28,12)))`: per-dim
+    * diff and square in double (IEEE-identical), each term rounded via
+    * HALF_UP on the shortest-decimal rendering (`BigDecimal.valueOf` =
+    * Spark's `Decimal.set(double)` semantics), exact decimal sum. Used
+    * by the IVF/PQ query planners (n4/n6/n7) so driver-side cell/code
+    * scoring is value-identical with what the columnar plan computes.
+    */
+  def decimalSqDist(q: Array[Double], c: Array[Double], off: Int = 0): java.math.BigDecimal =
+    c.indices.foldLeft(java.math.BigDecimal.ZERO) { (acc, i) =>
+      val diff = q(off + i) - c(i)
+      acc.add(java.math.BigDecimal.valueOf(diff * diff)
+        .setScale(12, java.math.RoundingMode.HALF_UP))
+    }
 }

@@ -121,12 +121,7 @@ object Ivf {
       .select("embedding").head.getSeq[Float](0).toArray
     val qd = q.map(_.toDouble)
     val cells = cent.map { case (cell, c) =>
-      val d2 = c.indices.foldLeft(java.math.BigDecimal.ZERO) { (acc, i) =>
-        val diff = qd(i) - c(i)
-        acc.add(java.math.BigDecimal.valueOf(diff * diff)
-          .setScale(12, java.math.RoundingMode.HALF_UP))
-      }.doubleValue()
-      (cell, d2)
+      (cell, Cols.decimalSqDist(qd, c).doubleValue())
     }.sortBy { case (cell, d2) => (d2, cell) }.take(NProbe).map(_._1).toSeq
     def ad(a: Array[Float]) =
       new org.apache.spark.sql.catalyst.util.GenericArrayData(a.map(x => x: Any))

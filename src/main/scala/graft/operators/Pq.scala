@@ -105,14 +105,11 @@ object Pq {
       // a tiny decimal-typed local relation, so no corpus-side job runs
       // before the codes scan. Stays DECIMAL end-to-end so the
       // per-vector sum is order-independent in both engines.
-      val qArr = Tables.embeddings(s, d).filter(col("vec_id") === 0)
-        .select("embedding").head.getSeq[Float](0).toArray.map(_.toDouble)
+      val qF = Tables.embeddings(s, d).filter(col("vec_id") === 0)
+        .select("embedding").head.getSeq[Float](0).toArray // one point read, reused by refine
+      val qArr = qF.map(_.toDouble)
       val qtabRows = cb.toSeq.map { case ((m, code), c) =>
-        val d2 = c.indices.foldLeft(java.math.BigDecimal.ZERO) { (acc, i) =>
-          val diff = qArr(m * SubDim + i) - c(i)
-          acc.add(java.math.BigDecimal.valueOf(diff * diff)
-            .setScale(12, java.math.RoundingMode.HALF_UP))
-        }
+        val d2 = graft.Cols.decimalSqDist(qArr, c, off = m * SubDim)
         org.apache.spark.sql.Row(m.toLong, code, d2) // m is LONG in the codes store
       }
       val qtab = s.createDataFrame(
@@ -132,16 +129,14 @@ object Pq {
         .select("vec_id").collect().map(_.getLong(0)).toSeq
       // refine: exact cosine on the R shortlist rows only
       graft.functions.GraftFunctions.register(s)
-      val qarr = Tables.embeddings(s, d).filter(col("vec_id") === 0)
-        .select("embedding").head.getSeq[Float](0).toArray
       def ad(a: Array[Float]) =
         new org.apache.spark.sql.catalyst.util.GenericArrayData(a.map(x => x: Any))
-      val qn = math.sqrt(graft.functions.DecimalDot.dot(ad(qarr), ad(qarr)))
+      val qn = math.sqrt(graft.functions.DecimalDot.dot(ad(qF), ad(qF)))
       Tables.embeddings(s, d)
         .filter(col("vec_id").isin(shortlist: _*))
         .withColumn("norm", sqrt(graft.Cols.fastDot(col("embedding"), col("embedding"))))
         .withColumn("cos",
-          graft.Cols.fastDot(col("embedding"), typedLit(qarr)) / (col("norm") * lit(qn)))
+          graft.Cols.fastDot(col("embedding"), typedLit(qF)) / (col("norm") * lit(qn)))
         .select("vec_id", "label", "cos")
         .orderBy(col("cos").desc, col("vec_id"))
         .limit(10)

@@ -239,7 +239,11 @@ final class JdbcTwoTableSink(connect: () => Connection) extends CheckpointSink {
     * autocommit connection throws there.
     */
   def bootstrap(firstFile: String, adminConnect: Option[() => Connection] = None): Boolean = {
-    if (lastSequence.isDefined) return false // existing database: leave as-is
+    // probe must tolerate the destination database NOT EXISTING yet (the
+    // fresh-server two-phase flow: kin is only created below) — a failed
+    // connect means "not seeded", not an error
+    val seeded = try lastSequence.isDefined catch { case _: Exception => false }
+    if (seeded) return false // existing database: leave as-is
     val seq = java.lang.Long.parseLong(firstFile.trim, 16)
     // seed validation (build_database.py:25-28): the first scanned file
     // must be the last ledger of a 64-ledger checkpoint span
@@ -249,6 +253,7 @@ final class JdbcTwoTableSink(connect: () => Connection) extends CheckpointSink {
     adminConnect.foreach { ac =>
       val a = ac()
       try {
+        a.setAutoCommit(true) // CREATE DATABASE cannot run in a txn block
         val st = a.createStatement()
         st.execute("CREATE DATABASE kin")
         st.execute("CREATE USER python")
@@ -268,7 +273,6 @@ final class JdbcTwoTableSink(connect: () => Connection) extends CheckpointSink {
       ddl("payments", "amount")
       ddl("creations", "starting_balance")
       st.execute("CREATE TABLE IF NOT EXISTS lastfile (name VARCHAR(8) NOT NULL)")
-      st.execute(s"INSERT INTO lastfile VALUES ('${firstFile.trim}')")
       if (adminConnect.isDefined) {
         for {
           tbl <- Seq("payments", "creations")
@@ -277,6 +281,12 @@ final class JdbcTwoTableSink(connect: () => Connection) extends CheckpointSink {
         Seq("INSERT", "SELECT", "UPDATE").foreach(g =>
           st.execute(s"GRANT $g ON lastfile TO python"))
       }
+      // the lastfile seed runs LAST as the completion marker: with
+      // autocommit DDL, a failure mid-bootstrap (e.g. in the grants)
+      // must leave the database re-bootstrappable — an early seed would
+      // make every retry return false at the seeded check above while
+      // the ingest user permanently lacked its grants
+      st.execute(s"INSERT INTO lastfile VALUES ('${firstFile.trim}')")
       true
     } finally c.close()
   }

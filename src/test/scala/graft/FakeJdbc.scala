@@ -75,9 +75,18 @@ private final class FakeConn(db: FakeDb) {
     else if (s.startsWith("CREATE") || s.startsWith("GRANT") || s.startsWith("ALTER")) {
       db.ddl += s; java.lang.Boolean.TRUE // bootstrap DDL: accept and log
     } else if (s.startsWith("DELETE FROM lastfile")) { stagedLast = Some(None); java.lang.Boolean.TRUE }
-    else if (s.startsWith("INSERT INTO lastfile") || s.startsWith("UPDATE lastfile")) {
+    else if (s.startsWith("INSERT INTO lastfile")) {
       val v = "'([0-9a-f]{8})'".r.findFirstMatchIn(s).get.group(1)
       stagedLast = Some(Some(v)); java.lang.Boolean.TRUE
+    } else if (s.startsWith("UPDATE lastfile")) {
+      // real UPDATE semantics: touches the row only if one exists
+      // (committed, or staged in this txn) — applying unconditionally
+      // would make the sink's INSERT-fallback test vacuous
+      if (stagedLast.map(_.isDefined).getOrElse(db.lastfile.isDefined)) {
+        val v = "'([0-9a-f]{8})'".r.findFirstMatchIn(s).get.group(1)
+        stagedLast = Some(Some(v))
+      }
+      java.lang.Boolean.TRUE
     } else if (s.startsWith("SELECT name FROM lastfile")) resultSet(db.lastfile.map(Seq[Any](_)).toSeq)
     else if (s.startsWith("SELECT hash FROM")) {
       // self-test probe lookup: rows of that table (committed or staged in
