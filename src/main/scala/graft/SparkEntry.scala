@@ -24,6 +24,9 @@ object SparkEntry {
       graft.queries.CustomFns.queries ++
       graft.operators.Dedup.queries ++
       graft.operators.Dedup.queries2 ++
+      graft.operators.Dedup.queries3 ++
+      graft.operators.Privacy.queries ++
+      graft.operators.Retrieval.queries ++
       graft.operators.Similarity.queries ++
       graft.operators.Similarity.queries2 ++
       graft.operators.Ivf.queries ++
@@ -39,6 +42,9 @@ object SparkEntry {
       graft.queries.CustomFns.oracles ++
       graft.operators.Dedup.oracles ++
       graft.operators.Dedup.oracles2 ++
+      graft.operators.Dedup.oracles3 ++
+      graft.operators.Privacy.oracles ++
+      graft.operators.Retrieval.oracles ++
       graft.operators.Similarity.oracles ++
       graft.operators.Similarity.oracles2 ++
       graft.operators.Ivf.oracles ++

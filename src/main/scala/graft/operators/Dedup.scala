@@ -472,6 +472,72 @@ object Dedup {
     }
   )
 
+  /** Substring-level duplication: the n-gram-fingerprint approximation of
+    * suffix-array substring dedup ("Deduplicating Training Data Makes
+    * Language Models Better", Lee et al. 2022 — their 50-token spans,
+    * here word-5-grams sized to the synthetic docs). Every token position
+    * contributes its 5-gram's md5; a position is duplicated if that gram
+    * occurs in ≥ 2 distinct documents; a document is flagged when most of
+    * its positions are covered by cross-document duplicated spans.
+    *
+    * Scale shape: one explode → fixed-width md5 shuffle keys → two
+    * map-side-combinable aggs (per-gram distinct-doc count is planned as
+    * a two-level agg) → one gram-keyed join back. Never pairwise — cost
+    * is O(total positions), not O(docs²). At 100 TB the d8 hot-list cap
+    * applies unchanged to boilerplate grams, and positions can be strided
+    * (every k-th gram) for a linear cost reduction at known recall.
+    */
+  def queries3: Map[String, Q] = Map(
+    "d10_substring_dedup" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val toks = docs.select(col("doc_id"), split(col("text"), " ").as("l"))
+        .withColumn("n", size(col("l")))
+      val grams = toks.filter(col("n") >= 5)
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(0), col("n") - 5),
+            i => md5(concat_ws(" ", slice(col("l"), i + 1, lit(5)))))).as("gh"))
+      val gdf = grams.groupBy("gh").agg(countDistinct(col("doc_id")).as("gdocs"))
+      val perDoc = grams.join(gdf, "gh")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("gdocs") >= 2, 1L).otherwise(0L)).as("n_dup_grams"))
+      docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+          coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"))
+        .withColumn("dup_frac",
+          when(col("n_grams") > 0,
+            col("n_dup_grams").cast("double") / col("n_grams").cast("double"))
+            .otherwise(lit(0.0)))
+        .withColumn("is_contaminated", col("dup_frac") > 0.5)
+        .orderBy("doc_id")
+    }
+  )
+
+  def oracles3: Map[String, String] = Map(
+    "d10_substring_dedup" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |pos AS (SELECT doc_id, l, unnest(generate_series(1, len(l)-4)) AS i
+        |  FROM w WHERE len(l) >= 5),
+        |g AS (SELECT doc_id, md5(array_to_string(l[i:i+4], ' ')) AS gh FROM pos),
+        |gdf AS (SELECT gh, CAST(count(DISTINCT doc_id) AS BIGINT) AS gdocs
+        |  FROM g GROUP BY gh),
+        |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |    CAST(SUM(CASE WHEN gdocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams
+        |  FROM g JOIN gdf USING (gh) GROUP BY doc_id),
+        |j AS (SELECT d.doc_id, COALESCE(n_grams, 0) AS n_grams,
+        |    COALESCE(n_dup_grams, 0) AS n_dup_grams
+        |  FROM documents d LEFT JOIN pd USING (doc_id))
+        |SELECT doc_id, n_grams, n_dup_grams,
+        |  CASE WHEN n_grams > 0
+        |    THEN CAST(n_dup_grams AS DOUBLE) / CAST(n_grams AS DOUBLE)
+        |    ELSE 0.0 END AS dup_frac,
+        |  (CASE WHEN n_grams > 0
+        |    THEN CAST(n_dup_grams AS DOUBLE) / CAST(n_grams AS DOUBLE)
+        |    ELSE 0.0 END) > 0.5 AS is_contaminated
+        |FROM j ORDER BY doc_id""".stripMargin
+  )
+
   def oracles: Map[String, String] = Map(
     "d1_exact_dedup" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS canonical_doc, count(*) AS n_copies

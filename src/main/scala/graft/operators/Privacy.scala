@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Privacy operators for training-data preparation: PII scrubbing
+  * (pseudonymization + pattern redaction) and k-anonymity suppression.
+  *
+  * A corpus assembled from logs or user events cannot ship to training
+  * with direct identifiers (user ids), quasi-identifiers that single out
+  * individuals in small groups, or free-text PII (emails, IPs, numbers).
+  * The reference stores raw source/destination account ids verbatim
+  * (python/models.py:14-30); a training-data export of the same records
+  * needs exactly these two passes.
+  *
+  * Scale shape: both operators are one scan + narrow transforms; the only
+  * shuffle is k-anonymity's group-size window (one exchange on the
+  * quasi-identifier key, map-side combinable if spelled as agg+join).
+  * Pseudonymization is a pure map — at 100 TB both parallelize trivially.
+  */
+object Privacy {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Redaction patterns, applied in this order (emails before bare digit
+    * runs, so an address is one `<EMAIL>`, not letters + `<NUM>`).
+    * Restricted to syntax with identical semantics in Java regex (Spark)
+    * and RE2 (DuckDB): literal classes, bounded repeats, `\b`, no
+    * lookaround or backreferences.
+    */
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val Ipv4Re  = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val NumRe   = "[0-9]+"
+
+  /** Sequential scrub: emails, then IPv4s, then residual digit runs.
+    * Placeholders contain no digits, so later passes cannot re-match
+    * earlier replacements.
+    */
+  def scrub(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      NumRe, "<NUM>")
+
+  /** Oracle-SQL spelling of [[scrub]] (RE2 needs the 'g' flag; Java
+    * regexp_replace is global by default).
+    */
+  def scrubSql(e: String): String =
+    s"regexp_replace(regexp_replace(regexp_replace($e, " +
+      s"'$EmailRe', '<EMAIL>', 'g'), '$Ipv4Re', '<IP>', 'g'), '$NumRe', '<NUM>', 'g')"
+
+  /** Keyed pseudonym: salted one-way hash of the identifier. The salt
+    * makes the mapping table-scoped (a different salt yields unlinkable
+    * pseudonyms); 16 hex chars keep collision odds negligible at any
+    * realistic corpus size while halving the output width.
+    */
+  def pseudonym(salt: String, id: Column): Column =
+    substring(md5(concat(lit(salt + "|"), id.cast("string"))), 1, 16)
+
+  def pseudonymSql(salt: String, id: String): String =
+    s"substr(md5('$salt|' || CAST($id AS VARCHAR)), 1, 16)"
+
+  def queries: Map[String, Q] = Map(
+    // PII scrub over the events stream: user_id → salted pseudonym, the
+    // free-text props payload through the three-pattern redaction chain,
+    // with per-class match counts (counted on the raw text — an email's
+    // digits are part of the email, not separate numbers). Pure map-side:
+    // no shuffle at any scale.
+    "x12_pii_scrub" -> { (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          pseudonym("uid", col("user_id")).as("user_pseudonym"),
+          scrub(col("props")).as("props_scrubbed"),
+          regexp_count(col("props"), lit(EmailRe)).cast("long").as("n_emails"),
+          regexp_count(col("props"), lit(Ipv4Re)).cast("long").as("n_ips"),
+          regexp_count(col("props"), lit(NumRe)).cast("long").as("n_nums"))
+        .orderBy("event_id")
+    },
+    // k-anonymity suppression: rows whose quasi-identifier group
+    // (event_type × hour) has fewer than k members are dropped — each
+    // surviving record is indistinguishable from ≥ k−1 others on the
+    // quasi-identifiers. One window exchange on the group key; identifiers
+    // leave pseudonymized.
+    "x13_k_anonymity" -> { (s, d) =>
+      val k = 3
+      val w = Window.partitionBy("event_type", "hour")
+      Tables.events(s, d)
+        .withColumn("hour", date_trunc("hour", col("ts")))
+        .withColumn("group_n", count(lit(1)).over(w))
+        .filter(col("group_n") >= k)
+        .select(col("event_id"),
+          pseudonym("uid", col("user_id")).as("user_pseudonym"),
+          col("event_type"), col("hour"), col("group_n"))
+        .orderBy("event_id")
+    }
+  )
+
+  def oracles: Map[String, String] = Map(
+    "x12_pii_scrub" ->
+      s"""SELECT event_id,
+         |  ${pseudonymSql("uid", "user_id")} AS user_pseudonym,
+         |  ${scrubSql("props")} AS props_scrubbed,
+         |  CAST(length(regexp_extract_all(props, '$EmailRe')) AS BIGINT) AS n_emails,
+         |  CAST(length(regexp_extract_all(props, '$Ipv4Re')) AS BIGINT) AS n_ips,
+         |  CAST(length(regexp_extract_all(props, '$NumRe')) AS BIGINT) AS n_nums
+         |FROM events ORDER BY event_id""".stripMargin,
+    "x13_k_anonymity" ->
+      s"""WITH g AS (
+         |  SELECT event_id, user_id, event_type, date_trunc('hour', ts) AS hour,
+         |    count(*) OVER (PARTITION BY event_type, date_trunc('hour', ts)) AS group_n
+         |  FROM events)
+         |SELECT event_id, ${pseudonymSql("uid", "user_id")} AS user_pseudonym,
+         |  event_type, hour, group_n
+         |FROM g WHERE group_n >= 3 ORDER BY event_id""".stripMargin
+  )
+}

@@ -1,0 +1,166 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.{Cols, Tables}
+
+/** Sparse (BM25) keyword retrieval and hybrid sparse+dense fusion — the
+  * retrieval side of a training-data/RAG pipeline, complementing the
+  * dense-only ANN family (n1..n9).
+  *
+  * Scale shapes:
+  *  - BM25 index stats (dl, tf, df, avgdl) are the ingest-time
+  *    materialization at 100 TB (an inverted index keyed by term); here
+  *    they are derived inline from one explode + map-side-combinable aggs,
+  *    a vocabulary-sized df dim, and one term-keyed join — x7's audited
+  *    plan with a different scoring formula.
+  *  - Fusion joins two bounded top-k lists (tiny by construction): both
+  *    rankings arrive via TakeOrderedAndProject, the rank windows run over
+  *    ≤ k rows, and the full-outer fuse join is a broadcast of 20-row sides.
+  *
+  * Cross-engine determinism: every division/multiplication chain is spelled
+  * identically on both engines over exact integer inputs (correctly-rounded
+  * IEEE ops ⇒ bit-identical); the one libm call (ln in idf) is rounded to
+  * 9 digits on both sides, and per-term scores are rounded before the
+  * order-independent decimal sum (the x10 pattern).
+  */
+object Retrieval {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Fixed keyword query (terms from the corpus vocabulary). */
+  val QueryTerms: Seq[String] = Seq("spark", "merge", "window")
+
+  private val K1 = 1.2
+  private val B  = 0.75
+
+  /** Per-(doc, term) BM25 partials joined with doc length and corpus
+    * stats; `w` is the 9-digit-rounded per-term score contribution.
+    */
+  private def bm25Scored(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val toks = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_tokens"))
+    val tf = toks.filter(col("word").isin(QueryTerms: _*))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), "word")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("total_tokens").cast("double") / col("n_docs").cast("double"))
+      .withColumn("idf", round(log(
+        lit(1.0) + (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5))), 9))
+      .withColumn("w", round(
+        col("idf") * (col("tf").cast("double") * lit(K1 + 1.0)) /
+          (col("tf").cast("double") +
+            lit(K1) * (lit(1.0 - B) + lit(B) * col("dl").cast("double") / col("avgdl"))), 9))
+  }
+
+  /** Top-`n` docs by decimal-summed BM25 score. */
+  private def bm25TopN(s: SparkSession, d: String, n: Int): DataFrame =
+    bm25Scored(s, d)
+      .groupBy("doc_id")
+      .agg(sum(col("w").cast(DecimalType(28, 12))).cast("double").as("bm25"),
+        count(lit(1)).as("n_terms_hit"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(n)
+
+  /** Oracle CTEs shared by x14 and n10 (everything through per-doc BM25). */
+  private def bm25Ctes: String = {
+    val termVals = QueryTerms.map(t => s"('$t')").mkString(", ")
+    s"""qt(term) AS (VALUES $termVals),
+       |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+       |  FROM documents),
+       |tk AS (SELECT doc_id, word FROM toks WHERE length(word) > 0),
+       |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tk GROUP BY doc_id),
+       |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(dl) AS BIGINT) AS total_tokens FROM dl),
+       |tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+       |  FROM tk JOIN qt ON word = term GROUP BY doc_id, word),
+       |dfreq AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY word),
+       |sc AS (SELECT doc_id, word, tf, df, dl,
+       |    CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avgdl,
+       |    round(ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) /
+       |      (CAST(df AS DOUBLE) + 0.5)), 9) AS idf
+       |  FROM tf JOIN dfreq USING (word) JOIN dl USING (doc_id), stats),
+       |ws AS (SELECT doc_id, word, tf, df,
+       |    round(idf * (CAST(tf AS DOUBLE) * ${K1 + 1.0}) /
+       |      (CAST(tf AS DOUBLE) + $K1 * (${1.0 - B} + $B * CAST(dl AS DOUBLE) / avgdl)), 9) AS w
+       |  FROM sc),
+       |agg AS (SELECT doc_id,
+       |    CAST(SUM(CAST(w AS DECIMAL(28,12))) AS DOUBLE) AS bm25,
+       |    CAST(count(*) AS BIGINT) AS n_terms_hit
+       |  FROM ws GROUP BY doc_id)""".stripMargin
+  }
+
+  def queries: Map[String, Q] = Map(
+    // BM25 (k1=1.2, b=0.75) for a fixed keyword query; top-15 docs.
+    "x14_bm25" -> { (s, d) =>
+      bm25TopN(s, d, 15).select("doc_id", "bm25", "n_terms_hit")
+    },
+    // Hybrid retrieval: reciprocal-rank fusion (k=60) of the BM25 top-20
+    // and the dense cosine top-20 against doc/vec 0's embedding
+    // (documents.doc_id ≡ embeddings.vec_id in this corpus). Each side is
+    // a bounded TakeOrderedAndProject; the rank windows and the
+    // full-outer fuse join run over ≤ 20 rows. 1/(60+rank) is a
+    // correctly-rounded double of exact integers and the two
+    // contributions are added in a fixed spelled order, so the fused
+    // score is bit-identical cross-engine without decimal routing.
+    "n10_hybrid_rrf" -> { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      val rrfK = 60
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      val denseTop = e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .withColumn("cos",
+          Cols.fastDot(col("embedding"), col("qv")) /
+            (sqrt(Cols.fastDot(col("embedding"), col("embedding"))) *
+              sqrt(Cols.fastDot(col("qv"), col("qv")))))
+        .select("vec_id", "cos")
+        .orderBy(col("cos").desc, col("vec_id")).limit(20)
+      val dense = denseTop.withColumn("vrank",
+        row_number().over(Window.orderBy(col("cos").desc, col("vec_id"))).cast("long"))
+      val text = bm25TopN(s, d, 20).withColumn("trank",
+        row_number().over(Window.orderBy(col("bm25").desc, col("doc_id"))).cast("long"))
+      dense.select(col("vec_id").as("id"), col("vrank"))
+        .join(text.select(col("doc_id").as("id"), col("trank")), Seq("id"), "full_outer")
+        .withColumn("rrf",
+          coalesce(lit(1.0) / (lit(rrfK).cast("double") + col("vrank").cast("double")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(rrfK).cast("double") + col("trank").cast("double")), lit(0.0)))
+        .select("id", "vrank", "trank", "rrf")
+        .orderBy(col("rrf").desc, col("id"))
+        .limit(10)
+    }
+  )
+
+  def oracles: Map[String, String] = Map(
+    "x14_bm25" ->
+      s"""WITH ${bm25Ctes}
+         |SELECT doc_id, bm25, n_terms_hit FROM agg
+         |ORDER BY bm25 DESC, doc_id LIMIT 15""".stripMargin,
+    "n10_hybrid_rrf" ->
+      s"""WITH ${bm25Ctes},
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |dsc AS (SELECT vec_id, ${Cols.cosineSql("embedding", "qv")} AS cos
+         |  FROM embeddings, q WHERE vec_id <> 0),
+         |dtop AS (SELECT vec_id, cos,
+         |    CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS BIGINT) AS vrank
+         |  FROM dsc ORDER BY cos DESC, vec_id LIMIT 20),
+         |ttop AS (SELECT doc_id, bm25,
+         |    CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS trank
+         |  FROM agg ORDER BY bm25 DESC, doc_id LIMIT 20),
+         |fused AS (
+         |  SELECT COALESCE(d.vec_id, t.doc_id) AS id, d.vrank, t.trank,
+         |    COALESCE(1.0 / (CAST(60 AS DOUBLE) + CAST(d.vrank AS DOUBLE)), 0.0) +
+         |    COALESCE(1.0 / (CAST(60 AS DOUBLE) + CAST(t.trank AS DOUBLE)), 0.0) AS rrf
+         |  FROM dtop d FULL OUTER JOIN ttop t ON d.vec_id = t.doc_id)
+         |SELECT id, vrank, trank, rrf FROM fused
+         |ORDER BY rrf DESC, id LIMIT 10""".stripMargin
+  )
+}

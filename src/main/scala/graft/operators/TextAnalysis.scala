@@ -265,6 +265,30 @@ object TextAnalysis {
           "cum_before", "chunk_id", "offset_in_chunk")
         .orderBy("doc_id")
     },
+    // Domain mixing: balance the corpus across languages by deterministic
+    // subsampling — every language contributes exactly `min(per-lang
+    // count)` documents, selected by md5 order (reproducible, RNG-free,
+    // same trick as x6). The general form of training-mixture control:
+    // replace `min(n)` with per-domain target weights and the same plan
+    // upsamples/downsamples any mixture. Shape at 100 TB: one combinable
+    // count agg (a #langs-row dim, broadcast back), one rank window
+    // partitioned by lang — the window parallelism is #langs here, but
+    // unlike x8's prefix sum the selection only needs rank ≤ target, so
+    // at scale it sub-shards exactly like x8 (rank within (lang, shard),
+    // target split proportionally across shards).
+    "x15_domain_mix" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val target = docs.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+        .agg(min(col("n_lang")).as("target"))
+      val w = Window.partitionBy("lang")
+        .orderBy(md5(concat(lit("mix|"), col("doc_id").cast("string"))), col("doc_id"))
+      docs.select("doc_id", "lang", "source")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .crossJoin(broadcast(target))
+        .filter(col("rn") <= col("target"))
+        .select("doc_id", "lang", "source", "rn")
+        .orderBy("doc_id")
+    },
     // Fingerprint: md5 over the sorted distinct token set (key-collision
     // clustering); canonical doc per fingerprint via window min.
     "x4_fingerprint" -> { (s, d) =>
@@ -412,6 +436,15 @@ object TextAnalysis {
         |  CAST(SUM(CAST(lp AS DECIMAL(28,12))) AS DOUBLE) / CAST(count(*) AS DOUBLE) > -7.0 AS is_fluent
         |FROM toks JOIN logp USING (word)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "x15_domain_mix" ->
+      """WITH c AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang),
+        |t AS (SELECT min(n_lang) AS target FROM c),
+        |r AS (SELECT doc_id, lang, source,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5('mix|' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rn
+        |  FROM documents)
+        |SELECT doc_id, lang, source, rn FROM r, t
+        |WHERE rn <= target ORDER BY doc_id""".stripMargin,
     "x4_fingerprint" ->
       """WITH f AS (
         |  SELECT doc_id,
