@@ -1,0 +1,75 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Ranking-behavior tests for BM25 and hybrid RRF — properties of the
+  * scoring functions the oracle hash can't state (it certifies DuckDB
+  * parity, not that the ranking is a sane retrieval ranking).
+  */
+class RetrievalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val d = "/root/testdata/sf0.001"
+
+  test("x14 BM25: scores positive, sorted, and term-frequency-sensitive") {
+    val rows = SparkEntry.queries("x14_bm25")(spark, d).collect()
+    assert(rows.length === 15)
+    val scores = rows.map(_.getDouble(1))
+    assert(scores.forall(_ > 0.0))
+    assert(scores.sameElements(scores.sortBy(-_)), "not sorted by score desc")
+    // every top doc matched at least one query term; hit counts bounded
+    rows.foreach { r =>
+      val hits = r.getLong(2)
+      assert(hits >= 1 && hits <= graft.operators.Retrieval.QueryTerms.size)
+    }
+    // the top doc is better than the median scoring doc by construction
+    assert(scores.head > scores.last)
+  }
+
+  test("n10 RRF: fused list rewards presence in both rankings") {
+    val rows = SparkEntry.queries("n10_hybrid_rrf")(spark, d).collect()
+    assert(rows.length === 10)
+    val rrf = rows.map(_.getDouble(3))
+    assert(rrf.sameElements(rrf.sortBy(-_)), "not sorted by rrf desc")
+    rows.foreach { r =>
+      val (vr, tr) = (Option(r.get(1)).map(_.toString.toLong),
+        Option(r.get(2)).map(_.toString.toLong))
+      val expected =
+        vr.map(v => 1.0 / (60.0 + v)).getOrElse(0.0) +
+          tr.map(t => 1.0 / (60.0 + t)).getOrElse(0.0)
+      assert(math.abs(r.getDouble(3) - expected) < 1e-12,
+        s"id ${r.get(0)}: rrf ${r.getDouble(3)} != recomputed $expected")
+      assert(vr.nonEmpty || tr.nonEmpty)
+    }
+    // any doc in both top-20 lists must outrank a doc in neither list's
+    // top ranks: presence in two modalities dominates rank-20 of one
+    val both = rows.filter(r => !r.isNullAt(1) && !r.isNullAt(2)).map(_.getDouble(3))
+    if (both.nonEmpty) assert(both.max > 1.0 / 80.0)
+  }
+
+  test("d10 substring dedup: duplicated spans are localized correctly") {
+    // Synthetic fixture (the sf corpora contain no exact duplicates):
+    // docs 1/2 are identical → every position duplicated (dup_frac 1);
+    // doc 3 shares only its first 8 words with doc 1 → exactly the 4
+    // five-gram positions inside that shared span are duplicated;
+    // doc 4 is unrelated → dup_frac 0.
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-d10").toString
+    val shared = "alpha bravo charlie delta echo foxtrot golf hotel"
+    val docA = s"$shared india juliet kilo lima mike november oscar papa"
+    val doc3 = s"$shared quebec romeo sierra tango uniform victor whiskey xray"
+    val doc4 = "one two three four five six seven eight nine ten eleven twelve"
+    Seq((1L, docA), (2L, docA), (3L, doc3), (4L, doc4)).toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'fix' AS source",
+        "CAST(length(text) AS BIGINT) AS n_chars")
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    val rows = SparkEntry.queries("d10_substring_dedup")(spark, out).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(rows(1L) === ((12L, 12L, 1.0)))
+    assert(rows(2L) === ((12L, 12L, 1.0)))
+    // 16 words → 12 positions; grams fully inside the 8-word shared
+    // prefix start at positions 1..4
+    assert(rows(3L) === ((12L, 4L, 4.0 / 12.0)))
+    assert(rows(4L)._2 === 0L)
+    assert(rows(4L)._3 === 0.0)
+  }
+}
