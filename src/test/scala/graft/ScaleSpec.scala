@@ -175,6 +175,38 @@ class ScaleSpec extends AnyFunSuite {
     } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
+  test("x12 PII scrub is map-only: no join, no aggregate, one presentation sort") {
+    val d = "/root/testdata/sf0.001"
+    val plan = SparkEntry.queries("x12_pii_scrub")(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("HashAggregate"),
+      s"x12 must stay narrow:\n$plan")
+    // exactly one exchange — the final ORDER BY's range partitioning;
+    // the scrub itself must not shuffle
+    assert(plan.split("Exchange").length - 1 === 1, s"x12 extra shuffles:\n$plan")
+  }
+
+  test("d10 substring dedup joins on gram keys, never a nested-loop product") {
+    val d = "/root/testdata/sf0.001"
+    val plan = SparkEntry.queries("d10_substring_dedup")(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"d10 must stay keyed (O(positions), not O(docs²)):\n$plan")
+  }
+
+  test("n10 fusion ranks only bounded top-k lists") {
+    val d = "/root/testdata/sf0.001"
+    val df = SparkEntry.queries("n10_hybrid_rrf")(spark, d)
+    // AQE's toString carries final + initial sections; count the final only
+    val plan = executedPlan(df).split("== Initial Plan ==").head
+    // both rank windows must sit above a TakeOrderedAndProject (limit 20),
+    // never over the full corpus — the global-window anti-pattern
+    val windows = "Window \\[".r.findAllIn(plan).length
+    val topks = "TakeOrderedAndProject".r.findAllIn(plan).length
+    assert(windows === 2 && topks >= 3, // 2 per-side limits + final limit
+      s"n10 expected bounded windows over TakeOrderedAndProject:\n$plan")
+  }
+
   test("ledger= layout prunes partitions at read time") {
     val out = Files.createTempDirectory("graft-prune").toString
     Tables.orders(spark, "/root/testdata/sf0.001")
