@@ -73,4 +73,43 @@ object Engine {
   /** Q2: GET /tx?id= */
   def txByHash(payments: DataFrame, hash: String): DataFrame =
     Serve.txByHash(payments, hash)
+
+  // ── Training-data pipeline surface ─────────────────────────────────
+  // The parameterized forms of the x*/d* inventory operators, usable on
+  // any DataFrame with the documented columns (not just the sf corpus).
+
+  /** Sequence packing (x8): fixed context windows from an exclusive
+    * per-(lang, shard) token prefix sum. `rows` needs `doc_id`, `lang`,
+    * `n_tokens`.
+    */
+  def packSequences(rows: DataFrame, blockSize: Int = 512, shards: Int = 8): DataFrame =
+    operators.TextAnalysis.packTokens(rows, blockSize, shards)
+
+  /** Okapi BM25 top-`n` (x14) over `docs` (`doc_id`, `text`). */
+  def bm25(docs: DataFrame, terms: Seq[String], n: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    operators.Retrieval.bm25(docs, terms, n, k1, b)
+
+  /** PII scrub (x12): email → `<EMAIL>`, IPv4 → `<IP>`, digit runs →
+    * `<NUM>`, in that order.
+    */
+  def scrub(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    operators.Privacy.scrub(c)
+
+  /** Salted one-way pseudonym for an identifier column (x12). */
+  def pseudonym(salt: String, id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    operators.Privacy.pseudonym(salt, id)
+
+  /** k-anonymity suppression (x13) on already-generalized quasi-identifier
+    * columns.
+    */
+  def kAnonymize(df: DataFrame, quasi: Seq[String], k: Int): DataFrame =
+    operators.Privacy.kAnonymize(df, quasi, k)
+
+  /** Substring-level duplication stats (d10) from word-n-gram
+    * fingerprints over `docs` (`doc_id`, `text`).
+    */
+  def substringDupStats(docs: DataFrame, gramWords: Int = 5,
+      flagAt: Double = 0.5): DataFrame =
+    operators.Dedup.substringDupStats(docs, gramWords, flagAt)
 }

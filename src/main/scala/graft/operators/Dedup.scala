@@ -487,30 +487,37 @@ object Dedup {
     * applies unchanged to boilerplate grams, and positions can be strided
     * (every k-th gram) for a linear cost reduction at known recall.
     */
+  /** Public substring-duplication operator: per-document duplicated-span
+    * stats from word-`gramWords`-gram fingerprints over `docs` (needs
+    * `doc_id`, `text`). Columns: `doc_id`, `n_grams`, `n_dup_grams`,
+    * `dup_frac`, `is_contaminated` (dup_frac > `flagAt`).
+    */
+  def substringDupStats(docs: DataFrame, gramWords: Int, flagAt: Double = 0.5): DataFrame = {
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("l"))
+      .withColumn("n", size(col("l")))
+    val grams = toks.filter(col("n") >= gramWords)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), col("n") - gramWords),
+          i => md5(concat_ws(" ", slice(col("l"), i + 1, lit(gramWords)))))).as("gh"))
+    val gdf = grams.groupBy("gh").agg(countDistinct(col("doc_id")).as("gdocs"))
+    val perDoc = grams.join(gdf, "gh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("gdocs") >= 2, 1L).otherwise(0L)).as("n_dup_grams"))
+    docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"))
+      .withColumn("dup_frac",
+        when(col("n_grams") > 0,
+          col("n_dup_grams").cast("double") / col("n_grams").cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn("is_contaminated", col("dup_frac") > flagAt)
+  }
+
   def queries3: Map[String, Q] = Map(
     "d10_substring_dedup" -> { (s, d) =>
-      val docs = Tables.documents(s, d)
-      val toks = docs.select(col("doc_id"), split(col("text"), " ").as("l"))
-        .withColumn("n", size(col("l")))
-      val grams = toks.filter(col("n") >= 5)
-        .select(col("doc_id"),
-          explode(transform(sequence(lit(0), col("n") - 5),
-            i => md5(concat_ws(" ", slice(col("l"), i + 1, lit(5)))))).as("gh"))
-      val gdf = grams.groupBy("gh").agg(countDistinct(col("doc_id")).as("gdocs"))
-      val perDoc = grams.join(gdf, "gh")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_grams"),
-          sum(when(col("gdocs") >= 2, 1L).otherwise(0L)).as("n_dup_grams"))
-      docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("n_grams"), lit(0L)).as("n_grams"),
-          coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"))
-        .withColumn("dup_frac",
-          when(col("n_grams") > 0,
-            col("n_dup_grams").cast("double") / col("n_grams").cast("double"))
-            .otherwise(lit(0.0)))
-        .withColumn("is_contaminated", col("dup_frac") > 0.5)
-        .orderBy("doc_id")
+      substringDupStats(Tables.documents(s, d), gramWords = 5).orderBy("doc_id")
     }
   )
 

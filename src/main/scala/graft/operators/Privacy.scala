@@ -62,6 +62,18 @@ object Privacy {
   def pseudonymSql(salt: String, id: String): String =
     s"substr(md5('$salt|' || CAST($id AS VARCHAR)), 1, 16)"
 
+  /** Public k-anonymity operator: appends `group_n` (the size of each
+    * row's quasi-identifier group) and drops rows whose group has fewer
+    * than `k` members. The quasi-identifier columns must already exist on
+    * `df` (derive generalized forms — hour buckets, age ranges — first).
+    * One window exchange on the group key.
+    */
+  def kAnonymize(df: DataFrame, quasi: Seq[String], k: Int): DataFrame = {
+    val w = Window.partitionBy(quasi.map(col): _*)
+    df.withColumn("group_n", count(lit(1)).over(w))
+      .filter(col("group_n") >= k)
+  }
+
   def queries: Map[String, Q] = Map(
     // PII scrub over the events stream: user_id → salted pseudonym, the
     // free-text props payload through the three-pattern redaction chain,
@@ -84,12 +96,9 @@ object Privacy {
     // quasi-identifiers. One window exchange on the group key; identifiers
     // leave pseudonymized.
     "x13_k_anonymity" -> { (s, d) =>
-      val k = 3
-      val w = Window.partitionBy("event_type", "hour")
-      Tables.events(s, d)
-        .withColumn("hour", date_trunc("hour", col("ts")))
-        .withColumn("group_n", count(lit(1)).over(w))
-        .filter(col("group_n") >= k)
+      kAnonymize(
+        Tables.events(s, d).withColumn("hour", date_trunc("hour", col("ts"))),
+        quasi = Seq("event_type", "hour"), k = 3)
         .select(col("event_id"),
           pseudonym("uid", col("user_id")).as("user_pseudonym"),
           col("event_type"), col("hour"), col("group_n"))

@@ -35,17 +35,20 @@ object Retrieval {
   private val K1 = 1.2
   private val B  = 0.75
 
-  /** Per-(doc, term) BM25 partials joined with doc length and corpus
-    * stats; `w` is the 9-digit-rounded per-term score contribution.
+  /** Public BM25 operator: top-`n` docs from `docs` (needs `doc_id`,
+    * `text`) for keyword query `terms`, with Okapi parameters `k1`/`b`.
+    * Columns: `doc_id`, `bm25`, `n_terms_hit`. Per-term contributions are
+    * 9-digit-rounded and decimal-summed (order-independent, cross-engine
+    * deterministic — see the object scaladoc).
     */
-  private def bm25Scored(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
+  def bm25(docs: DataFrame, terms: Seq[String], n: Int,
+      k1: Double = K1, b: Double = B): DataFrame = {
     val toks = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")) > 0)
     val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_tokens"))
-    val tf = toks.filter(col("word").isin(QueryTerms: _*))
+    val tf = toks.filter(col("word").isin(terms: _*))
       .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
     tf.join(broadcast(dfreq), "word")
@@ -56,19 +59,19 @@ object Retrieval {
         lit(1.0) + (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
           (col("df").cast("double") + lit(0.5))), 9))
       .withColumn("w", round(
-        col("idf") * (col("tf").cast("double") * lit(K1 + 1.0)) /
+        col("idf") * (col("tf").cast("double") * lit(k1 + 1.0)) /
           (col("tf").cast("double") +
-            lit(K1) * (lit(1.0 - B) + lit(B) * col("dl").cast("double") / col("avgdl"))), 9))
-  }
-
-  /** Top-`n` docs by decimal-summed BM25 score. */
-  private def bm25TopN(s: SparkSession, d: String, n: Int): DataFrame =
-    bm25Scored(s, d)
+            lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl"))), 9))
       .groupBy("doc_id")
       .agg(sum(col("w").cast(DecimalType(28, 12))).cast("double").as("bm25"),
         count(lit(1)).as("n_terms_hit"))
       .orderBy(col("bm25").desc, col("doc_id"))
       .limit(n)
+  }
+
+  /** Gate spelling: BM25 over the sf corpus with the fixed query. */
+  private def bm25TopN(s: SparkSession, d: String, n: Int): DataFrame =
+    bm25(Tables.documents(s, d), QueryTerms, n)
 
   /** Oracle CTEs shared by x14 and n10 (everything through per-doc BM25). */
   private def bm25Ctes: String = {

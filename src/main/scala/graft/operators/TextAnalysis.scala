@@ -53,12 +53,30 @@ object TextAnalysis {
        |      least(CAST($nAlpha AS DOUBLE) / CAST($nTokens AS DOUBLE) / 5.0, 1.0) * 0.2 +
        |      least(CAST($stopHits AS DOUBLE) / CAST($nTokens AS DOUBLE) * 5.0, 1.0) * 0.3""".stripMargin
 
-  private def packShard(docId: Column): Column =
+  private def packShard(docId: Column, shards: Int = NumPackShards): Column =
     conv(substring(md5(concat(lit("pk|"), docId.cast("string"))), 1, 2), 16, 10)
-      .cast("long") % NumPackShards
+      .cast("long") % shards
 
   private def packShardSql(docId: String): String =
     s"CAST(('0x' || substr(md5('pk|' || CAST($docId AS VARCHAR)), 1, 2)) AS BIGINT) % $NumPackShards"
+
+  /** Public sequence-packing operator (the parameterized form of x8):
+    * given rows with `doc_id`, `lang`, and `n_tokens`, appends `shard`
+    * (deterministic md5 bucket), `cum_before` (exclusive per-(lang,shard)
+    * prefix sum in doc_id order), `chunk_id`, and `offset_in_chunk` for
+    * fixed `blockSize`-token context windows. All other input columns
+    * pass through. `shards` bounds each window partition's sort — size it
+    * so one shard's token stream fits a task at the target scale.
+    */
+  def packTokens(rows: DataFrame, blockSize: Int, shards: Int): DataFrame = {
+    val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    rows
+      .withColumn("shard", packShard(col("doc_id"), shards))
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("chunk_id", expr(s"cum_before div $blockSize"))
+      .withColumn("offset_in_chunk", col("cum_before") % blockSize)
+  }
 
   def queries: Map[String, Q] = Map(
     // Language ID: explode → broadcast-join marker table → per-(doc,lang)
@@ -157,16 +175,11 @@ object TextAnalysis {
     // parallel — how training pipelines shard this in practice (shards
     // are packed independently; chunk ids are per-shard).
     "x8_sequence_pack" -> { (s, d) =>
-      val B = 512
-      val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"),
-          size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
-        .withColumn("shard", packShard(col("doc_id")))
-        .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
-        .withColumn("chunk_id", expr(s"cum_before div $B"))
-        .withColumn("offset_in_chunk", col("cum_before") % B)
+      packTokens(
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens")),
+        blockSize = 512, shards = NumPackShards)
         .orderBy("doc_id")
     },
     // Repetition signals (the published web-corpus quality heuristics:
@@ -242,7 +255,6 @@ object TextAnalysis {
     // packing window; the quality stage is narrow) — at 100 TB each
     // stage is the already-audited shape of its standalone operator.
     "x11_pipeline" -> { (s, d) =>
-      val B = 512
       val canonical = Window.partitionBy(md5(col("text")))
       val surv = Tables.documents(s, d)
         .withColumn("canonical_doc", min(col("doc_id")).over(canonical))
@@ -254,13 +266,7 @@ object TextAnalysis {
         .withColumn("quality_score",
           qualityScore(col("n_tokens"), col("n_alpha"), col("stop_hits")))
         .filter(col("quality_score") >= 0.35)
-      val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      surv
-        .withColumn("shard", packShard(col("doc_id")))
-        .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
-        .withColumn("chunk_id", expr(s"cum_before div $B"))
-        .withColumn("offset_in_chunk", col("cum_before") % B)
+      packTokens(surv, blockSize = 512, shards = NumPackShards)
         .select("doc_id", "lang", "n_tokens", "quality_score", "shard",
           "cum_before", "chunk_id", "offset_in_chunk")
         .orderBy("doc_id")
