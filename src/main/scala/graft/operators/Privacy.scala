@@ -26,30 +26,46 @@ object Privacy {
   /** Redaction patterns, applied in this order (emails before bare digit
     * runs, so an address is one `<EMAIL>`, not letters + `<NUM>`).
     * Restricted to syntax with identical semantics in Java regex (Spark)
-    * and RE2 (DuckDB): literal classes, bounded repeats, `\b`, no
-    * lookaround or backreferences.
+    * and RE2 (DuckDB): literal classes, bounded repeats, `\b`, the `(?i)`
+    * inline flag, no lookaround or backreferences. The email pattern is
+    * case-insensitive — 'Jane.Doe@Example.COM' is PII exactly like its
+    * lowercase form. The engines' `(?i)` folding agrees on all of ASCII
+    * (Java folds ASCII-only without UNICODE_CASE; RE2 folds Unicode —
+    * they can differ on exotic codepoints like U+212A, not on text these
+    * patterns target).
     */
-  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val EmailRe = "(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
   val Ipv4Re  = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
   val NumRe   = "[0-9]+"
+
+  /** The first two scrub passes (emails, then IPv4s). Factored out so the
+    * per-class counters can count each class on the text REMAINING after
+    * the earlier passes — an email's digits belong to the email, not to
+    * `n_nums`, and a dotted quad inside an email's domain is not a
+    * separate IP.
+    */
+  def scrubEmailIp(c: Column): Column =
+    regexp_replace(regexp_replace(c, EmailRe, "<EMAIL>"), Ipv4Re, "<IP>")
 
   /** Sequential scrub: emails, then IPv4s, then residual digit runs.
     * Placeholders contain no digits, so later passes cannot re-match
     * earlier replacements.
     */
   def scrub(c: Column): Column =
-    regexp_replace(
-      regexp_replace(
-        regexp_replace(c, EmailRe, "<EMAIL>"),
-        Ipv4Re, "<IP>"),
-      NumRe, "<NUM>")
+    regexp_replace(scrubEmailIp(c), NumRe, "<NUM>")
+
+  private def q(s: String): String = s.replace("'", "''")
+
+  /** Oracle-SQL spelling of [[scrubEmailIp]]. */
+  def scrubEmailIpSql(e: String): String =
+    s"regexp_replace(regexp_replace($e, '${q(EmailRe)}', '<EMAIL>', 'g'), " +
+      s"'${q(Ipv4Re)}', '<IP>', 'g')"
 
   /** Oracle-SQL spelling of [[scrub]] (RE2 needs the 'g' flag; Java
     * regexp_replace is global by default).
     */
   def scrubSql(e: String): String =
-    s"regexp_replace(regexp_replace(regexp_replace($e, " +
-      s"'$EmailRe', '<EMAIL>', 'g'), '$Ipv4Re', '<IP>', 'g'), '$NumRe', '<NUM>', 'g')"
+    s"regexp_replace(${scrubEmailIpSql(e)}, '${q(NumRe)}', '<NUM>', 'g')"
 
   /** Keyed pseudonym: salted one-way hash of the identifier. The salt
     * makes the mapping table-scoped (a different salt yields unlinkable
@@ -60,7 +76,7 @@ object Privacy {
     substring(md5(concat(lit(salt + "|"), id.cast("string"))), 1, 16)
 
   def pseudonymSql(salt: String, id: String): String =
-    s"substr(md5('$salt|' || CAST($id AS VARCHAR)), 1, 16)"
+    s"substr(md5('${q(salt)}|' || CAST($id AS VARCHAR)), 1, 16)"
 
   /** Public k-anonymity operator: appends `group_n` (the size of each
     * row's quasi-identifier group) and drops rows whose group has fewer
@@ -77,32 +93,37 @@ object Privacy {
   def queries: Map[String, Q] = Map(
     // PII scrub over the events stream: user_id → salted pseudonym, the
     // free-text props payload through the three-pattern redaction chain,
-    // with per-class match counts (counted on the raw text — an email's
-    // digits are part of the email, not separate numbers). Pure map-side:
+    // with per-class match counts. Each class is counted on the text
+    // REMAINING after the earlier passes, matching the scrub order: an
+    // email's digits are part of the email, not separate numbers, and a
+    // dotted quad inside an email is not a separate IP. Pure map-side:
     // no shuffle at any scale.
     "x12_pii_scrub" -> { (s, d) =>
+      val afterEmail = regexp_replace(col("props"), EmailRe, "<EMAIL>")
       Tables.events(s, d)
         .select(col("event_id"),
           pseudonym("uid", col("user_id")).as("user_pseudonym"),
           scrub(col("props")).as("props_scrubbed"),
           regexp_count(col("props"), lit(EmailRe)).cast("long").as("n_emails"),
-          regexp_count(col("props"), lit(Ipv4Re)).cast("long").as("n_ips"),
-          regexp_count(col("props"), lit(NumRe)).cast("long").as("n_nums"))
+          regexp_count(afterEmail, lit(Ipv4Re)).cast("long").as("n_ips"),
+          regexp_count(scrubEmailIp(col("props")), lit(NumRe)).cast("long").as("n_nums"))
         .orderBy("event_id")
     },
     // k-anonymity suppression: rows whose quasi-identifier group
     // (event_type × hour) has fewer than k members are dropped — each
     // surviving record is indistinguishable from ≥ k−1 others on the
-    // quasi-identifiers. One window exchange on the group key; identifiers
-    // leave pseudonymized.
+    // quasi-identifiers. One window exchange on the group key. EVERY
+    // identifier leaves pseudonymized, including the row key: a raw
+    // event_id would join 1:1 back to the source table (which holds
+    // user_id) and defeat the k≥3 guarantee for anyone with input access.
     "x13_k_anonymity" -> { (s, d) =>
       kAnonymize(
         Tables.events(s, d).withColumn("hour", date_trunc("hour", col("ts"))),
         quasi = Seq("event_type", "hour"), k = 3)
-        .select(col("event_id"),
+        .select(pseudonym("eid", col("event_id")).as("event_pseudonym"),
           pseudonym("uid", col("user_id")).as("user_pseudonym"),
           col("event_type"), col("hour"), col("group_n"))
-        .orderBy("event_id")
+        .orderBy("event_pseudonym")
     }
   )
 
@@ -112,16 +133,18 @@ object Privacy {
          |  ${pseudonymSql("uid", "user_id")} AS user_pseudonym,
          |  ${scrubSql("props")} AS props_scrubbed,
          |  CAST(length(regexp_extract_all(props, '$EmailRe')) AS BIGINT) AS n_emails,
-         |  CAST(length(regexp_extract_all(props, '$Ipv4Re')) AS BIGINT) AS n_ips,
-         |  CAST(length(regexp_extract_all(props, '$NumRe')) AS BIGINT) AS n_nums
+         |  CAST(length(regexp_extract_all(
+         |    regexp_replace(props, '$EmailRe', '<EMAIL>', 'g'), '$Ipv4Re')) AS BIGINT) AS n_ips,
+         |  CAST(length(regexp_extract_all(${scrubEmailIpSql("props")}, '$NumRe')) AS BIGINT) AS n_nums
          |FROM events ORDER BY event_id""".stripMargin,
     "x13_k_anonymity" ->
       s"""WITH g AS (
          |  SELECT event_id, user_id, event_type, date_trunc('hour', ts) AS hour,
          |    count(*) OVER (PARTITION BY event_type, date_trunc('hour', ts)) AS group_n
          |  FROM events)
-         |SELECT event_id, ${pseudonymSql("uid", "user_id")} AS user_pseudonym,
+         |SELECT ${pseudonymSql("eid", "event_id")} AS event_pseudonym,
+         |  ${pseudonymSql("uid", "user_id")} AS user_pseudonym,
          |  event_type, hour, group_n
-         |FROM g WHERE group_n >= 3 ORDER BY event_id""".stripMargin
+         |FROM g WHERE group_n >= 3 ORDER BY event_pseudonym""".stripMargin
   )
 }

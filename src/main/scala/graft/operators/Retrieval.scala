@@ -42,6 +42,17 @@ object Retrieval {
     * deterministic — see the object scaladoc).
     */
   def bm25(docs: DataFrame, terms: Seq[String], n: Int,
+      k1: Double = K1, b: Double = B): DataFrame =
+    bm25Scores(docs, terms, k1, b)
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(n)
+
+  /** Un-truncated per-document BM25 scores (the index-stats + scoring
+    * stages of [[bm25]] without the final top-`n`), for callers that
+    * filter or re-rank before truncating — e.g. n10's text leg, which
+    * drops the query document itself before taking its top 20.
+    */
+  def bm25Scores(docs: DataFrame, terms: Seq[String],
       k1: Double = K1, b: Double = B): DataFrame = {
     val toks = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
@@ -65,8 +76,6 @@ object Retrieval {
       .groupBy("doc_id")
       .agg(sum(col("w").cast(DecimalType(28, 12))).cast("double").as("bm25"),
         count(lit(1)).as("n_terms_hit"))
-      .orderBy(col("bm25").desc, col("doc_id"))
-      .limit(n)
   }
 
   /** Gate spelling: BM25 over the sf corpus with the fixed query. */
@@ -108,8 +117,13 @@ object Retrieval {
     },
     // Hybrid retrieval: reciprocal-rank fusion (k=60) of the BM25 top-20
     // and the dense cosine top-20 against doc/vec 0's embedding
-    // (documents.doc_id ≡ embeddings.vec_id in this corpus). Each side is
-    // a bounded TakeOrderedAndProject; the rank windows and the
+    // (documents.doc_id ≡ embeddings.vec_id in this corpus). The dense
+    // leg serves from the materialized LSH signature store via the n8
+    // multi-probe path — a bucket-pruned scan of 9 `bucket=` directories,
+    // NOT a full corpus scan: serving hybrid retrieval at scale is
+    // exactly when the index must pay off. Both legs drop the query's own
+    // document (vec_id/doc_id 0) so the two rankings are symmetric. Each
+    // side is a bounded TakeOrderedAndProject; the rank windows and the
     // full-outer fuse join run over ≤ 20 rows. 1/(60+rank) is a
     // correctly-rounded double of exact integers and the two
     // contributions are added in a fixed spelled order, so the fused
@@ -117,20 +131,16 @@ object Retrieval {
     "n10_hybrid_rrf" -> { (s, d) =>
       graft.functions.GraftFunctions.register(s)
       val rrfK = 60
-      val e = Tables.embeddings(s, d)
-      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
-      val denseTop = e.filter(col("vec_id") =!= 0)
-        .crossJoin(broadcast(q))
-        .withColumn("cos",
-          Cols.fastDot(col("embedding"), col("qv")) /
-            (sqrt(Cols.fastDot(col("embedding"), col("embedding"))) *
-              sqrt(Cols.fastDot(col("qv"), col("qv")))))
+      val denseTop = Similarity.multiProbeScores(s, d)
         .select("vec_id", "cos")
         .orderBy(col("cos").desc, col("vec_id")).limit(20)
       val dense = denseTop.withColumn("vrank",
         row_number().over(Window.orderBy(col("cos").desc, col("vec_id"))).cast("long"))
-      val text = bm25TopN(s, d, 20).withColumn("trank",
-        row_number().over(Window.orderBy(col("bm25").desc, col("doc_id"))).cast("long"))
+      val text = bm25Scores(Tables.documents(s, d), QueryTerms)
+        .filter(col("doc_id") =!= 0)
+        .orderBy(col("bm25").desc, col("doc_id")).limit(20)
+        .withColumn("trank",
+          row_number().over(Window.orderBy(col("bm25").desc, col("doc_id"))).cast("long"))
       dense.select(col("vec_id").as("id"), col("vrank"))
         .join(text.select(col("doc_id").as("id"), col("trank")), Seq("id"), "full_outer")
         .withColumn("rrf",
@@ -149,15 +159,13 @@ object Retrieval {
          |ORDER BY bm25 DESC, doc_id LIMIT 15""".stripMargin,
     "n10_hybrid_rrf" ->
       s"""WITH ${bm25Ctes},
-         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-         |dsc AS (SELECT vec_id, ${Cols.cosineSql("embedding", "qv")} AS cos
-         |  FROM embeddings, q WHERE vec_id <> 0),
+         |${Similarity.multiProbeCtes},
          |dtop AS (SELECT vec_id, cos,
          |    CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS BIGINT) AS vrank
-         |  FROM dsc ORDER BY cos DESC, vec_id LIMIT 20),
+         |  FROM mp ORDER BY cos DESC, vec_id LIMIT 20),
          |ttop AS (SELECT doc_id, bm25,
          |    CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS trank
-         |  FROM agg ORDER BY bm25 DESC, doc_id LIMIT 20),
+         |  FROM agg WHERE doc_id <> 0 ORDER BY bm25 DESC, doc_id LIMIT 20),
          |fused AS (
          |  SELECT COALESCE(d.vec_id, t.doc_id) AS id, d.vrank, t.trank,
          |    COALESCE(1.0 / (CAST(60 AS DOUBLE) + CAST(d.vrank AS DOUBLE)), 0.0) +

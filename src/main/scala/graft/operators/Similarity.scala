@@ -165,29 +165,68 @@ object Similarity {
     // single probe. Same materialized table; the scan stays
     // partition-pruned to the 9 `bucket=` directories.
     "n8_ann_multiprobe" -> { (s, d) =>
-      graft.functions.GraftFunctions.register(s)
-      val t = signatureTable(s, d)
-      val params = Tables.embeddings(s, d)
-        .filter(col("vec_id") <= NumPlanes).select("vec_id", "embedding").collect()
-      val emb = params.map(r => r.getLong(0) ->
-        r.getSeq[Float](1).toArray).toMap
-      def ad(a: Array[Float]) =
-        new org.apache.spark.sql.catalyst.util.GenericArrayData(a.map(x => x: Any))
-      val q = emb(0L)
-      val qb = (1 to NumPlanes).map(h =>
-        if (graft.functions.DecimalDot.dot(ad(q), ad(emb(h.toLong))) >= 0) "1" else "0").mkString
-      val probes = qb +: (0 until NumPlanes).map { i =>
-        qb.updated(i, if (qb(i) == '1') '0' else '1')
-      }
-      val qn = math.sqrt(graft.functions.DecimalDot.dot(ad(q), ad(q)))
-      t.filter(col("bucket").isin(probes: _*) && col("vec_id") =!= 0)
-        .withColumn("cos",
-          Cols.fastDot(col("embedding"), typedLit(q)) / (col("norm") * lit(qn)))
-        .select("vec_id", "bucket", "cos")
+      multiProbeScores(s, d)
         .orderBy(col("cos").desc, col("vec_id"))
         .limit(10)
     }
   )
+
+  /** Probe-pruned candidate scoring shared by n8 and n10's dense leg:
+    * every corpus row in the vec_id-0 query's bucket or one of its 8
+    * Hamming-distance-1 neighbor buckets, scored by exact cosine against
+    * the inlined query vector. The scan is partition-pruned to the 9
+    * `bucket=` directories of the materialized signature store — this is
+    * the index-served path hybrid retrieval must take at 100 TB (a dense
+    * leg that re-scans the full corpus per query is the brute-force
+    * anti-pattern). Columns: `vec_id`, `bucket`, `cos`.
+    */
+  def multiProbeScores(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val t = signatureTable(s, d)
+    // Driver-side query planning over the 9 PARAMETER rows (query vector
+    // + hyperplanes) — the serving-path point read, same as n2.
+    val params = Tables.embeddings(s, d)
+      .filter(col("vec_id") <= NumPlanes).select("vec_id", "embedding").collect()
+    val emb = params.map(r => r.getLong(0) ->
+      r.getSeq[Float](1).toArray).toMap
+    def ad(a: Array[Float]) =
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(a.map(x => x: Any))
+    val q = emb(0L)
+    val qb = (1 to NumPlanes).map(h =>
+      if (graft.functions.DecimalDot.dot(ad(q), ad(emb(h.toLong))) >= 0) "1" else "0").mkString
+    val probes = qb +: (0 until NumPlanes).map { i =>
+      qb.updated(i, if (qb(i) == '1') '0' else '1')
+    }
+    val qn = math.sqrt(graft.functions.DecimalDot.dot(ad(q), ad(q)))
+    t.filter(col("bucket").isin(probes: _*) && col("vec_id") =!= 0)
+      .withColumn("cos",
+        Cols.fastDot(col("embedding"), typedLit(q)) / (col("norm") * lit(qn)))
+      .select("vec_id", "bucket", "cos")
+  }
+
+  /** Oracle CTE list ending in `mp(vec_id, bucket, cos)` — the SQL
+    * spelling of [[multiProbeScores]], shared by the n8 and n10 oracles.
+    */
+  def multiProbeCtes: String = {
+    val flips = (1 to NumPlanes).map(i =>
+      s"""SELECT substr(qbucket, 1, ${i - 1}) ||
+         | (CASE WHEN substr(qbucket, $i, 1) = '1' THEN '0' ELSE '1' END) ||
+         | substr(qbucket, ${i + 1}) FROM qp""".stripMargin.replaceAll("\n", ""))
+    s"""hp AS (SELECT vec_id AS hid, embedding AS hv FROM embeddings
+       |  WHERE vec_id BETWEEN 1 AND $NumPlanes),
+       |bits AS (SELECT e.vec_id, hid,
+       |    CASE WHEN ${Cols.dotDecSql("e.embedding", "hv")} >= 0 THEN '1' ELSE '0' END AS bit
+       |  FROM embeddings e, hp),
+       |sig AS (SELECT vec_id, string_agg(bit, '' ORDER BY hid) AS bucket
+       |  FROM bits GROUP BY vec_id),
+       |qp AS (SELECT s.bucket AS qbucket, e.embedding AS qv
+       |  FROM sig s JOIN embeddings e USING (vec_id) WHERE vec_id = 0),
+       |probes AS (SELECT qbucket AS b FROM qp
+       |  UNION ALL ${flips.mkString("\n  UNION ALL ")}),
+       |mp AS (SELECT e.vec_id, s.bucket, ${Cols.cosineSql("e.embedding", "qv")} AS cos
+       |  FROM embeddings e JOIN sig s USING (vec_id), qp
+       |  WHERE s.bucket IN (SELECT b FROM probes) AND e.vec_id <> 0)""".stripMargin
+  }
 
   /** Scalar (int8) quantization + quantized top-k: every vector stores a
     * per-vector scale (max |v|) and 64 int8 codes — 4× less memory and
@@ -266,26 +305,9 @@ object Similarity {
          |  FROM scored)
          |SELECT q_id, vec_id, cos, CAST(rn AS BIGINT) AS rn
          |FROM r WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin,
-    "n8_ann_multiprobe" -> {
-      val flips = (1 to NumPlanes).map(i =>
-        s"""SELECT substr(qbucket, 1, ${i - 1}) ||
-           | (CASE WHEN substr(qbucket, $i, 1) = '1' THEN '0' ELSE '1' END) ||
-           | substr(qbucket, ${i + 1}) FROM q""".stripMargin.replaceAll("\n", ""))
-      s"""WITH hp AS (SELECT vec_id AS hid, embedding AS hv FROM embeddings
-         |  WHERE vec_id BETWEEN 1 AND $NumPlanes),
-         |bits AS (SELECT e.vec_id, hid,
-         |    CASE WHEN ${Cols.dotDecSql("e.embedding", "hv")} >= 0 THEN '1' ELSE '0' END AS bit
-         |  FROM embeddings e, hp),
-         |sig AS (SELECT vec_id, string_agg(bit, '' ORDER BY hid) AS bucket
-         |  FROM bits GROUP BY vec_id),
-         |q AS (SELECT s.bucket AS qbucket, e.embedding AS qv
-         |  FROM sig s JOIN embeddings e USING (vec_id) WHERE vec_id = 0),
-         |probes AS (SELECT qbucket AS b FROM q
-         |  UNION ALL ${flips.mkString("\n  UNION ALL ")})
-         |SELECT e.vec_id, s.bucket, ${Cols.cosineSql("e.embedding", "qv")} AS cos
-         |FROM embeddings e JOIN sig s USING (vec_id), q
-         |WHERE s.bucket IN (SELECT b FROM probes) AND e.vec_id <> 0
-         |ORDER BY cos DESC, e.vec_id LIMIT 10""".stripMargin
-    }
+    "n8_ann_multiprobe" ->
+      s"""WITH $multiProbeCtes
+         |SELECT vec_id, bucket, cos FROM mp
+         |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
   )
 }

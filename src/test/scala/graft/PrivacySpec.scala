@@ -27,6 +27,9 @@ class PrivacySpec extends AnyFunSuite {
       === "card <NUM> exp <NUM>/<NUM>")
     // an email's digits are consumed by the email pass, not re-matched
     assert(scrubOne("a1b2@x99.co and 77") === "<EMAIL> and <NUM>")
+    // the email pattern is case-insensitive: mixed-case PII is still PII
+    assert(scrubOne("Reach Jane.Doe@Example.COM now") === "Reach <EMAIL> now")
+    assert(scrubOne("SHOUTY@MAIL.ORG") === "<EMAIL>")
     // placeholders survive later passes untouched
     assert(scrubOne("u@v.io 1.2.3.4 5") === "<EMAIL> <IP> <NUM>")
     // no PII → identity
@@ -59,6 +62,31 @@ class PrivacySpec extends AnyFunSuite {
     val evCount = Tables.events(spark, d).count()
     assert(rows.length < evCount, "suppression dropped nothing — k too low to test")
     assert(rows.forall(_.getString(1).matches("[0-9a-f]{16}")))
+  }
+
+  test("per-class PII counts are staged: each class counts on post-earlier-pass text") {
+    import spark.implicits._
+    // 2 emails (one mixed-case, one carrying digits), 1 bare IP, 1 bare
+    // number; the quad inside the second email's text and the emails'
+    // digits must NOT inflate the later classes
+    val df = Seq("a1b2@x99.co ping 10.0.0.1 from Jane.Doe@EXAMPLE.com port 8080").toDF("props")
+    val r = df.select(
+      regexp_count(col("props"), lit(Privacy.EmailRe)).cast("long").as("n_emails"),
+      regexp_count(regexp_replace(col("props"), Privacy.EmailRe, "<EMAIL>"),
+        lit(Privacy.Ipv4Re)).cast("long").as("n_ips"),
+      regexp_count(Privacy.scrubEmailIp(col("props")), lit(Privacy.NumRe))
+        .cast("long").as("n_nums")).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((2L, 1L, 1L)))
+  }
+
+  test("oracle SQL helpers escape quotes in the salt") {
+    assert(Privacy.pseudonymSql("o'brien", "id").contains("o''brien"))
+  }
+
+  test("x13 output row key is pseudonymized, not the raw event_id") {
+    val df = SparkEntry.queries("x13_k_anonymity")(spark, d)
+    assert(df.columns.head === "event_pseudonym")
+    assert(df.select("event_pseudonym").head().getString(0).matches("[0-9a-f]{16}"))
   }
 
   test("x12 scrub output carries no digits outside placeholders") {

@@ -194,7 +194,7 @@ class ScaleSpec extends AnyFunSuite {
       s"d10 must stay keyed (O(positions), not O(docs²)):\n$plan")
   }
 
-  test("n10 fusion ranks only bounded top-k lists") {
+  test("n10 fusion ranks only bounded top-k lists; dense leg is bucket-pruned") {
     val d = "/root/testdata/sf0.001"
     val df = SparkEntry.queries("n10_hybrid_rrf")(spark, d)
     // AQE's toString carries final + initial sections; count the final only
@@ -205,6 +205,11 @@ class ScaleSpec extends AnyFunSuite {
     val topks = "TakeOrderedAndProject".r.findAllIn(plan).length
     assert(windows === 2 && topks >= 3, // 2 per-side limits + final limit
       s"n10 expected bounded windows over TakeOrderedAndProject:\n$plan")
+    // the dense leg must serve from the materialized signature store with
+    // the probe set pushed as a partition filter — never a full-corpus
+    // brute-force scan
+    assert(plan.contains("PartitionFilters: [bucket"),
+      s"n10 dense leg must prune to the probe buckets:\n$plan")
   }
 
   test("ledger= layout prunes partitions at read time") {
