@@ -107,9 +107,22 @@ object Engine {
     operators.Privacy.kAnonymize(df, quasi, k)
 
   /** Substring-level duplication stats (d10) from word-n-gram
-    * fingerprints over `docs` (`doc_id`, `text`).
+    * fingerprints over `docs` (`doc_id`, `text`). `stride` samples every
+    * k-th position (linear cost lever); `maxGramDf` routes viral
+    * boilerplate grams around the join via a broadcast hot list — both
+    * answer-preserving (see the operator scaladoc).
     */
   def substringDupStats(docs: DataFrame, gramWords: Int = 5,
-      flagAt: Double = 0.5): DataFrame =
-    operators.Dedup.substringDupStats(docs, gramWords, flagAt)
+      flagAt: Double = 0.5, stride: Int = 1,
+      maxGramDf: Int = Int.MaxValue): DataFrame =
+    operators.Dedup.substringDupStats(docs, gramWords, flagAt, stride, maxGramDf)
+
+  /** Training-mixture control (x15 generalized): deterministically
+    * resample `docs` so each domain contributes exactly `targets(domain)`
+    * rows — md5-order down-sampling, cycled `replica` copies when a
+    * target exceeds the domain size. Domains absent from `targets` drop.
+    */
+  def domainMix(docs: DataFrame, domainCol: String,
+      targets: Map[String, Long]): DataFrame =
+    operators.TextAnalysis.domainMix(docs, domainCol, targets)
 }

@@ -491,19 +491,62 @@ object Dedup {
     * stats from word-`gramWords`-gram fingerprints over `docs` (needs
     * `doc_id`, `text`). Columns: `doc_id`, `n_grams`, `n_dup_grams`,
     * `dup_frac`, `is_contaminated` (dup_frac > `flagAt`).
+    *
+    * Two 100 TB cost levers, both default-off (defaults reproduce the
+    * exact gate semantics):
+    *  - `stride`: only every `stride`-th position contributes a gram —
+    *    a linear cost reduction at known recall (a duplicated span of
+    *    length L ≥ gramWords + stride − 1 still lands on a sampled
+    *    position). `stride = 1` is exhaustive.
+    *  - `maxGramDf`: grams in more than this many distinct documents
+    *    (viral boilerplate — a banner paragraph repeated across millions
+    *    of pages) are split off via a broadcast hot-list BEFORE the
+    *    gram-keyed join, exactly like d8's [[MaxShingleDf]]. Unlike a
+    *    lossy cap, the ANSWER is unchanged for any `maxGramDf ≥ 1`:
+    *    a gram over the cap is in ≥ 2 documents, hence duplicated by
+    *    definition, so its positions are counted as dup from the tiny
+    *    hot list without carrying the hot key through the join.
     */
-  def substringDupStats(docs: DataFrame, gramWords: Int, flagAt: Double = 0.5): DataFrame = {
+  def substringDupStats(docs: DataFrame, gramWords: Int, flagAt: Double = 0.5,
+      stride: Int = 1, maxGramDf: Int = Int.MaxValue): DataFrame = {
+    require(stride >= 1, "stride must be >= 1")
+    require(maxGramDf >= 1, "maxGramDf must be >= 1 (over-cap grams are counted as dup)")
     val toks = docs.select(col("doc_id"), split(col("text"), " ").as("l"))
       .withColumn("n", size(col("l")))
+    val positions = sequence(lit(0), col("n") - gramWords)
+    val sampled =
+      if (stride == 1) positions
+      else filter(positions, i => i % stride === 0)
     val grams = toks.filter(col("n") >= gramWords)
       .select(col("doc_id"),
-        explode(transform(sequence(lit(0), col("n") - gramWords),
+        explode(transform(sampled,
           i => md5(concat_ws(" ", slice(col("l"), i + 1, lit(gramWords)))))).as("gh"))
     val gdf = grams.groupBy("gh").agg(countDistinct(col("doc_id")).as("gdocs"))
-    val perDoc = grams.join(gdf, "gh")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("gdocs") >= 2, 1L).otherwise(0L)).as("n_dup_grams"))
+    val perDoc =
+      if (maxGramDf == Int.MaxValue) {
+        grams.join(gdf, "gh")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("gdocs") >= 2, 1L).otherwise(0L)).as("n_dup_grams"))
+      } else {
+        // hot list: tiny by construction (only boilerplate grams exceed
+        // the cap); every hot gram is dup, so its positions bypass the
+        // join and are tallied from the broadcast list directly
+        val hot = gdf.filter(col("gdocs") > maxGramDf).select("gh")
+        val cold = grams.join(broadcast(hot), Seq("gh"), "left_anti")
+          .join(gdf, "gh")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("c_grams"),
+            sum(when(col("gdocs") >= 2, 1L).otherwise(0L)).as("c_dup"))
+        val hotPerDoc = grams.join(broadcast(hot), Seq("gh"), "left_semi")
+          .groupBy("doc_id").agg(count(lit(1)).as("h_grams"))
+        cold.join(hotPerDoc, Seq("doc_id"), "full_outer")
+          .select(col("doc_id"),
+            (coalesce(col("c_grams"), lit(0L)) + coalesce(col("h_grams"), lit(0L)))
+              .as("n_grams"),
+            (coalesce(col("c_dup"), lit(0L)) + coalesce(col("h_grams"), lit(0L)))
+              .as("n_dup_grams"))
+      }
     docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_grams"), lit(0L)).as("n_grams"),

@@ -26,15 +26,15 @@ object Privacy {
   /** Redaction patterns, applied in this order (emails before bare digit
     * runs, so an address is one `<EMAIL>`, not letters + `<NUM>`).
     * Restricted to syntax with identical semantics in Java regex (Spark)
-    * and RE2 (DuckDB): literal classes, bounded repeats, `\b`, the `(?i)`
-    * inline flag, no lookaround or backreferences. The email pattern is
-    * case-insensitive — 'Jane.Doe@Example.COM' is PII exactly like its
-    * lowercase form. The engines' `(?i)` folding agrees on all of ASCII
-    * (Java folds ASCII-only without UNICODE_CASE; RE2 folds Unicode —
-    * they can differ on exotic codepoints like U+212A, not on text these
-    * patterns target).
+    * and RE2 (DuckDB): literal classes, bounded repeats, `\b`, no
+    * lookaround or backreferences. Case-insensitivity is spelled as
+    * explicit `[A-Za-z]` classes rather than `(?i)` — 'Jane.Doe@
+    * Example.COM' matches like its lowercase form, and no engine-specific
+    * case folding is involved (Java's `(?i)` folds ASCII-only without
+    * UNICODE_CASE while RE2 simple-folds Unicode, so U+212A KELVIN or
+    * U+017F LONG S would diverge; explicit classes cannot).
     */
-  val EmailRe = "(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val Ipv4Re  = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
   val NumRe   = "[0-9]+"
 
@@ -115,15 +115,23 @@ object Privacy {
     // quasi-identifiers. One window exchange on the group key. EVERY
     // identifier leaves pseudonymized, including the row key: a raw
     // event_id would join 1:1 back to the source table (which holds
-    // user_id) and defeat the k≥3 guarantee for anyone with input access.
+    // user_id). The pseudonym is unlinkable only WITHOUT the salt — this
+    // gate spelling uses a fixed salt so the DuckDB oracle can reproduce
+    // it; a production export must treat the salt as a secret runtime
+    // parameter, or an adversary with input access recomputes
+    // md5(salt|event_id) per row and re-links. Sorted on the full md5
+    // (the 16-hex pseudonym prefix alone could in principle collide,
+    // making row order engine-dependent).
     "x13_k_anonymity" -> { (s, d) =>
       kAnonymize(
         Tables.events(s, d).withColumn("hour", date_trunc("hour", col("ts"))),
         quasi = Seq("event_type", "hour"), k = 3)
         .select(pseudonym("eid", col("event_id")).as("event_pseudonym"),
           pseudonym("uid", col("user_id")).as("user_pseudonym"),
-          col("event_type"), col("hour"), col("group_n"))
-        .orderBy("event_pseudonym")
+          col("event_type"), col("hour"), col("group_n"),
+          md5(concat(lit("eid|"), col("event_id").cast("string"))).as("_ord"))
+        .orderBy("_ord")
+        .drop("_ord")
     }
   )
 
@@ -132,10 +140,10 @@ object Privacy {
       s"""SELECT event_id,
          |  ${pseudonymSql("uid", "user_id")} AS user_pseudonym,
          |  ${scrubSql("props")} AS props_scrubbed,
-         |  CAST(length(regexp_extract_all(props, '$EmailRe')) AS BIGINT) AS n_emails,
+         |  CAST(length(regexp_extract_all(props, '${q(EmailRe)}')) AS BIGINT) AS n_emails,
          |  CAST(length(regexp_extract_all(
-         |    regexp_replace(props, '$EmailRe', '<EMAIL>', 'g'), '$Ipv4Re')) AS BIGINT) AS n_ips,
-         |  CAST(length(regexp_extract_all(${scrubEmailIpSql("props")}, '$NumRe')) AS BIGINT) AS n_nums
+         |    regexp_replace(props, '${q(EmailRe)}', '<EMAIL>', 'g'), '${q(Ipv4Re)}')) AS BIGINT) AS n_ips,
+         |  CAST(length(regexp_extract_all(${scrubEmailIpSql("props")}, '${q(NumRe)}')) AS BIGINT) AS n_nums
          |FROM events ORDER BY event_id""".stripMargin,
     "x13_k_anonymity" ->
       s"""WITH g AS (
@@ -145,6 +153,7 @@ object Privacy {
          |SELECT ${pseudonymSql("eid", "event_id")} AS event_pseudonym,
          |  ${pseudonymSql("uid", "user_id")} AS user_pseudonym,
          |  event_type, hour, group_n
-         |FROM g WHERE group_n >= 3 ORDER BY event_pseudonym""".stripMargin
+         |FROM g WHERE group_n >= 3
+         |ORDER BY md5('eid|' || CAST(event_id AS VARCHAR))""".stripMargin
   )
 }

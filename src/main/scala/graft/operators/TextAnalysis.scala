@@ -78,6 +78,66 @@ object TextAnalysis {
       .withColumn("offset_in_chunk", col("cum_before") % blockSize)
   }
 
+  /** Global per-domain md5-order rank, computed with sharded windows.
+    *
+    * A single `Window.partitionBy(domain)` serializes each domain onto
+    * one task — the anti-pattern x8's prefix sum was rebuilt to avoid.
+    * Instead the window is keyed `(domain, hshard)` where `hshard` is
+    * the FIRST HEX CHAR of the md5 sort key itself: because the shard is
+    * a monotone function of the key's prefix, ordering shard-major then
+    * by key within a shard IS the global md5 order, so the global rank
+    * is exactly `(docs in earlier shards) + (rank within my shard)`.
+    * The correction term is a 16-row-per-domain prefix sum, broadcast
+    * back. Result: identical output to the naive single window, 16×
+    * its parallelism, and no quota-split approximation.
+    *
+    * Appends `rn` (1-based global rank in md5('salt|'||doc_id) order,
+    * doc_id tiebreak); all input columns pass through.
+    */
+  def mixRank(docs: DataFrame, domainCol: String, salt: String = "mix"): DataFrame = {
+    val base = docs
+      .withColumn("h", md5(concat(lit(salt + "|"), col("doc_id").cast("string"))))
+      .withColumn("hshard", substring(col("h"), 1, 1))
+    val w = Window.partitionBy(col(domainCol), col("hshard"))
+      .orderBy(col("h"), col("doc_id"))
+    val ranked = base.withColumn("srn", row_number().over(w).cast("long"))
+    val wb = Window.partitionBy(col(domainCol)).orderBy(col("hshard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off = base.groupBy(col(domainCol), col("hshard"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("before", coalesce(sum(col("c")).over(wb), lit(0L)))
+      .select(col(domainCol), col("hshard"), col("before"))
+    ranked.join(broadcast(off), Seq(domainCol, "hshard"))
+      .withColumn("rn", col("before") + col("srn"))
+      .drop("h", "hshard", "srn", "before")
+  }
+
+  /** Training-mixture control (the parameterized form of x15): resample
+    * `docs` so each domain contributes exactly `targets(domain)` rows,
+    * deterministically (md5 order, RNG-free, reproducible across runs
+    * and engines). Down-sampling keeps the first `target` docs in md5
+    * order; up-sampling (target > domain size) cycles through the domain
+    * in md5 order emitting `replica` copies (0-based), so every doc
+    * appears `target div n` or `target div n + 1` times and the total is
+    * exact. Domains absent from `targets` are dropped.
+    *
+    * Shape at 100 TB: [[mixRank]]'s sharded windows + two broadcast
+    * joins (the targets literal and a #domains-row size dim); the
+    * up-sample explode is narrow.
+    */
+  def domainMix(docs: DataFrame, domainCol: String, targets: Map[String, Long],
+      salt: String = "mix"): DataFrame = {
+    val t = docs.sparkSession.createDataFrame(targets.toSeq).toDF(domainCol, "target")
+    val sizes = docs.groupBy(col(domainCol)).agg(count(lit(1)).as("n_domain"))
+    mixRank(docs, domainCol, salt)
+      .join(broadcast(t), Seq(domainCol))
+      .join(broadcast(sizes), Seq(domainCol))
+      .filter(col("rn") <= col("target"))
+      .withColumn("replica",
+        explode(sequence(lit(0L), expr("(target - rn) div n_domain"))))
+      .drop("target", "n_domain")
+  }
+
   def queries: Map[String, Q] = Map(
     // Language ID: explode → broadcast-join marker table → per-(doc,lang)
     // hit counts → rank-1 per doc.
@@ -274,22 +334,19 @@ object TextAnalysis {
     // Domain mixing: balance the corpus across languages by deterministic
     // subsampling — every language contributes exactly `min(per-lang
     // count)` documents, selected by md5 order (reproducible, RNG-free,
-    // same trick as x6). The general form of training-mixture control:
-    // replace `min(n)` with per-domain target weights and the same plan
-    // upsamples/downsamples any mixture. Shape at 100 TB: one combinable
-    // count agg (a #langs-row dim, broadcast back), one rank window
-    // partitioned by lang — the window parallelism is #langs here, but
-    // unlike x8's prefix sum the selection only needs rank ≤ target, so
-    // at scale it sub-shards exactly like x8 (rank within (lang, shard),
-    // target split proportionally across shards).
+    // same trick as x6). The general form is [[domainMix]] (per-domain
+    // target counts, up- or down-sampling); this gate is the equal-target
+    // special case. The rank is computed by [[mixRank]]'s sharded plan —
+    // windows keyed (lang, first-hex-of-md5), never lang alone — so the
+    // selection parallelism is #langs × 16 at any scale, with the global
+    // md5-order rank reconstructed exactly from a 16-row-per-lang prefix
+    // sum (see mixRank's scaladoc for why the output is identical to a
+    // single per-lang window).
     "x15_domain_mix" -> { (s, d) =>
       val docs = Tables.documents(s, d)
       val target = docs.groupBy("lang").agg(count(lit(1)).as("n_lang"))
         .agg(min(col("n_lang")).as("target"))
-      val w = Window.partitionBy("lang")
-        .orderBy(md5(concat(lit("mix|"), col("doc_id").cast("string"))), col("doc_id"))
-      docs.select("doc_id", "lang", "source")
-        .withColumn("rn", row_number().over(w).cast("long"))
+      mixRank(docs.select("doc_id", "lang", "source"), "lang")
         .crossJoin(broadcast(target))
         .filter(col("rn") <= col("target"))
         .select("doc_id", "lang", "source", "rn")
@@ -442,15 +499,28 @@ object TextAnalysis {
         |  CAST(SUM(CAST(lp AS DECIMAL(28,12))) AS DOUBLE) / CAST(count(*) AS DOUBLE) > -7.0 AS is_fluent
         |FROM toks JOIN logp USING (word)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Mirrors mixRank's sharded spelling: windows keyed (lang, first hex
+    // char of the md5 sort key), global rank = per-shard rank + prefix
+    // sum of earlier shards' counts. Identical output to a single
+    // per-lang window because the shard is a monotone prefix of the key.
     "x15_domain_mix" ->
       """WITH c AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang),
         |t AS (SELECT min(n_lang) AS target FROM c),
-        |r AS (SELECT doc_id, lang, source,
-        |    CAST(row_number() OVER (PARTITION BY lang
-        |      ORDER BY md5('mix|' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rn
-        |  FROM documents)
-        |SELECT doc_id, lang, source, rn FROM r, t
-        |WHERE rn <= target ORDER BY doc_id""".stripMargin,
+        |base AS (SELECT doc_id, lang, source,
+        |    md5('mix|' || CAST(doc_id AS VARCHAR)) AS h,
+        |    substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 1) AS hshard
+        |  FROM documents),
+        |ranked AS (SELECT doc_id, lang, source, hshard,
+        |    CAST(row_number() OVER (PARTITION BY lang, hshard
+        |      ORDER BY h, doc_id) AS BIGINT) AS srn
+        |  FROM base),
+        |off AS (SELECT lang, hshard,
+        |    CAST(COALESCE(SUM(sc) OVER (PARTITION BY lang ORDER BY hshard
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS before
+        |  FROM (SELECT lang, hshard, count(*) AS sc FROM base GROUP BY lang, hshard))
+        |SELECT doc_id, lang, source, before + srn AS rn
+        |FROM ranked JOIN off USING (lang, hshard), t
+        |WHERE before + srn <= target ORDER BY doc_id""".stripMargin,
     "x4_fingerprint" ->
       """WITH f AS (
         |  SELECT doc_id,

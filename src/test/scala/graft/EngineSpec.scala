@@ -69,4 +69,85 @@ class EngineSpec extends AnyFunSuite {
     assert(g3(1L) === 1L && g3(2L) === 1L, s"3-gram should find the shared span: $g3")
     assert(g6(1L) === 0L && g6(2L) === 0L, s"6-gram must not: $g6")
   }
+
+  test("substringDupStats: hot-gram cap is answer-preserving; stride cuts positions") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-eng-d10cap").toString
+    // a viral 5-gram ("alpha beta gamma delta epsilon") across many docs,
+    // plus unique tails — the boilerplate-banner shape the cap targets
+    val viral = (1L to 40L).map(i =>
+      (i, s"alpha beta gamma delta epsilon unique$i tail$i words$i here$i now$i"))
+    val clean = (41L to 50L).map(i =>
+      (i, s"solo$i text$i with$i no$i shared$i spans$i at$i all$i nine$i ten$i"))
+    (viral ++ clean).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    val docs = spark.read.parquet(s"$out/documents.parquet")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))
+    val uncapped = Engine.substringDupStats(docs).orderBy("doc_id").collect().map(key)
+    val capped = Engine.substringDupStats(docs, maxGramDf = 3)
+      .orderBy("doc_id").collect().map(key)
+    assert(capped.toSeq === uncapped.toSeq,
+      "over-cap grams are dup by definition — capping must not change the answer")
+    // stride=2 samples every other position: fewer grams, never more
+    val strided = Engine.substringDupStats(docs, stride = 2).orderBy("doc_id").collect()
+    val full = Engine.substringDupStats(docs).orderBy("doc_id").collect()
+    strided.zip(full).foreach { case (s2, s1) =>
+      assert(s2.getLong(1) <= s1.getLong(1) && s2.getLong(1) > 0,
+        s"stride must reduce positions: ${s2.getLong(1)} vs ${s1.getLong(1)}")
+    }
+    // the viral span is >= gramWords + stride - 1 words, so stride=2
+    // still flags every viral doc's shared prefix as duplicated
+    val stridedDup = strided.filter(_.getLong(0) <= 40L)
+    assert(stridedDup.forall(_.getLong(2) > 0), "strided run must still see the viral span")
+  }
+
+  test("mixRank's sharded rank equals the naive single-window global rank") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, d).select("doc_id", "lang")
+    val naive = docs.withColumn("rn",
+      row_number().over(Window.partitionBy("lang")
+        .orderBy(md5(concat(lit("mix|"), col("doc_id").cast("string"))), col("doc_id")))
+        .cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val sharded = operators.TextAnalysis.mixRank(docs, "lang")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("rn")).toMap
+    assert(sharded === naive, "shard-major + prefix-sum rank must reproduce the global md5 rank")
+  }
+
+  test("domainMix downsamples to exact targets in md5 order") {
+    val docs = Tables.documents(spark, d).select("doc_id", "lang", "source")
+    val counts = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val targets = counts.map { case (l, n) => l -> math.max(1L, n / 2) }
+    val mixed = Engine.domainMix(docs, "lang", targets).collect()
+    val got = mixed.groupBy(_.getAs[String]("lang")).view.mapValues(_.length.toLong).toMap
+    assert(got === targets, s"expected $targets got $got")
+    assert(mixed.forall(_.getAs[Long]("replica") === 0L), "downsample must not replicate")
+    // deterministic: selected set is the rank-prefix, so re-running is identical
+    val again = Engine.domainMix(docs, "lang", targets).collect()
+    assert(mixed.map(_.getAs[Long]("doc_id")).sorted.toSeq ===
+      again.map(_.getAs[Long]("doc_id")).sorted.toSeq)
+  }
+
+  test("domainMix upsamples by cycling replicas to an exact total; absent domains drop") {
+    val docs = Tables.documents(spark, d).select("doc_id", "lang", "source")
+    val counts = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val lang = counts.keys.min
+    val n = counts(lang)
+    val target = n * 2 + 3 // forces uneven replica counts
+    val mixed = Engine.domainMix(docs, "lang", Map(lang -> target)).collect()
+    assert(mixed.length.toLong === target, s"expected exactly $target rows")
+    assert(mixed.forall(_.getAs[String]("lang") === lang), "other domains must drop")
+    val perDoc = mixed.groupBy(_.getAs[Long]("doc_id")).view.mapValues(_.length.toLong).toMap
+    assert(perDoc.size.toLong === n, "every doc participates in an upsample")
+    assert(perDoc.values.forall(c => c == target / n || c == target / n + 1),
+      s"copies must be target div n or +1: ${perDoc.values.toSeq.distinct}")
+    // the docs with the extra copy are exactly the lowest-ranked (md5-first)
+    val extras = perDoc.filter(_._2 == target / n + 1).keySet
+    val rankOrder = operators.TextAnalysis.mixRank(docs.filter(col("lang") === lang), "lang")
+      .orderBy("rn").collect().map(_.getAs[Long]("doc_id"))
+    assert(extras === rankOrder.take((target % n).toInt).toSet)
+  }
 }

@@ -212,6 +212,22 @@ class ScaleSpec extends AnyFunSuite {
       s"n10 dense leg must prune to the probe buckets:\n$plan")
   }
 
+  test("x15 selection rank window is sharded (lang, hshard), never lang alone") {
+    val d = "/root/testdata/sf0.001"
+    val df = SparkEntry.queries("x15_domain_mix")(spark, d)
+    val plan = df.queryExecution.optimizedPlan.toString
+    // the row_number rank window must carry the md5-prefix shard key so
+    // per-language ranking fans out 16-way instead of serializing; the
+    // only lang-alone window allowed is the 16-row-per-lang offset
+    // prefix sum (input already aggregated)
+    val anyRank = "row_number\\(\\) windowspecdefinition\\(lang#\\d+"
+      .r.findAllIn(plan).length
+    val shardedRank = "row_number\\(\\) windowspecdefinition\\(lang#\\d+, hshard#\\d+"
+      .r.findAllIn(plan).length
+    assert(anyRank === 1 && shardedRank === 1,
+      s"x15 rank window must be (lang, hshard)-keyed and unique:\n$plan")
+  }
+
   test("ledger= layout prunes partitions at read time") {
     val out = Files.createTempDirectory("graft-prune").toString
     Tables.orders(spark, "/root/testdata/sf0.001")
