@@ -20,40 +20,72 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   private val Runs = 3
 
-  /** Recorded per-query medians from the round-4 driver bench (sf0.1,
-    * local[32]) — the regression baseline. Only the queries visible in
-    * BENCH_r04's captured tail are present; absent queries are skipped by
-    * the check. n2's recorded 6.0 s was store-build-contaminated (see
-    * scaladoc above) and is replaced by the judge's steady-state re-run.
+  /** Recorded per-query medians (sf0.1, local[32], 3-run medians) — the
+    * regression baseline, refreshed round 8 to cover ALL 97 inventory
+    * queries (the round-4 snapshot covered only the 54 queries visible
+    * in BENCH_r04's captured tail, so everything added since was
+    * silently skipped by the gate).
+    *
+    * Recorded at a session floor of 0.088 s ([[main]]'s calibration
+    * metric — per-job scheduling overhead; low-floor sessions measure
+    * 0.005-0.03 s). Comparisons against these numbers from a
+    * lower-floor session will read uniformly FASTER; the gate only
+    * fires on >2× + >1 s regressions, which floor drift alone cannot
+    * produce in that direction. Queries dominated by the floor (most
+    * sub-0.2 s entries ≈ jobs × floor) are machine measurements, not
+    * plan measurements — the gate's materiality bar exists for exactly
+    * that reason.
     */
-  private val R4Medians: Map[String, Double] = Map(
-    "f4_explode_outer" -> 0.061, "j10_shipping_priority" -> 0.325,
-    "j11_local_supplier_volume" -> 0.186, "j1_broadcast_join" -> 0.137,
-    "j2_shuffle_join" -> 0.573, "j3_star_join" -> 0.053,
-    "j4_left_outer" -> 0.212, "j5_semi_join" -> 0.087,
-    "j6_anti_join" -> 0.042, "j7_range_join" -> 0.215,
-    "j8_asof_join" -> 0.158, "j9_cross_join" -> 0.123,
-    "n1_ann_bruteforce" -> 0.172, "n2_ann_lsh" -> 0.19,
-    "n3_topk_agg" -> 0.080, "n4_ann_ivf" -> 0.448,
-    "n5_quantized_dot" -> 0.259, "o1_serving_filter_limit" -> 0.027,
-    "o2_topk" -> 0.097, "o3_offset" -> 0.023,
-    "p1_appid_memo_filter" -> 0.079, "q2_point_lookup" -> 0.069,
-    "q3_subqueries" -> 0.125, "t10_translate_munge" -> 0.040,
-    "t11_string_suite" -> 0.016, "t12_math_suite" -> 0.036,
-    "t13_conditional_suite" -> 0.008, "t14_array_suite" -> 0.014,
-    "t15_hash_suite" -> 0.029, "t16_datetime_suite" -> 0.033,
-    "t17_json_suite" -> 0.043, "t18_higher_order_suite" -> 0.030,
-    "t19_map_suite" -> 0.011, "t5_epoch_roundtrip" -> 0.023,
-    "t8_hex_sequence" -> 0.064, "t9_json_extract" -> 0.011,
-    "u1_union_discriminated" -> 0.018, "u2_intersect" -> 0.163,
-    "u3_except" -> 0.054, "w1_row_number" -> 0.188,
-    "w2_lag_delta" -> 0.042, "w3_running_sum" -> 0.333,
-    "w4_sessionize" -> 1.212, "w5_tumbling_window" -> 0.101,
-    "w6_ranking_suite" -> 0.017, "w7_session_window_native" -> 0.447,
-    "x1_langid" -> 0.299, "x2_quality_score" -> 0.019,
-    "x3_token_count" -> 0.005, "x4_fingerprint" -> 0.011,
-    "x5_rolling_hash" -> 0.008, "x6_hash_sampling" -> 0.033,
-    "x7_tfidf" -> 0.453, "x8_sequence_pack" -> 0.009)
+  private val BaselineMedians: Map[String, Double] = Map(
+    "a10_moments" -> 0.263, "a11_filter_clause" -> 0.226,
+    "a12_percentiles" -> 0.188, "a1_pricing_summary" -> 0.227,
+    "a2_last_by_key" -> 0.162, "a3_distinct_agg" -> 0.174,
+    "a4_rollup" -> 0.350, "a5_cube" -> 0.345,
+    "a6_median" -> 0.179, "a7_approx_sketch" -> 0.160,
+    "a8_grouping_sets" -> 0.196, "a9_pivot" -> 0.186,
+    "d10_substring_dedup" -> 0.176, "d1_exact_dedup" -> 0.169,
+    "d2_minhash_lsh" -> 0.598, "d3_ngram_jaccard" -> 0.742,
+    "d4_simhash" -> 0.061, "d5_embedding_neardup" -> 0.607,
+    "d6_simhash_pairs" -> 0.757, "d7_dedup_clusters" -> 1.699,
+    "d8_contamination" -> 0.950, "d9_dedup_stats" -> 0.143,
+    "f1_explode_tokens" -> 0.168, "f2_posexplode_zip" -> 0.163,
+    "f3_inline_structs" -> 0.129, "f4_explode_outer" -> 0.125,
+    "f5_unpivot" -> 0.124, "j10_shipping_priority" -> 0.556,
+    "j11_local_supplier_volume" -> 0.690, "j12_returned_items" -> 0.623,
+    "j1_broadcast_join" -> 0.360, "j2_shuffle_join" -> 0.747,
+    "j3_star_join" -> 0.500, "j4_left_outer" -> 0.213,
+    "j5_semi_join" -> 0.267, "j6_anti_join" -> 0.241,
+    "j7_range_join" -> 0.169, "j8_asof_join" -> 0.133,
+    "j9_cross_join" -> 0.191, "n10_hybrid_rrf" -> 0.778,
+    "n1_ann_bruteforce" -> 0.354, "n2_ann_lsh" -> 0.175,
+    "n3_topk_agg" -> 0.177, "n4_ann_ivf" -> 0.173,
+    "n5_quantized_dot" -> 0.226, "n6_ann_kmeans" -> 0.182,
+    "n7_ann_pq" -> 0.387, "n8_ann_multiprobe" -> 0.155,
+    "n9_ann_batch" -> 0.807, "o1_serving_filter_limit" -> 0.106,
+    "o2_topk" -> 0.117, "o3_offset" -> 0.120,
+    "p1_appid_memo_filter" -> 0.133, "q2_point_lookup" -> 0.156,
+    "q3_subqueries" -> 0.293, "q4_correlated" -> 0.466,
+    "q5_lateral" -> 0.892, "t10_translate_munge" -> 0.113,
+    "t11_string_suite" -> 0.102, "t12_math_suite" -> 0.120,
+    "t13_conditional_suite" -> 0.116, "t14_array_suite" -> 0.125,
+    "t15_hash_suite" -> 0.103, "t16_datetime_suite" -> 0.117,
+    "t17_json_suite" -> 0.115, "t18_higher_order_suite" -> 0.134,
+    "t19_map_suite" -> 0.117, "t20_bitwise_suite" -> 0.109,
+    "t5_epoch_roundtrip" -> 0.115, "t8_hex_sequence" -> 0.116,
+    "t9_json_extract" -> 0.110, "u1_union_discriminated" -> 0.156,
+    "u2_intersect" -> 0.235, "u3_except" -> 0.284,
+    "w1_row_number" -> 0.224, "w2_lag_delta" -> 0.108,
+    "w3_running_sum" -> 0.110, "w4_sessionize" -> 0.292,
+    "w5_tumbling_window" -> 0.180, "w6_ranking_suite" -> 0.104,
+    "w7_session_window_native" -> 0.371, "w8_range_interval" -> 0.138,
+    "x10_unigram_lm" -> 0.644, "x11_pipeline" -> 0.400,
+    "x12_pii_scrub" -> 0.112, "x13_k_anonymity" -> 0.253,
+    "x14_bm25" -> 0.470, "x15_domain_mix" -> 0.287,
+    "x1_langid" -> 0.388, "x2_quality_score" -> 0.119,
+    "x3_token_count" -> 0.106, "x4_fingerprint" -> 0.108,
+    "x5_rolling_hash" -> 0.103, "x6_hash_sampling" -> 0.125,
+    "x7_tfidf" -> 0.714, "x8_sequence_pack" -> 0.126,
+    "x9_repetition" -> 0.250)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -103,7 +135,7 @@ object Bench {
       kv.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val qs = json(results.map { case (k, m, _) => (k, m) })
     val spread = json(results.map { case (k, _, s) => (k, s) })
-    // Regression gate: median > 2× the recorded round-4 median AND the
+    // Regression gate: median > 2× the recorded baseline median AND the
     // delta is material (> 1 s) AND stable (spread < median — not a
     // one-off GC/JIT outlier). The materiality bar exists because the
     // baseline was recorded on a different machine state: sub-second
@@ -115,7 +147,7 @@ object Bench {
     // n2 0.19 s → 6.0 s shape). Only meaningful at the baseline's own
     // config (sf0.1); at other scale factors overheads dominate.
     val regressions = if (!sfDir.contains("sf0.1")) Seq.empty[(String, Double)] else results.collect {
-      case (k, m, s) if R4Medians.get(k).exists(b => m > 2 * b && m - b > 1.0) && s < m => (k, m)
+      case (k, m, s) if BaselineMedians.get(k).exists(b => m > 2 * b && m - b > 1.0) && s < m => (k, m)
     }
     val reg = json(regressions)
     val total = results.map(_._2).sum

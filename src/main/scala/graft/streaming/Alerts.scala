@@ -31,6 +31,66 @@ object IngestAlerts {
   object Noop extends IngestAlerts
 }
 
+/** A concrete alert channel: something that can deliver a message and
+  * prove at startup that it can. The reference hard-codes two of these —
+  * SMTP email (python/main.py:312-329) and a serverless function invoke
+  * (python/main.py:338-341) — behind `send_notification`
+  * (python/main.py:359-366); this is their shape as a binding interface.
+  */
+trait AlertTransport {
+  /** Channel label for probe-failure diagnostics ("smtp", "pager"…). */
+  def name: String
+
+  /** Connectivity/auth self-test, run before ingest starts; throw to
+    * mark the transport unusable (the reference logs in to the SMTP
+    * server and `sys.exit(1)`s on auth failure, python/main.py:343-356).
+    */
+  def probe(): Unit = ()
+
+  /** Deliver one alert message. */
+  def send(message: String): Unit
+}
+
+/** Fail-fast alert binding, the `__email_validation` contract
+  * (python/main.py:240-242, 343-356): every transport is probed at
+  * CONSTRUCTION — i.e. before the caller can hand this to
+  * [[ArchiveTail]] and start ingesting — and a probe failure propagates,
+  * aborting startup exactly like the reference's `sys.exit(1)`. A
+  * misconfigured pager must prevent ingest from starting; an alerting
+  * outage at runtime must not take a running ingest down (ArchiveTail
+  * swallows callback exceptions), which is why validation lives here
+  * and not in the callbacks.
+  *
+  * Each episode alert fans out to every transport once
+  * (`send_notification` fires all configured channels,
+  * python/main.py:359-366). Unlike the reference — where an email
+  * exception would skip the lambda — one transport's delivery failure
+  * does not mute the others.
+  */
+final class ValidatingAlerts(transports: Seq[AlertTransport]) extends IngestAlerts {
+  require(transports.nonEmpty,
+    "ValidatingAlerts needs at least one transport (use IngestAlerts.Noop for none)")
+  transports.foreach { t =>
+    try t.probe()
+    catch {
+      case e: Exception => throw new IllegalStateException(
+        s"alert transport '${t.name}' failed its startup probe — refusing to ingest", e)
+    }
+  }
+
+  override def onDelay(seq: Long): Unit =
+    fanOut(f"Reached retry limit when downloading the next ledger: $seq%08x%n" +
+      "There might be a delay in the blockchain archiving bucket.")
+
+  override def onGiveUp(seq: Long, attempts: Int): Unit =
+    fanOut(f"Reached retry limit. Quitting. (ledger $seq%08x after $attempts attempts)")
+
+  private def fanOut(message: String): Unit = transports.foreach { t =>
+    try t.send(message)
+    catch { case _: Exception => () } // one dead pager must not mute the rest
+  }
+}
+
 /** Per-commit ingest observability, the hook form of the reference's
   * post-save logging ("Successfully stored the data of file: X",
   * python/adapters/hc_storage_adapter.py:47-58 — which also knows how

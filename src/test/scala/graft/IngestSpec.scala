@@ -122,6 +122,57 @@ class IngestSpec extends AnyFunSuite {
     assert(tail2.run(maxIterations = 100) === 0) // completes despite alert failures
   }
 
+  test("ValidatingAlerts probes transports at construction; failure aborts before ingest") {
+    // SMTP-shaped double: records logins and deliveries, optionally
+    // failing auth like the reference's smtplib.SMTPAuthenticationError
+    class FakeSmtp(failLogin: Boolean) extends graft.streaming.AlertTransport {
+      var logins = 0
+      var sent = Vector.empty[String]
+      val name = "smtp"
+      override def probe(): Unit = {
+        logins += 1
+        if (failLogin) throw new RuntimeException("535 authentication failed")
+      }
+      def send(message: String): Unit = sent :+= message
+    }
+
+    // bad credentials: construction throws (the __email_validation
+    // sys.exit analog) — no tail is ever built, nothing is ingested
+    val bad = new FakeSmtp(failLogin = true)
+    val e = intercept[IllegalStateException](
+      new graft.streaming.ValidatingAlerts(Seq(bad)))
+    assert(e.getMessage.contains("smtp") && bad.logins === 1 && bad.sent.isEmpty)
+
+    // good credentials: probe runs once per transport up front, then a
+    // delay episode + give-up each fan out exactly once per transport
+    val archive = Files.createTempDirectory("graft-valert").toString
+    val out = Files.createTempDirectory("graft-valert-out").toString
+    writeCheckpoint(archive, 0x3fL, 1)
+    val smtp = new FakeSmtp(failLogin = false)
+    val pager = new FakeSmtp(failLogin = false)
+    val alerts = new graft.streaming.ValidatingAlerts(Seq(smtp, pager))
+    assert(smtp.logins === 1 && pager.logins === 1)
+    val tail = new ArchiveTail(spark, archive, Passphrase, cfg,
+      new PartitionedFileSink(out), maxRetries = 2, sleeper = _ => (), alerts = alerts)
+    assert(tail.run(maxIterations = 100) === 1)
+    Seq(smtp, pager).foreach { t =>
+      assert(t.sent.length === 2, s"${t.sent}")
+      assert(t.sent.head.contains("delay in the blockchain archiving bucket"))
+      assert(t.sent(1).contains("Reached retry limit. Quitting."))
+    }
+
+    // a dead transport mid-run must not mute the healthy one
+    val dead = new FakeSmtp(failLogin = false) {
+      override def send(message: String): Unit = throw new RuntimeException("conn reset")
+    }
+    val healthy = new FakeSmtp(failLogin = false)
+    val tail2 = new ArchiveTail(spark, archive, Passphrase, cfg,
+      new PartitionedFileSink(out), maxRetries = 1, sleeper = _ => (),
+      alerts = new graft.streaming.ValidatingAlerts(Seq(dead, healthy)))
+    tail2.run(maxIterations = 100)
+    assert(healthy.sent.length === 2, s"${healthy.sent}")
+  }
+
   test("sink self-test probes R/W/D at startup; failure raises before any ingest (K6)") {
     // file sink: probe passes on a writable root and leaves no trace
     val out = Files.createTempDirectory("graft-probe").toString
