@@ -117,6 +117,22 @@ object Engine {
       maxGramDf: Int = Int.MaxValue): DataFrame =
     operators.Dedup.substringDupStats(docs, gramWords, flagAt, stride, maxGramDf)
 
+  /** MMR diversity re-rank (n11): greedily pick `k` of a bounded
+    * candidate list (`vec_id`, `cos`, `embedding`) trading relevance
+    * against redundancy with weight `lambda`.
+    */
+  def mmrRerank(spark: SparkSession, candidates: DataFrame, k: Int,
+      lambda: Double = 0.5): DataFrame =
+    operators.Retrieval.mmrRerank(spark, candidates, k, lambda)
+
+  /** Semantic dedup (d11, SemDeDup): per-vector keep/drop verdicts from
+    * within-cluster cosine near-duplicates. `vecs` needs `vec_id`,
+    * `embedding`, `norm`, `cell` (a quantizer store's schema — cluster
+    * first, then dedup within cells).
+    */
+  def semanticDedup(vecs: DataFrame, threshold: Double): DataFrame =
+    operators.Dedup.semanticDedupVerdicts(vecs, threshold)
+
   /** Training-mixture control (x15 generalized): deterministically
     * resample `docs` so each domain contributes exactly `targets(domain)`
     * rows — md5-order down-sampling, cycled `replica` copies when a

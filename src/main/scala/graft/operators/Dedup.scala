@@ -558,13 +558,75 @@ object Dedup {
       .withColumn("is_contaminated", col("dup_frac") > flagAt)
   }
 
+  /** Semantic dedup verdicts ("SemDeDup", Abbas et al. 2023): within
+    * each cluster cell, a vector with a lower-id near-duplicate
+    * (cosine ≥ `threshold`) is dropped in favor of that canonical
+    * duplicate — the min-id-canonical convention d1/d4 use for text,
+    * applied to embedding space. d5 reports the near-dup PAIRS; this is
+    * the per-vector keep/drop decision a pipeline actually consumes.
+    *
+    * `vecs` needs `vec_id`, `embedding`, `norm`, `cell` — i.e. exactly
+    * the quantizer stores ([[Ivf.kmeansVectors]]): the pairwise stage is
+    * blocked on the k-means cell, which is the SemDeDup scale trick —
+    * cluster first so the quadratic stage runs within cells (corpus/k
+    * sized; k grows with the corpus), never across the corpus. Same
+    * filter-then-verify cosine rungs as d5 (double prefilter with a
+    * 1e-6 margin, exact decimal dot on survivors).
+    *
+    * Output per input vector: `vec_id`, `cell`, `dup_of` (lowest-id
+    * in-cell near-duplicate, NULL if none), `is_kept`. Like d1's
+    * canonical rule, chains are not transitively re-admitted: a vector
+    * whose canonical was itself dropped stays dropped (determinism over
+    * greedy-scan order-dependence).
+    */
+  def semanticDedupVerdicts(vecs: DataFrame, threshold: Double): DataFrame = {
+    val a = vecs.select(col("cell"), col("vec_id").as("vec_a"),
+      col("embedding").as("ea"), col("norm").as("na"))
+    val b = vecs.select(col("cell"), col("vec_id").as("vec_b"),
+      col("embedding").as("eb"), col("norm").as("nb"))
+    val dup = a.join(b, Seq("cell"))
+      .filter(col("vec_a") < col("vec_b"))
+      .filter(call_function("float_dot", col("ea"), col("eb")) / (col("na") * col("nb"))
+        >= threshold - 1e-6)
+      .filter(Cols.fastDot(col("ea"), col("eb")) / (col("na") * col("nb")) >= threshold)
+      .groupBy(col("vec_b").as("vec_id"))
+      .agg(min(col("vec_a")).as("dup_of"))
+    vecs.select("vec_id", "cell")
+      .join(dup, Seq("vec_id"), "left")
+      .withColumn("is_kept", col("dup_of").isNull)
+  }
+
   def queries3: Map[String, Q] = Map(
     "d10_substring_dedup" -> { (s, d) =>
       substringDupStats(Tables.documents(s, d), gramWords = 5).orderBy("doc_id")
+    },
+    // SemDeDup over the trained k-means cells: per-vector keep/drop
+    // verdicts, pairwise only WITHIN a cell (the materialized quantizer
+    // store supplies cell + norm; nothing corpus-quadratic anywhere).
+    "d11_semantic_dedup" -> { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      semanticDedupVerdicts(Ivf.kmeansVectors(s, d), threshold = 0.35)
+        .orderBy("vec_id")
     }
   )
 
   def oracles3: Map[String, String] = Map(
+    // Reuses the n6 oracle's unrolled k-means assignment CTEs (aF is the
+    // final (vec_id, cell) assignment), then mirrors the within-cell
+    // pairwise + min-canonical verdict.
+    "d11_semantic_dedup" ->
+      s"""WITH ${Ivf.kmeansAssignCtes},
+         |n AS (SELECT e.vec_id, a.cell, e.embedding
+         |  FROM embeddings e JOIN aF a USING (vec_id)),
+         |pr AS (SELECT * FROM (
+         |    SELECT a.cell, a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |      ${Cols.cosineSql("a.embedding", "b.embedding")} AS cos
+         |    FROM n a JOIN n b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+         |  WHERE cos >= 0.35),
+         |dup AS (SELECT vec_b AS vec_id, MIN(vec_a) AS dup_of FROM pr GROUP BY vec_b)
+         |SELECT n.vec_id, n.cell, dup.dup_of, (dup.dup_of IS NULL) AS is_kept
+         |FROM n LEFT JOIN dup USING (vec_id)
+         |ORDER BY n.vec_id""".stripMargin,
     "d10_substring_dedup" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
         |pos AS (SELECT doc_id, l, unnest(generate_series(1, len(l)-4)) AS i

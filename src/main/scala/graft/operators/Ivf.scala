@@ -182,6 +182,13 @@ object Ivf {
     * rounds have independent lineage — no checkpointing needed, unlike
     * d7 where the iterated state is corpus-sized.
     */
+  /** The trained-quantizer vector store (vec_id, embedding, label, norm,
+    * cell) for operators that consume the k-means cell assignment itself
+    * — d11 semantic dedup blocks its pairwise stage on these cells.
+    */
+  private[operators] def kmeansVectors(s: SparkSession, d: String): DataFrame =
+    kmeansStore(s, d)._2
+
   private def kmeansStore(s: SparkSession, d: String): (Array[(Int, Array[Double])], DataFrame) =
     kmCache.getOrElseUpdate(d, {
       import s.implicits._
@@ -241,24 +248,31 @@ object Ivf {
        |      / CAST(COUNT(*) AS DOUBLE) AS c
        |  FROM ex e JOIN a$i a USING (vec_id) GROUP BY a.cell, e.dim)""".stripMargin
 
+  /** The full unrolled k-means assignment as CTEs (`ex` … `aF`, where
+    * `aF(vec_id, cell)` is the final assignment) — shared by the n6
+    * oracle and any oracle that consumes the trained cells (d11).
+    */
+  private[operators] def kmeansAssignCtes: String =
+    s"""ex AS (
+       |  SELECT label, vec_id, generate_subscripts(embedding, 1) AS dim, unnest(embedding) AS v
+       |  FROM embeddings),
+       |cent0 AS (
+       |  SELECT label AS cell, dim,
+       |    CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
+       |      / CAST(COUNT(*) AS DOUBLE) AS c
+       |  FROM ex GROUP BY label, dim),
+       |${(1 to KmIters).map(kmRoundSql).mkString(",\n")},
+       |distF AS (SELECT e.vec_id, c.cell,
+       |    CAST(SUM(CAST((CAST(e.v AS DOUBLE) - c.c) * (CAST(e.v AS DOUBLE) - c.c)
+       |      AS DECIMAL(28,12))) AS DOUBLE) AS d2
+       |  FROM ex e JOIN cent$KmIters c USING (dim) GROUP BY e.vec_id, c.cell),
+       |aF AS (SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+       |    FROM distF) WHERE rn = 1)""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "n6_ann_kmeans" -> {
-      s"""WITH ex AS (
-         |  SELECT label, vec_id, generate_subscripts(embedding, 1) AS dim, unnest(embedding) AS v
-         |  FROM embeddings),
-         |cent0 AS (
-         |  SELECT label AS cell, dim,
-         |    CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
-         |      / CAST(COUNT(*) AS DOUBLE) AS c
-         |  FROM ex GROUP BY label, dim),
-         |${(1 to KmIters).map(kmRoundSql).mkString(",\n")},
-         |distF AS (SELECT e.vec_id, c.cell,
-         |    CAST(SUM(CAST((CAST(e.v AS DOUBLE) - c.c) * (CAST(e.v AS DOUBLE) - c.c)
-         |      AS DECIMAL(28,12))) AS DOUBLE) AS d2
-         |  FROM ex e JOIN cent$KmIters c USING (dim) GROUP BY e.vec_id, c.cell),
-         |aF AS (SELECT vec_id, cell FROM (
-         |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
-         |    FROM distF) WHERE rn = 1),
+      s"""WITH $kmeansAssignCtes,
          |qx AS (SELECT dim, CAST(v AS DOUBLE) AS qv FROM ex WHERE vec_id = 0),
          |qd AS (SELECT c.cell,
          |    CAST(SUM(CAST((qv - c.c) * (qv - c.c) AS DECIMAL(28,12))) AS DOUBLE) AS d2

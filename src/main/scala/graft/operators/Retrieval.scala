@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -149,8 +149,87 @@ object Retrieval {
         .select("id", "vrank", "trank", "rrf")
         .orderBy(col("rrf").desc, col("id"))
         .limit(10)
+    },
+    // MMR diversity re-rank (Carbonell & Goldstein 1998): greedily pick
+    // K results maximizing λ·relevance − (1−λ)·max-similarity-to-picked,
+    // so near-duplicate hits don't crowd the result list. Candidates are
+    // the top-10 of the bucket-pruned multi-probe scores (the n8 serving
+    // path — corpus-scale work stays indexed); the greedy rounds are
+    // driver-orchestrated Spark jobs over that ≤10-row candidate list
+    // (n6's bounded-rounds pattern — each round's pick passes through
+    // the driver, so rounds have independent lineage). All similarity
+    // arithmetic is the established DecimalDot/cosineSql parity pair;
+    // the score 0.5·cos − 0.5·maxsim is fixed-spelling IEEE double in
+    // both engines. At scale MMR cost is K·|candidates| pairs — a
+    // re-rank, by construction never corpus-shaped.
+    "n11_mmr" -> { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      val cand = Similarity.multiProbeScores(s, d)
+        .orderBy(col("cos").desc, col("vec_id")).limit(MmrCand)
+        .join(Tables.embeddings(s, d).select("vec_id", "embedding"), Seq("vec_id"))
+        .select("vec_id", "cos", "embedding")
+      mmrRerank(s, cand, k = MmrK, lambda = 0.5)
     }
   )
+
+  /** MMR picks / candidate-pool size for the gate (λ fixed at 0.5). */
+  private val MmrK = 5
+  private val MmrCand = 10
+
+  /** Public MMR re-rank: greedily select `k` of the `candidates`
+    * (columns `vec_id`, `cos` = relevance, `embedding`) maximizing
+    * `lambda·cos − (1−lambda)·max-cos-to-already-picked`. Collects the
+    * candidate list up front — callers hand in a BOUNDED top-k list
+    * (that is what a re-ranker is for); each greedy round then runs as
+    * one tiny Spark job over the candidates (n6's driver-orchestrated
+    * bounded-rounds pattern), keeping every cosine/score in the
+    * DecimalDot expression spellings the oracle mirrors. Returns
+    * (`pick` 1..k, `vec_id`, `cos`) in pick order.
+    */
+  def mmrRerank(s: SparkSession, candidates: DataFrame, k: Int, lambda: Double): DataFrame = {
+    import s.implicits._
+    val cand = candidates.select("vec_id", "cos", "embedding")
+      .collect() // bounded by construction: candidates ARE a top-k list
+      .map(r => (r.getLong(0), r.getDouble(1), r.getSeq[Float](2).toArray))
+      .sortBy { case (vid, cos, _) => (-cos, vid) }
+    require(cand.nonEmpty, "mmrRerank needs a non-empty candidate list")
+    val candDf = cand.toSeq.toDF("vec_id", "cos", "embedding")
+    def cosC(a: Column, b: Column) =
+      Cols.fastDot(a, b) / (sqrt(Cols.fastDot(a, a)) * sqrt(Cols.fastDot(b, b)))
+    var picks = Vector((cand.head._1, cand.head._2, cand.head._3, 1L))
+    (2 to math.min(k, cand.length)).foreach { i =>
+      val selDf = picks.map(p => (p._1, p._3)).toDF("svid", "se")
+      val next = candDf
+        .join(picks.map(p => Tuple1(p._1)).toDF("vec_id"), Seq("vec_id"), "left_anti")
+        .crossJoin(broadcast(selDf))
+        .withColumn("sim", cosC(col("embedding"), col("se")))
+        .groupBy("vec_id", "cos")
+        .agg(max(col("sim")).as("maxsim"))
+        .withColumn("score",
+          lit(lambda) * col("cos") - lit(1.0 - lambda) * col("maxsim"))
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(1)
+        .collect().head
+      val c = cand.find(_._1 == next.getLong(0)).get
+      picks :+= ((c._1, c._2, c._3, i.toLong))
+    }
+    picks.map(p => (p._4, p._1, p._2)).toDF("pick", "vec_id", "cos")
+      .orderBy("pick")
+  }
+
+  /** One unrolled MMR round in DuckDB: max similarity of each remaining
+    * candidate to the picked set s{i-1}, then the argmax of the MMR
+    * score — the same greedy step the Spark rounds run.
+    */
+  private def mmrRoundSql(i: Int): String =
+    s"""ms$i AS (SELECT r.vec_id, MAX(${graft.Cols.cosineSql("r.embedding", "s.embedding")}) AS maxsim
+       |  FROM cand r JOIN s${i - 1} s ON TRUE
+       |  WHERE r.vec_id NOT IN (SELECT vec_id FROM s${i - 1})
+       |  GROUP BY r.vec_id),
+       |p$i AS (SELECT c.vec_id, c.cos, c.embedding, CAST($i AS BIGINT) AS pick
+       |  FROM cand c JOIN ms$i m USING (vec_id)
+       |  ORDER BY 0.5 * c.cos - 0.5 * m.maxsim DESC, c.vec_id LIMIT 1),
+       |s$i AS (SELECT * FROM s${i - 1} UNION ALL SELECT * FROM p$i)""".stripMargin
 
   def oracles: Map[String, String] = Map(
     "x14_bm25" ->
@@ -172,6 +251,18 @@ object Retrieval {
          |    COALESCE(1.0 / (CAST(60 AS DOUBLE) + CAST(t.trank AS DOUBLE)), 0.0) AS rrf
          |  FROM dtop d FULL OUTER JOIN ttop t ON d.vec_id = t.doc_id)
          |SELECT id, vrank, trank, rrf FROM fused
-         |ORDER BY rrf DESC, id LIMIT 10""".stripMargin
+         |ORDER BY rrf DESC, id LIMIT 10""".stripMargin,
+    // Unrolled greedy MMR over the multi-probe top-10: s1 is the most
+    // relevant candidate; each round adds the argmax of
+    // 0.5·cos − 0.5·max-sim-to-picked (vec_id tie-break).
+    "n11_mmr" ->
+      s"""WITH ${Similarity.multiProbeCtes},
+         |cand AS (SELECT m.vec_id, m.cos, e.embedding
+         |  FROM mp m JOIN embeddings e USING (vec_id)
+         |  ORDER BY m.cos DESC, m.vec_id LIMIT $MmrCand),
+         |s1 AS (SELECT vec_id, cos, embedding, CAST(1 AS BIGINT) AS pick
+         |  FROM cand ORDER BY cos DESC, vec_id LIMIT 1),
+         |${(2 to MmrK).map(mmrRoundSql).mkString(",\n")}
+         |SELECT pick, vec_id, cos FROM s$MmrK ORDER BY pick""".stripMargin
   )
 }

@@ -102,6 +102,28 @@ class EngineSpec extends AnyFunSuite {
     assert(stridedDup.forall(_.getLong(2) > 0), "strided run must still see the viral span")
   }
 
+  test("semanticDedup keeps the min-id canonical per in-cell near-dup group, blocked by cell") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // v1≡v2 (same direction, cell 0) → v2 drops to v1; v3 orthogonal →
+    // kept; v4 parallel to v1 but in ANOTHER cell → kept (blocking:
+    // cross-cell pairs are never compared, the SemDeDup cost contract)
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f), 1.0, 0),
+      (2L, Array(2.0f, 0.0f), 2.0, 0),
+      (3L, Array(0.0f, 1.0f), 1.0, 0),
+      (4L, Array(1.0f, 0.0f), 1.0, 1))
+      .toDF("vec_id", "embedding", "norm", "cell")
+    val v = Engine.semanticDedup(vecs, threshold = 0.9)
+      .orderBy("vec_id").collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(3), Option(r.get(2)).map(_.asInstanceOf[Long])))
+      .toMap
+    assert(v(1L) === ((true, None)))
+    assert(v(2L) === ((false, Some(1L))))
+    assert(v(3L) === ((true, None)))
+    assert(v(4L) === ((true, None)), "cross-cell near-dups must not merge")
+  }
+
   test("mixRank's sharded rank equals the naive single-window global rank") {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, d).select("doc_id", "lang")

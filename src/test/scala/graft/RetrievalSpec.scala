@@ -72,4 +72,36 @@ class RetrievalSpec extends AnyFunSuite {
     assert(rows(4L)._2 === 0L)
     assert(rows(4L)._3 === 0.0)
   }
+
+  test("mmrRerank trades relevance for diversity; lambda=1 is pure relevance") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // v1 and v2: same direction (near-dups), highest relevance;
+    // v3: orthogonal, lower relevance
+    val cand = Seq(
+      (1L, 0.99, Array(1.0f, 0.0f)),
+      (2L, 0.98, Array(2.0f, 0.0f)),
+      (3L, 0.50, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "cos", "embedding")
+    // λ=0.5: round 2 scores v2 at 0.5·0.98 − 0.5·1.0 < 0 but v3 at
+    // 0.5·0.5 − 0.5·0 = 0.25 → diversity wins over the near-dup
+    val diverse = Engine.mmrRerank(spark, cand, k = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(diverse === Map(1L -> 1L, 2L -> 3L), s"got $diverse")
+    // λ=1: redundancy penalty off → plain relevance order
+    val plain = Engine.mmrRerank(spark, cand, k = 2, lambda = 1.0).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(plain === Map(1L -> 1L, 2L -> 2L), s"got $plain")
+  }
+
+  test("n11 MMR gate: five distinct picks, first is the most relevant candidate") {
+    val rows = SparkEntry.queries("n11_mmr")(spark, d).collect()
+    assert(rows.length === 5)
+    assert(rows.map(_.getLong(0)).toSeq === (1L to 5L), "pick column must be 1..5")
+    val ids = rows.map(_.getLong(1))
+    assert(ids.distinct.length === 5, "picks must be distinct")
+    // pick 1 is the relevance argmax: no candidate may outscore it
+    val top = rows.head.getDouble(2)
+    assert(rows.tail.forall(_.getDouble(2) <= top))
+  }
 }

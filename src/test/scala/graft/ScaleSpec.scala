@@ -212,6 +212,14 @@ class ScaleSpec extends AnyFunSuite {
       s"n10 dense leg must prune to the probe buckets:\n$plan")
   }
 
+  test("d11 semantic dedup pairs only within cells: keyed join, no product") {
+    val d = "/root/testdata/sf0.001"
+    val plan = SparkEntry.queries("d11_semantic_dedup")(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"d11 pairwise must stay cell-keyed (corpus/k-bounded), never corpus²:\n$plan")
+  }
+
   test("x15 selection rank window is sharded (lang, hshard), never lang alone") {
     val d = "/root/testdata/sf0.001"
     val df = SparkEntry.queries("x15_domain_mix")(spark, d)
