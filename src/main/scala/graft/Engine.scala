@@ -141,4 +141,34 @@ object Engine {
   def domainMix(docs: DataFrame, domainCol: String,
       targets: Map[String, Long]): DataFrame =
     operators.TextAnalysis.domainMix(docs, domainCol, targets)
+
+  /** Gopher-style rule-based admission filter (x16): per-document
+    * measures + verdict under the given thresholds. Pure map — run it
+    * first in any curation sweep.
+    */
+  def qualityRules(docs: DataFrame,
+      rules: operators.Curation.QualityRules = operators.Curation.QualityRules()): DataFrame =
+    operators.Curation.qualityRules(docs, rules)
+
+  /** Interpolated bigram-LM fluency score (x17): per-document mean
+    * `ln(λ·p(w2|w1) + (1−λ)·p(w2))` under a model trained on the corpus
+    * itself, with the admission verdict at `fluentAt`.
+    */
+  def bigramLm(docs: DataFrame, lambda: Double = 0.7,
+      fluentAt: Double = -3.4): DataFrame =
+    operators.Curation.bigramLm(docs, lambda, fluentAt)
+
+  /** TextRank keyword weights (x18): `iters` damped PageRank rounds over
+    * the bigram co-occurrence graph of `docs`.
+    */
+  def textrank(docs: DataFrame, iters: Int = 3, damping: Double = 0.85): DataFrame =
+    operators.Curation.textrank(docs, iters, damping)
+
+  /** Morton/Z-order interleave of two bounded non-negative keys (o4) —
+    * the write-time clustering column for two-dimensional data skipping:
+    * `df.repartitionByRange(n, z).sortWithinPartitions(z)`.
+    */
+  def zvalue(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column,
+      bits: Int = 10): org.apache.spark.sql.Column =
+    operators.Curation.zvalue(x, y, bits)
 }

@@ -31,7 +31,8 @@ object SparkEntry {
       graft.operators.Similarity.queries2 ++
       graft.operators.Ivf.queries ++
       graft.operators.Pq.queries ++
-      graft.operators.TextAnalysis.queries
+      graft.operators.TextAnalysis.queries ++
+      graft.operators.Curation.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -49,5 +50,6 @@ object SparkEntry {
       graft.operators.Similarity.oracles2 ++
       graft.operators.Ivf.oracles ++
       graft.operators.Pq.oracles ++
-      graft.operators.TextAnalysis.oracles
+      graft.operators.TextAnalysis.oracles ++
+      graft.operators.Curation.oracles
 }

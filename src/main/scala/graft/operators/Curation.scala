@@ -1,0 +1,355 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+
+/** Corpus-curation operators beyond the dedup/ANN/privacy families:
+  * rule-based quality filtering (Gopher-style), bigram language-model
+  * fluency scoring, TextRank keyword weighting, LSH radius search, and
+  * Z-order layout clustering.
+  *
+  * The reference stores every extracted operation unconditionally
+  * (python/main.py:130-199); a training-data export of the same corpus
+  * needs admission rules and fluency scores before rows are worth
+  * shipping. Scale shapes:
+  *  - x16 is a pure map (one projection per document, zero shuffle) —
+  *    the cheapest possible admission filter, run first in any sweep.
+  *  - x17/x18 derive vocabulary-sized model tables (bigram counts over a
+  *    bounded vocabulary) that broadcast back to the corpus scan; the
+  *    only corpus-shaped exchanges are map-side-combinable counts.
+  *  - n12 serves from the materialized LSH bucket store, reading 9
+  *    `bucket=` partitions instead of the corpus (the n8 serving path
+  *    with a radius predicate instead of a top-k).
+  *  - o4's Z-value is a per-row expression; clustering a 100 TB layout
+  *    is `repartitionByRange(zval)` + `sortWithinPartitions(zval)` at
+  *    write time, after which min/max file stats prune BOTH dimensions.
+  *
+  * Cross-engine determinism: every double is derived from exact integers
+  * with an identical operation spelling in both engines (correctly-
+  * rounded IEEE ops ⇒ bit-identical); `ln` outputs are rounded to 9
+  * digits (the x10/x14 convention) and per-group sums of rounded terms
+  * go through DECIMAL(28,12) so accumulation order cannot matter.
+  */
+object Curation {
+  type Q = (SparkSession, String) => DataFrame
+
+  // ── x16: Gopher-style quality rules ────────────────────────────────
+
+  /** Stopword list for the repetition/fluency heuristics (Rae et al.
+    * 2021 use a similar "must contain ≥2 stop words" rule; the corpus
+    * vocabulary supplies `the`/`a`/`of`).
+    */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "to", "and")
+
+  /** Rule thresholds (documented, parameterizable). */
+  final case class QualityRules(
+      minWords: Long = 20,
+      maxWords: Long = 90,
+      minMeanWordLen: Double = 3.0,
+      maxMeanWordLen: Double = 10.0,
+      minStopFrac: Double = 0.04,
+      minDistinctFrac: Double = 0.45)
+
+  /** Per-document rule measures + admission verdict over `docs`
+    * (`doc_id`, `text`). Pure map: one projection, no shuffle at any
+    * scale. Mean word length is derived from `length(text)` and the
+    * token count alone (tokens are single-space separated), so every
+    * measure is exact-integer arithmetic until the final divisions.
+    */
+  def qualityRules(docs: DataFrame, r: QualityRules = QualityRules()): DataFrame = {
+    val arr = split(col("text"), " ")
+    val n = size(arr).cast("long")
+    val nD = n.cast("double")
+    val meanLen = (length(col("text")).cast("double") - nD + lit(1.0)) / nD
+    val stopFrac = size(filter(arr, w => w.isin(Stopwords: _*))).cast("double") / nD
+    val distinctFrac = size(array_distinct(arr)).cast("double") / nD
+    docs.select(col("doc_id"),
+      n.as("n_words"),
+      meanLen.as("mean_word_len"),
+      stopFrac.as("stop_frac"),
+      distinctFrac.as("distinct_frac"),
+      (n >= r.minWords && n <= r.maxWords &&
+        meanLen >= r.minMeanWordLen && meanLen <= r.maxMeanWordLen &&
+        stopFrac >= r.minStopFrac &&
+        distinctFrac >= r.minDistinctFrac).as("pass"))
+  }
+
+  private def qualityRulesSql(r: QualityRules): String = {
+    val stops = Stopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+       |    (CAST(length(text) AS DOUBLE) - CAST(len(string_split(text, ' ')) AS DOUBLE) + 1.0)
+       |      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS mean_word_len,
+       |    CAST(len(list_filter(string_split(text, ' '), w -> w IN ($stops))) AS DOUBLE)
+       |      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stop_frac,
+       |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+       |      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS distinct_frac
+       |  FROM documents)
+       |SELECT doc_id, n_words, mean_word_len, stop_frac, distinct_frac,
+       |  (n_words >= ${r.minWords} AND n_words <= ${r.maxWords}
+       |    AND mean_word_len >= ${r.minMeanWordLen} AND mean_word_len <= ${r.maxMeanWordLen}
+       |    AND stop_frac >= ${r.minStopFrac}
+       |    AND distinct_frac >= ${r.minDistinctFrac}) AS pass
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
+  // ── x17: interpolated bigram language model ────────────────────────
+
+  private val Lambda = 0.7       // bigram weight; (1-λ) backs off to unigram
+  private val FluentAt = -3.4    // avg per-bigram log-prob admission bar
+
+  /** (doc_id, w1, w2) adjacent-token pairs, generated map-side: a
+    * per-row `transform(sequence(...))` over the token array, no
+    * positional self-join. Documents with fewer than two tokens yield
+    * no pairs (guarded — `sequence(1, 0)` would count DOWN in Spark).
+    */
+  def bigramPairs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("a"))
+      .filter(size(col("a")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(a) - 1), " +
+          "i -> struct(element_at(a, i) AS w1, element_at(a, i + 1) AS w2))")).as("p"))
+      .select(col("doc_id"), col("p.w1"), col("p.w2"))
+
+  /** Per-document fluency under an interpolated bigram LM trained on the
+    * corpus itself: each adjacent pair (w1,w2) scores
+    * `ln(λ·p(w2|w1) + (1−λ)·p(w2))`, a document's score is the mean.
+    * The model tables (bigram counts, w1 marginals, unigram counts) are
+    * vocabulary-sized and broadcast back to the pair stream; corpus-
+    * shaped work is two map-side-combinable counts. This is the x10
+    * unigram score upgraded to the CCNet-style LM filter shape.
+    */
+  def bigramLm(docs: DataFrame, lambda: Double = Lambda,
+      fluentAt: Double = FluentAt): DataFrame = {
+    val pairs = bigramPairs(docs)
+    val cBi = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c_bi"))
+    val cW1 = pairs.groupBy("w1").agg(count(lit(1)).as("c_w1"))
+    val toks = docs.select(explode(split(col("text"), " ")).as("word"))
+    val cUni = toks.groupBy("word").agg(count(lit(1)).as("c_uni"))
+    val total = toks.agg(count(lit(1)).as("total"))
+    val lp = cBi.join(cW1, "w1")
+      .join(cUni.withColumnRenamed("word", "w2"), "w2")
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"), round(log(
+        lit(lambda) * (col("c_bi").cast("double") / col("c_w1").cast("double")) +
+          lit(1.0 - lambda) * (col("c_uni").cast("double") / col("total").cast("double"))), 9).as("lp"))
+    pairs.join(broadcast(lp), Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum(col("lp").cast(DecimalType(28, 12))).cast("double") /
+          count(lit(1)).cast("double")).as("avg_logp"))
+      .withColumn("is_fluent", col("avg_logp") > fluentAt)
+  }
+
+  /** Oracle CTE list ending in `pr(doc_id, w1, w2)` — the positional-
+    * join SQL spelling of [[bigramPairs]] (DuckDB generates an empty
+    * series for one-token docs, so no explicit guard is needed).
+    */
+  private def bigramPairCtes: String =
+    """arrs AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+      |idx AS (SELECT doc_id, a, unnest(generate_series(1, len(a) - 1)) AS i FROM arrs),
+      |pr AS (SELECT doc_id, a[i] AS w1, a[i + 1] AS w2 FROM idx)""".stripMargin
+
+  private def bigramLmSql: String =
+    s"""WITH $bigramPairCtes,
+       |cbi AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_bi FROM pr GROUP BY w1, w2),
+       |cw1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c_w1 FROM pr GROUP BY w1),
+       |toks AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+       |cuni AS (SELECT word AS w2, CAST(count(*) AS BIGINT) AS c_uni FROM toks GROUP BY word),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM toks),
+       |lp AS (SELECT w1, w2,
+       |    round(ln($Lambda * (CAST(c_bi AS DOUBLE) / CAST(c_w1 AS DOUBLE)) +
+       |      ${1.0 - Lambda} * (CAST(c_uni AS DOUBLE) / CAST(total AS DOUBLE))), 9) AS lp
+       |  FROM cbi JOIN cw1 USING (w1) JOIN cuni USING (w2), tot)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |  CAST(SUM(CAST(lp AS DECIMAL(28,12))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_logp,
+       |  CAST(SUM(CAST(lp AS DECIMAL(28,12))) AS DOUBLE) / CAST(count(*) AS DOUBLE) > $FluentAt AS is_fluent
+       |FROM pr JOIN lp USING (w1, w2)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ── x18: TextRank keyword weighting ────────────────────────────────
+
+  private val Damping = 0.85
+  private val TrIters = 3
+
+  /** TextRank (Mihalcea & Tarau 2004): PageRank over the directed word
+    * co-occurrence graph whose edges are adjacent-token pairs weighted
+    * by corpus count. The graph is VOCABULARY-sized — bounded at any
+    * corpus scale — so after the one corpus-shaped pair count the
+    * iterations run over tiny model tables. `iters` fixed rounds, each
+    * rank rounded to 9 digits (the n6 fixed-iteration pattern);
+    * per-node in-flows are 9-digit-rounded terms summed via
+    * DECIMAL(28,12) so edge order cannot matter. Dangling mass is not
+    * redistributed (documented simplification; with a connected word
+    * graph every node has out-edges). Returns (word, rank) after
+    * `iters` rounds.
+    */
+  def textrank(docs: DataFrame, iters: Int = TrIters,
+      damping: Double = Damping): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val pairs = bigramPairs(docs)
+    val edges = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+    val outW = edges.groupBy("w1").agg(sum(col("c")).as("out_c"))
+    // ONE corpus-shaped job: the weighted edge list is vocabulary²-
+    // bounded, so collect it (the n6-centroid/PQ-codebook driver-side
+    // planning pattern) and run the rank rounds on the driver —
+    // DataFrame rounds would either re-derive the corpus pair stream
+    // every round (measured 26.8 s at sf0.1) or pay ~6 tiny-relation
+    // shuffles of pure scheduling overhead (measured 3.5 s; this
+    // spelling: ~1.2 s, all of it the edge count).
+    //
+    // Driver arithmetic is bit-identical to the oracle's SQL ladder:
+    // round(x, 9) is BigDecimal HALF_UP (exactly Spark's `round` and
+    // DuckDB's `round` on these magnitudes); per-term flows are
+    // 9-digit-rounded doubles whose exact decimal both engines recover
+    // at scale 12 (|binary − decimal| < 1e-17 ≪ 5e-13), summed exactly;
+    // the damped update is the same IEEE op order as the SQL spelling.
+    val wEdges = edges.join(outW, "w1")
+      .select(col("w1"), col("w2"),
+        (col("c").cast("double") / col("out_c").cast("double")).as("wfrac"))
+      .as[(String, String, Double)].collect()
+    val words = (wEdges.map(_._1) ++ wEdges.map(_._2)).distinct.sorted
+    val n = words.length
+    def r9(x: Double): Double =
+      BigDecimal.decimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var rank: Map[String, Double] = words.map(w => w -> r9(1.0 / n.toDouble)).toMap
+    (1 to iters).foreach { _ =>
+      val flows = scala.collection.mutable.Map.empty[String, BigDecimal]
+      wEdges.foreach { case (w1, w2, wfrac) =>
+        val term = BigDecimal.decimal(r9(rank(w1) * wfrac))
+          .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+        flows(w2) = flows.getOrElse(w2, BigDecimal(0)) + term
+      }
+      rank = words.map { w =>
+        val inflow = flows.get(w).map(_.toDouble).getOrElse(0.0)
+        w -> r9((1.0 - damping) / n.toDouble + damping * inflow)
+      }.toMap
+    }
+    words.map(w => (w, rank(w))).toSeq.toDF("word", "rank")
+  }
+
+  /** One unrolled TextRank round in DuckDB: 9-digit-rounded edge flows
+    * from `r{i-1}`, decimal-summed per node, damped and re-rounded.
+    */
+  private def textrankRoundSql(i: Int): String =
+    s"""f$i AS (SELECT w2 AS word,
+       |    CAST(SUM(CAST(round(r.rank * e.wfrac, 9) AS DECIMAL(28,12))) AS DOUBLE) AS inflow
+       |  FROM r${i - 1} r JOIN we e ON r.word = e.w1 GROUP BY w2),
+       |r$i AS (SELECT n.word, n.n_nodes,
+       |    round(${1.0 - Damping} / CAST(n.n_nodes AS DOUBLE) +
+       |      $Damping * COALESCE(f.inflow, 0.0), 9) AS rank
+       |  FROM r0 n LEFT JOIN f$i f USING (word))""".stripMargin
+
+  private def textrankSql: String =
+    s"""WITH $bigramPairCtes,
+       |e AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c FROM pr GROUP BY w1, w2),
+       |ow AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS out_c FROM e GROUP BY w1),
+       |we AS (SELECT w1, w2, CAST(c AS DOUBLE) / CAST(out_c AS DOUBLE) AS wfrac
+       |  FROM e JOIN ow USING (w1)),
+       |nodes AS (SELECT DISTINCT word FROM (
+       |  SELECT w1 AS word FROM pr UNION ALL SELECT w2 AS word FROM pr)),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM nodes),
+       |r0 AS (SELECT word, n_nodes,
+       |    round(1.0 / CAST(n_nodes AS DOUBLE), 9) AS rank FROM nodes, nn),
+       |${(1 to TrIters).map(textrankRoundSql).mkString(",\n")}
+       |SELECT word, rank FROM r$TrIters ORDER BY rank DESC, word""".stripMargin
+
+  // ── n12: LSH radius search ─────────────────────────────────────────
+
+  private val RadiusTau = 0.10
+
+  // ── o4: Z-order layout clustering ──────────────────────────────────
+
+  private val ZBits = 10
+
+  /** Morton/Z-order interleave of two 10-bit keys: bit i of `x` lands at
+    * position 2i, bit i of `y` at 2i+1. Both engines spell it as the
+    * same unrolled shift/mask/multiply sum over exact integers, so the
+    * value is identical by construction. At 100 TB the Z-value is the
+    * write-time clustering key: `repartitionByRange($ZBits*2 ranges, zval)`
+    * + `sortWithinPartitions(zval)` gives parquet min/max stats that
+    * prune BOTH underlying dimensions for range predicates — the
+    * standard multi-dimensional layout trick (Databricks Z-ORDER,
+    * Hudi/Iceberg space-filling curves) expressed as plain columns.
+    */
+  def zvalue(x: Column, y: Column, bits: Int = ZBits): Column =
+    (0 until bits).map { i =>
+      shiftright(x, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
+        shiftright(y, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
+    }.reduce(_ + _)
+
+  private def zvalueSql(x: String, y: String, bits: Int = ZBits): String =
+    (0 until bits).map { i =>
+      s"((($x >> $i) & 1) * ${1L << (2 * i)} + (($y >> $i) & 1) * ${1L << (2 * i + 1)})"
+    }.mkString(" + ")
+
+  def queries: Map[String, Q] = Map(
+    // Gopher-style rule filter: per-document admission measures +
+    // verdict. Pure map — zero shuffle at any scale.
+    "x16_quality_rules" -> { (s, d) =>
+      qualityRules(Tables.documents(s, d)).orderBy("doc_id")
+    },
+    // Interpolated bigram-LM fluency (λ=0.7, backoff to unigram):
+    // vocabulary-sized model tables broadcast to a map-side pair stream.
+    "x17_bigram_lm" -> { (s, d) =>
+      bigramLm(Tables.documents(s, d)).orderBy("doc_id")
+    },
+    // TextRank keyword weights: 3 unrolled PageRank rounds over the
+    // vocabulary-sized bigram co-occurrence graph.
+    "x18_textrank" -> { (s, d) =>
+      textrank(Tables.documents(s, d))
+        .orderBy(col("rank").desc, col("word"))
+    },
+    // Radius (range) search: every vector within cosine >= τ of the
+    // query, served from the materialized LSH bucket store via the n8
+    // multi-probe path — 9 partition-pruned buckets, not a corpus scan.
+    "n12_range_search" -> { (s, d) =>
+      Similarity.multiProbeScores(s, d)
+        .filter(col("cos") >= RadiusTau)
+        .select("vec_id", "cos")
+        .orderBy("vec_id")
+    },
+    // Z-order layout clustering over (user bucket, minute-of-day):
+    // per-bucket locality stats prove each Z range covers a narrow
+    // rectangle in BOTH dimensions — the file-skipping contract.
+    "o4_zorder" -> { (s, d) =>
+      val x = pmod(col("user_id"), lit(1024L)).cast("long")
+      val y = (hour(col("ts")).cast("long") * lit(60L) + minute(col("ts")).cast("long"))
+      Tables.events(s, d)
+        .select(col("event_id"), x.as("zx"), y.as("zy"))
+        .withColumn("zval", zvalue(col("zx"), col("zy")))
+        .withColumn("zbucket", shiftright(col("zval"), 8).cast("long"))
+        .groupBy("zbucket")
+        .agg(count(lit(1)).as("n"),
+          min(col("zx")).as("min_x"), max(col("zx")).as("max_x"),
+          min(col("zy")).as("min_y"), max(col("zy")).as("max_y"))
+        .orderBy("zbucket")
+    }
+  )
+
+  def oracles: Map[String, String] = Map(
+    "x16_quality_rules" -> qualityRulesSql(QualityRules()),
+    "x17_bigram_lm" -> bigramLmSql,
+    "x18_textrank" -> textrankSql,
+    "n12_range_search" ->
+      s"""WITH ${Similarity.multiProbeCtes}
+         |SELECT vec_id, cos FROM mp WHERE cos >= $RadiusTau
+         |ORDER BY vec_id""".stripMargin,
+    "o4_zorder" ->
+      s"""WITH z AS (
+         |  SELECT event_id,
+         |    user_id % 1024 AS zx,
+         |    CAST(hour(ts) AS BIGINT) * 60 + CAST(minute(ts) AS BIGINT) AS zy
+         |  FROM events),
+         |zv AS (SELECT event_id, zx, zy,
+         |    ${zvalueSql("zx", "zy")} AS zval FROM z)
+         |SELECT zval >> 8 AS zbucket, CAST(count(*) AS BIGINT) AS n,
+         |  min(zx) AS min_x, max(zx) AS max_x,
+         |  min(zy) AS min_y, max(zy) AS max_y
+         |FROM zv GROUP BY 1 ORDER BY zbucket""".stripMargin
+  )
+}

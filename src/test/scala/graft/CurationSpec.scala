@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Curation
+
+/** Behavior tests for the curation operators (x16-x18, o4) on hand-built
+  * fixtures — semantics beyond what the hash gate's fixed corpus shows.
+  */
+class CurationSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("qualityRules measures and verdict on a constructed document") {
+    // 5 tokens, 4 single-char + 1 ten-char word: mean = (len-4)/5
+    val docs = Seq((1L, "a a a a aaaaaaaaaa"), (2L, ("the of to and a " * 4).trim))
+      .toDF("doc_id", "text")
+    val r = Curation.qualityRules(docs,
+      Curation.QualityRules(minWords = 1, maxWords = 100,
+        minMeanWordLen = 0.0, maxMeanWordLen = 100.0,
+        minStopFrac = 0.0, minDistinctFrac = 0.0))
+      .orderBy("doc_id").collect()
+    val d1 = r(0)
+    assert(d1.getLong(1) === 5L) // n_words
+    assert(math.abs(d1.getDouble(2) - 14.0 / 5.0) < 1e-12) // mean_word_len
+    assert(math.abs(d1.getDouble(3) - 4.0 / 5.0) < 1e-12)  // the four 'a's
+    assert(math.abs(d1.getDouble(4) - 2.0 / 5.0) < 1e-12)  // distinct {a, aaaa..}
+    assert(d1.getBoolean(5), "permissive thresholds must admit")
+    // strict distinct-frac: doc 1 (2/5 = 0.4) clears it, the all-stopword
+    // doc 2 (5/20 = 0.25) does not
+    val strict = Curation.qualityRules(docs,
+      Curation.QualityRules(minWords = 1, minMeanWordLen = 0.0,
+        minStopFrac = 0.0, minDistinctFrac = 0.39)).orderBy("doc_id").collect()
+    assert(strict(0).getBoolean(5) && !strict(1).getBoolean(5))
+  }
+
+  test("bigramPairs emits adjacent pairs and skips sub-2-token docs") {
+    val docs = Seq((1L, "a b c"), (2L, "solo")).toDF("doc_id", "text")
+    val pairs = Curation.bigramPairs(docs).orderBy("doc_id", "w1", "w2").collect()
+    assert(pairs.map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq ===
+      Seq((1L, "a", "b"), (1L, "b", "c")))
+  }
+
+  test("bigramLm scores a common continuation above a rare one") {
+    // "x y" dominates; "x z" appears once — p(y|x) >> p(z|x)
+    val docs = (Seq.fill(9)("x y").zipWithIndex.map { case (t, i) => (i.toLong, t) } :+
+      (9L, "x z")).toDF("doc_id", "text")
+    val lm = Curation.bigramLm(docs, lambda = 0.9, fluentAt = -100.0)
+      .orderBy("doc_id").collect()
+    val common = lm(0).getDouble(2) // avg_logp of an "x y" doc
+    val rare = lm(9).getDouble(2)   // the "x z" doc
+    assert(common > rare, s"p(y|x) doc must outscore p(z|x) doc: $common vs $rare")
+    assert(lm.forall(_.getBoolean(3)), "fluentAt=-100 admits all")
+    // lambda=0 is pure unigram: both docs score p_uni(y) vs p_uni(z)
+    val uni = Curation.bigramLm(docs, lambda = 0.0, fluentAt = -100.0)
+      .orderBy("doc_id").collect()
+    assert(uni(0).getDouble(2) > uni(9).getDouble(2),
+      "unigram backoff: y occurs 9x, z once")
+  }
+
+  test("textrank concentrates rank on the hub word") {
+    // star graph: every bigram points into 'hub'
+    val docs = Seq((1L, "a hub"), (2L, "b hub"), (3L, "c hub"), (4L, "hub a"))
+      .toDF("doc_id", "text")
+    val r = Curation.textrank(docs).collect()
+      .map(row => row.getString(0) -> row.getDouble(1)).toMap
+    assert(r("hub") > r("b") && r("hub") > r("c"),
+      s"hub word must out-rank leaves: $r")
+    // rank mass stays bounded: each round emits (1-d)/N + d * inflow
+    assert(r.values.sum <= 1.0 + 1e-6, s"rank mass exceeded 1: ${r.values.sum}")
+  }
+
+  test("textrank with zero damping is uniform") {
+    val docs = Seq((1L, "a b"), (2L, "b c")).toDF("doc_id", "text")
+    val r = Curation.textrank(docs, iters = 2, damping = 0.0).collect()
+    val ranks = r.map(_.getDouble(1)).distinct
+    assert(ranks.length === 1, s"d=0 must give uniform 1/N ranks: ${r.toSeq}")
+  }
+
+  test("zvalue interleaves bits (matches a reference implementation)") {
+    def ref(x: Long, y: Long): Long =
+      (0 until 10).map(i => (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))).sum
+    val cases = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 1L), (1023L, 1023L), (597L, 311L))
+    val got = cases.toDF("x", "y")
+      .select(Curation.zvalue(col("x"), col("y")).as("z")).collect().map(_.getLong(0))
+    assert(got.toSeq === cases.map { case (x, y) => ref(x, y) })
+    // z-range query covers a rectangle: consecutive z with same high bits
+    // share both coordinate prefixes
+    assert(ref(4L, 4L) >> 6 === ref(5L, 5L) >> 6)
+  }
+}

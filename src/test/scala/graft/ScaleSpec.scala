@@ -236,6 +236,57 @@ class ScaleSpec extends AnyFunSuite {
       s"x15 rank window must be (lang, hshard)-keyed and unique:\n$plan")
   }
 
+  test("x16 quality rules are map-only: no join, no aggregate") {
+    val d = "/root/testdata/sf0.001"
+    val plan = SparkEntry.queries("x16_quality_rules")(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("HashAggregate"),
+      s"x16 must stay narrow (pure admission map):\n$plan")
+    // one exchange — the presentation ORDER BY; the rules themselves
+    // must not shuffle
+    assert(plan.split("Exchange").length - 1 === 1, s"x16 extra shuffles:\n$plan")
+  }
+
+  test("x17 bigram LM broadcasts vocabulary-sized model tables to the pair stream") {
+    val d = "/root/testdata/sf0.001"
+    val df = SparkEntry.queries("x17_bigram_lm")(spark, d)
+    val plan = executedPlan(df).split("== Initial Plan ==").head
+    assert(!plan.contains("CartesianProduct"),
+      s"x17 must never cross-join corpus-shaped sides:\n$plan")
+    // the corpus-shaped pair stream joins the (vocab²-bounded) lp model
+    // table via broadcast — no corpus-side shuffle for the score join
+    assert(plan.contains("BroadcastHashJoin"),
+      s"x17 score join must broadcast the model table:\n$plan")
+  }
+
+  test("x18 textrank iterations run over vocabulary-sized tables, no products") {
+    val d = "/root/testdata/sf0.001"
+    val df = SparkEntry.queries("x18_textrank")(spark, d)
+    assert(!df.queryExecution.executedPlan.toString.contains("CartesianProduct"),
+      "x18 must stay keyed")
+    // the rank table is vocabulary-sized: one row per distinct word
+    val vocab = Tables.documents(spark, d)
+      .select(explode(split(col("text"), " ")).as("w")).distinct().count()
+    assert(df.count() === vocab)
+  }
+
+  test("n12 range search serves from the bucket-pruned signature store") {
+    val d = "/root/testdata/sf0.001"
+    val plan = SparkEntry.queries("n12_range_search")(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [bucket"),
+      s"n12 must prune to the 9 probe buckets, not scan the corpus:\n$plan")
+  }
+
+  test("o4 z-order stats aggregate without joins, bounded shuffles") {
+    val d = "/root/testdata/sf0.001"
+    val plan = SparkEntry.queries("o4_zorder")(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"o4 is scan+agg only:\n$plan")
+    // two exchanges: the partial->final agg on zbucket and the final sort
+    assert(plan.split("Exchange").length - 1 <= 2, s"o4 extra shuffles:\n$plan")
+  }
+
   test("ledger= layout prunes partitions at read time") {
     val out = Files.createTempDirectory("graft-prune").toString
     Tables.orders(spark, "/root/testdata/sf0.001")
