@@ -21,10 +21,11 @@ object Bench {
   private val Runs = 3
 
   /** Recorded per-query medians (sf0.1, local[32], 3-run medians) — the
-    * regression baseline, refreshed round 8 to cover ALL 97 inventory
+    * regression baseline, refreshed round 8 to cover ALL 106 inventory
     * queries (the round-4 snapshot covered only the 54 queries visible
     * in BENCH_r04's captured tail, so everything added since was
-    * silently skipped by the gate).
+    * silently skipped by the gate; the round-8 operators were appended
+    * from their own recording session).
     *
     * Recorded at a session floor of 0.088 s ([[main]]'s calibration
     * metric — per-job scheduling overhead; low-floor sessions measure
@@ -85,7 +86,13 @@ object Bench {
     "x3_token_count" -> 0.106, "x4_fingerprint" -> 0.108,
     "x5_rolling_hash" -> 0.103, "x6_hash_sampling" -> 0.125,
     "x7_tfidf" -> 0.714, "x8_sequence_pack" -> 0.126,
-    "x9_repetition" -> 0.250)
+    "x9_repetition" -> 0.250,
+    // round-8 additions, recorded at a 0.076 s session floor
+    "a13_cms_freq" -> 0.975, "d11_semantic_dedup" -> 0.152,
+    "j13_market_share" -> 1.032, "n11_mmr" -> 1.353,
+    "n12_range_search" -> 0.228, "o4_zorder" -> 0.214,
+    "x16_quality_rules" -> 0.152, "x17_bigram_lm" -> 0.869,
+    "x18_textrank" -> 0.457)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -164,6 +164,14 @@ object Engine {
   def textrank(docs: DataFrame, iters: Int = 3, damping: Double = 0.85): DataFrame =
     operators.Curation.textrank(docs, iters, damping)
 
+  /** Count-Min Sketch frequency estimates (a13): per-key `cms_est` vs
+    * `true_n` for every distinct value of `keyCol` in `rows`, from a
+    * deterministic md5-hashed `depth`×`width` sketch.
+    */
+  def cmsFreq(rows: DataFrame, keyCol: String,
+      depth: Int = 4, width: Int = 32): DataFrame =
+    operators.Curation.cmsFreq(rows, keyCol, depth, width)
+
   /** Morton/Z-order interleave of two bounded non-negative keys (o4) —
     * the write-time clustering column for two-dimensional data skipping:
     * `df.repartitionByRange(n, z).sortWithinPartitions(z)`.

@@ -52,28 +52,46 @@ object Curation {
       minStopFrac: Double = 0.04,
       minDistinctFrac: Double = 0.45)
 
-  /** Per-document rule measures + admission verdict over `docs`
-    * (`doc_id`, `text`). Pure map: one projection, no shuffle at any
-    * scale. Mean word length is derived from `length(text)` and the
-    * token count alone (tokens are single-space separated), so every
-    * measure is exact-integer arithmetic until the final divisions.
+  /** The four rule measures over a `text` column: token count, mean
+    * word length (from `length(text)` and the token count alone —
+    * tokens are single-space separated), stopword fraction, distinct
+    * fraction. Exact-integer arithmetic until the final divisions.
     */
-  def qualityRules(docs: DataFrame, r: QualityRules = QualityRules()): DataFrame = {
+  private def ruleMeasures: (Column, Column, Column, Column) = {
     val arr = split(col("text"), " ")
     val n = size(arr).cast("long")
     val nD = n.cast("double")
     val meanLen = (length(col("text")).cast("double") - nD + lit(1.0)) / nD
     val stopFrac = size(filter(arr, w => w.isin(Stopwords: _*))).cast("double") / nD
     val distinctFrac = size(array_distinct(arr)).cast("double") / nD
+    (n, meanLen, stopFrac, distinctFrac)
+  }
+
+  /** The x16 admission verdict as a standalone boolean Column over
+    * `text` — a pure per-row expression, so it drops into streaming
+    * plans (see `StreamDemos.admissionCounts`) or any projection
+    * without the full measures output.
+    */
+  def qualityVerdict(r: QualityRules = QualityRules()): Column = {
+    val (n, meanLen, stopFrac, distinctFrac) = ruleMeasures
+    n >= r.minWords && n <= r.maxWords &&
+      meanLen >= r.minMeanWordLen && meanLen <= r.maxMeanWordLen &&
+      stopFrac >= r.minStopFrac &&
+      distinctFrac >= r.minDistinctFrac
+  }
+
+  /** Per-document rule measures + admission verdict over `docs`
+    * (`doc_id`, `text`). Pure map: one projection, no shuffle at any
+    * scale.
+    */
+  def qualityRules(docs: DataFrame, r: QualityRules = QualityRules()): DataFrame = {
+    val (n, meanLen, stopFrac, distinctFrac) = ruleMeasures
     docs.select(col("doc_id"),
       n.as("n_words"),
       meanLen.as("mean_word_len"),
       stopFrac.as("stop_frac"),
       distinctFrac.as("distinct_frac"),
-      (n >= r.minWords && n <= r.maxWords &&
-        meanLen >= r.minMeanWordLen && meanLen <= r.maxMeanWordLen &&
-        stopFrac >= r.minStopFrac &&
-        distinctFrac >= r.minDistinctFrac).as("pass"))
+      qualityVerdict(r).as("pass"))
   }
 
   private def qualityRulesSql(r: QualityRules): String = {
@@ -262,6 +280,58 @@ object Curation {
 
   private val RadiusTau = 0.10
 
+  // ── a13: Count-Min Sketch frequency estimation ─────────────────────
+
+  private val CmsDepth = 4
+  private val CmsWidth = 32
+
+  /** Count-Min Sketch (Cormode & Muthukrishnan 2005) over a key column,
+    * with the per-key estimate joined back against the true count. The
+    * sketch is a `depth × width` count matrix — 128 cells here — built
+    * from one explode over the `depth` hash rows + a combinable count:
+    * partitions build partial sketches that merge by cell-wise addition
+    * (what the two-level HashAggregate does), the canonical bounded-
+    * state frequency structure for streams and 100 TB scans. Estimates
+    * are `min` over the key's `depth` cells, always ≥ the true count.
+    * Unlike a7's DataSketches entry the hashes are md5-derived (the x6
+    * parity spelling), so the whole sketch is deterministic and
+    * oracle-exact cross-engine.
+    */
+  def cmsFreq(rows: DataFrame, keyCol: String,
+      depth: Int = CmsDepth, width: Int = CmsWidth): DataFrame = {
+    def bucket(i: Int, c: Column): Column =
+      conv(substring(md5(concat(lit(s"cms$i|"), c.cast("string"))), 1, 4), 16, 10)
+        .cast("long") % width
+    def probe(c: Column): Column = explode(array((0 until depth).map(i =>
+      struct(lit(i).as("h"), bucket(i, c).as("b"))): _*))
+    val cells = rows.select(probe(col(keyCol)).as("hb"))
+      .select(col("hb.h").as("h"), col("hb.b").as("b"))
+      .groupBy("h", "b").agg(count(lit(1)).as("c"))
+    val tru = rows.groupBy(keyCol).agg(count(lit(1)).as("true_n"))
+    tru.select(col(keyCol), col("true_n"), probe(col(keyCol)).as("hb"))
+      .select(col(keyCol), col("true_n"), col("hb.h").as("h"), col("hb.b").as("b"))
+      .join(broadcast(cells), Seq("h", "b"))
+      .groupBy(keyCol, "true_n")
+      .agg(min(col("c")).as("cms_est"))
+      .withColumn("overcount", col("cms_est") - col("true_n"))
+  }
+
+  private def cmsFreqSql(keyCol: String, depth: Int = CmsDepth,
+      width: Int = CmsWidth): String = {
+    val hs = (0 until depth).map(i => s"($i)").mkString(", ")
+    def b(expr: String) =
+      s"CAST(('0x' || substr(md5('cms' || CAST(h AS VARCHAR) || '|' || CAST($expr AS VARCHAR)), 1, 4)) AS BIGINT) % $width"
+    s"""WITH hs(h) AS (VALUES $hs),
+       |cells AS (SELECT h, ${b(keyCol)} AS b, CAST(count(*) AS BIGINT) AS c
+       |  FROM events, hs GROUP BY 1, 2),
+       |tru AS (SELECT $keyCol, CAST(count(*) AS BIGINT) AS true_n
+       |  FROM events GROUP BY $keyCol),
+       |probes AS (SELECT $keyCol, true_n, h, ${b(keyCol)} AS b FROM tru, hs)
+       |SELECT $keyCol, true_n, min(c) AS cms_est, min(c) - true_n AS overcount
+       |FROM probes JOIN cells USING (h, b)
+       |GROUP BY $keyCol, true_n ORDER BY $keyCol""".stripMargin
+  }
+
   // ── o4: Z-order layout clustering ──────────────────────────────────
 
   private val ZBits = 10
@@ -313,6 +383,13 @@ object Curation {
         .select("vec_id", "cos")
         .orderBy("vec_id")
     },
+    // Count-Min Sketch frequency estimates for every user_id (150 keys
+    // into a 4×32 sketch — real collisions), vs true counts. The sketch
+    // build is one explode + combinable count; the probe joins the
+    // 128-cell sketch back via broadcast.
+    "a13_cms_freq" -> { (s, d) =>
+      cmsFreq(Tables.events(s, d), "user_id").orderBy("user_id")
+    },
     // Z-order layout clustering over (user bucket, minute-of-day):
     // per-bucket locality stats prove each Z range covers a narrow
     // rectangle in BOTH dimensions — the file-skipping contract.
@@ -335,6 +412,7 @@ object Curation {
     "x16_quality_rules" -> qualityRulesSql(QualityRules()),
     "x17_bigram_lm" -> bigramLmSql,
     "x18_textrank" -> textrankSql,
+    "a13_cms_freq" -> cmsFreqSql("user_id"),
     "n12_range_search" ->
       s"""WITH ${Similarity.multiProbeCtes}
          |SELECT vec_id, cos FROM mp WHERE cos >= $RadiusTau

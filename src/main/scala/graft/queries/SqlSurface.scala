@@ -376,6 +376,41 @@ object SqlSurface {
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(20)
     },
+    // TPC-H Q8-shaped composite: one nation's market share of the ECONOMY
+    // part volume sold to AMERICA-region customers, by order year — the
+    // widest join tree in the inventory (lineitem × 6 dims + orders).
+    // part (1/6 selective) and all dims broadcast; the only shuffles are
+    // the two fact-side joins (orders, customer) and the year rollup.
+    // The share is a conditional decimal-exact sum over the same rows as
+    // the denominator — one pass, no self-join.
+    "j13_market_share" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val p = Tables.part(s, d).filter(col("p_type") === "ECONOMY")
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= to_timestamp(lit("1995-01-01")) &&
+          col("o_orderdate") < to_timestamp(lit("1997-01-01")))
+      val c = Tables.customer(s, d)
+      val cn = Tables.nation(s, d)
+        .select(col("n_nationkey").as("cn_key"), col("n_regionkey").as("cn_rkey"))
+      val r = Tables.region(s, d).filter(col("r_name") === "AMERICA")
+      val sup = Tables.supplier(s, d)
+      val sn = Tables.nation(s, d)
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+      val vol = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(cn), col("c_nationkey") === col("cn_key"))
+        .join(broadcast(r), col("cn_rkey") === col("r_regionkey"))
+        .join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+        .join(broadcast(sn), col("s_nationkey") === col("sn_key"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(
+          (dsum(when(col("supp_nation") === "NATION_7", vol).otherwise(lit(0.0))) /
+            dsum(vol)).as("mkt_share"),
+          dsum(vol).as("volume"))
+        .orderBy("o_year")
+    },
     // Cartesian product of two tiny dims.
     "j9_cross_join" -> { (s, d) =>
       val r = Tables.region(s, d)
@@ -573,6 +608,24 @@ object SqlSurface {
          |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
          |GROUP BY c_custkey, c_name, c_acctbal, n_name
          |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "j13_market_share" ->
+      s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         |  ${dsumSql("(CASE WHEN sn.n_name = 'NATION_7' " +
+             "THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END)")} /
+         |  ${dsumSql("(l_extendedprice * (1.0 - l_discount))")} AS mkt_share,
+         |  ${dsumSql("(l_extendedprice * (1.0 - l_discount))")} AS volume
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation cn ON c_nationkey = cn.n_nationkey
+         |JOIN region ON cn.n_regionkey = r_regionkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation sn ON s_nationkey = sn.n_nationkey
+         |WHERE p_type = 'ECONOMY' AND r_name = 'AMERICA'
+         |  AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+         |GROUP BY 1 ORDER BY o_year""".stripMargin,
     "j11_local_supplier_volume" ->
       s"""SELECT n_name, ${dsumSql("(l_extendedprice * (1.0 - l_discount))")} AS revenue
          |FROM lineitem

@@ -18,6 +18,21 @@ import graft.Cols.dsum
   */
 object StreamDemos {
 
+  /** Streaming corpus intake: x16's admission verdict is a pure per-row
+    * expression, so it drops unchanged into a streaming plan — the
+    * live-curation shape (admitted vs rejected counts per source per
+    * event-time window) a 100 TB intake pipeline runs ahead of any
+    * stateful operator. Expects (`ts`, `text`, `source`); state is
+    * bounded by the watermark horizon like every windowed agg here.
+    */
+  def admissionCounts(docs: DataFrame): DataFrame =
+    docs
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("source"),
+        graft.operators.Curation.qualityVerdict().as("pass"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("hour_start"), col("source"), col("pass"), col("n"))
+
   /** Tumbling event-time counts with a 10-minute watermark. */
   def windowedCounts(events: DataFrame): DataFrame =
     events

@@ -77,6 +77,21 @@ class CurationSpec extends AnyFunSuite {
     assert(ranks.length === 1, s"d=0 must give uniform 1/N ranks: ${r.toSeq}")
   }
 
+  test("cmsFreq never undercounts; widening the sketch tightens estimates") {
+    val rows = (1 to 60).map(i => Tuple1((i % 7).toLong)).toDF("k")
+    val narrow = operators.Curation.cmsFreq(rows, "k", depth = 2, width = 4).collect()
+    assert(narrow.length === 7)
+    narrow.foreach { r =>
+      assert(r.getLong(3) >= 0L, s"CMS undercounted: $r") // overcount
+      assert(r.getLong(2) <= 60L, "estimate bounded by stream length")
+    }
+    // width 4096 over 7 keys: md5 buckets collide with odds ~ 1e-2 —
+    // this fixed fixture is collision-free, so estimates are exact
+    val wide = operators.Curation.cmsFreq(rows, "k", depth = 4, width = 4096).collect()
+    assert(wide.forall(_.getLong(3) === 0L),
+      s"wide sketch must be exact on 7 keys: ${wide.toSeq}")
+  }
+
   test("zvalue interleaves bits (matches a reference implementation)") {
     def ref(x: Long, y: Long): Long =
       (0 until 10).map(i => (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))).sum

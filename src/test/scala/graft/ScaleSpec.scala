@@ -287,6 +287,25 @@ class ScaleSpec extends AnyFunSuite {
     assert(plan.split("Exchange").length - 1 <= 2, s"o4 extra shuffles:\n$plan")
   }
 
+  test("a13 CMS probe joins the broadcast sketch; no corpus-shaped join") {
+    val d = "/root/testdata/sf0.001"
+    val df = SparkEntry.queries("a13_cms_freq")(spark, d)
+    val plan = executedPlan(df).split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastHashJoin"),
+      s"a13 sketch probe must broadcast the 128-cell sketch:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"a13 must never shuffle-join the sketch:\n$plan")
+  }
+
+  test("j13 market share broadcasts every dim; only fact-side joins shuffle") {
+    val d = "/root/testdata/sf0.001"
+    val df = SparkEntry.queries("j13_market_share")(spark, d)
+    val plan = executedPlan(df).split("== Initial Plan ==").head
+    val bhj = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(bhj >= 5, s"j13 expects part/cn/region/supplier/sn broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"j13 must stay keyed:\n$plan")
+  }
+
   test("ledger= layout prunes partitions at read time") {
     val out = Files.createTempDirectory("graft-prune").toString
     Tables.orders(spark, "/root/testdata/sf0.001")

@@ -12,6 +12,7 @@ class StreamingSpec extends AnyFunSuite {
   private def ts(minutes: Long): Timestamp = new Timestamp(minutes * 60000L)
 
   final case class REv(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+  final case class RDoc(ts: Timestamp, text: String, source: String)
 
   test("windowed counts finalize once the watermark passes") {
     import spark.implicits._
@@ -35,6 +36,31 @@ class StreamingSpec extends AnyFunSuite {
           r.getAs[Long]("n"), r.getAs[Double]("sum_value"))).toSet
       assert(rows.contains((0L, "click", 2L, 4.0)))
       assert(rows.contains((0L, "buy", 1L, 4.0)))
+    } finally q.stop()
+  }
+
+  test("streaming admission filter counts pass/fail per source window") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // clears x16's default thresholds: 22 words, 21 distinct, 2 stopwords
+    val good = "the a " + (1 to 20).map(i => s"word$i").mkString(" ")
+    val ms = MemoryStream[RDoc]
+    val q = StreamDemos.admissionCounts(ms.toDF())
+      .writeStream.format("memory").queryName("adm_out").outputMode("append").start()
+    try {
+      ms.addData(
+        RDoc(ts(5), good, "web"), RDoc(ts(10), good, "web"),
+        RDoc(ts(15), "tiny doc", "web"), RDoc(ts(20), good, "books"))
+      q.processAllAvailable()
+      ms.addData(RDoc(ts(200), good, "web")) // event time beyond hour 0 + watermark
+      q.processAllAvailable()
+      ms.addData(RDoc(ts(400), good, "web")) // second push finalizes hour 0
+      q.processAllAvailable()
+      val rows = spark.table("adm_out").collect()
+        .filter(_.getAs[Timestamp]("hour_start").getTime == 0L)
+        .map(r => (r.getAs[String]("source"), r.getAs[Boolean]("pass"), r.getAs[Long]("n")))
+        .toSet
+      assert(rows === Set(("web", true, 2L), ("web", false, 1L), ("books", true, 1L)))
     } finally q.stop()
   }
 
