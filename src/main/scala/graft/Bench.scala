@@ -88,7 +88,8 @@ object Bench {
     "x7_tfidf" -> 0.714, "x8_sequence_pack" -> 0.126,
     "x9_repetition" -> 0.250,
     // round-8 additions, recorded at a 0.076 s session floor
-    "a13_cms_freq" -> 0.975, "d11_semantic_dedup" -> 0.152,
+    "a13_cms_freq" -> 0.975, "a14_hll_distinct" -> 0.778,
+    "d11_semantic_dedup" -> 0.152,
     "j13_market_share" -> 1.032, "n11_mmr" -> 1.353,
     "n12_range_search" -> 0.228, "o4_zorder" -> 0.214,
     "x16_quality_rules" -> 0.152, "x17_bigram_lm" -> 0.869,

@@ -172,6 +172,13 @@ object Engine {
       depth: Int = 4, width: Int = 32): DataFrame =
     operators.Curation.cmsFreq(rows, keyCol, depth, width)
 
+  /** HyperLogLog distinct-count estimate (a14): one row comparing the
+    * 64-register sketch estimate (with small-range linear counting)
+    * against the true distinct count of `keyCol`.
+    */
+  def hllDistinct(rows: DataFrame, keyCol: String): DataFrame =
+    operators.Curation.hllDistinct(rows, keyCol)
+
   /** Morton/Z-order interleave of two bounded non-negative keys (o4) —
     * the write-time clustering column for two-dimensional data skipping:
     * `df.repartitionByRange(n, z).sortWithinPartitions(z)`.

@@ -297,13 +297,21 @@ object Curation {
     * parity spelling), so the whole sketch is deterministic and
     * oracle-exact cross-engine.
     */
+  /** Row `i`'s CMS cell for a key (md5-derived, the x6 parity spelling) —
+    * public so the streaming heavy-hitter build can share it.
+    */
+  def cmsBucket(i: Int, c: Column, width: Int = CmsWidth): Column =
+    conv(substring(md5(concat(lit(s"cms$i|"), c.cast("string"))), 1, 4), 16, 10)
+      .cast("long") % width
+
+  /** Exploded (h, b) cell coordinates for a key across all rows. */
+  def cmsProbe(c: Column, depth: Int = CmsDepth, width: Int = CmsWidth): Column =
+    explode(array((0 until depth).map(i =>
+      struct(lit(i).as("h"), cmsBucket(i, c, width).as("b"))): _*))
+
   def cmsFreq(rows: DataFrame, keyCol: String,
       depth: Int = CmsDepth, width: Int = CmsWidth): DataFrame = {
-    def bucket(i: Int, c: Column): Column =
-      conv(substring(md5(concat(lit(s"cms$i|"), c.cast("string"))), 1, 4), 16, 10)
-        .cast("long") % width
-    def probe(c: Column): Column = explode(array((0 until depth).map(i =>
-      struct(lit(i).as("h"), bucket(i, c).as("b"))): _*))
+    def probe(c: Column): Column = cmsProbe(c, depth, width)
     val cells = rows.select(probe(col(keyCol)).as("hb"))
       .select(col("hb.h").as("h"), col("hb.b").as("b"))
       .groupBy("h", "b").agg(count(lit(1)).as("c"))
@@ -330,6 +338,83 @@ object Curation {
        |SELECT $keyCol, true_n, min(c) AS cms_est, min(c) - true_n AS overcount
        |FROM probes JOIN cells USING (h, b)
        |GROUP BY $keyCol, true_n ORDER BY $keyCol""".stripMargin
+  }
+
+  // ── a14: HyperLogLog distinct-count sketch ─────────────────────────
+
+  private val HllM = 64 // registers; alpha_64 = 0.7213 / (1 + 1.079/64)
+
+  /** HyperLogLog (Flajolet et al. 2007) as dataflow, deterministic and
+    * oracle-exact like a13: register `j` holds the max over the bucket's
+    * keys of ρ = 1 + leading zeros of a 32-bit md5 slice (string-ops
+    * only, no libm). `max` is order- and duplicate-insensitive, so the
+    * registers are partition-mergeable — the canonical distributed
+    * distinct-count structure. The raw estimate αm²/Σ2^-ρ is dyadic-
+    * exact in double (every 2^-ρ term and every partial sum fits in
+    * 53 bits), so no decimal routing is needed; the small-range linear-
+    * counting branch `m·ln(m/V)` carries the one libm call, rounded to
+    * 9 digits (the x10 convention). Returns one row: registers used,
+    * empty registers, raw and corrected estimates, true distinct count.
+    */
+  def hllDistinct(rows: DataFrame, keyCol: String): DataFrame = {
+    val s = rows.sparkSession
+    val m = HllM
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val h = md5(concat(lit("hll|"), col(keyCol).cast("string")))
+    val bucket = conv(substring(h, 1, 2), 16, 10).cast("long") % m
+    val w = conv(substring(h, 3, 8), 16, 10).cast("long") // 32-bit slice
+    // ρ = position of the first 1-bit of w in a 32-wide field; w = 0 → 33
+    val rho = when(w === 0L, lit(33L))
+      .otherwise(instr(lpad(bin(w), 32, "0"), "1").cast("long"))
+    val regs = rows.select(bucket.as("j"), rho.as("rho"))
+      .groupBy("j").agg(max(col("rho")).as("r"))
+    val all = s.range(m).select(col("id").as("j"))
+      .join(regs, Seq("j"), "left")
+      .select(col("j"), coalesce(col("r"), lit(0L)).as("r"))
+    val est = all.agg(
+      sum(lit(1.0) /
+        expr("shiftleft(cast(1 as bigint), cast(r as int))").cast("double")).as("ssum"),
+      sum(when(col("r") === 0L, 1L).otherwise(0L)).as("v_empty"),
+      sum(when(col("r") > 0L, 1L).otherwise(0L)).as("used"))
+    val tru = rows.agg(countDistinct(col(keyCol)).as("true_distinct"))
+    est.crossJoin(tru)
+      .withColumn("raw_est", lit(alpha) * lit(m.toDouble * m.toDouble) / col("ssum"))
+      .withColumn("hll_est",
+        when(col("raw_est") <= lit(2.5 * m) && col("v_empty") > 0L,
+          round(lit(m.toDouble) * log(lit(m.toDouble) / col("v_empty").cast("double")), 9))
+          .otherwise(col("raw_est")))
+      .select("used", "v_empty", "raw_est", "hll_est", "true_distinct")
+  }
+
+  private def hllDistinctSql(keyCol: String): String = {
+    val m = HllM
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    s"""WITH h AS (SELECT md5('hll|' || CAST($keyCol AS VARCHAR)) AS hx FROM events),
+       |br AS (SELECT
+       |    CAST(('0x' || substr(hx, 1, 2)) AS BIGINT) % $m AS j,
+       |    CAST(('0x' || substr(hx, 3, 8)) AS BIGINT) AS w
+       |  FROM h),
+       |rh AS (SELECT j, CASE WHEN w = 0 THEN CAST(33 AS BIGINT)
+       |    ELSE CAST(strpos(lpad(bin(w), 32, '0'), '1') AS BIGINT) END AS rho
+       |  FROM br),
+       |regs AS (SELECT j, max(rho) AS r FROM rh GROUP BY j),
+       |al AS (SELECT t.j, COALESCE(regs.r, 0) AS r
+       |  FROM (SELECT unnest(range(0, $m)) AS j) t LEFT JOIN regs USING (j)),
+       |est AS (SELECT
+       |    SUM(CAST(1.0 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << CAST(r AS INTEGER)) AS DOUBLE)) AS ssum,
+       |    CAST(SUM(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_empty,
+       |    CAST(SUM(CASE WHEN r > 0 THEN 1 ELSE 0 END) AS BIGINT) AS used
+       |  FROM al),
+       |tru AS (SELECT CAST(count(DISTINCT $keyCol) AS BIGINT) AS true_distinct FROM events),
+       |raw AS (SELECT used, v_empty, true_distinct,
+       |    CAST($alpha AS DOUBLE) * CAST(${m.toDouble * m.toDouble} AS DOUBLE) / ssum AS raw_est
+       |  FROM est, tru)
+       |SELECT used, v_empty, raw_est,
+       |  CASE WHEN raw_est <= CAST(${2.5 * m} AS DOUBLE) AND v_empty > 0
+       |    THEN round(CAST(${m.toDouble} AS DOUBLE) * ln(CAST(${m.toDouble} AS DOUBLE) / CAST(v_empty AS DOUBLE)), 9)
+       |    ELSE raw_est END AS hll_est,
+       |  true_distinct
+       |FROM raw""".stripMargin
   }
 
   // ── o4: Z-order layout clustering ──────────────────────────────────
@@ -390,6 +475,12 @@ object Curation {
     "a13_cms_freq" -> { (s, d) =>
       cmsFreq(Tables.events(s, d), "user_id").orderBy("user_id")
     },
+    // HyperLogLog distinct-user estimate vs the true count: 64
+    // registers, raw harmonic estimate + small-range linear-counting
+    // correction, all deterministic (md5 registers, dyadic-exact sums).
+    "a14_hll_distinct" -> { (s, d) =>
+      hllDistinct(Tables.events(s, d), "user_id")
+    },
     // Z-order layout clustering over (user bucket, minute-of-day):
     // per-bucket locality stats prove each Z range covers a narrow
     // rectangle in BOTH dimensions — the file-skipping contract.
@@ -413,6 +504,7 @@ object Curation {
     "x17_bigram_lm" -> bigramLmSql,
     "x18_textrank" -> textrankSql,
     "a13_cms_freq" -> cmsFreqSql("user_id"),
+    "a14_hll_distinct" -> hllDistinctSql("user_id"),
     "n12_range_search" ->
       s"""WITH ${Similarity.multiProbeCtes}
          |SELECT vec_id, cos FROM mp WHERE cos >= $RadiusTau

@@ -33,6 +33,22 @@ object StreamDemos {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("hour_start"), col("source"), col("pass"), col("n"))
 
+  /** Windowed Count-Min cell build — live heavy-hitter monitoring: per
+    * event-time window, the same md5-derived (h, b) sketch cells a13
+    * probes in batch. State is windows × depth × width cells (bounded
+    * regardless of key cardinality — THE reason to sketch a stream
+    * instead of counting keys), and cell counts merge additively, so
+    * batch-built sketch segments and streaming windows compose.
+    */
+  def cmsCells(events: DataFrame, keyCol: String = "user_id",
+      depth: Int = 4, width: Int = 32): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .select(col("ts"), graft.operators.Curation.cmsProbe(col(keyCol), depth, width).as("hb"))
+      .groupBy(window(col("ts"), "1 hour"), col("hb.h").as("h"), col("hb.b").as("b"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("window.start").as("hour_start"), col("h"), col("b"), col("c"))
+
   /** Tumbling event-time counts with a 10-minute watermark. */
   def windowedCounts(events: DataFrame): DataFrame =
     events

@@ -92,6 +92,24 @@ class CurationSpec extends AnyFunSuite {
       s"wide sketch must be exact on 7 keys: ${wide.toSeq}")
   }
 
+  test("hllDistinct estimates within HLL error bounds; registers merge by max") {
+    val rows = (1 to 5000).map(i => Tuple1((i % 900).toLong)).toDF("k")
+    val r = operators.Curation.hllDistinct(rows, "k").collect().head
+    val (est, tru) = (r.getDouble(3), r.getLong(4))
+    assert(tru === 900L)
+    // 64 registers → ~1.04/sqrt(64) = 13% standard error; allow 3σ
+    assert(math.abs(est - tru) / tru < 0.4, s"HLL estimate off: $est vs $tru")
+    // duplicate-insensitive: the same keys repeated change nothing
+    val dup = rows.union(rows)
+    val r2 = operators.Curation.hllDistinct(dup, "k").collect().head
+    assert(r2.getDouble(3) === est, "registers are max-merged, duplicates free")
+    // small cardinality takes the linear-counting branch and lands close
+    val small = (1 to 200).map(i => Tuple1((i % 12).toLong)).toDF("k")
+    val r3 = operators.Curation.hllDistinct(small, "k").collect().head
+    assert(r3.getLong(4) === 12L && math.abs(r3.getDouble(3) - 12.0) < 4.0,
+      s"linear counting should be tight at 12 keys: ${r3.getDouble(3)}")
+  }
+
   test("zvalue interleaves bits (matches a reference implementation)") {
     def ref(x: Long, y: Long): Long =
       (0 until 10).map(i => (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))).sum

@@ -2,6 +2,7 @@ package graft
 
 import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 import graft.streaming.StreamDemos
 import graft.streaming.StreamDemos.Ev
@@ -61,6 +62,35 @@ class StreamingSpec extends AnyFunSuite {
         .map(r => (r.getAs[String]("source"), r.getAs[Boolean]("pass"), r.getAs[Long]("n")))
         .toSet
       assert(rows === Set(("web", true, 2L), ("web", false, 1L), ("books", true, 1L)))
+    } finally q.stop()
+  }
+
+  test("streaming CMS cells match the batch sketch build") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[REv]
+    val q = StreamDemos.cmsCells(ms.toDF(), depth = 2, width = 8)
+      .writeStream.format("memory").queryName("cms_out").outputMode("append").start()
+    try {
+      val evs = (1 to 30).map(i => REv(i.toLong, ts(i.toLong), (i % 5).toLong, "e", 0.0))
+      ms.addData(evs: _*)
+      q.processAllAvailable()
+      ms.addData(REv(98, ts(200), 0, "e", 0.0))
+      q.processAllAvailable()
+      ms.addData(REv(99, ts(400), 0, "e", 0.0))
+      q.processAllAvailable()
+      val cells = spark.table("cms_out").collect()
+        .filter(_.getAs[Timestamp]("hour_start").getTime == 0L)
+        .map(r => (r.getAs[Int]("h"), r.getAs[Long]("b")) -> r.getAs[Long]("c")).toMap
+      // cell mass per hash row equals the window's event count
+      assert(cells.filter(_._1._1 == 0).values.sum === 30L)
+      assert(cells.filter(_._1._1 == 1).values.sum === 30L)
+      // and the streaming build agrees cell-for-cell with the batch spelling
+      val batch = evs.map(e => Tuple1(e.user_id)).toDF("user_id")
+        .select(graft.operators.Curation.cmsProbe(col("user_id"), 2, 8).as("hb"))
+        .groupBy(col("hb.h").as("h"), col("hb.b").as("b")).count()
+        .collect().map(r => (r.getAs[Int]("h"), r.getAs[Long]("b")) -> r.getAs[Long]("count")).toMap
+      assert(cells === batch)
     } finally q.stop()
   }
 
