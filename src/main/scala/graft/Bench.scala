@@ -6,9 +6,10 @@ import org.apache.spark.sql.SparkSession
   * prints one JSON line on stdout (driver contract).
   *
   * Each query runs `Runs` times inside one JVM and reports the per-query
-  * MEDIAN (plus a `spread` map, max-min, to expose variance): single-run
-  * numbers on a 32-thread local JVM swing 3-6× with JIT/GC timing, which
-  * makes regressions indistinguishable from noise.
+  * MEDIAN (spread = max-min is computed per query and feeds the regression
+  * stability check, but is not printed — see the output-size note in
+  * [[main]]): single-run numbers on a 32-thread local JVM swing 3-6× with
+  * JIT/GC timing, which makes regressions indistinguishable from noise.
   *
   * Queries backed by a per-JVM materialized table (ANN signature buckets,
   * the IVF cell store, the MinHash/SimHash stores) are ingest-time work by
@@ -21,11 +22,12 @@ object Bench {
   private val Runs = 3
 
   /** Recorded per-query medians (sf0.1, local[32], 3-run medians) — the
-    * regression baseline, refreshed round 8 to cover ALL 106 inventory
+    * regression baseline, refreshed round 8 to cover ALL 107 inventory
     * queries (the round-4 snapshot covered only the 54 queries visible
     * in BENCH_r04's captured tail, so everything added since was
     * silently skipped by the gate; the round-8 operators were appended
-    * from their own recording session).
+    * from their own recording session). [[main]] asserts this keyset
+    * equals SparkEntry.queries' keyset so coverage can't drift again.
     *
     * Recorded at a session floor of 0.088 s ([[main]]'s calibration
     * metric — per-job scheduling overhead; low-floor sessions measure
@@ -96,6 +98,13 @@ object Bench {
     "x18_textrank" -> 0.457)
 
   def main(args: Array[String]): Unit = {
+    // Baseline coverage must track the inventory exactly: a query missing
+    // here is silently exempt from the regression gate (the round-4..7
+    // blind spot), a stale extra key is a typo. Fail loudly either way.
+    val missing = SparkEntry.queries.keySet -- BaselineMedians.keySet
+    val stale = BaselineMedians.keySet -- SparkEntry.queries.keySet
+    require(missing.isEmpty && stale.isEmpty,
+      s"BaselineMedians drift — missing: $missing, stale: $stale")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -139,10 +148,17 @@ object Bench {
       }.sorted
       (name, times(Runs / 2), times.last - times.head)
     }
+    // One stdout line, kept SMALL: the driver captures a bounded tail of
+    // the sbt log, and rounds 7-8 proved a fat line (107 queries × two
+    // full-precision-double maps) truncates past its head → "parsed":
+    // null → the official 2× gate evaluates nothing. Doubles are rounded
+    // to 3 decimals (1 ms — below the measurement floor, nothing lost)
+    // and the per-query spread map stays internal: it only ever fed the
+    // regression stability check, which still uses it below.
+    def r3(v: Double): String = f"$v%.3f"
     def json(kv: Seq[(String, Double)]): String =
-      kv.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+      kv.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val qs = json(results.map { case (k, m, _) => (k, m) })
-    val spread = json(results.map { case (k, _, s) => (k, s) })
     // Regression gate: median > 2× the recorded baseline median AND the
     // delta is material (> 1 s) AND stable (spread < median — not a
     // one-off GC/JIT outlier). The materiality bar exists because the
@@ -159,7 +175,7 @@ object Bench {
     }
     val reg = json(regressions)
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$Runs,"floor":$floor,"queries":$qs,"spread":$spread,"regressions":$reg,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$Runs,"floor":${r3(floor)},"queries":$qs,"regressions":$reg,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

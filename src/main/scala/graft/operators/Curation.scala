@@ -16,9 +16,12 @@ import graft.Tables
   * shipping. Scale shapes:
   *  - x16 is a pure map (one projection per document, zero shuffle) —
   *    the cheapest possible admission filter, run first in any sweep.
-  *  - x17/x18 derive vocabulary-sized model tables (bigram counts over a
-  *    bounded vocabulary) that broadcast back to the corpus scan; the
-  *    only corpus-shaped exchanges are map-side-combinable counts.
+  *  - x17 derives model tables that broadcast back to the corpus scan —
+  *    the unigram/marginal tables are vocabulary-sized and the bigram
+  *    table is min-df-capped (distinct bigrams are NOT vocab-bounded at
+  *    corpus scale); x18 keeps its edge list fully distributed and only
+  *    ever moves the vocab-sized rank table between rounds. The only
+  *    corpus-shaped exchanges are map-side-combinable counts.
   *  - n12 serves from the materialized LSH bucket store, reading 9
   *    `bucket=` partitions instead of the corpus (the n8 serving path
   *    with a radius predicate instead of a top-k).
@@ -139,11 +142,24 @@ object Curation {
     * vocabulary-sized and broadcast back to the pair stream; corpus-
     * shaped work is two map-side-combinable counts. This is the x10
     * unigram score upgraded to the CCNet-style LM filter shape.
+    *
+    * `minDf` bounds the BROADCAST bigram table: the unigram and
+    * w1-marginal tables are vocabulary-sized, but distinct bigrams grow
+    * toward vocab² on a web-scale corpus, and an uncapped `broadcast(lp)`
+    * eventually exceeds the executor broadcast limit. Bigrams seen fewer
+    * than `minDf` times are dropped from the model and their pairs back
+    * off to the unigram leg alone, `ln((1−λ)·p(w2))` — the standard
+    * count-threshold LM pruning. The default `minDf = 1` keeps every
+    * observed bigram (every observed pair has count ≥ 1, so the backoff
+    * leg never fires and results are unchanged); at corpus scale set it
+    * so the surviving table fits comfortably under the broadcast cap
+    * (Zipf makes even `minDf = 2` cut the tail by most of its mass).
     */
   def bigramLm(docs: DataFrame, lambda: Double = Lambda,
-      fluentAt: Double = FluentAt): DataFrame = {
+      fluentAt: Double = FluentAt, minDf: Long = 1L): DataFrame = {
     val pairs = bigramPairs(docs)
     val cBi = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c_bi"))
+      .filter(col("c_bi") >= minDf)
     val cW1 = pairs.groupBy("w1").agg(count(lit(1)).as("c_w1"))
     val toks = docs.select(explode(split(col("text"), " ")).as("word"))
     val cUni = toks.groupBy("word").agg(count(lit(1)).as("c_uni"))
@@ -154,7 +170,13 @@ object Curation {
       .select(col("w1"), col("w2"), round(log(
         lit(lambda) * (col("c_bi").cast("double") / col("c_w1").cast("double")) +
           lit(1.0 - lambda) * (col("c_uni").cast("double") / col("total").cast("double"))), 9).as("lp"))
-    pairs.join(broadcast(lp), Seq("w1", "w2"))
+    // Unigram-backoff leg for pairs pruned by minDf (vocab-sized).
+    val uniLp = cUni.crossJoin(broadcast(total))
+      .select(col("word").as("w2"), round(log(
+        lit(1.0 - lambda) * (col("c_uni").cast("double") / col("total").cast("double"))), 9).as("lp_uni"))
+    pairs.join(broadcast(lp), Seq("w1", "w2"), "left")
+      .join(broadcast(uniLp), Seq("w2"))
+      .select(col("doc_id"), coalesce(col("lp"), col("lp_uni")).as("lp"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         (sum(col("lp").cast(DecimalType(28, 12))).cast("double") /
@@ -195,59 +217,57 @@ object Curation {
 
   /** TextRank (Mihalcea & Tarau 2004): PageRank over the directed word
     * co-occurrence graph whose edges are adjacent-token pairs weighted
-    * by corpus count. The graph is VOCABULARY-sized — bounded at any
-    * corpus scale — so after the one corpus-shaped pair count the
-    * iterations run over tiny model tables. `iters` fixed rounds, each
-    * rank rounded to 9 digits (the n6 fixed-iteration pattern);
-    * per-node in-flows are 9-digit-rounded terms summed via
-    * DECIMAL(28,12) so edge order cannot matter. Dangling mass is not
+    * by corpus count. The RANK table is vocabulary-sized, but the EDGE
+    * list is not — distinct adjacent-token pairs grow toward vocab² on
+    * natural text (billions at a web-corpus scale), so edges stay a
+    * distributed DataFrame, materialized once via `localCheckpoint` so
+    * the rank rounds never re-derive the corpus pair stream. Each of
+    * the `iters` fixed rounds broadcasts the (small) rank table to the
+    * edge partitions and shuffles one vocab-sized flow aggregate — the
+    * only thing that ever moves between rounds is vocabulary-sized
+    * state, the standard distributed-PageRank shape.
+    *
+    * Numerics are the oracle's SQL ladder verbatim: per-edge terms are
+    * 9-digit-rounded doubles cast to DECIMAL(28,12) (exact at scale 12:
+    * |binary − decimal| < 1e-17 ≪ 5e-13) and decimal-summed so edge
+    * order cannot matter; the damped update re-rounds to 9 digits with
+    * the same IEEE op order as the SQL spelling. Dangling mass is not
     * redistributed (documented simplification; with a connected word
     * graph every node has out-edges). Returns (word, rank) after
     * `iters` rounds.
     */
   def textrank(docs: DataFrame, iters: Int = TrIters,
       damping: Double = Damping): DataFrame = {
-    val s = docs.sparkSession
-    import s.implicits._
     val pairs = bigramPairs(docs)
     val edges = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
     val outW = edges.groupBy("w1").agg(sum(col("c")).as("out_c"))
-    // ONE corpus-shaped job: the weighted edge list is vocabulary²-
-    // bounded, so collect it (the n6-centroid/PQ-codebook driver-side
-    // planning pattern) and run the rank rounds on the driver —
-    // DataFrame rounds would either re-derive the corpus pair stream
-    // every round (measured 26.8 s at sf0.1) or pay ~6 tiny-relation
-    // shuffles of pure scheduling overhead (measured 3.5 s; this
-    // spelling: ~1.2 s, all of it the edge count).
-    //
-    // Driver arithmetic is bit-identical to the oracle's SQL ladder:
-    // round(x, 9) is BigDecimal HALF_UP (exactly Spark's `round` and
-    // DuckDB's `round` on these magnitudes); per-term flows are
-    // 9-digit-rounded doubles whose exact decimal both engines recover
-    // at scale 12 (|binary − decimal| < 1e-17 ≪ 5e-13), summed exactly;
-    // the damped update is the same IEEE op order as the SQL spelling.
     val wEdges = edges.join(outW, "w1")
       .select(col("w1"), col("w2"),
         (col("c").cast("double") / col("out_c").cast("double")).as("wfrac"))
-      .as[(String, String, Double)].collect()
-    val words = (wEdges.map(_._1) ++ wEdges.map(_._2)).distinct.sorted
-    val n = words.length
+      .localCheckpoint()
+    val nodes = wEdges.select(col("w1").as("word"))
+      .union(wEdges.select(col("w2").as("word")))
+      .distinct().localCheckpoint()
+    val n = nodes.count()
     def r9(x: Double): Double =
       BigDecimal.decimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
-    var rank: Map[String, Double] = words.map(w => w -> r9(1.0 / n.toDouble)).toMap
+    val base = (1.0 - damping) / n.toDouble
+    var rank = nodes.withColumn("rank", lit(r9(1.0 / n.toDouble)))
     (1 to iters).foreach { _ =>
-      val flows = scala.collection.mutable.Map.empty[String, BigDecimal]
-      wEdges.foreach { case (w1, w2, wfrac) =>
-        val term = BigDecimal.decimal(r9(rank(w1) * wfrac))
-          .setScale(12, BigDecimal.RoundingMode.HALF_UP)
-        flows(w2) = flows.getOrElse(w2, BigDecimal(0)) + term
-      }
-      rank = words.map { w =>
-        val inflow = flows.get(w).map(_.toDouble).getOrElse(0.0)
-        w -> r9((1.0 - damping) / n.toDouble + damping * inflow)
-      }.toMap
+      val flows = wEdges
+        .join(broadcast(rank.withColumnRenamed("word", "w1")), "w1")
+        .select(col("w2").as("word"),
+          round(col("rank") * col("wfrac"), 9).cast(DecimalType(28, 12)).as("term"))
+        .groupBy("word").agg(sum(col("term")).as("inflow"))
+      // Checkpoint the vocab-sized rank each round: the next round's
+      // broadcast would otherwise replay the whole lineage per round.
+      rank = nodes.join(flows, Seq("word"), "left")
+        .select(col("word"),
+          round(lit(base) + lit(damping) *
+            coalesce(col("inflow").cast("double"), lit(0.0)), 9).as("rank"))
+        .localCheckpoint()
     }
-    words.map(w => (w, rank(w))).toSeq.toDF("word", "rank")
+    rank
   }
 
   /** One unrolled TextRank round in DuckDB: 9-digit-rounded edge flows
@@ -419,23 +439,33 @@ object Curation {
 
   // ── o4: Z-order layout clustering ──────────────────────────────────
 
-  private val ZBits = 10
+  private val ZBits = 11 // covers minute-of-day (0-1439 needs 11 bits)
 
-  /** Morton/Z-order interleave of two 10-bit keys: bit i of `x` lands at
-    * position 2i, bit i of `y` at 2i+1. Both engines spell it as the
+  /** Morton/Z-order interleave of two `bits`-bit keys: bit i of `x` lands
+    * at position 2i, bit i of `y` at 2i+1. Both engines spell it as the
     * same unrolled shift/mask/multiply sum over exact integers, so the
-    * value is identical by construction. At 100 TB the Z-value is the
-    * write-time clustering key: `repartitionByRange($ZBits*2 ranges, zval)`
-    * + `sortWithinPartitions(zval)` gives parquet min/max stats that
+    * value is identical by construction. Keys outside [0, 2^bits) would
+    * silently alias (high bits dropped — distant keys land in the same
+    * Z range and the clustering contract breaks without any error), so
+    * out-of-range inputs raise instead. At 100 TB the Z-value is the
+    * write-time clustering key: `repartitionByRange(zval)` +
+    * `sortWithinPartitions(zval)` gives parquet min/max stats that
     * prune BOTH underlying dimensions for range predicates — the
     * standard multi-dimensional layout trick (Databricks Z-ORDER,
     * Hudi/Iceberg space-filling curves) expressed as plain columns.
     */
-  def zvalue(x: Column, y: Column, bits: Int = ZBits): Column =
-    (0 until bits).map { i =>
+  def zvalue(x: Column, y: Column, bits: Int = ZBits): Column = {
+    val lim = lit(1L << bits)
+    val interleaved = (0 until bits).map { i =>
       shiftright(x, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
         shiftright(y, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
     }.reduce(_ + _)
+    when(x.cast("long") < lit(0L) || x.cast("long") >= lim ||
+        y.cast("long") < lit(0L) || y.cast("long") >= lim,
+      raise_error(concat(lit(s"zvalue: key outside [0, ${1L << bits}): x="),
+        x.cast("string"), lit(" y="), y.cast("string"))))
+      .otherwise(interleaved)
+  }
 
   private def zvalueSql(x: String, y: String, bits: Int = ZBits): String =
     (0 until bits).map { i =>
@@ -459,9 +489,11 @@ object Curation {
       textrank(Tables.documents(s, d))
         .orderBy(col("rank").desc, col("word"))
     },
-    // Radius (range) search: every vector within cosine >= τ of the
-    // query, served from the materialized LSH bucket store via the n8
-    // multi-probe path — 9 partition-pruned buckets, not a corpus scan.
+    // Radius (range) search: every CANDIDATE in the 9 probed LSH
+    // buckets with cosine >= τ of the query (recall-bounded like any
+    // LSH serve — vectors hashed outside the probe set are not seen),
+    // served from the materialized bucket store via the n8 multi-probe
+    // path — partition-pruned buckets, not a corpus scan.
     "n12_range_search" -> { (s, d) =>
       Similarity.multiProbeScores(s, d)
         .filter(col("cos") >= RadiusTau)
