@@ -152,11 +152,14 @@ object Engine {
 
   /** Interpolated bigram-LM fluency score (x17): per-document mean
     * `ln(λ·p(w2|w1) + (1−λ)·p(w2))` under a model trained on the corpus
-    * itself, with the admission verdict at `fluentAt`.
+    * itself, with the admission verdict at `fluentAt`. `minDf` caps the
+    * broadcast bigram table (bigrams below it back off to the unigram
+    * leg) — set it so the surviving table fits the broadcast limit at
+    * your corpus scale; 1 keeps every observed bigram.
     */
   def bigramLm(docs: DataFrame, lambda: Double = 0.7,
-      fluentAt: Double = -3.4): DataFrame =
-    operators.Curation.bigramLm(docs, lambda, fluentAt)
+      fluentAt: Double = -3.4, minDf: Long = 1L): DataFrame =
+    operators.Curation.bigramLm(docs, lambda, fluentAt, minDf)
 
   /** TextRank keyword weights (x18): `iters` damped PageRank rounds over
     * the bigram co-occurrence graph of `docs`.
@@ -181,9 +184,24 @@ object Engine {
 
   /** Morton/Z-order interleave of two bounded non-negative keys (o4) —
     * the write-time clustering column for two-dimensional data skipping:
-    * `df.repartitionByRange(n, z).sortWithinPartitions(z)`.
+    * `df.repartitionByRange(n, z).sortWithinPartitions(z)`. Keys outside
+    * [0, 2^bits) raise rather than alias.
     */
   def zvalue(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column,
-      bits: Int = 10): org.apache.spark.sql.Column =
+      bits: Int = 11): org.apache.spark.sql.Column =
     operators.Curation.zvalue(x, y, bits)
+
+  /** Train a k-cell coarse quantizer (the n6 k-means) on any
+    * (`vec_id`, `embedding`) DataFrame and return the final
+    * (`vec_id`, `cell`) assignment — the blocking key for IVF serving
+    * (n4/n6), SemDeDup (d11), and any other cell-blocked operator.
+    *
+    * `k` is the capacity lever the gate queries fix at the corpus's 16
+    * labels: it bounds per-cell candidate work (cells average n/k
+    * vectors), so it must GROW with the corpus. The standard IVF
+    * guidance is k ≈ √n — equal cell count and cell size — with nprobe
+    * scaled to taste; see PLANS.md §"Choosing IVF k".
+    */
+  def kmeansCells(embeddings: DataFrame, k: Int, iters: Int = 2): DataFrame =
+    operators.Ivf.kmeansAssign(embeddings, k, iters)
 }

@@ -437,6 +437,120 @@ object Curation {
        |FROM raw""".stripMargin
   }
 
+  // ── a7: grouped deterministic sketch (HLL + histogram median) ──────
+
+  private val HistBuckets = 64
+
+  /** Per-group approximate sketch pair: HLL distinct count of `idCol`
+    * (the a14 machinery in grouped form — no m-row register join needed;
+    * absent registers contribute 2⁰ = 1 to the harmonic sum and count
+    * as empty) and an approximate median of `valCol` from a `buckets`-
+    * bin equi-width histogram (cumulative counts to the lower-median
+    * position, bucket midpoint as the estimate — the shape built-in
+    * quantile sketches approximate, spelled deterministically).
+    *
+    * Replaces the original a7 DataSketches pair (approx_count_distinct /
+    * percentile_approx), whose engine-internal hashing made a cross-
+    * engine oracle impossible — these estimates are md5-derived and
+    * arithmetic-identical in both engines, so the gate can hash-compare
+    * them like any exact query. Everything is partition-mergeable
+    * bounded state: registers by `max`, histogram cells by `sum`.
+    */
+  def approxSketch(rows: DataFrame, groupCol: String, idCol: String,
+      valCol: String, buckets: Int = HistBuckets): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = HllM
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val h = md5(concat(lit("hll|"), col(idCol).cast("string")))
+    val j = conv(substring(h, 1, 2), 16, 10).cast("long") % m
+    val w = conv(substring(h, 3, 8), 16, 10).cast("long")
+    val rho = when(w === 0L, lit(33L))
+      .otherwise(instr(lpad(bin(w), 32, "0"), "1").cast("long"))
+    val regs = rows.select(col(groupCol), j.as("j"), rho.as("rho"))
+      .groupBy(groupCol, "j").agg(max(col("rho")).as("r"))
+    // ssum terms are dyadic (2^-r, r ≤ 33) with total < m: exact in
+    // double in any accumulation order, so no decimal routing needed.
+    val hll = regs.groupBy(groupCol).agg(
+        sum(lit(1.0) /
+          expr("shiftleft(cast(1 as bigint), cast(r as int))").cast("double")).as("ssum_p"),
+        count(lit(1)).as("used"))
+      .withColumn("v_empty", lit(m.toLong) - col("used"))
+      .withColumn("raw_est", lit(alpha) * lit(m.toDouble * m.toDouble) /
+        (col("ssum_p") + col("v_empty").cast("double")))
+      .withColumn("approx_users",
+        when(col("raw_est") <= lit(2.5 * m) && col("v_empty") > 0L,
+          round(lit(m.toDouble) * log(lit(m.toDouble) / col("v_empty").cast("double")), 9))
+          .otherwise(col("raw_est")))
+      .select(col(groupCol), col("approx_users"))
+    val stats = rows.groupBy(groupCol).agg(
+      min(col(valCol)).as("vmin"), max(col(valCol)).as("vmax"),
+      count(lit(1)).as("n"))
+    val width = (col("vmax") - col("vmin")) / lit(buckets.toDouble)
+    val bucket = when(col("vmax") === col("vmin"), lit(0L))
+      .otherwise(least(floor((col(valCol) - col("vmin")) / width),
+        lit((buckets - 1).toLong)))
+    val hist = rows.join(broadcast(stats), groupCol)
+      .select(col(groupCol), bucket.as("bucket"))
+      .groupBy(groupCol, "bucket").agg(count(lit(1)).as("c"))
+    val wcum = Window.partitionBy(groupCol).orderBy("bucket")
+    val med = hist.withColumn("cum", sum(col("c")).over(wcum))
+      .join(broadcast(stats), groupCol)
+      .filter(col("cum") >= expr("(n + 1) div 2")) // lower-median position
+      .groupBy(col(groupCol), col("vmin"), col("vmax"))
+      .agg(min(col("bucket")).as("mbucket"))
+      .withColumn("approx_median",
+        when(col("vmax") === col("vmin"), col("vmin"))
+          .otherwise(col("vmin") + (col("mbucket").cast("double") + lit(0.5)) *
+            ((col("vmax") - col("vmin")) / lit(buckets.toDouble))))
+      .select(col(groupCol), col("approx_median"))
+    hll.join(med, groupCol)
+  }
+
+  /** The a7 oracle: the same HLL + histogram ladder over `events`. */
+  def approxSketchSql(groupCol: String, idCol: String, valCol: String,
+      buckets: Int = HistBuckets): String = {
+    val m = HllM
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    s"""WITH br AS (SELECT $groupCol,
+       |    CAST(('0x' || substr(md5('hll|' || CAST($idCol AS VARCHAR)), 1, 2)) AS BIGINT) % $m AS j,
+       |    CAST(('0x' || substr(md5('hll|' || CAST($idCol AS VARCHAR)), 3, 8)) AS BIGINT) AS w
+       |  FROM events),
+       |rh AS (SELECT $groupCol, j, CASE WHEN w = 0 THEN CAST(33 AS BIGINT)
+       |    ELSE CAST(strpos(lpad(bin(w), 32, '0'), '1') AS BIGINT) END AS rho
+       |  FROM br),
+       |regs AS (SELECT $groupCol, j, max(rho) AS r FROM rh GROUP BY 1, 2),
+       |hll0 AS (SELECT $groupCol,
+       |    SUM(CAST(1.0 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << CAST(r AS INTEGER)) AS DOUBLE)) AS ssum_p,
+       |    CAST(count(*) AS BIGINT) AS used
+       |  FROM regs GROUP BY $groupCol),
+       |hll AS (SELECT $groupCol, $m - used AS v_empty,
+       |    CAST($alpha AS DOUBLE) * CAST(${m.toDouble * m.toDouble} AS DOUBLE)
+       |      / (ssum_p + CAST($m - used AS DOUBLE)) AS raw_est
+       |  FROM hll0),
+       |au AS (SELECT $groupCol,
+       |    CASE WHEN raw_est <= CAST(${2.5 * m} AS DOUBLE) AND v_empty > 0
+       |      THEN round(CAST(${m.toDouble} AS DOUBLE) * ln(CAST(${m.toDouble} AS DOUBLE) / CAST(v_empty AS DOUBLE)), 9)
+       |      ELSE raw_est END AS approx_users
+       |  FROM hll),
+       |stats AS (SELECT $groupCol, min($valCol) AS vmin, max($valCol) AS vmax,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM events GROUP BY $groupCol),
+       |b AS (SELECT e.$groupCol, CASE WHEN s.vmax = s.vmin THEN CAST(0 AS BIGINT)
+       |    ELSE CAST(least(floor((e.$valCol - s.vmin) / ((s.vmax - s.vmin) / $buckets.0)), ${buckets - 1}) AS BIGINT) END AS bucket
+       |  FROM events e JOIN stats s USING ($groupCol)),
+       |hist AS (SELECT $groupCol, bucket, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1, 2),
+       |hcum AS (SELECT $groupCol, bucket,
+       |    SUM(c) OVER (PARTITION BY $groupCol ORDER BY bucket) AS cum FROM hist),
+       |mb AS (SELECT h.$groupCol, min(h.bucket) AS mbucket
+       |  FROM hcum h JOIN stats s USING ($groupCol)
+       |  WHERE h.cum >= (s.n + 1) // 2 GROUP BY h.$groupCol),
+       |med AS (SELECT s.$groupCol, CASE WHEN s.vmax = s.vmin THEN s.vmin
+       |    ELSE s.vmin + (CAST(mb.mbucket AS DOUBLE) + 0.5) * ((s.vmax - s.vmin) / $buckets.0) END AS approx_median
+       |  FROM stats s JOIN mb USING ($groupCol))
+       |SELECT au.$groupCol, au.approx_users, med.approx_median
+       |FROM au JOIN med USING ($groupCol) ORDER BY $groupCol""".stripMargin
+  }
+
   // ── o4: Z-order layout clustering ──────────────────────────────────
 
   private val ZBits = 11 // covers minute-of-day (0-1439 needs 11 bits)

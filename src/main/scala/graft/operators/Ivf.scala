@@ -176,6 +176,37 @@ object Ivf {
       .agg((sum(col("v").cast("double").cast(Dec12)).cast("double") /
         count(lit(1)).cast("double")).as("c"))
 
+  /** Parameterized k-cell quantizer over any (`vec_id`, `embedding`)
+    * DataFrame: `iters` Lloyd rounds seeded by the deterministic
+    * `vec_id % k` partition means (no labels required — the gate's n6
+    * store seeds from the corpus's 16 labels instead, which pins its
+    * oracle; this form is the production lever where k must track
+    * corpus growth, k ≈ √n — see Engine.kmeansCells and PLANS.md).
+    * Returns the final (`vec_id`, `cell`) assignment. Per-round state
+    * through the driver is k×dims centroid values — bounded planning
+    * state, never corpus-shaped.
+    */
+  def kmeansAssign(e: DataFrame, k: Int, iters: Int = KmIters): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val s = e.sparkSession
+    import s.implicits._
+    val ex = e.select(col("vec_id"), posexplode(col("embedding")))
+      .withColumnRenamed("pos", "dim")
+      .withColumnRenamed("col", "v")
+    def local(c: DataFrame): DataFrame =
+      c.collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+        .toSeq.toDF("cell", "dim", "c")
+    var cent = local(ex
+      .withColumn("cell", pmod(col("vec_id"), lit(k.toLong)).cast("int"))
+      .groupBy("cell", "dim")
+      .agg((sum(col("v").cast("double").cast(Dec12)).cast("double") /
+        count(lit(1)).cast("double")).as("c")))
+    (1 to iters).foreach { _ =>
+      cent = local(means(ex, assign(ex, cent)))
+    }
+    assign(ex, cent)
+  }
+
   /** Trained-quantizer store: KmIters rounds of Lloyd's (seeded by the
     * label means), final assignment, vectors written `partitionBy(cell)`.
     * Each round's centroids pass through the driver (k×dims values), so

@@ -38,15 +38,15 @@ object CustomFns {
         .agg(graft.Cols.djoin(topk(col("value"))).as("top_values"))
         .orderBy("event_type")
     },
-    // Sketch aggregates (HLL++ / quantile sketch) — approximate by
-    // construction, so no hash oracle: the driver records a rows-only
-    // check, and the spec asserts error bounds instead.
+    // Sketch aggregates — deterministic HLL distinct + histogram median
+    // (the a13/a14 md5-derived pattern), so even the APPROXIMATE query
+    // is hash-oracled. The built-in approx_count_distinct /
+    // percentile_approx compute the same shapes but hash engine-
+    // internally, which made them the inventory's only rows-only entry;
+    // FunctionsSpec still asserts the error bounds vs exact answers.
     "a7_approx_sketch" -> { (s, d) =>
-      Tables.events(s, d)
-        .groupBy("event_type")
-        .agg(
-          approx_count_distinct(col("user_id")).as("approx_users"),
-          percentile_approx(col("value"), lit(0.5), lit(1000)).as("approx_median"))
+      graft.operators.Curation
+        .approxSketch(Tables.events(s, d), "event_type", "user_id", "value")
         .orderBy("event_type")
     }
   )
@@ -62,7 +62,8 @@ object CustomFns {
     "n3_topk_agg" ->
       s"""SELECT event_type,
          |  ${graft.Cols.djoinSql("(list_sort(list(value), 'DESC'))[1:3]")} AS top_values
-         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
-    // a7_approx_sketch: intentionally no oracle (approximate results)
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "a7_approx_sketch" ->
+      graft.operators.Curation.approxSketchSql("event_type", "user_id", "value")
   )
 }

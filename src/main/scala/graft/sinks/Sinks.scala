@@ -1,9 +1,9 @@
 package graft.sinks
 
-import java.nio.file.{Files, Path, Paths, StandardOpenOption}
 import java.sql.Connection
-import scala.jdk.CollectionConverters._
-import org.apache.spark.sql.DataFrame
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, lit}
 
 /** Sink contract mirroring the reference's storage-adapter ABC
@@ -38,33 +38,71 @@ trait CheckpointSink {
   * deletes of the reference (s3_storage_adapter.py:80-108) disappear.
   * Empty checkpoints write the marker only (P4,
   * s3_storage_adapter.py:201-203).
+  *
+  * ALL I/O — the Spark partition write and the marker/pointer/probe
+  * side-files — goes through the Hadoop `FileSystem` resolved from
+  * `root`'s scheme, so the sink addresses any Hadoop-supported store
+  * uniformly: `file:///...` or a bare local path, `hdfs://...`, or an
+  * object store like `s3a://bucket/prefix` (the reference's native
+  * medium, python/adapters/s3_storage_adapter.py:27-78). `java.nio`
+  * would silently only ever work on local disk.
   */
 final class PartitionedFileSink(root: String, format: String = "csv") extends CheckpointSink {
   private def seqStr(seq: Long) = f"$seq%08x"
-  private val markers: Path = Paths.get(root, "completed_ledgers")
-  private val lastFile: Path = Paths.get(root, "last_file")
+  private val rootPath = new HPath(root)
+  private val markers = new HPath(rootPath, "completed_ledgers")
+  private val lastFile = new HPath(rootPath, "last_file")
+
+  /** FileSystem for `root`'s scheme, using the active Spark session's
+    * Hadoop conf when one exists (so s3a credentials / endpoint settings
+    * configured on the session apply to the side-files too).
+    */
+  private def fs: FileSystem = {
+    val conf = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new Configuration())
+    rootPath.getFileSystem(conf)
+  }
+
+  private def writeFile(f: FileSystem, p: HPath, bytes: Array[Byte]): Unit = {
+    val out = f.create(p, true) // overwrite: markers/pointer are idempotent
+    try out.write(bytes) finally out.close()
+  }
+
+  private def readFile(f: FileSystem, p: HPath): Array[Byte] = {
+    val in = f.open(p)
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](4096)
+      Iterator.continually(in.read(chunk)).takeWhile(_ >= 0)
+        .foreach(n => buf.write(chunk, 0, n))
+      buf.toByteArray
+    } finally in.close()
+  }
 
   override def save(ops: DataFrame, seq: Long): Unit = {
     val s = seqStr(seq)
     if (!ops.isEmpty) {
       val w = ops.withColumn("ledger", lit(s))
         .write.mode("overwrite")
-      val target = s"$root/ledgers/ledger=$s"
+      val target = new HPath(rootPath, s"ledgers/ledger=$s").toString
       (if (format == "csv") w.option("header", "false") else w)
         .format(format)
         .save(target)
     }
-    Files.createDirectories(markers)
-    Files.write(markers.resolve(s), Array.emptyByteArray,
-      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
-    Files.write(lastFile, s.getBytes("UTF-8"),
-      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    val f = fs
+    f.mkdirs(markers)
+    writeFile(f, new HPath(markers, s), Array.emptyByteArray)
+    writeFile(f, lastFile, s.getBytes("UTF-8"))
   }
 
-  override def lastSequence: Option[Long] =
-    if (Files.exists(lastFile))
-      Some(java.lang.Long.parseLong(new String(Files.readAllBytes(lastFile), "UTF-8").trim, 16))
+  override def lastSequence: Option[Long] = {
+    val f = fs
+    if (f.exists(lastFile))
+      Some(java.lang.Long.parseLong(new String(readFile(f, lastFile), "UTF-8").trim, 16))
     else None
+  }
 
   /** R/W/D probe: read the offset, write a probe file, read it back,
     * delete it (s3_storage_adapter.py:169-192 — save a canned row, then
@@ -73,26 +111,28 @@ final class PartitionedFileSink(root: String, format: String = "csv") extends Ch
   override def selfTest(): Unit =
     try {
       lastSequence // read permission on the offset pointer
-      val dir = Paths.get(root, ".connection_probe")
-      Files.createDirectories(dir)
-      val probe = dir.resolve("probe")
+      val f = fs
+      val dir = new HPath(rootPath, ".connection_probe")
+      f.mkdirs(dir)
+      val probe = new HPath(dir, "probe")
       val payload = "graft-selftest".getBytes("UTF-8")
-      Files.write(probe, payload,
-        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
-      if (!java.util.Arrays.equals(Files.readAllBytes(probe), payload))
+      writeFile(f, probe, payload)
+      if (!java.util.Arrays.equals(readFile(f, probe), payload))
         throw new IllegalStateException("probe payload did not round-trip")
-      Files.delete(probe)
-      Files.delete(dir)
+      f.delete(probe, false)
+      f.delete(dir, false)
     } catch {
       case e: Exception => throw new IllegalStateException(
         s"file sink self-test failed for $root (requires read/write/delete)", e)
     }
 
   /** Completion markers present (external-consumer parity, K4). */
-  def completed: Seq[String] =
-    if (Files.exists(markers))
-      Files.list(markers).iterator().asScala.map(_.getFileName.toString).toSeq.sorted
+  def completed: Seq[String] = {
+    val f = fs
+    if (f.exists(markers))
+      f.listStatus(markers).map(_.getPath.getName).toSeq.sorted
     else Nil
+  }
 }
 
 /** Transactional JDBC sink (K1/K2): one database transaction inserts the

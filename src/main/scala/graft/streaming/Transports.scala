@@ -1,0 +1,158 @@
+package graft.streaming
+
+import java.io.{BufferedReader, InputStreamReader, OutputStreamWriter}
+import java.net.{HttpURLConnection, Socket, URI}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.Base64
+
+/** Concrete [[AlertTransport]]s. The reference hard-codes two delivery
+  * channels behind `send_notification` (python/main.py:359-366): SMTP
+  * email with a login self-test (python/main.py:312-329, 343-356) and a
+  * serverless-function invoke (python/main.py:338-341). These are the
+  * library-shaped equivalents: an SMTP client speaking the wire protocol
+  * directly (so the probe can LOG IN without sending mail, exactly the
+  * reference's `__email_validation`), and a generic JSON webhook POST —
+  * the portable spelling of "invoke an HTTP-addressable pager" that a
+  * deployment points at its chat/incident tool or function URL.
+  *
+  * Both are deliberately dependency-free (java.net + java.io only) and
+  * constructor-injectable enough to exercise against in-process stubs
+  * (IngestSpec runs them against a local HTTP server and a scripted
+  * SMTP socket).
+  */
+object Transports {
+  private def jsonEscape(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  /** Generic webhook: POSTs `{"text": <message>}` to `url`.
+    *
+    * `probe()` issues a HEAD to the same URL and passes on ANY HTTP
+    * status — a response, even 405, proves DNS + routing + TLS + a
+    * listening endpoint, which is all that can be checked without
+    * actually paging someone (HTTP has no SMTP-style "log in but send
+    * nothing" phase; a probe that POSTs a test alert would cry wolf on
+    * every startup). Connect/read failures and timeouts throw.
+    */
+  final class WebhookTransport(
+      url: String,
+      override val name: String = "webhook",
+      connectTimeoutMs: Int = 5000,
+      readTimeoutMs: Int = 10000) extends AlertTransport {
+
+    private def open(method: String): HttpURLConnection = {
+      val c = new URI(url).toURL.openConnection().asInstanceOf[HttpURLConnection]
+      c.setRequestMethod(method)
+      c.setConnectTimeout(connectTimeoutMs)
+      c.setReadTimeout(readTimeoutMs)
+      c
+    }
+
+    override def probe(): Unit = {
+      val c = open("HEAD")
+      try c.getResponseCode // throws on unreachable/timeout; any status passes
+      finally c.disconnect()
+    }
+
+    override def send(message: String): Unit = {
+      val c = open("POST")
+      c.setDoOutput(true)
+      c.setRequestProperty("Content-Type", "application/json; charset=utf-8")
+      try {
+        val body = s"""{"text":"${jsonEscape(message)}"}""".getBytes(UTF_8)
+        val out = c.getOutputStream
+        try out.write(body) finally out.close()
+        val status = c.getResponseCode
+        if (status >= 300)
+          throw new java.io.IOException(s"webhook $name returned HTTP $status")
+      } finally c.disconnect()
+    }
+  }
+
+  /** Minimal SMTP client (RFC 5321 command phase; no extensions beyond
+    * AUTH LOGIN). `probe()` connects, greets, authenticates when
+    * credentials are given, and QUITs without sending mail — the
+    * reference's `__email_validation` login check (python/main.py:
+    * 343-356, which `sys.exit(1)`s on auth failure; here the throw
+    * propagates through [[ValidatingAlerts]] and aborts startup the
+    * same way). `send` runs the full MAIL FROM/RCPT TO/DATA exchange.
+    *
+    * Plain TCP by default (an in-process test stub, or a deployment's
+    * local relay); real internet SMTP submission should sit behind a
+    * TLS tunnel or relay — implementing STARTTLS is out of scope for
+    * an alerting side-channel.
+    */
+  final class SmtpTransport(
+      host: String,
+      port: Int,
+      from: String,
+      to: Seq[String],
+      credentials: Option[(String, String)] = None,
+      subject: String = "history-collector alert",
+      override val name: String = "smtp",
+      timeoutMs: Int = 10000) extends AlertTransport {
+    require(to.nonEmpty, "SmtpTransport needs at least one recipient")
+
+    /** One scripted SMTP session: connect, greet, auth, run `body`, QUIT. */
+    private def session[A](body: (BufferedReader, OutputStreamWriter) => A): A = {
+      val sock = new Socket(host, port)
+      try {
+        sock.setSoTimeout(timeoutMs)
+        val in = new BufferedReader(new InputStreamReader(sock.getInputStream, UTF_8))
+        val out = new OutputStreamWriter(sock.getOutputStream, UTF_8)
+        expect(in, "220") // server greeting
+        command(in, out, "HELO graft", "250")
+        credentials.foreach { case (user, pass) =>
+          command(in, out, "AUTH LOGIN", "334")
+          command(in, out, Base64.getEncoder.encodeToString(user.getBytes(UTF_8)), "334")
+          command(in, out, Base64.getEncoder.encodeToString(pass.getBytes(UTF_8)), "235")
+        }
+        val result = body(in, out)
+        command(in, out, "QUIT", "221")
+        result
+      } finally sock.close()
+    }
+
+    private def command(in: BufferedReader, out: OutputStreamWriter,
+        line: String, wantPrefix: String): Unit = {
+      out.write(line + "\r\n"); out.flush()
+      expect(in, wantPrefix)
+    }
+
+    private def expect(in: BufferedReader, wantPrefix: String): Unit = {
+      // multi-line replies: "250-..." continues, "250 ..." ends
+      var line = in.readLine()
+      while (line != null && line.length >= 4 && line.charAt(3) == '-')
+        line = in.readLine()
+      if (line == null || !line.startsWith(wantPrefix))
+        throw new java.io.IOException(
+          s"smtp $name: expected $wantPrefix, got '$line'")
+    }
+
+    override def probe(): Unit = session { (_, _) => () }
+
+    override def send(message: String): Unit = session { (in, out) =>
+      command(in, out, s"MAIL FROM:<$from>", "250")
+      to.foreach(r => command(in, out, s"RCPT TO:<$r>", "250"))
+      command(in, out, "DATA", "354")
+      val headers = Seq(
+        s"From: $from",
+        s"To: ${to.mkString(", ")}",
+        s"Subject: $subject",
+        "")
+      // dot-stuffing (RFC 5321 §4.5.2): a body line starting with '.'
+      // gets one prepended, or the server would read it as end-of-data
+      val body = message.split("\n", -1).map { l =>
+        if (l.startsWith(".")) "." + l else l
+      }
+      (headers ++ body).foreach(l => out.write(l + "\r\n"))
+      command(in, out, ".", "250")
+    }
+  }
+}

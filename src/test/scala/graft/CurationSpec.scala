@@ -112,13 +112,77 @@ class CurationSpec extends AnyFunSuite {
 
   test("zvalue interleaves bits (matches a reference implementation)") {
     def ref(x: Long, y: Long): Long =
-      (0 until 10).map(i => (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))).sum
-    val cases = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 1L), (1023L, 1023L), (597L, 311L))
+      (0 until 11).map(i => (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))).sum
+    val cases = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 1L), (1023L, 1023L),
+      (597L, 311L), (1023L, 1439L), (0L, 2047L)) // full minute-of-day range
     val got = cases.toDF("x", "y")
       .select(Curation.zvalue(col("x"), col("y")).as("z")).collect().map(_.getLong(0))
     assert(got.toSeq === cases.map { case (x, y) => ref(x, y) })
     // z-range query covers a rectangle: consecutive z with same high bits
     // share both coordinate prefixes
     assert(ref(4L, 4L) >> 6 === ref(5L, 5L) >> 6)
+  }
+
+  test("zvalue raises on out-of-range keys instead of silently aliasing") {
+    // 2048 needs bit 11 — with bits=11 it would silently collide with 0
+    // (the round-8 o4 defect: minute-of-day bit 10 dropped at bits=10)
+    val bad = Seq((2048L, 3L)).toDF("x", "y")
+    val e = intercept[Exception](
+      bad.select(Curation.zvalue(col("x"), col("y"))).collect())
+    assert(e.getMessage.contains("zvalue") ||
+      Option(e.getCause).exists(_.getMessage.contains("zvalue")))
+    val neg = Seq((3L, -1L)).toDF("x", "y")
+    intercept[Exception](
+      neg.select(Curation.zvalue(col("x"), col("y"))).collect())
+    // in-range maxima pass
+    val ok = Seq((2047L, 2047L)).toDF("x", "y")
+      .select(Curation.zvalue(col("x"), col("y"))).collect()
+    assert(ok.head.getLong(0) === (0 until 22).map(1L << _).sum)
+  }
+
+  test("bigramLm minDf caps the broadcast model; pruned pairs back off to unigram") {
+    // "x y" is frequent (df 9); every "q<i> r<i>" bigram is unique (df 1)
+    // — the Zipf tail that blows up the broadcast table at corpus scale
+    val docs = (Seq.tabulate(9)(i => (i.toLong, "x y")) ++
+      Seq.tabulate(6)(i => (100L + i, s"q$i r$i"))).toDF("doc_id", "text")
+    val uncapped = Curation.bigramLm(docs, lambda = 0.7, fluentAt = -100.0)
+      .orderBy("doc_id").collect()
+    val capped = Curation.bigramLm(docs, lambda = 0.7, fluentAt = -100.0, minDf = 2L)
+      .orderBy("doc_id").collect()
+    // every pair still scores (n_bigrams unchanged) — the cap prunes the
+    // MODEL, it never drops documents
+    assert(capped.map(_.getLong(1)).toSeq === uncapped.map(_.getLong(1)).toSeq)
+    // the frequent bigram clears the cap: its docs score identically
+    assert(capped(0).getDouble(2) === uncapped(0).getDouble(2))
+    // a pruned unique bigram backs off to ln((1-λ)·p(w2)): lower than its
+    // uncapped interpolated score, and exactly the λ=0 unigram leg
+    val r9 = capped(9) // first q/r doc
+    assert(r9.getDouble(2) < uncapped(9).getDouble(2))
+    // same op spelling as the operator: (1-λ) and p(w2) in IEEE order,
+    // ln rounded to 9 digits HALF_UP (±5e-13 for the decimal round trip)
+    val expected = BigDecimal.decimal(math.log((1.0 - 0.7) * (1.0 / 30.0)))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(r9.getDouble(2) - expected) < 1e-10,
+      s"backoff must be the unigram leg: ${r9.getDouble(2)} vs $expected")
+  }
+
+  test("kmeansAssign separates obvious clusters at caller-chosen k") {
+    // Two tight blobs in 2-d, membership aligned with vec_id parity so
+    // the deterministic vec_id%k seed starts near the blobs (a parity-
+    // symmetric fixture would seed both centroids at the midpoint —
+    // Lloyd's is only as good as its seed, here as anywhere). The test
+    // pins the MECHANICS: every vector assigned once, cells in [0,k),
+    // iteration converging on the separation.
+    val blobA = Seq.tabulate(8)(i => (2L * i, Array(0.9f + 0.01f * i, 0.1f)))
+    val blobB = Seq.tabulate(8)(i => (2L * i + 1L, Array(0.1f, 0.9f + 0.01f * i)))
+    val vecs = (blobA ++ blobB).toDF("vec_id", "embedding")
+    val asg = operators.Ivf.kmeansAssign(vecs, k = 2, iters = 2).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(asg.size === 16, "every vector assigned exactly once")
+    assert(asg.values.forall(c => c >= 0 && c < 2))
+    val cellsA = blobA.map(v => asg(v._1)).toSet
+    val cellsB = blobB.map(v => asg(v._1)).toSet
+    assert(cellsA.size === 1 && cellsB.size === 1 && cellsA != cellsB,
+      s"blobs must land in distinct cells: $cellsA vs $cellsB")
   }
 }

@@ -126,13 +126,22 @@ class FunctionsSpec extends AnyFunSuite {
   test("approx sketches stay within documented error bounds at sf0.001") {
     val d = "/root/testdata/sf0.001"
     val got = SparkEntry.queries("a7_approx_sketch")(spark, d).collect()
-    val exactUsers = Tables.events(spark, d).groupBy("event_type")
-      .agg(countDistinct(col("user_id")).as("n")).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.events(spark, d).groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n"),
+        expr("percentile(value, 0.5)").as("med"),
+        (max(col("value")) - min(col("value"))).as("range"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1).toDouble, r.getDouble(2), r.getDouble(3)))
+      .toMap
     got.foreach { r =>
-      val approx = r.getAs[Long]("approx_users").toDouble
-      val exact = exactUsers(r.getString(0)).toDouble
-      assert(math.abs(approx - exact) / exact < 0.1, s"HLL off for ${r.getString(0)}")
+      val (exactN, exactMed, range) = exact(r.getString(0))
+      // 64-register HLL: standard error 1.04/√64 ≈ 13%; allow 3σ
+      val users = r.getAs[Double]("approx_users")
+      assert(math.abs(users - exactN) / exactN < 0.39, s"HLL off for ${r.getString(0)}: $users vs $exactN")
+      // histogram median: off by at most one 64th-of-range bucket width
+      val med = r.getAs[Double]("approx_median")
+      assert(math.abs(med - exactMed) <= range / 64.0 + 1e-9,
+        s"median off for ${r.getString(0)}: $med vs $exactMed")
     }
   }
 }

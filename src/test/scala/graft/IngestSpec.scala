@@ -173,6 +173,145 @@ class IngestSpec extends AnyFunSuite {
     assert(healthy.sent.length === 2, s"${healthy.sent}")
   }
 
+  /** Scripted in-process SMTP server: greeting, HELO, AUTH LOGIN state
+    * machine, MAIL/RCPT/DATA, QUIT. Records logins and message bodies.
+    */
+  private class SmtpStub(failAuth: Boolean = false) {
+    private val server = new java.net.ServerSocket(0)
+    def port: Int = server.getLocalPort
+    @volatile var logins = 0
+    @volatile var messages = Vector.empty[String]
+    private val thread = new Thread(() => {
+      try while (true) {
+        val s = server.accept()
+        val in = new java.io.BufferedReader(new java.io.InputStreamReader(s.getInputStream, "UTF-8"))
+        val w = new java.io.OutputStreamWriter(s.getOutputStream, "UTF-8")
+        def reply(l: String): Unit = { w.write(l + "\r\n"); w.flush() }
+        reply("220 stub ESMTP")
+        var authState = 0 // 1 = expect user, 2 = expect pass
+        var inData = false
+        val data = new StringBuilder
+        var line = in.readLine()
+        while (line != null) {
+          if (inData) {
+            if (line == ".") {
+              inData = false; messages :+= data.toString; data.setLength(0)
+              reply("250 OK stored")
+            } else data.append(line).append("\n")
+          } else if (authState == 1) { authState = 2; reply("334 UGFzc3dvcmQ6") }
+          else if (authState == 2) {
+            authState = 0; logins += 1
+            reply(if (failAuth) "535 authentication failed" else "235 accepted")
+          } else line.takeWhile(_ != ':').toUpperCase match {
+            case l if l.startsWith("HELO") => reply("250 stub")
+            case "AUTH LOGIN" => authState = 1; reply("334 VXNlcm5hbWU6")
+            case "MAIL FROM" => reply("250 OK")
+            case "RCPT TO" => reply("250 OK")
+            case "DATA" => inData = true; reply("354 end with .")
+            case "QUIT" => reply("221 bye"); line = null
+            case _ => reply("500 unrecognized")
+          }
+          if (line != null) line = in.readLine()
+        }
+        s.close()
+      } catch { case _: Throwable => () } // server closed: test over
+    })
+    thread.setDaemon(true); thread.start()
+    def close(): Unit = server.close()
+  }
+
+  test("concrete transports: SMTP + webhook deliver through real sockets; probes gate startup") {
+    import graft.streaming.Transports.{SmtpTransport, WebhookTransport}
+
+    // ── SMTP against the scripted socket stub ──
+    val smtpStub = new SmtpStub()
+    val smtp = new SmtpTransport("127.0.0.1", smtpStub.port, "graft@local",
+      Seq("ops@local"), credentials = Some(("user", "secret")))
+    smtp.probe() // login + QUIT, no mail
+    assert(smtpStub.logins === 1 && smtpStub.messages.isEmpty)
+    smtp.send("Reached retry limit. Quitting.\n.leading-dot line")
+    assert(smtpStub.messages.length === 1)
+    assert(smtpStub.messages.head.contains("Subject: history-collector alert"))
+    assert(smtpStub.messages.head.contains("Reached retry limit. Quitting."))
+    assert(smtpStub.messages.head.contains("..leading-dot line")) // dot-stuffed
+
+    // bad credentials: ValidatingAlerts construction aborts (the
+    // reference's __email_validation sys.exit path) before any ingest
+    val badStub = new SmtpStub(failAuth = true)
+    val bad = new SmtpTransport("127.0.0.1", badStub.port, "graft@local",
+      Seq("ops@local"), credentials = Some(("user", "wrong")))
+    val e = intercept[IllegalStateException](
+      new graft.streaming.ValidatingAlerts(Seq(bad)))
+    assert(e.getMessage.contains("smtp"))
+    badStub.close()
+
+    // ── webhook against an in-process HTTP server ──
+    import com.sun.net.httpserver.HttpServer
+    val http = HttpServer.create(new java.net.InetSocketAddress(0), 0)
+    @volatile var posts = Vector.empty[String]
+    http.createContext("/hook", exchange => {
+      if (exchange.getRequestMethod == "POST")
+        posts :+= new String(exchange.getRequestBody.readAllBytes(), "UTF-8")
+      // HEAD probe gets 405 — any response still proves reachability
+      exchange.sendResponseHeaders(if (exchange.getRequestMethod == "POST") 200 else 405, -1)
+      exchange.close()
+    })
+    http.start()
+    val hookUrl = s"http://127.0.0.1:${http.getAddress.getPort}/hook"
+    val hook = new WebhookTransport(hookUrl)
+    hook.probe() // 405 on HEAD still passes: endpoint is reachable
+    hook.send("""archive delayed at "0000003f"""")
+    assert(posts.length === 1)
+    assert(posts.head === """{"text":"archive delayed at \"0000003f\""}""")
+
+    // unreachable endpoint: probe failure aborts ValidatingAlerts
+    val deadPort = { val s = new java.net.ServerSocket(0); val p = s.getLocalPort; s.close(); p }
+    val unreachable = new WebhookTransport(s"http://127.0.0.1:$deadPort/hook",
+      connectTimeoutMs = 500, readTimeoutMs = 500)
+    intercept[IllegalStateException](
+      new graft.streaming.ValidatingAlerts(Seq(unreachable)))
+
+    // ── both wired into a real tail: delay + give-up fan out to each ──
+    val archive = Files.createTempDirectory("graft-ct-arch").toString
+    val out = Files.createTempDirectory("graft-ct-out").toString
+    writeCheckpoint(archive, 0x3fL, 1)
+    val alerts = new graft.streaming.ValidatingAlerts(Seq(smtp, hook))
+    val tail = new ArchiveTail(spark, archive, Passphrase, cfg,
+      new PartitionedFileSink(out), maxRetries = 2, sleeper = _ => (), alerts = alerts)
+    assert(tail.run(maxIterations = 100) === 1)
+    assert(smtpStub.messages.length === 3) // probe-free: 1 earlier + delay + give-up
+    assert(posts.length === 3)
+    assert(posts.exists(_.contains("delay in the blockchain archiving bucket")))
+    assert(posts.exists(_.contains("Reached retry limit. Quitting.")))
+    http.stop(0)
+    smtpStub.close()
+  }
+
+  test("file sink is FS-agnostic: URI-addressed root via Hadoop FileSystem (K3/K4)") {
+    // Address the sink through an explicit file:// URI — the same code
+    // path an s3a://bucket/prefix root takes (scheme-resolved Hadoop
+    // FileSystem for data, markers, pointer, and probe alike). java.nio
+    // side-file I/O would throw on any non-local scheme; this pins that
+    // no such call is left in the sink.
+    val archive = Files.createTempDirectory("graft-fs-arch").toString
+    val local = Files.createTempDirectory("graft-fs-out").toString
+    val out = "file://" + local
+    writeCheckpoint(archive, 0x3fL, 2)
+    writeCheckpoint(archive, 0x7fL, 0) // empty: marker only
+    val sink = new PartitionedFileSink(out)
+    sink.selfTest() // probe through the Hadoop FS too
+    val tail = new ArchiveTail(spark, archive, Passphrase, cfg, sink)
+    assert(tail.runOnce() === 2)
+    assert(sink.lastSequence === Some(0x7fL))
+    assert(sink.completed === Seq("0000003f", "0000007f"))
+    // the URI resolved to the expected local files (plain-nio visible)
+    assert(Files.exists(Paths.get(local, "completed_ledgers", "0000003f")))
+    assert(Files.exists(Paths.get(local, "last_file")))
+    assert(spark.read.option("header", "false").csv(s"$out/ledgers").count() === 2)
+    // offset recovery reads back through the same FS
+    assert(new PartitionedFileSink(out).lastSequence === Some(0x7fL))
+  }
+
   test("sink self-test probes R/W/D at startup; failure raises before any ingest (K6)") {
     // file sink: probe passes on a writable root and leaves no trace
     val out = Files.createTempDirectory("graft-probe").toString

@@ -262,8 +262,16 @@ class ScaleSpec extends AnyFunSuite {
   test("x18 textrank iterations run over vocabulary-sized tables, no products") {
     val d = "/root/testdata/sf0.001"
     val df = SparkEntry.queries("x18_textrank")(spark, d)
-    assert(!df.queryExecution.executedPlan.toString.contains("CartesianProduct"),
-      "x18 must stay keyed")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "x18 must stay keyed")
+    // ranks come from DISTRIBUTED rounds over the checkpointed edge
+    // RDD — a LocalTableScan here would mean the corpus-shaped edge
+    // list was collected to the driver (the round-8 spelling, a
+    // driver-OOM at web-corpus scale where distinct bigrams → vocab²)
+    assert(!plan.contains("LocalTableScan"),
+      s"x18 ranks must not come from a driver-side collect:\n$plan")
+    assert(plan.contains("ExistingRDD"),
+      s"x18 ranks must read the checkpointed distributed state:\n$plan")
     // the rank table is vocabulary-sized: one row per distinct word
     val vocab = Tables.documents(spark, d)
       .select(explode(split(col("text"), " ")).as("w")).distinct().count()
@@ -285,6 +293,52 @@ class ScaleSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), s"o4 is scan+agg only:\n$plan")
     // two exchanges: the partial->final agg on zbucket and the final sort
     assert(plan.split("Exchange").length - 1 <= 2, s"o4 extra shuffles:\n$plan")
+  }
+
+  test("o4 z-order clustered WRITE: per-file stats prune BOTH dimensions") {
+    // Execute the PLANS.md layout recipe — repartitionByRange(zval) +
+    // sortWithinPartitions(zval) — and assert the resulting files carry
+    // min/max stats narrow enough that a rectangle predicate on the TWO
+    // underlying keys skips most files, which a one-dimensional sort
+    // cannot do (its files each span the full other dimension).
+    import graft.operators.Curation
+    val d = "/root/testdata/sf0.001"
+    val src = Tables.events(spark, d).select(
+      pmod(col("user_id"), lit(1024L)).cast("long").as("zx"),
+      (hour(col("ts")).cast("long") * lit(60L) + minute(col("ts")).cast("long")).as("zy"))
+    val nFiles = 16
+    val zdir = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    src.withColumn("zval", Curation.zvalue(col("zx"), col("zy")))
+      .repartitionByRange(nFiles, col("zval"))
+      .sortWithinPartitions("zval")
+      .write.mode("overwrite").parquet(zdir)
+    val ldir = java.nio.file.Files.createTempDirectory("graft-linear").toString
+    src.repartitionByRange(nFiles, col("zx"))
+      .sortWithinPartitions("zx")
+      .write.mode("overwrite").parquet(ldir)
+    // per-file bounding boxes = what parquet min/max footer stats expose
+    def boxes(dir: String): Array[(Long, Long, Long, Long)] =
+      spark.read.parquet(dir)
+        .groupBy(input_file_name())
+        .agg(min("zx"), max("zx"), min("zy"), max("zy"))
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // quarter-range rectangle in both dimensions
+    val (xLo, xHi, yLo, yHi) = (0L, 255L, 0L, 359L)
+    def hits(bs: Array[(Long, Long, Long, Long)]): Int = bs.count {
+      case (nx, mx, ny, my) => mx >= xLo && nx <= xHi && my >= yLo && ny <= yHi
+    }
+    val zBoxes = boxes(zdir)
+    val lBoxes = boxes(ldir)
+    assert(zBoxes.length >= nFiles / 2, "expected a multi-file layout")
+    // z-order: the rectangle touches a minority of files...
+    assert(hits(zBoxes) * 2 < zBoxes.length,
+      s"z-layout should skip most files: ${hits(zBoxes)}/${zBoxes.length}")
+    // ...and strictly fewer than the zx-sorted layout, whose files all
+    // span the full zy range (y-pruning impossible on a linear sort)
+    assert(hits(zBoxes) < hits(lBoxes),
+      s"z-layout (${hits(zBoxes)}) must beat linear (${hits(lBoxes)})")
+    assert(lBoxes.forall { case (_, _, ny, my) => my - ny > 1300 },
+      "sanity: linear files each span ~the full minute-of-day range")
   }
 
   test("a13 CMS probe joins the broadcast sketch; no corpus-shaped join") {
