@@ -125,6 +125,14 @@ object Engine {
       lambda: Double = 0.5): DataFrame =
     operators.Retrieval.mmrRerank(spark, candidates, k, lambda)
 
+  /** Segment-level boilerplate removal (d12, the C4 "drop lines repeated
+    * across documents" transform): rewrite `docs` with every
+    * `segWords`-word segment that appears in ≥ `minDf` distinct
+    * documents removed, order preserved.
+    */
+  def segmentDedup(docs: DataFrame, segWords: Int = 4, minDf: Long = 2L): DataFrame =
+    operators.Dedup.segmentDedup(docs, segWords, minDf)
+
   /** Semantic dedup (d11, SemDeDup): per-vector keep/drop verdicts from
     * within-cluster cosine near-duplicates. `vecs` needs `vec_id`,
     * `embedding`, `norm`, `cell` (a quantizer store's schema — cluster

@@ -596,9 +596,56 @@ object Dedup {
       .withColumn("is_kept", col("dup_of").isNull)
   }
 
+  /** Segment-level dedup, the C4/RefinedWeb "remove lines repeated
+    * across documents" step generalized to delimiter-free text: each
+    * document splits into consecutive non-overlapping `segWords`-word
+    * segments (the "lines"), a segment appearing in ≥ `minDf` distinct
+    * documents corpus-wide is boilerplate, and the cleaned text is the
+    * document with its boilerplate segments removed (order preserved).
+    *
+    * Where d10 REPORTS span-level duplication, this operator REWRITES
+    * the corpus — the actual curation transform a pipeline ships.
+    * Scale shape (d8/d10's family): segment generation is map-side
+    * (`transform` over the token array, no positional self-join); the
+    * one corpus-shaped exchange is a combinable distinct-count agg on
+    * fixed-width md5 keys; the hot list is boilerplate-sized by
+    * construction and broadcasts back; the rebuild is one per-doc agg.
+    * Output: `doc_id`, `n_segs`, `n_dropped`, `clean_text`.
+    */
+  def segmentDedup(docs: DataFrame, segWords: Int = 4, minDf: Long = 2L): DataFrame = {
+    require(segWords >= 1 && minDf >= 2, "segWords >= 1, minDf >= 2")
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("a"))
+      .withColumn("n", size(col("a")))
+    val segs = toks.select(col("doc_id"), explode(expr(
+      s"transform(sequence(0, ((n + ${segWords - 1}) div $segWords) - 1), " +
+        s"i -> struct(i AS seg_idx, array_join(slice(a, i * $segWords + 1, $segWords), ' ') AS seg))")).as("s"))
+      .select(col("doc_id"), col("s.seg_idx"), col("s.seg"))
+    val hot = segs.groupBy(md5(col("seg")).as("gh"))
+      .agg(countDistinct(col("doc_id")).as("sdocs"))
+      .filter(col("sdocs") >= minDf)
+      .select(col("gh"), lit(true).as("dup"))
+    val flagged = segs.withColumn("gh", md5(col("seg")))
+      .join(broadcast(hot), Seq("gh"), "left")
+      .select(col("doc_id"), col("seg_idx"), col("seg"),
+        coalesce(col("dup"), lit(false)).as("dup"))
+    // collect_list skips the CASE's NULLs, array_sort orders structs by
+    // their first field (seg_idx) — kept segments rejoin in place
+    flagged.groupBy("doc_id").agg(
+      count(lit(1)).as("n_segs"),
+      sum(when(col("dup"), 1L).otherwise(0L)).as("n_dropped"),
+      concat_ws(" ", expr(
+        "transform(array_sort(collect_list(CASE WHEN NOT dup THEN struct(seg_idx, seg) END)), x -> x.seg)"))
+        .as("clean_text"))
+  }
+
   def queries3: Map[String, Q] = Map(
     "d10_substring_dedup" -> { (s, d) =>
       substringDupStats(Tables.documents(s, d), gramWords = 5).orderBy("doc_id")
+    },
+    // C4-style boilerplate-segment removal: corpus-df over 4-word
+    // segments, hot segments dropped, text rebuilt in order.
+    "d12_line_dedup" -> { (s, d) =>
+      segmentDedup(Tables.documents(s, d)).orderBy("doc_id")
     },
     // SemDeDup over the trained k-means cells: per-vector keep/drop
     // verdicts, pairwise only WITHIN a cell (the materialized quantizer
@@ -611,6 +658,25 @@ object Dedup {
   )
 
   def oracles3: Map[String, String] = Map(
+    // d12: same segment ladder — DuckDB keys the df count on the segment
+    // string itself (Spark keys on its md5; same identity), string_agg
+    // skips the dropped segments' NULLs, COALESCE matches Spark's ""
+    // for fully-boilerplate documents.
+    "d12_line_dedup" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+        |segs AS (SELECT doc_id, i AS seg_idx,
+        |    array_to_string(list_slice(a, i * 4 + 1, i * 4 + 4), ' ') AS seg
+        |  FROM (SELECT doc_id, a,
+        |      unnest(generate_series(0, ((len(a) + 3) // 4) - 1)) AS i FROM w)),
+        |hot AS (SELECT seg FROM (
+        |    SELECT seg, count(DISTINCT doc_id) AS sdocs FROM segs GROUP BY seg)
+        |  WHERE sdocs >= 2),
+        |fl AS (SELECT s.doc_id, s.seg_idx, s.seg, (h.seg IS NOT NULL) AS dup
+        |  FROM segs s LEFT JOIN hot h ON s.seg = h.seg)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segs,
+        |  CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        |  COALESCE(string_agg(CASE WHEN NOT dup THEN seg END, ' ' ORDER BY seg_idx), '') AS clean_text
+        |FROM fl GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // Reuses the n6 oracle's unrolled k-means assignment CTEs (aF is the
     // final (vec_id, cell) assignment), then mirrors the within-cell
     // pairwise + min-canonical verdict.

@@ -14,14 +14,20 @@ import graft.pipeline.Serve
   *  - `GET /tx?id=<hash>` — one transaction by id (sample/main.py:40-42).
   *
   * Rows serialize with `time` as a `yyyy-MM-dd` string exactly like the
-  * sample's strftime (sample/main.py:31,45); unlike the sample's
-  * concatenated objects, the body is a well-formed JSON array. Built on
-  * the JDK's HttpServer so the library adds no dependency — this is the
-  * demo-serving tier (the reference's equivalent is a Flask dev server);
-  * production serving belongs behind a real gateway reading the same
-  * collected table.
+  * sample's strftime (sample/main.py:31,45). Every response carries
+  * `Access-Control-Allow-Origin: *` — the sample wraps the app in
+  * flask_cors.CORS (sample/main.py:6,11), so browser clients depend on
+  * it. By default the body is a well-formed JSON array (a deliberate
+  * improvement: the sample's output is unparseable as a whole);
+  * `referenceShape = true` reproduces the sample's exact concatenated
+  * `json.dumps(result, indent=2)` objects (sample/main.py:28-34,46) for
+  * byte-level drop-in fidelity. Built on the JDK's HttpServer so the
+  * library adds no dependency — this is the demo-serving tier (the
+  * reference's equivalent is a Flask dev server); production serving
+  * belongs behind a real gateway reading the same collected table.
   */
-final class HttpServe(payments: DataFrame, port: Int = 0) {
+final class HttpServe(payments: DataFrame, port: Int = 0,
+    referenceShape: Boolean = false) {
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
 
@@ -38,10 +44,40 @@ final class HttpServe(payments: DataFrame, port: Int = 0) {
 
   private def rowsJson(df: DataFrame): String = {
     val shaped = df.withColumn("time", col("date")).drop("date")
-    shaped.select(to_json(struct(shaped.columns.map(col): _*)))
+    if (referenceShape) prettyConcat(shaped)
+    else shaped.select(to_json(struct(shaped.columns.map(col): _*)))
       .as[String](Encoders.STRING)
       .collect()
       .mkString("[", ",", "]")
+  }
+
+  private def jsonEscape(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  /** The sample's response body verbatim: each row rendered as
+    * `json.dumps(result, indent=2)` — two-space indent, keys in column
+    * order (RealDictCursor preserves SELECT * order) — and concatenated
+    * with NO separator (sample/main.py:28-34).
+    */
+  private def prettyConcat(shaped: DataFrame): String = {
+    val cols = shaped.columns
+    shaped.collect().map { r =>
+      cols.zipWithIndex.map { case (c, i) =>
+        val v = r.get(i) match {
+          case null => "null"
+          case s: String => "\"" + jsonEscape(s) + "\""
+          case x => x.toString
+        }
+        s"""  "$c": $v"""
+      }.mkString("{\n", ",\n", "\n}")
+    }.mkString("")
   }
 
   private def handle(ex: HttpExchange)(body: Map[String, String] => String): Unit = {
@@ -54,6 +90,9 @@ final class HttpServe(payments: DataFrame, port: Int = 0) {
           (500, s"""{"error":"${e.getClass.getSimpleName}"}""".getBytes("UTF-8"))
       }
     ex.getResponseHeaders.set("Content-Type", "application/json")
+    // flask_cors.CORS(app) parity (sample/main.py:11): browser clients
+    // of the sample API rely on the wildcard CORS grant
+    ex.getResponseHeaders.set("Access-Control-Allow-Origin", "*")
     ex.sendResponseHeaders(code, bytes.length.toLong)
     val os = ex.getResponseBody
     try os.write(bytes) finally os.close()

@@ -124,6 +124,33 @@ class EngineSpec extends AnyFunSuite {
     assert(v(4L) === ((true, None)), "cross-cell near-dups must not merge")
   }
 
+  test("segmentDedup drops cross-document boilerplate segments, keeps order") {
+    import spark.implicits._
+    // "a b c d" is the shared boilerplate (df 3); everything else unique.
+    // doc 4 is ALL boilerplate → empty clean_text; doc 3 untouched.
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "x y z w a b c d"),
+      (3L, "p q r s"),
+      (4L, "a b c d"))
+      .toDF("doc_id", "text")
+    val r = Engine.segmentDedup(docs, segWords = 4, minDf = 2L)
+      .orderBy("doc_id").collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getString(3)))).toMap
+    assert(r(1L) === ((2L, 1L, "e f g h")))
+    assert(r(2L) === ((2L, 1L, "x y z w")), "kept segment must stay in place")
+    assert(r(3L) === ((1L, 0L, "p q r s")), "unique docs untouched")
+    assert(r(4L) === ((1L, 1L, "")), "fully-boilerplate doc empties, not NULL")
+    // a tail shorter than segWords is its own segment, deduped like any
+    val tails = Seq((1L, "a b c d e"), (2L, "z z z a b c d e"), (3L, "e"))
+      .toDF("doc_id", "text")
+    val t = Engine.segmentDedup(tails, segWords = 4, minDf = 2L)
+      .orderBy("doc_id").collect()
+      .map(x => x.getLong(0) -> x.getString(3)).toMap
+    assert(t(1L) === "a b c d", "short tail 'e' is shared with doc 3 → dropped")
+    assert(t(3L) === "")
+  }
+
   test("mixRank's sharded rank equals the naive single-window global rank") {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, d).select("doc_id", "lang")

@@ -13,12 +13,21 @@ class HttpServeSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
   private def get(url: String): (Int, String) = {
+    val (code, body, _) = get3(url)
+    (code, body)
+  }
+
+  private def get3(url: String): (Int, String, Map[String, String]) = {
     val conn = URI.create(url).toURL.openConnection().asInstanceOf[HttpURLConnection]
     conn.setRequestMethod("GET")
     val code = conn.getResponseCode
     val is = if (code < 400) conn.getInputStream else conn.getErrorStream
     val body = try scala.io.Source.fromInputStream(is).mkString finally is.close()
-    (code, body)
+    import scala.jdk.CollectionConverters._
+    val headers = conn.getHeaderFields.asScala.collect {
+      case (k, vs) if k != null => k.toLowerCase -> vs.asScala.mkString(",")
+    }.toMap
+    (code, body, headers)
   }
 
   test("/payments and /tx serve JSON rows like the reference sample") {
@@ -50,6 +59,35 @@ class HttpServeSpec extends AnyFunSuite {
 
       val (c3, err) = get(s"$base/payments")
       assert(c3 === 400 && err.contains("missing parameter"))
+
+      // flask_cors parity: every response grants wildcard CORS
+      val (_, _, headers) = get3(s"$base/payments?source=SRC_A")
+      assert(headers.get("access-control-allow-origin").contains("*"))
+    } finally srv.stop()
+  }
+
+  test("referenceShape reproduces the sample's concatenated indent-2 objects") {
+    import spark.implicits._
+    val pays = Seq(
+      ("SRC_A", "DST_1", 21.0, "1-kit-x", "a" * 64, Timestamp.valueOf("2018-10-20 12:47:21"), 0),
+      ("SRC_A", "DST_2", 30.5, "1-kit-y", "b" * 64, Timestamp.valueOf("2018-10-20 12:47:25"), 0)
+    ).toDF("source", "destination", "amount", "memo_text", "hash", "time", "operation_index")
+    val srv = new HttpServe(pays, referenceShape = true)
+    srv.start()
+    try {
+      val base = s"http://127.0.0.1:${srv.boundPort}"
+      val (code, body) = get(s"$base/payments?source=SRC_A&limit=2")
+      assert(code === 200)
+      // json.dumps(indent=2) concatenation: objects butt together with
+      // no separator (sample/main.py:28-34), two-space indented keys
+      assert(body.contains("}{"), s"objects must concatenate:\n$body")
+      assert(body.contains("\"destination\": \"DST_1\"") &&
+        body.contains("\n  \"amount\": 21.0,\n"))
+      assert(body.contains("\"time\": \"2018-10-20\""))
+      assert(!body.startsWith("["), "reference shape is not a JSON array")
+      // a single row parses as one standalone pretty JSON object
+      val (c2, tx) = get(s"$base/tx?id=${"b" * 64}")
+      assert(c2 === 200 && tx.startsWith("{\n  \"source\": \"SRC_A\"") && tx.endsWith("\n}"))
     } finally srv.stop()
   }
 }
