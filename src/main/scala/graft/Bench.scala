@@ -103,7 +103,7 @@ object Bench {
     // broadcast + vocab-sized shuffle instead of a driver loop).
     "a7_approx_sketch" -> 2.673, "x17_bigram_lm" -> 1.458,
     "x18_textrank" -> 1.892,
-    "d12_line_dedup" -> 0.457)
+    "d12_line_dedup" -> 0.457, "n13_ann_recall" -> 1.343)
 
   def main(args: Array[String]): Unit = {
     // Baseline coverage must track the inventory exactly: a query missing

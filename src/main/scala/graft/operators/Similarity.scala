@@ -168,6 +168,26 @@ object Similarity {
       multiProbeScores(s, d)
         .orderBy(col("cos").desc, col("vec_id"))
         .limit(10)
+    },
+    // ANN recall evaluation — the QA query every approximate index
+    // needs: recall@10 of the served top-k (n2's single probe and n8's
+    // multi-probe, both from the partition-pruned store) against the
+    // exact brute-force top-k. Ground truth costs one corpus scan, the
+    // approximate legs serve from the store, and the comparison is
+    // top-k-list-sized — so the eval runs at index-build cadence even
+    // at corpus scale. AnnRecallSpec asserts the recall ordering; this
+    // query puts the number itself under the oracle gate.
+    "n13_ann_recall" -> { (s, d) =>
+      val k = 10
+      val exact = queries("n1_ann_bruteforce")(s, d).select("vec_id")
+      def recallOf(name: String, got: DataFrame) =
+        got.select("vec_id").join(exact, "vec_id")
+          .agg(count(lit(1)).as("hits"))
+          .select(lit(name).as("method"), lit(k.toLong).as("k"), col("hits"),
+            (col("hits").cast("double") / lit(k.toDouble)).as("recall"))
+      recallOf("lsh_multi_probe", queries("n8_ann_multiprobe")(s, d))
+        .union(recallOf("lsh_single_probe", queries("n2_ann_lsh")(s, d)))
+        .orderBy("method")
     }
   )
 
@@ -308,6 +328,27 @@ object Similarity {
     "n8_ann_multiprobe" ->
       s"""WITH $multiProbeCtes
          |SELECT vec_id, bucket, cos FROM mp
-         |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
+         |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+    // n13: the exact leg is n1's oracle as a CTE, both approximate legs
+    // come out of the shared multi-probe ladder (single probe = the
+    // qbucket slice of mp), and recall joins the top-k id lists.
+    "n13_ann_recall" ->
+      s"""WITH $multiProbeCtes,
+         |exact AS (SELECT e.vec_id
+         |  FROM embeddings e, qp WHERE e.vec_id <> 0
+         |  ORDER BY ${Cols.cosineSql("e.embedding", "qv")} DESC, e.vec_id LIMIT 10),
+         |single AS (SELECT vec_id FROM mp, qp WHERE bucket = qbucket
+         |  ORDER BY cos DESC, vec_id LIMIT 10),
+         |multi AS (SELECT vec_id FROM mp ORDER BY cos DESC, vec_id LIMIT 10),
+         |u AS (
+         |  SELECT 'lsh_multi_probe' AS method, CAST(10 AS BIGINT) AS k,
+         |    CAST(count(*) AS BIGINT) AS hits
+         |  FROM multi JOIN exact USING (vec_id)
+         |  UNION ALL
+         |  SELECT 'lsh_single_probe' AS method, CAST(10 AS BIGINT) AS k,
+         |    CAST(count(*) AS BIGINT) AS hits
+         |  FROM single JOIN exact USING (vec_id))
+         |SELECT method, k, hits, CAST(hits AS DOUBLE) / 10.0 AS recall
+         |FROM u ORDER BY method""".stripMargin
   )
 }
