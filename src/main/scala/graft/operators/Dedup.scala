@@ -612,18 +612,34 @@ object Dedup {
     * construction and broadcasts back; the rebuild is one per-doc agg.
     * Output: `doc_id`, `n_segs`, `n_dropped`, `clean_text`.
     */
-  def segmentDedup(docs: DataFrame, segWords: Int = 4, minDf: Long = 2L): DataFrame = {
-    require(segWords >= 1 && minDf >= 2, "segWords >= 1, minDf >= 2")
-    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("a"))
+  /** (doc_id, seg_idx, seg) — each document's consecutive non-overlapping
+    * `segWords`-word segments, generated map-side.
+    */
+  private def docSegments(docs: DataFrame, segWords: Int): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("a"))
       .withColumn("n", size(col("a")))
-    val segs = toks.select(col("doc_id"), explode(expr(
-      s"transform(sequence(0, ((n + ${segWords - 1}) div $segWords) - 1), " +
-        s"i -> struct(i AS seg_idx, array_join(slice(a, i * $segWords + 1, $segWords), ' ') AS seg))")).as("s"))
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, ((n + ${segWords - 1}) div $segWords) - 1), " +
+          s"i -> struct(i AS seg_idx, array_join(slice(a, i * $segWords + 1, $segWords), ' ') AS seg))")).as("s"))
       .select(col("doc_id"), col("s.seg_idx"), col("s.seg"))
-    val hot = segs.groupBy(md5(col("seg")).as("gh"))
+
+  /** The d12 hot list on its own: md5 hashes (`gh`) of segments appearing
+    * in ≥ `minDf` distinct documents. Built at ingest/index cadence;
+    * boilerplate-sized, so it collects/broadcasts — the model a
+    * STREAMING scrub applies map-side (StreamDemos.scrubBoilerplate),
+    * since a stream cannot see corpus-wide df.
+    */
+  def hotSegments(docs: DataFrame, segWords: Int = 4, minDf: Long = 2L): DataFrame =
+    docSegments(docs, segWords)
+      .groupBy(md5(col("seg")).as("gh"))
       .agg(countDistinct(col("doc_id")).as("sdocs"))
       .filter(col("sdocs") >= minDf)
-      .select(col("gh"), lit(true).as("dup"))
+      .select("gh")
+
+  def segmentDedup(docs: DataFrame, segWords: Int = 4, minDf: Long = 2L): DataFrame = {
+    require(segWords >= 1 && minDf >= 2, "segWords >= 1, minDf >= 2")
+    val segs = docSegments(docs, segWords)
+    val hot = hotSegments(docs, segWords, minDf).withColumn("dup", lit(true))
     val flagged = segs.withColumn("gh", md5(col("seg")))
       .join(broadcast(hot), Seq("gh"), "left")
       .select(col("doc_id"), col("seg_idx"), col("seg"),

@@ -33,6 +33,30 @@ object StreamDemos {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("hour_start"), col("source"), col("pass"), col("n"))
 
+  /** Streaming boilerplate scrub — d12's rewrite applied LIVE: the hot
+    * segment list is built BATCH-side at ingest/index cadence
+    * (Dedup.hotSegments — a stream cannot see corpus-wide df) and ships
+    * here as an inlined literal of md5 hashes (boilerplate-sized by
+    * construction), so the scrub is a pure per-row expression: segment
+    * the document map-side, drop segments whose hash is in the hot set,
+    * rejoin. Zero state, no watermark needed — the shape that belongs
+    * BEFORE any stateful operator in a live intake, like x16's
+    * admission verdict. Adds `n_segs`, `n_dropped`, `clean_text`.
+    */
+  def scrubBoilerplate(docs: DataFrame, hotSegHashes: Seq[String],
+      segWords: Int = 4): DataFrame = {
+    val segs = expr(
+      s"transform(sequence(0, ((size(split(text, ' ')) + ${segWords - 1}) div $segWords) - 1), " +
+        s"i -> array_join(slice(split(text, ' '), i * $segWords + 1, $segWords), ' '))")
+    val hot = typedLit(hotSegHashes)
+    docs.withColumn("segs", segs)
+      .withColumn("kept", filter(col("segs"), s => !array_contains(hot, md5(s))))
+      .withColumn("n_segs", size(col("segs")).cast("long"))
+      .withColumn("n_dropped", (size(col("segs")) - size(col("kept"))).cast("long"))
+      .withColumn("clean_text", array_join(col("kept"), " "))
+      .drop("segs", "kept")
+  }
+
   /** Windowed Count-Min cell build — live heavy-hitter monitoring: per
     * event-time window, the same md5-derived (h, b) sketch cells a13
     * probes in batch. State is windows × depth × width cells (bounded

@@ -65,6 +65,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming boilerplate scrub applies the batch-built d12 hot list statelessly") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // hot list from a BATCH corpus: "a b c d" shared by two documents
+    val corpus = Seq((1L, "a b c d e f g h"), (2L, "a b c d x y z w"))
+      .toDF("doc_id", "text")
+    val hot = graft.operators.Dedup.hotSegments(corpus, segWords = 4, minDf = 2L)
+      .collect().map(_.getString(0)).toSeq
+    assert(hot.length === 1)
+    // live docs scrubbed map-side against the inlined hot set
+    val ms = MemoryStream[RDoc]
+    val q = StreamDemos.scrubBoilerplate(ms.toDF(), hot)
+      .writeStream.format("memory").queryName("scrub_out").outputMode("append").start()
+    try {
+      ms.addData(
+        RDoc(ts(1), "a b c d k l m n", "web"), // boilerplate prefix dropped
+        RDoc(ts(2), "k l m n o p q r", "web"), // untouched
+        RDoc(ts(3), "a b c d", "web"))         // fully boilerplate
+      q.processAllAvailable()
+      val rows = spark.table("scrub_out").collect()
+        .map(r => r.getAs[String]("text") ->
+          ((r.getAs[Long]("n_segs"), r.getAs[Long]("n_dropped"), r.getAs[String]("clean_text"))))
+        .toMap
+      assert(rows("a b c d k l m n") === ((2L, 1L, "k l m n")))
+      assert(rows("k l m n o p q r") === ((2L, 0L, "k l m n o p q r")))
+      assert(rows("a b c d") === ((1L, 1L, "")))
+      // stateless: no state store rows, nothing watermark-bounded
+      assert(q.lastProgress == null ||
+        Option(q.lastProgress.stateOperators).forall(_.isEmpty))
+    } finally q.stop()
+    // parity with the batch rewrite on the same corpus
+    val batch = graft.operators.Dedup.segmentDedup(corpus, 4, 2L)
+      .orderBy("doc_id").collect().map(_.getString(3))
+    val streamed = StreamDemos.scrubBoilerplate(
+        corpus.withColumnRenamed("doc_id", "id"), hot)
+      .orderBy("id").collect().map(_.getAs[String]("clean_text"))
+    assert(batch.toSeq === streamed.toSeq)
+  }
+
   test("streaming CMS cells match the batch sketch build") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
