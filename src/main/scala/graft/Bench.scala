@@ -103,7 +103,8 @@ object Bench {
     // broadcast + vocab-sized shuffle instead of a driver loop).
     "a7_approx_sketch" -> 2.673, "x17_bigram_lm" -> 1.458,
     "x18_textrank" -> 1.892,
-    "d12_line_dedup" -> 0.457, "n13_ann_recall" -> 1.343)
+    "d12_line_dedup" -> 0.457, "n13_ann_recall" -> 1.343,
+    "j14_volume_shipping" -> 0.737, "o5_keyset_pagination" -> 0.122)
 
   def main(args: Array[String]): Unit = {
     // Baseline coverage must track the inventory exactly: a query missing

@@ -418,6 +418,48 @@ object SqlSurface {
       r.crossJoin(st)
         .select(col("r_name"), col("o_orderstatus"))
         .orderBy("r_name", "o_orderstatus")
+    },
+    // TPC-H Q7-shaped composite: bilateral shipping volume between two
+    // nations by ship year — the same-table-twice join pattern (nation
+    // as supplier side AND customer side). Both nation dims + supplier
+    // broadcast; the shuffles are the two fact-side joins. The
+    // directional pair filter ((A→B) ∨ (B→A)) runs AFTER the broadcast
+    // joins resolve names, so it prunes before the rollup.
+    "j14_volume_shipping" -> { (s, d) =>
+      val (na, nb) = ("NATION_3", "NATION_7")
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= to_timestamp(lit("1995-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1997-01-01")))
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      val sup = Tables.supplier(s, d)
+      val sn = Tables.nation(s, d)
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+      val cn = Tables.nation(s, d)
+        .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+      li.join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+        .join(broadcast(sn), col("s_nationkey") === col("sn_key"))
+        .join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(cn), col("c_nationkey") === col("cn_key"))
+        .filter((col("supp_nation") === na && col("cust_nation") === nb) ||
+          (col("supp_nation") === nb && col("cust_nation") === na))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    },
+    // Keyset (seek) pagination — the serving-scale alternative to o3's
+    // OFFSET: the predicate pushes to the scan and the page costs
+    // O(page), where OFFSET n scans-and-discards O(n) rows and gets
+    // linearly slower page by page. The pagination pattern a serving
+    // tier should ship at any scale.
+    "o5_keyset_pagination" -> { (s, d) =>
+      Tables.orders(s, d)
+        .filter(col("o_orderkey") > 500)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+        .limit(10)
     }
   )
 
@@ -642,6 +684,25 @@ object SqlSurface {
     "j9_cross_join" ->
       """SELECT r_name, o_orderstatus
         |FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
-        |ORDER BY r_name, o_orderstatus""".stripMargin
+        |ORDER BY r_name, o_orderstatus""".stripMargin,
+    "j14_volume_shipping" ->
+      s"""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+         |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+         |  ${dsumSql("(l_extendedprice * (1.0 - l_discount))")} AS revenue
+         |FROM lineitem
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation sn ON s_nationkey = sn.n_nationkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation cn ON c_nationkey = cn.n_nationkey
+         |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+         |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+         |  AND ((sn.n_name = 'NATION_3' AND cn.n_name = 'NATION_7')
+         |    OR (sn.n_name = 'NATION_7' AND cn.n_name = 'NATION_3'))
+         |GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    "o5_keyset_pagination" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders WHERE o_orderkey > 500
+        |ORDER BY o_orderkey LIMIT 10""".stripMargin
   )
 }

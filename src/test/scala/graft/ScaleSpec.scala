@@ -341,6 +341,28 @@ class ScaleSpec extends AnyFunSuite {
       "sanity: linear files each span ~the full minute-of-day range")
   }
 
+  test("o5 keyset pagination pushes the seek predicate; no offset scan") {
+    val d = "/root/testdata/sf0.001"
+    val df = SparkEntry.queries("o5_keyset_pagination")(spark, d)
+    val plan = df.queryExecution.executedPlan.toString
+    // the seek key reaches the parquet scan (row groups below the key
+    // skip on min/max stats) and the page is a TakeOrderedAndProject —
+    // cost is O(page), never O(offset)
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderkey), GreaterThan(o_orderkey,500)]"),
+      s"o5 seek predicate must push to the scan:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"o5 page must be a top-k, not a global sort:\n$plan")
+  }
+
+  test("j14 bilateral volume broadcasts all dims; only fact joins shuffle") {
+    val d = "/root/testdata/sf0.001"
+    val df = SparkEntry.queries("j14_volume_shipping")(spark, d)
+    val plan = executedPlan(df).split("== Initial Plan ==").head
+    val bhj = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(bhj >= 3, s"supplier + both nation sides must broadcast (got $bhj):\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"j14 must stay keyed:\n$plan")
+  }
+
   test("a13 CMS probe joins the broadcast sketch; no corpus-shaped join") {
     val d = "/root/testdata/sf0.001"
     val df = SparkEntry.queries("a13_cms_freq")(spark, d)
