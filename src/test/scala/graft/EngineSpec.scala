@@ -151,6 +151,38 @@ class EngineSpec extends AnyFunSuite {
     assert(t(3L) === "")
   }
 
+  test("segmentDedup matches an independent Scala reference on random corpora") {
+    import spark.implicits._
+    // tiny vocabulary → dense segment collisions; the reference model is
+    // built from first principles (grouped = non-overlapping windows
+    // with tail), not from the operator's own spelling
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 3) {
+      val corpus = (1 to 30).map { id =>
+        val n = 1 + rnd.nextInt(12)
+        (id.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val segsOf = corpus.map { case (id, text) =>
+        id -> text.split(" ").toSeq.grouped(4).map(_.mkString(" ")).toSeq
+      }.toMap
+      val df = segsOf.values.flatMap(_.distinct).groupBy(identity).view.mapValues(_.size)
+      val hot = df.filter(_._2 >= 2).keySet
+      val expected = corpus.map { case (id, _) =>
+        val segs = segsOf(id)
+        id -> ((segs.size.toLong, segs.count(hot).toLong,
+          segs.filterNot(hot).mkString(" ")))
+      }.toMap
+      val got = Engine.segmentDedup(corpus.toDF("doc_id", "text"), 4, 2L)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+        .toMap
+      corpus.foreach { case (id, text) =>
+        assert(got(id) === expected(id), s"doc $id ('$text') diverged")
+      }
+    }
+  }
+
   test("mixRank's sharded rank equals the naive single-window global rank") {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, d).select("doc_id", "lang")
