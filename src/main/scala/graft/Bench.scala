@@ -101,7 +101,7 @@ object Bench {
     // deterministic grouped HLL + histogram (multi-job by nature), x17
     // gained the min-df backoff leg, x18 went distributed (per-round
     // broadcast + vocab-sized shuffle instead of a driver loop).
-    "a7_approx_sketch" -> 2.673, "x17_bigram_lm" -> 1.458,
+    "a7_approx_sketch" -> 1.100, "x17_bigram_lm" -> 1.458,
     "x18_textrank" -> 1.892,
     "d12_line_dedup" -> 0.457, "n13_ann_recall" -> 1.343,
     "j14_volume_shipping" -> 0.737, "o5_keyset_pagination" -> 0.122)

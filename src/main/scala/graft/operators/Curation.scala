@@ -466,11 +466,20 @@ object Curation {
     val w = conv(substring(h, 3, 8), 16, 10).cast("long")
     val rho = when(w === 0L, lit(33L))
       .otherwise(instr(lpad(bin(w), 32, "0"), "1").cast("long"))
-    val regs = rows.select(col(groupCol), j.as("j"), rho.as("rho"))
-      .groupBy(groupCol, "j").agg(max(col("rho")).as("r"))
+    // ONE corpus scan carries both sketches' partials: HLL registers
+    // (max rho per (group, register)) ride the same combinable
+    // pre-aggregate as the histogram's min/max/count, which roll up
+    // exactly from the register level (min of mins, sum of counts).
+    // The histogram CELL pass below is the only other corpus scan —
+    // inherently second, since bucket width needs vmin/vmax first.
+    val pre = rows.select(col(groupCol), j.as("j"), rho.as("rho"), col(valCol).as("v"))
+      .groupBy(groupCol, "j")
+      .agg(max(col("rho")).as("r"),
+        min(col("v")).as("vmin_j"), max(col("v")).as("vmax_j"),
+        count(lit(1)).as("c_j"))
     // ssum terms are dyadic (2^-r, r ≤ 33) with total < m: exact in
     // double in any accumulation order, so no decimal routing needed.
-    val hll = regs.groupBy(groupCol).agg(
+    val hll = pre.groupBy(groupCol).agg(
         sum(lit(1.0) /
           expr("shiftleft(cast(1 as bigint), cast(r as int))").cast("double")).as("ssum_p"),
         count(lit(1)).as("used"))
@@ -482,9 +491,9 @@ object Curation {
           round(lit(m.toDouble) * log(lit(m.toDouble) / col("v_empty").cast("double")), 9))
           .otherwise(col("raw_est")))
       .select(col(groupCol), col("approx_users"))
-    val stats = rows.groupBy(groupCol).agg(
-      min(col(valCol)).as("vmin"), max(col(valCol)).as("vmax"),
-      count(lit(1)).as("n"))
+    val stats = pre.groupBy(groupCol).agg(
+      min(col("vmin_j")).as("vmin"), max(col("vmax_j")).as("vmax"),
+      sum(col("c_j")).as("n"))
     val width = (col("vmax") - col("vmin")) / lit(buckets.toDouble)
     val bucket = when(col("vmax") === col("vmin"), lit(0L))
       .otherwise(least(floor((col(valCol) - col("vmin")) / width),
