@@ -243,6 +243,26 @@ object SqlSurface {
           |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
           |ORDER BY event_id""".stripMargin)
     },
+    // Funnel conversion — ordered-sequence analytics over the event
+    // stream: per signed-up user, the first purchase within one hour of
+    // the FIRST signup. The purchase leg joins user-keyed (shuffle on
+    // the natural key) and the time predicate evaluates post-join — a
+    // funnel is a keyed range join, never a corpus self-product.
+    "w9_funnel" -> { (s, d) =>
+      val e = Tables.events(s, d)
+      val su = e.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(col("ts")).as("first_signup"))
+      val pu = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("pts"))
+      su.join(pu, Seq("user_id"), "left")
+        .withColumn("conv_ts",
+          when(col("pts") >= col("first_signup") &&
+            col("pts") <= col("first_signup") + expr("INTERVAL 1 HOUR"), col("pts")))
+        .groupBy("user_id", "first_signup")
+        .agg(min(col("conv_ts")).as("first_purchase"))
+        .withColumn("converted", col("first_purchase").isNotNull)
+        .orderBy("user_id")
+    },
     // Hash function family (S4's sha-256 + the md5 the dedup keys use).
     "t15_hash_suite" -> { (s, d) =>
       Tables.documents(s, d)
@@ -584,6 +604,17 @@ object SqlSurface {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts
         |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
+    "w9_funnel" ->
+      """WITH su AS (SELECT user_id, min(ts) AS first_signup
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |pu AS (SELECT user_id, ts AS pts FROM events WHERE event_type = 'purchase'),
+        |j AS (SELECT su.user_id, su.first_signup,
+        |    CASE WHEN pu.pts >= su.first_signup
+        |      AND pu.pts <= su.first_signup + INTERVAL 1 HOUR THEN pu.pts END AS conv_ts
+        |  FROM su LEFT JOIN pu USING (user_id))
+        |SELECT user_id, first_signup, min(conv_ts) AS first_purchase,
+        |  (min(conv_ts) IS NOT NULL) AS converted
+        |FROM j GROUP BY user_id, first_signup ORDER BY user_id""".stripMargin,
     "t15_hash_suite" ->
       """SELECT doc_id, md5(text) AS h_md5, sha256(text) AS h_sha256,
         |  sha256(source || '|' || lang) AS h_keyed
