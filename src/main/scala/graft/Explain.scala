@@ -11,7 +11,9 @@ object Explain {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val names = if (args.nonEmpty) args.toSeq
       else Seq("o1_serving_filter_limit", "j1_broadcast_join", "j3_star_join",
-        "a1_pricing_summary", "o2_topk", "d2_minhash_lsh", "j8_asof_join")
+        "a1_pricing_summary", "o2_topk", "d2_minhash_lsh", "j8_asof_join",
+        "o5_keyset_pagination", "j14_volume_shipping", "w9_funnel",
+        "d12_line_dedup", "a7_approx_sketch")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
