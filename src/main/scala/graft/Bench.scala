@@ -105,7 +105,7 @@ object Bench {
     "x18_textrank" -> 1.892,
     "d12_line_dedup" -> 0.457, "n13_ann_recall" -> 1.343,
     "j14_volume_shipping" -> 0.737, "o5_keyset_pagination" -> 0.122,
-    "w9_funnel" -> 0.273)
+    "w9_funnel" -> 0.273, "x19_vocab_stats" -> 0.394)
 
   def main(args: Array[String]): Unit = {
     // Baseline coverage must track the inventory exactly: a query missing

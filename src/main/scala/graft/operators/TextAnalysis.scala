@@ -139,6 +139,34 @@ object TextAnalysis {
   }
 
   def queries: Map[String, Q] = Map(
+    // Corpus vocabulary profile — the pre-training health metrics a
+    // curation sweep reports before anything trains on the data:
+    // type/token counts, type-token ratio, hapax fraction (Zipf tail
+    // mass — a collapsing TTR/hapax profile is the classic symptom of
+    // duplication or synthetic text), and top-100-word coverage (head
+    // concentration). One explode + one combinable vocab count; the
+    // head probe is a TakeOrderedAndProject over the (vocab-sized)
+    // count table; every ratio is a single division of exact longs, so
+    // the row is bit-identical cross-engine with no decimal routing.
+    "x19_vocab_stats" -> { (s, d) =>
+      val counts = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("c"))
+      val summary = counts.agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+      val top = counts.orderBy(col("c").desc, col("word")).limit(100)
+        .agg(coalesce(sum(col("c")), lit(0L)).as("top_c"))
+      summary.crossJoin(broadcast(top))
+        .select(col("n_tokens"), col("n_types"),
+          (col("n_types").cast("double") / col("n_tokens").cast("double"))
+            .as("type_token_ratio"),
+          (col("n_hapax").cast("double") / col("n_types").cast("double"))
+            .as("hapax_frac"),
+          (col("top_c").cast("double") / col("n_tokens").cast("double"))
+            .as("top100_coverage"))
+    },
     // Language ID: explode → broadcast-join marker table → per-(doc,lang)
     // hit counts → rank-1 per doc.
     "x1_langid" -> { (s, d) =>
@@ -367,6 +395,20 @@ object TextAnalysis {
   )
 
   def oracles: Map[String, String] = Map(
+    "x19_vocab_stats" ->
+      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+        |vc AS (SELECT word, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY word),
+        |s AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |    CAST(count(*) AS BIGINT) AS n_types,
+        |    CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+        |  FROM vc),
+        |t AS (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS top_c
+        |  FROM (SELECT c FROM vc ORDER BY c DESC, word LIMIT 100))
+        |SELECT n_tokens, n_types,
+        |  CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS type_token_ratio,
+        |  CAST(n_hapax AS DOUBLE) / CAST(n_types AS DOUBLE) AS hapax_frac,
+        |  CAST(top_c AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS top100_coverage
+        |FROM s, t""".stripMargin,
     "x1_langid" -> {
       val vals = markers.map { case (l, w) => s"('$l', '$w')" }.mkString(", ")
       s"""WITH m(cand_lang, word) AS (VALUES $vals),
