@@ -3,13 +3,18 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: times every inventory query at SPARK_GRAFT_SF_DIR and
-  * prints one JSON line on stdout (driver contract).
+  * prints one JSON line on stdout (driver contract), ALSO writing it to a
+  * file (`SPARK_GRAFT_BENCH_OUT`, default `bench_out.json`) — rounds 7-9
+  * proved the driver's stdout capture truncates fat lines mid-JSON, which
+  * cost each of those rounds its parseable bench artifact. The line itself
+  * leads with the session-level fields (floor, regressions, total) so even
+  * a truncated capture keeps the gate's evidence.
   *
   * Each query runs `Runs` times inside one JVM and reports the per-query
-  * MEDIAN (spread = max-min is computed per query and feeds the regression
-  * stability check, but is not printed — see the output-size note in
-  * [[main]]): single-run numbers on a 32-thread local JVM swing 3-6× with
-  * JIT/GC timing, which makes regressions indistinguishable from noise.
+  * MEDIAN (spread = max-min feeds the regression stability check but is
+  * not printed): single-run numbers on a 32-thread local JVM swing 3-6×
+  * with JIT/GC timing, which makes regressions indistinguishable from
+  * noise.
   *
   * Queries backed by a per-JVM materialized table (ANN signature buckets,
   * the IVF cell store, the MinHash/SimHash stores) are ingest-time work by
@@ -21,91 +26,104 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   private val Runs = 3
 
-  /** Recorded per-query medians (sf0.1, local[32], 3-run medians) — the
-    * regression baseline, refreshed round 8 to cover ALL 107 inventory
-    * queries (the round-4 snapshot covered only the 54 queries visible
-    * in BENCH_r04's captured tail, so everything added since was
-    * silently skipped by the gate; the round-8 operators were appended
-    * from their own recording session). [[main]] asserts this keyset
-    * equals SparkEntry.queries' keyset so coverage can't drift again.
+  /** Recorded per-query `(median, recording floor)` (sf0.1, local[32],
+    * 3-run medians) — the regression baseline. The second element is the
+    * calibration floor of the SESSION THAT RECORDED the median: per-job
+    * scheduling overhead on this VM drifts severalfold between sessions
+    * (0.005-0.17 s for identical code), and most sub-second medians are
+    * ≈ jobs × floor, so a raw cross-session comparison measures the VM,
+    * not the plan. The gate below scales each entry's threshold by
+    * sessionFloor / recordingFloor — storing the floor PER ENTRY instead
+    * of assuming one global 0.09 closes round 9's double-counting: the
+    * nine round-9 entries were recorded at a 0.167 s floor but still got
+    * the full session scaling, putting their effective threshold at ~3.7×
+    * an already-inflated number (ADVICE r9).
     *
-    * Recorded at a session floor of 0.088 s ([[main]]'s calibration
-    * metric — per-job scheduling overhead; low-floor sessions measure
-    * 0.005-0.03 s). Comparisons against these numbers from a
-    * lower-floor session will read uniformly FASTER; the gate only
-    * fires on >2× + >1 s regressions, which floor drift alone cannot
-    * produce in that direction. Queries dominated by the floor (most
-    * sub-0.2 s entries ≈ jobs × floor) are machine measurements, not
-    * plan measurements — the gate's materiality bar exists for exactly
-    * that reason.
+    * [[main]] asserts this keyset equals SparkEntry.queries' keyset so
+    * coverage can't drift (the round-4..7 blind spot: queries missing
+    * here were silently exempt).
     */
-  private val BaselineMedians: Map[String, Double] = Map(
-    "a10_moments" -> 0.263, "a11_filter_clause" -> 0.226,
-    "a12_percentiles" -> 0.188, "a1_pricing_summary" -> 0.227,
-    "a2_last_by_key" -> 0.162, "a3_distinct_agg" -> 0.174,
-    "a4_rollup" -> 0.350, "a5_cube" -> 0.345,
-    "a6_median" -> 0.179,
-    "a8_grouping_sets" -> 0.196, "a9_pivot" -> 0.186,
-    "d10_substring_dedup" -> 0.176, "d1_exact_dedup" -> 0.169,
-    "d2_minhash_lsh" -> 0.598, "d3_ngram_jaccard" -> 0.742,
-    "d4_simhash" -> 0.061, "d5_embedding_neardup" -> 0.607,
-    "d6_simhash_pairs" -> 0.757, "d7_dedup_clusters" -> 1.699,
-    "d8_contamination" -> 0.950, "d9_dedup_stats" -> 0.143,
-    "f1_explode_tokens" -> 0.168, "f2_posexplode_zip" -> 0.163,
-    "f3_inline_structs" -> 0.129, "f4_explode_outer" -> 0.125,
-    "f5_unpivot" -> 0.124, "j10_shipping_priority" -> 0.556,
-    "j11_local_supplier_volume" -> 0.690, "j12_returned_items" -> 0.623,
-    "j1_broadcast_join" -> 0.360, "j2_shuffle_join" -> 0.747,
-    "j3_star_join" -> 0.500, "j4_left_outer" -> 0.213,
-    "j5_semi_join" -> 0.267, "j6_anti_join" -> 0.241,
-    "j7_range_join" -> 0.169, "j8_asof_join" -> 0.133,
-    "j9_cross_join" -> 0.191, "n10_hybrid_rrf" -> 0.778,
-    "n1_ann_bruteforce" -> 0.354, "n2_ann_lsh" -> 0.175,
-    "n3_topk_agg" -> 0.177, "n4_ann_ivf" -> 0.173,
-    "n5_quantized_dot" -> 0.226, "n6_ann_kmeans" -> 0.182,
-    "n7_ann_pq" -> 0.387, "n8_ann_multiprobe" -> 0.155,
-    "n9_ann_batch" -> 0.807, "o1_serving_filter_limit" -> 0.106,
-    "o2_topk" -> 0.117, "o3_offset" -> 0.120,
-    "p1_appid_memo_filter" -> 0.133, "q2_point_lookup" -> 0.156,
-    "q3_subqueries" -> 0.293, "q4_correlated" -> 0.466,
-    "q5_lateral" -> 0.892, "t10_translate_munge" -> 0.113,
-    "t11_string_suite" -> 0.102, "t12_math_suite" -> 0.120,
-    "t13_conditional_suite" -> 0.116, "t14_array_suite" -> 0.125,
-    "t15_hash_suite" -> 0.103, "t16_datetime_suite" -> 0.117,
-    "t17_json_suite" -> 0.115, "t18_higher_order_suite" -> 0.134,
-    "t19_map_suite" -> 0.117, "t20_bitwise_suite" -> 0.109,
-    "t5_epoch_roundtrip" -> 0.115, "t8_hex_sequence" -> 0.116,
-    "t9_json_extract" -> 0.110, "u1_union_discriminated" -> 0.156,
-    "u2_intersect" -> 0.235, "u3_except" -> 0.284,
-    "w1_row_number" -> 0.224, "w2_lag_delta" -> 0.108,
-    "w3_running_sum" -> 0.110, "w4_sessionize" -> 0.292,
-    "w5_tumbling_window" -> 0.180, "w6_ranking_suite" -> 0.104,
-    "w7_session_window_native" -> 0.371, "w8_range_interval" -> 0.138,
-    "x10_unigram_lm" -> 0.644, "x11_pipeline" -> 0.400,
-    "x12_pii_scrub" -> 0.112, "x13_k_anonymity" -> 0.253,
-    "x14_bm25" -> 0.470, "x15_domain_mix" -> 0.287,
-    "x1_langid" -> 0.388, "x2_quality_score" -> 0.119,
-    "x3_token_count" -> 0.106, "x4_fingerprint" -> 0.108,
-    "x5_rolling_hash" -> 0.103, "x6_hash_sampling" -> 0.125,
-    "x7_tfidf" -> 0.714, "x8_sequence_pack" -> 0.126,
-    "x9_repetition" -> 0.250,
+  private val BaselineMedians: Map[String, (Double, Double)] = {
+    // bulk of the inventory: recorded round 8 at a 0.088 s floor
+    val r8Floor = 0.088
+    val main = Map(
+      "a10_moments" -> 0.263, "a11_filter_clause" -> 0.226,
+      "a12_percentiles" -> 0.188, "a1_pricing_summary" -> 0.227,
+      "a2_last_by_key" -> 0.162, "a3_distinct_agg" -> 0.174,
+      "a4_rollup" -> 0.350, "a5_cube" -> 0.345,
+      "a6_median" -> 0.179,
+      "a8_grouping_sets" -> 0.196, "a9_pivot" -> 0.186,
+      "d10_substring_dedup" -> 0.176, "d1_exact_dedup" -> 0.169,
+      "d2_minhash_lsh" -> 0.598, "d3_ngram_jaccard" -> 0.742,
+      "d4_simhash" -> 0.061, "d5_embedding_neardup" -> 0.607,
+      "d6_simhash_pairs" -> 0.757, "d7_dedup_clusters" -> 1.699,
+      "d8_contamination" -> 0.950, "d9_dedup_stats" -> 0.143,
+      "f1_explode_tokens" -> 0.168, "f2_posexplode_zip" -> 0.163,
+      "f3_inline_structs" -> 0.129, "f4_explode_outer" -> 0.125,
+      "f5_unpivot" -> 0.124, "j10_shipping_priority" -> 0.556,
+      "j11_local_supplier_volume" -> 0.690, "j12_returned_items" -> 0.623,
+      "j1_broadcast_join" -> 0.360, "j2_shuffle_join" -> 0.747,
+      "j3_star_join" -> 0.500, "j4_left_outer" -> 0.213,
+      "j5_semi_join" -> 0.267, "j6_anti_join" -> 0.241,
+      "j7_range_join" -> 0.169, "j8_asof_join" -> 0.133,
+      "j9_cross_join" -> 0.191,
+      "n1_ann_bruteforce" -> 0.354,
+      "n3_topk_agg" -> 0.177, "n4_ann_ivf" -> 0.173,
+      "n5_quantized_dot" -> 0.226, "n6_ann_kmeans" -> 0.182,
+      "o1_serving_filter_limit" -> 0.106,
+      "o2_topk" -> 0.117, "o3_offset" -> 0.120,
+      "p1_appid_memo_filter" -> 0.133, "q2_point_lookup" -> 0.156,
+      "q3_subqueries" -> 0.293, "q4_correlated" -> 0.466,
+      "q5_lateral" -> 0.892, "t10_translate_munge" -> 0.113,
+      "t11_string_suite" -> 0.102, "t12_math_suite" -> 0.120,
+      "t13_conditional_suite" -> 0.116, "t14_array_suite" -> 0.125,
+      "t15_hash_suite" -> 0.103, "t16_datetime_suite" -> 0.117,
+      "t17_json_suite" -> 0.115, "t18_higher_order_suite" -> 0.134,
+      "t19_map_suite" -> 0.117, "t20_bitwise_suite" -> 0.109,
+      "t5_epoch_roundtrip" -> 0.115, "t8_hex_sequence" -> 0.116,
+      "t9_json_extract" -> 0.110, "u1_union_discriminated" -> 0.156,
+      "u2_intersect" -> 0.235, "u3_except" -> 0.284,
+      "w1_row_number" -> 0.224, "w2_lag_delta" -> 0.108,
+      "w3_running_sum" -> 0.110, "w4_sessionize" -> 0.292,
+      "w5_tumbling_window" -> 0.180, "w6_ranking_suite" -> 0.104,
+      "w7_session_window_native" -> 0.371, "w8_range_interval" -> 0.138,
+      "x10_unigram_lm" -> 0.644, "x11_pipeline" -> 0.400,
+      "x12_pii_scrub" -> 0.112, "x13_k_anonymity" -> 0.253,
+      "x14_bm25" -> 0.470, "x15_domain_mix" -> 0.287,
+      "x1_langid" -> 0.388, "x2_quality_score" -> 0.119,
+      "x3_token_count" -> 0.106, "x4_fingerprint" -> 0.108,
+      "x5_rolling_hash" -> 0.103, "x6_hash_sampling" -> 0.125,
+      "x7_tfidf" -> 0.714, "x8_sequence_pack" -> 0.126,
+      "x9_repetition" -> 0.250
+    ).view.mapValues((_, r8Floor)).toMap
     // round-8 additions, recorded at a 0.076 s session floor
-    "a13_cms_freq" -> 0.975, "a14_hll_distinct" -> 0.778,
-    "d11_semantic_dedup" -> 0.152,
-    "j13_market_share" -> 1.032, "n11_mmr" -> 1.353,
-    "n12_range_search" -> 0.228, "o4_zorder" -> 0.214,
-    "x16_quality_rules" -> 0.152,
-    // round-9 respellings, recorded at a 0.167 s session floor (≈2× the
-    // rows above — these read slightly generous from low-floor sessions,
-    // which only weakens the gate in the safe direction): a7 became the
-    // deterministic grouped HLL + histogram (multi-job by nature), x17
-    // gained the min-df backoff leg, x18 went distributed (per-round
-    // broadcast + vocab-sized shuffle instead of a driver loop).
-    "a7_approx_sketch" -> 1.100, "x17_bigram_lm" -> 1.458,
-    "x18_textrank" -> 1.892,
-    "d12_line_dedup" -> 0.457, "n13_ann_recall" -> 1.343,
-    "j14_volume_shipping" -> 0.737, "o5_keyset_pagination" -> 0.122,
-    "w9_funnel" -> 0.273, "x19_vocab_stats" -> 0.394)
+    val add8 = Map(
+      "a13_cms_freq" -> 0.975, "a14_hll_distinct" -> 0.778,
+      "d11_semantic_dedup" -> 0.152,
+      "j13_market_share" -> 1.032,
+      "n12_range_search" -> 0.228, "o4_zorder" -> 0.214,
+      "x16_quality_rules" -> 0.152
+    ).view.mapValues((_, 0.076)).toMap
+    // round-9 additions/respellings, recorded at a 0.167 s session floor
+    val add9 = Map(
+      "a7_approx_sketch" -> 1.100, "x17_bigram_lm" -> 1.458,
+      "x18_textrank" -> 1.892,
+      "d12_line_dedup" -> 0.457,
+      "j14_volume_shipping" -> 0.737, "o5_keyset_pagination" -> 0.122,
+      "w9_funnel" -> 0.273, "x19_vocab_stats" -> 0.394
+    ).view.mapValues((_, 0.167)).toMap
+    // round-10 respellings (ANN serving paths moved to cached planning
+    // state, n11 went driver-local) and the new multimodal gate queries,
+    // recorded at a 0.098 s session floor
+    val add10 = Map(
+      "n10_hybrid_rrf" -> 0.641,
+      "n11_mmr" -> 0.405, "n13_ann_recall" -> 0.651,
+      "n2_ann_lsh" -> 0.106, "n7_ann_pq" -> 0.341,
+      "n8_ann_multiprobe" -> 0.133, "n9_ann_batch" -> 0.409,
+      "m1_media_dedup" -> 0.368, "m2_frame_sample" -> 0.193
+    ).view.mapValues((_, 0.098)).toMap
+    main ++ add8 ++ add9 ++ add10
+  }
 
   def main(args: Array[String]): Unit = {
     // Baseline coverage must track the inventory exactly: a query missing
@@ -155,11 +173,11 @@ object Bench {
     // failure mode on this VM — spans a contiguous wall-clock window, so
     // back-to-back runs let it inflate EVERY run of the few queries that
     // happened to be executing (which then read as "stable regressions":
-    // round 8's driver bench flagged o2/o3 + t14-t18 at 10-19 s, this
-    // round's first local run flagged o1-o4 at 7-19 s, neither
-    // reproducible in isolation). Interleaved, a stall shorter than one
-    // full suite pass lands in at most one of a query's Runs samples and
-    // the median discards it.
+    // round 8's driver bench flagged o2/o3 + t14-t18 at 10-19 s, round
+    // 9's first local run flagged o1-o4 at 7-19 s, neither reproducible
+    // in isolation). Interleaved, a stall shorter than one full suite
+    // pass lands in at most one of a query's Runs samples and the median
+    // discards it.
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     val samples = (1 to Runs).flatMap { _ =>
       ordered.map { case (name, fn) =>
@@ -172,38 +190,39 @@ object Bench {
       val times = samples.collect { case (`name`, t) => t }.sorted
       (name, times(Runs / 2), times.last - times.head)
     }
-    // One stdout line, kept SMALL: the driver captures a bounded tail of
-    // the sbt log, and rounds 7-8 proved a fat line (107 queries × two
-    // full-precision-double maps) truncates past its head → "parsed":
-    // null → the official 2× gate evaluates nothing. Doubles are rounded
-    // to 3 decimals (1 ms — below the measurement floor, nothing lost)
-    // and the per-query spread map stays internal: it only ever fed the
-    // regression stability check, which still uses it below.
+    // One stdout line, kept SMALL (doubles rounded to 3 decimals — 1 ms,
+    // below the measurement floor; the per-query spread map stays
+    // internal, feeding only the stability check below) and ordered so
+    // the session-level fields survive tail truncation.
     def r3(v: Double): String = f"$v%.3f"
     def json(kv: Seq[(String, Double)]): String =
       kv.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val qs = json(results.map { case (k, m, _) => (k, m) })
     // Regression gate: median > 2× the recorded baseline median — FLOOR-
-    // SCALED — AND the delta is material (> 1 s) AND stable (spread <
-    // median — not a one-off GC/JIT outlier). Floor scaling: the
-    // baselines were recorded at a ~0.09 s calibration floor, and most
-    // sub-second queries are jobs × floor, so a session whose floor is
-    // 2× inflates them ~2× with zero plan change (measured repeatedly:
-    // identical code, same day, j3 0.05 s → 0.63 s; round-9's 0.167 s-
-    // floor session put d2/d8/n10 at 2-3.5× uniformly). Scaling the
-    // threshold by floor/0.09 makes the gate measure the plan, not the
-    // VM, while the class it exists for — a store build or corpus scan
-    // landing in the serving path (round-4's n2 0.19 s → 6.0 s) — still
-    // trips it at any realistic floor. Only meaningful at the baseline's
-    // own config (sf0.1); at other scale factors overheads dominate.
-    val floorScale = math.max(1.0, floor / 0.09)
+    // SCALED PER ENTRY — AND the delta is material (> 1 s) AND stable
+    // (spread < median — not a one-off GC/JIT outlier). Floor scaling:
+    // most sub-second queries are ≈ jobs × floor, so each entry's
+    // threshold is scaled by sessionFloor / ITS OWN recording floor
+    // (clamped at 1 — a faster-than-recording session should tighten
+    // nothing, it already reads uniformly faster). This makes the gate
+    // measure the plan, not the VM, while the class it exists for — a
+    // store build or corpus scan landing in the serving path (round-4's
+    // n2 0.19 s → 6.0 s) — still trips it at any realistic floor. Only
+    // meaningful at the baseline's own config (sf0.1); at other scale
+    // factors overheads dominate.
     val regressions = if (!sfDir.contains("sf0.1")) Seq.empty[(String, Double)] else results.collect {
-      case (k, m, s) if BaselineMedians.get(k).exists(b =>
-        m > 2 * b * floorScale && m - b > 1.0) && s < m => (k, m)
+      case (k, m, s) if BaselineMedians.get(k).exists { case (b, recFloor) =>
+        m > 2 * b * math.max(1.0, floor / recFloor) && m - b > 1.0
+      } && s < m => (k, m)
     }
     val reg = json(regressions)
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$Runs,"floor":${r3(floor)},"queries":$qs,"regressions":$reg,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$Runs,"floor":${r3(floor)},"regressions":$reg,"sf":"$sfDir","queries":$qs}"""
+    println(line)
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () } // stdout already has the line
     spark.stop()
   }
 }

@@ -32,7 +32,8 @@ object SparkEntry {
       graft.operators.Ivf.queries ++
       graft.operators.Pq.queries ++
       graft.operators.TextAnalysis.queries ++
-      graft.operators.Curation.queries
+      graft.operators.Curation.queries ++
+      graft.multimodal.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -51,5 +52,6 @@ object SparkEntry {
       graft.operators.Ivf.oracles ++
       graft.operators.Pq.oracles ++
       graft.operators.TextAnalysis.oracles ++
-      graft.operators.Curation.oracles
+      graft.operators.Curation.oracles ++
+      graft.multimodal.Multimodal.oracles
 }

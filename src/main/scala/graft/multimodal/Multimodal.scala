@@ -1,7 +1,8 @@
 package graft.multimodal
 
 import java.security.MessageDigest
-import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions.{col, concat_ws}
 
 /** Multimodal columns (SURVEY.md §7.5 north star): image/audio/video
   * carried as opaque `binary` columns with typed metadata structs, and
@@ -167,6 +168,76 @@ object Multimodal {
         min(col("media_id")).over(Window.partitionBy(col("media_fp"))))
       .as[MediaFingerprint]
   }
+
+  /** Media table derived from the driver's `documents` parquet: each doc
+    * is one asset whose binary content is the UTF-8 bytes of
+    * `source|lang` — a COARSE key, so the corpus contains genuine
+    * re-uploads of the same asset (10-16 docs share a (source, lang)
+    * pair at sf0.01) — and whose modality alternates image / 3 s video
+    * by `doc_id % 3`. This is fixture synthesis, not operator logic: the
+    * point is that the decode → dhash → fingerprint pipeline must
+    * rediscover exactly the (content, modality) duplicate groups the
+    * oracle can state directly over the source columns.
+    */
+  def mediaFromDocuments(s: SparkSession, d: String): Dataset[MediaRow] = {
+    import s.implicits._
+    graft.Tables.documents(s, d)
+      .select(col("doc_id"), concat_ws("|", col("source"), col("lang")).as("asset"))
+      .as[(Long, String)]
+      .map { case (id, asset) =>
+        val content = asset.getBytes("UTF-8")
+        if (id % 3 == 2)
+          MediaRow(id, MediaMeta("video", "video/fake", Some(8), Some(6), Some(3000L), None), content)
+        else
+          MediaRow(id, MediaMeta("image", "image/fake", Some(8), Some(6), None, None), content)
+      }
+  }
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Oracle-gated multimodal queries (VERDICT r9 gap #1: this was the
+    * one north-star family with spec-only coverage). The oracle cannot
+    * decode frames, but it CAN state the ground-truth duplicate groups
+    * of [[mediaFromDocuments]] — so a single wrong bit anywhere in the
+    * decode / dhash / fingerprint path shows up as a grouping mismatch.
+    */
+  def queries: Map[String, Q] = Map(
+    // End-to-end media dedup: documents-derived binary assets → decode
+    // (frame-sampled for videos) → per-frame dHash → media fingerprint →
+    // canonical = min media_id per fingerprint. Must reproduce the
+    // (source, lang, modality) duplicate groups exactly: identical
+    // content+modality collide by construction; distinct contents
+    // separate because FakeCodec's SHA-256 stream avalanches into the
+    // 42-bit-per-frame dHash (cross-group collision odds ~2^-31 here,
+    // and deterministic for the fixed corpus — verified at all three SFs).
+    "m1_media_dedup" -> { (s, d) =>
+      val fps = dedupByFingerprint(dhash(decode(mediaFromDocuments(s, d), FakeCodec)))
+      fps.select(col("media_id"), col("canonical_media")).orderBy("media_id")
+    },
+    // Decode/frame-sample/resize plumbing shape: videos fan out to one
+    // frame per second, images to one, and every frame lands at the
+    // requested resize dims — the mapPartitions batch contract the rest
+    // of the family builds on.
+    "m2_frame_sample" -> { (s, d) =>
+      val frames = resize(decode(mediaFromDocuments(s, d), FakeCodec), 4, 3)
+      frames.select(col("media_id"), col("frame_index"), col("width"), col("height"))
+        .orderBy("media_id", "frame_index")
+    }
+  )
+
+  def oracles: Map[String, String] = Map(
+    "m1_media_dedup" ->
+      """SELECT doc_id AS media_id,
+        |  MIN(doc_id) OVER (PARTITION BY source, lang, doc_id % 3 = 2) AS canonical_media
+        |FROM documents ORDER BY media_id""".stripMargin,
+    "m2_frame_sample" ->
+      """WITH fr AS (SELECT doc_id,
+        |    unnest(CASE WHEN doc_id % 3 = 2 THEN [0, 1, 2] ELSE [0] END) AS f
+        |  FROM documents)
+        |SELECT doc_id AS media_id, CAST(f AS INTEGER) AS frame_index,
+        |  CAST(4 AS INTEGER) AS width, CAST(3 AS INTEGER) AS height
+        |FROM fr ORDER BY media_id, frame_index""".stripMargin
+  )
 
   /** Feature extraction: per-channel means + an 8-bin luma histogram →
     * 11-dim float feature, averaged over a medium's frames.

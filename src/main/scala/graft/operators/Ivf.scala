@@ -117,15 +117,14 @@ object Ivf {
     */
   private def probe(s: SparkSession, d: String,
       cent: Array[(Int, Array[Double])], vecs: DataFrame, tagCol: String): DataFrame = {
-    val q = Tables.embeddings(s, d).filter(col("vec_id") === 0)
-      .select("embedding").head.getSeq[Float](0).toArray
+    // query vector from the shared cached planning-state point read
+    // (Similarity's parameter window) — no per-invocation point-read job
+    val q = Similarity.paramVec(s, d, 0L)
     val qd = q.map(_.toDouble)
     val cells = cent.map { case (cell, c) =>
       (cell, Cols.decimalSqDist(qd, c).doubleValue())
     }.sortBy { case (cell, d2) => (d2, cell) }.take(NProbe).map(_._1).toSeq
-    def ad(a: Array[Float]) =
-      new org.apache.spark.sql.catalyst.util.GenericArrayData(a.map(x => x: Any))
-    val qn = math.sqrt(graft.functions.DecimalDot.dot(ad(q), ad(q)))
+    val qn = Similarity.paramNorm(s, d, 0L)
     // probe: partition-pruned scan of the chosen cells + exact re-rank
     vecs.filter(col("cell").isin(cells: _*) && col("vec_id") =!= 0)
       .withColumn("cos",

@@ -105,8 +105,10 @@ object Pq {
       // a tiny decimal-typed local relation, so no corpus-side job runs
       // before the codes scan. Stays DECIMAL end-to-end so the
       // per-vector sum is order-independent in both engines.
-      val qF = Tables.embeddings(s, d).filter(col("vec_id") === 0)
-        .select("embedding").head.getSeq[Float](0).toArray // one point read, reused by refine
+      // query vector from the shared cached planning-state point read
+      // (one job per (JVM, dataset) across the whole ANN family, not one
+      // per invocation), reused by refine
+      val qF = Similarity.paramVec(s, d, 0L)
       val qArr = qF.map(_.toDouble)
       val qtabRows = cb.toSeq.map { case ((m, code), c) =>
         val d2 = graft.Cols.decimalSqDist(qArr, c, off = m * SubDim)
@@ -129,9 +131,7 @@ object Pq {
         .select("vec_id").collect().map(_.getLong(0)).toSeq
       // refine: exact cosine on the R shortlist rows only
       graft.functions.GraftFunctions.register(s)
-      def ad(a: Array[Float]) =
-        new org.apache.spark.sql.catalyst.util.GenericArrayData(a.map(x => x: Any))
-      val qn = math.sqrt(graft.functions.DecimalDot.dot(ad(qF), ad(qF)))
+      val qn = Similarity.paramNorm(s, d, 0L)
       Tables.embeddings(s, d)
         .filter(col("vec_id").isin(shortlist: _*))
         .withColumn("norm", sqrt(graft.Cols.fastDot(col("embedding"), col("embedding"))))

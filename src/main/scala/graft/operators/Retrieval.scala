@@ -1,10 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
-import graft.{Cols, Tables}
+import graft.Tables
 
 /** Sparse (BM25) keyword retrieval and hybrid sparse+dense fusion — the
   * retrieval side of a training-data/RAG pipeline, complementing the
@@ -154,13 +154,14 @@ object Retrieval {
     // K results maximizing λ·relevance − (1−λ)·max-similarity-to-picked,
     // so near-duplicate hits don't crowd the result list. Candidates are
     // the top-10 of the bucket-pruned multi-probe scores (the n8 serving
-    // path — corpus-scale work stays indexed); the greedy rounds are
-    // driver-orchestrated Spark jobs over that ≤10-row candidate list
-    // (n6's bounded-rounds pattern — each round's pick passes through
-    // the driver, so rounds have independent lineage). All similarity
-    // arithmetic is the established DecimalDot/cosineSql parity pair;
-    // the score 0.5·cos − 0.5·maxsim is fixed-spelling IEEE double in
-    // both engines. At scale MMR cost is K·|candidates| pairs — a
+    // path — corpus-scale work stays indexed); the greedy selection then
+    // runs DRIVER-locally over that ≤10-row collected list via the same
+    // DecimalDot statics the distributed expression compiles to, so the
+    // whole re-rank is zero extra Spark jobs (round 9 ran each greedy
+    // round as its own crossJoin/collect job — ~20 jobs for a 10-row
+    // re-rank, pure scheduling overhead at any scale). The score
+    // 0.5·cos − 0.5·maxsim is fixed-spelling IEEE double in both
+    // engines. At scale MMR cost is K·|candidates| cosine pairs — a
     // re-rank, by construction never corpus-shaped.
     "n11_mmr" -> { (s, d) =>
       graft.functions.GraftFunctions.register(s)
@@ -180,11 +181,13 @@ object Retrieval {
     * (columns `vec_id`, `cos` = relevance, `embedding`) maximizing
     * `lambda·cos − (1−lambda)·max-cos-to-already-picked`. Collects the
     * candidate list up front — callers hand in a BOUNDED top-k list
-    * (that is what a re-ranker is for); each greedy round then runs as
-    * one tiny Spark job over the candidates (n6's driver-orchestrated
-    * bounded-rounds pattern), keeping every cosine/score in the
-    * DecimalDot expression spellings the oracle mirrors. Returns
-    * (`pick` 1..k, `vec_id`, `cos`) in pick order.
+    * (that is what a re-ranker is for) — then runs the whole greedy
+    * selection driver-locally: every pairwise cosine goes through the
+    * SAME [[graft.functions.DecimalDot]] static the distributed
+    * expression compiles to (double products → DECIMAL(28,12) HALF_UP →
+    * exact sum → double), so the numbers are bit-identical with both the
+    * Spark spelling and the oracle's cosineSql, with zero per-round
+    * Spark jobs. Returns (`pick` 1..k, `vec_id`, `cos`) in pick order.
     */
   def mmrRerank(s: SparkSession, candidates: DataFrame, k: Int, lambda: Double): DataFrame = {
     import s.implicits._
@@ -193,28 +196,27 @@ object Retrieval {
       .map(r => (r.getLong(0), r.getDouble(1), r.getSeq[Float](2).toArray))
       .sortBy { case (vid, cos, _) => (-cos, vid) }
     require(cand.nonEmpty, "mmrRerank needs a non-empty candidate list")
-    val candDf = cand.toSeq.toDF("vec_id", "cos", "embedding")
-    def cosC(a: Column, b: Column) =
-      Cols.fastDot(a, b) / (sqrt(Cols.fastDot(a, a)) * sqrt(Cols.fastDot(b, b)))
-    var picks = Vector((cand.head._1, cand.head._2, cand.head._3, 1L))
-    (2 to math.min(k, cand.length)).foreach { i =>
-      val selDf = picks.map(p => (p._1, p._3)).toDF("svid", "se")
-      val next = candDf
-        .join(picks.map(p => Tuple1(p._1)).toDF("vec_id"), Seq("vec_id"), "left_anti")
-        .crossJoin(broadcast(selDf))
-        .withColumn("sim", cosC(col("embedding"), col("se")))
-        .groupBy("vec_id", "cos")
-        .agg(max(col("sim")).as("maxsim"))
-        .withColumn("score",
-          lit(lambda) * col("cos") - lit(1.0 - lambda) * col("maxsim"))
-        .orderBy(col("score").desc, col("vec_id"))
-        .limit(1)
-        .collect().head
-      val c = cand.find(_._1 == next.getLong(0)).get
-      picks :+= ((c._1, c._2, c._3, i.toLong))
+    def ad(a: Array[Float]) =
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(a.map(x => x: Any))
+    val arrs = cand.map(c => ad(c._3))
+    val norms = arrs.map(a => math.sqrt(graft.functions.DecimalDot.dot(a, a)))
+    // cosine spelled exactly like Cols.cosine / cosineSql: decimal dot,
+    // double sqrt/division — max over doubles is order-independent
+    def cosAt(i: Int, j: Int): Double =
+      graft.functions.DecimalDot.dot(arrs(i), arrs(j)) / (norms(i) * norms(j))
+    var picked = Vector(0) // most relevant candidate seeds the list
+    while (picked.length < math.min(k, cand.length)) {
+      val next = cand.indices.filterNot(picked.contains).minBy { i =>
+        val maxsim = picked.map(j => cosAt(i, j)).max
+        // same IEEE spelling as the oracle's 0.5*cos - 0.5*maxsim;
+        // argmax of score, vec_id tie-break == ORDER BY score DESC, vec_id
+        (-(lambda * cand(i)._2 - (1.0 - lambda) * maxsim), cand(i)._1)
+      }
+      picked :+= next
     }
-    picks.map(p => (p._4, p._1, p._2)).toDF("pick", "vec_id", "cos")
-      .orderBy("pick")
+    picked.zipWithIndex
+      .map { case (ci, p) => ((p + 1).toLong, cand(ci)._1, cand(ci)._2) }
+      .toDF("pick", "vec_id", "cos")
   }
 
   /** One unrolled MMR round in DuckDB: max similarity of each remaining
