@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.pipeline.ExtractConfig
+import graft.sinks.{CheckpointSink, JdbcTxnSink, PartitionedFileSink}
+import graft.streaming.{AlertTransport, ArchiveTail, IngestAlerts, Transports, ValidatingAlerts}
+
+/** docker-compose parity: build the whole collector from the reference's
+  * environment-variable surface (docker-compose.yaml:7-27, parsed at
+  * python/main.py:27-52). Deployments that ran the reference container
+  * can hand their existing compose `environment:` block to [[tail]] (or
+  * `sys.env` itself) and get the same wiring — config names, defaults,
+  * optionality and quirks (the CORE_DIRECTORY trailing slash, hex
+  * FIRST_FILE, adapter choice by S3_STORAGE_BUCKET presence) preserved.
+  *
+  * Everything is a pure function of the map: nothing reads global state,
+  * so specs construct collectors from literal maps and prod passes
+  * `sys.env`.
+  */
+object Deploy {
+
+  /** BUCKET_NAME + CORE_DIRECTORY → archive root URI. The reference
+    * appends a trailing '/' to a non-empty CORE_DIRECTORY
+    * (python/main.py:55-56) and reads via boto3 against the bucket; here
+    * any Hadoop-FS URI works, so a bare bucket name maps to `s3a://` and
+    * a value containing a scheme is taken verbatim (which is also how
+    * file:// fixtures and local smoke tests plug in).
+    */
+  def archiveRoot(env: Map[String, String]): String = {
+    val bucket = env("BUCKET_NAME")
+    val base = if (bucket.contains("://")) bucket.stripSuffix("/") else s"s3a://$bucket"
+    env.getOrElse("CORE_DIRECTORY", "").stripSuffix("/") match {
+      case "" => base
+      case core => s"$base/$core"
+    }
+  }
+
+  /** KIN_ISSUER + optional APP_ID (absent and empty both mean "no app
+    * filter", like os.environ.get at python/main.py:44).
+    */
+  def extractConfig(env: Map[String, String]): ExtractConfig =
+    ExtractConfig(
+      assetIssuer = env("KIN_ISSUER"),
+      appId = env.get("APP_ID").filter(_.nonEmpty))
+
+  /** FIRST_FILE is the 8-hex checkpoint name ('0000003f'); the (seq+1)%64
+    * validation itself lives in the tail/stream constructors.
+    */
+  def firstSeq(env: Map[String, String]): Long =
+    java.lang.Long.parseLong(env("FIRST_FILE"), 16)
+
+  def maxRetries(env: Map[String, String]): Int =
+    env.getOrElse("MAX_RETRIES", "5").toInt
+
+  /** Adapter choice mirrors the reference's startup branch (main.py:
+    * 369-390): a non-empty S3_STORAGE_BUCKET selects the file-layout
+    * sink (`s3a://bucket/prefix`, or any explicit URI); otherwise the
+    * Postgres sink from POSTGRES_HOST + PYTHON_PASSWORD (the reference's
+    * fixed `python` user, build_database.py:62-66). The JDBC connection
+    * is constructed lazily per checkpoint, so building the config needs
+    * no driver on the classpath.
+    */
+  def sink(env: Map[String, String]): CheckpointSink =
+    env.get("S3_STORAGE_BUCKET").filter(_.nonEmpty) match {
+      case Some(bucket) =>
+        val base = if (bucket.contains("://")) bucket.stripSuffix("/") else s"s3a://$bucket"
+        val root = env.getOrElse("S3_STORAGE_KEY_PREFIX", "").stripSuffix("/") match {
+          case "" => base
+          case prefix => s"$base/$prefix"
+        }
+        new PartitionedFileSink(root)
+      case None =>
+        val host = env("POSTGRES_HOST")
+        val pass = env("PYTHON_PASSWORD")
+        new JdbcTxnSink(() =>
+          java.sql.DriverManager.getConnection(s"jdbc:postgresql://$host/kin", "python", pass))
+    }
+
+  /** Alert legs from the same optional env the reference reads
+    * (main.py:47-52): EMAIL_SMTP ('host' or 'host:port') + EMAIL_ACCOUNT
+    * / EMAIL_PASSWORD / EMAIL_RECIPIENTS (comma-separated) become the
+    * SMTP transport; WEBHOOK_URL (this engine's portable spelling of the
+    * reference's LAMBDA_NAME pager — a Lambda invoke needs AWS SDK
+    * plumbing, a function URL is just HTTP) becomes the webhook leg.
+    */
+  def transports(env: Map[String, String]): Seq[AlertTransport] = {
+    val email = env.get("EMAIL_SMTP").filter(_.nonEmpty).map { smtp =>
+      val (host, port) = smtp.split(":", 2) match {
+        case Array(h, p) => (h, p.toInt)
+        case _ => (smtp, 25)
+      }
+      val account = env.getOrElse("EMAIL_ACCOUNT", "")
+      val creds = env.get("EMAIL_PASSWORD").filter(_.nonEmpty).map(p => (account, p))
+      new Transports.SmtpTransport(host, port, from = account,
+        to = env.getOrElse("EMAIL_RECIPIENTS", "").split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+        credentials = creds)
+    }
+    val webhook = env.get("WEBHOOK_URL").filter(_.nonEmpty)
+      .map(url => new Transports.WebhookTransport(url))
+    email.toSeq ++ webhook.toSeq
+  }
+
+  /** No transports configured → Noop (alerting is optional, main.py
+    * guards each leg); any configured → ValidatingAlerts, whose
+    * construction-time probe aborts startup on a bad pager config
+    * exactly like the reference's `__email_validation` sys.exit.
+    */
+  def alerts(env: Map[String, String]): IngestAlerts = {
+    val ts = transports(env)
+    if (ts.isEmpty) IngestAlerts.Noop else new ValidatingAlerts(ts)
+  }
+
+  /** The whole collector: `Deploy.tail(spark, sys.env).runOnce()` is
+    * `python main.py`'s backfill; `.run(n)` is its polling loop.
+    */
+  def tail(spark: SparkSession, env: Map[String, String]): ArchiveTail =
+    new ArchiveTail(spark, archiveRoot(env), env("NETWORK_PASSPHRASE"),
+      extractConfig(env), sink(env), firstSeq(env), maxRetries(env),
+      alerts = alerts(env))
+}

@@ -73,6 +73,42 @@ class IngestSpec extends AnyFunSuite {
     assert(sink.lastSequence === Some(0xffL))
   }
 
+  test("Deploy wires the whole collector from the compose env map alone") {
+    val archive = Files.createTempDirectory("graft-deploy-arch").toString
+    val out = Files.createTempDirectory("graft-deploy-out").toString
+    writeCheckpoint(archive, 0x3fL, 2)
+    writeCheckpoint(archive, 0x7fL, 1)
+    // the reference container's environment block, docker-compose.yaml:7-27
+    val env = Map(
+      "BUCKET_NAME" -> s"file://$archive", // explicit URI; bare names map to s3a://
+      "CORE_DIRECTORY" -> "",
+      "NETWORK_PASSPHRASE" -> Passphrase,
+      "KIN_ISSUER" -> issuer,
+      "FIRST_FILE" -> "0000003f",
+      "MAX_RETRIES" -> "2",
+      "S3_STORAGE_BUCKET" -> s"file://$out",
+      "S3_STORAGE_KEY_PREFIX" -> "etl")
+    val tail = Deploy.tail(spark, env)
+    assert(tail.resumeSeq === 0x3fL) // hex FIRST_FILE parsed
+    assert(tail.runOnce() === 2)
+    assert(Files.exists(Paths.get(out, "etl", "ledgers", "ledger=0000003f")))
+    assert(Files.exists(Paths.get(out, "etl", "completed_ledgers")))
+    assert(Files.exists(Paths.get(out, "etl", "last_file")))
+    // bare bucket + CORE_DIRECTORY map like the boto3 adapter's key join
+    assert(Deploy.archiveRoot(Map("BUCKET_NAME" -> "my-bucket",
+      "CORE_DIRECTORY" -> "core/")) === "s3a://my-bucket/core")
+    // APP_ID absent and empty both mean "no app filter" (main.py:44)
+    assert(Deploy.extractConfig(env + ("APP_ID" -> "")).appId === None)
+    assert(Deploy.extractConfig(env + ("APP_ID" -> "kit9")).appId === Some("kit9"))
+    // adapter branch: no S3 bucket → the Postgres sink (main.py:369-390)
+    val pg = Deploy.sink(env - "S3_STORAGE_BUCKET" +
+      ("POSTGRES_HOST" -> "db", "PYTHON_PASSWORD" -> "secret"))
+    assert(pg.isInstanceOf[JdbcTxnSink])
+    // no alert env → Noop; a webhook var → validating fan-out (probed)
+    assert(Deploy.alerts(env) === graft.streaming.IngestAlerts.Noop)
+    assert(Deploy.transports(env).isEmpty)
+  }
+
   test("Engine facade: collect backfills through the public entry point") {
     val archive = Files.createTempDirectory("graft-engine-arch").toString
     val out = Files.createTempDirectory("graft-engine-out").toString
