@@ -65,6 +65,43 @@ object FakeCodec extends MediaCodec {
   }
 }
 
+/** Real still-image codec over the JDK's built-in `javax.imageio`
+  * registry (PNG/BMP/GIF/JPEG on a stock JRE — no external libraries).
+  * `frameIndex` is accepted for the [[MediaCodec]] contract but still
+  * images have exactly one frame, so every index decodes the same
+  * raster (a 1 fps slideshow under video metadata); the decoded image
+  * is nearest-neighbour-sampled to the REQUESTED width×height so the
+  * downstream w·h·3 RGB byte contract follows the metadata dims, not
+  * the file's. This is the class [[FakeCodec]] stands in for: with it,
+  * dHash's perceptual property — visually near-identical images land
+  * at small Hamming distance — is actually testable (MultimodalSpec),
+  * where FakeCodec's avalanche expansion could only show exact-content
+  * collision.
+  */
+object ImageIoCodec extends MediaCodec {
+  override def decodeFrame(content: Array[Byte], frameIndex: Int, width: Int, height: Int): Array[Byte] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+    require(img != null, "javax.imageio has no reader for this content")
+    val out = new Array[Byte](width * height * 3)
+    var y = 0
+    while (y < height) {
+      val sy = y * img.getHeight / height
+      var x = 0
+      while (x < width) {
+        val sx = x * img.getWidth / width
+        val rgb = img.getRGB(sx, sy) // TYPE_INT_ARGB regardless of source model
+        val o = (y * width + x) * 3
+        out(o) = ((rgb >> 16) & 0xff).toByte
+        out(o + 1) = ((rgb >> 8) & 0xff).toByte
+        out(o + 2) = (rgb & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+}
+
 object Multimodal {
   private implicit val frameEnc = Encoders.product[Frame]
   private implicit val featEnc = Encoders.product[MediaFeatures]

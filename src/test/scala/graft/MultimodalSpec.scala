@@ -61,6 +61,41 @@ class MultimodalSpec extends AnyFunSuite {
     assert(fps2.toSeq === fps.map(f => (f.media_id, f.media_fp, f.canonical_media)).sortBy(_._1).toSeq)
   }
 
+  test("ImageIoCodec decodes real PNGs; dHash collides for near-identical frames") {
+    import spark.implicits._
+    import java.awt.image.BufferedImage
+    def png(f: Int => Int): Array[Byte] = {
+      val img = new BufferedImage(32, 24, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 24; x <- 0 until 32) {
+        val v = f(x) & 0xff
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val meta = MediaMeta("image", "image/png", Some(8), Some(6), None, None)
+    val media = spark.createDataset(Seq(
+      MediaRow(0L, meta, png(x => (x * 37) % 200)),
+      // visually near-identical: uniform +2 brightness preserves every
+      // adjacent-pixel ordering, so the PERCEPTUAL hash must not move
+      // even though the content bytes (and any cryptographic hash) differ
+      MediaRow(1L, meta, png(x => (x * 37) % 200 + 2)),
+      // visually different: reversed ramp flips every ordering
+      MediaRow(2L, meta, png(x => 200 - (x * 37) % 200)))).repartition(2)
+    val hs = Multimodal.dhash(Multimodal.decode(media, ImageIoCodec))
+      .collect().map(h => h.media_id -> h.dhash).toMap
+    assert(hs(0L).length === 7 * 6)
+    assert(hs(0L) === hs(1L), "near-identical images must collide under dHash")
+    val dist = hs(0L).zip(hs(2L)).count { case (a, b) => a != b }
+    assert(dist > 20, s"dissimilar images must be Hamming-distant (got $dist)")
+    // the d6 pigeonhole bridge: near-dups collide, distinct content does not
+    val fps = Multimodal.dedupByFingerprint(
+      Multimodal.dhash(Multimodal.decode(media, ImageIoCodec))).collect()
+    assert(fps.find(_.media_id == 1L).get.canonical_media === 0L)
+    assert(fps.find(_.media_id == 2L).get.canonical_media === 2L)
+  }
+
   test("features: 11-dim vector, channel means in [0,1], histogram sums to 1") {
     val media = Multimodal.syntheticMedia(spark, 6)
     val feats = Multimodal.features(Multimodal.decode(media, FakeCodec)).collect()
