@@ -61,10 +61,13 @@ final class HttpServe(payments: DataFrame, port: Int = 0,
     case c => c.toString
   }
 
+  import HttpServe.pyDouble
+
   /** The sample's response body verbatim: each row rendered as
     * `json.dumps(result, indent=2)` — two-space indent, keys in column
     * order (RealDictCursor preserves SELECT * order) — and concatenated
-    * with NO separator (sample/main.py:28-34).
+    * with NO separator (sample/main.py:28-34). Doubles go through
+    * [[pyDouble]] so large/small magnitudes keep Python's spelling.
     */
   private def prettyConcat(shaped: DataFrame): String = {
     val cols = shaped.columns
@@ -73,6 +76,8 @@ final class HttpServe(payments: DataFrame, port: Int = 0,
         val v = r.get(i) match {
           case null => "null"
           case s: String => "\"" + jsonEscape(s) + "\""
+          case d: java.lang.Double => pyDouble(d)
+          case f: java.lang.Float => pyDouble(f.toDouble)
           case x => x.toString
         }
         s"""  "$c": $v"""
@@ -107,4 +112,51 @@ final class HttpServe(payments: DataFrame, port: Int = 0,
 
   def start(): Unit = server.start()
   def stop(): Unit = server.stop(0)
+}
+
+object HttpServe {
+  /** Render a double exactly like CPython's `float.__repr__` (what
+    * `json.dumps` emits): shortest round-trip digits, fixed notation for
+    * decimal exponents in [-4, 16), otherwise `1e+16`-style scientific
+    * with a sign and ≥2 exponent digits. Java's `Double.toString`
+    * produces the same shortest digits but different formatting
+    * ("2.1E7" where Python writes "21000000.0"), which broke the
+    * byte-fidelity claim for |amount| ≥ 1e7. NaN/Infinity render as
+    * Python's `NaN`/`Infinity`/`-Infinity` — like the reference's
+    * json.dumps output, NOT strict JSON (fidelity wins here). Known
+    * residual divergence: extreme subnormals where the two shortest-digit
+    * algorithms legitimately differ (Java 4.9E-324 vs Python 5e-324) —
+    * twelve orders of magnitude below any representable payment amount.
+    */
+  private[graft] def pyDouble(d: Double): String = {
+    if (d.isNaN) return "NaN"
+    if (d == Double.PositiveInfinity) return "Infinity"
+    if (d == Double.NegativeInfinity) return "-Infinity"
+    val raw = java.lang.Double.toString(d)
+    val (sign, s) = if (raw.startsWith("-")) ("-", raw.substring(1)) else ("", raw)
+    val (mant, e) = s.indexOf('E') match {
+      case -1 => (s, 0)
+      case i => (s.substring(0, i), s.substring(i + 1).toInt)
+    }
+    val dot = mant.indexOf('.') // Java guarantees digits on both sides
+    val digitsRaw = mant.replace(".", "")
+    val firstSig = digitsRaw.indexWhere(_ != '0')
+    if (firstSig == -1) return sign + "0.0"
+    // exponent of the leading significant digit: value = d1.rest × 10^exp10
+    val exp10 = e + dot - 1 - firstSig
+    val digits = {
+      val trimmed = digitsRaw.substring(firstSig).reverse.dropWhile(_ == '0').reverse
+      if (trimmed.isEmpty) "0" else trimmed
+    }
+    if (exp10 >= -4 && exp10 < 16) {
+      val fixed =
+        if (exp10 >= digits.length - 1) digits + "0" * (exp10 - digits.length + 1) + ".0"
+        else if (exp10 >= 0) digits.substring(0, exp10 + 1) + "." + digits.substring(exp10 + 1)
+        else "0." + "0" * (-exp10 - 1) + digits
+      sign + fixed
+    } else {
+      val m = if (digits.length == 1) digits else digits.substring(0, 1) + "." + digits.substring(1)
+      sign + m + "e" + (if (exp10 < 0) "-" else "+") + f"${math.abs(exp10)}%02d"
+    }
+  }
 }

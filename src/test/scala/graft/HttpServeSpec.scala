@@ -90,4 +90,23 @@ class HttpServeSpec extends AnyFunSuite {
       assert(c2 === 200 && tx.startsWith("{\n  \"source\": \"SRC_A\"") && tx.endsWith("\n}"))
     } finally srv.stop()
   }
+
+  test("pyDouble matches CPython float repr / json.dumps across magnitudes") {
+    // expected strings generated with CPython 3: json.dumps(v)
+    val cases = Seq(
+      21000000.0 -> "21000000.0", // the ADVICE case: Java says 2.1E7
+      1e16 -> "1e+16", 1.5e16 -> "1.5e+16",
+      9999999999999998.0 -> "9999999999999998.0", // just under the sci threshold
+      1e-5 -> "1e-05", 0.0001 -> "0.0001", -1.2345e-7 -> "-1.2345e-07",
+      -2.5 -> "-2.5", 0.0 -> "0.0", -0.0 -> "-0.0", 100.0 -> "100.0",
+      123.456 -> "123.456", 0.1 -> "0.1", 3.14159 -> "3.14159",
+      1e22 -> "1e+22", 1.7976931348623157e308 -> "1.7976931348623157e+308")
+    cases.foreach { case (v, want) =>
+      assert(graft.serve.HttpServe.pyDouble(v) === want, s"for $v")
+    }
+    // json.dumps non-strict spellings for non-finite values
+    assert(graft.serve.HttpServe.pyDouble(Double.NaN) === "NaN")
+    assert(graft.serve.HttpServe.pyDouble(Double.PositiveInfinity) === "Infinity")
+    assert(graft.serve.HttpServe.pyDouble(Double.NegativeInfinity) === "-Infinity")
+  }
 }
