@@ -629,15 +629,19 @@ object Dedup {
     * STREAMING scrub applies map-side (StreamDemos.scrubBoilerplate),
     * since a stream cannot see corpus-wide df.
     */
-  def hotSegments(docs: DataFrame, segWords: Int = 4, minDf: Long = 2L): DataFrame =
+  def hotSegments(docs: DataFrame, segWords: Int = 4, minDf: Long = 2L): DataFrame = {
+    // minDf >= 2 guards the public model-builder itself, not just
+    // segmentDedup: with minDf <= 1 EVERY segment is "hot" and a
+    // streaming scrub built on this model silently empties all documents
+    require(segWords >= 1 && minDf >= 2, "segWords >= 1, minDf >= 2")
     docSegments(docs, segWords)
       .groupBy(md5(col("seg")).as("gh"))
       .agg(countDistinct(col("doc_id")).as("sdocs"))
       .filter(col("sdocs") >= minDf)
       .select("gh")
+  }
 
   def segmentDedup(docs: DataFrame, segWords: Int = 4, minDf: Long = 2L): DataFrame = {
-    require(segWords >= 1 && minDf >= 2, "segWords >= 1, minDf >= 2")
     val segs = docSegments(docs, segWords)
     val hot = hotSegments(docs, segWords, minDf).withColumn("dup", lit(true))
     val flagged = segs.withColumn("gh", md5(col("seg")))

@@ -101,8 +101,13 @@ object Transports {
 
     /** One scripted SMTP session: connect, greet, auth, run `body`, QUIT. */
     private def session[A](body: (BufferedReader, OutputStreamWriter) => A): A = {
-      val sock = new Socket(host, port)
+      // connect with an explicit timeout: `new Socket(host, port)` blocks
+      // indefinitely on a SYN blackhole (setSoTimeout only bounds reads
+      // AFTER connect), which would hang probe() — and therefore
+      // ValidatingAlerts startup — on an unresponsive SMTP host
+      val sock = new Socket()
       try {
+        sock.connect(new java.net.InetSocketAddress(host, port), timeoutMs)
         sock.setSoTimeout(timeoutMs)
         val in = new BufferedReader(new InputStreamReader(sock.getInputStream, UTF_8))
         val out = new OutputStreamWriter(sock.getOutputStream, UTF_8)
