@@ -104,24 +104,32 @@ object Bench {
       "n12_range_search" -> 0.228, "o4_zorder" -> 0.214,
       "x16_quality_rules" -> 0.152
     ).view.mapValues((_, 0.076)).toMap
-    // round-9 additions/respellings, recorded at a 0.167 s session floor
+    // round-9 additions, RE-recorded round 10 at a 0.099 s session floor
+    // (the original round-9 recordings came from a 0.167 s-floor session,
+    // which double-counted floor inflation through the gate — ADVICE r9;
+    // note x17/x18/a7 re-read 1.25-1.65 s at the clean floor, i.e. the
+    // old values were not purely floor-inflated)
     val add9 = Map(
-      "a7_approx_sketch" -> 1.100, "x17_bigram_lm" -> 1.458,
-      "x18_textrank" -> 1.892,
-      "d12_line_dedup" -> 0.457,
-      "j14_volume_shipping" -> 0.737, "o5_keyset_pagination" -> 0.122,
-      "w9_funnel" -> 0.273, "x19_vocab_stats" -> 0.394
-    ).view.mapValues((_, 0.167)).toMap
+      "a7_approx_sketch" -> 1.513, "x17_bigram_lm" -> 1.251,
+      "x18_textrank" -> 1.650,
+      "d12_line_dedup" -> 0.497,
+      "j14_volume_shipping" -> 0.819, "o5_keyset_pagination" -> 0.168,
+      "w9_funnel" -> 0.275, "x19_vocab_stats" -> 0.319
+    ).view.mapValues((_, 0.099)).toMap
     // round-10 respellings (ANN serving paths moved to cached planning
-    // state, n11 went driver-local) and the new multimodal gate queries,
-    // recorded at a 0.098 s session floor
+    // state, n11 went driver-local — n11 1.353→0.392, n8 0.155→0.072,
+    // n13 1.343→0.600) and the new multimodal gate queries, recorded in
+    // the same 0.099 s-floor session as add9 (the better of two
+    // back-to-back sessions; the other, same nominal floor, read ~40%
+    // high across the board — the VM stall pattern, so medians were
+    // taken from the clean one)
     val add10 = Map(
-      "n10_hybrid_rrf" -> 0.641,
-      "n11_mmr" -> 0.405, "n13_ann_recall" -> 0.651,
-      "n2_ann_lsh" -> 0.106, "n7_ann_pq" -> 0.341,
-      "n8_ann_multiprobe" -> 0.133, "n9_ann_batch" -> 0.409,
-      "m1_media_dedup" -> 0.368, "m2_frame_sample" -> 0.193
-    ).view.mapValues((_, 0.098)).toMap
+      "n10_hybrid_rrf" -> 1.249,
+      "n11_mmr" -> 0.392, "n13_ann_recall" -> 0.600,
+      "n2_ann_lsh" -> 0.089, "n7_ann_pq" -> 0.446,
+      "n8_ann_multiprobe" -> 0.072, "n9_ann_batch" -> 0.953,
+      "m1_media_dedup" -> 0.475, "m2_frame_sample" -> 0.206
+    ).view.mapValues((_, 0.099)).toMap
     main ++ add8 ++ add9 ++ add10
   }
 
