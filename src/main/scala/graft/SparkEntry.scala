@@ -33,6 +33,7 @@ object SparkEntry {
       graft.operators.Pq.queries ++
       graft.operators.TextAnalysis.queries ++
       graft.operators.Curation.queries ++
+      graft.operators.Bpe.queries ++
       graft.multimodal.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -53,5 +54,6 @@ object SparkEntry {
       graft.operators.Pq.oracles ++
       graft.operators.TextAnalysis.oracles ++
       graft.operators.Curation.oracles ++
+      graft.operators.Bpe.oracles ++
       graft.multimodal.Multimodal.oracles
 }

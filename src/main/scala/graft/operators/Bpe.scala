@@ -1,0 +1,185 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Byte-pair-encoding merge learning over the `documents` corpus — the
+  * tokenizer-training step of an LLM data pipeline, spelled as dataflow.
+  *
+  * Classic BPE (Sennrich et al. 2016, public) alternates two steps:
+  * count adjacent symbol pairs across the corpus, merge the most
+  * frequent pair everywhere, repeat. The scale shape here is the one
+  * that survives 100 TB:
+  *
+  *  - the corpus-proportional work is ONE tokenize + word-count shuffle
+  *    (`vocab0`) — after that every round operates on the VOCABULARY
+  *    (distinct words × their counts), which Zipf keeps orders of
+  *    magnitude smaller than the corpus and is the standard trick every
+  *    real BPE trainer uses (pair counts are identical whether counted
+  *    over running text or over the weighted vocab);
+  *  - each round is a vocab-sized map-side pair explode + one
+  *    combinable `sum(wc)` shuffle, then the argmax merge rule — ONE
+  *    row — is collected as bounded planning state (the same pattern as
+  *    the ANN probe params) and applied back to the vocab as a literal
+  *    map-only fold, keeping the round-over-round lineage linear;
+  *  - the per-word merge application is a left-to-right `aggregate`
+  *    fold over the symbol list: merge (l, r) when the accumulator's
+  *    trailing symbol is exactly `l` (boundary-checked via the
+  *    preceding space) and the next symbol is `r` — the merged symbol
+  *    `l+r` never re-merges with a following `r` in the same round,
+  *    matching reference BPE's non-overlapping left-to-right scan.
+  *
+  * Everything is exact integer counting with a lexicographic tie-break,
+  * so the learned merge table is deterministic and oracle-checkable
+  * (the DuckDB spelling folds with `list_reduce` over the same
+  * boundary-checked CASE).
+  */
+object Bpe {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val Rounds = 3
+
+  /** Space-joined symbol sequences for each distinct word, weighted by
+    * corpus frequency: `("the", 3)` → `("the", "t h e", 3)`. The word
+    * itself rides along so the trained vocabulary can be joined back to
+    * running text for encoding.
+    */
+  private def vocab0(docs: DataFrame): DataFrame =
+    docs.select(explode(split(col("text"), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("wc"))
+      .select(col("word"),
+        trim(regexp_replace(col("word"), "(.)", "$1 ")).as("seq"), col("wc"))
+
+  /** Adjacent symbol pairs of every vocab sequence, weighted by word
+    * count — generated map-side per row (no positional self-join), one
+    * combinable aggregation.
+    */
+  private def pairCounts(vocab: DataFrame): DataFrame =
+    vocab.select(split(col("seq"), " ").as("a"), col("wc"))
+      .filter(size(col("a")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(a) - 1), " +
+          "i -> struct(element_at(a, i) AS lft, element_at(a, i + 1) AS rgt))")).as("p"),
+        col("wc"))
+      .groupBy(col("p.lft").as("lft"), col("p.rgt").as("rgt"))
+      .agg(sum(col("wc")).as("pair_count"))
+
+  /** One non-overlapping left-to-right merge pass of (l, r) → l+r over
+    * every vocab sequence, as a map-only fold.
+    */
+  private def applyMerge(vocab: DataFrame, l: String, r: String): DataFrame =
+    vocab.select(col("word"),
+      aggregate(split(col("seq"), " "), lit(""), (acc, x) =>
+        when(acc === lit(""), x)
+          .when(x === lit(r) && (acc === lit(l) ||
+            acc.endsWith(concat(lit(" "), lit(l)))), concat(acc, x))
+          .otherwise(concat(acc, lit(" "), x))).as("seq"),
+      col("wc"))
+
+  /** The trained chain: the post-merge vocabulary and the learned rules
+    * (merge_round, lft, rgt, merged, pair_count). Each round collects
+    * its ONE argmax row as bounded planning state, so the vocab lineage
+    * stays linear (a broadcast of the limit-1 DF would re-evaluate the
+    * whole pair aggregation once per downstream branch).
+    */
+  private def train(docs: DataFrame, rounds: Int)
+      : (DataFrame, Seq[(Int, String, String, String, Long)]) = {
+    require(rounds >= 1, "rounds >= 1")
+    var vocab = vocab0(docs)
+    val learned = Seq.newBuilder[(Int, String, String, String, Long)]
+    for (round <- 1 to rounds) {
+      val best = pairCounts(vocab)
+        .orderBy(col("pair_count").desc, col("lft"), col("rgt"))
+        .limit(1).collect()(0)
+      val (l, r, c) = (best.getString(0), best.getString(1), best.getLong(2))
+      learned += ((round, l, r, l + r, c))
+      vocab = applyMerge(vocab, l, r)
+    }
+    (vocab, learned.result())
+  }
+
+  /** The learned merge table: `rounds` rows of
+    * (merge_round, lft, rgt, merged, pair_count), most-frequent-first
+    * with lexicographic (lft, rgt) tie-break.
+    */
+  def merges(docs: DataFrame, rounds: Int = Rounds): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    train(docs, rounds)._2
+      .toDF("merge_round", "lft", "rgt", "merged", "pair_count")
+      .orderBy("merge_round")
+  }
+
+  /** Encode the corpus with the trained merges: per-document token
+    * counts before (whitespace words) and after (BPE symbols) — the
+    * "how much does my tokenizer compress" accounting every tokenizer
+    * build ends with. The trained vocabulary (word → symbol count) is a
+    * VOCAB-sized table broadcast to the exploded word stream, so the
+    * corpus-shaped work is one map-side join + one combinable count —
+    * no shuffle wider than doc_id. (At a vocabulary too large for the
+    * broadcast cap, drop the hint and let the word-keyed shuffle join
+    * take over — the plan shape is otherwise identical.)
+    */
+  def encode(docs: DataFrame, rounds: Int = Rounds): DataFrame = {
+    val enc = train(docs, rounds)._1
+      .select(col("word"), size(split(col("seq"), " ")).cast("long").as("n_sym"))
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .join(broadcast(enc), "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sym")).as("n_bpe_tokens"))
+      .orderBy("doc_id")
+  }
+
+  def queries: Map[String, Q] = Map(
+    "x20_bpe_train" -> ((s, d) => merges(Tables.documents(s, d))),
+    "x21_bpe_encode" -> ((s, d) => encode(Tables.documents(s, d)))
+  )
+
+  /** Unrolled 3-round oracle: each round is pair-count CTEs, a limit-1
+    * argmax, and a `list_reduce` fold applying the merge (the reduce
+    * seeds from the first list element where the Spark fold seeds from
+    * '' — same result, since the first step of the '' fold just emits
+    * the element).
+    */
+  private def roundCtes(i: Int): String =
+    s"""a$i AS (SELECT string_split(seq, ' ') AS a, wc FROM v${i - 1}),
+       |i$i AS (SELECT a, wc, unnest(generate_series(1, len(a) - 1)) AS i FROM a$i),
+       |c$i AS (SELECT a[i] AS lft, a[i + 1] AS rgt, CAST(sum(wc) AS BIGINT) AS pair_count
+       |  FROM i$i GROUP BY 1, 2),
+       |m$i AS (SELECT lft, rgt, pair_count FROM c$i
+       |  ORDER BY pair_count DESC, lft, rgt LIMIT 1),
+       |v$i AS (SELECT word, list_reduce(string_split(seq, ' '),
+       |    (acc, x) -> CASE WHEN x = m.rgt AND (acc = m.lft OR ends_with(acc, ' ' || m.lft))
+       |      THEN acc || x ELSE acc || ' ' || x END) AS seq, wc
+       |  FROM v${i - 1}, m$i m)""".stripMargin
+
+  /** Shared oracle prefix: tokenize, weighted vocab, char-split seed,
+    * then `Rounds` unrolled train rounds ending in `v$Rounds`/`m$i`.
+    */
+  private def chainCtes: String =
+    s"""toks AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+       |wv AS (SELECT word, CAST(count(*) AS BIGINT) AS wc FROM toks GROUP BY word),
+       |v0 AS (SELECT word, trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS seq, wc FROM wv),
+       |${(1 to Rounds).map(roundCtes).mkString(",\n")}""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+    "x20_bpe_train" -> {
+      val rows = (1 to Rounds).map(i =>
+        s"SELECT $i AS merge_round, lft, rgt, lft || rgt AS merged, pair_count FROM m$i")
+        .mkString("\nUNION ALL ")
+      s"""WITH $chainCtes
+         |$rows
+         |ORDER BY merge_round""".stripMargin
+    },
+    "x21_bpe_encode" ->
+      s"""WITH $chainCtes,
+         |enc AS (SELECT word, CAST(len(string_split(seq, ' ')) AS BIGINT) AS n_sym
+         |  FROM v$Rounds),
+         |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(n_sym) AS BIGINT) AS n_bpe_tokens
+         |FROM tok JOIN enc USING (word)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  )
+}

@@ -101,7 +101,7 @@ object Similarity {
     * norms stay bit-identical with the stored signatures.
     */
   private final case class ProbeParams(
-      emb: Map[Long, Array[Float]], q: Array[Float], qb: String, qn: Double)
+      emb: Map[Long, Array[Float]], q: Array[Float], qb: String, qn: Double, qlabel: Int)
 
   private val paramCache = scala.collection.concurrent.TrieMap.empty[String, ProbeParams]
 
@@ -110,14 +110,24 @@ object Similarity {
 
   private def probeParams(s: SparkSession, d: String): ProbeParams =
     paramCache.getOrElseUpdate(d, {
-      val emb = Tables.embeddings(s, d)
-        .filter(col("vec_id") <= NumPlanes).select("vec_id", "embedding").collect()
-        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+      val rows = Tables.embeddings(s, d)
+        .filter(col("vec_id") <= NumPlanes).select("vec_id", "embedding", "label").collect()
+      val emb = rows.map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+      val qlabel = rows.find(_.getLong(0) == 0L).get.getInt(2)
       val q = emb(0L)
       val qb = (1 to NumPlanes).map(h =>
         if (graft.functions.DecimalDot.dot(ad(q), ad(emb(h.toLong))) >= 0) "1" else "0").mkString
-      ProbeParams(emb, q, qb, math.sqrt(graft.functions.DecimalDot.dot(ad(q), ad(q))))
+      ProbeParams(emb, q, qb, math.sqrt(graft.functions.DecimalDot.dot(ad(q), ad(q))), qlabel)
     })
+
+  /** The query's bucket plus its `NumPlanes` Hamming-distance-1
+    * neighbors — the probe set shared by the multi-probe, filtered, and
+    * hybrid serving paths.
+    */
+  private def probeBuckets(p: ProbeParams): Seq[String] =
+    p.qb +: (0 until NumPlanes).map { i =>
+      p.qb.updated(i, if (p.qb(i) == '1') '0' else '1')
+    }
 
   /** Cached planning-state point read shared with the PQ/IVF serving
     * paths (same vec_id ≤ NumPlanes parameter window).
@@ -206,6 +216,25 @@ object Similarity {
         .orderBy(col("cos").desc, col("vec_id"))
         .limit(10)
     },
+    // Filtered ANN — vector search with a metadata predicate ("nearest
+    // neighbors in the query's own class"), the filter every production
+    // vector store exposes. The label predicate composes with the
+    // bucket IN-list at the SCAN: both land in the same partition-pruned
+    // parquet read (bucket prunes directories, label pushes down as a
+    // row-group filter), so post-filtering never inflates the candidate
+    // set driver-side and the plan stays one pruned scan + top-k.
+    "n14_ann_filtered" -> { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      val t = signatureTable(s, d)
+      val p = probeParams(s, d)
+      t.filter(col("bucket").isin(probeBuckets(p): _*) &&
+          col("vec_id") =!= 0 && col("label") === p.qlabel)
+        .withColumn("cos",
+          Cols.fastDot(col("embedding"), typedLit(p.q)) / (col("norm") * lit(p.qn)))
+        .select("vec_id", "bucket", "label", "cos")
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(10)
+    },
     // ANN recall evaluation — the QA query every approximate index
     // needs: recall@10 of the served top-k (n2's single probe and n8's
     // multi-probe, both from the partition-pruned store) against the
@@ -244,10 +273,7 @@ object Similarity {
     // probe buckets land in ONE IN-list filter, so the scan is a single
     // job pruned to the 9 `bucket=` directories, not 9 per-bucket jobs.
     val p = probeParams(s, d)
-    val probes = p.qb +: (0 until NumPlanes).map { i =>
-      p.qb.updated(i, if (p.qb(i) == '1') '0' else '1')
-    }
-    t.filter(col("bucket").isin(probes: _*) && col("vec_id") =!= 0)
+    t.filter(col("bucket").isin(probeBuckets(p): _*) && col("vec_id") =!= 0)
       .withColumn("cos",
         Cols.fastDot(col("embedding"), typedLit(p.q)) / (col("norm") * lit(p.qn)))
       .select("vec_id", "bucket", "cos")
@@ -358,6 +384,13 @@ object Similarity {
       s"""WITH $multiProbeCtes
          |SELECT vec_id, bucket, cos FROM mp
          |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+    "n14_ann_filtered" ->
+      s"""WITH $multiProbeCtes,
+         |ql AS (SELECT label AS qlabel FROM embeddings WHERE vec_id = 0)
+         |SELECT mp.vec_id, mp.bucket, e.label, mp.cos AS cos
+         |FROM mp JOIN embeddings e ON mp.vec_id = e.vec_id, ql
+         |WHERE e.label = ql.qlabel
+         |ORDER BY cos DESC, mp.vec_id LIMIT 10""".stripMargin,
     // n13: the exact leg is n1's oracle as a CTE, both approximate legs
     // come out of the shared multi-probe ladder (single probe = the
     // qbucket slice of mp), and recall joins the top-k id lists.

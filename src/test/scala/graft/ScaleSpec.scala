@@ -101,6 +101,17 @@ class ScaleSpec extends AnyFunSuite {
       s"n2 must not rebuild signatures inline:\n$plan")
   }
 
+  test("n14 filtered ANN pushes the label predicate into the pruned scan") {
+    val d = "/root/testdata/sf0.001"
+    val n14 = SparkEntry.queries("n14_ann_filtered")(spark, d)
+    val plan = n14.queryExecution.executedPlan.toString
+    // the metadata filter must compose with bucket pruning AT THE SCAN:
+    // bucket prunes directories, label pushes down to the parquet reader
+    // — no post-scan-only filtering of an unpruned candidate set
+    assert(plan.contains("PartitionFilters: [bucket"), plan)
+    assert(plan.contains("EqualTo(label"), s"label must push to the scan:\n$plan")
+  }
+
   test("n4 IVF probes the materialized cell store with partition pruning") {
     val d = "/root/testdata/sf0.001"
     val n4 = SparkEntry.queries("n4_ann_ivf")(spark, d)
