@@ -130,7 +130,14 @@ object Bench {
       "n8_ann_multiprobe" -> 0.072, "n9_ann_batch" -> 0.953,
       "m1_media_dedup" -> 0.475, "m2_frame_sample" -> 0.206
     ).view.mapValues((_, 0.099)).toMap
-    main ++ add8 ++ add9 ++ add10
+    // round-10 additions (BPE training/encode, filtered ANN), recorded at
+    // a 0.124 s-floor session (with the cached-seed train: the uncached
+    // spelling read 2.81/2.69 s in the same-day 0.118 s-floor session)
+    val add10b = Map(
+      "x20_bpe_train" -> 0.976, "x21_bpe_encode" -> 1.205,
+      "n14_ann_filtered" -> 0.186
+    ).view.mapValues((_, 0.124)).toMap
+    main ++ add8 ++ add9 ++ add10 ++ add10b
   }
 
   def main(args: Array[String]): Unit = {

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -66,16 +66,22 @@ object Bpe {
       .agg(sum(col("wc")).as("pair_count"))
 
   /** One non-overlapping left-to-right merge pass of (l, r) → l+r over
-    * every vocab sequence, as a map-only fold.
+    * a space-joined symbol sequence — the shared fold at the heart of
+    * both training (vocab rewrite per round) and live encoding
+    * (StreamDemos.bpeTokenCounts): merge when the accumulator's
+    * TRAILING SYMBOL is exactly `l` (the preceding-space check makes
+    * "x aa" not match l = "a") and the next symbol is `r`; the merged
+    * symbol never re-merges with a following `r` in the same pass.
     */
+  def mergeFold(seq: Column, l: String, r: String): Column =
+    aggregate(split(seq, " "), lit(""), (acc, x) =>
+      when(acc === lit(""), x)
+        .when(x === lit(r) && (acc === lit(l) ||
+          acc.endsWith(concat(lit(" "), lit(l)))), concat(acc, x))
+        .otherwise(concat(acc, lit(" "), x)))
+
   private def applyMerge(vocab: DataFrame, l: String, r: String): DataFrame =
-    vocab.select(col("word"),
-      aggregate(split(col("seq"), " "), lit(""), (acc, x) =>
-        when(acc === lit(""), x)
-          .when(x === lit(r) && (acc === lit(l) ||
-            acc.endsWith(concat(lit(" "), lit(l)))), concat(acc, x))
-          .otherwise(concat(acc, lit(" "), x))).as("seq"),
-      col("wc"))
+    vocab.select(col("word"), mergeFold(col("seq"), l, r).as("seq"), col("wc"))
 
   /** The trained chain: the post-merge vocabulary and the learned rules
     * (merge_round, lft, rgt, merged, pair_count). Each round collects
@@ -84,9 +90,16 @@ object Bpe {
     * whole pair aggregation once per downstream branch).
     */
   private def train(docs: DataFrame, rounds: Int)
-      : (DataFrame, Seq[(Int, String, String, String, Long)]) = {
+      : (DataFrame, Seq[(Int, String, String, String, Long)], DataFrame) = {
     require(rounds >= 1, "rounds >= 1")
-    var vocab = vocab0(docs)
+    // persist the seed vocabulary: it is VOCAB-sized (tiny next to the
+    // corpus) but its lineage is the one corpus-shaped tokenize+count —
+    // without the cache every round's pair-count action re-runs that
+    // scan+shuffle (round r pays r× the corpus work; measured 2.81 s →
+    // 0.98 s at sf0.1). The rounds themselves stay lazy narrow maps
+    // over the cached table.
+    val seed = vocab0(docs).persist()
+    var vocab: DataFrame = seed
     val learned = Seq.newBuilder[(Int, String, String, String, Long)]
     for (round <- 1 to rounds) {
       val best = pairCounts(vocab)
@@ -96,7 +109,17 @@ object Bpe {
       learned += ((round, l, r, l + r, c))
       vocab = applyMerge(vocab, l, r)
     }
-    (vocab, learned.result())
+    (vocab, learned.result(), seed)
+  }
+
+  /** The learned rules alone, in merge order — the model a live encoder
+    * ships (3 rules, not the vocabulary): see
+    * StreamDemos.bpeTokenCounts.
+    */
+  def learnedMerges(docs: DataFrame, rounds: Int = Rounds): Seq[(String, String)] = {
+    val (_, learned, seed) = train(docs, rounds)
+    seed.unpersist(false)
+    learned.map(t => (t._2, t._3))
   }
 
   /** The learned merge table: `rounds` rows of
@@ -106,8 +129,9 @@ object Bpe {
   def merges(docs: DataFrame, rounds: Int = Rounds): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    train(docs, rounds)._2
-      .toDF("merge_round", "lft", "rgt", "merged", "pair_count")
+    val (_, learned, seed) = train(docs, rounds)
+    seed.unpersist(false) // rules are local; nothing lazy still needs the seed
+    learned.toDF("merge_round", "lft", "rgt", "merged", "pair_count")
       .orderBy("merge_round")
   }
 
@@ -122,6 +146,9 @@ object Bpe {
     * take over — the plan shape is otherwise identical.)
     */
   def encode(docs: DataFrame, rounds: Int = Rounds): DataFrame = {
+    // the returned plan is lazy and still reads through the cached seed
+    // (we cannot unpersist before the caller executes it); the cache is
+    // vocab-sized and LRU-evictable, so leaving it resident is bounded
     val enc = train(docs, rounds)._1
       .select(col("word"), size(split(col("seq"), " ")).cast("long").as("n_sym"))
     docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))

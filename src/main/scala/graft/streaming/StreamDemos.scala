@@ -57,6 +57,31 @@ object StreamDemos {
       .drop("segs", "kept")
   }
 
+  /** Streaming BPE token accounting — x21's encode applied LIVE: the
+    * merge RULES are trained batch-side at tokenizer-build cadence
+    * (Bpe.learnedMerges — training needs corpus-wide pair counts a
+    * stream cannot see) and ship as literals (a handful of rules, far
+    * smaller than the vocabulary), so the per-document token count is
+    * a pure nested-higher-order expression: char-split each word, fold
+    * each learned merge over it left-to-right (the same
+    * [[graft.operators.Bpe.mergeFold]] the trainer applies), sum
+    * symbol counts. Zero state, no watermark — intake-side token
+    * budget accounting ahead of any stateful operator, and the batch/
+    * stream results are identical by construction (StreamingSpec
+    * cross-checks against Bpe.encode).
+    */
+  def bpeTokenCounts(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val nSym = (w: org.apache.spark.sql.Column) => {
+      val seq0 = trim(regexp_replace(w, "(.)", "$1 "))
+      val seqN = merges.foldLeft(seq0) { case (s, (l, r)) => graft.operators.Bpe.mergeFold(s, l, r) }
+      size(split(seqN, " ")).cast("long")
+    }
+    docs
+      .withColumn("n_words", size(split(col("text"), " ")).cast("long"))
+      .withColumn("n_bpe_tokens",
+        aggregate(transform(split(col("text"), " "), nSym), lit(0L), (a, x) => a + x))
+  }
+
   /** Windowed Count-Min cell build — live heavy-hitter monitoring: per
     * event-time window, the same md5-derived (h, b) sketch cells a13
     * probes in batch. State is windows × depth × width cells (bounded

@@ -61,6 +61,13 @@ class BpeSpec extends AnyFunSuite {
     assert(bad.count() === 0)
   }
 
+  test("x21 encode joins the vocab broadcast; no corpus-keyed sort-merge") {
+    val df = SparkEntry.queries("x21_bpe_encode")(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"vocab must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"no corpus-keyed SMJ expected:\n$plan")
+  }
+
   test("x20 gate query returns 3 deterministic rounds on the corpus") {
     val out = SparkEntry.queries("x20_bpe_train")(spark, "/root/testdata/sf0.001").collect()
     assert(out.length === 3)

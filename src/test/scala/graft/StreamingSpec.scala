@@ -104,6 +104,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.toSeq === streamed.toSeq)
   }
 
+  test("streaming BPE token counts match the batch encode rule-for-rule") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // rules trained on a BATCH corpus (pair counts need corpus-wide view)
+    val corpus = Seq((1L, "abc abc abc abd"), (2L, "abc cab")).toDF("doc_id", "text")
+    val rules = graft.operators.Bpe.learnedMerges(corpus, rounds = 2)
+    assert(rules === Seq(("a", "b"), ("ab", "c"))) // (a,b)=6 then (ab,c)=4
+    // live docs encoded map-side under the shipped rules — zero state
+    val ms = MemoryStream[RDoc]
+    val q = StreamDemos.bpeTokenCounts(ms.toDF(), rules)
+      .writeStream.format("memory").queryName("bpe_out").outputMode("append").start()
+    try {
+      ms.addData(RDoc(ts(1), "abc abd cab", "web"))
+      q.processAllAvailable()
+      val r = spark.table("bpe_out").collect().head
+      // abc->[abc]=1, abd->[ab,d]=2, cab->[c,ab]=2
+      assert((r.getAs[Long]("n_words"), r.getAs[Long]("n_bpe_tokens")) === ((3L, 5L)))
+      assert(q.lastProgress == null ||
+        Option(q.lastProgress.stateOperators).forall(_.isEmpty))
+    } finally q.stop()
+    // parity with the batch encode over the training corpus itself
+    val batch = graft.operators.Bpe.encode(corpus, rounds = 2)
+      .orderBy("doc_id").collect().map(r => (r.getLong(1), r.getLong(2)))
+    val streamed = StreamDemos.bpeTokenCounts(corpus, rules)
+      .select(col("doc_id"), col("n_words"), col("n_bpe_tokens"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(batch.toSeq === streamed.toSeq)
+  }
+
   test("streaming CMS cells match the batch sketch build") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
