@@ -130,13 +130,16 @@ object Bench {
       "n8_ann_multiprobe" -> 0.072, "n9_ann_batch" -> 0.953,
       "m1_media_dedup" -> 0.475, "m2_frame_sample" -> 0.206
     ).view.mapValues((_, 0.099)).toMap
-    // round-10 additions (BPE training/encode, filtered ANN), recorded at
-    // a 0.124 s-floor session (with the cached-seed train: the uncached
-    // spelling read 2.81/2.69 s in the same-day 0.118 s-floor session)
+    // round-10 additions (BPE training/encode, filtered ANN, retention
+    // cohorts), recorded at a 0.044 s-floor session — the cleanest floor
+    // observed on this VM; the same queries read 0.976/1.205/0.186 at a
+    // 0.124 s floor, i.e. ≈ pure floor scaling, which the per-entry
+    // clamp-at-1 gate handles. (Cached-seed BPE train; the uncached
+    // spelling read 2.81/2.69 s at the 0.118 s floor.)
     val add10b = Map(
-      "x20_bpe_train" -> 0.976, "x21_bpe_encode" -> 1.205,
-      "n14_ann_filtered" -> 0.186
-    ).view.mapValues((_, 0.124)).toMap
+      "x20_bpe_train" -> 0.471, "x21_bpe_encode" -> 0.606,
+      "n14_ann_filtered" -> 0.095, "w10_retention_cohorts" -> 0.420
+    ).view.mapValues((_, 0.044)).toMap
     main ++ add8 ++ add9 ++ add10 ++ add10b
   }
 

@@ -13,7 +13,8 @@ object Explain {
       else Seq("o1_serving_filter_limit", "j1_broadcast_join", "j3_star_join",
         "a1_pricing_summary", "o2_topk", "d2_minhash_lsh", "j8_asof_join",
         "o5_keyset_pagination", "j14_volume_shipping", "w9_funnel",
-        "d12_line_dedup", "a7_approx_sketch")
+        "d12_line_dedup", "a7_approx_sketch", "n14_ann_filtered",
+        "x21_bpe_encode")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

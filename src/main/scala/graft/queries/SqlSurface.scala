@@ -263,6 +263,32 @@ object SqlSurface {
         .withColumn("converted", col("first_purchase").isNotNull)
         .orderBy("user_id")
     },
+    // Retention cohorts — the standard event-telemetry rollup: users
+    // cohorted by first-touch day, activity counted per (cohort, day
+    // offset), retention as the active fraction of the cohort. Two
+    // corpus-shaped aggs (first-touch per user; distinct user-day —
+    // both map-side-combinable two-level aggregates), then everything
+    // is cohort×offset-sized: the cohort-size table broadcasts back.
+    // At 100 TB this is the shape that works: no window over the full
+    // event stream, no self-join of events against events — the only
+    // user-keyed join carries one row per user-day.
+    "w10_retention_cohorts" -> { (s, d) =>
+      val e = Tables.events(s, d)
+      val firstDay = e.groupBy("user_id")
+        .agg(date_trunc("day", min(col("ts"))).as("cohort_day"))
+      val activeDay = e.select(col("user_id"),
+        date_trunc("day", col("ts")).as("active_day")).distinct()
+      val cohortN = firstDay.groupBy("cohort_day").agg(count(lit(1)).as("cohort_n"))
+      firstDay.join(activeDay, "user_id")
+        .withColumn("day_offset", datediff(col("active_day"), col("cohort_day")).cast("long"))
+        .groupBy("cohort_day", "day_offset")
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .join(broadcast(cohortN), "cohort_day")
+        .withColumn("retention",
+          col("n_active").cast("double") / col("cohort_n").cast("double"))
+        .select("cohort_day", "day_offset", "n_active", "cohort_n", "retention")
+        .orderBy("cohort_day", "day_offset")
+    },
     // Hash function family (S4's sha-256 + the md5 the dedup keys use).
     "t15_hash_suite" -> { (s, d) =>
       Tables.documents(s, d)
@@ -615,6 +641,20 @@ object SqlSurface {
         |SELECT user_id, first_signup, min(conv_ts) AS first_purchase,
         |  (min(conv_ts) IS NOT NULL) AS converted
         |FROM j GROUP BY user_id, first_signup ORDER BY user_id""".stripMargin,
+    "w10_retention_cohorts" ->
+      """WITH fd AS (SELECT user_id, date_trunc('day', min(ts)) AS cohort_day
+        |  FROM events GROUP BY user_id),
+        |ad AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS active_day FROM events),
+        |co AS (SELECT cohort_day, CAST(count(*) AS BIGINT) AS cohort_n
+        |  FROM fd GROUP BY cohort_day),
+        |r AS (SELECT f.cohort_day,
+        |    CAST(date_diff('day', f.cohort_day, a.active_day) AS BIGINT) AS day_offset,
+        |    CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active
+        |  FROM fd f JOIN ad a USING (user_id) GROUP BY 1, 2)
+        |SELECT CAST(r.cohort_day AS TIMESTAMP) AS cohort_day, day_offset, n_active,
+        |  cohort_n, CAST(n_active AS DOUBLE) / CAST(cohort_n AS DOUBLE) AS retention
+        |FROM r JOIN co USING (cohort_day)
+        |ORDER BY cohort_day, day_offset""".stripMargin,
     "t15_hash_suite" ->
       """SELECT doc_id, md5(text) AS h_md5, sha256(text) AS h_sha256,
         |  sha256(source || '|' || lang) AS h_keyed

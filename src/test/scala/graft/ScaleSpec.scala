@@ -223,6 +223,19 @@ class ScaleSpec extends AnyFunSuite {
       s"n10 dense leg must prune to the probe buckets:\n$plan")
   }
 
+  test("w10 retention cohorts: combinable aggs, keyed joins, no stream-wide window") {
+    val d = "/root/testdata/sf0.001"
+    val df = SparkEntry.queries("w10_retention_cohorts")(spark, d)
+    val plan = executedPlan(df).split("== Initial Plan ==").head
+    // the rollup must be aggregation-shaped: no window over the event
+    // stream, no event×event product — both corpus passes are two-level
+    // HashAggregates and every join is keyed
+    assert(!plan.contains("Window ["), s"no stream-wide window expected:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"no event self-product expected:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"cohort sizes must broadcast:\n$plan")
+  }
+
   test("d11 semantic dedup pairs only within cells: keyed join, no product") {
     val d = "/root/testdata/sf0.001"
     val plan = SparkEntry.queries("d11_semantic_dedup")(spark, d)
