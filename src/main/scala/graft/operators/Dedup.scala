@@ -674,6 +674,37 @@ object Dedup {
       graft.functions.GraftFunctions.register(s)
       semanticDedupVerdicts(Ivf.kmeansVectors(s, d), threshold = 0.35)
         .orderBy("vec_id")
+    },
+    // Incremental dedup — the continuous-ingest shape: an ARRIVING batch
+    // (deterministic 10% slice here) probed against the EXISTING corpus's
+    // materialized LSH store, asymmetrically. The existing side is never
+    // re-signed and never self-joined; the probe is a band-keyed join of
+    // batch-sized bands against the store, with the d2 skew cap applied
+    // to EXISTING bucket sizes (a viral existing bucket would otherwise
+    // fan every arriving member out by its size). Emits, per new doc,
+    // the nearest existing near-dup (min doc_id), the match count, and a
+    // novelty verdict — the admit/reject signal an ingest pipeline gates
+    // on. At 100 TB: store-side work is one pruned parquet scan per
+    // batch, cost scales with the BATCH, not the corpus.
+    "d13_incremental_dedup" -> { (s, d) =>
+      val isNew = col("doc_id") % 10 === 7
+      val ex = bands(s, d).filter(!isNew)
+      val nw = bands(s, d).filter(isNew)
+      val hot = ex.groupBy("band_id", "bh")
+        .agg(count(lit(1)).as("bsz"))
+        .filter(col("bsz") > MaxBucketDocs)
+        .select("band_id", "bh")
+      val exCapped = ex.join(broadcast(hot), Seq("band_id", "bh"), "left_anti")
+      val matches = nw
+        .join(exCapped.select(col("doc_id").as("dup_of"), col("band_id"), col("bh")),
+          Seq("band_id", "bh"))
+        .groupBy("doc_id")
+        .agg(min(col("dup_of")).as("nearest_existing"),
+          countDistinct(col("dup_of")).as("n_matches"))
+      sigStore(s, d).filter(isNew).select("doc_id")
+        .join(matches, Seq("doc_id"), "left")
+        .withColumn("is_novel", col("nearest_existing").isNull)
+        .orderBy("doc_id")
     }
   )
 
@@ -713,6 +744,23 @@ object Dedup {
          |SELECT n.vec_id, n.cell, dup.dup_of, (dup.dup_of IS NULL) AS is_kept
          |FROM n LEFT JOIN dup USING (vec_id)
          |ORDER BY n.vec_id""".stripMargin,
+    "d13_incremental_dedup" ->
+      s"""WITH $shinglesCte, $mhCte, $bandsCte,
+         |nw AS (SELECT * FROM bands WHERE doc_id % 10 = 7),
+         |ex AS (SELECT * FROM bands WHERE doc_id % 10 <> 7),
+         |ehot AS (SELECT band_id, bh FROM ex GROUP BY band_id, bh
+         |  HAVING count(*) > $MaxBucketDocs),
+         |ecap AS (SELECT e.* FROM ex e ANTI JOIN ehot h
+         |  ON e.band_id = h.band_id AND e.bh = h.bh),
+         |m AS (SELECT n.doc_id, min(e.doc_id) AS nearest_existing,
+         |    CAST(count(DISTINCT e.doc_id) AS BIGINT) AS n_matches
+         |  FROM nw n JOIN ecap e ON n.band_id = e.band_id AND n.bh = e.bh
+         |  GROUP BY n.doc_id),
+         |nd AS (SELECT doc_id FROM mh WHERE doc_id % 10 = 7)
+         |SELECT nd.doc_id, m.nearest_existing, m.n_matches,
+         |  (m.nearest_existing IS NULL) AS is_novel
+         |FROM nd LEFT JOIN m USING (doc_id)
+         |ORDER BY nd.doc_id""".stripMargin,
     "d10_substring_dedup" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
         |pos AS (SELECT doc_id, l, unnest(generate_series(1, len(l)-4)) AS i

@@ -236,6 +236,18 @@ class ScaleSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), s"cohort sizes must broadcast:\n$plan")
   }
 
+  test("d13 incremental dedup probes the store batch-vs-existing, no self-product") {
+    val d = "/root/testdata/sf0.001"
+    val plan = SparkEntry.queries("d13_incremental_dedup")(spark, d)
+      .queryExecution.executedPlan.toString
+    // the arriving batch joins the existing bands on (band_id, bh) —
+    // keyed, capped, and asymmetric; never an all-pairs product, and the
+    // skew cap rides a broadcast anti-join (no extra band shuffle)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"d13 probe must stay band-keyed:\n$plan")
+    assert(plan.contains("LeftAnti"), s"existing-bucket cap must be an anti-join:\n$plan")
+  }
+
   test("d11 semantic dedup pairs only within cells: keyed join, no product") {
     val d = "/root/testdata/sf0.001"
     val plan = SparkEntry.queries("d11_semantic_dedup")(spark, d)
