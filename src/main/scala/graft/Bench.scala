@@ -140,9 +140,10 @@ object Bench {
       "x20_bpe_train" -> 0.471, "x21_bpe_encode" -> 0.606,
       "n14_ann_filtered" -> 0.095, "w10_retention_cohorts" -> 0.420
     ).view.mapValues((_, 0.044)).toMap
-    // d13 recorded in the (equally clean) 0.047 s-floor session that
-    // followed
-    val add10c = Map("d13_incremental_dedup" -> ((0.241, 0.047)))
+    // d13 and n15 recorded in the (equally clean) 0.047/0.049 s-floor
+    // sessions that followed
+    val add10c = Map("d13_incremental_dedup" -> ((0.241, 0.047)),
+      "n15_ann_ivfpq" -> ((0.229, 0.049)))
     main ++ add8 ++ add9 ++ add10 ++ add10b ++ add10c
   }
 

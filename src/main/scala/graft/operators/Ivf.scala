@@ -106,6 +106,19 @@ object Ivf {
     kmeansStore(s, d)
   }
 
+  /** The n4 label-quantizer's nprobe cells for the vec_id-0 query, as
+    * literals — driver-side planning state shared with the IVF-PQ
+    * composition (Pq n15), same decimal arithmetic as [[probe]].
+    */
+  private[operators] def labelProbeCells(s: SparkSession, d: String): Seq[Int] = {
+    val (cent, _) = cellStore(s, d)
+    val qd = Similarity.paramVec(s, d, 0L).map(_.toDouble)
+    cent.map { case (cell, c) => (cell, Cols.decimalSqDist(qd, c).doubleValue()) }
+      .sortBy { case (cell, d2) => (d2, cell) }.take(NProbe).map(_._1).toSeq
+  }
+
+  private[operators] def nProbe: Int = NProbe
+
   /** Query-time IVF probe shared by n4/n6 (driver-side planning,
     * mirroring n2's serving path): fetch the query vector (pushed-filter
     * point read) and score it against the k×dims centroid cache with the

@@ -112,6 +112,19 @@ class ScaleSpec extends AnyFunSuite {
     assert(plan.contains("EqualTo(label"), s"label must push to the scan:\n$plan")
   }
 
+  test("n15 IVF-PQ scans only the probed cell directories of the codes store") {
+    val d = "/root/testdata/sf0.001"
+    val n15 = SparkEntry.queries("n15_ann_ivfpq")(spark, d)
+    val plan = n15.queryExecution.executedPlan.toString
+    // the refine plan itself is an R-row pushed-filter point read; the
+    // cell pruning happened in the already-executed shortlist job, so
+    // assert it directly on the pruned codes relation
+    assert(plan.contains("PushedFilters: [In(vec_id"), s"refine must be a point read:\n$plan")
+    val codesPlan = graft.operators.Pq.prunedCodesPlan(spark, d)
+    assert(codesPlan.contains("PartitionFilters: [cell"),
+      s"codes scan must prune to the probe cells:\n$codesPlan")
+  }
+
   test("n4 IVF probes the materialized cell store with partition pruning") {
     val d = "/root/testdata/sf0.001"
     val n4 = SparkEntry.queries("n4_ann_ivf")(spark, d)
