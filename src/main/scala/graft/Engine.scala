@@ -150,6 +150,22 @@ object Engine {
       targets: Map[String, Long]): DataFrame =
     operators.TextAnalysis.domainMix(docs, domainCol, targets)
 
+  /** [[domainMix]] with data-derived targets (x22): targets stay a
+    * #domains-row DataFrame that broadcasts, never a driver collect.
+    */
+  def domainMixDf(docs: DataFrame, domainCol: String,
+      targets: DataFrame): DataFrame =
+    operators.TextAnalysis.domainMixDf(docs, domainCol, targets)
+
+  /** Cross-corpus bigram-LM scoring (x23's core): the model trains on
+    * `train` (the target domain), scores `score` (the whole corpus) —
+    * CCNet's filter shape. Documents sharing no vocabulary with the
+    * training domain produce no row; keep them with a left join.
+    */
+  def lmScoreCross(train: DataFrame, score: DataFrame,
+      lambda: Double = 0.7, minDf: Long = 1L): DataFrame =
+    operators.Curation.lmScoreCross(train, score, lambda, minDf)
+
   /** Gopher-style rule-based admission filter (x16): per-document
     * measures + verdict under the given thresholds. Pure map — run it
     * first in any curation sweep.

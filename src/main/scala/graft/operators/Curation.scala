@@ -184,6 +184,43 @@ object Curation {
       .withColumn("is_fluent", col("avg_logp") > fluentAt)
   }
 
+  /** Cross-corpus LM scoring — [[bigramLm]]'s model tables trained on
+    * `train`, applied to `score` (CCNet's shape: the LM comes from the
+    * target domain, the corpus being filtered is everything). Score
+    * pairs whose bigram is unseen in training back off to the unigram
+    * leg; pairs whose SECOND word is outside the training vocabulary
+    * have no probability at all and are dropped (n_pairs counts only
+    * scorable pairs — a document with none disappears here; x23's
+    * bucket query left-joins it back as 'unscored'). Same `minDf`
+    * broadcast-cap lever as [[bigramLm]].
+    */
+  def lmScoreCross(train: DataFrame, score: DataFrame, lambda: Double = Lambda,
+      minDf: Long = 1L): DataFrame = {
+    val pairs = bigramPairs(train)
+    val cBi = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c_bi"))
+      .filter(col("c_bi") >= minDf)
+    val cW1 = pairs.groupBy("w1").agg(count(lit(1)).as("c_w1"))
+    val toks = train.select(explode(split(col("text"), " ")).as("word"))
+    val cUni = toks.groupBy("word").agg(count(lit(1)).as("c_uni"))
+    val total = toks.agg(count(lit(1)).as("total"))
+    val lp = cBi.join(cW1, "w1")
+      .join(cUni.withColumnRenamed("word", "w2"), "w2")
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"), round(log(
+        lit(lambda) * (col("c_bi").cast("double") / col("c_w1").cast("double")) +
+          lit(1.0 - lambda) * (col("c_uni").cast("double") / col("total").cast("double"))), 9).as("lp"))
+    val uniLp = cUni.crossJoin(broadcast(total))
+      .select(col("word").as("w2"), round(log(
+        lit(1.0 - lambda) * (col("c_uni").cast("double") / col("total").cast("double"))), 9).as("lp_uni"))
+    bigramPairs(score).join(broadcast(lp), Seq("w1", "w2"), "left")
+      .join(broadcast(uniLp), Seq("w2"))
+      .select(col("doc_id"), coalesce(col("lp"), col("lp_uni")).as("lp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        (sum(col("lp").cast(DecimalType(28, 12))).cast("double") /
+          count(lit(1)).cast("double")).as("avg_logp"))
+  }
+
   /** Oracle CTE list ending in `pr(doc_id, w1, w2)` — the positional-
     * join SQL spelling of [[bigramPairs]] (DuckDB generates an empty
     * series for one-token docs, so no explicit guard is needed).
@@ -606,6 +643,40 @@ object Curation {
     "x17_bigram_lm" -> { (s, d) =>
       bigramLm(Tables.documents(s, d)).orderBy("doc_id")
     },
+    // CCNet-style perplexity bucketing: the LM is trained on the
+    // TARGET domain only (the English subset) and applied to the whole
+    // corpus; documents land in head/middle/tail by their score's
+    // z-position against the global (μ, σ) of scored docs — CCNet's
+    // percentile split re-expressed as a moment split so the cutoffs
+    // are a 1-row combinable aggregate (an exact percentile over all
+    // scores would collect corpus-shaped state; moments broadcast).
+    // Docs sharing no vocabulary with the training domain are kept and
+    // labeled 'unscored' rather than silently dropped. Scale shape:
+    // model tables broadcast (x17), scoring is a map-side pair stream,
+    // stats are one tiny agg broadcast back — no global sort anywhere.
+    "x23_ccnet_buckets" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val scored = lmScoreCross(docs.filter(col("lang") === "en"), docs)
+      val stats = scored.agg(
+          count(lit(1)).as("n"),
+          graft.Cols.dsum(col("avg_logp")).as("s1"),
+          graft.Cols.dsum(col("avg_logp") * col("avg_logp")).as("s2"))
+        .select(
+          (col("s1") / col("n").cast("double")).as("mu"),
+          sqrt(col("s2") / col("n").cast("double") -
+            (col("s1") / col("n").cast("double")) * (col("s1") / col("n").cast("double")))
+            .as("sigma"))
+      docs.select("doc_id", "lang").join(scored, Seq("doc_id"), "left")
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"), col("lang"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+          col("avg_logp"),
+          when(col("avg_logp").isNull, "unscored")
+            .when(col("avg_logp") > col("mu") + lit(0.25) * col("sigma"), "head")
+            .when(col("avg_logp") < col("mu") - lit(0.25) * col("sigma"), "tail")
+            .otherwise("middle").as("bucket"))
+        .orderBy("doc_id")
+    },
     // TextRank keyword weights: 3 unrolled PageRank rounds over the
     // vocabulary-sized bigram co-occurrence graph.
     "x18_textrank" -> { (s, d) =>
@@ -657,6 +728,50 @@ object Curation {
   def oracles: Map[String, String] = Map(
     "x16_quality_rules" -> qualityRulesSql(QualityRules()),
     "x17_bigram_lm" -> bigramLmSql,
+    // Train CTEs restricted to lang='en'; score pairs over all docs;
+    // unigram backoff for pruned/unseen bigrams; moment-split buckets.
+    "x23_ccnet_buckets" ->
+      s"""WITH tr AS (SELECT doc_id, text FROM documents WHERE lang = 'en'),
+         |arrs AS (SELECT doc_id, string_split(text, ' ') AS a FROM tr),
+         |idx AS (SELECT doc_id, a, unnest(generate_series(1, len(a) - 1)) AS i FROM arrs),
+         |pr AS (SELECT doc_id, a[i] AS w1, a[i + 1] AS w2 FROM idx),
+         |cbi AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_bi FROM pr GROUP BY w1, w2),
+         |cw1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c_w1 FROM pr GROUP BY w1),
+         |toks AS (SELECT unnest(string_split(text, ' ')) AS word FROM tr),
+         |cuni AS (SELECT word, CAST(count(*) AS BIGINT) AS c_uni FROM toks GROUP BY word),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM toks),
+         |lp AS (SELECT w1, w2,
+         |    round(ln($Lambda * (CAST(c_bi AS DOUBLE) / CAST(c_w1 AS DOUBLE)) +
+         |      ${1.0 - Lambda} * (CAST(c_uni AS DOUBLE) / CAST(total AS DOUBLE))), 9) AS lp
+         |  FROM cbi JOIN cw1 USING (w1) JOIN cuni ON cuni.word = cbi.w2, tot),
+         |ulp AS (SELECT word AS w2,
+         |    round(ln(${1.0 - Lambda} * (CAST(c_uni AS DOUBLE) / CAST(total AS DOUBLE))), 9) AS lp_uni
+         |  FROM cuni, tot),
+         |sarrs AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+         |sidx AS (SELECT doc_id, a, unnest(generate_series(1, len(a) - 1)) AS i FROM sarrs),
+         |spr AS (SELECT doc_id, a[i] AS w1, a[i + 1] AS w2 FROM sidx),
+         |sc AS (SELECT p.doc_id, COALESCE(l.lp, u.lp_uni) AS lp
+         |  FROM spr p LEFT JOIN lp l ON p.w1 = l.w1 AND p.w2 = l.w2
+         |  JOIN ulp u ON p.w2 = u.w2),
+         |scored AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+         |    CAST(SUM(CAST(lp AS DECIMAL(28,12))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_logp
+         |  FROM sc GROUP BY doc_id),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(SUM(CAST(avg_logp AS DECIMAL(28,6))) AS DOUBLE) AS s1,
+         |    CAST(SUM(CAST(avg_logp * avg_logp AS DECIMAL(28,6))) AS DOUBLE) AS s2
+         |  FROM scored),
+         |stats AS (SELECT s1 / CAST(n AS DOUBLE) AS mu,
+         |    sqrt(s2 / CAST(n AS DOUBLE) -
+         |      (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE))) AS sigma
+         |  FROM st)
+         |SELECT d.doc_id, d.lang, COALESCE(s.n_pairs, CAST(0 AS BIGINT)) AS n_pairs,
+         |  s.avg_logp,
+         |  CASE WHEN s.avg_logp IS NULL THEN 'unscored'
+         |    WHEN s.avg_logp > mu + 0.25 * sigma THEN 'head'
+         |    WHEN s.avg_logp < mu - 0.25 * sigma THEN 'tail'
+         |    ELSE 'middle' END AS bucket
+         |FROM documents d LEFT JOIN scored s USING (doc_id), stats
+         |ORDER BY d.doc_id""".stripMargin,
     "x18_textrank" -> textrankSql,
     "a13_cms_freq" -> cmsFreqSql("user_id"),
     "a14_hll_distinct" -> hllDistinctSql("user_id"),

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.Tables
 
 /** Text-analysis operators over the `documents` table: language ID,
@@ -126,11 +127,20 @@ object TextAnalysis {
     * up-sample explode is narrow.
     */
   def domainMix(docs: DataFrame, domainCol: String, targets: Map[String, Long],
+      salt: String = "mix"): DataFrame =
+    domainMixDf(docs, domainCol,
+      docs.sparkSession.createDataFrame(targets.toSeq).toDF(domainCol, "target"), salt)
+
+  /** [[domainMix]] with the targets as a `(domain, target)` DataFrame —
+    * the fully-distributed form: when targets are DERIVED from the data
+    * (x22's temperature formula), they stay a #domains-row relation that
+    * broadcasts, never a driver collect.
+    */
+  def domainMixDf(docs: DataFrame, domainCol: String, targets: DataFrame,
       salt: String = "mix"): DataFrame = {
-    val t = docs.sparkSession.createDataFrame(targets.toSeq).toDF(domainCol, "target")
     val sizes = docs.groupBy(col(domainCol)).agg(count(lit(1)).as("n_domain"))
     mixRank(docs, domainCol, salt)
-      .join(broadcast(t), Seq(domainCol))
+      .join(broadcast(targets), Seq(domainCol))
       .join(broadcast(sizes), Seq(domainCol))
       .filter(col("rn") <= col("target"))
       .withColumn("replica",
@@ -380,6 +390,32 @@ object TextAnalysis {
         .select("doc_id", "lang", "source", "rn")
         .orderBy("doc_id")
     },
+    // Temperature-based mixture resampling (the XLM-R / mT5 recipe):
+    // domains are re-weighted ∝ n^α with α = 0.5, so high-resource
+    // languages down-sample and low-resource languages UP-sample
+    // (replica > 0 rows — the domainMix path x15's equal-allocation
+    // special case never exercises), holding total size ≈ constant.
+    // Targets are derived fully in-plan — per-lang counts → √n weights
+    // (decimal-summed so the normalizer is accumulation-order-exact) →
+    // floor(T · w/Z) — a #langs-row relation that broadcasts into
+    // [[domainMixDf]]'s sharded-rank selection. Nothing corpus-shaped
+    // moves except the two count aggregates and the final narrow
+    // explode; at 100 TB the mixture math is free and the resample is
+    // one map-side join per doc.
+    "x22_temperature_mix" -> { (s, d) =>
+      val docs = Tables.documents(s, d).select("doc_id", "lang", "source")
+      val c = docs.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+      val w = c.withColumn("wdec",
+        sqrt(col("n_lang").cast("double")).cast(DecimalType(28, 12)))
+      val z = w.agg(sum(col("wdec")).as("z"),
+        sum(col("n_lang")).as("t"))
+      val tgt = w.crossJoin(broadcast(z))
+        .select(col("lang"),
+          floor(col("t").cast("double") *
+            (col("wdec").cast("double") / col("z").cast("double"))).cast("long").as("target"))
+      domainMixDf(docs, "lang", tgt, salt = "tmix")
+        .orderBy("doc_id", "replica")
+    },
     // Fingerprint: md5 over the sorted distinct token set (key-collision
     // clustering); canonical doc per fingerprint via window min.
     "x4_fingerprint" -> { (s, d) =>
@@ -563,6 +599,36 @@ object TextAnalysis {
         |SELECT doc_id, lang, source, before + srn AS rn
         |FROM ranked JOIN off USING (lang, hshard), t
         |WHERE before + srn <= target ORDER BY doc_id""".stripMargin,
+    // x15's sharded-rank spelling (salt 'tmix') + the temperature-target
+    // CTEs: √n weights decimal-summed for the normalizer, targets
+    // floor(T·w/Z) — identical IEEE op order to the Spark side — and the
+    // up-sample leg unnesting replica copies.
+    "x22_temperature_mix" ->
+      """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_lang FROM documents GROUP BY lang),
+        |w AS (SELECT lang, n_lang,
+        |    CAST(sqrt(CAST(n_lang AS DOUBLE)) AS DECIMAL(28,12)) AS wdec FROM c),
+        |z AS (SELECT SUM(wdec) AS z, CAST(SUM(n_lang) AS BIGINT) AS t FROM w),
+        |tgt AS (SELECT lang,
+        |    CAST(floor(CAST(t AS DOUBLE) * (CAST(wdec AS DOUBLE) / CAST(z AS DOUBLE))) AS BIGINT) AS target
+        |  FROM w, z),
+        |base AS (SELECT doc_id, lang, source,
+        |    md5('tmix|' || CAST(doc_id AS VARCHAR)) AS h,
+        |    substr(md5('tmix|' || CAST(doc_id AS VARCHAR)), 1, 1) AS hshard
+        |  FROM documents),
+        |ranked AS (SELECT doc_id, lang, source, hshard,
+        |    CAST(row_number() OVER (PARTITION BY lang, hshard
+        |      ORDER BY h, doc_id) AS BIGINT) AS srn
+        |  FROM base),
+        |off AS (SELECT lang, hshard,
+        |    CAST(COALESCE(SUM(sc) OVER (PARTITION BY lang ORDER BY hshard
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS before
+        |  FROM (SELECT lang, hshard, count(*) AS sc FROM base GROUP BY lang, hshard)),
+        |sel AS (SELECT r.doc_id, r.lang, r.source, before + srn AS rn, target, n_lang
+        |  FROM ranked r JOIN off USING (lang, hshard) JOIN tgt USING (lang) JOIN c USING (lang)
+        |  WHERE before + srn <= target)
+        |SELECT doc_id, lang, source, rn,
+        |  unnest(generate_series(0, (target - rn) // n_lang)) AS replica
+        |FROM sel ORDER BY doc_id, replica""".stripMargin,
     "x4_fingerprint" ->
       """WITH f AS (
         |  SELECT doc_id,

@@ -289,6 +289,30 @@ object SqlSurface {
         .select("cohort_day", "day_offset", "n_active", "cohort_n", "retention")
         .orderBy("cohort_day", "day_offset")
     },
+    // SCD2 interval build — reconstruct slowly-changing-dimension
+    // validity windows from the raw event log: collapse each user's
+    // stream to its state CHANGE points (lag over the user partition),
+    // then close every version with the next change's start (lead) —
+    // the open version has valid_to NULL. The warehouse op that turns
+    // an append-only log into an as-of-joinable dimension (j8's asof
+    // join is the consumer side of exactly this table). Both windows
+    // partition by user_id — no global window, no self-join; at 100 TB
+    // this is one shuffle on the natural key and two linear passes.
+    "w11_scd2_intervals" -> { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val chg = Tables.events(s, d)
+        .withColumn("prev_state", lag(col("event_type"), 1).over(w))
+        .filter(!(col("prev_state") <=> col("event_type")))
+      chg.select(col("user_id"), col("event_type").as("state"),
+          col("ts").as("valid_from"), col("event_id"))
+        .withColumn("valid_to", lead(col("valid_from"), 1).over(
+          Window.partitionBy(col("user_id")).orderBy(col("valid_from"), col("event_id"))))
+        .withColumn("version", row_number().over(
+          Window.partitionBy(col("user_id")).orderBy(col("valid_from"), col("event_id"))).cast("long"))
+        .withColumn("is_current", col("valid_to").isNull)
+        .select("user_id", "version", "state", "valid_from", "valid_to", "is_current")
+        .orderBy("user_id", "version")
+    },
     // Hash function family (S4's sha-256 + the md5 the dedup keys use).
     "t15_hash_suite" -> { (s, d) =>
       Tables.documents(s, d)
@@ -655,6 +679,21 @@ object SqlSurface {
         |  cohort_n, CAST(n_active AS DOUBLE) / CAST(cohort_n AS DOUBLE) AS retention
         |FROM r JOIN co USING (cohort_day)
         |ORDER BY cohort_day, day_offset""".stripMargin,
+    "w11_scd2_intervals" ->
+      """WITH chg AS (
+        |  SELECT user_id, event_type AS state, ts AS valid_from, event_id
+        |  FROM (SELECT user_id, event_type, ts, event_id,
+        |      lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_state
+        |    FROM events)
+        |  WHERE prev_state IS DISTINCT FROM event_type)
+        |SELECT user_id,
+        |  CAST(row_number() OVER w AS BIGINT) AS version,
+        |  state, valid_from,
+        |  lead(valid_from) OVER w AS valid_to,
+        |  (lead(valid_from) OVER w IS NULL) AS is_current
+        |FROM chg
+        |WINDOW w AS (PARTITION BY user_id ORDER BY valid_from, event_id)
+        |ORDER BY user_id, version""".stripMargin,
     "t15_hash_suite" ->
       """SELECT doc_id, md5(text) AS h_md5, sha256(text) AS h_sha256,
         |  sha256(source || '|' || lang) AS h_keyed

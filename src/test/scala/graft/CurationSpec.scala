@@ -166,6 +166,30 @@ class CurationSpec extends AnyFunSuite {
       s"backoff must be the unigram leg: ${r9.getDouble(2)} vs $expected")
   }
 
+  test("lmScoreCross: train/score separation, unseen-bigram backoff, OOV drop") {
+    // model trains ONLY on docs 1-2; corpus also has 10 (reordered in-vocab
+    // words → unseen bigrams) and 11 (entirely out-of-vocabulary)
+    val train = Seq((1L, "a b c"), (2L, "a b d")).toDF("doc_id", "text")
+    val corpus = (Seq((1L, "a b c"), (2L, "a b d"),
+      (10L, "c b a"), (11L, "zz yy")))
+      .toDF("doc_id", "text")
+    val got = Curation.lmScoreCross(train, corpus).orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // doc 11 shares no vocabulary with the training domain: no row at all
+    assert(got.keySet === Set(1L, 2L, 10L), "OOV-only docs must drop, not score 0")
+    // train vocab: tokens a,b×2? a b c a b d → total 6; p(b)=2/6, p(a)=2/6, p(c)=p(d)=1/6
+    // doc 10 pairs: (c,b) and (b,a) — both unseen bigrams → unigram leg only
+    val lnUnigram = (w2Count: Long) => BigDecimal.decimal(
+      math.log((1.0 - 0.7) * (w2Count.toDouble / 6.0)))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected10 = (lnUnigram(2) + lnUnigram(2)) / 2.0 // p(b), p(a)
+    assert(got(10L)._1 === 2L)
+    assert(math.abs(got(10L)._2 - expected10) < 1e-9,
+      s"unseen bigrams must back off to the unigram leg: ${got(10L)._2} vs $expected10")
+    // in-domain docs score strictly better than the reordered one
+    assert(got(1L)._2 > got(10L)._2 && got(2L)._2 > got(10L)._2)
+  }
+
   test("kmeansAssign separates obvious clusters at caller-chosen k") {
     // Two tight blobs in 2-d, membership aligned with vec_id parity so
     // the deterministic vec_id%k seed starts near the blobs (a parity-

@@ -231,4 +231,49 @@ class EngineSpec extends AnyFunSuite {
       .orderBy("rn").collect().map(_.getAs[Long]("doc_id"))
     assert(extras === rankOrder.take((target % n).toInt).toSet)
   }
+
+  test("temperature mix (x22): targets are floor(T·√n/Z); low-resource langs upsample") {
+    val docs = Tables.documents(spark, d).select("doc_id", "lang", "source")
+    val counts = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum
+    val z = counts.values.toSeq.sorted.map(n => BigDecimal.decimal(math.sqrt(n.toDouble))
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP)).sum
+    val mixed = SparkEntry.queries("x22_temperature_mix")(spark, d).collect()
+    val got = mixed.groupBy(_.getAs[String]("lang")).view.mapValues(_.length.toLong).toMap
+    counts.foreach { case (lang, n) =>
+      val want = math.floor(total.toDouble * (math.sqrt(n.toDouble) / z.toDouble)).toLong
+      assert(math.abs(got(lang) - want) <= 1,
+        s"$lang: expected ~$want (±1 for normalizer summation order) got ${got(lang)}")
+      // α = 0.5 moves every domain toward the mean: smaller-than-average
+      // langs up-sample (replicas appear), larger ones down-sample
+      if (want > n)
+        assert(mixed.exists(r => r.getAs[String]("lang") == lang && r.getAs[Long]("replica") > 0L),
+          s"$lang is low-resource ($n -> $want) but produced no replica rows")
+      else assert(got(lang) <= n)
+    }
+    // size-preserving up to per-domain floors
+    assert(math.abs(mixed.length.toLong - total) <= counts.size.toLong)
+  }
+
+  test("scd2 intervals (w11): versions contiguous, chained, one open per user") {
+    val rows = SparkEntry.queries("w11_scd2_intervals")(spark, d).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("user_id")).foreach { case (u, vs) =>
+      val sorted = vs.sortBy(_.getAs[Long]("version"))
+      assert(sorted.map(_.getAs[Long]("version")).toSeq ===
+        (1L to sorted.length.toLong), s"user $u versions must be 1..n")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[java.sql.Timestamp]("valid_to") ===
+            b.getAs[java.sql.Timestamp]("valid_from"),
+            s"user $u: version chain must be gapless")
+          assert(a.getAs[String]("state") != b.getAs[String]("state"),
+            s"user $u: consecutive versions must change state")
+        case _ =>
+      }
+      assert(sorted.count(_.getAs[Boolean]("is_current")) === 1, s"user $u: one open version")
+      assert(sorted.last.getAs[Boolean]("is_current"), s"user $u: the LAST version is open")
+    }
+  }
 }
