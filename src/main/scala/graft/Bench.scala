@@ -144,7 +144,13 @@ object Bench {
     // sessions that followed
     val add10c = Map("d13_incremental_dedup" -> ((0.241, 0.047)),
       "n15_ann_ivfpq" -> ((0.229, 0.049)))
-    main ++ add8 ++ add9 ++ add10 ++ add10b ++ add10c
+    // temperature mix / CCNet buckets / SCD2 intervals, recorded at a
+    // 0.057 s-floor session (suite total 32.0 s, zero regressions)
+    val add10d = Map(
+      "x22_temperature_mix" -> ((0.426, 0.057)),
+      "x23_ccnet_buckets" -> ((0.719, 0.057)),
+      "w11_scd2_intervals" -> ((0.259, 0.057)))
+    main ++ add8 ++ add9 ++ add10 ++ add10b ++ add10c ++ add10d
   }
 
   def main(args: Array[String]): Unit = {
