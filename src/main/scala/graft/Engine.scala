@@ -157,6 +157,14 @@ object Engine {
       targets: DataFrame): DataFrame =
     operators.TextAnalysis.domainMixDf(docs, domainCol, targets)
 
+  /** Naive Bayes quality classifier (x24): closed-form count-based
+    * training against the `isPos` target-domain predicate, smoothed
+    * per-word log-odds broadcast back over the token stream. Returns
+    * (doc_id, n_tokens, log_odds, pred_pos).
+    */
+  def nbClassifier(docs: DataFrame, isPos: org.apache.spark.sql.Column): DataFrame =
+    operators.Curation.nbClassifier(docs, isPos)
+
   /** Cross-corpus bigram-LM scoring (x23's core): the model trains on
     * `train` (the target domain), scores `score` (the whole corpus) —
     * CCNet's filter shape. Documents sharing no vocabulary with the

@@ -184,6 +184,57 @@ object Curation {
       .withColumn("is_fluent", col("avg_logp") > fluentAt)
   }
 
+  // ── x24: Naive Bayes quality classifier ────────────────────────────
+
+  /** Binary Naive Bayes over unigram features — the count-based
+    * stand-in for the linear "quality classifier" step of GPT-3/LLaMA-
+    * style curation (train on a high-quality target domain vs the rest,
+    * keep documents the classifier scores positive). Training is
+    * closed-form: per-class token counts with Laplace smoothing
+    * (α = 1 over the joint vocabulary), so the whole model is two
+    * vocabulary-sized count tables that broadcast — no gradient loop,
+    * no driver-side state. Scoring is one map-side join over the token
+    * stream: each token contributes
+    * `ln((c_pos+1)/(T_pos+V)) − ln((c_neg+1)/(T_neg+V))` (rounded to 9
+    * decimals; tokens unseen in training fall back to the smoothed
+    * floor of both classes), summed exactly via DECIMAL(28,12) so
+    * accumulation order can't flip the verdict, plus the class prior
+    * `ln(N_pos/N_neg)`. Output: (doc_id, n_tokens, log_odds, pred_pos).
+    *
+    * At 100 TB: the corpus-shaped work is one explode + one count agg
+    * and one broadcast-join scoring pass; the model is vocab-sized.
+    * Same broadcast-cap caveat as [[bigramLm]] — prune the vocabulary
+    * by document frequency if it outgrows the executor broadcast limit.
+    */
+  def nbClassifier(docs: DataFrame, isPos: Column): DataFrame = {
+    val labeled = docs.select(col("doc_id"), col("text"), isPos.as("pos"))
+    val toks = labeled.select(col("doc_id"), col("pos"),
+      explode(split(col("text"), " ")).as("word"))
+    val byClass = toks.groupBy("word").agg(
+      sum(when(col("pos"), 1L).otherwise(0L)).as("c_pos"),
+      sum(when(col("pos"), 0L).otherwise(1L)).as("c_neg"))
+    val totals = byClass.agg(
+      sum(col("c_pos")).as("t_pos"), sum(col("c_neg")).as("t_neg"),
+      count(lit(1)).as("v"))
+    val prior = labeled.agg(
+      sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"),
+      sum(when(col("pos"), 0L).otherwise(1L)).as("n_neg"))
+    val wlp = byClass.crossJoin(broadcast(totals))
+      .select(col("word"), round(
+        log((col("c_pos") + lit(1L)).cast("double") / (col("t_pos") + col("v")).cast("double")) -
+          log((col("c_neg") + lit(1L)).cast("double") / (col("t_neg") + col("v")).cast("double")),
+        9).as("w_lo"))
+    toks.join(broadcast(wlp), Seq("word"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("w_lo").cast(DecimalType(28, 12))).cast("double").as("sum_lo"))
+      .crossJoin(broadcast(prior))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("sum_lo") +
+          log(col("n_pos").cast("double") / col("n_neg").cast("double")), 9).as("log_odds"))
+      .withColumn("pred_pos", col("log_odds") > 0.0)
+  }
+
   /** Cross-corpus LM scoring — [[bigramLm]]'s model tables trained on
     * `train`, applied to `score` (CCNet's shape: the LM comes from the
     * target domain, the corpus being filtered is everything). Score
@@ -677,6 +728,13 @@ object Curation {
             .otherwise("middle").as("bucket"))
         .orderBy("doc_id")
     },
+    // Naive Bayes quality classifier, trained on the corpus itself with
+    // lang='en' standing in for the high-quality target domain (the
+    // GPT-3/LLaMA "looks like the reference corpus" admission filter).
+    "x24_nb_classifier" -> { (s, d) =>
+      nbClassifier(Tables.documents(s, d), col("lang") === "en")
+        .orderBy("doc_id")
+    },
     // TextRank keyword weights: 3 unrolled PageRank rounds over the
     // vocabulary-sized bigram co-occurrence graph.
     "x18_textrank" -> { (s, d) =>
@@ -773,6 +831,32 @@ object Curation {
          |FROM documents d LEFT JOIN scored s USING (doc_id), stats
          |ORDER BY d.doc_id""".stripMargin,
     "x18_textrank" -> textrankSql,
+    // Same closed-form training: per-class Laplace-smoothed counts over
+    // the joint vocabulary, per-word log-odds rounded to 9 decimals,
+    // decimal-exact per-doc sum + the class prior.
+    "x24_nb_classifier" ->
+      """WITH lab AS (SELECT doc_id, text, (lang = 'en') AS pos FROM documents),
+        |toks AS (SELECT doc_id, pos, unnest(string_split(text, ' ')) AS word FROM lab),
+        |bc AS (SELECT word,
+        |    CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS c_pos,
+        |    CAST(SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS c_neg
+        |  FROM toks GROUP BY word),
+        |tot AS (SELECT CAST(SUM(c_pos) AS BIGINT) AS t_pos,
+        |    CAST(SUM(c_neg) AS BIGINT) AS t_neg,
+        |    CAST(count(*) AS BIGINT) AS v FROM bc),
+        |pri AS (SELECT CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |    CAST(SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS n_neg FROM lab),
+        |wlp AS (SELECT word,
+        |    round(ln(CAST(c_pos + 1 AS DOUBLE) / CAST(t_pos + v AS DOUBLE)) -
+        |      ln(CAST(c_neg + 1 AS DOUBLE) / CAST(t_neg + v AS DOUBLE)), 9) AS w_lo
+        |  FROM bc, tot),
+        |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(CAST(w_lo AS DECIMAL(28,12))) AS DOUBLE) AS sum_lo
+        |  FROM toks JOIN wlp USING (word) GROUP BY doc_id)
+        |SELECT doc_id, n_tokens,
+        |  round(sum_lo + ln(CAST(n_pos AS DOUBLE) / CAST(n_neg AS DOUBLE)), 9) AS log_odds,
+        |  round(sum_lo + ln(CAST(n_pos AS DOUBLE) / CAST(n_neg AS DOUBLE)), 9) > 0.0 AS pred_pos
+        |FROM sc, pri ORDER BY doc_id""".stripMargin,
     "a13_cms_freq" -> cmsFreqSql("user_id"),
     "a14_hll_distinct" -> hllDistinctSql("user_id"),
     "n12_range_search" ->

@@ -190,6 +190,22 @@ class CurationSpec extends AnyFunSuite {
     assert(got(1L)._2 > got(10L)._2 && got(2L)._2 > got(10L)._2)
   }
 
+  test("nbClassifier: Laplace-smoothed log-odds match hand arithmetic; verdict flips") {
+    // vocab {good, text, bad}: t_pos = t_neg = 2, V = 3, prior ln(1/1) = 0
+    val docs = Seq((1L, "good text", "en"), (2L, "bad text", "xx"))
+      .toDF("doc_id", "text", "lang")
+    val got = Curation.nbClassifier(docs, col("lang") === "en")
+      .orderBy("doc_id").collect()
+    def r9(x: Double) = BigDecimal.decimal(x)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // w_lo: good = ln(2/5)−ln(1/5) = ln 2, text = 0, bad = −ln 2
+    val ln2 = r9(math.log(2.0 / 5.0) - math.log(1.0 / 5.0))
+    assert(got.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    assert(math.abs(got(0).getDouble(2) - ln2) < 1e-12 && got(0).getBoolean(3))
+    assert(math.abs(got(1).getDouble(2) + ln2) < 1e-12 && !got(1).getBoolean(3))
+    assert(got.forall(_.getLong(1) === 2L), "n_tokens counts every token")
+  }
+
   test("kmeansAssign separates obvious clusters at caller-chosen k") {
     // Two tight blobs in 2-d, membership aligned with vec_id parity so
     // the deterministic vec_id%k seed starts near the blobs (a parity-
