@@ -157,6 +157,15 @@ object Engine {
       targets: DataFrame): DataFrame =
     operators.TextAnalysis.domainMixDf(docs, domainCol, targets)
 
+  /** DSIR importance weights (x25): per-document log(p_target/p_raw)
+    * under `buckets`-cell hashed unigram+bigram models trained against
+    * the `isTarget` predicate. Returns (doc_id, n_feats, log_w);
+    * resample by adding deterministic Gumbel noise and taking top-k.
+    */
+  def dsirWeights(docs: DataFrame, isTarget: org.apache.spark.sql.Column,
+      buckets: Int = 256): DataFrame =
+    operators.TextAnalysis.dsirWeights(docs, isTarget, buckets)
+
   /** Naive Bayes quality classifier (x24): closed-form count-based
     * training against the `isPos` target-domain predicate, smoothed
     * per-word log-odds broadcast back over the token stream. Returns

@@ -113,6 +113,45 @@ object TextAnalysis {
       .drop("h", "hshard", "srn", "before")
   }
 
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): per-document
+    * `log(p_target/p_raw)` under bag-of-hashed-ngram unigram models.
+    * Features are unigrams + adjacent bigrams hashed into `buckets`
+    * cells (md5 prefix — engine-portable), so BOTH models are fixed
+    * `buckets`-row tables regardless of corpus size: the target/raw
+    * counts are two map-side-combinable aggregates, the log-ratio
+    * table broadcasts, and a document's weight is one map-side join +
+    * an exact DECIMAL(28,12) sum of per-occurrence rounded ratios.
+    * Laplace smoothing (+1 over the hash space) keeps buckets unseen
+    * in the target finite. Returns (doc_id, n_feats, log_w).
+    */
+  def dsirWeights(docs: DataFrame, isTarget: Column, buckets: Int = 256): DataFrame = {
+    val base = docs.select(col("doc_id"), isTarget.as("tgt"),
+      split(col("text"), " ").as("a"))
+    val feats = base.select(col("doc_id"), col("tgt"), explode(concat(
+        col("a"),
+        when(size(col("a")) >= 2, expr(
+          "transform(sequence(1, size(a) - 1), " +
+            "i -> concat(element_at(a, i), '_', element_at(a, i + 1)))"))
+          .otherwise(array()))).as("feat"))
+      .withColumn("bucket",
+        conv(substring(md5(concat(lit("dsir|"), col("feat"))), 1, 2), 16, 10)
+          .cast("long") % buckets)
+    val counts = feats.groupBy("bucket").agg(
+      sum(when(col("tgt"), 1L).otherwise(0L)).as("c_t"),
+      count(lit(1)).as("c_r"))
+    val totals = counts.agg(sum(col("c_t")).as("t_t"), sum(col("c_r")).as("t_r"))
+    val lr = counts.crossJoin(broadcast(totals))
+      .select(col("bucket"), round(
+        log((col("c_t") + lit(1L)).cast("double") / (col("t_t") + lit(buckets.toLong)).cast("double")) -
+          log((col("c_r") + lit(1L)).cast("double") / (col("t_r") + lit(buckets.toLong)).cast("double")),
+        9).as("lr"))
+    feats.join(broadcast(lr), Seq("bucket"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"),
+        sum(col("lr").cast(DecimalType(28, 12))).cast("double").as("log_w"))
+  }
+
   /** Training-mixture control (the parameterized form of x15): resample
     * `docs` so each domain contributes exactly `targets(domain)` rows,
     * deterministically (md5 order, RNG-free, reproducible across runs
@@ -416,6 +455,24 @@ object TextAnalysis {
       domainMixDf(docs, "lang", tgt, salt = "tmix")
         .orderBy("doc_id", "replica")
     },
+    // DSIR data selection: importance weights log(p_en/p_corpus) over
+    // hashed unigram+bigram features, then Gumbel top-k — sampling
+    // without replacement ∝ exp(log_w), derandomized through the same
+    // md5 trick as x6 (u from a salted doc hash, g = −ln(−ln u)) so the
+    // draw is reproducible across engines. The models are 256-row
+    // tables whatever the corpus size; the draw is a distributed top-k
+    // (TakeOrdered — no global sort); only the k winners ever leave the
+    // executors.
+    "x25_dsir_selection" -> { (s, d) =>
+      val w = dsirWeights(Tables.documents(s, d), col("lang") === "en")
+      val u = (conv(substring(md5(concat(lit("gum|"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+        .cast("double") + lit(1.0)) / lit(4294967297.0)
+      val keyed = w.withColumn("gkey", round(col("log_w") + -log(-log(u)), 9))
+      keyed.orderBy(col("gkey").desc, col("doc_id")).limit(100)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("gkey").desc, col("doc_id"))).cast("long"))
+        .select("rank", "doc_id", "n_feats", "log_w", "gkey")
+    },
     // Fingerprint: md5 over the sorted distinct token set (key-collision
     // clustering); canonical doc per fingerprint via window min.
     "x4_fingerprint" -> { (s, d) =>
@@ -629,6 +686,35 @@ object TextAnalysis {
         |SELECT doc_id, lang, source, rn,
         |  unnest(generate_series(0, (target - rn) // n_lang)) AS replica
         |FROM sel ORDER BY doc_id, replica""".stripMargin,
+    // Same hashed-feature models, ratio rounding, decimal-exact doc
+    // sums, and salted-hash Gumbel keys; rank over the top-100 draw.
+    "x25_dsir_selection" ->
+      """WITH base AS (SELECT doc_id, (lang = 'en') AS tgt, string_split(text, ' ') AS a FROM documents),
+        |uni AS (SELECT doc_id, tgt, unnest(a) AS feat FROM base),
+        |idx AS (SELECT doc_id, tgt, a, unnest(generate_series(1, len(a) - 1)) AS i
+        |  FROM base WHERE len(a) >= 2),
+        |bi AS (SELECT doc_id, tgt, a[i] || '_' || a[i + 1] AS feat FROM idx),
+        |feats AS (SELECT doc_id, tgt, feat,
+        |    CAST(('0x' || substr(md5('dsir|' || feat), 1, 2)) AS BIGINT) % 256 AS bucket
+        |  FROM (SELECT doc_id, tgt, feat FROM uni UNION ALL SELECT doc_id, tgt, feat FROM bi)),
+        |cnt AS (SELECT bucket, CAST(SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS c_t,
+        |    CAST(count(*) AS BIGINT) AS c_r FROM feats GROUP BY bucket),
+        |tot AS (SELECT CAST(SUM(c_t) AS BIGINT) AS t_t, CAST(SUM(c_r) AS BIGINT) AS t_r FROM cnt),
+        |lr AS (SELECT bucket,
+        |    round(ln(CAST(c_t + 1 AS DOUBLE) / CAST(t_t + 256 AS DOUBLE)) -
+        |      ln(CAST(c_r + 1 AS DOUBLE) / CAST(t_r + 256 AS DOUBLE)), 9) AS lr
+        |  FROM cnt, tot),
+        |w AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+        |    CAST(SUM(CAST(lr AS DECIMAL(28,12))) AS DOUBLE) AS log_w
+        |  FROM feats JOIN lr USING (bucket) GROUP BY doc_id),
+        |k AS (SELECT doc_id, n_feats, log_w,
+        |    round(log_w + -ln(-ln(
+        |      (CAST(('0x' || substr(md5('gum|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 1.0)
+        |        / 4294967297.0)), 9) AS gkey
+        |  FROM w)
+        |SELECT CAST(row_number() OVER (ORDER BY gkey DESC, doc_id) AS BIGINT) AS rank,
+        |  doc_id, n_feats, log_w, gkey
+        |FROM k ORDER BY gkey DESC, doc_id LIMIT 100""".stripMargin,
     "x4_fingerprint" ->
       """WITH f AS (
         |  SELECT doc_id,

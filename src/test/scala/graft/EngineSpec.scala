@@ -256,6 +256,27 @@ class EngineSpec extends AnyFunSuite {
     assert(math.abs(mixed.length.toLong - total) <= counts.size.toLong)
   }
 
+  test("dsirWeights favors target-like documents; selection keys are rank-ordered") {
+    import spark.implicits._
+    // target vocabulary {aa bb cc}, off-target {xx yy zz}; the probe docs
+    // (201, 202) are excluded from the target class itself
+    val docs = (Seq.tabulate(20)(i => (i.toLong, "aa bb cc aa bb", "en")) ++
+      Seq.tabulate(20)(i => (100L + i, "xx yy zz xx yy", "de")) ++
+      Seq((201L, "aa bb cc", "de"), (202L, "xx yy zz", "de")))
+      .toDF("doc_id", "text", "lang")
+    val w = Engine.dsirWeights(docs, col("lang") === "en")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(w(201L) > w(202L),
+      s"target-vocabulary doc must outweigh off-target: ${w(201L)} vs ${w(202L)}")
+    assert(w(0L) > 0.0 && w(100L) < 0.0,
+      "in-target docs weigh positive, off-target negative (log ratio)")
+    // the x25 draw: ranks 1..100, keys non-increasing in rank order
+    val sel = SparkEntry.queries("x25_dsir_selection")(spark, d).collect()
+    assert(sel.map(_.getLong(0)).toSeq === (1L to sel.length.toLong))
+    val keys = sel.map(_.getDouble(4))
+    assert(keys.zip(keys.tail).forall { case (a, b) => a >= b }, "keys descend with rank")
+  }
+
   test("scd2 intervals (w11): versions contiguous, chained, one open per user") {
     val rows = SparkEntry.queries("w11_scd2_intervals")(spark, d).collect()
     assert(rows.nonEmpty)
