@@ -327,6 +327,30 @@ class ScaleSpec extends AnyFunSuite {
     assert(df.count() === vocab)
   }
 
+  test("x24 NB classifier: model broadcasts to the token stream, no products") {
+    val d = "/root/testdata/sf0.001"
+    val plan = executedPlan(SparkEntry.queries("x24_nb_classifier")(spark, d))
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"),
+      s"x24 scoring must never shuffle-join the corpus-shaped token stream:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"x24 must broadcast the vocab-sized log-odds model:\n$plan")
+  }
+
+  test("x25 DSIR selection is a distributed top-k; rank window sees only k rows") {
+    val d = "/root/testdata/sf0.001"
+    val df = SparkEntry.queries("x25_dsir_selection")(spark, d)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"x25 draw must be a distributed top-k, not a global sort:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"),
+      s"x25 weight join must broadcast the 256-row ratio table:\n$plan")
+    // the empty-frame row_number window is fed by the top-k, so its
+    // single-partition exchange carries k rows, not the corpus
+    val weights = "TakeOrderedAndProject".r.findAllIn(plan).length
+    assert(weights === 1, s"exactly one top-k operator:\n$plan")
+  }
+
   test("n12 range search serves from the bucket-pruned signature store") {
     val d = "/root/testdata/sf0.001"
     val plan = SparkEntry.queries("n12_range_search")(spark, d)
