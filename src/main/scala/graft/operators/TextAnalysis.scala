@@ -137,19 +137,27 @@ object TextAnalysis {
       .withColumn("bucket",
         conv(substring(md5(concat(lit("dsir|"), col("feat"))), 1, 2), 16, 10)
           .cast("long") % buckets)
-    val counts = feats.groupBy("bucket").agg(
-      sum(when(col("tgt"), 1L).otherwise(0L)).as("c_t"),
-      count(lit(1)).as("c_r"))
+    // One corpus-shaped pass: collapse the occurrence stream to
+    // (doc, bucket, n) — at most `buckets` rows per document — then BOTH
+    // the model counts and the scoring read that aggregate (identical
+    // subplan, so the exchange is reused rather than the explode re-run).
+    val db = feats.groupBy("doc_id", "tgt", "bucket").agg(count(lit(1)).as("n"))
+    val counts = db.groupBy("bucket").agg(
+      sum(when(col("tgt"), col("n")).otherwise(0L)).as("c_t"),
+      sum(col("n")).as("c_r"))
     val totals = counts.agg(sum(col("c_t")).as("t_t"), sum(col("c_r")).as("t_r"))
     val lr = counts.crossJoin(broadcast(totals))
       .select(col("bucket"), round(
         log((col("c_t") + lit(1L)).cast("double") / (col("t_t") + lit(buckets.toLong)).cast("double")) -
           log((col("c_r") + lit(1L)).cast("double") / (col("t_r") + lit(buckets.toLong)).cast("double")),
         9).as("lr"))
-    feats.join(broadcast(lr), Seq("bucket"))
+    // n·lr in exact decimal (decimal × integral), bit-equal to summing
+    // the per-occurrence rounded ratio n times
+    db.join(broadcast(lr), Seq("bucket"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_feats"),
-        sum(col("lr").cast(DecimalType(28, 12))).cast("double").as("log_w"))
+      .agg(sum(col("n")).as("n_feats"),
+        sum(col("lr").cast(DecimalType(28, 12)) * col("n").cast(DecimalType(8, 0)))
+          .cast("double").as("log_w"))
   }
 
   /** Training-mixture control (the parameterized form of x15): resample
@@ -697,16 +705,18 @@ object TextAnalysis {
         |feats AS (SELECT doc_id, tgt, feat,
         |    CAST(('0x' || substr(md5('dsir|' || feat), 1, 2)) AS BIGINT) % 256 AS bucket
         |  FROM (SELECT doc_id, tgt, feat FROM uni UNION ALL SELECT doc_id, tgt, feat FROM bi)),
-        |cnt AS (SELECT bucket, CAST(SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS c_t,
-        |    CAST(count(*) AS BIGINT) AS c_r FROM feats GROUP BY bucket),
+        |db AS (SELECT doc_id, tgt, bucket, CAST(count(*) AS BIGINT) AS n
+        |  FROM feats GROUP BY doc_id, tgt, bucket),
+        |cnt AS (SELECT bucket, CAST(SUM(CASE WHEN tgt THEN n ELSE 0 END) AS BIGINT) AS c_t,
+        |    CAST(SUM(n) AS BIGINT) AS c_r FROM db GROUP BY bucket),
         |tot AS (SELECT CAST(SUM(c_t) AS BIGINT) AS t_t, CAST(SUM(c_r) AS BIGINT) AS t_r FROM cnt),
         |lr AS (SELECT bucket,
         |    round(ln(CAST(c_t + 1 AS DOUBLE) / CAST(t_t + 256 AS DOUBLE)) -
         |      ln(CAST(c_r + 1 AS DOUBLE) / CAST(t_r + 256 AS DOUBLE)), 9) AS lr
         |  FROM cnt, tot),
-        |w AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
-        |    CAST(SUM(CAST(lr AS DECIMAL(28,12))) AS DOUBLE) AS log_w
-        |  FROM feats JOIN lr USING (bucket) GROUP BY doc_id),
+        |w AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_feats,
+        |    CAST(SUM(CAST(lr AS DECIMAL(28,12)) * CAST(n AS DECIMAL(8,0))) AS DOUBLE) AS log_w
+        |  FROM db JOIN lr USING (bucket) GROUP BY doc_id),
         |k AS (SELECT doc_id, n_feats, log_w,
         |    round(log_w + -ln(-ln(
         |      (CAST(('0x' || substr(md5('gum|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 1.0)
