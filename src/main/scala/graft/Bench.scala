@@ -150,10 +150,13 @@ object Bench {
       "x22_temperature_mix" -> ((0.426, 0.057)),
       "x23_ccnet_buckets" -> ((0.719, 0.057)),
       "w11_scd2_intervals" -> ((0.259, 0.057)))
-    // NB classifier + DSIR — provisional until this session's sf0.1
-    // recording
+    // NB classifier, DSIR, Q18 big orders, gap fill, fuzzy dedup —
+    // provisional until this session's sf0.1 recording
     val add10e = Map("x24_nb_classifier" -> ((999.0, 0.057)),
-      "x25_dsir_selection" -> ((999.0, 0.057)))
+      "x25_dsir_selection" -> ((999.0, 0.057)),
+      "j15_big_orders" -> ((999.0, 0.057)),
+      "w12_gap_fill" -> ((999.0, 0.057)),
+      "d14_fuzzy_dedup" -> ((999.0, 0.057)))
     main ++ add8 ++ add9 ++ add10 ++ add10b ++ add10c ++ add10d ++ add10e
   }
 

@@ -138,6 +138,14 @@ object Engine {
     * `embedding`, `norm`, `cell` (a quantizer store's schema — cluster
     * first, then dedup within cells).
     */
+  /** Blocked edit-distance near-dup pairs (d14): Levenshtein ≤ `maxLev`
+    * within (prefix, length-bucket) blocks, block size hard-capped at
+    * `maxBlock` so no prefix can go quadratic.
+    */
+  def fuzzyPairs(docs: DataFrame, pfxLen: Int = 24, lenBucket: Int = 32,
+      maxLev: Long = 5L, maxBlock: Long = 64L): DataFrame =
+    operators.Dedup.fuzzyPairs(docs, pfxLen, lenBucket, maxLev, maxBlock)
+
   def semanticDedup(vecs: DataFrame, threshold: Double): DataFrame =
     operators.Dedup.semanticDedupVerdicts(vecs, threshold)
 

@@ -705,10 +705,74 @@ object Dedup {
         .join(matches, Seq("doc_id"), "left")
         .withColumn("is_novel", col("nearest_existing").isNull)
         .orderBy("doc_id")
+    },
+    // Blocked edit-distance dedup — the fuzzy-match rung the fingerprint
+    // family can't reach: d1/x4 need EXACT key collisions and d2's
+    // shingle LSH dilutes under single-character edits spread through a
+    // document, while Levenshtein counts them directly. Candidates must
+    // share a (24-char prefix, length÷32) block, so the corpus never
+    // self-joins unkeyed: the pair generation is a block-keyed shuffle
+    // join and the quadratic term is bounded per block. Blocks larger
+    // than MaxBlockDocs (boilerplate-prefix pathologies — the d2 skew
+    // cap's analogue) are dropped via a broadcast anti-join before
+    // pairing, so one viral prefix cannot go quadratic at corpus scale.
+    // Prefix blocking trades recall (edits inside the first 24 chars
+    // move a doc out of its block) for never-all-pairs — the standard
+    // blocked-dedup bargain.
+    "d14_fuzzy_dedup" -> { (s, d) =>
+      fuzzyPairs(Tables.documents(s, d)).orderBy("doc_a", "doc_b")
     }
   )
 
+  /** d14 block-size cap: blocks larger than this never generate pairs. */
+  private val MaxBlockDocs = 64L
+
+  /** Blocked edit-distance near-dup pairs (d14's core): documents
+    * sharing a (`pfxLen`-char prefix, length÷`lenBucket`) block are
+    * pair-compared with Levenshtein; pairs at distance ≤ `maxLev` are
+    * emitted as (doc_a, doc_b, lev), doc_a < doc_b. Blocks larger than
+    * `maxBlock` are dropped through a broadcast anti-join BEFORE
+    * pairing, so the per-block quadratic term is hard-bounded and one
+    * viral prefix cannot go corpus-quadratic. Prefix blocking trades
+    * recall (edits inside the prefix move a doc out of its block) for
+    * never-all-pairs.
+    */
+  def fuzzyPairs(docs: DataFrame, pfxLen: Int = 24, lenBucket: Int = 32,
+      maxLev: Long = 5L, maxBlock: Long = MaxBlockDocs): DataFrame = {
+    require(pfxLen >= 1 && lenBucket >= 1 && maxLev >= 0 && maxBlock >= 1)
+    val keyed = docs.select(col("doc_id"), col("text"),
+      substring(col("text"), 1, pfxLen).as("pfx"),
+      floor(length(col("text")) / lit(lenBucket.toDouble)).cast("long").as("lb"))
+    val hotBlocks = keyed.groupBy("pfx", "lb")
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") > maxBlock)
+      .select("pfx", "lb")
+    val capped = keyed.join(broadcast(hotBlocks), Seq("pfx", "lb"), "left_anti")
+    capped.as("a")
+      .join(capped.as("b"),
+        col("a.pfx") === col("b.pfx") && col("a.lb") === col("b.lb") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .withColumn("lev", levenshtein(col("a.text"), col("b.text")).cast("long"))
+      .filter(col("lev") <= maxLev)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), col("lev"))
+  }
+
   def oracles3: Map[String, String] = Map(
+    // Same block ladder: prefix+length blocking, >64 blocks anti-joined
+    // away, within-block ordered pairs under the edit-distance bar.
+    "d14_fuzzy_dedup" ->
+      """WITH d AS (SELECT doc_id, text, substr(text, 1, 24) AS pfx,
+        |    length(text) // 32 AS lb FROM documents),
+        |hot AS (SELECT pfx, lb FROM (
+        |    SELECT pfx, lb, count(*) AS c FROM d GROUP BY pfx, lb) WHERE c > 64),
+        |cap AS (SELECT d.doc_id, d.text, d.pfx, d.lb
+        |  FROM d ANTI JOIN hot USING (pfx, lb))
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS lev
+        |FROM cap a JOIN cap b
+        |  ON a.pfx = b.pfx AND a.lb = b.lb AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.text, b.text) <= 5
+        |ORDER BY doc_a, doc_b""".stripMargin,
     // d12: same segment ladder — DuckDB keys the df count on the segment
     // string itself (Spark keys on its md5; same identity), string_agg
     // skips the dropped segments' NULLs, COALESCE matches Spark's ""

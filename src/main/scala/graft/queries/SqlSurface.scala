@@ -519,6 +519,54 @@ object SqlSurface {
         .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     },
+    // TPC-H Q18 shape (large-volume customers): HAVING over a fact
+    // aggregate, then the surviving key set drives the join back to the
+    // dimensions. The scale point: the filtered key set is tiny (the
+    // whole reason for HAVING), so it BROADCASTS into orders — the
+    // pattern where a naive plan shuffle-joins the full fact twice. The
+    // lineitem agg itself is map-side combinable (partial sums per
+    // orderkey before the one fact shuffle).
+    "j15_big_orders" -> { (s, d) =>
+      val big = Tables.lineitem(s, d)
+        .groupBy("l_orderkey")
+        .agg(dsum(col("l_quantity")).as("sum_qty"))
+        .filter(col("sum_qty") > 250.0)
+      Tables.orders(s, d)
+        .join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(Tables.customer(s, d)
+          .select("c_custkey", "c_name")), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_totalprice"), col("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(20)
+    },
+    // Calendar gap fill + LOCF — the time-series densification every
+    // warehouse needs before daily reporting: each user's day-grid from
+    // their first to last active day (sequence + narrow explode, bounded
+    // by the span), left-joined to the per-day closing state, nulls
+    // forward-filled with last_value(ignoreNulls) over the user
+    // partition. One shuffle on user_id; no self-join, no global
+    // window; the fill state is a single running value per user.
+    "w12_gap_fill" -> { (s, d) =>
+      val ev = Tables.events(s, d).withColumn("day", to_date(col("ts")))
+      val wDay = Window.partitionBy(col("user_id"), col("day"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val daily = ev.withColumn("rn", row_number().over(wDay))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("day"), col("event_type").as("state"))
+      val span = ev.groupBy("user_id")
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      val grid = span.select(col("user_id"),
+        explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      val wFill = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(daily, Seq("user_id", "day"), "left")
+        .withColumn("filled_state", last(col("state"), ignoreNulls = true).over(wFill))
+        .withColumn("is_filled", col("state").isNull)
+        .select(col("user_id"), col("day").cast("string").as("day"),
+          col("filled_state"), col("is_filled"))
+        .orderBy("user_id", "day")
+    },
     // Keyset (seek) pagination — the serving-scale alternative to o3's
     // OFFSET: the predicate pushes to the scan and the page costs
     // O(page), where OFFSET n scans-and-discards O(n) rows and gets
@@ -810,6 +858,31 @@ object SqlSurface {
          |  AND ((sn.n_name = 'NATION_3' AND cn.n_name = 'NATION_7')
          |    OR (sn.n_name = 'NATION_7' AND cn.n_name = 'NATION_3'))
          |GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    "j15_big_orders" ->
+      s"""WITH big AS (
+         |  SELECT l_orderkey, ${graft.Cols.dsumSql("l_quantity")} AS sum_qty
+         |  FROM lineitem GROUP BY l_orderkey
+         |  HAVING ${graft.Cols.dsumSql("l_quantity")} > 250.0)
+         |SELECT c_name, c_custkey, o_orderkey, o_totalprice, sum_qty
+         |FROM orders JOIN big ON o_orderkey = l_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+    "w12_gap_fill" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type, ts, CAST(ts AS DATE) AS day FROM events),
+        |daily AS (SELECT user_id, day, event_type AS state FROM (
+        |    SELECT user_id, day, event_type,
+        |      row_number() OVER (PARTITION BY user_id, day ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM ev)
+        |  WHERE rn = 1),
+        |span AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM ev GROUP BY user_id),
+        |grid AS (SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM span)
+        |SELECT g.user_id, CAST(g.day AS VARCHAR) AS day,
+        |  last_value(d.state IGNORE NULLS) OVER (PARTITION BY g.user_id ORDER BY g.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_state,
+        |  (d.state IS NULL) AS is_filled
+        |FROM grid g LEFT JOIN daily d USING (user_id, day)
+        |ORDER BY user_id, day""".stripMargin,
     "o5_keyset_pagination" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders WHERE o_orderkey > 500

@@ -38,6 +38,27 @@ class DedupCapSpec extends AnyFunSuite {
       s"expected only the true pair, got ${pairs.length} pairs (uncapped would be ~19900)")
   }
 
+  test("d14 fuzzy pairs: in-block edits found, prefix edits missed, viral blocks capped") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = (Seq(
+      (1L, base), (2L, base + " zz"),        // same block, lev 3
+      (3L, "XX" + base.drop(2)),             // prefix edit: different block, never paired
+      (10L, "unrelated content entirely different words here okay")) ++
+      // viral block: 70 same-prefix same-length-bucket docs > maxBlock=64
+      Seq.tabulate(70)(i => (100L + i, f"boilerplate prefix shared by all docs $i%02d")))
+      .toDF("doc_id", "text")
+    val pairs = Engine.fuzzyPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq === Seq((1L, 2L, 3L)),
+      s"expected only the true in-block pair (viral block capped, prefix edit " +
+        s"out of block): ${pairs.toSeq}")
+    // the cap is the only reason the viral block is silent: lifting it
+    // (maxBlock = 128) exposes its 70·69/2 near-identical pairs
+    val uncapped = Engine.fuzzyPairs(docs, maxBlock = 128L).count()
+    assert(uncapped === 70L * 69L / 2L + 1L, s"uncapped must pair the viral block: $uncapped")
+  }
+
   test("d8 drops stopword-like shingles from the contamination join") {
     val d8 = SparkEntry.queries("d8_contamination")(spark, fixtureDir)
     val rows = d8.collect()

@@ -277,6 +277,30 @@ class EngineSpec extends AnyFunSuite {
     assert(keys.zip(keys.tail).forall { case (a, b) => a >= b }, "keys descend with rank")
   }
 
+  test("gap fill (w12): grid contiguous per user, LOCF never null, fills inherit") {
+    val rows = SparkEntry.queries("w12_gap_fill")(spark, d).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("user_id")).foreach { case (u, vs) =>
+      val days = vs.map(_.getAs[String]("day")).sorted
+      val d0 = java.time.LocalDate.parse(days.head)
+      val d1 = java.time.LocalDate.parse(days.last)
+      assert(days.length.toLong === java.time.temporal.ChronoUnit.DAYS.between(d0, d1) + 1,
+        s"user $u grid must be gapless: ${days.length} days for $d0..$d1")
+      // first day is a real observation; every later day has a state
+      val sorted = vs.sortBy(_.getAs[String]("day"))
+      assert(!sorted.head.getAs[Boolean]("is_filled"), s"user $u first day must be observed")
+      assert(sorted.forall(_.getAs[String]("filled_state") != null),
+        s"user $u: LOCF leaves no null after the first observation")
+      // a filled day carries exactly the previous day's state
+      sorted.sliding(2).foreach {
+        case Array(a, b) if b.getAs[Boolean]("is_filled") =>
+          assert(b.getAs[String]("filled_state") === a.getAs[String]("filled_state"),
+            s"user $u: filled day must inherit the prior state")
+        case _ =>
+      }
+    }
+  }
+
   test("scd2 intervals (w11): versions contiguous, chained, one open per user") {
     val rows = SparkEntry.queries("w11_scd2_intervals")(spark, d).collect()
     assert(rows.nonEmpty)

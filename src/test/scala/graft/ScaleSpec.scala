@@ -327,6 +327,26 @@ class ScaleSpec extends AnyFunSuite {
     assert(df.count() === vocab)
   }
 
+  test("j15 big orders: the HAVING-filtered key set broadcasts into orders") {
+    val d = "/root/testdata/sf0.001"
+    val plan = executedPlan(SparkEntry.queries("j15_big_orders")(spark, d))
+      .split("== Initial Plan ==").head
+    // both joins (orders×big, ×customer) ride the tiny filtered set /
+    // dim broadcast — the fact side shuffles once, for its own aggregate
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"j15 must not shuffle-join the fact table:\n$plan")
+    assert("BroadcastHashJoin".r.findAllIn(plan).length === 2,
+      s"j15: both post-HAVING joins must broadcast:\n$plan")
+  }
+
+  test("d14 fuzzy dedup pairs only within blocks, never unkeyed") {
+    val d = "/root/testdata/sf0.001"
+    val plan = SparkEntry.queries("d14_fuzzy_dedup")(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"d14 pair generation must stay block-keyed:\n$plan")
+  }
+
   test("x24 NB classifier: model broadcasts to the token stream, no products") {
     val d = "/root/testdata/sf0.001"
     val plan = executedPlan(SparkEntry.queries("x24_nb_classifier")(spark, d))
