@@ -151,13 +151,20 @@ object Bench {
       "x23_ccnet_buckets" -> ((0.719, 0.057)),
       "w11_scd2_intervals" -> ((0.259, 0.057)))
     // NB classifier, DSIR, Q18 big orders, gap fill, fuzzy dedup —
+    // recorded at this round's 0.047s-floor session
+    val add10e = Map("x24_nb_classifier" -> ((0.347, 0.047)),
+      "x25_dsir_selection" -> ((1.727, 0.047)),
+      "j15_big_orders" -> ((0.726, 0.047)),
+      "w12_gap_fill" -> ((0.381, 0.047)),
+      "d14_fuzzy_dedup" -> ((999.0, 0.047)))
+    // MERGE upsert, table diff, histogram, transitions, phrase index —
     // provisional until this session's sf0.1 recording
-    val add10e = Map("x24_nb_classifier" -> ((999.0, 0.057)),
-      "x25_dsir_selection" -> ((999.0, 0.057)),
-      "j15_big_orders" -> ((999.0, 0.057)),
-      "w12_gap_fill" -> ((999.0, 0.057)),
-      "d14_fuzzy_dedup" -> ((999.0, 0.057)))
-    main ++ add8 ++ add9 ++ add10 ++ add10b ++ add10c ++ add10d ++ add10e
+    val add10f = Map("u4_merge_upsert" -> ((999.0, 0.047)),
+      "u5_table_diff" -> ((999.0, 0.047)),
+      "a15_histogram" -> ((999.0, 0.047)),
+      "w13_event_transitions" -> ((999.0, 0.047)),
+      "x26_inverted_index" -> ((999.0, 0.047)))
+    main ++ add8 ++ add9 ++ add10 ++ add10b ++ add10c ++ add10d ++ add10e ++ add10f
   }
 
   def main(args: Array[String]): Unit = {
@@ -213,7 +220,12 @@ object Bench {
     // in isolation). Interleaved, a stall shorter than one full suite
     // pass lands in at most one of a query's Runs samples and the median
     // discards it.
-    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Local-iteration filter (comma-separated name list), mirroring
+    // Verify's: time one query without paying for the whole suite.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val ordered = SparkEntry.queries.toSeq
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .sortBy(_._1)
     val samples = (1 to Runs).flatMap { _ =>
       ordered.map { case (name, fn) =>
         val t0 = System.nanoTime()

@@ -748,12 +748,28 @@ object Dedup {
       .filter(col("c") > maxBlock)
       .select("pfx", "lb")
     val capped = keyed.join(broadcast(hotBlocks), Seq("pfx", "lb"), "left_anti")
+    // |len(a) − len(b)| is a Levenshtein lower bound: prune those pairs
+    // in the join condition (before any O(len²) DP runs), and give the
+    // surviving pairs the THRESHOLDED levenshtein, whose DP early-exits
+    // once a row's minimum exceeds maxLev (returns −1 past the bound, so
+    // the filter keeps the same pairs with the same distances). The
+    // always-true monotonically_increasing_id() guard makes the
+    // projection nondeterministic, which PINS the lev filter above the
+    // join: pushed into the join condition, Catalyst evaluates the DP
+    // per CANDIDATE (twice — once per BETWEEN bound) inside the
+    // hash-join probe instead of once per surviving pair — measured 6×
+    // slower at sf0.1. (rand() >= 0 does NOT work as the guard: the
+    // optimizer knows rand's [0,1) bounds and folds it to true.)
     capped.as("a")
       .join(capped.as("b"),
         col("a.pfx") === col("b.pfx") && col("a.lb") === col("b.lb") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .withColumn("lev", levenshtein(col("a.text"), col("b.text")).cast("long"))
-      .filter(col("lev") <= maxLev)
+          col("a.doc_id") < col("b.doc_id") &&
+          abs(length(col("a.text")) - length(col("b.text"))) <= maxLev)
+      .withColumn("lev",
+        when(monotonically_increasing_id() >= 0,
+          levenshtein(col("a.text"), col("b.text"), maxLev.toInt))
+          .otherwise(lit(-1)).cast("long"))
+      .filter(col("lev").between(0L, maxLev))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), col("lev"))
   }
 

@@ -196,6 +196,32 @@ object TextAnalysis {
   }
 
   def queries: Map[String, Q] = Map(
+    // Inverted phrase index build — the exact-match retrieval backbone
+    // (and the substring-search infra every contamination audit needs):
+    // distinct (word-bigram, doc) postings, hot grams (df > 64 — the
+    // boilerplate-phrase class) excluded from the build by the
+    // d12-style broadcast-anti-join hot list so no posting list goes
+    // corpus-long, singletons dropped, surviving lists serialized in
+    // doc order. At 100 TB the index is ONE explode + two combinable
+    // aggs, and the df cap bounds every output row's width.
+    "x26_inverted_index" -> { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .withColumn("ws", split(col("text"), " "))
+        .filter(size(col("ws")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(ws)-1), " +
+            "i -> concat(element_at(ws, i), ' ', element_at(ws, i+1)))")).as("gram"))
+        .distinct()
+      val dfreq = toks.groupBy("gram").agg(count(lit(1)).as("df"))
+      val hot = dfreq.filter(col("df") > 64).select("gram")
+      toks.join(broadcast(hot), Seq("gram"), "left_anti")
+        .groupBy("gram")
+        .agg(count(lit(1)).as("df"),
+          array_join(transform(sort_array(collect_list(col("doc_id"))),
+            _.cast("string")), ",").as("postings"))
+        .filter(col("df") >= 2)
+        .orderBy("gram")
+    },
     // Corpus vocabulary profile — the pre-training health metrics a
     // curation sweep reports before anything trains on the data:
     // type/token counts, type-token ratio, hapax fraction (Zipf tail
@@ -496,6 +522,20 @@ object TextAnalysis {
   )
 
   def oracles: Map[String, String] = Map(
+    // Same ladder: distinct bigram postings, df-capped hot list
+    // anti-joined away, doc-ordered list serialization.
+    "x26_inverted_index" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |raw AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS gram
+        |  FROM w WHERE len(ws) >= 2),
+        |toks AS (SELECT DISTINCT doc_id, gram FROM raw),
+        |dfreq AS (SELECT gram, CAST(count(*) AS BIGINT) AS df FROM toks GROUP BY gram),
+        |keep AS (SELECT gram, df FROM dfreq WHERE df BETWEEN 2 AND 64)
+        |SELECT t.gram, k.df,
+        |  string_agg(CAST(t.doc_id AS VARCHAR), ',' ORDER BY t.doc_id) AS postings
+        |FROM toks t JOIN keep k USING (gram)
+        |GROUP BY t.gram, k.df ORDER BY t.gram""".stripMargin,
     "x19_vocab_stats" ->
       """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
         |vc AS (SELECT word, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY word),

@@ -400,6 +400,70 @@ object CoreRelational {
           substring(split(col("memo"), "-")(1), 1, 1).between("a", "c"))
         .select("doc_id", "memo")
         .orderBy("doc_id")
+    },
+
+    // CDC MERGE / latest-wins upsert — the warehouse fundamental behind
+    // every incremental table: a change batch (here: open orders arriving
+    // re-priced and closed) merged into the base snapshot, newest version
+    // per key winning. Expressed as union + one row_number window on the
+    // key — ONE shuffle on the natural key and no join at all, where a
+    // naive MERGE plans an outer join between two fact-sized inputs.
+    "u4_merge_upsert" -> { (s, d) =>
+      val base = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), lit(0L).as("src"))
+      val batch = Tables.orders(s, d).filter(col("o_orderstatus") === "O")
+        .select(col("o_orderkey"), col("o_custkey"), lit("F").as("o_orderstatus"),
+          (col("o_totalprice") * lit(1.1)).as("o_totalprice"), lit(1L).as("src"))
+      val w = Window.partitionBy("o_orderkey").orderBy(col("src").desc)
+      base.unionByName(batch)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), (col("src") === 1L).as("was_updated"))
+        .orderBy("o_orderkey")
+    },
+
+    // Keyed table diff — snapshot reconciliation / data validation:
+    // current vs revised snapshot (some keys deleted, some re-priced,
+    // some new), FULL OUTER joined on the key and classified
+    // added/removed/changed, unchanged rows dropped. Both sides are
+    // fact-sized so the sort-merge join on the key is the right plan;
+    // the output is only the (small) delta.
+    "u5_table_diff" -> { (s, d) =>
+      val cur = Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+      val nxt = Tables.orders(s, d).filter(col("o_orderkey") % 97 =!= 0)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 13 === 0, col("o_totalprice") * lit(1.1))
+            .otherwise(col("o_totalprice")).as("o_totalprice"))
+        .unionByName(Tables.orders(s, d).filter(col("o_orderkey") % 101 === 0)
+          .select((col("o_orderkey") + 50000000L).as("o_orderkey"),
+            col("o_totalprice")))
+      cur.as("a")
+        .join(nxt.as("b"), col("a.o_orderkey") === col("b.o_orderkey"), "full_outer")
+        .withColumn("change_type",
+          when(col("b.o_orderkey").isNull, "removed")
+            .when(col("a.o_orderkey").isNull, "added")
+            .when(col("a.o_totalprice") =!= col("b.o_totalprice"), "changed"))
+        .filter(col("change_type").isNotNull)
+        .select(coalesce(col("a.o_orderkey"), col("b.o_orderkey")).as("o_orderkey"),
+          col("change_type"), col("a.o_totalprice").as("old_price"),
+          col("b.o_totalprice").as("new_price"))
+        .orderBy("o_orderkey")
+    },
+
+    // Equi-width histogram — fixed bucket bounds (no data-driven min/max
+    // pre-pass), so the whole thing is ONE map-side-combinable aggregate
+    // over ~30 groups: the profile-at-scale shape where the shuffle
+    // carries 30 rows regardless of corpus size.
+    "a15_histogram" -> { (s, d) =>
+      val bw = lit(20000.0)
+      Tables.orders(s, d)
+        .withColumn("bucket", floor(col("o_totalprice") / bw).cast("long"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("sum_price"))
+        .select(col("bucket"), (col("bucket") * bw).as("lo"),
+          ((col("bucket") + 1) * bw).as("hi"), col("cnt"), col("sum_price"))
+        .orderBy("bucket")
     }
   )
 
@@ -634,6 +698,45 @@ object CoreRelational {
         |SELECT doc_id, memo FROM m
         |WHERE regexp_matches(memo, '^1-[A-z0-9]{4}-.*')
         |  AND substr(split_part(memo, '-', 2), 1, 1) BETWEEN 'a' AND 'c'
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+    // Same MERGE ladder: union the change batch over the base with a
+    // source rank, newest version per key wins via row_number.
+    "u4_merge_upsert" ->
+      """WITH base AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, 0 AS src
+        |  FROM orders),
+        |batch AS (SELECT o_orderkey, o_custkey, 'F' AS o_orderstatus,
+        |    o_totalprice * CAST(1.1 AS DOUBLE) AS o_totalprice, 1 AS src
+        |  FROM orders WHERE o_orderstatus = 'O'),
+        |m AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY src DESC) AS rn
+        |  FROM (SELECT * FROM base UNION ALL SELECT * FROM batch))
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  (src = 1) AS was_updated
+        |FROM m WHERE rn = 1 ORDER BY o_orderkey""".stripMargin,
+    "u5_table_diff" ->
+      """WITH cur AS (SELECT o_orderkey, o_totalprice FROM orders),
+        |nxt AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice * CAST(1.1 AS DOUBLE)
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 97 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 50000000, o_totalprice FROM orders WHERE o_orderkey % 101 = 0),
+        |j AS (SELECT a.o_orderkey AS ka, b.o_orderkey AS kb,
+        |    a.o_totalprice AS old_price, b.o_totalprice AS new_price
+        |  FROM cur a FULL OUTER JOIN nxt b ON a.o_orderkey = b.o_orderkey)
+        |SELECT COALESCE(ka, kb) AS o_orderkey,
+        |  CASE WHEN kb IS NULL THEN 'removed' WHEN ka IS NULL THEN 'added'
+        |       WHEN old_price <> new_price THEN 'changed' END AS change_type,
+        |  old_price, new_price
+        |FROM j WHERE kb IS NULL OR ka IS NULL OR old_price <> new_price
+        |ORDER BY o_orderkey""".stripMargin,
+    "a15_histogram" ->
+      s"""WITH b AS (SELECT CAST(floor(o_totalprice / CAST(20000.0 AS DOUBLE)) AS BIGINT) AS bucket,
+         |    o_totalprice
+         |  FROM orders)
+         |SELECT bucket, bucket * CAST(20000.0 AS DOUBLE) AS lo,
+         |  (bucket + 1) * CAST(20000.0 AS DOUBLE) AS hi,
+         |  CAST(count(*) AS BIGINT) AS cnt, ${dsumSql("o_totalprice")} AS sum_price
+         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
   )
 }

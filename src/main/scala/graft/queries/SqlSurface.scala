@@ -567,6 +567,25 @@ object SqlSurface {
           col("filled_state"), col("is_filled"))
         .orderBy("user_id", "day")
     },
+    // Markov transition matrix over the event stream — the sequence-
+    // mining primitive behind session-flow and next-action analysis:
+    // adjacent (type → next type) pairs per user via ONE lead window on
+    // the user key, then a combinable count agg whose output is only
+    // |types|² rows, so the normalizing window (probability per source
+    // type) runs over a handful of rows, never the stream.
+    "w13_event_transitions" -> { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val pairs = Tables.events(s, d)
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .select(col("event_type").as("from_type"), col("next_type").as("to_type"))
+        .groupBy("from_type", "to_type")
+        .agg(count(lit(1)).as("cnt"))
+      val wf = Window.partitionBy("from_type")
+      pairs
+        .withColumn("p", col("cnt").cast("double") / sum(col("cnt")).over(wf).cast("double"))
+        .orderBy("from_type", "to_type")
+    },
     // Keyset (seek) pagination — the serving-scale alternative to o3's
     // OFFSET: the predicate pushes to the scan and the page costs
     // O(page), where OFFSET n scans-and-discards O(n) rows and gets
@@ -883,6 +902,16 @@ object SqlSurface {
         |  (d.state IS NULL) AS is_filled
         |FROM grid g LEFT JOIN daily d USING (user_id, day)
         |ORDER BY user_id, day""".stripMargin,
+    "w13_event_transitions" ->
+      """WITH p AS (SELECT event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        |  FROM events),
+        |c AS (SELECT event_type AS from_type, next_type AS to_type,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM p WHERE next_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, cnt,
+        |  CAST(cnt AS DOUBLE) / CAST(SUM(cnt) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+        |FROM c ORDER BY from_type, to_type""".stripMargin,
     "o5_keyset_pagination" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders WHERE o_orderkey > 500

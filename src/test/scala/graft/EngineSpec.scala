@@ -277,6 +277,69 @@ class EngineSpec extends AnyFunSuite {
     assert(keys.zip(keys.tail).forall { case (a, b) => a >= b }, "keys descend with rank")
   }
 
+  test("merge upsert (u4): keys unique, updates win, untouched rows intact") {
+    val merged = SparkEntry.queries("u4_merge_upsert")(spark, d).collect()
+    val orders = Tables.orders(spark, d).collect()
+    assert(merged.length === orders.length, "MERGE preserves the key set")
+    assert(merged.map(_.getLong(0)).distinct.length === merged.length, "keys unique")
+    val byKey = orders.map(r => r.getLong(0) -> r).toMap
+    merged.foreach { m =>
+      val o = byKey(m.getLong(0))
+      if (m.getAs[Boolean]("was_updated")) {
+        assert(m.getString(2) === "F" && o.getString(2) === "O",
+          "updated rows are the re-priced closed batch")
+        assert(m.getDouble(3) === o.getDouble(3) * 1.1)
+      } else {
+        assert(m.getString(2) === o.getString(2) && m.getDouble(3) === o.getDouble(3),
+          "rows outside the batch pass through untouched")
+      }
+    }
+  }
+
+  test("table diff (u5): classification matches the null/price pattern") {
+    val rows = SparkEntry.queries("u5_table_diff")(spark, d).collect()
+    assert(rows.nonEmpty)
+    val kinds = rows.map(_.getString(1)).toSet
+    assert(kinds === Set("added", "removed", "changed"), s"all three classes surface: $kinds")
+    rows.foreach { r =>
+      r.getString(1) match {
+        case "removed" => assert(!r.isNullAt(2) && r.isNullAt(3))
+        case "added"   => assert(r.isNullAt(2) && !r.isNullAt(3))
+        case "changed" => assert(!r.isNullAt(2) && !r.isNullAt(3) &&
+          r.getDouble(2) != r.getDouble(3))
+      }
+    }
+  }
+
+  test("histogram (a15): buckets tile, counts total the table") {
+    val rows = SparkEntry.queries("a15_histogram")(spark, d).collect()
+    assert(rows.map(_.getLong(3)).sum === Tables.orders(spark, d).count())
+    rows.foreach { r =>
+      assert(r.getDouble(1) === r.getLong(0) * 20000.0 &&
+        r.getDouble(2) === r.getDouble(1) + 20000.0, "bucket bounds tile")
+    }
+  }
+
+  test("transitions (w13): probabilities normalize per source type") {
+    val rows = SparkEntry.queries("w13_event_transitions")(spark, d).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (from, vs) =>
+      val total = vs.map(_.getDouble(3)).sum
+      assert(math.abs(total - 1.0) < 1e-9, s"$from rows must sum to 1: $total")
+    }
+  }
+
+  test("phrase index (x26): df equals posting length, lists doc-ordered, capped") {
+    val rows = SparkEntry.queries("x26_inverted_index")(spark, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ids = r.getString(2).split(",").map(_.toLong)
+      assert(ids.length.toLong === r.getLong(1), "df counts the posting list")
+      assert(ids.length >= 2 && ids.length <= 64, "singletons and hot grams excluded")
+      assert(ids.sameElements(ids.sorted), "postings doc-ordered")
+    }
+  }
+
   test("gap fill (w12): grid contiguous per user, LOCF never null, fills inherit") {
     val rows = SparkEntry.queries("w12_gap_fill")(spark, d).collect()
     assert(rows.nonEmpty)

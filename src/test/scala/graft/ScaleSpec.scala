@@ -339,6 +339,45 @@ class ScaleSpec extends AnyFunSuite {
       s"j15: both post-HAVING joins must broadcast:\n$plan")
   }
 
+  test("u4 merge upsert is one keyed window, no join anywhere") {
+    val d = "/root/testdata/sf0.001"
+    val plan = executedPlan(SparkEntry.queries("u4_merge_upsert")(spark, d))
+    // latest-wins is union + row_number on the key: a MERGE without the
+    // outer join a naive plan pays between two fact-sized inputs
+    assert(!plan.contains("Join"), s"u4 must not plan any join:\n$plan")
+    assert(plan.contains("Window"), s"u4 resolves versions via window:\n$plan")
+  }
+
+  test("u5 table diff full-outer joins ONLY on the key, never unkeyed") {
+    val d = "/root/testdata/sf0.001"
+    val plan = executedPlan(SparkEntry.queries("u5_table_diff")(spark, d))
+    assert(plan.contains("FullOuter"), s"u5 is a keyed full outer join:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"u5 must stay keyed:\n$plan")
+  }
+
+  test("a15 histogram is one combinable agg: no join, map-side partials") {
+    val d = "/root/testdata/sf0.001"
+    val plan = executedPlan(SparkEntry.queries("a15_histogram")(spark, d))
+    assert(!plan.contains("Join"), s"a15 needs no join:\n$plan")
+    assert(plan.contains("partial_"), s"a15 must combine map-side:\n$plan")
+  }
+
+  test("w13 transitions: one stream window, agg output is types² rows") {
+    val d = "/root/testdata/sf0.001"
+    val plan = executedPlan(SparkEntry.queries("w13_event_transitions")(spark, d))
+    assert(!plan.contains("Join"), s"w13 needs no join:\n$plan")
+    assert(plan.contains("partial_"), s"w13 count must combine map-side:\n$plan")
+  }
+
+  test("x26 phrase index: hot grams leave via broadcast anti-join") {
+    val d = "/root/testdata/sf0.001"
+    val plan = executedPlan(SparkEntry.queries("x26_inverted_index")(spark, d))
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"x26 df cap must be a broadcast anti-join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"x26 must stay keyed:\n$plan")
+  }
+
   test("d14 fuzzy dedup pairs only within blocks, never unkeyed") {
     val d = "/root/testdata/sf0.001"
     val plan = SparkEntry.queries("d14_fuzzy_dedup")(spark, d)
