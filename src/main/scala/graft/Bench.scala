@@ -150,21 +150,30 @@ object Bench {
       "x22_temperature_mix" -> ((0.426, 0.057)),
       "x23_ccnet_buckets" -> ((0.719, 0.057)),
       "w11_scd2_intervals" -> ((0.259, 0.057)))
-    // NB classifier, DSIR, Q18 big orders, gap fill, fuzzy dedup —
-    // recorded at this round's 0.047s-floor session
+    // NB classifier, DSIR, Q18 big orders, gap fill — recorded at a
+    // 0.047s-floor session
     val add10e = Map("x24_nb_classifier" -> ((0.347, 0.047)),
       "x25_dsir_selection" -> ((1.727, 0.047)),
       "j15_big_orders" -> ((0.726, 0.047)),
-      "w12_gap_fill" -> ((0.381, 0.047)),
-      "d14_fuzzy_dedup" -> ((999.0, 0.047)))
-    // MERGE upsert, table diff, histogram, transitions, phrase index —
+      "w12_gap_fill" -> ((0.381, 0.047)))
+    // MERGE upsert, table diff, histogram, transitions, phrase index,
+    // and d14 (after the lev-filter pushdown barrier — 8 s → 0.4 s) —
+    // recorded at a 0.049s-floor session (suite total 38.4 s over 134
+    // queries, zero regressions)
+    val add10f = Map("u4_merge_upsert" -> ((0.369, 0.049)),
+      "u5_table_diff" -> ((0.477, 0.049)),
+      "a15_histogram" -> ((0.141, 0.049)),
+      "w13_event_transitions" -> ((0.289, 0.049)),
+      "x26_inverted_index" -> ((1.043, 0.049)),
+      "d14_fuzzy_dedup" -> ((0.416, 0.049)))
+    // z-score anomalies, OLS regression, PMI collocations, containment —
     // provisional until this session's sf0.1 recording
-    val add10f = Map("u4_merge_upsert" -> ((999.0, 0.047)),
-      "u5_table_diff" -> ((999.0, 0.047)),
-      "a15_histogram" -> ((999.0, 0.047)),
-      "w13_event_transitions" -> ((999.0, 0.047)),
-      "x26_inverted_index" -> ((999.0, 0.047)))
-    main ++ add8 ++ add9 ++ add10 ++ add10b ++ add10c ++ add10d ++ add10e ++ add10f
+    val add10g = Map("w14_anomaly_zscore" -> ((999.0, 0.049)),
+      "a16_regression" -> ((999.0, 0.049)),
+      "x27_pmi_collocations" -> ((999.0, 0.049)),
+      "d15_containment" -> ((999.0, 0.049)))
+    main ++ add8 ++ add9 ++ add10 ++ add10b ++ add10c ++ add10d ++ add10e ++
+      add10f ++ add10g
   }
 
   def main(args: Array[String]): Unit = {

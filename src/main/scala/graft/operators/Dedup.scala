@@ -721,6 +721,42 @@ object Dedup {
     // blocked-dedup bargain.
     "d14_fuzzy_dedup" -> { (s, d) =>
       fuzzyPairs(Tables.documents(s, d)).orderBy("doc_a", "doc_b")
+    },
+    // Shingle-containment near-dup — the DIRECTIONAL metric the
+    // symmetric family (d2/d3 Jaccard) misses: a short document fully
+    // quoted inside a long one has tiny Jaccard but containment ≈ 1.
+    // Candidates come straight from the shingle posting lists (no LSH
+    // round-trip — containment has no MinHash estimator), with the
+    // standard two caps: posting lists longer than 16 docs are
+    // boilerplate shingles and leave via broadcast anti-join BEFORE
+    // pairing (pair volume ≤ df² per shingle, hard-bounded), and
+    // containment divides by the SMALLER side's full shingle count, so
+    // the score is the fraction of the smaller doc covered. Counts are
+    // exact integers; the one division is reproducible double.
+    "d15_containment" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val sh = docs.withColumn("ws", split(col("text"), " "))
+        .filter(size(col("ws")) >= 6)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(ws)-5), " +
+            "i -> concat_ws(' ', slice(ws, i, 6)))")).as("sh"))
+        .distinct()
+      val hot = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+        .filter(col("df") > 16).select("sh")
+      val cold = sh.join(broadcast(hot), Seq("sh"), "left_anti")
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      cold.as("a")
+        .join(cold.as("b"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
+        .withColumn("containment",
+          col("n_shared").cast("double") / least(col("sz_a"), col("sz_b")).cast("double"))
+        .filter(col("containment") >= 0.5)
+        .select("doc_a", "doc_b", "n_shared", "sz_a", "sz_b", "containment")
+        .orderBy("doc_a", "doc_b")
     }
   )
 
@@ -774,6 +810,27 @@ object Dedup {
   }
 
   def oracles3: Map[String, String] = Map(
+    // Same ladder: distinct 6-word shingles, df-capped postings,
+    // within-posting ordered pairs, containment vs the smaller side.
+    "d15_containment" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |    array_to_string(list_slice(ws, i, i + 5), ' ') AS sh
+        |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 4)) AS i
+        |    FROM w WHERE len(ws) >= 6)),
+        |hot AS (SELECT sh FROM (SELECT sh, count(*) AS df FROM sh GROUP BY sh)
+        |  WHERE df > 16),
+        |cold AS (SELECT s.doc_id, s.sh FROM sh s ANTI JOIN hot h USING (sh)),
+        |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
+        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM cold a JOIN cold b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, n_shared, sa.sz AS sz_a, sb.sz AS sz_b,
+        |  CAST(n_shared AS DOUBLE) / CAST(least(sa.sz, sb.sz) AS DOUBLE) AS containment
+        |FROM pairs JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+        |WHERE CAST(n_shared AS DOUBLE) / CAST(least(sa.sz, sb.sz) AS DOUBLE) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
     // Same block ladder: prefix+length blocking, >64 blocks anti-joined
     // away, within-block ordered pairs under the edit-distance bar.
     "d14_fuzzy_dedup" ->

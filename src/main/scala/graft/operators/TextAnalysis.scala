@@ -222,6 +222,40 @@ object TextAnalysis {
         .filter(col("df") >= 2)
         .orderBy("gram")
     },
+    // PMI collocation mining — the phrase-discovery primitive (corpus
+    // tokenizer vocabularies, stop-phrase lists, NER gazetteers all
+    // start here): pointwise mutual information ln(p(ab)/(p(a)p(b)))
+    // over corpus unigram/bigram counts. Two combinable count aggs plus
+    // a vocab-sized broadcast join of the unigram table into the bigram
+    // stream — no corpus self-join; the c_ab >= 5 support floor is the
+    // standard PMI low-count-blowup guard. Top 100 by rounded PMI with
+    // a lexicographic tie-break so the cut is deterministic.
+    "x27_pmi_collocations" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val toks = docs.select(explode(split(col("text"), " ")).as("w"))
+      val uni = toks.groupBy("w").agg(count(lit(1)).as("c"))
+      val n1 = toks.agg(count(lit(1)).as("n1"))
+      val bi = docs
+        .withColumn("ws", split(col("text"), " "))
+        .filter(size(col("ws")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(ws)-1), " +
+            "i -> struct(element_at(ws, i) AS wa, element_at(ws, i+1) AS wb))")).as("p"))
+        .select(col("p.wa").as("wa"), col("p.wb").as("wb"))
+      val biCnt = bi.groupBy("wa", "wb").agg(count(lit(1)).as("c_ab"))
+      val n2 = bi.agg(count(lit(1)).as("n2"))
+      biCnt.filter(col("c_ab") >= 5)
+        .join(broadcast(uni.withColumnRenamed("w", "wa").withColumnRenamed("c", "c_a")), "wa")
+        .join(broadcast(uni.withColumnRenamed("w", "wb").withColumnRenamed("c", "c_b")), "wb")
+        .crossJoin(broadcast(n1)).crossJoin(broadcast(n2))
+        .withColumn("pmi", round(log(
+          (col("c_ab").cast("double") / col("n2").cast("double")) /
+            ((col("c_a").cast("double") / col("n1").cast("double")) *
+              (col("c_b").cast("double") / col("n1").cast("double")))), 9))
+        .select("wa", "wb", "c_ab", "pmi")
+        .orderBy(col("pmi").desc, col("wa"), col("wb"))
+        .limit(100)
+    },
     // Corpus vocabulary profile — the pre-training health metrics a
     // curation sweep reports before anything trains on the data:
     // type/token counts, type-token ratio, hapax fraction (Zipf tail
@@ -522,6 +556,27 @@ object TextAnalysis {
   )
 
   def oracles: Map[String, String] = Map(
+    // Same counts, identical division/ln tree, same rounded-PMI cut.
+    "x27_pmi_collocations" ->
+      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY w),
+        |n1 AS (SELECT CAST(count(*) AS BIGINT) AS n1 FROM toks),
+        |ws AS (SELECT string_split(text, ' ') AS ws FROM documents),
+        |bi AS (SELECT unnest(list_transform(range(1, len(ws)),
+        |      i -> struct_pack(wa := ws[i], wb := ws[i+1]))) AS p
+        |  FROM ws WHERE len(ws) >= 2),
+        |bic AS (SELECT p.wa AS wa, p.wb AS wb, CAST(count(*) AS BIGINT) AS c_ab
+        |  FROM bi GROUP BY 1, 2),
+        |n2 AS (SELECT CAST(count(*) AS BIGINT) AS n2 FROM bi)
+        |SELECT wa, wb, c_ab,
+        |  round(ln((CAST(c_ab AS DOUBLE) / CAST(n2.n2 AS DOUBLE)) /
+        |    ((CAST(ua.c AS DOUBLE) / CAST(n1.n1 AS DOUBLE)) *
+        |     (CAST(ub.c AS DOUBLE) / CAST(n1.n1 AS DOUBLE)))), 9) AS pmi
+        |FROM bic
+        |JOIN uni ua ON bic.wa = ua.w
+        |JOIN uni ub ON bic.wb = ub.w, n1, n2
+        |WHERE c_ab >= 5
+        |ORDER BY pmi DESC, wa, wb LIMIT 100""".stripMargin,
     // Same ladder: distinct bigram postings, df-capped hot list
     // anti-joined away, doc-ordered list serialization.
     "x26_inverted_index" ->

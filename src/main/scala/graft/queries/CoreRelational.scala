@@ -464,6 +464,36 @@ object CoreRelational {
         .select(col("bucket"), (col("bucket") * bw).as("lo"),
           ((col("bucket") + 1) * bw).as("hi"), col("cnt"), col("sum_price"))
         .orderBy("bucket")
+    },
+
+    // Grouped OLS regression — trend extraction as ONE combinable
+    // aggregate: per event type, value regressed on hour-of-day in
+    // closed form from the six moment sums (the a10 ladder), slope /
+    // intercept / r² recombined in double with the identical expression
+    // tree as the oracle. No ML library, no iteration, no second pass:
+    // at 100 TB this is exactly one map-side-combinable shuffle of 6
+    // decimal sums per group.
+    "a16_regression" -> { (s, d) =>
+      val x = hour(col("ts")).cast("double")
+      val y = col("value")
+      Tables.events(s, d)
+        .select(col("event_type"), x.as("x"), y.as("y"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          dsum(col("x")).as("sx"), dsum(col("y")).as("sy"),
+          dsum(col("x") * col("x")).as("sxx"),
+          dsum(col("y") * col("y")).as("syy"),
+          dsum(col("x") * col("y")).as("sxy"))
+        .withColumn("cov_n", col("n") * col("sxy") - col("sx") * col("sy"))
+        .withColumn("var_x_n", col("n") * col("sxx") - col("sx") * col("sx"))
+        .withColumn("var_y_n", col("n") * col("syy") - col("sy") * col("sy"))
+        .withColumn("slope", round(col("cov_n") / col("var_x_n"), 9))
+        .withColumn("intercept",
+          round((col("sy") - (col("cov_n") / col("var_x_n")) * col("sx")) / col("n"), 9))
+        .withColumn("r2",
+          round(col("cov_n") * col("cov_n") / (col("var_x_n") * col("var_y_n")), 9))
+        .select("event_type", "n", "slope", "intercept", "r2")
+        .orderBy("event_type")
     }
   )
 
@@ -737,6 +767,27 @@ object CoreRelational {
          |SELECT bucket, bucket * CAST(20000.0 AS DOUBLE) AS lo,
          |  (bucket + 1) * CAST(20000.0 AS DOUBLE) AS hi,
          |  CAST(count(*) AS BIGINT) AS cnt, ${dsumSql("o_totalprice")} AS sum_price
-         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+    // Same six-moment closed form, identical recombination order.
+    "a16_regression" ->
+      s"""WITH pts AS (SELECT event_type,
+         |    CAST(EXTRACT(hour FROM ts) AS DOUBLE) AS x, value AS y
+         |  FROM events),
+         |sums AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |    ${dsumSql("x")} AS sx, ${dsumSql("y")} AS sy,
+         |    ${dsumSql("(x * x)")} AS sxx, ${dsumSql("(y * y)")} AS syy,
+         |    ${dsumSql("(x * y)")} AS sxy
+         |  FROM pts GROUP BY event_type),
+         |m AS (SELECT event_type, n,
+         |    n * sxy - sx * sy AS cov_n,
+         |    n * sxx - sx * sx AS var_x_n,
+         |    n * syy - sy * sy AS var_y_n,
+         |    sx, sy
+         |  FROM sums)
+         |SELECT event_type, n,
+         |  round(cov_n / var_x_n, 9) AS slope,
+         |  round((sy - (cov_n / var_x_n) * sx) / n, 9) AS intercept,
+         |  round(cov_n * cov_n / (var_x_n * var_y_n), 9) AS r2
+         |FROM m ORDER BY event_type""".stripMargin
   )
 }

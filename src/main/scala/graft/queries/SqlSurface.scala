@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.Cols.{dsum, dsumSql, djoinSql, ijoinSql}
+import graft.Cols.{Dec, dsum, dsumSql, djoinSql, ijoinSql}
 
 /** Extended scalar / window / SQL surface (SURVEY.md §2.10 function
   * classes beyond the reference's minimal set, plus subquery shapes) —
@@ -586,6 +586,34 @@ object SqlSurface {
         .withColumn("p", col("cnt").cast("double") / sum(col("cnt")).over(wf).cast("double"))
         .orderBy("from_type", "to_type")
     },
+    // Rolling z-score anomaly detection — the monitoring primitive over
+    // an event stream: each event scored against ITS OWN user's trailing
+    // 8-event window (mean/variance from exact decimal frame sums —
+    // order-independent, so the score is reproducible), |z| > 2.5
+    // flagged. One shuffle on the user key, no self-join; the frame
+    // carries 8 rows of state per event regardless of corpus size. The
+    // a10 moment ladder applied to a window frame: decimal sums
+    // recombined in double with the identical expression tree on both
+    // engines, sqrt-derived z rounded to 9 (libm-vs-IEEE 1-ulp class).
+    "w14_anomaly_zscore" -> { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-8, -1)
+      Tables.events(s, d)
+        .withColumn("n", count(col("value")).over(w))
+        .withColumn("sv", sum(col("value").cast(Dec)).over(w).cast("double"))
+        .withColumn("svv",
+          sum((col("value") * col("value")).cast(Dec)).over(w).cast("double"))
+        .filter(col("n") >= 4)
+        .withColumn("mu", col("sv") / col("n"))
+        .withColumn("variance",
+          (col("svv") - col("sv") * col("sv") / col("n")) / (col("n") - 1))
+        .filter(col("variance") > 0)
+        .withColumn("z", (col("value") - col("mu")) / sqrt(col("variance")))
+        .filter(abs(col("z")) > lit(2.5))
+        .select(col("event_id"), col("user_id"), col("value"),
+          round(col("mu"), 9).as("mu"), round(col("z"), 9).as("z"))
+        .orderBy("event_id")
+    },
     // Keyset (seek) pagination — the serving-scale alternative to o3's
     // OFFSET: the predicate pushes to the scan and the page costs
     // O(page), where OFFSET n scans-and-discards O(n) rows and gets
@@ -912,6 +940,27 @@ object SqlSurface {
         |SELECT from_type, to_type, cnt,
         |  CAST(cnt AS DOUBLE) / CAST(SUM(cnt) OVER (PARTITION BY from_type) AS DOUBLE) AS p
         |FROM c ORDER BY from_type, to_type""".stripMargin,
+    // Same moment ladder as a10, over the trailing frame: decimal frame
+    // sums, identical double recombination, round(·, 9) on the sqrt path.
+    "w14_anomaly_zscore" ->
+      """WITH f AS (
+        |  SELECT event_id, user_id, value,
+        |    count(value) OVER w AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE) AS sv,
+        |    CAST(SUM(CAST((value * value) AS DECIMAL(28,6))) OVER w AS DOUBLE) AS svv
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING)),
+        |m AS (
+        |  SELECT event_id, user_id, value, sv / n AS mu,
+        |    (svv - sv * sv / n) / (n - 1) AS variance
+        |  FROM f WHERE n >= 4),
+        |z AS (
+        |  SELECT event_id, user_id, value, mu,
+        |    (value - mu) / sqrt(variance) AS z
+        |  FROM m WHERE variance > 0)
+        |SELECT event_id, user_id, value, round(mu, 9) AS mu, round(z, 9) AS z
+        |FROM z WHERE abs(z) > 2.5 ORDER BY event_id""".stripMargin,
     "o5_keyset_pagination" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders WHERE o_orderkey > 500

@@ -340,6 +340,57 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("anomaly z-score (w14): every flagged event exceeds the bar, history honored") {
+    val rows = SparkEntry.queries("w14_anomaly_zscore")(spark, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(4)) > 2.5, "only |z| > 2.5 events surface")
+    }
+    // sanity: z sign tracks the deviation direction from the trailing mean
+    rows.foreach { r =>
+      assert((r.getDouble(2) - r.getDouble(3)) * r.getDouble(4) > 0,
+        "z and (value - mu) must have the same sign")
+    }
+  }
+
+  test("regression (a16): closed-form OLS matches a local two-pass fit") {
+    val rows = SparkEntry.queries("a16_regression")(spark, d).collect()
+    assert(rows.nonEmpty)
+    val pts = Tables.events(spark, d)
+      .select(col("event_type"), hour(col("ts")).cast("double").as("x"), col("value").as("y"))
+      .collect().groupBy(_.getString(0))
+    rows.foreach { r =>
+      val data = pts(r.getString(0)).map(p => (p.getDouble(1), p.getDouble(2)))
+      val n = data.length.toDouble
+      val mx = data.map(_._1).sum / n; val my = data.map(_._2).sum / n
+      val slope = data.map { case (x, y) => (x - mx) * (y - my) }.sum /
+        data.map { case (x, _) => (x - mx) * (x - mx) }.sum
+      assert(r.getLong(1) === data.length)
+      assert(math.abs(r.getDouble(2) - slope) < 1e-6,
+        s"${r.getString(0)}: slope ${r.getDouble(2)} vs local $slope")
+      assert(r.getDouble(4) >= 0 && r.getDouble(4) <= 1 + 1e-9, "r2 in [0,1]")
+    }
+  }
+
+  test("PMI collocations (x27): support floor holds, list internally consistent") {
+    val rows = SparkEntry.queries("x27_pmi_collocations")(spark, d).collect()
+    assert(rows.length === 100, "top-100 cut")
+    rows.foreach(r => assert(r.getLong(2) >= 5, "support floor"))
+    val pmis = rows.map(_.getDouble(3))
+    assert(pmis.zip(pmis.tail).forall { case (a, b) => a >= b }, "sorted by pmi desc")
+  }
+
+  test("containment (d15): directional score in (0,1], shared bounded by sizes") {
+    val rows = SparkEntry.queries("d15_containment")(spark, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (shared, szA, szB, c) = (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))
+      assert(shared <= math.min(szA, szB), "shared shingles bounded by the smaller doc")
+      assert(c >= 0.5 && c <= 1.0 + 1e-9, s"containment in [0.5, 1]: $c")
+      assert(r.getLong(0) < r.getLong(1), "pairs ordered doc_a < doc_b")
+    }
+  }
+
   test("gap fill (w12): grid contiguous per user, LOCF never null, fills inherit") {
     val rows = SparkEntry.queries("w12_gap_fill")(spark, d).collect()
     assert(rows.nonEmpty)

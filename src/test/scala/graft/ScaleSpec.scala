@@ -378,12 +378,47 @@ class ScaleSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), s"x26 must stay keyed:\n$plan")
   }
 
+  test("w14 z-score: one keyed window, no join, no corpus self-join") {
+    val d = "/root/testdata/sf0.001"
+    val plan = executedPlan(SparkEntry.queries("w14_anomaly_zscore")(spark, d))
+    assert(!plan.contains("Join"), s"w14 must not plan any join:\n$plan")
+    assert(plan.contains("Window"), s"w14 scores via a window frame:\n$plan")
+  }
+
+  test("a16 regression is one combinable agg: map-side partials, no join") {
+    val d = "/root/testdata/sf0.001"
+    val plan = executedPlan(SparkEntry.queries("a16_regression")(spark, d))
+    assert(!plan.contains("Join"), s"a16 needs no join:\n$plan")
+    assert(plan.contains("partial_"), s"a16 moment sums must combine map-side:\n$plan")
+  }
+
+  test("x27 PMI: unigram tables broadcast into the bigram stream, top-k not global sort") {
+    val d = "/root/testdata/sf0.001"
+    val plan = executedPlan(SparkEntry.queries("x27_pmi_collocations")(spark, d))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"x27 unigram join must broadcast:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"x27 top-100 must plan as distributed top-k, not a global sort:\n$plan")
+  }
+
+  test("d15 containment: hot shingles leave via broadcast anti-join, pairs stay keyed") {
+    val d = "/root/testdata/sf0.001"
+    val plan = executedPlan(SparkEntry.queries("d15_containment")(spark, d))
+    assert(plan.contains("LeftAnti"), s"d15 df cap must anti-join:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"d15 pair generation must stay shingle-keyed:\n$plan")
+  }
+
   test("d14 fuzzy dedup pairs only within blocks, never unkeyed") {
     val d = "/root/testdata/sf0.001"
     val plan = SparkEntry.queries("d14_fuzzy_dedup")(spark, d)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"d14 pair generation must stay block-keyed:\n$plan")
+    // the lev filter must stay ABOVE the join: pushed into the join
+    // condition Catalyst runs the DP per candidate (twice) — 6× slower
+    assert(!plan.linesIterator.exists(l => l.contains("Join") && l.contains("levenshtein")),
+      s"d14 levenshtein must not be evaluated inside the join:\n$plan")
   }
 
   test("x24 NB classifier: model broadcasts to the token stream, no products") {
