@@ -167,11 +167,13 @@ object Bench {
       "x26_inverted_index" -> ((1.043, 0.049)),
       "d14_fuzzy_dedup" -> ((0.416, 0.049)))
     // z-score anomalies, OLS regression, PMI collocations, containment —
-    // provisional until this session's sf0.1 recording
-    val add10g = Map("w14_anomaly_zscore" -> ((999.0, 0.049)),
-      "a16_regression" -> ((999.0, 0.049)),
-      "x27_pmi_collocations" -> ((999.0, 0.049)),
-      "d15_containment" -> ((999.0, 0.049)))
+    // recorded at a 0.053s-floor session (suite 42.4 s / 138 queries,
+    // zero regressions; d15's 2.1 s is the pair-count agg over the
+    // shingle posting lists — corpus-shaped by design, like d3)
+    val add10g = Map("w14_anomaly_zscore" -> ((0.488, 0.053)),
+      "a16_regression" -> ((0.117, 0.053)),
+      "x27_pmi_collocations" -> ((0.512, 0.053)),
+      "d15_containment" -> ((2.107, 0.053)))
     main ++ add8 ++ add9 ++ add10 ++ add10b ++ add10c ++ add10d ++ add10e ++
       add10f ++ add10g
   }

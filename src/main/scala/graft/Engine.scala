@@ -149,6 +149,37 @@ object Engine {
   def semanticDedup(vecs: DataFrame, threshold: Double): DataFrame =
     operators.Dedup.semanticDedupVerdicts(vecs, threshold)
 
+  /** Directional shingle-containment near-dup pairs (d15): quote/subset
+    * duplication the symmetric Jaccard family dilutes; df-capped posting
+    * lists bound pair volume at maxDf² per shingle.
+    */
+  def containmentPairs(docs: DataFrame, shingleWords: Int = 6,
+      maxDf: Long = 16L, minContainment: Double = 0.5): DataFrame =
+    operators.Dedup.containmentPairs(docs, shingleWords, maxDf, minContainment)
+
+  /** PMI collocation mining (x27): top-`topK` word bigrams by pointwise
+    * mutual information, `minSupport` low-count guard.
+    */
+  def pmiCollocations(docs: DataFrame, minSupport: Long = 5L,
+      topK: Int = 100): DataFrame =
+    operators.TextAnalysis.pmiCollocations(docs, minSupport, topK)
+
+  /** Rolling z-score anomaly flags (w14): each row scored against its
+    * own key's trailing `frame`-row window, |z| > threshold kept.
+    */
+  def anomalyZscores(events: DataFrame, keyCol: String, valueCol: String,
+      orderBy: Seq[org.apache.spark.sql.Column], frame: Int = 8,
+      minHistory: Int = 4, threshold: Double = 2.5): DataFrame =
+    operators.EventAnalytics.anomalyZscores(
+      events, keyCol, valueCol, orderBy, frame, minHistory, threshold)
+
+  /** Grouped closed-form OLS trend (a16): per-group slope/intercept/r²
+    * from one combinable six-moment aggregate.
+    */
+  def olsTrend(rows: DataFrame, groupCol: String,
+      x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column): DataFrame =
+    operators.EventAnalytics.olsTrend(rows, groupCol, x, y)
+
   /** Training-mixture control (x15 generalized): deterministically
     * resample `docs` so each domain contributes exactly `targets(domain)`
     * rows — md5-order down-sampling, cycled `replica` copies when a

@@ -734,31 +734,44 @@ object Dedup {
     // the score is the fraction of the smaller doc covered. Counts are
     // exact integers; the one division is reproducible double.
     "d15_containment" -> { (s, d) =>
-      val docs = Tables.documents(s, d)
-      val sh = docs.withColumn("ws", split(col("text"), " "))
-        .filter(size(col("ws")) >= 6)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(1, size(ws)-5), " +
-            "i -> concat_ws(' ', slice(ws, i, 6)))")).as("sh"))
-        .distinct()
-      val hot = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-        .filter(col("df") > 16).select("sh")
-      val cold = sh.join(broadcast(hot), Seq("sh"), "left_anti")
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-      cold.as("a")
-        .join(cold.as("b"),
-          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .agg(count(lit(1)).as("n_shared"))
-        .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
-        .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
-        .withColumn("containment",
-          col("n_shared").cast("double") / least(col("sz_a"), col("sz_b")).cast("double"))
-        .filter(col("containment") >= 0.5)
-        .select("doc_a", "doc_b", "n_shared", "sz_a", "sz_b", "containment")
-        .orderBy("doc_a", "doc_b")
+      containmentPairs(Tables.documents(s, d)).orderBy("doc_a", "doc_b")
     }
   )
+
+  /** d15's core: directional shingle-containment near-dup pairs.
+    * Documents sharing ≥1 cold `shingleWords`-word shingle are paired;
+    * shingles in more than `maxDf` documents (boilerplate) are dropped
+    * via broadcast anti-join BEFORE pairing, so pair volume per shingle
+    * is ≤ maxDf². Containment = shared cold shingles / the SMALLER
+    * side's full shingle count — the fraction of the smaller document
+    * covered, which catches quote/subset duplication symmetric Jaccard
+    * dilutes. Pairs below `minContainment` are dropped.
+    */
+  def containmentPairs(docs: DataFrame, shingleWords: Int = 6,
+      maxDf: Long = 16L, minContainment: Double = 0.5): DataFrame = {
+    require(shingleWords >= 2 && maxDf >= 2 && minContainment > 0)
+    val sh = docs.withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= shingleWords)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(ws)-${shingleWords - 1}), " +
+          s"i -> concat_ws(' ', slice(ws, i, $shingleWords)))")).as("sh"))
+      .distinct()
+    val hot = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select("sh")
+    val cold = sh.join(broadcast(hot), Seq("sh"), "left_anti")
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    cold.as("a")
+      .join(cold.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
+      .withColumn("containment",
+        col("n_shared").cast("double") / least(col("sz_a"), col("sz_b")).cast("double"))
+      .filter(col("containment") >= minContainment)
+      .select("doc_a", "doc_b", "n_shared", "sz_a", "sz_b", "containment")
+  }
 
   /** d14 block-size cap: blocks larger than this never generate pairs. */
   private val MaxBlockDocs = 64L

@@ -231,30 +231,7 @@ object TextAnalysis {
     // standard PMI low-count-blowup guard. Top 100 by rounded PMI with
     // a lexicographic tie-break so the cut is deterministic.
     "x27_pmi_collocations" -> { (s, d) =>
-      val docs = Tables.documents(s, d)
-      val toks = docs.select(explode(split(col("text"), " ")).as("w"))
-      val uni = toks.groupBy("w").agg(count(lit(1)).as("c"))
-      val n1 = toks.agg(count(lit(1)).as("n1"))
-      val bi = docs
-        .withColumn("ws", split(col("text"), " "))
-        .filter(size(col("ws")) >= 2)
-        .select(explode(expr(
-          "transform(sequence(1, size(ws)-1), " +
-            "i -> struct(element_at(ws, i) AS wa, element_at(ws, i+1) AS wb))")).as("p"))
-        .select(col("p.wa").as("wa"), col("p.wb").as("wb"))
-      val biCnt = bi.groupBy("wa", "wb").agg(count(lit(1)).as("c_ab"))
-      val n2 = bi.agg(count(lit(1)).as("n2"))
-      biCnt.filter(col("c_ab") >= 5)
-        .join(broadcast(uni.withColumnRenamed("w", "wa").withColumnRenamed("c", "c_a")), "wa")
-        .join(broadcast(uni.withColumnRenamed("w", "wb").withColumnRenamed("c", "c_b")), "wb")
-        .crossJoin(broadcast(n1)).crossJoin(broadcast(n2))
-        .withColumn("pmi", round(log(
-          (col("c_ab").cast("double") / col("n2").cast("double")) /
-            ((col("c_a").cast("double") / col("n1").cast("double")) *
-              (col("c_b").cast("double") / col("n1").cast("double")))), 9))
-        .select("wa", "wb", "c_ab", "pmi")
-        .orderBy(col("pmi").desc, col("wa"), col("wb"))
-        .limit(100)
+      pmiCollocations(Tables.documents(s, d))
     },
     // Corpus vocabulary profile — the pre-training health metrics a
     // curation sweep reports before anything trains on the data:
@@ -554,6 +531,40 @@ object TextAnalysis {
         .orderBy("doc_id")
     }
   )
+
+  /** x27's core: PMI-scored word-bigram collocations. `minSupport` is
+    * the standard low-count-blowup guard (rare pairs have wildly
+    * inflated PMI); `topK` plans as a distributed TakeOrderedAndProject
+    * on (rounded pmi desc, wa, wb) so the cut is deterministic and only
+    * topK rows reach the driver.
+    */
+  def pmiCollocations(docs: DataFrame, minSupport: Long = 5L,
+      topK: Int = 100): DataFrame = {
+    require(minSupport >= 1 && topK >= 1)
+    val toks = docs.select(explode(split(col("text"), " ")).as("w"))
+    val uni = toks.groupBy("w").agg(count(lit(1)).as("c"))
+    val n1 = toks.agg(count(lit(1)).as("n1"))
+    val bi = docs
+      .withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(ws)-1), " +
+          "i -> struct(element_at(ws, i) AS wa, element_at(ws, i+1) AS wb))")).as("p"))
+      .select(col("p.wa").as("wa"), col("p.wb").as("wb"))
+    val biCnt = bi.groupBy("wa", "wb").agg(count(lit(1)).as("c_ab"))
+    val n2 = bi.agg(count(lit(1)).as("n2"))
+    biCnt.filter(col("c_ab") >= minSupport)
+      .join(broadcast(uni.withColumnRenamed("w", "wa").withColumnRenamed("c", "c_a")), "wa")
+      .join(broadcast(uni.withColumnRenamed("w", "wb").withColumnRenamed("c", "c_b")), "wb")
+      .crossJoin(broadcast(n1)).crossJoin(broadcast(n2))
+      .withColumn("pmi", round(log(
+        (col("c_ab").cast("double") / col("n2").cast("double")) /
+          ((col("c_a").cast("double") / col("n1").cast("double")) *
+            (col("c_b").cast("double") / col("n1").cast("double")))), 9))
+      .select("wa", "wb", "c_ab", "pmi")
+      .orderBy(col("pmi").desc, col("wa"), col("wb"))
+      .limit(topK)
+  }
 
   def oracles: Map[String, String] = Map(
     // Same counts, identical division/ln tree, same rounded-PMI cut.

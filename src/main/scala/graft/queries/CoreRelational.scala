@@ -474,25 +474,8 @@ object CoreRelational {
     // at 100 TB this is exactly one map-side-combinable shuffle of 6
     // decimal sums per group.
     "a16_regression" -> { (s, d) =>
-      val x = hour(col("ts")).cast("double")
-      val y = col("value")
-      Tables.events(s, d)
-        .select(col("event_type"), x.as("x"), y.as("y"))
-        .groupBy("event_type")
-        .agg(count(lit(1)).as("n"),
-          dsum(col("x")).as("sx"), dsum(col("y")).as("sy"),
-          dsum(col("x") * col("x")).as("sxx"),
-          dsum(col("y") * col("y")).as("syy"),
-          dsum(col("x") * col("y")).as("sxy"))
-        .withColumn("cov_n", col("n") * col("sxy") - col("sx") * col("sy"))
-        .withColumn("var_x_n", col("n") * col("sxx") - col("sx") * col("sx"))
-        .withColumn("var_y_n", col("n") * col("syy") - col("sy") * col("sy"))
-        .withColumn("slope", round(col("cov_n") / col("var_x_n"), 9))
-        .withColumn("intercept",
-          round((col("sy") - (col("cov_n") / col("var_x_n")) * col("sx")) / col("n"), 9))
-        .withColumn("r2",
-          round(col("cov_n") * col("cov_n") / (col("var_x_n") * col("var_y_n")), 9))
-        .select("event_type", "n", "slope", "intercept", "r2")
+      graft.operators.EventAnalytics.olsTrend(
+        Tables.events(s, d), "event_type", hour(col("ts")), col("value"))
         .orderBy("event_type")
     }
   )

@@ -596,20 +596,9 @@ object SqlSurface {
     // recombined in double with the identical expression tree on both
     // engines, sqrt-derived z rounded to 9 (libm-vs-IEEE 1-ulp class).
     "w14_anomaly_zscore" -> { (s, d) =>
-      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-        .rowsBetween(-8, -1)
-      Tables.events(s, d)
-        .withColumn("n", count(col("value")).over(w))
-        .withColumn("sv", sum(col("value").cast(Dec)).over(w).cast("double"))
-        .withColumn("svv",
-          sum((col("value") * col("value")).cast(Dec)).over(w).cast("double"))
-        .filter(col("n") >= 4)
-        .withColumn("mu", col("sv") / col("n"))
-        .withColumn("variance",
-          (col("svv") - col("sv") * col("sv") / col("n")) / (col("n") - 1))
-        .filter(col("variance") > 0)
-        .withColumn("z", (col("value") - col("mu")) / sqrt(col("variance")))
-        .filter(abs(col("z")) > lit(2.5))
+      graft.operators.EventAnalytics.anomalyZscores(
+        Tables.events(s, d), "user_id", "value",
+        Seq(col("ts"), col("event_id")))
         .select(col("event_id"), col("user_id"), col("value"),
           round(col("mu"), 9).as("mu"), round(col("z"), 9).as("z"))
         .orderBy("event_id")

@@ -391,6 +391,40 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("containmentPairs honors shingle width, df cap, and threshold") {
+    val docs = Tables.documents(spark, d)
+    val loose = Engine.containmentPairs(docs, shingleWords = 4, minContainment = 0.3)
+    val tight = Engine.containmentPairs(docs, shingleWords = 4, minContainment = 0.9)
+    val nLoose = loose.count(); val nTight = tight.count()
+    assert(nLoose >= nTight, "raising the containment bar cannot add pairs")
+    assert(nLoose > 0)
+    tight.collect().foreach(r => assert(r.getDouble(5) >= 0.9))
+  }
+
+  test("anomalyZscores: wider frame and lower bar flag at least as much") {
+    val ev = Tables.events(spark, d)
+    val ord = Seq(col("ts"), col("event_id"))
+    val strict = Engine.anomalyZscores(ev, "user_id", "value", ord, threshold = 3.5).count()
+    val lax = Engine.anomalyZscores(ev, "user_id", "value", ord, threshold = 1.5).count()
+    assert(lax >= strict && lax > 0, s"threshold monotone: lax=$lax strict=$strict")
+  }
+
+  test("olsTrend on a synthetic exact line recovers slope/intercept, r2 = 1") {
+    import spark.implicits._
+    val line = (1 to 50).map(i => ("g", i.toDouble, 3.0 * i + 7.0)).toDF("g", "x", "y")
+    val r = Engine.olsTrend(line, "g", col("x"), col("y")).collect()(0)
+    assert(math.abs(r.getDouble(2) - 3.0) < 1e-9)
+    assert(math.abs(r.getDouble(3) - 7.0) < 1e-9)
+    assert(math.abs(r.getDouble(4) - 1.0) < 1e-9)
+  }
+
+  test("pmiCollocations: support floor and k are honored") {
+    val docs = Tables.documents(spark, d)
+    val top = Engine.pmiCollocations(docs, minSupport = 10L, topK = 7).collect()
+    assert(top.length === 7)
+    top.foreach(r => assert(r.getLong(2) >= 10))
+  }
+
   test("gap fill (w12): grid contiguous per user, LOCF never null, fills inherit") {
     val rows = SparkEntry.queries("w12_gap_fill")(spark, d).collect()
     assert(rows.nonEmpty)
