@@ -167,6 +167,50 @@ object StreamDemos {
       .groupBy(col("p_id"), col("user_id"), col("p_ts"))
       .agg(max(col("s_ts")).as("asof_signup_ts"))
 
+  final case class ZEv(event_id: Long, user_id: Long, ts: Timestamp, value: Double)
+  final case class ZOut(event_id: Long, user_id: Long, value: Double, mu: Double, z: Double)
+
+  /** w14's rolling z-score anomaly detection LIVE: per-user trailing
+    * ring buffer of the last `frame` values via flatMapGroupsWithState,
+    * each arriving event scored against the buffer BEFORE joining it.
+    * The mean/variance recombination replicates the batch operator's
+    * exact-decimal ladder bit-for-bit (values rounded to DECIMAL(28,6)
+    * scale, summed exactly, recombined in double with the identical
+    * expression tree), so in-order streaming output EQUALS the batch
+    * w14 rows — the stream/batch parity contract StreamingSpec pins.
+    * State per key is `frame` doubles — watermark-independent and
+    * bounded, the 100 TB-safe configuration.
+    */
+  def anomalyZscores(events: Dataset[ZEv], frame: Int = 8,
+      minHistory: Int = 4, threshold: Double = 2.5): Dataset[ZOut] = {
+    import events.sparkSession.implicits._
+    def dec(v: Double): BigDecimal =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[ZEv], state: GroupState[Vector[Double]]) =>
+          var buf = state.getOption.getOrElse(Vector.empty[Double])
+          val out = Seq.newBuilder[ZOut]
+          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val n = buf.size
+            if (n >= minHistory) {
+              val sv = buf.map(dec).sum.toDouble
+              val svv = buf.map(v => dec(v * v)).sum.toDouble
+              val mu = sv / n
+              val variance = (svv - sv * sv / n) / (n - 1)
+              if (variance > 0) {
+                val z = (e.value - mu) / math.sqrt(variance)
+                if (math.abs(z) > threshold) out += ZOut(e.event_id, user, e.value, mu, z)
+              }
+            }
+            buf = (buf :+ e.value).takeRight(frame)
+          }
+          state.update(buf)
+          out.result().iterator
+      }
+  }
+
   final case class Ev(user_id: Long, ts: Timestamp, value: Double)
   final case class SessionAgg(n_events: Int, startMs: Long, lastMs: Long)
   final case class SessionOut(user_id: Long, n_events: Int, session_start: Timestamp, session_end: Timestamp)

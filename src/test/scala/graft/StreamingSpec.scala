@@ -295,6 +295,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming z-score matches batch w14 row-for-row across a batch boundary") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    val all = Tables.events(spark, d)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .collect()
+      .map(r => StreamDemos.ZEv(r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getDouble(3)))
+      .sortBy(e => (e.ts.getTime, e.event_id))
+    // split at a time boundary so batch 2 is strictly later — state must
+    // carry each user's trailing window across the micro-batch boundary
+    val cut = all(all.length / 2).ts.getTime
+    val (b1, b2) = all.partition(_.ts.getTime < cut)
+    assert(b1.nonEmpty && b2.nonEmpty)
+    val ms = MemoryStream[StreamDemos.ZEv]
+    val q = StreamDemos.anomalyZscores(ms.toDS())
+      .writeStream.format("memory").queryName("z_out").outputMode("append").start()
+    try {
+      ms.addData(b1.toIndexedSeq: _*); q.processAllAvailable()
+      ms.addData(b2.toIndexedSeq: _*); q.processAllAvailable()
+      val got = spark.table("z_out").collect()
+        .map(r => (r.getAs[Long]("event_id"),
+          BigDecimal(r.getAs[Double]("mu")).setScale(9, BigDecimal.RoundingMode.HALF_UP),
+          BigDecimal(r.getAs[Double]("z")).setScale(9, BigDecimal.RoundingMode.HALF_UP)))
+        .toSet
+      val expected = SparkEntry.queries("w14_anomaly_zscore")(spark, d).collect()
+        .map(r => (r.getAs[Long]("event_id"),
+          BigDecimal(r.getAs[Double]("mu")).setScale(9, BigDecimal.RoundingMode.HALF_UP),
+          BigDecimal(r.getAs[Double]("z")).setScale(9, BigDecimal.RoundingMode.HALF_UP)))
+        .toSet
+      assert(expected.nonEmpty)
+      assert(got === expected, "stream/batch z-score parity")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState emits sessions on gap or timeout") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
