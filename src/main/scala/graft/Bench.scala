@@ -173,7 +173,9 @@ object Bench {
     val add10g = Map("w14_anomaly_zscore" -> ((0.488, 0.053)),
       "a16_regression" -> ((0.117, 0.053)),
       "x27_pmi_collocations" -> ((0.512, 0.053)),
-      "d15_containment" -> ((2.107, 0.053)))
+      "d15_containment" -> ((2.107, 0.053)),
+      // provisional until this session's sf0.1 recording
+      "d16_dedup_recall" -> ((999.0, 0.053)))
     main ++ add8 ++ add9 ++ add10 ++ add10b ++ add10c ++ add10d ++ add10e ++
       add10f ++ add10g
   }

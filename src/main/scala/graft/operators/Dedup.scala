@@ -735,6 +735,40 @@ object Dedup {
     // exact integers; the one division is reproducible double.
     "d15_containment" -> { (s, d) =>
       containmentPairs(Tables.documents(s, d)).orderBy("doc_a", "doc_b")
+    },
+    // LSH quality evaluation — n13's recall-eval discipline applied to
+    // the dedup family: how much of the REACHABLE truth (pairs sharing
+    // ≥1 non-boilerplate shingle with exact Jaccard ≥ 0.3 — the same
+    // bar d3 enforces) does d2's banded-MinHash candidate generation
+    // recover, and how clean is its candidate set? One summary row:
+    // (n_truth, n_cand, n_hit, recall, precision). Truth enumeration
+    // rides the df-capped posting lists (pair volume ≤ df² per
+    // shingle, the d15 bound) — the eval itself must not all-pairs.
+    "d16_dedup_recall" -> { (s, d) =>
+      val toks = shingles(s, d)
+      val hotSh = toks.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .filter(col("df") > 64).select("shingle")
+      val cold = toks.join(broadcast(hotSh), Seq("shingle"), "left_anti")
+      val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val truth = cold.as("a")
+        .join(cold.as("b"),
+          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("n_common"))
+        .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
+        .filter(col("n_common").cast("double") /
+          (col("sz_a") + col("sz_b") - col("n_common")).cast("double") >= 0.3)
+        .select("doc_a", "doc_b")
+      val cand = candidatePairs(s, d)
+      val hits = truth.join(cand, Seq("doc_a", "doc_b"), "left_semi")
+      truth.agg(count(lit(1)).as("n_truth"))
+        .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+        .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+        .withColumn("lsh_recall",
+          col("n_hit").cast("double") / col("n_truth").cast("double"))
+        .withColumn("lsh_precision",
+          col("n_hit").cast("double") / col("n_cand").cast("double"))
     }
   )
 
@@ -823,6 +857,28 @@ object Dedup {
   }
 
   def oracles3: Map[String, String] = Map(
+    // Same algebra: df-capped posting-list truth at Jaccard ≥ 0.3, the
+    // d2 band candidates, semi-join hits, one summary row.
+    "d16_dedup_recall" ->
+      s"""WITH $shinglesCte, $mhCte, $bandsCte, $candCte,
+         |shot AS (SELECT shingle FROM shingles GROUP BY shingle HAVING count(*) > 64),
+         |coldsh AS (SELECT s.doc_id, s.shingle FROM shingles s ANTI JOIN shot h USING (shingle)),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+         |tp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+         |  FROM coldsh a JOIN coldsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |truth AS (SELECT doc_a, doc_b
+         |  FROM tp JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+         |  WHERE CAST(n_common AS DOUBLE) / CAST(sa.sz + sb.sz - n_common AS DOUBLE) >= 0.3),
+         |hit AS (SELECT t.doc_a, t.doc_b FROM truth t SEMI JOIN cand c
+         |  ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)
+         |SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+         |  CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_cand,
+         |  CAST((SELECT count(*) FROM hit) AS BIGINT) AS n_hit,
+         |  CAST((SELECT count(*) FROM hit) AS DOUBLE) /
+         |    CAST((SELECT count(*) FROM truth) AS DOUBLE) AS lsh_recall,
+         |  CAST((SELECT count(*) FROM hit) AS DOUBLE) /
+         |    CAST((SELECT count(*) FROM cand) AS DOUBLE) AS lsh_precision""".stripMargin,
     // Same ladder: distinct 6-word shingles, df-capped postings,
     // within-posting ordered pairs, containment vs the smaller side.
     "d15_containment" ->

@@ -425,6 +425,15 @@ class EngineSpec extends AnyFunSuite {
     top.foreach(r => assert(r.getLong(2) >= 10))
   }
 
+  test("dedup recall (d16): metrics internally consistent, hits bounded") {
+    val r = SparkEntry.queries("d16_dedup_recall")(spark, d).collect()(0)
+    val (nT, nC, nH) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nT > 0 && nC > 0)
+    assert(nH <= math.min(nT, nC), "hits bounded by both sides")
+    assert(r.getDouble(3) === nH.toDouble / nT && r.getDouble(4) === nH.toDouble / nC)
+    assert(r.getDouble(3) >= 0.9, s"banded LSH should recover near-all truth pairs: ${r.getDouble(3)}")
+  }
+
   test("gap fill (w12): grid contiguous per user, LOCF never null, fills inherit") {
     val rows = SparkEntry.queries("w12_gap_fill")(spark, d).collect()
     assert(rows.nonEmpty)

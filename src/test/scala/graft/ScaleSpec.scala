@@ -409,6 +409,14 @@ class ScaleSpec extends AnyFunSuite {
       s"d15 pair generation must stay shingle-keyed:\n$plan")
   }
 
+  test("d16 recall eval: truth enumeration df-capped, pairing keyed, no products") {
+    val d = "/root/testdata/sf0.001"
+    val plan = executedPlan(SparkEntry.queries("d16_dedup_recall")(spark, d))
+    assert(plan.contains("LeftAnti"), s"d16 truth must df-cap via anti-join:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"d16 must never enumerate unkeyed pairs (count-only cross joins of 1-row aggs are fine):\n$plan")
+  }
+
   test("d14 fuzzy dedup pairs only within blocks, never unkeyed") {
     val d = "/root/testdata/sf0.001"
     val plan = SparkEntry.queries("d14_fuzzy_dedup")(spark, d)
