@@ -174,8 +174,10 @@ object Bench {
       "a16_regression" -> ((0.117, 0.053)),
       "x27_pmi_collocations" -> ((0.512, 0.053)),
       "d15_containment" -> ((2.107, 0.053)),
-      // provisional until this session's sf0.1 recording
-      "d16_dedup_recall" -> ((999.0, 0.053)))
+      // recorded at the 0.050s-floor session that followed (suite
+      // 45.3 s / 139 queries, zero regressions; cost = the d15-style
+      // truth enumeration + the d2 candidate build, both corpus-shaped)
+      "d16_dedup_recall" -> ((2.226, 0.050)))
     main ++ add8 ++ add9 ++ add10 ++ add10b ++ add10c ++ add10d ++ add10e ++
       add10f ++ add10g
   }

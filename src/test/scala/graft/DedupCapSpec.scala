@@ -59,6 +59,26 @@ class DedupCapSpec extends AnyFunSuite {
     assert(uncapped === 70L * 69L / 2L + 1L, s"uncapped must pair the viral block: $uncapped")
   }
 
+  test("d15 containment: boilerplate shingles capped, true containment found") {
+    import spark.implicits._
+    val long = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"
+    val short = "alpha beta gamma delta epsilon zeta eta theta"  // prefix of `long`
+    val docs = (Seq((1L, long), (2L, short)) ++
+      // 50 identical banner docs: every shingle has df 50 > maxDf=16 →
+      // all their postings leave before pairing
+      Seq.tabulate(50)(i => (100L + i, "shared banner text repeated across the whole corpus here")))
+      .toDF("doc_id", "text")
+    val pairs = Engine.containmentPairs(docs, shingleWords = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(5)))
+    assert(pairs.length === 1 && pairs(0)._1 === 1L && pairs(0)._2 === 2L,
+      s"only the true subset pair survives the df cap: ${pairs.toSeq}")
+    assert(pairs(0)._3 === 1.0,
+      s"doc 2 is a verbatim prefix of doc 1 → containment 1.0: ${pairs(0)._3}")
+    // lifting the cap exposes the banner block's 50·49/2 pairs
+    val uncapped = Engine.containmentPairs(docs, shingleWords = 4, maxDf = 64L).count()
+    assert(uncapped === 50L * 49L / 2L + 1L, s"uncapped banner block must pair: $uncapped")
+  }
+
   test("d8 drops stopword-like shingles from the contamination join") {
     val d8 = SparkEntry.queries("d8_contamination")(spark, fixtureDir)
     val rows = d8.collect()
