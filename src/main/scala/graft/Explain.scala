@@ -14,7 +14,9 @@ object Explain {
         "a1_pricing_summary", "o2_topk", "d2_minhash_lsh", "j8_asof_join",
         "o5_keyset_pagination", "j14_volume_shipping", "w9_funnel",
         "d12_line_dedup", "a7_approx_sketch", "n14_ann_filtered",
-        "x21_bpe_encode")
+        "x21_bpe_encode", "j15_big_orders", "u4_merge_upsert",
+        "u5_table_diff", "d14_fuzzy_dedup", "d15_containment",
+        "x26_inverted_index", "x27_pmi_collocations", "w14_anomaly_zscore")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
