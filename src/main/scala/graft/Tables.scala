@@ -22,14 +22,25 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame  = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 
-  /** `events.parquet` carries INT64 TIMESTAMP(NANOS) which Spark's parquet
-    * reader rejects outright; read it as nanosecond longs and truncate to
-    * microseconds (integer division — the values exceed double precision),
-    * which is exactly what DuckDB's µs-resolution TIMESTAMP does on read.
+  /** `events.parquet` has shipped `ts` two ways across testdata refreshes:
+    * INT64 TIMESTAMP(NANOS) — which Spark's parquet reader rejects outright,
+    * so it is read as nanosecond longs and truncated to microseconds
+    * (integer division; the values exceed double precision), exactly what
+    * DuckDB's µs-resolution TIMESTAMP does on read — and plain
+    * TIMESTAMP(MICROS) without a timezone, which Spark reads as
+    * TIMESTAMP_NTZ. Both are normalized to session-local TIMESTAMP (the
+    * session timezone is pinned to UTC everywhere, so the NTZ cast is
+    * value-preserving and matches DuckDB's naive TIMESTAMP read).
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, d, "events").withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val df = t(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampType => df
+      case _ => df.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 }
 
