@@ -59,7 +59,8 @@ object GraftFunctions {
     "decimal_dot" -> (exprs => DecimalDot(exprs.head, exprs(1))),
     "float_dot" -> (exprs => FloatDot(exprs.head, exprs(1))),
     "minhash_sigs" -> (exprs => MinHashSigs(exprs.head, 8)),
-    "word_shingles" -> (exprs => WordShingles(exprs.head, 3)))
+    "word_shingles" -> (exprs => WordShingles(exprs.head, 3)),
+    "nfc_normalize" -> (exprs => NormalizeNfc(exprs.head)))
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (name, builder) =>
