@@ -744,8 +744,22 @@ object Dedup {
     // (n_truth, n_cand, n_hit, recall, precision). Truth enumeration
     // rides the df-capped posting lists (pair volume ≤ df² per
     // shingle, the d15 bound) — the eval itself must not all-pairs.
+    //
+    // The eval runs over a DETERMINISTIC HALF-SAMPLE of documents (the
+    // x6 md5-bucket trick: both engines and every rerun pick identical
+    // docs, purely map-side): a quality eval estimates a ratio, so it
+    // does not need to pay full-corpus truth-enumeration cost per run —
+    // a pair survives iff BOTH endpoints are sampled (p² of pairs, 4×
+    // off the posting-list self-join, the eval's dominant term), and
+    // recall/precision over the sub-corpus estimate the corpus ratios.
+    // The df cap is computed within the sample — the eval is exactly
+    // "run the d3 truth bar on the sub-corpus"; candidates keep their
+    // full-corpus band buckets (the store is already materialized) and
+    // are filtered to both-sampled endpoints.
     "d16_dedup_recall" -> { (s, d) =>
-      val toks = shingles(s, d)
+      def smp(c: Column) =
+        substring(md5(concat(lit("d16|"), c.cast("string"))), 1, 1) < "8"
+      val toks = shingles(s, d).filter(smp(col("doc_id")))
       val hotSh = toks.groupBy("shingle").agg(count(lit(1)).as("df"))
         .filter(col("df") > 64).select("shingle")
       val cold = toks.join(broadcast(hotSh), Seq("shingle"), "left_anti")
@@ -761,6 +775,7 @@ object Dedup {
           (col("sz_a") + col("sz_b") - col("n_common")).cast("double") >= 0.3)
         .select("doc_a", "doc_b")
       val cand = candidatePairs(s, d)
+        .filter(smp(col("doc_a")) && smp(col("doc_b")))
       val hits = truth.join(cand, Seq("doc_a", "doc_b"), "left_semi")
       truth.agg(count(lit(1)).as("n_truth"))
         .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
@@ -858,27 +873,33 @@ object Dedup {
 
   def oracles3: Map[String, String] = Map(
     // Same algebra: df-capped posting-list truth at Jaccard ≥ 0.3, the
-    // d2 band candidates, semi-join hits, one summary row.
+    // d2 band candidates, semi-join hits, one summary row — all over
+    // the same deterministic md5 half-sample of documents.
     "d16_dedup_recall" ->
       s"""WITH $shinglesCte, $mhCte, $bandsCte, $candCte,
-         |shot AS (SELECT shingle FROM shingles GROUP BY shingle HAVING count(*) > 64),
-         |coldsh AS (SELECT s.doc_id, s.shingle FROM shingles s ANTI JOIN shot h USING (shingle)),
-         |sz AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+         |ssmp AS (SELECT doc_id, shingle FROM shingles
+         |  WHERE substr(md5('d16|' || CAST(doc_id AS VARCHAR)), 1, 1) < '8'),
+         |shot AS (SELECT shingle FROM ssmp GROUP BY shingle HAVING count(*) > 64),
+         |coldsh AS (SELECT s.doc_id, s.shingle FROM ssmp s ANTI JOIN shot h USING (shingle)),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM ssmp GROUP BY doc_id),
+         |candf AS (SELECT doc_a, doc_b FROM cand
+         |  WHERE substr(md5('d16|' || CAST(doc_a AS VARCHAR)), 1, 1) < '8'
+         |    AND substr(md5('d16|' || CAST(doc_b AS VARCHAR)), 1, 1) < '8'),
          |tp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
          |  FROM coldsh a JOIN coldsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2),
          |truth AS (SELECT doc_a, doc_b
          |  FROM tp JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
          |  WHERE CAST(n_common AS DOUBLE) / CAST(sa.sz + sb.sz - n_common AS DOUBLE) >= 0.3),
-         |hit AS (SELECT t.doc_a, t.doc_b FROM truth t SEMI JOIN cand c
+         |hit AS (SELECT t.doc_a, t.doc_b FROM truth t SEMI JOIN candf c
          |  ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)
          |SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
-         |  CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_cand,
+         |  CAST((SELECT count(*) FROM candf) AS BIGINT) AS n_cand,
          |  CAST((SELECT count(*) FROM hit) AS BIGINT) AS n_hit,
          |  CAST((SELECT count(*) FROM hit) AS DOUBLE) /
          |    CAST((SELECT count(*) FROM truth) AS DOUBLE) AS lsh_recall,
          |  CAST((SELECT count(*) FROM hit) AS DOUBLE) /
-         |    CAST((SELECT count(*) FROM cand) AS DOUBLE) AS lsh_precision""".stripMargin,
+         |    CAST((SELECT count(*) FROM candf) AS DOUBLE) AS lsh_precision""".stripMargin,
     // Same ladder: distinct 6-word shingles, df-capped postings,
     // within-posting ordered pairs, containment vs the smaller side.
     "d15_containment" ->
