@@ -39,7 +39,14 @@ object Tables {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       case org.apache.spark.sql.types.TimestampType => df
-      case _ => df.withColumn("ts", col("ts").cast("timestamp"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case other =>
+        // fail loudly: a silent cast would turn the NEXT testdata schema
+        // drift (e.g. string ts) into nulls deep inside query results
+        throw new IllegalStateException(
+          s"events.ts has unexpected parquet type $other — " +
+            "extend Tables.events for the new testdata schema")
     }
   }
 }

@@ -23,7 +23,11 @@ import java.text.Normalizer
   *
   * Semantics match DuckDB's `nfc_normalize` (both delegate to the
   * Unicode canonical-composition algorithm), which serves as the
-  * x28 oracle.
+  * x28 oracle — for VALID UTF-8 input. Invalid byte sequences are
+  * replaced with U+FFFD consistently on BOTH paths (the fast path
+  * checks validity before returning the original bytes, so output
+  * never depends on which path ran); DuckDB instead rejects invalid
+  * UTF-8 outright, so the oracle comparison presumes valid input.
   */
 case class NormalizeNfc(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
@@ -40,10 +44,19 @@ case class NormalizeNfc(child: Expression) extends UnaryExpression {
 }
 
 object NormalizeNfc {
-  /** Static hot-path helper the generated code calls directly. */
+  /** Static hot-path helper the generated code calls directly.
+    *
+    * The no-copy fast path may only return the ORIGINAL bytes when they
+    * are valid UTF-8: `toString` replaces invalid sequences with U+FFFD,
+    * so for invalid input the original bytes and the round-tripped
+    * string differ even when the latter is already NFC — both paths must
+    * agree on the U+FFFD-replaced result. `isValid` is a scan with no
+    * allocation, so the valid-ASCII common case stays copy-free.
+    */
   def nfc(s: UTF8String): UTF8String = {
-    val str = s.toString
-    if (Normalizer.isNormalized(str, Normalizer.Form.NFC)) s
+    val valid = s.isValid
+    val str = if (valid) s.toString else s.toValidString
+    if (valid && Normalizer.isNormalized(str, Normalizer.Form.NFC)) s
     else UTF8String.fromString(Normalizer.normalize(str, Normalizer.Form.NFC))
   }
 }

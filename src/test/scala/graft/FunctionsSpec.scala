@@ -123,6 +123,34 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("nfc_normalize: composition, fast path, nulls, SQL codegen, invalid UTF-8") {
+    import spark.implicits._
+    import graft.functions.NormalizeNfc
+    GraftFunctions.register(spark)
+    val decomposed = "e\u0301"   // 'e' + COMBINING ACUTE ACCENT
+    val composed = "\u00e9"
+    // composed/decomposed equivalence through the full expression path
+    val rows = Seq(Some(decomposed), Some("plain ascii"), None)
+      .toDF("s").select(call_function("nfc_normalize", col("s")).as("n"))
+      .collect()
+    assert(rows(0).getString(0) === composed)
+    assert(rows(1).getString(0) === "plain ascii") // fast path: unchanged
+    assert(rows(2).isNullAt(0))
+    // SQL spelling exercises the codegen static-call path
+    val sql = spark.sql(s"SELECT nfc_normalize('$decomposed') AS n").collect()
+    assert(sql(0).getString(0) === composed)
+    // already-normalized ASCII returns the ORIGINAL UTF8String (no copy)
+    val ascii = UTF8String.fromString("abc")
+    assert(NormalizeNfc.nfc(ascii) eq ascii)
+    // invalid UTF-8 (lone continuation byte): both paths agree on the
+    // U+FFFD-replaced result instead of leaking raw bytes from the
+    // fast path — the path-consistency contract in the scaladoc
+    val invalid = UTF8String.fromBytes(Array[Byte]('a', 0x80.toByte, 'b'))
+    val out = NormalizeNfc.nfc(invalid)
+    assert(out.toString === "a\ufffdb")
+    assert(out !== invalid)
+  }
+
   test("approx sketches stay within documented error bounds at sf0.001") {
     val d = "/root/testdata/sf0.001"
     val got = SparkEntry.queries("a7_approx_sketch")(spark, d).collect()
