@@ -109,6 +109,66 @@ class IngestSpec extends AnyFunSuite {
     assert(Deploy.transports(env).isEmpty)
   }
 
+  test("s3a:// archive root drives Deploy/Archive scheme handling end to end (stub FS)") {
+    // Register the stub for the s3a scheme; resolution happens through
+    // the same hadoopConfiguration lookup production uses, so the whole
+    // chain — bare BUCKET_NAME → s3a:// mapping, CORE_DIRECTORY key
+    // join, pathFor fan-out, the tail's existence probes, binaryFile
+    // reads, and the sink's side files — runs against s3a-schemed URIs.
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.s3a.impl", classOf[StubS3aFileSystem].getName)
+    // Spark wires the S3A-optimized committer factory for the scheme by
+    // default (hadoop-aws isn't bundled here); fall back to the generic
+    // FileOutputCommitter for the stub
+    spark.sparkContext.hadoopConfiguration
+      .set("mapreduce.outputcommitter.factory.scheme.s3a", "")
+    val local = Files.createTempDirectory("graft-s3a-arch").toString
+    val out = Files.createTempDirectory("graft-s3a-out").toString
+    writeCheckpoint(local, 0x3fL, 2)
+    writeCheckpoint(local, 0x7fL, 1)
+    val env = Map(
+      "BUCKET_NAME" -> "graft-test-bucket", // bare bucket name → s3a://
+      "CORE_DIRECTORY" -> local.stripPrefix("/"), // key = local path sans '/'
+      "NETWORK_PASSPHRASE" -> Passphrase,
+      "KIN_ISSUER" -> issuer,
+      "FIRST_FILE" -> "0000003f",
+      "MAX_RETRIES" -> "2",
+      "S3_STORAGE_BUCKET" -> "graft-test-bucket",
+      "S3_STORAGE_KEY_PREFIX" -> s"${out.stripPrefix("/")}/etl")
+    assert(Deploy.archiveRoot(env) ===
+      s"s3a://graft-test-bucket/${local.stripPrefix("/")}")
+    val tail = Deploy.tail(spark, env)
+    assert(tail.resumeSeq === 0x3fL)
+    assert(tail.runOnce() === 2) // both checkpoints drained through s3a://
+    assert(Files.exists(Paths.get(out, "etl", "ledgers", "ledger=0000003f")))
+    assert(Files.exists(Paths.get(out, "etl", "ledgers", "ledger=0000007f")))
+    assert(Files.exists(Paths.get(out, "etl", "completed_ledgers")))
+    assert(Files.exists(Paths.get(out, "etl", "last_file")))
+  }
+
+  test("Collector.run chains bootstrap, self-test, and the tail from the env alone") {
+    val archive = Files.createTempDirectory("graft-coll-arch").toString
+    val out = Files.createTempDirectory("graft-coll-out").toString
+    writeCheckpoint(archive, 0x3fL, 1)
+    writeCheckpoint(archive, 0x7fL, 2)
+    val env = Map(
+      "BUCKET_NAME" -> s"file://$archive",
+      "CORE_DIRECTORY" -> "",
+      "NETWORK_PASSPHRASE" -> Passphrase,
+      "KIN_ISSUER" -> issuer,
+      "FIRST_FILE" -> "0000003f",
+      "MAX_RETRIES" -> "1",
+      "S3_STORAGE_BUCKET" -> s"file://$out",
+      "S3_STORAGE_KEY_PREFIX" -> "etl",
+      // bound the poll loop at exactly the available checkpoints so the
+      // container smoke path exits without entering the 180 s poll sleep
+      "POLL_ROUNDS" -> "2")
+    assert(Collector.run(spark, env) === 2)
+    assert(Files.exists(Paths.get(out, "etl", "ledgers", "ledger=0000003f")))
+    assert(Files.exists(Paths.get(out, "etl", "ledgers", "ledger=0000007f")))
+    assert(Files.exists(Paths.get(out, "etl", "last_file")))
+  }
+
   test("Engine facade: collect backfills through the public entry point") {
     val archive = Files.createTempDirectory("graft-engine-arch").toString
     val out = Files.createTempDirectory("graft-engine-out").toString
