@@ -174,12 +174,17 @@ object Bench {
       "a16_regression" -> ((0.117, 0.053)),
       "x27_pmi_collocations" -> ((0.512, 0.053)),
       "d15_containment" -> ((2.107, 0.053)),
-      // recorded at the 0.050s-floor session that followed (suite
-      // 45.3 s / 139 queries, zero regressions; cost = the d15-style
-      // truth enumeration + the d2 candidate build, both corpus-shaped)
-      "d16_dedup_recall" -> ((2.226, 0.050)))
+      // RE-recorded round 11 after the eval moved to a deterministic md5
+      // half-sample of docs (truth self-join pays p² of the pairs; the
+      // remaining cost is the materialized d2 candidate build + the
+      // sampled posting-list join) — from the 0.078 s-floor full-suite
+      // session (65.3 s / 140 queries, zero regressions)
+      "d16_dedup_recall" -> ((1.906, 0.078)))
+    // round-11 addition: NFC normalization scan (codegen'd map-only —
+    // recorded at a 0.062 s-floor isolated session)
+    val add11 = Map("x28_nfc_normalize" -> ((0.130, 0.062)))
     main ++ add8 ++ add9 ++ add10 ++ add10b ++ add10c ++ add10d ++ add10e ++
-      add10f ++ add10g
+      add10f ++ add10g ++ add11
   }
 
   def main(args: Array[String]): Unit = {

@@ -38,6 +38,23 @@ object CustomFns {
         .agg(graft.Cols.djoin(topk(col("value"))).as("top_values"))
         .orderBy("event_type")
     },
+    // Unicode NFC canonicalization at the scan (the text-normalization
+    // rung before any hash-based dedup) via the codegen'd NormalizeNfc
+    // expression. The corpus is ASCII, so each text is decorated with a
+    // decomposed 'e'+COMBINING ACUTE suffix to make the fixture
+    // genuinely recompose; DuckDB's native nfc_normalize is the oracle
+    // (both delegate to Unicode canonical composition).
+    "x28_nfc_normalize" -> { (s, d) =>
+      GraftFunctions.register(s)
+      def deco = concat(substring(col("text"), 1, 24), lit("e\u0301"))
+      def norm = call_function("nfc_normalize", deco)
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        norm.as("norm"),
+        length(norm).cast("long").as("n_chars"),
+        (norm === concat(substring(col("text"), 1, 24), lit("\u00e9"))).as("composed"))
+        .orderBy("doc_id")
+    },
     // Sketch aggregates — deterministic HLL distinct + histogram median
     // (the a13/a14 md5-derived pattern), so even the APPROXIMATE query
     // is hash-oracled. The built-in approx_count_distinct /
@@ -64,6 +81,15 @@ object CustomFns {
          |  ${graft.Cols.djoinSql("(list_sort(list(value), 'DESC'))[1:3]")} AS top_values
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "a7_approx_sketch" ->
-      graft.operators.Curation.approxSketchSql("event_type", "user_id", "value")
+      graft.operators.Curation.approxSketchSql("event_type", "user_id", "value"),
+    // chr(769) = U+0301 COMBINING ACUTE, chr(233) = U+00E9 — spelled as
+    // codepoints so the SQL text stays ASCII-safe end to end
+    "x28_nfc_normalize" ->
+      """SELECT doc_id,
+        |  nfc_normalize(substr(text, 1, 24) || 'e' || chr(769)) AS norm,
+        |  length(nfc_normalize(substr(text, 1, 24) || 'e' || chr(769))) AS n_chars,
+        |  nfc_normalize(substr(text, 1, 24) || 'e' || chr(769)) =
+        |    (substr(text, 1, 24) || chr(233)) AS composed
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }
