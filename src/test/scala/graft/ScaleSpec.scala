@@ -557,6 +557,23 @@ class ScaleSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), s"j13 must stay keyed:\n$plan")
   }
 
+  test("x21 encode serves from the materialized BPE store: broadcast join, no training") {
+    val d = "/root/testdata/sf0.001"
+    graft.operators.Bpe.ensureTrained(spark, d)
+    val df = SparkEntry.queries("x21_bpe_encode")(spark, d)
+    val plan = executedPlan(df).split("== Initial Plan ==").head
+    // steady-state serving: one corpus scan joined map-side to the
+    // vocab-sized store read back from parquet — the training rounds'
+    // pair-count aggregations must NOT appear in the per-query plan
+    assert(plan.contains("BroadcastHashJoin"),
+      s"x21 must broadcast the trained vocab:\n$plan")
+    assert("graft-bpe-store".r.findAllIn(plan).nonEmpty,
+      s"x21 must read the materialized store, not re-derive the vocab:\n$plan")
+    val corpusScans = "documents\\.parquet".r.findAllIn(plan).length
+    assert(corpusScans <= 1,
+      s"x21 should scan the corpus once (no in-plan re-training), saw $corpusScans:\n$plan")
+  }
+
   test("ledger= layout prunes partitions at read time") {
     val out = Files.createTempDirectory("graft-prune").toString
     Tables.orders(spark, "/root/testdata/sf0.001")
