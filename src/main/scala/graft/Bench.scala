@@ -180,9 +180,11 @@ object Bench {
       // sampled posting-list join) — from the 0.078 s-floor full-suite
       // session (65.3 s / 140 queries, zero regressions)
       "d16_dedup_recall" -> ((1.906, 0.078)))
-    // round-11 addition: NFC normalization scan (codegen'd map-only —
-    // recorded at a 0.062 s-floor isolated session)
-    val add11 = Map("x28_nfc_normalize" -> ((0.130, 0.062)))
+    // round-11 additions: NFC normalization scan (codegen'd map-only),
+    // recursive-CTE checkpoint enumeration (128 one-row loop steps +
+    // one bucket-keyed count) — recorded at 0.062/0.105 s-floor sessions
+    val add11 = Map("x28_nfc_normalize" -> ((0.130, 0.062)),
+      "q6_recursive_cte" -> ((0.962, 0.109)))
     main ++ add8 ++ add9 ++ add10 ++ add10b ++ add10c ++ add10d ++ add10e ++
       add10f ++ add10g ++ add11
   }

@@ -170,6 +170,35 @@ object SqlSurface {
            |GROUP BY l_returnflag
            |ORDER BY l_returnflag""".stripMargin)
     },
+    // Recursive CTE (Spark 4's WITH RECURSIVE): enumerate the archive's
+    // 128 checkpoint sequences from FIRST_FILE at the reference's
+    // stride-64 cadence (the S1 planning recursion Archive.checkpointRange
+    // spells imperatively), render each as the 8-hex name + nibble-pair
+    // directory fan-out (the t8 machinery), and bucket-count orders per
+    // checkpoint span. The recursion itself is bounded planning state
+    // (128 one-row steps); the corpus-shaped work is one equi-join on
+    // the derived bucket + a combinable count — at any scale the tiny
+    // recursive dim broadcasts.
+    "q6_recursive_cte" -> { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("orders_rc")
+      s.sql(
+        """WITH RECURSIVE ck(seq) MAX RECURSION LEVEL 200 AS (
+          |  SELECT 63
+          |  UNION ALL
+          |  SELECT seq + 64 FROM ck WHERE seq + 64 <= 63 + 64 * 127
+          |)
+          |SELECT CAST(seq AS BIGINT) AS seq,
+          |  lower(lpad(hex(seq), 8, '0')) AS ckpt,
+          |  concat_ws('/',
+          |    substring(lower(lpad(hex(seq), 8, '0')), 1, 2),
+          |    substring(lower(lpad(hex(seq), 8, '0')), 3, 2),
+          |    substring(lower(lpad(hex(seq), 8, '0')), 5, 2)) AS dir,
+          |  CAST(count(o_orderkey) AS BIGINT) AS n_orders
+          |FROM ck LEFT JOIN orders_rc
+          |  ON (o_orderkey % 8192) DIV 64 * 64 + 63 = ck.seq
+          |GROUP BY seq
+          |ORDER BY seq""".stripMargin)
+    },
     // Correlated LATERAL subquery with per-row LIMIT — top-2 lineitems
     // per order, the "top-N per group via lateral" idiom. Catalyst
     // decorrelates the limit into a per-key window under a regular join,
@@ -706,6 +735,24 @@ object SqlSurface {
         |  ORDER BY l_quantity DESC, l_linenumber LIMIT 2) l
         |WHERE o_orderkey < 500
         |ORDER BY o_orderkey, l_linenumber""".stripMargin,
+    // Same recursion; DuckDB integer division is //, hex via to_hex.
+    "q6_recursive_cte" ->
+      """WITH RECURSIVE ck(seq) AS (
+        |  SELECT 63
+        |  UNION ALL
+        |  SELECT seq + 64 FROM ck WHERE seq + 64 <= 63 + 64 * 127
+        |)
+        |SELECT CAST(seq AS BIGINT) AS seq,
+        |  lower(lpad(to_hex(seq), 8, '0')) AS ckpt,
+        |  concat_ws('/',
+        |    substr(lower(lpad(to_hex(seq), 8, '0')), 1, 2),
+        |    substr(lower(lpad(to_hex(seq), 8, '0')), 3, 2),
+        |    substr(lower(lpad(to_hex(seq), 8, '0')), 5, 2)) AS dir,
+        |  CAST(count(o_orderkey) AS BIGINT) AS n_orders
+        |FROM ck LEFT JOIN orders
+        |  ON (o_orderkey % 8192) // 64 * 64 + 63 = ck.seq
+        |GROUP BY seq
+        |ORDER BY seq""".stripMargin,
     "f5_unpivot" -> {
       val arms = Seq("l_quantity", "l_tax", "l_discount").map(m =>
         s"""SELECT l_orderkey, l_linenumber, '$m' AS metric, CAST($m AS DOUBLE) AS val
