@@ -184,7 +184,12 @@ object Bench {
     // recursive-CTE checkpoint enumeration (128 one-row loop steps +
     // one bucket-keyed count) — recorded at 0.062/0.105 s-floor sessions
     val add11 = Map("x28_nfc_normalize" -> ((0.130, 0.062)),
-      "q6_recursive_cte" -> ((0.962, 0.109)))
+      "q6_recursive_cte" -> ((0.962, 0.109)),
+      // variant parse/access, SQL-UDF inline, pipe-syntax aggregate —
+      // recorded at a 0.110 s-floor isolated session
+      "t21_variant_suite" -> ((0.303, 0.110)),
+      "t22_sql_udf" -> ((0.292, 0.110)),
+      "q7_pipe_syntax" -> ((0.401, 0.110)))
     main ++ add8 ++ add9 ++ add10 ++ add10b ++ add10c ++ add10d ++ add10e ++
       add10f ++ add10g ++ add11
   }

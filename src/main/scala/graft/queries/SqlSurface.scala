@@ -239,6 +239,54 @@ object SqlSurface {
           shiftright(col("o_orderkey"), 2).as("shr"))
         .orderBy("o_orderkey")
     },
+    // VARIANT (Spark 4's semi-structured type): parse the JSON props
+    // payload once, extract a typed path, and re-render canonical JSON.
+    // variant_get is a codegen'd path access over the binary variant
+    // encoding — at scale this replaces per-query string re-parsing
+    // (get_json_object) with parse-once-read-many, and the canonical
+    // to_json render matches DuckDB's json() normalization exactly.
+    "t21_variant_suite" -> { (s, d) =>
+      Tables.events(s, d).createOrReplaceTempView("events_vr")
+      s.sql(
+        """SELECT event_id,
+          |  CAST(variant_get(parse_json(props), '$.k', 'int') AS BIGINT) AS k,
+          |  to_json(parse_json(props)) AS canon,
+          |  CAST(variant_get(parse_json(props), '$.missing', 'int') AS BIGINT) AS absent
+          |FROM events_vr WHERE event_id % 41 = 0 ORDER BY event_id""".stripMargin)
+    },
+    // SQL-defined scalar functions (Spark 4 CREATE FUNCTION ... RETURN):
+    // the reference's quark→KIN conversion (RAW / 1e5, python/main.py's
+    // amount handling) as a declared catalog function instead of an
+    // inlined expression — Catalyst inlines the body at plan time, so
+    // the UDF costs nothing at scale (no serialization boundary, unlike
+    // JVM/Python UDFs). CREATE OR REPLACE keeps repeated runs in one
+    // session idempotent; the DuckDB oracle inlines the same bodies.
+    "t22_sql_udf" -> { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("orders_uf")
+      s.sql("CREATE OR REPLACE TEMPORARY FUNCTION kin_amount(q BIGINT) " +
+        "RETURNS DOUBLE RETURN q / 100000.0")
+      s.sql("CREATE OR REPLACE TEMPORARY FUNCTION clamp01(x DOUBLE) " +
+        "RETURNS DOUBLE RETURN least(greatest(x, 0.0D), 1.0D)")
+      s.sql(
+        """SELECT o_orderkey,
+          |  kin_amount(CAST(o_orderkey AS BIGINT) * 12345) AS kin,
+          |  clamp01(CAST(o_orderkey % 200 AS DOUBLE) / 100.0) AS ratio
+          |FROM orders_uf WHERE o_orderkey % 37 = 0 ORDER BY o_orderkey""".stripMargin)
+    },
+    // SQL pipe syntax (Spark 4 |> operators): the a1 pricing-summary
+    // shape written as a linear pipeline — same Catalyst plan as the
+    // nested spelling (one partial+final aggregate, pushed filter), so
+    // the surface is free; the oracle is the standard-SQL equivalent.
+    "q7_pipe_syntax" -> { (s, d) =>
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_pp")
+      s.sql(
+        """FROM lineitem_pp
+          ||> WHERE l_quantity > 45.0D
+          ||> AGGREGATE COUNT(*) AS n,
+          |     CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+          |   GROUP BY l_returnflag
+          ||> ORDER BY l_returnflag""".stripMargin)
+    },
     // Correlated-subquery family beyond q3: NOT EXISTS (anti), IN
     // (semi), and a correlated scalar aggregate — Catalyst decorrelates
     // all three into joins (anti/semi/aggregated-left), so at 100 TB
@@ -767,6 +815,27 @@ object SqlSurface {
         |  o_orderkey << 3 AS shl,
         |  o_orderkey >> 2 AS shr
         |FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin,
+    // json() canonicalizes spacing exactly like Spark's to_json(parse_json);
+    // a missing path yields NULL in both engines.
+    "t21_variant_suite" ->
+      """SELECT event_id,
+        |  CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+        |  CAST(json(props) AS VARCHAR) AS canon,
+        |  CAST(json_extract(props, '$.missing') AS BIGINT) AS absent
+        |FROM events WHERE event_id % 41 = 0 ORDER BY event_id""".stripMargin,
+    // the SQL-UDF bodies inlined: IEEE double division and least/greatest
+    // are per-row deterministic and engine-identical
+    "t22_sql_udf" ->
+      """SELECT o_orderkey,
+        |  CAST(o_orderkey AS BIGINT) * 12345 / 100000.0 AS kin,
+        |  least(greatest(CAST(o_orderkey % 200 AS DOUBLE) / 100.0, 0.0), 1.0) AS ratio
+        |FROM orders WHERE o_orderkey % 37 = 0 ORDER BY o_orderkey""".stripMargin,
+    // standard-SQL spelling of the pipe query
+    "q7_pipe_syntax" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        |FROM lineitem WHERE l_quantity > 45.0
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q4_correlated" ->
       """SELECT c_custkey, c_acctbal, c_nationkey
         |FROM customer c
