@@ -79,4 +79,37 @@ class BpeSpec extends AnyFunSuite {
     // merged spelling is the concatenation of its parts
     out.foreach(r => assert(r.getString(3) === r.getString(1) + r.getString(2)))
   }
+
+  test("mergeFold equals the imperative left-to-right reference fold (randomized)") {
+    import spark.implicits._
+    // the semantics mergeFold's Column fold must reproduce: merge when
+    // the PREVIOUS emitted symbol is exactly l and the next is r; the
+    // merged symbol never re-merges with a following r in the same pass
+    def ref(syms: Seq[String], l: String, r: String): String = {
+      val out = scala.collection.mutable.Buffer.empty[String]
+      syms.foreach { x =>
+        if (out.nonEmpty && out.last == l && x == r) out(out.length - 1) = l + r
+        else out += x
+      }
+      out.mkString(" ")
+    }
+    val alphabet = Vector("a", "b", "ab", "aa", "c")
+    val rnd = new scala.util.Random(41) // fixed seed: deterministic corpus
+    val cases = (0 until 120).map { i =>
+      val n = rnd.nextInt(9)
+      (i.toLong, Seq.fill(n)(alphabet(rnd.nextInt(alphabet.size))).mkString(" "))
+    }
+    val pairs = Seq(("a", "a"), ("a", "b"), ("ab", "c"), ("aa", "a"), ("b", "c"))
+    val df = cases.toDF("id", "seq")
+    val folded = df.select(col("id") +: pairs.zipWithIndex.map { case ((l, r), i) =>
+      Bpe.mergeFold(col("seq"), l, r).as(s"m$i") }: _*)
+      .collect().map(row => row.getLong(0) -> row).toMap
+    cases.foreach { case (id, seqStr) =>
+      val syms = if (seqStr.isEmpty) Nil else seqStr.split(" ").toSeq
+      pairs.zipWithIndex.foreach { case ((l, r), i) =>
+        assert(folded(id).getString(i + 1) === ref(syms, l, r),
+          s"id=$id seq='$seqStr' pair=($l,$r)")
+      }
+    }
+  }
 }

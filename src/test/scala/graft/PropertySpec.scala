@@ -106,4 +106,35 @@ class PropertySpec extends AnyFunSuite {
       Stellar.decodeResultEntries(StellarWriter.encodeResultEntry(e, 1L)).head == e
     })
   }
+
+  // Strings over a mix of ASCII, precomposed/decomposed accents, and
+  // standalone combining marks — the NFC-interesting alphabet without
+  // surrogates (UTF-8 encodes them lossily and the contract presumes
+  // valid input).
+  private val genNfcString: Gen[String] =
+    Gen.listOf(Gen.oneOf('a', 'e', 'o', ' ', '\u00e9', '\u0301', '\u0300',
+      '\u00f4', 'n', '\u0303')).map(_.mkString)
+
+  test("nfc: idempotent and agrees with java.text.Normalizer on valid input") {
+    import org.apache.spark.unsafe.types.UTF8String
+    check("nfc", Prop.forAll(genNfcString) { s =>
+      val once = graft.functions.NormalizeNfc.nfc(UTF8String.fromString(s))
+      val twice = graft.functions.NormalizeNfc.nfc(once)
+      once.toString == java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC) &&
+        twice == once
+    })
+  }
+
+  test("checkpoint math: stride-64 invariants and path fan-out") {
+    check("ckpt", Prop.forAll(Gen.choose(0L, 0x3ffffffL)) { n =>
+      val seq = n * 64 + 63
+      val s = Archive.seqString(seq)
+      val path = Archive.pathFor("root", "ledger", seq)
+      Archive.isCheckpoint(seq) &&
+        Archive.isCheckpoint(Archive.nextSeq(seq)) &&
+        !Archive.isCheckpoint(seq + 1) &&
+        s.length == 8 && s == f"$seq%08x" &&
+        path == s"root/ledger/${s.substring(0, 2)}/${s.substring(2, 4)}/${s.substring(4, 6)}/ledger-$s.xdr.gz"
+    })
+  }
 }
