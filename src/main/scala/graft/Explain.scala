@@ -17,7 +17,8 @@ object Explain {
         "x21_bpe_encode", "j15_big_orders", "u4_merge_upsert",
         "u5_table_diff", "d14_fuzzy_dedup", "d15_containment",
         "x26_inverted_index", "x27_pmi_collocations", "w14_anomaly_zscore",
-        "d16_dedup_recall", "x28_nfc_normalize")
+        "d16_dedup_recall", "x28_nfc_normalize", "q6_recursive_cte",
+        "q7_pipe_syntax")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
