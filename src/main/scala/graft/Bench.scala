@@ -189,7 +189,9 @@ object Bench {
       // recorded at a 0.110 s-floor isolated session
       "t21_variant_suite" -> ((0.303, 0.110)),
       "t22_sql_udf" -> ((0.292, 0.110)),
-      "q7_pipe_syntax" -> ((0.401, 0.110)))
+      "q7_pipe_syntax" -> ((0.401, 0.110)),
+      // overlapping chunker (map-only slice explode)
+      "x29_chunk_overlap" -> ((0.212, 0.105)))
     main ++ add8 ++ add9 ++ add10 ++ add10b ++ add10c ++ add10d ++ add10e ++
       add10f ++ add10g ++ add11
   }

@@ -40,6 +40,10 @@ object TextAnalysis {
     */
   private val NumPackShards = 8
 
+  /** x29 window geometry: 32-token windows every 24 tokens (8 overlap). */
+  private val ChunkSize = 32
+  private val ChunkStride = 24
+
   // Shared expression spellings: x11 is defined as the COMPOSITION of
   // x2's score and x8's sharding, so all four spellings (Spark + SQL ×
   // score + shard) live here once — a tweak to either formula cannot
@@ -364,6 +368,25 @@ object TextAnalysis {
         blockSize = 512, shards = NumPackShards)
         .orderBy("doc_id")
     },
+    // Overlapping context-window chunking — the retrieval/pretraining
+    // chunker x8's disjoint packing deliberately isn't: windows of
+    // `ChunkSize` tokens starting every `ChunkStride` (8-token overlap
+    // preserves cross-boundary context for embedding/retrieval). Pure
+    // map-side: per-doc `sequence` of starts exploded + an array slice,
+    // no shuffle, no state — scales as scan bandwidth like x28. The
+    // last window may be short (`n_toks` carries the actual length);
+    // chunk_idx = start/stride keys re-assembly.
+    "x29_chunk_overlap" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), col("toks"),
+          explode(expr(s"sequence(0, greatest(size(toks) - 1, 0), $ChunkStride)")).as("start"))
+        .select(col("doc_id"),
+          (col("start") / ChunkStride).cast("long").as("chunk_idx"),
+          expr(s"concat_ws(' ', slice(toks, start + 1, $ChunkSize))").as("chunk"),
+          least(size(col("toks")) - col("start"), lit(ChunkSize)).cast("long").as("n_toks"))
+        .orderBy("doc_id", "chunk_idx")
+    },
     // Repetition signals (the published web-corpus quality heuristics:
     // duplicate-token and duplicate-n-gram fractions flag boilerplate /
     // keyword-stuffed pages). Per doc: distinct-token ratio, the mass of
@@ -567,6 +590,17 @@ object TextAnalysis {
   }
 
   def oracles: Map[String, String] = Map(
+    // DuckDB range() is end-exclusive where Spark's sequence(0, n-1) is
+    // end-inclusive — range(0, n) enumerates the same starts; list_slice
+    // is [a, b]-inclusive vs Spark's (start, length).
+    "x29_chunk_overlap" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |st AS (SELECT doc_id, toks,
+         |    unnest(range(0, greatest(len(toks), 1), $ChunkStride)) AS start FROM t)
+         |SELECT doc_id, CAST(start // $ChunkStride AS BIGINT) AS chunk_idx,
+         |  array_to_string(list_slice(toks, start + 1, start + $ChunkSize), ' ') AS chunk,
+         |  CAST(least(len(toks) - start, $ChunkSize) AS BIGINT) AS n_toks
+         |FROM st ORDER BY doc_id, chunk_idx""".stripMargin,
     // Same counts, identical division/ln tree, same rounded-PMI cut.
     "x27_pmi_collocations" ->
       """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
