@@ -67,4 +67,35 @@ class ArraySurfaceSpec extends AnyFunSuite {
       assert(vs.size <= 3 && vs === vs.sorted.reverse) // bounded, descending
     }
   }
+
+  test("x29 chunk geometry: stride starts, 8-token overlap, exact reassembly") {
+    val d = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("x29_chunk_overlap")(spark, d).collect()
+    val byDoc = rows.groupBy(_.getLong(0))
+    val texts = Tables.documents(spark, d).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byDoc.keySet === texts.keySet)
+    byDoc.foreach { case (docId, chunks) =>
+      val toks = texts(docId).split(" ", -1)
+      val sorted = chunks.sortBy(_.getLong(1))
+      // chunk_idx is dense from 0; starts cover every stride step
+      assert(sorted.map(_.getLong(1)).toSeq === sorted.indices.map(_.toLong))
+      assert(sorted.length === (toks.length + 23) / 24)
+      sorted.foreach { c =>
+        val start = c.getLong(1).toInt * 24
+        val expect = toks.slice(start, start + 32)
+        assert(c.getString(2) === expect.mkString(" "), s"doc $docId chunk ${c.getLong(1)}")
+        assert(c.getLong(3) === math.min(toks.length - start, 32).toLong)
+      }
+      // consecutive full windows overlap by exactly 8 tokens
+      sorted.sliding(2).foreach {
+        case Array(a, b) if a.getLong(3) == 32L =>
+          val aT = a.getString(2).split(" ", -1)
+          val bT = b.getString(2).split(" ", -1)
+          assert(aT.drop(24).sameElements(bT.take(8)),
+            s"doc $docId chunks ${a.getLong(1)}/${b.getLong(1)} must share the 8-token seam")
+        case _ => ()
+      }
+    }
+  }
 }
