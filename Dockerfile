@@ -23,15 +23,22 @@
 # (MIGRATION.md documents the full s3a recipe; the JDBC sink needs the
 # PostgreSQL driver jar on the classpath the same way.)
 
-FROM apache/spark:4.0.1-scala2.13-java17-ubuntu
+# The base image's Spark version MUST match the Spark the jar was
+# compiled against (this build links unmanagedBase=/opt/spark/jars,
+# Spark 4.1.2) — a runtime older than the compile target fails with
+# NoSuchMethodError at startup. Override SPARK_IMAGE if your registry
+# tags differ.
+ARG SPARK_IMAGE=apache/spark:4.1.2-scala2.13-java17-ubuntu
+FROM ${SPARK_IMAGE}
 
 COPY target/scala-2.13/historycollectorspark_2.13-0.1.0.jar /opt/app/collector.jar
 
-# local[*] is the single-node default, mirroring the reference's one
-# container = one collector; point --master at a cluster to scale the
-# backfill decode horizontally (the tail's offset contract stays
-# sequential by design).
-ENTRYPOINT ["/opt/spark/bin/spark-submit", \
-  "--class", "graft.Collector", \
-  "--master", "local[*]", \
-  "/opt/app/collector.jar"]
+# ENTRYPOINT carries only the fixed part; master, extra --packages/-c
+# flags, and the jar live in CMD so `docker run graft-collector
+# --master spark://... --packages org.apache.hadoop:hadoop-aws:...
+# /opt/app/collector.jar` can override them. local[*] single-node is
+# the default, mirroring the reference's one container = one collector;
+# point --master at a cluster to scale the backfill decode horizontally
+# (the tail's offset contract stays sequential by design).
+ENTRYPOINT ["/opt/spark/bin/spark-submit", "--class", "graft.Collector"]
+CMD ["--master", "local[*]", "/opt/app/collector.jar"]

@@ -302,8 +302,11 @@ object Bench {
     val isolated = regressions.map { case (k, _) =>
       val fn = SparkEntry.queries(k)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (k, (System.nanoTime() - t0) / 1e9)
+      // a crash must NOT masquerade as a fast isolated run ("isolated ≈
+      // fast → machine noise" would invert the verdict) — record -1
+      val t = try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        catch { case _: Throwable => -1.0 }
+      (k, t)
     }
     val iso = json(isolated)
     val total = results.map(_._2).sum

@@ -31,12 +31,19 @@ object Collector {
     * Returns the number of checkpoints ingested.
     */
   def run(spark: SparkSession, env: Map[String, String]): Int = {
-    Deploy.sink(env) match {
+    val sink = Deploy.sink(env)
+    sink match {
       case j: JdbcTxnSink => j.ensureSchema() // build_database parity
       case _ => () // file-layout sink: no DDL; the selfTest probe covers it
     }
-    val tail = Deploy.tail(spark, env) // ctor runs selfTest (build_s3_storage)
-    val rounds = env.get("POLL_ROUNDS").map(_.toInt).getOrElse(Int.MaxValue)
+    // ONE sink instance flows through the whole chain (a stateful sink —
+    // pooled connections, buffered side files — must not bootstrap on one
+    // object and ingest through another)
+    val tail = Deploy.tail(spark, env, Some(sink)) // ctor runs selfTest
+    // empty string = unset, compose convention (same .filter as Deploy's
+    // optional vars); absent/empty means the reference's infinite loop
+    val rounds = env.get("POLL_ROUNDS").filter(_.nonEmpty).map(_.toInt)
+      .getOrElse(Int.MaxValue)
     tail.run(rounds)
   }
 

@@ -112,9 +112,13 @@ object Deploy {
 
   /** The whole collector: `Deploy.tail(spark, sys.env).runOnce()` is
     * `python main.py`'s backfill; `.run(n)` is its polling loop.
+    * `sinkOverride` lets a caller that already built (and bootstrapped)
+    * the sink thread the SAME instance through the chain — see
+    * [[graft.Collector.run]].
     */
-  def tail(spark: SparkSession, env: Map[String, String]): ArchiveTail =
+  def tail(spark: SparkSession, env: Map[String, String],
+      sinkOverride: Option[CheckpointSink] = None): ArchiveTail =
     new ArchiveTail(spark, archiveRoot(env), env("NETWORK_PASSPHRASE"),
-      extractConfig(env), sink(env), firstSeq(env), maxRetries(env),
-      alerts = alerts(env))
+      extractConfig(env), sinkOverride.getOrElse(sink(env)), firstSeq(env),
+      maxRetries(env), alerts = alerts(env))
 }

@@ -179,18 +179,35 @@ object Bpe {
     * verdict: x21 6.18 s vs 0.606 recorded).
     */
   private val trainedCache = scala.collection.concurrent.TrieMap
-    .empty[String, (Seq[(Int, String, String, String, Long)], DataFrame)]
+    .empty[String, (Seq[(Int, String, String, String, Long)], String)]
 
   def ensureTrained(s: SparkSession, d: String)
-      : (Seq[(Int, String, String, String, Long)], DataFrame) =
-    trainedCache.getOrElseUpdate(d, {
-      val (vocab, learned, seed) = train(Tables.documents(s, d), Rounds)
-      val out = java.nio.file.Files.createTempDirectory("graft-bpe-store").toString
-      vocab.select(col("word"), size(split(col("seq"), " ")).cast("long").as("n_sym"))
-        .write.mode("overwrite").parquet(out)
-      seed.unpersist(false) // the store is materialized; nothing lazy remains
-      (learned, s.read.parquet(out))
-    })
+      : (Seq[(Int, String, String, String, Long)], DataFrame) = {
+    // memoize (rules, store PATH), not a DataFrame: a DataFrame is bound
+    // to the session that built it, and a second session in the same JVM
+    // (notebook restart, sequential mains) must not inherit a handle to
+    // a possibly-stopped context. synchronized because TrieMap's
+    // getOrElseUpdate may evaluate a racing thunk twice — training is
+    // expensive enough that double evaluation matters.
+    val (learned, out) = Bpe.synchronized {
+      trainedCache.getOrElseUpdate(d, {
+        val (vocab, learned, seed) = train(Tables.documents(s, d), Rounds)
+        val out = java.nio.file.Files.createTempDirectory("graft-bpe-store")
+        // JVM-exit cleanup: long-lived or repeatedly-launched drivers
+        // must not accumulate orphaned store dirs in the temp root
+        sys.addShutdownHook {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(out).iterator().asScala.toSeq.reverse
+            .foreach(p => try java.nio.file.Files.deleteIfExists(p) catch { case _: Exception => () })
+        }
+        vocab.select(col("word"), size(split(col("seq"), " ")).cast("long").as("n_sym"))
+          .write.mode("overwrite").parquet(out.toString)
+        seed.unpersist(false) // the store is materialized; nothing lazy remains
+        (learned, out.toString)
+      })
+    }
+    (learned, s.read.parquet(out))
+  }
 
   def queries: Map[String, Q] = Map(
     "x20_bpe_train" -> { (s, d) =>

@@ -243,8 +243,12 @@ object SqlSurface {
     // payload once, extract a typed path, and re-render canonical JSON.
     // variant_get is a codegen'd path access over the binary variant
     // encoding — at scale this replaces per-query string re-parsing
-    // (get_json_object) with parse-once-read-many, and the canonical
-    // to_json render matches DuckDB's json() normalization exactly.
+    // (get_json_object) with parse-once-read-many. Oracle caveat: the
+    // canonical renders agree because props is a single-key object by
+    // the testdata contract — Spark's VARIANT orders object keys
+    // lexicographically while DuckDB's json() preserves insertion
+    // order, so a multi-key payload out of lexicographic order would
+    // need a key-sorted oracle spelling.
     "t21_variant_suite" -> { (s, d) =>
       Tables.events(s, d).createOrReplaceTempView("events_vr")
       s.sql(
