@@ -110,6 +110,19 @@ object Deploy {
     if (ts.isEmpty) IngestAlerts.Noop else new ValidatingAlerts(ts)
   }
 
+  /** STORE_ROOT → `spark.graft.storeRoot`: placement of the engine's
+    * materialized stores (LSH signatures, ANN cell/code tables, the BPE
+    * vocabulary). No reference counterpart — the reference has no
+    * analytics stores — but it is deployment config of the same kind as
+    * the bucket knobs above: unset, stores go to driver-local temp on
+    * local masters and `<dataset>/_stores/` on a cluster; set it to any
+    * Hadoop-FS URI every executor can reach to pin them explicitly. See
+    * [[graft.operators.Stores]] for the resolution policy.
+    */
+  def applyStoreRoot(spark: SparkSession, env: Map[String, String]): Unit =
+    env.get("STORE_ROOT").filter(_.nonEmpty)
+      .foreach(spark.conf.set("spark.graft.storeRoot", _))
+
   /** The whole collector: `Deploy.tail(spark, sys.env).runOnce()` is
     * `python main.py`'s backfill; `.run(n)` is its polling loop.
     * `sinkOverride` lets a caller that already built (and bootstrapped)
@@ -117,8 +130,10 @@ object Deploy {
     * [[graft.Collector.run]].
     */
   def tail(spark: SparkSession, env: Map[String, String],
-      sinkOverride: Option[CheckpointSink] = None): ArchiveTail =
+      sinkOverride: Option[CheckpointSink] = None): ArchiveTail = {
+    applyStoreRoot(spark, env)
     new ArchiveTail(spark, archiveRoot(env), env("NETWORK_PASSPHRASE"),
       extractConfig(env), sinkOverride.getOrElse(sink(env)), firstSeq(env),
       maxRetries(env), alerts = alerts(env))
+  }
 }

@@ -192,18 +192,13 @@ object Bpe {
     val (learned, out) = Bpe.synchronized {
       trainedCache.getOrElseUpdate(d, {
         val (vocab, learned, seed) = train(Tables.documents(s, d), Rounds)
-        val out = java.nio.file.Files.createTempDirectory("graft-bpe-store")
-        // JVM-exit cleanup: long-lived or repeatedly-launched drivers
-        // must not accumulate orphaned store dirs in the temp root
-        sys.addShutdownHook {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(out).iterator().asScala.toSeq.reverse
-            .foreach(p => try java.nio.file.Files.deleteIfExists(p) catch { case _: Exception => () })
-        }
+        // store placement (incl. temp-dir JVM-exit cleanup) is Stores'
+        // concern — see its scaladoc for the cluster-reachability policy
+        val out = Stores.dir(s, d, "bpe-store")
         vocab.select(col("word"), size(split(col("seq"), " ")).cast("long").as("n_sym"))
-          .write.mode("overwrite").parquet(out.toString)
+          .write.mode("overwrite").parquet(out)
         seed.unpersist(false) // the store is materialized; nothing lazy remains
-        (learned, out.toString)
+        (learned, out)
       })
     }
     (learned, s.read.parquet(out))

@@ -53,7 +53,7 @@ object Dedup {
   private def sigStore(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val path = storeCache.getOrElseUpdate(d, {
-      val out = java.nio.file.Files.createTempDirectory("graft-minhash-store").toString
+      val out = Stores.dir(s, d, "minhash-store")
       Tables.documents(s, d)
         .repartition(col("doc_id")) // one-time ingest cost, amortized over every pass
         .select(col("doc_id"), call_function("word_shingles", col("text")).as("sh"))
@@ -234,7 +234,7 @@ object Dedup {
         sum(when(substring(md5(col("word")), i + 1, 1) < "8",
           col("cnt")).otherwise(-col("cnt"))).as(s"s$i"))
       val bits = (0 until SimBits).map(i => when(col(s"s$i") > 0, lit("1")).otherwise(lit("0")))
-      val out = java.nio.file.Files.createTempDirectory("graft-simhash-store").toString
+      val out = Stores.dir(s, d, "simhash-store")
       wc.groupBy("doc_id").agg(sums.head, sums.tail: _*)
         .select(col("doc_id"), concat(bits: _*).as("simhash"))
         .write.mode("overwrite").parquet(out)

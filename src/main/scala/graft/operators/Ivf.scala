@@ -73,7 +73,7 @@ object Ivf {
 
   private def cellStore(s: SparkSession, d: String): (Array[(Int, Array[Double])], DataFrame) =
     cellCache.getOrElseUpdate(d, {
-      val out = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+      val out = Stores.dir(s, d, "ivf")
       val e = Tables.embeddings(s, d)
       // coarse quantizer: per-cell per-dimension decimal-exact means
       val ex = e.select(col("label"), posexplode(col("embedding")))
@@ -235,7 +235,7 @@ object Ivf {
   private def kmeansStore(s: SparkSession, d: String): (Array[(Int, Array[Double])], DataFrame) =
     kmCache.getOrElseUpdate(d, {
       import s.implicits._
-      val out = java.nio.file.Files.createTempDirectory("graft-ivf-km").toString
+      val out = Stores.dir(s, d, "ivf-km")
       val e = Tables.embeddings(s, d)
       val ex = exploded(e)
       def local(c: DataFrame): DataFrame =

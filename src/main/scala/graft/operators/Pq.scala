@@ -65,7 +65,7 @@ object Pq {
     */
   private def pqStore(s: SparkSession, d: String): (Map[(Int, Int), Array[Double]], DataFrame) =
     pqCache.getOrElseUpdate(d, {
-      val out = java.nio.file.Files.createTempDirectory("graft-pq").toString
+      val out = Stores.dir(s, d, "pq")
       val e = Tables.embeddings(s, d)
       val exd = ex(e)
       val cb = exd.groupBy(col("m"), col("label").as("code"), col("dim"))
@@ -107,7 +107,7 @@ object Pq {
 
   private def ivfpqStore(s: SparkSession, d: String): DataFrame =
     ivfpqCache.getOrElseUpdate(d, {
-      val out = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+      val out = Stores.dir(s, d, "ivfpq")
       val (_, codes) = pqStore(s, d)
       codes.join(Tables.embeddings(s, d).select(col("vec_id"), col("label").as("cell")), "vec_id")
         .repartition(col("cell")) // one file per cell directory

@@ -69,7 +69,7 @@ object Similarity {
 
   private def signatureTable(s: SparkSession, d: String): DataFrame =
     sigCache.getOrElseUpdate(d, {
-      val out = java.nio.file.Files.createTempDirectory("graft-ann-sig").toString
+      val out = Stores.dir(s, d, "ann-sig")
       withNorm(Tables.embeddings(s, d))
         .join(signatures(s, d), "vec_id")
         .repartition(col("bucket")) // one file per bucket directory

@@ -587,4 +587,38 @@ class ScaleSpec extends AnyFunSuite {
       .filter(col("o_orderkey") % 4 === 2).count()
     assert(pruned.count() === expected && expected > 0)
   }
+
+  test("materialized stores honor a configured cluster-reachable root") {
+    import graft.operators.Stores
+    // resolution policy (pure): a configured root always wins; unset
+    // falls back to driver-local temp on local masters and to the
+    // dataset-adjacent _stores/ prefix on a cluster (where file:/tmp
+    // would resolve to each executor's OWN disk — the r11 breakage)
+    val conf = Stores.resolve(Some("s3a://bkt/stores/"), isLocal = true,
+      "/data/sf1", "ivf")
+    assert(conf.startsWith("s3a://bkt/stores/sf1-") && conf.endsWith("/ivf"), conf)
+    assert(Stores.resolve(None, isLocal = false, "s3a://bkt/sf1/", "pq")
+      === "s3a://bkt/sf1/_stores/pq")
+    assert(Stores.resolve(None, isLocal = true, "/data/sf1", "pq")
+      .contains("graft-pq"))
+    // same-named datasets at different paths must not collide under one root
+    assert(Stores.resolve(Some("/r"), isLocal = true, "/a/sf1", "k")
+      !== Stores.resolve(Some("/r"), isLocal = true, "/b/sf1", "k"))
+
+    // end-to-end: with a session-configured root, a REAL store build
+    // lands under it and serves queries. The dataset is aliased with a
+    // trailing slash — a fresh memo key, so this build cannot ride an
+    // earlier test's temp-dir store.
+    val root = Files.createTempDirectory("graft-store-root").toString
+    spark.conf.set("spark.graft.storeRoot", root)
+    try {
+      val d = "/root/testdata/sf0.001/"
+      graft.operators.Dedup.ensureStores(spark, d)
+      val kinds = new java.io.File(root).listFiles().flatMap(_.listFiles())
+        .map(_.getName).toSet
+      assert(kinds.contains("minhash-store") && kinds.contains("simhash-store"),
+        s"stores should land under the configured root, found: $kinds")
+      assert(SparkEntry.queries("d2_minhash_lsh")(spark, d).count() > 0)
+    } finally spark.conf.unset("spark.graft.storeRoot")
+  }
 }
