@@ -85,15 +85,20 @@ object Deploy {
     */
   def transports(env: Map[String, String]): Seq[AlertTransport] = {
     val email = env.get("EMAIL_SMTP").filter(_.nonEmpty).map { smtp =>
+      // The reference treats EMAIL_SMTP as HOST ONLY and always dials
+      // SSL_PORT=465 over implicit TLS (smtplib.SMTP_SSL, main.py:59,
+      // 316,352) — so a bare host gets exactly that. A 'host:port'
+      // value is this engine's extension (test stubs, local relays):
+      // TLS iff the chosen port is the implicit-TLS submission port.
       val (host, port) = smtp.split(":", 2) match {
         case Array(h, p) => (h, p.toInt)
-        case _ => (smtp, 25)
+        case _ => (smtp, 465)
       }
       val account = env.getOrElse("EMAIL_ACCOUNT", "")
       val creds = env.get("EMAIL_PASSWORD").filter(_.nonEmpty).map(p => (account, p))
       new Transports.SmtpTransport(host, port, from = account,
         to = env.getOrElse("EMAIL_RECIPIENTS", "").split(",").map(_.trim).filter(_.nonEmpty).toSeq,
-        credentials = creds)
+        credentials = creds, implicitTls = port == 465)
     }
     val webhook = env.get("WEBHOOK_URL").filter(_.nonEmpty)
       .map(url => new Transports.WebhookTransport(url))

@@ -178,29 +178,37 @@ object Bpe {
     * made interleaved runs re-pay the corpus scan every time (round-10
     * verdict: x21 6.18 s vs 0.606 recorded).
     */
+  /** Per-dataset training memo: the map holds lazy HOLDERS, so the
+    * expensive body runs at most once per dataset (lazy val initializes
+    * under the holder's own monitor) while concurrent callers for
+    * DIFFERENT datasets train in parallel — an object-wide lock here
+    * would serialize them behind one long Spark job (r11 ADVICE). A
+    * TrieMap race can construct two holders, but only the stored winner
+    * is ever evaluated; the loser is discarded unrun.
+    */
+  private final class TrainedHolder(s: SparkSession, d: String) {
+    lazy val value: (Seq[(Int, String, String, String, Long)], String) = {
+      val (vocab, learned, seed) = train(Tables.documents(s, d), Rounds)
+      // store placement (incl. temp-dir JVM-exit cleanup) is Stores'
+      // concern — see its scaladoc for the cluster-reachability policy
+      val out = Stores.dir(s, d, "bpe-store")
+      vocab.select(col("word"), size(split(col("seq"), " ")).cast("long").as("n_sym"))
+        .write.mode("overwrite").parquet(out)
+      seed.unpersist(false) // the store is materialized; nothing lazy remains
+      (learned, out)
+    }
+  }
+
   private val trainedCache = scala.collection.concurrent.TrieMap
-    .empty[String, (Seq[(Int, String, String, String, Long)], String)]
+    .empty[String, TrainedHolder]
 
   def ensureTrained(s: SparkSession, d: String)
       : (Seq[(Int, String, String, String, Long)], DataFrame) = {
     // memoize (rules, store PATH), not a DataFrame: a DataFrame is bound
     // to the session that built it, and a second session in the same JVM
     // (notebook restart, sequential mains) must not inherit a handle to
-    // a possibly-stopped context. synchronized because TrieMap's
-    // getOrElseUpdate may evaluate a racing thunk twice — training is
-    // expensive enough that double evaluation matters.
-    val (learned, out) = Bpe.synchronized {
-      trainedCache.getOrElseUpdate(d, {
-        val (vocab, learned, seed) = train(Tables.documents(s, d), Rounds)
-        // store placement (incl. temp-dir JVM-exit cleanup) is Stores'
-        // concern — see its scaladoc for the cluster-reachability policy
-        val out = Stores.dir(s, d, "bpe-store")
-        vocab.select(col("word"), size(split(col("seq"), " ")).cast("long").as("n_sym"))
-          .write.mode("overwrite").parquet(out)
-        seed.unpersist(false) // the store is materialized; nothing lazy remains
-        (learned, out)
-      })
-    }
+    // a possibly-stopped context.
+    val (learned, out) = trainedCache.getOrElseUpdate(d, new TrainedHolder(s, d)).value
     (learned, s.read.parquet(out))
   }
 

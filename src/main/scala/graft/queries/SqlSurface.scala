@@ -243,12 +243,12 @@ object SqlSurface {
     // payload once, extract a typed path, and re-render canonical JSON.
     // variant_get is a codegen'd path access over the binary variant
     // encoding — at scale this replaces per-query string re-parsing
-    // (get_json_object) with parse-once-read-many. Oracle caveat: the
-    // canonical renders agree because props is a single-key object by
-    // the testdata contract — Spark's VARIANT orders object keys
-    // lexicographically while DuckDB's json() preserves insertion
-    // order, so a multi-key payload out of lexicographic order would
-    // need a key-sorted oracle spelling.
+    // (get_json_object) with parse-once-read-many. Spark's VARIANT
+    // render orders object keys lexicographically (pinned on a
+    // multi-key literal in FunctionsSpec), so the oracle rebuilds its
+    // render from key-sorted json_keys rather than DuckDB's
+    // insertion-ordered json() — the compare no longer leans on the
+    // testdata's single-key props contract.
     "t21_variant_suite" -> { (s, d) =>
       Tables.events(s, d).createOrReplaceTempView("events_vr")
       s.sql(
@@ -819,19 +819,28 @@ object SqlSurface {
         |  o_orderkey << 3 AS shl,
         |  o_orderkey >> 2 AS shr
         |FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin,
-    // json() canonicalizes spacing exactly like Spark's to_json(parse_json);
-    // a missing path yields NULL in both engines.
+    // canon is rebuilt KEY-SORTED (list_sort over json_keys) because
+    // Spark's VARIANT render orders object keys lexicographically while
+    // DuckDB's json() preserves insertion order — identical output on
+    // single-key payloads, and robust to multi-key ones. CAST(props->k
+    // AS VARCHAR) renders each value with json()'s compact spacing;
+    // keys are assumed JSON-safe identifiers (the events schema), and
+    // nested objects — none in events — would need the sort applied
+    // recursively. A missing path yields NULL in both engines.
     "t21_variant_suite" ->
       """SELECT event_id,
         |  CAST(json_extract(props, '$.k') AS BIGINT) AS k,
-        |  CAST(json(props) AS VARCHAR) AS canon,
+        |  '{' || coalesce(array_to_string(list_transform(
+        |      list_sort(json_keys(props)),
+        |      k -> '"' || k || '":' || CAST(props->k AS VARCHAR)), ','), '')
+        |    || '}' AS canon,
         |  CAST(json_extract(props, '$.missing') AS BIGINT) AS absent
         |FROM events WHERE event_id % 41 = 0 ORDER BY event_id""".stripMargin,
     // the SQL-UDF bodies inlined: IEEE double division and least/greatest
     // are per-row deterministic and engine-identical
     "t22_sql_udf" ->
       """SELECT o_orderkey,
-        |  CAST(o_orderkey AS BIGINT) * 12345 / 100000.0 AS kin,
+        |  CAST(CAST(o_orderkey AS BIGINT) * 12345 / 100000.0 AS DOUBLE) AS kin,
         |  least(greatest(CAST(o_orderkey % 200 AS DOUBLE) / 100.0, 0.0), 1.0) AS ratio
         |FROM orders WHERE o_orderkey % 37 = 0 ORDER BY o_orderkey""".stripMargin,
     // standard-SQL spelling of the pipe query

@@ -83,10 +83,16 @@ object Transports {
     * propagates through [[ValidatingAlerts]] and aborts startup the
     * same way). `send` runs the full MAIL FROM/RCPT TO/DATA exchange.
     *
-    * Plain TCP by default (an in-process test stub, or a deployment's
-    * local relay); real internet SMTP submission should sit behind a
-    * TLS tunnel or relay — implementing STARTTLS is out of scope for
-    * an alerting side-channel.
+    * Transport security: `implicitTls = true` speaks TLS from byte 0 —
+    * the reference's `smtplib.SMTP_SSL(EMAIL_SMTP, SSL_PORT=465,
+    * context=ssl.create_default_context())` (python/main.py:316,352) —
+    * with endpoint identification ON (hostname/SAN verification, the
+    * `check_hostname=True` half of `create_default_context`).
+    * `sslContext` injects trust for tests (a self-signed stub cert);
+    * None uses the platform default trust store, like the reference.
+    * Plain TCP (`implicitTls = false`) remains for in-process stubs and
+    * trusted-network relays; STARTTLS (upgrade-in-band on 587) is still
+    * out of scope — deployments that need it should front a relay.
     */
   final class SmtpTransport(
       host: String,
@@ -96,7 +102,9 @@ object Transports {
       credentials: Option[(String, String)] = None,
       subject: String = "history-collector alert",
       override val name: String = "smtp",
-      timeoutMs: Int = 10000) extends AlertTransport {
+      timeoutMs: Int = 10000,
+      implicitTls: Boolean = false,
+      sslContext: Option[javax.net.ssl.SSLContext] = None) extends AlertTransport {
     require(to.nonEmpty, "SmtpTransport needs at least one recipient")
 
     /** One scripted SMTP session: connect, greet, auth, run `body`, QUIT. */
@@ -109,8 +117,23 @@ object Transports {
       try {
         sock.connect(new java.net.InetSocketAddress(host, port), timeoutMs)
         sock.setSoTimeout(timeoutMs)
-        val in = new BufferedReader(new InputStreamReader(sock.getInputStream, UTF_8))
-        val out = new OutputStreamWriter(sock.getOutputStream, UTF_8)
+        // implicit TLS: wrap the connected socket before the first SMTP
+        // byte (the 220 greeting arrives encrypted), like SMTP_SSL. The
+        // handshake inherits the plain socket's soTimeout, so a silent
+        // TLS peer cannot hang the startup probe either.
+        val chan: Socket = if (!implicitTls) sock else {
+          val factory = sslContext.getOrElse(javax.net.ssl.SSLContext.getDefault)
+            .getSocketFactory
+          val ssl = factory.createSocket(sock, host, port, true)
+            .asInstanceOf[javax.net.ssl.SSLSocket]
+          val params = ssl.getSSLParameters
+          params.setEndpointIdentificationAlgorithm("HTTPS")
+          ssl.setSSLParameters(params)
+          ssl.startHandshake()
+          ssl
+        }
+        val in = new BufferedReader(new InputStreamReader(chan.getInputStream, UTF_8))
+        val out = new OutputStreamWriter(chan.getOutputStream, UTF_8)
         expect(in, "220") // server greeting
         command(in, out, "HELO graft", "250")
         credentials.foreach { case (user, pass) =>

@@ -172,4 +172,17 @@ class FunctionsSpec extends AnyFunSuite {
         s"median off for ${r.getString(0)}: $med vs $exactMed")
     }
   }
+
+  test("VARIANT canonical render sorts object keys lexicographically at every level") {
+    // The t21 oracle contract: Spark's to_json(parse_json(...)) orders
+    // object keys lexicographically — pinned here on a hand-built
+    // multi-key payload with a nested object (out of insertion order at
+    // both levels) so a Spark behavior change or a wrong oracle
+    // spelling fails THIS spec, not a silent hash-mismatch at the gate.
+    val canon = spark.sql(
+      """SELECT to_json(parse_json(
+        |  '{"b": 2, "a": {"z": 1, "y": [1, 2]}, "k": 5}')) AS c""".stripMargin)
+      .head.getString(0)
+    assert(canon === """{"a":{"y":[1,2],"z":1},"b":2,"k":5}""")
+  }
 }

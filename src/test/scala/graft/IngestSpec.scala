@@ -115,13 +115,18 @@ class IngestSpec extends AnyFunSuite {
     // chain — bare BUCKET_NAME → s3a:// mapping, CORE_DIRECTORY key
     // join, pathFor fan-out, the tail's existence probes, binaryFile
     // reads, and the sink's side files — runs against s3a-schemed URIs.
-    spark.sparkContext.hadoopConfiguration
-      .set("fs.s3a.impl", classOf[StubS3aFileSystem].getName)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    // snapshot the two keys we mutate: the config is shared session
+    // state, and leaking a stub FS binding into later tests would make
+    // any other s3a-schemed path silently resolve to the stub
+    val prevImpl = Option(hconf.get("fs.s3a.impl"))
+    val prevCommitter = Option(hconf.get("mapreduce.outputcommitter.factory.scheme.s3a"))
+    hconf.set("fs.s3a.impl", classOf[StubS3aFileSystem].getName)
     // Spark wires the S3A-optimized committer factory for the scheme by
     // default (hadoop-aws isn't bundled here); fall back to the generic
     // FileOutputCommitter for the stub
-    spark.sparkContext.hadoopConfiguration
-      .set("mapreduce.outputcommitter.factory.scheme.s3a", "")
+    hconf.set("mapreduce.outputcommitter.factory.scheme.s3a", "")
+    try {
     val local = Files.createTempDirectory("graft-s3a-arch").toString
     val out = Files.createTempDirectory("graft-s3a-out").toString
     writeCheckpoint(local, 0x3fL, 2)
@@ -144,6 +149,11 @@ class IngestSpec extends AnyFunSuite {
     assert(Files.exists(Paths.get(out, "etl", "ledgers", "ledger=0000007f")))
     assert(Files.exists(Paths.get(out, "etl", "completed_ledgers")))
     assert(Files.exists(Paths.get(out, "etl", "last_file")))
+    } finally {
+      prevImpl.fold(hconf.unset("fs.s3a.impl"))(hconf.set("fs.s3a.impl", _))
+      prevCommitter.fold(hconf.unset("mapreduce.outputcommitter.factory.scheme.s3a"))(
+        hconf.set("mapreduce.outputcommitter.factory.scheme.s3a", _))
+    }
   }
 
   test("Collector.run chains bootstrap, self-test, and the tail from the env alone") {
@@ -272,14 +282,23 @@ class IngestSpec extends AnyFunSuite {
   /** Scripted in-process SMTP server: greeting, HELO, AUTH LOGIN state
     * machine, MAIL/RCPT/DATA, QUIT. Records logins and message bodies.
     */
-  private class SmtpStub(failAuth: Boolean = false) {
-    private val server = new java.net.ServerSocket(0)
+  private class SmtpStub(failAuth: Boolean = false,
+      tls: Option[javax.net.ssl.SSLContext] = None) {
+    private val server = tls match {
+      case Some(ctx) => ctx.getServerSocketFactory.createServerSocket(0)
+      case None => new java.net.ServerSocket(0)
+    }
     def port: Int = server.getLocalPort
     @volatile var logins = 0
     @volatile var messages = Vector.empty[String]
     private val thread = new Thread(() => {
       try while (true) {
         val s = server.accept()
+        // bound the conversation: a client that never completes the TLS
+        // handshake (a plain-TCP probe against the TLS endpoint) must
+        // not pin the accept loop forever
+        s.setSoTimeout(5000)
+        try {
         val in = new java.io.BufferedReader(new java.io.InputStreamReader(s.getInputStream, "UTF-8"))
         val w = new java.io.OutputStreamWriter(s.getOutputStream, "UTF-8")
         def reply(l: String): Unit = { w.write(l + "\r\n"); w.flush() }
@@ -309,11 +328,80 @@ class IngestSpec extends AnyFunSuite {
           }
           if (line != null) line = in.readLine()
         }
-        s.close()
+        // one broken conversation (failed handshake, timeout) must not
+        // kill the accept loop — later connections still get served
+        } catch { case _: Throwable => () } finally s.close()
       } catch { case _: Throwable => () } // server closed: test over
     })
     thread.setDaemon(true); thread.start()
     def close(): Unit = server.close()
+  }
+
+  /** One self-signed keypair (generated with the JDK's own keytool —
+    * no fixture binaries in the repo), split into the two SSLContexts a
+    * TLS test needs: the server context serves the key, the client
+    * context trusts exactly that certificate and nothing else. SAN
+    * covers 127.0.0.1 so the client's endpoint identification (the
+    * `check_hostname` half of the reference's ssl context) passes
+    * against the loopback dial.
+    */
+  private def selfSignedTlsContexts(): (javax.net.ssl.SSLContext, javax.net.ssl.SSLContext) = {
+    val dir = Files.createTempDirectory("graft-tls")
+    val ksPath = dir.resolve("ks.p12").toString
+    val keytool = new java.io.File(
+      new java.io.File(sys.props("java.home"), "bin"), "keytool").getPath
+    val p = new ProcessBuilder(keytool, "-genkeypair", "-alias", "stub",
+      "-keyalg", "RSA", "-keysize", "2048", "-dname", "CN=localhost",
+      "-validity", "2", "-storetype", "PKCS12", "-keystore", ksPath,
+      "-storepass", "changeit", "-ext", "SAN=ip:127.0.0.1,dns:localhost")
+      .redirectErrorStream(true).start()
+    assert(p.waitFor() === 0, "keytool keypair generation failed")
+    val ks = java.security.KeyStore.getInstance("PKCS12")
+    val fis = new java.io.FileInputStream(ksPath)
+    try ks.load(fis, "changeit".toCharArray) finally fis.close()
+    val kmf = javax.net.ssl.KeyManagerFactory.getInstance(
+      javax.net.ssl.KeyManagerFactory.getDefaultAlgorithm)
+    kmf.init(ks, "changeit".toCharArray)
+    val serverCtx = javax.net.ssl.SSLContext.getInstance("TLS")
+    serverCtx.init(kmf.getKeyManagers, null, null)
+    // trust store = just the self-signed cert (a PrivateKeyEntry is not
+    // a trust anchor for TrustManagerFactory — re-enter it as a cert)
+    val trust = java.security.KeyStore.getInstance("PKCS12")
+    trust.load(null, null)
+    trust.setCertificateEntry("stub", ks.getCertificate("stub"))
+    val tmf = javax.net.ssl.TrustManagerFactory.getInstance(
+      javax.net.ssl.TrustManagerFactory.getDefaultAlgorithm)
+    tmf.init(trust)
+    val clientCtx = javax.net.ssl.SSLContext.getInstance("TLS")
+    clientCtx.init(null, tmf.getTrustManagers, null)
+    (serverCtx, clientCtx)
+  }
+
+  test("SMTP implicit TLS: probe and send speak the reference's SMTP_SSL path") {
+    import graft.streaming.Transports.SmtpTransport
+    val (serverCtx, clientCtx) = selfSignedTlsContexts()
+    val stub = new SmtpStub(tls = Some(serverCtx))
+    try {
+      val smtp = new SmtpTransport("127.0.0.1", stub.port, "graft@local",
+        Seq("ops@local"), credentials = Some(("user", "secret")),
+        implicitTls = true, sslContext = Some(clientCtx))
+      smtp.probe() // TLS handshake + AUTH LOGIN + QUIT, no mail
+      assert(stub.logins === 1 && stub.messages.isEmpty)
+      smtp.send("delay episode: archive 64 ledgers behind")
+      assert(stub.messages.length === 1)
+      assert(stub.messages.head.contains("64 ledgers behind"))
+      // a plain-TCP client against the TLS endpoint must fail loudly
+      // (greeting never arrives in cleartext), not hang startup
+      val plain = new SmtpTransport("127.0.0.1", stub.port, "graft@local",
+        Seq("ops@local"), timeoutMs = 2000)
+      intercept[java.io.IOException](plain.probe())
+      // Deploy parity: bare EMAIL_SMTP host → port 465 implicit TLS,
+      // exactly smtplib.SMTP_SSL(EMAIL_SMTP, SSL_PORT) (main.py:59,316)
+      val ts = graft.Deploy.transports(Map(
+        "EMAIL_SMTP" -> "mail.example.com", "EMAIL_ACCOUNT" -> "a@b",
+        "EMAIL_PASSWORD" -> "pw", "EMAIL_RECIPIENTS" -> "ops@b"))
+      assert(ts.length === 1 && ts.head.name === "smtp")
+    } finally stub.close()
   }
 
   test("concrete transports: SMTP + webhook deliver through real sockets; probes gate startup") {
