@@ -82,6 +82,46 @@ object Dedup {
       .withColumnRenamed("col", "bh")
   }
 
+  /** Map-side LSH band keys for ARRIVING documents — the probe-side
+    * spelling of [[bands]] for rows that are NOT in any materialized
+    * store yet (the d13 / streaming-ingest shape): `(doc_id, band_id,
+    * bh)` derived straight from `text` with the same native expressions
+    * the store build uses ([[graft.functions.WordShingles]] →
+    * [[graft.functions.MinHashSigs]] → per-band md5), so probe keys are
+    * value-identical with store keys. Zero-shingle docs (< 3 words)
+    * emit no keys, matching the store's drop. Pure per-row expressions:
+    * drops unchanged into batch and streaming plans.
+    */
+  def bandKeys(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val sig = call_function("minhash_sigs",
+      call_function("word_shingles", col("text")))
+    val bandCols = (0 until NumBands).map(j =>
+      md5(concat(col("sig")(2 * j), col("sig")(2 * j + 1))))
+    docs
+      .filter(size(call_function("word_shingles", col("text"))) > 0)
+      .select(col("doc_id"), sig.as("sig"))
+      .select(col("doc_id"), posexplode(array(bandCols: _*)))
+      .withColumnRenamed("pos", "band_id")
+      .withColumnRenamed("col", "bh")
+  }
+
+  /** Distinct probe-able buckets of an existing band table with the
+    * [[MaxBucketDocs]] skew cap applied — the "existing corpus" side of
+    * the d13 incremental probe. A viral bucket (every page sharing a
+    * banner) would fan each arriving member out by its size; buckets
+    * over the cap are dropped via broadcast anti-join (the hot list is
+    * tiny by construction).
+    */
+  def cappedBuckets(bandRows: DataFrame): DataFrame = {
+    val hot = bandRows.groupBy("band_id", "bh")
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") > MaxBucketDocs)
+      .select("band_id", "bh")
+    bandRows.join(broadcast(hot), Seq("band_id", "bh"), "left_anti")
+      .select("band_id", "bh").distinct()
+  }
+
   /** Bucket-size cap for the LSH self-join: a band bucket holding more
     * than this many docs contributes O(n²) candidate pairs — on a
     * boilerplate-heavy corpus one degenerate bucket (every page sharing a

@@ -53,12 +53,36 @@ object TextAnalysis {
       least(nAlpha.cast("double") / nTokens.cast("double") / 5.0, lit(1.0)) * 0.2 +
       least(stopHits.cast("double") / nTokens.cast("double") * 5.0, lit(1.0)) * 0.3
 
+  /** x11's admission bar: the corpus median score is ~0.37, so ≥ 0.35
+    * keeps a meaningful survivor set while still filtering.
+    */
+  val QualityThreshold = 0.35
+
+  /** x2/x11's per-doc feature + score columns as one narrow projection:
+    * appends `n_tokens`, `n_alpha`, `stop_hits`, `quality_score` to
+    * whatever columns `docs` carries (requires `text`). Pure per-row
+    * expressions — drops unchanged into batch AND streaming plans, which
+    * is why the streaming pipeline shares this exact spelling (a tweak
+    * here cannot diverge live curation from the batch x11 stage).
+    */
+  def withQualityFeatures(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")).cast("long"))
+      .withColumn("n_alpha",
+        length(regexp_replace(col("text"), "[^a-z]", "")).cast("long"))
+      .withColumn("stop_hits", regexp_count(col("text"), lit(StopRe)).cast("long"))
+      .withColumn("quality_score",
+        qualityScore(col("n_tokens"), col("n_alpha"), col("stop_hits")))
+
   private def qualityScoreSql(nTokens: String, nAlpha: String, stopHits: String): String =
     s"""least(CAST($nTokens AS DOUBLE) / 300.0, 1.0) * 0.5 +
        |      least(CAST($nAlpha AS DOUBLE) / CAST($nTokens AS DOUBLE) / 5.0, 1.0) * 0.2 +
        |      least(CAST($stopHits AS DOUBLE) / CAST($nTokens AS DOUBLE) * 5.0, 1.0) * 0.3""".stripMargin
 
-  private def packShard(docId: Column, shards: Int = NumPackShards): Column =
+  /** Deterministic md5 pack-shard bucket (x8/x11 spelling); public so the
+    * streaming pipeline assigns the SAME shard a batch re-pack would.
+    */
+  def packShard(docId: Column, shards: Int = NumPackShards): Column =
     conv(substring(md5(concat(lit("pk|"), docId.cast("string"))), 1, 2), 16, 10)
       .cast("long") % shards
 
@@ -461,16 +485,12 @@ object TextAnalysis {
     // stage is the already-audited shape of its standalone operator.
     "x11_pipeline" -> { (s, d) =>
       val canonical = Window.partitionBy(md5(col("text")))
-      val surv = Tables.documents(s, d)
-        .withColumn("canonical_doc", min(col("doc_id")).over(canonical))
-        .filter(col("doc_id") === col("canonical_doc"))
-        .select(col("doc_id"), col("lang"), col("n_chars"), col("text"),
-          size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
-          length(regexp_replace(col("text"), "[^a-z]", "")).cast("long").as("n_alpha"),
-          regexp_count(col("text"), lit(StopRe)).cast("long").as("stop_hits"))
-        .withColumn("quality_score",
-          qualityScore(col("n_tokens"), col("n_alpha"), col("stop_hits")))
-        .filter(col("quality_score") >= 0.35)
+      val surv = withQualityFeatures(
+          Tables.documents(s, d)
+            .withColumn("canonical_doc", min(col("doc_id")).over(canonical))
+            .filter(col("doc_id") === col("canonical_doc"))
+            .select("doc_id", "lang", "n_chars", "text"))
+        .filter(col("quality_score") >= QualityThreshold)
       packTokens(surv, blockSize = 512, shards = NumPackShards)
         .select("doc_id", "lang", "n_tokens", "quality_score", "shard",
           "cum_before", "chunk_id", "offset_in_chunk")

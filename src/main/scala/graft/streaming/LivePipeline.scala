@@ -1,0 +1,214 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types._
+import graft.operators.{Dedup, TextAnalysis}
+
+/** Streaming-first corpus intake: the x11 curation→dedup→pack pipeline
+  * run CONTINUOUSLY over an arriving document stream, with the d13
+  * incremental-dedup store as its state (round-11 directive #7 — the
+  * north-star path made live end to end).
+  *
+  * Unlike the StreamDemos operators, whose state lives in Spark's
+  * watermark-bounded state store, this pipeline's state is the engine's
+  * OWN materialized stores — the same parquet tables the batch operators
+  * serve from — because its state is corpus-lifetime, not
+  * horizon-bounded: a duplicate may arrive years after its canonical,
+  * so neither a watermark nor an executor-local state store can hold
+  * the dedup side. Each micro-batch is one incremental step of the
+  * batch algebra (`foreachBatch`), which is exactly d13's shape: the
+  * arriving batch probes the existing corpus asymmetrically; the
+  * existing side is never re-signed and never self-joined.
+  *
+  * Store layout under `Config.root` (all partitioned by `batch=<id>` so
+  * reads prune to committed history and a replayed batch overwrites
+  * only its own partition — the K5 idempotence discipline):
+  *   - `exact/`   `(text_md5)` — first-seen content hashes (recorded
+  *     before the quality gate, matching x11's dedup→quality order);
+  *   - `bands/`   `(doc_id, band_id, bh)` — ADMITTED docs' LSH band
+  *     keys, the growing d13 store;
+  *   - `cursors/` `(lang, shard, cum)` — the pack cursor: tokens
+  *     already packed per (lang, shard). Its `batch=<id>` write is the
+  *     COMMIT POINT: a batch is committed iff its cursor snapshot
+  *     exists with `_SUCCESS`, and [[step]] skips committed batch ids,
+  *     so a foreachBatch replay after a crash re-runs from the last
+  *     snapshot and overwrites its own partitions — exactly-once
+  *     output without a transaction log (the K2 data+offset pattern,
+  *     re-expressed as partition overwrite + commit marker);
+  *   - `packed/`  the pipeline output: x11's packing columns plus
+  *     `is_novel` (the d13 verdict).
+  *
+  * Batch/stream parity (StreamingSpec): with an empty seed and near-dup
+  * gating off, the packed output over a doc_id-ordered stream equals
+  * the batch x11 plan column-for-column — the canonical-dup choice
+  * (min doc_id) and the pack prefix sums agree because first-arrival IS
+  * min-doc_id under ordered intake, and the per-(lang, shard) cursors
+  * carry the prefix sums across micro-batch boundaries. Near-dup
+  * admission is BATCH-granular: a batch probes the store as of the
+  * previous commit, so two near-dups inside one micro-batch are both
+  * admitted (they were concurrent — neither was "existing" when the
+  * other arrived), while a near-dup of ANY earlier batch is rejected.
+  *
+  * 100 TB shape: every stage is the already-audited batch operator —
+  * the exact gate is one hash anti-join, the probe is band-keyed with
+  * the d13 skew cap on existing buckets, packing is x8's
+  * (lang, shard)-keyed window — and per-batch cost scales with the
+  * BATCH, not the corpus: the store side is pruned parquet scans.
+  */
+object LivePipeline {
+
+  /** `gateNearDups=false` keeps the d13 verdict as an `is_novel`
+    * annotation without filtering on it (the x11-parity configuration:
+    * batch x11 drops exact dups only).
+    */
+  final case class Config(root: String, blockSize: Int = 512, shards: Int = 8,
+      gateNearDups: Boolean = true)
+
+  private val ExactSchema = StructType(Seq(StructField("text_md5", StringType)))
+  private val BandSchema = StructType(Seq(StructField("doc_id", LongType),
+    StructField("band_id", IntegerType), StructField("bh", StringType)))
+  private val CursorSchema = StructType(Seq(StructField("lang", StringType),
+    StructField("shard", LongType), StructField("cum", LongType)))
+
+  /** Start the continuous intake over a streaming `(doc_id, lang, text)`
+    * frame. The checkpoint lives beside the stores so a restarted query
+    * resumes with the batch ids its commit markers already adjudicate.
+    */
+  def start(docs: DataFrame, cfg: Config): StreamingQuery = {
+    val fn: (DataFrame, Long) => Unit = (batch, id) => step(batch, id, cfg)
+    docs.writeStream
+      .option("checkpointLocation", s"${cfg.root}/_checkpoint")
+      .foreachBatch(fn)
+      .start()
+  }
+
+  /** Seed the stores from an EXISTING corpus (the d13 "existing" side)
+    * by running the same step as pseudo-batch −1 — one code path for
+    * seed and stream, so the existing corpus is curated, deduped, and
+    * packed under exactly the rules arriving batches face, and the
+    * stream continues its chunk space. Idempotent (skips if committed).
+    */
+  def seed(existing: DataFrame, cfg: Config): Unit = step(existing, -1L, cfg)
+
+  /** One incremental step: curate → dedup (exact then LSH-novelty) →
+    * pack the arriving batch against state as of the previous commit.
+    */
+  def step(batch: DataFrame, batchId: Long, cfg: Config): Unit = {
+    val s = batch.sparkSession
+    if (committed(s, cfg.root, batchId)) return // crash-replay of a done batch
+    val exact = readStore(s, cfg.root, "exact", batchId, ExactSchema)
+    val bands = readStore(s, cfg.root, "bands", batchId, BandSchema)
+    val cursors = latestCursors(s, cfg, batchId)
+
+    // 1. Exact dedup — x11's canonical stage on the batch (min doc_id
+    //    per content hash), then the cross-batch gate: one hash
+    //    anti-join against every hash committed so far.
+    val canonical = Window.partitionBy(col("text_md5"))
+    val firstSeen = batch
+      .withColumn("text_md5", md5(col("text")))
+      .withColumn("canonical_doc", min(col("doc_id")).over(canonical))
+      .filter(col("doc_id") === col("canonical_doc"))
+      .drop("canonical_doc")
+    val newText = firstSeen.join(exact, Seq("text_md5"), "left_anti")
+
+    // 2. Quality — x11's per-row score and bar, shared spelling.
+    val survivors = TextAnalysis.withQualityFeatures(newText)
+      .filter(col("quality_score") >= TextAnalysis.QualityThreshold)
+
+    // 3. d13 novelty probe: map-side band keys for the batch, semi-join
+    //    against the capped existing buckets, doc-level verdict.
+    val probed = Dedup.bandKeys(survivors.select("doc_id", "text"))
+      .join(Dedup.cappedBuckets(bands), Seq("band_id", "bh"), "left_semi")
+      .select("doc_id").distinct().withColumn("hit", lit(true))
+    val verdict = survivors.join(probed, Seq("doc_id"), "left")
+      .withColumn("is_novel", col("hit").isNull).drop("hit")
+    val admitted = if (cfg.gateNearDups) verdict.filter(col("is_novel")) else verdict
+
+    // 4. Pack — x8's (lang, shard)-keyed prefix sum WITHIN the batch,
+    //    offset by the cursor carried from the previous commit.
+    val sharded = admitted
+      .withColumn("shard", TextAnalysis.packShard(col("doc_id"), cfg.shards))
+    val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val packed = sharded
+      .withColumn("batch_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .join(cursors, Seq("lang", "shard"), "left")
+      .withColumn("cum_before", coalesce(col("cum"), lit(0L)) + col("batch_before"))
+      .withColumn("chunk_id", expr(s"cum_before div ${cfg.blockSize}"))
+      .withColumn("offset_in_chunk", col("cum_before") % cfg.blockSize)
+      .select("doc_id", "lang", "n_tokens", "quality_score", "shard",
+        "cum_before", "chunk_id", "offset_in_chunk", "is_novel")
+    val advanced = cursors.join(
+        sharded.groupBy("lang", "shard").agg(sum(col("n_tokens")).as("add")),
+        Seq("lang", "shard"), "full_outer")
+      .select(col("lang"), col("shard"),
+        (coalesce(col("cum"), lit(0L)) + coalesce(col("add"), lit(0L))).as("cum"))
+
+    // 5. Commit: appends first, cursor snapshot LAST (the marker).
+    packed.write.mode("overwrite").parquet(part(cfg.root, "packed", batchId))
+    Dedup.bandKeys(admitted.select("doc_id", "text"))
+      .write.mode("overwrite").parquet(part(cfg.root, "bands", batchId))
+    newText.select("text_md5")
+      .write.mode("overwrite").parquet(part(cfg.root, "exact", batchId))
+    advanced.write.mode("overwrite").parquet(part(cfg.root, "cursors", batchId))
+  }
+
+  /** All committed packed output (optionally only batches ≥ `fromBatch`
+    * — e.g. 0 to exclude the seed), with the source batch id attached.
+    */
+  def packedOutput(s: SparkSession, cfg: Config, fromBatch: Long = Long.MinValue): DataFrame = {
+    val dirs = committedParts(s, s"${cfg.root}/packed").filter(_._1 >= fromBatch)
+    if (dirs.isEmpty)
+      s.createDataFrame(s.sparkContext.emptyRDD[Row],
+        StructType(Seq(StructField("doc_id", LongType))))
+    else
+      dirs.map { case (id, p) => s.read.parquet(p).withColumn("batch", lit(id)) }
+        .reduce(_.unionByName(_))
+  }
+
+  private def part(root: String, kind: String, id: Long) = s"$root/$kind/batch=$id"
+
+  /** Committed `(batchId, path)` partitions of one store: `batch=<id>`
+    * dirs carrying the committer's `_SUCCESS` marker. Listing is one
+    * directory scan of partition dirs (not files) — cheap at any corpus
+    * size, and it is what makes partial writes of a crashed attempt
+    * invisible to readers.
+    */
+  private def committedParts(s: SparkSession, dir: String): Seq[(Long, String)] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+      .filter(st => fs.exists(new Path(st.getPath, "_SUCCESS")))
+      .map(st => (st.getPath.getName.stripPrefix("batch=").toLong, st.getPath.toString))
+      .sortBy(_._1)
+  }
+
+  private def committed(s: SparkSession, root: String, id: Long): Boolean =
+    committedParts(s, s"$root/cursors").exists(_._1 == id)
+
+  /** Union of a store's partitions committed STRICTLY BEFORE `ltBatch`
+    * (state as of the previous commit), or an empty frame on a cold
+    * start.
+    */
+  private def readStore(s: SparkSession, root: String, kind: String,
+      ltBatch: Long, schema: StructType): DataFrame = {
+    val dirs = committedParts(s, s"$root/$kind").filter(_._1 < ltBatch).map(_._2)
+    if (dirs.isEmpty) s.createDataFrame(s.sparkContext.emptyRDD[Row], schema)
+    else s.read.schema(schema).parquet(dirs: _*)
+  }
+
+  /** The most recent cursor snapshot before `ltBatch` (snapshots are
+    * FULL per-(lang, shard) states, so only the latest one is read).
+    */
+  private def latestCursors(s: SparkSession, cfg: Config, ltBatch: Long): DataFrame = {
+    val dirs = committedParts(s, s"${cfg.root}/cursors").filter(_._1 < ltBatch)
+    if (dirs.isEmpty) s.createDataFrame(s.sparkContext.emptyRDD[Row], CursorSchema)
+    else s.read.schema(CursorSchema).parquet(dirs.last._2)
+  }
+}

@@ -352,4 +352,103 @@ class StreamingSpec extends AnyFunSuite {
       assert(sessions === Set((0L, 2), (60L, 1)))
     } finally q.stop()
   }
+
+  private def packKey(r: org.apache.spark.sql.Row) =
+    (r.getAs[Long]("doc_id"), r.getAs[String]("lang"), r.getAs[Long]("n_tokens"),
+      r.getAs[Double]("quality_score"), r.getAs[Long]("shard"),
+      r.getAs[Long]("cum_before"), r.getAs[Long]("chunk_id"),
+      r.getAs[Long]("offset_in_chunk"))
+
+  test("live pipeline: stream-ingested docs land in the same pack chunks as batch x11") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    val root = java.nio.file.Files.createTempDirectory("graft-live-parity").toString
+    // x11-parity configuration: empty seed, near-dup verdict annotated
+    // but not gated (batch x11 drops exact dups only)
+    val cfg = graft.streaming.LivePipeline.Config(root, gateNearDups = false)
+    val all = Tables.documents(spark, d).select("doc_id", "lang", "text").collect()
+      .map(r => LDoc(r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(_.doc_id) // ordered intake: first-arrival == min-doc_id
+    val batches = all.grouped((all.length + 2) / 3).toSeq
+    assert(batches.length === 3)
+    val ms = MemoryStream[LDoc]
+    val q = graft.streaming.LivePipeline.start(ms.toDF(), cfg)
+    try {
+      batches.foreach { b => ms.addData(b.toIndexedSeq: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val got = graft.streaming.LivePipeline.packedOutput(spark, cfg)
+      .collect().map(packKey).toSet
+    val expected = SparkEntry.queries("x11_pipeline")(spark, d)
+      .collect().map(packKey).toSet
+    assert(expected.nonEmpty)
+    assert(got === expected, "stream/batch x11 packing parity")
+  }
+
+  test("live pipeline: d13 store-as-state gates dups across seed and batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-live-d13").toString
+    val cfg = graft.streaming.LivePipeline.Config(root)
+    // ≥ 40 words with the/of/is stop hits so every doc clears the
+    // quality bar (asserted below, not assumed)
+    // tag appears in the tail too, so docs with DIFFERENT tags share at
+    // most two 3-word shingles ("of this is", "this is <last>") — far
+    // below band-collision reach — while a same-tag pair differing only
+    // in `last` shares all but three
+    def mkText(tag: String, last: String): String =
+      (1 to 36).map(i => s"${tag}w$i").mkString(" ") + s" the $tag of this is $last"
+    val e1 = LDoc(1, "en", mkText("alpha", "high"))
+    val e2 = LDoc(2, "en", mkText("beta", "high"))
+    val d100 = LDoc(100, "en", mkText("gamma", "high"))
+    val d101 = LDoc(101, "en", e1.text) // exact copy of seed doc
+    val d200 = LDoc(200, "en", mkText("beta", "low"))  // near-dup of e2
+    val d201 = LDoc(201, "en", mkText("gamma", "low")) // near-dup of stream doc d100
+    val d202 = LDoc(202, "en", d100.text) // exact copy of stream doc
+    val d203 = LDoc(203, "en", mkText("delta", "high"))
+    val allDocs = Seq(e1, e2, d100, d101, d200, d201, d202, d203)
+    // Preconditions, asserted loudly so a tweak to the fixture cannot
+    // make the gating assertions vacuous: every doc passes quality, and
+    // each near-dup pair shares at least one LSH band bucket.
+    val feats = graft.operators.TextAnalysis.withQualityFeatures(allDocs.toDF())
+    assert(feats.filter(col("quality_score") < graft.operators.TextAnalysis.QualityThreshold).count() === 0)
+    def collides(a: LDoc, b: LDoc): Boolean = {
+      val bk = graft.operators.Dedup.bandKeys(Seq(a, b).toDF())
+      bk.groupBy("band_id", "bh").count().filter(col("count") === 2).count() > 0
+    }
+    assert(collides(e2, d200), "fixture: d200 must band-collide with e2")
+    assert(collides(d100, d201), "fixture: d201 must band-collide with d100")
+    for (prior <- Seq(e1, e2, d100))
+      assert(!collides(prior, d203), s"fixture: d203 must be novel vs doc ${prior.doc_id}")
+
+    graft.streaming.LivePipeline.seed(Seq(e1, e2).toDF(), cfg)
+    val ms = MemoryStream[LDoc]
+    val q = graft.streaming.LivePipeline.start(ms.toDF(), cfg)
+    try {
+      ms.addData(d100, d101); q.processAllAvailable()
+      ms.addData(d200, d201, d202, d203); q.processAllAvailable()
+    } finally q.stop()
+    val packed = graft.streaming.LivePipeline.packedOutput(spark, cfg).collect()
+    val byId = packed.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // seed packed its two docs; the stream admitted exactly d100 and d203
+    assert(byId.keySet === Set(1L, 2L, 100L, 203L))
+    assert(packed.filter(_.getAs[Long]("batch") >= 0).map(_.getAs[Long]("doc_id")).toSet === Set(100L, 203L))
+    // cursor continuation: within one (lang, shard), cum_before is the
+    // sum of n_tokens of all earlier-admitted docs in that shard —
+    // across the seed/stream and batch/batch boundaries
+    for (r <- packed) {
+      val before = packed.filter(o => o.getAs[String]("lang") == r.getAs[String]("lang") &&
+        o.getAs[Long]("shard") == r.getAs[Long]("shard") &&
+        o.getAs[Long]("doc_id") < r.getAs[Long]("doc_id"))
+        .map(_.getAs[Long]("n_tokens")).sum
+      assert(r.getAs[Long]("cum_before") === before,
+        s"cursor continuation for doc ${r.getAs[Long]("doc_id")}")
+    }
+    // replay of a committed batch id is a no-op (exactly-once)
+    graft.streaming.LivePipeline.step(Seq(d203).toDF(), 1L, cfg)
+    assert(graft.streaming.LivePipeline.packedOutput(spark, cfg).count() === packed.length.toLong)
+  }
 }
+
+/** Top-level so Seq[LDoc].toDF() can encode without an outer scope. */
+final case class LDoc(doc_id: Long, lang: String, text: String)
