@@ -447,6 +447,61 @@ class StreamingSpec extends AnyFunSuite {
     // replay of a committed batch id is a no-op (exactly-once)
     graft.streaming.LivePipeline.step(Seq(d203).toDF(), 1L, cfg)
     assert(graft.streaming.LivePipeline.packedOutput(spark, cfg).count() === packed.length.toLong)
+    // crash replay: simulate an attempt that died AFTER the data
+    // appends but BEFORE the commit marker — delete batch 1's cursor
+    // _SUCCESS, re-step with the same id. The partial partitions are
+    // invisible to readers (no marker), the re-run overwrites only its
+    // own partitions, and the final state is identical.
+    val marker = java.nio.file.Paths.get(root, "cursors", "batch=1", "_SUCCESS")
+    java.nio.file.Files.delete(marker)
+    graft.streaming.LivePipeline.step(Seq(d200, d201, d202, d203).toDF(), 1L, cfg)
+    val replayed = graft.streaming.LivePipeline.packedOutput(spark, cfg).collect()
+    assert(replayed.map(packKey).toSet === packed.map(packKey).toSet, "crash replay idempotence")
+  }
+
+  test("live pipeline: a restarted query resumes from its checkpoint without re-packing") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-live-restart").toString
+    val in = java.nio.file.Files.createTempDirectory("graft-live-in").toString
+    val cfg = graft.streaming.LivePipeline.Config(root)
+    // long alpha words: the quality score's n_alpha/n_tokens term needs
+    // ~5 letters per word, so digit-heavy tokens would fail the bar
+    def doc(i: Long) = LDoc(i, "en",
+      (1 to 36).map(j => s"resume${i}word$j").mkString(" ") + " the end of this is near")
+    // file source: stage each drop as one parquet file in a flat dir
+    def addFile(name: String, docs: Seq[LDoc]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-live-stage").toString
+      docs.toDF().coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(in, name))
+    }
+    addFile("f1.parquet", Seq(doc(1), doc(2)))
+    def stream = spark.readStream.schema("doc_id LONG, lang STRING, text STRING")
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val q1 = graft.streaming.LivePipeline.start(stream, cfg)
+    try q1.processAllAvailable() finally q1.stop()
+    val firstRun = graft.streaming.LivePipeline.packedOutput(spark, cfg).collect()
+    assert(firstRun.map(_.getAs[Long]("doc_id")).toSet === Set(1L, 2L))
+    // new files while the query is DOWN; restart from the same checkpoint
+    addFile("f2.parquet", Seq(doc(3)))
+    val q2 = graft.streaming.LivePipeline.start(stream, cfg)
+    try q2.processAllAvailable() finally q2.stop()
+    val resumed = graft.streaming.LivePipeline.packedOutput(spark, cfg).collect()
+    // batch 0's rows are byte-identical (not recomputed under a new
+    // batch id), and doc 3's cursor continues the packed token stream
+    assert(resumed.map(packKey).toSet.intersect(firstRun.map(packKey).toSet)
+      === firstRun.map(packKey).toSet)
+    val byId = resumed.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(byId.keySet === Set(1L, 2L, 3L))
+    for (r <- resumed) {
+      val before = resumed.filter(o => o.getAs[String]("lang") == r.getAs[String]("lang") &&
+        o.getAs[Long]("shard") == r.getAs[Long]("shard") &&
+        o.getAs[Long]("doc_id") < r.getAs[Long]("doc_id"))
+        .map(_.getAs[Long]("n_tokens")).sum
+      assert(r.getAs[Long]("cum_before") === before,
+        s"resumed cursor continuation for doc ${r.getAs[Long]("doc_id")}")
+    }
   }
 }
 
