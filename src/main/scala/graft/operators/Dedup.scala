@@ -114,8 +114,12 @@ object Dedup {
     * tiny by construction).
     */
   def cappedBuckets(bandRows: DataFrame): DataFrame = {
+    // countDistinct, not count: bucket size means #docs, and the live
+    // pipeline's store compaction may transiently duplicate rows
+    // (crash between rewrite and delete) — duplicates must not push a
+    // bucket over the cap
     val hot = bandRows.groupBy("band_id", "bh")
-      .agg(count(lit(1)).as("bsz"))
+      .agg(countDistinct(col("doc_id")).as("bsz"))
       .filter(col("bsz") > MaxBucketDocs)
       .select("band_id", "bh")
     bandRows.join(broadcast(hot), Seq("band_id", "bh"), "left_anti")

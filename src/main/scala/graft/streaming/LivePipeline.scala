@@ -63,10 +63,13 @@ object LivePipeline {
 
   /** `gateNearDups=false` keeps the d13 verdict as an `is_novel`
     * annotation without filtering on it (the x11-parity configuration:
-    * batch x11 drops exact dups only).
+    * batch x11 drops exact dups only). `minQuality` is the admission
+    * bar — x11's corpus-calibrated default; lower it for corpora whose
+    * documents are structurally short (e.g. the archive memo bridge).
     */
   final case class Config(root: String, blockSize: Int = 512, shards: Int = 8,
-      gateNearDups: Boolean = true)
+      gateNearDups: Boolean = true,
+      minQuality: Double = TextAnalysis.QualityThreshold)
 
   private val ExactSchema = StructType(Seq(StructField("text_md5", StringType)))
   private val BandSchema = StructType(Seq(StructField("doc_id", LongType),
@@ -86,6 +89,47 @@ object LivePipeline {
       .start()
   }
 
+  /** The reference's own archive as the intake source: memo texts from
+    * the DSv2 archive stream (`ArchiveStreamProvider`, the S1/S2
+    * surface) become documents and flow through the same curate→dedup→
+    * pack step — the collector and the training-data engine joined end
+    * to end. Per micro-batch, the gzip'd checkpoint blobs decode
+    * executor-side (the ArchiveStreamRunner discipline); `doc_id =
+    * (ledger_seq << 12) | tx_index` is monotone with arrival, so the
+    * ordered-intake packing contract holds across batches. Memos are
+    * 28-byte-class texts, far under x11's corpus-calibrated bar — set
+    * `Config.minQuality` accordingly.
+    */
+  def fromArchive(spark: SparkSession, archiveRoot: String, passphrase: String,
+      cfg: Config, firstSeq: Long = 0x3fL,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()): StreamingQuery = {
+    val raw = spark.readStream
+      .format("graft.sources.ArchiveStreamProvider")
+      .option("root", archiveRoot)
+      .option("firstSeq", firstSeq.toString)
+      .load()
+    val fn: (DataFrame, Long) => Unit = { (batch, id) =>
+      import spark.implicits._
+      val docs = batch.select("seq", "transactions").as[(Long, Array[Byte])]
+        .flatMap { case (_, gz) =>
+          graft.xdr.Stellar
+            .decodeTxEntries(graft.sources.Archive.gunzip(gz), passphrase)
+            .flatMap(e => e.txSet.txs.zipWithIndex.collect {
+              case (tx, i) if tx.tx.memoText.exists(_.nonEmpty) =>
+                ((e.ledgerSeq << 12) | i.toLong, "memo", tx.tx.memoText.get)
+            })
+        }
+        .toDF("doc_id", "lang", "text")
+      step(docs, id, cfg)
+    }
+    raw.writeStream
+      .option("checkpointLocation", s"${cfg.root}/_checkpoint")
+      .trigger(trigger)
+      .foreachBatch(fn)
+      .start()
+  }
+
   /** Seed the stores from an EXISTING corpus (the d13 "existing" side)
     * by running the same step as pseudo-batch −1 — one code path for
     * seed and stream, so the existing corpus is curated, deduped, and
@@ -100,33 +144,84 @@ object LivePipeline {
   def step(batch: DataFrame, batchId: Long, cfg: Config): Unit = {
     val s = batch.sparkSession
     if (committed(s, cfg.root, batchId)) return // crash-replay of a done batch
+    // a maintenance compaction that crashed between staging and rename
+    // must be completed before the stores are read, or the dedup state
+    // would silently miss the partitions it had already dropped
+    Seq("exact", "bands").foreach(k => recoverCompaction(s, cfg.root, k))
     val exact = readStore(s, cfg.root, "exact", batchId, ExactSchema)
     val bands = readStore(s, cfg.root, "bands", batchId, BandSchema)
     val cursors = latestCursors(s, cfg, batchId)
+    val r = curatePack(batch, exact, bands, cursors, cfg)
 
+    // Commit: appends first, cursor snapshot LAST (the marker).
+    r.packed.write.mode("overwrite").parquet(part(cfg.root, "packed", batchId))
+    r.audit.write.mode("overwrite").parquet(part(cfg.root, "audit", batchId))
+    Dedup.bandKeys(r.admitted.select("doc_id", "text"))
+      .write.mode("overwrite").parquet(part(cfg.root, "bands", batchId))
+    r.newText.select("text_md5")
+      .write.mode("overwrite").parquet(part(cfg.root, "exact", batchId))
+    r.advanced.write.mode("overwrite").parquet(part(cfg.root, "cursors", batchId))
+  }
+
+  /** The step's output frames: the packed rows, the advanced cursor
+    * snapshot, the newly-seen content hashes, the admitted docs, and
+    * the per-doc audit `(doc_id, fate, quality_score)` — fate is the
+    * FIRST gate that claimed the doc (`dup_in_batch`, `dup_of_corpus`,
+    * `low_quality`, `near_dup`, `admitted`), the "why was my document
+    * dropped" record a production intake owes its users. With
+    * `gateNearDups=false`, `near_dup` docs are still admitted — the
+    * fate keeps naming the verdict.
+    */
+  final case class StepResult(packed: DataFrame, advanced: DataFrame,
+      newText: DataFrame, admitted: DataFrame, audit: DataFrame)
+
+  /** The step's pure transformation — batch + state frames in,
+    * `(packed, advancedCursors, newText, admitted)` out — separated
+    * from the store I/O so its physical plan can be audited directly
+    * (ScaleSpec pins the per-batch plan: keyed anti-joins, never a
+    * product).
+    */
+  private[graft] def curatePack(batch: DataFrame, exact: DataFrame,
+      bands: DataFrame, cursors: DataFrame, cfg: Config): StepResult = {
     // 1. Exact dedup — x11's canonical stage on the batch (min doc_id
-    //    per content hash), then the cross-batch gate: one hash
-    //    anti-join against every hash committed so far.
+    //    per content hash), then the cross-batch gate against every
+    //    hash committed so far. Both store-keyed probes are SEMI joins
+    //    (flag, never fan out — robust to transient duplicate store
+    //    rows from an interrupted compaction); non-dup rows carry on.
     val canonical = Window.partitionBy(col("text_md5"))
-    val firstSeen = batch
-      .withColumn("text_md5", md5(col("text")))
-      .withColumn("canonical_doc", min(col("doc_id")).over(canonical))
-      .filter(col("doc_id") === col("canonical_doc"))
-      .drop("canonical_doc")
-    val newText = firstSeen.join(exact, Seq("text_md5"), "left_anti")
+    val scored = TextAnalysis.withQualityFeatures(
+      batch.withColumn("text_md5", md5(col("text")))
+        .withColumn("canonical_doc", min(col("doc_id")).over(canonical)))
+    val corpusDup = scored.filter(col("doc_id") === col("canonical_doc"))
+      .join(exact, Seq("text_md5"), "left_semi")
+      .select("doc_id").withColumn("in_corpus", lit(true))
 
-    // 2. Quality — x11's per-row score and bar, shared spelling.
-    val survivors = TextAnalysis.withQualityFeatures(newText)
-      .filter(col("quality_score") >= TextAnalysis.QualityThreshold)
-
-    // 3. d13 novelty probe: map-side band keys for the batch, semi-join
-    //    against the capped existing buckets, doc-level verdict.
-    val probed = Dedup.bandKeys(survivors.select("doc_id", "text"))
+    // 2. d13 novelty probe: map-side band keys for the docs still in
+    //    play (new text, quality-passing), semi-join against the
+    //    capped existing buckets, doc-level verdict.
+    val inPlay = scored.join(corpusDup, Seq("doc_id"), "left")
+      .withColumn("dup_in_batch", col("doc_id") =!= col("canonical_doc"))
+      .withColumn("dup_of_corpus", coalesce(col("in_corpus"), lit(false)))
+      .drop("canonical_doc", "in_corpus")
+    val probeSet = inPlay.filter(!col("dup_in_batch") && !col("dup_of_corpus") &&
+      col("quality_score") >= cfg.minQuality)
+    val probed = Dedup.bandKeys(probeSet.select("doc_id", "text"))
       .join(Dedup.cappedBuckets(bands), Seq("band_id", "bh"), "left_semi")
       .select("doc_id").distinct().withColumn("hit", lit(true))
-    val verdict = survivors.join(probed, Seq("doc_id"), "left")
+    val verdict = inPlay.join(probed, Seq("doc_id"), "left")
       .withColumn("is_novel", col("hit").isNull).drop("hit")
-    val admitted = if (cfg.gateNearDups) verdict.filter(col("is_novel")) else verdict
+
+    // 3. Per-doc fate — first gate wins; the audit record.
+    val fated = verdict.withColumn("fate",
+      when(col("dup_in_batch"), "dup_in_batch")
+        .when(col("dup_of_corpus"), "dup_of_corpus")
+        .when(col("quality_score") < cfg.minQuality, "low_quality")
+        .when(!col("is_novel"), "near_dup")
+        .otherwise("admitted"))
+    val newText = fated.filter(col("fate") =!= "dup_in_batch" &&
+      col("fate") =!= "dup_of_corpus")
+    val admitted = fated.filter(if (cfg.gateNearDups) col("fate") === "admitted"
+      else col("fate") === "admitted" || col("fate") === "near_dup")
 
     // 4. Pack — x8's (lang, shard)-keyed prefix sum WITHIN the batch,
     //    offset by the cursor carried from the previous commit.
@@ -147,14 +242,8 @@ object LivePipeline {
         Seq("lang", "shard"), "full_outer")
       .select(col("lang"), col("shard"),
         (coalesce(col("cum"), lit(0L)) + coalesce(col("add"), lit(0L))).as("cum"))
-
-    // 5. Commit: appends first, cursor snapshot LAST (the marker).
-    packed.write.mode("overwrite").parquet(part(cfg.root, "packed", batchId))
-    Dedup.bandKeys(admitted.select("doc_id", "text"))
-      .write.mode("overwrite").parquet(part(cfg.root, "bands", batchId))
-    newText.select("text_md5")
-      .write.mode("overwrite").parquet(part(cfg.root, "exact", batchId))
-    advanced.write.mode("overwrite").parquet(part(cfg.root, "cursors", batchId))
+    StepResult(packed, advanced, newText, admitted,
+      fated.select("doc_id", "fate", "quality_score"))
   }
 
   /** All committed packed output (optionally only batches ≥ `fromBatch`
@@ -168,6 +257,85 @@ object LivePipeline {
     else
       dirs.map { case (id, p) => s.read.parquet(p).withColumn("batch", lit(id)) }
         .reduce(_.unionByName(_))
+  }
+
+  /** All committed per-doc audit records (`doc_id`, `fate`,
+    * `quality_score`, `batch`) — `groupBy("fate")` is the intake's
+    * admission dashboard; a point lookup answers "why was my document
+    * dropped".
+    */
+  def auditOutput(s: SparkSession, cfg: Config): DataFrame = {
+    val dirs = committedParts(s, s"${cfg.root}/audit")
+    if (dirs.isEmpty)
+      s.createDataFrame(s.sparkContext.emptyRDD[Row],
+        StructType(Seq(StructField("doc_id", LongType),
+          StructField("fate", StringType))))
+    else
+      dirs.map { case (id, p) => s.read.parquet(p).withColumn("batch", lit(id)) }
+        .reduce(_.unionByName(_))
+  }
+
+  /** Fold every committed partition of the ACCUMULATING stores (exact,
+    * bands) into the newest committed one and drop the rest — the
+    * small-files answer for a long-lived intake: a year of
+    * minute-batches is ~500k `batch=` partitions, whose directory
+    * listing alone would come to dominate every step's store read.
+    * Run it from the maintenance owner between batches (same
+    * single-writer discipline as the stream itself).
+    *
+    * Crash-safe by roll-forward, not locks: the union is first written
+    * to a `.compact-<m>` staging dir (invisible to readers — partition
+    * listing only admits `batch=` names) with its own `_SUCCESS`; only
+    * then are the source partitions dropped and the staging dir renamed
+    * to `batch=<m>`. A crash anywhere leaves either the staging dir
+    * incomplete (discarded on the next [[recoverCompaction]]) or
+    * complete (rolled forward — safe at ANY later time because the
+    * union is a superset of exactly the partitions ≤ m it replaces,
+    * and later batch ids are untouched). [[step]] recovers interrupted
+    * compactions before reading, so a crashed maintenance run cannot
+    * leave the dedup state silently missing rows. Worst-case transient
+    * state is duplicate store rows, which the read paths tolerate
+    * (hash gates are semi/anti joins; bucket sizes count distinct
+    * docs); compaction itself writes `distinct()`, so duplicates do
+    * not survive the next fold. Old cursor snapshots (all but the
+    * latest, whose id also marks the last committed batch) and audit
+    * partitions are left alone — cursors are latest-only reads and
+    * audit/packed are outputs, not per-step join inputs.
+    */
+  def compact(s: SparkSession, cfg: Config): Unit =
+    for (kind <- Seq("exact", "bands")) {
+      recoverCompaction(s, cfg.root, kind)
+      val parts = committedParts(s, s"${cfg.root}/$kind")
+      if (parts.length > 1) {
+        val m = parts.last._1
+        val schema = if (kind == "exact") ExactSchema else BandSchema
+        s.read.schema(schema).parquet(parts.map(_._2): _*)
+          .distinct()
+          .write.mode("overwrite").parquet(s"${cfg.root}/$kind/.compact-$m")
+        rollForward(s, cfg.root, kind, m)
+      }
+    }
+
+  /** Complete or discard an interrupted [[compact]] of one store. */
+  private def recoverCompaction(s: SparkSession, root: String, kind: String): Unit = {
+    val dir = new Path(s"$root/$kind")
+    val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(dir)) fs.listStatus(dir).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(".compact-"))
+      .foreach { st =>
+        val m = st.getPath.getName.stripPrefix(".compact-").toLong
+        if (fs.exists(new Path(st.getPath, "_SUCCESS"))) rollForward(s, root, kind, m)
+        else { fs.delete(st.getPath, true); () }
+      }
+  }
+
+  /** Replace partitions ≤ `m` with the committed staging dir. */
+  private def rollForward(s: SparkSession, root: String, kind: String, m: Long): Unit = {
+    val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
+    committedParts(s, s"$root/$kind").filter(_._1 <= m)
+      .foreach { case (_, p) => fs.delete(new Path(p), true); () }
+    fs.rename(new Path(s"$root/$kind/.compact-$m"), new Path(part(root, kind, m)))
+    ()
   }
 
   private def part(root: String, kind: String, id: Long) = s"$root/$kind/batch=$id"

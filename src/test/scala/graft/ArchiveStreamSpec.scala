@@ -19,10 +19,10 @@ class ArchiveStreamSpec extends AnyFunSuite {
   private val issuer = addr(1)
   private val cfg = ExtractConfig(assetIssuer = issuer)
 
-  private def writeCheckpoint(root: String, seq: Long): Unit = {
+  private def writeCheckpoint(root: String, seq: Long, memo: Option[String] = None): Unit = {
     val op = Operation(Nil, OpBody(1, Some(PaymentOp(
       Asset(Some(AssetAlphaNum4("KIN", Ed25519(issuer)))), Ed25519(addr(3)), 1000000.0 + seq)), None))
-    val txe = TxHistoryEntry(seq, TxSet(Seq(TxWithHash("", TxCore(None, 100, Ed25519(addr(2)), Seq(op))))))
+    val txe = TxHistoryEntry(seq, TxSet(Seq(TxWithHash("", TxCore(memo, 100, Ed25519(addr(2)), Seq(op))))))
     val txGz = Archive.gzip(StellarWriter.encodeTxEntry(txe))
     val hash = Stellar.decodeTxEntries(Archive.gunzip(txGz), Passphrase).head.txSet.txs.head.hash
     val res = TxResultEntry(TxResultSet(Seq(TxResultPair(hash, TxResultOuter(100,
@@ -162,5 +162,30 @@ class ArchiveStreamSpec extends AnyFunSuite {
     assert(sink.lastSequence === Some(0xbfL))
     assert(sink.completed === Seq("0000003f", "0000007f", "000000bf"))
     assert(spark.read.option("header", "false").csv(s"$out/ledgers").count() === 3)
+  }
+
+  test("archive memos flow through the live curate-dedup-pack intake end to end") {
+    val archive = Files.createTempDirectory("graft-stream-live").toString
+    val root = Files.createTempDirectory("graft-stream-live-store").toString
+    // memos are 28-byte-class texts — the corpus-calibrated x11 bar
+    // would reject them all, so the bridge drops the bar (dedup and
+    // packing are the contract under test)
+    val cfg = graft.streaming.LivePipeline.Config(root, minQuality = 0.0)
+    writeCheckpoint(archive, 0x3fL, memo = Some("1-app1-hello world payment"))
+    writeCheckpoint(archive, 0x7fL, memo = Some("1-app1-hello world payment")) // exact dup
+    writeCheckpoint(archive, 0xbfL, memo = Some("1-app2-rent for march"))
+    val q = graft.streaming.LivePipeline.fromArchive(spark, archive, Passphrase, cfg)
+    q.awaitTermination()
+    val packed = graft.streaming.LivePipeline.packedOutput(spark, cfg).collect()
+    // duplicate memo at 0x7f dropped; doc_id = (ledger_seq << 12) | tx idx
+    assert(packed.map(_.getAs[Long]("doc_id")).toSet === Set(0x3fL << 12, 0xbfL << 12))
+    assert(packed.forall(_.getAs[String]("lang") == "memo"))
+    // the pack cursor carried across batches within each (lang, shard)
+    for (r <- packed) {
+      val before = packed.filter(o => o.getAs[Long]("shard") == r.getAs[Long]("shard") &&
+        o.getAs[Long]("doc_id") < r.getAs[Long]("doc_id"))
+        .map(_.getAs[Long]("n_tokens")).sum
+      assert(r.getAs[Long]("cum_before") === before)
+    }
   }
 }

@@ -621,4 +621,30 @@ class ScaleSpec extends AnyFunSuite {
       assert(SparkEntry.queries("d2_minhash_lsh")(spark, d).count() > 0)
     } finally spark.conf.unset("spark.graft.storeRoot")
   }
+
+  test("live pipeline step: keyed anti-join gates, sharded pack window, no products") {
+    val d = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, d).select("doc_id", "lang", "text")
+    val arriving = docs.filter(col("doc_id") % 10 === 7)
+    val existing = docs.filter(col("doc_id") % 10 =!= 7)
+    val exact = existing.select(md5(col("text")).as("text_md5"))
+    val bands = graft.operators.Dedup.bandKeys(existing)
+    val cursors = existing.limit(0)
+      .select(col("lang"), col("doc_id").as("shard"), col("doc_id").as("cum"))
+    val packed = graft.streaming.LivePipeline.curatePack(
+      arriving, exact, bands, cursors, graft.streaming.LivePipeline.Config("unused")).packed
+    val plan = executedPlan(packed)
+    // per-batch cost must scale with the batch: the exact gate and the
+    // store probe are KEYED joins (hash anti/semi on text_md5 /
+    // (band_id, bh)) and the bucket cap is an anti-join — never an
+    // all-pairs product of batch × corpus
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"live step must stay keyed:\n$plan")
+    assert(plan.contains("LeftAnti"), s"exact gate / bucket cap must be anti-joins:\n$plan")
+    assert(plan.contains("LeftSemi"), s"novelty probe must be a semi-join:\n$plan")
+    // the pack prefix sum is the x8 sharded window — keyed by
+    // (lang, shard), never a single global window
+    assert(plan.contains("windowspecdefinition(lang") && plan.contains("shard"),
+      s"pack window must be (lang, shard)-keyed:\n$plan")
+  }
 }

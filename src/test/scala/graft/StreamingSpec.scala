@@ -459,6 +459,71 @@ class StreamingSpec extends AnyFunSuite {
     assert(replayed.map(packKey).toSet === packed.map(packKey).toSet, "crash replay idempotence")
   }
 
+  test("live pipeline: compaction folds store partitions; audit names each doc's fate") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-live-compact").toString
+    val cfg = graft.streaming.LivePipeline.Config(root)
+    def mkText(tag: String, last: String): String =
+      (1 to 36).map(j => s"${tag}word$j").mkString(" ") + s" the $tag of this is $last"
+    val e1 = LDoc(1, "en", mkText("epsilon", "high"))
+    val e2 = LDoc(2, "en", mkText("zeta", "high"))
+    graft.streaming.LivePipeline.seed(Seq(e1, e2).toDF(), cfg)
+    // batch 0: a novel doc, a corpus dup, a low-quality doc, an
+    // in-batch dup pair (canonical admitted, copy dropped)
+    val d100 = LDoc(100, "en", mkText("eta", "high"))
+    val d103 = LDoc(103, "en", mkText("theta", "high"))
+    graft.streaming.LivePipeline.step(Seq(
+      d100, LDoc(101, "en", e1.text), LDoc(102, "en", "tiny text"),
+      d103, LDoc(104, "en", d103.text)).toDF(), 0L, cfg)
+    val fates = graft.streaming.LivePipeline.auditOutput(spark, cfg)
+      .filter(col("batch") === 0).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("fate")).toMap
+    assert(fates === Map(100L -> "admitted", 101L -> "dup_of_corpus",
+      102L -> "low_quality", 103L -> "admitted", 104L -> "dup_in_batch"))
+
+    def partIds(kind: String): Set[String] =
+      new java.io.File(s"$root/$kind").listFiles().map(_.getName)
+        .filter(_.startsWith("batch=")).toSet
+    assert(partIds("exact") === Set("batch=-1", "batch=0"))
+    graft.streaming.LivePipeline.compact(spark, cfg)
+    assert(partIds("exact") === Set("batch=0") && partIds("bands") === Set("batch=0"),
+      "compaction folds everything into the newest committed partition")
+
+    // gating still holds against the FOLDED store
+    graft.streaming.LivePipeline.step(Seq(
+      LDoc(200, "en", mkText("zeta", "low")),  // near-dup of seed e2
+      LDoc(201, "en", d103.text),              // exact dup of folded batch-0 doc
+      LDoc(202, "en", mkText("iota", "high"))).toDF(), 1L, cfg)
+    val fates1 = graft.streaming.LivePipeline.auditOutput(spark, cfg)
+      .filter(col("batch") === 1).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("fate")).toMap
+    assert(fates1 === Map(200L -> "near_dup", 201L -> "dup_of_corpus",
+      202L -> "admitted"))
+
+    // crash-sim: a compaction that died between staging and rename —
+    // staging committed, source partitions already dropped. The next
+    // step must roll it forward before reading, or doc 202's hash
+    // would be lost and its replay re-admitted.
+    for (kind <- Seq("exact", "bands")) {
+      val dirs = Seq(s"$root/$kind/batch=0", s"$root/$kind/batch=1")
+      val schema = spark.read.parquet(dirs.head).schema
+      spark.read.schema(schema).parquet(dirs: _*)
+        .write.mode("overwrite").parquet(s"$root/$kind/.compact-1")
+      dirs.foreach(d => assert(new org.apache.hadoop.fs.Path(d)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(d), true)))
+    }
+    graft.streaming.LivePipeline.step(Seq(
+      LDoc(300, "en", mkText("iota", "high")), // exact dup of doc 202
+      LDoc(301, "en", mkText("kappa", "high"))).toDF(), 2L, cfg)
+    val fates2 = graft.streaming.LivePipeline.auditOutput(spark, cfg)
+      .filter(col("batch") === 2).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("fate")).toMap
+    assert(fates2 === Map(300L -> "dup_of_corpus", 301L -> "admitted"),
+      "interrupted compaction must be rolled forward, not dropped")
+    assert(partIds("exact") === Set("batch=1", "batch=2"))
+  }
+
   test("live pipeline: a restarted query resumes from its checkpoint without re-packing") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-live-restart").toString
