@@ -208,8 +208,12 @@ object Bench {
       "f1_explode_tokens" -> 0.599, "w4_sessionize" -> 1.243,
       "w5_tumbling_window" -> 0.960
     ).view.mapValues((_, 0.080)).toMap
+    // round-12 addition: the live intake's per-doc fate as a batch
+    // query (curatePack in the d13 arriving/existing frame) — recorded
+    // at a 0.076 s-floor isolated session
+    val add12 = Map("x30_intake_audit" -> ((0.564, 0.076)))
     main ++ add8 ++ add9 ++ add10 ++ add10b ++ add10c ++ add10d ++ add10e ++
-      add10f ++ add10g ++ add11 ++ rerec12
+      add10f ++ add10g ++ add11 ++ rerec12 ++ add12
   }
 
   def main(args: Array[String]): Unit = {

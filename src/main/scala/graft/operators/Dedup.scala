@@ -780,6 +780,27 @@ object Dedup {
     "d15_containment" -> { (s, d) =>
       containmentPairs(Tables.documents(s, d)).orderBy("doc_a", "doc_b")
     },
+    // The live intake's per-doc fate, as a batch query under the oracle
+    // gate: the same curatePack the streaming pipeline runs per
+    // micro-batch (graft.streaming.LivePipeline), driven with the d13
+    // arriving/existing split — so the round's streaming centerpiece is
+    // hash-verified against DuckDB, not only ScalaTest-verified. Fate =
+    // first gate that claims the doc: within-batch canonical (min
+    // doc_id per content hash), corpus hash membership, the x11
+    // quality bar, the capped band-bucket novelty probe.
+    "x30_intake_audit" -> { (s, d) =>
+      val docs = Tables.documents(s, d).select("doc_id", "lang", "text")
+      val arriving = docs.filter(col("doc_id") % 10 === 7)
+      val existing = docs.filter(col("doc_id") % 10 =!= 7)
+      graft.streaming.LivePipeline.curatePack(
+        arriving,
+        existing.select(md5(col("text")).as("text_md5")),
+        bandKeys(existing),
+        existing.limit(0).select(col("lang"), col("doc_id").as("shard"),
+          col("doc_id").as("cum")),
+        graft.streaming.LivePipeline.Config("unused-root"))
+        .audit.orderBy("doc_id")
+    },
     // LSH quality evaluation — n13's recall-eval discipline applied to
     // the dedup family: how much of the REACHABLE truth (pairs sharing
     // ≥1 non-boilerplate shingle with exact Jaccard ≥ 0.3 — the same
@@ -916,6 +937,38 @@ object Dedup {
   }
 
   def oracles3: Map[String, String] = Map(
+    // The live intake's fate CASE, in d13's arriving/existing frame:
+    // within-batch canonical → corpus hash membership → x11 quality bar
+    // (same spelling as the x2 oracle) → capped-bucket band hit. The
+    // CASE ordering makes the probe's "only gated docs" restriction
+    // immaterial, exactly as in the Spark plan.
+    "x30_intake_audit" -> {
+      val q = TextAnalysis.qualityScoreSql("c.n_tokens", "c.n_alpha", "c.stop_hits")
+      s"""WITH $shinglesCte, $mhCte, $bandsCte,
+         |arr AS (SELECT doc_id, md5(text) AS h,
+         |    CAST(length(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+         |    CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT) AS n_alpha,
+         |    CAST(length(regexp_extract_all(text, '${TextAnalysis.StopRe}')) AS BIGINT) AS stop_hits
+         |  FROM documents WHERE doc_id % 10 = 7),
+         |canon AS (SELECT *, min(doc_id) OVER (PARTITION BY h) AS canonical_doc FROM arr),
+         |exh AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 10 <> 7),
+         |ex AS (SELECT * FROM bands WHERE doc_id % 10 <> 7),
+         |ehot AS (SELECT band_id, bh FROM ex GROUP BY band_id, bh
+         |  HAVING count(DISTINCT doc_id) > $MaxBucketDocs),
+         |ecap AS (SELECT DISTINCT e.band_id, e.bh FROM ex e ANTI JOIN ehot h
+         |  ON e.band_id = h.band_id AND e.bh = h.bh),
+         |nw AS (SELECT * FROM bands WHERE doc_id % 10 = 7),
+         |hit AS (SELECT DISTINCT n.doc_id FROM nw n JOIN ecap e
+         |  ON n.band_id = e.band_id AND n.bh = e.bh)
+         |SELECT c.doc_id,
+         |  CASE WHEN c.doc_id <> c.canonical_doc THEN 'dup_in_batch'
+         |       WHEN c.h IN (SELECT h FROM exh) THEN 'dup_of_corpus'
+         |       WHEN ($q) < ${TextAnalysis.QualityThreshold} THEN 'low_quality'
+         |       WHEN c.doc_id IN (SELECT doc_id FROM hit) THEN 'near_dup'
+         |       ELSE 'admitted' END AS fate,
+         |  $q AS quality_score
+         |FROM canon c ORDER BY c.doc_id""".stripMargin
+    },
     // Same algebra: df-capped posting-list truth at Jaccard ≥ 0.3, the
     // d2 band candidates, semi-join hits, one summary row — all over
     // the same deterministic md5 half-sample of documents.

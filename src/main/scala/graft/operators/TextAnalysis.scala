@@ -30,7 +30,7 @@ object TextAnalysis {
     "fr" -> "join", "fr" -> "filter", "fr" -> "stream",
     "zh" -> "hash", "zh" -> "batch", "zh" -> "scan")
 
-  private val StopRe = "\\b(the|a|of|is|in)\\b"
+  private[operators] val StopRe = "\\b(the|a|of|is|in)\\b"
 
   /** Sub-shards per language for x8 sequence packing: the prefix-sum
     * window is keyed (lang, shard) so parallelism is #langs × this, not
@@ -74,7 +74,7 @@ object TextAnalysis {
       .withColumn("quality_score",
         qualityScore(col("n_tokens"), col("n_alpha"), col("stop_hits")))
 
-  private def qualityScoreSql(nTokens: String, nAlpha: String, stopHits: String): String =
+  private[operators] def qualityScoreSql(nTokens: String, nAlpha: String, stopHits: String): String =
     s"""least(CAST($nTokens AS DOUBLE) / 300.0, 1.0) * 0.5 +
        |      least(CAST($nAlpha AS DOUBLE) / CAST($nTokens AS DOUBLE) / 5.0, 1.0) * 0.2 +
        |      least(CAST($stopHits AS DOUBLE) / CAST($nTokens AS DOUBLE) * 5.0, 1.0) * 0.3""".stripMargin
