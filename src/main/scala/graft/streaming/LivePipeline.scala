@@ -148,6 +148,10 @@ object LivePipeline {
     // must be completed before the stores are read, or the dedup state
     // would silently miss the partitions it had already dropped
     Seq("exact", "bands").foreach(k => recoverCompaction(s, cfg.root, k))
+    // idle-period batches write nothing (P4's empty-batch skip): no
+    // commit marker either, so a replay of the same empty batch is a
+    // second no-op and partitions don't proliferate at idle cadence
+    if (batch.isEmpty) return
     val exact = readStore(s, cfg.root, "exact", batchId, ExactSchema)
     val bands = readStore(s, cfg.root, "bands", batchId, BandSchema)
     val cursors = latestCursors(s, cfg, batchId)
@@ -249,14 +253,36 @@ object LivePipeline {
   /** All committed packed output (optionally only batches ≥ `fromBatch`
     * — e.g. 0 to exclude the seed), with the source batch id attached.
     */
-  def packedOutput(s: SparkSession, cfg: Config, fromBatch: Long = Long.MinValue): DataFrame = {
-    val dirs = committedParts(s, s"${cfg.root}/packed").filter(_._1 >= fromBatch)
+  private val PackedSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("lang", StringType),
+    StructField("n_tokens", LongType), StructField("quality_score", DoubleType),
+    StructField("shard", LongType), StructField("cum_before", LongType),
+    StructField("chunk_id", LongType), StructField("offset_in_chunk", LongType),
+    StructField("is_novel", BooleanType)))
+  private val AuditSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("fate", StringType),
+    StructField("quality_score", DoubleType)))
+
+  def packedOutput(s: SparkSession, cfg: Config, fromBatch: Long = Long.MinValue): DataFrame =
+    readOutput(s, s"${cfg.root}/packed", PackedSchema, fromBatch)
+
+  /** One parquet relation over the committed `batch=` dirs (explicit
+    * paths + basePath, so `batch` comes back as a partition column and
+    * uncommitted partitions are excluded by the listing) — NOT an
+    * N-ary union, which would put the partition count into the plan
+    * size after years of micro-batches. The schema is supplied, not
+    * inferred: an all-rejected batch writes a partition with no data
+    * files, which inference cannot see past.
+    */
+  private def readOutput(s: SparkSession, dir: String, schema: StructType,
+      fromBatch: Long): DataFrame = {
+    val dirs = committedParts(s, dir).filter(_._1 >= fromBatch)
     if (dirs.isEmpty)
       s.createDataFrame(s.sparkContext.emptyRDD[Row],
-        StructType(Seq(StructField("doc_id", LongType))))
+        schema.add(StructField("batch", LongType)))
     else
-      dirs.map { case (id, p) => s.read.parquet(p).withColumn("batch", lit(id)) }
-        .reduce(_.unionByName(_))
+      s.read.option("basePath", dir).schema(schema).parquet(dirs.map(_._2): _*)
+        .withColumn("batch", col("batch").cast("long"))
   }
 
   /** All committed per-doc audit records (`doc_id`, `fate`,
@@ -264,16 +290,8 @@ object LivePipeline {
     * admission dashboard; a point lookup answers "why was my document
     * dropped".
     */
-  def auditOutput(s: SparkSession, cfg: Config): DataFrame = {
-    val dirs = committedParts(s, s"${cfg.root}/audit")
-    if (dirs.isEmpty)
-      s.createDataFrame(s.sparkContext.emptyRDD[Row],
-        StructType(Seq(StructField("doc_id", LongType),
-          StructField("fate", StringType))))
-    else
-      dirs.map { case (id, p) => s.read.parquet(p).withColumn("batch", lit(id)) }
-        .reduce(_.unionByName(_))
-  }
+  def auditOutput(s: SparkSession, cfg: Config): DataFrame =
+    readOutput(s, s"${cfg.root}/audit", AuditSchema, Long.MinValue)
 
   /** Fold every committed partition of the ACCUMULATING stores (exact,
     * bands) into the newest committed one and drop the rest — the
@@ -302,7 +320,7 @@ object LivePipeline {
     * partitions are left alone — cursors are latest-only reads and
     * audit/packed are outputs, not per-step join inputs.
     */
-  def compact(s: SparkSession, cfg: Config): Unit =
+  def compact(s: SparkSession, cfg: Config): Unit = {
     for (kind <- Seq("exact", "bands")) {
       recoverCompaction(s, cfg.root, kind)
       val parts = committedParts(s, s"${cfg.root}/$kind")
@@ -315,6 +333,16 @@ object LivePipeline {
         rollForward(s, cfg.root, kind, m)
       }
     }
+    // cursor snapshots are full states, so only the LATEST is ever
+    // read (and its id marks the last committed batch, which is all
+    // the replay check needs — Spark replays at most the last batch);
+    // drop the rest so snapshots don't accumulate one dir per batch
+    val cur = committedParts(s, s"${cfg.root}/cursors")
+    if (cur.length > 1) {
+      val fs = new Path(cfg.root).getFileSystem(s.sparkContext.hadoopConfiguration)
+      cur.init.foreach { case (_, p) => fs.delete(new Path(p), true); () }
+    }
+  }
 
   /** Complete or discard an interrupted [[compact]] of one store. */
   private def recoverCompaction(s: SparkSession, root: String, kind: String): Unit = {

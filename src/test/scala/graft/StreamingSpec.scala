@@ -522,6 +522,14 @@ class StreamingSpec extends AnyFunSuite {
     assert(fates2 === Map(300L -> "dup_of_corpus", 301L -> "admitted"),
       "interrupted compaction must be rolled forward, not dropped")
     assert(partIds("exact") === Set("batch=1", "batch=2"))
+    // cursor-snapshot pruning: compaction keeps only the latest
+    graft.streaming.LivePipeline.compact(spark, cfg)
+    assert(partIds("cursors") === Set("batch=2"))
+    // idle-period batches write nothing at all (empty-batch skip)
+    graft.streaming.LivePipeline.step(
+      Seq.empty[LDoc].toDF("doc_id", "lang", "text"), 3L, cfg)
+    assert(partIds("packed") === Set("batch=-1", "batch=0", "batch=1", "batch=2"))
+    assert(partIds("cursors") === Set("batch=2"))
   }
 
   test("live pipeline: a restarted query resumes from its checkpoint without re-packing") {
