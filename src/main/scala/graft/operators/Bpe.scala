@@ -178,24 +178,37 @@ object Bpe {
     * made interleaved runs re-pay the corpus scan every time (round-10
     * verdict: x21 6.18 s vs 0.606 recorded).
     */
-  /** Per-dataset training memo: the map holds lazy HOLDERS, so the
-    * expensive body runs at most once per dataset (lazy val initializes
-    * under the holder's own monitor) while concurrent callers for
-    * DIFFERENT datasets train in parallel — an object-wide lock here
-    * would serialize them behind one long Spark job (r11 ADVICE). A
-    * TrieMap race can construct two holders, but only the stored winner
-    * is ever evaluated; the loser is discarded unrun.
+  /** Per-dataset training memo: the map holds HOLDERS that synchronize
+    * per DATASET, so the expensive body runs at most once per dataset
+    * while concurrent callers for DIFFERENT datasets train in parallel
+    * — an object-wide lock here would serialize them behind one long
+    * Spark job (r11 ADVICE). The holder stores only the computed
+    * RESULT: the training session is passed per call and never
+    * retained, so a failed first attempt retries under the next
+    * caller's (live) session instead of pinning the dataset to a
+    * possibly-stopped context forever, and no SparkSession outlives
+    * its training run in the cache (r12 review). A TrieMap race can
+    * construct two holders, but only the stored winner is ever
+    * evaluated; the loser is discarded unrun.
     */
-  private final class TrainedHolder(s: SparkSession, d: String) {
-    lazy val value: (Seq[(Int, String, String, String, Long)], String) = {
-      val (vocab, learned, seed) = train(Tables.documents(s, d), Rounds)
-      // store placement (incl. temp-dir JVM-exit cleanup) is Stores'
-      // concern — see its scaladoc for the cluster-reachability policy
-      val out = Stores.dir(s, d, "bpe-store")
-      vocab.select(col("word"), size(split(col("seq"), " ")).cast("long").as("n_sym"))
-        .write.mode("overwrite").parquet(out)
-      seed.unpersist(false) // the store is materialized; nothing lazy remains
-      (learned, out)
+  private final class TrainedHolder {
+    @volatile private var result: (Seq[(Int, String, String, String, Long)], String) = _
+    def value(s: SparkSession, d: String): (Seq[(Int, String, String, String, Long)], String) = {
+      val r0 = result
+      if (r0 != null) r0
+      else synchronized {
+        if (result == null) {
+          val (vocab, learned, seed) = train(Tables.documents(s, d), Rounds)
+          // store placement (incl. temp-dir JVM-exit cleanup) is Stores'
+          // concern — see its scaladoc for the cluster-reachability policy
+          val out = Stores.dir(s, d, "bpe-store")
+          vocab.select(col("word"), size(split(col("seq"), " ")).cast("long").as("n_sym"))
+            .write.mode("overwrite").parquet(out)
+          seed.unpersist(false) // the store is materialized; nothing lazy remains
+          result = (learned, out)
+        }
+        result
+      }
     }
   }
 
@@ -208,7 +221,7 @@ object Bpe {
     // to the session that built it, and a second session in the same JVM
     // (notebook restart, sequential mains) must not inherit a handle to
     // a possibly-stopped context.
-    val (learned, out) = trainedCache.getOrElseUpdate(d, new TrainedHolder(s, d)).value
+    val (learned, out) = trainedCache.getOrElseUpdate(d, new TrainedHolder).value(s, d)
     (learned, s.read.parquet(out))
   }
 

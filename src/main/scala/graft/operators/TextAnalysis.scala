@@ -97,12 +97,33 @@ object TextAnalysis {
     * pass through. `shards` bounds each window partition's sort — size it
     * so one shard's token stream fits a task at the target scale.
     */
-  def packTokens(rows: DataFrame, blockSize: Int, shards: Int): DataFrame = {
+  def packTokens(rows: DataFrame, blockSize: Int, shards: Int): DataFrame =
+    packTokensFrom(rows, blockSize, shards, None)
+
+  /** [[packTokens]] with the per-(lang, shard) prefix sum offset by a
+    * cursor relation `(lang, shard, cum)` — tokens already packed
+    * before these rows arrived. This is the live pipeline's incremental
+    * packing (graft.streaming.LivePipeline), kept HERE as the single
+    * spelling of the window and chunk math so the streaming path
+    * cannot silently diverge from the batch operator (their parity is
+    * pinned in StreamingSpec). `None` keeps the self-contained batch
+    * plan: no join at all.
+    */
+  def packTokensFrom(rows: DataFrame, blockSize: Int, shards: Int,
+      cursors: Option[DataFrame]): DataFrame = {
     val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
-    rows
-      .withColumn("shard", packShard(col("doc_id"), shards))
-      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+    val base = rows.withColumn("shard", packShard(col("doc_id"), shards))
+    val withCum = cursors match {
+      case None =>
+        base.withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      case Some(c) =>
+        base.withColumn("batch_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+          .join(c, Seq("lang", "shard"), "left")
+          .withColumn("cum_before", coalesce(col("cum"), lit(0L)) + col("batch_before"))
+          .drop("cum", "batch_before")
+    }
+    withCum
       .withColumn("chunk_id", expr(s"cum_before div $blockSize"))
       .withColumn("offset_in_chunk", col("cum_before") % blockSize)
   }

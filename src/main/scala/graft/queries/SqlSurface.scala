@@ -826,14 +826,21 @@ object SqlSurface {
     // AS VARCHAR) renders each value with json()'s compact spacing;
     // keys are assumed JSON-safe identifiers (the events schema), and
     // nested objects — none in events — would need the sort applied
-    // recursively. A missing path yields NULL in both engines.
+    // recursively. A missing path yields NULL in both engines. The
+    // object-rebuild applies ONLY to objects: NULL props pass through
+    // as NULL and a non-object payload (array/scalar) renders via
+    // plain json(), both matching Spark's to_json(parse_json(...)) —
+    // without the CASE, either would come out as a spurious '{}'
+    // (r12 review).
     "t21_variant_suite" ->
       """SELECT event_id,
         |  CAST(json_extract(props, '$.k') AS BIGINT) AS k,
-        |  '{' || coalesce(array_to_string(list_transform(
-        |      list_sort(json_keys(props)),
-        |      k -> '"' || k || '":' || CAST(props->k AS VARCHAR)), ','), '')
-        |    || '}' AS canon,
+        |  CASE WHEN props IS NULL THEN NULL
+        |       WHEN json_type(props) <> 'OBJECT' THEN CAST(json(props) AS VARCHAR)
+        |       ELSE '{' || coalesce(array_to_string(list_transform(
+        |           list_sort(json_keys(props)),
+        |           k -> '"' || k || '":' || CAST(props->k AS VARCHAR)), ','), '')
+        |         || '}' END AS canon,
         |  CAST(json_extract(props, '$.missing') AS BIGINT) AS absent
         |FROM events WHERE event_id % 41 = 0 ORDER BY event_id""".stripMargin,
     // the SQL-UDF bodies inlined: IEEE double division and least/greatest

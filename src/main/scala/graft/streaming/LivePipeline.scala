@@ -115,10 +115,17 @@ object LivePipeline {
         .flatMap { case (_, gz) =>
           graft.xdr.Stellar
             .decodeTxEntries(graft.sources.Archive.gunzip(gz), passphrase)
-            .flatMap(e => e.txSet.txs.zipWithIndex.collect {
-              case (tx, i) if tx.tx.memoText.exists(_.nonEmpty) =>
-                ((e.ledgerSeq << 12) | i.toLong, "memo", tx.tx.memoText.get)
-            })
+            .flatMap { e =>
+              // 12 bits of tx index: overflow would collide with the
+              // next ledger's doc_ids and break monotonicity — fail
+              // loudly, never silently shadow a document
+              require(e.txSet.txs.size <= (1 << 12),
+                s"ledger ${e.ledgerSeq}: tx-set of ${e.txSet.txs.size} exceeds the 12-bit doc_id index")
+              e.txSet.txs.zipWithIndex.collect {
+                case (tx, i) if tx.tx.memoText.exists(_.nonEmpty) =>
+                  ((e.ledgerSeq << 12) | i.toLong, "memo", tx.tx.memoText.get)
+              }
+            }
         }
         .toDF("doc_id", "lang", "text")
       step(docs, id, cfg)
@@ -134,9 +141,16 @@ object LivePipeline {
     * by running the same step as pseudo-batch −1 — one code path for
     * seed and stream, so the existing corpus is curated, deduped, and
     * packed under exactly the rules arriving batches face, and the
-    * stream continues its chunk space. Idempotent (skips if committed).
+    * stream continues its chunk space. Idempotent against ANY committed
+    * state, not just its own marker: compaction prunes old cursor
+    * snapshots (including batch −1's), and re-seeding a pipeline that
+    * has already streamed would re-pack the corpus from empty state —
+    * so a non-virgin store skips the seed outright.
     */
-  def seed(existing: DataFrame, cfg: Config): Unit = step(existing, -1L, cfg)
+  def seed(existing: DataFrame, cfg: Config): Unit = {
+    val s = existing.sparkSession
+    if (committedParts(s, s"${cfg.root}/cursors").isEmpty) step(existing, -1L, cfg)
+  }
 
   /** One incremental step: curate → dedup (exact then LSH-novelty) →
     * pack the arriving batch against state as of the previous commit.
@@ -155,16 +169,20 @@ object LivePipeline {
     val exact = readStore(s, cfg.root, "exact", batchId, ExactSchema)
     val bands = readStore(s, cfg.root, "bands", batchId, BandSchema)
     val cursors = latestCursors(s, cfg, batchId)
-    val r = curatePack(batch, exact, bands, cursors, cfg)
-
-    // Commit: appends first, cursor snapshot LAST (the marker).
-    r.packed.write.mode("overwrite").parquet(part(cfg.root, "packed", batchId))
-    r.audit.write.mode("overwrite").parquet(part(cfg.root, "audit", batchId))
-    Dedup.bandKeys(r.admitted.select("doc_id", "text"))
-      .write.mode("overwrite").parquet(part(cfg.root, "bands", batchId))
-    r.newText.select("text_md5")
-      .write.mode("overwrite").parquet(part(cfg.root, "exact", batchId))
-    r.advanced.write.mode("overwrite").parquet(part(cfg.root, "cursors", batchId))
+    // cache=true: the five commit writes below all derive from the
+    // fated frame — uncached they would each re-run the whole curate/
+    // probe plan and re-scan the stores (~5× the per-batch work)
+    val r = curatePack(batch, exact, bands, cursors, cfg, cache = true)
+    try {
+      // Commit: appends first, cursor snapshot LAST (the marker).
+      r.packed.write.mode("overwrite").parquet(part(cfg.root, "packed", batchId))
+      r.audit.write.mode("overwrite").parquet(part(cfg.root, "audit", batchId))
+      Dedup.bandKeys(r.admitted.select("doc_id", "text"))
+        .write.mode("overwrite").parquet(part(cfg.root, "bands", batchId))
+      r.newText.select("text_md5")
+        .write.mode("overwrite").parquet(part(cfg.root, "exact", batchId))
+      r.advanced.write.mode("overwrite").parquet(part(cfg.root, "cursors", batchId))
+    } finally { r.fated.unpersist(); () }
   }
 
   /** The step's output frames: the packed rows, the advanced cursor
@@ -177,7 +195,8 @@ object LivePipeline {
     * fate keeps naming the verdict.
     */
   final case class StepResult(packed: DataFrame, advanced: DataFrame,
-      newText: DataFrame, admitted: DataFrame, audit: DataFrame)
+      newText: DataFrame, admitted: DataFrame, audit: DataFrame,
+      fated: DataFrame)
 
   /** The step's pure transformation — batch + state frames in,
     * `(packed, advancedCursors, newText, admitted)` out — separated
@@ -186,7 +205,8 @@ object LivePipeline {
     * product).
     */
   private[graft] def curatePack(batch: DataFrame, exact: DataFrame,
-      bands: DataFrame, cursors: DataFrame, cfg: Config): StepResult = {
+      bands: DataFrame, cursors: DataFrame, cfg: Config,
+      cache: Boolean = false): StepResult = {
     // 1. Exact dedup — x11's canonical stage on the batch (min doc_id
     //    per content hash), then the cross-batch gate against every
     //    hash committed so far. Both store-keyed probes are SEMI joins
@@ -215,39 +235,38 @@ object LivePipeline {
     val verdict = inPlay.join(probed, Seq("doc_id"), "left")
       .withColumn("is_novel", col("hit").isNull).drop("hit")
 
-    // 3. Per-doc fate — first gate wins; the audit record.
-    val fated = verdict.withColumn("fate",
+    // 3. Per-doc fate — first gate wins; the audit record. This frame
+    //    is the common ancestor of every commit write; callers with
+    //    multiple actions cache it (`cache=true`).
+    val fated0 = verdict.withColumn("fate",
       when(col("dup_in_batch"), "dup_in_batch")
         .when(col("dup_of_corpus"), "dup_of_corpus")
         .when(col("quality_score") < cfg.minQuality, "low_quality")
         .when(!col("is_novel"), "near_dup")
         .otherwise("admitted"))
+    val fated = if (cache)
+      fated0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else fated0
     val newText = fated.filter(col("fate") =!= "dup_in_batch" &&
       col("fate") =!= "dup_of_corpus")
     val admitted = fated.filter(if (cfg.gateNearDups) col("fate") === "admitted"
       else col("fate") === "admitted" || col("fate") === "near_dup")
 
-    // 4. Pack — x8's (lang, shard)-keyed prefix sum WITHIN the batch,
-    //    offset by the cursor carried from the previous commit.
-    val sharded = admitted
-      .withColumn("shard", TextAnalysis.packShard(col("doc_id"), cfg.shards))
-    val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val packed = sharded
-      .withColumn("batch_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
-      .join(cursors, Seq("lang", "shard"), "left")
-      .withColumn("cum_before", coalesce(col("cum"), lit(0L)) + col("batch_before"))
-      .withColumn("chunk_id", expr(s"cum_before div ${cfg.blockSize}"))
-      .withColumn("offset_in_chunk", col("cum_before") % cfg.blockSize)
+    // 4. Pack — x8's packing (the shared packTokensFrom spelling, so
+    //    the live path cannot diverge from the batch operator), with
+    //    the prefix sum offset by the cursor from the previous commit.
+    val packed = TextAnalysis
+      .packTokensFrom(admitted, cfg.blockSize, cfg.shards, Some(cursors))
       .select("doc_id", "lang", "n_tokens", "quality_score", "shard",
         "cum_before", "chunk_id", "offset_in_chunk", "is_novel")
     val advanced = cursors.join(
-        sharded.groupBy("lang", "shard").agg(sum(col("n_tokens")).as("add")),
+        admitted.withColumn("shard", TextAnalysis.packShard(col("doc_id"), cfg.shards))
+          .groupBy("lang", "shard").agg(sum(col("n_tokens")).as("add")),
         Seq("lang", "shard"), "full_outer")
       .select(col("lang"), col("shard"),
         (coalesce(col("cum"), lit(0L)) + coalesce(col("add"), lit(0L))).as("cum"))
     StepResult(packed, advanced, newText, admitted,
-      fated.select("doc_id", "fate", "quality_score"))
+      fated.select("doc_id", "fate", "quality_score"), fated)
   }
 
   /** All committed packed output (optionally only batches ≥ `fromBatch`
@@ -321,9 +340,19 @@ object LivePipeline {
     * audit/packed are outputs, not per-step join inputs.
     */
   def compact(s: SparkSession, cfg: Config): Unit = {
+    // Fold ONLY store partitions of BATCH-committed ids: a store
+    // partition's own _SUCCESS says the file write finished, but the
+    // batch commit marker is the CURSOR snapshot — a step that crashed
+    // after its store appends leaves committed-looking exact/bands
+    // partitions for an uncommitted batch, and folding history into
+    // that id would collide with the replay's overwrite of the same
+    // partition, erasing every earlier batch's dedup state (r12
+    // review #1).
+    val lastCommitted = committedParts(s, s"${cfg.root}/cursors").lastOption.map(_._1)
     for (kind <- Seq("exact", "bands")) {
       recoverCompaction(s, cfg.root, kind)
       val parts = committedParts(s, s"${cfg.root}/$kind")
+        .filter(p => lastCommitted.exists(p._1 <= _))
       if (parts.length > 1) {
         val m = parts.last._1
         val schema = if (kind == "exact") ExactSchema else BandSchema

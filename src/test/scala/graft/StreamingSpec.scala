@@ -530,6 +530,15 @@ class StreamingSpec extends AnyFunSuite {
       Seq.empty[LDoc].toDF("doc_id", "lang", "text"), 3L, cfg)
     assert(partIds("packed") === Set("batch=-1", "batch=0", "batch=1", "batch=2"))
     assert(partIds("cursors") === Set("batch=2"))
+    // a store partition whose BATCH never committed (step crashed after
+    // the store appends, before the cursor marker) must not be folded:
+    // its id belongs to the replay, whose overwrite would erase the
+    // folded history
+    spark.read.parquet(s"$root/exact/batch=2")
+      .write.mode("overwrite").parquet(s"$root/exact/batch=9")
+    graft.streaming.LivePipeline.compact(spark, cfg)
+    assert(partIds("exact") === Set("batch=2", "batch=9"),
+      "compaction must fold only batch-committed partitions")
   }
 
   test("live pipeline: a restarted query resumes from its checkpoint without re-packing") {
