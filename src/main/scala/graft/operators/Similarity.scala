@@ -28,7 +28,7 @@ object Similarity {
   /** 8-bit sign-signature for each row of `rows` from the broadcast
     * hyperplane dim (rows 1..NumPlanes of the corpus).
     */
-  private def signaturesOf(rows: DataFrame, hp: DataFrame): DataFrame = {
+  private[graft] def signaturesOf(rows: DataFrame, hp: DataFrame): DataFrame = {
     val bitCols = (1 to NumPlanes).map(h => max(when(col("hid") === h, col("bit"))))
     rows.crossJoin(broadcast(hp))
       .select(col("vec_id"), col("hid"),
@@ -46,7 +46,7 @@ object Similarity {
   private def signatures(s: SparkSession, d: String): DataFrame =
     signaturesOf(Tables.embeddings(s, d), hyperplanes(s, d))
 
-  private def withNorm(e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+  private[graft] def withNorm(e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     e.withColumn("norm", sqrt(Cols.fastDot(col("embedding"), col("embedding"))))
 
   /** Materialized signature table: the corpus (embedding + norm) written

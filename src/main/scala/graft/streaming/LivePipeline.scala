@@ -397,22 +397,8 @@ object LivePipeline {
 
   private def part(root: String, kind: String, id: Long) = s"$root/$kind/batch=$id"
 
-  /** Committed `(batchId, path)` partitions of one store: `batch=<id>`
-    * dirs carrying the committer's `_SUCCESS` marker. Listing is one
-    * directory scan of partition dirs (not files) — cheap at any corpus
-    * size, and it is what makes partial writes of a crashed attempt
-    * invisible to readers.
-    */
-  private def committedParts(s: SparkSession, dir: String): Seq[(Long, String)] = {
-    val p = new Path(dir)
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) Seq.empty
-    else fs.listStatus(p).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
-      .filter(st => fs.exists(new Path(st.getPath, "_SUCCESS")))
-      .map(st => (st.getPath.getName.stripPrefix("batch=").toLong, st.getPath.toString))
-      .sortBy(_._1)
-  }
+  private def committedParts(s: SparkSession, dir: String): Seq[(Long, String)] =
+    BatchParts.committed(s, dir)
 
   private def committed(s: SparkSession, root: String, id: Long): Boolean =
     committedParts(s, s"$root/cursors").exists(_._1 == id)
@@ -435,5 +421,25 @@ object LivePipeline {
     val dirs = committedParts(s, s"${cfg.root}/cursors").filter(_._1 < ltBatch)
     if (dirs.isEmpty) s.createDataFrame(s.sparkContext.emptyRDD[Row], CursorSchema)
     else s.read.schema(CursorSchema).parquet(dirs.last._2)
+  }
+}
+
+/** Shared `batch=<id>`-partitioned store listing for the streaming
+  * intakes ([[LivePipeline]], [[LiveVectors]]): committed `(batchId,
+  * path)` pairs are the dirs carrying the committer's `_SUCCESS`
+  * marker. Listing is one directory scan of partition dirs (not files)
+  * — cheap at any corpus size, and it is what makes partial writes of
+  * a crashed attempt invisible to readers.
+  */
+private[streaming] object BatchParts {
+  def committed(s: SparkSession, dir: String): Seq[(Long, String)] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+      .filter(st => fs.exists(new Path(st.getPath, "_SUCCESS")))
+      .map(st => (st.getPath.getName.stripPrefix("batch=").toLong, st.getPath.toString))
+      .sortBy(_._1)
   }
 }

@@ -541,6 +541,62 @@ class StreamingSpec extends AnyFunSuite {
       "compaction must fold only batch-committed partitions")
   }
 
+  test("live vectors: streamed index serves the same top-k as a batch-built bucket scan") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    val root = java.nio.file.Files.createTempDirectory("graft-live-vec").toString
+    val cfg = graft.streaming.LiveVectors.Config(root)
+    val all = Tables.embeddings(spark, d).collect()
+      .map(r => VRow(r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+      .sortBy(_.vec_id)
+    val planes = Tables.embeddings(spark, d)
+      .filter(col("vec_id").between(1, 8))
+      .select(col("vec_id").as("hid"), col("embedding").as("hv"))
+    val q = all.find(_.vec_id == 0L).get.embedding
+    // corpus (minus the query row) streamed in 3 batches; batch 3
+    // replays ids from batch 1 — producer retries under a fresh batch
+    // id must be dropped by the index anti-join, not duplicated
+    val corpus = all.filter(_.vec_id != 0L)
+    val batches = corpus.grouped((corpus.length + 1) / 2).toSeq
+    val ms = MemoryStream[VRow]
+    val sq = graft.streaming.LiveVectors.start(ms.toDF(), planes, cfg)
+    try {
+      batches.foreach { b => ms.addData(b.toIndexedSeq: _*); sq.processAllAvailable() }
+      ms.addData(batches.head.take(20).toIndexedSeq: _*); sq.processAllAvailable()
+    } finally sq.stop()
+    assert(graft.streaming.LiveVectors.index(spark, cfg).count() === corpus.length.toLong)
+    val got = graft.streaming.LiveVectors.topK(spark, cfg, q, k = 10).collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        BigDecimal(r.getAs[Double]("cos")).setScale(9, BigDecimal.RoundingMode.HALF_UP)))
+    // batch spelling over the same corpus and planes: sign every vector,
+    // keep the query's bucket, exact cosine top-10
+    val sigs = graft.operators.Similarity.signaturesOf(
+      Tables.embeddings(spark, d).filter(col("vec_id") =!= 0), planes)
+    val qn = math.sqrt(q.map(x => x.toDouble * x).sum)
+    val qb = got.headOption.map(_ => // derive via stored planes like serve does
+      graft.streaming.LiveVectors.topK(spark, cfg, q, 1).collect()
+        .head.getAs[String]("bucket")).getOrElse("")
+    val expected = graft.operators.Similarity.withNorm(
+        Tables.embeddings(spark, d).filter(col("vec_id") =!= 0))
+      .join(sigs, "vec_id").filter(col("bucket") === qb)
+      .withColumn("cos", graft.Cols.fastDot(col("embedding"),
+          org.apache.spark.sql.functions.typedLit(q)) /
+        (col("norm") * org.apache.spark.sql.functions.lit(qn)))
+      .orderBy(col("cos").desc, col("vec_id")).limit(10).collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        BigDecimal(r.getAs[Double]("cos")).setScale(9, BigDecimal.RoundingMode.HALF_UP)))
+    assert(expected.nonEmpty)
+    assert(got.toSeq === expected.toSeq, "streamed-index/batch top-k parity")
+    // serving prunes at the directory level across all batch dirs
+    val pruned = graft.streaming.LiveVectors.index(spark, cfg)
+      .filter(col("bucket") === qb)
+    pruned.collect()
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+      s"bucket predicate must prune partitions:\n$plan")
+  }
+
   test("live pipeline: a restarted query resumes from its checkpoint without re-packing") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-live-restart").toString
@@ -589,3 +645,6 @@ class StreamingSpec extends AnyFunSuite {
 
 /** Top-level so Seq[LDoc].toDF() can encode without an outer scope. */
 final case class LDoc(doc_id: Long, lang: String, text: String)
+
+/** Top-level for the same encoder reason as [[LDoc]]. */
+final case class VRow(vec_id: Long, embedding: Array[Float], label: Int)
