@@ -92,6 +92,7 @@ object LiveVectors {
   def step(batch: DataFrame, batchId: Long, cfg: Config): Unit = {
     val s = batch.sparkSession
     graft.functions.GraftFunctions.register(s) // Cols.fastDot's float_dot
+    recoverCompaction(s, cfg) // complete an interrupted fold before reading
     if (BatchParts.committed(s, s"${cfg.root}/sigs").exists(_._1 == batchId)) return
     if (batch.isEmpty) return
     val indexed = indexDirs(s, cfg) match {
@@ -116,6 +117,53 @@ object LiveVectors {
     case Seq() => s.createDataFrame(s.sparkContext.emptyRDD[Row], SigSchema)
     case dirs => s.read.option("basePath", s"${cfg.root}/sigs")
       .schema(SigSchema).parquet(dirs: _*)
+  }
+
+  /** Fold all committed batch dirs into the newest one — the
+    * [[LivePipeline.compact]] small-files story for the vector index.
+    * Simpler here: the batch dir's `_SUCCESS` IS the batch commit
+    * marker (single store), so any committed dir is foldable — a
+    * crashed step leaves an uncommitted dir this listing never sees,
+    * and its replay overwrites only that dir. Crash-safe by the same
+    * roll-forward: union staged to `.compact-<m>` (bucket-partitioned,
+    * so pruning survives the fold), sources ≤ m dropped, staging
+    * renamed to `batch=<m>`; [[step]] completes interrupted folds
+    * before reading.
+    */
+  def compact(s: SparkSession, cfg: Config): Unit = {
+    recoverCompaction(s, cfg)
+    val parts = BatchParts.committed(s, s"${cfg.root}/sigs")
+    if (parts.length > 1) {
+      val m = parts.last._1
+      s.read.option("basePath", s"${cfg.root}/sigs").schema(SigSchema)
+        .parquet(parts.map(_._2): _*)
+        .drop("batch").dropDuplicates("vec_id")
+        .repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"${cfg.root}/sigs/.compact-$m")
+      rollForward(s, cfg, m)
+    }
+  }
+
+  private def recoverCompaction(s: SparkSession, cfg: Config): Unit = {
+    val dir = new Path(s"${cfg.root}/sigs")
+    val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(dir)) fs.listStatus(dir).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(".compact-"))
+      .foreach { st =>
+        val m = st.getPath.getName.stripPrefix(".compact-").toLong
+        if (fs.exists(new Path(st.getPath, "_SUCCESS"))) rollForward(s, cfg, m)
+        else { fs.delete(st.getPath, true); () }
+      }
+  }
+
+  private def rollForward(s: SparkSession, cfg: Config, m: Long): Unit = {
+    val fs = new Path(cfg.root).getFileSystem(s.sparkContext.hadoopConfiguration)
+    BatchParts.committed(s, s"${cfg.root}/sigs").filter(_._1 <= m)
+      .foreach { case (_, p) => fs.delete(new Path(p), true); () }
+    fs.rename(new Path(s"${cfg.root}/sigs/.compact-$m"),
+      new Path(s"${cfg.root}/sigs/batch=$m"))
+    ()
   }
 
   private def ad(a: Array[Float]) =

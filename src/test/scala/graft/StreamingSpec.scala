@@ -595,6 +595,17 @@ class StreamingSpec extends AnyFunSuite {
     val plan = pruned.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
       s"bucket predicate must prune partitions:\n$plan")
+    // compaction folds the batch dirs into one; the served top-k and
+    // the bucket pruning are unchanged
+    graft.streaming.LiveVectors.compact(spark, cfg)
+    val sigDirs = new java.io.File(s"$root/sigs").listFiles()
+      .map(_.getName).filter(_.startsWith("batch=")).toSet
+    assert(sigDirs.size === 1, s"fold should leave one batch dir: $sigDirs")
+    assert(graft.streaming.LiveVectors.index(spark, cfg).count() === corpus.length.toLong)
+    val gotAfter = graft.streaming.LiveVectors.topK(spark, cfg, q, k = 10).collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        BigDecimal(r.getAs[Double]("cos")).setScale(9, BigDecimal.RoundingMode.HALF_UP)))
+    assert(gotAfter.toSeq === expected.toSeq, "post-compaction top-k parity")
   }
 
   test("live pipeline: a restarted query resumes from its checkpoint without re-packing") {
