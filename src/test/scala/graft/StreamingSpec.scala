@@ -459,6 +459,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(replayed.map(packKey).toSet === packed.map(packKey).toSet, "crash replay idempotence")
   }
 
+  test("live pipeline: packed output is invariant to batch-boundary placement") {
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val all = Tables.documents(spark, d).select("doc_id", "lang", "text").collect()
+      .map(r => LDoc(r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(_.doc_id)
+    val expected = SparkEntry.queries("x11_pipeline")(spark, d)
+      .collect().map(packKey).toSet
+    // the ordered-intake contract promises ONE packed output for ANY
+    // contiguous split of the doc_id-ordered stream — the batch
+    // boundaries are an operational artifact (trigger cadence), not a
+    // semantic input. Three seeded random cut-point sets, driven
+    // through step() directly.
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val root = java.nio.file.Files.createTempDirectory(s"graft-live-cuts$trial").toString
+      val cfg = graft.streaming.LivePipeline.Config(root, gateNearDups = false)
+      val cuts = Seq.fill(3)(rnd.nextInt(all.length)).sorted.distinct
+      val slices = (0L +: cuts.map(_.toLong) :+ Long.MaxValue).distinct.sliding(2).map {
+        case Seq(lo, hi) => all.filter(x => x.doc_id >= lo && x.doc_id < hi)
+      }.toSeq
+      slices.zipWithIndex.foreach { case (b, i) =>
+        graft.streaming.LivePipeline.step(b.toSeq.toDF(), i.toLong, cfg)
+      }
+      val got = graft.streaming.LivePipeline.packedOutput(spark, cfg)
+        .collect().map(packKey).toSet
+      assert(got === expected, s"cut points $cuts must not change the packed output")
+    }
+  }
+
   test("live pipeline: compaction folds store partitions; audit names each doc's fate") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-live-compact").toString
@@ -606,6 +636,13 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => (r.getAs[Long]("vec_id"),
         BigDecimal(r.getAs[Double]("cos")).setScale(9, BigDecimal.RoundingMode.HALF_UP)))
     assert(gotAfter.toSeq === expected.toSeq, "post-compaction top-k parity")
+    // multi-probe widens the candidate pool (qb + 8 Hamming-1 buckets):
+    // the best hit can only improve or hold, and the pool covers more
+    // of the corpus than the single bucket
+    val multi = graft.streaming.LiveVectors.topK(spark, cfg, q, k = 10, probes = 9).collect()
+    assert(multi.map(_.getAs[String]("bucket")).toSet.size >= 1)
+    assert(multi.head.getAs[Double]("cos") >= gotAfter.head._2.toDouble - 1e-12,
+      "multi-probe best hit must not be worse than single-probe")
   }
 
   test("live pipeline: a restarted query resumes from its checkpoint without re-packing") {
