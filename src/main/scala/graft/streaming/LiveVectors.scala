@@ -112,8 +112,14 @@ object LiveVectors {
   private def indexDirs(s: SparkSession, cfg: Config): Seq[String] =
     BatchParts.committed(s, s"${cfg.root}/sigs").map(_._2)
 
-  /** The whole committed index as one partitioned relation. */
-  def index(s: SparkSession, cfg: Config): DataFrame = indexDirs(s, cfg) match {
+  /** The whole committed index as one partitioned relation. Completes
+    * an interrupted fold first: a compaction that crashed mid-delete
+    * would otherwise read as a silently smaller index.
+    */
+  def index(s: SparkSession, cfg: Config): DataFrame = {
+    recoverCompaction(s, cfg)
+    indexDirs(s, cfg)
+  } match {
     case Seq() => s.createDataFrame(s.sparkContext.emptyRDD[Row], SigSchema)
     case dirs => s.read.option("basePath", s"${cfg.root}/sigs")
       .schema(SigSchema).parquet(dirs: _*)

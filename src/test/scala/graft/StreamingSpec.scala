@@ -645,6 +645,52 @@ class StreamingSpec extends AnyFunSuite {
       "multi-probe best hit must not be worse than single-probe")
   }
 
+  test("live counts: streamed partials re-aggregate to the batch answer; d12 df parity") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-live-counts").toString
+    val cfg = graft.streaming.LiveCounts.Config(root)
+    // d12's segment-df corpus: hotSegments counts DISTINCT docs per
+    // 4-word segment; the stream carries distinct (doc, segment) pairs
+    // (each doc arrives once, so per-doc-distinct IS additive df)
+    val corpus = Seq((1L, "a b c d e f g h"), (2L, "a b c d x y z w"),
+      (3L, "p q r s a b c d")).toDF("doc_id", "text")
+    import org.apache.spark.sql.functions.{explode, expr}
+    val segs = corpus.select(col("doc_id"), explode(expr(
+        "transform(sequence(0, ((size(split(text, ' ')) + 3) div 4) - 1), " +
+          "i -> array_join(slice(split(text, ' '), i * 4 + 1, 4), ' '))")).as("key"))
+      .distinct() // distinct PAIRS: one observation per (doc, segment)
+      .select("key").collect().map(_.getString(0))
+    // stream observation keys in 2 batches + a replayed slice
+    val ms = MemoryStream[String]
+    val q = graft.streaming.LiveCounts.start(ms.toDS().toDF("key"), cfg)
+    try {
+      val (b1, b2) = segs.splitAt(segs.length / 2)
+      ms.addData(b1.toIndexedSeq: _*); q.processAllAvailable()
+      ms.addData(b2.toIndexedSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    def totalMap = graft.streaming.LiveCounts.totals(spark, cfg).collect()
+      .map(r => r.getAs[String]("key") -> r.getAs[Long]("n")).toMap
+    val batchCounts = segs.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    assert(totalMap === batchCounts)
+    // hot-segment derivation (df >= 2) matches the batch d12 builder
+    val hotBatch = graft.operators.Dedup.hotSegments(corpus, segWords = 4, minDf = 2L)
+      .collect().map(_.getString(0)).toSet
+    // hotSegments returns md5(segment); hash the live keys the same way
+    val hotLiveHashed = totalMap.filter(_._2 >= 2).keys
+      .map(k => java.security.MessageDigest.getInstance("MD5")
+        .digest(k.getBytes("UTF-8")).map(b => f"$b%02x").mkString).toSet
+    assert(hotLiveHashed === hotBatch, "live df totals must rebuild the d12 hot list")
+    // compact folds to one partition; totals unchanged; replay no-op
+    graft.streaming.LiveCounts.compact(spark, cfg)
+    val dirs = new java.io.File(s"$root/counts").listFiles()
+      .map(_.getName).filter(_.startsWith("batch=")).toSet
+    assert(dirs.size === 1)
+    assert(totalMap === batchCounts)
+    graft.streaming.LiveCounts.step(Seq("a b c d").toDF("key"), 1L, cfg)
+    assert(totalMap === batchCounts, "replay of a committed batch id is a no-op")
+  }
+
   test("live pipeline: a restarted query resumes from its checkpoint without re-packing") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-live-restart").toString
