@@ -60,7 +60,8 @@ object LiveCounts {
     */
   def step(batch: DataFrame, batchId: Long, cfg: Config): Unit = {
     val s = batch.sparkSession
-    recoverCompaction(s, cfg)
+    // writer-side fold recovery (single maintenance owner)
+    BatchParts.recoverFold(s, s"${cfg.root}/counts")
     if (BatchParts.committed(s, s"${cfg.root}/counts").exists(_._1 == batchId)) return
     if (batch.isEmpty) return
     batch.groupBy("key").agg(count(lit(1)).as("n"))
@@ -69,56 +70,48 @@ object LiveCounts {
 
   /** Corpus-wide totals: one re-aggregation over the committed
     * partials. Associative, so folded and unfolded state sum to the
-    * same batch answer; interrupted folds are completed before the
-    * read.
+    * same batch answer. Reader-side: a pending fold is SUBSTITUTED for
+    * the partitions it supersedes, never completed or deleted from
+    * here (see [[BatchParts]]' mode contract) — so a fold that crashed
+    * mid-delete still reads complete, and a concurrent serve can never
+    * truncate an in-flight fold.
     */
   def totals(s: SparkSession, cfg: Config): DataFrame = {
-    // complete an interrupted fold first: a compaction that crashed
-    // mid-delete would otherwise read as silent undercounts
-    recoverCompaction(s, cfg)
-    BatchParts.committed(s, s"${cfg.root}/counts").map(_._2)
-  } match {
-      case Seq() => s.createDataFrame(s.sparkContext.emptyRDD[Row],
-        StructType(CountSchema.dropRight(1)))
-      case dirs => s.read.option("basePath", s"${cfg.root}/counts")
-        .schema(CountSchema).parquet(dirs: _*)
-        .groupBy("key").agg(sum(col("n")).as("n"))
+    val dir = s"${cfg.root}/counts"
+    val parts = BatchParts.committed(s, dir)
+    // one multi-path relation for the batch dirs (never an N-ary
+    // union), at most one 2-ary union when a staging substitutes
+    def rel(dirs: Seq[String]): Option[DataFrame] =
+      if (dirs.isEmpty) None
+      else Some(s.read.option("basePath", dir).schema(CountSchema)
+        .parquet(dirs: _*).select("key", "n"))
+    val pieces = BatchParts.pendingFold(s, dir) match {
+      case Some((m, staging)) =>
+        Some(s.read.schema(StructType(CountSchema.dropRight(1))).parquet(staging)) ++
+          rel(parts.filter(_._1 > m).map(_._2))
+      case None => rel(parts.map(_._2))
     }
+    pieces.reduceOption(_.unionByName(_)) match {
+      case None => s.createDataFrame(s.sparkContext.emptyRDD[Row],
+        StructType(CountSchema.dropRight(1)))
+      case Some(u) => u.groupBy("key").agg(sum(col("n")).as("n"))
+    }
+  }
 
   /** Fold committed partials into one partition (the re-aggregation is
-    * the merge), staged-roll-forward crash-safe.
+    * the merge), staged-roll-forward crash-safe via [[BatchParts]].
     */
   def compact(s: SparkSession, cfg: Config): Unit = {
-    recoverCompaction(s, cfg)
-    val parts = BatchParts.committed(s, s"${cfg.root}/counts")
+    val dir = s"${cfg.root}/counts"
+    BatchParts.recoverFold(s, dir)
+    val parts = BatchParts.committed(s, dir)
     if (parts.length > 1) {
       val m = parts.last._1
-      s.read.option("basePath", s"${cfg.root}/counts").schema(CountSchema)
+      s.read.option("basePath", dir).schema(CountSchema)
         .parquet(parts.map(_._2): _*)
         .groupBy("key").agg(sum(col("n")).as("n"))
-        .write.mode("overwrite").parquet(s"${cfg.root}/counts/.compact-$m")
-      rollForward(s, cfg, m)
+        .write.mode("overwrite").parquet(BatchParts.stagingPath(dir, m))
+      BatchParts.rollForward(s, dir, m)
     }
-  }
-
-  private def recoverCompaction(s: SparkSession, cfg: Config): Unit = {
-    val dir = new Path(s"${cfg.root}/counts")
-    val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(dir)) fs.listStatus(dir).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith(".compact-"))
-      .foreach { st =>
-        val m = st.getPath.getName.stripPrefix(".compact-").toLong
-        if (fs.exists(new Path(st.getPath, "_SUCCESS"))) rollForward(s, cfg, m)
-        else { fs.delete(st.getPath, true); () }
-      }
-  }
-
-  private def rollForward(s: SparkSession, cfg: Config, m: Long): Unit = {
-    val fs = new Path(cfg.root).getFileSystem(s.sparkContext.hadoopConfiguration)
-    BatchParts.committed(s, s"${cfg.root}/counts").filter(_._1 <= m)
-      .foreach { case (_, p) => fs.delete(new Path(p), true); () }
-    fs.rename(new Path(s"${cfg.root}/counts/.compact-$m"),
-      new Path(s"${cfg.root}/counts/batch=$m"))
-    ()
   }
 }

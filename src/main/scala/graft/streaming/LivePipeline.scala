@@ -358,8 +358,9 @@ object LivePipeline {
         val schema = if (kind == "exact") ExactSchema else BandSchema
         s.read.schema(schema).parquet(parts.map(_._2): _*)
           .distinct()
-          .write.mode("overwrite").parquet(s"${cfg.root}/$kind/.compact-$m")
-        rollForward(s, cfg.root, kind, m)
+          .write.mode("overwrite")
+          .parquet(BatchParts.stagingPath(s"${cfg.root}/$kind", m))
+        BatchParts.rollForward(s, s"${cfg.root}/$kind", m)
       }
     }
     // cursor snapshots are full states, so only the LATEST is ever
@@ -373,27 +374,11 @@ object LivePipeline {
     }
   }
 
-  /** Complete or discard an interrupted [[compact]] of one store. */
-  private def recoverCompaction(s: SparkSession, root: String, kind: String): Unit = {
-    val dir = new Path(s"$root/$kind")
-    val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(dir)) fs.listStatus(dir).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith(".compact-"))
-      .foreach { st =>
-        val m = st.getPath.getName.stripPrefix(".compact-").toLong
-        if (fs.exists(new Path(st.getPath, "_SUCCESS"))) rollForward(s, root, kind, m)
-        else { fs.delete(st.getPath, true); () }
-      }
-  }
-
-  /** Replace partitions ≤ `m` with the committed staging dir. */
-  private def rollForward(s: SparkSession, root: String, kind: String, m: Long): Unit = {
-    val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
-    committedParts(s, s"$root/$kind").filter(_._1 <= m)
-      .foreach { case (_, p) => fs.delete(new Path(p), true); () }
-    fs.rename(new Path(s"$root/$kind/.compact-$m"), new Path(part(root, kind, m)))
-    ()
-  }
+  /** Complete or discard an interrupted [[compact]] of one store
+    * (writer-side — see [[BatchParts]]' mode contract).
+    */
+  private def recoverCompaction(s: SparkSession, root: String, kind: String): Unit =
+    BatchParts.recoverFold(s, s"$root/$kind")
 
   private def part(root: String, kind: String, id: Long) = s"$root/$kind/batch=$id"
 
@@ -424,12 +409,32 @@ object LivePipeline {
   }
 }
 
-/** Shared `batch=<id>`-partitioned store listing for the streaming
-  * intakes ([[LivePipeline]], [[LiveVectors]]): committed `(batchId,
-  * path)` pairs are the dirs carrying the committer's `_SUCCESS`
-  * marker. Listing is one directory scan of partition dirs (not files)
-  * — cheap at any corpus size, and it is what makes partial writes of
-  * a crashed attempt invisible to readers.
+/** Shared `batch=<id>`-partitioned store machinery for the streaming
+  * intakes ([[LivePipeline]], [[LiveVectors]], [[LiveCounts]]):
+  * committed-partition listing plus the staged-fold crash discipline,
+  * hoisted here so the three stores cannot diverge in crash behavior.
+  *
+  * Listing is one directory scan of partition dirs (not files) —
+  * cheap at any corpus size, and it is what makes partial writes of a
+  * crashed attempt invisible to readers.
+  *
+  * Fold recovery has two strictly separated modes:
+  *   - [[recoverFold]] — WRITER-side (step/compact, the single
+  *     maintenance owner): completes a committed `.compact-<m>`
+  *     staging (roll forward) and discards an incomplete one. It
+  *     mutates, so it must never run concurrently with another
+  *     mutator — which the single-writer ownership already
+  *     guarantees;
+  *   - [[pendingFold]] — READER-side, non-mutating: serving reads run
+  *     concurrently with maintenance, so they must neither delete an
+  *     in-flight staging (it has no `_SUCCESS` YET — deleting it
+  *     under the running fold job could race the committer and
+  *     truncate the store) nor roll a completed one forward
+  *     (concurrent rollForwards can interleave delete-after-rename
+  *     into data loss). Instead a reader SUBSTITUTES: if a completed
+  *     staging exists, read it in place of every partition ≤ its id —
+  *     correct whether the fold's source deletes haven't started,
+  *     are half done, or are finished.
   */
 private[streaming] object BatchParts {
   def committed(s: SparkSession, dir: String): Seq[(Long, String)] = {
@@ -441,5 +446,45 @@ private[streaming] object BatchParts {
       .filter(st => fs.exists(new Path(st.getPath, "_SUCCESS")))
       .map(st => (st.getPath.getName.stripPrefix("batch=").toLong, st.getPath.toString))
       .sortBy(_._1)
+  }
+
+  def stagingPath(dir: String, m: Long): String = s"$dir/.compact-$m"
+
+  /** The store's completed (`_SUCCESS`) but not-yet-renamed fold
+    * staging, if any: `(m, path)`. Non-mutating.
+    */
+  def pendingFold(s: SparkSession, dir: String): Option[(Long, String)] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else fs.listStatus(p).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(".compact-"))
+      .filter(st => fs.exists(new Path(st.getPath, "_SUCCESS")))
+      .map(st => (st.getPath.getName.stripPrefix(".compact-").toLong, st.getPath.toString))
+      .sortBy(_._1).lastOption
+  }
+
+  /** WRITER-side: complete a committed fold, discard an incomplete
+    * one. Single-writer only — see the mode contract above.
+    */
+  def recoverFold(s: SparkSession, dir: String): Unit = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.listStatus(p).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(".compact-"))
+      .foreach { st =>
+        val m = st.getPath.getName.stripPrefix(".compact-").toLong
+        if (fs.exists(new Path(st.getPath, "_SUCCESS"))) rollForward(s, dir, m)
+        else { fs.delete(st.getPath, true); () }
+      }
+  }
+
+  /** Replace partitions ≤ `m` with the committed staging dir. */
+  def rollForward(s: SparkSession, dir: String, m: Long): Unit = {
+    val fs = new Path(dir).getFileSystem(s.sparkContext.hadoopConfiguration)
+    committed(s, dir).filter(_._1 <= m)
+      .foreach { case (_, p) => fs.delete(new Path(p), true); () }
+    fs.rename(new Path(stagingPath(dir, m)), new Path(s"$dir/batch=$m"))
+    ()
   }
 }

@@ -73,12 +73,21 @@ object LiveVectors {
 
   /** Freeze the hyperplane dim — first writer wins, later calls are
     * no-ops (re-planing would silently orphan every stored signature).
+    * The hid set is validated HERE, the cheap place: [[Similarity
+    * .signaturesOf]] builds bit columns only for hids 1..NumPlanes, so
+    * any other id set (0-based is the natural mistake) would aggregate
+    * NULL bits into NULL buckets and permanently break every query
+    * against the frozen index.
     */
   def ensurePlanes(planes: DataFrame, cfg: Config): Unit = {
     val dir = new Path(s"${cfg.root}/planes")
     val fs = dir.getFileSystem(planes.sparkSession.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new Path(dir, "_SUCCESS")))
+    if (!fs.exists(new Path(dir, "_SUCCESS"))) {
+      val hids = planes.select("hid").collect().map(_.getLong(0)).sorted.toSeq
+      require(hids == (1L to NumPlanes),
+        s"planes must carry hid 1..$NumPlanes exactly, got $hids")
       planes.write.mode("overwrite").parquet(dir.toString)
+    }
   }
 
   private def planesOf(s: SparkSession, cfg: Config): DataFrame =
@@ -92,37 +101,59 @@ object LiveVectors {
   def step(batch: DataFrame, batchId: Long, cfg: Config): Unit = {
     val s = batch.sparkSession
     graft.functions.GraftFunctions.register(s) // Cols.fastDot's float_dot
-    recoverCompaction(s, cfg) // complete an interrupted fold before reading
+    // writer-side fold recovery (single-writer: step and compact are
+    // the same maintenance owner, serialized)
+    BatchParts.recoverFold(s, s"${cfg.root}/sigs")
     if (BatchParts.committed(s, s"${cfg.root}/sigs").exists(_._1 == batchId)) return
     if (batch.isEmpty) return
-    val indexed = indexDirs(s, cfg) match {
+    val indexed = BatchParts.committed(s, s"${cfg.root}/sigs").map(_._2) match {
       case Seq() => batch.limit(0).select("vec_id")
       case dirs => s.read.option("basePath", s"${cfg.root}/sigs")
         .schema(SigSchema).parquet(dirs: _*).select("vec_id")
     }
+    // the anti-join subtree (batch dedup + the committed-index vec_id
+    // scan) feeds BOTH join inputs below — cache it so each batch pays
+    // the index scan once, not twice
     val fresh = batch.dropDuplicates("vec_id")
       .join(indexed, Seq("vec_id"), "left_anti")
-    Similarity.withNorm(fresh)
-      .join(Similarity.signaturesOf(fresh, planesOf(s, cfg)), "vec_id")
-      .repartition(col("bucket")) // one file per bucket directory
-      .write.mode("overwrite").partitionBy("bucket")
-      .parquet(s"${cfg.root}/sigs/batch=$batchId")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // a batch whose arrivals are all already indexed writes nothing
+      // (the empty-batch skip discipline): idempotence doesn't need
+      // the marker — the anti-join already makes a re-run a no-op
+      if (!fresh.isEmpty)
+        Similarity.withNorm(fresh)
+          .join(Similarity.signaturesOf(fresh, planesOf(s, cfg)), "vec_id")
+          .repartition(col("bucket")) // one file per bucket directory
+          .write.mode("overwrite").partitionBy("bucket")
+          .parquet(s"${cfg.root}/sigs/batch=$batchId")
+    } finally { fresh.unpersist(); () }
   }
 
-  private def indexDirs(s: SparkSession, cfg: Config): Seq[String] =
-    BatchParts.committed(s, s"${cfg.root}/sigs").map(_._2)
-
-  /** The whole committed index as one partitioned relation. Completes
-    * an interrupted fold first: a compaction that crashed mid-delete
-    * would otherwise read as a silently smaller index.
+  /** The index as one partitioned relation — reader-side, so a pending
+    * fold is SUBSTITUTED for the partitions it supersedes, never
+    * completed or deleted from here (see [[BatchParts]]' mode
+    * contract; a serving read must not mutate under the maintenance
+    * owner).
     */
   def index(s: SparkSession, cfg: Config): DataFrame = {
-    recoverCompaction(s, cfg)
-    indexDirs(s, cfg)
-  } match {
-    case Seq() => s.createDataFrame(s.sparkContext.emptyRDD[Row], SigSchema)
-    case dirs => s.read.option("basePath", s"${cfg.root}/sigs")
-      .schema(SigSchema).parquet(dirs: _*)
+    val dir = s"${cfg.root}/sigs"
+    val parts = BatchParts.committed(s, dir)
+    BatchParts.pendingFold(s, dir) match {
+      case Some((m, staging)) =>
+        val staged = s.read.option("basePath", staging)
+          .schema(StructType(SigSchema.filterNot(_.name == "batch")))
+          .parquet(staging).withColumn("batch", lit(m))
+        parts.filter(_._1 > m).map(_._2) match {
+          case Seq() => staged
+          case dirs => staged.unionByName(
+            s.read.option("basePath", dir).schema(SigSchema).parquet(dirs: _*))
+        }
+      case None => parts.map(_._2) match {
+        case Seq() => s.createDataFrame(s.sparkContext.emptyRDD[Row], SigSchema)
+        case dirs => s.read.option("basePath", dir).schema(SigSchema).parquet(dirs: _*)
+      }
+    }
   }
 
   /** Fold all committed batch dirs into the newest one — the
@@ -137,43 +168,32 @@ object LiveVectors {
     * before reading.
     */
   def compact(s: SparkSession, cfg: Config): Unit = {
-    recoverCompaction(s, cfg)
-    val parts = BatchParts.committed(s, s"${cfg.root}/sigs")
+    val dir = s"${cfg.root}/sigs"
+    BatchParts.recoverFold(s, dir)
+    val parts = BatchParts.committed(s, dir)
     if (parts.length > 1) {
       val m = parts.last._1
-      s.read.option("basePath", s"${cfg.root}/sigs").schema(SigSchema)
+      s.read.option("basePath", dir).schema(SigSchema)
         .parquet(parts.map(_._2): _*)
         .drop("batch").dropDuplicates("vec_id")
         .repartition(col("bucket"))
         .write.mode("overwrite").partitionBy("bucket")
-        .parquet(s"${cfg.root}/sigs/.compact-$m")
-      rollForward(s, cfg, m)
+        .parquet(BatchParts.stagingPath(dir, m))
+      BatchParts.rollForward(s, dir, m)
     }
-  }
-
-  private def recoverCompaction(s: SparkSession, cfg: Config): Unit = {
-    val dir = new Path(s"${cfg.root}/sigs")
-    val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(dir)) fs.listStatus(dir).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith(".compact-"))
-      .foreach { st =>
-        val m = st.getPath.getName.stripPrefix(".compact-").toLong
-        if (fs.exists(new Path(st.getPath, "_SUCCESS"))) rollForward(s, cfg, m)
-        else { fs.delete(st.getPath, true); () }
-      }
-  }
-
-  private def rollForward(s: SparkSession, cfg: Config, m: Long): Unit = {
-    val fs = new Path(cfg.root).getFileSystem(s.sparkContext.hadoopConfiguration)
-    BatchParts.committed(s, s"${cfg.root}/sigs").filter(_._1 <= m)
-      .foreach { case (_, p) => fs.delete(new Path(p), true); () }
-    fs.rename(new Path(s"${cfg.root}/sigs/.compact-$m"),
-      new Path(s"${cfg.root}/sigs/batch=$m"))
-    ()
   }
 
   private def ad(a: Array[Float]) =
     new org.apache.spark.sql.catalyst.util.GenericArrayData(a.map(x => x: Any))
+
+  /** Per-root memo of the frozen planes — planes never change for the
+    * life of an index, and re-collecting them per query would put a
+    * driver-side point-read job ahead of every serve (the round-9
+    * probeParams lesson: at a ~0.2 s scheduling floor that doubles the
+    * latency of a single-pruned-scan query).
+    */
+  private val planeCache =
+    scala.collection.concurrent.TrieMap.empty[String, Array[(Long, Array[Float])]]
 
   /** Bucket-pruned top-k cosine serve: the query's signature is
     * `NumPlanes` driver-side DecimalDot products against the frozen
@@ -185,8 +205,9 @@ object LiveVectors {
   def topK(s: SparkSession, cfg: Config, q: Array[Float], k: Int,
       probes: Int = 1): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val planes = planesOf(s, cfg).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).sortBy(_._1)
+    val planes = planeCache.getOrElseUpdate(cfg.root,
+      planesOf(s, cfg).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).sortBy(_._1))
     require(planes.length == NumPlanes, s"expected $NumPlanes stored planes")
     val qb = planes.map { case (_, hv) =>
       if (graft.functions.DecimalDot.dot(ad(q), ad(hv)) >= 0) "1" else "0"

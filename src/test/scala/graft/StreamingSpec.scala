@@ -643,6 +643,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(multi.map(_.getAs[String]("bucket")).toSet.size >= 1)
     assert(multi.head.getAs[Double]("cos") >= gotAfter.head._2.toDouble - 1e-12,
       "multi-probe best hit must not be worse than single-probe")
+    // reader-side pending-fold substitution: stage a completed fold,
+    // crash mid-delete — index/topK read complete without mutating
+    val mId = sigDirs.head.stripPrefix("batch=").toLong
+    graft.streaming.LiveVectors.index(spark, cfg).drop("batch")
+      .repartition(col("bucket"))
+      .write.partitionBy("bucket").parquet(s"$root/sigs/.compact-$mId")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(s"$root/sigs/batch=$mId"), true))
+    assert(graft.streaming.LiveVectors.index(spark, cfg).count() === corpus.length.toLong,
+      "substituted read over the staged fold")
+    val gotStaged = graft.streaming.LiveVectors.topK(spark, cfg, q, k = 10).collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        BigDecimal(r.getAs[Double]("cos")).setScale(9, BigDecimal.RoundingMode.HALF_UP)))
+    assert(gotStaged.toSeq === expected.toSeq, "staged-fold top-k parity")
+    assert(new java.io.File(s"$root/sigs/.compact-$mId").exists,
+      "reads must not complete or delete a pending fold")
   }
 
   test("live counts: streamed partials re-aggregate to the batch answer; d12 df parity") {
@@ -689,6 +706,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(totalMap === batchCounts)
     graft.streaming.LiveCounts.step(Seq("a b c d").toDF("key"), 1L, cfg)
     assert(totalMap === batchCounts, "replay of a committed batch id is a no-op")
+    // reader-side pending-fold substitution: stage a completed fold,
+    // crash mid-delete — totals must read complete WITHOUT mutating
+    // the staging (a concurrent serve must never touch a fold)
+    graft.streaming.LiveCounts.step(Seq("zzz extra").toDF("key"), 2L, cfg)
+    val expected2 = batchCounts + ("zzz extra" -> 1L)
+    graft.streaming.LiveCounts.totals(spark, cfg)
+      .write.parquet(s"$root/counts/.compact-2")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(s"$root/counts/batch=1"), true))
+    assert(totalMap === expected2, "substituted read over the staged fold")
+    assert(new java.io.File(s"$root/counts/.compact-2").exists,
+      "reads must not complete or delete a pending fold")
+    // the next WRITER step rolls the fold forward
+    graft.streaming.LiveCounts.step(Seq("one more").toDF("key"), 3L, cfg)
+    assert(!new java.io.File(s"$root/counts/.compact-2").exists)
+    assert(totalMap === expected2 + ("one more" -> 1L))
   }
 
   test("live pipeline: a restarted query resumes from its checkpoint without re-packing") {
