@@ -284,6 +284,31 @@ object LivePipeline {
 
   def packedOutput(s: SparkSession, cfg: Config, fromBatch: Long = Long.MinValue): DataFrame =
     readOutput(s, s"${cfg.root}/packed", PackedSchema, fromBatch)
+      .join(broadcast(tombstones(s, cfg)), Seq("doc_id"), "left_anti")
+
+  /** Right-to-be-forgotten: tombstone document ids. Both outputs
+    * ([[packedOutput]], [[auditOutput]]) exclude tombstoned docs from
+    * then on — without rewriting history, so chunk ids of surviving
+    * docs are untouched (a trainer re-reading the corpus sees holes,
+    * not a re-pack). The DEDUP stores deliberately retain the
+    * forgotten docs' hashes and band keys: a copy of forgotten content
+    * arriving later must still be rejected, not silently re-admitted —
+    * forgetting the content cannot re-open the door to it. Tombstones
+    * are a tiny keyed table, appended like everything else and
+    * broadcast into the output reads.
+    */
+  def forget(s: SparkSession, cfg: Config, docIds: Seq[Long]): Unit = {
+    val next = BatchParts.committed(s, s"${cfg.root}/tombstones")
+      .lastOption.map(_._1 + 1).getOrElse(0L)
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(docIds.map(Row(_)).asJava,
+        StructType(Seq(StructField("doc_id", LongType))))
+      .write.mode("overwrite").parquet(part(cfg.root, "tombstones", next))
+  }
+
+  private def tombstones(s: SparkSession, cfg: Config): DataFrame =
+    readStore(s, cfg.root, "tombstones", Long.MaxValue,
+      StructType(Seq(StructField("doc_id", LongType))))
 
   /** One parquet relation over the committed `batch=` dirs (explicit
     * paths + basePath, so `batch` comes back as a partition column and
@@ -311,6 +336,7 @@ object LivePipeline {
     */
   def auditOutput(s: SparkSession, cfg: Config): DataFrame =
     readOutput(s, s"${cfg.root}/audit", AuditSchema, Long.MinValue)
+      .join(broadcast(tombstones(s, cfg)), Seq("doc_id"), "left_anti")
 
   /** Fold every committed partition of the ACCUMULATING stores (exact,
     * bands) into the newest committed one and drop the rest — the

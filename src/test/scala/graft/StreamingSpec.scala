@@ -569,6 +569,22 @@ class StreamingSpec extends AnyFunSuite {
     graft.streaming.LivePipeline.compact(spark, cfg)
     assert(partIds("exact") === Set("batch=2", "batch=9"),
       "compaction must fold only batch-committed partitions")
+    // right-to-be-forgotten: tombstoned docs vanish from the outputs
+    // (no history rewrite — survivors keep their chunk ids), but the
+    // dedup state retains their hashes so forgotten content cannot be
+    // re-admitted by a later copy
+    graft.streaming.LivePipeline.forget(spark, cfg, Seq(100L))
+    val visible = graft.streaming.LivePipeline.packedOutput(spark, cfg)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(visible === Set(1L, 2L, 103L, 202L, 301L))
+    assert(!graft.streaming.LivePipeline.auditOutput(spark, cfg)
+      .collect().map(_.getAs[Long]("doc_id")).contains(100L))
+    graft.streaming.LivePipeline.step(
+      Seq(LDoc(400, "en", mkText("eta", "high"))).toDF(), 4L, cfg) // d100's text
+    val fate400 = graft.streaming.LivePipeline.auditOutput(spark, cfg)
+      .filter(col("doc_id") === 400).collect().map(_.getAs[String]("fate"))
+    assert(fate400.toSeq === Seq("dup_of_corpus"),
+      "forgotten content must stay rejected, not re-admitted")
   }
 
   test("live vectors: streamed index serves the same top-k as a batch-built bucket scan") {
