@@ -98,6 +98,19 @@ object LiveCounts {
     }
   }
 
+  /** The d12 hot-segment list derived from the LIVE totals: keys with
+    * df ≥ `minDf`, md5-hashed to match [[graft.operators.Dedup
+    * .hotSegments]]' shape, ready to ship into [[StreamDemos
+    * .scrubBoilerplate]] — the model-refresh loop closed: the stream
+    * maintains the dfs, the scrub re-reads this at index cadence
+    * instead of rescanning the corpus. Driver-collected because the
+    * hot list is boilerplate-sized by construction (only df ≥ minDf
+    * keys survive), exactly like the batch builder's consumer.
+    */
+  def hotKeys(s: SparkSession, cfg: Config, minDf: Long): Seq[String] =
+    totals(s, cfg).filter(col("n") >= minDf)
+      .select(md5(col("key")).as("h")).collect().map(_.getString(0)).toSeq
+
   /** Fold committed partials into one partition (the re-aggregation is
     * the merge), staged-roll-forward crash-safe via [[BatchParts]].
     */

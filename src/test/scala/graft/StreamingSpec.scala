@@ -709,11 +709,10 @@ class StreamingSpec extends AnyFunSuite {
     // hot-segment derivation (df >= 2) matches the batch d12 builder
     val hotBatch = graft.operators.Dedup.hotSegments(corpus, segWords = 4, minDf = 2L)
       .collect().map(_.getString(0)).toSet
-    // hotSegments returns md5(segment); hash the live keys the same way
-    val hotLiveHashed = totalMap.filter(_._2 >= 2).keys
-      .map(k => java.security.MessageDigest.getInstance("MD5")
-        .digest(k.getBytes("UTF-8")).map(b => f"$b%02x").mkString).toSet
-    assert(hotLiveHashed === hotBatch, "live df totals must rebuild the d12 hot list")
+    // hotKeys is the shipping shape: md5'd like the batch builder, and
+    // drops straight into StreamDemos.scrubBoilerplate
+    assert(graft.streaming.LiveCounts.hotKeys(spark, cfg, minDf = 2L).toSet === hotBatch,
+      "live df totals must rebuild the d12 hot list")
     // compact folds to one partition; totals unchanged; replay no-op
     graft.streaming.LiveCounts.compact(spark, cfg)
     val dirs = new java.io.File(s"$root/counts").listFiles()
