@@ -58,9 +58,24 @@ object Retrieval {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")) > 0)
     val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_tokens"))
     val tf = toks.filter(col("word").isin(terms: _*))
       .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    bm25FromIndex(tf, dl, k1, b)
+  }
+
+  /** The scoring stage of [[bm25Scores]] over PREPARED index frames —
+    * `tf(doc_id, word, tf)` restricted to the query terms and
+    * `dl(doc_id, dl)` for every indexed doc. Shared verbatim by the
+    * inline spelling above and the continuously-maintained store
+    * ([[graft.streaming.LiveIndex]]), so the two cannot diverge: df,
+    * the corpus stats, and every rounding spelling are derived HERE
+    * from whichever frames arrive. Exact integer inputs ⇒ bit-identical
+    * scores whether the frames were computed inline or read back from
+    * per-batch parquet commits.
+    */
+  def bm25FromIndex(tf: DataFrame, dl: DataFrame,
+      k1: Double = K1, b: Double = B): DataFrame = {
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_tokens"))
     val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
     tf.join(broadcast(dfreq), "word")
       .join(dl, "doc_id")

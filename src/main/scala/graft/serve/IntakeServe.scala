@@ -1,0 +1,87 @@
+package graft.serve
+
+import java.net.{InetSocketAddress, URLDecoder}
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.{Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.streaming.LivePipeline
+
+/** HTTP status facade for the live intake ([[graft.streaming
+  * .LivePipeline]]) — the operational API a production corpus intake
+  * owes the people feeding it:
+  *
+  *  - `GET /fate?doc_id=<n>` — the per-doc audit record ("why was my
+  *    document dropped"): fate, quality score, source batch;
+  *  - `GET /admissions` — the admission dashboard: doc counts by fate
+  *    over the whole intake history;
+  *  - `GET /progress` — per-(lang, shard) packed-token cursors (the
+  *    commit frontier: how much packed corpus exists right now).
+  *
+  * Built like [[HttpServe]] (JDK HttpServer, no dependency, JSON
+  * array bodies, wildcard CORS) and, like it, a DEMO-serving tier:
+  * each request runs one bounded Spark job. The queries it runs are
+  * the scale-safe spellings — the fate lookup is a point predicate
+  * over the doc_id-monotone audit partitions (parquet min/max stats
+  * prune to ~one row group), the dashboard is one combinable
+  * aggregate over 1-row-per-doc audit records, and the progress read
+  * is the latest cursor snapshot (per-(lang, shard)-sized). A
+  * production deployment would put the same frames behind a real
+  * gateway with a cache; the engine-side work is already the cheap
+  * shape.
+  */
+final class IntakeServe(spark: SparkSession, cfg: LivePipeline.Config,
+    port: Int = 0) {
+
+  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+
+  def boundPort: Int = server.getAddress.getPort
+
+  private def params(ex: HttpExchange): Map[String, String] =
+    Option(ex.getRequestURI.getRawQuery).getOrElse("").split("&").toSeq
+      .filter(_.contains("="))
+      .map { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        URLDecoder.decode(k, "UTF-8") -> URLDecoder.decode(v, "UTF-8")
+      }.toMap
+
+  private def rowsJson(df: org.apache.spark.sql.DataFrame): String =
+    df.select(to_json(struct(df.columns.map(col): _*)))
+      .as[String](Encoders.STRING)
+      .collect()
+      .mkString("[", ",", "]")
+
+  private def handle(ex: HttpExchange)(body: Map[String, String] => String): Unit = {
+    val (code, bytes) =
+      try (200, body(params(ex)).getBytes("UTF-8"))
+      catch {
+        case e: NoSuchElementException =>
+          (400, s"""{"error":"missing parameter: ${e.getMessage}"}""".getBytes("UTF-8"))
+        case e: Exception =>
+          (500, s"""{"error":"${e.getClass.getSimpleName}"}""".getBytes("UTF-8"))
+      }
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.getResponseHeaders.set("Access-Control-Allow-Origin", "*")
+    ex.sendResponseHeaders(code, bytes.length.toLong)
+    val os = ex.getResponseBody
+    try os.write(bytes) finally os.close()
+  }
+
+  server.createContext("/fate", (ex: HttpExchange) => handle(ex) { p =>
+    val id = p("doc_id").toLong
+    rowsJson(LivePipeline.auditOutput(spark, cfg)
+      .filter(col("doc_id") === id)
+      .select("doc_id", "fate", "quality_score", "batch"))
+  })
+  server.createContext("/admissions", (ex: HttpExchange) => handle(ex) { _ =>
+    rowsJson(LivePipeline.auditOutput(spark, cfg)
+      .groupBy("fate").agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("fate")))
+  })
+  server.createContext("/progress", (ex: HttpExchange) => handle(ex) { _ =>
+    rowsJson(LivePipeline.packProgress(spark, cfg)
+      .orderBy(col("lang"), col("shard")))
+  })
+
+  def start(): Unit = server.start()
+  def stop(): Unit = server.stop(0)
+}

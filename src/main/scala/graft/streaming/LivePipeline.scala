@@ -282,8 +282,9 @@ object LivePipeline {
     StructField("doc_id", LongType), StructField("fate", StringType),
     StructField("quality_score", DoubleType)))
 
-  def packedOutput(s: SparkSession, cfg: Config, fromBatch: Long = Long.MinValue): DataFrame =
-    readOutput(s, s"${cfg.root}/packed", PackedSchema, fromBatch)
+  def packedOutput(s: SparkSession, cfg: Config, fromBatch: Long = Long.MinValue,
+      asOf: Long = Long.MaxValue): DataFrame =
+    readOutput(s, s"${cfg.root}/packed", PackedSchema, fromBatch, asOf)
       .join(broadcast(tombstones(s, cfg)), Seq("doc_id"), "left_anti")
 
   /** Right-to-be-forgotten: tombstone document ids. Both outputs
@@ -317,16 +318,34 @@ object LivePipeline {
     * size after years of micro-batches. The schema is supplied, not
     * inferred: an all-rejected batch writes a partition with no data
     * files, which inference cannot see past.
+    *
+    * `[fromBatch, toBatch]` bounds the batch-id range: `toBatch` is the
+    * AS-OF read ([[packedOutput]]'s snapshot contract — a training run
+    * pins the corpus at a commit point while the intake keeps
+    * appending). Reader-side vacuum substitution: a committed
+    * `.rewrite-<id>` staging whose `batch=<id>` source a crashed
+    * [[vacuum]] already deleted is read in the partition's place, so
+    * the delete→rename window cannot lose the batch's SURVIVING rows
+    * (the removed rows stay masked by the not-yet-retired tombstones
+    * either way).
     */
   private def readOutput(s: SparkSession, dir: String, schema: StructType,
-      fromBatch: Long): DataFrame = {
-    val dirs = committedParts(s, dir).filter(_._1 >= fromBatch)
-    if (dirs.isEmpty)
-      s.createDataFrame(s.sparkContext.emptyRDD[Row],
-        schema.add(StructField("batch", LongType)))
-    else
-      s.read.option("basePath", dir).schema(schema).parquet(dirs.map(_._2): _*)
+      fromBatch: Long, toBatch: Long = Long.MaxValue): DataFrame = {
+    def inRange(id: Long) = id >= fromBatch && id <= toBatch
+    val live = committedParts(s, dir).filter(p => inRange(p._1))
+    val liveIds = live.map(_._1).toSet
+    val substituted = BatchParts.pendingRewrites(s, dir)
+      .filter { case (id, _) => inRange(id) && !liveIds(id) }
+    val empty = s.createDataFrame(s.sparkContext.emptyRDD[Row],
+      schema.add(StructField("batch", LongType)))
+    val base =
+      if (live.isEmpty) empty
+      else s.read.option("basePath", dir).schema(schema).parquet(live.map(_._2): _*)
         .withColumn("batch", col("batch").cast("long"))
+    substituted.foldLeft(base) { case (acc, (id, path)) =>
+      acc.unionByName(s.read.schema(schema).parquet(path)
+        .withColumn("batch", lit(id)))
+    }
   }
 
   /** All committed per-doc audit records (`doc_id`, `fate`,
@@ -334,9 +353,74 @@ object LivePipeline {
     * admission dashboard; a point lookup answers "why was my document
     * dropped".
     */
-  def auditOutput(s: SparkSession, cfg: Config): DataFrame =
-    readOutput(s, s"${cfg.root}/audit", AuditSchema, Long.MinValue)
+  def auditOutput(s: SparkSession, cfg: Config,
+      asOf: Long = Long.MaxValue): DataFrame =
+    readOutput(s, s"${cfg.root}/audit", AuditSchema, Long.MinValue, asOf)
       .join(broadcast(tombstones(s, cfg)), Seq("doc_id"), "left_anti")
+
+  /** Physically remove tombstoned docs' rows from the `packed/` and
+    * `audit/` partitions that contain them, then retire the applied
+    * tombstone partitions — the deep delete behind [[forget]]'s
+    * read-time mask. The mask alone is correct but accumulates two
+    * costs a long-lived intake cannot carry: the forgotten CONTENT
+    * rows stay on disk (the actual compliance obligation), and the
+    * tombstone table broadcast into every output read only grows.
+    * Vacuum clears both; [[forget]] stays cheap and immediate, vacuum
+    * runs at maintenance cadence from the single maintenance owner.
+    *
+    * Only partitions that actually hold a tombstoned doc are rewritten
+    * (located via one semi-join over the doc_id-monotone outputs, so
+    * parquet min/max stats prune the scan); each rewrite is staged to
+    * `.rewrite-<id>` with its own `_SUCCESS`, then source-delete →
+    * rename (the [[BatchParts]] roll-forward discipline, per partition
+    * instead of fold-all). A crash at ANY point leaves reads correct:
+    * un-staged and half-staged partitions are still masked by the
+    * not-yet-retired tombstones; a committed staging whose source
+    * delete or rename didn't finish is completed by the next writer
+    * ([[BatchParts.recoverRewrites]]) and substituted by readers
+    * meanwhile. Tombstones are retired LAST, and only the partitions
+    * read at entry — a tombstone added concurrently by [[forget]] (the
+    * same owner) survives to the next vacuum. Re-running after any
+    * crash converges: already-rewritten partitions no longer match the
+    * semi-join, and retiring an already-applied tombstone partition is
+    * an anti-join of absent ids.
+    *
+    * Chunk ids of surviving docs are untouched — the rewrite drops
+    * rows, never re-packs, so a pinned [[packedOutput]] as-of read
+    * sees holes where forgotten docs were, exactly like the masked
+    * read did. The dedup stores deliberately keep the forgotten docs'
+    * hashes and band keys ([[forget]]'s re-admission contract).
+    */
+  def vacuum(s: SparkSession, cfg: Config): Unit = {
+    Seq("packed", "audit").foreach(k =>
+      BatchParts.recoverRewrites(s, s"${cfg.root}/$k"))
+    val tombParts = committedParts(s, s"${cfg.root}/tombstones")
+    if (tombParts.isEmpty) return
+    val tomb = s.read
+      .schema(StructType(Seq(StructField("doc_id", LongType))))
+      .parquet(tombParts.map(_._2): _*)
+    for ((kind, schema) <- Seq("packed" -> PackedSchema, "audit" -> AuditSchema)) {
+      val dir = s"${cfg.root}/$kind"
+      val affected = readOutput(s, dir, schema, Long.MinValue)
+        .join(broadcast(tomb), Seq("doc_id"), "left_semi")
+        .select("batch").distinct().collect().map(_.getLong(0))
+      for (id <- affected.sorted) {
+        s.read.schema(schema).parquet(s"$dir/batch=$id")
+          .join(broadcast(tomb), Seq("doc_id"), "left_anti")
+          .write.mode("overwrite").parquet(BatchParts.rewritePath(dir, id))
+        BatchParts.completeRewrite(s, dir, id)
+      }
+    }
+    val fs = new Path(cfg.root).getFileSystem(s.sparkContext.hadoopConfiguration)
+    tombParts.foreach { case (_, p) => fs.delete(new Path(p), true); () }
+  }
+
+  /** The pack frontier: the latest committed cursor snapshot —
+    * per-(lang, shard) packed-token totals, the "how much corpus
+    * exists right now" read (snapshot-sized, not corpus-sized).
+    */
+  def packProgress(s: SparkSession, cfg: Config): DataFrame =
+    latestCursors(s, cfg, Long.MaxValue)
 
   /** Fold every committed partition of the ACCUMULATING stores (exact,
     * bands) into the newest committed one and drop the rest — the
@@ -512,5 +596,54 @@ private[streaming] object BatchParts {
       .foreach { case (_, p) => fs.delete(new Path(p), true); () }
     fs.rename(new Path(stagingPath(dir, m)), new Path(s"$dir/batch=$m"))
     ()
+  }
+
+  /** Single-partition REPLACE staging (`.rewrite-<id>` replaces exactly
+    * `batch=<id>` — [[LivePipeline.vacuum]]), next to the FOLD staging
+    * above (`.compact-<m>` replaces every partition ≤ m). Distinct
+    * names because recovery must know which contract to finish: a fold
+    * deletes history, a rewrite deletes one source.
+    */
+  def rewritePath(dir: String, id: Long): String = s"$dir/.rewrite-$id"
+
+  /** Committed (`_SUCCESS`) rewrite stagings: `(id, path)`. Non-mutating
+    * — the reader-side substitution source.
+    */
+  def pendingRewrites(s: SparkSession, dir: String): Seq[(Long, String)] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(".rewrite-"))
+      .filter(st => fs.exists(new Path(st.getPath, "_SUCCESS")))
+      .map(st => (st.getPath.getName.stripPrefix(".rewrite-").toLong, st.getPath.toString))
+      .sortBy(_._1)
+  }
+
+  /** WRITER-side: source-delete → rename for one committed rewrite
+    * staging. Safe to call with the source already gone (crash between
+    * delete and rename — recovery path).
+    */
+  def completeRewrite(s: SparkSession, dir: String, id: Long): Unit = {
+    val fs = new Path(dir).getFileSystem(s.sparkContext.hadoopConfiguration)
+    val src = new Path(s"$dir/batch=$id")
+    if (fs.exists(src)) { fs.delete(src, true); () }
+    fs.rename(new Path(rewritePath(dir, id)), src)
+    ()
+  }
+
+  /** WRITER-side: complete committed rewrite stagings, discard
+    * incomplete ones (the [[recoverFold]] contract for rewrites).
+    */
+  def recoverRewrites(s: SparkSession, dir: String): Unit = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.listStatus(p).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(".rewrite-"))
+      .foreach { st =>
+        val id = st.getPath.getName.stripPrefix(".rewrite-").toLong
+        if (fs.exists(new Path(st.getPath, "_SUCCESS"))) completeRewrite(s, dir, id)
+        else { fs.delete(st.getPath, true); () }
+      }
   }
 }

@@ -91,6 +91,47 @@ class HttpServeSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("IntakeServe answers fate lookups, the admissions dashboard, and pack progress") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-intake-serve").toString
+    val cfg = graft.streaming.LivePipeline.Config(root)
+    def mkText(tag: String, last: String): String =
+      (1 to 36).map(j => s"${tag}word$j").mkString(" ") + s" the $tag of this is $last"
+    graft.streaming.LivePipeline.seed(
+      Seq((1L, "en", mkText("rho", "high"))).toDF("doc_id", "lang", "text"), cfg)
+    graft.streaming.LivePipeline.step(Seq(
+      (100L, "en", mkText("sigma", "high")),
+      (101L, "en", mkText("rho", "high")),   // exact dup of the seed doc
+      (102L, "en", "tiny text")              // fails the quality bar
+    ).toDF("doc_id", "lang", "text"), 0L, cfg)
+
+    val srv = new graft.serve.IntakeServe(spark, cfg)
+    srv.start()
+    try {
+      val base = s"http://127.0.0.1:${srv.boundPort}"
+      // "why was my document dropped" — the per-doc point lookup
+      val (c1, fate) = get(s"$base/fate?doc_id=101")
+      assert(c1 === 200)
+      assert(fate.contains("\"fate\":\"dup_of_corpus\"") && fate.contains("\"batch\":0"))
+      val (c2, fate2) = get(s"$base/fate?doc_id=100")
+      assert(c2 === 200 && fate2.contains("\"fate\":\"admitted\""))
+      // the admission dashboard: one count per fate
+      val (c3, dash) = get(s"$base/admissions")
+      assert(c3 === 200)
+      assert(dash.contains("\"fate\":\"admitted\",\"n_docs\":2") &&
+        dash.contains("\"fate\":\"dup_of_corpus\",\"n_docs\":1") &&
+        dash.contains("\"fate\":\"low_quality\",\"n_docs\":1"))
+      // pack progress: the latest cursor snapshot, tokens so far
+      val (c4, prog) = get(s"$base/progress")
+      assert(c4 === 200 && prog.contains("\"lang\":\"en\"") && prog.contains("\"cum\":"))
+      // missing parameter → 400, CORS grant present
+      val (c5, err) = get(s"$base/fate")
+      assert(c5 === 400 && err.contains("missing parameter"))
+      val (_, _, headers) = get3(s"$base/admissions")
+      assert(headers.get("access-control-allow-origin").contains("*"))
+    } finally srv.stop()
+  }
+
   test("pyDouble matches CPython float repr / json.dumps across magnitudes") {
     // expected strings generated with CPython 3: json.dumps(v)
     val cases = Seq(

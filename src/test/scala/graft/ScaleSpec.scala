@@ -647,4 +647,27 @@ class ScaleSpec extends AnyFunSuite {
     assert(plan.contains("windowspecdefinition(lang") && plan.contains("shard"),
       s"pack window must be (lang, shard)-keyed:\n$plan")
   }
+
+  test("live index serve: term filter is pushed into the postings scan") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-liveidx-plan").toString
+    val cfg = graft.streaming.LiveIndex.Config(root)
+    val docs = Seq((1L, "spark merge window words"), (2L, "other text entirely"))
+      .toDF("doc_id", "text")
+    graft.streaming.LiveIndex.step(docs, 0L, cfg)
+    val serve = graft.streaming.LiveIndex.bm25(spark, cfg,
+      graft.operators.Retrieval.QueryTerms, 10)
+    val plan = serve.queryExecution.executedPlan.toString
+    // the inverted-index payoff: the corpus-shaped postings scan must
+    // arrive at parquet as an In(word, ...) pushed filter (row-group
+    // stats + dictionary pages prune the other 99.99% of terms), and
+    // the df/stats sides must broadcast, not shuffle the postings
+    assert(plan.contains("PushedFilters: [In(word"),
+      s"term filter must reach the postings scan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"df and corpus stats must broadcast into the scoring join:\n$plan")
+    // (the 1-row stats crossJoin plans as a broadcast nested loop —
+    // bounded by construction, same as batch x14)
+    assert(!plan.contains("CartesianProduct"), s"serving must stay keyed:\n$plan")
+  }
 }

@@ -587,6 +587,96 @@ class StreamingSpec extends AnyFunSuite {
       "forgotten content must stay rejected, not re-admitted")
   }
 
+  test("live pipeline: as-of reads pin a snapshot; vacuum deep-deletes tombstoned rows") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-live-vacuum").toString
+    val cfg = graft.streaming.LivePipeline.Config(root)
+    def mkText(tag: String, last: String): String =
+      (1 to 36).map(j => s"${tag}term$j").mkString(" ") + s" the $tag of this is $last"
+    graft.streaming.LivePipeline.seed(Seq(
+      LDoc(1, "en", mkText("alef", "high")), LDoc(2, "en", mkText("bet", "high"))).toDF(), cfg)
+    graft.streaming.LivePipeline.step(Seq(
+      LDoc(100, "en", mkText("gimel", "high")),
+      LDoc(103, "en", mkText("dalet", "high"))).toDF(), 0L, cfg)
+    graft.streaming.LivePipeline.step(Seq(
+      LDoc(200, "en", mkText("he", "high")),
+      LDoc(201, "en", mkText("vav", "high"))).toDF(), 1L, cfg)
+    def packedIds(asOf: Long = Long.MaxValue): Set[Long] =
+      graft.streaming.LivePipeline.packedOutput(spark, cfg, asOf = asOf)
+        .collect().map(_.getAs[Long]("doc_id")).toSet
+    // as-of pins the corpus at a commit point while the intake appends
+    assert(packedIds(asOf = -1L) === Set(1L, 2L))
+    assert(packedIds(asOf = 0L) === Set(1L, 2L, 100L, 103L))
+    assert(packedIds() === Set(1L, 2L, 100L, 103L, 200L, 201L))
+    assert(graft.streaming.LivePipeline.auditOutput(spark, cfg, asOf = 0L)
+      .collect().map(_.getAs[Long]("doc_id")).toSet === Set(1L, 2L, 100L, 103L))
+    // the pinned snapshot is STABLE under later commits (reproducible
+    // training-run reads): re-read after another batch, same rows
+    graft.streaming.LivePipeline.step(Seq(
+      LDoc(300, "en", mkText("zayin", "high"))).toDF(), 2L, cfg)
+    assert(packedIds(asOf = 0L) === Set(1L, 2L, 100L, 103L))
+
+    // forget masks at EVERY as-of (RTBF trumps snapshot pinning)
+    graft.streaming.LivePipeline.forget(spark, cfg, Seq(100L))
+    assert(packedIds(asOf = 0L) === Set(1L, 2L, 103L))
+    def rawDocIds(kind: String): Set[Long] = {
+      val dirs = new java.io.File(s"$root/$kind").listFiles()
+        .filter(_.getName.startsWith("batch=")).map(_.toString)
+      spark.read.parquet(dirs.toIndexedSeq: _*)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    }
+    assert(rawDocIds("packed").contains(100L), "mask alone leaves rows on disk")
+    // vacuum: rows physically gone, applied tombstones retired,
+    // surviving rows and their batch attribution untouched
+    graft.streaming.LivePipeline.vacuum(spark, cfg)
+    assert(!rawDocIds("packed").contains(100L) && !rawDocIds("audit").contains(100L))
+    assert(rawDocIds("packed").contains(103L))
+    assert(new java.io.File(s"$root/tombstones").listFiles() == null ||
+      !new java.io.File(s"$root/tombstones").listFiles().exists(_.getName.startsWith("batch=")))
+    assert(packedIds() === Set(1L, 2L, 103L, 200L, 201L, 300L))
+    assert(graft.streaming.LivePipeline.packedOutput(spark, cfg)
+      .filter(col("doc_id") === 103).collect().map(_.getAs[Long]("batch")).toSeq === Seq(0L))
+    // forgotten content still rejected after the deep delete (the
+    // dedup stores keep the hash)
+    graft.streaming.LivePipeline.step(Seq(
+      LDoc(400, "en", mkText("gimel", "high"))).toDF(), 3L, cfg)
+    assert(graft.streaming.LivePipeline.auditOutput(spark, cfg)
+      .filter(col("doc_id") === 400).collect().map(_.getAs[String]("fate")).toSeq
+      === Seq("dup_of_corpus"))
+
+    // crash-sim: rewrite staging committed, source partition deleted,
+    // rename pending. Readers must substitute the staging (surviving
+    // rows stay visible); the next vacuum completes the rename and
+    // retires the tombstone.
+    graft.streaming.LivePipeline.forget(spark, cfg, Seq(200L))
+    val pdir = s"$root/packed"
+    val pschema = spark.read.parquet(s"$pdir/batch=1").schema
+    spark.read.schema(pschema).parquet(s"$pdir/batch=1")
+      .filter(col("doc_id") =!= 200)
+      .write.mode("overwrite").parquet(s"$pdir/.rewrite-1")
+    val fs = new org.apache.hadoop.fs.Path(pdir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(s"$pdir/batch=1"), true))
+    val subst = graft.streaming.LivePipeline.packedOutput(spark, cfg)
+      .filter(col("doc_id") === 201).collect()
+    assert(subst.map(_.getAs[Long]("batch")).toSeq === Seq(1L),
+      "reader must substitute a committed rewrite staging for its deleted source")
+    // doc 400 was a dup, never packed; 200 masked, 201 substituted
+    assert(packedIds() === Set(1L, 2L, 103L, 201L, 300L))
+    // an INCOMPLETE staging (no _SUCCESS) must be discarded, not read
+    spark.read.schema(pschema).parquet(s"$pdir/batch=0")
+      .write.mode("overwrite").parquet(s"$pdir/.rewrite-0")
+    assert(fs.delete(new org.apache.hadoop.fs.Path(s"$pdir/.rewrite-0/_SUCCESS"), false))
+    graft.streaming.LivePipeline.vacuum(spark, cfg)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$pdir/batch=1")))
+    assert(!new java.io.File(pdir).listFiles().exists(_.getName.startsWith(".rewrite-")))
+    assert(!rawDocIds("packed").contains(200L))
+    assert(packedIds() === Set(1L, 2L, 103L, 201L, 300L))
+    // idempotence: a second vacuum with nothing to do changes nothing
+    graft.streaming.LivePipeline.vacuum(spark, cfg)
+    assert(packedIds() === Set(1L, 2L, 103L, 201L, 300L))
+  }
+
   test("live vectors: streamed index serves the same top-k as a batch-built bucket scan") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
@@ -738,6 +828,60 @@ class StreamingSpec extends AnyFunSuite {
     graft.streaming.LiveCounts.step(Seq("one more").toDF("key"), 3L, cfg)
     assert(!new java.io.File(s"$root/counts/.compact-2").exists)
     assert(totalMap === expected2 + ("one more" -> 1L))
+  }
+
+  test("live index: streamed BM25 postings serve the batch x14 ranking bit-for-bit") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    val root = java.nio.file.Files.createTempDirectory("graft-live-bm25").toString
+    val cfg = graft.streaming.LiveIndex.Config(root)
+    val terms = graft.operators.Retrieval.QueryTerms
+    def ranked(df: org.apache.spark.sql.DataFrame): Seq[(Long, Double, Long)] =
+      df.collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("bm25"),
+        r.getAs[Long]("n_terms_hit"))).toSeq
+    val all = Tables.documents(spark, d).select("doc_id", "lang", "text").collect()
+      .map(r => LDoc(r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(_.doc_id)
+    val batches = all.grouped((all.length + 2) / 3).toSeq
+    val ms = MemoryStream[LDoc]
+    val q = graft.streaming.LiveIndex.start(ms.toDF(), cfg)
+    try {
+      batches.foreach { b => ms.addData(b.toIndexedSeq: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val expected = ranked(graft.operators.Retrieval.bm25(
+      Tables.documents(spark, d), terms, 15))
+    assert(expected.nonEmpty)
+    // bit-for-bit: the serving path routes through the same
+    // bm25FromIndex spelling over exact integer inputs
+    assert(ranked(graft.streaming.LiveIndex.bm25(spark, cfg, terms, 15)) === expected)
+    // compaction folds each store to one partition; serving unchanged
+    graft.streaming.LiveIndex.compact(spark, cfg)
+    def partIds(kind: String): Set[String] =
+      new java.io.File(s"$root/$kind").listFiles().map(_.getName)
+        .filter(_.startsWith("batch=")).toSet
+    assert(partIds("postings") === Set("batch=2") && partIds("doclens") === Set("batch=2"))
+    assert(ranked(graft.streaming.LiveIndex.bm25(spark, cfg, terms, 15)) === expected)
+    // crash between the two store writes: a postings partition whose
+    // batch never committed (no doclens sibling) must not be served —
+    // the doclens horizon excludes it
+    spark.read.parquet(s"$root/postings/batch=2")
+      .write.mode("overwrite").parquet(s"$root/postings/batch=9")
+    assert(ranked(graft.streaming.LiveIndex.bm25(spark, cfg, terms, 15)) === expected)
+    // the replay of that batch overwrites the orphan and commits; the
+    // live ranking then equals the batch operator over the grown corpus
+    val extra = Seq(
+      LDoc(9001, "en", "spark merge window spark query the corpus grows here"),
+      LDoc(9002, "en", "window window merge of a second arriving document"))
+    graft.streaming.LiveIndex.step(extra.toDF(), 9L, cfg)
+    val grown = Tables.documents(spark, d).select("doc_id", "text")
+      .unionByName(extra.toDF().select("doc_id", "text"))
+    assert(ranked(graft.streaming.LiveIndex.bm25(spark, cfg, terms, 15))
+      === ranked(graft.operators.Retrieval.bm25(grown, terms, 15)))
+    // a replayed committed batch id is a no-op (exactly-once)
+    graft.streaming.LiveIndex.step(extra.toDF(), 9L, cfg)
+    assert(ranked(graft.streaming.LiveIndex.bm25(spark, cfg, terms, 15))
+      === ranked(graft.operators.Retrieval.bm25(grown, terms, 15)))
   }
 
   test("live pipeline: a restarted query resumes from its checkpoint without re-packing") {
