@@ -213,12 +213,30 @@ object Curation {
     val byClass = toks.groupBy("word").agg(
       sum(when(col("pos"), 1L).otherwise(0L)).as("c_pos"),
       sum(when(col("pos"), 0L).otherwise(1L)).as("c_neg"))
-    val totals = byClass.agg(
-      sum(col("c_pos")).as("t_pos"), sum(col("c_neg")).as("t_neg"),
-      count(lit(1)).as("v"))
     val prior = labeled.agg(
       sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"),
       sum(when(col("pos"), 0L).otherwise(1L)).as("n_neg"))
+    nbScoreWith(docs, byClass, prior)
+  }
+
+  /** The model-derivation + scoring stages of [[nbClassifier]] over
+    * COUNT TABLES — `byClass(word, c_pos, c_neg)` and
+    * `prior(n_pos, n_neg)`. Every statistic the model needs is
+    * additive over docs, which is what makes NB the classifier a
+    * continuous intake can keep fresh: per-batch count partials
+    * ([[graft.streaming.LiveCounts]]) re-aggregate to these exact
+    * tables, and this entry point derives smoothing totals, per-word
+    * log-odds, and the class prior from whichever frames arrive —
+    * inline (the gate spelling above) or from committed partials (the
+    * live refresh, parity-spec'd). Exact integer counts ⇒ bit-identical
+    * scores either way.
+    */
+  def nbScoreWith(docs: DataFrame, byClass: DataFrame, prior: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("word"))
+    val totals = byClass.agg(
+      sum(col("c_pos")).as("t_pos"), sum(col("c_neg")).as("t_neg"),
+      count(lit(1)).as("v"))
     val wlp = byClass.crossJoin(broadcast(totals))
       .select(col("word"), round(
         log((col("c_pos") + lit(1L)).cast("double") / (col("t_pos") + col("v")).cast("double")) -

@@ -15,7 +15,10 @@ import graft.streaming.LivePipeline
   *  - `GET /admissions` — the admission dashboard: doc counts by fate
   *    over the whole intake history;
   *  - `GET /progress` — per-(lang, shard) packed-token cursors (the
-  *    commit frontier: how much packed corpus exists right now).
+  *    commit frontier: how much packed corpus exists right now);
+  *  - `GET /snapshot?as_of=<batch>` — the reproducible-corpus
+  *    manifest: per-lang doc/token totals a training run pinned at
+  *    that commit point reads (`as_of` omitted = the live frontier).
   *
   * Built like [[HttpServe]] (JDK HttpServer, no dependency, JSON
   * array bodies, wildcard CORS) and, like it, a DEMO-serving tier:
@@ -80,6 +83,15 @@ final class IntakeServe(spark: SparkSession, cfg: LivePipeline.Config,
   server.createContext("/progress", (ex: HttpExchange) => handle(ex) { _ =>
     rowsJson(LivePipeline.packProgress(spark, cfg)
       .orderBy(col("lang"), col("shard")))
+  })
+  server.createContext("/snapshot", (ex: HttpExchange) => handle(ex) { p =>
+    // what a training run pinned at ?as_of=<batch> would read: doc and
+    // token totals per lang — the reproducible-corpus manifest
+    val asOf = p.get("as_of").map(_.toLong).getOrElse(Long.MaxValue)
+    rowsJson(LivePipeline.packedOutput(spark, cfg, asOf = asOf)
+      .groupBy("lang").agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"))
+      .orderBy(col("lang")))
   })
 
   def start(): Unit = server.start()

@@ -128,3 +128,79 @@ object LiveCounts {
     }
   }
 }
+
+/** The x24 Naive Bayes quality classifier kept fresh by a [[LiveCounts]]
+  * store — the model-refresh loop closed for a real MODEL, not just the
+  * d12/x10/x17 literal tables: every statistic NB needs (per-(class,
+  * word) token counts, per-class doc counts) is additive over docs, so
+  * the stream commits batch-sized count partials and the classifier is
+  * REBUILT from their re-aggregation at refresh cadence —
+  * [[graft.operators.Curation.nbScoreWith]] derives smoothing totals,
+  * per-word log-odds, and the prior from the same count tables the
+  * batch training pass computes inline, bit-for-bit (StreamingSpec).
+  *
+  * Key encoding in the shared counts store: token observations as
+  * `p|<word>` / `n|<word>` (class tag + separator at a fixed position,
+  * so any word — including ones containing `|` — decodes
+  * unambiguously), doc observations as the bare keys `P` / `N`
+  * (token keys always carry the 2-char prefix, so no collision).
+  */
+object LiveNb {
+
+  final case class Config(root: String) {
+    private[streaming] def counts: LiveCounts.Config = LiveCounts.Config(root)
+  }
+
+  /** One observation row per token plus one per doc, for a labeled
+    * `(doc_id, text, pos)` batch — the exact observations the batch
+    * training pass aggregates (split on single spaces, empties
+    * INCLUDED, matching [[graft.operators.Curation.nbClassifier]]'s
+    * tokenization verbatim).
+    */
+  private[streaming] def observations(labeled: DataFrame): DataFrame =
+    labeled
+      .select(col("pos"), explode(split(col("text"), " ")).as("word"))
+      .select(concat(when(col("pos"), "p").otherwise("n"), lit("|"), col("word")).as("key"))
+      .unionByName(labeled.select(when(col("pos"), "P").otherwise("N").as("key")))
+
+  /** Start the continuous intake over a streaming labeled frame. */
+  def start(labeled: DataFrame, cfg: Config): StreamingQuery = {
+    val fn: (DataFrame, Long) => Unit = (b, id) => step(b, id, cfg)
+    labeled.writeStream
+      .option("checkpointLocation", s"${cfg.root}/_checkpoint")
+      .foreachBatch(fn)
+      .start()
+  }
+
+  /** One incremental step: the batch's observation partial, committed
+    * through the [[LiveCounts]] store (its replay/fold discipline).
+    */
+  def step(batch: DataFrame, batchId: Long, cfg: Config): Unit =
+    LiveCounts.step(observations(batch), batchId, cfg.counts)
+
+  /** The model's count tables rebuilt from the live totals. */
+  def byClass(s: SparkSession, cfg: Config): DataFrame =
+    LiveCounts.totals(s, cfg.counts)
+      .filter(length(col("key")) >= 2 && substring(col("key"), 2, 1) === "|")
+      .select(substring(col("key"), 1, 1).as("cls"),
+        expr("substring(key, 3)").as("word"), col("n"))
+      .groupBy("word").agg(
+        sum(when(col("cls") === "p", col("n")).otherwise(0L)).as("c_pos"),
+        sum(when(col("cls") === "n", col("n")).otherwise(0L)).as("c_neg"))
+
+  def prior(s: SparkSession, cfg: Config): DataFrame =
+    LiveCounts.totals(s, cfg.counts)
+      .filter(col("key").isin("P", "N"))
+      .agg(sum(when(col("key") === "P", col("n")).otherwise(0L)).as("n_pos"),
+        sum(when(col("key") === "N", col("n")).otherwise(0L)).as("n_neg"))
+
+  /** Score `docs` against the model as of the committed counts — the
+    * x24 serving surface from the continuously-maintained store.
+    */
+  def score(s: SparkSession, cfg: Config, docs: DataFrame): DataFrame =
+    graft.operators.Curation.nbScoreWith(docs, byClass(s, cfg), prior(s, cfg))
+
+  /** Maintenance: fold the underlying counts store. */
+  def compact(s: SparkSession, cfg: Config): Unit =
+    LiveCounts.compact(s, cfg.counts)
+}

@@ -124,6 +124,11 @@ class HttpServeSpec extends AnyFunSuite {
       // pack progress: the latest cursor snapshot, tokens so far
       val (c4, prog) = get(s"$base/progress")
       assert(c4 === 200 && prog.contains("\"lang\":\"en\"") && prog.contains("\"cum\":"))
+      // snapshot manifest: totals at the live frontier and pinned as-of
+      val (c6, snap) = get(s"$base/snapshot")
+      assert(c6 === 200 && snap.contains("\"lang\":\"en\",\"n_docs\":2"))
+      val (c7, snapSeed) = get(s"$base/snapshot?as_of=-1")
+      assert(c7 === 200 && snapSeed.contains("\"n_docs\":1"))
       // missing parameter → 400, CORS grant present
       val (c5, err) = get(s"$base/fate")
       assert(c5 === 400 && err.contains("missing parameter"))

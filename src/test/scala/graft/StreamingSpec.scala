@@ -830,6 +830,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(totalMap === expected2 + ("one more" -> 1L))
   }
 
+  test("live NB: streamed class-count partials rebuild the batch x24 classifier bit-for-bit") {
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val root = java.nio.file.Files.createTempDirectory("graft-live-nb").toString
+    val cfg = graft.streaming.LiveNb.Config(root)
+    val docs = Tables.documents(spark, d).select("doc_id", "lang", "text")
+    val all = docs.collect()
+      .map(r => NDoc(r.getLong(0), r.getString(2), r.getString(1) == "en"))
+      .sortBy(_.doc_id)
+    val batches = all.grouped((all.length + 2) / 3).toSeq
+    batches.zipWithIndex.foreach { case (b, i) =>
+      graft.streaming.LiveNb.step(b.toSeq.toDF(), i.toLong, cfg)
+    }
+    def scored(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double, Boolean)] =
+      df.collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Double]("log_odds"), r.getAs[Boolean]("pred_pos"))).toSet
+    val expected = scored(graft.operators.Curation.nbClassifier(docs, col("lang") === "en"))
+    assert(expected.nonEmpty && expected.exists(_._4) && expected.exists(!_._4),
+      "fixture must produce both verdicts")
+    // the rebuilt model scores bit-for-bit like the inline training
+    // pass: counts are exact integers, the derivation is shared code
+    assert(scored(graft.streaming.LiveNb.score(spark, cfg, docs)) === expected)
+    // a replayed committed batch id must not double-count
+    graft.streaming.LiveNb.step(batches.head.toSeq.toDF(), 0L, cfg)
+    assert(scored(graft.streaming.LiveNb.score(spark, cfg, docs)) === expected)
+    // compaction is the merge; the model survives it unchanged
+    graft.streaming.LiveNb.compact(spark, cfg)
+    assert(scored(graft.streaming.LiveNb.score(spark, cfg, docs)) === expected)
+  }
+
   test("live index: streamed BM25 postings serve the batch x14 ranking bit-for-bit") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
@@ -932,6 +962,7 @@ class StreamingSpec extends AnyFunSuite {
 
 /** Top-level so Seq[LDoc].toDF() can encode without an outer scope. */
 final case class LDoc(doc_id: Long, lang: String, text: String)
+final case class NDoc(doc_id: Long, text: String, pos: Boolean)
 
 /** Top-level for the same encoder reason as [[LDoc]]. */
 final case class VRow(vec_id: Long, embedding: Array[Float], label: Int)
