@@ -120,6 +120,34 @@ object LiveIndex {
   private def horizon(s: SparkSession, cfg: Config): Option[Long] =
     BatchParts.committed(s, s"${cfg.root}/doclens").lastOption.map(_._1)
 
+  private val TombSchema = StructType(Seq(StructField("doc_id", LongType)))
+
+  /** Right-to-be-forgotten for the INDEX: unlike [[LivePipeline]]'s
+    * dedup stores (which deliberately RETAIN forgotten hashes so a
+    * later copy stays rejected), an index SERVES content — a
+    * forgotten doc must leave the results, and because BM25's corpus
+    * statistics are additive over docs, masking its rows makes every
+    * remaining score EXACTLY what a from-scratch index over the
+    * surviving corpus would compute (df, n_docs, total_tokens all
+    * shrink by the doc's contribution — parity spec'd). Tombstones
+    * are a tiny keyed table anti-joined into both store reads;
+    * [[compact]] applies them physically and retires the applied
+    * partitions, bounding the mask.
+    */
+  def forget(s: SparkSession, cfg: Config, docIds: Seq[Long]): Unit = {
+    val next = BatchParts.committed(s, s"${cfg.root}/tombstones")
+      .lastOption.map(_._1 + 1).getOrElse(0L)
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(docIds.map(Row(_)).asJava, TombSchema)
+      .write.mode("overwrite").parquet(s"${cfg.root}/tombstones/batch=$next")
+  }
+
+  private def tombstones(s: SparkSession, cfg: Config): DataFrame = {
+    val dirs = BatchParts.committed(s, s"${cfg.root}/tombstones").map(_._2)
+    if (dirs.isEmpty) s.createDataFrame(s.sparkContext.emptyRDD[Row], TombSchema)
+    else s.read.schema(TombSchema).parquet(dirs: _*)
+  }
+
   /** Top-`n` BM25 over the live index for keyword query `terms` — the
     * x14 serving surface from the continuously-maintained store.
     * Postings of the last attempted-but-uncommitted batch (crash
@@ -129,10 +157,13 @@ object LiveIndex {
   def bm25(s: SparkSession, cfg: Config, terms: Seq[String], n: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val h = horizon(s, cfg).getOrElse(Long.MinValue)
+    val tomb = broadcast(tombstones(s, cfg))
     val dl = readStore(s, s"${cfg.root}/doclens", DoclenSchema, h)
+      .join(tomb, Seq("doc_id"), "left_anti")
     val tf = readStore(s, s"${cfg.root}/postings", PostingSchema, h)
       .filter(col("word").isin(terms: _*))
       .select("doc_id", "word", "tf")
+      .join(tomb, Seq("doc_id"), "left_anti")
     Retrieval.bm25FromIndex(tf, dl, k1, b)
       .orderBy(col("bm25").desc, col("doc_id"))
       .limit(n)
@@ -147,21 +178,39 @@ object LiveIndex {
     * The two folds are independent relations — a crash between them
     * leaves one folded and one not, which readers assemble
     * identically.
+    *
+    * Compaction is also where [[forget]]'s tombstones are applied
+    * PHYSICALLY (the fold anti-joins them out) and then retired —
+    * only the partitions read at entry, and only after both folds:
+    * a crash between the folds leaves the tombstones in place, still
+    * masking the unfolded store, and the re-run's anti-join on the
+    * already-clean store is a no-op. Until a compaction applies them,
+    * a re-arrival of a forgotten doc_id is dropped like any
+    * already-indexed id (the store row still exists, masked); after
+    * retirement the id is free to be indexed anew.
     */
   def compact(s: SparkSession, cfg: Config): Unit = horizon(s, cfg).foreach { h =>
+    val tombParts = BatchParts.committed(s, s"${cfg.root}/tombstones")
+    val tomb = broadcast(tombstones(s, cfg))
     for ((kind, schema, keys) <- Seq(
         ("postings", PostingSchema, Seq("word", "doc_id")),
         ("doclens", DoclenSchema, Seq("doc_id")))) {
       val dir = s"${cfg.root}/$kind"
       BatchParts.recoverFold(s, dir)
       val parts = BatchParts.committed(s, dir).filter(_._1 <= h)
-      if (parts.length > 1) {
+      if (parts.length > 1 || (parts.nonEmpty && tombParts.nonEmpty)) {
         val m = parts.last._1
         s.read.schema(schema).parquet(parts.map(_._2): _*)
           .dropDuplicates(keys)
+          .join(tomb, Seq("doc_id"), "left_anti")
           .write.mode("overwrite").parquet(BatchParts.stagingPath(dir, m))
         BatchParts.rollForward(s, dir, m)
       }
+    }
+    val fs = new org.apache.hadoop.fs.Path(cfg.root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    tombParts.foreach { case (_, p) =>
+      fs.delete(new org.apache.hadoop.fs.Path(p), true); ()
     }
   }
 }

@@ -130,13 +130,42 @@ object LiveVectors {
     } finally { fresh.unpersist(); () }
   }
 
+  private val TombSchema = StructType(Seq(StructField("vec_id", LongType)))
+
+  /** Right-to-be-forgotten for the vector index: tombstoned vec_ids
+    * leave every [[topK]] result immediately (a broadcast anti-join in
+    * [[index]]), and [[compact]] removes their rows physically and
+    * retires the applied tombstone partitions. Like [[LiveIndex]] and
+    * unlike the dedup stores, an index SERVES content — forgetting
+    * must actually empty the shelf. A re-arrival of a forgotten
+    * vec_id is dropped until a compaction applies the tombstones
+    * (the store row still exists, masked); after retirement the id
+    * can be indexed anew.
+    */
+  def forget(s: SparkSession, cfg: Config, vecIds: Seq[Long]): Unit = {
+    val next = BatchParts.committed(s, s"${cfg.root}/tombstones")
+      .lastOption.map(_._1 + 1).getOrElse(0L)
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(vecIds.map(Row(_)).asJava, TombSchema)
+      .write.mode("overwrite").parquet(s"${cfg.root}/tombstones/batch=$next")
+  }
+
+  private def tombstones(s: SparkSession, cfg: Config): DataFrame = {
+    val dirs = BatchParts.committed(s, s"${cfg.root}/tombstones").map(_._2)
+    if (dirs.isEmpty) s.createDataFrame(s.sparkContext.emptyRDD[Row], TombSchema)
+    else s.read.schema(TombSchema).parquet(dirs: _*)
+  }
+
   /** The index as one partitioned relation — reader-side, so a pending
     * fold is SUBSTITUTED for the partitions it supersedes, never
     * completed or deleted from here (see [[BatchParts]]' mode
     * contract; a serving read must not mutate under the maintenance
-    * owner).
+    * owner). Tombstoned vec_ids are masked out ([[forget]]).
     */
-  def index(s: SparkSession, cfg: Config): DataFrame = {
+  def index(s: SparkSession, cfg: Config): DataFrame =
+    rawIndex(s, cfg).join(broadcast(tombstones(s, cfg)), Seq("vec_id"), "left_anti")
+
+  private def rawIndex(s: SparkSession, cfg: Config): DataFrame = {
     val dir = s"${cfg.root}/sigs"
     val parts = BatchParts.committed(s, dir)
     BatchParts.pendingFold(s, dir) match {
@@ -171,16 +200,24 @@ object LiveVectors {
     val dir = s"${cfg.root}/sigs"
     BatchParts.recoverFold(s, dir)
     val parts = BatchParts.committed(s, dir)
-    if (parts.length > 1) {
+    // the fold also applies forget()'s tombstones physically and
+    // retires them AFTER the fold commits (a crash before the
+    // roll-forward leaves them in place, still masking; the re-run's
+    // anti-join on the already-clean fold is a no-op)
+    val tombParts = BatchParts.committed(s, s"${cfg.root}/tombstones")
+    if (parts.length > 1 || (parts.nonEmpty && tombParts.nonEmpty)) {
       val m = parts.last._1
       s.read.option("basePath", dir).schema(SigSchema)
         .parquet(parts.map(_._2): _*)
         .drop("batch").dropDuplicates("vec_id")
+        .join(broadcast(tombstones(s, cfg)), Seq("vec_id"), "left_anti")
         .repartition(col("bucket"))
         .write.mode("overwrite").partitionBy("bucket")
         .parquet(BatchParts.stagingPath(dir, m))
       BatchParts.rollForward(s, dir, m)
     }
+    val fs = new Path(cfg.root).getFileSystem(s.sparkContext.hadoopConfiguration)
+    tombParts.foreach { case (_, p) => fs.delete(new Path(p), true); () }
   }
 
   private def ad(a: Array[Float]) =

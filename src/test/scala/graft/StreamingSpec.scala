@@ -766,6 +766,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(gotStaged.toSeq === expected.toSeq, "staged-fold top-k parity")
     assert(new java.io.File(s"$root/sigs/.compact-$mId").exists,
       "reads must not complete or delete a pending fold")
+    // right-to-be-forgotten: the top hit leaves topK immediately; the
+    // next compaction (which first completes the pending fold above)
+    // removes its rows physically and retires the tombstones
+    val gone = expected.head._1
+    graft.streaming.LiveVectors.forget(spark, cfg, Seq(gone))
+    def topIds() = graft.streaming.LiveVectors.topK(spark, cfg, q, k = 10)
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(!topIds().contains(gone) &&
+      topIds().take(9) === expected.tail.map(_._1).toSeq,
+      "forgotten vector must leave the ranking, survivors keep their order")
+    graft.streaming.LiveVectors.compact(spark, cfg)
+    assert(graft.streaming.LiveVectors.index(spark, cfg).count()
+      === corpus.length.toLong - 1)
+    val rawIds = spark.read.parquet(new java.io.File(s"$root/sigs").listFiles()
+        .filter(_.getName.startsWith("batch=")).map(_.toString).toIndexedSeq: _*)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(!rawIds.contains(gone), "forgotten vector must be physically gone")
+    assert(new java.io.File(s"$root/tombstones").listFiles() == null ||
+      !new java.io.File(s"$root/tombstones").listFiles().exists(_.getName.startsWith("batch=")))
+    assert(!topIds().contains(gone) && topIds().take(9) === expected.tail.map(_._1).toSeq)
   }
 
   test("live counts: streamed partials re-aggregate to the batch answer; d12 df parity") {
@@ -912,6 +932,33 @@ class StreamingSpec extends AnyFunSuite {
     graft.streaming.LiveIndex.step(extra.toDF(), 9L, cfg)
     assert(ranked(graft.streaming.LiveIndex.bm25(spark, cfg, terms, 15))
       === ranked(graft.operators.Retrieval.bm25(grown, terms, 15)))
+    // right-to-be-forgotten: the top-ranked doc leaves the results, and
+    // because BM25's corpus stats are additive over docs, every
+    // surviving score equals a FROM-SCRATCH index over the corpus
+    // without it (df, n_docs, total_tokens all shrink exactly)
+    val goneDoc = ranked(graft.streaming.LiveIndex.bm25(spark, cfg, terms, 15)).head._1
+    graft.streaming.LiveIndex.forget(spark, cfg, Seq(goneDoc))
+    val without = ranked(graft.operators.Retrieval.bm25(
+      grown.filter(col("doc_id") =!= goneDoc), terms, 15))
+    assert(ranked(graft.streaming.LiveIndex.bm25(spark, cfg, terms, 15)) === without)
+    // compaction applies the tombstones physically and retires them
+    graft.streaming.LiveIndex.compact(spark, cfg)
+    val rawPostingDocs = spark.read.parquet(
+        new java.io.File(s"$root/postings").listFiles()
+          .filter(_.getName.startsWith("batch=")).map(_.toString).toIndexedSeq: _*)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!rawPostingDocs.contains(goneDoc), "forgotten postings must be physically gone")
+    assert(new java.io.File(s"$root/tombstones").listFiles() == null ||
+      !new java.io.File(s"$root/tombstones").listFiles().exists(_.getName.startsWith("batch=")))
+    assert(ranked(graft.streaming.LiveIndex.bm25(spark, cfg, terms, 15)) === without)
+    // after retirement the id is free to be indexed anew
+    val goneText = grown.filter(col("doc_id") === goneDoc)
+      .collect().head.getAs[String]("text")
+    graft.streaming.LiveIndex.step(
+      Seq((goneDoc, goneText)).toDF("doc_id", "text"), 10L, cfg)
+    assert(ranked(graft.streaming.LiveIndex.bm25(spark, cfg, terms, 15))
+      === ranked(graft.operators.Retrieval.bm25(grown, terms, 15)),
+      "a re-arrival after tombstone retirement must re-index")
   }
 
   test("live pipeline: a restarted query resumes from its checkpoint without re-packing") {
