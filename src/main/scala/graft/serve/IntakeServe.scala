@@ -18,7 +18,11 @@ import graft.streaming.LivePipeline
   *    commit frontier: how much packed corpus exists right now);
   *  - `GET /snapshot?as_of=<batch>` — the reproducible-corpus
   *    manifest: per-lang doc/token totals a training run pinned at
-  *    that commit point reads (`as_of` omitted = the live frontier).
+  *    that commit point reads (`as_of` omitted = the live frontier);
+  *  - `GET /search?q=<terms>&k=<n>` (when constructed with the
+  *    composed stack's index config) — BM25 over the CURATED corpus:
+  *    only admitted docs are indexed, so a hit implies membership in
+  *    the training pack.
   *
   * Built like [[HttpServe]] (JDK HttpServer, no dependency, JSON
   * array bodies, wildcard CORS) and, like it, a DEMO-serving tier:
@@ -33,7 +37,8 @@ import graft.streaming.LivePipeline
   * shape.
   */
 final class IntakeServe(spark: SparkSession, cfg: LivePipeline.Config,
-    port: Int = 0) {
+    port: Int = 0,
+    index: Option[graft.streaming.LiveIndex.Config] = None) {
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
 
@@ -84,6 +89,16 @@ final class IntakeServe(spark: SparkSession, cfg: LivePipeline.Config,
     rowsJson(LivePipeline.packProgress(spark, cfg)
       .orderBy(col("lang"), col("shard")))
   })
+  // keyword search over the curated corpus, when the intake runs the
+  // composed stack (LivePipeline.startWithIndex): only ADMITTED docs
+  // are indexed, so a result here implies the doc is in the pack
+  index.foreach { idx =>
+    server.createContext("/search", (ex: HttpExchange) => handle(ex) { p =>
+      val terms = p("q").split("\\s+").toSeq.filter(_.nonEmpty)
+      val k = p.getOrElse("k", "10").toInt
+      rowsJson(graft.streaming.LiveIndex.bm25(spark, idx, terms, k))
+    })
+  }
   server.createContext("/snapshot", (ex: HttpExchange) => handle(ex) { p =>
     // what a training run pinned at ?as_of=<batch> would read: doc and
     // token totals per lang — the reproducible-corpus manifest

@@ -137,6 +137,47 @@ object LivePipeline {
       .start()
   }
 
+  /** One micro-batch through the composed live stack: the curate→
+    * dedup→pack intake, then THIS batch's admitted docs into the BM25
+    * index — so retrieval serves exactly the curated corpus (dropped
+    * docs never pollute the index, and a doc's searchability implies
+    * it is in the training pack). Exactly-once composes per store:
+    * each adjudicates the batch id against its OWN commit marker, so
+    * a crash between the two steps replays only the incomplete one —
+    * the intake's replay is a no-op and the admitted set is re-read
+    * from its committed partition.
+    */
+  def stepWithIndex(batch: DataFrame, batchId: Long, cfg: Config,
+      idx: LiveIndex.Config): Unit = {
+    step(batch, batchId, cfg)
+    val s = batch.sparkSession
+    val admitted = readOutput(s, s"${cfg.root}/packed", PackedSchema,
+      batchId, batchId).select("doc_id")
+    LiveIndex.step(batch.join(admitted, Seq("doc_id"), "left_semi"),
+      batchId, idx)
+  }
+
+  /** [[seed]] with the composed step, so the existing corpus's
+    * admitted docs are searchable too (pseudo-batch −1 in both
+    * stores).
+    */
+  def seedWithIndex(existing: DataFrame, cfg: Config,
+      idx: LiveIndex.Config): Unit = {
+    val s = existing.sparkSession
+    if (committedParts(s, s"${cfg.root}/cursors").isEmpty)
+      stepWithIndex(existing, -1L, cfg, idx)
+  }
+
+  /** [[start]] with the composed intake+index step. */
+  def startWithIndex(docs: DataFrame, cfg: Config,
+      idx: LiveIndex.Config): StreamingQuery = {
+    val fn: (DataFrame, Long) => Unit = (b, id) => stepWithIndex(b, id, cfg, idx)
+    docs.writeStream
+      .option("checkpointLocation", s"${cfg.root}/_checkpoint")
+      .foreachBatch(fn)
+      .start()
+  }
+
   /** Seed the stores from an EXISTING corpus (the d13 "existing" side)
     * by running the same step as pseudo-batch −1 — one code path for
     * seed and stream, so the existing corpus is curated, deduped, and

@@ -135,6 +135,22 @@ class HttpServeSpec extends AnyFunSuite {
       val (_, _, headers) = get3(s"$base/admissions")
       assert(headers.get("access-control-allow-origin").contains("*"))
     } finally srv.stop()
+
+    // with the composed stack's index config, /search serves BM25 over
+    // the curated corpus
+    val iroot = java.nio.file.Files.createTempDirectory("graft-intake-idx").toString
+    val idx = graft.streaming.LiveIndex.Config(iroot)
+    graft.streaming.LiveIndex.step(
+      Seq((100L, mkText("sigma", "high"))).toDF("doc_id", "text"), 0L, idx)
+    val srv2 = new graft.serve.IntakeServe(spark, cfg, index = Some(idx))
+    srv2.start()
+    try {
+      val base2 = s"http://127.0.0.1:${srv2.boundPort}"
+      val (c8, hits) = get(s"$base2/search?q=the%20of&k=5")
+      assert(c8 === 200 && hits.contains("\"doc_id\":100") && hits.contains("\"bm25\":"))
+      val (c9, err2) = get(s"$base2/search")
+      assert(c9 === 400 && err2.contains("missing parameter"))
+    } finally srv2.stop()
   }
 
   test("pyDouble matches CPython float repr / json.dumps across magnitudes") {

@@ -961,6 +961,48 @@ class StreamingSpec extends AnyFunSuite {
       "a re-arrival after tombstone retirement must re-index")
   }
 
+  test("composed stack: only admitted docs are searchable; index serves the curated corpus") {
+    import spark.implicits._
+    val proot = java.nio.file.Files.createTempDirectory("graft-stack-pipe").toString
+    val iroot = java.nio.file.Files.createTempDirectory("graft-stack-idx").toString
+    val cfg = graft.streaming.LivePipeline.Config(proot)
+    val idx = graft.streaming.LiveIndex.Config(iroot)
+    def mkText(tag: String, last: String): String =
+      (1 to 36).map(j => s"${tag}tok$j").mkString(" ") + s" the $tag of this is $last"
+    val e1 = LDoc(1, "en", mkText("alpha", "high"))
+    val e2 = LDoc(2, "en", mkText("beta", "high"))
+    graft.streaming.LivePipeline.seedWithIndex(Seq(e1, e2).toDF(), cfg, idx)
+    val d100 = LDoc(100, "en", mkText("gamma", "high"))
+    graft.streaming.LivePipeline.stepWithIndex(Seq(
+      d100,
+      LDoc(101, "en", e1.text),            // dup_of_corpus
+      LDoc(102, "en", "tiny text"),        // low_quality
+      LDoc(103, "en", mkText("beta", "low")) // near_dup of e2, gated
+    ).toDF(), 0L, cfg, idx)
+    val fates = graft.streaming.LivePipeline.auditOutput(spark, cfg)
+      .filter(col("batch") === 0).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("fate")).toMap
+    assert(fates === Map(100L -> "admitted", 101L -> "dup_of_corpus",
+      102L -> "low_quality", 103L -> "near_dup"))
+    // a crash BETWEEN the two steps replays only the incomplete one:
+    // the intake commits batch 1, the index misses it, the composed
+    // replay catches the index up off the committed admitted set
+    val d200 = LDoc(200, "en", mkText("delta", "high"))
+    graft.streaming.LivePipeline.step(Seq(d200).toDF(), 1L, cfg)
+    graft.streaming.LivePipeline.stepWithIndex(Seq(d200).toDF(), 1L, cfg, idx)
+    // searchability == admission: the index serves exactly the pack
+    val admitted = Seq(e1, e2, d100, d200)
+    val terms = Seq("the", "of", "is")
+    def ranked(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("bm25"))).toSeq
+    val got = ranked(graft.streaming.LiveIndex.bm25(spark, idx, terms, 10))
+    assert(got.map(_._1).toSet === Set(1L, 2L, 100L, 200L),
+      "exactly the admitted docs must be searchable")
+    assert(got === ranked(graft.operators.Retrieval.bm25(
+      admitted.toDF().select("doc_id", "text"), terms, 10)),
+      "index must equal a batch BM25 over the curated corpus")
+  }
+
   test("live pipeline: a restarted query resumes from its checkpoint without re-packing") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-live-restart").toString
