@@ -32,8 +32,12 @@ object Retrieval {
   /** Fixed keyword query (terms from the corpus vocabulary). */
   val QueryTerms: Seq[String] = Seq("spark", "merge", "window")
 
-  private val K1 = 1.2
-  private val B  = 0.75
+  /** Okapi defaults — shared with [[graft.streaming.LiveIndex]] so the
+    * batch and live serving paths cannot silently diverge on
+    * parameters.
+    */
+  private[graft] val K1 = 1.2
+  private[graft] val B  = 0.75
 
   /** Public BM25 operator: top-`n` docs from `docs` (needs `doc_id`,
     * `text`) for keyword query `terms`, with Okapi parameters `k1`/`b`.

@@ -1,8 +1,8 @@
 package graft.serve
 
-import java.net.{InetSocketAddress, URLDecoder}
+import java.net.InetSocketAddress
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
-import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.pipeline.Serve
 
@@ -34,21 +34,9 @@ final class HttpServe(payments: DataFrame, port: Int = 0,
   /** Actual bound port (pass port=0 for an ephemeral one). */
   def boundPort: Int = server.getAddress.getPort
 
-  private def params(ex: HttpExchange): Map[String, String] =
-    Option(ex.getRequestURI.getRawQuery).getOrElse("").split("&").toSeq
-      .filter(_.contains("="))
-      .map { kv =>
-        val Array(k, v) = kv.split("=", 2)
-        URLDecoder.decode(k, "UTF-8") -> URLDecoder.decode(v, "UTF-8")
-      }.toMap
-
   private def rowsJson(df: DataFrame): String = {
     val shaped = df.withColumn("time", col("date")).drop("date")
-    if (referenceShape) prettyConcat(shaped)
-    else shaped.select(to_json(struct(shaped.columns.map(col): _*)))
-      .as[String](Encoders.STRING)
-      .collect()
-      .mkString("[", ",", "]")
+    if (referenceShape) prettyConcat(shaped) else Facade.arrayJson(shaped)
   }
 
   private def jsonEscape(s: String): String = s.flatMap {
@@ -85,28 +73,10 @@ final class HttpServe(payments: DataFrame, port: Int = 0,
     }.mkString("")
   }
 
-  private def handle(ex: HttpExchange)(body: Map[String, String] => String): Unit = {
-    val (code, bytes) =
-      try (200, body(params(ex)).getBytes("UTF-8"))
-      catch {
-        case e: NoSuchElementException =>
-          (400, s"""{"error":"missing parameter: ${e.getMessage}"}""".getBytes("UTF-8"))
-        case e: Exception =>
-          (500, s"""{"error":"${e.getClass.getSimpleName}"}""".getBytes("UTF-8"))
-      }
-    ex.getResponseHeaders.set("Content-Type", "application/json")
-    // flask_cors.CORS(app) parity (sample/main.py:11): browser clients
-    // of the sample API rely on the wildcard CORS grant
-    ex.getResponseHeaders.set("Access-Control-Allow-Origin", "*")
-    ex.sendResponseHeaders(code, bytes.length.toLong)
-    val os = ex.getResponseBody
-    try os.write(bytes) finally os.close()
-  }
-
-  server.createContext("/payments", (ex: HttpExchange) => handle(ex) { p =>
+  server.createContext("/payments", (ex: HttpExchange) => Facade.handle(ex) { p =>
     rowsJson(Serve.paymentsBySource(payments, p("source"), p.getOrElse("limit", "20").toInt))
   })
-  server.createContext("/tx", (ex: HttpExchange) => handle(ex) { p =>
+  server.createContext("/tx", (ex: HttpExchange) => Facade.handle(ex) { p =>
     rowsJson(Serve.txByHash(payments, p("id")))
   })
 

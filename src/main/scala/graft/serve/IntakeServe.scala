@@ -1,8 +1,8 @@
 package graft.serve
 
-import java.net.{InetSocketAddress, URLDecoder}
+import java.net.InetSocketAddress
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
-import org.apache.spark.sql.{Encoders, SparkSession}
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.streaming.LivePipeline
 
@@ -44,48 +44,21 @@ final class IntakeServe(spark: SparkSession, cfg: LivePipeline.Config,
 
   def boundPort: Int = server.getAddress.getPort
 
-  private def params(ex: HttpExchange): Map[String, String] =
-    Option(ex.getRequestURI.getRawQuery).getOrElse("").split("&").toSeq
-      .filter(_.contains("="))
-      .map { kv =>
-        val Array(k, v) = kv.split("=", 2)
-        URLDecoder.decode(k, "UTF-8") -> URLDecoder.decode(v, "UTF-8")
-      }.toMap
-
   private def rowsJson(df: org.apache.spark.sql.DataFrame): String =
-    df.select(to_json(struct(df.columns.map(col): _*)))
-      .as[String](Encoders.STRING)
-      .collect()
-      .mkString("[", ",", "]")
+    Facade.arrayJson(df)
 
-  private def handle(ex: HttpExchange)(body: Map[String, String] => String): Unit = {
-    val (code, bytes) =
-      try (200, body(params(ex)).getBytes("UTF-8"))
-      catch {
-        case e: NoSuchElementException =>
-          (400, s"""{"error":"missing parameter: ${e.getMessage}"}""".getBytes("UTF-8"))
-        case e: Exception =>
-          (500, s"""{"error":"${e.getClass.getSimpleName}"}""".getBytes("UTF-8"))
-      }
-    ex.getResponseHeaders.set("Content-Type", "application/json")
-    ex.getResponseHeaders.set("Access-Control-Allow-Origin", "*")
-    ex.sendResponseHeaders(code, bytes.length.toLong)
-    val os = ex.getResponseBody
-    try os.write(bytes) finally os.close()
-  }
-
-  server.createContext("/fate", (ex: HttpExchange) => handle(ex) { p =>
+  server.createContext("/fate", (ex: HttpExchange) => Facade.handle(ex) { p =>
     val id = p("doc_id").toLong
     rowsJson(LivePipeline.auditOutput(spark, cfg)
       .filter(col("doc_id") === id)
       .select("doc_id", "fate", "quality_score", "batch"))
   })
-  server.createContext("/admissions", (ex: HttpExchange) => handle(ex) { _ =>
+  server.createContext("/admissions", (ex: HttpExchange) => Facade.handle(ex) { _ =>
     rowsJson(LivePipeline.auditOutput(spark, cfg)
       .groupBy("fate").agg(count(lit(1)).as("n_docs"))
       .orderBy(col("fate")))
   })
-  server.createContext("/progress", (ex: HttpExchange) => handle(ex) { _ =>
+  server.createContext("/progress", (ex: HttpExchange) => Facade.handle(ex) { _ =>
     rowsJson(LivePipeline.packProgress(spark, cfg)
       .orderBy(col("lang"), col("shard")))
   })
@@ -93,13 +66,13 @@ final class IntakeServe(spark: SparkSession, cfg: LivePipeline.Config,
   // composed stack (LivePipeline.startWithIndex): only ADMITTED docs
   // are indexed, so a result here implies the doc is in the pack
   index.foreach { idx =>
-    server.createContext("/search", (ex: HttpExchange) => handle(ex) { p =>
+    server.createContext("/search", (ex: HttpExchange) => Facade.handle(ex) { p =>
       val terms = p("q").split("\\s+").toSeq.filter(_.nonEmpty)
       val k = p.getOrElse("k", "10").toInt
       rowsJson(graft.streaming.LiveIndex.bm25(spark, idx, terms, k))
     })
   }
-  server.createContext("/snapshot", (ex: HttpExchange) => handle(ex) { p =>
+  server.createContext("/snapshot", (ex: HttpExchange) => Facade.handle(ex) { p =>
     // what a training run pinned at ?as_of=<batch> would read: doc and
     // token totals per lang — the reproducible-corpus manifest
     val asOf = p.get("as_of").map(_.toLong).getOrElse(Long.MaxValue)

@@ -195,10 +195,19 @@ object LiveNb {
         sum(when(col("key") === "N", col("n")).otherwise(0L)).as("n_neg"))
 
   /** Score `docs` against the model as of the committed counts — the
-    * x24 serving surface from the continuously-maintained store.
+    * x24 serving surface from the continuously-maintained store. The
+    * prior is two numbers: it is collected up front off a key-pushed
+    * filter scan (bounded planning state, parquet row-group stats
+    * prune everything but the `P`/`N` rows) so the scoring plan
+    * carries ONE totals re-aggregation over the store ([[byClass]]),
+    * not two independent full scans.
     */
-  def score(s: SparkSession, cfg: Config, docs: DataFrame): DataFrame =
-    graft.operators.Curation.nbScoreWith(docs, byClass(s, cfg), prior(s, cfg))
+  def score(s: SparkSession, cfg: Config, docs: DataFrame): DataFrame = {
+    val prRow = prior(s, cfg).collect().head
+    import scala.jdk.CollectionConverters._
+    val prLit = s.createDataFrame(Seq(prRow).asJava, prRow.schema)
+    graft.operators.Curation.nbScoreWith(docs, byClass(s, cfg), prLit)
+  }
 
   /** Maintenance: fold the underlying counts store. */
   def compact(s: SparkSession, cfg: Config): Unit =

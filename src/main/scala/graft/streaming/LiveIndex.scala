@@ -82,9 +82,14 @@ object LiveIndex {
       case dirs => s.read.schema(DoclenSchema).parquet(dirs: _*).select("doc_id")
     }
     // the token explode feeds both commits — cache it so each batch
-    // tokenizes once, not twice
+    // tokenizes once, not twice. Tombstoned ids are excluded too: an
+    // arrival of a forgotten id stays dropped until the tombstones are
+    // retired, so the compact-crash window (rows applied, tombstones
+    // not yet deleted) can never erase a legitimately re-admitted doc
+    // — nothing is admitted under a live tombstone.
     val toks = batch.dropDuplicates("doc_id")
       .join(indexed, Seq("doc_id"), "left_anti")
+      .join(broadcast(tombstones(s, cfg)), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -116,9 +121,19 @@ object LiveIndex {
       .getOrElse(s.createDataFrame(s.sparkContext.emptyRDD[Row], schema))
   }
 
-  /** Last committed batch id (the serving horizon), if any. */
-  private def horizon(s: SparkSession, cfg: Config): Option[Long] =
-    BatchParts.committed(s, s"${cfg.root}/doclens").lastOption.map(_._1)
+  /** Last committed batch id (the serving horizon), if any. A
+    * completed-but-unrenamed doclens fold counts: during the
+    * roll-forward's delete→rename window the committed listing can be
+    * EMPTY while the staging holds the whole store, and a reader that
+    * answered "no horizon" there would serve zero results (readStore
+    * already substitutes the staging — the horizon must agree with
+    * it).
+    */
+  private def horizon(s: SparkSession, cfg: Config): Option[Long] = {
+    val dir = s"${cfg.root}/doclens"
+    (BatchParts.committed(s, dir).lastOption.map(_._1) ++
+      BatchParts.pendingFold(s, dir).map(_._1)).maxOption
+  }
 
   private val TombSchema = StructType(Seq(StructField("doc_id", LongType)))
 
@@ -155,7 +170,7 @@ object LiveIndex {
     * horizon; everything else is [[Retrieval.bm25FromIndex]].
     */
   def bm25(s: SparkSession, cfg: Config, terms: Seq[String], n: Int,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k1: Double = Retrieval.K1, b: Double = Retrieval.B): DataFrame = {
     val h = horizon(s, cfg).getOrElse(Long.MinValue)
     val tomb = broadcast(tombstones(s, cfg))
     val dl = readStore(s, s"${cfg.root}/doclens", DoclenSchema, h)
@@ -189,28 +204,36 @@ object LiveIndex {
     * already-indexed id (the store row still exists, masked); after
     * retirement the id is free to be indexed anew.
     */
-  def compact(s: SparkSession, cfg: Config): Unit = horizon(s, cfg).foreach { h =>
-    val tombParts = BatchParts.committed(s, s"${cfg.root}/tombstones")
-    val tomb = broadcast(tombstones(s, cfg))
-    for ((kind, schema, keys) <- Seq(
-        ("postings", PostingSchema, Seq("word", "doc_id")),
-        ("doclens", DoclenSchema, Seq("doc_id")))) {
-      val dir = s"${cfg.root}/$kind"
-      BatchParts.recoverFold(s, dir)
-      val parts = BatchParts.committed(s, dir).filter(_._1 <= h)
-      if (parts.length > 1 || (parts.nonEmpty && tombParts.nonEmpty)) {
-        val m = parts.last._1
-        s.read.schema(schema).parquet(parts.map(_._2): _*)
-          .dropDuplicates(keys)
-          .join(tomb, Seq("doc_id"), "left_anti")
-          .write.mode("overwrite").parquet(BatchParts.stagingPath(dir, m))
-        BatchParts.rollForward(s, dir, m)
+  def compact(s: SparkSession, cfg: Config): Unit = {
+    // recovery FIRST, horizon after: a compact that crashed between a
+    // fold's source deletes and its rename leaves the committed
+    // listing empty — a horizon computed before the recovery would
+    // read None and skip the body, including the recovery itself,
+    // wedging the store forever
+    Seq("postings", "doclens").foreach(k =>
+      BatchParts.recoverFold(s, s"${cfg.root}/$k"))
+    horizon(s, cfg).foreach { h =>
+      val tombParts = BatchParts.committed(s, s"${cfg.root}/tombstones")
+      val tomb = broadcast(tombstones(s, cfg))
+      for ((kind, schema, keys) <- Seq(
+          ("postings", PostingSchema, Seq("word", "doc_id")),
+          ("doclens", DoclenSchema, Seq("doc_id")))) {
+        val dir = s"${cfg.root}/$kind"
+        val parts = BatchParts.committed(s, dir).filter(_._1 <= h)
+        if (parts.length > 1 || (parts.nonEmpty && tombParts.nonEmpty)) {
+          val m = parts.last._1
+          s.read.schema(schema).parquet(parts.map(_._2): _*)
+            .dropDuplicates(keys)
+            .join(tomb, Seq("doc_id"), "left_anti")
+            .write.mode("overwrite").parquet(BatchParts.stagingPath(dir, m))
+          BatchParts.rollForward(s, dir, m)
+        }
       }
-    }
-    val fs = new org.apache.hadoop.fs.Path(cfg.root)
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
-    tombParts.foreach { case (_, p) =>
-      fs.delete(new org.apache.hadoop.fs.Path(p), true); ()
+      val fs = new org.apache.hadoop.fs.Path(cfg.root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      tombParts.foreach { case (_, p) =>
+        fs.delete(new org.apache.hadoop.fs.Path(p), true); ()
+      }
     }
   }
 }

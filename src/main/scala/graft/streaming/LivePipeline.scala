@@ -159,12 +159,19 @@ object LivePipeline {
 
   /** [[seed]] with the composed step, so the existing corpus's
     * admitted docs are searchable too (pseudo-batch −1 in both
-    * stores).
+    * stores). Crash-safe across the two store commits: if the intake
+    * seed committed but the index leg didn't (a crashed composed
+    * seed), re-running re-drives only the index leg — [[stepWithIndex]]
+    * adjudicates each store's own marker, and the intake side of the
+    * replay is a no-op. Only a store whose cursor history no longer
+    * names batch −1 (a later compaction pruned the snapshot) skips
+    * outright, so run the re-seed before maintenance on restart.
     */
   def seedWithIndex(existing: DataFrame, cfg: Config,
       idx: LiveIndex.Config): Unit = {
     val s = existing.sparkSession
-    if (committedParts(s, s"${cfg.root}/cursors").isEmpty)
+    val cur = committedParts(s, s"${cfg.root}/cursors")
+    if (cur.isEmpty || cur.exists(_._1 == -1L))
       stepWithIndex(existing, -1L, cfg, idx)
   }
 
@@ -346,6 +353,20 @@ object LivePipeline {
     s.createDataFrame(docIds.map(Row(_)).asJava,
         StructType(Seq(StructField("doc_id", LongType))))
       .write.mode("overwrite").parquet(part(cfg.root, "tombstones", next))
+  }
+
+  /** [[forget]] for the COMPOSED stack: tombstone the docs in the
+    * intake's outputs AND the BM25 index in one call — an RTBF request
+    * against a searchable corpus must empty both shelves, or /search
+    * keeps serving the content /fate no longer admits to having.
+    * Index first: if the call crashes between the two, the content
+    * (the index) is already masked and only the metadata outputs
+    * still show the doc until the retry.
+    */
+  def forgetWithIndex(s: SparkSession, cfg: Config, idx: LiveIndex.Config,
+      docIds: Seq[Long]): Unit = {
+    LiveIndex.forget(s, idx, docIds)
+    forget(s, cfg, docIds)
   }
 
   private def tombstones(s: SparkSession, cfg: Config): DataFrame =

@@ -113,9 +113,14 @@ object LiveVectors {
     }
     // the anti-join subtree (batch dedup + the committed-index vec_id
     // scan) feeds BOTH join inputs below — cache it so each batch pays
-    // the index scan once, not twice
+    // the index scan once, not twice. Tombstoned ids are excluded too:
+    // an arrival of a forgotten id stays dropped until the tombstones
+    // are retired, so the compact-crash window (rows applied,
+    // tombstones not yet deleted) can never erase a legitimately
+    // re-admitted vector.
     val fresh = batch.dropDuplicates("vec_id")
       .join(indexed, Seq("vec_id"), "left_anti")
+      .join(broadcast(tombstones(s, cfg)), Seq("vec_id"), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // a batch whose arrivals are all already indexed writes nothing

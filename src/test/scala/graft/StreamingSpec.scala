@@ -776,6 +776,12 @@ class StreamingSpec extends AnyFunSuite {
     assert(!topIds().contains(gone) &&
       topIds().take(9) === expected.tail.map(_._1).toSeq,
       "forgotten vector must leave the ranking, survivors keep their order")
+    // a re-arrival under a live tombstone is dropped, so a crashed
+    // compact's recovery can never erase a legitimately re-added vector
+    val goneRow = all.find(_.vec_id == gone).get
+    graft.streaming.LiveVectors.step(Seq(goneRow).toDF(), 50L, cfg)
+    assert(!topIds().contains(gone),
+      "an arrival under a live tombstone must be dropped")
     graft.streaming.LiveVectors.compact(spark, cfg)
     assert(graft.streaming.LiveVectors.index(spark, cfg).count()
       === corpus.length.toLong - 1)
@@ -941,6 +947,15 @@ class StreamingSpec extends AnyFunSuite {
     val without = ranked(graft.operators.Retrieval.bm25(
       grown.filter(col("doc_id") =!= goneDoc), terms, 15))
     assert(ranked(graft.streaming.LiveIndex.bm25(spark, cfg, terms, 15)) === without)
+    val goneText = grown.filter(col("doc_id") === goneDoc)
+      .collect().head.getAs[String]("text")
+    // a re-arrival under a LIVE tombstone is dropped — so the
+    // compact-crash window (rows applied, tombstones not yet retired)
+    // can never erase a legitimately re-admitted doc
+    graft.streaming.LiveIndex.step(
+      Seq((goneDoc, goneText)).toDF("doc_id", "text"), 10L, cfg)
+    assert(ranked(graft.streaming.LiveIndex.bm25(spark, cfg, terms, 15)) === without,
+      "an arrival under a live tombstone must be dropped, not indexed")
     // compaction applies the tombstones physically and retires them
     graft.streaming.LiveIndex.compact(spark, cfg)
     val rawPostingDocs = spark.read.parquet(
@@ -952,13 +967,29 @@ class StreamingSpec extends AnyFunSuite {
       !new java.io.File(s"$root/tombstones").listFiles().exists(_.getName.startsWith("batch=")))
     assert(ranked(graft.streaming.LiveIndex.bm25(spark, cfg, terms, 15)) === without)
     // after retirement the id is free to be indexed anew
-    val goneText = grown.filter(col("doc_id") === goneDoc)
-      .collect().head.getAs[String]("text")
     graft.streaming.LiveIndex.step(
-      Seq((goneDoc, goneText)).toDF("doc_id", "text"), 10L, cfg)
-    assert(ranked(graft.streaming.LiveIndex.bm25(spark, cfg, terms, 15))
-      === ranked(graft.operators.Retrieval.bm25(grown, terms, 15)),
+      Seq((goneDoc, goneText)).toDF("doc_id", "text"), 11L, cfg)
+    val full = ranked(graft.operators.Retrieval.bm25(grown, terms, 15))
+    assert(ranked(graft.streaming.LiveIndex.bm25(spark, cfg, terms, 15)) === full,
       "a re-arrival after tombstone retirement must re-index")
+    // crash window: a doclens fold staged with its sources already
+    // deleted (rename pending) must neither blank the serving horizon
+    // nor wedge compact — recovery runs before the horizon is read
+    val dlParts = new java.io.File(s"$root/doclens").listFiles()
+      .filter(_.getName.startsWith("batch=")).map(_.toString).toIndexedSeq
+    val mMax = dlParts.map(_.split("batch=").last.toLong).max
+    val dlSchema = spark.read.parquet(dlParts.head).schema
+    spark.read.schema(dlSchema).parquet(dlParts: _*)
+      .write.mode("overwrite").parquet(s"$root/doclens/.compact-$mMax")
+    val ifs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    dlParts.foreach(pp => assert(ifs.delete(new org.apache.hadoop.fs.Path(pp), true)))
+    assert(ranked(graft.streaming.LiveIndex.bm25(spark, cfg, terms, 15)) === full,
+      "serving must read through a pending doclens fold")
+    graft.streaming.LiveIndex.compact(spark, cfg)
+    assert(new java.io.File(s"$root/doclens/batch=$mMax").exists,
+      "compact must heal the interrupted fold")
+    assert(ranked(graft.streaming.LiveIndex.bm25(spark, cfg, terms, 15)) === full)
   }
 
   test("composed stack: only admitted docs are searchable; index serves the curated corpus") {
@@ -1001,6 +1032,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === ranked(graft.operators.Retrieval.bm25(
       admitted.toDF().select("doc_id", "text"), terms, 10)),
       "index must equal a batch BM25 over the curated corpus")
+    // composed RTBF: one call empties both shelves — the pack AND the
+    // search results
+    graft.streaming.LivePipeline.forgetWithIndex(spark, cfg, idx, Seq(100L))
+    assert(!graft.streaming.LivePipeline.packedOutput(spark, cfg)
+      .collect().map(_.getAs[Long]("doc_id")).contains(100L))
+    assert(ranked(graft.streaming.LiveIndex.bm25(spark, idx, terms, 10))
+      .map(_._1).toSet === Set(1L, 2L, 200L),
+      "a composed forget must leave search too")
+  }
+
+  test("composed stack: a crashed composed seed re-drives only the index leg") {
+    import spark.implicits._
+    val proot = java.nio.file.Files.createTempDirectory("graft-stack-seed").toString
+    val iroot = java.nio.file.Files.createTempDirectory("graft-stack-seedidx").toString
+    val cfg = graft.streaming.LivePipeline.Config(proot)
+    val idx = graft.streaming.LiveIndex.Config(iroot)
+    def mkText(tag: String): String =
+      (1 to 36).map(j => s"${tag}tok$j").mkString(" ") + s" the $tag of this is high"
+    val existing = Seq(LDoc(1, "en", mkText("omega")), LDoc(2, "en", mkText("psi")))
+    // the crash: the intake seed committed, the index leg never ran
+    graft.streaming.LivePipeline.seed(existing.toDF(), cfg)
+    assert(graft.streaming.LiveIndex.bm25(spark, idx, Seq("the"), 10).count() === 0)
+    // the re-run adjudicates per store: intake no-op, index catches up
+    graft.streaming.LivePipeline.seedWithIndex(existing.toDF(), cfg, idx)
+    assert(graft.streaming.LiveIndex.bm25(spark, idx, Seq("the"), 10)
+      .collect().map(_.getAs[Long]("doc_id")).toSet === Set(1L, 2L),
+      "a crashed composed seed must leave the seed corpus searchable after re-run")
+    // and the packed output is still the single seed pass (no re-pack)
+    assert(graft.streaming.LivePipeline.packedOutput(spark, cfg)
+      .collect().map(_.getAs[Long]("batch")).forall(_ === -1L))
   }
 
   test("live pipeline: a restarted query resumes from its checkpoint without re-packing") {
