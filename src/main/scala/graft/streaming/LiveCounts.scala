@@ -144,6 +144,14 @@ object LiveCounts {
   * so any word — including ones containing `|` — decodes
   * unambiguously), doc observations as the bare keys `P` / `N`
   * (token keys always carry the 2-char prefix, so no collision).
+  *
+  * RTBF posture: like the dedup stores' hashes (and unlike the
+  * content-serving stores, which have `forget`), the count partials
+  * are aggregate statistics, not retrievable content — a forgotten
+  * doc's counts cannot be subtracted without re-observing its text,
+  * which is exactly what forgetting removed. Where aggregate residue
+  * is unacceptable, rebuild the store by re-streaming the vacuumed
+  * corpus (one seed-style pass); the model derivation is unchanged.
   */
 object LiveNb {
 

@@ -98,12 +98,15 @@ object LivePipeline {
     * (ledger_seq << 12) | tx_index` is monotone with arrival, so the
     * ordered-intake packing contract holds across batches. Memos are
     * 28-byte-class texts, far under x11's corpus-calibrated bar — set
-    * `Config.minQuality` accordingly.
+    * `Config.minQuality` accordingly. Pass `index` to run the composed
+    * stack ([[stepWithIndex]]): admitted memos become searchable in
+    * the same micro-batch.
     */
   def fromArchive(spark: SparkSession, archiveRoot: String, passphrase: String,
       cfg: Config, firstSeq: Long = 0x3fL,
       trigger: org.apache.spark.sql.streaming.Trigger =
-        org.apache.spark.sql.streaming.Trigger.AvailableNow()): StreamingQuery = {
+        org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      index: Option[LiveIndex.Config] = None): StreamingQuery = {
     val raw = spark.readStream
       .format("graft.sources.ArchiveStreamProvider")
       .option("root", archiveRoot)
@@ -128,7 +131,10 @@ object LivePipeline {
             }
         }
         .toDF("doc_id", "lang", "text")
-      step(docs, id, cfg)
+      index match {
+        case Some(idx) => stepWithIndex(docs, id, cfg, idx)
+        case None => step(docs, id, cfg)
+      }
     }
     raw.writeStream
       .option("checkpointLocation", s"${cfg.root}/_checkpoint")

@@ -174,7 +174,10 @@ class ArchiveStreamSpec extends AnyFunSuite {
     writeCheckpoint(archive, 0x3fL, memo = Some("1-app1-hello world payment"))
     writeCheckpoint(archive, 0x7fL, memo = Some("1-app1-hello world payment")) // exact dup
     writeCheckpoint(archive, 0xbfL, memo = Some("1-app2-rent for march"))
-    val q = graft.streaming.LivePipeline.fromArchive(spark, archive, Passphrase, cfg)
+    val iroot = Files.createTempDirectory("graft-stream-live-idx").toString
+    val idx = graft.streaming.LiveIndex.Config(iroot)
+    val q = graft.streaming.LivePipeline.fromArchive(spark, archive, Passphrase, cfg,
+      index = Some(idx))
     q.awaitTermination()
     val packed = graft.streaming.LivePipeline.packedOutput(spark, cfg).collect()
     // duplicate memo at 0x7f dropped; doc_id = (ledger_seq << 12) | tx idx
@@ -187,5 +190,12 @@ class ArchiveStreamSpec extends AnyFunSuite {
         .map(_.getAs[Long]("n_tokens")).sum
       assert(r.getAs[Long]("cum_before") === before)
     }
+    // composed stack over the archive: the ADMITTED memos (and only
+    // they) are searchable — the dup memo at 0x7f never reaches the
+    // index
+    val hits = graft.streaming.LiveIndex.bm25(spark, idx, Seq("world", "march"), 10)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(hits === Set(0x3fL << 12, 0xbfL << 12),
+      "admitted archive memos must be searchable, the dup must not")
   }
 }
