@@ -12,8 +12,9 @@ import graft.streaming.LivePipeline
   *
   *  - `GET /fate?doc_id=<n>` — the per-doc audit record ("why was my
   *    document dropped"): fate, quality score, source batch;
-  *  - `GET /admissions` — the admission dashboard: doc counts by fate
-  *    over the whole intake history;
+  *  - `GET /admissions[?batch=<id>]` — the admission dashboard: doc
+  *    counts by fate over the whole intake history, or one commit
+  *    (the drift view);
   *  - `GET /progress` — per-(lang, shard) packed-token cursors (the
   *    commit frontier: how much packed corpus exists right now);
   *  - `GET /snapshot?as_of=<batch>` — the reproducible-corpus
@@ -53,8 +54,12 @@ final class IntakeServe(spark: SparkSession, cfg: LivePipeline.Config,
       .filter(col("doc_id") === id)
       .select("doc_id", "fate", "quality_score", "batch"))
   })
-  server.createContext("/admissions", (ex: HttpExchange) => Facade.handle(ex) { _ =>
-    rowsJson(LivePipeline.auditOutput(spark, cfg)
+  server.createContext("/admissions", (ex: HttpExchange) => Facade.handle(ex) { p =>
+    // ?batch=<id> narrows to one commit — the admission-drift view
+    // (compare consecutive batches to see a quality regression arrive)
+    val audit = LivePipeline.auditOutput(spark, cfg)
+    rowsJson(p.get("batch").map(_.toLong).fold(audit)(id =>
+        audit.filter(col("batch") === id))
       .groupBy("fate").agg(count(lit(1)).as("n_docs"))
       .orderBy(col("fate")))
   })

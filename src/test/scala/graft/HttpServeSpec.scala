@@ -121,6 +121,11 @@ class HttpServeSpec extends AnyFunSuite {
       assert(dash.contains("\"fate\":\"admitted\",\"n_docs\":2") &&
         dash.contains("\"fate\":\"dup_of_corpus\",\"n_docs\":1") &&
         dash.contains("\"fate\":\"low_quality\",\"n_docs\":1"))
+      // the drift view narrows to one commit: the seed batch admitted
+      // its single doc and rejected nothing
+      val (cb, dashSeed) = get(s"$base/admissions?batch=-1")
+      assert(cb === 200 && dashSeed.contains("\"fate\":\"admitted\",\"n_docs\":1") &&
+        !dashSeed.contains("low_quality"))
       // pack progress: the latest cursor snapshot, tokens so far
       val (c4, prog) = get(s"$base/progress")
       assert(c4 === 200 && prog.contains("\"lang\":\"en\"") && prog.contains("\"cum\":"))
