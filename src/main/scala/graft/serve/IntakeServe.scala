@@ -23,7 +23,11 @@ import graft.streaming.LivePipeline
   *  - `GET /search?q=<terms>&k=<n>` (when constructed with the
   *    composed stack's index config) — BM25 over the CURATED corpus:
   *    only admitted docs are indexed, so a hit implies membership in
-  *    the training pack.
+  *    the training pack;
+  *  - `GET /metrics` (when constructed with an [[graft.streaming
+  *    .IntakeMetrics]] listener) — recent per-trigger progress
+  *    (input rows, trigger latency) from the listener-bus ring, no
+  *    Spark job per request.
   *
   * Built like [[HttpServe]] (JDK HttpServer, no dependency, JSON
   * array bodies, wildcard CORS) and, like it, a DEMO-serving tier:
@@ -39,7 +43,8 @@ import graft.streaming.LivePipeline
   */
 final class IntakeServe(spark: SparkSession, cfg: LivePipeline.Config,
     port: Int = 0,
-    index: Option[graft.streaming.LiveIndex.Config] = None) {
+    index: Option[graft.streaming.LiveIndex.Config] = None,
+    metrics: Option[graft.streaming.IntakeMetrics] = None) {
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
 
@@ -75,6 +80,19 @@ final class IntakeServe(spark: SparkSession, cfg: LivePipeline.Config,
       val terms = p("q").split("\\s+").toSeq.filter(_.nonEmpty)
       val k = p.getOrElse("k", "10").toInt
       rowsJson(graft.streaming.LiveIndex.bm25(spark, idx, terms, k))
+    })
+  }
+  // recent per-trigger throughput/latency from the listener-bus ring
+  // (graft.streaming.IntakeMetrics) — served straight from driver
+  // memory, no Spark job; delivery is async, so this is "recent
+  // progress", while commit state remains /progress
+  metrics.foreach { m =>
+    server.createContext("/metrics", (ex: HttpExchange) => Facade.handle(ex) { _ =>
+      m.snapshot.map { b =>
+        s"""{"query_id":"${b.queryId}","batch_id":${b.batchId},""" +
+          s""""input_rows":${b.inputRows},"trigger_ms":${b.triggerMs},""" +
+          s""""timestamp":"${b.timestamp}"}"""
+      }.mkString("[", ",", "]")
     })
   }
   server.createContext("/snapshot", (ex: HttpExchange) => Facade.handle(ex) { p =>

@@ -242,9 +242,13 @@ object LivePipeline {
   /** The step's output frames: the packed rows, the advanced cursor
     * snapshot, the newly-seen content hashes, the admitted docs, and
     * the per-doc audit `(doc_id, fate, quality_score)` — fate is the
-    * FIRST gate that claimed the doc (`dup_in_batch`, `dup_of_corpus`,
-    * `low_quality`, `near_dup`, `admitted`), the "why was my document
-    * dropped" record a production intake owes its users. With
+    * FIRST gate that claimed the doc (`malformed`, `id_collision`,
+    * `dup_in_batch`, `dup_of_corpus`, `low_quality`, `near_dup`,
+    * `admitted`), the "why was my document dropped" record a
+    * production intake owes its users. The first two are the input-
+    * contract quarantine (step 0): their rows never reach the dedup
+    * stores or the pack, and a `malformed` row may carry a null
+    * doc_id and always a null quality_score. With
     * `gateNearDups=false`, `near_dup` docs are still admitted — the
     * fate keeps naming the verdict.
     */
@@ -261,6 +265,48 @@ object LivePipeline {
   private[graft] def curatePack(batch: DataFrame, exact: DataFrame,
       bands: DataFrame, cursors: DataFrame, cfg: Config,
       cache: Boolean = false): StepResult = {
+    // 0. Input contract — a production intake is fed by producers it
+    //    does not control, so rows that violate the (doc_id, lang,
+    //    text) contract are QUARANTINED into the audit rather than
+    //    left to corrupt downstream state (a null text would
+    //    null-propagate through md5 and collapse into one bogus
+    //    "content" group; a doc_id carrying two different texts would
+    //    pack both under one identity). Three gates, first one wins:
+    //      - `malformed`: null doc_id/lang/text or empty text;
+    //      - identical replayed rows (same doc_id AND same (lang,
+    //        text)) collapse to one — an at-least-once producer
+    //        re-sending a row must not double-pack its tokens;
+    //      - `id_collision`: one doc_id, ≥2 distinct (lang, text)
+    //        payloads — no principled winner, so ALL payloads are
+    //        quarantined (admitting either would silently shadow the
+    //        other under the same identity).
+    //    Cost: one extra doc_id-keyed exchange per micro-batch —
+    //    batch-sized, never corpus-sized (the id window reuses its
+    //    partitioning for the row_number pass).
+    val malformed = batch.filter(col("doc_id").isNull || col("lang").isNull ||
+      col("text").isNull || length(col("text")) === 0)
+    val byId = Window.partitionBy(col("doc_id"))
+    val keyed = batch.filter(col("doc_id").isNotNull && col("lang").isNotNull &&
+        col("text").isNotNull && length(col("text")) > 0)
+      .withColumn("text_md5", md5(col("text")))
+      .withColumn("payload", struct(col("lang"), col("text_md5")))
+      .withColumn("p_lo", min(col("payload")).over(byId))
+      .withColumn("p_hi", max(col("payload")).over(byId))
+    val collided = keyed.filter(col("p_lo") =!= col("p_hi"))
+    // surviving rows: one per doc_id (identical payloads are ties —
+    // any row_number winner is the same row, so the pick is
+    // content-deterministic)
+    val contract = keyed.filter(col("p_lo") === col("p_hi"))
+      .withColumn("rn", row_number().over(byId.orderBy(col("text_md5"))))
+      .filter(col("rn") === 1)
+      .drop("payload", "p_lo", "p_hi", "rn")
+    val quarantined = malformed
+      .select(col("doc_id").cast("long").as("doc_id"), lit("malformed").as("fate"),
+        lit(null).cast("double").as("quality_score"))
+      .unionByName(collided.select(col("doc_id")).distinct()
+        .select(col("doc_id"), lit("id_collision").as("fate"),
+          lit(null).cast("double").as("quality_score")))
+
     // 1. Exact dedup — x11's canonical stage on the batch (min doc_id
     //    per content hash), then the cross-batch gate against every
     //    hash committed so far. Both store-keyed probes are SEMI joins
@@ -268,8 +314,7 @@ object LivePipeline {
     //    rows from an interrupted compaction); non-dup rows carry on.
     val canonical = Window.partitionBy(col("text_md5"))
     val scored = TextAnalysis.withQualityFeatures(
-      batch.withColumn("text_md5", md5(col("text")))
-        .withColumn("canonical_doc", min(col("doc_id")).over(canonical)))
+      contract.withColumn("canonical_doc", min(col("doc_id")).over(canonical)))
     val corpusDup = scored.filter(col("doc_id") === col("canonical_doc"))
       .join(exact, Seq("text_md5"), "left_semi")
       .select("doc_id").withColumn("in_corpus", lit(true))
@@ -320,7 +365,8 @@ object LivePipeline {
       .select(col("lang"), col("shard"),
         (coalesce(col("cum"), lit(0L)) + coalesce(col("add"), lit(0L))).as("cum"))
     StepResult(packed, advanced, newText, admitted,
-      fated.select("doc_id", "fate", "quality_score"), fated)
+      fated.select("doc_id", "fate", "quality_score").unionByName(quarantined),
+      fated)
   }
 
   /** All committed packed output (optionally only batches ≥ `fromBatch`

@@ -158,6 +158,46 @@ class HttpServeSpec extends AnyFunSuite {
     } finally srv2.stop()
   }
 
+  test("/metrics serves per-trigger progress from the listener-bus ring") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-intake-metrics").toString
+    val cfg = graft.streaming.LivePipeline.Config(root)
+    val metrics = graft.streaming.IntakeMetrics.attach(spark)
+    val srv = new graft.serve.IntakeServe(spark, cfg, metrics = Some(metrics))
+    srv.start()
+    try {
+      val base = s"http://127.0.0.1:${srv.boundPort}"
+      def mkText(tag: String): String =
+        (1 to 36).map(i => s"${tag}w$i").mkString(" ") + s" the $tag of this is fine"
+      val ms = MemoryStream[LDoc]
+      val q = graft.streaming.LivePipeline.start(ms.toDF(), cfg)
+      try {
+        ms.addData(LDoc(1L, "en", mkText("kappa")), LDoc(2L, "en", mkText("lambda")))
+        q.processAllAvailable()
+      } finally q.stop()
+      // the listener bus is asynchronous: progress for the processed
+      // trigger may trail processAllAvailable — poll to a deadline.
+      // input_rows is asserted non-zero, not exactly 2: foreachBatch's
+      // several commit actions re-scan the memory source, and Spark
+      // aggregates source-scan metrics across them
+      val wanted = "\"query_id\":\"" + q.id.toString
+      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      var body = ""
+      while (!body.contains(wanted) && System.nanoTime() < deadline) {
+        val (code, b) = get(s"$base/metrics")
+        assert(code === 200)
+        body = b
+        if (!body.contains(wanted)) Thread.sleep(100)
+      }
+      assert(body.contains(wanted), s"metrics never surfaced: $body")
+      assert(body.contains("\"batch_id\":0") && body.contains("\"trigger_ms\":"))
+      val rows = "\"input_rows\":(\\d+)".r.findAllMatchIn(body).map(_.group(1).toLong)
+      assert(rows.exists(_ >= 2L), s"expected a non-trivial input_rows reading: $body")
+    } finally { srv.stop(); metrics.detach(spark) }
+  }
+
   test("pyDouble matches CPython float repr / json.dumps across magnitudes") {
     // expected strings generated with CPython 3: json.dumps(v)
     val cases = Seq(

@@ -459,6 +459,64 @@ class StreamingSpec extends AnyFunSuite {
     assert(replayed.map(packKey).toSet === packed.map(packKey).toSet, "crash replay idempotence")
   }
 
+  test("live pipeline: contract violations quarantine, replays collapse, collisions stay out of state") {
+    import spark.implicits._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val root = java.nio.file.Files.createTempDirectory("graft-live-contract").toString
+    val cfg = graft.streaming.LivePipeline.Config(root)
+    def mkText(tag: String): String =
+      (1 to 36).map(i => s"${tag}w$i").mkString(" ") + s" the $tag of this is fine"
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("lang", StringType), StructField("text", StringType)))
+    def df(rows: Row*) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq), schema)
+    // fixture bar: the well-formed texts must clear quality, or
+    // "admitted" assertions below would be testing the wrong gate
+    val good = Seq("alpha", "gamma", "delta", "epsilon").map(mkText)
+    assert(graft.operators.TextAnalysis
+      .withQualityFeatures(good.zipWithIndex.map { case (t, i) => (i.toLong, "en", t) }
+        .toDF("doc_id", "lang", "text"))
+      .filter(col("quality_score") < graft.operators.TextAnalysis.QualityThreshold)
+      .count() === 0)
+
+    graft.streaming.LivePipeline.step(df(
+      Row(1L, "en", mkText("alpha")),               // clean → admitted
+      Row(null, "en", mkText("beta")),              // null id → malformed
+      Row(2L, "en", null),                          // null text → malformed
+      Row(3L, "en", ""),                            // empty text → malformed
+      Row(4L, null, mkText("gamma")),               // null lang → malformed
+      Row(5L, "en", mkText("delta")),               // at-least-once replay:
+      Row(5L, "en", mkText("delta")),               //   identical rows collapse
+      Row(6L, "en", mkText("epsilon")),             // one id, two payloads →
+      Row(6L, "en", mkText("zeta"))                 //   id_collision (both out)
+    ), 0L, cfg)
+
+    val audit = graft.streaming.LivePipeline.auditOutput(spark, cfg).collect()
+    val fates = audit.map(r => Option(r.get(0)).map(_.asInstanceOf[Long]) -> r.getString(1))
+    assert(fates.count(_._2 == "malformed") === 4)
+    assert(fates.filter(_._2 == "malformed").map(_._1).toSet ===
+      Set(None, Some(2L), Some(3L), Some(4L)))
+    // quarantined rows carry no quality score (they never reach scoring)
+    assert(audit.filter(_.getString(1) == "malformed").forall(_.isNullAt(2)))
+    assert(fates.toSeq.count(_ == (Some(6L) -> "id_collision")) === 1,
+      "one audit row per collided id, not one per payload")
+    assert(fates.contains(Some(1L) -> "admitted") && fates.contains(Some(5L) -> "admitted"))
+
+    // the pack holds exactly the admitted docs, the replayed row once
+    val packed = graft.streaming.LivePipeline.packedOutput(spark, cfg).collect()
+    assert(packed.map(_.getAs[Long]("doc_id")).sorted.toSeq === Seq(1L, 5L),
+      "replayed identical rows must pack exactly once")
+
+    // collided payloads never entered the dedup stores: the same text
+    // arriving later under a clean id is admitted, not dup_of_corpus
+    graft.streaming.LivePipeline.step(df(Row(7L, "en", mkText("epsilon"))), 1L, cfg)
+    val fate7 = graft.streaming.LivePipeline.auditOutput(spark, cfg)
+      .filter(col("doc_id") === 7L).collect()
+    assert(fate7.map(_.getString(1)).toSeq === Seq("admitted"),
+      "quarantined payloads must not poison the exact store")
+  }
+
   test("live pipeline: packed output is invariant to batch-boundary placement") {
     import spark.implicits._
     val d = "/root/testdata/sf0.001"
