@@ -27,7 +27,10 @@ import graft.streaming.LivePipeline
   *  - `GET /metrics` (when constructed with an [[graft.streaming
   *    .IntakeMetrics]] listener) — recent per-trigger progress
   *    (input rows, trigger latency) from the listener-bus ring, no
-  *    Spark job per request.
+  *    Spark job per request;
+  *  - `GET /knn?q=<f1,f2,…>&k=<n>[&probes=<p>]` (when constructed
+  *    with a [[graft.streaming.LiveVectors]] config) — bucket-pruned
+  *    cosine top-k over the continuously-maintained ANN store.
   *
   * Built like [[HttpServe]] (JDK HttpServer, no dependency, JSON
   * array bodies, wildcard CORS) and, like it, a DEMO-serving tier:
@@ -44,7 +47,8 @@ import graft.streaming.LivePipeline
 final class IntakeServe(spark: SparkSession, cfg: LivePipeline.Config,
     port: Int = 0,
     index: Option[graft.streaming.LiveIndex.Config] = None,
-    metrics: Option[graft.streaming.IntakeMetrics] = None) {
+    metrics: Option[graft.streaming.IntakeMetrics] = None,
+    vectors: Option[graft.streaming.LiveVectors.Config] = None) {
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
 
@@ -80,6 +84,17 @@ final class IntakeServe(spark: SparkSession, cfg: LivePipeline.Config,
       val terms = p("q").split("\\s+").toSeq.filter(_.nonEmpty)
       val k = p.getOrElse("k", "10").toInt
       rowsJson(graft.streaming.LiveIndex.bm25(spark, idx, terms, k))
+    })
+  }
+  // ANN over the live vector store (LiveVectors.topK): the query
+  // embedding arrives as comma-separated floats; the corpus-side work
+  // is one partition-pruned scan of the probed bucket= directories
+  vectors.foreach { vcfg =>
+    server.createContext("/knn", (ex: HttpExchange) => Facade.handle(ex) { p =>
+      val q = p("q").split(",").map(_.trim.toFloat)
+      val k = p.getOrElse("k", "10").toInt
+      val probes = p.getOrElse("probes", "1").toInt
+      rowsJson(graft.streaming.LiveVectors.topK(spark, vcfg, q, k, probes))
     })
   }
   // recent per-trigger throughput/latency from the listener-bus ring

@@ -80,9 +80,16 @@ object LivePipeline {
   /** Start the continuous intake over a streaming `(doc_id, lang, text)`
     * frame. The checkpoint lives beside the stores so a restarted query
     * resumes with the batch ids its commit markers already adjudicate.
+    * `monitor` adjudicates each committed batch's admission rate AFTER
+    * its commit ([[AdmissionMonitor]] — a crash between commit and
+    * alert can at worst duplicate a page, never lose data).
     */
-  def start(docs: DataFrame, cfg: Config): StreamingQuery = {
-    val fn: (DataFrame, Long) => Unit = (batch, id) => step(batch, id, cfg)
+  def start(docs: DataFrame, cfg: Config,
+      monitor: Option[AdmissionMonitor] = None): StreamingQuery = {
+    val fn: (DataFrame, Long) => Unit = { (batch, id) =>
+      step(batch, id, cfg)
+      monitor.foreach(_.observe(batch.sparkSession, cfg, id))
+    }
     docs.writeStream
       .option("checkpointLocation", s"${cfg.root}/_checkpoint")
       .foreachBatch(fn)
@@ -106,7 +113,8 @@ object LivePipeline {
       cfg: Config, firstSeq: Long = 0x3fL,
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.AvailableNow(),
-      index: Option[LiveIndex.Config] = None): StreamingQuery = {
+      index: Option[LiveIndex.Config] = None,
+      monitor: Option[AdmissionMonitor] = None): StreamingQuery = {
     val raw = spark.readStream
       .format("graft.sources.ArchiveStreamProvider")
       .option("root", archiveRoot)
@@ -135,6 +143,7 @@ object LivePipeline {
         case Some(idx) => stepWithIndex(docs, id, cfg, idx)
         case None => step(docs, id, cfg)
       }
+      monitor.foreach(_.observe(spark, cfg, id))
     }
     raw.writeStream
       .option("checkpointLocation", s"${cfg.root}/_checkpoint")
@@ -183,8 +192,12 @@ object LivePipeline {
 
   /** [[start]] with the composed intake+index step. */
   def startWithIndex(docs: DataFrame, cfg: Config,
-      idx: LiveIndex.Config): StreamingQuery = {
-    val fn: (DataFrame, Long) => Unit = (b, id) => stepWithIndex(b, id, cfg, idx)
+      idx: LiveIndex.Config,
+      monitor: Option[AdmissionMonitor] = None): StreamingQuery = {
+    val fn: (DataFrame, Long) => Unit = { (b, id) =>
+      stepWithIndex(b, id, cfg, idx)
+      monitor.foreach(_.observe(b.sparkSession, cfg, id))
+    }
     docs.writeStream
       .option("checkpointLocation", s"${cfg.root}/_checkpoint")
       .foreachBatch(fn)

@@ -158,6 +158,37 @@ class HttpServeSpec extends AnyFunSuite {
     } finally srv2.stop()
   }
 
+  test("/knn serves bucket-pruned cosine top-k over the live vector store") {
+    import org.apache.spark.sql.functions.col
+    val d = "/root/testdata/sf0.001"
+    val vroot = java.nio.file.Files.createTempDirectory("graft-intake-knn").toString
+    val vcfg = graft.streaming.LiveVectors.Config(vroot)
+    val emb = Tables.embeddings(spark, d)
+    graft.streaming.LiveVectors.ensurePlanes(
+      emb.filter(col("vec_id").between(1, 8))
+        .select(col("vec_id").as("hid"), col("embedding").as("hv")), vcfg)
+    graft.streaming.LiveVectors.step(emb.filter(col("vec_id") =!= 0), 0L, vcfg)
+    val q = emb.filter(col("vec_id") === 0).collect()
+      .head.getSeq[Float](1).toArray
+    val expected = graft.streaming.LiveVectors.topK(spark, vcfg, q, 5).collect()
+      .map(_.getAs[Long]("vec_id")).toSeq
+    assert(expected.nonEmpty)
+    val cfg = graft.streaming.LivePipeline.Config(
+      java.nio.file.Files.createTempDirectory("graft-intake-knn-root").toString)
+    val srv = new graft.serve.IntakeServe(spark, cfg, vectors = Some(vcfg))
+    srv.start()
+    try {
+      val base = s"http://127.0.0.1:${srv.boundPort}"
+      val (code, body) = get(s"$base/knn?q=${q.mkString(",")}&k=5")
+      assert(code === 200)
+      val got = "\"vec_id\":(\\d+)".r.findAllMatchIn(body).map(_.group(1).toLong).toSeq
+      assert(got === expected, s"HTTP serve must match the library topK: $body")
+      assert(body.contains("\"cos\":"))
+      val (c2, err) = get(s"$base/knn")
+      assert(c2 === 400 && err.contains("missing parameter"))
+    } finally srv.stop()
+  }
+
   test("/metrics serves per-trigger progress from the listener-bus ring") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -517,6 +517,56 @@ class StreamingSpec extends AnyFunSuite {
       "quarantined payloads must not poison the exact store")
   }
 
+  test("admission monitor pages once per drift episode and re-arms on recovery") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-adm-mon").toString
+    val cfg = graft.streaming.LivePipeline.Config(root)
+    def mkText(tag: String): String =
+      (1 to 36).map(i => s"${tag}w$i").mkString(" ") + s" the $tag of this is fine"
+    final class Stub extends graft.streaming.AlertTransport {
+      val name = "stub"
+      val sent = scala.collection.mutable.Buffer.empty[String]
+      var probed = false
+      override def probe(): Unit = { probed = true }
+      def send(m: String): Unit = { sent += m; () }
+    }
+    // fail-fast: a transport that cannot probe refuses construction
+    val dead = new graft.streaming.AlertTransport {
+      val name = "dead"
+      override def probe(): Unit = throw new RuntimeException("no route")
+      def send(m: String): Unit = ()
+    }
+    intercept[IllegalStateException] {
+      new graft.streaming.AdmissionMonitor(Seq(dead))
+    }
+    val stub = new Stub
+    val mon = new graft.streaming.AdmissionMonitor(Seq(stub), maxRejectFraction = 0.5)
+    assert(stub.probed, "transports are probed at construction")
+    def drive(id: Long, docs: (Long, String)*): Unit = {
+      graft.streaming.LivePipeline.step(
+        docs.map { case (i, t) => (i, "en", t) }.toDF("doc_id", "lang", "text"),
+        id, cfg)
+      mon.observe(spark, cfg, id)
+    }
+    drive(0, 1L -> mkText("alpha"), 2L -> mkText("beta"))     // healthy
+    assert(stub.sent.isEmpty && !mon.episodeOpen)
+    // short no-stopword texts sit under the quality bar ("tiny a"
+    // would NOT: the stopword lifts its score over the threshold)
+    drive(1, 3L -> mkText("gamma"), 4L -> "tiny b1", 5L -> "tiny b2", 6L -> "tiny b3")
+    assert(stub.sent.size === 1 && mon.episodeOpen, "3/4 rejected must page")
+    assert(stub.sent.head.contains("batch 1") && stub.sent.head.contains("low_quality=3"),
+      s"alert must name the batch and the fate breakdown: ${stub.sent.head}")
+    drive(2, 7L -> "tiny d", 8L -> "tiny e")                  // drift persists
+    assert(stub.sent.size === 1, "a sustained episode pages once, not per batch")
+    // an id with no audit rows (empty batch) must not close the episode
+    mon.observe(spark, cfg, 99L)
+    assert(mon.episodeOpen)
+    drive(3, 9L -> mkText("delta"), 10L -> mkText("epsilon")) // recovery re-arms
+    assert(stub.sent.size === 1 && !mon.episodeOpen)
+    drive(4, 11L -> "tiny f", 12L -> "tiny g")                // second episode
+    assert(stub.sent.size === 2 && stub.sent(1).contains("batch 4"))
+  }
+
   test("live pipeline: packed output is invariant to batch-boundary placement") {
     import spark.implicits._
     val d = "/root/testdata/sf0.001"
