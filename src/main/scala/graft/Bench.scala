@@ -211,7 +211,12 @@ object Bench {
     // round-12 addition: the live intake's per-doc fate as a batch
     // query (curatePack in the d13 arriving/existing frame) — recorded
     // at a 0.076 s-floor isolated session
-    val add12 = Map("x30_intake_audit" -> ((0.564, 0.076)))
+    val add12 = Map("x30_intake_audit" -> ((0.564, 0.076)),
+      // input-contract audit: the injected-violation frame through
+      // curatePack's contract windows + quality features + the (empty-
+      // store) probe — batch-shaped by construction; recorded at a
+      // 0.084 s-floor isolated session
+      "x31_intake_contract" -> ((2.113, 0.084)))
     main ++ add8 ++ add9 ++ add10 ++ add10b ++ add10c ++ add10d ++ add10e ++
       add10f ++ add10g ++ add11 ++ rerec12 ++ add12
   }

@@ -801,6 +801,43 @@ object Dedup {
         graft.streaming.LivePipeline.Config("unused-root"))
         .audit.orderBy("doc_id")
     },
+    // The intake's INPUT CONTRACT under the oracle gate: documents with
+    // deterministically injected violations — empty text (%100=13),
+    // null lang (23), null text (33), an identical replayed row (43), a
+    // same-id different-payload row (53), plus one null-id row — driven
+    // through the same curatePack the stream runs, against empty stores
+    // (cold start). Quarantine fates (malformed / id_collision) come
+    // back beside the x11 fates, hash-verified against DuckDB spelling
+    // the identical CASE ladder — so "an at-least-once producer cannot
+    // double-pack" is cross-engine-checked, not only ScalaTest'd.
+    "x31_intake_contract" -> { (s, d) =>
+      val base = Tables.documents(s, d).select("doc_id", "lang", "text")
+        .filter(col("doc_id") % 10 === 3)
+      def slice(m: Int) = base.filter(col("doc_id") % 100 === m)
+      val arriving = base
+        .unionByName(slice(13).select(col("doc_id"), col("lang"), lit("").as("text")))
+        .unionByName(slice(23).select(col("doc_id"),
+          lit(null).cast("string").as("lang"), col("text")))
+        .unionByName(slice(33).select(col("doc_id"), col("lang"),
+          lit(null).cast("string").as("text")))
+        .unionByName(slice(43))
+        .unionByName(slice(53).select(col("doc_id"), col("lang"),
+          concat(col("text"), lit(" variant")).as("text")))
+        // same text under a fresh id (%100=63 clones, id-shifted past the
+        // corpus) — the dup_in_batch arm, absent from the natural slice
+        .unionByName(slice(63).select((col("doc_id") + 10000000L).as("doc_id"),
+          col("lang"), col("text")))
+        .unionByName(s.range(1).select(lit(null).cast("long").as("doc_id"),
+          lit("en").as("lang"), lit("null id probe").as("text")))
+      graft.streaming.LivePipeline.curatePack(
+        arriving,
+        arriving.limit(0).select(md5(col("text")).as("text_md5")),
+        bandKeys(arriving.limit(0).select("doc_id", "text")),
+        arriving.limit(0).select(col("lang"), col("doc_id").as("shard"),
+          col("doc_id").as("cum")),
+        graft.streaming.LivePipeline.Config("unused-root"))
+        .audit.orderBy("doc_id", "fate")
+    },
     // LSH quality evaluation — n13's recall-eval discipline applied to
     // the dedup family: how much of the REACHABLE truth (pairs sharing
     // ≥1 non-boilerplate shingle with exact Jaccard ≥ 0.3 — the same
@@ -968,6 +1005,50 @@ object Dedup {
          |       ELSE 'admitted' END AS fate,
          |  $q AS quality_score
          |FROM canon c ORDER BY c.doc_id""".stripMargin
+    },
+    // The contract ladder, spelled in SQL: malformed rows out first
+    // (one audit row per ROW, like the engine), then id collisions
+    // (min/max over an injective (lang, md5) encoding — equal iff all
+    // payloads equal), identical replays collapsed by DISTINCT, then
+    // the x11 canon/quality CASE over the survivors (empty stores: the
+    // corpus/near-dup arms cannot fire on a cold start).
+    "x31_intake_contract" -> {
+      val q = TextAnalysis.qualityScoreSql("c.n_tokens", "c.n_alpha", "c.stop_hits")
+      s"""WITH inj AS (
+         |  SELECT doc_id, lang, text FROM documents WHERE doc_id % 10 = 3
+         |  UNION ALL SELECT doc_id, lang, '' FROM documents WHERE doc_id % 100 = 13
+         |  UNION ALL SELECT doc_id, NULL, text FROM documents WHERE doc_id % 100 = 23
+         |  UNION ALL SELECT doc_id, lang, NULL FROM documents WHERE doc_id % 100 = 33
+         |  UNION ALL SELECT doc_id, lang, text FROM documents WHERE doc_id % 100 = 43
+         |  UNION ALL SELECT doc_id, lang, text || ' variant' FROM documents
+         |    WHERE doc_id % 100 = 53
+         |  UNION ALL SELECT doc_id + 10000000, lang, text FROM documents
+         |    WHERE doc_id % 100 = 63
+         |  UNION ALL SELECT CAST(NULL AS BIGINT), 'en', 'null id probe'),
+         |bad AS (SELECT doc_id FROM inj
+         |  WHERE doc_id IS NULL OR lang IS NULL OR text IS NULL OR length(text) = 0),
+         |wf AS (SELECT doc_id, lang, text, md5(text) AS h FROM inj
+         |  WHERE doc_id IS NOT NULL AND lang IS NOT NULL AND text IS NOT NULL
+         |    AND length(text) > 0),
+         |coll AS (SELECT doc_id FROM wf GROUP BY doc_id
+         |  HAVING min(lang || '#' || h) <> max(lang || '#' || h)),
+         |surv AS (SELECT DISTINCT w.doc_id, w.lang, w.text, w.h
+         |  FROM wf w ANTI JOIN coll c USING (doc_id)),
+         |feat AS (SELECT doc_id, h,
+         |    CAST(length(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+         |    CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT) AS n_alpha,
+         |    CAST(length(regexp_extract_all(text, '${TextAnalysis.StopRe}')) AS BIGINT) AS stop_hits
+         |  FROM surv),
+         |canon AS (SELECT *, min(doc_id) OVER (PARTITION BY h) AS canonical_doc FROM feat)
+         |SELECT c.doc_id,
+         |  CASE WHEN c.doc_id <> c.canonical_doc THEN 'dup_in_batch'
+         |       WHEN ($q) < ${TextAnalysis.QualityThreshold} THEN 'low_quality'
+         |       ELSE 'admitted' END AS fate,
+         |  $q AS quality_score
+         |FROM canon c
+         |UNION ALL SELECT doc_id, 'malformed', CAST(NULL AS DOUBLE) FROM bad
+         |UNION ALL SELECT doc_id, 'id_collision', CAST(NULL AS DOUBLE) FROM coll
+         |ORDER BY doc_id, fate""".stripMargin
     },
     // Same algebra: df-capped posting-list truth at Jaccard ≥ 0.3, the
     // d2 band candidates, semi-join hits, one summary row — all over
