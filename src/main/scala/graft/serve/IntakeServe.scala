@@ -15,6 +15,9 @@ import graft.streaming.LivePipeline
   *  - `GET /admissions[?batch=<id>]` — the admission dashboard: doc
   *    counts by fate over the whole intake history, or one commit
   *    (the drift view);
+  *  - `GET /quarantine[?doc_id=<n>|batch=<id>][&limit=<n>]` — the
+  *    dead-letter shelf: raw contract-violating rows with payloads,
+  *    for producer debugging;
   *  - `GET /progress` — per-(lang, shard) packed-token cursors (the
   *    commit frontier: how much packed corpus exists right now);
   *  - `GET /snapshot?as_of=<batch>` — the reproducible-corpus
@@ -71,6 +74,17 @@ final class IntakeServe(spark: SparkSession, cfg: LivePipeline.Config,
         audit.filter(col("batch") === id))
       .groupBy("fate").agg(count(lit(1)).as("n_docs"))
       .orderBy(col("fate")))
+  })
+  // the dead-letter shelf: raw quarantined rows (payload included) for
+  // producer debugging — by doc_id, by batch, or the recent tail; the
+  // row count is limit-bounded (serving-tier discipline)
+  server.createContext("/quarantine", (ex: HttpExchange) => Facade.handle(ex) { p =>
+    val rows = LivePipeline.quarantineOutput(spark, cfg)
+    val scoped = p.get("doc_id").map(id => rows.filter(col("doc_id") === id.toLong))
+      .orElse(p.get("batch").map(b => rows.filter(col("batch") === b.toLong)))
+      .getOrElse(rows)
+    rowsJson(scoped.orderBy(col("batch").desc, col("doc_id"))
+      .limit(p.getOrElse("limit", "100").toInt))
   })
   server.createContext("/progress", (ex: HttpExchange) => Facade.handle(ex) { _ =>
     rowsJson(LivePipeline.packProgress(spark, cfg)

@@ -40,7 +40,9 @@ import graft.operators.{Dedup, TextAnalysis}
   *     output without a transaction log (the K2 data+offset pattern,
   *     re-expressed as partition overwrite + commit marker);
   *   - `packed/`  the pipeline output: x11's packing columns plus
-  *     `is_novel` (the d13 verdict).
+  *     `is_novel` (the d13 verdict);
+  *   - `audit/`   per-doc fates; `quarantine/` the dead-letter rows
+  *     (contract violations with payloads, [[quarantineOutput]]).
   *
   * Batch/stream parity (StreamingSpec): with an empty seed and near-dup
   * gating off, the packed output over a doc_id-ordered stream equals
@@ -244,12 +246,14 @@ object LivePipeline {
       // Commit: appends first, cursor snapshot LAST (the marker).
       r.packed.write.mode("overwrite").parquet(part(cfg.root, "packed", batchId))
       r.audit.write.mode("overwrite").parquet(part(cfg.root, "audit", batchId))
+      r.quarantine.write.mode("overwrite")
+        .parquet(part(cfg.root, "quarantine", batchId))
       Dedup.bandKeys(r.admitted.select("doc_id", "text"))
         .write.mode("overwrite").parquet(part(cfg.root, "bands", batchId))
       r.newText.select("text_md5")
         .write.mode("overwrite").parquet(part(cfg.root, "exact", batchId))
       r.advanced.write.mode("overwrite").parquet(part(cfg.root, "cursors", batchId))
-    } finally { r.fated.unpersist(); () }
+    } finally { r.fated.unpersist(); r.quarantine.unpersist(); () }
   }
 
   /** The step's output frames: the packed rows, the advanced cursor
@@ -267,7 +271,7 @@ object LivePipeline {
     */
   final case class StepResult(packed: DataFrame, advanced: DataFrame,
       newText: DataFrame, admitted: DataFrame, audit: DataFrame,
-      fated: DataFrame)
+      fated: DataFrame, quarantine: DataFrame)
 
   /** The step's pure transformation — batch + state frames in,
     * `(packed, advancedCursors, newText, admitted)` out — separated
@@ -313,10 +317,25 @@ object LivePipeline {
       .withColumn("rn", row_number().over(byId.orderBy(col("text_md5"))))
       .filter(col("rn") === 1)
       .drop("payload", "p_lo", "p_hi", "rn")
-    val quarantined = malformed
-      .select(col("doc_id").cast("long").as("doc_id"), lit("malformed").as("fate"),
+    // the dead-letter frame: the violating ROWS, payload included —
+    // what a producer debugging "why was my row dropped" actually
+    // needs (the audit names the fate; this keeps the evidence). The
+    // audit's quarantine rows derive from it, so callers with multiple
+    // actions cache it alongside `fated` (both audit and quarantine
+    // commits read it).
+    val quarantine0 = malformed
+      .select(col("doc_id").cast("long").as("doc_id"), col("lang"), col("text"),
+        lit("malformed").as("reason"))
+      .unionByName(collided.select(col("doc_id"), col("lang"), col("text"),
+        lit("id_collision").as("reason")))
+    val quarantine = if (cache)
+      quarantine0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else quarantine0
+    val quarantined = quarantine.filter(col("reason") === "malformed")
+      .select(col("doc_id"), col("reason").as("fate"),
         lit(null).cast("double").as("quality_score"))
-      .unionByName(collided.select(col("doc_id")).distinct()
+      .unionByName(quarantine.filter(col("reason") === "id_collision")
+        .select(col("doc_id")).distinct()
         .select(col("doc_id"), lit("id_collision").as("fate"),
           lit(null).cast("double").as("quality_score")))
 
@@ -379,7 +398,7 @@ object LivePipeline {
         (coalesce(col("cum"), lit(0L)) + coalesce(col("add"), lit(0L))).as("cum"))
     StepResult(packed, advanced, newText, admitted,
       fated.select("doc_id", "fate", "quality_score").unionByName(quarantined),
-      fated)
+      fated, quarantine)
   }
 
   /** All committed packed output (optionally only batches ≥ `fromBatch`
@@ -394,14 +413,18 @@ object LivePipeline {
   private val AuditSchema = StructType(Seq(
     StructField("doc_id", LongType), StructField("fate", StringType),
     StructField("quality_score", DoubleType)))
+  private val QuarantineSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("lang", StringType),
+    StructField("text", StringType), StructField("reason", StringType)))
 
   def packedOutput(s: SparkSession, cfg: Config, fromBatch: Long = Long.MinValue,
       asOf: Long = Long.MaxValue): DataFrame =
     readOutput(s, s"${cfg.root}/packed", PackedSchema, fromBatch, asOf)
       .join(broadcast(tombstones(s, cfg)), Seq("doc_id"), "left_anti")
 
-  /** Right-to-be-forgotten: tombstone document ids. Both outputs
-    * ([[packedOutput]], [[auditOutput]]) exclude tombstoned docs from
+  /** Right-to-be-forgotten: tombstone document ids. The outputs
+    * ([[packedOutput]], [[auditOutput]], [[quarantineOutput]])
+    * exclude tombstoned docs from
     * then on — without rewriting history, so chunk ids of surviving
     * docs are untouched (a trainer re-reading the corpus sees holes,
     * not a re-pack). The DEDUP stores deliberately retain the
@@ -485,8 +508,23 @@ object LivePipeline {
     readOutput(s, s"${cfg.root}/audit", AuditSchema, Long.MinValue, asOf)
       .join(broadcast(tombstones(s, cfg)), Seq("doc_id"), "left_anti")
 
-  /** Physically remove tombstoned docs' rows from the `packed/` and
-    * `audit/` partitions that contain them, then retire the applied
+  /** The dead-letter shelf: quarantined rows with their payloads —
+    * what a producer debugging a `malformed`/`id_collision` fate
+    * reads. Tombstone-masked and vacuum-covered like the other
+    * content outputs (quarantined rows ARE content; RTBF must empty
+    * this shelf too). A `malformed` row with a null doc_id is not
+    * id-addressable — it can only leave via a retention sweep that
+    * drops whole `batch=` partitions, the operational knob a real
+    * deployment pairs with this store.
+    */
+  def quarantineOutput(s: SparkSession, cfg: Config,
+      asOf: Long = Long.MaxValue): DataFrame =
+    readOutput(s, s"${cfg.root}/quarantine", QuarantineSchema, Long.MinValue, asOf)
+      .join(broadcast(tombstones(s, cfg)), Seq("doc_id"), "left_anti")
+
+  /** Physically remove tombstoned docs' rows from the `packed/`,
+    * `audit/`, and `quarantine/` partitions that contain them, then
+    * retire the applied
     * tombstone partitions — the deep delete behind [[forget]]'s
     * read-time mask. The mask alone is correct but accumulates two
     * costs a long-lived intake cannot carry: the forgotten CONTENT
@@ -519,14 +557,15 @@ object LivePipeline {
     * hashes and band keys ([[forget]]'s re-admission contract).
     */
   def vacuum(s: SparkSession, cfg: Config): Unit = {
-    Seq("packed", "audit").foreach(k =>
+    Seq("packed", "audit", "quarantine").foreach(k =>
       BatchParts.recoverRewrites(s, s"${cfg.root}/$k"))
     val tombParts = committedParts(s, s"${cfg.root}/tombstones")
     if (tombParts.isEmpty) return
     val tomb = s.read
       .schema(StructType(Seq(StructField("doc_id", LongType))))
       .parquet(tombParts.map(_._2): _*)
-    for ((kind, schema) <- Seq("packed" -> PackedSchema, "audit" -> AuditSchema)) {
+    for ((kind, schema) <- Seq("packed" -> PackedSchema, "audit" -> AuditSchema,
+        "quarantine" -> QuarantineSchema)) {
       val dir = s"${cfg.root}/$kind"
       val affected = readOutput(s, dir, schema, Long.MinValue)
         .join(broadcast(tomb), Seq("doc_id"), "left_semi")

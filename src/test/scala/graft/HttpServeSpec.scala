@@ -102,7 +102,8 @@ class HttpServeSpec extends AnyFunSuite {
     graft.streaming.LivePipeline.step(Seq(
       (100L, "en", mkText("sigma", "high")),
       (101L, "en", mkText("rho", "high")),   // exact dup of the seed doc
-      (102L, "en", "tiny text")              // fails the quality bar
+      (102L, "en", "tiny text"),             // fails the quality bar
+      (103L, "en", "")                       // contract violation → dead letter
     ).toDF("doc_id", "lang", "text"), 0L, cfg)
 
     val srv = new graft.serve.IntakeServe(spark, cfg)
@@ -120,7 +121,14 @@ class HttpServeSpec extends AnyFunSuite {
       assert(c3 === 200)
       assert(dash.contains("\"fate\":\"admitted\",\"n_docs\":2") &&
         dash.contains("\"fate\":\"dup_of_corpus\",\"n_docs\":1") &&
-        dash.contains("\"fate\":\"low_quality\",\"n_docs\":1"))
+        dash.contains("\"fate\":\"low_quality\",\"n_docs\":1") &&
+        dash.contains("\"fate\":\"malformed\",\"n_docs\":1"))
+      // the dead-letter shelf serves the violating row, payload included
+      val (cq, quar) = get(s"$base/quarantine?batch=0")
+      assert(cq === 200 && quar.contains("\"doc_id\":103") &&
+        quar.contains("\"reason\":\"malformed\""))
+      val (cq2, quarNone) = get(s"$base/quarantine?doc_id=100")
+      assert(cq2 === 200 && quarNone === "[]", "admitted docs have no dead letter")
       // the drift view narrows to one commit: the seed batch admitted
       // its single doc and rejected nothing
       val (cb, dashSeed) = get(s"$base/admissions?batch=-1")

@@ -515,6 +515,23 @@ class StreamingSpec extends AnyFunSuite {
       .filter(col("doc_id") === 7L).collect()
     assert(fate7.map(_.getString(1)).toSeq === Seq("admitted"),
       "quarantined payloads must not poison the exact store")
+
+    // the dead-letter shelf keeps the violating ROWS, payloads included
+    val quar = graft.streaming.LivePipeline.quarantineOutput(spark, cfg).collect()
+    assert(quar.length === 6, "4 malformed rows + 2 collision payloads")
+    assert(quar.filter(_.getString(3) == "id_collision").map(_.getString(2)).toSet ===
+      Set(mkText("epsilon"), mkText("zeta")))
+    // RTBF reaches the shelf: the mask hides doc 6 immediately, and
+    // vacuum's physical delete holds after the tombstones retire
+    graft.streaming.LivePipeline.forget(spark, cfg, Seq(6L))
+    assert(graft.streaming.LivePipeline.quarantineOutput(spark, cfg)
+      .filter(col("doc_id") === 6L).count() === 0)
+    graft.streaming.LivePipeline.vacuum(spark, cfg)
+    val after = graft.streaming.LivePipeline.quarantineOutput(spark, cfg).collect()
+    assert(!after.exists(r => !r.isNullAt(0) && r.getLong(0) == 6L),
+      "vacuum must physically drop the forgotten doc's quarantine rows")
+    assert(after.exists(_.isNullAt(0)),
+      "null-id rows are not id-addressable and survive the id vacuum")
   }
 
   test("admission monitor pages once per drift episode and re-arms on recovery") {
