@@ -33,7 +33,10 @@ import graft.streaming.LivePipeline
   *    Spark job per request;
   *  - `GET /knn?q=<f1,f2,…>&k=<n>[&probes=<p>]` (when constructed
   *    with a [[graft.streaming.LiveVectors]] config) — bucket-pruned
-  *    cosine top-k over the continuously-maintained ANN store.
+  *    cosine top-k over the continuously-maintained ANN store;
+  *  - `GET /stores` — maintenance posture of every store behind the
+  *    intake (partition counts, commit frontier, pending
+  *    fold/rewrite recovery debt), driver-side listings only.
   *
   * Built like [[HttpServe]] (JDK HttpServer, no dependency, JSON
   * array bodies, wildcard CORS) and, like it, a DEMO-serving tier:
@@ -124,6 +127,25 @@ final class IntakeServe(spark: SparkSession, cfg: LivePipeline.Config,
       }.mkString("[", ",", "]")
     })
   }
+  // maintenance posture of every store behind this intake — committed
+  // partition counts (the compaction-cadence signal), commit frontier,
+  // crash-recovery debt (pending folds/rewrites). Driver-side
+  // directory listings only; no Spark job per request.
+  server.createContext("/stores", (ex: HttpExchange) => Facade.handle(ex) { _ =>
+    val intake = LivePipeline.storeStatus(spark, cfg).map(st => "intake" -> st)
+    val idx = index.toSeq.flatMap(i => LivePipeline
+      .storeStatusOf(spark, i.root, Seq("postings", "doclens", "tombstones"))
+      .map("index" -> _))
+    val vec = vectors.toSeq.flatMap(v => LivePipeline
+      .storeStatusOf(spark, v.root, Seq("sigs", "tombstones")).map("vectors" -> _))
+    (intake ++ idx ++ vec).map { case (plane, st) =>
+      s"""{"plane":"$plane","store":"${st.store}",""" +
+        s""""n_partitions":${st.nPartitions},""" +
+        s""""last_batch":${st.lastBatch.fold("null")(_.toString)},""" +
+        s""""pending_fold":${st.pendingFold},""" +
+        s""""n_pending_rewrites":${st.nPendingRewrites}}"""
+    }.mkString("[", ",", "]")
+  })
   server.createContext("/snapshot", (ex: HttpExchange) => Facade.handle(ex) { p =>
     // what a training run pinned at ?as_of=<batch> would read: doc and
     // token totals per lang — the reproducible-corpus manifest

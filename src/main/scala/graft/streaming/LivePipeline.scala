@@ -461,6 +461,45 @@ object LivePipeline {
     readStore(s, cfg.root, "tombstones", Long.MaxValue,
       StructType(Seq(StructField("doc_id", LongType))))
 
+  /** Retention sweep for the dead-letter shelf: drop whole committed
+    * `quarantine/batch=` partitions with id < `beforeBatch` — and the
+    * only road out for a `malformed` row with a null doc_id (no
+    * identity for the tombstone/vacuum path to address). Safe at any
+    * time from the maintenance owner: quarantine partitions are
+    * debugging evidence, not corpus history — nothing joins against
+    * them and no as-of contract addresses them (unlike `packed/` and
+    * `audit/`, which snapshot reads pin and which therefore only ever
+    * shrink row-wise via [[vacuum]]).
+    */
+  def retireQuarantine(s: SparkSession, cfg: Config, beforeBatch: Long): Unit = {
+    val fs = new Path(cfg.root).getFileSystem(s.sparkContext.hadoopConfiguration)
+    committedParts(s, s"${cfg.root}/quarantine").filter(_._1 < beforeBatch)
+      .foreach { case (_, p) => fs.delete(new Path(p), true); () }
+  }
+
+  /** Dual-run reconciliation: which documents' fate histories differ
+    * between two intakes over the same corpus — the check a quality-
+    * model or code upgrade owes its operators before the new intake
+    * takes over ("the upgrade changed the verdict on exactly these
+    * docs"). Per side, each doc's audit rows collapse to its sorted
+    * fate set (a doc audits once per arrival: first arrival plus any
+    * re-arrival verdicts; sorting makes the comparison deterministic
+    * when one batch contributed several rows — a malformed sibling
+    * beside the well-formed row); the keyed full-outer join keeps one
+    * row per doc whose sets differ, with NULL on a side that never
+    * saw the doc. Null-id malformed rows carry no identity to join on
+    * and are excluded. One doc_id-keyed exchange per side; the output
+    * is difference-sized.
+    */
+  def diffAudit(s: SparkSession, a: Config, b: Config): DataFrame = {
+    def fates(cfg: Config, as: String) =
+      auditOutput(s, cfg).filter(col("doc_id").isNotNull)
+        .groupBy("doc_id")
+        .agg(sort_array(collect_set(col("fate"))).as(as))
+    fates(a, "fates_a").join(fates(b, "fates_b"), Seq("doc_id"), "full_outer")
+      .filter(!(col("fates_a") <=> col("fates_b")))
+  }
+
   /** One parquet relation over the committed `batch=` dirs (explicit
     * paths + basePath, so `batch` comes back as a partition column and
     * uncommitted partitions are excluded by the listing) — NOT an
@@ -513,9 +552,9 @@ object LivePipeline {
     * reads. Tombstone-masked and vacuum-covered like the other
     * content outputs (quarantined rows ARE content; RTBF must empty
     * this shelf too). A `malformed` row with a null doc_id is not
-    * id-addressable — it can only leave via a retention sweep that
-    * drops whole `batch=` partitions, the operational knob a real
-    * deployment pairs with this store.
+    * id-addressable — it only leaves via [[retireQuarantine]], the
+    * whole-partition retention sweep a real deployment runs at
+    * maintenance cadence.
     */
   def quarantineOutput(s: SparkSession, cfg: Config,
       asOf: Long = Long.MaxValue): DataFrame =
@@ -587,6 +626,35 @@ object LivePipeline {
     */
   def packProgress(s: SparkSession, cfg: Config): DataFrame =
     latestCursors(s, cfg, Long.MaxValue)
+
+  /** One store's maintenance posture: committed partition count (the
+    * compaction-cadence signal — a year of minute-batches left
+    * unfolded is ~500k dirs whose listing dominates every step),
+    * the commit frontier, and any crash-recovery debt (a completed
+    * fold staging awaiting roll-forward; committed rewrite stagings
+    * awaiting source-delete→rename).
+    */
+  final case class StoreStatus(store: String, nPartitions: Int,
+      lastBatch: Option[Long], pendingFold: Boolean, nPendingRewrites: Int)
+
+  /** Maintenance posture of every intake store — driver-side directory
+    * listings only, no Spark jobs ([[graft.serve.IntakeServe]]
+    * `/stores`). [[storeStatusOf]] is the same read for any
+    * `batch=`-partitioned store root (the index/vector stores).
+    */
+  def storeStatus(s: SparkSession, cfg: Config): Seq[StoreStatus] =
+    storeStatusOf(s, cfg.root, Seq("exact", "bands", "cursors", "packed",
+      "audit", "quarantine", "tombstones"))
+
+  def storeStatusOf(s: SparkSession, root: String,
+      kinds: Seq[String]): Seq[StoreStatus] =
+    kinds.map { k =>
+      val dir = s"$root/$k"
+      val parts = BatchParts.committed(s, dir)
+      StoreStatus(k, parts.length, parts.lastOption.map(_._1),
+        BatchParts.pendingFold(s, dir).isDefined,
+        BatchParts.pendingRewrites(s, dir).length)
+    }
 
   /** Fold every committed partition of the ACCUMULATING stores (exact,
     * bands) into the newest committed one and drop the rest — the

@@ -137,6 +137,15 @@ class HttpServeSpec extends AnyFunSuite {
       // pack progress: the latest cursor snapshot, tokens so far
       val (c4, prog) = get(s"$base/progress")
       assert(c4 === 200 && prog.contains("\"lang\":\"en\"") && prog.contains("\"cum\":"))
+      // store maintenance posture: seed (-1) + batch 0 committed, no
+      // crash-recovery debt, tombstone shelf empty
+      val (cst, stores) = get(s"$base/stores")
+      assert(cst === 200)
+      assert(stores.contains("\"plane\":\"intake\",\"store\":\"packed\"," +
+        "\"n_partitions\":2,\"last_batch\":0,\"pending_fold\":false," +
+        "\"n_pending_rewrites\":0"), s"unexpected /stores: $stores")
+      assert(stores.contains("\"store\":\"tombstones\",\"n_partitions\":0," +
+        "\"last_batch\":null"))
       // snapshot manifest: totals at the live frontier and pinned as-of
       val (c6, snap) = get(s"$base/snapshot")
       assert(c6 === 200 && snap.contains("\"lang\":\"en\",\"n_docs\":2"))

@@ -532,6 +532,32 @@ class StreamingSpec extends AnyFunSuite {
       "vacuum must physically drop the forgotten doc's quarantine rows")
     assert(after.exists(_.isNullAt(0)),
       "null-id rows are not id-addressable and survive the id vacuum")
+    // the retention sweep is the null-id road out: whole partitions go
+    graft.streaming.LivePipeline.retireQuarantine(spark, cfg, beforeBatch = 1L)
+    assert(graft.streaming.LivePipeline.quarantineOutput(spark, cfg).count() === 0)
+  }
+
+  test("diffAudit reconciles two intakes: exactly the docs whose fates changed") {
+    import spark.implicits._
+    def mkText(tag: String): String =
+      (1 to 36).map(i => s"${tag}w$i").mkString(" ") + s" the $tag of this is fine"
+    val docs = Seq((1L, "en", mkText("alpha")), (2L, "en", "tiny b1"),
+      (3L, "en", mkText("beta"))).toDF("doc_id", "lang", "text")
+    val cfgA = graft.streaming.LivePipeline.Config(
+      java.nio.file.Files.createTempDirectory("graft-diff-a").toString)
+    // the "upgrade": an admission bar low enough to admit everything
+    val cfgB = graft.streaming.LivePipeline.Config(
+      java.nio.file.Files.createTempDirectory("graft-diff-b").toString,
+      minQuality = -1e9)
+    graft.streaming.LivePipeline.step(docs, 0L, cfgA)
+    graft.streaming.LivePipeline.step(docs, 0L, cfgB)
+    val diff = graft.streaming.LivePipeline.diffAudit(spark, cfgA, cfgB).collect()
+    assert(diff.map(_.getLong(0)).toSeq === Seq(2L),
+      "only the doc the bar change flipped may differ")
+    assert(diff.head.getSeq[String](1) === Seq("low_quality") &&
+      diff.head.getSeq[String](2) === Seq("admitted"))
+    assert(graft.streaming.LivePipeline.diffAudit(spark, cfgA, cfgA).count() === 0,
+      "an intake diffed against itself is empty")
   }
 
   test("admission monitor pages once per drift episode and re-arms on recovery") {
