@@ -211,7 +211,14 @@ object Bench {
     // round-12 addition: the live intake's per-doc fate as a batch
     // query (curatePack in the d13 arriving/existing frame) — recorded
     // at a 0.076 s-floor isolated session
-    val add12 = Map("x30_intake_audit" -> ((0.564, 0.076)),
+    val add12 = Map(
+      // token-budget curriculum fill (sharded-window greedy prefix,
+      // 0.087 s-floor isolated session) and the leakage-safe cluster
+      // split (the d7 label-prop loop — driver job dispatch dominates,
+      // like d7 — plus one corpus join; 0.126 s-floor isolated session)
+      "x32_token_budget" -> ((0.589, 0.087)),
+      "x33_leakage_split" -> ((2.645, 0.126)),
+      "x30_intake_audit" -> ((0.564, 0.076)),
       // input-contract audit: the injected-violation frame through
       // curatePack's contract windows + quality features + the (empty-
       // store) probe — batch-shaped by construction; recorded at a

@@ -24,6 +24,7 @@ object SparkEntry {
       graft.queries.CustomFns.queries ++
       graft.operators.Dedup.queries ++
       graft.operators.Dedup.queries2 ++
+      graft.operators.Dedup.queries2b ++
       graft.operators.Dedup.queries3 ++
       graft.operators.Privacy.queries ++
       graft.operators.Retrieval.queries ++

@@ -302,6 +302,43 @@ object Dedup {
     // Pregel shape; at 100 TB add per-round localCheckpoint to cut
     // lineage and AQE handles the skewed hub components).
     "d7_dedup_clusters" -> { (s, d) =>
+      clusterLabels(s, d).orderBy("doc_id")
+    },
+    // Leakage-safe train/test split: the WHOLE near-dup cluster goes to
+    // one side, so no near-dup pair can straddle the split — the
+    // prevention counterpart of d8's contamination detection (a doc's
+    // near-twin in the training set leaks its test answer even when the
+    // exact text differs). Cluster = d7's connected component; a doc
+    // outside the candidate graph is its own singleton cluster. The
+    // side is the md5 of the CLUSTER id (not the doc id), so membership
+    // and side are decided by the same deterministic coin for every
+    // member; 205/256 ≈ 80% train. Scale shape: the label-prop loop
+    // runs on the pair graph (near-dup-sized, not corpus-sized); the
+    // corpus then takes ONE doc_id-keyed left join against the
+    // cluster table and a per-row hash — no new corpus shuffle beyond
+    // that join.
+    "x33_leakage_split" -> { (s, d) =>
+      val labels = clusterLabels(s, d).withColumnRenamed("cluster", "c")
+      Tables.documents(s, d).select("doc_id")
+        .join(labels, Seq("doc_id"), "left")
+        .withColumn("cluster", coalesce(col("c"), col("doc_id")))
+        .withColumn("split",
+          when(conv(substring(md5(concat(lit("split|"), col("cluster").cast("string"))), 1, 2),
+            16, 10).cast("long") < 205, "train").otherwise("test"))
+        .select("doc_id", "cluster", "split")
+        .orderBy("doc_id")
+    }
+  )
+
+  /** d7's core: connected-component labels over the LSH candidate graph
+    * — `(doc_id, cluster)` with cluster = min reachable doc id; only
+    * docs that appear in at least one candidate pair are present
+    * (callers needing full-corpus coverage left-join and coalesce to
+    * the doc's own id — x33). Iterative min-label propagation with
+    * pointer doubling; the loop is driver-side control flow over
+    * distributed steps (the Pregel shape).
+    */
+  private[operators] def clusterLabels(s: SparkSession, d: String): DataFrame = {
       // The candidate graph is tiny relative to the corpus (near-dup
       // pairs), so coalesce the iteration to a few partitions — per-round
       // task overhead, not data volume, dominates. localCheckpoint(eager)
@@ -347,8 +384,10 @@ object Dedup {
         labels = next
         rounds += 1
       }
-      labels.select(col("id").as("doc_id"), col("label").as("cluster")).orderBy("doc_id")
-    },
+      labels.select(col("id").as("doc_id"), col("label").as("cluster"))
+  }
+
+  def queries2b: Map[String, Q] = Map(
     // Test-set contamination sweep: split the corpus 80/20 by the same
     // deterministic md5-bucket trick as x6_hash_sampling, then find test
     // docs sharing ≥30% of their 3-gram shingles with any train doc.
@@ -440,6 +479,23 @@ object Dedup {
   )
 
   def oracles2: Map[String, String] = Map(
+    "x33_leakage_split" ->
+      s"""WITH RECURSIVE $shinglesCte, $mhCte, $bandsCte, $candCte,
+         |edges AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM cand
+         |  UNION SELECT doc_b, doc_a FROM cand),
+         |reach(src, dst) AS (
+         |  SELECT u, u FROM edges
+         |  UNION
+         |  SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u),
+         |lab AS (SELECT src AS doc_id, min(dst) AS cluster FROM reach GROUP BY src),
+         |full_lab AS (
+         |  SELECT d.doc_id, coalesce(l.cluster, d.doc_id) AS cluster
+         |  FROM documents d LEFT JOIN lab l ON d.doc_id = l.doc_id)
+         |SELECT doc_id, cluster,
+         |  CASE WHEN CAST(('0x' || substr(md5('split|' || CAST(cluster AS VARCHAR)), 1, 2)) AS BIGINT) < 205
+         |    THEN 'train' ELSE 'test' END AS split
+         |FROM full_lab ORDER BY doc_id""".stripMargin,
     "d9_dedup_stats" ->
       """WITH f AS (SELECT source, md5(text) AS th,
         |    md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp

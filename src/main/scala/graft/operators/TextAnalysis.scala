@@ -44,6 +44,12 @@ object TextAnalysis {
   private val ChunkSize = 32
   private val ChunkStride = 24
 
+  /** x32's budget: fixed (not scale-relative), so the selected set is
+    * bounded by ~T/avg_tokens docs at any corpus size — the output of a
+    * budget fill is budget-shaped by definition.
+    */
+  private val TokenBudget = 20000L
+
   // Shared expression spellings: x11 is defined as the COMPOSITION of
   // x2's score and x8's sharding, so all four spellings (Spark + SQL ×
   // score + shard) live here once — a tweak to either formula cannot
@@ -582,6 +588,43 @@ object TextAnalysis {
           row_number().over(Window.orderBy(col("gkey").desc, col("doc_id"))).cast("long"))
         .select("rank", "doc_id", "n_feats", "log_w", "gkey")
     },
+    // Token-budget curriculum fill: take the BEST documents first —
+    // quality decile major, deterministic md5 order within a decile —
+    // until a fixed token budget is reached (the "give me exactly T
+    // tokens of the best data" op every training run starts with;
+    // budget-fill semantics: the straddling doc is included, so the
+    // pack may overflow by < 1 doc). The greedy global order is spelled
+    // WITHOUT a global window via the mixRank trick: the running token
+    // sum is computed per (bucket, hshard) — hshard = first hex char of
+    // the md5 sort key, a monotone function of the key — and corrected
+    // by a ≤160-row (bucket × hshard) prefix-sum table broadcast back,
+    // so the cumulative sum is exact at 16× the parallelism and the
+    // output is bounded by T/avg_tokens docs at ANY corpus size.
+    "x32_token_budget" -> { (s, d) =>
+      val docs = withQualityFeatures(Tables.documents(s, d).select("doc_id", "text"))
+        .withColumn("bucket",
+          least(floor(col("quality_score") * 10).cast("long"), lit(9L)))
+        .withColumn("h", md5(concat(lit("tb|"), col("doc_id").cast("string"))))
+        .withColumn("hshard", substring(col("h"), 1, 1))
+      val w = Window.partitionBy("bucket", "hshard").orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val local = docs
+        .withColumn("local_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      // the correction table: tokens in strictly-earlier (bucket, hshard)
+      // groups of the global (bucket DESC, h) order — planning-state
+      // sized (≤ 10 × 16 rows), so its unpartitioned window is fine
+      val wg = Window.orderBy(col("bucket").desc, col("hshard"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val off = docs.groupBy("bucket", "hshard")
+        .agg(sum(col("n_tokens")).as("gtok"))
+        .withColumn("before", coalesce(sum(col("gtok")).over(wg), lit(0L)))
+        .select("bucket", "hshard", "before")
+      local.join(broadcast(off), Seq("bucket", "hshard"))
+        .withColumn("cum_before", col("before") + col("local_before"))
+        .filter(col("cum_before") < TokenBudget)
+        .select("doc_id", "bucket", "n_tokens", "quality_score", "cum_before")
+        .orderBy("doc_id")
+    },
     // Fingerprint: md5 over the sorted distinct token set (key-collision
     // clustering); canonical doc per fingerprint via window min.
     "x4_fingerprint" -> { (s, d) =>
@@ -747,6 +790,26 @@ object TextAnalysis {
          |  ${qualityScoreSql("n_tokens", "n_alpha", "stop_hits")} AS quality_score,
          |  (${qualityScoreSql("n_tokens", "n_alpha", "stop_hits")}) >= 0.6 AS is_quality
          |FROM m ORDER BY doc_id""".stripMargin,
+    "x32_token_budget" ->
+      s"""WITH base AS (
+         |  SELECT doc_id,
+         |    CAST(length(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+         |    CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT) AS n_alpha,
+         |    CAST(length(regexp_extract_all(text, '$StopRe')) AS BIGINT) AS stop_hits
+         |  FROM documents),
+         |q AS (
+         |  SELECT doc_id, n_tokens,
+         |    ${qualityScoreSql("n_tokens", "n_alpha", "stop_hits")} AS quality_score,
+         |    least(CAST(floor((${qualityScoreSql("n_tokens", "n_alpha", "stop_hits")}) * 10) AS BIGINT), 9) AS bucket,
+         |    md5('tb|' || CAST(doc_id AS VARCHAR)) AS h
+         |  FROM base),
+         |c AS (
+         |  SELECT *, CAST(coalesce(SUM(n_tokens) OVER (
+         |    ORDER BY bucket DESC, h, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+         |  FROM q)
+         |SELECT doc_id, bucket, n_tokens, quality_score, cum_before
+         |FROM c WHERE cum_before < 20000 ORDER BY doc_id""".stripMargin,
     "x3_token_count" ->
       """SELECT doc_id,
         |  CAST(length(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ws_tokens,

@@ -72,4 +72,58 @@ class InvariantSpec extends AnyFunSuite {
       }
     }
   }
+
+  private def md5Hex(sv: String): String = {
+    val dg = java.security.MessageDigest.getInstance("MD5")
+    dg.digest(sv.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  test("x32 budget fill: greedy prefix is exact, budget is honored and reached") {
+    // (doc_id, bucket, n_tokens, quality_score, cum_before)
+    val rows = SparkEntry.queries("x32_token_budget")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+    assert(rows.nonEmpty)
+    // the selection sorted in the greedy global order (bucket DESC, then
+    // the salted md5, then doc_id) must carry an exact running token sum —
+    // i.e. the sharded-window spelling reconstructed the single-sequence
+    // cumulative sum with no gaps or double counts
+    val ordered = rows.sortBy { case (id, b, _, _) => (-b, md5Hex(s"tb|$id"), id) }
+    var running = 0L
+    ordered.foreach { case (id, _, n, cum) =>
+      assert(cum === running, s"doc $id: cum_before $cum != running $running")
+      running += n
+    }
+    // every selected doc started under the budget; the selection actually
+    // FILLED it (the corpus has well over 20k tokens, so the straddling
+    // doc exists and is included — budget-fill, not budget-cap, semantics)
+    assert(ordered.forall(_._4 < 20000L))
+    assert(running >= 20000L, s"budget not filled: $running")
+    // bucket is non-increasing along the greedy order (best data first)
+    ordered.map(_._2).sliding(2).foreach {
+      case Array(a, b) => assert(a >= b); case _ => ()
+    }
+  }
+
+  test("x33 leakage split: no near-dup candidate pair straddles the split") {
+    val split = SparkEntry.queries("x33_leakage_split")(spark, d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(split.nonEmpty)
+    // full-corpus coverage with both sides populated at a ~80/20 coin
+    val nTrain = split.values.count(_._2 == "train")
+    assert(nTrain > 0 && nTrain < split.size)
+    // the whole point: a near-dup candidate pair (d2's LSH graph — the
+    // edge set the clusters were built from) must never cross the split,
+    // or the test side leaks through its training-side near-twin
+    val pairs = SparkEntry.queries("d2_minhash_lsh")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(split(a)._1 === split(b)._1, s"pair ($a,$b) in different clusters")
+      assert(split(a)._2 === split(b)._2, s"pair ($a,$b) straddles the split")
+    }
+    // side is a pure function of the cluster id
+    split.values.groupBy(_._1).foreach { case (c, vs) =>
+      assert(vs.map(_._2).toSet.size === 1, s"cluster $c split inconsistently")
+    }
+  }
 }
