@@ -218,6 +218,9 @@ object Bench {
       // like d7 — plus one corpus join; 0.126 s-floor isolated session)
       "x32_token_budget" -> ((0.589, 0.087)),
       "x33_leakage_split" -> ((2.645, 0.126)),
+      // exact global rank via the monotone-bucket two-pass plan —
+      // recorded at a 0.078 s-floor isolated session
+      "o6_global_rank" -> ((0.521, 0.078)),
       "x30_intake_audit" -> ((0.564, 0.076)),
       // input-contract audit: the injected-violation frame through
       // curatePack's contract windows + quality features + the (empty-

@@ -275,6 +275,40 @@ object CoreRelational {
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         .limit(5)
     },
+    // O6: exact GLOBAL row_number at scale — the two-pass partition-
+    // offset plan. A bare `row_number() OVER (ORDER BY …)` has an empty
+    // PARTITION BY, which Spark plans as ONE task holding the whole
+    // table — the single worst scale anti-pattern a ranking query can
+    // hit. Instead: bucket every row by a MONOTONE function of the sort
+    // key (equi-width over [min, max] from a 1-row broadcast agg — the
+    // x8/mixRank discipline generalized to a total order; for skewed
+    // keys swap in quantile boundaries, same plan shape), rank WITHIN
+    // each bucket, and add the broadcast prefix-count of earlier
+    // buckets. Identical output to the global window for ANY bucket
+    // boundaries (buckets are disjoint and ordered), at one corpus
+    // exchange + a ≤32-row side table. The `% 97` sample proves the
+    // FULL ranking (every 97th rank across the whole table — a top-k
+    // shortcut cannot produce it) while keeping output gate-sized.
+    "o6_global_rank" -> { (s, d) =>
+      val ev = Tables.events(s, d).select("event_id", "user_id", "value")
+      val mm = ev.agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+      val bucketed = ev.crossJoin(broadcast(mm))
+        .withColumn("bkt", least(lit(31L),
+          floor((col("value") - col("lo")) /
+            ((col("hi") - col("lo")) / 32.0 + lit(1e-12))).cast("long")))
+      val local = bucketed.withColumn("lrn",
+        row_number().over(Window.partitionBy("bkt").orderBy("value", "event_id"))
+          .cast("long"))
+      val off = bucketed.groupBy("bkt").agg(count(lit(1)).as("c"))
+        .withColumn("before", coalesce(sum(col("c")).over(
+          Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("bkt", "before")
+      local.join(broadcast(off), "bkt")
+        .withColumn("rnk", col("before") + col("lrn"))
+        .filter(col("rnk") % 97 === 0)
+        .select("rnk", "event_id", "user_id", "value")
+        .orderBy("rnk")
+    },
     // Q2 point lookup by derived hash key (sample/main.py:42).
     "q2_point_lookup" -> { (s, d) =>
       Tables.orders(s, d)
@@ -618,6 +652,12 @@ object CoreRelational {
     "o2_topk" ->
       """SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 5""".stripMargin,
+    "o6_global_rank" ->
+      """WITH r AS (SELECT event_id, user_id, value,
+        |    CAST(row_number() OVER (ORDER BY value, event_id) AS BIGINT) AS rnk
+        |  FROM events)
+        |SELECT rnk, event_id, user_id, value FROM r
+        |WHERE rnk % 97 = 0 ORDER BY rnk""".stripMargin,
     "q2_point_lookup" ->
       """SELECT md5('order|' || CAST(o_orderkey AS VARCHAR)) AS hash,
         |  o_orderkey, o_custkey, o_totalprice

@@ -648,6 +648,29 @@ class ScaleSpec extends AnyFunSuite {
       s"pack window must be (lang, shard)-keyed:\n$plan")
   }
 
+  test("o6/x32: global ranks come from sharded windows + broadcast offsets") {
+    val d = "/root/testdata/sf0.001"
+    // o6: the corpus-side rank window must be keyed by the monotone
+    // bucket (a hash exchange on bkt), with the ≤32-row offset table
+    // BROADCAST back — the two-pass spelling of an exact global
+    // row_number. The single-task spelling this replaces would show the
+    // corpus Window over Exchange SinglePartition instead.
+    val o6 = SparkEntry.queries("o6_global_rank")(spark, d)
+    val p6 = executedPlan(o6)
+    assert(p6.contains("hashpartitioning(bkt"),
+      s"o6 corpus window must be bkt-keyed:\n$p6")
+    assert(p6.contains("BroadcastHashJoin"),
+      s"o6 offset table must broadcast:\n$p6")
+    // x32: same discipline for the budget fill — the corpus cumulative
+    // sum is (bucket, hshard)-keyed, the correction table broadcasts
+    val x32 = SparkEntry.queries("x32_token_budget")(spark, d)
+    val p32 = executedPlan(x32)
+    assert(p32.contains("hashpartitioning(bucket") && p32.contains("hshard"),
+      s"x32 corpus window must be (bucket, hshard)-keyed:\n$p32")
+    assert(p32.contains("BroadcastHashJoin"),
+      s"x32 correction table must broadcast:\n$p32")
+  }
+
   test("live index serve: term filter is pushed into the postings scan") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-liveidx-plan").toString
