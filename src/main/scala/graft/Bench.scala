@@ -221,6 +221,9 @@ object Bench {
       // exact global rank via the monotone-bucket two-pass plan —
       // recorded at a 0.078 s-floor isolated session
       "o6_global_rank" -> ((0.521, 0.078)),
+      // l-diversity suppression (agg+join on the quasi key) — recorded
+      // at a 0.092 s-floor isolated session
+      "x34_l_diversity" -> ((0.552, 0.092)),
       "x30_intake_audit" -> ((0.564, 0.076)),
       // input-contract audit: the injected-violation frame through
       // curatePack's contract windows + quality features + the (empty-

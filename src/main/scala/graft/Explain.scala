@@ -18,7 +18,8 @@ object Explain {
         "u5_table_diff", "d14_fuzzy_dedup", "d15_containment",
         "x26_inverted_index", "x27_pmi_collocations", "w14_anomaly_zscore",
         "d16_dedup_recall", "x28_nfc_normalize", "q6_recursive_cte",
-        "q7_pipe_syntax")
+        "q7_pipe_syntax", "x30_intake_audit", "x31_intake_contract",
+        "x32_token_budget", "x33_leakage_split", "o6_global_rank")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -132,6 +132,30 @@ object Privacy {
           md5(concat(lit("eid|"), col("event_id").cast("string"))).as("_ord"))
         .orderBy("_ord")
         .drop("_ord")
+    },
+    // l-diversity suppression — the attack k-anonymity alone misses: a
+    // group of k rows that all share ONE sensitive value still discloses
+    // it ("everyone in this bucket is user 7"), so each group must also
+    // carry ≥ l DISTINCT sensitive values (user_id here). Spelled as the
+    // scaladoc's agg+join form rather than two windows: one map-side-
+    // combinable groupBy on the quasi key computing (size, distinct
+    // sensitives) — countDistinct plans as a two-level agg — then one
+    // keyed join back; two exchanges on the same key, both combinable,
+    // vs a window's full-group materialization per row.
+    "x34_l_diversity" -> { (s, d) =>
+      val g = Tables.events(s, d)
+        .withColumn("hour", date_trunc("hour", col("ts")))
+      val stats = g.groupBy("event_type", "hour")
+        .agg(count(lit(1)).as("group_n"),
+          countDistinct(col("user_id")).as("n_sensitive"))
+      g.join(stats, Seq("event_type", "hour"))
+        .filter(col("group_n") >= 3 && col("n_sensitive") >= 3)
+        .select(pseudonym("eid", col("event_id")).as("event_pseudonym"),
+          pseudonym("uid", col("user_id")).as("user_pseudonym"),
+          col("event_type"), col("hour"), col("group_n"), col("n_sensitive"),
+          md5(concat(lit("eid|"), col("event_id").cast("string"))).as("_ord"))
+        .orderBy("_ord")
+        .drop("_ord")
     }
   )
 
@@ -154,6 +178,20 @@ object Privacy {
          |  ${pseudonymSql("uid", "user_id")} AS user_pseudonym,
          |  event_type, hour, group_n
          |FROM g WHERE group_n >= 3
+         |ORDER BY md5('eid|' || CAST(event_id AS VARCHAR))""".stripMargin,
+    "x34_l_diversity" ->
+      s"""WITH g AS (
+         |  SELECT event_id, user_id, event_type, date_trunc('hour', ts) AS hour
+         |  FROM events),
+         |a AS (
+         |  SELECT event_type, hour, CAST(count(*) AS BIGINT) AS group_n,
+         |    CAST(count(DISTINCT user_id) AS BIGINT) AS n_sensitive
+         |  FROM g GROUP BY event_type, hour)
+         |SELECT ${pseudonymSql("eid", "event_id")} AS event_pseudonym,
+         |  ${pseudonymSql("uid", "user_id")} AS user_pseudonym,
+         |  event_type, hour, group_n, n_sensitive
+         |FROM g JOIN a USING (event_type, hour)
+         |WHERE group_n >= 3 AND n_sensitive >= 3
          |ORDER BY md5('eid|' || CAST(event_id AS VARCHAR))""".stripMargin
   )
 }

@@ -89,6 +89,29 @@ class PrivacySpec extends AnyFunSuite {
     assert(df.select("event_pseudonym").head().getString(0).matches("[0-9a-f]{16}"))
   }
 
+  test("x34 l-diversity: every surviving group has >= l distinct sensitives") {
+    val rows = SparkEntry.queries("x34_l_diversity")(spark, d).collect()
+    assert(rows.nonEmpty)
+    // per surviving (event_type, hour) group: the reported n_sensitive
+    // bound holds AND is consistent with the actual distinct pseudonyms
+    // in the output (the pseudonym is injective on user_id at this size)
+    rows.groupBy(r => (r.getString(2), r.get(3))).foreach { case (g, rs) =>
+      val reported = rs.map(_.getLong(5)).toSet
+      assert(reported.size === 1, s"group $g inconsistent n_sensitive")
+      assert(reported.head >= 3, s"group $g below l")
+      val distinctUsers = rs.map(_.getString(1)).toSet.size
+      assert(distinctUsers.toLong === reported.head,
+        s"group $g: reported ${reported.head} != observed $distinctUsers")
+      assert(rs.size >= 3, s"group $g below k")
+    }
+    // l-diversity is strictly stronger than k-anonymity here: it must
+    // never keep a row x13 suppressed
+    val kept13 = SparkEntry.queries("x13_k_anonymity")(spark, d)
+      .select("event_pseudonym").collect().map(_.getString(0)).toSet
+    rows.foreach(r => assert(kept13(r.getString(0)),
+      s"x34 kept a row x13 suppressed: ${r.getString(0)}"))
+  }
+
   test("x12 scrub output carries no digits outside placeholders") {
     val rows = SparkEntry.queries("x12_pii_scrub")(spark, d).collect()
     assert(rows.nonEmpty)
