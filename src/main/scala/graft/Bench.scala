@@ -224,6 +224,14 @@ object Bench {
       // l-diversity suppression (agg+join on the quasi key) — recorded
       // at a 0.092 s-floor isolated session
       "x34_l_diversity" -> ((0.552, 0.092)),
+      // winnowing fingerprints (per-doc lead/min windows over the token
+      // explode) and CDC chunking (per-doc cumsum + order-pinned chunk
+      // digest) — recorded at a 0.155 s-floor isolated session, the
+      // cleanest of three back-to-back attempts (floors 0.275/0.155/
+      // 0.260 — the VM stall pattern; the per-entry floor scaling
+      // absorbs the inflation)
+      "x35_winnowing" -> ((1.631, 0.155)),
+      "x36_cdc_chunks" -> ((0.773, 0.155)),
       "x30_intake_audit" -> ((0.564, 0.076)),
       // input-contract audit: the injected-violation frame through
       // curatePack's contract windows + quality features + the (empty-

@@ -625,6 +625,73 @@ object TextAnalysis {
         .select("doc_id", "bucket", "n_tokens", "quality_score", "cum_before")
         .orderBy("doc_id")
     },
+    // Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken 2003 —
+    // the MOSS algorithm): hash every word-4-gram, slide a 5-gram
+    // window, keep each window's minimal hash with RIGHTMOST tie-break.
+    // Guarantees: any shared run of ≥ 8 words between two documents
+    // yields at least one shared selected fingerprint (x4's whole-doc
+    // fingerprint detects only exact token-set copies; winnowing
+    // detects partial overlap with a density bound). The rightmost-min
+    // selection is ONE window pass: min over the 5-row frame of the
+    // string key hash||inverted-padded-pos — lexicographic min = (min
+    // hash, then max pos), identically ordered in both engines because
+    // the key is fixed-width. Per-doc windows → per-doc parallelism;
+    // map-side distinct before the final projection.
+    "x35_winnowing" -> { (s, d) =>
+      val k = 4 // gram words
+      val wlen = 5 // window grams
+      val grams = Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .toDF("doc_id", "pos", "word")
+        // grams BEFORE the tail filter: lead() must see the trailing
+        // words a full gram at pos maxp-k+1 still needs
+        .withColumn("gram", concat_ws(" ",
+          (0 until k).map(i => lead(col("word"), i)
+            .over(Window.partitionBy("doc_id").orderBy("pos"))): _*))
+        .withColumn("maxp", max(col("pos")).over(Window.partitionBy("doc_id")))
+        .filter(col("pos") <= col("maxp") - (k - 1))
+        .withColumn("gh", substring(md5(col("gram")), 1, 8))
+        .withColumn("key", concat(col("gh"),
+          format_string("%07d", lit(9999999) - col("pos"))))
+      val win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, wlen - 1)
+      grams
+        .withColumn("maxg", max(col("pos")).over(Window.partitionBy("doc_id")))
+        .withColumn("sel", min(col("key")).over(win))
+        // only FULL windows select (a trailing 4-gram run shorter than
+        // the window would otherwise add sparser, position-biased picks)
+        .filter(col("pos") <= col("maxg") - (wlen - 1))
+        .select(col("doc_id"),
+          (lit(9999999) - substring(col("sel"), 9, 7).cast("long")).as("pos"),
+          substring(col("sel"), 1, 8).as("fingerprint"))
+        .distinct()
+        .orderBy("doc_id", "pos")
+    },
+    // Content-defined chunking (the Rabin/gear-CDC discipline at word
+    // granularity): a word whose hash lands in 1/8 of the space STARTS
+    // a new chunk, so boundaries are decided by LOCAL content only —
+    // insert one word early in a document and every fixed-width chunk
+    // after it shifts (x29), while CDC boundaries downstream of the
+    // edit stay identical, which is what makes chunk-hash dedup robust
+    // to prefix edits. One explode → per-doc cumulative boundary count
+    // (keyed window) → per-chunk agg with an order-pinned digest.
+    "x36_cdc_chunks" -> { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .toDF("doc_id", "pos", "word")
+        .withColumn("bdy",
+          when(conv(substring(md5(col("word")), 1, 2), 16, 10).cast("long") % 8 === 0,
+            1L).otherwise(0L))
+        .withColumn("chunk_id", sum(col("bdy"))
+          .over(Window.partitionBy("doc_id").orderBy("pos")
+            .rowsBetween(Window.unboundedPreceding, 0)))
+      toks.groupBy("doc_id", "chunk_id")
+        .agg(min(col("pos")).cast("long").as("start_pos"),
+          count(lit(1)).as("n_words"),
+          md5(concat_ws(" ", transform(
+            sort_array(collect_list(struct(col("pos"), col("word")))),
+            x => x.getField("word")))).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_id")
+    },
     // Fingerprint: md5 over the sorted distinct token set (key-collision
     // clustering); canonical doc per fingerprint via window min.
     "x4_fingerprint" -> { (s, d) =>
@@ -810,6 +877,41 @@ object TextAnalysis {
          |  FROM q)
          |SELECT doc_id, bucket, n_tokens, quality_score, cum_before
          |FROM c WHERE cum_before < 20000 ORDER BY doc_id""".stripMargin,
+    "x35_winnowing" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |g AS (SELECT doc_id, unnest(generate_series(1, len(l)-3)) AS i, l FROM w),
+        |gr AS (SELECT doc_id, i,
+        |  substr(md5(l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3]), 1, 8) AS gh
+        |  FROM g),
+        |k AS (SELECT doc_id, i, gh,
+        |  gh || lpad(CAST(9999999 - (i - 1) AS VARCHAR), 7, '0') AS key FROM gr),
+        |s AS (SELECT doc_id, i,
+        |  min(key) OVER (PARTITION BY doc_id ORDER BY i
+        |    ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS sel,
+        |  max(i) OVER (PARTITION BY doc_id) AS maxi
+        |  FROM k)
+        |SELECT DISTINCT doc_id,
+        |  CAST(9999999 - CAST(substr(sel, 9, 7) AS BIGINT) AS BIGINT) AS pos,
+        |  substr(sel, 1, 8) AS fingerprint
+        |FROM s WHERE i <= maxi - 4
+        |ORDER BY doc_id, pos""".stripMargin,
+    "x36_cdc_chunks" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |t AS (SELECT doc_id, unnest(generate_series(1, len(l))) AS i, l FROM w),
+        |tok AS (SELECT doc_id, i, l[i] AS word,
+        |  CASE WHEN CAST(('0x' || substr(md5(l[i]), 1, 2)) AS BIGINT) % 8 = 0
+        |    THEN 1 ELSE 0 END AS bdy
+        |  FROM t),
+        |c AS (SELECT doc_id, i, word,
+        |  SUM(bdy) OVER (PARTITION BY doc_id ORDER BY i
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS chunk_id
+        |  FROM tok)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |  CAST(min(i) - 1 AS BIGINT) AS start_pos,
+        |  CAST(count(*) AS BIGINT) AS n_words,
+        |  md5(string_agg(word, ' ' ORDER BY i)) AS chunk_md5
+        |FROM c GROUP BY doc_id, chunk_id
+        |ORDER BY doc_id, chunk_id""".stripMargin,
     "x3_token_count" ->
       """SELECT doc_id,
         |  CAST(length(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ws_tokens,

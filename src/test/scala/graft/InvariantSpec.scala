@@ -104,6 +104,45 @@ class InvariantSpec extends AnyFunSuite {
     }
   }
 
+  test("x35 winnowing: selection density bound holds (gap <= window)") {
+    // the winnowing guarantee: every w-gram window contributes its min,
+    // so two consecutive SELECTED positions within a doc can be at most
+    // w apart — the density bound that makes shared-run detection
+    // deterministic (a >w gap would mean some window selected nothing)
+    val rows = SparkEntry.queries("x35_winnowing")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (doc, ps) =>
+      val sorted = ps.map(_._2).sorted
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b - a <= 5, s"doc $doc gap ${b - a} at $a")
+        case _ => ()
+      }
+    }
+  }
+
+  test("x36 CDC: boundaries are content-local — a prefix edit shifts nothing downstream") {
+    import spark.implicits._
+    // same text with one word prepended: every fixed-width chunking
+    // (x29's geometry) shifts, but CDC boundaries are a function of the
+    // local word only, so all chunks after the first boundary must be
+    // IDENTICAL (same digests) — the property that makes chunk-hash
+    // dedup robust to prefix edits
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 20
+    val docs = Seq((1L, base.trim), (2L, ("prefixword " + base).trim)).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdc").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("x36_cdc_chunks")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(4)))
+    val c1 = out.filter(_._1 == 1L).sortBy(_._2).map(_._3)
+    val c2 = out.filter(_._1 == 2L).sortBy(_._2).map(_._3)
+    assert(c1.nonEmpty && c2.nonEmpty)
+    // drop each doc's first chunk (the only one the edit may touch);
+    // the remaining chunk-digest sequences must be equal
+    assert(c1.drop(1).toSeq === c2.drop(1).toSeq,
+      s"downstream chunks diverged: ${c1.length} vs ${c2.length}")
+  }
+
   test("x33 leakage split: no near-dup candidate pair straddles the split") {
     val split = SparkEntry.queries("x33_leakage_split")(spark, d).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
