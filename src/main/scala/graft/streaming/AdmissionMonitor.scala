@@ -54,7 +54,12 @@ final class AdmissionMonitor(transports: Seq[AlertTransport],
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val total = counts.values.sum
     if (total == 0) return
-    val admitted = counts.getOrElse("admitted", 0L)
+    // in the gateNearDups=false configuration a near_dup fate is still
+    // PACKED (LivePipeline.curatePack admits it with the verdict kept
+    // as annotation) — counting it as a reject would page on corpora
+    // that are merely self-similar, not degraded
+    val admitted = counts.getOrElse("admitted", 0L) +
+      (if (cfg.gateNearDups) 0L else counts.getOrElse("near_dup", 0L))
     val frac = (total - admitted).toDouble / total
     if (frac > maxRejectFraction) {
       if (!inEpisode) {

@@ -610,6 +610,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(stub.sent.size === 2 && stub.sent(1).contains("batch 4"))
   }
 
+  test("admission monitor: packed near-dups are not rejects when the gate is off") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-adm-nd").toString
+    // gateNearDups=false: a near_dup fate is an annotation, the doc IS
+    // packed — the monitor must count it as admitted, or a self-similar
+    // (but healthy) corpus pages the operator
+    val cfg = graft.streaming.LivePipeline.Config(root, gateNearDups = false)
+    // one shared 36-word prefix (keeps every pair's shingle Jaccard
+    // ~0.9 AND the alpha ratio over the quality bar), one distinct
+    // tail word per doc
+    def mkText(tag: String): String =
+      (1 to 36).map(i => s"commonword$i").mkString(" ") + s" the $tag of this is fine"
+    final class Stub extends graft.streaming.AlertTransport {
+      val name = "stub"
+      val sent = scala.collection.mutable.Buffer.empty[String]
+      override def probe(): Unit = ()
+      def send(m: String): Unit = { sent += m; () }
+    }
+    val stub = new Stub
+    val mon = new graft.streaming.AdmissionMonitor(Seq(stub), maxRejectFraction = 0.5)
+    def drive(id: Long, docs: (Long, String)*): Unit = {
+      graft.streaming.LivePipeline.step(
+        docs.map { case (i, t) => (i, "en", t) }.toDF("doc_id", "lang", "text"),
+        id, cfg)
+      mon.observe(spark, cfg, id)
+    }
+    drive(0, 1L -> mkText("alpha"))
+    // batch 1 is ALL near-dups of the stored doc (one changed tail word
+    // keeps ~0.9 shingle Jaccard — the LSH bands match); every doc is
+    // packed, so the batch is healthy and must not page
+    drive(1, 2L -> mkText("bravo"), 3L -> mkText("carol"))
+    val fates = graft.streaming.LivePipeline.auditOutput(spark, cfg)
+      .filter(col("batch") === 1L).select("fate").collect().map(_.getString(0))
+    assert(fates.nonEmpty && fates.forall(_ == "near_dup"),
+      s"fixture must produce near_dup fates, got ${fates.toSeq}")
+    assert(stub.sent.isEmpty && !mon.episodeOpen,
+      "packed near-dups must not count as rejects under gateNearDups=false")
+  }
+
   test("live pipeline: packed output is invariant to batch-boundary placement") {
     import spark.implicits._
     val d = "/root/testdata/sf0.001"
