@@ -8,9 +8,9 @@ import org.apache.spark.sql.functions._
 /** The request/response plumbing shared by the HTTP facades
   * ([[HttpServe]], [[IntakeServe]]): query-param parsing, the
   * try→200/400/500 dispatch with JSON content type and the wildcard
-  * CORS grant, and the plain JSON-array body rendering. One place, so
-  * a fix to any of it (error mapping, headers, escaping) cannot
-  * silently diverge between facades.
+  * CORS grant, JSON string escaping, and the plain JSON-array body
+  * rendering. One place, so a fix to any of it (error mapping,
+  * headers, escaping) cannot silently diverge between facades.
   */
 private[serve] object Facade {
 
@@ -22,14 +22,29 @@ private[serve] object Facade {
         URLDecoder.decode(k, "UTF-8") -> URLDecoder.decode(v, "UTF-8")
       }.toMap
 
+  /** The shared escaper ([[graft.Jsons.escape]]) under the facade's
+    * local name — every hand-rendered body here routes through it.
+    */
+  def jsonEscape(s: String): String = graft.Jsons.escape(s)
+
   def handle(ex: HttpExchange)(body: Map[String, String] => String): Unit = {
     val (code, bytes) =
       try (200, body(params(ex)).getBytes("UTF-8"))
       catch {
+        // client errors → 400: a missing param (Map.apply), a
+        // non-numeric/badly-shaped param (toLong/toFloat/toInt), or
+        // invalid %-encoding (URLDecoder) are all the caller's input,
+        // not a server fault
         case e: NoSuchElementException =>
-          (400, s"""{"error":"missing parameter: ${e.getMessage}"}""".getBytes("UTF-8"))
+          (400, s"""{"error":"missing parameter: ${jsonEscape(
+            Option(e.getMessage).getOrElse(""))}"}""".getBytes("UTF-8"))
+        case e @ (_: NumberFormatException | _: IllegalArgumentException) =>
+          (400, s"""{"error":"bad request: ${jsonEscape(
+            Option(e.getMessage).getOrElse(e.getClass.getSimpleName))}"}"""
+            .getBytes("UTF-8"))
         case e: Exception =>
-          (500, s"""{"error":"${e.getClass.getSimpleName}"}""".getBytes("UTF-8"))
+          (500, s"""{"error":"${jsonEscape(e.getClass.getSimpleName)}"}"""
+            .getBytes("UTF-8"))
       }
     ex.getResponseHeaders.set("Content-Type", "application/json")
     // flask_cors.CORS(app) parity (sample/main.py:11): browser clients
@@ -40,9 +55,15 @@ private[serve] object Facade {
     try os.write(bytes) finally os.close()
   }
 
-  /** Rows as one well-formed JSON array. */
+  /** Rows as one well-formed JSON array. Null-valued fields are KEPT
+    * (`"quality_score":null`) — Spark's to_json drops them by default,
+    * which made a field's presence depend on its value and broke
+    * clients indexing into the object (and diverged from the
+    * hand-rendered endpoints, which emit explicit nulls).
+    */
   def arrayJson(df: DataFrame): String =
-    df.select(to_json(struct(df.columns.map(col): _*)))
+    df.select(to_json(struct(df.columns.map(col): _*),
+        java.util.Collections.singletonMap("ignoreNullFields", "false")))
       .as[String](Encoders.STRING)
       .collect()
       .mkString("[", ",", "]")

@@ -39,13 +39,24 @@ final class HttpServe(payments: DataFrame, port: Int = 0,
     if (referenceShape) prettyConcat(shaped) else Facade.arrayJson(shaped)
   }
 
+  /** CPython `json.dumps` escaping for the byte-fidelity path —
+    * distinct from [[graft.Jsons.escape]] because the sample's default
+    * `ensure_ascii=True` ALSO escapes every non-ASCII character as
+    * `\uXXXX` (astral chars as surrogate pairs — Scala strings are
+    * UTF-16, so flatMap already visits each surrogate half), and spells
+    * `\b`/`\f` with their shorthands. memo_text is user-controlled and
+    * frequently non-ASCII, so the generic escaper would diverge
+    * bytewise from the reference exactly where fidelity matters.
+    */
   private def jsonEscape(s: String): String = s.flatMap {
     case '"' => "\\\""
     case '\\' => "\\\\"
+    case '\b' => "\\b"
+    case '\f' => "\\f"
     case '\n' => "\\n"
     case '\r' => "\\r"
     case '\t' => "\\t"
-    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c if c < ' ' || c > '~' => f"\\u${c.toInt}%04x"
     case c => c.toString
   }
 

@@ -29,13 +29,7 @@ final class AdmissionMonitor(transports: Seq[AlertTransport],
   require(transports.nonEmpty, "AdmissionMonitor needs at least one transport")
   require(maxRejectFraction >= 0 && maxRejectFraction < 1,
     s"maxRejectFraction must be in [0, 1), got $maxRejectFraction")
-  transports.foreach { t =>
-    try t.probe()
-    catch {
-      case e: Exception => throw new IllegalStateException(
-        s"alert transport '${t.name}' failed its startup probe — refusing to monitor", e)
-    }
-  }
+  AlertTransport.probeAll(transports, "monitor")
 
   // driver-side episode latch (foreachBatch and observe run on the
   // driver; volatile for the listener-thread read case)
@@ -66,14 +60,10 @@ final class AdmissionMonitor(transports: Seq[AlertTransport],
         inEpisode = true
         val breakdown = counts.toSeq.sortBy(_._1)
           .map { case (f, n) => s"$f=$n" }.mkString(", ")
-        fanOut(f"Intake admission drift: batch $batchId rejected " +
-          f"${frac * 100}%.1f%% of $total docs (bar ${maxRejectFraction * 100}%.1f%%): $breakdown")
+        AlertTransport.fanOut(transports,
+          f"Intake admission drift: batch $batchId rejected " +
+            f"${frac * 100}%.1f%% of $total docs (bar ${maxRejectFraction * 100}%.1f%%): $breakdown")
       }
     } else inEpisode = false
-  }
-
-  private def fanOut(message: String): Unit = transports.foreach { t =>
-    try t.send(message)
-    catch { case _: Exception => () } // one dead pager must not mute the rest
   }
 }

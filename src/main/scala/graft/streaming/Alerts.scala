@@ -51,6 +51,34 @@ trait AlertTransport {
   def send(message: String): Unit
 }
 
+object AlertTransport {
+  /** The fail-fast `__email_validation` contract, shared by every
+    * alert-bearing component ([[ValidatingAlerts]],
+    * [[AdmissionMonitor]]): probe every transport up front and abort
+    * construction on the first failure — `role` names what refuses to
+    * start. One spelling, so a change to the probe contract reaches
+    * every alerting path.
+    */
+  def probeAll(transports: Seq[AlertTransport], role: String): Unit =
+    transports.foreach { t =>
+      try t.probe()
+      catch {
+        case e: Exception => throw new IllegalStateException(
+          s"alert transport '${t.name}' failed its startup probe — refusing to $role", e)
+      }
+    }
+
+  /** Deliver one message to every transport; one dead pager must not
+    * mute the rest (and unlike the reference, where an email exception
+    * skipped the lambda, a failure here never short-circuits).
+    */
+  def fanOut(transports: Seq[AlertTransport], message: String): Unit =
+    transports.foreach { t =>
+      try t.send(message)
+      catch { case _: Exception => () }
+    }
+}
+
 /** Fail-fast alert binding, the `__email_validation` contract
   * (python/main.py:240-242, 343-356): every transport is probed at
   * CONSTRUCTION — i.e. before the caller can hand this to
@@ -70,25 +98,16 @@ trait AlertTransport {
 final class ValidatingAlerts(transports: Seq[AlertTransport]) extends IngestAlerts {
   require(transports.nonEmpty,
     "ValidatingAlerts needs at least one transport (use IngestAlerts.Noop for none)")
-  transports.foreach { t =>
-    try t.probe()
-    catch {
-      case e: Exception => throw new IllegalStateException(
-        s"alert transport '${t.name}' failed its startup probe — refusing to ingest", e)
-    }
-  }
+  AlertTransport.probeAll(transports, "ingest")
 
   override def onDelay(seq: Long): Unit =
-    fanOut(f"Reached retry limit when downloading the next ledger: $seq%08x%n" +
-      "There might be a delay in the blockchain archiving bucket.")
+    AlertTransport.fanOut(transports,
+      f"Reached retry limit when downloading the next ledger: $seq%08x%n" +
+        "There might be a delay in the blockchain archiving bucket.")
 
   override def onGiveUp(seq: Long, attempts: Int): Unit =
-    fanOut(f"Reached retry limit. Quitting. (ledger $seq%08x after $attempts attempts)")
-
-  private def fanOut(message: String): Unit = transports.foreach { t =>
-    try t.send(message)
-    catch { case _: Exception => () } // one dead pager must not mute the rest
-  }
+    AlertTransport.fanOut(transports,
+      f"Reached retry limit. Quitting. (ledger $seq%08x after $attempts attempts)")
 }
 
 /** Per-commit ingest observability, the hook form of the reference's

@@ -248,12 +248,14 @@ object LivePipeline {
       r.audit.write.mode("overwrite").parquet(part(cfg.root, "audit", batchId))
       r.quarantine.write.mode("overwrite")
         .parquet(part(cfg.root, "quarantine", batchId))
-      Dedup.bandKeys(r.admitted.select("doc_id", "text"))
+      r.bandRows.join(r.admitted.select("doc_id"), Seq("doc_id"), "left_semi")
         .write.mode("overwrite").parquet(part(cfg.root, "bands", batchId))
       r.newText.select("text_md5")
         .write.mode("overwrite").parquet(part(cfg.root, "exact", batchId))
       r.advanced.write.mode("overwrite").parquet(part(cfg.root, "cursors", batchId))
-    } finally { r.fated.unpersist(); r.quarantine.unpersist(); () }
+    } finally {
+      r.fated.unpersist(); r.quarantine.unpersist(); r.bandRows.unpersist(); ()
+    }
   }
 
   /** The step's output frames: the packed rows, the advanced cursor
@@ -271,7 +273,7 @@ object LivePipeline {
     */
   final case class StepResult(packed: DataFrame, advanced: DataFrame,
       newText: DataFrame, admitted: DataFrame, audit: DataFrame,
-      fated: DataFrame, quarantine: DataFrame)
+      fated: DataFrame, quarantine: DataFrame, bandRows: DataFrame)
 
   /** The step's pure transformation — batch + state frames in,
     * `(packed, advancedCursors, newText, admitted)` out — separated
@@ -353,14 +355,23 @@ object LivePipeline {
 
     // 2. d13 novelty probe: map-side band keys for the docs still in
     //    play (new text, quality-passing), semi-join against the
-    //    capped existing buckets, doc-level verdict.
+    //    capped existing buckets, doc-level verdict. The signed band
+    //    keys are the step's most expensive per-doc work (shingle +
+    //    MinHash), so the SAME frame feeds both the probe and the
+    //    bands-store commit (admitted ⊆ probeSet — a semi-join prunes
+    //    it down) instead of signing admitted docs a second time;
+    //    cache=true persists it across the two uses.
     val inPlay = scored.join(corpusDup, Seq("doc_id"), "left")
       .withColumn("dup_in_batch", col("doc_id") =!= col("canonical_doc"))
       .withColumn("dup_of_corpus", coalesce(col("in_corpus"), lit(false)))
       .drop("canonical_doc", "in_corpus")
     val probeSet = inPlay.filter(!col("dup_in_batch") && !col("dup_of_corpus") &&
       col("quality_score") >= cfg.minQuality)
-    val probed = Dedup.bandKeys(probeSet.select("doc_id", "text"))
+    val bandRows0 = Dedup.bandKeys(probeSet.select("doc_id", "text"))
+    val bandRows = if (cache)
+      bandRows0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else bandRows0
+    val probed = bandRows
       .join(Dedup.cappedBuckets(bands), Seq("band_id", "bh"), "left_semi")
       .select("doc_id").distinct().withColumn("hit", lit(true))
     val verdict = inPlay.join(probed, Seq("doc_id"), "left")
@@ -398,7 +409,7 @@ object LivePipeline {
         (coalesce(col("cum"), lit(0L)) + coalesce(col("add"), lit(0L))).as("cum"))
     StepResult(packed, advanced, newText, admitted,
       fated.select("doc_id", "fate", "quality_score").unionByName(quarantined),
-      fated, quarantine)
+      fated, quarantine, bandRows)
   }
 
   /** All committed packed output (optionally only batches ≥ `fromBatch`
@@ -419,8 +430,22 @@ object LivePipeline {
 
   def packedOutput(s: SparkSession, cfg: Config, fromBatch: Long = Long.MinValue,
       asOf: Long = Long.MaxValue): DataFrame =
-    readOutput(s, s"${cfg.root}/packed", PackedSchema, fromBatch, asOf)
+    readOutput(s, s"${cfg.root}/packed", PackedSchema, fromBatch,
+        math.min(asOf, frontier(s, cfg)))
       .join(broadcast(tombstones(s, cfg)), Seq("doc_id"), "left_anti")
+
+  /** The commit frontier: the last batch whose CURSOR snapshot (the
+    * step's commit marker) exists. Output reads are clamped to it — a
+    * step that crashed after its `packed=`/`audit=` appends but before
+    * the cursor write leaves committed-LOOKING output partitions for a
+    * batch that never committed, and until the stream replays that
+    * batch id those partitions must stay invisible (batch ids are
+    * monotone and commits sequential, so id ≤ frontier ⟺ committed;
+    * compaction keeps the latest snapshot, which is all this needs).
+    */
+  private def frontier(s: SparkSession, cfg: Config): Long =
+    committedParts(s, s"${cfg.root}/cursors").lastOption.map(_._1)
+      .getOrElse(Long.MinValue)
 
   /** Right-to-be-forgotten: tombstone document ids. The outputs
     * ([[packedOutput]], [[auditOutput]], [[quarantineOutput]])
@@ -544,7 +569,8 @@ object LivePipeline {
     */
   def auditOutput(s: SparkSession, cfg: Config,
       asOf: Long = Long.MaxValue): DataFrame =
-    readOutput(s, s"${cfg.root}/audit", AuditSchema, Long.MinValue, asOf)
+    readOutput(s, s"${cfg.root}/audit", AuditSchema, Long.MinValue,
+        math.min(asOf, frontier(s, cfg)))
       .join(broadcast(tombstones(s, cfg)), Seq("doc_id"), "left_anti")
 
   /** The dead-letter shelf: quarantined rows with their payloads —
@@ -558,7 +584,8 @@ object LivePipeline {
     */
   def quarantineOutput(s: SparkSession, cfg: Config,
       asOf: Long = Long.MaxValue): DataFrame =
-    readOutput(s, s"${cfg.root}/quarantine", QuarantineSchema, Long.MinValue, asOf)
+    readOutput(s, s"${cfg.root}/quarantine", QuarantineSchema, Long.MinValue,
+        math.min(asOf, frontier(s, cfg)))
       .join(broadcast(tombstones(s, cfg)), Seq("doc_id"), "left_anti")
 
   /** Physically remove tombstoned docs' rows from the `packed/`,

@@ -12,9 +12,11 @@ import graft.Cols.dsum
   * agnostic DataFrame functions; specs drive them with MemoryStream.
   *
   * Scale: state stores are keyed by (window × type) / user — bounded by
-  * the watermark horizon; dropDuplicates state is likewise watermark-
-  * bounded, which is the 100 TB-safe configuration (unbounded dedup state
-  * is the classic streaming OOM).
+  * the watermark horizon. Streaming dedup state is watermark-bounded
+  * ONLY when the dedup keys include the event-time column
+  * ([[dedupWithinWatermark]] — the 100 TB-safe configuration; unbounded
+  * dedup state is the classic streaming OOM); [[dedupByEventId]] trades
+  * that bound for lifetime exactness and says so on its own doc.
   */
 object StreamDemos {
 
@@ -115,7 +117,17 @@ object StreamDemos {
       .select(col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"), col("user_id"), col("n_events"))
 
-  /** Watermark-bounded streaming dedup on event_id. */
+  /** Streaming dedup on event_id alone — exact for the stream's whole
+    * lifetime, and therefore with per-key state that GROWS with the
+    * distinct event_ids ever seen: dropDuplicates only evicts at the
+    * watermark when the key set includes the event-time column, which
+    * this one deliberately does not (an id must stay deduped however
+    * late its duplicate arrives). That makes this the small-keyspace /
+    * bounded-retention tool; at high cardinality use
+    * [[dedupWithinWatermark]] (state O(watermark horizon)) — the
+    * 100 TB-safe shape — or the [[LivePipeline]] store-backed gate for
+    * corpus-lifetime exactness.
+    */
   def dedupByEventId(events: DataFrame): DataFrame =
     events.withWatermark("ts", "1 hour").dropDuplicates("event_id")
 

@@ -21,15 +21,7 @@ import java.util.Base64
   * SMTP socket).
   */
 object Transports {
-  private def jsonEscape(s: String): String = s.flatMap {
-    case '"' => "\\\""
-    case '\\' => "\\\\"
-    case '\n' => "\\n"
-    case '\r' => "\\r"
-    case '\t' => "\\t"
-    case c if c < ' ' => f"\\u${c.toInt}%04x"
-    case c => c.toString
-  }
+  private def jsonEscape(s: String): String = graft.Jsons.escape(s)
 
   /** Generic webhook: POSTs `{"text": <message>}` to `url`.
     *

@@ -116,6 +116,15 @@ class HttpServeSpec extends AnyFunSuite {
       assert(fate.contains("\"fate\":\"dup_of_corpus\"") && fate.contains("\"batch\":0"))
       val (c2, fate2) = get(s"$base/fate?doc_id=100")
       assert(c2 === 200 && fate2.contains("\"fate\":\"admitted\""))
+      // null-valued fields are KEPT in the JSON (to_json default would
+      // silently drop the key, breaking clients indexing the object)
+      val (cn, fateNull) = get(s"$base/fate?doc_id=103")
+      assert(cn === 200 && fateNull.contains("\"quality_score\":null"),
+        s"null fields must serialize explicitly: $fateNull")
+      // malformed client input is a 400, not a 500
+      val (cbad, badBody) = get(s"$base/fate?doc_id=abc")
+      assert(cbad === 400 && badBody.contains("bad request"),
+        s"non-numeric param must be a client error: $badBody")
       // the admission dashboard: one count per fate
       val (c3, dash) = get(s"$base/admissions")
       assert(c3 === 200)

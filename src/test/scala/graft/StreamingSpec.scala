@@ -610,6 +610,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(stub.sent.size === 2 && stub.sent(1).contains("batch 4"))
   }
 
+  test("output reads are clamped to the cursor commit frontier") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-frontier").toString
+    val cfg = graft.streaming.LivePipeline.Config(root, gateNearDups = false)
+    def mkText(tag: String): String =
+      (1 to 36).map(i => s"${tag}word$i").mkString(" ") + s" the $tag of this is fine"
+    graft.streaming.LivePipeline.step(
+      Seq((1L, "en", mkText("al")), (2L, "en", mkText("be")))
+        .toDF("doc_id", "lang", "text"), 0L, cfg)
+    val before = graft.streaming.LivePipeline.packedOutput(spark, cfg).count()
+    assert(before === 2)
+    // simulate a step that crashed AFTER its packed/audit appends but
+    // BEFORE the cursor write (the commit marker): the partitions carry
+    // their own _SUCCESS, the marker does not exist
+    spark.read.parquet(s"$root/packed/batch=0")
+      .write.parquet(s"$root/packed/batch=1")
+    spark.read.parquet(s"$root/audit/batch=0")
+      .write.parquet(s"$root/audit/batch=1")
+    // the phantom batch must be invisible to every output read until
+    // its replay commits — serving it would show packed docs with no
+    // committed audit/cursor history
+    assert(graft.streaming.LivePipeline.packedOutput(spark, cfg).count() === before,
+      "uncommitted packed partition served")
+    assert(graft.streaming.LivePipeline.auditOutput(spark, cfg)
+      .filter(col("batch") === 1L).count() === 0,
+      "uncommitted audit partition served")
+    // the replay overwrites the phantom and commits; now it serves
+    graft.streaming.LivePipeline.step(
+      Seq((3L, "en", mkText("ga")), (4L, "en", mkText("de")))
+        .toDF("doc_id", "lang", "text"), 1L, cfg)
+    val after = graft.streaming.LivePipeline.packedOutput(spark, cfg)
+    assert(after.count() === 4)
+    assert(after.filter(col("batch") === 1L).select("doc_id").collect()
+      .map(_.getLong(0)).sorted.toSeq === Seq(3L, 4L),
+      "replay must overwrite the phantom partition")
+  }
+
   test("admission monitor: packed near-dups are not rejects when the gate is off") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-adm-nd").toString
