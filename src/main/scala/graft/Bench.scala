@@ -230,7 +230,10 @@ object Bench {
       // cleanest of three back-to-back attempts (floors 0.275/0.155/
       // 0.260 — the VM stall pattern; the per-entry floor scaling
       // absorbs the inflation)
-      "x35_winnowing" -> ((1.631, 0.155)),
+      // x35 RE-recorded after the maxg window pass was removed (the max
+      // surviving gram pos is maxp-(k-1) by construction): 1.631@0.155
+      // → 1.254@0.071
+      "x35_winnowing" -> ((1.254, 0.071)),
       "x36_cdc_chunks" -> ((0.773, 0.155)),
       "x30_intake_audit" -> ((0.564, 0.076)),
       // input-contract audit: the injected-violation frame through

@@ -336,17 +336,12 @@ object TextAnalysis {
     },
     // Quality scoring: length / alpha-ratio / stopword-density heuristics.
     "x2_quality_score" -> { (s, d) =>
-      Tables.documents(s, d)
-        .select(col("doc_id"), col("n_chars"),
-          size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
-          length(regexp_replace(col("text"), "[^a-z]", "")).cast("long").as("n_alpha"),
-          regexp_count(col("text"), lit(StopRe)).cast("long").as("stop_hits"))
+      withQualityFeatures(Tables.documents(s, d).select("doc_id", "n_chars", "text"))
+        .drop("text")
         .withColumn("mean_token_len",
           col("n_alpha").cast("double") / col("n_tokens").cast("double"))
         .withColumn("stopword_ratio",
           col("stop_hits").cast("double") / col("n_tokens").cast("double"))
-        .withColumn("quality_score",
-          qualityScore(col("n_tokens"), col("n_alpha"), col("stop_hits")))
         .withColumn("is_quality", col("quality_score") >= 0.6)
         .orderBy("doc_id")
     },
@@ -413,9 +408,8 @@ object TextAnalysis {
     // are packed independently; chunk ids are per-shard).
     "x8_sequence_pack" -> { (s, d) =>
       packTokens(
-        Tables.documents(s, d)
-          .select(col("doc_id"), col("lang"),
-            size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens")),
+        withQualityFeatures(Tables.documents(s, d).select("doc_id", "lang", "text"))
+          .select("doc_id", "lang", "n_tokens"),
         blockSize = 512, shards = NumPackShards)
         .orderBy("doc_id")
     },
@@ -655,11 +649,12 @@ object TextAnalysis {
           format_string("%07d", lit(9999999) - col("pos"))))
       val win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, wlen - 1)
       grams
-        .withColumn("maxg", max(col("pos")).over(Window.partitionBy("doc_id")))
         .withColumn("sel", min(col("key")).over(win))
         // only FULL windows select (a trailing 4-gram run shorter than
-        // the window would otherwise add sparser, position-biased picks)
-        .filter(col("pos") <= col("maxg") - (wlen - 1))
+        // the window would otherwise add sparser, position-biased
+        // picks); the last gram sits at maxp - (k-1), so full windows
+        // end at maxp - (k-1) - (wlen-1) — no second max() window pass
+        .filter(col("pos") <= col("maxp") - (k - 1) - (wlen - 1))
         .select(col("doc_id"),
           (lit(9999999) - substring(col("sel"), 9, 7).cast("long")).as("pos"),
           substring(col("sel"), 1, 8).as("fingerprint"))

@@ -41,7 +41,7 @@ object CoreRelational {
         .groupBy("user_id")
         .agg(
           max(col("ts")).as("last_ts"),
-          max_by(col("event_type"), col("ts")).as("last_type"),
+          max_by(col("event_type"), struct(col("ts"), col("event_id"))).as("last_type"),
           count(lit(1)).as("n_events"))
         .orderBy("user_id")
     },
@@ -399,8 +399,13 @@ object CoreRelational {
       Tables.events(s, d)
         .filter(col("event_id") % 97 === 0)
         .withColumn("seq", lower(lpad(hex(col("event_id") * 64), 8, "0")))
+        // next_seq from the SAME source as seq (event_id), not from the
+        // lpad-truncated seq string: above 2^26 the 8-char truncation
+        // makes conv(seq)+64 diverge from event_id*64+64 — deriving
+        // both from event_id keeps the two engines (and the two
+        // columns) consistent at any magnitude
         .withColumn("next_seq",
-          lower(lpad(hex(conv(col("seq"), 16, 10).cast("long") + 64), 8, "0")))
+          lower(lpad(hex(col("event_id") * 64 + 64), 8, "0")))
         .withColumn("dir", concat_ws("/",
           substring(col("seq"), 1, 2), substring(col("seq"), 3, 2), substring(col("seq"), 5, 2)))
         .select("event_id", "seq", "next_seq", "dir")
@@ -526,9 +531,16 @@ object CoreRelational {
          |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1997-06-30 00:00:00'
          |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "a2_last_by_key" ->
-      """SELECT user_id, max(ts) AS last_ts, arg_max(event_type, ts) AS last_type,
-        |  count(*) AS n_events
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+      """WITH l AS (
+        |  SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events),
+        |a AS (
+        |  SELECT user_id, max(ts) AS last_ts, count(*) AS n_events
+        |  FROM events GROUP BY user_id)
+        |SELECT a.user_id, a.last_ts, l.event_type AS last_type, a.n_events
+        |FROM a JOIN l ON a.user_id = l.user_id AND l.rn = 1
+        |ORDER BY a.user_id""".stripMargin,
     "a3_distinct_agg" ->
       """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
         |  count(DISTINCT l_partkey) AS n_part, count(*) AS n
@@ -736,8 +748,8 @@ object CoreRelational {
         |FROM events WHERE event_id % 97 = 0 ORDER BY event_id""".stripMargin,
     "t9_json_extract" ->
       """SELECT event_id,
-        |  CAST(json_extract(props, '$.k') AS VARCHAR) AS k_str,
-        |  CAST(CAST(json_extract(props, '$.k') AS VARCHAR) AS INTEGER) AS k
+        |  json_extract_string(props, '$.k') AS k_str,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
         |FROM events WHERE event_id % 53 = 0 ORDER BY event_id""".stripMargin,
     "t10_translate_munge" ->
       """SELECT event_id,
