@@ -34,6 +34,11 @@ object MinHashSigs {
   /** Static hot path shared by eval and generated code. */
   def sigs(arr: ArrayData, numHashes: Int): GenericArrayData = {
     val n = arr.numElements()
+    // no shingles → an EMPTY signature (not numHashes nulls): callers
+    // detect it with size(sig) and drop the row in the same projection,
+    // which lets bandKeys run shingle+sign in ONE pass instead of a
+    // filter that re-evaluates word_shingles ahead of the project
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
     val mins = Array.fill[Array[Byte]](numHashes)(null)
     val md = MessageDigest.getInstance("MD5")
     val prefixes = Array.tabulate(numHashes)(i => s"$i|".getBytes("UTF-8"))

@@ -156,33 +156,14 @@ object Curation {
     * (Zipf makes even `minDf = 2` cut the tail by most of its mass).
     */
   def bigramLm(docs: DataFrame, lambda: Double = Lambda,
-      fluentAt: Double = FluentAt, minDf: Long = 1L): DataFrame = {
-    val pairs = bigramPairs(docs)
-    val cBi = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c_bi"))
-      .filter(col("c_bi") >= minDf)
-    val cW1 = pairs.groupBy("w1").agg(count(lit(1)).as("c_w1"))
-    val toks = docs.select(explode(split(col("text"), " ")).as("word"))
-    val cUni = toks.groupBy("word").agg(count(lit(1)).as("c_uni"))
-    val total = toks.agg(count(lit(1)).as("total"))
-    val lp = cBi.join(cW1, "w1")
-      .join(cUni.withColumnRenamed("word", "w2"), "w2")
-      .crossJoin(broadcast(total))
-      .select(col("w1"), col("w2"), round(log(
-        lit(lambda) * (col("c_bi").cast("double") / col("c_w1").cast("double")) +
-          lit(1.0 - lambda) * (col("c_uni").cast("double") / col("total").cast("double"))), 9).as("lp"))
-    // Unigram-backoff leg for pairs pruned by minDf (vocab-sized).
-    val uniLp = cUni.crossJoin(broadcast(total))
-      .select(col("word").as("w2"), round(log(
-        lit(1.0 - lambda) * (col("c_uni").cast("double") / col("total").cast("double"))), 9).as("lp_uni"))
-    pairs.join(broadcast(lp), Seq("w1", "w2"), "left")
-      .join(broadcast(uniLp), Seq("w2"))
-      .select(col("doc_id"), coalesce(col("lp"), col("lp_uni")).as("lp"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"),
-        (sum(col("lp").cast(DecimalType(28, 12))).cast("double") /
-          count(lit(1)).cast("double")).as("avg_logp"))
+      fluentAt: Double = FluentAt, minDf: Long = 1L): DataFrame =
+    // exactly the cross-corpus scorer trained and applied on the SAME
+    // corpus (every w2 is in-vocab, so the scorer's inner unigram join
+    // is lossless here) — ONE spelling of the interpolation/rounding
+    // ladder the oracle parity depends on, not two
+    lmScoreCross(docs, docs, lambda, minDf)
+      .withColumnRenamed("n_pairs", "n_bigrams")
       .withColumn("is_fluent", col("avg_logp") > fluentAt)
-  }
 
   // ── x24: Naive Bayes quality classifier ────────────────────────────
 
@@ -242,7 +223,18 @@ object Curation {
         log((col("c_pos") + lit(1L)).cast("double") / (col("t_pos") + col("v")).cast("double")) -
           log((col("c_neg") + lit(1L)).cast("double") / (col("t_neg") + col("v")).cast("double")),
         9).as("w_lo"))
-    toks.join(broadcast(wlp), Seq("word"))
+    // the scaladoc's unseen-token contract, made real: a token outside
+    // the training vocabulary scores the smoothed floor of both classes
+    // (c=0 in the same Laplace formula), via LEFT join + coalesce — an
+    // inner join would silently drop the token from n_tokens and the
+    // sum, and a doc of ONLY unseen words would produce no verdict at
+    // all (the live-intake serving path scores arbitrary novel docs)
+    val floor = totals.select(round(
+      log(lit(1.0) / (col("t_pos") + col("v")).cast("double")) -
+        log(lit(1.0) / (col("t_neg") + col("v")).cast("double")), 9).as("floor_lo"))
+    toks.join(broadcast(wlp), Seq("word"), "left")
+      .crossJoin(broadcast(floor))
+      .withColumn("w_lo", coalesce(col("w_lo"), col("floor_lo")))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
         sum(col("w_lo").cast(DecimalType(28, 12))).cast("double").as("sum_lo"))
@@ -470,6 +462,23 @@ object Curation {
 
   private val HllM = 64 // registers; alpha_64 = 0.7213 / (1 + 1.079/64)
 
+  /** The deterministic HLL register derivation — (register index j,
+    * rank rho) from a salted md5 of the key — shared by a14
+    * ([[hllDistinct]]) and a7 ([[approxSketch]]). ONE spelling: two
+    * separate SQL oracles match it character for character, so a change
+    * (hash prefix, rho width) must land here and in both oracles
+    * together, never in one Scala copy.
+    */
+  private def hllRegisterCols(key: Column): (Column, Column) = {
+    val h = md5(concat(lit("hll|"), key.cast("string")))
+    val j = conv(substring(h, 1, 2), 16, 10).cast("long") % HllM
+    val w = conv(substring(h, 3, 8), 16, 10).cast("long") // 32-bit slice
+    // rho = position of the first 1-bit of w in a 32-wide field; w=0 -> 33
+    val rho = when(w === 0L, lit(33L))
+      .otherwise(instr(lpad(bin(w), 32, "0"), "1").cast("long"))
+    (j, rho)
+  }
+
   /** HyperLogLog (Flajolet et al. 2007) as dataflow, deterministic and
     * oracle-exact like a13: register `j` holds the max over the bucket's
     * keys of ρ = 1 + leading zeros of a 32-bit md5 slice (string-ops
@@ -486,12 +495,7 @@ object Curation {
     val s = rows.sparkSession
     val m = HllM
     val alpha = 0.7213 / (1.0 + 1.079 / m)
-    val h = md5(concat(lit("hll|"), col(keyCol).cast("string")))
-    val bucket = conv(substring(h, 1, 2), 16, 10).cast("long") % m
-    val w = conv(substring(h, 3, 8), 16, 10).cast("long") // 32-bit slice
-    // ρ = position of the first 1-bit of w in a 32-wide field; w = 0 → 33
-    val rho = when(w === 0L, lit(33L))
-      .otherwise(instr(lpad(bin(w), 32, "0"), "1").cast("long"))
+    val (bucket, rho) = hllRegisterCols(col(keyCol))
     val regs = rows.select(bucket.as("j"), rho.as("rho"))
       .groupBy("j").agg(max(col("rho")).as("r"))
     val all = s.range(m).select(col("id").as("j"))
@@ -567,11 +571,7 @@ object Curation {
     import org.apache.spark.sql.expressions.Window
     val m = HllM
     val alpha = 0.7213 / (1.0 + 1.079 / m)
-    val h = md5(concat(lit("hll|"), col(idCol).cast("string")))
-    val j = conv(substring(h, 1, 2), 16, 10).cast("long") % m
-    val w = conv(substring(h, 3, 8), 16, 10).cast("long")
-    val rho = when(w === 0L, lit(33L))
-      .otherwise(instr(lpad(bin(w), 32, "0"), "1").cast("long"))
+    val (j, rho) = hllRegisterCols(col(idCol))
     // ONE corpus scan carries both sketches' partials: HLL registers
     // (max rho per (group, register)) ride the same combinable
     // pre-aggregate as the histogram's min/max/count, which roll up

@@ -98,10 +98,22 @@ object Dedup {
       call_function("word_shingles", col("text")))
     val bandCols = (0 until NumBands).map(j =>
       md5(concat(col("sig")(2 * j), col("sig")(2 * j + 1))))
+    // One shingle+sign pass per row: a zero-shingle doc yields an EMPTY
+    // signature (MinHashSigs' empty-input contract), and the when()
+    // routes it to an empty band array that posexplode drops — no
+    // pre-filter, whose predicate-pushdown substitution would
+    // re-evaluate word_shingles ahead of the projection (this is the
+    // streaming intake's costliest per-doc expression). The two
+    // projects stay separate because `sig` is referenced by all eight
+    // band columns (CollapseProject keeps multi-referenced non-cheap
+    // aliases materialized).
     docs
-      .filter(size(call_function("word_shingles", col("text"))) > 0)
       .select(col("doc_id"), sig.as("sig"))
-      .select(col("doc_id"), posexplode(array(bandCols: _*)))
+      .select(col("doc_id"), posexplode(
+        when(size(col("sig")) === NumHashes, array(bandCols: _*))
+          .otherwise(array().cast(
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.StringType, containsNull = false)))))
       .withColumnRenamed("pos", "band_id")
       .withColumnRenamed("col", "bh")
   }
@@ -113,17 +125,25 @@ object Dedup {
     * over the cap are dropped via broadcast anti-join (the hot list is
     * tiny by construction).
     */
-  def cappedBuckets(bandRows: DataFrame): DataFrame = {
-    // countDistinct, not count: bucket size means #docs, and the live
-    // pipeline's store compaction may transiently duplicate rows
-    // (crash between rewrite and delete) — duplicates must not push a
-    // bucket over the cap
-    val hot = bandRows.groupBy("band_id", "bh")
-      .agg(countDistinct(col("doc_id")).as("bsz"))
+  def cappedBuckets(bandRows: DataFrame): DataFrame =
+    bandRows.join(broadcast(hotBuckets(bandRows, distinctDocs = true)),
+        Seq("band_id", "bh"), "left_anti")
+      .select("band_id", "bh").distinct()
+
+  /** The (band_id, bh) buckets over the [[MaxBucketDocs]] cap — the ONE
+    * spelling of the LSH skew-cap hot list (previously three divergent
+    * copies). `distinctDocs` picks the size measure: physical rows for
+    * the batch/materialized-store spellings (matching their count(*)
+    * oracles), distinct docs for the LIVE store read, where an
+    * interrupted compaction may transiently duplicate rows and a
+    * duplicate must not push a bucket over the cap.
+    */
+  private[graft] def hotBuckets(bandRows: DataFrame,
+      distinctDocs: Boolean): DataFrame = {
+    val bsz = if (distinctDocs) countDistinct(col("doc_id")) else count(lit(1))
+    bandRows.groupBy("band_id", "bh").agg(bsz.as("bsz"))
       .filter(col("bsz") > MaxBucketDocs)
       .select("band_id", "bh")
-    bandRows.join(broadcast(hot), Seq("band_id", "bh"), "left_anti")
-      .select("band_id", "bh").distinct()
   }
 
   /** Bucket-size cap for the LSH self-join: a band bucket holding more
@@ -152,11 +172,9 @@ object Dedup {
     * is a broadcast anti-join — no extra shuffle of the band table.
     */
   private def candidatePairs(s: SparkSession, d: String): DataFrame = {
-    val hot = bands(s, d).groupBy("band_id", "bh")
-      .agg(count(lit(1)).as("bsz"))
-      .filter(col("bsz") > MaxBucketDocs)
-      .select("band_id", "bh")
-    val capped = bands(s, d).join(broadcast(hot), Seq("band_id", "bh"), "left_anti")
+    val capped = bands(s, d)
+      .join(broadcast(hotBuckets(bands(s, d), distinctDocs = false)),
+        Seq("band_id", "bh"), "left_anti")
     val a = capped.select(col("doc_id").as("doc_a"), col("band_id"), col("bh"))
     val b = capped.select(col("doc_id").as("doc_b"), col("band_id"), col("bh"))
     a.join(b, Seq("band_id", "bh"))
@@ -790,11 +808,8 @@ object Dedup {
       val isNew = col("doc_id") % 10 === 7
       val ex = bands(s, d).filter(!isNew)
       val nw = bands(s, d).filter(isNew)
-      val hot = ex.groupBy("band_id", "bh")
-        .agg(count(lit(1)).as("bsz"))
-        .filter(col("bsz") > MaxBucketDocs)
-        .select("band_id", "bh")
-      val exCapped = ex.join(broadcast(hot), Seq("band_id", "bh"), "left_anti")
+      val exCapped = ex.join(broadcast(hotBuckets(ex, distinctDocs = false)),
+        Seq("band_id", "bh"), "left_anti")
       val matches = nw
         .join(exCapped.select(col("doc_id").as("dup_of"), col("band_id"), col("bh")),
           Seq("band_id", "bh"))

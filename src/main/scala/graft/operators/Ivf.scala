@@ -112,10 +112,18 @@ object Ivf {
     */
   private[operators] def labelProbeCells(s: SparkSession, d: String): Seq[Int] = {
     val (cent, _) = cellStore(s, d)
-    val qd = Similarity.paramVec(s, d, 0L).map(_.toDouble)
+    nearestCells(cent, Similarity.paramVec(s, d, 0L).map(_.toDouble))
+  }
+
+  /** Nearest-[[NProbe]] cells for a query vector — THE cell-selection
+    * rule (decimal-exact distance, (d2, cell) tie-break, take NProbe),
+    * shared by the n4/n6 probe and the n15 IVF-PQ composition so the
+    * two paths cannot drift.
+    */
+  private def nearestCells(cent: Array[(Int, Array[Double])],
+      qd: Array[Double]): Seq[Int] =
     cent.map { case (cell, c) => (cell, Cols.decimalSqDist(qd, c).doubleValue()) }
       .sortBy { case (cell, d2) => (d2, cell) }.take(NProbe).map(_._1).toSeq
-  }
 
   private[operators] def nProbe: Int = NProbe
 
@@ -133,10 +141,7 @@ object Ivf {
     // query vector from the shared cached planning-state point read
     // (Similarity's parameter window) — no per-invocation point-read job
     val q = Similarity.paramVec(s, d, 0L)
-    val qd = q.map(_.toDouble)
-    val cells = cent.map { case (cell, c) =>
-      (cell, Cols.decimalSqDist(qd, c).doubleValue())
-    }.sortBy { case (cell, d2) => (d2, cell) }.take(NProbe).map(_._1).toSeq
+    val cells = nearestCells(cent, q.map(_.toDouble))
     val qn = Similarity.paramNorm(s, d, 0L)
     // probe: partition-pruned scan of the chosen cells + exact re-rank
     vecs.filter(col("cell").isin(cells: _*) && col("vec_id") =!= 0)

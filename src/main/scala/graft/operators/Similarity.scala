@@ -315,7 +315,15 @@ object Similarity {
     */
   private def quantized(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
-      .withColumn("scale", array_max(transform(col("embedding"), v => abs(v.cast("double")))))
+      // greatest(..., tiny) guards the all-zeros vector: scale = 0 would
+      // put floor(0/0) = floor(NaN) in the codes — Spark's non-ANSI cast
+      // silently zeroes it while DuckDB errors, a cross-engine
+      // divergence waiting for the first null embedding. With the guard
+      // a zero vector quantizes to all-zero codes (qdot 0), and any
+      // nonzero vector is untouched (its scale dominates the epsilon).
+      .withColumn("scale", greatest(
+        array_max(transform(col("embedding"), v => abs(v.cast("double")))),
+        lit(1e-30)))
       .withColumn("qarr", transform(col("embedding"),
         v => floor(v.cast("double") * 127.0 / col("scale")).cast("long")))
 
@@ -337,7 +345,7 @@ object Similarity {
   def oracles2: Map[String, String] = Map(
     "n5_quantized_dot" ->
       """WITH sc AS (SELECT vec_id, label, embedding,
-        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale
+        |    greatest(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 1e-30) AS scale
         |  FROM embeddings),
         |qz AS (SELECT vec_id, label, scale,
         |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / scale) AS BIGINT)) AS qarr

@@ -225,4 +225,35 @@ class CurationSpec extends AnyFunSuite {
     assert(cellsA.size === 1 && cellsB.size === 1 && cellsA != cellsB,
       s"blobs must land in distinct cells: $cellsA vs $cellsB")
   }
+
+  test("nbScoreWith scores unseen tokens at the smoothed floor, never drops them") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "good clean prose text here", true),
+      (2L, "bad noisy spam junk words", false)).toDF("doc_id", "text", "pos")
+    val byClass = train.select(col("doc_id"), col("pos"),
+        explode(split(col("text"), " ")).as("word"))
+      .groupBy("word").agg(
+        sum(when(col("pos"), 1L).otherwise(0L)).as("c_pos"),
+        sum(when(col("pos"), 0L).otherwise(1L)).as("c_neg"))
+    val prior = train.agg(
+      sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"),
+      sum(when(col("pos"), 0L).otherwise(1L)).as("n_neg"))
+    // a doc made ENTIRELY of out-of-vocabulary words still gets a
+    // verdict (the scaladoc's smoothed-floor contract — an inner join
+    // would emit no row for exactly the most novel documents), with
+    // every token counted
+    val novel = Seq((10L, "zzz qqq www")).toDF("doc_id", "text")
+    val out = operators.Curation.nbScoreWith(novel, byClass, prior).collect()
+    assert(out.length === 1, "novel doc must still be scored")
+    assert(out.head.getLong(1) === 3L, "all unseen tokens counted")
+    // balanced classes (t_pos = t_neg = 5, equal priors): the floor
+    // log-odds of every unseen token is exactly 0
+    assert(out.head.getDouble(2) === 0.0, s"balanced floor must be 0: ${out.head}")
+    // a mixed doc counts seen AND unseen tokens
+    val mixed = Seq((11L, "good zzz")).toDF("doc_id", "text")
+    val m = operators.Curation.nbScoreWith(mixed, byClass, prior).collect()
+    assert(m.head.getLong(1) === 2L)
+    assert(m.head.getDouble(2) > 0.0, "the seen positive token must dominate")
+  }
 }
