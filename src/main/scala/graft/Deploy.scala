@@ -36,12 +36,23 @@ object Deploy {
   }
 
   /** KIN_ISSUER + optional APP_ID (absent and empty both mean "no app
-    * filter", like os.environ.get at python/main.py:44).
+    * filter", like os.environ.get at python/main.py:44). A present
+    * APP_ID is validated against the reference's startup check
+    * (`re.match('^[A-z0-9]{4}$')` then sys.exit(1), main.py:236-239 —
+    * the bug-compatible `[A-z]` class included): without it a
+    * malformed id can never match any memo's 4-char app field, and the
+    * collector would run forever silently committing empty checkpoints.
     */
-  def extractConfig(env: Map[String, String]): ExtractConfig =
+  def extractConfig(env: Map[String, String]): ExtractConfig = {
+    val appId = env.get("APP_ID").filter(_.nonEmpty)
+    appId.foreach { id =>
+      require(id.matches("^[A-z0-9]{4}$"),
+        s"APP_ID '$id' is invalid (must match ^[A-z0-9]{4}$$ — the reference aborts at startup too)")
+    }
     ExtractConfig(
       assetIssuer = env("KIN_ISSUER"),
-      appId = env.get("APP_ID").filter(_.nonEmpty))
+      appId = appId)
+  }
 
   /** FIRST_FILE is the 8-hex checkpoint name ('0000003f'); the (seq+1)%64
     * validation itself lives in the tail/stream constructors.

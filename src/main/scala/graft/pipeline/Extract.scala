@@ -141,14 +141,38 @@ object Extract {
       txs: Dataset[TxHistoryEntry],
       ledgers: Dataset[LedgerEntry],
       results: Dataset[TxResultEntry],
-      cfg: ExtractConfig): DataFrame =
-    payments(txs, ledgers, results, cfg).withColumn("type", lit("payment"))
-      .unionByName(
-        creations(txs, ledgers, results, cfg).withColumn("type", lit("creation")),
-        allowMissingColumns = true)
-      .select("type", "source", "destination", "amount", "starting_balance",
-        "memo_text", "fee", "fee_charged", "operation_index", "tx_status",
-        "op_status", "hash", "time")
+      cfg: ExtractConfig): DataFrame = {
+    // ONE opRows trunk, branched per row with when() — the
+    // payments/creations union spelling built the whole decode + joins
+    // + explodes subtree TWICE (Catalyst does not dedup a union's
+    // independent legs), so every checkpoint paid gunzip + XDR decode
+    // double on the hot ingest path. The per-type predicates and
+    // projections below are exactly [[payments]]'/[[creations]]'.
+    val isPayment = col("op.body.opType") === 1 &&
+      col("op.body.paymentOp.asset.alphaNum4").isNotNull &&
+      col("op.body.paymentOp.asset.alphaNum4.assetCode") === cfg.assetCode &&
+      col("op.body.paymentOp.asset.alphaNum4.issuer.ed25519") === cfg.assetIssuer
+    val isCreation = col("op.body.opType") === 0
+    opRows(txs, ledgers, results, cfg)
+      .filter(isPayment || isCreation)
+      .select(
+        when(isPayment, lit("payment")).otherwise(lit("creation")).as("type"),
+        col("src").as("source"),
+        when(isPayment, col("op.body.paymentOp.destination.ed25519"))
+          .otherwise(col("op.body.createAccountOp.destination.ed25519")).as("destination"),
+        when(isPayment, col("op.body.paymentOp.amount")).as("amount"),
+        when(!isPayment, col("op.body.createAccountOp.startingBalance"))
+          .as("starting_balance"),
+        col("memo_text"),
+        col("fee"),
+        col("fee_charged"),
+        col("operation_index"),
+        col("tx_status"),
+        when(isPayment, col("res.tr.paymentResult"))
+          .otherwise(col("res.tr.createAccountResult")).as("op_status"),
+        col("hash"),
+        timestamp_seconds(col("closeTime")).as("time"))
+  }
 
   /** Kin3 fidelity variant (SURVEY.md §7.4): the reference stores raw
     * int64 quark amounts in a FLOAT column with a "TODO: change for Kin3"

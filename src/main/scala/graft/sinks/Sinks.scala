@@ -83,14 +83,24 @@ final class PartitionedFileSink(root: String, format: String = "csv") extends Ch
 
   override def save(ops: DataFrame, seq: Long): Unit = {
     val s = seqStr(seq)
-    if (!ops.isEmpty) {
-      val w = ops.withColumn("ledger", lit(s))
-        .write.mode("overwrite")
-      val target = new HPath(rootPath, s"ledgers/ledger=$s").toString
-      (if (format == "csv") w.option("header", "false") else w)
-        .format(format)
-        .save(target)
-    }
+    // persist around the emptiness check + write: both actions would
+    // otherwise re-run the whole decode/join/filter plan (a checkpoint
+    // is <=64 ledgers of extract — caching it is cheap, re-deriving it
+    // is the hot ingest path's dominant cost). The `ledger` value lives
+    // ONLY in the directory name (Hive partition discovery restores it
+    // on read): writing it as a data column too would duplicate the
+    // partition column — parquet reads reject that outright, and the
+    // reference's 13-column CSV layout has no ledger column.
+    val cached = ops.persist()
+    try {
+      if (!cached.isEmpty) {
+        val w = cached.write.mode("overwrite")
+        val target = new HPath(rootPath, s"ledgers/ledger=$s").toString
+        (if (format == "csv") w.option("header", "false") else w)
+          .format(format)
+          .save(target)
+      }
+    } finally { cached.unpersist(); () }
     val f = fs
     f.mkdirs(markers)
     writeFile(f, new HPath(markers, s), Array.emptyByteArray)
@@ -173,11 +183,32 @@ final class JdbcTxnSink(
     "operation_index", "tx_status", "op_status", "hash", "time")
 
   override def save(ops: DataFrame, seq: Long): Unit = {
-    if (lastSequence.exists(_ >= seq)) return // replay: already committed
+    // STRICTLY-older checkpoints are committed replays and skip; lastfile
+    // == seq is AMBIGUOUS — the reference's build_database seeds lastfile
+    // with FIRST_FILE meaning "not yet ingested" (main.py:247 processes
+    // it), while a restart right after this checkpoint's commit means
+    // "fully ingested" — so the == case runs as an OVERWRITE: this
+    // batch's row identities (hash, operation_index) are deleted in the
+    // same transaction before the insert, making either reading land the
+    // data exactly once. (The reference itself double-inserts in this
+    // window; the overwrite keeps its semantics without its bug.)
+    val last = lastSequence
+    if (last.exists(_ > seq)) return // replay: already committed
     val rows = ops.select(columns.map(col): _*).collect()
+    val hashIdx = columns.indexOf("hash")
+    val opIdx = columns.indexOf("operation_index")
     val c = connect()
     try {
       c.setAutoCommit(false)
+      if (last.contains(seq) && rows.nonEmpty) {
+        val del = c.prepareStatement(
+          s"DELETE FROM $table WHERE hash = ? AND operation_index = ?")
+        rows.foreach { r =>
+          del.setObject(1, r.get(hashIdx)); del.setObject(2, r.get(opIdx))
+          del.addBatch()
+        }
+        del.executeBatch()
+      }
       val ps = c.prepareStatement(
         s"INSERT INTO $table (${columns.mkString(", ")}) VALUES (${columns.map(_ => "?").mkString(", ")})")
       rows.foreach { r =>
@@ -190,16 +221,27 @@ final class JdbcTxnSink(
       st.execute(s"INSERT INTO lastfile (name) VALUES ('${f"$seq%08x"}')")
       c.commit() // data + offset atomically (K2)
     } catch {
-      case e: Throwable => c.rollback(); throw e
+      case e: Throwable =>
+        // a rollback on a broken connection must not mask the original
+        // failure (the selfTest methods already guard theirs)
+        try c.rollback() catch { case _: Throwable => () }
+        throw e
     } finally c.close()
   }
 
   override def lastSequence: Option[Long] = {
+    // None means exactly "no offset committed yet" (lastfile exists and
+    // is empty). A FAILED read — missing table, lock timeout, revoked
+    // SELECT — propagates instead of masquerading as None: the save
+    // guard would otherwise re-insert a committed checkpoint and the
+    // tail would silently restart from the beginning (run
+    // ensureSchema/bootstrap before first use; the Collector chain
+    // does).
     val c = connect()
     try {
       val rs = c.createStatement().executeQuery("SELECT name FROM lastfile")
       if (rs.next()) Some(java.lang.Long.parseLong(rs.getString(1), 16)) else None
-    } catch { case _: Throwable => None } finally c.close()
+    } finally c.close()
   }
 
   /** Insert/select/delete probe inside one rolled-back transaction: the
@@ -332,7 +374,12 @@ final class JdbcTwoTableSink(connect: () => Connection) extends CheckpointSink {
   }
 
   override def save(ops: DataFrame, seq: Long): Unit = {
-    if (lastSequence.exists(_ >= seq)) return // replay: already committed
+    // same first-file/replay adjudication as JdbcTxnSink.save: strictly
+    // older → skip; == seq → overwrite this batch's row identities in
+    // the same transaction (the bootstrap-seeded lastfile names a file
+    // the reference considers NOT yet ingested)
+    val last = lastSequence
+    if (last.exists(_ > seq)) return // replay: already committed
     val unified = Seq("type", "source", "destination", "amount", "starting_balance",
       "memo_text", "fee", "fee_charged", "operation_index", "tx_status", "op_status",
       "hash", "time")
@@ -344,6 +391,16 @@ final class JdbcTwoTableSink(connect: () => Connection) extends CheckpointSink {
       def insert(tbl: String, cols: Seq[String], kind: String): Unit = {
         val batch = rows.filter(_.getString(byName("type")) == kind)
         if (batch.nonEmpty) {
+          if (last.contains(seq)) {
+            val del = c.prepareStatement(
+              s"DELETE FROM $tbl WHERE hash = ? AND operation_index = ?")
+            batch.foreach { r =>
+              del.setObject(1, r.get(byName("hash")))
+              del.setObject(2, r.get(byName("operation_index")))
+              del.addBatch()
+            }
+            del.executeBatch()
+          }
           val ps = c.prepareStatement(
             s"INSERT INTO $tbl (${cols.mkString(", ")}) VALUES (${cols.map(_ => "?").mkString(", ")})")
           batch.foreach { r =>
@@ -363,16 +420,25 @@ final class JdbcTwoTableSink(connect: () => Connection) extends CheckpointSink {
         st.execute(s"INSERT INTO lastfile VALUES ('${f"$seq%08x"}')")
       c.commit() // both tables + offset atomically (K2)
     } catch {
-      case e: Throwable => c.rollback(); throw e
+      case e: Throwable =>
+        try c.rollback() catch { case _: Throwable => () }
+        throw e
     } finally c.close()
   }
 
   override def lastSequence: Option[Long] = {
+    // None means exactly "no offset committed yet" (lastfile exists and
+    // is empty). A FAILED read — missing table, lock timeout, revoked
+    // SELECT — propagates instead of masquerading as None: the save
+    // guard would otherwise re-insert a committed checkpoint and the
+    // tail would silently restart from the beginning (run
+    // ensureSchema/bootstrap before first use; the Collector chain
+    // does).
     val c = connect()
     try {
       val rs = c.createStatement().executeQuery("SELECT name FROM lastfile")
       if (rs.next()) Some(java.lang.Long.parseLong(rs.getString(1), 16)) else None
-    } catch { case _: Throwable => None } finally c.close()
+    } finally c.close()
   }
 
   /** Canned creation row written to `creations`, read back, deleted, all

@@ -31,6 +31,25 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *     .option("maxPerBatch", "128").load()
   * }}}
   */
+/** Java-serializable Hadoop Configuration carrier: the DSv2 reader
+  * factory ships the SESSION's Hadoop conf to executors, so
+  * `spark.hadoop.fs.s3a.*` credentials/endpoints set on the session
+  * reach the archive reads — a bare `new Configuration()` silently
+  * drops them, which is exactly the pitfall PartitionedFileSink's
+  * scaladoc documents for the sink side.
+  */
+private[sources] class SerializableHadoopConf(@transient var value: Configuration)
+    extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject(); value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new Configuration(false)
+    value.readFields(in)
+  }
+}
+
 object ArchiveStreamTable {
   val Schema: StructType = StructType(Seq(
     StructField("seq", LongType, nullable = false),
@@ -54,29 +73,38 @@ class ArchiveStreamTable(props: util.Map[String, String]) extends Table with Sup
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     () => new Scan {
+      // the SESSION's Hadoop conf (spark.hadoop.* settings included),
+      // captured at plan time on the driver and threaded to every
+      // FileSystem resolution — driver-side availability walks and
+      // executor-side partition reads alike
+      private val conf = new SerializableHadoopConf(
+        SparkSession.active.sessionState.newHadoopConf())
       override def readSchema(): StructType = ArchiveStreamTable.Schema
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
         new ArchiveMicroBatchStream(
           options.get("root"),
           Option(options.get("firstSeq")).map(_.toLong).getOrElse(0x3fL),
-          Option(options.get("maxPerBatch")).map(_.toInt).getOrElse(64))
+          Option(options.get("maxPerBatch")).map(_.toInt).getOrElse(64),
+          conf)
       // batch path (`spark.read.format(...)`): one InputPartition per
       // currently-available checkpoint, same executor-side reader as the
       // stream — backfill parallelism = number of archive triples
       override def toBatch: Batch = new ArchiveBatch(
         options.get("root"),
-        Option(options.get("firstSeq")).map(_.toLong).getOrElse(0x3fL))
+        Option(options.get("firstSeq")).map(_.toLong).getOrElse(0x3fL),
+        conf)
     }
 }
 
 /** Batch scan of every checkpoint available at plan time (the DSv2 form
   * of [[ArchiveTail.runOnce]]'s availability walk).
   */
-class ArchiveBatch(root: String, firstSeq: Long) extends Batch {
+class ArchiveBatch(root: String, firstSeq: Long,
+    conf: SerializableHadoopConf) extends Batch {
   require(Archive.isCheckpoint(firstSeq), s"firstSeq $firstSeq must satisfy (seq+1)%64==0")
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val fs = new HPath(root).getFileSystem(new Configuration())
+    val fs = new HPath(root).getFileSystem(conf.value)
     def available(seq: Long): Boolean =
       Seq("transactions", "ledger", "results")
         .forall(c => fs.exists(new HPath(Archive.pathFor(root, c, seq))))
@@ -86,7 +114,8 @@ class ArchiveBatch(root: String, firstSeq: Long) extends Batch {
       .toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = new ArchiveReaderFactory
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ArchiveReaderFactory(conf)
 }
 
 /** Offset = highest checkpoint sequence already committed (exclusive
@@ -96,12 +125,12 @@ case class SeqOffset(seq: Long) extends Offset {
   override def json(): String = seq.toString
 }
 
-class ArchiveMicroBatchStream(root: String, firstSeq: Long, maxPerBatch: Int)
-    extends MicroBatchStream with SupportsTriggerAvailableNow {
+class ArchiveMicroBatchStream(root: String, firstSeq: Long, maxPerBatch: Int,
+    conf: SerializableHadoopConf) extends MicroBatchStream with SupportsTriggerAvailableNow {
   require(Archive.isCheckpoint(firstSeq), s"firstSeq $firstSeq must satisfy (seq+1)%64==0")
 
   @transient private lazy val fs: FileSystem =
-    new HPath(root).getFileSystem(new Configuration())
+    new HPath(root).getFileSystem(conf.value)
 
   private def available(seq: Long): Boolean =
     Seq("transactions", "ledger", "results")
@@ -155,7 +184,8 @@ class ArchiveMicroBatchStream(root: String, firstSeq: Long, maxPerBatch: Int)
     ((s + 64) to e by 64).map(seq => ArchivePartition(root, seq): InputPartition).toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = new ArchiveReaderFactory
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ArchiveReaderFactory(conf)
 
   override def deserializeOffset(json: String): Offset = {
     val o = SeqOffset(json.trim.toLong)
@@ -168,7 +198,8 @@ class ArchiveMicroBatchStream(root: String, firstSeq: Long, maxPerBatch: Int)
 
 case class ArchivePartition(root: String, seq: Long) extends InputPartition
 
-class ArchiveReaderFactory extends PartitionReaderFactory {
+class ArchiveReaderFactory(conf: SerializableHadoopConf)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[ArchivePartition]
     new PartitionReader[InternalRow] {
@@ -176,7 +207,7 @@ class ArchiveReaderFactory extends PartitionReaderFactory {
       override def next(): Boolean = !done
       override def get(): InternalRow = {
         done = true
-        val fs = new HPath(p.root).getFileSystem(new Configuration())
+        val fs = new HPath(p.root).getFileSystem(conf.value)
         def read(cat: String): Array[Byte] = {
           val in = fs.open(new HPath(Archive.pathFor(p.root, cat, p.seq)))
           try {

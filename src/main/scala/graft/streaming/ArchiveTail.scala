@@ -43,8 +43,32 @@ final class ArchiveTail(
   private val fs: FileSystem =
     new HPath(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Next sequence to process (offset recovery, S5). */
-  def resumeSeq: Long = sink.lastSequence.map(Archive.nextSeq).getOrElse(firstSeq)
+  /** Next sequence to process (offset recovery, S5). `lastfile ==
+    * firstSeq` resumes AT firstSeq, not past it — the reference's
+    * build_database seeds lastfile with FIRST_FILE meaning "not yet
+    * ingested" (main.py:247 only advances when they differ), so a
+    * bootstrap-seeded deployment must ingest its first checkpoint
+    * rather than silently skip the first 64 ledgers. The sinks make
+    * the re-visit exactly-once: the JDBC saves overwrite this batch's
+    * row identities when lastfile == seq, and the file sink's
+    * partition overwrite is idempotent — so the one genuinely-
+    * ambiguous restart (crash right after ingesting firstSeq) re-lands
+    * identical data instead of duplicating it (the reference itself
+    * double-inserts in that window).
+    */
+  def resumeSeq: Long = sink.lastSequence match {
+    case Some(l) if l == firstSeq && firstSeqSeeded => firstSeq
+    case Some(l) => Archive.nextSeq(l)
+    case None => firstSeq
+  }
+
+  // STARTUP-ONLY reading of the seeded pointer (the reference checks
+  // lastfile == FIRST_FILE once, before its loop — main.py:246-249):
+  // cleared after the first successful commit, so once firstSeq is
+  // genuinely ingested the tail advances past it instead of
+  // re-resolving the ambiguous pointer every poll round
+  @volatile private var firstSeqSeeded: Boolean =
+    sink.lastSequence.contains(firstSeq)
 
   private def triple(seq: Long): Seq[String] =
     Seq("transactions", "ledger", "results").map(Archive.pathFor(root, _, seq))
@@ -74,6 +98,7 @@ final class ArchiveTail(
           counts.getOrElse("payment", 0L), counts.getOrElse("creation", 0L))
       } finally { cached.unpersist(); () }
     } else sink.save(ops, seq)
+    firstSeqSeeded = false // the pointer now reflects a real commit
     true
   }
 

@@ -122,7 +122,10 @@ private final class FakeConn(db: FakeDb) {
   }
 
   private def prepared(sql: String): PreparedStatement = {
-    val tbl = insertTableRe.findFirstMatchIn(sql).map(_.group(1)).getOrElse("operations")
+    val isDelete = sql.trim.startsWith("DELETE FROM")
+    val tbl =
+      if (isDelete) hashTableRe.findFirstMatchIn(sql).map(_.group(1)).getOrElse("operations")
+      else insertTableRe.findFirstMatchIn(sql).map(_.group(1)).getOrElse("operations")
     val current = mutable.Map[Int, Any]()
     val batch = mutable.Buffer[Seq[Any]]()
     proxy(classOf[PreparedStatement]) {
@@ -131,7 +134,20 @@ private final class FakeConn(db: FakeDb) {
         batch += (1 to current.keys.max).map(current.getOrElse(_, null)); current.clear(); null
       case ("executeBatch", _) =>
         if (db.failBatch) throw new java.sql.SQLException("injected failure")
-        staged(tbl) = staged(tbl) ++ batch.toVector; batch.clear()
+        if (isDelete) {
+          // prepared DELETE ... WHERE hash = ? AND operation_index = ?
+          // (the sinks' first-file overwrite path): drop matching rows
+          // from the committed table and this txn's staged rows — a
+          // fake-fidelity positional match on (hash, op_index) values
+          batch.foreach { params =>
+            def hit(row: Seq[Any]) = params.forall(p => row.contains(p))
+            db.tables(tbl) = db.tables(tbl).filterNot(hit)
+            staged(tbl) = staged(tbl).filterNot(hit)
+          }
+          batch.clear()
+        } else {
+          staged(tbl) = staged(tbl) ++ batch.toVector; batch.clear()
+        }
         maybeAutoFlush(); Array.emptyIntArray
     }
   }

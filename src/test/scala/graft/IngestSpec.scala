@@ -225,7 +225,11 @@ class IngestSpec extends AnyFunSuite {
     }
     val tail2 = new ArchiveTail(spark, archive, Passphrase, cfg,
       new PartitionedFileSink(out), maxRetries = 1, sleeper = _ => (), alerts = boom)
-    assert(tail2.run(maxIterations = 100) === 0) // completes despite alert failures
+    // lastfile == firstSeq is ambiguous at startup (seeded vs ingested —
+    // main.py:247), so the restarted tail re-visits 0x3f once; the file
+    // sink's partition overwrite makes that idempotent, and the count is
+    // 1, not 0. The alert failures are still swallowed either way.
+    assert(tail2.run(maxIterations = 100) === 1)
   }
 
   test("ValidatingAlerts probes transports at construction; failure aborts before ingest") {
@@ -611,15 +615,20 @@ class IngestSpec extends AnyFunSuite {
     sink.selfTest()
     assert(db.tables("creations").isEmpty && db.rollbacks === 1)
 
-    // a mixed checkpoint routes payments and creations to their own tables
+    // a mixed checkpoint routes payments and creations to their own
+    // tables. The archive carries the SEEDED first file itself: the
+    // reference ingests FIRST_FILE when lastfile still equals it
+    // (main.py:247 only advances past a lastfile that differs), so the
+    // tail must resume AT 0x3f — resuming past it would silently lose
+    // the deployment's first 64 ledgers.
     val archive = Files.createTempDirectory("graft-arch-2t").toString
-    writeMixedCheckpoint(archive, 0x7fL)
+    writeMixedCheckpoint(archive, 0x3fL)
     val tail = new ArchiveTail(spark, archive, Passphrase, cfg, sink)
-    assert(tail.resumeSeq === 0x7fL) // resumes from the seeded lastfile
+    assert(tail.resumeSeq === 0x3fL) // seeded pointer = not yet ingested
     assert(tail.runOnce() === 1)
     assert(db.tables("payments").size === 1)
     assert(db.tables("creations").size === 1)
-    assert(db.lastfile === Some("0000007f"))
+    assert(db.lastfile === Some("0000003f"))
     // per-table shapes: payments carry amount, creations starting_balance
     assert(db.tables("payments").head(2) === 1000000.0)  // amount (3rd col)
     assert(db.tables("creations").head(2) === 50.0)      // starting_balance (3rd col)
@@ -627,20 +636,22 @@ class IngestSpec extends AnyFunSuite {
     // no memo on the fixture ops → memo_text lands as NULL, row still stored
     assert(db.tables("payments").head(3) === null)       // memo_text (4th col)
 
-    // replay is a no-op (idempotence on batch sequence)
-    assert(tail.processOne(0x7fL))
+    // replay of the ambiguous lastfile == seq case OVERWRITES this
+    // batch's row identities instead of duplicating (the reference
+    // double-inserts in this window)
+    assert(tail.processOne(0x3fL))
     assert(db.tables("payments").size === 1 && db.tables("creations").size === 1)
 
     // fault injection: both tables + offset roll back together
-    writeMixedCheckpoint(archive, 0xbfL)
+    writeMixedCheckpoint(archive, 0x7fL)
     db.failBatch = true
-    intercept[java.sql.SQLException](tail.processOne(0xbfL))
+    intercept[java.sql.SQLException](tail.processOne(0x7fL))
     assert(db.tables("payments").size === 1 && db.tables("creations").size === 1)
-    assert(db.lastfile === Some("0000007f"))
+    assert(db.lastfile === Some("0000003f"))
     db.failBatch = false
-    assert(tail.processOne(0xbfL))
+    assert(tail.processOne(0x7fL))
     assert(db.tables("payments").size === 2 && db.tables("creations").size === 2)
-    assert(db.lastfile === Some("000000bf"))
+    assert(db.lastfile === Some("0000007f"))
   }
 
   test("two-table sink advances the offset even on an unseeded lastfile") {
