@@ -26,30 +26,72 @@ case class DecimalDot(left: Expression, right: Expression) extends BinaryExpress
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "decimal_dot"
+  // SQL-NULL parity with the lambda spelling this kernel replaces:
+  // unequal lengths (zip_with pads with null) or a null element both
+  // yield NULL there, so they must here too — a kernel swapped in by
+  // the optimizer must never change a query's answer
+  override def nullable: Boolean = true
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
     DecimalDot.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.DecimalDot.dot($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""java.lang.Double ${ev.value}_r = graft.functions.DecimalDot.dot($a, $b);
+         |if (${ev.value}_r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ${ev.value}_r.doubleValue(); }""".stripMargin)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): DecimalDot =
     copy(left = l, right = r)
 }
 
 object DecimalDot {
-  /** Static hot path shared by eval and generated code. */
-  def dot(xs: ArrayData, ys: ArrayData): Double = {
-    val n = math.min(xs.numElements(), ys.numElements())
+  /** Static hot path shared by eval and generated code. Returns null
+    * (SQL NULL) for unequal lengths or null elements — the answers the
+    * portable lambda spelling gives. The fast path accumulates the
+    * scale-12 unscaled sum in a long with OVERFLOW DETECTION
+    * (add/multiplyExact-style): a dot product beyond ~9.2e6 in
+    * magnitude silently wrapped before; now it falls back to exact
+    * BigDecimal accumulation, erroring only where the DECIMAL(28,12)
+    * spelling itself would overflow under ANSI.
+    */
+  def dot(xs: ArrayData, ys: ArrayData): java.lang.Double = {
+    val n = xs.numElements()
+    if (n != ys.numElements()) return null
+    var i = 0
+    while (i < n) {
+      if (xs.isNullAt(i) || ys.isNullAt(i)) return null
+      i += 1
+    }
+    try fastDot(xs, ys, n)
+    catch { case _: ArithmeticException => exactDot(xs, ys, n) }
+  }
+
+  private def fastDot(xs: ArrayData, ys: ArrayData, n: Int): java.lang.Double = {
     var acc = 0L // unscaled at scale 12
     var i = 0
     while (i < n) {
       val p = xs.getFloat(i).toDouble * ys.getFloat(i).toDouble
-      acc += JBigDecimal.valueOf(p).setScale(12, RoundingMode.HALF_UP)
-        .unscaledValue().longValueExact()
+      acc = Math.addExact(acc,
+        JBigDecimal.valueOf(p).setScale(12, RoundingMode.HALF_UP)
+          .unscaledValue().longValueExact())
       i += 1
     }
     JBigDecimal.valueOf(acc, 12).doubleValue()
+  }
+
+  private def exactDot(xs: ArrayData, ys: ArrayData, n: Int): java.lang.Double = {
+    var acc = JBigDecimal.ZERO
+    var i = 0
+    while (i < n) {
+      val p = xs.getFloat(i).toDouble * ys.getFloat(i).toDouble
+      acc = acc.add(JBigDecimal.valueOf(p).setScale(12, RoundingMode.HALF_UP))
+      i += 1
+    }
+    if (acc.precision > 28)
+      throw new ArithmeticException(
+        s"decimal_dot overflow: $acc exceeds DECIMAL(28,12) (the portable spelling errors here too)")
+    acc.doubleValue()
   }
 }
 

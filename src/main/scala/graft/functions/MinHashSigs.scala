@@ -40,8 +40,12 @@ object MinHashSigs {
     // filter that re-evaluates word_shingles ahead of the project
     if (n == 0) return new GenericArrayData(Array.empty[Any])
     val mins = Array.fill[Array[Byte]](numHashes)(null)
-    val md = MessageDigest.getInstance("MD5")
-    val prefixes = Array.tabulate(numHashes)(i => s"$i|".getBytes("UTF-8"))
+    // row-invariant state hoisted off the per-row path (this is the
+    // dedup pipeline's hottest kernel): the digest is thread-local, the
+    // seed prefixes are cached per numHashes
+    val md = localMd.get()
+    val prefixes = prefixCache.computeIfAbsent(numHashes,
+      h => Array.tabulate(h)(i => s"$i|".getBytes("UTF-8")))
     var j = 0
     while (j < n) {
       val shingle = arr.getUTF8String(j).getBytes
@@ -69,9 +73,24 @@ object MinHashSigs {
     false
   }
 
+  private val localMd = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  private val prefixCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Byte]]]()
+
+  private val HexChars = "0123456789abcdef".toCharArray
+
   private def hex(d: Array[Byte]): String = {
-    val sb = new StringBuilder(32)
-    d.foreach(b => sb.append(f"$b%02x"))
-    sb.toString
+    val cs = new Array[Char](d.length * 2)
+    var i = 0
+    while (i < d.length) {
+      val b = d(i) & 0xff
+      cs(2 * i) = HexChars(b >>> 4)
+      cs(2 * i + 1) = HexChars(b & 0xf)
+      i += 1
+    }
+    new String(cs)
   }
 }

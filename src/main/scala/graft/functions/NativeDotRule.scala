@@ -29,10 +29,19 @@ object NativeDotRule extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  // The matched variables must be BOUND to the enclosing lambda's own
+  // distinct arguments (one each, either order — the product commutes).
+  // Matching any NamedLambdaVariable would also rewrite
+  // `(x, y) -> x * x` (sum of squares of a alone) or a lambda closing
+  // over an outer variable into DecimalDot(a, b) — a silently different
+  // number. exprId equality is the binding check.
   private object ProductLambda {
     def unapply(f: Expression): Boolean = f match {
-      case LambdaFunction(Multiply(Cast(_: NamedLambdaVariable, DoubleType, _, _),
-        Cast(_: NamedLambdaVariable, DoubleType, _, _), _), _, _) => true
+      case LambdaFunction(Multiply(Cast(x: NamedLambdaVariable, DoubleType, _, _),
+          Cast(y: NamedLambdaVariable, DoubleType, _, _), _),
+          Seq(p1: NamedLambdaVariable, p2: NamedLambdaVariable), _) =>
+        (x.exprId == p1.exprId && y.exprId == p2.exprId) ||
+          (x.exprId == p2.exprId && y.exprId == p1.exprId)
       case _ => false
     }
   }
@@ -40,8 +49,10 @@ object NativeDotRule extends Rule[LogicalPlan] {
   private object DecimalSumLambda {
     def unapply(f: Expression): Boolean = f match {
       case LambdaFunction(Cast(Add(acc: NamedLambdaVariable,
-        Cast(_: NamedLambdaVariable, d1: DecimalType, _, _), _), d2: DecimalType, _, _), _, _) =>
-        acc.dataType == Dec && d1 == Dec && d2 == Dec
+          Cast(z: NamedLambdaVariable, d1: DecimalType, _, _), _), d2: DecimalType, _, _),
+          Seq(p1: NamedLambdaVariable, p2: NamedLambdaVariable), _) =>
+        acc.dataType == Dec && d1 == Dec && d2 == Dec &&
+          acc.exprId == p1.exprId && z.exprId == p2.exprId
       case _ => false
     }
   }
@@ -51,10 +62,12 @@ object NativeDotRule extends Rule[LogicalPlan] {
           ZipWith(a, b, ProductLambda()),
           Literal(zero: org.apache.spark.sql.types.Decimal, zt: DecimalType),
           DecimalSumLambda(),
-          LambdaFunction(fin: NamedLambdaVariable, _, _)),
+          LambdaFunction(fin: NamedLambdaVariable,
+            Seq(fp: NamedLambdaVariable), _)),
         DoubleType, _, _)
         if zt == Dec && zero.toBigDecimal.signum == 0 &&
-          isFloatArray(a) && isFloatArray(b) && fin.dataType == Dec =>
+          isFloatArray(a) && isFloatArray(b) && fin.dataType == Dec &&
+          fin.exprId == fp.exprId =>
       DecimalDot(a, b)
   }
 }

@@ -55,12 +55,24 @@ object RollingHash {
   */
 object GraftFunctions {
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "rolling_hash" -> (exprs => RollingHash(exprs.head)),
-    "decimal_dot" -> (exprs => DecimalDot(exprs.head, exprs(1))),
-    "float_dot" -> (exprs => FloatDot(exprs.head, exprs(1))),
-    "minhash_sigs" -> (exprs => MinHashSigs(exprs.head, 8)),
-    "word_shingles" -> (exprs => WordShingles(exprs.head, 3)),
-    "nfc_normalize" -> (exprs => NormalizeNfc(exprs.head)))
+    // arity is VALIDATED, not silently truncated: `minhash_sigs(sh, 16)`
+    // previously used only the first argument and returned 8 signatures
+    // with no warning — wrong LSH banding with no error is worse than a
+    // loud failure, and decimal_dot(a) died with an opaque index error
+    "rolling_hash" -> (exprs => { arity("rolling_hash", exprs, 1); RollingHash(exprs.head) }),
+    "decimal_dot" -> (exprs => { arity("decimal_dot", exprs, 2); DecimalDot(exprs.head, exprs(1)) }),
+    "float_dot" -> (exprs => { arity("float_dot", exprs, 2); FloatDot(exprs.head, exprs(1)) }),
+    "minhash_sigs" -> (exprs => { arity("minhash_sigs", exprs, 1); MinHashSigs(exprs.head, 8) }),
+    "word_shingles" -> (exprs => { arity("word_shingles", exprs, 1); WordShingles(exprs.head, 3) }),
+    "nfc_normalize" -> (exprs => { arity("nfc_normalize", exprs, 1); NormalizeNfc(exprs.head) }))
+
+  private def arity(name: String, exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+      n: Int): Unit =
+    if (exprs.length != n)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "_LEGACY_ERROR_TEMP_3000",
+        messageParameters = Map("message" ->
+          s"$name expects exactly $n argument(s), got ${exprs.length} (parameters are fixed at registration: 8 hashes, 3-word shingles)"))
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (name, builder) =>

@@ -14,12 +14,16 @@ final class TopKDoubles(k: Int) extends Aggregator[Double, Seq[Double], Seq[Doub
 
   override def zero: Seq[Double] = Vector.empty
 
-  private def bound(xs: Seq[Double]): Seq[Double] =
-    if (xs.size <= k) xs else xs.sortBy(-_).take(k)
+  // INVARIANT: the buffer is always sorted descending (bound() sorts and
+  // zero is empty), so the k-th best is xs.last and a full buffer
+  // rejects a below-minimum row in O(1) — the common case on the hot
+  // map-side path — instead of re-sorting k+1 elements per input row
+  private def bound(xs: Seq[Double]): Seq[Double] = xs.sortBy(-_).take(k)
 
-  override def reduce(b: Seq[Double], a: Double): Seq[Double] = bound(b :+ a)
+  override def reduce(b: Seq[Double], a: Double): Seq[Double] =
+    if (b.length == k && a <= b.last) b else bound(b :+ a)
   override def merge(b1: Seq[Double], b2: Seq[Double]): Seq[Double] = bound(b1 ++ b2)
-  override def finish(b: Seq[Double]): Seq[Double] = b.sortBy(-_)
+  override def finish(b: Seq[Double]): Seq[Double] = b
 
   override def bufferEncoder: Encoder[Seq[Double]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()

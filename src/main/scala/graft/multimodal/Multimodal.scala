@@ -30,7 +30,8 @@ final case class MediaMeta(
 
 final case class MediaRow(media_id: Long, meta: MediaMeta, content: Array[Byte])
 
-final case class Frame(media_id: Long, frame_index: Int, width: Int, height: Int, pixels: Array[Byte])
+final case class Frame(media_id: Long, frame_index: Int, width: Int, height: Int,
+    pixels: Array[Byte], modality: String = "image")
 final case class MediaFeatures(media_id: Long, modality: String, feature: Array[Float])
 final case class FrameHash(media_id: Long, frame_index: Int, dhash: String)
 final case class MediaFingerprint(media_id: Long, media_fp: String, canonical_media: Long)
@@ -125,13 +126,21 @@ object Multimodal {
     */
   def decode(media: Dataset[MediaRow], codec: MediaCodec, sampleEveryMs: Long = 1000L): Dataset[Frame] =
     media.mapPartitions(_.flatMap { m =>
-      val w = m.meta.width.getOrElse(1)
-      val h = m.meta.height.getOrElse(1)
+      // fail LOUDLY on missing dimensions: the old getOrElse(1) default
+      // decoded every dimension-less asset to a 1x1 frame whose dhash is
+      // the empty bit string — ALL such assets then shared one
+      // fingerprint and the dedup pipeline silently collapsed them into
+      // a single canonical (data loss, not an error)
+      val w = m.meta.width.getOrElse(throw new IllegalArgumentException(
+        s"media ${m.media_id}: width missing — cannot decode frames without dimensions"))
+      val h = m.meta.height.getOrElse(throw new IllegalArgumentException(
+        s"media ${m.media_id}: height missing — cannot decode frames without dimensions"))
       val nFrames = m.meta.modality match {
         case "video" => math.max(1, (m.meta.durationMs.getOrElse(0L) / sampleEveryMs).toInt)
         case _ => 1
       }
-      (0 until nFrames).iterator.map(f => Frame(m.media_id, f, w, h, codec.decodeFrame(m.content, f, w, h)))
+      (0 until nFrames).iterator.map(f =>
+        Frame(m.media_id, f, w, h, codec.decodeFrame(m.content, f, w, h), m.meta.modality))
     })
 
   /** Nearest-neighbour resize — real math over the decoded RGB bytes. */
@@ -153,7 +162,7 @@ object Multimodal {
         }
         y += 1
       }
-      Frame(fr.media_id, fr.frame_index, outW, outH, out)
+      Frame(fr.media_id, fr.frame_index, outW, outH, out, fr.modality)
     })
 
   /** Difference hash (dHash) per frame: one bit per horizontally
@@ -284,7 +293,9 @@ object Multimodal {
     frames.groupByKey(_.media_id).mapGroups { (id, fs) =>
       val acc = new Array[Double](11)
       var n = 0
+      var mod = "image"
       fs.foreach { fr =>
+        mod = fr.modality
         val px = fr.pixels
         val hist = new Array[Double](8)
         val chan = new Array[Double](3)
@@ -300,7 +311,10 @@ object Multimodal {
         (0 until 8).foreach(b => acc(3 + b) += hist(b) / nPix)
         n += 1
       }
-      MediaFeatures(id, if (n > 1) "video" else "image", acc.map(v => (v / n).toFloat))
+      // modality is CARRIED from the source metadata, not re-derived
+      // from the frame count (a short video sampled to one frame is
+      // still a video)
+      MediaFeatures(id, mod, acc.map(v => (v / n).toFloat))
     }
   }
 }
