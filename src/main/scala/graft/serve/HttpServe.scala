@@ -85,7 +85,12 @@ final class HttpServe(payments: DataFrame, port: Int = 0,
   }
 
   server.createContext("/payments", (ex: HttpExchange) => Facade.handle(ex) { p =>
-    rowsJson(Serve.paymentsBySource(payments, p("source"), p.getOrElse("limit", "20").toInt))
+    val limit = p.getOrElse("limit", "20").toInt
+    // validated HERE so a negative limit is a 400 like any other
+    // badly-shaped param — unchecked it reaches Dataset.limit(), whose
+    // AnalysisException would surface as a 500 server fault
+    require(limit >= 0, s"limit must be >= 0, got $limit")
+    rowsJson(Serve.paymentsBySource(payments, p("source"), limit))
   })
   server.createContext("/tx", (ex: HttpExchange) => Facade.handle(ex) { p =>
     rowsJson(Serve.txByHash(payments, p("id")))

@@ -42,13 +42,18 @@ object LiveCounts {
     StructField("n", LongType),
     StructField("batch", LongType)))
 
-  /** Start the continuous intake over a streaming `(key)` frame —
-    * one row per OBSERVATION (pre-exploded by the caller: words,
-    * segments, n-grams...); each micro-batch commits its partial
-    * counts.
+  /** Start the continuous intake over a streaming frame: `prep` maps
+    * each micro-batch to its `(key)` observation rows (identity when
+    * the caller pre-explodes — words, segments, n-grams...), and each
+    * batch commits its partial counts. The wiring lives HERE, once:
+    * derived intakes ([[LiveNb]]) pass their observation transform
+    * instead of re-plumbing writeStream/checkpoint/foreachBatch, so
+    * checkpoint and replay behavior cannot drift between the count
+    * stores.
     */
-  def start(keys: DataFrame, cfg: Config): StreamingQuery = {
-    val fn: (DataFrame, Long) => Unit = (b, id) => step(b, id, cfg)
+  def start(keys: DataFrame, cfg: Config,
+      prep: DataFrame => DataFrame = identity): StreamingQuery = {
+    val fn: (DataFrame, Long) => Unit = (b, id) => step(prep(b), id, cfg)
     keys.writeStream
       .option("checkpointLocation", s"${cfg.root}/_checkpoint")
       .foreachBatch(fn)
@@ -62,7 +67,7 @@ object LiveCounts {
     val s = batch.sparkSession
     // writer-side fold recovery (single maintenance owner)
     BatchParts.recoverFold(s, s"${cfg.root}/counts")
-    if (BatchParts.committed(s, s"${cfg.root}/counts").exists(_._1 == batchId)) return
+    if (BatchParts.isCommitted(s, s"${cfg.root}/counts", batchId)) return
     if (batch.isEmpty) return
     batch.groupBy("key").agg(count(lit(1)).as("n"))
       .write.mode("overwrite").parquet(s"${cfg.root}/counts/batch=$batchId")
@@ -70,32 +75,20 @@ object LiveCounts {
 
   /** Corpus-wide totals: one re-aggregation over the committed
     * partials. Associative, so folded and unfolded state sum to the
-    * same batch answer. Reader-side: a pending fold is SUBSTITUTED for
-    * the partitions it supersedes, never completed or deleted from
-    * here (see [[BatchParts]]' mode contract) — so a fold that crashed
-    * mid-delete still reads complete, and a concurrent serve can never
-    * truncate an in-flight fold.
+    * same batch answer. Reader-side: ONE listing of the effective
+    * parts (the newest committed fold plus the batches past its
+    * horizon — [[BatchParts.effectiveParts]]), one multi-path
+    * relation, never an N-ary union. Safe under concurrent
+    * maintenance because a fold commits by rename and its superseded
+    * sources are only GC'd from the next writer op — every dir this
+    * listing names outlives the read.
     */
   def totals(s: SparkSession, cfg: Config): DataFrame = {
-    val dir = s"${cfg.root}/counts"
-    val parts = BatchParts.committed(s, dir)
-    // one multi-path relation for the batch dirs (never an N-ary
-    // union), at most one 2-ary union when a staging substitutes
-    def rel(dirs: Seq[String]): Option[DataFrame] =
-      if (dirs.isEmpty) None
-      else Some(s.read.option("basePath", dir).schema(CountSchema)
-        .parquet(dirs: _*).select("key", "n"))
-    val pieces = BatchParts.pendingFold(s, dir) match {
-      case Some((m, staging)) =>
-        Some(s.read.schema(StructType(CountSchema.dropRight(1))).parquet(staging)) ++
-          rel(parts.filter(_._1 > m).map(_._2))
-      case None => rel(parts.map(_._2))
-    }
-    pieces.reduceOption(_.unionByName(_)) match {
-      case None => s.createDataFrame(s.sparkContext.emptyRDD[Row],
-        StructType(CountSchema.dropRight(1)))
-      case Some(u) => u.groupBy("key").agg(sum(col("n")).as("n"))
-    }
+    val dirs = BatchParts.effectiveDirs(s, s"${cfg.root}/counts")
+    if (dirs.isEmpty) s.createDataFrame(s.sparkContext.emptyRDD[Row],
+      StructType(CountSchema.dropRight(1)))
+    else s.read.schema(StructType(CountSchema.dropRight(1))).parquet(dirs: _*)
+      .groupBy("key").agg(sum(col("n")).as("n"))
   }
 
   /** The d12 hot-segment list derived from the LIVE totals: keys with
@@ -107,9 +100,14 @@ object LiveCounts {
     * hot list is boilerplate-sized by construction (only df ≥ minDf
     * keys survive), exactly like the batch builder's consumer.
     */
-  def hotKeys(s: SparkSession, cfg: Config, minDf: Long): Seq[String] =
+  def hotKeys(s: SparkSession, cfg: Config, minDf: Long): Seq[String] = {
+    // same guard as Dedup.hotSegments: with minDf <= 1 EVERY observed
+    // key is "hot" and a streaming scrub built on this list silently
+    // empties all documents
+    require(minDf >= 2, s"minDf must be >= 2, got $minDf")
     totals(s, cfg).filter(col("n") >= minDf)
       .select(md5(col("key")).as("h")).collect().map(_.getString(0)).toSeq
+  }
 
   /** Fold committed partials into one partition (the re-aggregation is
     * the merge), staged-roll-forward crash-safe via [[BatchParts]].
@@ -117,14 +115,15 @@ object LiveCounts {
   def compact(s: SparkSession, cfg: Config): Unit = {
     val dir = s"${cfg.root}/counts"
     BatchParts.recoverFold(s, dir)
-    val parts = BatchParts.committed(s, dir)
+    val parts = BatchParts.effectiveParts(s, dir)
     if (parts.length > 1) {
-      val m = parts.last._1
-      s.read.option("basePath", dir).schema(CountSchema)
+      val h = parts.last._1
+      val gen = BatchParts.nextFoldGen(s, dir)
+      s.read.schema(StructType(CountSchema.dropRight(1)))
         .parquet(parts.map(_._2): _*)
         .groupBy("key").agg(sum(col("n")).as("n"))
-        .write.mode("overwrite").parquet(BatchParts.stagingPath(dir, m))
-      BatchParts.rollForward(s, dir, m)
+        .write.mode("overwrite").parquet(BatchParts.stagingPath(dir, h, gen))
+      BatchParts.commitFold(s, dir, h, gen)
     }
   }
 }
@@ -171,14 +170,12 @@ object LiveNb {
       .select(concat(when(col("pos"), "p").otherwise("n"), lit("|"), col("word")).as("key"))
       .unionByName(labeled.select(when(col("pos"), "P").otherwise("N").as("key")))
 
-  /** Start the continuous intake over a streaming labeled frame. */
-  def start(labeled: DataFrame, cfg: Config): StreamingQuery = {
-    val fn: (DataFrame, Long) => Unit = (b, id) => step(b, id, cfg)
-    labeled.writeStream
-      .option("checkpointLocation", s"${cfg.root}/_checkpoint")
-      .foreachBatch(fn)
-      .start()
-  }
+  /** Start the continuous intake over a streaming labeled frame —
+    * [[LiveCounts.start]] with the NB observation transform as the
+    * per-batch prep, so the two intakes share one writeStream wiring.
+    */
+  def start(labeled: DataFrame, cfg: Config): StreamingQuery =
+    LiveCounts.start(labeled, cfg.counts, observations)
 
   /** One incremental step: the batch's observation partial, committed
     * through the [[LiveCounts]] store (its replay/fold discipline).

@@ -75,9 +75,9 @@ object LiveIndex {
     val s = batch.sparkSession
     Seq("postings", "doclens").foreach(k =>
       BatchParts.recoverFold(s, s"${cfg.root}/$k"))
-    if (BatchParts.committed(s, s"${cfg.root}/doclens").exists(_._1 == batchId)) return
+    if (BatchParts.isCommitted(s, s"${cfg.root}/doclens", batchId)) return
     if (batch.isEmpty) return
-    val indexed = BatchParts.committed(s, s"${cfg.root}/doclens").map(_._2) match {
+    val indexed = BatchParts.effectiveDirs(s, s"${cfg.root}/doclens") match {
       case Seq() => batch.limit(0).select("doc_id")
       case dirs => s.read.schema(DoclenSchema).parquet(dirs: _*).select("doc_id")
     }
@@ -101,39 +101,27 @@ object LiveIndex {
     } finally { toks.unpersist(); () }
   }
 
-  /** A store as one relation over partitions with id ≤ `upTo` —
-    * reader-side, so a pending fold SUBSTITUTES for the partitions it
-    * supersedes (the [[BatchParts]] mode contract; fold ids are always
-    * ≤ the last commit, hence ≤ `upTo`).
+  /** A store as one multi-path relation over effective parts with id
+    * ≤ `upTo` ([[BatchParts.effectiveParts]], one listing; fold
+    * horizons are always ≤ the last commit, hence ≤ `upTo`). Safe
+    * under concurrent maintenance: folds commit by rename and
+    * superseded dirs are only GC'd from the next writer op.
     */
   private def readStore(s: SparkSession, dir: String, schema: StructType,
       upTo: Long): DataFrame = {
-    val parts = BatchParts.committed(s, dir).filter(_._1 <= upTo)
-    def rel(dirs: Seq[String]): Option[DataFrame] =
-      if (dirs.isEmpty) None else Some(s.read.schema(schema).parquet(dirs: _*))
-    val pieces = BatchParts.pendingFold(s, dir) match {
-      case Some((m, staging)) =>
-        Some(s.read.schema(schema).parquet(staging)) ++
-          rel(parts.filter(_._1 > m).map(_._2))
-      case None => rel(parts.map(_._2))
-    }
-    pieces.reduceOption(_.unionByName(_))
-      .getOrElse(s.createDataFrame(s.sparkContext.emptyRDD[Row], schema))
+    val dirs = BatchParts.effectiveParts(s, dir).filter(_._1 <= upTo).map(_._2)
+    if (dirs.isEmpty) s.createDataFrame(s.sparkContext.emptyRDD[Row], schema)
+    else s.read.schema(schema).parquet(dirs: _*)
   }
 
-  /** Last committed batch id (the serving horizon), if any. A
-    * completed-but-unrenamed doclens fold counts: during the
-    * roll-forward's delete→rename window the committed listing can be
-    * EMPTY while the staging holds the whole store, and a reader that
-    * answered "no horizon" there would serve zero results (readStore
-    * already substitutes the staging — the horizon must agree with
-    * it).
+  /** Last committed batch id (the serving horizon), if any — the
+    * newest effective doclens part's id. (Under the rename-commit
+    * protocol the listing is never transiently empty mid-fold: the
+    * old delete→rename window, where a reader could see no committed
+    * dirs and answer "no horizon", no longer exists.)
     */
-  private def horizon(s: SparkSession, cfg: Config): Option[Long] = {
-    val dir = s"${cfg.root}/doclens"
-    (BatchParts.committed(s, dir).lastOption.map(_._1) ++
-      BatchParts.pendingFold(s, dir).map(_._1)).maxOption
-  }
+  private def horizon(s: SparkSession, cfg: Config): Option[Long] =
+    BatchParts.effectiveParts(s, s"${cfg.root}/doclens").lastOption.map(_._1)
 
   private val TombSchema = StructType(Seq(StructField("doc_id", LongType)))
 
@@ -219,14 +207,15 @@ object LiveIndex {
           ("postings", PostingSchema, Seq("word", "doc_id")),
           ("doclens", DoclenSchema, Seq("doc_id")))) {
         val dir = s"${cfg.root}/$kind"
-        val parts = BatchParts.committed(s, dir).filter(_._1 <= h)
+        val parts = BatchParts.effectiveParts(s, dir).filter(_._1 <= h)
         if (parts.length > 1 || (parts.nonEmpty && tombParts.nonEmpty)) {
-          val m = parts.last._1
+          val hk = parts.last._1
+          val gen = BatchParts.nextFoldGen(s, dir)
           s.read.schema(schema).parquet(parts.map(_._2): _*)
             .dropDuplicates(keys)
             .join(tomb, Seq("doc_id"), "left_anti")
-            .write.mode("overwrite").parquet(BatchParts.stagingPath(dir, m))
-          BatchParts.rollForward(s, dir, m)
+            .write.mode("overwrite").parquet(BatchParts.stagingPath(dir, hk, gen))
+          BatchParts.commitFold(s, dir, hk, gen)
         }
       }
       val fs = new org.apache.hadoop.fs.Path(cfg.root)

@@ -677,7 +677,7 @@ object LivePipeline {
       kinds: Seq[String]): Seq[StoreStatus] =
     kinds.map { k =>
       val dir = s"$root/$k"
-      val parts = BatchParts.committed(s, dir)
+      val parts = BatchParts.effectiveParts(s, dir)
       StoreStatus(k, parts.length, parts.lastOption.map(_._1),
         BatchParts.pendingFold(s, dir).isDefined,
         BatchParts.pendingRewrites(s, dir).length)
@@ -692,23 +692,26 @@ object LivePipeline {
     * single-writer discipline as the stream itself).
     *
     * Crash-safe by roll-forward, not locks: the union is first written
-    * to a `.compact-<m>` staging dir (invisible to readers — partition
-    * listing only admits `batch=` names) with its own `_SUCCESS`; only
-    * then are the source partitions dropped and the staging dir renamed
-    * to `batch=<m>`. A crash anywhere leaves either the staging dir
+    * to a `.compact-<h>-<gen>` staging dir (invisible to readers)
+    * with its own `_SUCCESS`, committed by one atomic rename to
+    * `fold=<h>-<gen>`, and the superseded source partitions are
+    * GC'd from the NEXT writer op — never inside the commit, so a
+    * concurrent reader's listing stays readable (the [[BatchParts]]
+    * fold protocol). A crash anywhere leaves either the staging dir
     * incomplete (discarded on the next [[recoverCompaction]]) or
-    * complete (rolled forward — safe at ANY later time because the
-    * union is a superset of exactly the partitions ≤ m it replaces,
-    * and later batch ids are untouched). [[step]] recovers interrupted
-    * compactions before reading, so a crashed maintenance run cannot
-    * leave the dedup state silently missing rows. Worst-case transient
-    * state is duplicate store rows, which the read paths tolerate
-    * (hash gates are semi/anti joins; bucket sizes count distinct
-    * docs); compaction itself writes `distinct()`, so duplicates do
-    * not survive the next fold. Old cursor snapshots (all but the
-    * latest, whose id also marks the last committed batch) and audit
-    * partitions are left alone — cursors are latest-only reads and
-    * audit/packed are outputs, not per-step join inputs.
+    * complete (committed then — safe at ANY later time because the
+    * fold is a superset of exactly the partitions ≤ h it replaces,
+    * and later batch ids are untouched). [[step]] recovers
+    * interrupted compactions before reading, so a crashed
+    * maintenance run cannot leave the dedup state silently missing
+    * rows. Worst-case transient state is duplicate store rows, which
+    * the read paths tolerate (hash gates are semi/anti joins; bucket
+    * sizes count distinct docs); compaction itself writes
+    * `distinct()`, so duplicates do not survive the next fold. Old
+    * cursor snapshots (all but the latest two, the latest's id also
+    * marking the last committed batch) and audit partitions are left
+    * alone — cursors are latest-only reads and audit/packed are
+    * outputs, not per-step join inputs.
     */
   def compact(s: SparkSession, cfg: Config): Unit = {
     // Fold ONLY store partitions of BATCH-committed ids: a store
@@ -721,27 +724,33 @@ object LivePipeline {
     // review #1).
     val lastCommitted = committedParts(s, s"${cfg.root}/cursors").lastOption.map(_._1)
     for (kind <- Seq("exact", "bands")) {
+      val dir = s"${cfg.root}/$kind"
       recoverCompaction(s, cfg.root, kind)
-      val parts = committedParts(s, s"${cfg.root}/$kind")
+      val parts = BatchParts.effectiveParts(s, dir)
         .filter(p => lastCommitted.exists(p._1 <= _))
       if (parts.length > 1) {
-        val m = parts.last._1
+        val h = parts.last._1
+        val gen = BatchParts.nextFoldGen(s, dir)
         val schema = if (kind == "exact") ExactSchema else BandSchema
         s.read.schema(schema).parquet(parts.map(_._2): _*)
           .distinct()
           .write.mode("overwrite")
-          .parquet(BatchParts.stagingPath(s"${cfg.root}/$kind", m))
-        BatchParts.rollForward(s, s"${cfg.root}/$kind", m)
+          .parquet(BatchParts.stagingPath(dir, h, gen))
+        BatchParts.commitFold(s, dir, h, gen)
       }
     }
     // cursor snapshots are full states, so only the LATEST is ever
-    // read (and its id marks the last committed batch, which is all
-    // the replay check needs — Spark replays at most the last batch);
-    // drop the rest so snapshots don't accumulate one dir per batch
+    // read (its id marks the last committed batch, which is all the
+    // replay check needs — Spark replays at most the last batch);
+    // drop all but the last TWO so snapshots don't accumulate one dir
+    // per batch. Keeping the runner-up gives a concurrent reader that
+    // listed just before a newer snapshot landed a full maintenance
+    // cycle of grace, the same deferred-GC posture as the fold
+    // protocol.
     val cur = committedParts(s, s"${cfg.root}/cursors")
-    if (cur.length > 1) {
+    if (cur.length > 2) {
       val fs = new Path(cfg.root).getFileSystem(s.sparkContext.hadoopConfiguration)
-      cur.init.foreach { case (_, p) => fs.delete(new Path(p), true); () }
+      cur.dropRight(2).foreach { case (_, p) => fs.delete(new Path(p), true); () }
     }
   }
 
@@ -765,7 +774,8 @@ object LivePipeline {
     */
   private def readStore(s: SparkSession, root: String, kind: String,
       ltBatch: Long, schema: StructType): DataFrame = {
-    val dirs = committedParts(s, s"$root/$kind").filter(_._1 < ltBatch).map(_._2)
+    val dirs = BatchParts.effectiveParts(s, s"$root/$kind")
+      .filter(_._1 < ltBatch).map(_._2)
     if (dirs.isEmpty) s.createDataFrame(s.sparkContext.emptyRDD[Row], schema)
     else s.read.schema(schema).parquet(dirs: _*)
   }
@@ -781,31 +791,54 @@ object LivePipeline {
 }
 
 /** Shared `batch=<id>`-partitioned store machinery for the streaming
-  * intakes ([[LivePipeline]], [[LiveVectors]], [[LiveCounts]]):
-  * committed-partition listing plus the staged-fold crash discipline,
-  * hoisted here so the three stores cannot diverge in crash behavior.
+  * intakes ([[LivePipeline]], [[LiveVectors]], [[LiveCounts]],
+  * [[LiveIndex]]): committed-partition listing plus the staged-fold
+  * crash discipline, hoisted here so the stores cannot diverge in
+  * crash behavior.
   *
   * Listing is one directory scan of partition dirs (not files) —
   * cheap at any corpus size, and it is what makes partial writes of a
   * crashed attempt invisible to readers.
   *
-  * Fold recovery has two strictly separated modes:
-  *   - [[recoverFold]] — WRITER-side (step/compact, the single
-  *     maintenance owner): completes a committed `.compact-<m>`
-  *     staging (roll forward) and discards an incomplete one. It
-  *     mutates, so it must never run concurrently with another
-  *     mutator — which the single-writer ownership already
-  *     guarantees;
-  *   - [[pendingFold]] — READER-side, non-mutating: serving reads run
-  *     concurrently with maintenance, so they must neither delete an
-  *     in-flight staging (it has no `_SUCCESS` YET — deleting it
-  *     under the running fold job could race the committer and
-  *     truncate the store) nor roll a completed one forward
-  *     (concurrent rollForwards can interleave delete-after-rename
-  *     into data loss). Instead a reader SUBSTITUTES: if a completed
-  *     staging exists, read it in place of every partition ≤ its id —
-  *     correct whether the fold's source deletes haven't started,
-  *     are half done, or are finished.
+  * FOLD PROTOCOL — non-destructive commit, deferred GC. A fold (the
+  * small-files compaction: re-aggregate every partition with id ≤ a
+  * horizon `h` into one dir) commits by a single atomic rename, never
+  * by deleting what a concurrent reader may hold:
+  *
+  *   1. the fold job writes `.compact-<h>-<gen>` (own `_SUCCESS`;
+  *      invisible to readers — [[effectiveParts]] only admits
+  *      `batch=`/`fold=` names);
+  *   2. [[commitFold]] renames it to `fold=<h>-<gen>` — THE commit
+  *      point. A listing either sees the fold or it doesn't, and both
+  *      views are complete: the fold is a pure recombination of
+  *      source partitions that are ALL still on disk;
+  *   3. superseded dirs (`batch=` ids ≤ h, earlier `fold=` dirs) are
+  *      deleted by [[gc]] — not at commit time, but from the NEXT
+  *      writer operation ([[recoverFold]] runs at every step/compact
+  *      entry).
+  *
+  * The deferral is what makes concurrent serving safe without locks:
+  * every dir a reader's listing names stays on disk for at least one
+  * full maintenance cycle after the listing is taken. (The old
+  * protocol deleted the fold's sources inside the commit, so a
+  * listing taken moments before the commit named dirs that were gone
+  * by the time the lazy read's ACTION ran — a serve crash under
+  * routine maintenance.) A plan held across more than one maintenance
+  * cycle can still outlive its files — the documented residual, the
+  * same posture as any table format with vacuum-style GC.
+  *
+  * `gen` (a per-store monotone fold generation) keeps re-folds at the
+  * SAME horizon distinct — applying RTBF tombstones re-folds without
+  * new batches ([[LiveVectors.compact]]) — so a newer fold always
+  * commits under a FRESH name, never as a destructive overwrite of
+  * the dir readers are on.
+  *
+  * Mode contract: [[recoverFold]]/[[commitFold]]/[[gc]] are
+  * WRITER-side (the single maintenance owner — step and compact,
+  * serialized). Readers use [[effectiveParts]]: one listing, no
+  * mutation, no staging reads. [[pendingFold]] remains as an
+  * observability probe (crash debt awaiting the next writer op), not
+  * a reader substitution source.
   */
 private[streaming] object BatchParts {
   def committed(s: SparkSession, dir: String): Seq[(Long, String)] = {
@@ -819,10 +852,146 @@ private[streaming] object BatchParts {
       .sortBy(_._1)
   }
 
-  def stagingPath(dir: String, m: Long): String = s"$dir/.compact-$m"
+  private def parseHG(s0: String): (Long, Long) = {
+    val i = s0.lastIndexOf('-')
+    (s0.take(i).toLong, s0.drop(i + 1).toLong)
+  }
 
-  /** The store's completed (`_SUCCESS`) but not-yet-renamed fold
-    * staging, if any: `(m, path)`. Non-mutating.
+  /** Committed `fold=<h>-<gen>` dirs as `(h, gen, path)` sorted by
+    * (h, gen). At most one survives [[gc]]; several can exist
+    * transiently between a fold commit and the next writer op.
+    */
+  def folds(s: SparkSession, dir: String): Seq[(Long, Long, String)] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("fold="))
+      .filter(st => fs.exists(new Path(st.getPath, "_SUCCESS")))
+      .map { st =>
+        val (h, g) = parseHG(st.getPath.getName.stripPrefix("fold="))
+        (h, g, st.getPath.toString)
+      }.sortBy(t => (t._1, t._2))
+  }
+
+  def stagingPath(dir: String, h: Long, gen: Long): String =
+    s"$dir/.compact-$h-$gen"
+
+  /** The next unused fold generation — scans committed folds AND
+    * stagings, so a crashed attempt's number is never reused (reuse
+    * would rename a new fold onto a name a reader may hold).
+    */
+  def nextFoldGen(s: SparkSession, dir: String): Long = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val gens =
+      if (!fs.exists(p)) Seq.empty[Long]
+      else fs.listStatus(p).toSeq.map(_.getPath.getName).collect {
+        case n if n.startsWith("fold=") => parseHG(n.stripPrefix("fold="))._2
+        case n if n.startsWith(".compact-") => parseHG(n.stripPrefix(".compact-"))._2
+      }
+    gens.maxOption.map(_ + 1).getOrElse(0L)
+  }
+
+  /** WRITER-side fold commit: one atomic rename, no deletes. */
+  def commitFold(s: SparkSession, dir: String, h: Long, gen: Long): Unit = {
+    val fs = new Path(dir).getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.rename(new Path(stagingPath(dir, h, gen)), new Path(s"$dir/fold=$h-$gen"))
+    ()
+  }
+
+  /** READER-side view of the store: the newest committed fold (if
+    * any) plus every committed batch past its horizon, as `(id, path,
+    * isFold)` sorted by id. ONE listing — no check-then-check window
+    * for a concurrent commit to slip through — and commits don't
+    * delete, so every named dir outlives the view by at least a
+    * maintenance cycle.
+    */
+  def effectiveParts(s: SparkSession, dir: String): Seq[(Long, String, Boolean)] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Seq.empty
+    val entries = fs.listStatus(p).toSeq.filter(_.isDirectory)
+      .filter(st => fs.exists(new Path(st.getPath, "_SUCCESS")))
+    val batches = entries.filter(_.getPath.getName.startsWith("batch="))
+      .map(st => (st.getPath.getName.stripPrefix("batch=").toLong, st.getPath.toString))
+      .sortBy(_._1)
+    val newest = entries.filter(_.getPath.getName.startsWith("fold="))
+      .map(st => (parseHG(st.getPath.getName.stripPrefix("fold=")), st.getPath.toString))
+      .sortBy(_._1).lastOption
+    newest match {
+      case Some(((h, _), fp)) =>
+        (h, fp, true) +: batches.collect { case (id, bp) if id > h => (id, bp, false) }
+      case None => batches.map { case (id, bp) => (id, bp, false) }
+    }
+  }
+
+  /** Effective part paths only — for stores whose batch and fold dirs
+    * carry identical data columns (every store here: the `batch` id is
+    * dir-name metadata, never a data column the serve paths read).
+    */
+  def effectiveDirs(s: SparkSession, dir: String): Seq[String] =
+    effectiveParts(s, dir).map(_._2)
+
+  /** Is batch `id`'s state in the store — as its own committed dir, or
+    * folded into a committed fold at/past it? (Streaming replays only
+    * re-offer the LAST batch, but after a fold + GC that batch's own
+    * dir may be gone; equality against [[committed]] alone would
+    * re-run it.)
+    */
+  def isCommitted(s: SparkSession, dir: String, id: Long): Boolean =
+    committed(s, dir).exists(_._1 == id) ||
+      folds(s, dir).lastOption.exists(_._1 >= id)
+
+  /** WRITER-side deferred GC: with a newest committed fold `(h, gen)`,
+    * drop every `batch=` dir with id ≤ h (committed or not — an id ≤ h
+    * is folded state, so any dir under that id is a superseded replay
+    * or crash debris) and every older `fold=` dir.
+    */
+  def gc(s: SparkSession, dir: String): Unit = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return
+    folds(s, dir).lastOption.foreach { case (h, g, _) =>
+      fs.listStatus(p).toSeq.filter(_.isDirectory).foreach { st =>
+        val n = st.getPath.getName
+        val drop =
+          (n.startsWith("batch=") &&
+            scala.util.Try(n.stripPrefix("batch=").toLong).toOption.exists(_ <= h)) ||
+          (n.startsWith("fold=") && {
+            val (h2, g2) = parseHG(n.stripPrefix("fold="))
+            h2 < h || (h2 == h && g2 < g)
+          })
+        if (drop) { fs.delete(st.getPath, true); () }
+      }
+    }
+  }
+
+  /** WRITER-side recovery at every step/compact entry: [[gc]] what
+    * PREVIOUS ops superseded, then commit a completed staging (crash
+    * between its `_SUCCESS` and the rename) and discard an incomplete
+    * one. GC-before-commit keeps the deferral uniform: a fold's
+    * sources survive until the next writer op after its commit
+    * whether the commit came from the fold's own run or from this
+    * recovery — a reader's listing is never invalidated by the same
+    * call that created the fold it missed.
+    */
+  def recoverFold(s: SparkSession, dir: String): Unit = {
+    gc(s, dir)
+    val p = new Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.listStatus(p).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(".compact-"))
+      .foreach { st =>
+        val (h, g) = parseHG(st.getPath.getName.stripPrefix(".compact-"))
+        if (fs.exists(new Path(st.getPath, "_SUCCESS"))) commitFold(s, dir, h, g)
+        else { fs.delete(st.getPath, true); () }
+      }
+  }
+
+  /** Committed-but-unrenamed fold stagings — crash debt the next
+    * writer op will commit ([[LivePipeline.status]] observability;
+    * readers never touch stagings under this protocol).
     */
   def pendingFold(s: SparkSession, dir: String): Option[(Long, String)] = {
     val p = new Path(dir)
@@ -831,37 +1000,14 @@ private[streaming] object BatchParts {
     else fs.listStatus(p).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith(".compact-"))
       .filter(st => fs.exists(new Path(st.getPath, "_SUCCESS")))
-      .map(st => (st.getPath.getName.stripPrefix(".compact-").toLong, st.getPath.toString))
+      .map(st => (parseHG(st.getPath.getName.stripPrefix(".compact-"))._1,
+        st.getPath.toString))
       .sortBy(_._1).lastOption
-  }
-
-  /** WRITER-side: complete a committed fold, discard an incomplete
-    * one. Single-writer only — see the mode contract above.
-    */
-  def recoverFold(s: SparkSession, dir: String): Unit = {
-    val p = new Path(dir)
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) fs.listStatus(p).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith(".compact-"))
-      .foreach { st =>
-        val m = st.getPath.getName.stripPrefix(".compact-").toLong
-        if (fs.exists(new Path(st.getPath, "_SUCCESS"))) rollForward(s, dir, m)
-        else { fs.delete(st.getPath, true); () }
-      }
-  }
-
-  /** Replace partitions ≤ `m` with the committed staging dir. */
-  def rollForward(s: SparkSession, dir: String, m: Long): Unit = {
-    val fs = new Path(dir).getFileSystem(s.sparkContext.hadoopConfiguration)
-    committed(s, dir).filter(_._1 <= m)
-      .foreach { case (_, p) => fs.delete(new Path(p), true); () }
-    fs.rename(new Path(stagingPath(dir, m)), new Path(s"$dir/batch=$m"))
-    ()
   }
 
   /** Single-partition REPLACE staging (`.rewrite-<id>` replaces exactly
     * `batch=<id>` — [[LivePipeline.vacuum]]), next to the FOLD staging
-    * above (`.compact-<m>` replaces every partition ≤ m). Distinct
+    * above (`.compact-<h>-<gen>` folds every partition ≤ h). Distinct
     * names because recovery must know which contract to finish: a fold
     * deletes history, a rewrite deletes one source.
     */

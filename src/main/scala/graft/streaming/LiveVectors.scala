@@ -26,10 +26,13 @@ import graft.operators.Similarity
   *     `_SUCCESS` is the commit marker (single store — no multi-store
   *     commit ordering needed), and a replayed batch id overwrites only
   *     its own partition: the [[LivePipeline]] exactly-once discipline.
+  *     Folds commit as `sigs/fold=<h>-<gen>/bucket=<b>/` (the
+  *     [[BatchParts]] rename-then-deferred-GC protocol), with the
+  *     same bucket level inside.
   *
-  * Serving reads the committed batch dirs as ONE partitioned relation
-  * (basePath + explicit schema), so `batch` and `bucket` both come back
-  * as partition columns and a query's bucket predicate PRUNES at the
+  * Serving reads the effective dirs as ONE multi-path relation
+  * (explicit schema; each dir root contributes its `bucket=` level as
+  * a partition column), so a query's bucket predicate PRUNES at the
   * directory level across every batch — the scan stays ~corpus/2^bits
   * no matter how many batches built the index (pinned in ScaleSpec).
   * Arriving vec_ids already in the committed index are dropped
@@ -54,6 +57,13 @@ object LiveVectors {
     StructField("norm", DoubleType),
     StructField("bucket", StringType),
     StructField("batch", LongType)))
+  /** [[SigSchema]] minus the `batch` dir-name level — the shape every
+    * read assembles: batch and fold dirs alike carry (data cols +
+    * `bucket=` subdirs), so one plain multi-path read covers both and
+    * bucket pruning still sees a partition column per path root.
+    */
+  private val SigData = StructType(SigSchema.filterNot(_.name == "batch"))
+
   private val PlaneSchema = StructType(Seq(
     StructField("hid", LongType),
     StructField("hv", ArrayType(FloatType))))
@@ -104,13 +114,12 @@ object LiveVectors {
     // writer-side fold recovery (single-writer: step and compact are
     // the same maintenance owner, serialized)
     BatchParts.recoverFold(s, s"${cfg.root}/sigs")
-    if (BatchParts.committed(s, s"${cfg.root}/sigs").exists(_._1 == batchId)) return
+    if (BatchParts.isCommitted(s, s"${cfg.root}/sigs", batchId)) return
     if (batch.isEmpty) return
-    val indexed = BatchParts.committed(s, s"${cfg.root}/sigs").map(_._2) match {
-      case Seq() => batch.limit(0).select("vec_id")
-      case dirs => s.read.option("basePath", s"${cfg.root}/sigs")
-        .schema(SigSchema).parquet(dirs: _*).select("vec_id")
-    }
+    val indexed =
+      if (BatchParts.effectiveParts(s, s"${cfg.root}/sigs").isEmpty)
+        batch.limit(0).select("vec_id")
+      else rawIndex(s, cfg).select("vec_id")
     // the anti-join subtree (batch dedup + the committed-index vec_id
     // scan) feeds BOTH join inputs below — cache it so each batch pays
     // the index scan once, not twice. Tombstoned ids are excluded too:
@@ -161,33 +170,32 @@ object LiveVectors {
     else s.read.schema(TombSchema).parquet(dirs: _*)
   }
 
-  /** The index as one partitioned relation — reader-side, so a pending
-    * fold is SUBSTITUTED for the partitions it supersedes, never
-    * completed or deleted from here (see [[BatchParts]]' mode
-    * contract; a serving read must not mutate under the maintenance
-    * owner). Tombstoned vec_ids are masked out ([[forget]]).
+  /** The index as one multi-path relation over the effective parts
+    * (the newest committed fold plus the batches past its horizon —
+    * [[BatchParts.effectiveParts]], one listing). Reader-side and
+    * non-mutating; safe under concurrent maintenance because a fold
+    * commits by rename and superseded dirs are only GC'd from the
+    * next writer op. Tombstoned vec_ids are masked out ([[forget]]).
     */
   def index(s: SparkSession, cfg: Config): DataFrame =
     rawIndex(s, cfg).join(broadcast(tombstones(s, cfg)), Seq("vec_id"), "left_anti")
 
   private def rawIndex(s: SparkSession, cfg: Config): DataFrame = {
     val dir = s"${cfg.root}/sigs"
-    val parts = BatchParts.committed(s, dir)
-    BatchParts.pendingFold(s, dir) match {
-      case Some((m, staging)) =>
-        val staged = s.read.option("basePath", staging)
-          .schema(StructType(SigSchema.filterNot(_.name == "batch")))
-          .parquet(staging).withColumn("batch", lit(m))
-        parts.filter(_._1 > m).map(_._2) match {
-          case Seq() => staged
-          case dirs => staged.unionByName(
-            s.read.option("basePath", dir).schema(SigSchema).parquet(dirs: _*))
-        }
-      case None => parts.map(_._2) match {
-        case Seq() => s.createDataFrame(s.sparkContext.emptyRDD[Row], SigSchema)
-        case dirs => s.read.option("basePath", dir).schema(SigSchema).parquet(dirs: _*)
-      }
-    }
+    val parts = BatchParts.effectiveParts(s, dir)
+    val (foldP, batchP) = parts.partition(_._3)
+    // each piece needs a basePath ANCHOR for its bucket= level (a
+    // multi-root read of bucket-partitioned dirs without one trips
+    // partition-discovery conflicts): the batch dirs anchor at the
+    // store root (batch + bucket as partition cols, batch dropped),
+    // the fold dir — at most one — anchors at itself. ≤ 2-ary union.
+    val pieces =
+      foldP.map(p => s.read.option("basePath", p._2).schema(SigData).parquet(p._2)) ++
+        (if (batchP.isEmpty) Seq.empty
+         else Seq(s.read.option("basePath", dir).schema(SigSchema)
+           .parquet(batchP.map(_._2): _*).drop("batch")))
+    pieces.reduceOption(_.unionByName(_))
+      .getOrElse(s.createDataFrame(s.sparkContext.emptyRDD[Row], SigData))
   }
 
   /** Fold all committed batch dirs into the newest one — the
@@ -204,22 +212,24 @@ object LiveVectors {
   def compact(s: SparkSession, cfg: Config): Unit = {
     val dir = s"${cfg.root}/sigs"
     BatchParts.recoverFold(s, dir)
-    val parts = BatchParts.committed(s, dir)
+    val parts = BatchParts.effectiveParts(s, dir)
     // the fold also applies forget()'s tombstones physically and
-    // retires them AFTER the fold commits (a crash before the
-    // roll-forward leaves them in place, still masking; the re-run's
-    // anti-join on the already-clean fold is a no-op)
+    // retires them AFTER the fold commits (a crash before the commit
+    // leaves them in place, still masking; the re-run's anti-join on
+    // the already-clean fold is a no-op). A tombstone-only fold keeps
+    // the horizon and bumps the generation — committed under a fresh
+    // fold= name, never overwriting the dir readers are on.
     val tombParts = BatchParts.committed(s, s"${cfg.root}/tombstones")
     if (parts.length > 1 || (parts.nonEmpty && tombParts.nonEmpty)) {
-      val m = parts.last._1
-      s.read.option("basePath", dir).schema(SigSchema)
-        .parquet(parts.map(_._2): _*)
-        .drop("batch").dropDuplicates("vec_id")
+      val h = parts.last._1
+      val gen = BatchParts.nextFoldGen(s, dir)
+      rawIndex(s, cfg)
+        .dropDuplicates("vec_id")
         .join(broadcast(tombstones(s, cfg)), Seq("vec_id"), "left_anti")
         .repartition(col("bucket"))
         .write.mode("overwrite").partitionBy("bucket")
-        .parquet(BatchParts.stagingPath(dir, m))
-      BatchParts.rollForward(s, dir, m)
+        .parquet(BatchParts.stagingPath(dir, h, gen))
+      BatchParts.commitFold(s, dir, h, gen)
     }
     val fs = new Path(cfg.root).getFileSystem(s.sparkContext.hadoopConfiguration)
     tombParts.foreach { case (_, p) => fs.delete(new Path(p), true); () }

@@ -122,14 +122,20 @@ object StreamDemos {
     * distinct event_ids ever seen: dropDuplicates only evicts at the
     * watermark when the key set includes the event-time column, which
     * this one deliberately does not (an id must stay deduped however
-    * late its duplicate arrives). That makes this the small-keyspace /
+    * late its duplicate arrives). No watermark is declared: with the
+    * event-time column outside the key set a watermark would evict no
+    * state, but the stateful operator WOULD drop late input rows
+    * outright — a genuinely new event_id arriving behind the
+    * watermark would be silently lost, contradicting the lifetime
+    * contract (and diverging from batch, where withWatermark is a
+    * no-op). That makes this the small-keyspace /
     * bounded-retention tool; at high cardinality use
     * [[dedupWithinWatermark]] (state O(watermark horizon)) — the
     * 100 TB-safe shape — or the [[LivePipeline]] store-backed gate for
     * corpus-lifetime exactness.
     */
   def dedupByEventId(events: DataFrame): DataFrame =
-    events.withWatermark("ts", "1 hour").dropDuplicates("event_id")
+    events.dropDuplicates("event_id")
 
   /** Dedup with state EVICTED at the watermark: unlike [[dedupByEventId]]
     * (whose per-key state lives for the stream's lifetime unless the key
@@ -204,7 +210,12 @@ object StreamDemos {
         (user: Long, rows: Iterator[ZEv], state: GroupState[Vector[Double]]) =>
           var buf = state.getOption.getOrElse(Vector.empty[Double])
           val out = Seq.newBuilder[ZOut]
-          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+          // full-precision event-time order: getTime alone truncates to
+          // milliseconds, and two same-millisecond events with opposed
+          // event_id/microsecond order would diverge from the batch
+          // window's ORDER BY ts, event_id (parity contract)
+          rows.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+            .foreach { e =>
             val n = buf.size
             if (n >= minHistory) {
               val sv = buf.map(dec).sum.toDouble

@@ -60,6 +60,13 @@ class HttpServeSpec extends AnyFunSuite {
       val (c3, err) = get(s"$base/payments")
       assert(c3 === 400 && err.contains("missing parameter"))
 
+      // a negative limit is the caller's input, not a server fault:
+      // 400 from the handler's own validation, never Dataset.limit's
+      // AnalysisException surfacing as a 500
+      val (cneg, errNeg) = get(s"$base/payments?source=SRC_A&limit=-1")
+      assert(cneg === 400 && errNeg.contains("bad request"),
+        s"negative limit must be a client error: $errNeg")
+
       // flask_cors parity: every response grants wildcard CORS
       val (_, _, headers) = get3(s"$base/payments?source=SRC_A")
       assert(headers.get("access-control-allow-origin").contains("*"))

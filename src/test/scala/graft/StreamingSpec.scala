@@ -184,7 +184,7 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("streaming dedup drops same-id replays within the watermark") {
+  test("streaming dedup drops same-id replays, keeps arbitrarily late new ids") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[REv]
@@ -197,6 +197,15 @@ class StreamingSpec extends AnyFunSuite {
       q.processAllAvailable()
       assert(spark.table("dedup_out").select("event_id").collect().map(_.getLong(0)).sorted.toSeq
         === Seq(1L, 2L, 3L))
+      // a genuinely NEW id arriving arbitrarily late is still kept:
+      // the lifetime-exact contract declares NO watermark, so there is
+      // no late-drop gate in front of the dedup state (a watermark
+      // here would evict nothing — ts is not in the key set — but
+      // WOULD silently discard late input rows)
+      ms.addData(REv(4, ts(-7200), 1, "a", 0))
+      q.processAllAvailable()
+      assert(spark.table("dedup_out").select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+        === Seq(1L, 2L, 3L, 4L))
     } finally q.stop()
   }
 
@@ -327,6 +336,33 @@ class StreamingSpec extends AnyFunSuite {
         .toSet
       assert(expected.nonEmpty)
       assert(got === expected, "stream/batch z-score parity")
+    } finally q.stop()
+  }
+
+  test("streaming z-score orders same-millisecond events by full timestamp precision") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    def at(ms0: Long, nanos: Int): Timestamp = {
+      val t = new Timestamp(ms0); t.setNanos(nanos); t
+    }
+    // two events in the SAME millisecond whose microsecond order
+    // OPPOSES their event_id order: e9 is earlier by micros, e3 later.
+    // getTime alone (millisecond-truncated) would score e3 first and
+    // diverge from the batch window's ORDER BY ts, event_id.
+    val warm = (1 to 4).map(i =>
+      StreamDemos.ZEv(i.toLong, 7L, at(1000L * i, 0), i.toDouble))
+    val e9 = StreamDemos.ZEv(9L, 7L, at(10123L, 123400000), 100.0)
+    val e3 = StreamDemos.ZEv(3L, 7L, at(10123L, 123900000), 200.0)
+    val src = MemoryStream[StreamDemos.ZEv]
+    val q = StreamDemos.anomalyZscores(src.toDS())
+      .writeStream.format("memory").queryName("z_us_out").outputMode("append").start()
+    try {
+      src.addData((warm :+ e9 :+ e3).toIndexedSeq: _*); q.processAllAvailable()
+      val mus = spark.table("z_us_out").collect()
+        .map(r => r.getAs[Long]("event_id") -> r.getAs[Double]("mu")).toMap
+      assert(mus.keySet === Set(9L, 3L))
+      assert(mus(9L) === 2.5, "e9 (earlier by micros) scores against 1..4")
+      assert(mus(3L) === 22.0, "e3 then sees e9's value in its trailing window")
     } finally q.stop()
   }
 
@@ -738,15 +774,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(fates === Map(100L -> "admitted", 101L -> "dup_of_corpus",
       102L -> "low_quality", 103L -> "admitted", 104L -> "dup_in_batch"))
 
-    def partIds(kind: String): Set[String] =
+    def dirNames(kind: String): Set[String] =
       new java.io.File(s"$root/$kind").listFiles().map(_.getName)
-        .filter(_.startsWith("batch=")).toSet
+        .filter(n => n.startsWith("batch=") || n.startsWith("fold=")).toSet
+    def partIds(kind: String): Set[String] =
+      dirNames(kind).filter(_.startsWith("batch="))
+    def foldIds(kind: String): Set[String] =
+      dirNames(kind).filter(_.startsWith("fold="))
     assert(partIds("exact") === Set("batch=-1", "batch=0"))
     graft.streaming.LivePipeline.compact(spark, cfg)
-    assert(partIds("exact") === Set("batch=0") && partIds("bands") === Set("batch=0"),
-      "compaction folds everything into the newest committed partition")
+    // the fold commits under fold=<h>-<gen>; its batch sources survive
+    // until the NEXT writer op (deferred GC — a concurrent reader's
+    // listing stays readable across the commit)
+    assert(foldIds("exact") === Set("fold=0-0") && foldIds("bands") === Set("fold=0-0"),
+      "compaction commits one fold over everything ≤ the frontier")
+    assert(partIds("exact") === Set("batch=-1", "batch=0"),
+      "a fold commit must not delete its sources")
 
-    // gating still holds against the FOLDED store
+    // gating still holds against the FOLDED store; the step's entry
+    // recovery GCs the superseded batch dirs
     graft.streaming.LivePipeline.step(Seq(
       LDoc(200, "en", mkText("zeta", "low")),  // near-dup of seed e2
       LDoc(201, "en", d103.text),              // exact dup of folded batch-0 doc
@@ -756,19 +802,18 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("fate")).toMap
     assert(fates1 === Map(200L -> "near_dup", 201L -> "dup_of_corpus",
       202L -> "admitted"))
+    assert(partIds("exact") === Set("batch=1"),
+      "the next writer op GCs the fold's superseded sources")
 
-    // crash-sim: a compaction that died between staging and rename —
-    // staging committed, source partitions already dropped. The next
-    // step must roll it forward before reading, or doc 202's hash
-    // would be lost and its replay re-admitted.
+    // crash-sim: a compaction that died between its staging's _SUCCESS
+    // and the commit rename. Sources are all still present (the new
+    // protocol never deletes before commit); the next step must commit
+    // the staging and gate doc 300 against the folded state.
     for (kind <- Seq("exact", "bands")) {
-      val dirs = Seq(s"$root/$kind/batch=0", s"$root/$kind/batch=1")
+      val dirs = (foldIds(kind) ++ partIds(kind)).map(n => s"$root/$kind/$n").toSeq
       val schema = spark.read.parquet(dirs.head).schema
-      spark.read.schema(schema).parquet(dirs: _*)
-        .write.mode("overwrite").parquet(s"$root/$kind/.compact-1")
-      dirs.foreach(d => assert(new org.apache.hadoop.fs.Path(d)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .delete(new org.apache.hadoop.fs.Path(d), true)))
+      spark.read.schema(schema).parquet(dirs: _*).distinct()
+        .write.mode("overwrite").parquet(s"$root/$kind/.compact-1-9")
     }
     graft.streaming.LivePipeline.step(Seq(
       LDoc(300, "en", mkText("iota", "high")), // exact dup of doc 202
@@ -777,24 +822,29 @@ class StreamingSpec extends AnyFunSuite {
       .filter(col("batch") === 2).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("fate")).toMap
     assert(fates2 === Map(300L -> "dup_of_corpus", 301L -> "admitted"),
-      "interrupted compaction must be rolled forward, not dropped")
-    assert(partIds("exact") === Set("batch=1", "batch=2"))
-    // cursor-snapshot pruning: compaction keeps only the latest
+      "interrupted compaction must be committed, not dropped")
+    assert(foldIds("exact").contains("fold=1-9"),
+      "recovery commits the crashed staging under its own generation")
+    assert(partIds("exact") === Set("batch=1", "batch=2"),
+      "GC of the recovered fold's sources is deferred to the next writer op")
+    // cursor-snapshot pruning: compaction keeps the latest TWO (the
+    // runner-up is reader grace, same deferred-GC posture as folds)
     graft.streaming.LivePipeline.compact(spark, cfg)
-    assert(partIds("cursors") === Set("batch=2"))
+    assert(partIds("cursors") === Set("batch=1", "batch=2"))
     // idle-period batches write nothing at all (empty-batch skip)
     graft.streaming.LivePipeline.step(
       Seq.empty[LDoc].toDF("doc_id", "lang", "text"), 3L, cfg)
     assert(partIds("packed") === Set("batch=-1", "batch=0", "batch=1", "batch=2"))
-    assert(partIds("cursors") === Set("batch=2"))
+    assert(partIds("cursors") === Set("batch=1", "batch=2"))
     // a store partition whose BATCH never committed (step crashed after
     // the store appends, before the cursor marker) must not be folded:
     // its id belongs to the replay, whose overwrite would erase the
     // folded history
-    spark.read.parquet(s"$root/exact/batch=2")
+    val exactFold = foldIds("exact").head
+    spark.read.parquet(s"$root/exact/$exactFold")
       .write.mode("overwrite").parquet(s"$root/exact/batch=9")
     graft.streaming.LivePipeline.compact(spark, cfg)
-    assert(partIds("exact") === Set("batch=2", "batch=9"),
+    assert(partIds("exact") === Set("batch=9") && foldIds("exact").size === 1,
       "compaction must fold only batch-committed partitions")
     // right-to-be-forgotten: tombstoned docs vanish from the outputs
     // (no history rewrite — survivors keep their chunk ids), but the
@@ -958,12 +1008,14 @@ class StreamingSpec extends AnyFunSuite {
     val plan = pruned.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
       s"bucket predicate must prune partitions:\n$plan")
-    // compaction folds the batch dirs into one; the served top-k and
-    // the bucket pruning are unchanged
+    // compaction folds the batch dirs into one fold dir; the served
+    // top-k and the bucket pruning are unchanged. The commit deletes
+    // nothing (deferred GC): sources survive until the next writer op.
     graft.streaming.LiveVectors.compact(spark, cfg)
-    val sigDirs = new java.io.File(s"$root/sigs").listFiles()
-      .map(_.getName).filter(_.startsWith("batch=")).toSet
-    assert(sigDirs.size === 1, s"fold should leave one batch dir: $sigDirs")
+    def sigDirs(prefix: String): Set[String] = new java.io.File(s"$root/sigs")
+      .listFiles().map(_.getName).filter(_.startsWith(prefix)).toSet
+    assert(sigDirs("fold=").size === 1, s"fold should commit one dir: ${sigDirs("fold=")}")
+    assert(sigDirs("batch=").nonEmpty, "a fold commit must not delete its sources")
     assert(graft.streaming.LiveVectors.index(spark, cfg).count() === corpus.length.toLong)
     val gotAfter = graft.streaming.LiveVectors.topK(spark, cfg, q, k = 10).collect()
       .map(r => (r.getAs[Long]("vec_id"),
@@ -976,22 +1028,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(multi.map(_.getAs[String]("bucket")).toSet.size >= 1)
     assert(multi.head.getAs[Double]("cos") >= gotAfter.head._2.toDouble - 1e-12,
       "multi-probe best hit must not be worse than single-probe")
-    // reader-side pending-fold substitution: stage a completed fold,
-    // crash mid-delete — index/topK read complete without mutating
-    val mId = sigDirs.head.stripPrefix("batch=").toLong
-    graft.streaming.LiveVectors.index(spark, cfg).drop("batch")
+    // a committed-but-unrenamed staging (crash between _SUCCESS and
+    // the commit rename) is INVISIBLE to reads — no staging reads, no
+    // mutation from the serve path; the batches it would supersede are
+    // all still present, so the view is complete either way
+    graft.streaming.LiveVectors.index(spark, cfg)
       .repartition(col("bucket"))
-      .write.partitionBy("bucket").parquet(s"$root/sigs/.compact-$mId")
-    val fs = new org.apache.hadoop.fs.Path(root)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    assert(fs.delete(new org.apache.hadoop.fs.Path(s"$root/sigs/batch=$mId"), true))
+      .write.partitionBy("bucket").parquet(s"$root/sigs/.compact-1-7")
     assert(graft.streaming.LiveVectors.index(spark, cfg).count() === corpus.length.toLong,
-      "substituted read over the staged fold")
+      "reads stay complete with a pending staging on disk")
     val gotStaged = graft.streaming.LiveVectors.topK(spark, cfg, q, k = 10).collect()
       .map(r => (r.getAs[Long]("vec_id"),
         BigDecimal(r.getAs[Double]("cos")).setScale(9, BigDecimal.RoundingMode.HALF_UP)))
-    assert(gotStaged.toSeq === expected.toSeq, "staged-fold top-k parity")
-    assert(new java.io.File(s"$root/sigs/.compact-$mId").exists,
+    assert(gotStaged.toSeq === expected.toSeq, "top-k parity with a pending staging")
+    assert(new java.io.File(s"$root/sigs/.compact-1-7").exists,
       "reads must not complete or delete a pending fold")
     // right-to-be-forgotten: the top hit leaves topK immediately; the
     // next compaction (which first completes the pending fold above)
@@ -1012,8 +1062,14 @@ class StreamingSpec extends AnyFunSuite {
     graft.streaming.LiveVectors.compact(spark, cfg)
     assert(graft.streaming.LiveVectors.index(spark, cfg).count()
       === corpus.length.toLong - 1)
-    val rawIds = spark.read.parquet(new java.io.File(s"$root/sigs").listFiles()
-        .filter(_.getName.startsWith("batch=")).map(_.toString).toIndexedSeq: _*)
+    // the newest fold (last by (h, gen)) holds the physically-cleaned
+    // state; superseded dirs may linger until the next writer op's GC
+    val newestFold = new java.io.File(s"$root/sigs").listFiles()
+      .map(_.getName).filter(_.startsWith("fold=")).maxBy { n =>
+        val s0 = n.stripPrefix("fold="); val i = s0.lastIndexOf('-')
+        (s0.take(i).toLong, s0.drop(i + 1).toLong)
+      }
+    val rawIds = spark.read.parquet(s"$root/sigs/$newestFold")
       .select("vec_id").collect().map(_.getLong(0)).toSet
     assert(!rawIds.contains(gone), "forgotten vector must be physically gone")
     assert(new java.io.File(s"$root/tombstones").listFiles() == null ||
@@ -1056,30 +1112,34 @@ class StreamingSpec extends AnyFunSuite {
     // drops straight into StreamDemos.scrubBoilerplate
     assert(graft.streaming.LiveCounts.hotKeys(spark, cfg, minDf = 2L).toSet === hotBatch,
       "live df totals must rebuild the d12 hot list")
-    // compact folds to one partition; totals unchanged; replay no-op
+    // compact commits one fold dir; sources survive until the next
+    // writer op (deferred GC); totals unchanged; replay no-op
     graft.streaming.LiveCounts.compact(spark, cfg)
-    val dirs = new java.io.File(s"$root/counts").listFiles()
-      .map(_.getName).filter(_.startsWith("batch=")).toSet
-    assert(dirs.size === 1)
+    def countDirs(prefix: String): Set[String] = new java.io.File(s"$root/counts")
+      .listFiles().map(_.getName).filter(_.startsWith(prefix)).toSet
+    assert(countDirs("fold=").size === 1)
+    assert(countDirs("batch=").nonEmpty, "a fold commit must not delete its sources")
     assert(totalMap === batchCounts)
     graft.streaming.LiveCounts.step(Seq("a b c d").toDF("key"), 1L, cfg)
-    assert(totalMap === batchCounts, "replay of a committed batch id is a no-op")
-    // reader-side pending-fold substitution: stage a completed fold,
-    // crash mid-delete — totals must read complete WITHOUT mutating
-    // the staging (a concurrent serve must never touch a fold)
+    assert(totalMap === batchCounts,
+      "replay of a FOLDED batch id is a no-op even after GC drops its dir")
+    assert(countDirs("batch=").isEmpty, "the next writer op GCs the fold's sources")
+    // a committed-but-unrenamed staging (crash between its _SUCCESS
+    // and the commit rename) is invisible to totals — no staging
+    // reads, no mutation from the serve path, and the state it would
+    // supersede is all still present
     graft.streaming.LiveCounts.step(Seq("zzz extra").toDF("key"), 2L, cfg)
     val expected2 = batchCounts + ("zzz extra" -> 1L)
     graft.streaming.LiveCounts.totals(spark, cfg)
-      .write.parquet(s"$root/counts/.compact-2")
-    val fs = new org.apache.hadoop.fs.Path(root)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    assert(fs.delete(new org.apache.hadoop.fs.Path(s"$root/counts/batch=1"), true))
-    assert(totalMap === expected2, "substituted read over the staged fold")
-    assert(new java.io.File(s"$root/counts/.compact-2").exists,
+      .write.parquet(s"$root/counts/.compact-2-1")
+    assert(totalMap === expected2, "reads stay complete with a pending staging")
+    assert(new java.io.File(s"$root/counts/.compact-2-1").exists,
       "reads must not complete or delete a pending fold")
-    // the next WRITER step rolls the fold forward
+    // the next WRITER step commits the staging
     graft.streaming.LiveCounts.step(Seq("one more").toDF("key"), 3L, cfg)
-    assert(!new java.io.File(s"$root/counts/.compact-2").exists)
+    assert(!new java.io.File(s"$root/counts/.compact-2-1").exists)
+    assert(new java.io.File(s"$root/counts/fold=2-1").exists,
+      "recovery commits the crashed staging under its fold= name")
     assert(totalMap === expected2 + ("one more" -> 1L))
   }
 
@@ -1138,12 +1198,18 @@ class StreamingSpec extends AnyFunSuite {
     // bit-for-bit: the serving path routes through the same
     // bm25FromIndex spelling over exact integer inputs
     assert(ranked(graft.streaming.LiveIndex.bm25(spark, cfg, terms, 15)) === expected)
-    // compaction folds each store to one partition; serving unchanged
+    // compaction commits one fold per store; its batch sources stay on
+    // disk until the next writer op (deferred GC); serving unchanged
     graft.streaming.LiveIndex.compact(spark, cfg)
     def partIds(kind: String): Set[String] =
       new java.io.File(s"$root/$kind").listFiles().map(_.getName)
         .filter(_.startsWith("batch=")).toSet
-    assert(partIds("postings") === Set("batch=2") && partIds("doclens") === Set("batch=2"))
+    def foldIds(kind: String): Set[String] =
+      new java.io.File(s"$root/$kind").listFiles().map(_.getName)
+        .filter(_.startsWith("fold=")).toSet
+    assert(foldIds("postings") === Set("fold=2-0") && foldIds("doclens") === Set("fold=2-0"))
+    assert(partIds("postings") === Set("batch=0", "batch=1", "batch=2"),
+      "a fold commit must not delete its sources")
     assert(ranked(graft.streaming.LiveIndex.bm25(spark, cfg, terms, 15)) === expected)
     // crash between the two store writes: a postings partition whose
     // batch never committed (no doclens sibling) must not be served —
@@ -1185,9 +1251,14 @@ class StreamingSpec extends AnyFunSuite {
       "an arrival under a live tombstone must be dropped, not indexed")
     // compaction applies the tombstones physically and retires them
     graft.streaming.LiveIndex.compact(spark, cfg)
-    val rawPostingDocs = spark.read.parquet(
-        new java.io.File(s"$root/postings").listFiles()
-          .filter(_.getName.startsWith("batch=")).map(_.toString).toIndexedSeq: _*)
+    // the newest fold holds the physically-cleaned state (superseded
+    // dirs may linger until the next writer op's GC)
+    val newestPostingsFold = new java.io.File(s"$root/postings").listFiles()
+      .map(_.getName).filter(_.startsWith("fold=")).maxBy { n =>
+        val s0 = n.stripPrefix("fold="); val i = s0.lastIndexOf('-')
+        (s0.take(i).toLong, s0.drop(i + 1).toLong)
+      }
+    val rawPostingDocs = spark.read.parquet(s"$root/postings/$newestPostingsFold")
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(!rawPostingDocs.contains(goneDoc), "forgotten postings must be physically gone")
     assert(new java.io.File(s"$root/tombstones").listFiles() == null ||
@@ -1199,23 +1270,22 @@ class StreamingSpec extends AnyFunSuite {
     val full = ranked(graft.operators.Retrieval.bm25(grown, terms, 15))
     assert(ranked(graft.streaming.LiveIndex.bm25(spark, cfg, terms, 15)) === full,
       "a re-arrival after tombstone retirement must re-index")
-    // crash window: a doclens fold staged with its sources already
-    // deleted (rename pending) must neither blank the serving horizon
-    // nor wedge compact — recovery runs before the horizon is read
-    val dlParts = new java.io.File(s"$root/doclens").listFiles()
-      .filter(_.getName.startsWith("batch=")).map(_.toString).toIndexedSeq
-    val mMax = dlParts.map(_.split("batch=").last.toLong).max
-    val dlSchema = spark.read.parquet(dlParts.head).schema
-    spark.read.schema(dlSchema).parquet(dlParts: _*)
-      .write.mode("overwrite").parquet(s"$root/doclens/.compact-$mMax")
-    val ifs = new org.apache.hadoop.fs.Path(root)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    dlParts.foreach(pp => assert(ifs.delete(new org.apache.hadoop.fs.Path(pp), true)))
+    // crash window: a doclens fold staging committed but not yet
+    // renamed (crash between its _SUCCESS and the commit) — invisible
+    // to serving (its sources are all still present under the
+    // non-destructive protocol), and the next maintenance op commits
+    // it without wedging the horizon
+    val dlAll = new java.io.File(s"$root/doclens").listFiles()
+      .map(_.getName).filter(n => n.startsWith("batch=") || n.startsWith("fold="))
+      .map(n => s"$root/doclens/$n").toIndexedSeq
+    val dlSchema = spark.read.parquet(dlAll.head).schema
+    spark.read.schema(dlSchema).parquet(dlAll: _*)
+      .write.mode("overwrite").parquet(s"$root/doclens/.compact-11-9")
     assert(ranked(graft.streaming.LiveIndex.bm25(spark, cfg, terms, 15)) === full,
-      "serving must read through a pending doclens fold")
+      "a pending staging must not affect serving")
     graft.streaming.LiveIndex.compact(spark, cfg)
-    assert(new java.io.File(s"$root/doclens/batch=$mMax").exists,
-      "compact must heal the interrupted fold")
+    assert(new java.io.File(s"$root/doclens/fold=11-9").exists,
+      "compact must commit the interrupted fold")
     assert(ranked(graft.streaming.LiveIndex.bm25(spark, cfg, terms, 15)) === full)
   }
 

@@ -9,14 +9,18 @@ import org.scalatest.funsuite.AnyFunSuite
   * LiveCounts/LiveNb, LiveIndex) builds on. The per-store specs prove
   * end-to-end behavior at a few crash points; this spec walks EVERY
   * boundary of the fold and rewrite protocols on a minimal store and
-  * pins the two invariants the stores rely on:
+  * pins the invariants the stores rely on:
   *
   *  1. READER COMPLETENESS — at any crash point, the non-mutating
-  *     reader view (committed partitions, with a committed fold
-  *     staging substituted for the partitions ≤ its id, and a
-  *     committed rewrite staging substituted for its missing source)
-  *     sees exactly the store's rows, no loss, no duplication;
-  *  2. WRITER CONVERGENCE — recovery plus a re-run of the interrupted
+  *     reader view ([[BatchParts.effectiveParts]]: newest committed
+  *     fold plus batches past its horizon) sees exactly the store's
+  *     rows, no loss, no duplication;
+  *  2. NON-DESTRUCTIVE COMMIT — a fold commit deletes nothing, so
+  *     every dir a pre-commit listing named is still readable after
+  *     the commit (the concurrent-serve guarantee the old
+  *     delete-inside-commit protocol could not give); superseded
+  *     dirs only leave at the NEXT writer op's GC;
+  *  3. WRITER CONVERGENCE — recovery plus a re-run of the interrupted
   *     maintenance converges to the same final layout as an
   *     uninterrupted run.
   */
@@ -36,55 +40,99 @@ class BatchPartsSpec extends AnyFunSuite {
     dir
   }
 
-  /** The reader view with both substitution rules applied. */
+  /** The reader view: one listing, no staging reads, no mutation. */
   private def readerRows(dir: String): Seq[Long] = {
-    val parts = BatchParts.committed(spark, dir)
-    val fold = BatchParts.pendingFold(spark, dir)
+    val parts = BatchParts.effectiveParts(spark, dir)
     val liveIds = parts.map(_._1).toSet
-    val sources = fold match {
-      case Some((m, staging)) => staging +: parts.filter(_._1 > m).map(_._2)
-      case None => parts.map(_._2)
-    }
     val rewrites = BatchParts.pendingRewrites(spark, dir)
-      .filter { case (id, _) => !liveIds(id) && fold.forall(_._1 < id) }
+      .filter { case (id, _) => !liveIds(id) }
       .map(_._2)
-    (sources ++ rewrites).flatMap(p =>
+    (parts.map(_._2) ++ rewrites).flatMap(p =>
       spark.read.schema("v LONG").parquet(p).collect().map(_.getLong(0)))
   }
 
-  private def foldTo(dir: String, m: Long): Unit =
-    spark.read.schema("v LONG").parquet(
-        BatchParts.committed(spark, dir).filter(_._1 <= m).map(_._2): _*)
-      .write.mode("overwrite").parquet(BatchParts.stagingPath(dir, m))
+  private def names(dir: String): Set[String] =
+    fs(dir).listStatus(new Path(dir)).map(_.getPath.getName).toSet
 
-  test("fold: reader completeness and writer convergence at every crash boundary") {
+  private def foldTo(dir: String, h: Long, gen: Long): Unit =
+    spark.read.schema("v LONG").parquet(
+        BatchParts.effectiveParts(spark, dir).filter(_._1 <= h).map(_._2): _*)
+      .write.mode("overwrite").parquet(BatchParts.stagingPath(dir, h, gen))
+
+  test("fold: reader completeness and convergence at every crash boundary") {
     val allRows = (0L to 8L)
     // boundary 0: staging written but NOT committed (no _SUCCESS)
     locally {
       val dir = mkStore()
-      foldTo(dir, 2L)
-      assert(fs(dir).delete(new Path(s"$dir/.compact-2/_SUCCESS"), false))
+      foldTo(dir, 2L, 0L)
+      assert(fs(dir).delete(new Path(s"$dir/.compact-2-0/_SUCCESS"), false))
       assert(readerRows(dir).sorted === allRows, "incomplete staging must be ignored")
       BatchParts.recoverFold(spark, dir)
-      assert(!fs(dir).exists(new Path(s"$dir/.compact-2")), "incomplete staging discarded")
+      assert(!fs(dir).exists(new Path(s"$dir/.compact-2-0")),
+        "incomplete staging discarded")
       assert(readerRows(dir).sorted === allRows)
     }
-    // boundary 1: staging committed, no source deletes yet
-    // boundary 2: staging committed, sources partially deleted
-    // boundary 3: all sources deleted, rename pending
-    for (deletes <- 0 to 3) {
+    // boundary 1: staging committed, rename pending (crash between the
+    // staging's _SUCCESS and the commitFold rename)
+    locally {
       val dir = mkStore()
-      foldTo(dir, 2L)
-      (0 until deletes).foreach(b =>
-        assert(fs(dir).delete(new Path(s"$dir/batch=$b"), true)))
+      foldTo(dir, 2L, 0L)
       assert(readerRows(dir).sorted === allRows,
-        s"reader must see the full store with $deletes sources deleted")
-      BatchParts.recoverFold(spark, dir)
+        "a committed-but-unrenamed staging is invisible; the batches are complete")
+      assert(BatchParts.pendingFold(spark, dir).isDefined, "crash debt visible to status")
+      BatchParts.recoverFold(spark, dir) // commits the fold; GC of its sources deferred
+      assert(readerRows(dir).sorted === allRows, "post-commit view: fold only, no dup")
+      assert(names(dir).contains("fold=2-0"))
+      assert(names(dir).intersect(Set("batch=0", "batch=1", "batch=2")).size === 3,
+        "commit must not delete the fold's sources (deferred GC)")
+      BatchParts.recoverFold(spark, dir) // the NEXT writer op GCs
+      assert(names(dir) === Set("fold=2-0"), "next writer op GCs superseded dirs")
       assert(readerRows(dir).sorted === allRows)
-      val names = fs(dir).listStatus(new Path(dir)).map(_.getPath.getName).toSet
-      assert(names === Set("batch=2"),
-        s"recovery must converge to the folded layout, got $names")
     }
+    // boundary 2: fold committed (rename done), GC pending — the
+    // normal end state of a compact() call. A listing taken BEFORE
+    // the commit still names only dirs that exist after it.
+    locally {
+      val dir = mkStore()
+      val preCommitDirs = BatchParts.effectiveParts(spark, dir).map(_._2)
+      foldTo(dir, 2L, 0L)
+      BatchParts.commitFold(spark, dir, 2L, 0L)
+      preCommitDirs.foreach(p => assert(fs(dir).exists(new Path(p)),
+        s"pre-commit listing invalidated by the commit: $p"))
+      assert(spark.read.schema("v LONG").parquet(preCommitDirs: _*)
+        .collect().map(_.getLong(0)).sorted.toSeq === allRows,
+        "a reader holding the pre-commit listing still reads the full store")
+      assert(readerRows(dir).sorted === allRows, "post-commit view complete, no dup")
+      // boundary 3: GC interrupted mid-delete — reader unaffected
+      assert(fs(dir).delete(new Path(s"$dir/batch=1"), true))
+      assert(readerRows(dir).sorted === allRows)
+      BatchParts.recoverFold(spark, dir)
+      assert(names(dir) === Set("fold=2-0"))
+      assert(readerRows(dir).sorted === allRows)
+      assert(BatchParts.isCommitted(spark, dir, 2L),
+        "a folded batch id counts as committed after its dir is GC'd")
+      assert(!BatchParts.isCommitted(spark, dir, 3L))
+    }
+  }
+
+  test("re-fold at the same horizon commits under a fresh generation, never an overwrite") {
+    val dir = mkStore()
+    foldTo(dir, 2L, 0L)
+    BatchParts.commitFold(spark, dir, 2L, 0L)
+    BatchParts.recoverFold(spark, dir) // GC the batch dirs
+    assert(names(dir) === Set("fold=2-0"))
+    // tombstone-style re-fold: same horizon, no new batches
+    assert(BatchParts.nextFoldGen(spark, dir) === 1L)
+    spark.read.schema("v LONG").parquet(s"$dir/fold=2-0").filter(col("v") =!= 4L)
+      .write.parquet(BatchParts.stagingPath(dir, 2L, 1L))
+    BatchParts.commitFold(spark, dir, 2L, 1L)
+    assert(names(dir).contains("fold=2-0"),
+      "the superseded fold survives its successor's commit (readers may be on it)")
+    assert(readerRows(dir).sorted === (0L to 8L).filter(_ != 4L),
+      "the newest generation wins the reader view")
+    BatchParts.recoverFold(spark, dir)
+    assert(names(dir) === Set("fold=2-1"), "GC retires the old generation")
+    assert(readerRows(dir).sorted === (0L to 8L).filter(_ != 4L))
   }
 
   test("rewrite: reader substitution only for a missing source; recovery converges") {
@@ -117,26 +165,24 @@ class BatchPartsSpec extends AnyFunSuite {
       BatchParts.recoverRewrites(spark, dir)
       assert(readerRows(dir).sorted === survivors,
         "recovery completes the rewrite either way")
-      val names = fs(dir).listStatus(new Path(dir)).map(_.getPath.getName).toSet
-      assert(names === Set("batch=0", "batch=1", "batch=2"))
+      assert(names(dir) === Set("batch=0", "batch=1", "batch=2"))
     }
   }
 
-  test("fold and rewrite ids never collide: recovery handles both pending at once") {
+  test("fold and rewrite pending at once: recovery handles both") {
     val dir = mkStore()
-    // a rewrite of batch=0 staged+committed AND a fold of everything
-    // staged+committed, both interrupted before their renames — the
-    // single maintenance owner can crash between vacuum and compact
+    // a rewrite of batch=0 staged+committed AND a fold staged+committed,
+    // both interrupted before their renames — the single maintenance
+    // owner can crash between vacuum and compact
     spark.read.schema("v LONG").parquet(s"$dir/batch=0").filter(col("v") =!= 1L)
       .write.parquet(BatchParts.rewritePath(dir, 0L))
     BatchParts.recoverRewrites(spark, dir) // rewrite completes first
-    foldTo(dir, 2L)
-    assert(fs(dir).delete(new Path(s"$dir/batch=0"), true))
+    foldTo(dir, 2L, 0L)
     assert(readerRows(dir).sorted === (0L to 8L).filter(_ != 1L),
-      "reader through the fold staging after the rewrite")
+      "batches complete after the rewrite, staging invisible")
     BatchParts.recoverFold(spark, dir)
-    val names = fs(dir).listStatus(new Path(dir)).map(_.getPath.getName).toSet
-    assert(names === Set("batch=2"))
+    BatchParts.recoverFold(spark, dir) // second writer op GCs
+    assert(names(dir) === Set("fold=2-0"))
     assert(readerRows(dir).sorted === (0L to 8L).filter(_ != 1L))
   }
 }
