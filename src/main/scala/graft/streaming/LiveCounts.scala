@@ -67,7 +67,8 @@ object LiveCounts {
     val s = batch.sparkSession
     // writer-side fold recovery (single maintenance owner)
     BatchParts.recoverFold(s, s"${cfg.root}/counts")
-    if (BatchParts.isCommitted(s, s"${cfg.root}/counts", batchId)) return
+    if (BatchParts.isCommittedIn(
+        BatchParts.effectiveParts(s, s"${cfg.root}/counts"), batchId)) return
     if (batch.isEmpty) return
     batch.groupBy("key").agg(count(lit(1)).as("n"))
       .write.mode("overwrite").parquet(s"${cfg.root}/counts/batch=$batchId")
@@ -83,13 +84,18 @@ object LiveCounts {
     * sources are only GC'd from the next writer op — every dir this
     * listing names outlives the read.
     */
-  def totals(s: SparkSession, cfg: Config): DataFrame = {
-    val dirs = BatchParts.effectiveDirs(s, s"${cfg.root}/counts")
+  def totals(s: SparkSession, cfg: Config): DataFrame =
+    totalsFrom(s, BatchParts.effectiveDirs(s, s"${cfg.root}/counts"))
+
+  /** The re-aggregation over a given dir snapshot — shared by
+    * [[totals]] and [[compact]] so the fold is PROVABLY the same
+    * associative recombination the serve path computes.
+    */
+  private def totalsFrom(s: SparkSession, dirs: Seq[String]): DataFrame =
     if (dirs.isEmpty) s.createDataFrame(s.sparkContext.emptyRDD[Row],
       StructType(CountSchema.dropRight(1)))
     else s.read.schema(StructType(CountSchema.dropRight(1))).parquet(dirs: _*)
       .groupBy("key").agg(sum(col("n")).as("n"))
-  }
 
   /** The d12 hot-segment list derived from the LIVE totals: keys with
     * df ≥ `minDf`, md5-hashed to match [[graft.operators.Dedup
@@ -119,9 +125,7 @@ object LiveCounts {
     if (parts.length > 1) {
       val h = parts.last._1
       val gen = BatchParts.nextFoldGen(s, dir)
-      s.read.schema(StructType(CountSchema.dropRight(1)))
-        .parquet(parts.map(_._2): _*)
-        .groupBy("key").agg(sum(col("n")).as("n"))
+      totalsFrom(s, parts.map(_._2))
         .write.mode("overwrite").parquet(BatchParts.stagingPath(dir, h, gen))
       BatchParts.commitFold(s, dir, h, gen)
     }

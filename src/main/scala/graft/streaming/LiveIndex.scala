@@ -75,9 +75,11 @@ object LiveIndex {
     val s = batch.sparkSession
     Seq("postings", "doclens").foreach(k =>
       BatchParts.recoverFold(s, s"${cfg.root}/$k"))
-    if (BatchParts.isCommitted(s, s"${cfg.root}/doclens", batchId)) return
+    // ONE doclens listing serves the replay check and the id read
+    val dlParts = BatchParts.effectiveParts(s, s"${cfg.root}/doclens")
+    if (BatchParts.isCommittedIn(dlParts, batchId)) return
     if (batch.isEmpty) return
-    val indexed = BatchParts.effectiveDirs(s, s"${cfg.root}/doclens") match {
+    val indexed = dlParts.map(_._2) match {
       case Seq() => batch.limit(0).select("doc_id")
       case dirs => s.read.schema(DoclenSchema).parquet(dirs: _*).select("doc_id")
     }
@@ -193,11 +195,10 @@ object LiveIndex {
     * retirement the id is free to be indexed anew.
     */
   def compact(s: SparkSession, cfg: Config): Unit = {
-    // recovery FIRST, horizon after: a compact that crashed between a
-    // fold's source deletes and its rename leaves the committed
-    // listing empty — a horizon computed before the recovery would
-    // read None and skip the body, including the recovery itself,
-    // wedging the store forever
+    // recovery FIRST, horizon after: crash-debt folds (a staging
+    // committed but not yet renamed) must become visible parts before
+    // the horizon is read, or the body would fold against a view that
+    // a moment later gains a whole fold
     Seq("postings", "doclens").foreach(k =>
       BatchParts.recoverFold(s, s"${cfg.root}/$k"))
     horizon(s, cfg).foreach { h =>

@@ -654,12 +654,14 @@ object LivePipeline {
   def packProgress(s: SparkSession, cfg: Config): DataFrame =
     latestCursors(s, cfg, Long.MaxValue)
 
-  /** One store's maintenance posture: committed partition count (the
+  /** One store's maintenance posture: ON-DISK dir count (the
     * compaction-cadence signal — a year of minute-batches left
-    * unfolded is ~500k dirs whose listing dominates every step),
-    * the commit frontier, and any crash-recovery debt (a completed
-    * fold staging awaiting roll-forward; committed rewrite stagings
-    * awaiting source-delete→rename).
+    * unfolded is ~500k dirs whose listing dominates every step; this
+    * counts what is physically listed, including superseded dirs a
+    * committed fold has not yet GC'd), the commit frontier, and any
+    * crash-recovery debt (a completed fold staging awaiting its
+    * commit rename; committed rewrite stagings awaiting
+    * source-delete→rename).
     */
   final case class StoreStatus(store: String, nPartitions: Int,
       lastBatch: Option[Long], pendingFold: Boolean, nPendingRewrites: Int)
@@ -678,7 +680,7 @@ object LivePipeline {
     kinds.map { k =>
       val dir = s"$root/$k"
       val parts = BatchParts.effectiveParts(s, dir)
-      StoreStatus(k, parts.length, parts.lastOption.map(_._1),
+      StoreStatus(k, BatchParts.dirCount(s, dir), parts.lastOption.map(_._1),
         BatchParts.pendingFold(s, dir).isDefined,
         BatchParts.pendingRewrites(s, dir).length)
     }
@@ -852,9 +854,19 @@ private[streaming] object BatchParts {
       .sortBy(_._1)
   }
 
-  private def parseHG(s0: String): (Long, Long) = {
+  /** Parse `<h>-<gen>` (h may be negative — seed batches are id -1;
+    * gen never is, so splitting at the LAST dash is unambiguous).
+    * None for anything else — listings skip unparseable names instead
+    * of throwing, so foreign debris in a store dir cannot wedge every
+    * subsequent writer op.
+    */
+  private def parseHG(s0: String): Option[(Long, Long)] = {
     val i = s0.lastIndexOf('-')
-    (s0.take(i).toLong, s0.drop(i + 1).toLong)
+    if (i <= 0) None
+    else for {
+      h <- s0.take(i).toLongOption
+      g <- s0.drop(i + 1).toLongOption if g >= 0
+    } yield (h, g)
   }
 
   /** Committed `fold=<h>-<gen>` dirs as `(h, gen, path)` sorted by
@@ -868,9 +880,9 @@ private[streaming] object BatchParts {
     else fs.listStatus(p).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("fold="))
       .filter(st => fs.exists(new Path(st.getPath, "_SUCCESS")))
-      .map { st =>
-        val (h, g) = parseHG(st.getPath.getName.stripPrefix("fold="))
-        (h, g, st.getPath.toString)
+      .flatMap { st =>
+        parseHG(st.getPath.getName.stripPrefix("fold="))
+          .map { case (h, g) => (h, g, st.getPath.toString) }
       }.sortBy(t => (t._1, t._2))
   }
 
@@ -886,18 +898,31 @@ private[streaming] object BatchParts {
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     val gens =
       if (!fs.exists(p)) Seq.empty[Long]
-      else fs.listStatus(p).toSeq.map(_.getPath.getName).collect {
-        case n if n.startsWith("fold=") => parseHG(n.stripPrefix("fold="))._2
-        case n if n.startsWith(".compact-") => parseHG(n.stripPrefix(".compact-"))._2
+      else fs.listStatus(p).toSeq.map(_.getPath.getName).flatMap {
+        case n if n.startsWith("fold=") =>
+          parseHG(n.stripPrefix("fold=")).map(_._2)
+        case n if n.startsWith(".compact-") =>
+          parseHG(n.stripPrefix(".compact-")).map(_._2)
+        case _ => None
       }
     gens.maxOption.map(_ + 1).getOrElse(0L)
   }
 
-  /** WRITER-side fold commit: one atomic rename, no deletes. */
+  /** WRITER-side fold commit: one atomic rename, no deletes. The
+    * rename IS the commit point, so its result is checked — a silent
+    * false would let a caller proceed as committed (e.g. retire the
+    * tombstones a fold was applying) while the fold never appeared.
+    * A false with the destination present and the staging gone means
+    * the fold is already committed (a recovery re-run) — tolerated.
+    */
   def commitFold(s: SparkSession, dir: String, h: Long, gen: Long): Unit = {
     val fs = new Path(dir).getFileSystem(s.sparkContext.hadoopConfiguration)
-    fs.rename(new Path(stagingPath(dir, h, gen)), new Path(s"$dir/fold=$h-$gen"))
-    ()
+    val dest = new Path(s"$dir/fold=$h-$gen")
+    val staging = new Path(stagingPath(dir, h, gen))
+    if (!fs.rename(staging, dest) &&
+        !(fs.exists(dest) && !fs.exists(staging)))
+      throw new IllegalStateException(
+        s"fold commit failed: could not rename $staging to $dest")
   }
 
   /** READER-side view of the store: the newest committed fold (if
@@ -917,7 +942,8 @@ private[streaming] object BatchParts {
       .map(st => (st.getPath.getName.stripPrefix("batch=").toLong, st.getPath.toString))
       .sortBy(_._1)
     val newest = entries.filter(_.getPath.getName.startsWith("fold="))
-      .map(st => (parseHG(st.getPath.getName.stripPrefix("fold=")), st.getPath.toString))
+      .flatMap(st => parseHG(st.getPath.getName.stripPrefix("fold="))
+        .map(hg => (hg, st.getPath.toString)))
       .sortBy(_._1).lastOption
     newest match {
       case Some(((h, _), fp)) =>
@@ -940,8 +966,33 @@ private[streaming] object BatchParts {
     * re-run it.)
     */
   def isCommitted(s: SparkSession, dir: String, id: Long): Boolean =
-    committed(s, dir).exists(_._1 == id) ||
-      folds(s, dir).lastOption.exists(_._1 >= id)
+    isCommittedIn(effectiveParts(s, dir), id)
+
+  /** [[isCommitted]] against an already-taken [[effectiveParts]]
+    * snapshot — a step takes ONE listing and reuses it for the replay
+    * check and the store read, instead of re-listing per question.
+    * (A batch dir GC'd under the newest fold has id ≤ its horizon, so
+    * the fold clause covers it.)
+    */
+  def isCommittedIn(parts: Seq[(Long, String, Boolean)], id: Long): Boolean =
+    parts.exists { case (pid, _, isFold) => if (isFold) pid >= id else pid == id }
+
+  /** ON-DISK dir count (`batch=`/`fold=`/stagings, committed or not) —
+    * the listing-pressure signal for compaction cadence. Distinct from
+    * [[effectiveParts]].length, which collapses to ~1 the moment a
+    * fold commits even though the superseded dirs still sit on disk
+    * until the next writer op's GC.
+    */
+  def dirCount(s: SparkSession, dir: String): Int = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0
+    else fs.listStatus(p).count { st =>
+      val n = st.getPath.getName
+      st.isDirectory && (n.startsWith("batch=") || n.startsWith("fold=") ||
+        n.startsWith(".compact-") || n.startsWith(".rewrite-"))
+    }
+  }
 
   /** WRITER-side deferred GC: with a newest committed fold `(h, gen)`,
     * drop every `batch=` dir with id ≤ h (committed or not — an id ≤ h
@@ -958,10 +1009,10 @@ private[streaming] object BatchParts {
         val drop =
           (n.startsWith("batch=") &&
             scala.util.Try(n.stripPrefix("batch=").toLong).toOption.exists(_ <= h)) ||
-          (n.startsWith("fold=") && {
-            val (h2, g2) = parseHG(n.stripPrefix("fold="))
-            h2 < h || (h2 == h && g2 < g)
-          })
+          (n.startsWith("fold=") &&
+            parseHG(n.stripPrefix("fold=")).exists { case (h2, g2) =>
+              h2 < h || (h2 == h && g2 < g)
+            })
         if (drop) { fs.delete(st.getPath, true); () }
       }
     }
@@ -983,9 +1034,20 @@ private[streaming] object BatchParts {
     if (fs.exists(p)) fs.listStatus(p).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith(".compact-"))
       .foreach { st =>
-        val (h, g) = parseHG(st.getPath.getName.stripPrefix(".compact-"))
-        if (fs.exists(new Path(st.getPath, "_SUCCESS"))) commitFold(s, dir, h, g)
-        else { fs.delete(st.getPath, true); () }
+        val raw = st.getPath.getName.stripPrefix(".compact-")
+        // legacy `.compact-<m>` (the pre-generation format) migrates
+        // as horizon m under a fresh generation; unparseable names are
+        // foreign debris — left alone rather than wedging the writer
+        val hg = parseHG(raw).orElse(raw.toLongOption.map { m =>
+          val g = nextFoldGen(s, dir)
+          fs.rename(st.getPath, new Path(stagingPath(dir, m, g)))
+          (m, g)
+        })
+        hg.foreach { case (h, g) =>
+          if (fs.exists(new Path(stagingPath(dir, h, g) + "/_SUCCESS")))
+            commitFold(s, dir, h, g)
+          else { fs.delete(new Path(stagingPath(dir, h, g)), true); () }
+        }
       }
   }
 
@@ -1000,8 +1062,8 @@ private[streaming] object BatchParts {
     else fs.listStatus(p).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith(".compact-"))
       .filter(st => fs.exists(new Path(st.getPath, "_SUCCESS")))
-      .map(st => (parseHG(st.getPath.getName.stripPrefix(".compact-"))._1,
-        st.getPath.toString))
+      .flatMap(st => parseHG(st.getPath.getName.stripPrefix(".compact-"))
+        .map(hg => (hg._1, st.getPath.toString)))
       .sortBy(_._1).lastOption
   }
 

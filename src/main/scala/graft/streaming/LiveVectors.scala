@@ -114,12 +114,13 @@ object LiveVectors {
     // writer-side fold recovery (single-writer: step and compact are
     // the same maintenance owner, serialized)
     BatchParts.recoverFold(s, s"${cfg.root}/sigs")
-    if (BatchParts.isCommitted(s, s"${cfg.root}/sigs", batchId)) return
+    // ONE listing serves the replay check and the index read
+    val parts = BatchParts.effectiveParts(s, s"${cfg.root}/sigs")
+    if (BatchParts.isCommittedIn(parts, batchId)) return
     if (batch.isEmpty) return
     val indexed =
-      if (BatchParts.effectiveParts(s, s"${cfg.root}/sigs").isEmpty)
-        batch.limit(0).select("vec_id")
-      else rawIndex(s, cfg).select("vec_id")
+      if (parts.isEmpty) batch.limit(0).select("vec_id")
+      else rawIndexFrom(s, cfg, parts).select("vec_id")
     // the anti-join subtree (batch dedup + the committed-index vec_id
     // scan) feeds BOTH join inputs below — cache it so each batch pays
     // the index scan once, not twice. Tombstoned ids are excluded too:
@@ -180,9 +181,12 @@ object LiveVectors {
   def index(s: SparkSession, cfg: Config): DataFrame =
     rawIndex(s, cfg).join(broadcast(tombstones(s, cfg)), Seq("vec_id"), "left_anti")
 
-  private def rawIndex(s: SparkSession, cfg: Config): DataFrame = {
+  private def rawIndex(s: SparkSession, cfg: Config): DataFrame =
+    rawIndexFrom(s, cfg, BatchParts.effectiveParts(s, s"${cfg.root}/sigs"))
+
+  private def rawIndexFrom(s: SparkSession, cfg: Config,
+      parts: Seq[(Long, String, Boolean)]): DataFrame = {
     val dir = s"${cfg.root}/sigs"
-    val parts = BatchParts.effectiveParts(s, dir)
     val (foldP, batchP) = parts.partition(_._3)
     // each piece needs a basePath ANCHOR for its bucket= level (a
     // multi-root read of bucket-partitioned dirs without one trips
@@ -198,16 +202,17 @@ object LiveVectors {
       .getOrElse(s.createDataFrame(s.sparkContext.emptyRDD[Row], SigData))
   }
 
-  /** Fold all committed batch dirs into the newest one — the
-    * [[LivePipeline.compact]] small-files story for the vector index.
-    * Simpler here: the batch dir's `_SUCCESS` IS the batch commit
-    * marker (single store), so any committed dir is foldable — a
-    * crashed step leaves an uncommitted dir this listing never sees,
-    * and its replay overwrites only that dir. Crash-safe by the same
-    * roll-forward: union staged to `.compact-<m>` (bucket-partitioned,
-    * so pruning survives the fold), sources ≤ m dropped, staging
-    * renamed to `batch=<m>`; [[step]] completes interrupted folds
-    * before reading.
+  /** Fold the effective parts into one `fold=<h>-<gen>` dir — the
+    * [[LivePipeline.compact]] small-files story for the vector index,
+    * under the shared [[BatchParts]] rename-commit + deferred-GC
+    * protocol (stage to `.compact-<h>-<gen>`, bucket-partitioned so
+    * pruning survives the fold; commit by one atomic rename; sources
+    * GC'd from the next writer op, so concurrent serves keep
+    * reading). Simpler here than the pipeline: the batch dir's
+    * `_SUCCESS` IS the batch commit marker (single store), so any
+    * committed dir is foldable — a crashed step leaves an uncommitted
+    * dir this listing never sees, and its replay overwrites only that
+    * dir. [[step]] completes interrupted folds before reading.
     */
   def compact(s: SparkSession, cfg: Config): Unit = {
     val dir = s"${cfg.root}/sigs"
@@ -223,7 +228,7 @@ object LiveVectors {
     if (parts.length > 1 || (parts.nonEmpty && tombParts.nonEmpty)) {
       val h = parts.last._1
       val gen = BatchParts.nextFoldGen(s, dir)
-      rawIndex(s, cfg)
+      rawIndexFrom(s, cfg, parts)
         .dropDuplicates("vec_id")
         .join(broadcast(tombstones(s, cfg)), Seq("vec_id"), "left_anti")
         .repartition(col("bucket"))

@@ -135,6 +135,26 @@ class BatchPartsSpec extends AnyFunSuite {
     assert(readerRows(dir).sorted === (0L to 8L).filter(_ != 4L))
   }
 
+  test("legacy single-number stagings migrate; unparseable debris cannot wedge the writer") {
+    val dir = mkStore()
+    // a pre-generation `.compact-<m>` staging left by an old-format
+    // crash: recovery adopts it under a fresh generation instead of
+    // throwing on the parse — the upgrade cannot wedge a store
+    // carrying old crash debt
+    spark.read.schema("v LONG").parquet(s"$dir/batch=0", s"$dir/batch=1", s"$dir/batch=2")
+      .write.mode("overwrite").parquet(s"$dir/.compact-2")
+    // foreign debris beside it is skipped, not fatal
+    assert(fs(dir).mkdirs(new Path(s"$dir/.compact-junk")))
+    BatchParts.recoverFold(spark, dir)
+    assert(names(dir).exists(_.startsWith("fold=2-")),
+      "legacy staging committed under a generation-suffixed fold name")
+    assert(readerRows(dir).sorted === (0L to 8L))
+    BatchParts.recoverFold(spark, dir) // next writer op GCs sources
+    assert(names(dir).filter(_.startsWith("batch=")).isEmpty)
+    assert(readerRows(dir).sorted === (0L to 8L))
+    assert(names(dir).contains(".compact-junk"), "debris is left alone")
+  }
+
   test("rewrite: reader substitution only for a missing source; recovery converges") {
     val survivors = Seq(0L, 2L, 3L, 4L, 5L, 6L, 7L, 8L) // row 1 rewritten away
     // boundary 0: rewrite staged but NOT committed — never read, discarded
