@@ -27,222 +27,113 @@ object Bench {
   private val Runs = 3
 
   /** Recorded per-query `(median, recording floor)` (sf0.1, local[32],
-    * 3-run medians) — the regression baseline. The second element is the
-    * calibration floor of the SESSION THAT RECORDED the median: per-job
-    * scheduling overhead on this VM drifts severalfold between sessions
-    * (0.005-0.17 s for identical code), and most sub-second medians are
-    * ≈ jobs × floor, so a raw cross-session comparison measures the VM,
-    * not the plan. The gate below scales each entry's threshold by
-    * sessionFloor / recordingFloor — storing the floor PER ENTRY instead
-    * of assuming one global 0.09 closes round 9's double-counting: the
-    * nine round-9 entries were recorded at a 0.167 s floor but still got
-    * the full session scaling, putting their effective threshold at ~3.7×
-    * an already-inflated number (ADVICE r9).
+    * 3-run interleaved medians under the noop-sink timed action) — the
+    * regression baseline. The second element is the calibration floor
+    * of the SESSION THAT RECORDED the median: per-job scheduling
+    * overhead on this VM drifts severalfold between sessions
+    * (0.005-0.17 s for identical code), and most sub-second medians
+    * are ≈ jobs × floor, so a raw cross-session comparison measures
+    * the VM, not the plan. The gate below scales each entry's
+    * threshold by sessionFloor / recordingFloor.
     *
     * [[main]] asserts this keyset equals SparkEntry.queries' keyset so
     * coverage can't drift (the round-4..7 blind spot: queries missing
     * here were silently exempt).
     */
   private val BaselineMedians: Map[String, (Double, Double)] = {
-    // bulk of the inventory: recorded round 8 at a 0.088 s floor
-    val r8Floor = 0.088
-    val main = Map(
-      "a10_moments" -> 0.263, "a11_filter_clause" -> 0.226,
-      "a12_percentiles" -> 0.188, "a1_pricing_summary" -> 0.227,
-      "a2_last_by_key" -> 0.162, "a3_distinct_agg" -> 0.174,
-      "a4_rollup" -> 0.350, "a5_cube" -> 0.345,
-      "a6_median" -> 0.179,
-      "a8_grouping_sets" -> 0.196, "a9_pivot" -> 0.186,
-      "d10_substring_dedup" -> 0.176, "d1_exact_dedup" -> 0.169,
-      "d2_minhash_lsh" -> 0.598, "d3_ngram_jaccard" -> 0.742,
-      "d4_simhash" -> 0.061, "d5_embedding_neardup" -> 0.607,
-      "d6_simhash_pairs" -> 0.757, "d7_dedup_clusters" -> 1.699,
-      "f2_posexplode_zip" -> 0.163,
-      "f3_inline_structs" -> 0.129, "f4_explode_outer" -> 0.125,
-      "f5_unpivot" -> 0.124, "j10_shipping_priority" -> 0.556,
-      "j11_local_supplier_volume" -> 0.690, "j12_returned_items" -> 0.623,
-      "j1_broadcast_join" -> 0.360, "j2_shuffle_join" -> 0.747,
-      "j3_star_join" -> 0.500, "j4_left_outer" -> 0.213,
-      "j5_semi_join" -> 0.267, "j6_anti_join" -> 0.241,
-      "j7_range_join" -> 0.169, "j8_asof_join" -> 0.133,
-      "j9_cross_join" -> 0.191,
-      "n1_ann_bruteforce" -> 0.354,
-      "n3_topk_agg" -> 0.177, "n4_ann_ivf" -> 0.173,
-      "n5_quantized_dot" -> 0.226, "n6_ann_kmeans" -> 0.182,
-      "o1_serving_filter_limit" -> 0.106,
-      "o2_topk" -> 0.117, "o3_offset" -> 0.120,
-      "p1_appid_memo_filter" -> 0.133, "q2_point_lookup" -> 0.156,
-      "q3_subqueries" -> 0.293, "q4_correlated" -> 0.466,
-      "q5_lateral" -> 0.892, "t10_translate_munge" -> 0.113,
-      "t11_string_suite" -> 0.102, "t12_math_suite" -> 0.120,
-      "t13_conditional_suite" -> 0.116, "t14_array_suite" -> 0.125,
-      "t15_hash_suite" -> 0.103, "t16_datetime_suite" -> 0.117,
-      "t17_json_suite" -> 0.115, "t18_higher_order_suite" -> 0.134,
-      "t19_map_suite" -> 0.117, "t20_bitwise_suite" -> 0.109,
-      "t5_epoch_roundtrip" -> 0.115, "t8_hex_sequence" -> 0.116,
-      "t9_json_extract" -> 0.110, "u1_union_discriminated" -> 0.156,
-      "u2_intersect" -> 0.235, "u3_except" -> 0.284,
-      "w1_row_number" -> 0.224, "w2_lag_delta" -> 0.108,
-      "w3_running_sum" -> 0.110, "w6_ranking_suite" -> 0.104,
-      "w7_session_window_native" -> 0.371, "w8_range_interval" -> 0.138,
-      "x10_unigram_lm" -> 0.644, "x11_pipeline" -> 0.400,
-      "x12_pii_scrub" -> 0.112, "x13_k_anonymity" -> 0.253,
-      "x14_bm25" -> 0.470, "x15_domain_mix" -> 0.287,
-      "x1_langid" -> 0.388, "x2_quality_score" -> 0.119,
-      "x3_token_count" -> 0.106, "x4_fingerprint" -> 0.108,
-      "x5_rolling_hash" -> 0.103, "x6_hash_sampling" -> 0.125,
-      "x7_tfidf" -> 0.714, "x8_sequence_pack" -> 0.126,
-      "x9_repetition" -> 0.250
-    ).view.mapValues((_, r8Floor)).toMap
-    // round-8 additions, recorded at a 0.076 s session floor
-    val add8 = Map(
-      "a13_cms_freq" -> 0.975, "a14_hll_distinct" -> 0.778,
-      "d11_semantic_dedup" -> 0.152,
-      "j13_market_share" -> 1.032,
-      "n12_range_search" -> 0.228, "o4_zorder" -> 0.214,
-      "x16_quality_rules" -> 0.152
-    ).view.mapValues((_, 0.076)).toMap
-    // round-9 additions, RE-recorded round 10 at a 0.099 s session floor
-    // (the original round-9 recordings came from a 0.167 s-floor session,
-    // which double-counted floor inflation through the gate — ADVICE r9;
-    // note x17/x18/a7 re-read 1.25-1.65 s at the clean floor, i.e. the
-    // old values were not purely floor-inflated)
-    val add9 = Map(
-      "a7_approx_sketch" -> 1.513, "x17_bigram_lm" -> 1.251,
-      "x18_textrank" -> 1.650,
-      "d12_line_dedup" -> 0.497,
-      "j14_volume_shipping" -> 0.819, "o5_keyset_pagination" -> 0.168,
-      "w9_funnel" -> 0.275, "x19_vocab_stats" -> 0.319
-    ).view.mapValues((_, 0.099)).toMap
-    // round-10 respellings (ANN serving paths moved to cached planning
-    // state, n11 went driver-local — n11 1.353→0.392, n8 0.155→0.072,
-    // n13 1.343→0.600) and the new multimodal gate queries, recorded in
-    // the same 0.099 s-floor session as add9 (the better of two
-    // back-to-back sessions; the other, same nominal floor, read ~40%
-    // high across the board — the VM stall pattern, so medians were
-    // taken from the clean one)
-    val add10 = Map(
-      "n10_hybrid_rrf" -> 1.249,
-      "n11_mmr" -> 0.392, "n13_ann_recall" -> 0.600,
-      "n2_ann_lsh" -> 0.089, "n7_ann_pq" -> 0.446,
-      "n8_ann_multiprobe" -> 0.072, "n9_ann_batch" -> 0.953,
-      "m1_media_dedup" -> 0.475, "m2_frame_sample" -> 0.206
-    ).view.mapValues((_, 0.099)).toMap
-    // round-10 additions (BPE training/encode, filtered ANN, retention
-    // cohorts), recorded at a 0.044 s-floor session — the cleanest floor
-    // observed on this VM; the same queries read 0.976/1.205/0.186 at a
-    // 0.124 s floor, i.e. ≈ pure floor scaling, which the per-entry
-    // clamp-at-1 gate handles. (Cached-seed BPE train; the uncached
-    // spelling read 2.81/2.69 s at the 0.118 s floor.)
-    val add10b = Map(
-      "x20_bpe_train" -> 0.471, "x21_bpe_encode" -> 0.606,
-      "n14_ann_filtered" -> 0.095, "w10_retention_cohorts" -> 0.420
-    ).view.mapValues((_, 0.044)).toMap
-    // d13 and n15 recorded in the (equally clean) 0.047/0.049 s-floor
-    // sessions that followed
-    val add10c = Map("d13_incremental_dedup" -> ((0.241, 0.047)),
-      "n15_ann_ivfpq" -> ((0.229, 0.049)))
-    // temperature mix / CCNet buckets / SCD2 intervals, recorded at a
-    // 0.057 s-floor session (suite total 32.0 s, zero regressions)
-    val add10d = Map(
-      "x22_temperature_mix" -> ((0.426, 0.057)),
-      "x23_ccnet_buckets" -> ((0.719, 0.057)),
-      "w11_scd2_intervals" -> ((0.259, 0.057)))
-    // NB classifier, DSIR, Q18 big orders, gap fill — recorded at a
-    // 0.047s-floor session
-    val add10e = Map("x24_nb_classifier" -> ((0.347, 0.047)),
-      "x25_dsir_selection" -> ((1.727, 0.047)),
-      "j15_big_orders" -> ((0.726, 0.047)),
-      "w12_gap_fill" -> ((0.381, 0.047)))
-    // MERGE upsert, table diff, histogram, transitions, phrase index,
-    // and d14 (after the lev-filter pushdown barrier — 8 s → 0.4 s) —
-    // recorded at a 0.049s-floor session (suite total 38.4 s over 134
-    // queries, zero regressions)
-    val add10f = Map("u4_merge_upsert" -> ((0.369, 0.049)),
-      "u5_table_diff" -> ((0.477, 0.049)),
-      "a15_histogram" -> ((0.141, 0.049)),
-      "w13_event_transitions" -> ((0.289, 0.049)),
-      "x26_inverted_index" -> ((1.043, 0.049)),
-      "d14_fuzzy_dedup" -> ((0.416, 0.049)))
-    // z-score anomalies, OLS regression, PMI collocations, containment —
-    // recorded at a 0.053s-floor session (suite 42.4 s / 138 queries,
-    // zero regressions; d15's 2.1 s is the pair-count agg over the
-    // shingle posting lists — corpus-shaped by design, like d3)
-    val add10g = Map("w14_anomaly_zscore" -> ((0.488, 0.053)),
-      "a16_regression" -> ((0.117, 0.053)),
-      "x27_pmi_collocations" -> ((0.512, 0.053)),
-      "d15_containment" -> ((2.107, 0.053)),
-      // RE-recorded round 11 after the eval moved to a deterministic md5
-      // half-sample of docs (truth self-join pays p² of the pairs; the
-      // remaining cost is the materialized d2 candidate build + the
-      // sampled posting-list join) — from the 0.078 s-floor full-suite
-      // session (65.3 s / 140 queries, zero regressions)
-      "d16_dedup_recall" -> ((1.906, 0.078)))
-    // round-11 additions: NFC normalization scan (codegen'd map-only),
-    // recursive-CTE checkpoint enumeration (128 one-row loop steps +
-    // one bucket-keyed count) — recorded at the 0.062 (x28), 0.109 (q6),
-    // 0.110 (t21/t22/q7) and 0.105 (x29) s-floor sessions, per entry
-    val add11 = Map("x28_nfc_normalize" -> ((0.130, 0.062)),
-      "q6_recursive_cte" -> ((0.962, 0.109)),
-      // variant parse/access, SQL-UDF inline, pipe-syntax aggregate —
-      // recorded at a 0.110 s-floor isolated session
-      "t21_variant_suite" -> ((0.303, 0.110)),
-      "t22_sql_udf" -> ((0.292, 0.110)),
-      "q7_pipe_syntax" -> ((0.401, 0.110)),
-      // overlapping chunker (map-only slice explode)
-      "x29_chunk_overlap" -> ((0.212, 0.105)))
-    // RE-recorded round 12 (suite-position adjudication, r11 verdict #1):
-    // these five sit consecutively after the heavy d10-d16/d7 block in
-    // the suite's sorted run order (d8, d9, f1) or adjacent to it (w4,
-    // w5), and the r8 recordings PRE-DATE that block — every interleaved
-    // pass now reaches them carrying its GC/memory pressure, which the
-    // median cannot discard. Isolated quiet-session re-measures confirm
-    // the plans are unchanged (normalized vs the r8 recordings: d8
-    // 1.440@0.185-floor = 0.72x, w4 0.425@0.112 = 1.14x, w5 0.342@0.119
-    // = 1.41x, f1 0.279@0.102 = 1.43x, d9 0.248@0.090 = 1.70x — all
-    // inside 2x); the re-recorded values are the r11 full-suite medians
-    // at its 0.080 s floor, i.e. the number the gate actually compares
-    // against, position effect included.
-    val rerec12 = Map(
-      "d8_contamination" -> 1.948, "d9_dedup_stats" -> 0.493,
-      "f1_explode_tokens" -> 0.599, "w4_sessionize" -> 1.243,
-      "w5_tumbling_window" -> 0.960
-    ).view.mapValues((_, 0.080)).toMap
-    // round-12 addition: the live intake's per-doc fate as a batch
-    // query (curatePack in the d13 arriving/existing frame) — recorded
-    // at a 0.076 s-floor isolated session
-    val add12 = Map(
-      // token-budget curriculum fill (sharded-window greedy prefix,
-      // 0.087 s-floor isolated session) and the leakage-safe cluster
-      // split (the d7 label-prop loop — driver job dispatch dominates,
-      // like d7 — plus one corpus join; 0.126 s-floor isolated session)
-      "x32_token_budget" -> ((0.589, 0.087)),
-      "x33_leakage_split" -> ((2.645, 0.126)),
-      // exact global rank via the monotone-bucket two-pass plan —
-      // recorded at a 0.078 s-floor isolated session
-      "o6_global_rank" -> ((0.521, 0.078)),
-      // l-diversity suppression (agg+join on the quasi key) — recorded
-      // at a 0.092 s-floor isolated session
-      "x34_l_diversity" -> ((0.552, 0.092)),
-      // winnowing fingerprints (per-doc lead/min windows over the token
-      // explode) and CDC chunking (per-doc cumsum + order-pinned chunk
-      // digest) — recorded at a 0.155 s-floor isolated session, the
-      // cleanest of three back-to-back attempts (floors 0.275/0.155/
-      // 0.260 — the VM stall pattern; the per-entry floor scaling
-      // absorbs the inflation)
-      // x35 RE-recorded after the maxg window pass was removed (the max
-      // surviving gram pos is maxp-(k-1) by construction): 1.631@0.155
-      // → 1.254@0.071
-      "x35_winnowing" -> ((1.254, 0.071)),
-      "x36_cdc_chunks" -> ((0.773, 0.155)),
-      "x30_intake_audit" -> ((0.564, 0.076)),
-      // input-contract audit: the injected-violation frame through
-      // curatePack's contract windows + quality features + the (empty-
-      // store) probe — batch-shaped by construction; recorded at a
-      // 0.084 s-floor isolated session
-      "x31_intake_contract" -> ((2.113, 0.084)))
-    main ++ add8 ++ add9 ++ add10 ++ add10b ++ add10c ++ add10d ++ add10e ++
-      add10f ++ add10g ++ add11 ++ rerec12 ++ add12
+    // RE-RECORDED round 12, all entries from ONE full-suite session at
+    // sf0.1 (interleaved 3-run medians, session floor 0.063) after the
+    // timed action changed from count() to the noop v2 sink: under a
+    // count the optimizer pruned deterministic projections, aggregate
+    // expressions, and final sorts, so map-side expression cost and
+    // output materialization were invisible to every earlier recording
+    // (suite total 62 s under count() vs 102 s under noop — the
+    // difference IS the previously-unmeasured work, concentrated in
+    // queries with heavy output columns or exact-decimal aggregate
+    // ladders: d10 0.18→3.15, a10 0.26→2.32, a5 0.35→1.25). The
+    // layered per-round recording history before this point lived in
+    // git; one flat map re-baselines the whole inventory under the
+    // honest action.
+    val r12Floor = 0.063
+    Map(
+      "a10_moments" -> 2.324, "a11_filter_clause" -> 0.762,
+      "a12_percentiles" -> 0.452, "a13_cms_freq" -> 0.832,
+      "a14_hll_distinct" -> 0.693, "a15_histogram" -> 0.365,
+      "a16_regression" -> 0.691, "a1_pricing_summary" -> 0.864,
+      "a2_last_by_key" -> 0.497, "a3_distinct_agg" -> 0.771,
+      "a4_rollup" -> 0.462, "a5_cube" -> 1.246,
+      "a6_median" -> 0.332, "a7_approx_sketch" -> 1.116,
+      "a8_grouping_sets" -> 0.596, "a9_pivot" -> 0.642,
+      "d10_substring_dedup" -> 3.146, "d11_semantic_dedup" -> 0.514,
+      "d12_line_dedup" -> 1.491, "d13_incremental_dedup" -> 0.829,
+      "d14_fuzzy_dedup" -> 0.660, "d15_containment" -> 2.725,
+      "d16_dedup_recall" -> 1.799, "d1_exact_dedup" -> 0.274,
+      "d2_minhash_lsh" -> 0.686, "d3_ngram_jaccard" -> 0.782,
+      "d4_simhash" -> 0.100, "d5_embedding_neardup" -> 1.113,
+      "d6_simhash_pairs" -> 1.771, "d7_dedup_clusters" -> 1.549,
+      "d8_contamination" -> 1.532, "d9_dedup_stats" -> 0.449,
+      "f1_explode_tokens" -> 0.229, "f2_posexplode_zip" -> 0.289,
+      "f3_inline_structs" -> 0.161, "f4_explode_outer" -> 0.145,
+      "f5_unpivot" -> 0.245, "j10_shipping_priority" -> 0.710,
+      "j11_local_supplier_volume" -> 0.817, "j12_returned_items" -> 0.688,
+      "j13_market_share" -> 1.244, "j14_volume_shipping" -> 0.811,
+      "j15_big_orders" -> 0.919, "j1_broadcast_join" -> 0.701,
+      "j2_shuffle_join" -> 0.958, "j3_star_join" -> 0.697,
+      "j4_left_outer" -> 0.474, "j5_semi_join" -> 0.312,
+      "j6_anti_join" -> 0.286, "j7_range_join" -> 0.271,
+      "j8_asof_join" -> 0.478, "j9_cross_join" -> 0.300,
+      "m1_media_dedup" -> 0.485, "m2_frame_sample" -> 0.204,
+      "n10_hybrid_rrf" -> 0.982, "n11_mmr" -> 0.271,
+      "n12_range_search" -> 0.163, "n13_ann_recall" -> 0.664,
+      "n14_ann_filtered" -> 0.077, "n15_ann_ivfpq" -> 0.343,
+      "n1_ann_bruteforce" -> 0.361, "n2_ann_lsh" -> 0.064,
+      "n3_topk_agg" -> 0.409, "n4_ann_ivf" -> 0.102,
+      "n5_quantized_dot" -> 0.290, "n6_ann_kmeans" -> 0.079,
+      "n7_ann_pq" -> 0.285, "n8_ann_multiprobe" -> 0.055,
+      "n9_ann_batch" -> 1.161, "o1_serving_filter_limit" -> 0.151,
+      "o2_topk" -> 0.150, "o3_offset" -> 0.120,
+      "o4_zorder" -> 0.428, "o5_keyset_pagination" -> 0.135,
+      "o6_global_rank" -> 0.896, "p1_appid_memo_filter" -> 0.208,
+      "q2_point_lookup" -> 0.315, "q3_subqueries" -> 0.861,
+      "q4_correlated" -> 0.515, "q5_lateral" -> 1.134,
+      "q6_recursive_cte" -> 0.809, "q7_pipe_syntax" -> 0.341,
+      "t10_translate_munge" -> 0.161, "t11_string_suite" -> 0.279,
+      "t12_math_suite" -> 0.309, "t13_conditional_suite" -> 0.280,
+      "t14_array_suite" -> 0.293, "t15_hash_suite" -> 0.150,
+      "t16_datetime_suite" -> 0.232, "t17_json_suite" -> 0.204,
+      "t18_higher_order_suite" -> 0.238, "t19_map_suite" -> 0.231,
+      "t20_bitwise_suite" -> 0.164, "t21_variant_suite" -> 0.194,
+      "t22_sql_udf" -> 0.251, "t5_epoch_roundtrip" -> 0.172,
+      "t8_hex_sequence" -> 0.163, "t9_json_extract" -> 0.157,
+      "u1_union_discriminated" -> 0.378, "u2_intersect" -> 0.436,
+      "u3_except" -> 0.356, "u4_merge_upsert" -> 0.704,
+      "u5_table_diff" -> 0.649, "w10_retention_cohorts" -> 0.668,
+      "w11_scd2_intervals" -> 0.696, "w12_gap_fill" -> 0.903,
+      "w13_event_transitions" -> 0.570, "w14_anomaly_zscore" -> 1.122,
+      "w1_row_number" -> 0.346, "w2_lag_delta" -> 0.415,
+      "w3_running_sum" -> 0.510, "w4_sessionize" -> 0.692,
+      "w5_tumbling_window" -> 0.390, "w6_ranking_suite" -> 1.045,
+      "w7_session_window_native" -> 0.803, "w8_range_interval" -> 0.646,
+      "w9_funnel" -> 0.322, "x10_unigram_lm" -> 0.881,
+      "x11_pipeline" -> 0.829, "x12_pii_scrub" -> 0.820,
+      "x13_k_anonymity" -> 0.978, "x14_bm25" -> 0.658,
+      "x15_domain_mix" -> 0.548, "x16_quality_rules" -> 0.366,
+      "x17_bigram_lm" -> 1.519, "x18_textrank" -> 1.336,
+      "x19_vocab_stats" -> 0.290, "x1_langid" -> 0.601,
+      "x20_bpe_train" -> 0.148, "x21_bpe_encode" -> 0.437,
+      "x22_temperature_mix" -> 0.661, "x23_ccnet_buckets" -> 1.652,
+      "x24_nb_classifier" -> 0.878, "x25_dsir_selection" -> 2.454,
+      "x26_inverted_index" -> 1.638, "x27_pmi_collocations" -> 0.652,
+      "x28_nfc_normalize" -> 0.181, "x29_chunk_overlap" -> 0.309,
+      "x2_quality_score" -> 0.452, "x30_intake_audit" -> 2.200,
+      "x31_intake_contract" -> 1.490, "x32_token_budget" -> 0.676,
+      "x33_leakage_split" -> 1.899, "x34_l_diversity" -> 1.143,
+      "x35_winnowing" -> 1.877, "x36_cdc_chunks" -> 1.207,
+      "x3_token_count" -> 0.356, "x4_fingerprint" -> 0.343,
+      "x5_rolling_hash" -> 0.190, "x6_hash_sampling" -> 0.157,
+      "x7_tfidf" -> 1.096, "x8_sequence_pack" -> 0.302,
+      "x9_repetition" -> 0.568
+    ).view.mapValues((_, r12Floor)).toMap
   }
 
   def main(args: Array[String]): Unit = {
@@ -310,16 +201,32 @@ object Bench {
     val ordered = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .sortBy(_._1)
+    // Timed action: a noop v2 write, not count(). Under a count the
+    // optimizer prunes deterministic projections and eliminates final
+    // sorts, so a map-only query's expression cost (the t-suites, x5's
+    // rolling hash, x28's NFC normalize) was invisible to the bench
+    // and its regression gate — a 100x slowdown in any map-side
+    // expression left every median unchanged. The noop sink evaluates
+    // every output column of every row and discards them; baselines
+    // were re-recorded under this action (round 12).
+    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case _: Throwable => -1.0 }
+    }
     val samples = (1 to Runs).flatMap { _ =>
-      ordered.map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (name, (System.nanoTime() - t0) / 1e9)
-      }
+      ordered.map { case (name, fn) => (name, run(fn)) }
     }
     val results = ordered.map { case (name, _) =>
       val times = samples.collect { case (`name`, t) => t }.sorted
-      (name, times(Runs / 2), times.last - times.head)
+      // any crashed sample poisons the whole entry to -1: a crash must
+      // read as a BROKEN query in the artifact, never as a fast sample
+      // the gate mistakes for a speedup (the isolated-run guard below,
+      // applied to the main timed loop too)
+      if (times.head < 0) (name, -1.0, 0.0)
+      else (name, times(Runs / 2), times.last - times.head)
     }
     // One stdout line, kept SMALL (doubles rounded to 3 decimals — 1 ms,
     // below the measurement floor; the per-query spread map stays
@@ -365,19 +272,18 @@ object Bench {
     // reads as machine noise while "both high" is a real plan regression —
     // the a7-style ambiguity becomes data instead of a round-long debate.
     val isolated = over2x.map { case (k, _, _) =>
-      val fn = SparkEntry.queries(k)
-      val t0 = System.nanoTime()
       // a crash must NOT masquerade as a fast isolated run ("isolated ≈
-      // fast → machine noise" would invert the verdict) — record -1
-      val t = try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-        catch { case _: Throwable => -1.0 }
-      (k, t)
+      // fast → machine noise" would invert the verdict) — run() records
+      // -1 on a throw
+      (k, run(SparkEntry.queries(k)))
     }
     val regKeys = regressions.map(_._1).toSet
     val iso = json(isolated.filter(kv => regKeys(kv._1)))
     val iso2x = json(isolated)
-    val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$Runs,"floor":${r3(floor)},"regressions":$reg,"regressions_isolated":$iso,"over2x_isolated":$iso2x,"sf":"$sfDir","queries":$qs}"""
+    val errors = results.collect { case (k, m, _) if m < 0 => k }
+    val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.collect { case (_, m, _) if m >= 0 => m }.sum
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$Runs,"floor":${r3(floor)},"errors":$errs,"regressions":$reg,"regressions_isolated":$iso,"over2x_isolated":$iso2x,"sf":"$sfDir","queries":$qs}"""
     println(line)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),

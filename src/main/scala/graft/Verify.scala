@@ -18,6 +18,18 @@ object Verify {
     // Local-iteration filter (comma-separated name list); the driver
     // never sets it, so the gate always runs the full inventory.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // a FAILED query must leave no dump behind: write-overwrite only
+    // clears the previous run's parquet once the plan actually runs,
+    // so an analysis/action-time exception would otherwise leave stale
+    // results in a reused outDir for the DuckDB compare to "pass" on —
+    // a correctness regression invisible to the gate
+    def wipe(name: String): Unit = {
+      val p = Paths.get(s"$outDir/$name")
+      if (Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      }
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -25,20 +37,13 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        wipe(name) // also clears a partial dir from a mid-write crash
       }
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
+    // JSON string escape through the shared spelling ([[Jsons.escape]])
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    def q(s: String): String = "\"" + Jsons.escape(s) + "\""
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

@@ -101,13 +101,25 @@ object Bpe {
     val seed = vocab0(docs).persist()
     var vocab: DataFrame = seed
     val learned = Seq.newBuilder[(Int, String, String, String, Long)]
-    for (round <- 1 to rounds) {
+    var round = 1
+    var exhausted = false
+    while (round <= rounds && !exhausted) {
       val best = pairCounts(vocab)
         .orderBy(col("pair_count").desc, col("lft"), col("rgt"))
-        .limit(1).collect()(0)
-      val (l, r, c) = (best.getString(0), best.getString(1), best.getLong(2))
-      learned += ((round, l, r, l + r, c))
-      vocab = applyMerge(vocab, l, r)
+        .limit(1).collect()
+      if (best.isEmpty) {
+        // degenerate corpus: every word is down to one symbol before
+        // `rounds` merges exist — stop with the merges learned so far
+        // instead of an opaque index crash (real BPE trainers cap the
+        // vocabulary at what the corpus supports)
+        exhausted = true
+      } else {
+        val (l, r, c) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        learned += ((round, l, r, l + r, c))
+        vocab = applyMerge(vocab, l, r)
+        round += 1
+      }
     }
     (vocab, learned.result(), seed)
   }

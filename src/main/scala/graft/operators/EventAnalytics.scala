@@ -22,6 +22,14 @@ object EventAnalytics {
     * from exact decimal frame sums), rows with |z| > `threshold` and at
     * least `minHistory` prior observations flagged. One shuffle on
     * `keyCol`, no self-join.
+    *
+    * DELIBERATE contract: a zero-variance window (a constant trailing
+    * history) yields NO flag — the z-score is undefined there, and
+    * this operator reports z-scores, not generic change-points. A
+    * spike after a flat history needs a different detector (or an
+    * epsilon floor on the variance); the streaming spelling
+    * ([[graft.streaming.StreamDemos.anomalyZscores]]) and the DuckDB
+    * oracle share this exact filter, so all three engines agree.
     */
   def anomalyZscores(events: DataFrame, keyCol: String, valueCol: String,
       orderBy: Seq[Column], frame: Int = 8, minHistory: Int = 4,

@@ -197,7 +197,10 @@ object StreamDemos {
     * expression tree), so in-order streaming output EQUALS the batch
     * w14 rows — the stream/batch parity contract StreamingSpec pins.
     * State per key is `frame` doubles — watermark-independent and
-    * bounded, the 100 TB-safe configuration.
+    * bounded, the 100 TB-safe configuration. Zero-variance (constant)
+    * trailing windows yield no flag — the deliberate z-score contract
+    * shared with the batch operator and its oracle
+    * ([[graft.operators.EventAnalytics.anomalyZscores]]).
     */
   def anomalyZscores(events: Dataset[ZEv], frame: Int = 8,
       minHistory: Int = 4, threshold: Double = 2.5): Dataset[ZOut] = {
