@@ -133,7 +133,12 @@ object Bench {
       "x5_rolling_hash" -> 0.190, "x6_hash_sampling" -> 0.157,
       "x7_tfidf" -> 1.096, "x8_sequence_pack" -> 0.302,
       "x9_repetition" -> 0.568
-    ).view.mapValues((_, r12Floor)).toMap
+    ).view.mapValues((_, r12Floor)).toMap +
+      // re-recorded after the d10 linear-window respelling (the
+      // occurrence-stream self-join that ran the gram pipeline twice
+      // became one pre-aggregate + gh window): 3.146 -> 1.917, from a
+      // 0.068-floor isolated session
+      ("d10_substring_dedup" -> ((1.917, 0.068)))
   }
 
   def main(args: Array[String]): Unit = {

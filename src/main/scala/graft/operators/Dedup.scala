@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Cols, Tables}
 
@@ -598,11 +599,13 @@ object Dedup {
     * occurs in ≥ 2 distinct documents; a document is flagged when most of
     * its positions are covered by cross-document duplicated spans.
     *
-    * Scale shape: one explode → fixed-width md5 shuffle keys → two
-    * map-side-combinable aggs (per-gram distinct-doc count is planned as
-    * a two-level agg) → one gram-keyed join back. Never pairwise — cost
-    * is O(total positions), not O(docs²). At 100 TB the d8 hot-list cap
-    * applies unchanged to boilerplate grams, and positions can be strided
+    * Scale shape: one explode → fixed-width md5 shuffle keys → one
+    * map-side-combinable (gh, doc_id) pre-aggregate → one gh-keyed
+    * window for the distinct-doc counts → one doc-keyed fold. LINEAR:
+    * the gram pipeline runs once, no occurrence-stream self-join, and
+    * never pairwise — cost is O(total positions), not O(docs²). At
+    * 100 TB the d8 hot-list cap applies unchanged to boilerplate grams
+    * (they are also the window-skew keys), and positions can be strided
     * (every k-th gram) for a linear cost reduction at known recall.
     */
   /** Public substring-duplication operator: per-document duplicated-span
@@ -639,14 +642,25 @@ object Dedup {
       .select(col("doc_id"),
         explode(transform(sampled,
           i => md5(concat_ws(" ", slice(col("l"), i + 1, lit(gramWords)))))).as("gh"))
-    val gdf = grams.groupBy("gh").agg(countDistinct(col("doc_id")).as("gdocs"))
     val perDoc =
       if (maxGramDf == Int.MaxValue) {
-        grams.join(gdf, "gh")
+        // LINEAR plan: pre-aggregate occurrences to (gh, doc_id, c),
+        // derive each gram's distinct-doc count with one gh-partitioned
+        // window over that aggregated table, fold per doc. The former
+        // spelling joined the raw occurrence stream against its own
+        // groupBy — two plan branches off the un-aggregated explode,
+        // whose exchanges cannot be reused across the partial-agg
+        // boundary, so the whole corpus-shaped gram pipeline (slice +
+        // concat + md5 per position) executed TWICE. Viral-gram skew in
+        // the window partition is what the `maxGramDf` lever below is
+        // for, unchanged.
+        val occ = grams.groupBy("gh", "doc_id").agg(count(lit(1)).as("c"))
+        occ.withColumn("gdocs", count(lit(1)).over(Window.partitionBy("gh")))
           .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_grams"),
-            sum(when(col("gdocs") >= 2, 1L).otherwise(0L)).as("n_dup_grams"))
+          .agg(sum(col("c")).as("n_grams"),
+            sum(when(col("gdocs") >= 2, col("c")).otherwise(0L)).as("n_dup_grams"))
       } else {
+        val gdf = grams.groupBy("gh").agg(countDistinct(col("doc_id")).as("gdocs"))
         // hot list: tiny by construction (only boilerplate grams exceed
         // the cap); every hot gram is dup, so its positions bypass the
         // join and are tallied from the broadcast list directly
