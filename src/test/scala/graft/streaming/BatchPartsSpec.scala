@@ -155,6 +155,52 @@ class BatchPartsSpec extends AnyFunSuite {
     assert(names(dir).contains(".compact-junk"), "debris is left alone")
   }
 
+  test("randomized maintenance schedules preserve reader completeness (seeded)") {
+    import spark.implicits._
+    // the deterministic tests walk each crash boundary once; this walks
+    // COMPOSITIONS — random interleavings of batch appends, full folds,
+    // folds crashed before/after their _SUCCESS, and recovery — and
+    // asserts after EVERY op that the reader view is exactly the
+    // multiset of rows ever committed (no loss, no duplication)
+    for (seed <- Seq(1, 7, 42)) {
+      val rnd = new scala.util.Random(seed)
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft-bp-rand$seed").toString + "/store"
+      var nextId = 0L
+      val expected = scala.collection.mutable.ArrayBuffer.empty[Long]
+      def addBatch(): Unit = {
+        val vals = Seq.fill(rnd.nextInt(3) + 1)(rnd.nextLong())
+        vals.toDF("v").write.mode("overwrite").parquet(s"$dir/batch=$nextId")
+        expected ++= vals; nextId += 1
+      }
+      def stageFold(commit: Boolean, complete: Boolean): Unit = {
+        val parts = BatchParts.effectiveParts(spark, dir)
+        if (parts.nonEmpty) {
+          val h = parts.last._1
+          val g = BatchParts.nextFoldGen(spark, dir)
+          foldTo(dir, h, g)
+          if (!complete)
+            fs(dir).delete(new Path(s"${BatchParts.stagingPath(dir, h, g)}/_SUCCESS"), false)
+          else if (commit) BatchParts.commitFold(spark, dir, h, g)
+        }
+      }
+      addBatch()
+      for (_ <- 1 to 25) {
+        rnd.nextInt(5) match {
+          case 0 | 1 => addBatch()
+          case 2 => stageFold(commit = true, complete = true)   // clean fold
+          case 3 => stageFold(commit = rnd.nextBoolean(), complete = rnd.nextBoolean())
+          case 4 => BatchParts.recoverFold(spark, dir)
+        }
+        assert(readerRows(dir).sorted === expected.sorted.toSeq,
+          s"seed=$seed: reader view diverged mid-schedule")
+      }
+      BatchParts.recoverFold(spark, dir)
+      BatchParts.recoverFold(spark, dir)
+      assert(readerRows(dir).sorted === expected.sorted.toSeq, s"seed=$seed: final view")
+    }
+  }
+
   test("rewrite: reader substitution only for a missing source; recovery converges") {
     val survivors = Seq(0L, 2L, 3L, 4L, 5L, 6L, 7L, 8L) // row 1 rewritten away
     // boundary 0: rewrite staged but NOT committed — never read, discarded
