@@ -84,8 +84,21 @@ object LiveCounts {
     * sources are only GC'd from the next writer op — every dir this
     * listing names outlives the read.
     */
-  def totals(s: SparkSession, cfg: Config): DataFrame =
-    totalsFrom(s, BatchParts.effectiveDirs(s, s"${cfg.root}/counts"))
+  def totals(s: SparkSession, cfg: Config, asOf: Long = Long.MaxValue): DataFrame = {
+    val parts = BatchParts.effectiveParts(s, s"${cfg.root}/counts")
+    // as-of pins the statistics at a commit point (the model-rebuild
+    // sibling of LivePipeline.packedOutput's snapshot read: "the d12
+    // hot list as of commit N"). Counts are ADDITIVE state and a fold
+    // deliberately collapses history, so an as-of OLDER than the
+    // newest fold horizon is unrecoverable — fail loudly instead of
+    // silently serving partial totals; compaction cadence bounds how
+    // far back a snapshot can reach.
+    val folded = parts.collect { case (h, _, true) if h > asOf => h }
+    require(folded.isEmpty,
+      s"as-of $asOf predates fold horizon ${folded.mkString(",")}: folded " +
+        "count history is collapsed (bound compaction cadence to keep older snapshots)")
+    totalsFrom(s, parts.filter(_._1 <= asOf).map(_._2))
+  }
 
   /** The re-aggregation over a given dir snapshot — shared by
     * [[totals]] and [[compact]] so the fold is PROVABLY the same

@@ -1141,6 +1141,14 @@ class StreamingSpec extends AnyFunSuite {
     assert(new java.io.File(s"$root/counts/fold=2-1").exists,
       "recovery commits the crashed staging under its fold= name")
     assert(totalMap === expected2 + ("one more" -> 1L))
+    // as-of pins the statistics at a commit point; an as-of older than
+    // the fold horizon fails loudly (folded history is collapsed)
+    def totalsAsOf(asOf: Long) =
+      graft.streaming.LiveCounts.totals(spark, cfg, asOf).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(totalsAsOf(2L) === expected2, "as-of at the fold horizon")
+    assert(totalsAsOf(3L) === expected2 + ("one more" -> 1L))
+    intercept[IllegalArgumentException](totalsAsOf(1L))
   }
 
   test("live NB: streamed class-count partials rebuild the batch x24 classifier bit-for-bit") {
