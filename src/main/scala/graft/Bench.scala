@@ -138,7 +138,12 @@ object Bench {
       // occurrence-stream self-join that ran the gram pipeline twice
       // became one pre-aggregate + gh window): 3.146 -> 1.917, from a
       // 0.068-floor isolated session
-      ("d10_substring_dedup" -> ((1.917, 0.068)))
+      ("d10_substring_dedup" -> ((1.917, 0.068))) +
+      // re-recorded after the cross-batch identity gate (one extra
+      // doc_id-keyed probe join in curatePack): 2.200/1.490 ->
+      // 2.947/2.137, from a 0.055-floor isolated session
+      ("x30_intake_audit" -> ((2.947, 0.055))) +
+      ("x31_intake_contract" -> ((2.137, 0.055)))
   }
 
   def main(args: Array[String]): Unit = {

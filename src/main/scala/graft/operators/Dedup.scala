@@ -883,6 +883,10 @@ object Dedup {
         bandKeys(existing),
         existing.limit(0).select(col("lang"), col("doc_id").as("shard"),
           col("doc_id").as("cum")),
+        // the existing corpus's admitted identities (arriving %10==7
+        // ids are disjoint by construction, so the cross-batch id gate
+        // is exercised but never fires — fates unchanged, oracle holds)
+        existing.select(col("doc_id"), md5(col("text")).as("text_md5")),
         graft.streaming.LivePipeline.Config("unused-root"))
         .audit.orderBy("doc_id")
     },
@@ -920,6 +924,7 @@ object Dedup {
         bandKeys(arriving.limit(0).select("doc_id", "text")),
         arriving.limit(0).select(col("lang"), col("doc_id").as("shard"),
           col("doc_id").as("cum")),
+        arriving.limit(0).select(col("doc_id"), md5(col("text")).as("text_md5")),
         graft.streaming.LivePipeline.Config("unused-root"))
         .audit.orderBy("doc_id", "fate")
     },

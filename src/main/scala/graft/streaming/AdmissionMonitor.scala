@@ -42,10 +42,15 @@ final class AdmissionMonitor(transports: Seq[AlertTransport],
     * rows (an empty batch commits nothing — P4's skip).
     */
   def observe(s: SparkSession, cfg: LivePipeline.Config, batchId: Long): Unit = {
-    val counts = LivePipeline.auditOutput(s, cfg)
-      .filter(col("batch") === batchId)
-      .groupBy("fate").agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the batch's OWN partition, read directly (O(1) listing): going
+    // through auditOutput would list every committed audit partition —
+    // O(intake age) driver RPCs per micro-batch, the exact listing
+    // pressure compaction exists to prevent
+    val counts = LivePipeline.auditBatch(s, cfg, batchId) match {
+      case None => return // empty batch committed nothing (P4's skip)
+      case Some(rows) => rows.groupBy("fate").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
     val total = counts.values.sum
     if (total == 0) return
     // in the gateNearDups=false configuration a near_dup fate is still

@@ -31,6 +31,13 @@ import graft.operators.{Dedup, TextAnalysis}
   *     before the quality gate, matching x11's dedup→quality order);
   *   - `bands/`   `(doc_id, band_id, bh)` — ADMITTED docs' LSH band
   *     keys, the growing d13 store;
+  *   - `ids/`     `(doc_id, text_md5)` — admitted identities, the
+  *     cross-batch id-collision gate's probe side (a re-sent admitted
+  *     id with a DIFFERENT payload quarantines instead of packing two
+  *     texts under one identity). Like exact/bands it is aggregate
+  *     dedup state, retained on [[forget]]: a forgotten doc's id stays
+  *     burned — RTBF removes content, it does not free the identity
+  *     for silent reuse;
   *   - `cursors/` `(lang, shard, cum)` — the pack cursor: tokens
   *     already packed per (lang, shard). Its `batch=<id>` write is the
   *     COMMIT POINT: a batch is committed iff its cursor snapshot
@@ -78,6 +85,8 @@ object LivePipeline {
     StructField("band_id", IntegerType), StructField("bh", StringType)))
   private val CursorSchema = StructType(Seq(StructField("lang", StringType),
     StructField("shard", LongType), StructField("cum", LongType)))
+  private val IdSchema = StructType(Seq(StructField("doc_id", LongType),
+    StructField("text_md5", StringType)))
 
   /** Start the continuous intake over a streaming `(doc_id, lang, text)`
     * frame. The checkpoint lives beside the stores so a restarted query
@@ -230,18 +239,19 @@ object LivePipeline {
     // a maintenance compaction that crashed between staging and rename
     // must be completed before the stores are read, or the dedup state
     // would silently miss the partitions it had already dropped
-    Seq("exact", "bands").foreach(k => recoverCompaction(s, cfg.root, k))
+    Seq("exact", "bands", "ids").foreach(k => recoverCompaction(s, cfg.root, k))
     // idle-period batches write nothing (P4's empty-batch skip): no
     // commit marker either, so a replay of the same empty batch is a
     // second no-op and partitions don't proliferate at idle cadence
     if (batch.isEmpty) return
     val exact = readStore(s, cfg.root, "exact", batchId, ExactSchema)
     val bands = readStore(s, cfg.root, "bands", batchId, BandSchema)
+    val priorIds = readStore(s, cfg.root, "ids", batchId, IdSchema)
     val cursors = latestCursors(s, cfg, batchId)
     // cache=true: the five commit writes below all derive from the
     // fated frame — uncached they would each re-run the whole curate/
     // probe plan and re-scan the stores (~5× the per-batch work)
-    val r = curatePack(batch, exact, bands, cursors, cfg, cache = true)
+    val r = curatePack(batch, exact, bands, cursors, priorIds, cfg, cache = true)
     try {
       // Commit: appends first, cursor snapshot LAST (the marker).
       r.packed.write.mode("overwrite").parquet(part(cfg.root, "packed", batchId))
@@ -252,6 +262,8 @@ object LivePipeline {
         .write.mode("overwrite").parquet(part(cfg.root, "bands", batchId))
       r.newText.select("text_md5")
         .write.mode("overwrite").parquet(part(cfg.root, "exact", batchId))
+      r.admitted.select("doc_id", "text_md5")
+        .write.mode("overwrite").parquet(part(cfg.root, "ids", batchId))
       r.advanced.write.mode("overwrite").parquet(part(cfg.root, "cursors", batchId))
     } finally {
       r.fated.unpersist(); r.quarantine.unpersist(); r.bandRows.unpersist(); ()
@@ -282,7 +294,7 @@ object LivePipeline {
     * product).
     */
   private[graft] def curatePack(batch: DataFrame, exact: DataFrame,
-      bands: DataFrame, cursors: DataFrame, cfg: Config,
+      bands: DataFrame, cursors: DataFrame, priorIds: DataFrame, cfg: Config,
       cache: Boolean = false): StepResult = {
     // 0. Input contract — a production intake is fed by producers it
     //    does not control, so rows that violate the (doc_id, lang,
@@ -315,10 +327,32 @@ object LivePipeline {
     // surviving rows: one per doc_id (identical payloads are ties —
     // any row_number winner is the same row, so the pick is
     // content-deterministic)
-    val contract = keyed.filter(col("p_lo") === col("p_hi"))
+    val contract0 = keyed.filter(col("p_lo") === col("p_hi"))
       .withColumn("rn", row_number().over(byId.orderBy(col("text_md5"))))
       .filter(col("rn") === 1)
       .drop("payload", "p_lo", "p_hi", "rn")
+    // 0b. CROSS-BATCH identity gate (the batch-local collision arm
+    //    above only sees one micro-batch): a doc_id that already
+    //    denotes an ADMITTED document may re-arrive only with the SAME
+    //    payload — a replay, which the exact-hash gate below fates
+    //    dup_of_corpus. A different payload under an admitted id has no
+    //    principled winner either (admitting it would pack two texts
+    //    under one identity — the exact corruption the contract's own
+    //    doc names — and desync the composed index, whose anti-join
+    //    drops the re-sent id), so it quarantines as id_collision like
+    //    the batch-local arm. `priorIds` is the admitted (doc_id,
+    //    text_md5) store as of the previous commit; one doc_id-keyed
+    //    batch-sized probe against a pruned scan, the exact-gate cost
+    //    class. Ids of REJECTED docs are not burned: their text never
+    //    packed, so a later different text under that id is a fresh
+    //    admission candidate.
+    val withPrior = contract0.join(
+      priorIds.withColumnRenamed("text_md5", "prior_md5"), Seq("doc_id"), "left")
+    val collidedPrior = withPrior.filter(
+      col("prior_md5").isNotNull && col("prior_md5") =!= col("text_md5"))
+    val contract = withPrior.filter(
+      col("prior_md5").isNull || col("prior_md5") === col("text_md5"))
+      .drop("prior_md5")
     // the dead-letter frame: the violating ROWS, payload included —
     // what a producer debugging "why was my row dropped" actually
     // needs (the audit names the fate; this keeps the evidence). The
@@ -329,6 +363,8 @@ object LivePipeline {
       .select(col("doc_id").cast("long").as("doc_id"), col("lang"), col("text"),
         lit("malformed").as("reason"))
       .unionByName(collided.select(col("doc_id"), col("lang"), col("text"),
+        lit("id_collision").as("reason")))
+      .unionByName(collidedPrior.select(col("doc_id"), col("lang"), col("text"),
         lit("id_collision").as("reason")))
     val quarantine = if (cache)
       quarantine0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -447,6 +483,23 @@ object LivePipeline {
     committedParts(s, s"${cfg.root}/cursors").lastOption.map(_._1)
       .getOrElse(Long.MinValue)
 
+  /** One committed batch's audit rows read DIRECTLY from its partition
+    * — the O(1)-listing read the per-commit [[AdmissionMonitor]] needs
+    * ([[auditOutput]] lists the full committed history; at minute-batch
+    * cadence that listing grows with intake age, and the monitor runs
+    * it per batch). None when the batch committed nothing (the
+    * empty-batch skip). RAW rows: fate counts are aggregate
+    * statistics, not served content, so the RTBF tombstone mask does
+    * not apply here (the dedup-store posture).
+    */
+  private[streaming] def auditBatch(s: SparkSession, cfg: Config,
+      batchId: Long): Option[DataFrame] = {
+    val p = new Path(part(cfg.root, "audit", batchId))
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(p, "_SUCCESS"))) None
+    else Some(s.read.schema(AuditSchema).parquet(p.toString))
+  }
+
   /** Right-to-be-forgotten: tombstone document ids. The outputs
     * ([[packedOutput]], [[auditOutput]], [[quarantineOutput]])
     * exclude tombstoned docs from
@@ -499,6 +552,14 @@ object LivePipeline {
   def retireQuarantine(s: SparkSession, cfg: Config, beforeBatch: Long): Unit = {
     val fs = new Path(cfg.root).getFileSystem(s.sparkContext.hadoopConfiguration)
     committedParts(s, s"${cfg.root}/quarantine").filter(_._1 < beforeBatch)
+      .foreach { case (_, p) => fs.delete(new Path(p), true); () }
+    // a committed `.rewrite-<id>` staging left by a crashed vacuum
+    // holds the same partition's surviving rows: left in place it
+    // would substitute for the just-deleted source in readers AND be
+    // renamed back by the next vacuum's recovery — resurrecting
+    // content the retention sweep was supposed to destroy
+    BatchParts.pendingRewrites(s, s"${cfg.root}/quarantine")
+      .filter(_._1 < beforeBatch)
       .foreach { case (_, p) => fs.delete(new Path(p), true); () }
   }
 
@@ -672,8 +733,8 @@ object LivePipeline {
     * `batch=`-partitioned store root (the index/vector stores).
     */
   def storeStatus(s: SparkSession, cfg: Config): Seq[StoreStatus] =
-    storeStatusOf(s, cfg.root, Seq("exact", "bands", "cursors", "packed",
-      "audit", "quarantine", "tombstones"))
+    storeStatusOf(s, cfg.root, Seq("exact", "bands", "ids", "cursors",
+      "packed", "audit", "quarantine", "tombstones"))
 
   def storeStatusOf(s: SparkSession, root: String,
       kinds: Seq[String]): Seq[StoreStatus] =
@@ -725,7 +786,7 @@ object LivePipeline {
     // partition, erasing every earlier batch's dedup state (r12
     // review #1).
     val lastCommitted = committedParts(s, s"${cfg.root}/cursors").lastOption.map(_._1)
-    for (kind <- Seq("exact", "bands")) {
+    for (kind <- Seq("exact", "bands", "ids")) {
       val dir = s"${cfg.root}/$kind"
       recoverCompaction(s, cfg.root, kind)
       val parts = BatchParts.effectiveParts(s, dir)
@@ -733,7 +794,11 @@ object LivePipeline {
       if (parts.length > 1) {
         val h = parts.last._1
         val gen = BatchParts.nextFoldGen(s, dir)
-        val schema = if (kind == "exact") ExactSchema else BandSchema
+        val schema = kind match {
+          case "exact" => ExactSchema
+          case "bands" => BandSchema
+          case _ => IdSchema
+        }
         s.read.schema(schema).parquet(parts.map(_._2): _*)
           .distinct()
           .write.mode("overwrite")
@@ -843,14 +908,34 @@ object LivePipeline {
   * a reader substitution source.
   */
 private[streaming] object BatchParts {
+  /** Names of `dir`'s immediate subdirectories carrying a top-level
+    * `_SUCCESS`, from ONE recursive listing — not one exists() round
+    * trip per directory. On an object store a paged LIST beats N
+    * sequential HEADs, and for the never-folded output stores
+    * (packed/, audit/, quarantine/) N grows with intake age, so the
+    * per-dir spelling made every snapshot read O(history) RPCs before
+    * any data was scanned.
+    */
+  private def committedNames(s: SparkSession, dir: String): (Path, Set[String]) = {
+    val raw = new Path(dir)
+    val fs = raw.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val p = fs.makeQualified(raw)
+    if (!fs.exists(p)) return (p, Set.empty)
+    val it = fs.listFiles(p, true)
+    val b = Set.newBuilder[String]
+    while (it.hasNext) {
+      val f = it.next().getPath
+      if (f.getName == "_SUCCESS" && f.getParent != null &&
+          f.getParent.getParent == p) b += f.getParent.getName
+    }
+    (p, b.result())
+  }
+
   def committed(s: SparkSession, dir: String): Seq[(Long, String)] = {
-    val p = new Path(dir)
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) Seq.empty
-    else fs.listStatus(p).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
-      .filter(st => fs.exists(new Path(st.getPath, "_SUCCESS")))
-      .map(st => (st.getPath.getName.stripPrefix("batch=").toLong, st.getPath.toString))
+    val (p, names) = committedNames(s, dir)
+    names.toSeq.filter(_.startsWith("batch="))
+      .flatMap(n => n.stripPrefix("batch=").toLongOption
+        .map(id => (id, new Path(p, n).toString)))
       .sortBy(_._1)
   }
 
@@ -874,16 +959,11 @@ private[streaming] object BatchParts {
     * transiently between a fold commit and the next writer op.
     */
   def folds(s: SparkSession, dir: String): Seq[(Long, Long, String)] = {
-    val p = new Path(dir)
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) Seq.empty
-    else fs.listStatus(p).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("fold="))
-      .filter(st => fs.exists(new Path(st.getPath, "_SUCCESS")))
-      .flatMap { st =>
-        parseHG(st.getPath.getName.stripPrefix("fold="))
-          .map { case (h, g) => (h, g, st.getPath.toString) }
-      }.sortBy(t => (t._1, t._2))
+    val (p, names) = committedNames(s, dir)
+    names.toSeq.filter(_.startsWith("fold="))
+      .flatMap(n => parseHG(n.stripPrefix("fold="))
+        .map { case (h, g) => (h, g, new Path(p, n).toString) })
+      .sortBy(t => (t._1, t._2))
   }
 
   def stagingPath(dir: String, h: Long, gen: Long): String =
@@ -933,17 +1013,14 @@ private[streaming] object BatchParts {
     * maintenance cycle.
     */
   def effectiveParts(s: SparkSession, dir: String): Seq[(Long, String, Boolean)] = {
-    val p = new Path(dir)
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) return Seq.empty
-    val entries = fs.listStatus(p).toSeq.filter(_.isDirectory)
-      .filter(st => fs.exists(new Path(st.getPath, "_SUCCESS")))
-    val batches = entries.filter(_.getPath.getName.startsWith("batch="))
-      .map(st => (st.getPath.getName.stripPrefix("batch=").toLong, st.getPath.toString))
+    val (p, names) = committedNames(s, dir)
+    val batches = names.toSeq.filter(_.startsWith("batch="))
+      .flatMap(n => n.stripPrefix("batch=").toLongOption
+        .map(id => (id, new Path(p, n).toString)))
       .sortBy(_._1)
-    val newest = entries.filter(_.getPath.getName.startsWith("fold="))
-      .flatMap(st => parseHG(st.getPath.getName.stripPrefix("fold="))
-        .map(hg => (hg, st.getPath.toString)))
+    val newest = names.toSeq.filter(_.startsWith("fold="))
+      .flatMap(n => parseHG(n.stripPrefix("fold="))
+        .map(hg => (hg, new Path(p, n).toString)))
       .sortBy(_._1).lastOption
     newest match {
       case Some(((h, _), fp)) =>
@@ -1056,14 +1133,10 @@ private[streaming] object BatchParts {
     * readers never touch stagings under this protocol).
     */
   def pendingFold(s: SparkSession, dir: String): Option[(Long, String)] = {
-    val p = new Path(dir)
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else fs.listStatus(p).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith(".compact-"))
-      .filter(st => fs.exists(new Path(st.getPath, "_SUCCESS")))
-      .flatMap(st => parseHG(st.getPath.getName.stripPrefix(".compact-"))
-        .map(hg => (hg._1, st.getPath.toString)))
+    val (p, names) = committedNames(s, dir)
+    names.toSeq.filter(_.startsWith(".compact-"))
+      .flatMap(n => parseHG(n.stripPrefix(".compact-"))
+        .map(hg => (hg._1, new Path(p, n).toString)))
       .sortBy(_._1).lastOption
   }
 
@@ -1079,13 +1152,10 @@ private[streaming] object BatchParts {
     * — the reader-side substitution source.
     */
   def pendingRewrites(s: SparkSession, dir: String): Seq[(Long, String)] = {
-    val p = new Path(dir)
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) Seq.empty
-    else fs.listStatus(p).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith(".rewrite-"))
-      .filter(st => fs.exists(new Path(st.getPath, "_SUCCESS")))
-      .map(st => (st.getPath.getName.stripPrefix(".rewrite-").toLong, st.getPath.toString))
+    val (p, names) = committedNames(s, dir)
+    names.toSeq.filter(_.startsWith(".rewrite-"))
+      .flatMap(n => n.stripPrefix(".rewrite-").toLongOption
+        .map(id => (id, new Path(p, n).toString)))
       .sortBy(_._1)
   }
 
@@ -1096,9 +1166,19 @@ private[streaming] object BatchParts {
   def completeRewrite(s: SparkSession, dir: String, id: Long): Unit = {
     val fs = new Path(dir).getFileSystem(s.sparkContext.hadoopConfiguration)
     val src = new Path(s"$dir/batch=$id")
-    if (fs.exists(src)) { fs.delete(src, true); () }
-    fs.rename(new Path(rewritePath(dir, id)), src)
-    ()
+    // both results CHECKED ([[commitFold]]'s discipline): vacuum
+    // retires the tombstones right after these — a silently-failed
+    // delete or rename would drop the mask while the partition still
+    // holds the forgotten rows, serving RTBF'd content with no error.
+    // A failed rename with the destination present and the staging
+    // gone is an already-completed rewrite (recovery re-run) —
+    // tolerated.
+    if (fs.exists(src) && !fs.delete(src, true))
+      throw new IllegalStateException(s"rewrite failed: could not delete $src")
+    val staging = new Path(rewritePath(dir, id))
+    if (!fs.rename(staging, src) && !(fs.exists(src) && !fs.exists(staging)))
+      throw new IllegalStateException(
+        s"rewrite failed: could not rename $staging to $src")
   }
 
   /** WRITER-side: complete committed rewrite stagings, discard
@@ -1110,9 +1190,12 @@ private[streaming] object BatchParts {
     if (fs.exists(p)) fs.listStatus(p).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith(".rewrite-"))
       .foreach { st =>
-        val id = st.getPath.getName.stripPrefix(".rewrite-").toLong
-        if (fs.exists(new Path(st.getPath, "_SUCCESS"))) completeRewrite(s, dir, id)
-        else { fs.delete(st.getPath, true); () }
+        // unparseable names are foreign debris — skipped, not fatal
+        // (the parseHG leniency invariant, applied to rewrites)
+        st.getPath.getName.stripPrefix(".rewrite-").toLongOption.foreach { id =>
+          if (fs.exists(new Path(st.getPath, "_SUCCESS"))) completeRewrite(s, dir, id)
+          else { fs.delete(st.getPath, true); () }
+        }
       }
   }
 }

@@ -631,8 +631,10 @@ class ScaleSpec extends AnyFunSuite {
     val bands = graft.operators.Dedup.bandKeys(existing)
     val cursors = existing.limit(0)
       .select(col("lang"), col("doc_id").as("shard"), col("doc_id").as("cum"))
+    val priorIds = existing.select(col("doc_id"), md5(col("text")).as("text_md5"))
     val packed = graft.streaming.LivePipeline.curatePack(
-      arriving, exact, bands, cursors, graft.streaming.LivePipeline.Config("unused")).packed
+      arriving, exact, bands, cursors, priorIds,
+      graft.streaming.LivePipeline.Config("unused")).packed
     val plan = executedPlan(packed)
     // per-batch cost must scale with the batch: the exact gate and the
     // store probe are KEYED joins (hash anti/semi on text_md5 /

@@ -495,6 +495,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(replayed.map(packKey).toSet === packed.map(packKey).toSet, "crash replay idempotence")
   }
 
+  test("live pipeline: cross-batch id collision quarantines; replays and fresh ids flow") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-live-xbatch").toString
+    val cfg = graft.streaming.LivePipeline.Config(root)
+    def mkText(tag: String): String =
+      (1 to 36).map(j => s"${tag}tok$j").mkString(" ") + s" the $tag of this is high"
+    val textX = mkText("xi"); val textY = mkText("omicron"); val textZ = mkText("rho")
+    graft.streaming.LivePipeline.step(
+      Seq(LDoc(500, "en", textX), LDoc(501, "en", textY)).toDF(), 0L, cfg)
+    // batch 1: 500 re-sent with DIFFERENT text (an admitted identity
+    // may not change payload — quarantine, never two texts under one
+    // id), 501 re-sent identical (a replay — the exact gate's
+    // dup_of_corpus), 502 novel
+    graft.streaming.LivePipeline.step(Seq(
+      LDoc(500, "en", textZ), LDoc(501, "en", textY),
+      LDoc(502, "en", mkText("sigma"))).toDF(), 1L, cfg)
+    val fates1 = graft.streaming.LivePipeline.auditOutput(spark, cfg)
+      .filter(col("batch") === 1).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("fate")).toMap
+    assert(fates1 === Map(500L -> "id_collision", 501L -> "dup_of_corpus",
+      502L -> "admitted"))
+    val q = graft.streaming.LivePipeline.quarantineOutput(spark, cfg)
+      .filter(col("doc_id") === 500 && col("batch") === 1).collect()
+    assert(q.length === 1 && q.head.getAs[String]("reason") === "id_collision" &&
+      q.head.getAs[String]("text") === textZ,
+      "the rejected payload lands on the dead-letter shelf with its evidence")
+    // one identity each in the packed corpus — never two texts under 500
+    val packedIds = graft.streaming.LivePipeline.packedOutput(spark, cfg)
+      .groupBy("doc_id").count().collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("count")).toMap
+    assert(packedIds === Map(500L -> 1L, 501L -> 1L, 502L -> 1L))
+    // the collided payload never entered the exact store: the same text
+    // arriving later under a FRESH id is a normal admission candidate
+    graft.streaming.LivePipeline.step(Seq(LDoc(503, "en", textZ)).toDF(), 2L, cfg)
+    val fate503 = graft.streaming.LivePipeline.auditOutput(spark, cfg)
+      .filter(col("doc_id") === 503).collect().map(_.getAs[String]("fate"))
+    assert(fate503.toSeq === Seq("admitted"),
+      "a quarantined payload under a clean id must not stay burned")
+  }
+
   test("live pipeline: contract violations quarantine, replays collapse, collisions stay out of state") {
     import spark.implicits._
     import org.apache.spark.sql.Row
@@ -569,8 +609,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(after.exists(_.isNullAt(0)),
       "null-id rows are not id-addressable and survive the id vacuum")
     // the retention sweep is the null-id road out: whole partitions go
+    // — including a committed rewrite staging a crashed vacuum left
+    // behind, which would otherwise substitute for the deleted source
+    // in readers and be renamed back by the next vacuum's recovery
+    graft.streaming.LivePipeline.quarantineOutput(spark, cfg).limit(1)
+      .select("doc_id", "lang", "text", "reason")
+      .write.parquet(s"$root/quarantine/.rewrite-0")
     graft.streaming.LivePipeline.retireQuarantine(spark, cfg, beforeBatch = 1L)
     assert(graft.streaming.LivePipeline.quarantineOutput(spark, cfg).count() === 0)
+    assert(!new java.io.File(s"$root/quarantine").listFiles()
+      .exists(_.getName.startsWith(".rewrite-")),
+      "the sweep must retire crashed-vacuum stagings below the bar too")
+    graft.streaming.LivePipeline.vacuum(spark, cfg)
+    assert(graft.streaming.LivePipeline.quarantineOutput(spark, cfg).count() === 0,
+      "recovery after the sweep must not resurrect retired payloads")
   }
 
   test("diffAudit reconciles two intakes: exactly the docs whose fates changed") {
