@@ -71,10 +71,18 @@ final class IntakeServe(spark: SparkSession, cfg: LivePipeline.Config,
   })
   server.createContext("/admissions", (ex: HttpExchange) => Facade.handle(ex) { p =>
     // ?batch=<id> narrows to one commit — the admission-drift view
-    // (compare consecutive batches to see a quality regression arrive)
-    val audit = LivePipeline.auditOutput(spark, cfg)
-    rowsJson(p.get("batch").map(_.toLong).fold(audit)(id =>
-        audit.filter(col("batch") === id))
+    // (compare consecutive batches to see a quality regression
+    // arrive). The single-batch read goes through auditBatch — the
+    // batch's own partition, O(1) listing — NOT through auditOutput,
+    // whose full-history listing grows with intake age (the same
+    // respelling AdmissionMonitor.observe got); the whole-history
+    // dashboard below legitimately pays the full read.
+    val scoped = p.get("batch").map(_.toLong) match {
+      case Some(id) => LivePipeline.auditBatch(spark, cfg, id)
+        .getOrElse(LivePipeline.auditOutput(spark, cfg).limit(0))
+      case None => LivePipeline.auditOutput(spark, cfg)
+    }
+    rowsJson(scoped
       .groupBy("fate").agg(count(lit(1)).as("n_docs"))
       .orderBy(col("fate")))
   })
@@ -120,10 +128,14 @@ final class IntakeServe(spark: SparkSession, cfg: LivePipeline.Config,
   // progress", while commit state remains /progress
   metrics.foreach { m =>
     server.createContext("/metrics", (ex: HttpExchange) => Facade.handle(ex) { _ =>
+      // string fields routed through the shared escaper (Facade's
+      // every-hand-rendered-body contract): queryId/timestamp are
+      // shape-safe TODAY, which is exactly when an unescaped
+      // interpolation slips through review
       m.snapshot.map { b =>
-        s"""{"query_id":"${b.queryId}","batch_id":${b.batchId},""" +
+        s"""{"query_id":"${Facade.jsonEscape(b.queryId)}","batch_id":${b.batchId},""" +
           s""""input_rows":${b.inputRows},"trigger_ms":${b.triggerMs},""" +
-          s""""timestamp":"${b.timestamp}"}"""
+          s""""timestamp":"${Facade.jsonEscape(b.timestamp)}"}"""
       }.mkString("[", ",", "]")
     })
   }
@@ -139,7 +151,7 @@ final class IntakeServe(spark: SparkSession, cfg: LivePipeline.Config,
     val vec = vectors.toSeq.flatMap(v => LivePipeline
       .storeStatusOf(spark, v.root, Seq("sigs", "tombstones")).map("vectors" -> _))
     (intake ++ idx ++ vec).map { case (plane, st) =>
-      s"""{"plane":"$plane","store":"${st.store}",""" +
+      s"""{"plane":"$plane","store":"${Facade.jsonEscape(st.store)}",""" +
         s""""n_partitions":${st.nPartitions},""" +
         s""""last_batch":${st.lastBatch.fold("null")(_.toString)},""" +
         s""""pending_fold":${st.pendingFold},""" +

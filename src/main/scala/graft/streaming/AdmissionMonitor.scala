@@ -41,7 +41,7 @@ final class AdmissionMonitor(transports: Seq[AlertTransport],
   /** Adjudicate one committed batch. No-op for an id with no audit
     * rows (an empty batch commits nothing — P4's skip).
     */
-  def observe(s: SparkSession, cfg: LivePipeline.Config, batchId: Long): Unit = {
+  def observe(s: SparkSession, cfg: LivePipeline.Config, batchId: Long): Unit = try {
     // the batch's OWN partition, read directly (O(1) listing): going
     // through auditOutput would list every committed audit partition —
     // O(intake age) driver RPCs per micro-batch, the exact listing
@@ -70,5 +70,14 @@ final class AdmissionMonitor(transports: Seq[AlertTransport],
             f"${frac * 100}%.1f%% of $total docs (bar ${maxRejectFraction * 100}%.1f%%): $breakdown")
       }
     } else inEpisode = false
+  } catch {
+    // the monitor must never take the intake down (its own contract:
+    // "an alerting outage at runtime must not take the intake down" —
+    // which covers the monitor's OWN read, not only the transports): a
+    // transient read failure skips this batch's adjudication; the
+    // episode latch is untouched and the next commit re-adjudicates
+    case e: Exception =>
+      System.err.println(
+        s"[admission-monitor] batch $batchId adjudication failed: ${e.getMessage}")
   }
 }

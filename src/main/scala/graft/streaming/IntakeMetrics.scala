@@ -28,6 +28,10 @@ final class IntakeMetrics(maxEntries: Int = 256) extends StreamingQueryListener 
   import IntakeMetrics.BatchMetric
 
   private val ring = new ConcurrentLinkedDeque[BatchMetric]
+  // ConcurrentLinkedDeque.size is an O(n) traversal; the bound check
+  // runs on the shared listener-bus thread for every query on the
+  // session, so track the count in O(1) beside the deque
+  private val count = new java.util.concurrent.atomic.AtomicInteger(0)
 
   override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
 
@@ -38,7 +42,11 @@ final class IntakeMetrics(maxEntries: Int = 256) extends StreamingQueryListener 
       p.timestamp))
     // bound the ring; a slight transient overshoot under concurrent
     // appends is harmless (the next append trims again)
-    while (ring.size > maxEntries) { ring.pollFirst(); () }
+    var n = count.incrementAndGet()
+    while (n > maxEntries) {
+      if (ring.pollFirst() != null) n = count.decrementAndGet()
+      else n = count.get()
+    }
   }
 
   override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()

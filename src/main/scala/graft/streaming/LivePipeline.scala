@@ -492,7 +492,7 @@ object LivePipeline {
     * statistics, not served content, so the RTBF tombstone mask does
     * not apply here (the dedup-store posture).
     */
-  private[streaming] def auditBatch(s: SparkSession, cfg: Config,
+  private[graft] def auditBatch(s: SparkSession, cfg: Config,
       batchId: Long): Option[DataFrame] = {
     val p = new Path(part(cfg.root, "audit", batchId))
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)

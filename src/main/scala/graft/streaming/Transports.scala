@@ -26,11 +26,12 @@ object Transports {
   /** Generic webhook: POSTs `{"text": <message>}` to `url`.
     *
     * `probe()` issues a HEAD to the same URL and passes on ANY HTTP
-    * status — a response, even 405, proves DNS + routing + TLS + a
-    * listening endpoint, which is all that can be checked without
-    * actually paging someone (HTTP has no SMTP-style "log in but send
-    * nothing" phase; a probe that POSTs a test alert would cry wolf on
-    * every startup). Connect/read failures and timeouts throw.
+    * status except 404/410 — a response, even 405, proves DNS +
+    * routing + TLS + a listening endpoint, which is all that can be
+    * checked without actually paging someone (HTTP has no SMTP-style
+    * "log in but send nothing" phase; a probe that POSTs a test alert
+    * would cry wolf on every startup), while 404/410 is a detectably
+    * dead path. Connect/read failures and timeouts throw.
     */
   final class WebhookTransport(
       url: String,
@@ -48,8 +49,19 @@ object Transports {
 
     override def probe(): Unit = {
       val c = open("HEAD")
-      try c.getResponseCode // throws on unreachable/timeout; any status passes
-      finally c.disconnect()
+      try {
+        val status = c.getResponseCode // throws on unreachable/timeout
+        // 404/410 prove the PATH is wrong — the one misconfiguration a
+        // HEAD can detect without paging anyone. Every other status
+        // (incl. 405 Method-Not-Allowed) still proves DNS + routing +
+        // TLS + a listening endpoint, which is all a no-side-effect
+        // probe can check; passing a detectable dead path here would
+        // let every later send() fail into fanOut's swallow — alerts
+        // silently lost behind a probe that claimed the pager works.
+        if (status == 404 || status == 410)
+          throw new java.io.IOException(
+            s"webhook $name probe: HTTP $status (dead path?) for $url")
+      } finally c.disconnect()
     }
 
     override def send(message: String): Unit = {
@@ -96,8 +108,18 @@ object Transports {
       override val name: String = "smtp",
       timeoutMs: Int = 10000,
       implicitTls: Boolean = false,
-      sslContext: Option[javax.net.ssl.SSLContext] = None) extends AlertTransport {
+      sslContext: Option[javax.net.ssl.SSLContext] = None,
+      allowPlaintextAuth: Boolean = false) extends AlertTransport {
     require(to.nonEmpty, "SmtpTransport needs at least one recipient")
+    // AUTH LOGIN is base64, not encryption: credentials over plain TCP
+    // hand the password to any passive observer, and implicitTls=false
+    // is the DEFAULT — exactly the misconfiguration shape (set the
+    // creds, forget the TLS flag). The reference always authenticates
+    // over SMTP_SSL; plaintext auth here needs the explicit opt-in
+    // (in-process test stubs, localhost relays).
+    require(credentials.isEmpty || implicitTls || allowPlaintextAuth,
+      s"smtp $name: credentials over plain TCP need allowPlaintextAuth=true " +
+        "(or implicitTls=true — the reference's SMTP_SSL path)")
 
     /** One scripted SMTP session: connect, greet, auth, run `body`, QUIT. */
     private def session[A](body: (BufferedReader, OutputStreamWriter) => A): A = {
@@ -127,7 +149,12 @@ object Transports {
         val in = new BufferedReader(new InputStreamReader(chan.getInputStream, UTF_8))
         val out = new OutputStreamWriter(chan.getOutputStream, UTF_8)
         expect(in, "220") // server greeting
-        command(in, out, "HELO graft", "250")
+        // EHLO first: AUTH is an ESMTP extension (RFC 4954) that
+        // compliant servers reject inside a HELO session; fall back to
+        // HELO for non-ESMTP peers — smtplib's ehlo_or_helo_if_needed,
+        // which is what the reference's login() does under the hood
+        out.write("EHLO graft\r\n"); out.flush()
+        if (!reply(in).startsWith("250")) command(in, out, "HELO graft", "250")
         credentials.foreach { case (user, pass) =>
           command(in, out, "AUTH LOGIN", "334")
           command(in, out, Base64.getEncoder.encodeToString(user.getBytes(UTF_8)), "334")
@@ -145,12 +172,19 @@ object Transports {
       expect(in, wantPrefix)
     }
 
-    private def expect(in: BufferedReader, wantPrefix: String): Unit = {
-      // multi-line replies: "250-..." continues, "250 ..." ends
+    /** Consume one (possibly multi-line) reply, returning its final
+      * line: "250-..." continues, "250 ..." ends.
+      */
+    private def reply(in: BufferedReader): String = {
       var line = in.readLine()
       while (line != null && line.length >= 4 && line.charAt(3) == '-')
         line = in.readLine()
-      if (line == null || !line.startsWith(wantPrefix))
+      if (line == null) "" else line
+    }
+
+    private def expect(in: BufferedReader, wantPrefix: String): Unit = {
+      val line = reply(in)
+      if (!line.startsWith(wantPrefix))
         throw new java.io.IOException(
           s"smtp $name: expected $wantPrefix, got '$line'")
     }
@@ -167,8 +201,12 @@ object Transports {
         s"Subject: $subject",
         "")
       // dot-stuffing (RFC 5321 §4.5.2): a body line starting with '.'
-      // gets one prepended, or the server would read it as end-of-data
-      val body = message.split("\n", -1).map { l =>
+      // gets one prepended, or the server would read it as end-of-data.
+      // Line splitting normalizes CRLF and bare CR too (smtplib's
+      // quotedata): splitting on '\n' alone leaves a trailing '\r'
+      // on CRLF-separated messages (e.g. %n on a Windows driver),
+      // emitting the bare-CR sequences RFC 5321 §2.3.8 forbids.
+      val body = message.split("\r\n|\n|\r", -1).map { l =>
         if (l.startsWith(".")) "." + l else l
       }
       (headers ++ body).foreach(l => out.write(l + "\r\n"))

@@ -414,7 +414,8 @@ class IngestSpec extends AnyFunSuite {
     // ── SMTP against the scripted socket stub ──
     val smtpStub = new SmtpStub()
     val smtp = new SmtpTransport("127.0.0.1", smtpStub.port, "graft@local",
-      Seq("ops@local"), credentials = Some(("user", "secret")))
+      Seq("ops@local"), credentials = Some(("user", "secret")),
+      allowPlaintextAuth = true) // in-process stub — the documented opt-in
     smtp.probe() // login + QUIT, no mail
     assert(smtpStub.logins === 1 && smtpStub.messages.isEmpty)
     smtp.send("Reached retry limit. Quitting.\n.leading-dot line")
@@ -427,11 +428,19 @@ class IngestSpec extends AnyFunSuite {
     // reference's __email_validation sys.exit path) before any ingest
     val badStub = new SmtpStub(failAuth = true)
     val bad = new SmtpTransport("127.0.0.1", badStub.port, "graft@local",
-      Seq("ops@local"), credentials = Some(("user", "wrong")))
+      Seq("ops@local"), credentials = Some(("user", "wrong")),
+      allowPlaintextAuth = true)
     val e = intercept[IllegalStateException](
       new graft.streaming.ValidatingAlerts(Seq(bad)))
     assert(e.getMessage.contains("smtp"))
     badStub.close()
+
+    // credentials over plain TCP without the explicit opt-in refuse at
+    // construction: AUTH LOGIN is base64, not encryption, and the
+    // default implicitTls=false is exactly the misconfiguration shape
+    intercept[IllegalArgumentException](
+      new SmtpTransport("127.0.0.1", smtpStub.port, "graft@local",
+        Seq("ops@local"), credentials = Some(("user", "secret"))))
 
     // ── webhook against an in-process HTTP server ──
     import com.sun.net.httpserver.HttpServer
@@ -448,6 +457,12 @@ class IngestSpec extends AnyFunSuite {
     val hookUrl = s"http://127.0.0.1:${http.getAddress.getPort}/hook"
     val hook = new WebhookTransport(hookUrl)
     hook.probe() // 405 on HEAD still passes: endpoint is reachable
+    // a dead PATH is the one misconfiguration a HEAD can detect: the
+    // JDK server 404s unmapped contexts, and the probe must fail loudly
+    // instead of letting every later send() fail into fanOut's swallow
+    val typo = new WebhookTransport(
+      s"http://127.0.0.1:${http.getAddress.getPort}/hok")
+    intercept[java.io.IOException](typo.probe())
     hook.send("""archive delayed at "0000003f"""")
     assert(posts.length === 1)
     assert(posts.head === """{"text":"archive delayed at \"0000003f\""}""")
