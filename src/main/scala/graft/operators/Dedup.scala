@@ -774,12 +774,24 @@ object Dedup {
   }
 
   def segmentDedup(docs: DataFrame, segWords: Int = 4, minDf: Long = 2L): DataFrame = {
-    val segs = docSegments(docs, segWords)
-    val hot = hotSegments(docs, segWords, minDf).withColumn("dup", lit(true))
-    val flagged = segs.withColumn("gh", md5(col("seg")))
-      .join(broadcast(hot), Seq("gh"), "left")
-      .select(col("doc_id"), col("seg_idx"), col("seg"),
-        coalesce(col("dup"), lit(false)).as("dup"))
+    require(segWords >= 1 && minDf >= 2, "segWords >= 1, minDf >= 2")
+    // ONE segment explode, one gh exchange: within each gh partition
+    // (ordered by doc_id) a lag flags each document's first occurrence,
+    // and the unbounded sum of those flags IS the segment's distinct-doc
+    // count — the d10 linearization applied here (the former spelling
+    // re-ran docSegments a second time to build the hot list inline;
+    // the broadcast-model shape lives on in [[hotSegments]], which is
+    // what the STREAMING scrub ships at index cadence — this inline
+    // spelling is the batch operator, free to use the corpus directly)
+    val byGh = Window.partitionBy("gh")
+    val flagged = docSegments(docs, segWords)
+      .withColumn("gh", md5(col("seg")))
+      .withColumn("first_in_doc",
+        when(lag(col("doc_id"), 1).over(byGh.orderBy("doc_id", "seg_idx"))
+          === col("doc_id"), 0L).otherwise(1L))
+      .withColumn("sdocs", sum(col("first_in_doc")).over(byGh))
+      .withColumn("dup", col("sdocs") >= minDf)
+      .select(col("doc_id"), col("seg_idx"), col("seg"), col("dup"))
     // collect_list skips the CASE's NULLs, array_sort orders structs by
     // their first field (seg_idx) — kept segments rejoin in place
     flagged.groupBy("doc_id").agg(
