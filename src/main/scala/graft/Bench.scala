@@ -143,11 +143,7 @@ object Bench {
       // doc_id-keyed probe join in curatePack): 2.200/1.490 ->
       // 2.947/2.137, from a 0.055-floor isolated session
       ("x30_intake_audit" -> ((2.947, 0.055))) +
-      ("x31_intake_contract" -> ((2.137, 0.055))) +
-      // re-recorded after the d12 one-pass respelling (lag/sum windows
-      // over one gh exchange replace the second docSegments explode):
-      // 1.491 -> 1.035, from a 0.057-floor isolated session
-      ("d12_line_dedup" -> ((1.035, 0.057)))
+      ("x31_intake_contract" -> ((2.137, 0.055)))
   }
 
   def main(args: Array[String]): Unit = {

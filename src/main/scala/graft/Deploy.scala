@@ -111,8 +111,13 @@ object Deploy {
         to = env.getOrElse("EMAIL_RECIPIENTS", "").split(",").map(_.trim).filter(_.nonEmpty).toSeq,
         credentials = creds, implicitTls = port == 465)
     }
+    // WEBHOOK_STRICT_PROBE=1 opts into failing startup on HEAD 404/410
+    // (endpoints that answer HEAD on the hook path); default lenient —
+    // POST-only routes 404 HEADs while send() works (Transports scaladoc)
+    val strictProbe = env.get("WEBHOOK_STRICT_PROBE")
+      .exists(v => v == "1" || v.equalsIgnoreCase("true"))
     val webhook = env.get("WEBHOOK_URL").filter(_.nonEmpty)
-      .map(url => new Transports.WebhookTransport(url))
+      .map(url => new Transports.WebhookTransport(url, strictPathProbe = strictProbe))
     email.toSeq ++ webhook.toSeq
   }
 

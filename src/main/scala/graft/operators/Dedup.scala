@@ -774,24 +774,20 @@ object Dedup {
   }
 
   def segmentDedup(docs: DataFrame, segWords: Int = 4, minDf: Long = 2L): DataFrame = {
-    require(segWords >= 1 && minDf >= 2, "segWords >= 1, minDf >= 2")
-    // ONE segment explode, one gh exchange: within each gh partition
-    // (ordered by doc_id) a lag flags each document's first occurrence,
-    // and the unbounded sum of those flags IS the segment's distinct-doc
-    // count — the d10 linearization applied here (the former spelling
-    // re-ran docSegments a second time to build the hot list inline;
-    // the broadcast-model shape lives on in [[hotSegments]], which is
-    // what the STREAMING scrub ships at index cadence — this inline
-    // spelling is the batch operator, free to use the corpus directly)
-    val byGh = Window.partitionBy("gh")
-    val flagged = docSegments(docs, segWords)
-      .withColumn("gh", md5(col("seg")))
-      .withColumn("first_in_doc",
-        when(lag(col("doc_id"), 1).over(byGh.orderBy("doc_id", "seg_idx"))
-          === col("doc_id"), 0L).otherwise(1L))
-      .withColumn("sdocs", sum(col("first_in_doc")).over(byGh))
-      .withColumn("dup", col("sdocs") >= minDf)
-      .select(col("doc_id"), col("seg_idx"), col("seg"), col("dup"))
+    // Deliberately TWO docSegments passes. The tempting one-pass spelling
+    // (lag/sum over Window.partitionBy(gh) on a single explode) was tried
+    // and reverted: it shuffles every segment row WITH its text and makes
+    // a viral boilerplate segment one single-key window partition — the
+    // exact skew d2's bucket cap exists for, with no cap lever here. This
+    // shape's corpus exchange carries only fixed-width (gh, doc_id) keys,
+    // partial-aggregates map-side, and broadcasts back a boilerplate-sized
+    // hot list; the second explode is scan-bandwidth, not shuffle.
+    val segs = docSegments(docs, segWords)
+    val hot = hotSegments(docs, segWords, minDf).withColumn("dup", lit(true))
+    val flagged = segs.withColumn("gh", md5(col("seg")))
+      .join(broadcast(hot), Seq("gh"), "left")
+      .select(col("doc_id"), col("seg_idx"), col("seg"),
+        coalesce(col("dup"), lit(false)).as("dup"))
     // collect_list skips the CASE's NULLs, array_sort orders structs by
     // their first field (seg_idx) — kept segments rejoin in place
     flagged.groupBy("doc_id").agg(

@@ -72,14 +72,13 @@ final class IntakeServe(spark: SparkSession, cfg: LivePipeline.Config,
   server.createContext("/admissions", (ex: HttpExchange) => Facade.handle(ex) { p =>
     // ?batch=<id> narrows to one commit — the admission-drift view
     // (compare consecutive batches to see a quality regression
-    // arrive). The single-batch read goes through auditBatch — the
-    // batch's own partition, O(1) listing — NOT through auditOutput,
-    // whose full-history listing grows with intake age (the same
-    // respelling AdmissionMonitor.observe got); the whole-history
-    // dashboard below legitimately pays the full read.
+    // arrive). The single-batch read goes through auditBatchServed —
+    // the batch's own partition, O(1) listing, NOT auditOutput's
+    // full-history listing — while keeping the output reads'
+    // visibility contract (frontier clamp + RTBF mask), so this
+    // endpoint's two spellings can never disagree about a doc.
     val scoped = p.get("batch").map(_.toLong) match {
-      case Some(id) => LivePipeline.auditBatch(spark, cfg, id)
-        .getOrElse(LivePipeline.auditOutput(spark, cfg).limit(0))
+      case Some(id) => LivePipeline.auditBatchServed(spark, cfg, id)
       case None => LivePipeline.auditOutput(spark, cfg)
     }
     rowsJson(scoped

@@ -3,6 +3,8 @@ package graft.streaming
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
+import scala.util.control.NonFatal
+
 /** Admission-drift alerting for the live intake: when a committed
   * micro-batch rejects more than `maxRejectFraction` of its documents,
   * page once — the first operational symptom of an upstream quality
@@ -75,8 +77,13 @@ final class AdmissionMonitor(transports: Seq[AlertTransport],
     // "an alerting outage at runtime must not take the intake down" —
     // which covers the monitor's OWN read, not only the transports): a
     // transient read failure skips this batch's adjudication; the
-    // episode latch is untouched and the next commit re-adjudicates
-    case e: Exception =>
+    // episode latch is untouched and the next commit re-adjudicates.
+    // An interrupt is NOT a read failure — it is stream shutdown
+    // cancelling the collect: restore the flag (catching it cleared
+    // it) and let the batch wind down, don't swallow the stop signal
+    case _: InterruptedException =>
+      Thread.currentThread().interrupt()
+    case NonFatal(e) =>
       System.err.println(
         s"[admission-monitor] batch $batchId adjudication failed: ${e.getMessage}")
   }

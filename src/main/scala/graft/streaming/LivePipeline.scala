@@ -490,7 +490,10 @@ object LivePipeline {
     * it per batch). None when the batch committed nothing (the
     * empty-batch skip). RAW rows: fate counts are aggregate
     * statistics, not served content, so the RTBF tombstone mask does
-    * not apply here (the dedup-store posture).
+    * not apply here (the dedup-store posture) — and the monitor reads
+    * only the batch its own commit just finished, so the frontier
+    * clamp is moot. Anything SERVED must go through
+    * [[auditBatchServed]] instead, which restores both contracts.
     */
   private[graft] def auditBatch(s: SparkSession, cfg: Config,
       batchId: Long): Option[DataFrame] = {
@@ -499,6 +502,22 @@ object LivePipeline {
     if (!fs.exists(new Path(p, "_SUCCESS"))) None
     else Some(s.read.schema(AuditSchema).parquet(p.toString))
   }
+
+  /** [[auditBatch]] with the OUTPUT reads' visibility contract, for the
+    * serving tier (`/admissions?batch=`): the frontier clamp — a
+    * partition whose step crashed after the `audit=` append but before
+    * the cursor commit stays invisible until the replay, exactly like
+    * [[auditOutput]] — and the RTBF tombstone mask, because a served
+    * view must not count forgotten docs even in aggregate while the
+    * whole-history view beside it excludes them. Misses (unknown id,
+    * uncommitted, empty-batch skip) return a schema-only empty frame:
+    * no full-history listing on the miss path.
+    */
+  private[graft] def auditBatchServed(s: SparkSession, cfg: Config,
+      batchId: Long): DataFrame =
+    (if (batchId > frontier(s, cfg)) None else auditBatch(s, cfg, batchId))
+      .map(_.join(broadcast(tombstones(s, cfg)), Seq("doc_id"), "left_anti"))
+      .getOrElse(s.createDataFrame(s.sparkContext.emptyRDD[Row], AuditSchema))
 
   /** Right-to-be-forgotten: tombstone document ids. The outputs
     * ([[packedOutput]], [[auditOutput]], [[quarantineOutput]])

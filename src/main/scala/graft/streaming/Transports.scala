@@ -26,18 +26,27 @@ object Transports {
   /** Generic webhook: POSTs `{"text": <message>}` to `url`.
     *
     * `probe()` issues a HEAD to the same URL and passes on ANY HTTP
-    * status except 404/410 — a response, even 405, proves DNS +
-    * routing + TLS + a listening endpoint, which is all that can be
-    * checked without actually paging someone (HTTP has no SMTP-style
-    * "log in but send nothing" phase; a probe that POSTs a test alert
-    * would cry wolf on every startup), while 404/410 is a detectably
-    * dead path. Connect/read failures and timeouts throw.
+    * status — a response, even 405 or 404, proves DNS + routing + TLS
+    * + a listening endpoint, which is all that can be checked without
+    * actually paging someone (HTTP has no SMTP-style "log in but send
+    * nothing" phase; a probe that POSTs a test alert would cry wolf on
+    * every startup). Connect/read failures and timeouts throw.
+    *
+    * `strictPathProbe = true` additionally fails the probe on HEAD
+    * 404/410 (a detectably dead path). It is OPT-IN because
+    * method-routed endpoints — MIGRATION.md's own recommended Lambda
+    * front, an API Gateway route bound to POST only — answer 404 to a
+    * HEAD on a perfectly working hook path; a strict default would
+    * refuse startup against a pager that works. Turn it on when the
+    * endpoint answers HEAD on the hook path (Slack-style incoming
+    * webhooks, most reverse proxies).
     */
   final class WebhookTransport(
       url: String,
       override val name: String = "webhook",
       connectTimeoutMs: Int = 5000,
-      readTimeoutMs: Int = 10000) extends AlertTransport {
+      readTimeoutMs: Int = 10000,
+      strictPathProbe: Boolean = false) extends AlertTransport {
 
     private def open(method: String): HttpURLConnection = {
       val c = new URI(url).toURL.openConnection().asInstanceOf[HttpURLConnection]
@@ -51,14 +60,14 @@ object Transports {
       val c = open("HEAD")
       try {
         val status = c.getResponseCode // throws on unreachable/timeout
-        // 404/410 prove the PATH is wrong — the one misconfiguration a
-        // HEAD can detect without paging anyone. Every other status
-        // (incl. 405 Method-Not-Allowed) still proves DNS + routing +
-        // TLS + a listening endpoint, which is all a no-side-effect
-        // probe can check; passing a detectable dead path here would
-        // let every later send() fail into fanOut's swallow — alerts
-        // silently lost behind a probe that claimed the pager works.
-        if (status == 404 || status == 410)
+        // Under strictPathProbe, 404/410 prove the PATH is wrong — the
+        // one misconfiguration a HEAD can detect without paging anyone;
+        // passing a detectable dead path would let every later send()
+        // fail into fanOut's swallow. It cannot be the default: a
+        // POST-only route (API Gateway method routing) 404s HEAD while
+        // send() works, and refusing to start against a working pager
+        // is worse than missing the typo'd-path case.
+        if (strictPathProbe && (status == 404 || status == 410))
           throw new java.io.IOException(
             s"webhook $name probe: HTTP $status (dead path?) for $url")
       } finally c.disconnect()

@@ -167,6 +167,24 @@ class HttpServeSpec extends AnyFunSuite {
       assert(c6 === 200 && snap.contains("\"lang\":\"en\",\"n_docs\":2"))
       val (c7, snapSeed) = get(s"$base/snapshot?as_of=-1")
       assert(c7 === 200 && snapSeed.contains("\"n_docs\":1"))
+      // RTBF: BOTH admissions spellings mask a forgotten doc — the
+      // single-batch view must not keep counting what the whole-history
+      // view beside it excludes
+      graft.streaming.LivePipeline.forget(spark, cfg, Seq(102L))
+      val (cf1, dashAll) = get(s"$base/admissions")
+      assert(cf1 === 200 && !dashAll.contains("low_quality"))
+      val (cf2, dashB0) = get(s"$base/admissions?batch=0")
+      assert(cf2 === 200 && dashB0.contains("dup_of_corpus") &&
+        !dashB0.contains("low_quality"),
+        s"single-batch view must apply the tombstone mask: $dashB0")
+      // frontier clamp: an audit partition left by a step that crashed
+      // AFTER its append (files + _SUCCESS) but BEFORE the cursor
+      // commit stays invisible — served empty, with no history listing
+      Seq((999L, "admitted", 1.0)).toDF("doc_id", "fate", "quality_score")
+        .write.parquet(s"$root/audit/batch=7")
+      val (cu, dashU) = get(s"$base/admissions?batch=7")
+      assert(cu === 200 && dashU === "[]",
+        s"uncommitted partition must stay invisible: $dashU")
       // missing parameter → 400, CORS grant present
       val (c5, err) = get(s"$base/fate")
       assert(c5 === 400 && err.contains("missing parameter"))

@@ -457,12 +457,17 @@ class IngestSpec extends AnyFunSuite {
     val hookUrl = s"http://127.0.0.1:${http.getAddress.getPort}/hook"
     val hook = new WebhookTransport(hookUrl)
     hook.probe() // 405 on HEAD still passes: endpoint is reachable
-    // a dead PATH is the one misconfiguration a HEAD can detect: the
-    // JDK server 404s unmapped contexts, and the probe must fail loudly
-    // instead of letting every later send() fail into fanOut's swallow
+    // a dead PATH is detectable under strictPathProbe: the JDK server
+    // 404s unmapped contexts and the strict probe fails loudly instead
+    // of letting every later send() fail into fanOut's swallow
     val typo = new WebhookTransport(
-      s"http://127.0.0.1:${http.getAddress.getPort}/hok")
+      s"http://127.0.0.1:${http.getAddress.getPort}/hok", strictPathProbe = true)
     intercept[java.io.IOException](typo.probe())
+    // ...but the DEFAULT is lenient: a POST-only route (API Gateway
+    // method routing — MIGRATION.md's recommended Lambda front) 404s
+    // HEAD while send() works; startup must not refuse a working pager
+    new WebhookTransport(
+      s"http://127.0.0.1:${http.getAddress.getPort}/hok").probe()
     hook.send("""archive delayed at "0000003f"""")
     assert(posts.length === 1)
     assert(posts.head === """{"text":"archive delayed at \"0000003f\""}""")
