@@ -346,8 +346,16 @@ object LivePipeline {
     //    class. Ids of REJECTED docs are not burned: their text never
     //    packed, so a later different text under that id is a fresh
     //    admission candidate.
+    //    The probe side collapses to ONE row per doc_id before the
+    //    left join (max is deterministic; the gate itself guarantees
+    //    one md5 per admitted id, so this only absorbs transient
+    //    duplicate store rows) — a fanning join here would emit a doc
+    //    twice into the pack and double-count its tokens into the
+    //    cursor, breaking the store probes' documented never-fan-out
+    //    invariant.
     val withPrior = contract0.join(
-      priorIds.withColumnRenamed("text_md5", "prior_md5"), Seq("doc_id"), "left")
+      priorIds.groupBy("doc_id").agg(max("text_md5").as("prior_md5")),
+      Seq("doc_id"), "left")
     val collidedPrior = withPrior.filter(
       col("prior_md5").isNotNull && col("prior_md5") =!= col("text_md5"))
     val contract = withPrior.filter(
@@ -531,14 +539,8 @@ object LivePipeline {
     * are a tiny keyed table, appended like everything else and
     * broadcast into the output reads.
     */
-  def forget(s: SparkSession, cfg: Config, docIds: Seq[Long]): Unit = {
-    val next = BatchParts.committed(s, s"${cfg.root}/tombstones")
-      .lastOption.map(_._1 + 1).getOrElse(0L)
-    import scala.jdk.CollectionConverters._
-    s.createDataFrame(docIds.map(Row(_)).asJava,
-        StructType(Seq(StructField("doc_id", LongType))))
-      .write.mode("overwrite").parquet(part(cfg.root, "tombstones", next))
-  }
+  def forget(s: SparkSession, cfg: Config, docIds: Seq[Long]): Unit =
+    BatchParts.appendTombstones(s, cfg.root, "doc_id", docIds)
 
   /** [[forget]] for the COMPOSED stack: tombstone the docs in the
     * intake's outputs AND the BM25 index in one call — an RTBF request
@@ -570,15 +572,19 @@ object LivePipeline {
     */
   def retireQuarantine(s: SparkSession, cfg: Config, beforeBatch: Long): Unit = {
     val fs = new Path(cfg.root).getFileSystem(s.sparkContext.hadoopConfiguration)
-    committedParts(s, s"${cfg.root}/quarantine").filter(_._1 < beforeBatch)
-      .foreach { case (_, p) => fs.delete(new Path(p), true); () }
     // a committed `.rewrite-<id>` staging left by a crashed vacuum
     // holds the same partition's surviving rows: left in place it
-    // would substitute for the just-deleted source in readers AND be
-    // renamed back by the next vacuum's recovery — resurrecting
-    // content the retention sweep was supposed to destroy
+    // would substitute for a deleted source in readers AND be renamed
+    // back by the next vacuum's recovery — resurrecting content the
+    // retention sweep was supposed to destroy. Stagings go FIRST: a
+    // crash between the loops then leaves sources intact (retention
+    // merely not yet applied, re-run converges), whereas sources-first
+    // left a window where the staging outlived its deleted source and
+    // recoverRewrites durably resurrected the retired partition.
     BatchParts.pendingRewrites(s, s"${cfg.root}/quarantine")
       .filter(_._1 < beforeBatch)
+      .foreach { case (_, p) => fs.delete(new Path(p), true); () }
+    committedParts(s, s"${cfg.root}/quarantine").filter(_._1 < beforeBatch)
       .foreach { case (_, p) => fs.delete(new Path(p), true); () }
   }
 
@@ -1216,5 +1222,93 @@ private[streaming] object BatchParts {
           else { fs.delete(st.getPath, true); () }
         }
       }
+  }
+
+  // ── shared tombstone shelf ──
+  // LivePipeline, LiveIndex, and LiveVectors each keep a `tombstones/`
+  // store with identical append/read semantics. One spelling here (the
+  // BatchParts charter: the stores cannot diverge in crash behavior) —
+  // a fix to the retirement race or the append protocol lands once
+  // instead of being hand-replicated across three copies.
+
+  private def tombSchema(idCol: String): StructType =
+    StructType(Seq(StructField(idCol, LongType)))
+
+  /** Append one tombstone partition under `root/tombstones/batch=<n>`
+    * (n monotone; overwrite makes a retried append idempotent).
+    */
+  def appendTombstones(s: SparkSession, root: String, idCol: String,
+      ids: Seq[Long]): Unit = {
+    val next = committed(s, s"$root/tombstones")
+      .lastOption.map(_._1 + 1).getOrElse(0L)
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(ids.map(Row(_)).asJava, tombSchema(idCol))
+      .write.mode("overwrite").parquet(s"$root/tombstones/batch=$next")
+  }
+
+  /** Every committed tombstone id as a one-column frame (empty frame,
+    * never a throw, on a storeless root).
+    */
+  def readTombstones(s: SparkSession, root: String, idCol: String): DataFrame = {
+    val dirs = committed(s, s"$root/tombstones").map(_._2)
+    if (dirs.isEmpty)
+      s.createDataFrame(s.sparkContext.emptyRDD[Row], tombSchema(idCol))
+    else s.read.schema(tombSchema(idCol)).parquet(dirs: _*)
+  }
+
+  /** Record that a committed fold PHYSICALLY applied every tombstone
+    * partition with id ≤ `upTo`. The marker is an empty file
+    * `_tomb_applied-<upTo>` inside the tombstones dir — not `batch=`-
+    * named, so shelf listings ignore it. Write-then-clean: a crash
+    * between leaves extra lower markers whose max still reads right.
+    */
+  def markTombstonesApplied(s: SparkSession, root: String, upTo: Long): Unit = {
+    val dir = new Path(s"$root/tombstones")
+    val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.mkdirs(dir)
+    fs.create(new Path(dir, s"_tomb_applied-$upTo"), true).close()
+    fs.listStatus(dir).toSeq.map(_.getPath).foreach { p =>
+      val n = p.getName
+      if (n.startsWith("_tomb_applied-") &&
+          n.stripPrefix("_tomb_applied-").toLongOption.exists(_ < upTo)) {
+        fs.delete(p, false); ()
+      }
+    }
+  }
+
+  /** Highest applied-marker value, Long.MinValue when none. */
+  def appliedTombstoneHorizon(s: SparkSession, root: String): Long = {
+    val dir = new Path(s"$root/tombstones")
+    val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) Long.MinValue
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("_tomb_applied-"))
+      .flatMap(_.stripPrefix("_tomb_applied-").toLongOption)
+      .maxOption.getOrElse(Long.MinValue)
+  }
+
+  /** Are there tombstone partitions no committed fold has applied yet?
+    * The compaction trigger: an applied shelf does not force a
+    * store-wide re-fold on every maintenance pass.
+    */
+  def hasUnappliedTombstones(s: SparkSession, root: String): Boolean =
+    committed(s, s"$root/tombstones").lastOption
+      .exists(_._1 > appliedTombstoneHorizon(s, root))
+
+  /** Delete APPLIED tombstone partitions (id ≤ the applied marker),
+    * un-burning those ids for re-admission. EXPLICIT maintenance op
+    * with a quiescence precondition the store itself cannot check:
+    * run it only when the feeding stream has no pending replay (every
+    * offered batch committed). Retiring under an in-flight replay
+    * would let the replayed batch re-admit forgotten content — the
+    * step-side anti-join masks arrivals only while the tombstone
+    * exists, and a batch that crashed before its commit replays AFTER
+    * a compaction folded the forgotten rows out.
+    */
+  def retireTombstones(s: SparkSession, root: String): Unit = {
+    val applied = appliedTombstoneHorizon(s, root)
+    val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
+    committed(s, s"$root/tombstones").filter(_._1 <= applied)
+      .foreach { case (_, p) => fs.delete(new Path(p), true); () }
   }
 }
