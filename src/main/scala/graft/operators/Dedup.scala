@@ -157,7 +157,7 @@ object Dedup {
     * largest observed real bucket (sf0.1 max shingle df is 25), so it
     * only engages on pathological skew.
     */
-  private val MaxBucketDocs = 50
+  private[graft] val MaxBucketDocs = 50
 
   /** Document-frequency cap for the d8 shingle join, same rationale: a
     * stopword-like shingle ("the end of") present in df docs creates a

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -63,10 +63,18 @@ import graft.operators.{Dedup, TextAnalysis}
   * other arrived), while a near-dup of ANY earlier batch is rejected.
   *
   * 100 TB shape: every stage is the already-audited batch operator —
-  * the exact gate is one hash anti-join, the probe is band-keyed with
+  * the exact gate is one hash semi-join, the probe is band-keyed with
   * the d13 skew cap on existing buckets, packing is x8's
   * (lang, shard)-keyed window — and per-batch cost scales with the
-  * BATCH, not the corpus: the store side is pruned parquet scans.
+  * BATCH, not the corpus. [[compact]] folds the accumulating stores
+  * into a `bucket=<hash(probe key) % StoreBuckets>` layout (the
+  * LiveVectors bucket-dir discipline), so every store probe (a)
+  * partition-prunes its scan to the arriving batch's hit buckets and
+  * (b) flips into a broadcast of the batch's keys against that pruned
+  * scan — the corpus-shaped side is a pruned parquet scan that is
+  * never shuffled, and the per-batch exchange budget is batch-keyed
+  * only (contract windows + one key-sized size aggregate for the skew
+  * cap).
   */
 object LivePipeline {
 
@@ -87,6 +95,34 @@ object LivePipeline {
     StructField("shard", LongType), StructField("cum", LongType)))
   private val IdSchema = StructType(Seq(StructField("doc_id", LongType),
     StructField("text_md5", StringType)))
+
+  /** Bucket count for the ACCUMULATING stores' folded layout: [[compact]]
+    * re-lays exact/bands/ids into `bucket=<hash(probe key) % B>` dirs (the
+    * [[LiveVectors]] bucket-dir discipline), so each micro-batch's store
+    * probes partition-prune their scans to the arriving batch's hit
+    * buckets — per-batch probe I/O stops scaling with the corpus. A code
+    * constant, not a [[Config]] knob: the value is baked into committed
+    * fold layouts, and a silent mismatch between fold-time and probe-time
+    * bucketing would drop matches. Changing it is safe but lazy — the
+    * `_buckets-<B>` marker ([[BatchParts.foldBuckets]]) gates pruning, so
+    * a fold under the old constant is read correctly (recomputed buckets,
+    * no scan pruning) until the next [[compact]] re-lays it.
+    */
+  private[streaming] val StoreBuckets = 64
+
+  private val BucketedKinds = Set("exact", "bands", "ids")
+
+  /** The fold partition key: a stable hash of the store's PROBE key —
+    * the column(s) every per-batch probe joins on, so equal keys land in
+    * equal buckets and pruning to the batch's buckets can never lose a
+    * match.
+    */
+  private def storeBucket(kind: String): Column = kind match {
+    case "exact" => pmod(hash(col("text_md5")), lit(StoreBuckets))
+    case "bands" => pmod(hash(col("band_id"), col("bh")), lit(StoreBuckets))
+    case "ids"   => pmod(hash(col("doc_id")), lit(StoreBuckets))
+    case other => throw new IllegalArgumentException(s"unbucketed store: $other")
+  }
 
   /** Start the continuous intake over a streaming `(doc_id, lang, text)`
     * frame. The checkpoint lives beside the stores so a restarted query
@@ -244,10 +280,7 @@ object LivePipeline {
     // commit marker either, so a replay of the same empty batch is a
     // second no-op and partitions don't proliferate at idle cadence
     if (batch.isEmpty) return
-    val exact = readStore(s, cfg.root, "exact", batchId, ExactSchema)
-    val bands = readStore(s, cfg.root, "bands", batchId, BandSchema)
-    val priorIds = readStore(s, cfg.root, "ids", batchId, IdSchema)
-    val cursors = latestCursors(s, cfg, batchId)
+    val (exact, bands, priorIds, cursors) = probeFrames(s, cfg, batchId)
     // cache=true: the five commit writes below all derive from the
     // fated frame — uncached they would each re-run the whole curate/
     // probe plan and re-scan the stores (~5× the per-batch work)
@@ -314,11 +347,12 @@ object LivePipeline {
     //    Cost: one extra doc_id-keyed exchange per micro-batch —
     //    batch-sized, never corpus-sized (the id window reuses its
     //    partitioning for the row_number pass).
+    val wellFormed = col("doc_id").isNotNull && col("lang").isNotNull &&
+      col("text").isNotNull && length(col("text")) > 0
     val malformed = batch.filter(col("doc_id").isNull || col("lang").isNull ||
       col("text").isNull || length(col("text")) === 0)
     val byId = Window.partitionBy(col("doc_id"))
-    val keyed = batch.filter(col("doc_id").isNotNull && col("lang").isNotNull &&
-        col("text").isNotNull && length(col("text")) > 0)
+    val keyed = batch.filter(wellFormed)
       .withColumn("text_md5", md5(col("text")))
       .withColumn("payload", struct(col("lang"), col("text_md5")))
       .withColumn("p_lo", min(col("payload")).over(byId))
@@ -331,6 +365,38 @@ object LivePipeline {
       .withColumn("rn", row_number().over(byId.orderBy(col("text_md5"))))
       .filter(col("rn") === 1)
       .drop("payload", "p_lo", "p_hi", "rn")
+
+    // Bucketed-store probe discipline: a store frame arriving WITH a
+    // `bucket` partition column is the bucketed-fold read
+    // ([[readStore]]) — steady-state streaming, where the arriving
+    // batch is micro-batch-sized by the source contract. Each such
+    // probe then (a) PRUNES the store scan to the batch's hit buckets
+    // (collected once below — ≤ [[StoreBuckets]] ints of driver-side
+    // planning state; the IN filter reaches the fold scan as a
+    // PartitionFilter, so per-batch store I/O is hit-buckets-sized,
+    // not corpus-sized), and (b) FLIPS the join: the store scan is
+    // filtered map-side against a BROADCAST of the batch's keys and
+    // the batch-sized survivors broadcast back onto the batch — the
+    // corpus-shaped side is never exchanged. A store frame WITHOUT the
+    // column (cold start, a legacy flat fold, the x30/x31 oracle
+    // drivers, and the [[seed]] path — whose "batch" is corpus-sized
+    // and must never be broadcast) keeps the keyed-join spelling.
+    def bucketed(store: DataFrame): Boolean = store.columns.contains("bucket")
+    // one job, two ≤StoreBuckets-int sets; evaluated only when some
+    // store is bucketed (cold starts and the oracle drivers skip it).
+    // Keys come from the RAW well-formed batch — a superset of every
+    // probe's keys (supersets over-scan, never lose a match) that
+    // avoids re-running the contract windows inside a planning job.
+    lazy val (textHitBuckets, idHitBuckets) = {
+      val r = batch.filter(wellFormed).agg(
+        collect_set(pmod(hash(md5(col("text"))), lit(StoreBuckets))),
+        collect_set(pmod(hash(col("doc_id")), lit(StoreBuckets)))).head()
+      (r.getSeq[Int](0), r.getSeq[Int](1))
+    }
+    def prune(store: DataFrame, buckets: => Seq[Int]): DataFrame =
+      if (!bucketed(store)) store
+      else store.filter(col("bucket").isin(buckets: _*)).drop("bucket")
+
     // 0b. CROSS-BATCH identity gate (the batch-local collision arm
     //    above only sees one micro-batch): a doc_id that already
     //    denotes an ADMITTED document may re-arrive only with the SAME
@@ -346,16 +412,27 @@ object LivePipeline {
     //    class. Ids of REJECTED docs are not burned: their text never
     //    packed, so a later different text under that id is a fresh
     //    admission candidate.
-    //    The probe side collapses to ONE row per doc_id before the
-    //    left join (max is deterministic; the gate itself guarantees
-    //    one md5 per admitted id, so this only absorbs transient
-    //    duplicate store rows) — a fanning join here would emit a doc
-    //    twice into the pack and double-count its tokens into the
-    //    cursor, breaking the store probes' documented never-fan-out
-    //    invariant.
-    val withPrior = contract0.join(
-      priorIds.groupBy("doc_id").agg(max("text_md5").as("prior_md5")),
-      Seq("doc_id"), "left")
+    //    The store is ONE ROW PER ADMITTED doc_id by construction — the
+    //    gate itself admits an id at most once (a same-payload
+    //    re-arrival fates dup_of_corpus, a different payload
+    //    quarantines), per-batch appends are overwrite-idempotent under
+    //    replay, and [[BatchParts.effectiveParts]]' horizon rule makes
+    //    fold and batch sources non-overlapping, with the fold's
+    //    `distinct()` scrubbing any debris at every compaction. So the
+    //    probe is a PLAIN left join, not an aggregate: the former
+    //    per-batch `groupBy(doc_id)` re-aggregated the ENTIRE admitted
+    //    store every micro-batch — the one corpus-shaped per-batch
+    //    exchange in the engine (r12 verdict #1), paid to absorb
+    //    duplicates that cannot exist.
+    val priorSlim = {
+      val base = prune(priorIds, idHitBuckets)
+        .select(col("doc_id"), col("text_md5").as("prior_md5"))
+      if (!bucketed(priorIds)) base
+      else broadcast(base.join(
+        broadcast(batch.filter(wellFormed).select("doc_id").distinct()),
+        Seq("doc_id"), "left_semi"))
+    }
+    val withPrior = contract0.join(priorSlim, Seq("doc_id"), "left")
     val collidedPrior = withPrior.filter(
       col("prior_md5").isNotNull && col("prior_md5") =!= col("text_md5"))
     val contract = withPrior.filter(
@@ -393,9 +470,22 @@ object LivePipeline {
     val canonical = Window.partitionBy(col("text_md5"))
     val scored = TextAnalysis.withQualityFeatures(
       contract.withColumn("canonical_doc", min(col("doc_id")).over(canonical)))
-    val corpusDup = scored.filter(col("doc_id") === col("canonical_doc"))
-      .join(exact, Seq("text_md5"), "left_semi")
+    // bucketed spelling: pruned scan → map-side semi filter against the
+    // broadcast batch hashes → the ≤batch-sized hit set broadcasts back
+    // (a semi join never fans out, so transient duplicate hits are
+    // harmless either way)
+    val exactHits = {
+      val base = prune(exact, textHitBuckets)
+      if (!bucketed(exact)) base
+      else broadcast(base.join(
+        broadcast(batch.filter(wellFormed)
+          .select(md5(col("text")).as("text_md5")).distinct()),
+        Seq("text_md5"), "left_semi"))
+    }
+    val corpusDup0 = scored.filter(col("doc_id") === col("canonical_doc"))
+      .join(exactHits, Seq("text_md5"), "left_semi")
       .select("doc_id").withColumn("in_corpus", lit(true))
+    val corpusDup = if (bucketed(exact)) broadcast(corpusDup0) else corpusDup0
 
     // 2. d13 novelty probe: map-side band keys for the docs still in
     //    play (new text, quality-passing), semi-join against the
@@ -415,9 +505,35 @@ object LivePipeline {
     val bandRows = if (cache)
       bandRows0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else bandRows0
-    val probed = bandRows
-      .join(Dedup.cappedBuckets(bands), Seq("band_id", "bh"), "left_semi")
+    // band hit buckets come from the SIGNED batch (band keys exist only
+    // after shingling) — one extra reduce over the cached bandRows
+    lazy val bandHitBuckets: Seq[Int] = bandRows
+      .select(pmod(hash(col("band_id"), col("bh")), lit(StoreBuckets)).as("bk"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val probeable =
+      if (!bucketed(bands)) Dedup.cappedBuckets(bands)
+      else {
+        // the d13 skew cap, batch-keyed: per-key sizes are computed for
+        // the BATCH's band keys only — the semi filter runs map-side
+        // against the broadcast key set and count(*) partial-combines,
+        // so the one post-scan exchange carries ≤ keys × partitions
+        // rows (never a corpus-wide bucket aggregate). Physical-row
+        // counts are exact here for the same reason the ids store is
+        // one-row-per-id: the horizon rule keeps fold and batch
+        // sources non-overlapping and per-batch band appends are
+        // admitted-doc-unique, so a row count IS the distinct-doc
+        // count cappedBuckets measures.
+        val hitKeys = broadcast(bandRows.select("band_id", "bh").distinct())
+        broadcast(prune(bands, bandHitBuckets)
+          .join(hitKeys, Seq("band_id", "bh"), "left_semi")
+          .groupBy("band_id", "bh").agg(count(lit(1)).as("bsz"))
+          .filter(col("bsz") <= Dedup.MaxBucketDocs)
+          .select("band_id", "bh"))
+      }
+    val probed0 = bandRows
+      .join(probeable, Seq("band_id", "bh"), "left_semi")
       .select("doc_id").distinct().withColumn("hit", lit(true))
+    val probed = if (bucketed(bands)) broadcast(probed0) else probed0
     val verdict = inPlay.join(probed, Seq("doc_id"), "left")
       .withColumn("is_novel", col("hit").isNull).drop("hit")
 
@@ -816,7 +932,13 @@ object LivePipeline {
       recoverCompaction(s, cfg.root, kind)
       val parts = BatchParts.effectiveParts(s, dir)
         .filter(p => lastCommitted.exists(p._1 <= _))
-      if (parts.length > 1) {
+      // re-fold when there is history to fold — or when the lone fold
+      // predates the bucketed layout (migration: one maintenance pass
+      // upgrades a flat store to the pruned probe path)
+      val refold = parts.length > 1 || parts.headOption.exists { case (_, p, isFold) =>
+        isFold && !BatchParts.foldBuckets(s, p).contains(StoreBuckets.toLong)
+      }
+      if (refold) {
         val h = parts.last._1
         val gen = BatchParts.nextFoldGen(s, dir)
         val schema = kind match {
@@ -824,10 +946,27 @@ object LivePipeline {
           case "bands" => BandSchema
           case _ => IdSchema
         }
-        s.read.schema(schema).parquet(parts.map(_._2): _*)
+        val staging = BatchParts.stagingPath(dir, h, gen)
+        // the fold IS the store's probe layout: distinct + re-layout
+        // into bucket=<hash(key) % StoreBuckets> dirs, ~one task per
+        // bucket — the per-batch probes partition-prune their scans to
+        // the arriving batch's buckets, so probe I/O stops scaling
+        // with the corpus. Two keyed corpus exchanges (dedup + the
+        // bucket re-layout) at MAINTENANCE cadence, never per batch.
+        parts.map { case (_, p, isFold) => readPartFlat(s, p, isFold, schema) }
+          .reduce(_.unionByName(_))
           .distinct()
-          .write.mode("overwrite")
-          .parquet(BatchParts.stagingPath(dir, h, gen))
+          .withColumn("bucket", storeBucket(kind))
+          .repartition(StoreBuckets, col("bucket"))
+          .write.mode("overwrite").partitionBy("bucket").parquet(staging)
+        // bucket-count marker, written INSIDE the staging before the
+        // commit rename: gates read-side pruning ([[foldBuckets]]). A
+        // crash between the parquet `_SUCCESS` and this marker commits
+        // a markerless fold — read correctly via recomputed buckets,
+        // just unpruned, and re-laid by the next compact (the `refold`
+        // arm above).
+        val mfs = new Path(dir).getFileSystem(s.sparkContext.hadoopConfiguration)
+        mfs.create(new Path(staging, s"_buckets-$StoreBuckets"), true).close()
         BatchParts.commitFold(s, dir, h, gen)
       }
     }
@@ -863,14 +1002,63 @@ object LivePipeline {
   /** Union of a store's partitions committed STRICTLY BEFORE `ltBatch`
     * (state as of the previous commit), or an empty frame on a cold
     * start.
+    *
+    * For the accumulating stores ([[BucketedKinds]]) with a bucketed
+    * fold on disk, the frame carries an extra `bucket` partition column
+    * — the fold's own partition values where the marker matches
+    * [[StoreBuckets]] (so a probe-side `bucket IN (...)` filter reaches
+    * the scan as a PartitionFilter), recomputed map-side for the
+    * not-yet-folded batch dirs and for a marker-mismatched fold. The
+    * column's presence is [[curatePack]]'s signal that the
+    * pruned+broadcast probe spelling applies. Each part is read under
+    * its own root (a multi-root read mixing bucketed and flat dirs
+    * trips partition discovery — the LiveVectors basePath lesson).
     */
-  private def readStore(s: SparkSession, root: String, kind: String,
+  private[graft] def readStore(s: SparkSession, root: String, kind: String,
       ltBatch: Long, schema: StructType): DataFrame = {
-    val dirs = BatchParts.effectiveParts(s, s"$root/$kind")
-      .filter(_._1 < ltBatch).map(_._2)
-    if (dirs.isEmpty) s.createDataFrame(s.sparkContext.emptyRDD[Row], schema)
-    else s.read.schema(schema).parquet(dirs: _*)
+    val parts = BatchParts.effectiveParts(s, s"$root/$kind").filter(_._1 < ltBatch)
+    if (parts.isEmpty) s.createDataFrame(s.sparkContext.emptyRDD[Row], schema)
+    else {
+      val marks: Map[String, Option[Long]] = parts.collect {
+        case (_, p, true) => p -> BatchParts.foldBuckets(s, p)
+      }.toMap
+      if (!BucketedKinds(kind) || marks.values.forall(_.isEmpty))
+        s.read.schema(schema).parquet(parts.map(_._2): _*)
+      else parts.map { case (_, p, isFold) =>
+        if (isFold && marks(p).contains(StoreBuckets.toLong))
+          s.read.option("basePath", p)
+            .schema(schema.add(StructField("bucket", IntegerType)))
+            .parquet(p)
+        else readPartFlat(s, p, isFold, schema)
+          .withColumn("bucket", storeBucket(kind))
+      }.reduce(_.unionByName(_))
+    }
   }
+
+  /** One store part with exactly the store's data columns — a bucketed
+    * fold's partition column is read explicitly and dropped (an
+    * inference-free spelling that cannot shift columns between flat and
+    * bucketed fold layouts).
+    */
+  private def readPartFlat(s: SparkSession, path: String, isFold: Boolean,
+      schema: StructType): DataFrame =
+    if (isFold && BatchParts.foldBuckets(s, path).isDefined)
+      s.read.option("basePath", path)
+        .schema(schema.add(StructField("bucket", IntegerType)))
+        .parquet(path).drop("bucket")
+    else s.read.schema(schema).parquet(path)
+
+  /** The dedup-store frames + cursor snapshot exactly as [[step]] reads
+    * them: `(exact, bands, priorIds, cursors)` — the spec hook that
+    * lets plan pins run [[curatePack]] against real on-disk (bucketed)
+    * stores.
+    */
+  private[graft] def probeFrames(s: SparkSession, cfg: Config, ltBatch: Long)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) =
+    (readStore(s, cfg.root, "exact", ltBatch, ExactSchema),
+     readStore(s, cfg.root, "bands", ltBatch, BandSchema),
+     readStore(s, cfg.root, "ids", ltBatch, IdSchema),
+     latestCursors(s, cfg, ltBatch))
 
   /** The most recent cursor snapshot before `ltBatch` (snapshots are
     * FULL per-(lang, shard) states, so only the latest one is read).
@@ -993,6 +1181,23 @@ private[streaming] object BatchParts {
 
   def stagingPath(dir: String, h: Long, gen: Long): String =
     s"$dir/.compact-$h-$gen"
+
+  /** A fold dir's bucket layout: Some(B) when it is `bucket=`-partitioned
+    * with a `_buckets-<B>` marker, Some(-1) when the bucket dirs exist
+    * but the marker is missing/unreadable (a crash before the marker
+    * write — readable, never pruned), None for a flat fold. One
+    * driver-side listing.
+    */
+  def foldBuckets(s: SparkSession, dir: String): Option[Long] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    val names = fs.listStatus(p).toSeq.map(_.getPath.getName)
+    if (!names.exists(_.startsWith("bucket="))) None
+    else Some(names.collectFirst { case n if n.startsWith("_buckets-") =>
+      n.stripPrefix("_buckets-").toLongOption.getOrElse(-1L)
+    }.getOrElse(-1L))
+  }
 
   /** The next unused fold generation — scans committed folds AND
     * stagings, so a crashed attempt's number is never reused (reuse

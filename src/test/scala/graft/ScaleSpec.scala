@@ -673,6 +673,63 @@ class ScaleSpec extends AnyFunSuite {
       s"x32 correction table must broadcast:\n$p32")
   }
 
+  test("live intake probes: bucketed folds prune to hit buckets, no store-side shuffle join") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-live-bucketed").toString
+    val cfg = graft.streaming.LivePipeline.Config(root)
+    def mkText(tag: String, last: String): String =
+      (1 to 36).map(j => s"${tag}word$j").mkString(" ") + s" the $tag of this is $last"
+    graft.streaming.LivePipeline.step(Seq(
+      (1L, "en", mkText("alpha", "high")),
+      (2L, "en", mkText("beta", "high"))).toDF("doc_id", "lang", "text"), 0L, cfg)
+    graft.streaming.LivePipeline.step(Seq(
+      (3L, "en", mkText("gamma", "high"))).toDF("doc_id", "lang", "text"), 1L, cfg)
+    graft.streaming.LivePipeline.compact(spark, cfg)
+    // the fold IS the probe layout: bucket= dirs + the bucket-count marker
+    val foldDir = new java.io.File(s"$root/exact").listFiles()
+      .map(_.getName).find(_.startsWith("fold=")).get
+    val inside = new java.io.File(s"$root/exact/$foldDir").listFiles().map(_.getName)
+    assert(inside.exists(_.startsWith("bucket=")) && inside.contains("_buckets-64"),
+      s"fold must be bucket-partitioned with its marker, found: ${inside.toSeq}")
+
+    // the frames step() reads carry the bucket partition column — the
+    // signal for the pruned+broadcast probe spelling
+    val (exact, bands, ids, cursors) =
+      graft.streaming.LivePipeline.probeFrames(spark, cfg, 2L)
+    assert(Seq(exact, bands, ids).forall(_.columns.contains("bucket")))
+
+    // batch 2 exercises all three probes: an exact dup of folded doc 1,
+    // a near-dup of folded doc 2, a novel doc, and doc 1's id re-sent
+    // with a different payload (the cross-batch identity gate)
+    val batch2 = Seq(
+      (10L, "en", mkText("alpha", "high")), // dup_of_corpus (exact probe)
+      (11L, "en", mkText("beta", "low")),   // near_dup (bands probe)
+      (12L, "en", mkText("delta", "high")), // admitted
+      (1L, "en", mkText("omega", "high"))   // id_collision (ids probe)
+    ).toDF("doc_id", "lang", "text")
+    val r = graft.streaming.LivePipeline.curatePack(
+      batch2, exact, bands, cursors, ids, cfg)
+    val plan = executedPlan(r.audit)
+    // (a) every store scan prunes to the batch's hit buckets — the IN
+    // filter must reach all three fold scans as a PartitionFilter
+    val nPruned = "PartitionFilters: \\[bucket".r.findAllIn(plan).length
+    assert(nPruned >= 3, s"all three store scans must partition-prune ($nPruned):\n$plan")
+    // (b) the corpus-shaped store sides are never exchanged: every join
+    // in the per-batch probe plan is broadcast-shaped (store scans feed
+    // broadcast semi filters; batch-sized results broadcast back) —
+    // asserted over the WHOLE plan string, so an AQE runtime conversion
+    // cannot mask an SMJ in the initial plan
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"store probes must stay broadcast-shaped:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"probes must stay keyed:\n$plan")
+    // (c) pruning must not lose matches: the fates are the proof
+    val fates = r.audit.collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[String]("fate")).toMap
+    assert(fates === Map(10L -> "dup_of_corpus", 11L -> "near_dup",
+      12L -> "admitted", 1L -> "id_collision"))
+  }
+
   test("live index serve: term filter is pushed into the postings scan") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-liveidx-plan").toString

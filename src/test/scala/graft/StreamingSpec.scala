@@ -863,8 +863,14 @@ class StreamingSpec extends AnyFunSuite {
     // the staging and gate doc 300 against the folded state.
     for (kind <- Seq("exact", "bands")) {
       val dirs = (foldIds(kind) ++ partIds(kind)).map(n => s"$root/$kind/$n").toSeq
-      val schema = spark.read.parquet(dirs.head).schema
-      spark.read.schema(schema).parquet(dirs: _*).distinct()
+      // per-dir reads (a bucketed fold and a flat batch dir cannot share
+      // one multi-root parquet call) projected to the data columns — the
+      // staging is written FLAT, i.e. the legacy pre-bucketing format,
+      // so recovery's commit of old-layout stagings stays covered
+      val frames = dirs.map(spark.read.parquet(_))
+      val cols = frames.map(_.columns.filterNot(_ == "bucket").toSeq)
+        .reduce(_ intersect _)
+      frames.map(_.select(cols.map(col): _*)).reduce(_ unionByName _).distinct()
         .write.mode("overwrite").parquet(s"$root/$kind/.compact-1-9")
     }
     graft.streaming.LivePipeline.step(Seq(
