@@ -26,6 +26,19 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   private val Runs = 3
 
+  /** Recorded intake drain rate (docs/sec) at sf0.1, local[32] — the
+    * streaming-path analogue of [[BaselineMedians]]: 2000 documents
+    * through the composed curate→dedup→pack+index step in 6
+    * micro-batches with a mid-drain compact (so half the drain runs the
+    * bucketed-store probe path). Recorded round 13 in the 0.052-floor
+    * session that re-recorded x30/x31 (three sessions read 28.1 / 37.4
+    * / 44.8 docs/sec — the drain is commit-dominated, so scheduling
+    * noise lands directly on it). Single-number comparison only: treat
+    * ±40% as session noise and an order-of-magnitude drop as a real
+    * streaming-path regression.
+    */
+  private val IntakeRateRecorded = 44.8
+
   /** Recorded per-query `(median, recording floor)` (sf0.1, local[32],
     * 3-run interleaved medians under the noop-sink timed action) — the
     * regression baseline. The second element is the calibration floor
@@ -139,11 +152,15 @@ object Bench {
       // became one pre-aggregate + gh window): 3.146 -> 1.917, from a
       // 0.068-floor isolated session
       ("d10_substring_dedup" -> ((1.917, 0.068))) +
-      // re-recorded after the cross-batch identity gate (one extra
-      // doc_id-keyed probe join in curatePack): 2.200/1.490 ->
-      // 2.947/2.137, from a 0.055-floor isolated session
-      ("x30_intake_audit" -> ((2.947, 0.055))) +
-      ("x31_intake_contract" -> ((2.137, 0.055)))
+      // re-recorded round 13 after the bucketed-store probe respell
+      // (the per-batch priorIds groupBy became a plain left join —
+      // x30's store side is no longer aggregated per batch; x31 probes
+      // empty stores and reads flat): 2.947/2.137 -> 2.719/2.138, from
+      // a 0.052-floor isolated session (first of three sessions read
+      // 4.10/3.31 at floor 0.076 — VM stall pattern, not reproduced at
+      // 0.094 or 0.052)
+      ("x30_intake_audit" -> ((2.719, 0.052))) +
+      ("x31_intake_contract" -> ((2.138, 0.052)))
   }
 
   def main(args: Array[String]): Unit = {
@@ -293,7 +310,38 @@ object Bench {
     val errors = results.collect { case (k, m, _) if m < 0 => k }
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.collect { case (_, m, _) if m >= 0 => m }.sum
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$Runs,"floor":${r3(floor)},"errors":$errs,"regressions":$reg,"regressions_isolated":$iso,"over2x_isolated":$iso2x,"sf":"$sfDir","queries":$qs}"""
+    // Streaming-path throughput artifact (the batch medians above never
+    // time the continuous intake): drain the documents slice through the
+    // COMPOSED live step (curate→dedup→pack + BM25 index maintenance) in
+    // 6 micro-batches with a mid-drain compact, so the back half runs
+    // the bucketed-store probe path a long-lived intake lives on. One
+    // number, docs/sec over the whole drain (store commits included) —
+    // compared against the recorded rate the same way query medians are,
+    // so a streaming-path regression is bench-visible. -1 on a throw
+    // (the errors discipline: a crash must never read as a fast drain).
+    val intakeRate: Double = try {
+      val root = java.nio.file.Files.createTempDirectory("graft-bench-intake").toString
+      val cfg = graft.streaming.LivePipeline.Config(s"$root/pipe")
+      val idx = graft.streaming.LiveIndex.Config(s"$root/idx")
+      import org.apache.spark.sql.functions.col
+      val slice = Tables.documents(spark, sfDir)
+        .select("doc_id", "lang", "text").filter(col("doc_id") % 10 < 4)
+      val nDocs = slice.count().toDouble // outside the timed region
+      val t0 = System.nanoTime()
+      for (i <- 0 until 6) {
+        graft.streaming.LivePipeline.stepWithIndex(
+          slice.filter(col("doc_id") % 6 === i), i.toLong, cfg, idx)
+        if (i == 2) graft.streaming.LivePipeline.compact(spark, cfg)
+      }
+      nDocs / ((System.nanoTime() - t0) / 1e9)
+    } catch { case _: Throwable => -1.0 }
+    // `nonsignal`: timed entries whose median is NOT the operator's
+    // cost, kept in the suite for keyset/oracle coverage — x20's
+    // training is warmed in setup (ingest-time work), so its entry
+    // measures only the per-query memo overhead. Listed here so the
+    // artifact is self-describing (r12 verdict #3).
+    val nonsignal = """["x20_bpe_train"]"""
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$Runs,"floor":${r3(floor)},"errors":$errs,"regressions":$reg,"regressions_isolated":$iso,"over2x_isolated":$iso2x,"nonsignal":$nonsignal,"intake_docs_per_sec":${r3(intakeRate)},"intake_docs_per_sec_recorded":${r3(IntakeRateRecorded)},"sf":"$sfDir","queries":$qs}"""
     println(line)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),

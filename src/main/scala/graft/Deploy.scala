@@ -100,7 +100,10 @@ object Deploy {
       // SSL_PORT=465 over implicit TLS (smtplib.SMTP_SSL, main.py:59,
       // 316,352) — so a bare host gets exactly that. A 'host:port'
       // value is this engine's extension (test stubs, local relays):
-      // TLS iff the chosen port is the implicit-TLS submission port.
+      // transport security follows the standard submission ports —
+      // 465 speaks TLS from byte 0, 587 demands the STARTTLS upgrade
+      // (a relay that refuses it aborts startup, never a plaintext
+      // downgrade), anything else is plain TCP for stubs/local relays.
       val (host, port) = smtp.split(":", 2) match {
         case Array(h, p) => (h, p.toInt)
         case _ => (smtp, 465)
@@ -109,7 +112,7 @@ object Deploy {
       val creds = env.get("EMAIL_PASSWORD").filter(_.nonEmpty).map(p => (account, p))
       new Transports.SmtpTransport(host, port, from = account,
         to = env.getOrElse("EMAIL_RECIPIENTS", "").split(",").map(_.trim).filter(_.nonEmpty).toSeq,
-        credentials = creds, implicitTls = port == 465)
+        credentials = creds, implicitTls = port == 465, startTls = port == 587)
     }
     // WEBHOOK_STRICT_PROBE=1 opts into failing startup on HEAD 404/410
     // (endpoints that answer HEAD on the hook path); default lenient —

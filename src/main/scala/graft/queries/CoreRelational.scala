@@ -18,6 +18,43 @@ import graft.Cols.{davg, davgSql, dsum, dsumSql}
 object CoreRelational {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Exact global row_number for SKEWED sort keys — o6's two-pass
+    * partition-offset plan with QUANTILE bucket boundaries. o6's
+    * equi-width buckets over [min, max] degrade to one giant bucket
+    * when the key mass concentrates (a heavy-tailed `value` puts ~all
+    * rows below the first width); boundaries from approx_percentile
+    * instead target ~equal ROW COUNTS per bucket for any distribution.
+    * Same plan shape as o6 (PLANS.md's promised swap): one 1-row
+    * broadcast boundary agg, one `bkt` hash exchange, per-bucket
+    * window sort, ≤`buckets`-row broadcast prefix offsets. Output
+    * equals the single-task global window for ANY boundaries (buckets
+    * are disjoint and value-ordered; `tie` must complete a total
+    * order), so boundary error degrades parallelism, never
+    * correctness. Residual bound: rows EQUAL to one value cannot be
+    * split by any value bucketing — per-bucket load is ~n/buckets
+    * plus the multiplicity of its boundary value.
+    */
+  def globalRankQuantile(df: DataFrame, value: org.apache.spark.sql.Column,
+      tie: org.apache.spark.sql.Column, buckets: Int = 32): DataFrame = {
+    val probs = (1 until buckets).map(_.toDouble / buckets)
+    val bounds = df.agg(percentile_approx(value, array(probs.map(lit): _*),
+      lit(10000)).as("qbounds"))
+    val bucketed = df.crossJoin(broadcast(bounds))
+      // bkt = number of boundaries ≤ value: monotone in value, 0-based
+      .withColumn("bkt",
+        size(filter(col("qbounds"), b => b <= value)).cast("long"))
+      .drop("qbounds")
+    val local = bucketed.withColumn("lrn",
+      row_number().over(Window.partitionBy("bkt").orderBy(value, tie)).cast("long"))
+    val off = bucketed.groupBy("bkt").agg(count(lit(1)).as("c"))
+      .withColumn("before", coalesce(sum(col("c")).over(
+        Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("bkt", "before")
+    local.join(broadcast(off), "bkt")
+      .withColumn("rnk", col("before") + col("lrn"))
+      .drop("bkt", "lrn", "before")
+  }
+
   def queries: Map[String, Q] = Map(
     // ── Aggregations (§2.7) ────────────────────────────────────────────
     // A1 count/sum/avg family — TPC-H Q1-shaped pricing summary.

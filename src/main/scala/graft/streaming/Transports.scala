@@ -103,9 +103,16 @@ object Transports {
     * `check_hostname=True` half of `create_default_context`).
     * `sslContext` injects trust for tests (a self-signed stub cert);
     * None uses the platform default trust store, like the reference.
-    * Plain TCP (`implicitTls = false`) remains for in-process stubs and
-    * trusted-network relays; STARTTLS (upgrade-in-band on 587) is still
-    * out of scope — deployments that need it should front a relay.
+    * `startTls = true` is the port-587 upgrade-in-band leg (RFC 3207):
+    * plain greeting + EHLO, `STARTTLS`, TLS handshake on the same
+    * socket (same endpoint identification as the implicit leg), then a
+    * SECOND EHLO — §4.2 resets protocol state across the handshake —
+    * with AUTH only ever inside the tunnel. The upgrade is demanded,
+    * not negotiated: a server that refuses STARTTLS fails the session
+    * loudly (probe/startup abort) — never a silent plaintext
+    * downgrade, which is the classic STARTTLS-stripping attack shape.
+    * Plain TCP (`implicitTls = false, startTls = false`) remains for
+    * in-process stubs and trusted-network relays.
     */
   final class SmtpTransport(
       host: String,
@@ -118,17 +125,22 @@ object Transports {
       timeoutMs: Int = 10000,
       implicitTls: Boolean = false,
       sslContext: Option[javax.net.ssl.SSLContext] = None,
-      allowPlaintextAuth: Boolean = false) extends AlertTransport {
+      allowPlaintextAuth: Boolean = false,
+      startTls: Boolean = false) extends AlertTransport {
     require(to.nonEmpty, "SmtpTransport needs at least one recipient")
+    require(!(implicitTls && startTls),
+      s"smtp $name: implicitTls and startTls are mutually exclusive " +
+        "(TLS-from-byte-0 on 465 vs upgrade-in-band on 587)")
     // AUTH LOGIN is base64, not encryption: credentials over plain TCP
     // hand the password to any passive observer, and implicitTls=false
     // is the DEFAULT — exactly the misconfiguration shape (set the
     // creds, forget the TLS flag). The reference always authenticates
     // over SMTP_SSL; plaintext auth here needs the explicit opt-in
-    // (in-process test stubs, localhost relays).
-    require(credentials.isEmpty || implicitTls || allowPlaintextAuth,
+    // (in-process test stubs, localhost relays). startTls counts as
+    // transport security: AUTH runs strictly after the handshake.
+    require(credentials.isEmpty || implicitTls || startTls || allowPlaintextAuth,
       s"smtp $name: credentials over plain TCP need allowPlaintextAuth=true " +
-        "(or implicitTls=true — the reference's SMTP_SSL path)")
+        "(or implicitTls/startTls — the encrypted legs)")
 
     /** One scripted SMTP session: connect, greet, auth, run `body`, QUIT. */
     private def session[A](body: (BufferedReader, OutputStreamWriter) => A): A = {
@@ -140,11 +152,11 @@ object Transports {
       try {
         sock.connect(new java.net.InetSocketAddress(host, port), timeoutMs)
         sock.setSoTimeout(timeoutMs)
-        // implicit TLS: wrap the connected socket before the first SMTP
-        // byte (the 220 greeting arrives encrypted), like SMTP_SSL. The
-        // handshake inherits the plain socket's soTimeout, so a silent
-        // TLS peer cannot hang the startup probe either.
-        val chan: Socket = if (!implicitTls) sock else {
+        // TLS wrap of the (connected) socket, shared by both encrypted
+        // legs: endpoint identification ON (hostname/SAN verification),
+        // and the handshake inherits the plain socket's soTimeout, so a
+        // silent TLS peer cannot hang the startup probe.
+        def tlsWrap(): Socket = {
           val factory = sslContext.getOrElse(javax.net.ssl.SSLContext.getDefault)
             .getSocketFactory
           val ssl = factory.createSocket(sock, host, port, true)
@@ -155,15 +167,32 @@ object Transports {
           ssl.startHandshake()
           ssl
         }
-        val in = new BufferedReader(new InputStreamReader(chan.getInputStream, UTF_8))
-        val out = new OutputStreamWriter(chan.getOutputStream, UTF_8)
+        // implicit TLS wraps before the first SMTP byte (the 220
+        // greeting arrives encrypted), like SMTP_SSL
+        val chan: Socket = if (implicitTls) tlsWrap() else sock
+        var in = new BufferedReader(new InputStreamReader(chan.getInputStream, UTF_8))
+        var out = new OutputStreamWriter(chan.getOutputStream, UTF_8)
         expect(in, "220") // server greeting
         // EHLO first: AUTH is an ESMTP extension (RFC 4954) that
         // compliant servers reject inside a HELO session; fall back to
         // HELO for non-ESMTP peers — smtplib's ehlo_or_helo_if_needed,
         // which is what the reference's login() does under the hood
-        out.write("EHLO graft\r\n"); out.flush()
-        if (!reply(in).startsWith("250")) command(in, out, "HELO graft", "250")
+        def ehlo(): Unit = {
+          out.write("EHLO graft\r\n"); out.flush()
+          if (!reply(in).startsWith("250")) command(in, out, "HELO graft", "250")
+        }
+        ehlo()
+        if (startTls) {
+          // DEMAND the upgrade: anything but 220 throws — refusing a
+          // plaintext fallback is the whole point of the flag
+          command(in, out, "STARTTLS", "220")
+          val ssl = tlsWrap()
+          in = new BufferedReader(new InputStreamReader(ssl.getInputStream, UTF_8))
+          out = new OutputStreamWriter(ssl.getOutputStream, UTF_8)
+          // RFC 3207 §4.2: both sides reset to initial state after the
+          // handshake — re-EHLO and discard pre-TLS server knowledge
+          ehlo()
+        }
         credentials.foreach { case (user, pass) =>
           command(in, out, "AUTH LOGIN", "334")
           command(in, out, Base64.getEncoder.encodeToString(user.getBytes(UTF_8)), "334")

@@ -156,6 +156,41 @@ class IngestSpec extends AnyFunSuite {
     }
   }
 
+  test("s3a:// store root: a real store family builds and serves through the stub FS") {
+    // the cluster-placement path EXECUTED, not just plumbed: with
+    // `spark.graft.storeRoot` set to an s3a:// URI, Dedup.ensureStores
+    // must write its signature stores through the (stub) S3A
+    // filesystem and the d2 serving query must read them back through
+    // the same scheme — the store build, the _SUCCESS-committed
+    // partition layout, and the pruned store scans all ride FS-agnostic
+    // Hadoop paths, so production swaps in the real S3AFileSystem by
+    // classpath + credentials alone (MIGRATION.md)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val prevImpl = Option(hconf.get("fs.s3a.impl"))
+    val prevCommitter = Option(hconf.get("mapreduce.outputcommitter.factory.scheme.s3a"))
+    hconf.set("fs.s3a.impl", classOf[StubS3aFileSystem].getName)
+    hconf.set("mapreduce.outputcommitter.factory.scheme.s3a", "")
+    val root = Files.createTempDirectory("graft-s3a-stores").toString
+    spark.conf.set("spark.graft.storeRoot", s"s3a://graft-test-bucket$root")
+    try {
+      // path alias = fresh dataset key, so this build cannot ride an
+      // earlier test's memoized temp-dir store
+      val d = "/root/testdata/./sf0.001"
+      graft.operators.Dedup.ensureStores(spark, d)
+      val kinds = new java.io.File(root).listFiles().flatMap(_.listFiles())
+        .map(_.getName).toSet
+      assert(kinds.contains("minhash-store") && kinds.contains("simhash-store"),
+        s"stores must land under the s3a:// root (stub-mapped to $root), found: $kinds")
+      assert(SparkEntry.queries("d2_minhash_lsh")(spark, d).count() > 0,
+        "serving must read the store back through s3a:// scans")
+    } finally {
+      spark.conf.unset("spark.graft.storeRoot")
+      prevImpl.fold(hconf.unset("fs.s3a.impl"))(hconf.set("fs.s3a.impl", _))
+      prevCommitter.fold(hconf.unset("mapreduce.outputcommitter.factory.scheme.s3a"))(
+        hconf.set("mapreduce.outputcommitter.factory.scheme.s3a", _))
+    }
+  }
+
   test("Collector.run chains bootstrap, self-test, and the tail from the env alone") {
     val archive = Files.createTempDirectory("graft-coll-arch").toString
     val out = Files.createTempDirectory("graft-coll-out").toString
@@ -287,13 +322,15 @@ class IngestSpec extends AnyFunSuite {
     * machine, MAIL/RCPT/DATA, QUIT. Records logins and message bodies.
     */
   private class SmtpStub(failAuth: Boolean = false,
-      tls: Option[javax.net.ssl.SSLContext] = None) {
+      tls: Option[javax.net.ssl.SSLContext] = None,
+      startTlsCtx: Option[javax.net.ssl.SSLContext] = None) {
     private val server = tls match {
       case Some(ctx) => ctx.getServerSocketFactory.createServerSocket(0)
       case None => new java.net.ServerSocket(0)
     }
     def port: Int = server.getLocalPort
     @volatile var logins = 0
+    @volatile var loginsInTunnel = 0 // STARTTLS stub: AUTHs after upgrade
     @volatile var messages = Vector.empty[String]
     private val thread = new Thread(() => {
       try while (true) {
@@ -303,8 +340,9 @@ class IngestSpec extends AnyFunSuite {
         // not pin the accept loop forever
         s.setSoTimeout(5000)
         try {
-        val in = new java.io.BufferedReader(new java.io.InputStreamReader(s.getInputStream, "UTF-8"))
-        val w = new java.io.OutputStreamWriter(s.getOutputStream, "UTF-8")
+        var in = new java.io.BufferedReader(new java.io.InputStreamReader(s.getInputStream, "UTF-8"))
+        var w = new java.io.OutputStreamWriter(s.getOutputStream, "UTF-8")
+        var upgraded = false
         def reply(l: String): Unit = { w.write(l + "\r\n"); w.flush() }
         reply("220 stub ESMTP")
         var authState = 0 // 1 = expect user, 2 = expect pass
@@ -320,11 +358,25 @@ class IngestSpec extends AnyFunSuite {
           } else if (authState == 1) { authState = 2; reply("334 UGFzc3dvcmQ6") }
           else if (authState == 2) {
             authState = 0; logins += 1
+            if (upgraded) loginsInTunnel += 1
             reply(if (failAuth) "535 authentication failed" else "235 accepted")
           } else line.takeWhile(_ != ':').toUpperCase match {
             case l if l.startsWith("HELO") => reply("250 stub")
-            case "AUTH LOGIN" => authState = 1; reply("334 VXNlcm5hbWU6")
+            case "STARTTLS" if startTlsCtx.isDefined =>
+              // RFC 3207 server leg: 220, then the SAME socket upgrades
+              // (server-mode handshake) and the session continues inside
+              reply("220 go ahead")
+              val ssl = startTlsCtx.get.getSocketFactory
+                .createSocket(s, "127.0.0.1", s.getPort, false)
+                .asInstanceOf[javax.net.ssl.SSLSocket]
+              ssl.setUseClientMode(false)
+              ssl.startHandshake()
+              in = new java.io.BufferedReader(
+                new java.io.InputStreamReader(ssl.getInputStream, "UTF-8"))
+              w = new java.io.OutputStreamWriter(ssl.getOutputStream, "UTF-8")
+              upgraded = true
             case "MAIL FROM" => reply("250 OK")
+            case "AUTH LOGIN" => authState = 1; reply("334 VXNlcm5hbWU6")
             case "RCPT TO" => reply("250 OK")
             case "DATA" => inData = true; reply("354 end with .")
             case "QUIT" => reply("221 bye"); line = null
@@ -403,6 +455,48 @@ class IngestSpec extends AnyFunSuite {
       // exactly smtplib.SMTP_SSL(EMAIL_SMTP, SSL_PORT) (main.py:59,316)
       val ts = graft.Deploy.transports(Map(
         "EMAIL_SMTP" -> "mail.example.com", "EMAIL_ACCOUNT" -> "a@b",
+        "EMAIL_PASSWORD" -> "pw", "EMAIL_RECIPIENTS" -> "ops@b"))
+      assert(ts.length === 1 && ts.head.name === "smtp")
+    } finally stub.close()
+  }
+
+  test("SMTP STARTTLS: upgrade-in-band on the same socket, auth inside the tunnel only") {
+    import graft.streaming.Transports.SmtpTransport
+    val (serverCtx, clientCtx) = selfSignedTlsContexts()
+    val stub = new SmtpStub(startTlsCtx = Some(serverCtx))
+    try {
+      // startTls counts as transport security: no allowPlaintextAuth
+      // opt-in needed even though the dial is plain TCP
+      val smtp = new SmtpTransport("127.0.0.1", stub.port, "graft@local",
+        Seq("ops@local"), credentials = Some(("user", "secret")),
+        startTls = true, sslContext = Some(clientCtx))
+      smtp.probe() // greet, EHLO, STARTTLS, handshake, re-EHLO, AUTH, QUIT
+      assert(stub.logins === 1 && stub.messages.isEmpty)
+      assert(stub.loginsInTunnel === 1,
+        "credentials must only ever cross the wire inside the TLS tunnel")
+      smtp.send("delay episode: upgrade-in-band delivery")
+      assert(stub.messages.length === 1)
+      assert(stub.messages.head.contains("upgrade-in-band delivery"))
+      assert(stub.loginsInTunnel === 2)
+      // a server that refuses the upgrade (plain stub answers STARTTLS
+      // with 500) fails the session loudly — never a silent plaintext
+      // fallback, the STARTTLS-stripping attack shape
+      val plainStub = new SmtpStub()
+      try {
+        val stripped = new SmtpTransport("127.0.0.1", plainStub.port,
+          "graft@local", Seq("ops@local"), startTls = true,
+          sslContext = Some(clientCtx), timeoutMs = 2000)
+        intercept[java.io.IOException](stripped.probe())
+      } finally plainStub.close()
+      // the two TLS legs are mutually exclusive knobs
+      intercept[IllegalArgumentException](
+        new SmtpTransport("127.0.0.1", stub.port, "graft@local",
+          Seq("ops@local"), implicitTls = true, startTls = true))
+      // Deploy parity: host:587 builds the STARTTLS leg (the standard
+      // submission port), creds passing the plaintext-auth gate via
+      // the upgrade — no allowPlaintextAuth needed
+      val ts = graft.Deploy.transports(Map(
+        "EMAIL_SMTP" -> "mail.example.com:587", "EMAIL_ACCOUNT" -> "a@b",
         "EMAIL_PASSWORD" -> "pw", "EMAIL_RECIPIENTS" -> "ops@b"))
       assert(ts.length === 1 && ts.head.name === "smtp")
     } finally stub.close()

@@ -673,6 +673,45 @@ class ScaleSpec extends AnyFunSuite {
       s"x32 correction table must broadcast:\n$p32")
   }
 
+  test("o6 quantile variant: per-bucket rows stay bounded under heavy key skew") {
+    import spark.implicits._
+    // pathologically skewed sort key: value = (id/n)^8 concentrates
+    // ~97% of the mass in o6's first equi-width bucket; the quantile
+    // boundaries must keep every bucket ~n/B regardless
+    val n = 20000L
+    val df = spark.range(n).select(col("id").as("event_id"),
+      pow(col("id").cast("double") / n.toDouble, 8.0).as("value"))
+    val ranked = graft.queries.CoreRelational
+      .globalRankQuantile(df, col("value"), col("event_id"), buckets = 32)
+    // plan shape: the o6 discipline — bkt-keyed window exchange plus
+    // broadcast boundary/offset tables, never Exchange SinglePartition
+    // feeding a corpus window
+    val plan = executedPlan(ranked)
+    assert(plan.contains("hashpartitioning(bkt"),
+      s"rank window must be bkt-keyed:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"offset table must broadcast:\n$plan")
+    // exactness: identical to the single-task global window
+    val got = ranked.select("rnk", "event_id").collect()
+      .map(r => r.getLong(1) -> r.getLong(0)).toMap
+    val want = df.withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("value"), col("event_id"))).cast("long"))
+      .select("rnk", "event_id").collect()
+      .map(r => r.getLong(1) -> r.getLong(0)).toMap
+    assert(got === want, "quantile bucketing must not change a single rank")
+    // the skew bound the variant exists for: no bucket holds more than
+    // a small multiple of the even share (equi-width would put ~97% of
+    // rows in one bucket here)
+    val perBucket = df.crossJoin(broadcast(df.agg(percentile_approx(col("value"),
+        array((1 until 32).map(i => lit(i / 32.0)): _*), lit(10000)).as("qb"))))
+      .withColumn("bkt", size(filter(col("qb"), b => b <= col("value"))))
+      .groupBy("bkt").count().collect().map(_.getAs[Long]("count"))
+    val even = n.toDouble / 32
+    assert(perBucket.max <= 2 * even,
+      s"quantile buckets must stay bounded, got max ${perBucket.max} vs even $even")
+  }
+
   test("live intake probes: bucketed folds prune to hit buckets, no store-side shuffle join") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-live-bucketed").toString
