@@ -52,6 +52,19 @@ object LiveIndex {
     StructField("doc_id", LongType),
     StructField("dl", LongType)))
 
+  /** The shared store bucket count ([[LivePipeline.StoreBuckets]] — one
+    * constant across the streaming stores, so the marker protocol
+    * cannot diverge). Folds bucket each store by its PROBE key:
+    * doclens by `doc_id` (the step's replay-dedup probe prunes to the
+    * arriving batch's id buckets), postings by `word` (serving prunes
+    * the postings scan to the QUERY TERMS' buckets — directory-level
+    * pruning ahead of the pushed `In(word, ...)` filter, so a query
+    * reads ≤|terms| bucket dirs instead of every row-group's stats).
+    */
+  private val B = LivePipeline.StoreBuckets
+  private def idBucket = pmod(hash(col("doc_id")), lit(B))
+  private def wordBucket = pmod(hash(col("word")), lit(B))
+
   /** Start the continuous intake over a streaming `(doc_id, text)`
     * frame (extra columns ignored); each micro-batch commits its own
     * docs' postings and lengths.
@@ -79,19 +92,9 @@ object LiveIndex {
     val dlParts = BatchParts.effectiveParts(s, s"${cfg.root}/doclens")
     if (BatchParts.isCommittedIn(dlParts, batchId)) return
     if (batch.isEmpty) return
-    val indexed = dlParts.map(_._2) match {
-      case Seq() => batch.limit(0).select("doc_id")
-      case dirs => s.read.schema(DoclenSchema).parquet(dirs: _*).select("doc_id")
-    }
     // the token explode feeds both commits — cache it so each batch
-    // tokenizes once, not twice. Tombstoned ids are excluded too: an
-    // arrival of a forgotten id stays dropped until the tombstones are
-    // retired, so the compact-crash window (rows applied, tombstones
-    // not yet deleted) can never erase a legitimately re-admitted doc
-    // — nothing is admitted under a live tombstone.
-    val toks = batch.dropDuplicates("doc_id")
-      .join(indexed, Seq("doc_id"), "left_anti")
-      .join(broadcast(tombstones(s, cfg)), Seq("doc_id"), "left_anti")
+    // tokenizes once, not twice
+    val toks = freshArrivals(batch, batchId, cfg, dlParts)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -103,17 +106,71 @@ object LiveIndex {
     } finally { toks.unpersist(); () }
   }
 
-  /** A store as one multi-path relation over effective parts with id
-    * ≤ `upTo` ([[BatchParts.effectiveParts]], one listing; fold
-    * horizons are always ≤ the last commit, hence ≤ `upTo`). Safe
-    * under concurrent maintenance: folds commit by rename and
-    * superseded dirs are only GC'd from the next writer op.
+  /** The batch rows that will actually index: already-indexed doc_ids
+    * drop (producer retries under fresh batch ids), as do tombstoned
+    * ids — an arrival of a forgotten id stays dropped until the
+    * tombstones are retired, so the compact-crash window (rows
+    * applied, tombstones not yet deleted) can never erase a
+    * legitimately re-admitted doc.
+    *
+    * The store side follows the [[LivePipeline.curatePack]] probe
+    * discipline: for a streaming micro-batch (`batchId >= 0`) against
+    * a non-empty store, the doclens scan is PRUNED to the batch's id
+    * buckets when the fold is bucketed, filtered map-side against a
+    * BROADCAST of the batch's ids, and the batch-sized matches
+    * broadcast back into the anti-join — the store side is never
+    * exchanged. Seed-class batches (`batchId < 0` — [[LivePipeline
+    * .seedWithIndex]] drives the whole existing corpus through one
+    * pseudo-batch) keep the keyed anti-join: a corpus-sized "batch"
+    * must never be broadcast. Spec hook: ScaleSpec pins this plan on
+    * a real bucketed store.
+    */
+  private[graft] def freshArrivals(batch: DataFrame, batchId: Long,
+      cfg: Config): DataFrame =
+    freshArrivals(batch, batchId, cfg, BatchParts.effectiveParts(
+      batch.sparkSession, s"${cfg.root}/doclens"))
+
+  private[graft] def freshArrivals(batch: DataFrame, batchId: Long,
+      cfg: Config, dlParts: Seq[(Long, String, Boolean)]): DataFrame = {
+    val s = batch.sparkSession
+    val deduped = batch.dropDuplicates("doc_id")
+    val masked = deduped
+      .join(broadcast(tombstones(s, cfg)), Seq("doc_id"), "left_anti")
+    if (dlParts.isEmpty) return masked
+    val store = BatchParts.readMaybeBucketed(s, dlParts, DoclenSchema, idBucket, B)
+    val bucketed = store.columns.contains("bucket")
+    if (batchId < 0)
+      masked.join(
+        (if (bucketed) store.drop("bucket") else store).select("doc_id"),
+        Seq("doc_id"), "left_anti")
+    else {
+      val ids =
+        if (!bucketed) store.select("doc_id")
+        else {
+          // one job, ≤B ints of planning state — the partition filter
+          // that keeps the replay probe's I/O batch-bucket-sized
+          val hit = deduped.agg(collect_set(idBucket)).head().getSeq[Int](0)
+          store.filter(col("bucket").isin(hit: _*)).drop("bucket")
+            .select("doc_id")
+        }
+      val matched = broadcast(ids.join(
+        broadcast(deduped.select("doc_id")), Seq("doc_id"), "left_semi"))
+      masked.join(matched, Seq("doc_id"), "left_anti")
+    }
+  }
+
+  /** A store's effective parts with id ≤ `upTo` as one FLAT frame
+    * (bucketed fold layouts handled per part). Safe under concurrent
+    * maintenance: folds commit by rename and superseded dirs are only
+    * GC'd from the next writer op.
     */
   private def readStore(s: SparkSession, dir: String, schema: StructType,
       upTo: Long): DataFrame = {
-    val dirs = BatchParts.effectiveParts(s, dir).filter(_._1 <= upTo).map(_._2)
-    if (dirs.isEmpty) s.createDataFrame(s.sparkContext.emptyRDD[Row], schema)
-    else s.read.schema(schema).parquet(dirs: _*)
+    val parts = BatchParts.effectiveParts(s, dir).filter(_._1 <= upTo)
+    if (parts.isEmpty) s.createDataFrame(s.sparkContext.emptyRDD[Row], schema)
+    else parts.map { case (_, p, isFold) =>
+      BatchParts.readPartFlat(s, p, isFold, schema)
+    }.reduce(_.unionByName(_))
   }
 
   /** Last committed batch id (the serving horizon), if any — the
@@ -165,7 +222,22 @@ object LiveIndex {
     val tomb = broadcast(tombstones(s, cfg))
     val dl = readStore(s, s"${cfg.root}/doclens", DoclenSchema, h)
       .join(tomb, Seq("doc_id"), "left_anti")
-    val tf = readStore(s, s"${cfg.root}/postings", PostingSchema, h)
+    // postings: when the fold is word-bucketed, a CONSTANT-FOLDABLE
+    // bucket predicate (pmod(hash(lit(term)))) — the exact fold-time
+    // expression, so the optimizer folds it to literals and the scan
+    // partition-prunes to the query terms' bucket dirs BEFORE the
+    // pushed In(word) filter sees a row-group. No extra job, no
+    // driver-side hash reimplementation to drift.
+    val praw = BatchParts.readMaybeBucketed(s,
+      BatchParts.effectiveParts(s, s"${cfg.root}/postings").filter(_._1 <= h),
+      PostingSchema, wordBucket, B)
+    val pruned =
+      if (!praw.columns.contains("bucket")) praw
+      else if (terms.isEmpty) praw.drop("bucket")
+      else praw.filter(terms.map(t =>
+          col("bucket") === pmod(hash(lit(t)), lit(B))).reduce(_ || _))
+        .drop("bucket")
+    val tf = pruned
       .filter(col("word").isin(terms: _*))
       .select("doc_id", "word", "tf")
       .join(tomb, Seq("doc_id"), "left_anti")
@@ -204,18 +276,29 @@ object LiveIndex {
     horizon(s, cfg).foreach { h =>
       val tombParts = BatchParts.committed(s, s"${cfg.root}/tombstones")
       val tomb = broadcast(tombstones(s, cfg))
-      for ((kind, schema, keys) <- Seq(
-          ("postings", PostingSchema, Seq("word", "doc_id")),
-          ("doclens", DoclenSchema, Seq("doc_id")))) {
+      for ((kind, schema, keys, bexpr) <- Seq(
+          ("postings", PostingSchema, Seq("word", "doc_id"), wordBucket),
+          ("doclens", DoclenSchema, Seq("doc_id"), idBucket))) {
         val dir = s"${cfg.root}/$kind"
         val parts = BatchParts.effectiveParts(s, dir).filter(_._1 <= h)
-        if (parts.length > 1 || (parts.nonEmpty && tombParts.nonEmpty)) {
+        // fold when there is history or tombstones to apply — or when
+        // the lone fold predates the bucketed probe layout (migration)
+        val refold = parts.length > 1 || (parts.nonEmpty && tombParts.nonEmpty) ||
+          parts.headOption.exists { case (_, p, isFold) =>
+            isFold && !BatchParts.foldBuckets(s, p).contains(B.toLong)
+          }
+        if (refold) {
           val hk = parts.last._1
           val gen = BatchParts.nextFoldGen(s, dir)
-          s.read.schema(schema).parquet(parts.map(_._2): _*)
+          // bucketed re-layout (doclens by doc_id for the step's replay
+          // probe, postings by word for serving's term-bucket pruning)
+          // via the shared marker-gated staging
+          val flat = parts.map { case (_, p, isFold) =>
+              BatchParts.readPartFlat(s, p, isFold, schema)
+            }.reduce(_.unionByName(_))
             .dropDuplicates(keys)
             .join(tomb, Seq("doc_id"), "left_anti")
-            .write.mode("overwrite").parquet(BatchParts.stagingPath(dir, hk, gen))
+          BatchParts.stageBucketedFold(s, dir, hk, gen, flat, bexpr, B)
           BatchParts.commitFold(s, dir, hk, gen)
         }
       }

@@ -946,27 +946,19 @@ object LivePipeline {
           case "bands" => BandSchema
           case _ => IdSchema
         }
-        val staging = BatchParts.stagingPath(dir, h, gen)
         // the fold IS the store's probe layout: distinct + re-layout
-        // into bucket=<hash(key) % StoreBuckets> dirs, ~one task per
-        // bucket — the per-batch probes partition-prune their scans to
-        // the arriving batch's buckets, so probe I/O stops scaling
-        // with the corpus. Two keyed corpus exchanges (dedup + the
-        // bucket re-layout) at MAINTENANCE cadence, never per batch.
-        parts.map { case (_, p, isFold) => readPartFlat(s, p, isFold, schema) }
+        // into bucket=<hash(key) % StoreBuckets> dirs ([[BatchParts
+        // .stageBucketedFold]] — marker-gated, crash-tolerant) — the
+        // per-batch probes partition-prune their scans to the arriving
+        // batch's buckets, so probe I/O stops scaling with the corpus.
+        // Two keyed corpus exchanges (dedup + the bucket re-layout) at
+        // MAINTENANCE cadence, never per batch.
+        val flat = parts
+          .map { case (_, p, isFold) => BatchParts.readPartFlat(s, p, isFold, schema) }
           .reduce(_.unionByName(_))
           .distinct()
-          .withColumn("bucket", storeBucket(kind))
-          .repartition(StoreBuckets, col("bucket"))
-          .write.mode("overwrite").partitionBy("bucket").parquet(staging)
-        // bucket-count marker, written INSIDE the staging before the
-        // commit rename: gates read-side pruning ([[foldBuckets]]). A
-        // crash between the parquet `_SUCCESS` and this marker commits
-        // a markerless fold — read correctly via recomputed buckets,
-        // just unpruned, and re-laid by the next compact (the `refold`
-        // arm above).
-        val mfs = new Path(dir).getFileSystem(s.sparkContext.hadoopConfiguration)
-        mfs.create(new Path(staging, s"_buckets-$StoreBuckets"), true).close()
+        BatchParts.stageBucketedFold(s, dir, h, gen, flat,
+          storeBucket(kind), StoreBuckets)
         BatchParts.commitFold(s, dir, h, gen)
       }
     }
@@ -1017,36 +1009,12 @@ object LivePipeline {
   private[graft] def readStore(s: SparkSession, root: String, kind: String,
       ltBatch: Long, schema: StructType): DataFrame = {
     val parts = BatchParts.effectiveParts(s, s"$root/$kind").filter(_._1 < ltBatch)
-    if (parts.isEmpty) s.createDataFrame(s.sparkContext.emptyRDD[Row], schema)
-    else {
-      val marks: Map[String, Option[Long]] = parts.collect {
-        case (_, p, true) => p -> BatchParts.foldBuckets(s, p)
-      }.toMap
-      if (!BucketedKinds(kind) || marks.values.forall(_.isEmpty))
-        s.read.schema(schema).parquet(parts.map(_._2): _*)
-      else parts.map { case (_, p, isFold) =>
-        if (isFold && marks(p).contains(StoreBuckets.toLong))
-          s.read.option("basePath", p)
-            .schema(schema.add(StructField("bucket", IntegerType)))
-            .parquet(p)
-        else readPartFlat(s, p, isFold, schema)
-          .withColumn("bucket", storeBucket(kind))
-      }.reduce(_.unionByName(_))
-    }
+    if (!BucketedKinds(kind)) {
+      if (parts.isEmpty) s.createDataFrame(s.sparkContext.emptyRDD[Row], schema)
+      else s.read.schema(schema).parquet(parts.map(_._2): _*)
+    } else BatchParts.readMaybeBucketed(s, parts, schema,
+      storeBucket(kind), StoreBuckets)
   }
-
-  /** One store part with exactly the store's data columns — a bucketed
-    * fold's partition column is read explicitly and dropped (an
-    * inference-free spelling that cannot shift columns between flat and
-    * bucketed fold layouts).
-    */
-  private def readPartFlat(s: SparkSession, path: String, isFold: Boolean,
-      schema: StructType): DataFrame =
-    if (isFold && BatchParts.foldBuckets(s, path).isDefined)
-      s.read.option("basePath", path)
-        .schema(schema.add(StructField("bucket", IntegerType)))
-        .parquet(path).drop("bucket")
-    else s.read.schema(schema).parquet(path)
 
   /** The dedup-store frames + cursor snapshot exactly as [[step]] reads
     * them: `(exact, bands, priorIds, cursors)` — the spec hook that
@@ -1197,6 +1165,74 @@ private[streaming] object BatchParts {
     else Some(names.collectFirst { case n if n.startsWith("_buckets-") =>
       n.stripPrefix("_buckets-").toLongOption.getOrElse(-1L)
     }.getOrElse(-1L))
+  }
+
+  // ── shared bucketed-fold read/write ──
+  // The probe-layout discipline (fold into `bucket=<hash(probe key) %
+  // B>` dirs so per-batch probes prune their scans and never exchange
+  // the store side) lives here, not per-store: LivePipeline's dedup
+  // stores, LiveIndex's doclens/postings, and any future accumulating
+  // store must agree on the marker protocol and the mixed-layout read,
+  // or a layout change in one would silently break another's probes.
+
+  /** Read one store part with exactly `schema`'s data columns — a
+    * bucketed fold's partition column is read explicitly and dropped
+    * (an inference-free spelling that cannot shift columns between
+    * flat and bucketed fold layouts).
+    */
+  def readPartFlat(s: SparkSession, path: String, isFold: Boolean,
+      schema: StructType): DataFrame =
+    if (isFold && foldBuckets(s, path).isDefined)
+      s.read.option("basePath", path)
+        .schema(schema.add(StructField("bucket", IntegerType)))
+        .parquet(path).drop("bucket")
+    else s.read.schema(schema).parquet(path)
+
+  /** Effective parts as ONE frame. When a marker-matched bucketed fold
+    * (marker == `b`) is present, the frame carries an extra integer
+    * `bucket` column — the fold's own partition values (so a
+    * `bucket IN (...)` probe filter lands as a PartitionFilter),
+    * synthesized via `bucketExpr` for flat parts and recomputed for a
+    * marker-mismatched fold. Otherwise a flat frame WITHOUT the
+    * column — the caller's signal that pruning does not apply. Each
+    * part is read under its own root: a multi-root read mixing
+    * bucketed and flat dirs trips partition discovery.
+    */
+  def readMaybeBucketed(s: SparkSession, parts: Seq[(Long, String, Boolean)],
+      schema: StructType, bucketExpr: Column, b: Int): DataFrame = {
+    if (parts.isEmpty)
+      return s.createDataFrame(s.sparkContext.emptyRDD[Row], schema)
+    val marks: Map[String, Option[Long]] = parts.collect {
+      case (_, p, true) => p -> foldBuckets(s, p)
+    }.toMap
+    if (marks.values.forall(_.isEmpty))
+      s.read.schema(schema).parquet(parts.map(_._2): _*)
+    else parts.map { case (_, p, isFold) =>
+      if (isFold && marks(p).contains(b.toLong))
+        s.read.option("basePath", p)
+          .schema(schema.add(StructField("bucket", IntegerType)))
+          .parquet(p)
+      else readPartFlat(s, p, isFold, schema)
+        .withColumn("bucket", bucketExpr)
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Stage one bucketed fold: re-layout `flat` (already deduped /
+    * tombstone-filtered by the caller) into `bucket=<bucketExpr>` dirs
+    * — ~one task per bucket — plus the `_buckets-<b>` marker that
+    * gates read-side pruning. The caller commits via [[commitFold]];
+    * a crash between the parquet `_SUCCESS` and the marker commits a
+    * markerless fold, which reads correctly (recomputed buckets, no
+    * scan pruning) and is re-laid by the next fold.
+    */
+  def stageBucketedFold(s: SparkSession, dir: String, h: Long, gen: Long,
+      flat: DataFrame, bucketExpr: Column, b: Int): Unit = {
+    val staging = stagingPath(dir, h, gen)
+    flat.withColumn("bucket", bucketExpr)
+      .repartition(b, col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(staging)
+    val fs = new Path(dir).getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.create(new Path(staging, s"_buckets-$b"), true).close()
   }
 
   /** The next unused fold generation — scans committed folds AND

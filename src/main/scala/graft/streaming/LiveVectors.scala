@@ -118,18 +118,33 @@ object LiveVectors {
     val parts = BatchParts.effectiveParts(s, s"${cfg.root}/sigs")
     if (BatchParts.isCommittedIn(parts, batchId)) return
     if (batch.isEmpty) return
-    val indexed =
-      if (parts.isEmpty) batch.limit(0).select("vec_id")
-      else rawIndexFrom(s, cfg, parts).select("vec_id")
-    // the anti-join subtree (batch dedup + the committed-index vec_id
-    // scan) feeds BOTH join inputs below — cache it so each batch pays
-    // the index scan once, not twice. Tombstoned ids are excluded too:
-    // an arrival of a forgotten id stays dropped until the tombstones
-    // are retired, so the compact-crash window (rows applied,
-    // tombstones not yet deleted) can never erase a legitimately
-    // re-admitted vector.
-    val fresh = batch.dropDuplicates("vec_id")
-      .join(indexed, Seq("vec_id"), "left_anti")
+    // Replay/retry dedup with the flipped-probe discipline
+    // ([[LivePipeline.curatePack]]): for a streaming micro-batch the
+    // committed index's vec_id scan (column-pruned — one long column)
+    // is filtered MAP-SIDE against a broadcast of the batch's ids and
+    // the batch-sized matches broadcast back into the anti-join, so
+    // the corpus-shaped index side is never exchanged. (Unlike the
+    // doclens store, the sigs store is partitioned by SIGNATURE bucket
+    // — the serving key — so the vec_id probe cannot also
+    // partition-prune; the residual per-batch cost is the one-column
+    // scan.) A seed-class batch id (< 0) would keep the keyed
+    // anti-join — a corpus-sized "batch" must never broadcast.
+    // Tombstoned ids are excluded too: an arrival of a forgotten id
+    // stays dropped until the tombstones are retired, so the
+    // compact-crash window (rows applied, tombstones not yet deleted)
+    // can never erase a legitimately re-admitted vector.
+    val deduped = batch.dropDuplicates("vec_id")
+    val dropped =
+      if (parts.isEmpty) deduped
+      else if (batchId < 0)
+        deduped.join(rawIndexFrom(s, cfg, parts).select("vec_id"),
+          Seq("vec_id"), "left_anti")
+      else {
+        val matched = broadcast(rawIndexFrom(s, cfg, parts).select("vec_id")
+          .join(broadcast(deduped.select("vec_id")), Seq("vec_id"), "left_semi"))
+        deduped.join(matched, Seq("vec_id"), "left_anti")
+      }
+    val fresh = dropped
       .join(broadcast(tombstones(s, cfg)), Seq("vec_id"), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {

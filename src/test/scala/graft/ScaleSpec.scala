@@ -790,5 +790,39 @@ class ScaleSpec extends AnyFunSuite {
     // (the 1-row stats crossJoin plans as a broadcast nested loop —
     // bounded by construction, same as batch x14)
     assert(!plan.contains("CartesianProduct"), s"serving must stay keyed:\n$plan")
+
+    // post-compact, the postings fold is WORD-bucketed: the query's
+    // constant-folded bucket predicate prunes the scan to the terms'
+    // bucket dirs AHEAD of the pushed In(word) filter — and results
+    // are unchanged
+    graft.streaming.LiveIndex.step(
+      Seq((5L, "window functions in spark")).toDF("doc_id", "text"), 1L, cfg)
+    val before = graft.streaming.LiveIndex.bm25(spark, cfg,
+      graft.operators.Retrieval.QueryTerms, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    graft.streaming.LiveIndex.compact(spark, cfg)
+    val served2 = graft.streaming.LiveIndex.bm25(spark, cfg,
+      graft.operators.Retrieval.QueryTerms, 10)
+    val plan2 = served2.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(plan2).isDefined,
+      s"bucketed postings fold must partition-prune to the terms' buckets:\n$plan2")
+    assert(plan2.contains("PushedFilters: [In(word"),
+      s"the pushed term filter survives the bucketed layout:\n$plan2")
+    assert(served2.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq === before,
+      "bucketed serving must score identically")
+
+    // the step's replay-dedup probe against the bucketed doclens fold:
+    // pruned scan + broadcasts, never a store-side shuffle join — and
+    // a replayed id still drops while a novel one survives
+    val b1 = Seq((1L, "spark replay attempt"), (3L, "fresh novel doc"))
+      .toDF("doc_id", "text")
+    val fresh = graft.streaming.LiveIndex.freshArrivals(b1, 1L, cfg)
+    val fplan = executedPlan(fresh)
+    assert(fplan.contains("PartitionFilters: [bucket"),
+      s"doclens replay probe must prune to the batch's id buckets:\n$fplan")
+    assert(!fplan.contains("SortMergeJoin") && !fplan.contains("ShuffledHashJoin"),
+      s"replay probe must stay broadcast-shaped:\n$fplan")
+    assert(fresh.select("doc_id").collect().map(_.getLong(0)).toSeq === Seq(3L),
+      "replayed id drops, novel id indexes")
   }
 }

@@ -1344,8 +1344,15 @@ class StreamingSpec extends AnyFunSuite {
     val dlAll = new java.io.File(s"$root/doclens").listFiles()
       .map(_.getName).filter(n => n.startsWith("batch=") || n.startsWith("fold="))
       .map(n => s"$root/doclens/$n").toIndexedSeq
-    val dlSchema = spark.read.parquet(dlAll.head).schema
-    spark.read.schema(dlSchema).parquet(dlAll: _*)
+    // per-dir reads (a bucketed fold and a flat batch dir cannot share
+    // one multi-root parquet call) projected to the data columns — the
+    // staging is written FLAT (legacy pre-bucketing format), so
+    // recovery's commit of old-layout stagings stays covered
+    val dlFrames = dlAll.map(spark.read.parquet(_))
+    val dlCols = dlFrames.map(_.columns.filterNot(_ == "bucket").toSeq)
+      .reduce(_ intersect _)
+    dlFrames.map(_.select(dlCols.map(col): _*)).reduce(_ unionByName _)
+      .dropDuplicates("doc_id")
       .write.mode("overwrite").parquet(s"$root/doclens/.compact-11-9")
     assert(ranked(graft.streaming.LiveIndex.bm25(spark, cfg, terms, 15)) === full,
       "a pending staging must not affect serving")
