@@ -160,7 +160,17 @@ object Bench {
       // 4.10/3.31 at floor 0.076 — VM stall pattern, not reproduced at
       // 0.094 or 0.052)
       ("x30_intake_audit" -> ((2.719, 0.052))) +
-      ("x31_intake_contract" -> ((2.138, 0.052)))
+      ("x31_intake_contract" -> ((2.138, 0.052))) +
+      // NEW round 13: the bucketed-store probe path under the oracle
+      // gate — the timed work includes the real store build (seed step
+      // + bucketed compact) plus the pruned+broadcast probe, by
+      // design: the store build IS the operator. Recorded from a
+      // 0.053-floor isolated session.
+      ("x37_intake_bucketed" -> ((5.514, 0.053))) +
+      // NEW round 13: o6's quantile-boundary skew variant under the
+      // same global-ranking oracle; recorded from a 0.050-floor
+      // isolated session
+      ("o7_global_rank_skew" -> ((0.990, 0.050)))
   }
 
   def main(args: Array[String]): Unit = {

@@ -936,6 +936,40 @@ object Dedup {
         graft.streaming.LivePipeline.Config("unused-root"))
         .audit.orderBy("doc_id", "fate")
     },
+    // The round-13 BUCKETED-store probe path under the oracle gate:
+    // unlike x30 (ad-hoc store frames), the existing corpus seeds REAL
+    // on-disk stores via LivePipeline.step — exact hashes recorded
+    // pre-quality, bands/ids only for ADMITTED docs, the x11 store
+    // semantics — compact() lays the bucket=hash(key)%64 folds, and
+    // the arriving batch probes through probeFrames' pruned+broadcast
+    // spelling (hit-bucket PartitionFilters, flipped joins). Arrivals
+    // add an id-probe slice: seed ids re-sent with a different,
+    // deliberately short unique payload — an ADMITTED seed id fires
+    // the cross-batch identity gate (id_collision; x30 only exercises
+    // it), while a NON-admitted seed id flows the normal ladder
+    // (rejected ids are not burned). The DuckDB oracle spells the full
+    // pipeline: seed admission (canonical + quality), the
+    // admitted-only band store, capped buckets, the prior-id collision
+    // arm, and the fate CASE — so the pruned probes are hash-verified
+    // to lose nothing.
+    "x37_intake_bucketed" -> { (s, d) =>
+      val docs = Tables.documents(s, d).select("doc_id", "lang", "text")
+      val root = java.nio.file.Files.createTempDirectory("graft-x37").toString
+      val cfg = graft.streaming.LivePipeline.Config(root)
+      graft.streaming.LivePipeline.step(
+        docs.filter(col("doc_id") % 10 < 4), 0L, cfg)
+      graft.streaming.LivePipeline.compact(s, cfg)
+      val (exact, bands, ids, cursors) =
+        graft.streaming.LivePipeline.probeFrames(s, cfg, 1L)
+      val arriving = docs.filter(col("doc_id") % 10 === 7)
+        .unionByName(docs
+          .filter(col("doc_id") % 10 < 4 && col("doc_id") % 100 === 2)
+          .select(col("doc_id"), col("lang"),
+            concat(lit("idprobe "), col("doc_id").cast("string")).as("text")))
+      graft.streaming.LivePipeline.curatePack(
+        arriving, exact, bands, cursors, ids, cfg)
+        .audit.orderBy("doc_id")
+    },
     // LSH quality evaluation — n13's recall-eval discipline applied to
     // the dedup family: how much of the REACHABLE truth (pairs sharing
     // ≥1 non-boilerplate shingle with exact Jaccard ≥ 0.3 — the same
@@ -1147,6 +1181,59 @@ object Dedup {
          |UNION ALL SELECT doc_id, 'malformed', CAST(NULL AS DOUBLE) FROM bad
          |UNION ALL SELECT doc_id, 'id_collision', CAST(NULL AS DOUBLE) FROM coll
          |ORDER BY doc_id, fate""".stripMargin
+    },
+    // x37: the x30 CASE over REAL store semantics — the seed side is
+    // itself admitted through the ladder (canonical + quality), the
+    // band store holds ADMITTED docs only, the prior table is the
+    // admitted identities, and the id-probe slice exercises both the
+    // collision arm (admitted prior, different payload) and the
+    // not-burned path (rejected prior id → normal ladder). Features of
+    // the injected payloads are computed over the constructed text by
+    // the same expressions, not hand-counted.
+    "x37_intake_bucketed" -> {
+      val qc = TextAnalysis.qualityScoreSql("c.n_tokens", "c.n_alpha", "c.stop_hits")
+      val qs = TextAnalysis.qualityScoreSql("n_tokens", "n_alpha", "stop_hits")
+      def feats(t: String) =
+        s"""CAST(length(string_split_regex(trim($t), '\\s+')) AS BIGINT) AS n_tokens,
+           |    CAST(length(regexp_replace($t, '[^a-z]', '', 'g')) AS BIGINT) AS n_alpha,
+           |    CAST(length(regexp_extract_all($t, '${TextAnalysis.StopRe}')) AS BIGINT) AS stop_hits""".stripMargin
+      s"""WITH $shinglesCte, $mhCte, $bandsCte,
+         |sfeat AS (SELECT doc_id, md5(text) AS h,
+         |    ${feats("text")}
+         |  FROM documents WHERE doc_id % 10 < 4),
+         |scanon AS (SELECT *, min(doc_id) OVER (PARTITION BY h) AS cd FROM sfeat),
+         |adm AS (SELECT doc_id, h FROM scanon
+         |  WHERE doc_id = cd AND ($qs) >= ${TextAnalysis.QualityThreshold}),
+         |exh AS (SELECT DISTINCT h FROM sfeat),
+         |ex AS (SELECT b.* FROM bands b SEMI JOIN adm a ON b.doc_id = a.doc_id),
+         |ehot AS (SELECT band_id, bh FROM ex GROUP BY band_id, bh
+         |  HAVING count(DISTINCT doc_id) > $MaxBucketDocs),
+         |ecap AS (SELECT DISTINCT e.band_id, e.bh FROM ex e ANTI JOIN ehot h2
+         |  ON e.band_id = h2.band_id AND e.bh = h2.bh),
+         |nw AS (SELECT * FROM bands WHERE doc_id % 10 = 7),
+         |hit AS (SELECT DISTINCT n.doc_id FROM nw n JOIN ecap e
+         |  ON n.band_id = e.band_id AND n.bh = e.bh),
+         |arr AS (
+         |  SELECT doc_id, md5(text) AS h, ${feats("text")}
+         |  FROM documents WHERE doc_id % 10 = 7
+         |  UNION ALL
+         |  SELECT doc_id, md5(t) AS h, ${feats("t")}
+         |  FROM (SELECT doc_id, 'idprobe ' || CAST(doc_id AS VARCHAR) AS t
+         |    FROM documents WHERE doc_id % 10 < 4 AND doc_id % 100 = 2)),
+         |coll AS (SELECT a.doc_id FROM arr a JOIN adm p
+         |  ON a.doc_id = p.doc_id AND a.h <> p.h),
+         |ok AS (SELECT * FROM arr ANTI JOIN coll USING (doc_id)),
+         |canon AS (SELECT *, min(doc_id) OVER (PARTITION BY h) AS canonical_doc FROM ok)
+         |SELECT c.doc_id,
+         |  CASE WHEN c.doc_id <> c.canonical_doc THEN 'dup_in_batch'
+         |       WHEN c.h IN (SELECT h FROM exh) THEN 'dup_of_corpus'
+         |       WHEN ($qc) < ${TextAnalysis.QualityThreshold} THEN 'low_quality'
+         |       WHEN c.doc_id IN (SELECT doc_id FROM hit) THEN 'near_dup'
+         |       ELSE 'admitted' END AS fate,
+         |  $qc AS quality_score
+         |FROM canon c
+         |UNION ALL SELECT doc_id, 'id_collision', CAST(NULL AS DOUBLE) FROM coll
+         |ORDER BY doc_id""".stripMargin
     },
     // Same algebra: df-capped posting-list truth at Jaccard ≥ 0.3, the
     // d2 band candidates, semi-join hits, one summary row — all over

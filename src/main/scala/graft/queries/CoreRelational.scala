@@ -346,6 +346,20 @@ object CoreRelational {
         .select("rnk", "event_id", "user_id", "value")
         .orderBy("rnk")
     },
+    // O6's skew variant under the gate: the SAME exact global ranking
+    // (identical oracle SQL shape), computed through the
+    // quantile-boundary two-pass plan instead of equi-width buckets —
+    // so "output equals the global window for ANY boundaries" is
+    // hash-verified cross-engine, not only ScalaTest'd. events.value
+    // is uniform here; the ScaleSpec pin drives the pathologically
+    // skewed key this variant exists for.
+    "o7_global_rank_skew" -> { (s, d) =>
+      val ev = Tables.events(s, d).select("event_id", "user_id", "value")
+      globalRankQuantile(ev, col("value"), col("event_id"), 32)
+        .filter(col("rnk") % 97 === 0)
+        .select("rnk", "event_id", "user_id", "value")
+        .orderBy("rnk")
+    },
     // Q2 point lookup by derived hash key (sample/main.py:42).
     "q2_point_lookup" -> { (s, d) =>
       Tables.orders(s, d)
@@ -702,6 +716,14 @@ object CoreRelational {
       """SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 5""".stripMargin,
     "o6_global_rank" ->
+      """WITH r AS (SELECT event_id, user_id, value,
+        |    CAST(row_number() OVER (ORDER BY value, event_id) AS BIGINT) AS rnk
+        |  FROM events)
+        |SELECT rnk, event_id, user_id, value FROM r
+        |WHERE rnk % 97 = 0 ORDER BY rnk""".stripMargin,
+    // o7: the SAME global-ranking oracle as o6 — boundary choice must
+    // never change a single rank
+    "o7_global_rank_skew" ->
       """WITH r AS (SELECT event_id, user_id, value,
         |    CAST(row_number() OVER (ORDER BY value, event_id) AS BIGINT) AS rnk
         |  FROM events)
