@@ -164,13 +164,19 @@ object Bench {
       // NEW round 13: the bucketed-store probe path under the oracle
       // gate — the timed work includes the real store build (seed step
       // + bucketed compact) plus the pruned+broadcast probe, by
-      // design: the store build IS the operator. Recorded from a
-      // 0.053-floor isolated session.
-      ("x37_intake_bucketed" -> ((5.514, 0.053))) +
+      // design: the store build IS the operator. Re-recorded after the
+      // review fixes (bandRows persisted on the collect path, flip
+      // gating agg): 5.514 -> 5.503 from a 0.065-floor isolated
+      // session.
+      ("x37_intake_bucketed" -> ((5.503, 0.065))) +
       // NEW round 13: o6's quantile-boundary skew variant under the
-      // same global-ranking oracle; recorded from a 0.050-floor
-      // isolated session
-      ("o7_global_rank_skew" -> ((0.990, 0.050)))
+      // same global-ranking oracle. Re-recorded after the boundary
+      // determinism fix (approx_percentile collected once to driver
+      // literals instead of a broadcast subtree evaluated per arm —
+      // the extra blocking job costs ~0.2 s and buys rank correctness
+      // independent of exchange reuse): 0.990 -> 1.240 from the same
+      // 0.065-floor session.
+      ("o7_global_rank_skew" -> ((1.240, 0.065)))
   }
 
   def main(args: Array[String]): Unit = {

@@ -37,13 +37,26 @@ object CoreRelational {
   def globalRankQuantile(df: DataFrame, value: org.apache.spark.sql.Column,
       tie: org.apache.spark.sql.Column, buckets: Int = 32): DataFrame = {
     val probs = (1 until buckets).map(_.toDouble / buckets)
-    val bounds = df.agg(percentile_approx(value, array(probs.map(lit): _*),
-      lit(10000)).as("qbounds"))
-    val bucketed = df.crossJoin(broadcast(bounds))
+    // Boundaries are COLLECTED once (≤ buckets-1 doubles of driver-side
+    // planning state) and embedded as literals, NOT left as a broadcast
+    // subtree: the local-rank and offset arms below each re-evaluate
+    // their lineage, and approx_percentile's GK-summary merge order is
+    // not deterministic across evaluations — two independent boundary
+    // evaluations could bucket the two arms differently and silently
+    // corrupt ranks (exchange reuse usually deduplicates the subtrees,
+    // but rank correctness must not depend on a physical-planning
+    // optimization). Literals make both arms bucket identically by
+    // construction.
+    val qb: Seq[Double] = Option(
+        df.agg(percentile_approx(value, array(probs.map(lit): _*),
+          lit(10000)).as("qbounds")).head().getSeq[Double](0))
+      .getOrElse(Seq.empty)
+    val boundsArr = array(qb.map(lit): _*)
+    val bucketed = df
       // bkt = number of boundaries ≤ value: monotone in value, 0-based
       .withColumn("bkt",
-        size(filter(col("qbounds"), b => b <= value)).cast("long"))
-      .drop("qbounds")
+        (if (qb.isEmpty) lit(0L)
+         else size(filter(boundsArr, b => b <= value)).cast("long")))
     val local = bucketed.withColumn("lrn",
       row_number().over(Window.partitionBy("bkt").orderBy(value, tie)).cast("long"))
     val off = bucketed.groupBy("bkt").agg(count(lit(1)).as("c"))

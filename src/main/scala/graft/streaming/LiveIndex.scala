@@ -144,18 +144,25 @@ object LiveIndex {
         (if (bucketed) store.drop("bucket") else store).select("doc_id"),
         Seq("doc_id"), "left_anti")
     else {
+      // ONE narrow job over the raw batch: the ≤B-int hit-bucket set
+      // (a superset of the deduped ids' buckets — supersets over-scan,
+      // never lose a match) plus the row count that gates the
+      // broadcast flip ([[LivePipeline.FlipMaxRows]]: a catch-up batch
+      // after downtime must fall back to the keyed join, never
+      // broadcast itself)
+      val r = batch.agg(collect_set(idBucket), count(lit(1))).head()
+      val (hit, n) = (r.getSeq[Int](0), r.getLong(1))
       val ids =
         if (!bucketed) store.select("doc_id")
-        else {
-          // one job, ≤B ints of planning state — the partition filter
-          // that keeps the replay probe's I/O batch-bucket-sized
-          val hit = deduped.agg(collect_set(idBucket)).head().getSeq[Int](0)
-          store.filter(col("bucket").isin(hit: _*)).drop("bucket")
-            .select("doc_id")
-        }
-      val matched = broadcast(ids.join(
-        broadcast(deduped.select("doc_id")), Seq("doc_id"), "left_semi"))
-      masked.join(matched, Seq("doc_id"), "left_anti")
+        else store.filter(col("bucket").isin(hit: _*)).drop("bucket")
+          .select("doc_id")
+      if (n > LivePipeline.FlipMaxRows)
+        masked.join(ids, Seq("doc_id"), "left_anti")
+      else {
+        val matched = broadcast(ids.join(
+          broadcast(deduped.select("doc_id")), Seq("doc_id"), "left_semi"))
+        masked.join(matched, Seq("doc_id"), "left_anti")
+      }
     }
   }
 

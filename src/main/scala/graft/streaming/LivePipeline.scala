@@ -110,6 +110,18 @@ object LivePipeline {
     */
   private[streaming] val StoreBuckets = 64
 
+  /** Upper bound on batch rows for the FLIPPED probe spelling: the flip
+    * broadcasts batch-derived key sets, which is right for steady-state
+    * micro-batches but wrong for a catch-up batch after downtime (a
+    * source without read limits can deliver millions of rows in one
+    * trigger — broadcasting them bypasses autoBroadcastJoinThreshold
+    * and risks the driver). Over the bound, probes fall back to the
+    * keyed-join spelling; the bucket PRUNING still applies either way,
+    * so only the exchange strategy degrades, never the scan cost.
+    * ~1M rows ≈ 50 MB of md5 keys — comfortably broadcastable.
+    */
+  private[streaming] val FlipMaxRows = 1L << 20
+
   private val BucketedKinds = Set("exact", "bands", "ids")
 
   /** The fold partition key: a stable hash of the store's PROBE key —
@@ -299,7 +311,8 @@ object LivePipeline {
         .write.mode("overwrite").parquet(part(cfg.root, "ids", batchId))
       r.advanced.write.mode("overwrite").parquet(part(cfg.root, "cursors", batchId))
     } finally {
-      r.fated.unpersist(); r.quarantine.unpersist(); r.bandRows.unpersist(); ()
+      r.fated.unpersist(); r.quarantine.unpersist(); r.bandRows.unpersist()
+      r.planKeys.foreach(_.unpersist()); ()
     }
   }
 
@@ -318,7 +331,8 @@ object LivePipeline {
     */
   final case class StepResult(packed: DataFrame, advanced: DataFrame,
       newText: DataFrame, admitted: DataFrame, audit: DataFrame,
-      fated: DataFrame, quarantine: DataFrame, bandRows: DataFrame)
+      fated: DataFrame, quarantine: DataFrame, bandRows: DataFrame,
+      planKeys: Option[DataFrame] = None)
 
   /** The step's pure transformation — batch + state frames in,
     * `(packed, advancedCursors, newText, admitted)` out — separated
@@ -382,17 +396,32 @@ object LivePipeline {
     // drivers, and the [[seed]] path — whose "batch" is corpus-sized
     // and must never be broadcast) keeps the keyed-join spelling.
     def bucketed(store: DataFrame): Boolean = store.columns.contains("bucket")
-    // one job, two ≤StoreBuckets-int sets; evaluated only when some
-    // store is bucketed (cold starts and the oracle drivers skip it).
-    // Keys come from the RAW well-formed batch — a superset of every
-    // probe's keys (supersets over-scan, never lose a match) that
-    // avoids re-running the contract windows inside a planning job.
-    lazy val (textHitBuckets, idHitBuckets) = {
-      val r = batch.filter(wellFormed).agg(
-        collect_set(pmod(hash(md5(col("text"))), lit(StoreBuckets))),
-        collect_set(pmod(hash(col("doc_id")), lit(StoreBuckets)))).head()
-      (r.getSeq[Int](0), r.getSeq[Int](1))
+    val anyBucketed = Seq(exact, bands, priorIds).exists(bucketed)
+    // ONE persisted (doc_id, text_md5) projection of the well-formed
+    // batch feeds the planning aggregate AND both broadcast key sets —
+    // without it each probe's broadcast subtree re-scanned the raw
+    // batch source (real I/O on an archive-backed stream). Keys are a
+    // superset of every probe's keys (supersets over-scan, never lose
+    // a match) and skip the contract windows. Only built when some
+    // store is bucketed (cold starts and the oracle drivers skip it);
+    // step() unpersists it via StepResult.
+    val batchKeys: Option[DataFrame] =
+      if (!anyBucketed) None
+      else Some(batch.filter(wellFormed)
+        .select(col("doc_id"), md5(col("text")).as("text_md5"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // one job: the two ≤StoreBuckets-int hit sets + the batch row count
+    // that gates the flipped (broadcast) spelling
+    lazy val (textHitBuckets, idHitBuckets, batchRows) = {
+      val r = batchKeys.get.agg(
+        collect_set(pmod(hash(col("text_md5")), lit(StoreBuckets))),
+        collect_set(pmod(hash(col("doc_id")), lit(StoreBuckets))),
+        count(lit(1))).head()
+      (r.getSeq[Int](0), r.getSeq[Int](1), r.getLong(2))
     }
+    // flip only micro-batch-sized batches (see [[FlipMaxRows]]); over
+    // the bound the probes keep keyed joins over the PRUNED scans
+    lazy val flip = batchRows <= FlipMaxRows
     def prune(store: DataFrame, buckets: => Seq[Int]): DataFrame =
       if (!bucketed(store)) store
       else store.filter(col("bucket").isin(buckets: _*)).drop("bucket")
@@ -427,9 +456,9 @@ object LivePipeline {
     val priorSlim = {
       val base = prune(priorIds, idHitBuckets)
         .select(col("doc_id"), col("text_md5").as("prior_md5"))
-      if (!bucketed(priorIds)) base
+      if (!bucketed(priorIds) || !flip) base
       else broadcast(base.join(
-        broadcast(batch.filter(wellFormed).select("doc_id").distinct()),
+        broadcast(batchKeys.get.select("doc_id").distinct()),
         Seq("doc_id"), "left_semi"))
     }
     val withPrior = contract0.join(priorSlim, Seq("doc_id"), "left")
@@ -476,16 +505,16 @@ object LivePipeline {
     // harmless either way)
     val exactHits = {
       val base = prune(exact, textHitBuckets)
-      if (!bucketed(exact)) base
+      if (!bucketed(exact) || !flip) base
       else broadcast(base.join(
-        broadcast(batch.filter(wellFormed)
-          .select(md5(col("text")).as("text_md5")).distinct()),
+        broadcast(batchKeys.get.select("text_md5").distinct()),
         Seq("text_md5"), "left_semi"))
     }
     val corpusDup0 = scored.filter(col("doc_id") === col("canonical_doc"))
       .join(exactHits, Seq("text_md5"), "left_semi")
       .select("doc_id").withColumn("in_corpus", lit(true))
-    val corpusDup = if (bucketed(exact)) broadcast(corpusDup0) else corpusDup0
+    val corpusDup =
+      if (bucketed(exact) && flip) broadcast(corpusDup0) else corpusDup0
 
     // 2. d13 novelty probe: map-side band keys for the docs still in
     //    play (new text, quality-passing), semi-join against the
@@ -502,7 +531,14 @@ object LivePipeline {
     val probeSet = inPlay.filter(!col("dup_in_batch") && !col("dup_of_corpus") &&
       col("quality_score") >= cfg.minQuality)
     val bandRows0 = Dedup.bandKeys(probeSet.select("doc_id", "text"))
-    val bandRows = if (cache)
+    // persist whenever a bucketed bands store will COLLECT the hit
+    // buckets below (not only under the caller's cache flag): the
+    // collect is an extra action, and without the cache it would
+    // re-run the signing — the step's costliest per-doc work — a
+    // second time for the probe. Non-caching callers (the x37 oracle
+    // driver) lean on Spark's ContextCleaner to drop the blocks once
+    // the frame is unreachable; step() unpersists explicitly.
+    val bandRows = if (cache || bucketed(bands))
       bandRows0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else bandRows0
     // band hit buckets come from the SIGNED batch (band keys exist only
@@ -512,6 +548,7 @@ object LivePipeline {
       .distinct().collect().map(_.getInt(0)).toSeq
     val probeable =
       if (!bucketed(bands)) Dedup.cappedBuckets(bands)
+      else if (!flip) Dedup.cappedBuckets(prune(bands, bandHitBuckets))
       else {
         // the d13 skew cap, batch-keyed: per-key sizes are computed for
         // the BATCH's band keys only — the semi filter runs map-side
@@ -533,7 +570,7 @@ object LivePipeline {
     val probed0 = bandRows
       .join(probeable, Seq("band_id", "bh"), "left_semi")
       .select("doc_id").distinct().withColumn("hit", lit(true))
-    val probed = if (bucketed(bands)) broadcast(probed0) else probed0
+    val probed = if (bucketed(bands) && flip) broadcast(probed0) else probed0
     val verdict = inPlay.join(probed, Seq("doc_id"), "left")
       .withColumn("is_novel", col("hit").isNull).drop("hit")
 
@@ -569,7 +606,7 @@ object LivePipeline {
         (coalesce(col("cum"), lit(0L)) + coalesce(col("add"), lit(0L))).as("cum"))
     StepResult(packed, advanced, newText, admitted,
       fated.select("doc_id", "fate", "quality_score").unionByName(quarantined),
-      fated, quarantine, bandRows)
+      fated, quarantine, bandRows, batchKeys)
   }
 
   /** All committed packed output (optionally only batches ≥ `fromBatch`
@@ -1150,21 +1187,26 @@ private[streaming] object BatchParts {
   def stagingPath(dir: String, h: Long, gen: Long): String =
     s"$dir/.compact-$h-$gen"
 
-  /** A fold dir's bucket layout: Some(B) when it is `bucket=`-partitioned
-    * with a `_buckets-<B>` marker, Some(-1) when the bucket dirs exist
-    * but the marker is missing/unreadable (a crash before the marker
-    * write — readable, never pruned), None for a flat fold. One
-    * driver-side listing.
+  /** A fold dir's bucket layout: Some(B) when it carries a
+    * `_buckets-<B>` marker (the MARKER is authoritative — an EMPTY
+    * bucketed fold has the marker but zero `bucket=` dirs, e.g. after
+    * tombstones emptied the store, and trusting only the dirs would
+    * make every later maintenance pass re-fold it forever), Some(-1)
+    * when bucket dirs exist without a readable marker (a crash before
+    * the marker write — readable, never pruned), None for a flat
+    * fold. One driver-side listing.
     */
   def foldBuckets(s: SparkSession, dir: String): Option[Long] = {
     val p = new Path(dir)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return None
     val names = fs.listStatus(p).toSeq.map(_.getPath.getName)
-    if (!names.exists(_.startsWith("bucket="))) None
-    else Some(names.collectFirst { case n if n.startsWith("_buckets-") =>
+    names.collectFirst { case n if n.startsWith("_buckets-") =>
       n.stripPrefix("_buckets-").toLongOption.getOrElse(-1L)
-    }.getOrElse(-1L))
+    } match {
+      case some @ Some(_) => some
+      case None => if (names.exists(_.startsWith("bucket="))) Some(-1L) else None
+    }
   }
 
   // ── shared bucketed-fold read/write ──
@@ -1208,12 +1250,21 @@ private[streaming] object BatchParts {
     if (marks.values.forall(_.isEmpty))
       s.read.schema(schema).parquet(parts.map(_._2): _*)
     else parts.map { case (_, p, isFold) =>
+      // marks already answered the layout question — no second
+      // per-part listing (an RPC per fold per probe on an object store)
       if (isFold && marks(p).contains(b.toLong))
         s.read.option("basePath", p)
           .schema(schema.add(StructField("bucket", IntegerType)))
           .parquet(p)
-      else readPartFlat(s, p, isFold, schema)
-        .withColumn("bucket", bucketExpr)
+      else {
+        val flat =
+          if (isFold && marks(p).isDefined)
+            s.read.option("basePath", p)
+              .schema(schema.add(StructField("bucket", IntegerType)))
+              .parquet(p).drop("bucket")
+          else s.read.schema(schema).parquet(p)
+        flat.withColumn("bucket", bucketExpr)
+      }
     }.reduce(_.unionByName(_))
   }
 

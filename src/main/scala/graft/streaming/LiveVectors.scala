@@ -134,9 +134,12 @@ object LiveVectors {
     // compact-crash window (rows applied, tombstones not yet deleted)
     // can never erase a legitimately re-admitted vector.
     val deduped = batch.dropDuplicates("vec_id")
+    // one narrow count over the raw batch gates the broadcast flip
+    // ([[LivePipeline.FlipMaxRows]]: a catch-up batch after downtime
+    // must keep the keyed join, never broadcast itself)
     val dropped =
       if (parts.isEmpty) deduped
-      else if (batchId < 0)
+      else if (batchId < 0 || batch.count() > LivePipeline.FlipMaxRows)
         deduped.join(rawIndexFrom(s, cfg, parts).select("vec_id"),
           Seq("vec_id"), "left_anti")
       else {

@@ -235,6 +235,39 @@ class BatchPartsSpec extends AnyFunSuite {
     }
   }
 
+  test("empty bucketed fold: the marker is authoritative, maintenance converges") {
+    import spark.implicits._
+    // forget EVERY indexed doc, compact: the tombstone anti-join
+    // empties both folds — bucket= dirs vanish but the _buckets marker
+    // stays. foldBuckets must trust the marker (dirs-only detection
+    // re-folded the empty store under a fresh generation on every later
+    // maintenance pass, forever), serving must read the empty store
+    // cleanly, and a post-retirement re-arrival must index anew.
+    val root = java.nio.file.Files.createTempDirectory("graft-empty-fold").toString
+    val cfg = LiveIndex.Config(root)
+    LiveIndex.step(Seq((1L, "spark merge window"), (2L, "other words here"))
+      .toDF("doc_id", "text"), 0L, cfg)
+    LiveIndex.step(Seq((3L, "third doc arrives")).toDF("doc_id", "text"), 1L, cfg)
+    LiveIndex.forget(spark, cfg, Seq(1L, 2L, 3L))
+    LiveIndex.compact(spark, cfg)
+    def foldNames(kind: String): Set[String] =
+      Option(new java.io.File(s"$root/$kind").listFiles()).map(_.toSeq)
+        .getOrElse(Seq.empty).map(_.getName).filter(_.startsWith("fold=")).toSet
+    LiveIndex.compact(spark, cfg) // writer op after commit GCs + would re-fold
+    val after1 = foldNames("doclens")
+    assert(BatchParts.foldBuckets(spark,
+      s"$root/doclens/${after1.head}").contains(LivePipeline.StoreBuckets.toLong),
+      "an empty bucketed fold must still read as bucketed via its marker")
+    LiveIndex.compact(spark, cfg)
+    assert(foldNames("doclens") === after1,
+      "maintenance over an empty bucketed fold must be a no-op, not a re-fold")
+    // serving reads the empty store without tripping on the fileless fold
+    assert(LiveIndex.bm25(spark, cfg, Seq("spark", "merge"), 5).count() === 0)
+    // tombstones were applied+retired by the fold: the ids re-index
+    LiveIndex.step(Seq((1L, "spark merge window")).toDF("doc_id", "text"), 2L, cfg)
+    assert(LiveIndex.bm25(spark, cfg, Seq("spark", "merge"), 5).count() === 1)
+  }
+
   test("fold and rewrite pending at once: recovery handles both") {
     val dir = mkStore()
     // a rewrite of batch=0 staged+committed AND a fold staged+committed,
