@@ -176,7 +176,10 @@ object Bench {
       // the extra blocking job costs ~0.2 s and buys rank correctness
       // independent of exchange reuse): 0.990 -> 1.240 from the same
       // 0.065-floor session.
-      ("o7_global_rank_skew" -> ((1.240, 0.065)))
+      ("o7_global_rank_skew" -> ((1.240, 0.065))) +
+      // NEW round 13: t-closeness (exact-rational TVD, x34's agg+join
+      // shape); recorded from a 0.067-floor isolated session
+      ("x38_t_closeness" -> ((1.676, 0.067)))
   }
 
   def main(args: Array[String]): Unit = {

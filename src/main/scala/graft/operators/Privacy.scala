@@ -156,6 +156,61 @@ object Privacy {
           md5(concat(lit("eid|"), col("event_id").cast("string"))).as("_ord"))
         .orderBy("_ord")
         .drop("_ord")
+    },
+    // t-closeness — the attack l-diversity still misses: a group with
+    // l distinct sensitive values whose DISTRIBUTION skews far from the
+    // corpus's (99% one disease, a sliver of others) still leaks, so
+    // each surviving group's sensitive-class distribution must sit
+    // within total-variation distance t of the GLOBAL distribution.
+    // TVD over the 8 sensitive classes is computed EXACTLY: with
+    // common denominator group_n × N,
+    //   tvd = (Σ_{v∈G} |cnt_v·N − gv_v·group_n|
+    //          + (N − Σ_{v∈G} gv_v)·group_n) / (2·group_n·N)
+    // — the second term is the mass of classes ABSENT from the group.
+    // All sums are integer (DECIMAL), so summation order cannot move a
+    // bit; the ONE double division at the end is IEEE-identical in
+    // both engines. Plan shape (the x34 agg+join discipline, never a
+    // window): one (quasi, sclass) combinable groupBy over events —
+    // the only corpus-sized exchange — then group-sized aggregates,
+    // an ≤8-row broadcast global distribution, a 1-row broadcast
+    // total, and one keyed join back. NOTE the DECIMAL numerators:
+    // cnt·N at extreme corpus sizes overflows BIGINT (N ~ 1e12 ×
+    // group_n ~ 1e9 > 2^63); DECIMAL(18,0)×DECIMAL(18,0) products
+    // stay exact to 38 digits.
+    "x38_t_closeness" -> { (s, d) =>
+      val dec = "decimal(18,0)"
+      val ev = Tables.events(s, d)
+        .withColumn("day", date_trunc("day", col("ts")))
+        .withColumn("sclass", pmod(col("user_id"), lit(8)))
+      val global = ev.groupBy("sclass")
+        .agg(count(lit(1)).cast(dec).as("gv"))
+      val tot = global.agg(sum(col("gv")).cast(dec).as("n_total"))
+      val gc = ev.groupBy("event_type", "day", "sclass")
+        .agg(count(lit(1)).cast(dec).as("cnt"))
+      val gn = gc.groupBy("event_type", "day")
+        .agg(sum(col("cnt")).cast(dec).as("group_n"))
+      val scored = gc.join(gn, Seq("event_type", "day"))
+        .join(broadcast(global), Seq("sclass"))
+        .crossJoin(broadcast(tot))
+        .groupBy("event_type", "day")
+        .agg(max(col("group_n")).as("group_n"),
+          sum(abs(col("cnt") * col("n_total") - col("gv") * col("group_n"))).as("s1"),
+          sum(col("gv")).as("gsum"),
+          max(col("n_total")).as("n_total"))
+        .select(col("event_type"), col("day"),
+          col("group_n").cast("long").as("group_n"),
+          ((col("s1") + (col("n_total") - col("gsum")) * col("group_n"))
+              .cast("double") /
+            (lit(2.0) * col("group_n").cast("double") *
+              col("n_total").cast("double"))).as("tvd"))
+      ev.join(scored.filter(col("group_n") >= 3 && col("tvd") <= 0.15),
+          Seq("event_type", "day"))
+        .select(pseudonym("eid", col("event_id")).as("event_pseudonym"),
+          pseudonym("uid", col("user_id")).as("user_pseudonym"),
+          col("event_type"), col("day"), col("group_n"), col("tvd"),
+          md5(concat(lit("eid|"), col("event_id").cast("string"))).as("_ord"))
+        .orderBy("_ord")
+        .drop("_ord")
     }
   )
 
@@ -192,6 +247,42 @@ object Privacy {
          |  event_type, hour, group_n, n_sensitive
          |FROM g JOIN a USING (event_type, hour)
          |WHERE group_n >= 3 AND n_sensitive >= 3
+         |ORDER BY md5('eid|' || CAST(event_id AS VARCHAR))""".stripMargin,
+    // The identical exact-rational TVD: integer (DECIMAL) sums, one
+    // final double division spelled with the same operand order.
+    "x38_t_closeness" ->
+      s"""WITH ev AS (
+         |  SELECT event_id, user_id, event_type,
+         |    CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         |    user_id % 8 AS sclass
+         |  FROM events),
+         |gl AS (SELECT sclass, CAST(count(*) AS DECIMAL(18,0)) AS gv
+         |  FROM ev GROUP BY sclass),
+         |tot AS (SELECT CAST(sum(gv) AS DECIMAL(18,0)) AS n_total FROM gl),
+         |gc AS (SELECT event_type, day, sclass,
+         |    CAST(count(*) AS DECIMAL(18,0)) AS cnt
+         |  FROM ev GROUP BY 1, 2, 3),
+         |gn AS (SELECT event_type, day, CAST(sum(cnt) AS DECIMAL(18,0)) AS group_n
+         |  FROM gc GROUP BY 1, 2),
+         |sc AS (SELECT g.event_type, g.day,
+         |    max(n.group_n) AS group_n,
+         |    sum(abs(g.cnt * t.n_total - l.gv * n.group_n)) AS s1,
+         |    sum(l.gv) AS gsum,
+         |    max(t.n_total) AS n_total
+         |  FROM gc g
+         |  JOIN gn n ON g.event_type = n.event_type AND g.day = n.day
+         |  JOIN gl l ON g.sclass = l.sclass
+         |  CROSS JOIN tot t
+         |  GROUP BY 1, 2),
+         |ok AS (SELECT event_type, day, CAST(group_n AS BIGINT) AS group_n,
+         |    CAST(s1 + (n_total - gsum) * group_n AS DOUBLE) /
+         |      (2.0 * CAST(group_n AS DOUBLE) * CAST(n_total AS DOUBLE)) AS tvd
+         |  FROM sc)
+         |SELECT ${pseudonymSql("eid", "event_id")} AS event_pseudonym,
+         |  ${pseudonymSql("uid", "user_id")} AS user_pseudonym,
+         |  event_type, day, group_n, tvd
+         |FROM ev JOIN ok USING (event_type, day)
+         |WHERE group_n >= 3 AND tvd <= 0.15
          |ORDER BY md5('eid|' || CAST(event_id AS VARCHAR))""".stripMargin
   )
 }
