@@ -179,7 +179,14 @@ object Bench {
       ("o7_global_rank_skew" -> ((1.240, 0.065))) +
       // NEW round 13: t-closeness (exact-rational TVD, x34's agg+join
       // shape); recorded from a 0.067-floor isolated session
-      ("x38_t_closeness" -> ((1.676, 0.067)))
+      ("x38_t_closeness" -> ((1.676, 0.067))) +
+      // NEW round 13 (late adds), recorded from one 0.048-floor isolated
+      // session: a17 one-scan constraint suite (the composite-key exact
+      // distinct dominates), x39 Hamilton stratified sample (strata agg
+      // + one keyed window), m3 hex-cell byte histogram + entropy re-agg
+      ("a17_quality_checks" -> ((0.772, 0.048))) +
+      ("x39_stratified_sample" -> ((0.618, 0.048))) +
+      ("m3_byte_entropy" -> ((0.669, 0.048)))
   }
 
   def main(args: Array[String]): Unit = {

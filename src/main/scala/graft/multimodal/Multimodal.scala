@@ -268,6 +268,39 @@ object Multimodal {
       val frames = resize(decode(mediaFromDocuments(s, d), FakeCodec), 4, 3)
       frames.select(col("media_id"), col("frame_index"), col("width"), col("height"))
         .orderBy("media_id", "frame_index")
+    },
+    // Byte-entropy integrity screen over the OPAQUE binary column — the
+    // pre-decode triage a media pipeline runs on every asset: Shannon
+    // entropy of the byte histogram flags degenerate content (constant
+    // padding / truncated headers read low; well-formed compressed media
+    // reads near 8 bits) without ever invoking a codec. Byte classes
+    // come from hex(content) split into 2-char cells, so the whole
+    // histogram is (media, byte)-keyed and map-side combinable — the
+    // explode is bytes-linear and collapses to ≤256 rows per asset
+    // before any exchange; the media-level re-agg joins two post-agg
+    // frames on media_id. Entropy terms follow the x10 log discipline:
+    // each p·ln(p)/ln2 is rounded to 9 digits BEFORE the decimal-exact
+    // per-media sum, so cross-engine libm ulps cannot reorder the hash.
+    "m3_byte_entropy" -> { (s, d) =>
+      import org.apache.spark.sql.functions._
+      val hx = mediaFromDocuments(s, d).toDF()
+        .select(col("media_id"), hex(col("content")).as("hx"))
+      val bytes = hx.select(col("media_id"),
+        explode(expr(
+          "transform(sequence(1, length(hx) div 2), i -> substring(hx, i*2-1, 2))")).as("byte"))
+      val cnts = bytes.groupBy("media_id", "byte").agg(count(lit(1)).as("cnt"))
+      val tots = cnts.groupBy("media_id")
+        .agg(sum(col("cnt")).as("n_bytes"), count(lit(1)).as("n_classes"))
+      val p = col("cnt").cast("double") / col("n_bytes").cast("double")
+      cnts.join(tots, "media_id")
+        .withColumn("term", round(p * log(p) / lit(0.6931471805599453), 9))
+        .groupBy("media_id")
+        .agg(max(col("n_bytes")).as("n_bytes"),
+          max(col("n_classes")).as("n_classes"),
+          (-sum(col("term").cast(org.apache.spark.sql.types.DecimalType(28, 12))))
+            .cast("double").as("entropy"))
+        .withColumn("is_degenerate", col("entropy") < 2.7)
+        .orderBy("media_id")
     }
   )
 
@@ -282,7 +315,30 @@ object Multimodal {
         |  FROM documents)
         |SELECT doc_id AS media_id, CAST(f AS INTEGER) AS frame_index,
         |  CAST(4 AS INTEGER) AS width, CAST(3 AS INTEGER) AS height
-        |FROM fr ORDER BY media_id, frame_index""".stripMargin
+        |FROM fr ORDER BY media_id, frame_index""".stripMargin,
+    // The asset binary is the UTF-8 of source||'|'||lang by construction
+    // (mediaFromDocuments), so the oracle reproduces the byte stream via
+    // hex(encode(...)) and walks the identical 2-char hex cells.
+    "m3_byte_entropy" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+        |    hex(encode(source || '|' || lang)) AS hx
+        |  FROM documents),
+        |b AS (SELECT media_id, substr(hx, CAST(u AS INTEGER) * 2 - 1, 2) AS byte
+        |  FROM m, unnest(range(1, CAST(length(hx) // 2 AS BIGINT) + 1)) AS r(u)),
+        |c AS (SELECT media_id, byte, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM b GROUP BY 1, 2),
+        |t AS (SELECT media_id, CAST(sum(cnt) AS BIGINT) AS n_bytes,
+        |    CAST(count(*) AS BIGINT) AS n_classes
+        |  FROM c GROUP BY 1),
+        |tm AS (SELECT c.media_id, n_bytes, n_classes,
+        |    round((CAST(cnt AS DOUBLE) / CAST(n_bytes AS DOUBLE)) *
+        |      ln(CAST(cnt AS DOUBLE) / CAST(n_bytes AS DOUBLE)) /
+        |      CAST(0.6931471805599453 AS DOUBLE), 9) AS term
+        |  FROM c JOIN t USING (media_id))
+        |SELECT media_id, max(n_bytes) AS n_bytes, max(n_classes) AS n_classes,
+        |  CAST(-sum(CAST(term AS DECIMAL(28,12))) AS DOUBLE) AS entropy,
+        |  CAST(-sum(CAST(term AS DECIMAL(28,12))) AS DOUBLE) < 2.7 AS is_degenerate
+        |FROM tm GROUP BY media_id ORDER BY media_id""".stripMargin
   )
 
   /** Feature extraction: per-channel means + an 8-bin luma histogram →

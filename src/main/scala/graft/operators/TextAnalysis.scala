@@ -372,6 +372,44 @@ object TextAnalysis {
         .select("doc_id", "lang", "bucket", "split")
         .orderBy("doc_id")
     },
+    // Exact-quota stratified sample — x6's rate-based Bernoulli cannot
+    // hit a FIXED total (an eval set of exactly K docs, proportionally
+    // allocated across strata): quotas come from largest-remainder
+    // (Hamilton) apportionment of K over the (source, lang) strata,
+    // computed entirely in INTEGER arithmetic (base = K·n_s div N; the
+    // remainder rank compares the integer numerators K·n_s − base·N, so
+    // the allocation is hash-exact — a double K·n_s/N would tie-break on
+    // ulps). In-stratum selection is the x6 md5 order, so membership is
+    // reproducible across engines and reruns. Shape at 100 TB: one
+    // combinable strata count, the apportionment over the ≤|strata|-row
+    // dim frame (dim-sized single-partition window — planning state, not
+    // data), quotas broadcast back, and ONE keyed window partitioned by
+    // stratum for the rank. A corpus-sized stratum makes that window its
+    // own skew bound — the o7 quantile-bucket two-pass is the swap-in if
+    // one stratum dominates; quotas cap selected rows at K regardless.
+    "x39_stratified_sample" -> { (s, d) =>
+      val k = 200L
+      val docs = Tables.documents(s, d)
+      val strata = docs.groupBy("source", "lang").agg(count(lit(1)).as("n_s"))
+      val tot = docs.agg(count(lit(1)).as("n_total"))
+      val alloc = strata.crossJoin(broadcast(tot))
+        .withColumn("base", expr(s"($k * n_s) div n_total"))
+        .withColumn("rem_num", expr(s"$k * n_s") - col("base") * col("n_total"))
+      val ranked = alloc.withColumn("rk_rem", row_number().over(
+        Window.orderBy(col("rem_num").desc, col("source"), col("lang"))))
+      val deficit = alloc.agg((lit(k) - sum(col("base"))).as("deficit"))
+      val quotas = ranked.crossJoin(broadcast(deficit))
+        .select(col("source"), col("lang"),
+          (col("base") +
+            when(col("rk_rem") <= col("deficit"), 1L).otherwise(0L)).as("quota"))
+      val w = Window.partitionBy("source", "lang")
+        .orderBy(md5(concat(lit("strat|"), col("doc_id").cast("string"))), col("doc_id"))
+      docs.join(broadcast(quotas), Seq("source", "lang"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= col("quota"))
+        .select("doc_id", "source", "lang", "rk", "quota")
+        .orderBy("doc_id")
+    },
     // TF-IDF: term frequency × inverse document frequency, top-3 terms
     // per doc. Shape at 100 TB: one explode + map-side-combinable tf agg,
     // a df agg over the (already much smaller) distinct doc-term pairs,
@@ -922,6 +960,27 @@ object TextAnalysis {
         |SELECT doc_id, lang, bucket,
         |  CASE WHEN bucket < 0.8 * rate * 65536 THEN 'train' ELSE 'test' END AS split
         |FROM b WHERE bucket < rate * 65536 ORDER BY doc_id""".stripMargin,
+    // The identical integer Hamilton apportionment + md5 in-stratum rank.
+    "x39_stratified_sample" ->
+      """WITH st AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n_s
+        |  FROM documents GROUP BY 1, 2),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents),
+        |al AS (SELECT source, lang, n_s,
+        |    (200 * n_s) // n_total AS base,
+        |    200 * n_s - ((200 * n_s) // n_total) * n_total AS rem_num
+        |  FROM st CROSS JOIN tot),
+        |rk AS (SELECT *, row_number() OVER (ORDER BY rem_num DESC, source, lang) AS rk_rem
+        |  FROM al),
+        |de AS (SELECT 200 - sum(base) AS deficit FROM al),
+        |q AS (SELECT source, lang,
+        |    CAST(base + CASE WHEN rk_rem <= deficit THEN 1 ELSE 0 END AS BIGINT) AS quota
+        |  FROM rk CROSS JOIN de),
+        |sel AS (SELECT d.doc_id, d.source, d.lang, q.quota,
+        |    row_number() OVER (PARTITION BY d.source, d.lang
+        |      ORDER BY md5('strat|' || CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rn
+        |  FROM documents d JOIN q USING (source, lang))
+        |SELECT doc_id, source, lang, CAST(rn AS BIGINT) AS rk, quota
+        |FROM sel WHERE rn <= quota ORDER BY doc_id""".stripMargin,
     "x7_tfidf" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
         |tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf

@@ -580,6 +580,41 @@ object CoreRelational {
       graft.operators.EventAnalytics.olsTrend(
         Tables.events(s, d), "event_type", hour(col("ts")), col("value"))
         .orderBy("event_type")
+    },
+
+    // Data-quality constraint suite (the deequ-style validation gate a
+    // training pipeline runs before a corpus is admitted): completeness,
+    // bounds, and composite-key uniqueness evaluated in ONE scan and
+    // emitted as a constraint report (check, observed, threshold,
+    // passed). All metrics come from a single global aggregate — the
+    // plain metrics partial-aggregate map-side; the composite-key
+    // distinct count is the one genuinely corpus-sized part (Catalyst's
+    // Expand two-phase distinct, a keyed exchange on the checked key —
+    // the price of an EXACT uniqueness check; a14's HLL is the sketch
+    // alternative when approximate suffices). Observed values are
+    // integer ratios or raw column min/max — no float summation, so the
+    // report is hash-exact without decimal staging.
+    "a17_quality_checks" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .agg(
+          count(lit(1)).as("n"),
+          count(col("l_quantity")).as("nq"),
+          min(col("l_discount")).as("min_disc"),
+          max(col("l_discount")).as("max_disc"),
+          max(col("l_quantity")).as("max_qty"),
+          countDistinct(col("l_orderkey"), col("l_linenumber")).as("dc"))
+        .selectExpr(
+          """stack(5,
+            |  'completeness_l_quantity',
+            |    cast(nq as double) / cast(n as double), 0.999D,
+            |    cast(nq as double) / cast(n as double) >= 0.999D,
+            |  'max_l_discount_le_0.1', max_disc, 0.1D, max_disc <= 0.1D,
+            |  'max_l_quantity_le_50', max_qty, 50.0D, max_qty <= 50.0D,
+            |  'min_l_discount_ge_0', min_disc, 0.0D, min_disc >= 0.0D,
+            |  'uniqueness_orderkey_linenumber',
+            |    cast(dc as double) / cast(n as double), 1.0D, dc = n
+            |) as (check_name, observed, threshold, passed)""".stripMargin)
+        .orderBy("check_name")
     }
   )
 
@@ -895,6 +930,31 @@ object CoreRelational {
          |  round(cov_n / var_x_n, 9) AS slope,
          |  round((sy - (cov_n / var_x_n) * sx) / n, 9) AS intercept,
          |  round(cov_n * cov_n / (var_x_n * var_y_n), 9) AS r2
-         |FROM m ORDER BY event_type""".stripMargin
+         |FROM m ORDER BY event_type""".stripMargin,
+    // The identical one-scan metric set unpivoted to the same report
+    // rows (DuckDB spells the composite-key distinct as a row-value).
+    "a17_quality_checks" ->
+      """WITH m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(count(l_quantity) AS BIGINT) AS nq,
+        |    min(l_discount) AS min_disc, max(l_discount) AS max_disc,
+        |    max(l_quantity) AS max_qty,
+        |    CAST(count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT) AS dc
+        |  FROM lineitem)
+        |SELECT * FROM (
+        |  SELECT 'completeness_l_quantity' AS check_name,
+        |      CAST(nq AS DOUBLE) / CAST(n AS DOUBLE) AS observed,
+        |      CAST(0.999 AS DOUBLE) AS threshold,
+        |      CAST(nq AS DOUBLE) / CAST(n AS DOUBLE) >= 0.999 AS passed
+        |    FROM m
+        |  UNION ALL SELECT 'max_l_discount_le_0.1', max_disc,
+        |      CAST(0.1 AS DOUBLE), max_disc <= 0.1 FROM m
+        |  UNION ALL SELECT 'max_l_quantity_le_50', max_qty,
+        |      CAST(50.0 AS DOUBLE), max_qty <= 50.0 FROM m
+        |  UNION ALL SELECT 'min_l_discount_ge_0', min_disc,
+        |      CAST(0.0 AS DOUBLE), min_disc >= 0.0 FROM m
+        |  UNION ALL SELECT 'uniqueness_orderkey_linenumber',
+        |      CAST(dc AS DOUBLE) / CAST(n AS DOUBLE),
+        |      CAST(1.0 AS DOUBLE), dc = n FROM m
+        |) ORDER BY check_name""".stripMargin
   )
 }

@@ -825,4 +825,49 @@ class ScaleSpec extends AnyFunSuite {
     assert(fresh.select("doc_id").collect().map(_.getLong(0)).toSeq === Seq(3L),
       "replayed id drops, novel id indexes")
   }
+
+  test("a17 quality checks: ONE scan of the fact table; distinct via Expand") {
+    val d = "/root/testdata/sf0.001"
+    val df = SparkEntry.queries("a17_quality_checks")(spark, d)
+    val plan = executedPlan(df).split("== Initial Plan ==").head
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans === 1, s"constraint suite must profile in one pass (got $scans scans):\n$plan")
+    // a single distinct aggregate avoids Expand entirely: Catalyst
+    // re-keys phase 1 on the checked composite key and piggybacks the
+    // plain metrics as merge_* — the first exchange is (orderkey,
+    // linenumber)-keyed and map-side combined
+    assert("HashAggregate\\(keys=\\[l_orderkey#\\d+L?, l_linenumber#\\d+".r
+        .findFirstIn(plan).isDefined,
+      s"composite-key uniqueness must ride the keyed two-phase distinct:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"),
+      s"a17 has no join at all:\n$plan")
+  }
+
+  test("x39 stratified sample: quotas broadcast; selection window keyed by stratum") {
+    val d = "/root/testdata/sf0.001"
+    val df = SparkEntry.queries("x39_stratified_sample")(spark, d)
+    val plan = executedPlan(df).split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the ≤|strata|-row quota frame must broadcast onto documents:\n$plan")
+    // the corpus-sized rank must be the (source, lang)-keyed window — the
+    // only permissible unkeyed window is the apportionment over the
+    // dim-sized strata frame
+    assert("windowspecdefinition\\(source#\\d+, lang#\\d+".r.findFirstIn(plan).isDefined,
+      s"in-stratum rank must partition by (source, lang):\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"),
+      s"x39 must stay broadcast-shaped:\n$plan")
+  }
+
+  test("m3 byte entropy: histogram partial-aggregates map-side; post-agg join only") {
+    val d = "/root/testdata/sf0.001"
+    val df = graft.multimodal.Multimodal.queries("m3_byte_entropy")(spark, d)
+    val plan = executedPlan(df).split("== Initial Plan ==").head
+    assert(plan.contains("Generate explode"),
+      s"byte cells come from one explode:\n$plan")
+    assert("partial_count|partial\\(".r.findFirstIn(plan).isDefined ||
+      plan.contains("HashAggregate(keys=[media_id"),
+      s"the (media, byte) histogram must combine map-side before any exchange:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"the totals join back stays keyed on media_id:\n$plan")
+  }
 }
