@@ -165,4 +165,49 @@ class InvariantSpec extends AnyFunSuite {
       assert(vs.map(_._2).toSet.size === 1, s"cluster $c split inconsistently")
     }
   }
+
+  test("x39 stratified sample: Hamilton quotas sum to K exactly and stay within quota") {
+    val rows = SparkEntry.queries("x39_stratified_sample")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    val K = 200L
+    assert(rows.length === K, s"sample size must be EXACTLY K (got ${rows.length})")
+    // per-stratum: selected count == quota, ranks are 1..quota
+    rows.groupBy(r => (r._2, r._3)).foreach { case (st, rs) =>
+      val quota = rs.map(_._5).distinct
+      assert(quota.size === 1, s"stratum $st with inconsistent quotas $quota")
+      assert(rs.length === quota.head, s"stratum $st selected ${rs.length} != quota")
+      assert(rs.map(_._4).sorted.toSeq === (1L to quota.head), s"stratum $st ranks not 1..quota")
+    }
+    // Hamilton's staying-within-quota property: each stratum gets
+    // floor or ceil of its exact proportional share, never more/less
+    import org.apache.spark.sql.functions._
+    val strata = Tables.documents(spark, d).groupBy("source", "lang").count()
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val n = strata.values.sum
+    val quotas = rows.groupBy(r => (r._2, r._3)).map { case (st, rs) => st -> rs.head._5 }
+    quotas.foreach { case (st, q) =>
+      val exact = K.toDouble * strata(st) / n
+      assert(q === math.floor(exact).toLong || q === math.ceil(exact).toLong,
+        s"stratum $st quota $q outside [floor, ceil] of $exact")
+    }
+    // zero-quota strata contribute no rows but the sum still hits K
+    assert(quotas.values.sum === K)
+  }
+
+  test("m3 byte entropy: 0 <= entropy <= log2(n_classes), single-class content pins 0") {
+    val rows = graft.multimodal.Multimodal.queries("m3_byte_entropy")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, nBytes, nClasses, h) =>
+      assert(nClasses >= 1 && nClasses <= math.min(nBytes, 256L), s"media $id classes")
+      assert(h >= -1e-9, s"media $id entropy $h negative")
+      // uniform distribution over n_classes is the maximum (+9-digit rounding slack)
+      val bound = math.log(nClasses.toDouble) / math.log(2.0)
+      assert(h <= bound + 1e-6, s"media $id entropy $h exceeds log2($nClasses)")
+    }
+    // degenerate flag fires exactly on the threshold
+    val flagged = graft.multimodal.Multimodal.queries("m3_byte_entropy")(spark, d)
+      .collect().map(r => (r.getDouble(3), r.getBoolean(4)))
+    flagged.foreach { case (h, f) => assert(f === (h < 2.7)) }
+  }
 }
