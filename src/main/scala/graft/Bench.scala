@@ -186,7 +186,10 @@ object Bench {
       // + one keyed window), m3 hex-cell byte histogram + entropy re-agg
       ("a17_quality_checks" -> ((0.772, 0.048))) +
       ("x39_stratified_sample" -> ((0.618, 0.048))) +
-      ("m3_byte_entropy" -> ((0.669, 0.048)))
+      ("m3_byte_entropy" -> ((0.669, 0.048))) +
+      // x40 seeded-Laplace DP count release: one combinable agg + pure
+      // map noise; recorded from a 0.049-floor isolated session
+      ("x40_dp_release" -> ((0.288, 0.049)))
   }
 
   def main(args: Array[String]): Unit = {

@@ -211,6 +211,41 @@ object Privacy {
           md5(concat(lit("eid|"), col("event_id").cast("string"))).as("_ord"))
         .orderBy("_ord")
         .drop("_ord")
+    },
+    // Differentially-private count release — the privacy family's
+    // RELEASE side (x13/x34/x38 suppress or admit the raw rows; a DP
+    // release never ships rows at all, only noised aggregates). The
+    // Laplace(1/ε) mechanism over per-(event_type, day) counts,
+    // sensitivity 1, ε = 1: noise = −b·sign(u−½)·ln(1−2|u−½|) by
+    // inverse-CDF from a uniform u ∈ (0,1). u is SEEDED from
+    // md5('dp|'||group-key) — deterministic noise is what makes the
+    // release reproducible across reruns/engines and hash-gateable; a
+    // production release would draw u from a CSPRNG instead (one-line
+    // swap), everything else — mechanism, sensitivity accounting,
+    // post-processing clamp — is the real thing. The ln ride's the x10
+    // discipline (rounded to 9 digits; one double add after it). Plan
+    // shape: ONE combinable groupBy is the only corpus-sized exchange;
+    // the noise is a pure map over the group-sized result. The released
+    // value is clamped non-negative and integerized by floor(x+½) —
+    // explicit half-up, immune to banker's-rounding divergence.
+    "x40_dp_release" -> { (s, d) =>
+      val b = 1.0 // Laplace scale = sensitivity / epsilon = 1 / 1
+      val grp = Tables.events(s, d)
+        .withColumn("day", date_trunc("day", col("ts")))
+        .groupBy("event_type", "day")
+        .agg(count(lit(1)).as("true_n"))
+      val v = conv(substring(md5(concat(lit("dp|"), col("event_type"),
+        lit("|"), col("day").cast("string"))), 1, 8), 16, 10).cast("long")
+      val u = (v.cast("double") + lit(0.5)) / lit(4294967296.0)
+      val noise = round(
+        -lit(b) * signum(u - lit(0.5)) * log(lit(1.0) - lit(2.0) * abs(u - lit(0.5))), 9)
+      // only the clamped integer ships: releasing noise or noisy_n beside
+      // it would reconstruct true_n exactly and void the mechanism
+      grp.withColumn("noisy_n", col("true_n").cast("double") + noise)
+        .select(col("event_type"), col("day"),
+          greatest(lit(0.0), floor(col("noisy_n") + lit(0.5))).cast("long").as("released_n"),
+          lit(1.0).as("epsilon"))
+        .orderBy("event_type", "day")
     }
   )
 
@@ -283,6 +318,26 @@ object Privacy {
          |  event_type, day, group_n, tvd
          |FROM ev JOIN ok USING (event_type, day)
          |WHERE group_n >= 3 AND tvd <= 0.15
-         |ORDER BY md5('eid|' || CAST(event_id AS VARCHAR))""".stripMargin
+         |ORDER BY md5('eid|' || CAST(event_id AS VARCHAR))""".stripMargin,
+    // The identical seeded inverse-CDF Laplace draw: same md5-derived
+    // uniform, same operand order, ln rounded to 9 before the one add.
+    "x40_dp_release" ->
+      """WITH g AS (SELECT event_type,
+        |    CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |    CAST(count(*) AS BIGINT) AS true_n
+        |  FROM events GROUP BY 1, 2),
+        |n AS (SELECT event_type, day, true_n,
+        |    (CAST(('0x' || substr(md5('dp|' || event_type || '|' ||
+        |        CAST(day AS VARCHAR)), 1, 8)) AS BIGINT) + 0.5) /
+        |      4294967296.0 AS u
+        |  FROM g),
+        |z AS (SELECT event_type, day, true_n,
+        |    round(-1.0 * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5)), 9) AS noise
+        |  FROM n)
+        |SELECT event_type, day,
+        |  CAST(greatest(0.0, floor((CAST(true_n AS DOUBLE) + noise) + 0.5)) AS BIGINT)
+        |    AS released_n,
+        |  CAST(1.0 AS DOUBLE) AS epsilon
+        |FROM z ORDER BY event_type, day""".stripMargin
   )
 }

@@ -120,4 +120,23 @@ class PrivacySpec extends AnyFunSuite {
       assert(!scrubbed.matches(".*[0-9].*"), s"digits survived: $scrubbed")
     }
   }
+
+  test("x40 DP release: non-negative, noise actually perturbs, Laplace tail bounded") {
+    import org.apache.spark.sql.functions._
+    val released = SparkEntry.queries("x40_dp_release")(spark, d).collect()
+      .map(r => ((r.getString(0), r.getTimestamp(1)), r.getLong(2))).toMap
+    val truth = graft.Tables.events(spark, d)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .count().collect()
+      .map(r => ((r.getString(0), r.getTimestamp(1)), r.getLong(2))).toMap
+    assert(released.keySet === truth.keySet, "release covers every group exactly once")
+    val devs = released.map { case (k, rel) =>
+      assert(rel >= 0L, s"group $k released negative count $rel")
+      math.abs(rel - truth(k))
+    }
+    assert(devs.exists(_ > 0L), "the mechanism must actually perturb some counts")
+    // b = 1: P(|noise| > 23) = e^-23 ~ 1e-10; the seeded uniform has 32
+    // bits so the draw cannot exceed -ln(2^-33) ~ 22.9 by construction
+    devs.foreach(dv => assert(dv <= 25L, s"deviation $dv outside the Laplace tail bound"))
+  }
 }
