@@ -189,7 +189,13 @@ object Bench {
       ("m3_byte_entropy" -> ((0.669, 0.048))) +
       // x40 seeded-Laplace DP count release: one combinable agg + pure
       // map noise; recorded from a 0.049-floor isolated session
-      ("x40_dp_release" -> ((0.288, 0.049)))
+      ("x40_dp_release" -> ((0.288, 0.049))) +
+      // n16 per-dim z-scoring (posexplode + DIM-row broadcast + keyed
+      // re-agg) and x41 preference pairs (one source-keyed exchange,
+      // two window sorts, (source, idx)-keyed self-join), recorded
+      // from one 0.066-floor isolated session
+      ("n16_embedding_standardize" -> ((1.003, 0.066))) +
+      ("x41_preference_pairs" -> ((0.556, 0.066)))
   }
 
   def main(args: Array[String]): Unit = {

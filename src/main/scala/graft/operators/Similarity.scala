@@ -339,8 +339,43 @@ object Similarity {
         .select("vec_id", "label", "qdot")
         .orderBy(col("qdot").desc, col("vec_id"))
         .limit(10)
+    },
+    // Per-dimension standardization (z-scoring) — the featurization pass
+    // run BEFORE indexing when raw dimensions have wildly different
+    // scales (cosine/IVF/PQ all degrade when one dimension dominates
+    // the metric). Shape at 100 TB: one posexplode (dims-linear), the
+    // per-dim moment agg collapses to exactly DIM rows (map-side
+    // combinable decimal sums — the a16 ladder), those DIM rows
+    // broadcast back onto the exploded stream, and the per-vector
+    // re-agg is keyed on vec_id. No corpus-sized join anywhere. The
+    // per-dim std and per-vector z-norm round to 9 digits before /
+    // after the decimal-exact sums (the x10 discipline for sqrt's libm
+    // tail); a constant dimension (std = 0) contributes z = 0 rather
+    // than NaN.
+    "n16_embedding_standardize" -> { (s, d) =>
+      val dims = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          posexplode(col("embedding")).as(Seq("dim", "vf")))
+        .withColumn("v", col("vf").cast("double"))
+      val stats = dims.groupBy("dim").agg(
+        count(lit(1)).as("n"),
+        (sum(col("v").cast(DecDot)).cast("double") /
+          count(lit(1)).cast("double")).as("mean"),
+        (sum((col("v") * col("v")).cast(DecDot)).cast("double") /
+          count(lit(1)).cast("double")).as("m2"))
+        .withColumn("std", round(sqrt(col("m2") - col("mean") * col("mean")), 9))
+      dims.join(broadcast(stats.select("dim", "mean", "std")), "dim")
+        .withColumn("z", when(col("std") === 0.0, lit(0.0))
+          .otherwise(round((col("v") - col("mean")) / col("std"), 9)))
+        .groupBy("vec_id")
+        .agg(max(col("label")).as("label"), count(lit(1)).as("n_dims"),
+          round(sqrt(sum((col("z") * col("z")).cast(DecDot)).cast("double")), 9)
+            .as("znorm"))
+        .orderBy("vec_id")
     }
   )
+
+  private val DecDot = org.apache.spark.sql.types.DecimalType(28, 12)
 
   def oracles2: Map[String, String] = Map(
     "n5_quantized_dot" ->
@@ -355,7 +390,29 @@ object Similarity {
         |  CAST(list_sum(list_transform(list_zip(qarr, qq), z -> z[1] * z[2])) AS DOUBLE)
         |    * scale * qs / 16129.0 AS qdot
         |FROM qz, q WHERE vec_id <> 0
-        |ORDER BY qdot DESC, vec_id LIMIT 10""".stripMargin
+        |ORDER BY qdot DESC, vec_id LIMIT 10""".stripMargin,
+    // The identical moment ladder and rounding boundaries; DuckDB walks
+    // the array by 1-based index (this build lacks WITH ORDINALITY),
+    // mapping to posexplode's 0-based dim by i-1.
+    "n16_embedding_standardize" ->
+      """WITH dims AS (SELECT vec_id, label,
+        |    CAST(r.i - 1 AS INTEGER) AS dim,
+        |    CAST(embedding[CAST(r.i AS INTEGER)] AS DOUBLE) AS v
+        |  FROM embeddings,
+        |    unnest(range(1, CAST(len(embedding) AS BIGINT) + 1)) AS r(i)),
+        |st AS (SELECT dim, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(v AS DECIMAL(28,12))) AS DOUBLE) /
+        |      CAST(count(*) AS DOUBLE) AS mean,
+        |    CAST(sum(CAST(v * v AS DECIMAL(28,12))) AS DOUBLE) /
+        |      CAST(count(*) AS DOUBLE) AS m2
+        |  FROM dims GROUP BY dim),
+        |sd AS (SELECT dim, mean, round(sqrt(m2 - mean * mean), 9) AS std FROM st),
+        |z AS (SELECT vec_id, label,
+        |    CASE WHEN std = 0.0 THEN 0.0 ELSE round((v - mean) / std, 9) END AS z
+        |  FROM dims JOIN sd USING (dim))
+        |SELECT vec_id, max(label) AS label, CAST(count(*) AS BIGINT) AS n_dims,
+        |  round(sqrt(CAST(sum(CAST(z * z AS DECIMAL(28,12))) AS DOUBLE)), 9) AS znorm
+        |FROM z GROUP BY vec_id ORDER BY vec_id""".stripMargin
   )
 
   def oracles: Map[String, String] = Map(

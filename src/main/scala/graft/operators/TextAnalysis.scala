@@ -410,6 +410,43 @@ object TextAnalysis {
         .select("doc_id", "source", "lang", "rk", "quota")
         .orderBy("doc_id")
     },
+    // Preference-pair construction — the RLHF/DPO data-prep step: per
+    // source, pair the i-th best-scoring document with the i-th worst
+    // as (chosen, rejected, margin), for i up to n/2 (so no row sits on
+    // both sides) and only while the margin is strictly positive (ties
+    // teach nothing). The quality proxy is the letter-density score —
+    // deterministic and cross-engine (the real pipeline swaps in a
+    // reward-model score column; the pairing plan is the operator).
+    // Shape at 100 TB: BOTH ranks ride one (source)-keyed exchange (two
+    // window sorts over the same partitioning — Catalyst reuses the
+    // exchange), and the chosen↔rejected match is a (source, idx)-keyed
+    // self-join of two already-filtered halves. A corpus-sized source
+    // is the windows' skew bound — the o7 quantile two-pass swaps in.
+    "x41_preference_pairs" -> { (s, d) =>
+      val scored = Tables.documents(s, d)
+        .withColumn("score", round(
+          length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("double") /
+            greatest(col("n_chars"), lit(1L)).cast("double"), 9))
+      val bestW = Window.partitionBy("source")
+        .orderBy(col("score").desc, col("doc_id").asc)
+      val worstW = Window.partitionBy("source")
+        .orderBy(col("score").asc, col("doc_id").desc)
+      val ranked = scored
+        .withColumn("rk_best", row_number().over(bestW).cast("long"))
+        .withColumn("rk_worst", row_number().over(worstW).cast("long"))
+        .withColumn("n_src", count(lit(1)).over(Window.partitionBy("source")))
+      val best = ranked.filter(col("rk_best") <= col("n_src") / 2)
+        .select(col("source"), col("rk_best").as("pair_idx"),
+          col("doc_id").as("chosen_id"), col("score").as("chosen_score"))
+      val worst = ranked.filter(col("rk_worst") <= col("n_src") / 2)
+        .select(col("source"), col("rk_worst").as("pair_idx"),
+          col("doc_id").as("rejected_id"), col("score").as("rejected_score"))
+      best.join(worst, Seq("source", "pair_idx"))
+        .withColumn("margin", col("chosen_score") - col("rejected_score"))
+        .filter(col("margin") > 0.0)
+        .select("source", "pair_idx", "chosen_id", "rejected_id", "margin")
+        .orderBy("source", "pair_idx")
+    },
     // TF-IDF: term frequency × inverse document frequency, top-3 terms
     // per doc. Shape at 100 TB: one explode + map-side-combinable tf agg,
     // a df agg over the (already much smaller) distinct doc-term pairs,
@@ -981,6 +1018,28 @@ object TextAnalysis {
         |  FROM documents d JOIN q USING (source, lang))
         |SELECT doc_id, source, lang, CAST(rn AS BIGINT) AS rk, quota
         |FROM sel WHERE rn <= quota ORDER BY doc_id""".stripMargin,
+    // The identical letter-density score, rank pairing, and margin cut.
+    "x41_preference_pairs" ->
+      """WITH sc AS (SELECT doc_id, source,
+        |    round(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) /
+        |      CAST(greatest(n_chars, 1) AS DOUBLE), 9) AS score
+        |  FROM documents),
+        |rk AS (SELECT doc_id, source, score,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rk_best,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY score ASC, doc_id DESC) AS BIGINT) AS rk_worst,
+        |    count(*) OVER (PARTITION BY source) AS n_src
+        |  FROM sc),
+        |b AS (SELECT source, rk_best AS pair_idx, doc_id AS chosen_id,
+        |    score AS chosen_score FROM rk WHERE rk_best <= n_src / 2),
+        |w AS (SELECT source, rk_worst AS pair_idx, doc_id AS rejected_id,
+        |    score AS rejected_score FROM rk WHERE rk_worst <= n_src / 2)
+        |SELECT source, pair_idx, chosen_id, rejected_id,
+        |  chosen_score - rejected_score AS margin
+        |FROM b JOIN w USING (source, pair_idx)
+        |WHERE chosen_score - rejected_score > 0.0
+        |ORDER BY source, pair_idx""".stripMargin,
     "x7_tfidf" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
         |tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf

@@ -858,6 +858,29 @@ class ScaleSpec extends AnyFunSuite {
       s"x39 must stay broadcast-shaped:\n$plan")
   }
 
+  test("n16 standardize: DIM-row stats broadcast; no corpus-shaped join") {
+    val d = "/root/testdata/sf0.001"
+    val df = SparkEntry.queries("n16_embedding_standardize")(spark, d)
+    val plan = executedPlan(df).split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the per-dim stats frame (exactly DIM rows) must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"n16 must never shuffle-join the exploded stream:\n$plan")
+  }
+
+  test("x41 preference pairs: both rank windows reuse ONE source-keyed exchange") {
+    val d = "/root/testdata/sf0.001"
+    val df = SparkEntry.queries("x41_preference_pairs")(spark, d)
+    val plan = executedPlan(df).split("== Initial Plan ==").head
+    // the scored scan is exchanged on (source) once; the second window
+    // and the self-join's two sides ride ReusedExchange / the same keyed
+    // partitioning — never a fresh corpus-wide shuffle per window
+    assert(plan.contains("ReusedExchange") || plan.contains("ReusedShuffle"),
+      s"the rank windows must share the source-keyed exchange:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"the chosen-rejected match stays keyed on (source, idx):\n$plan")
+  }
+
   test("m3 byte entropy: histogram partial-aggregates map-side; post-agg join only") {
     val d = "/root/testdata/sf0.001"
     val df = graft.multimodal.Multimodal.queries("m3_byte_entropy")(spark, d)
