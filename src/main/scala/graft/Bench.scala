@@ -195,7 +195,10 @@ object Bench {
       // two window sorts, (source, idx)-keyed self-join), recorded
       // from one 0.066-floor isolated session
       ("n16_embedding_standardize" -> ((1.003, 0.066))) +
-      ("x41_preference_pairs" -> ((0.556, 0.066)))
+      ("x41_preference_pairs" -> ((0.556, 0.066))) +
+      // w15 rolling median/MAD (one user-keyed window, 7-double frames,
+      // index arithmetic only); recorded from a 0.056-floor isolated session
+      ("w15_rolling_median" -> ((0.845, 0.056)))
   }
 
   def main(args: Array[String]): Unit = {

@@ -684,6 +684,43 @@ object SqlSurface {
           round(col("mu"), 9).as("mu"), round(col("z"), 9).as("z"))
         .orderBy("event_id")
     },
+    // Rolling MEDIAN + MAD robust outlier detection — w14's z-score
+    // breaks exactly when it matters (a single spike inflates the
+    // trailing mean AND variance, masking itself); the median/MAD pair
+    // is the standard robust alternative. Each event carries its user's
+    // trailing 7-value frame as a sorted array (collect_list over a
+    // rows-frame window — 7 doubles of state per row at any corpus
+    // size), median and MAD read by explicit index arithmetic (integer
+    // div, 1-based element_at — the even case averages the two middles
+    // with one add + one div, IEEE-identical cross-engine; no libm, so
+    // no rounding guard needed anywhere). One shuffle on the user key,
+    // no self-join; the 3·1.4826·MAD cut is the textbook ~3σ-equivalent
+    // consistency threshold, spelled with identical literal order in
+    // both engines, and a zero-MAD frame (constant values) never flags.
+    "w15_rolling_median" -> { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-6, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("arr", sort_array(collect_list(col("value")).over(w)))
+        .withColumn("n_window", size(col("arr")))
+        .withColumn("roll_med", expr(
+          """CASE WHEN n_window % 2 = 1
+            |  THEN element_at(arr, CAST((n_window + 1) div 2 AS INT))
+            |ELSE (element_at(arr, CAST(n_window div 2 AS INT)) +
+            |      element_at(arr, CAST(n_window div 2 + 1 AS INT))) / 2.0 END""".stripMargin))
+        .withColumn("devs", expr("sort_array(transform(arr, x -> abs(x - roll_med)))"))
+        .withColumn("roll_mad", expr(
+          """CASE WHEN n_window % 2 = 1
+            |  THEN element_at(devs, CAST((n_window + 1) div 2 AS INT))
+            |ELSE (element_at(devs, CAST(n_window div 2 AS INT)) +
+            |      element_at(devs, CAST(n_window div 2 + 1 AS INT))) / 2.0 END""".stripMargin))
+        .withColumn("is_outlier",
+          col("roll_mad") > 0.0 &&
+            abs(col("value") - col("roll_med")) > lit(3.0) * lit(1.4826) * col("roll_mad"))
+        .select("event_id", "user_id", "value", "n_window",
+          "roll_med", "roll_mad", "is_outlier")
+        .orderBy("event_id")
+    },
     // Keyset (seek) pagination — the serving-scale alternative to o3's
     // OFFSET: the predicate pushes to the scan and the page costs
     // O(page), where OFFSET n scans-and-discards O(n) rows and gets
@@ -1086,6 +1123,33 @@ object SqlSurface {
         |  FROM m WHERE variance > 0)
         |SELECT event_id, user_id, value, round(mu, 9) AS mu, round(z, 9) AS z
         |FROM z WHERE abs(z) > 2.5 ORDER BY event_id""".stripMargin,
+    // The identical sorted-frame walk: list() over the same rows frame,
+    // the same integer index arithmetic, the same literal order in the
+    // MAD cut. No libm anywhere, so no rounding guard.
+    "w15_rolling_median" ->
+      """WITH a AS (
+        |  SELECT event_id, user_id, value,
+        |    list_sort(list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS arr
+        |  FROM events),
+        |m AS (
+        |  SELECT event_id, user_id, value, arr,
+        |    CAST(len(arr) AS INTEGER) AS n_window,
+        |    CASE WHEN len(arr) % 2 = 1 THEN arr[(len(arr) + 1) // 2]
+        |         ELSE (arr[len(arr) // 2] + arr[len(arr) // 2 + 1]) / 2.0 END AS roll_med
+        |  FROM a),
+        |x AS (
+        |  SELECT event_id, user_id, value, n_window, roll_med,
+        |    list_sort(list_transform(arr, x -> abs(x - roll_med))) AS devs
+        |  FROM m),
+        |y AS (
+        |  SELECT event_id, user_id, value, n_window, roll_med,
+        |    CASE WHEN n_window % 2 = 1 THEN devs[(n_window + 1) // 2]
+        |         ELSE (devs[n_window // 2] + devs[n_window // 2 + 1]) / 2.0 END AS roll_mad
+        |  FROM x)
+        |SELECT event_id, user_id, value, n_window, roll_med, roll_mad,
+        |  (roll_mad > 0.0 AND abs(value - roll_med) > 3.0 * 1.4826 * roll_mad) AS is_outlier
+        |FROM y ORDER BY event_id""".stripMargin,
     "o5_keyset_pagination" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders WHERE o_orderkey > 500
