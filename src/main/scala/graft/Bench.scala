@@ -181,10 +181,14 @@ object Bench {
       // shape); recorded from a 0.067-floor isolated session
       ("x38_t_closeness" -> ((1.676, 0.067))) +
       // NEW round 13 (late adds), recorded from one 0.048-floor isolated
-      // session: a17 one-scan constraint suite (the composite-key exact
-      // distinct dominates), x39 Hamilton stratified sample (strata agg
-      // + one keyed window), m3 hex-cell byte histogram + entropy re-agg
-      ("a17_quality_checks" -> ((0.772, 0.048))) +
+      // session: x39 Hamilton stratified sample (strata agg + one keyed
+      // window), m3 hex-cell byte histogram + entropy re-agg. a17
+      // RE-RECORDED from the calm 0.053-floor full-suite session: its
+      // isolated recording (0.772) read ~40% below every in-suite
+      // median (1.06-1.10 across three calm sessions) — the composite-
+      // key distinct's corpus-wide exchange is contention-sensitive, so
+      // the in-suite number is the honest steady state
+      ("a17_quality_checks" -> ((1.062, 0.053))) +
       ("x39_stratified_sample" -> ((0.618, 0.048))) +
       ("m3_byte_entropy" -> ((0.669, 0.048))) +
       // x40 seeded-Laplace DP count release: one combinable agg + pure
