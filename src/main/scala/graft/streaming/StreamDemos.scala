@@ -237,6 +237,47 @@ object StreamDemos {
       }
   }
 
+  final case class MedOut(event_id: Long, user_id: Long, value: Double,
+      n_window: Int, roll_med: Double, roll_mad: Double, is_outlier: Boolean)
+
+  /** w15's rolling median/MAD robust outlier detection LIVE: per-user
+    * trailing ring buffer of the last `frame − 1` values via
+    * flatMapGroupsWithState; each arriving event is scored over the
+    * sorted (buffer :+ value) window — the batch operator's
+    * rows-[−6, 0] frame — with the IDENTICAL index arithmetic (odd:
+    * middle; even: one add + one div of the two middles) and the
+    * identical 3·1.4826·MAD cut. No libm anywhere, so in-order
+    * streaming output equals batch w15 EXACTLY (raw-double equality,
+    * not 9-digit parity — the spec pins it without rounding). State
+    * per key is ≤ `frame − 1` doubles, watermark-independent and
+    * bounded — the same 100 TB-safe configuration as [[anomalyZscores]].
+    */
+  def rollingMedians(events: Dataset[ZEv], frame: Int = 7): Dataset[MedOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[ZEv], state: GroupState[Vector[Double]]) =>
+          var buf = state.getOption.getOrElse(Vector.empty[Double])
+          val out = Seq.newBuilder[MedOut]
+          rows.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+            .foreach { e =>
+              val w = (buf :+ e.value).sorted
+              val n = w.size
+              def mid(v: Vector[Double]): Double =
+                if (n % 2 == 1) v((n + 1) / 2 - 1)
+                else (v(n / 2 - 1) + v(n / 2)) / 2.0
+              val med = mid(w)
+              val mad = mid(w.map(x => math.abs(x - med)).sorted)
+              out += MedOut(e.event_id, user, e.value, n, med, mad,
+                mad > 0.0 && math.abs(e.value - med) > 3.0 * 1.4826 * mad)
+              buf = (buf :+ e.value).takeRight(frame - 1)
+            }
+          state.update(buf)
+          out.result().iterator
+      }
+  }
+
   final case class Ev(user_id: Long, ts: Timestamp, value: Double)
   final case class SessionAgg(n_events: Int, startMs: Long, lastMs: Long)
   final case class SessionOut(user_id: Long, n_events: Int, session_start: Timestamp, session_end: Timestamp)

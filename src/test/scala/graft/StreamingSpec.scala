@@ -339,6 +339,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming rolling median/MAD equals batch w15 EXACTLY across a batch boundary") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    val all = Tables.events(spark, d)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .collect()
+      .map(r => StreamDemos.ZEv(r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getDouble(3)))
+      .sortBy(e => (e.ts.getTime, e.event_id))
+    val cut = all(all.length / 2).ts.getTime
+    val (b1, b2) = all.partition(_.ts.getTime < cut)
+    assert(b1.nonEmpty && b2.nonEmpty)
+    val ms = MemoryStream[StreamDemos.ZEv]
+    val q = StreamDemos.rollingMedians(ms.toDS())
+      .writeStream.format("memory").queryName("med_out").outputMode("append").start()
+    try {
+      ms.addData(b1.toIndexedSeq: _*); q.processAllAvailable()
+      ms.addData(b2.toIndexedSeq: _*); q.processAllAvailable()
+      // raw-double equality — no libm in either path, so not even a
+      // 9-digit rounding concession is needed
+      val got = spark.table("med_out").collect()
+        .map(r => (r.getAs[Long]("event_id"), r.getAs[Int]("n_window"),
+          r.getAs[Double]("roll_med"), r.getAs[Double]("roll_mad"),
+          r.getAs[Boolean]("is_outlier")))
+        .toSet
+      val expected = SparkEntry.queries("w15_rolling_median")(spark, d).collect()
+        .map(r => (r.getAs[Long]("event_id"), r.getAs[Int]("n_window"),
+          r.getAs[Double]("roll_med"), r.getAs[Double]("roll_mad"),
+          r.getAs[Boolean]("is_outlier")))
+        .toSet
+      assert(expected.nonEmpty)
+      assert(got === expected, "stream/batch rolling-median parity must be exact")
+    } finally q.stop()
+  }
+
   test("streaming z-score orders same-millisecond events by full timestamp precision") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
