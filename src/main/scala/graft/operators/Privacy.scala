@@ -289,7 +289,7 @@ object Privacy {
       s"""WITH ev AS (
          |  SELECT event_id, user_id, event_type,
          |    CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
-         |    user_id % 8 AS sclass
+         |    ((user_id % 8) + 8) % 8 AS sclass
          |  FROM events),
          |gl AS (SELECT sclass, CAST(count(*) AS DECIMAL(18,0)) AS gv
          |  FROM ev GROUP BY sclass),

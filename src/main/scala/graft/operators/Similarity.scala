@@ -363,7 +363,12 @@ object Similarity {
           count(lit(1)).cast("double")).as("mean"),
         (sum((col("v") * col("v")).cast(DecDot)).cast("double") /
           count(lit(1)).cast("double")).as("m2"))
-        .withColumn("std", round(sqrt(col("m2") - col("mean") * col("mean")), 9))
+        // greatest(·, 0): a constant dimension's m2 − mean² lands at
+        // ~−1e-13 after decimal quantization + double division — without
+        // the clamp Spark sqrt gives NaN (and the std=0 guard misses it)
+        // while DuckDB hard-errors on sqrt(negative)
+        .withColumn("std",
+          round(sqrt(greatest(col("m2") - col("mean") * col("mean"), lit(0.0))), 9))
       dims.join(broadcast(stats.select("dim", "mean", "std")), "dim")
         .withColumn("z", when(col("std") === 0.0, lit(0.0))
           .otherwise(round((col("v") - col("mean")) / col("std"), 9)))
@@ -406,7 +411,8 @@ object Similarity {
         |    CAST(sum(CAST(v * v AS DECIMAL(28,12))) AS DOUBLE) /
         |      CAST(count(*) AS DOUBLE) AS m2
         |  FROM dims GROUP BY dim),
-        |sd AS (SELECT dim, mean, round(sqrt(m2 - mean * mean), 9) AS std FROM st),
+        |sd AS (SELECT dim, mean,
+        |    round(sqrt(greatest(m2 - mean * mean, 0.0)), 9) AS std FROM st),
         |z AS (SELECT vec_id, label,
         |    CASE WHEN std = 0.0 THEN 0.0 ELSE round((v - mean) / std, 9) END AS z
         |  FROM dims JOIN sd USING (dim))

@@ -404,7 +404,10 @@ object TextAnalysis {
             when(col("rk_rem") <= col("deficit"), 1L).otherwise(0L)).as("quota"))
       val w = Window.partitionBy("source", "lang")
         .orderBy(md5(concat(lit("strat|"), col("doc_id").cast("string"))), col("doc_id"))
-      docs.join(broadcast(quotas), Seq("source", "lang"))
+      // quota > 0 pre-filter: zero-quota strata would otherwise flow
+      // through the corpus-sized rank window only to be discarded —
+      // pruning them on the broadcast side is free
+      docs.join(broadcast(quotas.filter(col("quota") > 0L)), Seq("source", "lang"))
         .withColumn("rk", row_number().over(w).cast("long"))
         .filter(col("rk") <= col("quota"))
         .select("doc_id", "source", "lang", "rk", "quota")
@@ -429,12 +432,14 @@ object TextAnalysis {
             greatest(col("n_chars"), lit(1L)).cast("double"), 9))
       val bestW = Window.partitionBy("source")
         .orderBy(col("score").desc, col("doc_id").asc)
-      val worstW = Window.partitionBy("source")
-        .orderBy(col("score").asc, col("doc_id").desc)
+      // rk_worst is DERIVED, not a second window: (score DESC, doc_id
+      // ASC) is a strict total order (doc_id unique), so its exact
+      // reverse rank is n − rk_best + 1 for every row including score
+      // ties — one corpus-sized sort instead of two
       val ranked = scored
         .withColumn("rk_best", row_number().over(bestW).cast("long"))
-        .withColumn("rk_worst", row_number().over(worstW).cast("long"))
         .withColumn("n_src", count(lit(1)).over(Window.partitionBy("source")))
+        .withColumn("rk_worst", col("n_src") - col("rk_best") + 1L)
       val best = ranked.filter(col("rk_best") <= col("n_src") / 2)
         .select(col("source"), col("rk_best").as("pair_idx"),
           col("doc_id").as("chosen_id"), col("score").as("chosen_score"))
@@ -1024,13 +1029,12 @@ object TextAnalysis {
         |    round(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) /
         |      CAST(greatest(n_chars, 1) AS DOUBLE), 9) AS score
         |  FROM documents),
-        |rk AS (SELECT doc_id, source, score,
+        |r0 AS (SELECT doc_id, source, score,
         |    CAST(row_number() OVER (PARTITION BY source
         |      ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rk_best,
-        |    CAST(row_number() OVER (PARTITION BY source
-        |      ORDER BY score ASC, doc_id DESC) AS BIGINT) AS rk_worst,
         |    count(*) OVER (PARTITION BY source) AS n_src
         |  FROM sc),
+        |rk AS (SELECT *, n_src - rk_best + 1 AS rk_worst FROM r0),
         |b AS (SELECT source, rk_best AS pair_idx, doc_id AS chosen_id,
         |    score AS chosen_score FROM rk WHERE rk_best <= n_src / 2),
         |w AS (SELECT source, rk_worst AS pair_idx, doc_id AS rejected_id,
