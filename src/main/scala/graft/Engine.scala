@@ -31,6 +31,13 @@ object Engine {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      // the streaming stores fold into 64 `bucket=` dirs, which is past
+      // the default 32-path cutover to DISTRIBUTED file listing — a
+      // whole Spark job (~0.25 s locally) just to list 64 directories,
+      // paid per store read per probe. Keep fold-sized listings
+      // driver-side; on a high-latency object store with much wider
+      // layouts, lower this back (MIGRATION.md).
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "1024")
       .getOrCreate()
     graft.functions.GraftFunctions.register(s) // same-JVM reuse safety
     s

@@ -285,7 +285,12 @@ object Multimodal {
       import org.apache.spark.sql.functions._
       val hx = mediaFromDocuments(s, d).toDF()
         .select(col("media_id"), hex(col("content")).as("hx"))
-      val bytes = hx.select(col("media_id"),
+      // empty assets yield ZERO byte rows, not bogus classes: Spark's
+      // sequence(1, 0) is DESCENDING [1, 0], so an unguarded transform
+      // would emit two empty-string "bytes" for zero-length content.
+      // Unreachable with mediaFromDocuments' constructed payloads, but
+      // the operator must be safe for arbitrary binary input.
+      val bytes = hx.filter(length(col("hx")) >= 2).select(col("media_id"),
         explode(expr(
           "transform(sequence(1, length(hx) div 2), i -> substring(hx, i*2-1, 2))")).as("byte"))
       val cnts = bytes.groupBy("media_id", "byte").agg(count(lit(1)).as("cnt"))

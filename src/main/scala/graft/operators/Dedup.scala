@@ -956,11 +956,47 @@ object Dedup {
       val docs = Tables.documents(s, d).select("doc_id", "lang", "text")
       val root = java.nio.file.Files.createTempDirectory("graft-x37").toString
       val cfg = graft.streaming.LivePipeline.Config(root)
-      graft.streaming.LivePipeline.step(
-        docs.filter(col("doc_id") % 10 < 4), 0L, cfg)
+      // TWO seed batches, split at the seed's median doc_id, so that
+      // compact() has history to fold — a lone flat batch part skips
+      // the refold, and the probe below would then run the flat keyed
+      // spelling instead of the bucketed pruned+broadcast path this
+      // gate exists to hash-verify (round-13's x37 covered only the
+      // flat path for exactly this reason). The split MUST be
+      // id-ordered (all of batch 0's ids below all of batch 1's): the
+      // oracle models the seed as ONE batch whose canonical is the
+      // global min doc_id per hash, and the live ladder admits the
+      // EARLIEST batch's canonical — for a duplicate-hash group that
+      // straddles the split, id order puts the global min in batch 0,
+      // so the two spellings admit the same doc (and a batch-0
+      // canonical that fails quality blocks the group in both: its
+      // hash is recorded pre-quality, so batch 1's copy reads
+      // dup_of_corpus). The median is one bounded agg job (a single
+      // long of planning state, the o7 boundary-collect discipline);
+      // its accuracy only balances the two seed batches, never the
+      // result.
+      //
+      // Seeding runs `gateNearDups=false`: with the gate on, a batch-1
+      // seed doc that band-collides with a batch-0 admission would be
+      // kept OUT of the stores — a store content that depends on how
+      // the seed was batched, which no single-batch oracle can spell
+      // (sf0.1 exhibited exactly this: one batch-1 near-dup missing
+      // from the band store flipped an arriving doc's fate). With the
+      // gate off, near-dup seeds are still admitted (the documented
+      // d13 posture: verdict kept as a column, stores complete), so
+      // the final stores are exactly canonical+quality over the WHOLE
+      // seed — the oracle's `adm` — for ANY batching. The arriving
+      // batch's fates are unaffected by the flag (it gates store
+      // commits, not the audit ladder), so the probe still exercises
+      // every arm including near_dup.
+      val seedCfg = cfg.copy(gateNearDups = false)
+      val seed = docs.filter(col("doc_id") % 10 < 4)
+      val mid = seed.agg(percentile_approx(col("doc_id"), lit(0.5), lit(10000)))
+        .head().getLong(0)
+      graft.streaming.LivePipeline.step(seed.filter(col("doc_id") <= mid), 0L, seedCfg)
+      graft.streaming.LivePipeline.step(seed.filter(col("doc_id") > mid), 1L, seedCfg)
       graft.streaming.LivePipeline.compact(s, cfg)
       val (exact, bands, ids, cursors) =
-        graft.streaming.LivePipeline.probeFrames(s, cfg, 1L)
+        graft.streaming.LivePipeline.probeFrames(s, cfg, 2L)
       val arriving = docs.filter(col("doc_id") % 10 === 7)
         .unionByName(docs
           .filter(col("doc_id") % 10 < 4 && col("doc_id") % 100 === 2)

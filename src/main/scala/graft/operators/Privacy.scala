@@ -203,7 +203,11 @@ object Privacy {
               .cast("double") /
             (lit(2.0) * col("group_n").cast("double") *
               col("n_total").cast("double"))).as("tvd"))
-      ev.join(scored.filter(col("group_n") >= 3 && col("tvd") <= 0.15),
+      // the verdict frame is (days × event-types)-sized — group-shaped,
+      // never corpus-shaped — so the admit join is HINTED broadcast like
+      // every other small-side join in this family (x34 included),
+      // rather than left for AQE to convert at runtime
+      ev.join(broadcast(scored.filter(col("group_n") >= 3 && col("tvd") <= 0.15)),
           Seq("event_type", "day"))
         .select(pseudonym("eid", col("event_id")).as("event_pseudonym"),
           pseudonym("uid", col("user_id")).as("user_pseudonym"),
@@ -245,6 +249,62 @@ object Privacy {
         .select(col("event_type"), col("day"),
           greatest(lit(0.0), floor(col("noisy_n") + lit(0.5))).cast("long").as("released_n"),
           lit(1.0).as("epsilon"))
+        .orderBy("event_type", "day")
+    },
+    // Differentially-private SUM + MEAN release — the clamp-then-noise
+    // step every DP release of CONTINUOUS data needs, which the
+    // sensitivity-1 count release (x40) can skip. Neighboring datasets
+    // differ in one user's presence in one (event_type, day) group, so
+    // sensitivity is bounded by BOUNDING EACH USER'S CONTRIBUTION
+    // FIRST: per-(group, user) sums are clamped into [0, C] (C = 50)
+    // BEFORE the group sum — without the clamp one outlier user makes
+    // the sum's sensitivity unbounded and no finite noise is private.
+    // Δ(sum) = C and Δ(count) = 1; the ε = 1 budget splits in half
+    // (sequential composition), so noise is Laplace(C/½) on the sum
+    // and Laplace(1/½) on the user count; the released mean is pure
+    // post-processing of the two released values (never true_sum /
+    // true_n — that would spend unaccounted budget). Same seeded-
+    // uniform inverse-CDF discipline as x40 ("dps|"/"dpn|" domain
+    // separation), CSPRNG swap being the production one-liner.
+    //
+    // Determinism across engines, spelled so no decimal→double edge
+    // exists: contributions round to 9 digits then sum as
+    // DECIMAL(28,9) — group sums stay ≤ 5e14 unscaled (< 2^53), so
+    // BOTH engines' decimal→double conversions are exact-then-
+    // correctly-rounded on the same rational and cannot differ by an
+    // ulp. Releases integerize by floor(x+½) (explicit half-up), the
+    // clamp is exact decimal least/greatest, and the mean divides two
+    // exact longs. Plan shape: the (group, user) groupBy is the ONE
+    // corpus-sized exchange (map-side combinable); the group re-agg
+    // runs over the users×groups-sized result; noise is a pure map.
+    "x42_dp_sum_release" -> { (s, d) =>
+      val clampC = 50.0
+      val dec = org.apache.spark.sql.types.DecimalType(28, 9)
+      val perUser = Tables.events(s, d)
+        .withColumn("day", date_trunc("day", col("ts")))
+        .groupBy("event_type", "day", "user_id")
+        .agg(sum(round(col("value"), 9).cast(dec)).as("contrib"))
+      val clamped = perUser.withColumn("cl",
+        least(greatest(col("contrib"), lit(0).cast(dec)), lit(clampC).cast(dec)))
+      val grp = clamped.groupBy("event_type", "day")
+        .agg(sum(col("cl")).as("true_sum"), count(lit(1)).as("true_users"))
+      def unif(tag: String) = {
+        val v = conv(substring(md5(concat(lit(tag), col("event_type"),
+          lit("|"), col("day").cast("string"))), 1, 8), 16, 10).cast("long")
+        (v.cast("double") + lit(0.5)) / lit(4294967296.0)
+      }
+      def lap(b: Double, u: Column) = round(
+        -lit(b) * signum(u - lit(0.5)) * log(lit(1.0) - lit(2.0) * abs(u - lit(0.5))), 9)
+      grp.select(col("event_type"), col("day"),
+          greatest(lit(0L), floor(col("true_sum").cast("double") +
+            lap(clampC / 0.5, unif("dps|")) + lit(0.5))).as("released_sum"),
+          greatest(lit(1L), floor(col("true_users").cast("double") +
+            lap(1.0 / 0.5, unif("dpn|")) + lit(0.5))).as("released_users"))
+        .select(col("event_type"), col("day"),
+          col("released_sum"), col("released_users"),
+          round(col("released_sum").cast("double") /
+            col("released_users").cast("double"), 9).as("released_mean"),
+          lit(1.0).as("epsilon"), lit(clampC).as("clamp"))
         .orderBy("event_type", "day")
     }
   )
@@ -338,6 +398,43 @@ object Privacy {
         |  CAST(greatest(0.0, floor((CAST(true_n AS DOUBLE) + noise) + 0.5)) AS BIGINT)
         |    AS released_n,
         |  CAST(1.0 AS DOUBLE) AS epsilon
-        |FROM z ORDER BY event_type, day""".stripMargin
+        |FROM z ORDER BY event_type, day""".stripMargin,
+    // x42: per-user clamp → group sum → two seeded-Laplace noises →
+    // floor(x+½) integerization, the mean from the RELEASED pair.
+    "x42_dp_sum_release" ->
+      """WITH pu AS (SELECT event_type,
+        |    CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, user_id,
+        |    SUM(CAST(round(value, 9) AS DECIMAL(28,9))) AS contrib
+        |  FROM events GROUP BY 1, 2, 3),
+        |cl AS (SELECT event_type, day,
+        |    least(greatest(contrib, CAST(0 AS DECIMAL(28,9))),
+        |          CAST(50 AS DECIMAL(28,9))) AS cl
+        |  FROM pu),
+        |g AS (SELECT event_type, day, SUM(cl) AS true_sum,
+        |    CAST(count(*) AS BIGINT) AS true_users
+        |  FROM cl GROUP BY 1, 2),
+        |n AS (SELECT event_type, day, true_sum, true_users,
+        |    (CAST(('0x' || substr(md5('dps|' || event_type || '|' ||
+        |        CAST(day AS VARCHAR)), 1, 8)) AS BIGINT) + 0.5) /
+        |      4294967296.0 AS us,
+        |    (CAST(('0x' || substr(md5('dpn|' || event_type || '|' ||
+        |        CAST(day AS VARCHAR)), 1, 8)) AS BIGINT) + 0.5) /
+        |      4294967296.0 AS uc
+        |  FROM g),
+        |z AS (SELECT event_type, day, true_sum, true_users,
+        |    round(-100.0 * sign(us - 0.5) * ln(1.0 - 2.0 * abs(us - 0.5)), 9) AS ns,
+        |    round(-2.0 * sign(uc - 0.5) * ln(1.0 - 2.0 * abs(uc - 0.5)), 9) AS nc
+        |  FROM n),
+        |r AS (SELECT event_type, day,
+        |    CAST(greatest(0.0, floor(CAST(true_sum AS DOUBLE) + ns + 0.5)) AS BIGINT)
+        |      AS released_sum,
+        |    CAST(greatest(1.0, floor(CAST(true_users AS DOUBLE) + nc + 0.5)) AS BIGINT)
+        |      AS released_users
+        |  FROM z)
+        |SELECT event_type, day, released_sum, released_users,
+        |  round(CAST(released_sum AS DOUBLE) / CAST(released_users AS DOUBLE), 9)
+        |    AS released_mean,
+        |  CAST(1.0 AS DOUBLE) AS epsilon, CAST(50.0 AS DOUBLE) AS clamp
+        |FROM r ORDER BY event_type, day""".stripMargin
   )
 }

@@ -250,6 +250,50 @@ object TextAnalysis {
       .drop("target", "n_domain")
   }
 
+  /** x41's rank stage with its SKEW GUARD made real (round-14: the
+    * scaladoc used to promise a swap no code performed). One bounded
+    * agg job measures the largest source's share (two longs of
+    * planning state — the o7 boundary-collect discipline, costing one
+    * blocking job, same trade o6→o7 documented). Balanced sources
+    * (share ≤ `skewShare`) keep the one-exchange two-window spelling;
+    * a dominant source — where the keyed window becomes a single-task
+    * sort of most of the corpus — routes BOTH ranks through
+    * [[graft.queries.CoreRelational.keyedRankQuantile]]: global value
+    * quantiles split the hot source ~evenly across (source, bucket)
+    * tasks, and rk_worst stays DERIVED (n_src − rk + 1 under the
+    * strict (score desc, doc_id) total order), so the swap changes
+    * parallelism, never ranks — ScaleSpec asserts the two spellings
+    * rank-identical under a 90%-one-source distribution. Emits
+    * `rk_best`, `rk_worst`, `n_src` alongside `scored`'s columns.
+    */
+  private[graft] def prefRanked(scored: DataFrame,
+      skewShare: Double = 0.5): DataFrame = {
+    val st = scored.groupBy("source").agg(count(lit(1)).as("c"))
+      .agg(coalesce(max(col("c")), lit(0L)).as("mx"),
+        coalesce(sum(col("c")), lit(0L)).as("n")).head()
+    val (mx, n) = (st.getLong(0), st.getLong(1))
+    if (n == 0L || mx.toDouble <= skewShare * n.toDouble) {
+      val bestW = Window.partitionBy("source")
+        .orderBy(col("score").desc, col("doc_id").asc)
+      // rk_worst is DERIVED, not a second window: (score DESC, doc_id
+      // ASC) is a strict total order (doc_id unique), so its exact
+      // reverse rank is n − rk_best + 1 for every row including score
+      // ties — one corpus-sized sort instead of two
+      scored
+        .withColumn("rk_best", row_number().over(bestW).cast("long"))
+        .withColumn("n_src", count(lit(1)).over(Window.partitionBy("source")))
+        .withColumn("rk_worst", col("n_src") - col("rk_best") + 1L)
+    } else
+      // ascending (−score, doc_id) ≡ (score desc, doc_id asc); −0.0
+      // and 0.0 compare equal under SQL ordering, so the negation
+      // cannot reorder ties the tie column doesn't already break
+      graft.queries.CoreRelational.keyedRankQuantile(
+          scored, Seq("source"), col("score") * lit(-1.0), col("doc_id"))
+        .withColumnRenamed("rnk", "rk_best")
+        .withColumnRenamed("n_key", "n_src")
+        .withColumn("rk_worst", col("n_src") - col("rk_best") + 1L)
+  }
+
   def queries: Map[String, Q] = Map(
     // Inverted phrase index build — the exact-match retrieval backbone
     // (and the substring-search infra every contamination audit needs):
@@ -385,8 +429,10 @@ object TextAnalysis {
     // dim frame (dim-sized single-partition window — planning state, not
     // data), quotas broadcast back, and ONE keyed window partitioned by
     // stratum for the rank. A corpus-sized stratum makes that window its
-    // own skew bound — the o7 quantile-bucket two-pass is the swap-in if
-    // one stratum dominates; quotas cap selected rows at K regardless.
+    // own skew bound — the swap-in is the SAME guard+route x41's
+    // [[prefRanked]] implements (CoreRelational.keyedRankQuantile over
+    // the stratum key, proven rank-identical in ScaleSpec); quotas cap
+    // selected rows at K regardless.
     "x39_stratified_sample" -> { (s, d) =>
       val k = 200L
       val docs = Tables.documents(s, d)
@@ -424,22 +470,17 @@ object TextAnalysis {
     // window sorts over the same partitioning — Catalyst reuses the
     // exchange), and the chosen↔rejected match is a (source, idx)-keyed
     // self-join of two already-filtered halves. A corpus-sized source
-    // is the windows' skew bound — the o7 quantile two-pass swaps in.
+    // is the windows' skew bound — [[prefRanked]] GUARDS for it and
+    // routes the rank through the o7 quantile two-pass
+    // ([[graft.queries.CoreRelational.keyedRankQuantile]]) when one
+    // source holds more than half the corpus; ScaleSpec pins the two
+    // spellings rank-identical under pathological skew.
     "x41_preference_pairs" -> { (s, d) =>
       val scored = Tables.documents(s, d)
         .withColumn("score", round(
           length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("double") /
             greatest(col("n_chars"), lit(1L)).cast("double"), 9))
-      val bestW = Window.partitionBy("source")
-        .orderBy(col("score").desc, col("doc_id").asc)
-      // rk_worst is DERIVED, not a second window: (score DESC, doc_id
-      // ASC) is a strict total order (doc_id unique), so its exact
-      // reverse rank is n − rk_best + 1 for every row including score
-      // ties — one corpus-sized sort instead of two
-      val ranked = scored
-        .withColumn("rk_best", row_number().over(bestW).cast("long"))
-        .withColumn("n_src", count(lit(1)).over(Window.partitionBy("source")))
-        .withColumn("rk_worst", col("n_src") - col("rk_best") + 1L)
+      val ranked = prefRanked(scored)
       val best = ranked.filter(col("rk_best") <= col("n_src") / 2)
         .select(col("source"), col("rk_best").as("pair_idx"),
           col("doc_id").as("chosen_id"), col("score").as("chosen_score"))

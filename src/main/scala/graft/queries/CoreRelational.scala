@@ -68,6 +68,54 @@ object CoreRelational {
       .drop("bkt", "lrn", "before")
   }
 
+  /** Exact PER-KEY row_number for a skewed partition key —
+    * [[globalRankQuantile]] generalized to keyed windows (the swap-in
+    * x41's scaladoc promises; x39's stratum rank is the same shape).
+    * A keyed window sorts each key's rows in ONE task, so a corpus-
+    * sized key is a single-task sort; here rows bucket by GLOBAL value
+    * quantiles first (the o7 literal-embedding discipline — one
+    * collect of ≤ buckets−1 doubles of planning state), rank locally
+    * within (key, bucket), and add per-(key, bucket) prefix offsets.
+    * Within a key the buckets are value-disjoint and ordered, so the
+    * result equals the single-task keyed window for ANY boundaries
+    * (`tie` must complete a total order); boundary quality degrades
+    * parallelism, never correctness — global boundaries split a
+    * dominant key ~evenly even when small keys land whole in one
+    * bucket. The offsets frame is keys×buckets-sized; its join back
+    * rides the (key, bucket) partitioning the local window already
+    * established. Adds `rnk` (1-based per-key rank by (value, tie)
+    * ascending) and `n_key` (the key's row count — offsets' own
+    * per-key total, so no second corpus window).
+    */
+  def keyedRankQuantile(df: DataFrame, keys: Seq[String],
+      value: org.apache.spark.sql.Column, tie: org.apache.spark.sql.Column,
+      buckets: Int = 32): DataFrame = {
+    val probs = (1 until buckets).map(_.toDouble / buckets)
+    val qb: Seq[Double] = Option(
+        df.agg(percentile_approx(value, array(probs.map(lit): _*),
+          lit(10000)).as("qbounds")).head().getSeq[Double](0))
+      .getOrElse(Seq.empty)
+    val boundsArr = array(qb.map(lit): _*)
+    val keyCols = keys.map(col)
+    val bucketed = df.withColumn("_bkt",
+      (if (qb.isEmpty) lit(0L)
+       else size(filter(boundsArr, b => b <= value)).cast("long")))
+    val local = bucketed.withColumn("_lrn",
+      row_number().over(Window.partitionBy(keyCols :+ col("_bkt"): _*)
+        .orderBy(value, tie)).cast("long"))
+    val off = bucketed.groupBy(keyCols :+ col("_bkt"): _*)
+      .agg(count(lit(1)).as("_c"))
+      .withColumn("_before", coalesce(sum(col("_c")).over(
+        Window.partitionBy(keyCols: _*).orderBy("_bkt")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("_nkey", sum(col("_c")).over(Window.partitionBy(keyCols: _*)))
+      .select(keyCols :+ col("_bkt") :+ col("_before") :+ col("_nkey"): _*)
+    local.join(off, keys :+ "_bkt")
+      .withColumn("rnk", col("_before") + col("_lrn"))
+      .withColumn("n_key", col("_nkey"))
+      .drop("_bkt", "_lrn", "_before", "_nkey")
+  }
+
   def queries: Map[String, Q] = Map(
     // ── Aggregations (§2.7) ────────────────────────────────────────────
     // A1 count/sum/avg family — TPC-H Q1-shaped pricing summary.

@@ -552,18 +552,20 @@ object LivePipeline {
       else {
         // the d13 skew cap, batch-keyed: per-key sizes are computed for
         // the BATCH's band keys only — the semi filter runs map-side
-        // against the broadcast key set and count(*) partial-combines,
-        // so the one post-scan exchange carries ≤ keys × partitions
-        // rows (never a corpus-wide bucket aggregate). Physical-row
-        // counts are exact here for the same reason the ids store is
-        // one-row-per-id: the horizon rule keeps fold and batch
-        // sources non-overlapping and per-batch band appends are
-        // admitted-doc-unique, so a row count IS the distinct-doc
-        // count cappedBuckets measures.
+        // against the broadcast key set and the distinct partial-
+        // combines, so the one post-scan exchange carries ≤ keys ×
+        // partitions rows (never a corpus-wide bucket aggregate).
+        // Sizes COUNT DISTINCT DOCS, the canonical cappedBuckets
+        // spelling: steady state the store is one row per (doc, band)
+        // by construction, but an interrupted compaction can leave
+        // transiently duplicated store rows (compact()'s documented
+        // worst case), and a physical-row count would then deflate a
+        // bucket's cap verdict. The distinct runs over the batch-hit-
+        // keys-sized slice, so its cost is noise.
         val hitKeys = broadcast(bandRows.select("band_id", "bh").distinct())
         broadcast(prune(bands, bandHitBuckets)
           .join(hitKeys, Seq("band_id", "bh"), "left_semi")
-          .groupBy("band_id", "bh").agg(count(lit(1)).as("bsz"))
+          .groupBy("band_id", "bh").agg(countDistinct(col("doc_id")).as("bsz"))
           .filter(col("bsz") <= Dedup.MaxBucketDocs)
           .select("band_id", "bh"))
       }
@@ -945,10 +947,15 @@ object LivePipeline {
     * and later batch ids are untouched). [[step]] recovers
     * interrupted compactions before reading, so a crashed
     * maintenance run cannot leave the dedup state silently missing
-    * rows. Worst-case transient state is duplicate store rows, which
-    * the read paths tolerate (hash gates are semi/anti joins; bucket
-    * sizes count distinct docs); compaction itself writes
-    * `distinct()`, so duplicates do not survive the next fold. Old
+    * rows. Store reads via [[BatchParts.effectiveParts]] see ONE ROW
+    * PER KEY: the horizon rule makes the newest fold and later batch
+    * dirs non-overlapping, the fold commit is one atomic rename,
+    * per-batch appends are overwrite-idempotent under replay, and the
+    * fold itself writes `distinct()` — the invariant the ids store's
+    * plain left-join probe relies on (a fan-out there would duplicate
+    * batch rows). The band-size caps still count DISTINCT docs as
+    * defense in depth (semi/anti hash gates are duplicate-insensitive
+    * by shape; the caps are the one read that would misjudge). Old
     * cursor snapshots (all but the latest two, the latest's id also
     * marking the last committed batch) and audit partitions are left
     * alone — cursors are latest-only reads and audit/packed are
@@ -1127,24 +1134,48 @@ object LivePipeline {
   */
 private[streaming] object BatchParts {
   /** Names of `dir`'s immediate subdirectories carrying a top-level
-    * `_SUCCESS`, from ONE recursive listing — not one exists() round
-    * trip per directory. On an object store a paged LIST beats N
-    * sequential HEADs, and for the never-folded output stores
-    * (packed/, audit/, quarantine/) N grows with intake age, so the
-    * per-dir spelling made every snapshot read O(history) RPCs before
-    * any data was scanned.
+    * `_SUCCESS`. Listing strategy is chosen by CHILD COUNT, because the
+    * two store families scale oppositely (round-14 growth-bench lesson:
+    * reader listings must be O(committed parts), never O(store files)):
+    *
+    *   - bounded-children stores (every FOLDED store — compaction GC
+    *     keeps them at ~a fold + recent batches): one immediate
+    *     listStatus + one `_SUCCESS` probe per child dir. The previous
+    *     spelling — one RECURSIVE listFiles — descended into every
+    *     fold's 64 `bucket=` dirs and touched every data file, so the
+    *     driver paid O(total files) per probe per store; measured
+    *     against a 16×-grown store that was ~1.4 s per effectiveParts
+    *     call (~4 ms/file through the local Hadoop FS), ×4 store reads
+    *     per micro-batch probe, and it GREW with deferred-GC debris.
+    *   - history-sized stores (the never-folded outputs — packed/,
+    *     audit/, quarantine/ — child count grows with intake age): the
+    *     paged recursive LIST, where per-dir HEADs would be O(history)
+    *     sequential RPCs on an object store (these dirs hold one file
+    *     each, so the walk IS ~the child listing).
+    *
+    * The cutover (256 children) is far above any folded store's
+    * steady state and far below any aged output store's.
     */
+  private val ExistsProbeMaxChildren = 256
+
   private def committedNames(s: SparkSession, dir: String): (Path, Set[String]) = {
     val raw = new Path(dir)
     val fs = raw.getFileSystem(s.sparkContext.hadoopConfiguration)
     val p = fs.makeQualified(raw)
     if (!fs.exists(p)) return (p, Set.empty)
-    val it = fs.listFiles(p, true)
+    val children = fs.listStatus(p).filter(_.isDirectory)
     val b = Set.newBuilder[String]
-    while (it.hasNext) {
-      val f = it.next().getPath
-      if (f.getName == "_SUCCESS" && f.getParent != null &&
-          f.getParent.getParent == p) b += f.getParent.getName
+    if (children.length <= ExistsProbeMaxChildren) {
+      children.foreach { st =>
+        if (fs.exists(new Path(st.getPath, "_SUCCESS"))) b += st.getPath.getName
+      }
+    } else {
+      val it = fs.listFiles(p, true)
+      while (it.hasNext) {
+        val f = it.next().getPath
+        if (f.getName == "_SUCCESS" && f.getParent != null &&
+            f.getParent.getParent == p) b += f.getParent.getName
+      }
     }
     (p, b.result())
   }

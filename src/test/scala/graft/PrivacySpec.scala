@@ -139,4 +139,48 @@ class PrivacySpec extends AnyFunSuite {
     // bits so the draw cannot exceed -ln(2^-33) ~ 22.9 by construction
     devs.foreach(dv => assert(dv <= 25L, s"deviation $dv outside the Laplace tail bound"))
   }
+
+  test("x42 DP sum: clamp binds before noise; Laplace tail bounded; mean is post-processing") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("x42_dp_sum_release")(spark, d).collect()
+    assert(rows.nonEmpty)
+    // truth recomputed both ways: the released sum must track the
+    // CLAMPED truth (|dev| ≤ b·23 — the 32-bit seeded uniform cannot
+    // draw past -ln(2^-33), so b = 100 bounds |noise| ≈ 2287), and the
+    // clamp must actually bind on this data (unclamped ≠ clamped), or
+    // the test would pass with the clamp deleted.
+    val dec = org.apache.spark.sql.types.DecimalType(28, 9)
+    val pu = graft.Tables.events(spark, d)
+      .withColumn("day", date_trunc("day", col("ts")))
+      .groupBy("event_type", "day", "user_id")
+      .agg(sum(round(col("value"), 9).cast(dec)).as("contrib"))
+    val truth = pu
+      .groupBy("event_type", "day")
+      .agg(sum(least(greatest(col("contrib"), lit(0).cast(dec)),
+          lit(50.0).cast(dec))).as("cl"),
+        sum(col("contrib")).as("raw"), count(lit(1)).as("users"))
+      .collect()
+      .map(r => ((r.getString(0), r.getTimestamp(1)),
+        (r.getDecimal(2).doubleValue(), r.getDecimal(3).doubleValue(),
+          r.getLong(4)))).toMap
+    assert(truth.values.exists { case (cl, raw, _) => cl < raw },
+      "the per-user clamp must bind somewhere on this data")
+    rows.foreach { r =>
+      val k = (r.getString(0), r.getTimestamp(1))
+      val (cl, _, users) = truth(k)
+      val relSum = r.getLong(2); val relUsers = r.getLong(3)
+      assert(relSum >= 0L && relUsers >= 1L)
+      assert(math.abs(relSum - cl) <= 2300.0,
+        s"group $k: released $relSum vs clamped truth $cl outside Laplace(100) tail")
+      assert(math.abs(relUsers - users) <= 50L,
+        s"group $k: released users $relUsers vs $users outside Laplace(2) tail")
+      // mean is derived from the released pair only
+      assert(r.getDouble(4) ===
+        BigDecimal(relSum.toDouble / relUsers.toDouble)
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    assert(rows.map(r => math.abs(r.getLong(2) -
+        math.rint(truth((r.getString(0), r.getTimestamp(1)))._1))).exists(_ > 0),
+      "the mechanism must actually perturb some sums")
+  }
 }

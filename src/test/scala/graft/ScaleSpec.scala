@@ -881,6 +881,65 @@ class ScaleSpec extends AnyFunSuite {
       s"the chosen-rejected match stays keyed on (source, idx):\n$plan")
   }
 
+  test("x38 t-closeness: the verdict admit join is broadcast, never a corpus SMJ") {
+    val d = "/root/testdata/sf0.001"
+    val df = SparkEntry.queries("x38_t_closeness")(spark, d)
+    val plan = executedPlan(df)
+    // the (days × event-types)-sized verdict frame is hinted broadcast
+    // (the x34 discipline) — asserted over the WHOLE adaptive plan so a
+    // runtime conversion can't mask an SMJ in the initial plan
+    assert(!plan.contains("SortMergeJoin"),
+      s"x38's admit join must broadcast the group-sized verdict frame:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"x38's admit join must be a BroadcastHashJoin:\n$plan")
+  }
+
+  test("x37 gate query itself probes a BUCKETED fold (pruned scans, no store exchange)") {
+    // the round-13 blind spot: x37 seeded ONE batch, compact() skipped
+    // the refold (nothing to fold), and the oracle silently gated the
+    // FLAT keyed spelling — the bucketed pruned+broadcast path shipped
+    // oracle-unverified. This pin runs the actual gate query and
+    // asserts its probe plan is the bucketed one, so the gate and the
+    // plan can never diverge again.
+    val d = "/root/testdata/sf0.001"
+    val df = SparkEntry.queries("x37_intake_bucketed")(spark, d)
+    val plan = executedPlan(df)
+    val nPruned = "PartitionFilters: \\[bucket".r.findAllIn(plan).length
+    assert(nPruned >= 3,
+      s"x37's three store scans must partition-prune to hit buckets ($nPruned):\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"x37's probes must stay broadcast-shaped:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"x37's probes must stay keyed:\n$plan")
+  }
+
+  test("x41 skew guard: quantile two-pass is rank-identical under a 90%-one-source skew") {
+    import spark.implicits._
+    // pathological: one source holds ~90% of rows, scores are HEAVILY
+    // tied (7 distinct values), so both the dominant-key and the
+    // boundary-multiplicity hazards are live
+    val df = (1 to 2000).map { i =>
+      val src = if (i % 10 == 0) s"cold${i % 5}" else "hot"
+      (i.toLong, src, (i % 7).toDouble / 10.0)
+    }.toDF("doc_id", "source", "score")
+    def collect(r: org.apache.spark.sql.DataFrame) =
+      r.select("doc_id", "rk_best", "rk_worst", "n_src").collect()
+        .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getLong(3))).toMap
+    // skewShare > 1 can never trip → the plain one-exchange window;
+    // 0.5 trips on hot's 90% → the keyedRankQuantile route
+    val plain = graft.operators.TextAnalysis.prefRanked(df, skewShare = 1.1)
+    val routed = graft.operators.TextAnalysis.prefRanked(df, skewShare = 0.5)
+    // the guard must have actually routed: the quantile path's local
+    // window partitions by (source, _bkt), the plain path by source only
+    val rplan = executedPlan(routed)
+    assert("windowspecdefinition\\(source#\\d+, _bkt#\\d+".r.findFirstIn(rplan).isDefined,
+      s"the skew route must rank within (source, bucket):\n$rplan")
+    assert(!executedPlan(plain).contains("_bkt"),
+      "the balanced path must keep the plain keyed window")
+    assert(collect(plain) === collect(routed),
+      "the two spellings must produce identical (rk_best, rk_worst, n_src) for every doc")
+  }
+
   test("m3 byte entropy: histogram partial-aggregates map-side; post-agg join only") {
     val d = "/root/testdata/sf0.001"
     val df = graft.multimodal.Multimodal.queries("m3_byte_entropy")(spark, d)

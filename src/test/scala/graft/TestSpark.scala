@@ -12,6 +12,9 @@ object TestSpark {
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
       .config("spark.ui.enabled", "false")
+      // 64-bucket folds stay under driver-side listing (Engine.session
+      // carries the rationale)
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "1024")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
