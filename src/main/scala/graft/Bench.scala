@@ -30,14 +30,17 @@ object Bench {
     * streaming-path analogue of [[BaselineMedians]]: 2000 documents
     * through the composed curate→dedup→pack+index step in 6
     * micro-batches with a mid-drain compact (so half the drain runs the
-    * bucketed-store probe path). Recorded round 13 in the 0.052-floor
-    * session that re-recorded x30/x31 (three sessions read 28.1 / 37.4
-    * / 44.8 docs/sec — the drain is commit-dominated, so scheduling
-    * noise lands directly on it). Single-number comparison only: treat
-    * ±40% as session noise and an order-of-magnitude drop as a real
-    * streaming-path regression.
+    * bucketed-store probe path). RE-RECORDED round 14 as the MEDIAN of
+    * three sessions (56.9 / 59.2 / 51.9 — r13's value was the BEST of
+    * its three, which made an in-spread reading look like a 35% drop;
+    * r13 verdict #1), all three AFTER the committedNames listing fix,
+    * which legitimately raised the drain's steady state from the
+    * 28-45 range (the old recursive listings were per-step overhead).
+    * The gate below re-drains once in isolation when a session reads
+    * under HALF this value and flags a regression only if the re-drain
+    * is low too — "low once" is machine noise, adjudicated in-artifact.
     */
-  private val IntakeRateRecorded = 44.8
+  private val IntakeRateRecorded = 56.9
 
   /** Recorded per-query `(median, recording floor)` (sf0.1, local[32],
     * 3-run interleaved medians under the noop-sink timed action) — the
@@ -162,13 +165,19 @@ object Bench {
       ("x30_intake_audit" -> ((2.719, 0.052))) +
       ("x31_intake_contract" -> ((2.138, 0.052))) +
       // NEW round 13: the bucketed-store probe path under the oracle
-      // gate — the timed work includes the real store build (seed step
-      // + bucketed compact) plus the pruned+broadcast probe, by
-      // design: the store build IS the operator. Re-recorded after the
-      // review fixes (bandRows persisted on the collect path, flip
-      // gating agg): 5.514 -> 5.503 from a 0.065-floor isolated
-      // session.
-      ("x37_intake_bucketed" -> ((5.503, 0.065))) +
+      // gate — the timed work includes the real store build plus the
+      // pruned+broadcast probe, by design: the store build IS the
+      // operator. RE-RECORDED round 14 (5.503 -> 14.620, 0.085-floor
+      // isolated session) after the seeding became honest: r13's lone
+      // seed batch never refolded, so the old recording covered a
+      // flat store with NO fold at all; the query now pays two seed
+      // steps and three bucketed refolds (distinct + 64-way re-layout
+      // per store) before the probe — the full store lifecycle the
+      // oracle now hash-verifies. Re-recorded again after the sorted-
+      // fold + In(key)-pushdown layer (14.620 -> 15.422, 0.062-floor
+      // isolated session): the in-bucket sorts and the per-probe key
+      // collects are the delta, paid for row-group pruning at scale.
+      ("x37_intake_bucketed" -> ((15.422, 0.062))) +
       // NEW round 13: o6's quantile-boundary skew variant under the
       // same global-ranking oracle. Re-recorded after the boundary
       // determinism fix (approx_percentile collected once to driver
@@ -199,14 +208,20 @@ object Bench {
       // two window sorts, (source, idx)-keyed self-join), recorded
       // from one 0.066-floor isolated session
       ("n16_embedding_standardize" -> ((1.003, 0.066))) +
-      ("x41_preference_pairs" -> ((0.556, 0.066))) +
+      // x41 RE-RECORDED round 14 (0.556 -> 0.757, 0.085-floor isolated
+      // session) after the skew guard landed: the max-source-share
+      // planning agg is one extra blocking job (~0.2 s), the same
+      // trade o6->o7 documented — paid so a dominant source routes
+      // through the keyed quantile two-pass instead of a single-task
+      // window sort
+      ("x41_preference_pairs" -> ((0.757, 0.085))) +
       // w15 rolling median/MAD (one user-keyed window, 7-double frames,
       // index arithmetic only); recorded from a 0.056-floor isolated session
       ("w15_rolling_median" -> ((0.845, 0.056))) +
       // NEW round 14: x42 DP sum/mean release (per-user clamp groupBy —
       // the one corpus-sized exchange — + group re-agg + pure map
-      // noise); recorded from a 0.045-floor isolated session
-      ("x42_dp_sum_release" -> ((9.999, 0.045)))
+      // noise); recorded from a 0.085-floor isolated session
+      ("x42_dp_sum_release" -> ((0.820, 0.085)))
   }
 
   def main(args: Array[String]): Unit = {
@@ -218,6 +233,11 @@ object Bench {
     require(missing.isEmpty && stale.isEmpty,
       s"BaselineMedians drift — missing: $missing, stale: $stale")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // phase timestamps on STDERR (the artifact line owns stdout): lets a
+    // wall-clock-capped driver run attribute where the time went
+    val tStart = System.nanoTime()
+    def phase(tag: String): Unit =
+      System.err.println(f"[bench] $tag at ${(System.nanoTime() - tStart) / 1e9}%.0f s")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -229,6 +249,11 @@ object Bench {
       // 64-bucket folds stay under driver-side listing (Engine.session
       // carries the rationale)
       .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "1024")
+      // keep small batches' pushed In(key) filters as real or-chains at
+      // parquet (beyond the threshold Spark collapses In to a min/max
+      // range — useless against uniform hash keys); the probes cap
+      // their key pushdown at this value, so the two stay in step
+      .config("spark.sql.parquet.pushdown.inFilterThreshold", "1024")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm-up pass: JVM/JIT, codegen compiler, parquet footers — outside
@@ -247,6 +272,7 @@ object Bench {
     // serving-path encode join). Read its median as memo overhead, not
     // training cost.
     graft.operators.Bpe.ensureTrained(spark, sfDir)
+    phase("warmup done")
     // Machine-calibration floor: median wall time of a trivial fixed job
     // (1M-row range count — no I/O, no shuffle). Per-job scheduling
     // overhead on this VM varies severalfold between sessions (measured
@@ -292,8 +318,10 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       } catch { case _: Throwable => -1.0 }
     }
-    val samples = (1 to Runs).flatMap { _ =>
-      ordered.map { case (name, fn) => (name, run(fn)) }
+    val samples = (1 to Runs).flatMap { r =>
+      val pass = ordered.map { case (name, fn) => (name, run(fn)) }
+      phase(s"timed pass $r done")
+      pass
     }
     val results = ordered.map { case (name, _) =>
       val times = samples.collect { case (`name`, t) => t }.sorted
@@ -380,7 +408,9 @@ object Bench {
       }
       nDocs / ((System.nanoTime() - t0) / 1e9)
     } catch { case _: Throwable => -1.0 }
+    phase("isolated re-runs done")
     val intakeRate: Double = drainIntake()
+    phase("intake drain done")
     // The comparison the r13 comment promised but never performed (r13
     // verdict "What's wrong #1"): the drain is commit-dominated, so a
     // single session's rate swings with scheduling noise — the recorded
@@ -419,7 +449,10 @@ object Bench {
       val cfg = graft.streaming.LivePipeline.Config(s"$root/pipe")
       val idx = graft.streaming.LiveIndex.Config(s"$root/idx")
       val docs = Tables.documents(spark, sfDir).select("doc_id", "lang", "text")
-      val base = docs.filter(col("doc_id") % 10 < 4)
+      // the CURVE is the artifact (probe time vs 1x/4x/16x store), not
+      // absolute store size — a 1-in-10 seed slice keeps the 16 seeding
+      // steps from dominating bench wall-time at sf0.1
+      val base = docs.filter(col("doc_id") % 10 === 0)
       val probe = docs.filter(col("doc_id") % 10 === 7)
       def copy(j: Int) = base.select(
         (col("doc_id") + lit(j * 100000000L)).as("doc_id"), col("lang"),
@@ -488,6 +521,7 @@ object Bench {
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val reg = json(regressions ++
       (if (intakeRegressed) Seq("intake_docs_per_sec" -> intakeRate) else Nil))
+    phase("growth bench done")
     val growthJson = growthFields.map { case (k, v) =>
       "\"" + k + "\":" + r3(v) }.mkString(",")
     val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$Runs,"floor":${r3(floor)},"errors":$errs,"regressions":$reg,"regressions_isolated":$iso,"over2x_isolated":$iso2x,"nonsignal":$nonsignal,"intake_docs_per_sec":${r3(intakeRate)},"intake_docs_per_sec_recorded":${r3(IntakeRateRecorded)},"intake_redrain":${r3(intakeRedrain)},$growthJson,"sf":"$sfDir","queries":$qs}"""

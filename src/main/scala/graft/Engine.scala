@@ -38,6 +38,11 @@ object Engine {
       // driver-side; on a high-latency object store with much wider
       // layouts, lower this back (MIGRATION.md).
       .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "1024")
+      // keep small batches' pushed In(key) filters as real or-chains at
+      // parquet (beyond the threshold Spark collapses In to a min/max
+      // range — useless against uniform hash keys); the probes cap
+      // their key pushdown at this value, so the two stay in step
+      .config("spark.sql.parquet.pushdown.inFilterThreshold", "1024")
       .getOrCreate()
     graft.functions.GraftFunctions.register(s) // same-JVM reuse safety
     s

@@ -15,6 +15,11 @@ object Verify {
       // 64-bucket folds stay under driver-side listing (Engine.session
       // carries the rationale)
       .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "1024")
+      // keep small batches' pushed In(key) filters as real or-chains at
+      // parquet (beyond the threshold Spark collapses In to a min/max
+      // range — useless against uniform hash keys); the probes cap
+      // their key pushdown at this value, so the two stay in step
+      .config("spark.sql.parquet.pushdown.inFilterThreshold", "1024")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -159,7 +159,21 @@ object LiveIndex {
       if (n > LivePipeline.FlipMaxRows)
         masked.join(ids, Seq("doc_id"), "left_anti")
       else {
-        val matched = broadcast(ids.join(
+        // row-group layer under the bucket pruning (the LivePipeline
+        // pushKeys discipline): the doclens fold is doc_id-sorted
+        // within buckets, so a small batch's literal ids push as an
+        // In(doc_id, …) parquet filter with tight row-group stats
+        val pushMax = math.min(1024, s.conf
+          .getOption("spark.sql.parquet.pushdown.inFilterThreshold")
+          .map(_.toInt).getOrElse(10))
+        val pushed =
+          if (!bucketed || n > pushMax) ids
+          else {
+            val ks = deduped.select("doc_id").distinct()
+              .limit(pushMax + 1).collect().map(_.getLong(0)).toSeq
+            if (ks.length > pushMax) ids else ids.filter(col("doc_id").isin(ks: _*))
+          }
+        val matched = broadcast(pushed.join(
           broadcast(deduped.select("doc_id")), Seq("doc_id"), "left_semi"))
         masked.join(matched, Seq("doc_id"), "left_anti")
       }
@@ -305,7 +319,8 @@ object LiveIndex {
             }.reduce(_.unionByName(_))
             .dropDuplicates(keys)
             .join(tomb, Seq("doc_id"), "left_anti")
-          BatchParts.stageBucketedFold(s, dir, hk, gen, flat, bexpr, B)
+          BatchParts.stageBucketedFold(s, dir, hk, gen, flat, bexpr, B,
+            keys.take(1)) // word / doc_id — the probes' pushed column
           BatchParts.commitFold(s, dir, hk, gen)
         }
       }

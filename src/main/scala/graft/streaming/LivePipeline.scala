@@ -136,6 +136,19 @@ object LivePipeline {
     case other => throw new IllegalArgumentException(s"unbucketed store: $other")
   }
 
+  /** In-bucket sort order at fold time = the column the probes push an
+    * `In(…)` filter on ([[BatchParts.stageBucketedFold]]'s row-group
+    * rationale). bands sorts by `bh` FIRST because that is the pushed
+    * column (the composite (band_id, bh) semi join can only push its
+    * single-column superset).
+    */
+  private def storeSortCols(kind: String): Seq[String] = kind match {
+    case "exact" => Seq("text_md5")
+    case "bands" => Seq("bh", "band_id")
+    case "ids"   => Seq("doc_id")
+    case other => throw new IllegalArgumentException(s"unbucketed store: $other")
+  }
+
   /** Start the continuous intake over a streaming `(doc_id, lang, text)`
     * frame. The checkpoint lives beside the stores so a restarted query
     * resumes with the batch ids its commit markers already adjudicate.
@@ -425,6 +438,32 @@ object LivePipeline {
     def prune(store: DataFrame, buckets: => Seq[Int]): DataFrame =
       if (!bucketed(store)) store
       else store.filter(col("bucket").isin(buckets: _*)).drop("bucket")
+    // Round 14, the row-group layer UNDER bucket pruning: folds are
+    // key-sorted within buckets ([[BatchParts.stageBucketedFold]]), so
+    // pushing the batch's literal keys as an `In(key, …)` data filter
+    // lets parquet skip every row group outside the batch's key range
+    // — bucket pruning bounds the DIRS read, this bounds the BYTES.
+    // Superset-safe at every site (the semi/left joins still decide
+    // matches); engaged only for batches small enough that the
+    // session's parquet In threshold keeps the filter a real or-chain
+    // (beyond it Spark collapses In to a min/max range, useless for
+    // uniform hash keys). One extra bounded job collects the ≤pushMax
+    // keys — the o7 planning-state discipline.
+    val pushMax = math.min(1024, batch.sparkSession.conf
+      .getOption("spark.sql.parquet.pushdown.inFilterThreshold")
+      .map(_.toInt).getOrElse(10))
+    lazy val (pushTextKeys, pushIdKeys): (Option[Seq[Any]], Option[Seq[Any]]) =
+      if (batchRows > pushMax) (None, None)
+      else {
+        val r = batchKeys.get.agg(
+          collect_set(col("text_md5")), collect_set(col("doc_id"))).head()
+        (Some(r.getSeq[Any](0)), Some(r.getSeq[Any](1)))
+      }
+    def pushKeys(df: DataFrame, c: String, keys: Option[Seq[Any]]): DataFrame =
+      keys match {
+        case Some(ks) if ks.nonEmpty => df.filter(col(c).isin(ks: _*))
+        case _ => df
+      }
 
     // 0b. CROSS-BATCH identity gate (the batch-local collision arm
     //    above only sees one micro-batch): a doc_id that already
@@ -457,7 +496,7 @@ object LivePipeline {
       val base = prune(priorIds, idHitBuckets)
         .select(col("doc_id"), col("text_md5").as("prior_md5"))
       if (!bucketed(priorIds) || !flip) base
-      else broadcast(base.join(
+      else broadcast(pushKeys(base, "doc_id", pushIdKeys).join(
         broadcast(batchKeys.get.select("doc_id").distinct()),
         Seq("doc_id"), "left_semi"))
     }
@@ -506,7 +545,7 @@ object LivePipeline {
     val exactHits = {
       val base = prune(exact, textHitBuckets)
       if (!bucketed(exact) || !flip) base
-      else broadcast(base.join(
+      else broadcast(pushKeys(base, "text_md5", pushTextKeys).join(
         broadcast(batchKeys.get.select("text_md5").distinct()),
         Seq("text_md5"), "left_semi"))
     }
@@ -562,8 +601,14 @@ object LivePipeline {
         // worst case), and a physical-row count would then deflate a
         // bucket's cap verdict. The distinct runs over the batch-hit-
         // keys-sized slice, so its cost is noise.
+        // the pushed single-column superset of the (band_id, bh) semi
+        // key: bh values collected limit-bounded (≤pushMax+1 rows ship)
+        val pushBhKeys: Option[Seq[Any]] = {
+          val rows = bandRows.select("bh").distinct().limit(pushMax + 1).collect()
+          if (rows.length > pushMax) None else Some(rows.map(_.get(0)).toSeq)
+        }
         val hitKeys = broadcast(bandRows.select("band_id", "bh").distinct())
-        broadcast(prune(bands, bandHitBuckets)
+        broadcast(pushKeys(prune(bands, bandHitBuckets), "bh", pushBhKeys)
           .join(hitKeys, Seq("band_id", "bh"), "left_semi")
           .groupBy("band_id", "bh").agg(countDistinct(col("doc_id")).as("bsz"))
           .filter(col("bsz") <= Dedup.MaxBucketDocs)
@@ -1002,7 +1047,7 @@ object LivePipeline {
           .reduce(_.unionByName(_))
           .distinct()
         BatchParts.stageBucketedFold(s, dir, h, gen, flat,
-          storeBucket(kind), StoreBuckets)
+          storeBucket(kind), StoreBuckets, storeSortCols(kind))
         BatchParts.commitFold(s, dir, h, gen)
       }
     }
@@ -1306,13 +1351,28 @@ private[streaming] object BatchParts {
     * a crash between the parquet `_SUCCESS` and the marker commits a
     * markerless fold, which reads correctly (recomputed buckets, no
     * scan pruning) and is re-laid by the next fold.
+    *
+    * `sortCols` (round 14) sorts rows by the probe key WITHIN each
+    * bucket before writing: a bucket at scale spans many parquet row
+    * groups, and key-sorted row groups give the probes' pushed
+    * `In(key, …)` filters tight min/max stats — the scan skips every
+    * row group outside the batch's key range, the same row-group
+    * economics the postings store's `In(word)` serve already enjoys.
+    * Unsorted, a uniform hash key (md5) straddles every row group and
+    * stats prune nothing. Sorting at fold time is free parallelism-
+    * wise (the fold already pays the bucket exchange; the sort is
+    * per-task) and costs nothing on read.
     */
   def stageBucketedFold(s: SparkSession, dir: String, h: Long, gen: Long,
-      flat: DataFrame, bucketExpr: Column, b: Int): Unit = {
+      flat: DataFrame, bucketExpr: Column, b: Int,
+      sortCols: Seq[String] = Nil): Unit = {
     val staging = stagingPath(dir, h, gen)
-    flat.withColumn("bucket", bucketExpr)
+    val laid = flat.withColumn("bucket", bucketExpr)
       .repartition(b, col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(staging)
+    val sorted =
+      if (sortCols.isEmpty) laid
+      else laid.sortWithinPartitions(col("bucket") +: sortCols.map(col): _*)
+    sorted.write.mode("overwrite").partitionBy("bucket").parquet(staging)
     val fs = new Path(dir).getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.create(new Path(staging, s"_buckets-$b"), true).close()
   }

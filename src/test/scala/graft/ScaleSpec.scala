@@ -753,6 +753,14 @@ class ScaleSpec extends AnyFunSuite {
     // filter must reach all three fold scans as a PartitionFilter
     val nPruned = "PartitionFilters: \\[bucket".r.findAllIn(plan).length
     assert(nPruned >= 3, s"all three store scans must partition-prune ($nPruned):\n$plan")
+    // (a2) round 14, the row-group layer UNDER the dir pruning: the
+    // batch's literal keys push into each fold scan as a parquet
+    // In(key) data filter (folds are key-sorted within buckets, so the
+    // filter's row-group stats are tight) — exact on text_md5, ids on
+    // doc_id, bands on the bh superset of its composite key
+    for (key <- Seq("text_md5", "doc_id", "bh"))
+      assert(("PushedFilters: \\[[^\\]]*In\\(" + key).r.findFirstIn(plan).isDefined,
+        s"the batch's keys must push into the $key store scan:\n$plan")
     // (b) the corpus-shaped store sides are never exchanged: every join
     // in the per-batch probe plan is broadcast-shaped (store scans feed
     // broadcast semi filters; batch-sized results broadcast back) —
@@ -820,6 +828,8 @@ class ScaleSpec extends AnyFunSuite {
     val fplan = executedPlan(fresh)
     assert(fplan.contains("PartitionFilters: [bucket"),
       s"doclens replay probe must prune to the batch's id buckets:\n$fplan")
+    assert("PushedFilters: \\[[^\\]]*In\\(doc_id".r.findFirstIn(fplan).isDefined,
+      s"the batch's ids must push into the doclens fold scan:\n$fplan")
     assert(!fplan.contains("SortMergeJoin") && !fplan.contains("ShuffledHashJoin"),
       s"replay probe must stay broadcast-shaped:\n$fplan")
     assert(fresh.select("doc_id").collect().map(_.getLong(0)).toSeq === Seq(3L),
