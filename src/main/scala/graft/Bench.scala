@@ -198,7 +198,11 @@ object Bench {
       // key distinct's corpus-wide exchange is contention-sensitive, so
       // the in-suite number is the honest steady state
       ("a17_quality_checks" -> ((1.062, 0.053))) +
-      ("x39_stratified_sample" -> ((0.618, 0.048))) +
+      // x39 RE-RECORDED round 14 (0.618 -> 1.119, 0.063-floor isolated
+      // session) after its skew guard landed (stratumRanked's
+      // max-stratum-share agg is one extra blocking job over the
+      // quota-joined corpus — the same o6->o7 trade x41 paid)
+      ("x39_stratified_sample" -> ((1.119, 0.063))) +
       ("m3_byte_entropy" -> ((0.669, 0.048))) +
       // x40 seeded-Laplace DP count release: one combinable agg + pure
       // map noise; recorded from a 0.049-floor isolated session
@@ -420,14 +424,16 @@ object Bench {
     // real streaming-path regression and lands in `regressions`;
     // "low once, re-drain fine" reads as machine noise, with the
     // re-drain value in the artifact as the adjudication evidence.
-    // intake_redrain = -1.0 means the re-drain was not needed.
-    val intakeRedrain: Double =
-      if (intakeRate >= 0 && sfDir.contains("sf0.1") &&
-          intakeRate < IntakeRateRecorded / 2) drainIntake()
-      else -1.0
-    val intakeRegressed = intakeRate >= 0 && sfDir.contains("sf0.1") &&
-      intakeRate < IntakeRateRecorded / 2 &&
+    // intake_redrain = -1.0 means the re-drain was not needed —
+    // UNLESS "intake_redrain" appears in `errors`, which marks a
+    // re-drain that ran and CRASHED (a crash must never adjudicate as
+    // "machine noise, no regression"; the errors discipline).
+    val redrainNeeded = intakeRate >= 0 && sfDir.contains("sf0.1") &&
+      intakeRate < IntakeRateRecorded / 2
+    val intakeRedrain: Double = if (redrainNeeded) drainIntake() else -1.0
+    val intakeRegressed = redrainNeeded &&
       intakeRedrain >= 0 && intakeRedrain < IntakeRateRecorded / 2
+    val redrainCrashed = redrainNeeded && intakeRedrain < 0
 
     // Store-growth flatness artifact (r13 verdict, next-round #1): the
     // bucketed-probe plan shape is PINNED (ScaleSpec), but pins don't
@@ -455,7 +461,10 @@ object Bench {
       val base = docs.filter(col("doc_id") % 10 === 0)
       val probe = docs.filter(col("doc_id") % 10 === 7)
       def copy(j: Int) = base.select(
-        (col("doc_id") + lit(j * 100000000L)).as("doc_id"), col("lang"),
+        // 1e12 stride: a 1e8 stride collides copy j of doc d with copy
+        // j+1 of doc d−1e8 once real doc_ids reach 1e8 (silent
+        // id_collision quarantines would under-grow the store)
+        (col("doc_id") + lit(j * 1000000000000L)).as("doc_id"), col("lang"),
         concat_ws(" ", transform(split(col("text"), " "),
           w => concat(w, lit(s"c$j")))).as("text"))
       var nextBatch = 0L
@@ -494,10 +503,15 @@ object Bench {
       // the 1× seed splits into TWO batches so compact() lays the
       // bucketed fold even at the smallest size (a lone flat part is
       // never refolded) — all three points measure the SAME bucketed
-      // probe path, differing only in store size
+      // probe path, differing only in store size. The split is
+      // HASH-parity, not id-parity: the base slice is doc_id % 10 == 0
+      // (every id even), so an id % 2 split would leave one batch
+      // EMPTY, step() would skip it, and the 1× point would silently
+      // measure the flat path (the x37 r13 blind spot all over again —
+      // caught in round-14 review)
       val c0 = copy(0)
-      grow(Seq(c0.filter(col("doc_id") % 2 === 0),
-        c0.filter(col("doc_id") % 2 === 1)))
+      grow(Seq(c0.filter(pmod(hash(col("doc_id")), lit(2)) === 0),
+        c0.filter(pmod(hash(col("doc_id")), lit(2)) =!= 0)))
       out += ("probe_sec_at_1x" -> timeProbe()) += ("term_sec_at_1x" -> timeTerm())
       grow((1 until 4).map(copy))
       out += ("probe_sec_at_4x" -> timeProbe()) += ("term_sec_at_4x" -> timeTerm())
@@ -517,7 +531,8 @@ object Bench {
     // errors/regressions assembled LAST so the intake adjudication
     // feeds them like query medians do (r13 verdict #1)
     val errors = results.collect { case (k, m, _) if m < 0 => k } ++
-      (if (intakeRate < 0) Seq("intake_drain") else Nil)
+      (if (intakeRate < 0) Seq("intake_drain") else Nil) ++
+      (if (redrainCrashed) Seq("intake_redrain") else Nil)
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val reg = json(regressions ++
       (if (intakeRegressed) Seq("intake_docs_per_sec" -> intakeRate) else Nil))

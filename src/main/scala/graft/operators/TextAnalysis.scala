@@ -294,6 +294,40 @@ object TextAnalysis {
         .withColumn("rk_worst", col("n_src") - col("rk_best") + 1L)
   }
 
+  /** x39's in-stratum selection rank with the same skew guard+route as
+    * [[prefRanked]] (round-14 review: x39's scaladoc referenced the
+    * x41 swap but no code here performed it). `joined` is the
+    * quota-joined corpus; the rank orders by (md5("strat|"||doc_id),
+    * doc_id) within (source, lang). The guard measures the largest
+    * stratum's share with one bounded agg job; a dominant stratum
+    * routes through [[graft.queries.CoreRelational.keyedRankQuantile]].
+    * The quantile machinery needs a NUMERIC bucket value, and the
+    * order key is an md5 STRING — bucketing uses a 15-hex-digit prefix
+    * `conv` proxy, which is monotone (non-strict) in the full string
+    * (lowercase hex compares identically as text and as digits), so
+    * proxy buckets are order-consistent blocks and the full
+    * (md5, doc_id) struct as the tie makes the within-bucket order
+    * exactly the plain window's — rank-identical by construction,
+    * pinned in ScaleSpec under a 90%-one-stratum distribution.
+    */
+  private[graft] def stratumRanked(joined: DataFrame,
+      skewShare: Double = 0.5): DataFrame = {
+    val strat = md5(concat(lit("strat|"), col("doc_id").cast("string")))
+    val st = joined.groupBy("source", "lang").agg(count(lit(1)).as("c"))
+      .agg(coalesce(max(col("c")), lit(0L)).as("mx"),
+        coalesce(sum(col("c")), lit(0L)).as("n")).head()
+    val (mx, n) = (st.getLong(0), st.getLong(1))
+    if (n == 0L || mx.toDouble <= skewShare * n.toDouble) {
+      val w = Window.partitionBy("source", "lang").orderBy(strat, col("doc_id"))
+      joined.withColumn("rk", row_number().over(w).cast("long"))
+    } else
+      graft.queries.CoreRelational.keyedRankQuantile(
+          joined, Seq("source", "lang"),
+          conv(substring(strat, 1, 15), 16, 10).cast("long"),
+          struct(strat, col("doc_id")))
+        .withColumnRenamed("rnk", "rk").drop("n_key")
+  }
+
   def queries: Map[String, Q] = Map(
     // Inverted phrase index build — the exact-match retrieval backbone
     // (and the substring-search infra every contamination audit needs):
@@ -428,11 +462,11 @@ object TextAnalysis {
     // combinable strata count, the apportionment over the ≤|strata|-row
     // dim frame (dim-sized single-partition window — planning state, not
     // data), quotas broadcast back, and ONE keyed window partitioned by
-    // stratum for the rank. A corpus-sized stratum makes that window its
-    // own skew bound — the swap-in is the SAME guard+route x41's
-    // [[prefRanked]] implements (CoreRelational.keyedRankQuantile over
-    // the stratum key, proven rank-identical in ScaleSpec); quotas cap
-    // selected rows at K regardless.
+    // stratum for the rank — via [[stratumRanked]], which GUARDS for a
+    // dominant stratum and routes the rank through the o7 quantile
+    // two-pass when one holds more than half the corpus (the x41
+    // prefRanked discipline, rank-identical by construction and pinned
+    // in ScaleSpec); quotas cap selected rows at K regardless.
     "x39_stratified_sample" -> { (s, d) =>
       val k = 200L
       val docs = Tables.documents(s, d)
@@ -448,13 +482,13 @@ object TextAnalysis {
         .select(col("source"), col("lang"),
           (col("base") +
             when(col("rk_rem") <= col("deficit"), 1L).otherwise(0L)).as("quota"))
-      val w = Window.partitionBy("source", "lang")
-        .orderBy(md5(concat(lit("strat|"), col("doc_id").cast("string"))), col("doc_id"))
       // quota > 0 pre-filter: zero-quota strata would otherwise flow
       // through the corpus-sized rank window only to be discarded —
-      // pruning them on the broadcast side is free
-      docs.join(broadcast(quotas.filter(col("quota") > 0L)), Seq("source", "lang"))
-        .withColumn("rk", row_number().over(w).cast("long"))
+      // pruning them on the broadcast side is free. The rank itself is
+      // [[stratumRanked]]: the plain (source, lang)-keyed window, or
+      // the o7 quantile two-pass when one stratum dominates.
+      stratumRanked(
+          docs.join(broadcast(quotas.filter(col("quota") > 0L)), Seq("source", "lang")))
         .filter(col("rk") <= col("quota"))
         .select("doc_id", "source", "lang", "rk", "quota")
         .orderBy("doc_id")

@@ -162,14 +162,16 @@ object LiveIndex {
         // row-group layer under the bucket pruning (the LivePipeline
         // pushKeys discipline): the doclens fold is doc_id-sorted
         // within buckets, so a small batch's literal ids push as an
-        // In(doc_id, …) parquet filter with tight row-group stats
-        val pushMax = math.min(1024, s.conf
-          .getOption("spark.sql.parquet.pushdown.inFilterThreshold")
-          .map(_.toInt).getOrElse(10))
+        // In(doc_id, …) parquet filter with tight row-group stats.
+        // `deduped` is already doc_id-unique (dropDuplicates above),
+        // so the collect is limit-bounded with no extra distinct; the
+        // n ≤ pushMax gate keeps this tiny-batch-only (n counts the
+        // RAW batch, an upper bound on deduped ids)
+        val pushMax = BatchParts.pushMaxKeys(s)
         val pushed =
           if (!bucketed || n > pushMax) ids
           else {
-            val ks = deduped.select("doc_id").distinct()
+            val ks = deduped.select("doc_id")
               .limit(pushMax + 1).collect().map(_.getLong(0)).toSeq
             if (ks.length > pushMax) ids else ids.filter(col("doc_id").isin(ks: _*))
           }

@@ -449,9 +449,7 @@ object LivePipeline {
     // (beyond it Spark collapses In to a min/max range, useless for
     // uniform hash keys). One extra bounded job collects the ≤pushMax
     // keys — the o7 planning-state discipline.
-    val pushMax = math.min(1024, batch.sparkSession.conf
-      .getOption("spark.sql.parquet.pushdown.inFilterThreshold")
-      .map(_.toInt).getOrElse(10))
+    val pushMax = BatchParts.pushMaxKeys(batch.sparkSession)
     lazy val (pushTextKeys, pushIdKeys): (Option[Seq[Any]], Option[Seq[Any]]) =
       if (batchRows > pushMax) (None, None)
       else {
@@ -602,11 +600,18 @@ object LivePipeline {
         // bucket's cap verdict. The distinct runs over the batch-hit-
         // keys-sized slice, so its cost is noise.
         // the pushed single-column superset of the (band_id, bh) semi
-        // key: bh values collected limit-bounded (≤pushMax+1 rows ship)
-        val pushBhKeys: Option[Seq[Any]] = {
-          val rows = bandRows.select("bh").distinct().limit(pushMax + 1).collect()
-          if (rows.length > pushMax) None else Some(rows.map(_.get(0)).toSeq)
-        }
+        // key: bh values collected limit-bounded (≤pushMax+1 rows
+        // ship), and the JOB ITSELF gated on the batch size (a batch
+        // of >pushMax distinct-text docs has >pushMax distinct bh in
+        // all but degenerate cases — paying a per-batch
+        // distinct+collect to learn "skip" would be a hot-path job for
+        // nothing; round-14 review)
+        val pushBhKeys: Option[Seq[Any]] =
+          if (batchRows > pushMax) None
+          else {
+            val rows = bandRows.select("bh").distinct().limit(pushMax + 1).collect()
+            if (rows.length > pushMax) None else Some(rows.map(_.get(0)).toSeq)
+          }
         val hitKeys = broadcast(bandRows.select("band_id", "bh").distinct())
         broadcast(pushKeys(prune(bands, bandHitBuckets), "bh", pushBhKeys)
           .join(hitKeys, Seq("band_id", "bh"), "left_semi")
@@ -1262,6 +1267,18 @@ private[streaming] object BatchParts {
 
   def stagingPath(dir: String, h: Long, gen: Long): String =
     s"$dir/.compact-$h-$gen"
+
+  /** The per-probe key-pushdown cap shared by every store probe
+    * (LivePipeline's exact/bands/ids, LiveIndex's doclens): the
+    * session's parquet In threshold — beyond it Spark collapses a
+    * pushed In to a min/max range, useless against uniform hash keys —
+    * bounded at 1024. One spelling so the cap and the session conf
+    * cannot drift apart per store.
+    */
+  private[streaming] def pushMaxKeys(s: SparkSession): Int =
+    math.min(1024, s.conf
+      .getOption("spark.sql.parquet.pushdown.inFilterThreshold")
+      .map(_.toInt).getOrElse(10))
 
   /** A fold dir's bucket layout: Some(B) when it carries a
     * `_buckets-<B>` marker (the MARKER is authoritative — an EMPTY

@@ -950,6 +950,27 @@ class ScaleSpec extends AnyFunSuite {
       "the two spellings must produce identical (rk_best, rk_worst, n_src) for every doc")
   }
 
+  test("x39 skew guard: stratum quantile two-pass rank-identical under 90%-one-stratum") {
+    import spark.implicits._
+    // the md5 order key forces the string→numeric-proxy bucketing path
+    // (conv of a 15-hex prefix + full (md5, doc_id) struct tie) — the
+    // parity assert is what proves the proxy is order-consistent
+    val df = (1 to 1500).map { i =>
+      val (s, l) = if (i % 10 == 0) (s"cold${i % 3}", "fr") else ("hot", "en")
+      (i.toLong, s, l)
+    }.toDF("doc_id", "source", "lang")
+    def collect(r: org.apache.spark.sql.DataFrame) =
+      r.select("doc_id", "rk").collect()
+        .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val plain = graft.operators.TextAnalysis.stratumRanked(df, skewShare = 1.1)
+    val routed = graft.operators.TextAnalysis.stratumRanked(df, skewShare = 0.5)
+    assert("windowspecdefinition\\(source#\\d+, lang#\\d+, _bkt#\\d+".r
+        .findFirstIn(executedPlan(routed)).isDefined,
+      "the skew route must rank within (source, lang, bucket)")
+    assert(collect(plain) === collect(routed),
+      "stratum ranks must be identical across the two spellings")
+  }
+
   test("m3 byte entropy: histogram partial-aggregates map-side; post-agg join only") {
     val d = "/root/testdata/sf0.001"
     val df = graft.multimodal.Multimodal.queries("m3_byte_entropy")(spark, d)

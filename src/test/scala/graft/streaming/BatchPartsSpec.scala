@@ -59,6 +59,66 @@ class BatchPartsSpec extends AnyFunSuite {
         BatchParts.effectiveParts(spark, dir).filter(_._1 <= h).map(_._2): _*)
       .write.mode("overwrite").parquet(BatchParts.stagingPath(dir, h, gen))
 
+  test("committed listing: exists-probe and recursive regimes agree; debris is skipped") {
+    // round-14 regression guard: committedNames answers "which child
+    // dirs are committed" with per-child _SUCCESS probes when children
+    // are bounded and flips to one recursive LIST past the cutover —
+    // the two regimes must classify identically (committed batch dirs
+    // in; uncommitted dirs, stagings, bucket innards, loose files out)
+    import spark.implicits._
+    val dir = mkStore()
+    val f = fs(dir)
+    // debris: an uncommitted dir (no _SUCCESS), a staging, a loose file
+    f.mkdirs(new Path(dir, "batch=9"))
+    Seq(1L).toDF("v").write.parquet(BatchParts.stagingPath(dir, 2, 0))
+    f.create(new Path(dir, "stray.txt"), true).close()
+    // a committed BUCKETED fold: its _SUCCESS sits at the fold level;
+    // the bucket= subdirs inside must not confuse either regime
+    foldTo(dir, 1, 0)
+    BatchParts.commitFold(spark, dir, 1, 0)
+    def classify() = (
+      BatchParts.committed(spark, dir).map(_._1),
+      BatchParts.folds(spark, dir).map(t => (t._1, t._2)))
+    val small = classify()
+    assert(small === ((Seq(0L, 1L, 2L), Seq((1L, 0L)))),
+      s"bounded-children regime misclassified: $small")
+    // force the recursive regime: blow past the 256-child cutover with
+    // committed empty batch dirs, then demand the same classification
+    for (i <- 100 until 400) {
+      val d = new Path(dir, s"batch=$i")
+      f.mkdirs(d)
+      f.create(new Path(d, "_SUCCESS"), true).close()
+    }
+    val (big, bigFolds) = classify()
+    assert(big.toSet === ((0L to 2L) ++ (100L until 400L)).toSet &&
+      bigFolds === Seq((1L, 0L)),
+      s"recursive regime disagrees: ${big.size} committed, folds $bigFolds")
+  }
+
+  test("bucketed fold lays rows KEY-SORTED within each bucket (the row-group premise)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-bp-sort").toString + "/store"
+    val flat = (0 until 512).map(i => s"k%03d".format((i * 131) % 512)).toDF("k")
+    BatchParts.stageBucketedFold(spark, dir, 0, 0, flat,
+      pmod(hash(col("k")), lit(8)), 8, Seq("k"))
+    BatchParts.commitFold(spark, dir, 0, 0)
+    val foldDir = new java.io.File(dir).listFiles().map(_.getName)
+      .find(_.startsWith("fold=")).get
+    val buckets = new java.io.File(s"$dir/$foldDir").listFiles()
+      .filter(_.getName.startsWith("bucket="))
+    assert(buckets.nonEmpty)
+    for (b <- buckets; pf <- b.listFiles() if pf.getName.endsWith(".parquet")) {
+      // single-file read preserves row order: the keys must arrive
+      // non-decreasing, or the pushed In(key) filters' row-group
+      // min/max stats are loose and the pruning claim is vacuous
+      val ks = spark.read.schema("k STRING").parquet(pf.toString)
+        .collect().map(_.getString(0))
+      assert(ks.sameElements(ks.sorted),
+        s"bucket ${b.getName} not key-sorted: ${ks.take(8).mkString(",")}…")
+    }
+  }
+
   test("fold: reader completeness and convergence at every crash boundary") {
     val allRows = (0L to 8L)
     // boundary 0: staging written but NOT committed (no _SUCCESS)
