@@ -478,6 +478,15 @@ object Bench {
         graft.streaming.LivePipeline.compact(spark, cfg)
         graft.streaming.LiveIndex.compact(spark, idx)
       }
+      // the artifact names its own store sizes: distinct ADMITTED docs
+      // in the ids store after each growth stage (one scan-count job;
+      // outside the timed probes), so "16x" is a measured row count,
+      // not a label
+      def storeDocs(): Double = {
+        val (_, _, ids, _) =
+          graft.streaming.LivePipeline.probeFrames(spark, cfg, nextBatch)
+        ids.select("doc_id").distinct().count().toDouble
+      }
       def timeProbe(): Double = {
         val ts = (1 to 3).map { _ =>
           val t0 = System.nanoTime()
@@ -512,15 +521,19 @@ object Bench {
       val c0 = copy(0)
       grow(Seq(c0.filter(pmod(hash(col("doc_id")), lit(2)) === 0),
         c0.filter(pmod(hash(col("doc_id")), lit(2)) =!= 0)))
+      out += ("store_docs_at_1x" -> storeDocs())
       out += ("probe_sec_at_1x" -> timeProbe()) += ("term_sec_at_1x" -> timeTerm())
       grow((1 until 4).map(copy))
+      out += ("store_docs_at_4x" -> storeDocs())
       out += ("probe_sec_at_4x" -> timeProbe()) += ("term_sec_at_4x" -> timeTerm())
       grow((4 until 16).map(copy))
+      out += ("store_docs_at_16x" -> storeDocs())
       out += ("probe_sec_at_16x" -> timeProbe()) += ("term_sec_at_16x" -> timeTerm())
       out.result()
     } catch { case _: Throwable =>
-      Seq("probe_sec_at_1x", "term_sec_at_1x", "probe_sec_at_4x",
-        "term_sec_at_4x", "probe_sec_at_16x", "term_sec_at_16x").map(_ -> -1.0)
+      Seq("store_docs_at_1x", "probe_sec_at_1x", "term_sec_at_1x",
+        "store_docs_at_4x", "probe_sec_at_4x", "term_sec_at_4x",
+        "store_docs_at_16x", "probe_sec_at_16x", "term_sec_at_16x").map(_ -> -1.0)
     }
     // `nonsignal`: timed entries whose median is NOT the operator's
     // cost, kept in the suite for keyset/oracle coverage — x20's

@@ -936,11 +936,13 @@ object Dedup {
         graft.streaming.LivePipeline.Config("unused-root"))
         .audit.orderBy("doc_id", "fate")
     },
-    // The round-13 BUCKETED-store probe path under the oracle gate:
-    // unlike x30 (ad-hoc store frames), the existing corpus seeds REAL
-    // on-disk stores via LivePipeline.step — exact hashes recorded
-    // pre-quality, bands/ids only for ADMITTED docs, the x11 store
-    // semantics — compact() lays the bucket=hash(key)%64 folds, and
+    // The BUCKETED-store probe path under the oracle gate: unlike x30
+    // (ad-hoc store frames), the existing corpus seeds REAL on-disk
+    // stores via TWO LivePipeline.step calls — exact hashes recorded
+    // pre-quality, bands/ids for the docs the seeding ladder admits
+    // (canonical + quality; near-dup gating is OFF during seeding, see
+    // the in-body comment) — compact() lays the bucket=hash(key)%64
+    // folds (real, since round 14: two batches give it history), and
     // the arriving batch probes through probeFrames' pruned+broadcast
     // spelling (hit-bucket PartitionFilters, flipped joins). Arrivals
     // add an id-probe slice: seed ids re-sent with a different,
