@@ -237,6 +237,12 @@ object Bench {
     require(missing.isEmpty && stale.isEmpty,
       s"BaselineMedians drift — missing: $missing, stale: $stale")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // Baseline-comparable sessions are EXACTLY the recorded config's
+    // directory — an exact basename match, not a substring (`contains`
+    // also fired for hypothetical sf0.15-style dirs, where comparing
+    // against sf0.1 recordings would flag phantom regressions; r14
+    // advice).
+    val isBaselineSf = new java.io.File(sfDir).getName == "sf0.1"
     // phase timestamps on STDERR (the artifact line owns stdout): lets a
     // wall-clock-capped driver run attribute where the time went
     val tStart = System.nanoTime()
@@ -362,7 +368,7 @@ object Bench {
     // ever crossing them (round-11 verdict #2: w5 at 5.3× never fired) —
     // so the isolated-triage re-run covers this whole set, and the JSON
     // line carries the adjudication evidence for every member.
-    val over2x = if (!sfDir.contains("sf0.1")) Seq.empty[(String, Double, Double)]
+    val over2x = if (!isBaselineSf) Seq.empty[(String, Double, Double)]
       else results.collect {
         case (k, m, s) if BaselineMedians.get(k).exists { case (b, recFloor) =>
           m > 2 * b * math.max(1.0, floor / recFloor)
@@ -428,7 +434,7 @@ object Bench {
     // UNLESS "intake_redrain" appears in `errors`, which marks a
     // re-drain that ran and CRASHED (a crash must never adjudicate as
     // "machine noise, no regression"; the errors discipline).
-    val redrainNeeded = intakeRate >= 0 && sfDir.contains("sf0.1") &&
+    val redrainNeeded = intakeRate >= 0 && isBaselineSf &&
       intakeRate < IntakeRateRecorded / 2
     val intakeRedrain: Double = if (redrainNeeded) drainIntake() else -1.0
     val intakeRegressed = redrainNeeded &&

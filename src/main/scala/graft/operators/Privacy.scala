@@ -223,34 +223,19 @@ object Privacy {
     // sensitivity 1, ε = 1: noise = −b·sign(u−½)·ln(1−2|u−½|) by
     // inverse-CDF from a uniform u ∈ (0,1). u is SEEDED from
     // md5('dp|'||group-key) — deterministic noise is what makes the
-    // release reproducible across reruns/engines and hash-gateable; a
-    // production release would draw u from a CSPRNG instead (one-line
-    // swap), everything else — mechanism, sensitivity accounting,
-    // post-processing clamp — is the real thing. The ln ride's the x10
+    // release reproducible across reruns/engines and hash-gateable; the
+    // production-default call salts the seed with driver-side CSPRNG
+    // bytes ([[releaseSalt]]), everything else — mechanism, sensitivity
+    // accounting, post-processing clamp — is identical. The ln ride's the x10
     // discipline (rounded to 9 digits; one double add after it). Plan
     // shape: ONE combinable groupBy is the only corpus-sized exchange;
     // the noise is a pure map over the group-sized result. The released
     // value is clamped non-negative and integerized by floor(x+½) —
     // explicit half-up, immune to banker's-rounding divergence.
-    "x40_dp_release" -> { (s, d) =>
-      val b = 1.0 // Laplace scale = sensitivity / epsilon = 1 / 1
-      val grp = Tables.events(s, d)
-        .withColumn("day", date_trunc("day", col("ts")))
-        .groupBy("event_type", "day")
-        .agg(count(lit(1)).as("true_n"))
-      val v = conv(substring(md5(concat(lit("dp|"), col("event_type"),
-        lit("|"), col("day").cast("string"))), 1, 8), 16, 10).cast("long")
-      val u = (v.cast("double") + lit(0.5)) / lit(4294967296.0)
-      val noise = round(
-        -lit(b) * signum(u - lit(0.5)) * log(lit(1.0) - lit(2.0) * abs(u - lit(0.5))), 9)
-      // only the clamped integer ships: releasing noise or noisy_n beside
-      // it would reconstruct true_n exactly and void the mechanism
-      grp.withColumn("noisy_n", col("true_n").cast("double") + noise)
-        .select(col("event_type"), col("day"),
-          greatest(lit(0.0), floor(col("noisy_n") + lit(0.5))).cast("long").as("released_n"),
-          lit(1.0).as("epsilon"))
-        .orderBy("event_type", "day")
-    },
+    // The gate passes `seeded = true` — the test/verify spelling the
+    // DuckDB oracle can replay; see [[dpCountRelease]] for why the
+    // PRODUCTION default is the salted (non-recomputable) draw.
+    "x40_dp_release" -> { (s, d) => dpCountRelease(Tables.events(s, d), seeded = true) },
     // Differentially-private SUM + MEAN release — the clamp-then-noise
     // step every DP release of CONTINUOUS data needs, which the
     // sensitivity-1 count release (x40) can skip. Neighboring datasets
@@ -265,7 +250,8 @@ object Privacy {
     // post-processing of the two released values (never true_sum /
     // true_n — that would spend unaccounted budget). Same seeded-
     // uniform inverse-CDF discipline as x40 ("dps|"/"dpn|" domain
-    // separation), CSPRNG swap being the production one-liner.
+    // separation); production-default calls get CSPRNG-salted seeds
+    // ([[releaseSalt]]).
     //
     // Determinism across engines, spelled so no decimal→double edge
     // exists: contributions round to 9 digits then sum as
@@ -277,37 +263,99 @@ object Privacy {
     // exact longs. Plan shape: the (group, user) groupBy is the ONE
     // corpus-sized exchange (map-side combinable); the group re-agg
     // runs over the users×groups-sized result; noise is a pure map.
-    "x42_dp_sum_release" -> { (s, d) =>
-      val clampC = 50.0
-      val dec = org.apache.spark.sql.types.DecimalType(28, 9)
-      val perUser = Tables.events(s, d)
-        .withColumn("day", date_trunc("day", col("ts")))
-        .groupBy("event_type", "day", "user_id")
-        .agg(sum(round(col("value"), 9).cast(dec)).as("contrib"))
-      val clamped = perUser.withColumn("cl",
-        least(greatest(col("contrib"), lit(0).cast(dec)), lit(clampC).cast(dec)))
-      val grp = clamped.groupBy("event_type", "day")
-        .agg(sum(col("cl")).as("true_sum"), count(lit(1)).as("true_users"))
-      def unif(tag: String) = {
-        val v = conv(substring(md5(concat(lit(tag), col("event_type"),
-          lit("|"), col("day").cast("string"))), 1, 8), 16, 10).cast("long")
-        (v.cast("double") + lit(0.5)) / lit(4294967296.0)
-      }
-      def lap(b: Double, u: Column) = round(
-        -lit(b) * signum(u - lit(0.5)) * log(lit(1.0) - lit(2.0) * abs(u - lit(0.5))), 9)
-      grp.select(col("event_type"), col("day"),
-          greatest(lit(0L), floor(col("true_sum").cast("double") +
-            lap(clampC / 0.5, unif("dps|")) + lit(0.5))).as("released_sum"),
-          greatest(lit(1L), floor(col("true_users").cast("double") +
-            lap(1.0 / 0.5, unif("dpn|")) + lit(0.5))).as("released_users"))
-        .select(col("event_type"), col("day"),
-          col("released_sum"), col("released_users"),
-          round(col("released_sum").cast("double") /
-            col("released_users").cast("double"), 9).as("released_mean"),
-          lit(1.0).as("epsilon"), lit(clampC).as("clamp"))
-        .orderBy("event_type", "day")
-    }
+    // Gate spelling: `seeded = true` (oracle-replayable); production
+    // callers get the salted draw by default — see [[dpSumMeanRelease]].
+    "x42_dp_sum_release" -> { (s, d) => dpSumMeanRelease(Tables.events(s, d), seeded = true) }
   )
+
+  /** Seed salt for the DP releases. `seeded = true` (the test/verify
+    * spelling the gate queries pass explicitly) uses the bare
+    * md5(tag||group-key) seeds — reproducible across engines, which is
+    * what the DuckDB hash gate needs, but also PUBLICLY RECOMPUTABLE:
+    * anyone can re-derive the noise and subtract it, so a seeded
+    * release's DP guarantee is vacuous. The PRODUCTION DEFAULT
+    * (`seeded = false`) mixes a driver-drawn 128-bit `SecureRandom`
+    * salt into every seed: the noise stays a pure deterministic map
+    * WITHIN the release job (all tasks see the same literal, task
+    * retries are idempotent, no per-row RNG state to coordinate), but
+    * is not recomputable by anyone without the salt, which is never
+    * released and never leaves the driver. Round-14 advice: the
+    * deterministic spelling must not be what a production caller ships
+    * by accident — it is now opt-in per call.
+    */
+  private def releaseSalt(seeded: Boolean): String =
+    if (seeded) ""
+    else {
+      val bytes = new Array[Byte](16)
+      new java.security.SecureRandom().nextBytes(bytes)
+      bytes.map(b => f"$b%02x").mkString + "|"
+    }
+
+  /** Uniform u ∈ (0,1) seeded from md5(tag || salt || group key) — with
+    * an empty salt this is byte-identical to the oracle's spelling.
+    */
+  private def seededUnif(tag: String, salt: String): Column = {
+    val v = conv(substring(md5(concat(lit(tag), lit(salt), col("event_type"),
+      lit("|"), col("day").cast("string"))), 1, 8), 16, 10).cast("long")
+    (v.cast("double") + lit(0.5)) / lit(4294967296.0)
+  }
+
+  /** Laplace(b) by inverse CDF; the ln rides the x10 libm discipline
+    * (round to 9 digits before the one double add that follows).
+    */
+  private def laplace(b: Double, u: Column): Column = round(
+    -lit(b) * signum(u - lit(0.5)) * log(lit(1.0) - lit(2.0) * abs(u - lit(0.5))), 9)
+
+  /** x40's ε=1 Laplace count release as a public API (see the x40 entry
+    * for the mechanism/accounting doc). [[releaseSalt]] documents the
+    * `seeded` contract — production default is the salted,
+    * non-recomputable draw.
+    */
+  def dpCountRelease(events: DataFrame, seeded: Boolean = false): DataFrame = {
+    val b = 1.0 // Laplace scale = sensitivity / epsilon = 1 / 1
+    val salt = releaseSalt(seeded)
+    val grp = events
+      .withColumn("day", date_trunc("day", col("ts")))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("true_n"))
+    // only the clamped integer ships: releasing noise or noisy_n beside
+    // it would reconstruct true_n exactly and void the mechanism
+    grp.withColumn("noisy_n",
+        col("true_n").cast("double") + laplace(b, seededUnif("dp|", salt)))
+      .select(col("event_type"), col("day"),
+        greatest(lit(0.0), floor(col("noisy_n") + lit(0.5))).cast("long").as("released_n"),
+        lit(1.0).as("epsilon"))
+      .orderBy("event_type", "day")
+  }
+
+  /** x42's clamp-then-noise SUM/MEAN release as a public API (see the
+    * x42 entry for the sensitivity accounting and the exact-decimal
+    * determinism spelling). `seeded` per [[releaseSalt]].
+    */
+  def dpSumMeanRelease(events: DataFrame, seeded: Boolean = false): DataFrame = {
+    val clampC = 50.0
+    val salt = releaseSalt(seeded)
+    val dec = org.apache.spark.sql.types.DecimalType(28, 9)
+    val perUser = events
+      .withColumn("day", date_trunc("day", col("ts")))
+      .groupBy("event_type", "day", "user_id")
+      .agg(sum(round(col("value"), 9).cast(dec)).as("contrib"))
+    val clamped = perUser.withColumn("cl",
+      least(greatest(col("contrib"), lit(0).cast(dec)), lit(clampC).cast(dec)))
+    val grp = clamped.groupBy("event_type", "day")
+      .agg(sum(col("cl")).as("true_sum"), count(lit(1)).as("true_users"))
+    grp.select(col("event_type"), col("day"),
+        greatest(lit(0L), floor(col("true_sum").cast("double") +
+          laplace(clampC / 0.5, seededUnif("dps|", salt)) + lit(0.5))).as("released_sum"),
+        greatest(lit(1L), floor(col("true_users").cast("double") +
+          laplace(1.0 / 0.5, seededUnif("dpn|", salt)) + lit(0.5))).as("released_users"))
+      .select(col("event_type"), col("day"),
+        col("released_sum"), col("released_users"),
+        round(col("released_sum").cast("double") /
+          col("released_users").cast("double"), 9).as("released_mean"),
+        lit(1.0).as("epsilon"), lit(clampC).as("clamp"))
+      .orderBy("event_type", "day")
+  }
 
   def oracles: Map[String, String] = Map(
     "x12_pii_scrub" ->

@@ -91,8 +91,15 @@ object CoreRelational {
       value: org.apache.spark.sql.Column, tie: org.apache.spark.sql.Column,
       buckets: Int = 32): DataFrame = {
     val probs = (1 until buckets).map(_.toDouble / buckets)
+    // the explicit double cast keeps the engine's result array<double>
+    // for ANY input type — for a long-typed value percentile_approx
+    // returns array<bigint>, and the Seq[Double] declaration below
+    // would then hold boxed Longs that explode on first unboxed use
+    // (r14 advice); the cast preserves ordering, and boundary QUALITY
+    // is all these literals carry (correctness is boundary-independent,
+    // per the method doc)
     val qb: Seq[Double] = Option(
-        df.agg(percentile_approx(value, array(probs.map(lit): _*),
+        df.agg(percentile_approx(value.cast("double"), array(probs.map(lit): _*),
           lit(10000)).as("qbounds")).head().getSeq[Double](0))
       .getOrElse(Seq.empty)
     val boundsArr = array(qb.map(lit): _*)

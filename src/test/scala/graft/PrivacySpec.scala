@@ -183,4 +183,24 @@ class PrivacySpec extends AnyFunSuite {
         math.rint(truth((r.getString(0), r.getTimestamp(1)))._1))).exists(_ > 0),
       "the mechanism must actually perturb some sums")
   }
+
+  test("DP releases default to CSPRNG-salted seeds; the oracle spelling is opt-in") {
+    // Production default (`seeded = false`) mixes a fresh driver-drawn
+    // salt into every seed, so two releases over the SAME data must
+    // disagree somewhere (Laplace(100) on the sums — the chance that
+    // two independent salted draws integerize identically across every
+    // group is negligible), while the seeded spelling is bit-stable.
+    // This is the r14-advice gate: the publicly-recomputable
+    // deterministic release cannot be what a caller ships by accident.
+    val ev = graft.Tables.events(spark, d)
+    def sums(df: org.apache.spark.sql.DataFrame): Seq[(String, Long)] =
+      df.collect().map(r => (r.getString(0) + "|" + r.getTimestamp(1), r.getLong(2))).toSeq
+    val a = sums(Privacy.dpSumMeanRelease(ev))
+    val b = sums(Privacy.dpSumMeanRelease(ev))
+    val s1 = sums(Privacy.dpSumMeanRelease(ev, seeded = true))
+    val s2 = sums(Privacy.dpSumMeanRelease(ev, seeded = true))
+    assert(s1 === s2, "seeded releases must be bit-stable (the gate relies on it)")
+    assert(a !== b, "two default releases must draw different salts")
+    assert(a !== s1, "the default release must not equal the public-seed spelling")
+  }
 }
