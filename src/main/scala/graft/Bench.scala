@@ -42,6 +42,20 @@ object Bench {
     */
   private val IntakeRateRecorded = 56.9
 
+  /** x37's phase-split recordings `(median, recording floor)` — r14
+    * verdict #3: the combined 15.4 s entry times two workloads (store
+    * build: seed steps + compact; probe: pruned+broadcast store probes
+    * + the fate CASE), and only the PROBE carries a scale claim, so a
+    * probe regression must not hide inside build-phase noise. Recorded
+    * round 15 from an isolated 3-sample session (build 12.9 / probe
+    * 2.1 at floor 0.066); the combined [[BaselineMedians]] entry is
+    * unchanged and still gates the total. The probe side gets its own
+    * floor-scaled 2× gate below (same materiality/stability bounds as
+    * query entries).
+    */
+  private val X37BuildRecorded = (12.917, 0.066)
+  private val X37ProbeRecorded = (2.130, 0.066)
+
   /** Recorded per-query `(median, recording floor)` (sf0.1, local[32],
     * 3-run interleaved medians under the noop-sink timed action) — the
     * regression baseline. The second element is the calibration floor
@@ -283,6 +297,40 @@ object Bench {
     // training cost.
     graft.operators.Bpe.ensureTrained(spark, sfDir)
     phase("warmup done")
+    // Streaming-path throughput artifact (the batch medians above never
+    // time the continuous intake): drain the documents slice through the
+    // COMPOSED live step (curate→dedup→pack + BM25 index maintenance) in
+    // 6 micro-batches with a mid-drain compact, so the back half runs
+    // the bucketed-store probe path a long-lived intake lives on. One
+    // number, docs/sec over the whole drain (store commits included).
+    // -1 on a throw (the errors discipline: a crash must never read as
+    // a fast drain — and it feeds `errors` below).
+    def drainIntake(): Double = try {
+      val root = java.nio.file.Files.createTempDirectory("graft-bench-intake").toString
+      val cfg = graft.streaming.LivePipeline.Config(s"$root/pipe")
+      val idx = graft.streaming.LiveIndex.Config(s"$root/idx")
+      import org.apache.spark.sql.functions.col
+      val slice = Tables.documents(spark, sfDir)
+        .select("doc_id", "lang", "text").filter(col("doc_id") % 10 < 4)
+      val nDocs = slice.count().toDouble // outside the timed region
+      val t0 = System.nanoTime()
+      for (i <- 0 until 6) {
+        graft.streaming.LivePipeline.stepWithIndex(
+          slice.filter(col("doc_id") % 6 === i), i.toLong, cfg, idx)
+        if (i == 2) graft.streaming.LivePipeline.compact(spark, cfg)
+      }
+      nDocs / ((System.nanoTime() - t0) / 1e9)
+    } catch { case _: Throwable => -1.0 }
+    // r14 verdict #2 (intake-drain adjudication experiment): when
+    // SPARK_GRAFT_INTAKE_FRESH=1, drain ONCE on this fresh post-warmup
+    // JVM — before any timed pass has aged the session — so one bench
+    // run yields the paired fresh-vs-post-suite comparison that decides
+    // whether the recorded rate reflects a fresh JVM the in-suite drain
+    // can never see. -2.0 = hook not enabled (the default; the driver's
+    // artifact is unchanged unless the experiment is being run).
+    val intakeFresh: Double =
+      if (sys.env.get("SPARK_GRAFT_INTAKE_FRESH").contains("1")) drainIntake() else -2.0
+    if (intakeFresh != -2.0) phase("fresh intake drain done")
     // Machine-calibration floor: median wall time of a trivial fixed job
     // (1M-row range count — no I/O, no shuffle). Per-job scheduling
     // overhead on this VM varies severalfold between sessions (measured
@@ -321,15 +369,56 @@ object Bench {
     // expression left every median unchanged. The noop sink evaluates
     // every output column of every row and discards them; baselines
     // were re-recorded under this action (round 12).
-    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // Test-only chaos hook for the gate-sensitivity demonstration (r14
+    // verdict #5): "name:seconds[,name:seconds…]" injects a sleep INTO
+    // the timed region of the named queries, so a seeded perturbation
+    // can prove the regression gate still fires after any suite
+    // trimming. Never set by the driver; documented in PLANS.md.
+    val perturb: Map[String, Double] = sys.env.get("SPARK_GRAFT_PERTURB")
+      .map(_.split(",").map { kv =>
+        val Array(k, v) = kv.split(":"); (k, v.toDouble)
+      }.toMap).getOrElse(Map.empty)
+    def run(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        perturb.get(name).foreach(s => Thread.sleep((s * 1000).toLong))
         (System.nanoTime() - t0) / 1e9
       } catch { case _: Throwable => -1.0 }
     }
+    // Suite-weight trim (r14 verdict #5): sub-0.25 s SCALAR-CLASS
+    // queries — no materialized store behind them (d*/n* serving reads
+    // and the intake gates keep all Runs samples: a store build landing
+    // in the serving path is exactly the regression class the gate
+    // exists for) — skip the final pass and report the MIN of their two
+    // samples. For a ≈ jobs×floor query the min is the honest
+    // steady-state read (every inflation mechanism — stall, GC, JIT —
+    // is one-sided), and a real plan regression shifts the whole
+    // distribution, min included: the seeded-perturbation demo in
+    // PLANS.md shows the gate firing unchanged on a trimmed entry. The
+    // set derives from the RECORDED medians, so it is stable across
+    // sessions and self-describing (`light_trimmed` in the artifact).
+    val lightTrim: Set[String] = BaselineMedians.collect {
+      case (k, (m, _)) if m < 0.25 && !k.startsWith("d") && !k.startsWith("n") &&
+        !k.startsWith("x3") => k
+    }.toSet
+    // x37 build/probe attribution (r14 verdict #3): the query's store
+    // build runs eagerly inside the query function and records its wall
+    // time (Dedup.lastX37BuildSec); each timed sample splits into
+    // (build, total - build) and the two medians ship beside the
+    // combined entry, so the probe — the phase with the 100 TB scale
+    // claim — is gated separately from build-phase noise.
+    val x37Splits = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
     val samples = (1 to Runs).flatMap { r =>
-      val pass = ordered.map { case (name, fn) => (name, run(fn)) }
+      val pass = ordered.collect {
+        case (name, fn) if r < Runs || !lightTrim(name) =>
+          val t = run(name, fn)
+          if (name == "x37_intake_bucketed" && t >= 0) {
+            val b = graft.operators.Dedup.lastX37BuildSec
+            if (b >= 0 && b <= t) x37Splits += ((b, t - b))
+          }
+          (name, t)
+      }
       phase(s"timed pass $r done")
       pass
     }
@@ -338,9 +427,11 @@ object Bench {
       // any crashed sample poisons the whole entry to -1: a crash must
       // read as a BROKEN query in the artifact, never as a fast sample
       // the gate mistakes for a speedup (the isolated-run guard below,
-      // applied to the main timed loop too)
+      // applied to the main timed loop too).
+      // Lower median: times(1) of 3 full-pass samples, times(0) = min
+      // of a light-trimmed pair.
       if (times.head < 0) (name, -1.0, 0.0)
-      else (name, times(Runs / 2), times.last - times.head)
+      else (name, times((times.length - 1) / 2), times.last - times.head)
     }
     // One stdout line, kept SMALL (doubles rounded to 3 decimals — 1 ms,
     // below the measurement floor; the per-query spread map stays
@@ -387,37 +478,15 @@ object Bench {
     val isolated = over2x.map { case (k, _, _) =>
       // a crash must NOT masquerade as a fast isolated run ("isolated ≈
       // fast → machine noise" would invert the verdict) — run() records
-      // -1 on a throw
-      (k, run(SparkEntry.queries(k)))
+      // -1 on a throw. The perturb hook applies here too, so a seeded
+      // perturbation adjudicates as a REAL regression — the property the
+      // sensitivity demo checks.
+      (k, run(k, SparkEntry.queries(k)))
     }
     val regKeys = regressions.map(_._1).toSet
     val iso = json(isolated.filter(kv => regKeys(kv._1)))
     val iso2x = json(isolated)
     val total = results.collect { case (_, m, _) if m >= 0 => m }.sum
-    // Streaming-path throughput artifact (the batch medians above never
-    // time the continuous intake): drain the documents slice through the
-    // COMPOSED live step (curate→dedup→pack + BM25 index maintenance) in
-    // 6 micro-batches with a mid-drain compact, so the back half runs
-    // the bucketed-store probe path a long-lived intake lives on. One
-    // number, docs/sec over the whole drain (store commits included).
-    // -1 on a throw (the errors discipline: a crash must never read as
-    // a fast drain — and it feeds `errors` below).
-    def drainIntake(): Double = try {
-      val root = java.nio.file.Files.createTempDirectory("graft-bench-intake").toString
-      val cfg = graft.streaming.LivePipeline.Config(s"$root/pipe")
-      val idx = graft.streaming.LiveIndex.Config(s"$root/idx")
-      import org.apache.spark.sql.functions.col
-      val slice = Tables.documents(spark, sfDir)
-        .select("doc_id", "lang", "text").filter(col("doc_id") % 10 < 4)
-      val nDocs = slice.count().toDouble // outside the timed region
-      val t0 = System.nanoTime()
-      for (i <- 0 until 6) {
-        graft.streaming.LivePipeline.stepWithIndex(
-          slice.filter(col("doc_id") % 6 === i), i.toLong, cfg, idx)
-        if (i == 2) graft.streaming.LivePipeline.compact(spark, cfg)
-      }
-      nDocs / ((System.nanoTime() - t0) / 1e9)
-    } catch { case _: Throwable => -1.0 }
     phase("isolated re-runs done")
     val intakeRate: Double = drainIntake()
     phase("intake drain done")
@@ -455,35 +524,109 @@ object Bench {
     // QueryTerms BM25 serve timed at each size. Flat-within-noise
     // probe/term times against an 16× store are the measured local
     // evidence for the 100 TB claim; -1s on a throw.
+    // Executed-plan scan metrics for the STORE side of a probe (r14
+    // verdict #1): after an action has run on `df`, walk its (adaptive)
+    // executed plan for parquet scans whose relation roots live under
+    // `root` and sum numFiles / filesSize / numOutputRows. filesSize is
+    // the bytes SELECTED after partition (bucket) pruning; numOutputRows
+    // is what the reader actually emitted after row-group/page skipping
+    // from the pushed `In(key)` filters — the two layers of the 100 TB
+    // probe-I/O claim, now measured instead of pinned-only.
+    def storeScanStats(df: org.apache.spark.sql.DataFrame, root: String): (Double, Double, Double) = {
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      def walk(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: QueryStageExec => walk(q.plan)
+        case f: FileSourceScanExec => Seq(f)
+        case other => (other.children ++ other.subqueries).flatMap(walk)
+      }
+      val scans = walk(df.queryExecution.executedPlan)
+        .filter(_.relation.location.rootPaths.exists(_.toUri.getPath.startsWith(root)))
+      def m(name: String): Double =
+        scans.flatMap(_.metrics.get(name).map(_.value)).sum.toDouble
+      (m("numFiles"), m("filesSize"), m("numOutputRows"))
+    }
+
+    // Store-growth flatness artifact (r13 verdict, next-round #1; scan
+    // metrics + 64× point added for r14 #1): the bucketed-probe plan
+    // shape is PINNED (ScaleSpec), but pins don't show probe COST
+    // staying bounded as the folded store grows — this measures it, as
+    // wall time AND as store-scan bytes/rows read out of the executed
+    // plans. The intake store is seeded at 1×, then grown to 4×/16×/64×
+    // the documents slice with id-offset copies, compacted to the
+    // bucketed fold at each size, and an IDENTICAL probe batch is timed
+    // (3-run median, noop sink) against each store size, followed by
+    // one metrics execution. The same growth drives the LiveIndex
+    // postings store, with the fixed QueryTerms BM25 serve timed at
+    // each size; -1s on a throw.
+    val growthSizes = Seq(1, 4, 16, 64)
+    def growthKeys(n: Int) = Seq(s"store_docs_at_${n}x", s"probe_sec_at_${n}x") ++
+      Seq("probe", "smallprobe").flatMap(t => Seq(s"${t}_files_at_${n}x",
+        s"${t}_mb_at_${n}x", s"${t}_rows_at_${n}x")) ++
+      Seq(s"term_sec_at_${n}x")
     val growthFields: Seq[(String, Double)] = try {
       import org.apache.spark.sql.functions._
       val root = java.nio.file.Files.createTempDirectory("graft-bench-growth").toString
       val cfg = graft.streaming.LivePipeline.Config(s"$root/pipe")
       val idx = graft.streaming.LiveIndex.Config(s"$root/idx")
       val docs = Tables.documents(spark, sfDir).select("doc_id", "lang", "text")
-      // the CURVE is the artifact (probe time vs 1x/4x/16x store), not
-      // absolute store size — a 1-in-10 seed slice keeps the 16 seeding
-      // steps from dominating bench wall-time at sf0.1
+      // the CURVE is the artifact (probe cost vs 1x/4x/16x/64x store),
+      // not absolute store size — a 1-in-10 seed slice keeps seeding
+      // from dominating bench wall-time at sf0.1
       val base = docs.filter(col("doc_id") % 10 === 0)
       val probe = docs.filter(col("doc_id") % 10 === 7)
-      def copy(j: Int) = base.select(
-        // 1e12 stride: a 1e8 stride collides copy j of doc d with copy
-        // j+1 of doc d−1e8 once real doc_ids reach 1e8 (silent
-        // id_collision quarantines would under-grow the store)
+      // Copy j for the PIPE (dedup) store: id-offset and — for j ≥ 1 —
+      // payload-varied by a per-copy word suffix, so copies are neither
+      // exact nor near dups and the dedup stores genuinely grow. Copy 0
+      // stays UNSUFFIXED (the 1× store is the real slice). 1e12 id
+      // stride: a 1e8 stride collides copy j of doc d with copy j+1 of
+      // doc d−1e8 once real doc_ids reach 1e8 (silent id_collision
+      // quarantines would under-grow the store).
+      // the suffix lands only on words of ≥ 4 chars: the quality gate's
+      // stopword lexicon is all ≤ 3 chars, so suffixing every word
+      // zeroed stop_hits and the admission ladder rejected ~80% of the
+      // copies as low_quality — the store silently under-grew its label
+      // (caught by store_docs_at_* in the r15 smoke run). Long-word
+      // suffixes disrupt every shingle containing one (near-total
+      // Jaccard separation between copies) while quality features —
+      // token count, stopword density — survive.
+      def suffixed(j: Int) = concat_ws(" ", transform(split(col("text"), " "),
+        w => when(length(w) >= 4, concat(w, lit(s"c$j"))).otherwise(w)))
+      def pipeCopy(j: Int) = if (j == 0) base else base.select(
         (col("doc_id") + lit(j * 1000000000000L)).as("doc_id"), col("lang"),
-        concat_ws(" ", transform(split(col("text"), " "),
-          w => concat(w, lit(s"c$j")))).as("text"))
+        suffixed(j).as("text"))
+      // Copy j for the INDEX postings store keeps the ORIGINAL text:
+      // id-offset alone grows the postings 64× while the vocabulary
+      // stays real, so Retrieval.QueryTerms actually MATCH and the term
+      // serve scores 64× the postings at 64× the store. r14's
+      // all-copies-suffixed spelling left zero QueryTerms hits in the
+      // postings store, so term_sec_at_* timed a zero-match serve and
+      // never exercised matched-postings scoring — the one term-serve
+      // cost that genuinely grows with the corpus (r14 advice, medium).
+      def idxCopy(j: Int) = base.select(
+        (col("doc_id") + lit(j * 1000000000000L)).as("doc_id"), col("text"))
       var nextBatch = 0L
-      def grow(bs: Seq[org.apache.spark.sql.DataFrame]): Unit = {
-        bs.foreach { b =>
-          graft.streaming.LivePipeline.step(b, nextBatch, cfg)
-          graft.streaming.LiveIndex.step(
-            b.select("doc_id", "text"), nextBatch, idx)
+      def grow(pairs: Seq[(org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)]): Unit = {
+        pairs.foreach { case (p, ix) =>
+          graft.streaming.LivePipeline.step(p, nextBatch, cfg)
+          graft.streaming.LiveIndex.step(ix, nextBatch, idx)
           nextBatch += 1
         }
         graft.streaming.LivePipeline.compact(spark, cfg)
         graft.streaming.LiveIndex.compact(spark, idx)
       }
+      // Seed batches UNION several copies each (3 copies → 1 batch at
+      // 4×, 6 per batch at 16×, 8 per batch at 64×): per-step commit
+      // overhead (listings, markers, cursor snapshots) is constant per
+      // batch, so one-copy steps would spend the growth phase timing
+      // the committer 60 times over; the copies are id-disjoint and
+      // mutually non-dup, so admissions are batching-independent and
+      // the folded store content is identical either way.
+      def growCopies(groups: Seq[Seq[Int]]): Unit = grow(groups.map { g =>
+        (g.map(pipeCopy).reduce(_.unionByName(_)),
+          g.map(idxCopy).reduce(_.unionByName(_)))
+      })
       // the artifact names its own store sizes: distinct ADMITTED docs
       // in the ids store after each growth stage (one scan-count job;
       // outside the timed probes), so "16x" is a measured row count,
@@ -493,13 +636,45 @@ object Bench {
           graft.streaming.LivePipeline.probeFrames(spark, cfg, nextBatch)
         ids.select("doc_id").distinct().count().toDouble
       }
+      def probeAuditOf(batch: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+        val (exact, bands, ids, cursors) =
+          graft.streaming.LivePipeline.probeFrames(spark, cfg, nextBatch)
+        graft.streaming.LivePipeline.curatePack(batch, exact, bands, cursors, ids, cfg).audit
+      }
+      def probeAudit(): org.apache.spark.sql.DataFrame = probeAuditOf(probe)
+      // The steady-state micro-batch for the SCAN-METRICS curve: the
+      // timed probe above keeps r14's 1-in-10 slice (500 docs at sf0.1)
+      // for wall-time comparability, but at that batch:store ratio both
+      // pruning layers SATURATE by construction — 500 keys hit all 64
+      // buckets, and an n-key In(...) or-chain must read ~one row group
+      // per key per bucket file, so rows read are bounded by
+      // buckets × keys × rowGroupRows, a ceiling far above these toy
+      // stores. A long-lived intake's real ratio is the opposite (tiny
+      // batch, huge store) — this 1-in-1000 slice measures THAT regime,
+      // where the bound binds and store-scan rows stay ~flat while the
+      // store grows 64×.
+      val smallProbe = docs.filter(col("doc_id") % 1000 === 7)
+      def scanFields(tag: String, n: Int, batch: org.apache.spark.sql.DataFrame): Seq[(String, Double)] = {
+        // AQE folds an empty-result probe stage into an empty relation,
+        // deleting its (already-executed) store scan from the final
+        // plan and silently undercounting the walk — exclude the rule
+        // for METRICS executions only; timed runs keep production
+        // behavior.
+        spark.conf.set("spark.sql.adaptive.optimizer.excludedRules",
+          "org.apache.spark.sql.execution.adaptive.AQEPropagateEmptyRelation")
+        try {
+          val df = probeAuditOf(batch)
+          df.collect() // bounded: audit rows are batch-sized
+          val (nf, bytes, rows) = storeScanStats(df, root)
+          Seq(s"${tag}_files_at_${n}x" -> nf,
+            s"${tag}_mb_at_${n}x" -> bytes / 1e6,
+            s"${tag}_rows_at_${n}x" -> rows)
+        } finally spark.conf.unset("spark.sql.adaptive.optimizer.excludedRules")
+      }
       def timeProbe(): Double = {
         val ts = (1 to 3).map { _ =>
           val t0 = System.nanoTime()
-          val (exact, bands, ids, cursors) =
-            graft.streaming.LivePipeline.probeFrames(spark, cfg, nextBatch)
-          graft.streaming.LivePipeline.curatePack(probe, exact, bands, cursors, ids, cfg)
-            .audit.write.format("noop").mode("overwrite").save()
+          probeAudit().write.format("noop").mode("overwrite").save()
           (System.nanoTime() - t0) / 1e9
         }.sorted
         ts(1)
@@ -514,33 +689,114 @@ object Bench {
         }.sorted
         ts(1)
       }
+      // Granularity emulation for the growth stores' FOLD WRITES: a
+      // production bucket file spans many parquet row groups (128 MB
+      // default over GB-scale buckets), so the sorted-fold + In(key)
+      // layer skips row groups WITHIN a pruned bucket; these toy
+      // buckets are single-row-group, single-page files where nothing
+      // can be skipped regardless of layout. Shrinking the writer's
+      // row-group/page targets for this phase's writes recreates the
+      // per-store-row granularity a real store has, so probe_rows_at_*
+      // measures the skipping mechanism, not the toy file layout. The
+      // knobs are restored before the next phase.
+      val hc = spark.sparkContext.hadoopConfiguration
+      hc.set("parquet.block.size", "256")
+      hc.set("parquet.page.size", "256")
+      hc.set("parquet.page.row.count.limit", "16")
+      // the writer only CHECKS accumulated size every
+      // parquet.page.size.row.check.min records (default 100) — above
+      // the whole toy bucket, so without this knob every bucket file
+      // stayed one row group no matter the block size (measured: the
+      // knob alone turns a 10k-row sorted file into ~220 row groups and
+      // an In(4 keys) probe reads 62 rows instead of 10k)
+      hc.set("parquet.page.size.row.check.min", "10")
+      try {
+        val out = Seq.newBuilder[(String, Double)]
+        def measure(n: Int): Unit = {
+          out += (s"store_docs_at_${n}x" -> storeDocs())
+          out += (s"probe_sec_at_${n}x" -> timeProbe())
+          out ++= scanFields("probe", n, probe)
+          out ++= scanFields("smallprobe", n, smallProbe)
+          out += (s"term_sec_at_${n}x" -> timeTerm())
+          phase(s"store growth ${n}x measured")
+        }
+        // the 1× seed splits into TWO batches so compact() lays the
+        // bucketed fold even at the smallest size (a lone flat part is
+        // never refolded) — all four points measure the SAME bucketed
+        // probe path, differing only in store size. The split is
+        // HASH-parity, not id-parity: the base slice is doc_id % 10 == 0
+        // (every id even), so an id % 2 split would leave one batch
+        // EMPTY, step() would skip it, and the 1× point would silently
+        // measure the flat path (the x37 r13 blind spot all over again —
+        // caught in round-14 review)
+        val p0 = pipeCopy(0); val i0 = idxCopy(0)
+        def half(df: org.apache.spark.sql.DataFrame, side: Int) =
+          df.filter(pmod(hash(col("doc_id")), lit(2)) === side)
+        grow(Seq((half(p0, 0), half(i0, 0)), (half(p0, 1), half(i0, 1))))
+        measure(1)
+        growCopies(Seq(1 to 3))
+        measure(4)
+        growCopies(Seq(4 to 9, 10 to 15))
+        measure(16)
+        growCopies((16 until 64).grouped(8).toSeq)
+        measure(64)
+        out.result()
+      } finally {
+        hc.unset("parquet.block.size")
+        hc.unset("parquet.page.size")
+        hc.unset("parquet.page.row.count.limit")
+        hc.unset("parquet.page.size.row.check.min")
+      }
+    } catch { case _: Throwable =>
+      growthSizes.flatMap(growthKeys).map(_ -> -1.0)
+    }
+    phase("store growth done")
+    // Data-marginal curves for two corpus-heavy BATCH operators (r14
+    // verdict #6): d7 (LSH cluster label propagation) and x33 (leakage
+    // split) are the engine's iterative/loop-shaped plans — where a
+    // hidden superlinearity would live — timed against 1×/4×/16×
+    // synthesized corpora (id-offset, word-suffixed copies written as
+    // real documents tables: mutually non-dup, so the candidate graph
+    // grows ~linearly while cluster diameters stay fixed — growth must
+    // multiply per-round work, never round count). Signature stores
+    // materialize per corpus OUTSIDE the timed region (ensureStores —
+    // ingest-time work, the suite's design point). Each point is the
+    // MIN of two runs: one-sided inflation (stall/GC/JIT) is what a
+    // second sample discards, and the signal here is the SHAPE of a
+    // 1.5–25 s curve, far above the session floor (recorded beside it).
+    val corpusGrowthSizes = Seq(1, 4, 16)
+    def corpusKeys(n: Int) = Seq(s"corpus_docs_at_${n}x",
+      s"d7_sec_at_${n}x", s"x33_sec_at_${n}x")
+    val corpusGrowthFields: Seq[(String, Double)] = try {
+      import org.apache.spark.sql.functions._
+      val root = java.nio.file.Files.createTempDirectory("graft-bench-corpus").toString
+      val docs = Tables.documents(spark, sfDir)
+      // ≥4-char-word suffix, same rationale as the store-growth copies:
+      // vary payloads without collapsing the quality features
+      def copy(j: Int) = if (j == 0) docs else docs.select(
+        (col("doc_id") + lit(j * 1000000000000L)).as("doc_id"),
+        concat_ws(" ", transform(split(col("text"), " "),
+          w => when(length(w) >= 4, concat(w, lit(s"c$j"))).otherwise(w))).as("text"),
+        col("lang"), col("source"), col("n_chars"))
       val out = Seq.newBuilder[(String, Double)]
-      // the 1× seed splits into TWO batches so compact() lays the
-      // bucketed fold even at the smallest size (a lone flat part is
-      // never refolded) — all three points measure the SAME bucketed
-      // probe path, differing only in store size. The split is
-      // HASH-parity, not id-parity: the base slice is doc_id % 10 == 0
-      // (every id even), so an id % 2 split would leave one batch
-      // EMPTY, step() would skip it, and the 1× point would silently
-      // measure the flat path (the x37 r13 blind spot all over again —
-      // caught in round-14 review)
-      val c0 = copy(0)
-      grow(Seq(c0.filter(pmod(hash(col("doc_id")), lit(2)) === 0),
-        c0.filter(pmod(hash(col("doc_id")), lit(2)) =!= 0)))
-      out += ("store_docs_at_1x" -> storeDocs())
-      out += ("probe_sec_at_1x" -> timeProbe()) += ("term_sec_at_1x" -> timeTerm())
-      grow((1 until 4).map(copy))
-      out += ("store_docs_at_4x" -> storeDocs())
-      out += ("probe_sec_at_4x" -> timeProbe()) += ("term_sec_at_4x" -> timeTerm())
-      grow((4 until 16).map(copy))
-      out += ("store_docs_at_16x" -> storeDocs())
-      out += ("probe_sec_at_16x" -> timeProbe()) += ("term_sec_at_16x" -> timeTerm())
+      for (n <- corpusGrowthSizes) {
+        val dir = s"$root/x$n"
+        (0 until n).map(copy).reduce(_.unionByName(_))
+          .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+        graft.operators.Dedup.ensureStores(spark, dir)
+        out += (s"corpus_docs_at_${n}x" ->
+          spark.read.parquet(s"$dir/documents.parquet").count().toDouble)
+        for ((q, tag) <- Seq("d7_dedup_clusters" -> "d7", "x33_leakage_split" -> "x33")) {
+          val ts = (1 to 2).map(_ => run(q, (s, _) => SparkEntry.queries(q)(s, dir)))
+          out += (s"${tag}_sec_at_${n}x" ->
+            (if (ts.exists(_ < 0)) -1.0 else ts.min))
+        }
+      }
       out.result()
     } catch { case _: Throwable =>
-      Seq("store_docs_at_1x", "probe_sec_at_1x", "term_sec_at_1x",
-        "store_docs_at_4x", "probe_sec_at_4x", "term_sec_at_4x",
-        "store_docs_at_16x", "probe_sec_at_16x", "term_sec_at_16x").map(_ -> -1.0)
+      corpusGrowthSizes.flatMap(corpusKeys).map(_ -> -1.0)
     }
+    phase("corpus growth done")
     // `nonsignal`: timed entries whose median is NOT the operator's
     // cost, kept in the suite for keyset/oracle coverage — x20's
     // training is warmed in setup (ingest-time work), so its entry
@@ -549,16 +805,37 @@ object Bench {
     val nonsignal = """["x20_bpe_train"]"""
     // errors/regressions assembled LAST so the intake adjudication
     // feeds them like query medians do (r13 verdict #1)
+    // x37 build/probe attribution fields + the probe-side regression
+    // gate (same shape as the per-query gate: floor-scaled 2× with
+    // >1 s materiality; stability comes from the median of the splits).
+    val x37Fields: Seq[(String, Double)] = {
+      def med(xs: Seq[Double]): Double =
+        if (xs.isEmpty) -1.0 else xs.sorted.apply((xs.length - 1) / 2)
+      Seq("x37_build_sec" -> med(x37Splits.map(_._1).toSeq),
+        "x37_probe_sec" -> med(x37Splits.map(_._2).toSeq),
+        "x37_build_sec_recorded" -> X37BuildRecorded._1,
+        "x37_probe_sec_recorded" -> X37ProbeRecorded._1)
+    }
+    val x37ProbeMed = x37Fields.find(_._1 == "x37_probe_sec").map(_._2).getOrElse(-1.0)
+    val x37ProbeReg: Seq[(String, Double)] = {
+      val (b, recFloor) = X37ProbeRecorded
+      if (isBaselineSf && x37ProbeMed >= 0 &&
+          x37ProbeMed > 2 * b * math.max(1.0, floor / recFloor) &&
+          x37ProbeMed - b > 1.0)
+        Seq("x37_probe_sec" -> x37ProbeMed)
+      else Nil
+    }
     val errors = results.collect { case (k, m, _) if m < 0 => k } ++
       (if (intakeRate < 0) Seq("intake_drain") else Nil) ++
       (if (redrainCrashed) Seq("intake_redrain") else Nil)
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val reg = json(regressions ++
-      (if (intakeRegressed) Seq("intake_docs_per_sec" -> intakeRate) else Nil))
-    phase("growth bench done")
-    val growthJson = growthFields.map { case (k, v) =>
-      "\"" + k + "\":" + r3(v) }.mkString(",")
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$Runs,"floor":${r3(floor)},"errors":$errs,"regressions":$reg,"regressions_isolated":$iso,"over2x_isolated":$iso2x,"nonsignal":$nonsignal,"intake_docs_per_sec":${r3(intakeRate)},"intake_docs_per_sec_recorded":${r3(IntakeRateRecorded)},"intake_redrain":${r3(intakeRedrain)},$growthJson,"sf":"$sfDir","queries":$qs}"""
+      (if (intakeRegressed) Seq("intake_docs_per_sec" -> intakeRate) else Nil) ++
+      x37ProbeReg)
+    val growthJson = (growthFields ++ corpusGrowthFields ++ x37Fields).map {
+      case (k, v) => "\"" + k + "\":" + r3(v) }.mkString(",")
+    val lightJson = lightTrim.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$Runs,"floor":${r3(floor)},"errors":$errs,"regressions":$reg,"regressions_isolated":$iso,"over2x_isolated":$iso2x,"nonsignal":$nonsignal,"light_trimmed":$lightJson,"intake_docs_per_sec":${r3(intakeRate)},"intake_docs_per_sec_recorded":${r3(IntakeRateRecorded)},"intake_redrain":${r3(intakeRedrain)},"intake_fresh":${r3(intakeFresh)},$growthJson,"sf":"$sfDir","queries":$qs}"""
     println(line)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),

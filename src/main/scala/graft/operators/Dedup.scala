@@ -313,6 +313,16 @@ object Dedup {
     simhashes(s, d)
   }
 
+  /** Wall seconds the LAST `x37_intake_bucketed` invocation spent in its
+    * store-BUILD phase (seed steps + compact, which run eagerly inside
+    * the query function; the probe executes lazily at the caller's
+    * action). Bench reads this after each timed x37 sample to split the
+    * entry into `x37_build_sec` / `x37_probe_sec` (r14 verdict #3).
+    * Single volatile slot — Bench times queries sequentially; -1 while
+    * a build is in flight or if none ran.
+    */
+  @volatile private[graft] var lastX37BuildSec: Double = -1.0
+
   def queries2: Map[String, Q] = Map(
     // Dedup clustering: connected components over the LSH candidate
     // graph — pairs → clusters → canonical doc (min id). Iterative
@@ -955,6 +965,15 @@ object Dedup {
     // arm, and the fate CASE — so the pruned probes are hash-verified
     // to lose nothing.
     "x37_intake_bucketed" -> { (s, d) =>
+      // build/probe attribution (r14 verdict #3): the store build below
+      // (seed steps + compact) runs EAGERLY inside this function, while
+      // the returned probe frame executes lazily at the caller's
+      // action — so the build's wall time is recorded here and Bench
+      // subtracts it from each timed sample to report x37_build_sec /
+      // x37_probe_sec separately (the probe carries the scale claim; a
+      // probe regression must not hide inside build-phase noise)
+      lastX37BuildSec = -1.0
+      val tBuild0 = System.nanoTime()
       val docs = Tables.documents(s, d).select("doc_id", "lang", "text")
       val root = java.nio.file.Files.createTempDirectory("graft-x37").toString
       val cfg = graft.streaming.LivePipeline.Config(root)
@@ -997,6 +1016,7 @@ object Dedup {
       graft.streaming.LivePipeline.step(seed.filter(col("doc_id") <= mid), 0L, seedCfg)
       graft.streaming.LivePipeline.step(seed.filter(col("doc_id") > mid), 1L, seedCfg)
       graft.streaming.LivePipeline.compact(s, cfg)
+      lastX37BuildSec = (System.nanoTime() - tBuild0) / 1e9
       val (exact, bands, ids, cursors) =
         graft.streaming.LivePipeline.probeFrames(s, cfg, 2L)
       val arriving = docs.filter(col("doc_id") % 10 === 7)
