@@ -147,6 +147,33 @@ object Deploy {
     env.get("STORE_ROOT").filter(_.nonEmpty)
       .foreach(spark.conf.set("spark.graft.storeRoot", _))
 
+  /** Anonymous reads for the PUBLIC history archive — the reference
+    * never signs archive requests: its boto3 client is built with
+    * `Config(signature_version=UNSIGNED)` (python/main.py:19-21,64), so
+    * a collector deployed with NO AWS credentials still reads the
+    * public Kin/Stellar archive, and one deployed WITH sink credentials
+    * must not have them rejected by the public bucket. The s3a analogue
+    * is the per-bucket anonymous provider — PER BUCKET, so the sink
+    * bucket (whose writes the reference signs with
+    * `S3_STORAGE_AWS_ACCESS_KEY`/`..._SECRET_KEY`, main.py:30-34) keeps
+    * the session's signed credential chain untouched. Applied whenever
+    * the archive root resolves to an s3a bucket;
+    * `ARCHIVE_SIGNED_REQUESTS=1` opts a PRIVATE archive mirror back
+    * into the default provider chain (no reference counterpart — the
+    * reference cannot read a private archive at all).
+    */
+  def applyArchiveAnonymousCreds(spark: SparkSession, env: Map[String, String]): Unit = {
+    val signed = env.get("ARCHIVE_SIGNED_REQUESTS")
+      .exists(v => v == "1" || v.equalsIgnoreCase("true"))
+    val root = archiveRoot(env)
+    if (!signed && root.startsWith("s3a://")) {
+      val bucket = root.stripPrefix("s3a://").takeWhile(_ != '/')
+      spark.sparkContext.hadoopConfiguration.set(
+        s"fs.s3a.bucket.$bucket.aws.credentials.provider",
+        "org.apache.hadoop.fs.s3a.AnonymousAWSCredentialsProvider")
+    }
+  }
+
   /** The whole collector: `Deploy.tail(spark, sys.env).runOnce()` is
     * `python main.py`'s backfill; `.run(n)` is its polling loop.
     * `sinkOverride` lets a caller that already built (and bootstrapped)
@@ -156,6 +183,7 @@ object Deploy {
   def tail(spark: SparkSession, env: Map[String, String],
       sinkOverride: Option[CheckpointSink] = None): ArchiveTail = {
     applyStoreRoot(spark, env)
+    applyArchiveAnonymousCreds(spark, env)
     new ArchiveTail(spark, archiveRoot(env), env("NETWORK_PASSPHRASE"),
       extractConfig(env), sinkOverride.getOrElse(sink(env)), firstSeq(env),
       maxRetries(env), alerts = alerts(env))

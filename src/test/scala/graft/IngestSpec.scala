@@ -107,6 +107,21 @@ class IngestSpec extends AnyFunSuite {
     // no alert env → Noop; a webhook var → validating fan-out (probed)
     assert(Deploy.alerts(env) === graft.streaming.IngestAlerts.Noop)
     assert(Deploy.transports(env).isEmpty)
+    // anonymous-archive parity (main.py:64 UNSIGNED): an s3a archive
+    // bucket gets the PER-BUCKET anonymous provider (the sink bucket's
+    // credential chain untouched), a file:// root sets nothing, and
+    // ARCHIVE_SIGNED_REQUESTS=1 opts a private mirror back out
+    val hc = spark.sparkContext.hadoopConfiguration
+    val anonEnv = Map("BUCKET_NAME" -> "pub-archive", "CORE_DIRECTORY" -> "core")
+    Deploy.applyArchiveAnonymousCreds(spark, anonEnv)
+    assert(hc.get("fs.s3a.bucket.pub-archive.aws.credentials.provider") ===
+      "org.apache.hadoop.fs.s3a.AnonymousAWSCredentialsProvider")
+    assert(hc.get("fs.s3a.bucket.sink-bucket.aws.credentials.provider") === null)
+    Deploy.applyArchiveAnonymousCreds(spark,
+      Map("BUCKET_NAME" -> "priv-archive", "ARCHIVE_SIGNED_REQUESTS" -> "1"))
+    assert(hc.get("fs.s3a.bucket.priv-archive.aws.credentials.provider") === null)
+    Deploy.applyArchiveAnonymousCreds(spark, env) // file:// root → no-op
+    hc.unset("fs.s3a.bucket.pub-archive.aws.credentials.provider")
   }
 
   test("s3a:// archive root drives Deploy/Archive scheme handling end to end (stub FS)") {
