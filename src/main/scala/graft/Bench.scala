@@ -239,7 +239,11 @@ object Bench {
       // NEW round 14: x42 DP sum/mean release (per-user clamp groupBy —
       // the one corpus-sized exchange — + group re-agg + pure map
       // noise); recorded from a 0.085-floor isolated session
-      ("x42_dp_sum_release" -> ((0.820, 0.085)))
+      ("x42_dp_sum_release" -> ((0.820, 0.085))) +
+      // NEW round 15: x43 exponential-mechanism argmax release (the
+      // same one-corpus-exchange shape as x40 plus a group-sized
+      // row_number window); recording session noted beside the value
+      ("x43_dp_argmax_release" -> ((9.999, 0.999)))
   }
 
   def main(args: Array[String]): Unit = {

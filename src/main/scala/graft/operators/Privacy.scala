@@ -265,7 +265,20 @@ object Privacy {
     // runs over the users×groups-sized result; noise is a pure map.
     // Gate spelling: `seeded = true` (oracle-replayable); production
     // callers get the salted draw by default — see [[dpSumMeanRelease]].
-    "x42_dp_sum_release" -> { (s, d) => dpSumMeanRelease(Tables.events(s, d), seeded = true) }
+    "x42_dp_sum_release" -> { (s, d) => dpSumMeanRelease(Tables.events(s, d), seeded = true) },
+    // Exponential-mechanism release of a NON-NUMERIC answer — "which
+    // event_type was most frequent per day" — the third mechanism class
+    // the DP family needs (x40/x42 release noised NUMBERS; picking a
+    // CATEGORY by noised count is NOT private: max-of-Laplace over
+    // candidates is the report-noisy-max cousin, but the canonical
+    // selection mechanism is exponential). Spelled via the Gumbel-max
+    // trick, which IS the exponential mechanism exactly: releasing
+    // argmax_r(ε·u(r)/(2Δ) + Gumbel(0,1)) samples r with probability
+    // ∝ exp(ε·u(r)/(2Δ)). Utility = the candidate's count (Δ = 1: one
+    // record moves one count by one), ε = 1. Only the winning CATEGORY
+    // ships — never its score or count (the score minus known-seed noise
+    // would reconstruct the count and void the accounting).
+    "x43_dp_argmax_release" -> { (s, d) => dpArgmaxRelease(Tables.events(s, d), seeded = true) }
   )
 
   /** Seed salt for the DP releases. `seeded = true` (the test/verify
@@ -326,6 +339,41 @@ object Privacy {
         greatest(lit(0.0), floor(col("noisy_n") + lit(0.5))).cast("long").as("released_n"),
         lit(1.0).as("epsilon"))
       .orderBy("event_type", "day")
+  }
+
+  /** x43's exponential-mechanism category release (see the x43 entry
+    * for the mechanism identity). `seeded` per [[releaseSalt]].
+    *
+    * Determinism spelling: the Gumbel draw chains two libm logs, so
+    * EACH ln rides the x10 discipline (round to 9 before the next
+    * step), and the inner log is clamped to ≤ −1e−9 first — a u within
+    * 5e−10 of 1.0 would round its ln to −0.0 and blow the outer log to
+    * ∞ in one engine and an error in another (the 32-bit seeded uniform
+    * can reach 1 − 1.2e−10). The final score is ONE double add of
+    * count/2 (exact in binary) + the rounded Gumbel; ties break by
+    * category so the argmax is a total order in both engines.
+    *
+    * Plan shape: one combinable (day, event_type) groupBy is the only
+    * corpus-sized exchange; the noise is a pure map and the per-day
+    * argmax is a row_number window over the group-sized result.
+    */
+  def dpArgmaxRelease(events: DataFrame, seeded: Boolean = false): DataFrame = {
+    val salt = releaseSalt(seeded)
+    val grp = events
+      .withColumn("day", date_trunc("day", col("ts")))
+      .groupBy("day", "event_type")
+      .agg(count(lit(1)).as("true_n"))
+    val lnU = least(round(log(seededUnif("dpx|", salt)), 9), lit(-1e-9))
+    val gumbel = round(-log(-lnU), 9)
+    val scored = grp.withColumn("score",
+      col("true_n").cast("double") / lit(2.0) + gumbel)
+    scored
+      .withColumn("rk", row_number().over(Window.partitionBy("day")
+        .orderBy(col("score").desc, col("event_type"))))
+      .filter(col("rk") === 1)
+      .select(col("day"), col("event_type").as("released_top"),
+        lit(1.0).as("epsilon"))
+      .orderBy("day")
   }
 
   /** x42's clamp-then-noise SUM/MEAN release as a public API (see the
@@ -483,6 +531,29 @@ object Privacy {
         |  round(CAST(released_sum AS DOUBLE) / CAST(released_users AS DOUBLE), 9)
         |    AS released_mean,
         |  CAST(1.0 AS DOUBLE) AS epsilon, CAST(50.0 AS DOUBLE) AS clamp
-        |FROM r ORDER BY event_type, day""".stripMargin
+        |FROM r ORDER BY event_type, day""".stripMargin,
+    // x43: Gumbel-max exponential mechanism — per-candidate seeded
+    // uniform → chained-ln Gumbel (each ln rounded to 9, inner clamped
+    // to ≤ -1e-9) → count/2 + G → per-day argmax with category
+    // tie-break; only the winning category ships.
+    "x43_dp_argmax_release" ->
+      """WITH g AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |    event_type, CAST(count(*) AS BIGINT) AS true_n
+        |  FROM events GROUP BY 1, 2),
+        |u AS (SELECT day, event_type, true_n,
+        |    (CAST(('0x' || substr(md5('dpx|' || event_type || '|' ||
+        |        CAST(day AS VARCHAR)), 1, 8)) AS BIGINT) + 0.5) /
+        |      4294967296.0 AS u
+        |  FROM g),
+        |sc AS (SELECT day, event_type,
+        |    CAST(true_n AS DOUBLE) / 2.0 +
+        |      round(-1.0 * ln(-1.0 * least(round(ln(u), 9), -1e-9)), 9) AS score
+        |  FROM u),
+        |rk AS (SELECT day, event_type,
+        |    row_number() OVER (PARTITION BY day
+        |      ORDER BY score DESC, event_type) AS rk
+        |  FROM sc)
+        |SELECT day, event_type AS released_top, CAST(1.0 AS DOUBLE) AS epsilon
+        |FROM rk WHERE rk = 1 ORDER BY day""".stripMargin
   )
 }

@@ -203,4 +203,21 @@ class PrivacySpec extends AnyFunSuite {
     assert(a !== b, "two default releases must draw different salts")
     assert(a !== s1, "the default release must not equal the public-seed spelling")
   }
+
+  test("x43 exponential-mechanism release: one category per day, a real candidate, deterministic when seeded") {
+    val rel = SparkEntry.queries("x43_dp_argmax_release")(spark, d).collect()
+    val days = rel.map(_.getTimestamp(0))
+    assert(days.length === days.distinct.length, "exactly one release per day")
+    val candidates = graft.Tables.events(spark, d)
+      .select(date_trunc("day", col("ts")).as("day"), col("event_type")).distinct()
+      .collect().map(r => (r.getTimestamp(0), r.getString(1))).toSet
+    rel.foreach { r =>
+      assert(candidates((r.getTimestamp(0), r.getString(1))),
+        "released category must be an observed candidate for that day")
+      assert(r.getDouble(2) === 1.0)
+    }
+    val again = SparkEntry.queries("x43_dp_argmax_release")(spark, d).collect()
+    assert(rel.map(_.toString).toSeq === again.map(_.toString).toSeq,
+      "the seeded gate spelling must be bit-stable")
+  }
 }
