@@ -47,14 +47,14 @@ object Bench {
     * build: seed steps + compact; probe: pruned+broadcast store probes
     * + the fate CASE), and only the PROBE carries a scale claim, so a
     * probe regression must not hide inside build-phase noise. Recorded
-    * round 15 from an isolated 3-sample session (build 12.9 / probe
-    * 2.1 at floor 0.066); the combined [[BaselineMedians]] entry is
-    * unchanged and still gates the total. The probe side gets its own
-    * floor-scaled 2× gate below (same materiality/stability bounds as
-    * query entries).
+    * round 15 from an isolated 3-sample session at floor 0.064
+    * (combined 14.31 — consistent with the r14 combined recording
+    * 15.42); the combined [[BaselineMedians]] entry is unchanged and
+    * still gates the total. The probe side gets its own floor-scaled
+    * 2× gate below (same materiality bound as query entries).
     */
-  private val X37BuildRecorded = (12.917, 0.066)
-  private val X37ProbeRecorded = (2.130, 0.066)
+  private val X37BuildRecorded = (9.150, 0.064)
+  private val X37ProbeRecorded = (5.164, 0.064)
 
   /** Recorded per-query `(median, recording floor)` (sf0.1, local[32],
     * 3-run interleaved medians under the noop-sink timed action) — the
@@ -242,8 +242,9 @@ object Bench {
       ("x42_dp_sum_release" -> ((0.820, 0.085))) +
       // NEW round 15: x43 exponential-mechanism argmax release (the
       // same one-corpus-exchange shape as x40 plus a group-sized
-      // row_number window); recording session noted beside the value
-      ("x43_dp_argmax_release" -> ((9.999, 0.999)))
+      // row_number window); recorded from a 0.064-floor isolated
+      // session (the same one that split x37's build/probe recording)
+      ("x43_dp_argmax_release" -> ((0.384, 0.064)))
   }
 
   def main(args: Array[String]): Unit = {
