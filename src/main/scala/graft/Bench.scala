@@ -244,7 +244,11 @@ object Bench {
       // same one-corpus-exchange shape as x40 plus a group-sized
       // row_number window); recorded from a 0.064-floor isolated
       // session (the same one that split x37's build/probe recording)
-      ("x43_dp_argmax_release" -> ((0.384, 0.064)))
+      ("x43_dp_argmax_release" -> ((0.384, 0.064))) +
+      // NEW round 15: x44 exponential-mechanism median release (one
+      // corpus (event_type, bin) exchange + group-sized candidate
+      // windows); recorded from a 0.068-floor isolated session
+      ("x44_dp_median_release" -> ((0.537, 0.068)))
   }
 
   def main(args: Array[String]): Unit = {
@@ -568,7 +572,7 @@ object Bench {
     val growthSizes = Seq(1, 4, 16, 64)
     def growthKeys(n: Int) = Seq(s"store_docs_at_${n}x", s"probe_sec_at_${n}x") ++
       Seq("probe", "smallprobe").flatMap(t => Seq(s"${t}_files_at_${n}x",
-        s"${t}_mb_at_${n}x", s"${t}_rows_at_${n}x")) ++
+        s"${t}_mb_at_${n}x", s"${t}_rows_at_${n}x", s"${t}_io_mb_at_${n}x")) ++
       Seq(s"term_sec_at_${n}x")
     val growthFields: Seq[(String, Double)] = try {
       import org.apache.spark.sql.functions._
@@ -668,12 +672,32 @@ object Bench {
         spark.conf.set("spark.sql.adaptive.optimizer.excludedRules",
           "org.apache.spark.sql.execution.adaptive.AQEPropagateEmptyRelation")
         try {
+          // actual bytes read off the local `file` FS across the whole
+          // execution (tasks share this JVM on local[N], and Hadoop
+          // FileSystem statistics aggregate across threads): the
+          // filesSize metric above is bytes SELECTED after partition
+          // pruning — whole hit-bucket files — while this delta is what
+          // the reader actually pulled, i.e. footers plus only the row
+          // groups/pages the pushed In(key) filters kept. Includes the
+          // constant batch-side documents read (self-describing:
+          // constant across store sizes); shuffle/spill traffic goes
+          // through java.io, not a Hadoop FS, so it does not pollute
+          // the delta.
+          def fsBytesRead(): Long =
+            org.apache.hadoop.fs.FileSystem.getGlobalStorageStatistics
+              .get("file") match {
+              case null => 0L
+              case s => Option(s.getLong("bytesRead")).map(_.longValue).getOrElse(0L)
+            }
+          val io0 = fsBytesRead()
           val df = probeAuditOf(batch)
           df.collect() // bounded: audit rows are batch-sized
+          val ioMb = (fsBytesRead() - io0) / 1e6
           val (nf, bytes, rows) = storeScanStats(df, root)
           Seq(s"${tag}_files_at_${n}x" -> nf,
             s"${tag}_mb_at_${n}x" -> bytes / 1e6,
-            s"${tag}_rows_at_${n}x" -> rows)
+            s"${tag}_rows_at_${n}x" -> rows,
+            s"${tag}_io_mb_at_${n}x" -> ioMb)
         } finally spark.conf.unset("spark.sql.adaptive.optimizer.excludedRules")
       }
       // min of two runs (the corpus-growth discipline: one-sided

@@ -278,7 +278,21 @@ object Privacy {
     // record moves one count by one), ε = 1. Only the winning CATEGORY
     // ships — never its score or count (the score minus known-seed noise
     // would reconstruct the count and void the accounting).
-    "x43_dp_argmax_release" -> { (s, d) => dpArgmaxRelease(Tables.events(s, d), seeded = true) }
+    "x43_dp_argmax_release" -> { (s, d) => dpArgmaxRelease(Tables.events(s, d), seeded = true) },
+    // Exponential-mechanism MEDIAN release — the mechanism class x43
+    // introduced, applied to the other thing a DP release of numeric
+    // data is usually asked for besides sums (x42): a robust location
+    // statistic. Laplace on the true median is NOT private (a median's
+    // sensitivity is unbounded); the standard route is the exponential
+    // mechanism over a PUBLIC, data-independent candidate grid, with
+    // the rank-distance utility u(b) = −|cum(b) − n/2|. One record
+    // moves cum by ≤1 AND n/2 by ½, so Δu = ½ under add/remove and ≤1
+    // under replacement — the conservative Δ = 1 is used. Candidates
+    // are all 64 bins of the public [0, 512] range INCLUDING empty
+    // ones (restricting to observed bins would make the candidate set
+    // itself data-dependent and leak); only the winning bin's midpoint
+    // ships.
+    "x44_dp_median_release" -> { (s, d) => dpMedianRelease(Tables.events(s, d), seeded = true) }
   )
 
   /** Seed salt for the DP releases. `seeded = true` (the test/verify
@@ -304,14 +318,29 @@ object Privacy {
       bytes.map(b => f"$b%02x").mkString + "|"
     }
 
-  /** Uniform u ∈ (0,1) seeded from md5(tag || salt || group key) — with
-    * an empty salt this is byte-identical to the oracle's spelling.
+  /** Uniform u ∈ (0,1) seeded from md5(tag || salt || key) — with an
+    * empty salt this is byte-identical to the oracle's spelling.
     */
-  private def seededUnif(tag: String, salt: String): Column = {
-    val v = conv(substring(md5(concat(lit(tag), lit(salt), col("event_type"),
-      lit("|"), col("day").cast("string"))), 1, 8), 16, 10).cast("long")
+  private def seededUnifKey(tag: String, salt: String, key: Column): Column = {
+    val v = conv(substring(md5(concat(lit(tag), lit(salt), key)), 1, 8),
+      16, 10).cast("long")
     (v.cast("double") + lit(0.5)) / lit(4294967296.0)
   }
+
+  /** The (event_type, day) group-key spelling x40/x42/x43 share. */
+  private def seededUnif(tag: String, salt: String): Column =
+    seededUnifKey(tag, salt,
+      concat(col("event_type"), lit("|"), col("day").cast("string")))
+
+  /** Gumbel(0,1) by inverse CDF, −ln(−ln u), in the chained-ln
+    * determinism spelling: each ln rounded to 9 (the x10 libm
+    * discipline), the inner log clamped to ≤ −1e−9 first — a u within
+    * 5e−10 of 1.0 would round its ln to −0.0 and blow the outer log to
+    * ∞ in one engine and an error in another (the 32-bit seeded
+    * uniform can reach 1 − 1.2e−10).
+    */
+  private def gumbel(u: Column): Column =
+    round(-log(-least(round(log(u), 9), lit(-1e-9))), 9)
 
   /** Laplace(b) by inverse CDF; the ln rides the x10 libm discipline
     * (round to 9 digits before the one double add that follows).
@@ -342,14 +371,8 @@ object Privacy {
   }
 
   /** x43's exponential-mechanism category release (see the x43 entry
-    * for the mechanism identity). `seeded` per [[releaseSalt]].
-    *
-    * Determinism spelling: the Gumbel draw chains two libm logs, so
-    * EACH ln rides the x10 discipline (round to 9 before the next
-    * step), and the inner log is clamped to ≤ −1e−9 first — a u within
-    * 5e−10 of 1.0 would round its ln to −0.0 and blow the outer log to
-    * ∞ in one engine and an error in another (the 32-bit seeded uniform
-    * can reach 1 − 1.2e−10). The final score is ONE double add of
+    * for the mechanism identity). `seeded` per [[releaseSalt]];
+    * determinism per [[gumbel]]. The final score is ONE double add of
     * count/2 (exact in binary) + the rounded Gumbel; ties break by
     * category so the argmax is a total order in both engines.
     *
@@ -363,10 +386,8 @@ object Privacy {
       .withColumn("day", date_trunc("day", col("ts")))
       .groupBy("day", "event_type")
       .agg(count(lit(1)).as("true_n"))
-    val lnU = least(round(log(seededUnif("dpx|", salt)), 9), lit(-1e-9))
-    val gumbel = round(-log(-lnU), 9)
     val scored = grp.withColumn("score",
-      col("true_n").cast("double") / lit(2.0) + gumbel)
+      col("true_n").cast("double") / lit(2.0) + gumbel(seededUnif("dpx|", salt)))
     scored
       .withColumn("rk", row_number().over(Window.partitionBy("day")
         .orderBy(col("score").desc, col("event_type"))))
@@ -374,6 +395,58 @@ object Privacy {
       .select(col("day"), col("event_type").as("released_top"),
         lit(1.0).as("epsilon"))
       .orderBy("day")
+  }
+
+  /** x44's exponential-mechanism median release (see the x44 entry for
+    * the mechanism and sensitivity accounting). `seeded` per
+    * [[releaseSalt]]; Gumbel determinism per [[gumbel]].
+    *
+    * Exactness spelling: bin width 512/64 = 8 and midpoints (b+½)·8
+    * are exact in binary; `cum` and `n` are integers, so
+    * u = −|cum − n/2| lands on exact halves and u/2 on exact quarters;
+    * the score is ONE double add of u/2 + the rounded Gumbel, and ties
+    * break by bin index — a total order in both engines.
+    *
+    * Plan shape: one combinable (event_type, bin) groupBy is the only
+    * corpus-sized exchange; the dense 64-bin candidate grid is a
+    * types×64 cross join over GROUP-sized frames, and the cum/argmax
+    * windows run over that candidate frame, never the corpus.
+    */
+  def dpMedianRelease(events: DataFrame, seeded: Boolean = false): DataFrame = {
+    val salt = releaseSalt(seeded)
+    val bins = 64
+    val hi = 512.0
+    val w = hi / bins // 8.0, exact in binary
+    val s = events.sparkSession
+    val binned = events
+      .select(col("event_type"),
+        least(lit(bins - 1),
+          floor(least(greatest(col("value"), lit(0.0)), lit(hi)) / lit(w)).cast("int"))
+          .as("bin"))
+      .groupBy("event_type", "bin").agg(count(lit(1)).as("c"))
+    val cand = binned.select("event_type").distinct()
+      .crossJoin(s.range(bins).select(col("id").cast("int").as("bin")))
+    val counts = cand.join(binned, Seq("event_type", "bin"), "left")
+      .select(col("event_type"), col("bin"), coalesce(col("c"), lit(0L)).as("c"))
+    val wType = Window.partitionBy("event_type")
+    val wCum = wType.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val u = seededUnifKey("dpm|", salt,
+      concat(col("event_type"), lit("|"), col("bin").cast("string")))
+    val scored = counts
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n", sum(col("c")).over(wType))
+      .withColumn("score",
+        -abs(col("cum").cast("double") - col("n").cast("double") / lit(2.0)) / lit(2.0) +
+          gumbel(u))
+    scored
+      .withColumn("rk", row_number().over(Window.partitionBy("event_type")
+        .orderBy(col("score").desc, col("bin"))))
+      .filter(col("rk") === 1)
+      .select(col("event_type"),
+        ((col("bin").cast("double") + lit(0.5)) * lit(w)).as("released_median"),
+        lit(1.0).as("epsilon"), lit(0.0).as("lo"), lit(hi).as("hi"))
+      .orderBy("event_type")
   }
 
   /** x42's clamp-then-noise SUM/MEAN release as a public API (see the
@@ -554,6 +627,39 @@ object Privacy {
         |      ORDER BY score DESC, event_type) AS rk
         |  FROM sc)
         |SELECT day, event_type AS released_top, CAST(1.0 AS DOUBLE) AS epsilon
-        |FROM rk WHERE rk = 1 ORDER BY day""".stripMargin
+        |FROM rk WHERE rk = 1 ORDER BY day""".stripMargin,
+    // x44: bin into the public [0,512]/64 grid → dense candidate set
+    // (empty bins included) → rank-distance utility from cum/n windows
+    // → Gumbel argmax per event_type → midpoint of the winning bin.
+    "x44_dp_median_release" ->
+      """WITH b AS (SELECT event_type,
+        |    CAST(least(63, floor(least(greatest(value, 0.0), 512.0) / 8.0)) AS INT)
+        |      AS bin
+        |  FROM events),
+        |c AS (SELECT event_type, bin, CAST(count(*) AS BIGINT) AS c
+        |  FROM b GROUP BY 1, 2),
+        |cand AS (SELECT t.event_type, CAST(g.range AS INT) AS bin
+        |  FROM (SELECT DISTINCT event_type FROM events) t
+        |  CROSS JOIN range(0, 64) g),
+        |d AS (SELECT cand.event_type, cand.bin, coalesce(c.c, 0) AS c
+        |  FROM cand LEFT JOIN c
+        |    ON cand.event_type = c.event_type AND cand.bin = c.bin),
+        |sc AS (SELECT event_type, bin,
+        |    -1.0 * abs(CAST(sum(c) OVER (PARTITION BY event_type ORDER BY bin
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |        - CAST(sum(c) OVER (PARTITION BY event_type) AS DOUBLE) / 2.0) / 2.0
+        |      + round(-1.0 * ln(-1.0 * least(round(ln(
+        |          (CAST(('0x' || substr(md5('dpm|' || event_type || '|' ||
+        |              CAST(bin AS VARCHAR)), 1, 8)) AS BIGINT) + 0.5) /
+        |            4294967296.0), 9), -1e-9)), 9) AS score
+        |  FROM d),
+        |rk AS (SELECT event_type, bin,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY score DESC, bin) AS rk
+        |  FROM sc)
+        |SELECT event_type, (CAST(bin AS DOUBLE) + 0.5) * 8.0 AS released_median,
+        |  CAST(1.0 AS DOUBLE) AS epsilon, CAST(0.0 AS DOUBLE) AS lo,
+        |  CAST(512.0 AS DOUBLE) AS hi
+        |FROM rk WHERE rk = 1 ORDER BY event_type""".stripMargin
   )
 }

@@ -220,4 +220,26 @@ class PrivacySpec extends AnyFunSuite {
     assert(rel.map(_.toString).toSeq === again.map(_.toString).toSeq,
       "the seeded gate spelling must be bit-stable")
   }
+
+  test("x44 DP median: one release per type, inside the public range, near the true median, seeded-stable") {
+    val rel = SparkEntry.queries("x44_dp_median_release")(spark, d).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toMap
+    val truth = graft.Tables.events(spark, d)
+      .groupBy("event_type").agg(expr("percentile(value, 0.5)").as("m"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(rel.keySet === truth.keySet, "one release per event_type")
+    rel.foreach { case (t, m) =>
+      assert(m > 0.0 && m < 512.0, s"$t: released $m outside the public range")
+      // the Gumbel's reachable max is ~20.7 (32-bit seeded uniform), and
+      // displacing the winner k bins costs half the record mass between
+      // — at >=100 records/type a 100-unit displacement needs a >50
+      // utility deficit the noise cannot pay, so this bound is safe for
+      // any seed while still failing if the binning/utility were wrong
+      assert(math.abs(m - truth(t)) < 100.0,
+        s"$t: released $m implausibly far from true median ${truth(t)}")
+    }
+    val again = SparkEntry.queries("x44_dp_median_release")(spark, d).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(rel === again, "the seeded gate spelling must be bit-stable")
+  }
 }
