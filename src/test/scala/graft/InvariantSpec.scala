@@ -210,4 +210,10 @@ class InvariantSpec extends AnyFunSuite {
       .collect().map(r => (r.getDouble(3), r.getBoolean(4)))
     flagged.foreach { case (h, f) => assert(f === (h < 2.7)) }
   }
+
+  test("driver entry smoke: SparkEntry.entry returns rows") {
+    // the driver's per-round smoke check is rows > 0 on entry() — pin
+    // it here so a future entry() retarget cannot ship empty
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
 }
