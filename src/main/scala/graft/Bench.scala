@@ -248,7 +248,13 @@ object Bench {
       // NEW round 15: x44 exponential-mechanism median release (one
       // corpus (event_type, bin) exchange + group-sized candidate
       // windows); recorded from a 0.068-floor isolated session
-      ("x44_dp_median_release" -> ((0.537, 0.068)))
+      ("x44_dp_median_release" -> ((0.537, 0.068))) +
+      // NEW round 15: x45 store-backed MaxScore BM25 serve — the timed
+      // work includes the LiveIndex seed (two steps) + compact + the
+      // pruned serve, by design (the store lifecycle IS the operator,
+      // the x37 posture); recorded from a 0.058-floor isolated session
+      // AFTER the fold-side additive-stats layer landed
+      ("x45_bm25_maxscore" -> ((5.918, 0.058)))
   }
 
   def main(args: Array[String]): Unit = {
@@ -573,7 +579,7 @@ object Bench {
     def growthKeys(n: Int) = Seq(s"store_docs_at_${n}x", s"probe_sec_at_${n}x") ++
       Seq("probe", "smallprobe").flatMap(t => Seq(s"${t}_files_at_${n}x",
         s"${t}_mb_at_${n}x", s"${t}_rows_at_${n}x", s"${t}_io_mb_at_${n}x")) ++
-      Seq(s"term_sec_at_${n}x")
+      Seq(s"term_sec_at_${n}x", s"term_rare_sec_at_${n}x")
     val growthFields: Seq[(String, Double)] = try {
       import org.apache.spark.sql.functions._
       val root = java.nio.file.Files.createTempDirectory("graft-bench-growth").toString
@@ -716,6 +722,29 @@ object Bench {
           .write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }.min
+      // The rare+common serve — the zipfian regime the MaxScore pruning
+      // (Retrieval.bm25TopFromStore, r15) exists for: one deterministic
+      // rare long word from the base slice (min count, then lexical —
+      // stays rare RELATIVELY as the index grows, since every copy
+      // carries it once while the common terms' postings grow the same
+      // 64×) + the three common QueryTerms. With all-common terms
+      // (term_sec above) θ cannot clear the common ubs and pruning
+      // degrades to ~naive; here the commons fall in the non-essential
+      // prefix, so their corpus-sized posting lists are read only
+      // point-wise for the rare candidates.
+      val rareTerm: String = base
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) >= 8)
+        .groupBy("w").agg(count(lit(1)).as("c"))
+        .orderBy(col("c"), col("w")).limit(1)
+        .collect().headOption.map(_.getString(0)).getOrElse("spark")
+      def timeTermRare(): Double = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        graft.streaming.LiveIndex.bm25(spark, idx,
+          rareTerm +: graft.operators.Retrieval.QueryTerms, 10)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }.min
       // Granularity emulation for the growth stores' FOLD WRITES: a
       // production bucket file spans many parquet row groups (128 MB
       // default over GB-scale buckets), so the sorted-fold + In(key)
@@ -745,6 +774,7 @@ object Bench {
           out ++= scanFields("probe", n, probe)
           out ++= scanFields("smallprobe", n, smallProbe)
           out += (s"term_sec_at_${n}x" -> timeTerm())
+          out += (s"term_rare_sec_at_${n}x" -> timeTermRare())
           phase(s"store growth ${n}x measured")
         }
         // the 1× seed splits into TWO batches so compact() lays the

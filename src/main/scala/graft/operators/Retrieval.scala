@@ -78,9 +78,36 @@ object Retrieval {
     * per-batch parquet commits.
     */
   def bm25FromIndex(tf: DataFrame, dl: DataFrame,
-      k1: Double = K1, b: Double = B): DataFrame = {
-    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_tokens"))
-    val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+      k1: Double = K1, b: Double = B): DataFrame =
+    bm25FromIndexWithDf(tf, dl,
+      tf.groupBy("word").agg(count(lit(1)).as("df")), k1, b)
+
+  /** [[bm25FromIndex]] with the document frequencies supplied by the
+    * caller instead of derived from `tf` — the hook the pruned serving
+    * path ([[bm25TopFromStore]]) needs: it scores a CANDIDATE-restricted
+    * tf frame, but idf must come from the full index's df, or the
+    * restricted frame would silently shift every weight. Callers must
+    * pass `dfreq(word, df)` computed over the UNRESTRICTED matched
+    * postings (post-tombstone), exactly what the one-argument form
+    * derives itself.
+    */
+  def bm25FromIndexWithDf(tf: DataFrame, dl: DataFrame, dfreq: DataFrame,
+      k1: Double = K1, b: Double = B,
+      statsLit: Option[(Long, Long)] = None): DataFrame = {
+    // statsLit: the corpus aggregates (n_docs, total_tokens) as exact
+    // literals when the caller maintains them additively (LiveIndex's
+    // fold-side _stats relation) — the in-plan aggregate over `dl` is
+    // then skipped, and `dl` may arrive candidate-pruned (it only
+    // feeds the per-doc join). Without it, `dl` MUST be the full
+    // post-tombstone doclens frame, since the stats derive from it.
+    val stats = statsLit match {
+      case Some((n, t)) =>
+        val s = dl.sparkSession
+        import s.implicits._
+        Seq((n, t)).toDF("n_docs", "total_tokens")
+      case None =>
+        dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_tokens"))
+    }
     tf.join(broadcast(dfreq), "word")
       .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
@@ -95,6 +122,138 @@ object Retrieval {
       .groupBy("doc_id")
       .agg(sum(col("w").cast(DecimalType(28, 12))).cast("double").as("bm25"),
         count(lit(1)).as("n_terms_hit"))
+  }
+
+  /** Exact top-`n` BM25 over a STORE-backed index with MaxScore-style
+    * candidate pruning — the serving-path answer to "term-serve cost
+    * grows with matched postings" (the r15 growth artifact's one
+    * corpus-growing curve). Result is BIT-IDENTICAL to the unpruned
+    * `bm25FromIndex(...).orderBy(bm25 desc, doc_id).limit(n)` (the
+    * parity specs and the x45 oracle gate verify it); only the WORK is
+    * bounded.
+    *
+    * The bound: every per-term weight satisfies w ≤ idf·(k1+1) — the
+    * denominator `tf + k1·(1−b+b·dl/avgdl)` is ≥ tf for b ∈ [0,1] — so
+    * with terms sorted by that upper bound ascending and P(j) the
+    * prefix sum, a document matching ONLY terms in the j-prefix scores
+    * ≤ P(j). Two passes:
+    *   1. fully score the docs matching the RAREST term t* (the
+    *      highest-ub, cheapest posting list); θ = its n-th best score.
+    *   2. the largest prefix with P(j) < θ (strict — a pruned doc can
+    *      therefore never even TIE the current n-th, so the
+    *      (bm25, doc_id) tie-break cannot resurrect one) is
+    *      non-essential: only docs matching a term OUTSIDE it can
+    *      enter the top n. Score those remaining candidates fully,
+    *      union, take n.
+    * When every term is similarly common, θ rarely clears P(m−1) and
+    * the pass-2 candidate set stays large — pruning degrades to ~the
+    * naive cost plus a few bounded jobs. When the query mixes rare and
+    * common terms (the zipfian norm), the common terms fall in the
+    * non-essential prefix and their corpus-sized posting lists are
+    * only ever read POINT-WISE for candidates — with doc-sorted
+    * postings folds, an `In(doc_id, …)` row-group-pruned lookup.
+    *
+    * `tfFor(subset, pushIds)` is the store hook: it must return the
+    * matched-postings frame `(doc_id, word, tf)` for the given term
+    * subset, post-tombstone, applying `pushIds` as a literal
+    * `In(doc_id, …)` data filter when present (superset-safe — every
+    * use here also semi-joins the candidate frame). Driver-side state
+    * stays bounded by the o7 discipline: df per query term (≤ |terms|
+    * rows), one stats row, the n-row θ page, and candidate-id pushes
+    * capped at `pushMax`.
+    */
+  def bm25TopFromStore(
+      tfFor: (Seq[String], Option[Seq[Long]]) => DataFrame,
+      dlFor: Option[Seq[Long]] => DataFrame, terms: Seq[String], n: Int,
+      k1: Double = K1, b: Double = B, pushMax: Int = 1024,
+      precomputed: Option[(Map[String, Long], (Long, Long))] = None): DataFrame = {
+    // `dlFor(pushIds)` mirrors tfFor for the doclens side (optional
+    // In(doc_id) push, superset-safe — the scoring join restricts);
+    // `precomputed` carries (per-term df, (n_docs, total_tokens))
+    // maintained ADDITIVELY by the store (LiveIndex's fold-side
+    // _termdf/_stats relations + bounded batch/tombstone deltas).
+    // With it, NOTHING on this path scans corpus-proportional data:
+    // the rare postings, the candidate lookups, and the candidate
+    // doclens reads are all key-pushed bounded scans.
+    val dl = dlFor(None)
+    val spark = dl.sparkSession
+    def full(): DataFrame =
+      bm25FromIndex(tfFor(terms, None), dl, k1, b)
+        .orderBy(col("bm25").desc, col("doc_id")).limit(n)
+    val distinctTerms = terms.distinct
+    if (distinctTerms.size < 2 || n < 1) return full()
+    // df + corpus stats: from the additive store relations when
+    // supplied; otherwise aggregate-only column scans (no tf values,
+    // no per-doc shuffle) — the fallback for unfolded/migrating stores
+    val dfMap: Map[String, Long] = precomputed.map(_._1).getOrElse {
+      tfFor(distinctTerms, None)
+        .groupBy("word").agg(count(lit(1)).as("df"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }.filter(_._2 > 0L)
+    val present = distinctTerms.filter(dfMap.contains)
+    if (present.size < 2) return full()
+    val statsPair: (Long, Long) = precomputed.map(_._2).getOrElse {
+      val st = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("t")).head()
+      (st.getLong(0), st.getLong(1))
+    }
+    val nDocs = statsPair._1.toDouble
+    // upper bounds on the driver: these steer PRUNING only — scores
+    // always come from the engine's own spelling — so a safety margin
+    // absorbs the engine-vs-driver libm ulp and the 9-digit rounding
+    val ub: Map[String, Double] = present.map { t =>
+      val df = dfMap(t).toDouble
+      t -> (math.log(1.0 + (nDocs - df + 0.5) / (df + 0.5)) * (k1 + 1.0) + 1e-6)
+    }.toMap
+    val tStar = present.maxBy(t => (ub(t), t)) // deterministic tie-break
+    val cand1 = tfFor(Seq(tStar), None).select("doc_id").distinct()
+    val push1: Option[Seq[Long]] =
+      if (dfMap(tStar) <= pushMax)
+        Some(cand1.collect().map(_.getLong(0)).toSeq.sorted)
+      else None
+    import spark.implicits._
+    val dfreqDF = dfMap.toSeq.toDF("word", "df")
+    val statsLit = precomputed.map(_ => statsPair)
+    def scoreFully(cands: DataFrame, pushIds: Option[Seq[Long]]): DataFrame =
+      bm25FromIndexWithDf(
+        tfFor(present, pushIds).join(cands, Seq("doc_id"), "left_semi"),
+        // candidate-pruned doclens ONLY when the stats are literals;
+        // otherwise the dl frame must stay full (it feeds the in-plan
+        // corpus aggregate)
+        if (statsLit.isDefined) dlFor(pushIds) else dl,
+        dfreqDF, k1, b, statsLit)
+    val scored1 = scoreFully(cand1, push1)
+      .orderBy(col("bm25").desc, col("doc_id")).limit(n)
+    val top1 = scored1.collect()
+    // θ needs a FULL page of n scores; fewer candidates → no safe
+    // threshold → naive path (which then does the whole job itself)
+    if (top1.length < n) return full()
+    val theta = top1.last.getAs[Double]("bm25")
+    val sorted = present.sortBy(t => (ub(t), t))
+    val prefix = sorted.scanLeft(0.0)((acc, t) => acc + ub(t)).drop(1)
+    val jStar = sorted.indices.takeWhile(i => prefix(i) < theta).size
+    if (jStar == 0) return full()
+    // pass-1 page as a local relation: exact collected rows, no
+    // recompute of the pass-1 scoring during the final union
+    val scored1Local = spark.createDataFrame(
+      spark.sparkContext.parallelize(top1.toIndexedSeq, 1), scored1.schema)
+    val others = sorted.drop(jStar).filterNot(_ == tStar)
+    val scored2 =
+      if (others.isEmpty) None
+      else {
+        val cand2 = tfFor(others, None).select("doc_id").distinct()
+          .join(cand1, Seq("doc_id"), "left_anti")
+        val page = cand2.limit(pushMax + 1).collect()
+        val push2 =
+          if (page.length <= pushMax) Some(page.map(_.getLong(0)).toSeq.sorted)
+          else None
+        val candFrame = push2 match {
+          case Some(ids) => ids.toDF("doc_id")
+          case None => cand2
+        }
+        Some(scoreFully(candFrame, push2))
+      }
+    scored2.fold(scored1Local)(scored1Local.unionByName(_))
+      .orderBy(col("bm25").desc, col("doc_id")).limit(n)
   }
 
   /** Gate spelling: BM25 over the sf corpus with the fixed query. */
@@ -133,6 +292,30 @@ object Retrieval {
     // BM25 (k1=1.2, b=0.75) for a fixed keyword query; top-15 docs.
     "x14_bm25" -> { (s, d) =>
       bm25TopN(s, d, 15).select("doc_id", "bm25", "n_terms_hit")
+    },
+    // The STORE-backed serving path under the same oracle as x14: seed
+    // a LiveIndex from the corpus in TWO id-ordered batches, compact —
+    // so the serve runs against the real bucketed, (word, doc_id)-
+    // sorted postings fold — and serve the fixed query through
+    // [[bm25TopFromStore]]'s MaxScore pruning. The oracle is the plain
+    // full-scoring BM25 top-15: the pruned result must be bit-identical
+    // (that IS the contract), so this key hash-verifies exactness of
+    // the pruning bound, the θ page, the candidate union, and the
+    // store round-trip in one gate. Two batches, not one: a lone flat
+    // part never refolds, and the gate must cover the fold layout the
+    // 100 TB serve reads (the x37 lesson).
+    "x45_bm25_maxscore" -> { (s, d) =>
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val root = java.nio.file.Files.createTempDirectory("graft-x45").toString
+      val cfg = graft.streaming.LiveIndex.Config(root)
+      val mid = docs.agg(
+        percentile_approx(col("doc_id"), lit(0.5), lit(10000))).head().getLong(0)
+      graft.streaming.LiveIndex.step(docs.filter(col("doc_id") <= mid), 0L, cfg)
+      graft.streaming.LiveIndex.step(docs.filter(col("doc_id") > mid), 1L, cfg)
+      graft.streaming.LiveIndex.compact(s, cfg)
+      graft.streaming.LiveIndex.bm25(s, cfg, QueryTerms, 15)
+        .select("doc_id", "bm25", "n_terms_hit")
+        .orderBy(col("bm25").desc, col("doc_id"))
     },
     // Hybrid retrieval: reciprocal-rank fusion (k=60) of the BM25 top-20
     // and the dense cosine top-20 against doc/vec 0's embedding
@@ -253,6 +436,12 @@ object Retrieval {
        |s$i AS (SELECT * FROM s${i - 1} UNION ALL SELECT * FROM p$i)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // x45: the pruned store serve must equal plain full-scoring BM25 —
+    // the oracle is x14's spelling verbatim
+    "x45_bm25_maxscore" ->
+      s"""WITH ${bm25Ctes}
+         |SELECT doc_id, bm25, n_terms_hit FROM agg
+         |ORDER BY bm25 DESC, doc_id LIMIT 15""".stripMargin,
     "x14_bm25" ->
       s"""WITH ${bm25Ctes}
          |SELECT doc_id, bm25, n_terms_hit FROM agg

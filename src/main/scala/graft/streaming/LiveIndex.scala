@@ -250,23 +250,133 @@ object LiveIndex {
     // expression, so the optimizer folds it to literals and the scan
     // partition-prunes to the query terms' bucket dirs BEFORE the
     // pushed In(word) filter sees a row-group. No extra job, no
-    // driver-side hash reimplementation to drift.
-    val praw = BatchParts.readMaybeBucketed(s,
-      BatchParts.effectiveParts(s, s"${cfg.root}/postings").filter(_._1 <= h),
-      PostingSchema, wordBucket, B)
-    val pruned =
-      if (!praw.columns.contains("bucket")) praw
-      else if (terms.isEmpty) praw.drop("bucket")
-      else praw.filter(terms.map(t =>
-          col("bucket") === pmod(hash(lit(t)), lit(B))).reduce(_ || _))
-        .drop("bucket")
-    val tf = pruned
-      .filter(col("word").isin(terms: _*))
-      .select("doc_id", "word", "tf")
-      .join(tomb, Seq("doc_id"), "left_anti")
-    Retrieval.bm25FromIndex(tf, dl, k1, b)
-      .orderBy(col("bm25").desc, col("doc_id"))
-      .limit(n)
+    // driver-side hash reimplementation to drift. Parameterized over
+    // the term SUBSET plus an optional literal In(doc_id) push (the
+    // LivePipeline pushKeys discipline; superset-safe) so the MaxScore
+    // serving path can read a common term's corpus-sized posting list
+    // POINT-WISE for its candidate docs — the fold sorts
+    // (word, doc_id), so the pushed ids prune row groups within the
+    // word's run.
+    def tfFor(sub: Seq[String], pushIds: Option[Seq[Long]]): DataFrame = {
+      val praw = BatchParts.readMaybeBucketed(s,
+        BatchParts.effectiveParts(s, s"${cfg.root}/postings").filter(_._1 <= h),
+        PostingSchema, wordBucket, B)
+      val pruned =
+        if (!praw.columns.contains("bucket")) praw
+        else if (sub.isEmpty) praw.drop("bucket")
+        else praw.filter(sub.map(t =>
+            col("bucket") === pmod(hash(lit(t)), lit(B))).reduce(_ || _))
+          .drop("bucket")
+      val matched = pruned.filter(col("word").isin(sub: _*))
+      val keyed = pushIds match {
+        case Some(ids) if ids.nonEmpty => matched.filter(col("doc_id").isin(ids: _*))
+        case _ => matched
+      }
+      keyed.select("doc_id", "word", "tf")
+        .join(tomb, Seq("doc_id"), "left_anti")
+    }
+    // doclens hook: optional In(doc_id) push for candidate lookups —
+    // the id-bucketed, doc_id-sorted fold prunes both dirs and row
+    // groups under it (superset-safe; the scoring join restricts)
+    def dlFor(pushIds: Option[Seq[Long]]): DataFrame = {
+      val base = readStore(s, s"${cfg.root}/doclens", DoclenSchema, h)
+      val keyed = pushIds match {
+        case Some(ids) if ids.nonEmpty => base.filter(col("doc_id").isin(ids: _*))
+        case _ => base
+      }
+      keyed.join(tomb, Seq("doc_id"), "left_anti")
+    }
+    // the pruned top-n is BIT-IDENTICAL to the naive spelling
+    // (Retrieval.bm25TopFromStore's contract; StreamingSpec's
+    // live==batch parity pins it through every tombstone/fold state) —
+    // only the work is bounded
+    Retrieval.bm25TopFromStore(tfFor, dlFor, terms, n, k1, b,
+      pushMax = BatchParts.pushMaxKeys(s),
+      precomputed = indexStats(s, cfg, h, terms.distinct))
+  }
+
+  /** Exact per-term df and corpus stats assembled from the fold-side
+    * additive relations (`_termdf` / `_stats`, written atomically with
+    * each fold) plus bounded deltas — the post-fold batch parts'
+    * contributions and key-pushed lookups of the tombstone-masked
+    * rows. None (→ the serve falls back to its aggregate scans) when
+    * either store lacks a folded aux relation (pre-migration layout,
+    * or a store that has never compacted) or the tombstone set exceeds
+    * the push cap.
+    *
+    * Exactness: effectiveParts' horizon rule makes the fold and the
+    * post-fold batch parts doc-disjoint (step's anti-join keeps batch
+    * ids fresh), folds apply compaction-time tombstones physically,
+    * and CURRENT tombstones mask rows wherever they live — so
+    * df(t) = fold_df(t) + Σ batch-part counts(t) − masked counts(t),
+    * and likewise for (n_docs, total_tokens); every term is an exact
+    * long. StreamingSpec's live==batch parity (including the forget /
+    * vacuum sequences) verifies the assembly equals the from-scratch
+    * aggregate bit-for-bit.
+    */
+  private def indexStats(s: SparkSession, cfg: Config, h: Long,
+      terms: Seq[String]): Option[(Map[String, Long], (Long, Long))] = {
+    import org.apache.hadoop.fs.Path
+    val pParts = BatchParts.effectiveParts(s, s"${cfg.root}/postings").filter(_._1 <= h)
+    val dParts = BatchParts.effectiveParts(s, s"${cfg.root}/doclens").filter(_._1 <= h)
+    val pFold = pParts.find(_._3).map(_._2)
+    val dFold = dParts.find(_._3).map(_._2)
+    if (pFold.isEmpty || dFold.isEmpty) return None
+    val fs = new Path(cfg.root).getFileSystem(s.sparkContext.hadoopConfiguration)
+    val termdfPath = new Path(pFold.get, "_termdf")
+    val statsPath = new Path(dFold.get, "_stats")
+    if (!fs.exists(termdfPath) || !fs.exists(statsPath)) return None
+    val cap = BatchParts.pushMaxKeys(s)
+    val tombIds: Seq[Long] = {
+      val page = tombstones(s, cfg).limit(cap + 1).collect()
+      if (page.length > cap) return None // unbounded mask → honest fallback
+      page.map(_.getLong(0)).toSeq
+    }
+    def termCounts(df: DataFrame): Map[String, Long] =
+      df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def merge(a: Map[String, Long], b: Map[String, Long], sign: Long) =
+      (a.keySet ++ b.keySet).map(k =>
+        k -> (a.getOrElse(k, 0L) + sign * b.getOrElse(k, 0L))).toMap
+    // df: fold relation (tiny, In(word)-pruned) + post-fold parts + mask
+    val foldDf = termCounts(s.read
+      .schema(StructType(Seq(StructField("word", StringType), StructField("df", LongType))))
+      .parquet(termdfPath.toString)
+      .filter(col("word").isin(terms: _*)))
+    val batchDirs = pParts.filterNot(_._3).map(_._2)
+    val batchDf =
+      if (batchDirs.isEmpty) Map.empty[String, Long]
+      else termCounts(s.read.schema(PostingSchema).parquet(batchDirs: _*)
+        .filter(col("word").isin(terms: _*))
+        .groupBy("word").agg(count(lit(1)).as("c")))
+    val maskDf =
+      if (tombIds.isEmpty) Map.empty[String, Long]
+      else termCounts(pParts.map { case (_, p, isFold) =>
+          BatchParts.readPartFlat(s, p, isFold, PostingSchema)
+        }.reduce(_.unionByName(_))
+        .filter(col("word").isin(terms: _*) && col("doc_id").isin(tombIds: _*))
+        .groupBy("word").agg(count(lit(1)).as("c")))
+    val df = merge(merge(foldDf, batchDf, 1L), maskDf, -1L).filter(_._2 > 0L)
+    // stats: fold relation + post-fold doclens parts − masked doclens
+    def statPair(frame: DataFrame): (Long, Long) = {
+      val r = frame.agg(count(lit(1)).as("n"), sum(col("dl")).as("t")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    val sRow = s.read
+      .schema(StructType(Seq(StructField("n_docs", LongType),
+        StructField("total_tokens", LongType))))
+      .parquet(statsPath.toString).head()
+    val (fn, ft) = (sRow.getLong(0), sRow.getLong(1))
+    val dBatchDirs = dParts.filterNot(_._3).map(_._2)
+    val (bn, bt) =
+      if (dBatchDirs.isEmpty) (0L, 0L)
+      else statPair(s.read.schema(DoclenSchema).parquet(dBatchDirs: _*))
+    val (mn, mt) =
+      if (tombIds.isEmpty) (0L, 0L)
+      else statPair(dParts.map { case (_, p, isFold) =>
+          BatchParts.readPartFlat(s, p, isFold, DoclenSchema)
+        }.reduce(_.unionByName(_))
+        .filter(col("doc_id").isin(tombIds: _*)))
+    Some((df, (fn + bn - mn, ft + bt - mt)))
   }
 
   /** Fold each store's committed partitions (ids ≤ the doclens
@@ -321,8 +431,31 @@ object LiveIndex {
             }.reduce(_.unionByName(_))
             .dropDuplicates(keys)
             .join(tomb, Seq("doc_id"), "left_anti")
-          BatchParts.stageBucketedFold(s, dir, hk, gen, flat, bexpr, B,
-            keys.take(1)) // word / doc_id — the probes' pushed column
+          // full key sort: postings lay (word, doc_id) so a word's run
+          // is doc_id-sorted — the serving path's candidate lookups
+          // push In(doc_id) and skip row groups WITHIN a common term's
+          // posting list, not just across words; doclens keep their
+          // single doc_id key
+          BatchParts.stageBucketedFold(s, dir, hk, gen, flat, bexpr, B, keys)
+          // Fold-side ADDITIVE aggregates, written INSIDE the staging
+          // dir before the commit rename (atomic with the fold; the
+          // underscore prefix hides them from the fold's own partition
+          // discovery): `_termdf(word, df)` for postings and
+          // `_stats(n_docs, total_tokens)` for doclens. BM25's
+          // corpus-wide statistics are additive over docs (the object
+          // scaladoc's decomposition), so serving assembles exact df /
+          // n_docs / total_tokens from these tiny relations plus
+          // bounded deltas (post-fold batch parts, key-pushed
+          // tombstone lookups) instead of re-aggregating the corpus
+          // per query — the last corpus-proportional serve reads.
+          val staging = BatchParts.stagingPath(dir, hk, gen)
+          if (kind == "postings")
+            flat.groupBy("word").agg(count(lit(1)).as("df"))
+              .write.mode("overwrite").parquet(s"$staging/_termdf")
+          else
+            flat.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_tokens"))
+              .na.fill(0L)
+              .write.mode("overwrite").parquet(s"$staging/_stats")
           BatchParts.commitFold(s, dir, hk, gen)
         }
       }

@@ -104,4 +104,69 @@ class RetrievalSpec extends AnyFunSuite {
     val top = rows.head.getDouble(2)
     assert(rows.tail.forall(_.getDouble(2) <= top))
   }
+
+  test("bm25TopFromStore: pruned top-n is bit-identical to the naive spelling across engagement regimes") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // Synthetic index with a zipfian shape: "common1"/"common2" in ~all
+    // docs, "rare" in 3, "mid" in 12 — so a rare+common query actually
+    // ENGAGES the pruning (non-essential prefix non-empty, pass 2
+    // exercised), which the uniform-df gate corpus cannot do.
+    val docs = (1L to 200L)
+    // rare: 8 docs, mid: 18 — big enough that an n ≤ 8 query page
+    // establishes θ and the pruned path genuinely ENGAGES (a rare df
+    // below n silently falls back to the full path — the first version
+    // of this fixture did exactly that and the wrong-df probe below
+    // couldn't tell)
+    val tfAll = docs.flatMap { id =>
+      Seq((id, "common1", 1L + id % 3), (id, "common2", 1L + id % 2)) ++
+        (if (id % 23 == 0) Seq((id, "rare", 2L)) else Nil) ++
+        (if (id % 11 == 0) Seq((id, "mid", 1L)) else Nil)
+    }.toDF("doc_id", "word", "tf")
+    val dl = docs.map(id => (id, 20L + id % 50)).toDF("doc_id", "dl")
+    def tfFor(sub: Seq[String], push: Option[Seq[Long]]): org.apache.spark.sql.DataFrame = {
+      val m = tfAll.filter(col("word").isin(sub: _*))
+      push match {
+        case Some(ids) if ids.nonEmpty => m.filter(col("doc_id").isin(ids: _*))
+        case _ => m
+      }
+    }
+    def naive(terms: Seq[String], n: Int) =
+      graft.operators.Retrieval.bm25FromIndex(tfFor(terms, None), dl)
+        .orderBy(col("bm25").desc, col("doc_id")).limit(n)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    def dlFor(push: Option[Seq[Long]]): org.apache.spark.sql.DataFrame = push match {
+      case Some(ids) if ids.nonEmpty => dl.filter(col("doc_id").isin(ids: _*))
+      case _ => dl
+    }
+    def pruned(terms: Seq[String], n: Int, pushMax: Int = 1024,
+        pre: Option[(Map[String, Long], (Long, Long))] = None) =
+      graft.operators.Retrieval.bm25TopFromStore(tfFor, dlFor, terms, n,
+        pushMax = pushMax, precomputed = pre)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    for ((terms, n) <- Seq(
+        (Seq("rare", "common1", "common2"), 5),   // strong engagement: common terms non-essential
+        (Seq("rare", "mid", "common1"), 7),       // pass 2 exercised (mid essential beyond t*)
+        (Seq("common1", "common2"), 10),          // no engagement: similar ubs, falls back
+        (Seq("rare", "common1"), 5),              // two terms
+        (Seq("rare"), 4),                         // single term: plain path
+        (Seq("rare", "ghost", "common1"), 5),     // absent term dropped like the naive join drops it
+        (Seq("rare", "common1", "common2"), 50))) // n > rare df: theta page short -> full path
+      assert(pruned(terms, n) === naive(terms, n), s"divergence for $terms n=$n")
+    // pushMax=0 forces the un-pushed semi-join route on both passes
+    assert(pruned(Seq("rare", "mid", "common1"), 7, pushMax = 0) ===
+      naive(Seq("rare", "mid", "common1"), 7))
+    // precomputed (additive-store) stats: identical result with the
+    // df/stats scans replaced by supplied exact values — and a WRONG
+    // supplied df must change scores (the parity would be vacuous if
+    // the precomputed path silently ignored them)
+    val trueDf = tfAll.groupBy("word").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val trueStats = (200L, dl.agg(sum(col("dl"))).head().getLong(0))
+    assert(pruned(Seq("rare", "mid", "common1"), 5, pre = Some((trueDf, trueStats))) ===
+      naive(Seq("rare", "mid", "common1"), 5))
+    assert(pruned(Seq("rare", "mid", "common1"), 5,
+        pre = Some((trueDf.map { case (k, v) => k -> (v * 7) }, trueStats))) !==
+      naive(Seq("rare", "mid", "common1"), 5))
+  }
 }
