@@ -1513,6 +1513,57 @@ class StreamingSpec extends AnyFunSuite {
         s"resumed cursor continuation for doc ${r.getAs[Long]("doc_id")}")
     }
   }
+
+  test("live index: ENGAGED MaxScore pruning on a folded store is bit-identical to batch, incl. after forget") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // Zipfian synthetic corpus: the gate corpus's QueryTerms are all
+    // similarly common, so x45 and the parity test above exercise the
+    // FALLBACK regime — this store is built so the pruning genuinely
+    // engages: "zzrare" in 15 docs (t*, the 5-row theta page fills),
+    // "midterm" in 40 (essential beyond t* -> pass 2 runs), commons in
+    // all 200 (non-essential -> their posting lists only read
+    // point-wise for candidates).
+    val docs = (1L to 200L).map { id =>
+      val rare = if (id % 13 == 0) " zzrare" else ""
+      val mid = if (id % 5 == 0) " midterm" else ""
+      val body = ("alpha beta gamma " * (1 + (id % 5).toInt)).trim
+      (id, s"$body$rare$mid common1 common2")
+    }.toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft-live-maxscore").toString
+    val cfg = graft.streaming.LiveIndex.Config(root)
+    graft.streaming.LiveIndex.step(docs.filter(col("doc_id") <= 100), 0L, cfg)
+    graft.streaming.LiveIndex.step(docs.filter(col("doc_id") > 100), 1L, cfg)
+    graft.streaming.LiveIndex.compact(spark, cfg)
+    // the additive-stats relations must exist, or the serve would fall
+    // back to its scan spelling and this test would be vacuous
+    val folds = new java.io.File(s"$root/postings").listFiles()
+      .filter(_.getName.startsWith("fold="))
+    assert(folds.nonEmpty && folds.forall(f =>
+      new java.io.File(f, "_termdf").exists()), "fold must carry _termdf")
+    assert(new java.io.File(s"$root/doclens").listFiles()
+      .filter(_.getName.startsWith("fold="))
+      .forall(f => new java.io.File(f, "_stats").exists()), "fold must carry _stats")
+    val terms = Seq("zzrare", "midterm", "common1", "alpha")
+    def ranked(df: org.apache.spark.sql.DataFrame): Seq[(Long, Double, Long)] =
+      df.collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("bm25"),
+        r.getAs[Long]("n_terms_hit"))).toSeq
+    assert(ranked(graft.streaming.LiveIndex.bm25(spark, cfg, terms, 5))
+      === ranked(graft.operators.Retrieval.bm25(docs, terms, 5)))
+    // forget the top-ranked doc: the tombstone-corrected df/n_docs/
+    // total_tokens assembly must keep the ENGAGED serve equal to a
+    // from-scratch batch index over the surviving corpus
+    val gone = ranked(graft.streaming.LiveIndex.bm25(spark, cfg, terms, 5)).head._1
+    graft.streaming.LiveIndex.forget(spark, cfg, Seq(gone))
+    assert(ranked(graft.streaming.LiveIndex.bm25(spark, cfg, terms, 5))
+      === ranked(graft.operators.Retrieval.bm25(
+        docs.filter(col("doc_id") =!= gone), terms, 5)))
+    // and after the compaction applies the tombstone physically
+    graft.streaming.LiveIndex.compact(spark, cfg)
+    assert(ranked(graft.streaming.LiveIndex.bm25(spark, cfg, terms, 5))
+      === ranked(graft.operators.Retrieval.bm25(
+        docs.filter(col("doc_id") =!= gone), terms, 5)))
+  }
 }
 
 /** Top-level so Seq[LDoc].toDF() can encode without an outer scope. */
