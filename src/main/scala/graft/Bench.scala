@@ -389,9 +389,19 @@ object Bench {
     // the timed region of the named queries, so a seeded perturbation
     // can prove the regression gate still fires after any suite
     // trimming. Never set by the driver; documented in PLANS.md.
+    // Parsed defensively (r15 advice): this env var is hand-typed during
+    // the sensitivity demo, and a MatchError at startup would kill the
+    // whole bench before any timed work. Malformed entries (missing
+    // colon, empty segment, non-numeric seconds, trailing comma) fail
+    // fast with a message naming the bad entry instead.
     val perturb: Map[String, Double] = sys.env.get("SPARK_GRAFT_PERTURB")
-      .map(_.split(",").map { kv =>
-        val Array(k, v) = kv.split(":"); (k, v.toDouble)
+      .map(_.split(",").iterator.map(_.trim).filter(_.nonEmpty).map { kv =>
+        kv.split(":", 2) match {
+          case Array(k, v) if k.nonEmpty && v.toDoubleOption.isDefined =>
+            (k, v.toDouble)
+          case _ => sys.error(
+            s"SPARK_GRAFT_PERTURB entry '$kv' is not 'name:seconds'")
+        }
       }.toMap).getOrElse(Map.empty)
     def run(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()

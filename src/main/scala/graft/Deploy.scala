@@ -161,6 +161,15 @@ object Deploy {
     * `ARCHIVE_SIGNED_REQUESTS=1` opts a PRIVATE archive mirror back
     * into the default provider chain (no reference counterpart — the
     * reference cannot read a private archive at all).
+    *
+    * Collision guard (r15 advice): the provider keys on BUCKET NAME, so
+    * if a deployment points S3_STORAGE_BUCKET at the SAME bucket as the
+    * archive, the sink's writes would silently become anonymous and
+    * fail on the first checkpoint. That layout is always a
+    * misconfiguration (the archive is a public read-only bucket), so
+    * the anonymous provider is SKIPPED with a stderr warning — archive
+    * reads then ride the signed sink chain, which a same-bucket
+    * deployment necessarily has.
     */
   def applyArchiveAnonymousCreds(spark: SparkSession, env: Map[String, String]): Unit = {
     val signed = env.get("ARCHIVE_SIGNED_REQUESTS")
@@ -168,9 +177,19 @@ object Deploy {
     val root = archiveRoot(env)
     if (!signed && root.startsWith("s3a://")) {
       val bucket = root.stripPrefix("s3a://").takeWhile(_ != '/')
-      spark.sparkContext.hadoopConfiguration.set(
-        s"fs.s3a.bucket.$bucket.aws.credentials.provider",
-        "org.apache.hadoop.fs.s3a.AnonymousAWSCredentialsProvider")
+      val sinkBucket = env.get("S3_STORAGE_BUCKET").filter(_.nonEmpty).map { b =>
+        val base = if (b.contains("://")) b.stripSuffix("/") else s"s3a://$b"
+        if (base.startsWith("s3a://")) base.stripPrefix("s3a://").takeWhile(_ != '/')
+        else "" // non-s3a sink URIs can't collide with an s3a archive bucket
+      }.filter(_.nonEmpty)
+      if (sinkBucket.contains(bucket))
+        System.err.println(s"[deploy] WARNING: archive bucket '$bucket' equals the " +
+          "sink bucket — skipping the anonymous-credentials provider so sink " +
+          "writes stay signed (reads use the signed chain too)")
+      else
+        spark.sparkContext.hadoopConfiguration.set(
+          s"fs.s3a.bucket.$bucket.aws.credentials.provider",
+          "org.apache.hadoop.fs.s3a.AnonymousAWSCredentialsProvider")
     }
   }
 

@@ -275,7 +275,11 @@ object Privacy {
     // trick, which IS the exponential mechanism exactly: releasing
     // argmax_r(ε·u(r)/(2Δ) + Gumbel(0,1)) samples r with probability
     // ∝ exp(ε·u(r)/(2Δ)). Utility = the candidate's count (Δ = 1: one
-    // record moves one count by one), ε = 1. Only the winning CATEGORY
+    // record moves one count by one), ε = 1. Candidates are the DENSE
+    // day × event-type-vocabulary grid with zero-filled counts — a
+    // data-dependent candidate set (only the types observed that day)
+    // would itself leak; see [[dpArgmaxRelease]] (the x44 principle,
+    // closed round 16 per r15 advice). Only the winning CATEGORY
     // ships — never its score or count (the score minus known-seed noise
     // would reconstruct the count and void the accounting).
     "x43_dp_argmax_release" -> { (s, d) => dpArgmaxRelease(Tables.events(s, d), seeded = true) },
@@ -306,9 +310,25 @@ object Privacy {
     * WITHIN the release job (all tasks see the same literal, task
     * retries are idempotent, no per-row RNG state to coordinate), but
     * is not recomputable by anyone without the salt, which is never
-    * released and never leaves the driver. Round-14 advice: the
+    * released and never stored with the output. Round-14 advice: the
     * deterministic spelling must not be what a production caller ships
     * by accident — it is now opt-in per call.
+    *
+    * Exposure surface (r15 advice): the salt rides the plan as a string
+    * LITERAL, so it appears wherever Spark prints plans — `explain`
+    * output, the UI SQL tab, and event logs. The threat model here is
+    * the RELEASE consumer (who sees only the released aggregates), not
+    * a cluster operator: anyone with Spark UI or event-log access can
+    * already read the un-noised inputs directly, so recovering the
+    * noise buys them nothing. Deployments that nonetheless log plans to
+    * a wider audience than the data itself should set Spark's built-in
+    * plan redaction to cover the salt's shape —
+    * `spark.sql.redaction.string.regex = "[0-9a-f]{32}\\|"` redacts the
+    * literal from every plan string Spark renders — or disable the
+    * relevant sinks (`spark.eventLog.enabled=false`, `spark.ui.enabled=
+    * false`). The salt is drawn per release and never reused, so a
+    * historical leak voids only that release's non-replayability, not
+    * future ones.
     */
   private def releaseSalt(seeded: Boolean): String =
     if (seeded) ""
@@ -376,9 +396,24 @@ object Privacy {
     * count/2 (exact in binary) + the rounded Gumbel; ties break by
     * category so the argmax is a total order in both engines.
     *
+    * Candidate set (r15 advice, the x44 principle applied here): each
+    * day scores the FULL event-type vocabulary, with unobserved types
+    * entering at count 0 — never just the types observed that day. A
+    * groupBy-derived candidate set is data-dependent: a category seen
+    * zero times could never win, and a singleton category's CANDIDACY
+    * would appear/disappear with one record — an unbounded
+    * privacy-loss ratio that voids the ε=1 claim. The vocabulary here
+    * is read from the corpus (`events.event_type` distinct) — callers
+    * must treat that vocabulary as PUBLIC schema-level knowledge
+    * (fixed enum of event types), exactly as x44 treats its [0,512]
+    * range; a deployment whose category set is itself sensitive must
+    * pass a fixed public candidate list instead.
+    *
     * Plan shape: one combinable (day, event_type) groupBy is the only
-    * corpus-sized exchange; the noise is a pure map and the per-day
-    * argmax is a row_number window over the group-sized result.
+    * corpus-sized exchange; the dense grid is days × types over
+    * GROUP-sized frames (types broadcast), the noise is a pure map and
+    * the per-day argmax is a row_number window over the candidate
+    * frame, never the corpus.
     */
   def dpArgmaxRelease(events: DataFrame, seeded: Boolean = false): DataFrame = {
     val salt = releaseSalt(seeded)
@@ -386,7 +421,14 @@ object Privacy {
       .withColumn("day", date_trunc("day", col("ts")))
       .groupBy("day", "event_type")
       .agg(count(lit(1)).as("true_n"))
-    val scored = grp.withColumn("score",
+    // dense candidates from the group-sized frame: no new corpus
+    // exchange, types-side broadcast (a vocabulary is tiny)
+    val cand = grp.select("day").distinct()
+      .crossJoin(broadcast(grp.select("event_type").distinct()))
+    val counts = cand.join(grp, Seq("day", "event_type"), "left")
+      .select(col("day"), col("event_type"),
+        coalesce(col("true_n"), lit(0L)).as("true_n"))
+    val scored = counts.withColumn("score",
       col("true_n").cast("double") / lit(2.0) + gumbel(seededUnif("dpx|", salt)))
     scored
       .withColumn("rk", row_number().over(Window.partitionBy("day")
@@ -613,11 +655,18 @@ object Privacy {
       """WITH g AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
         |    event_type, CAST(count(*) AS BIGINT) AS true_n
         |  FROM events GROUP BY 1, 2),
+        |cand AS (SELECT d.day, t.event_type
+        |  FROM (SELECT DISTINCT day FROM g) d
+        |  CROSS JOIN (SELECT DISTINCT event_type FROM g) t),
+        |dense AS (SELECT cand.day, cand.event_type,
+        |    coalesce(g.true_n, CAST(0 AS BIGINT)) AS true_n
+        |  FROM cand LEFT JOIN g
+        |    ON cand.day = g.day AND cand.event_type = g.event_type),
         |u AS (SELECT day, event_type, true_n,
         |    (CAST(('0x' || substr(md5('dpx|' || event_type || '|' ||
         |        CAST(day AS VARCHAR)), 1, 8)) AS BIGINT) + 0.5) /
         |      4294967296.0 AS u
-        |  FROM g),
+        |  FROM dense),
         |sc AS (SELECT day, event_type,
         |    CAST(true_n AS DOUBLE) / 2.0 +
         |      round(-1.0 * ln(-1.0 * least(round(ln(u), 9), -1e-9)), 9) AS score

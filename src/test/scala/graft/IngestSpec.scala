@@ -121,7 +121,18 @@ class IngestSpec extends AnyFunSuite {
       Map("BUCKET_NAME" -> "priv-archive", "ARCHIVE_SIGNED_REQUESTS" -> "1"))
     assert(hc.get("fs.s3a.bucket.priv-archive.aws.credentials.provider") === null)
     Deploy.applyArchiveAnonymousCreds(spark, env) // file:// root → no-op
+    // collision guard (r15 advice): archive bucket == sink bucket must
+    // NOT anonymize the shared bucket (sink writes would silently fail)
+    Deploy.applyArchiveAnonymousCreds(spark,
+      Map("BUCKET_NAME" -> "shared-bkt", "S3_STORAGE_BUCKET" -> "shared-bkt"))
+    assert(hc.get("fs.s3a.bucket.shared-bkt.aws.credentials.provider") === null)
+    // a DIFFERENT sink bucket keeps the per-bucket anonymous provider
+    Deploy.applyArchiveAnonymousCreds(spark,
+      Map("BUCKET_NAME" -> "pub-archive2", "S3_STORAGE_BUCKET" -> "s3a://sink-bkt/pre"))
+    assert(hc.get("fs.s3a.bucket.pub-archive2.aws.credentials.provider") ===
+      "org.apache.hadoop.fs.s3a.AnonymousAWSCredentialsProvider")
     hc.unset("fs.s3a.bucket.pub-archive.aws.credentials.provider")
+    hc.unset("fs.s3a.bucket.pub-archive2.aws.credentials.provider")
   }
 
   test("s3a:// archive root drives Deploy/Archive scheme handling end to end (stub FS)") {
