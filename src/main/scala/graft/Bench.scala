@@ -254,7 +254,11 @@ object Bench {
       // pruned serve, by design (the store lifecycle IS the operator,
       // the x37 posture); recorded from a 0.058-floor isolated session
       // AFTER the fold-side additive-stats layer landed
-      ("x45_bm25_maxscore" -> ((5.918, 0.058)))
+      ("x45_bm25_maxscore" -> ((5.918, 0.058))) +
+      // NEW round 16: x46 DP budget ledger (one corpus distinct-day
+      // exchange + a ledger-sized cumulative window)
+      // PLACEHOLDER — recorded below before this round ships
+      ("x46_dp_budget" -> ((9.999, 0.065)))
   }
 
   def main(args: Array[String]): Unit = {

@@ -296,7 +296,48 @@ object Privacy {
     // ones (restricting to observed bins would make the candidate set
     // itself data-dependent and leak); only the winning bin's midpoint
     // ships.
-    "x44_dp_median_release" -> { (s, d) => dpMedianRelease(Tables.events(s, d), seeded = true) }
+    "x44_dp_median_release" -> { (s, d) => dpMedianRelease(Tables.events(s, d), seeded = true) },
+    // DP budget LEDGER — sequential-composition accounting across
+    // releases, the layer x40/x42/x43/x44 individually lack: each is
+    // ε-private alone, but a pipeline that runs a daily count release
+    // plus ad-hoc mechanism releases on the SAME corpus spends
+    // Σε = ε₁+ε₂+… (the basic composition theorem), and nothing so far
+    // refused a release past a configured total. The registry here is
+    // the release schedule a real deployment of this family runs: one
+    // scheduled daily count release (ε = 0.25 per day, x40's mechanism)
+    // per distinct day in the corpus, then three ad-hoc full-budget
+    // releases (x42 sum/mean, x43 argmax, x44 median, ε = 1 each),
+    // charged in schedule order against a total budget of 6. The
+    // accounting is EXACT: ε values sum as DECIMAL(18,6) (quarters are
+    // exact, but the point is the mechanism — no float drift can admit
+    // a release the exact sum refuses); `admitted` flips false from the
+    // first release whose cumulative spend exceeds the budget. Output
+    // is the annotated ledger itself — audit evidence, no private data.
+    // Plan shape: ONE distinct over day (combinable, corpus-sized
+    // exchange); everything after runs on the release-count-sized
+    // ledger (the single-partition cumulative window is ledger-sized by
+    // construction — releases number in the thousands at most, never
+    // corpus-shaped).
+    "x46_dp_budget" -> { (s, d) =>
+      import s.implicits._
+      val daily = Tables.events(s, d)
+        .select(date_trunc("day", col("ts")).as("day")).distinct()
+        .select(
+          concat(lit("count|"), col("day").cast("string")).as("release_id"),
+          lit("laplace_count").as("mechanism"),
+          lit(0.25).as("epsilon"),
+          col("day").cast("string").as("ord"))
+      val adhoc = Seq(
+        ("sum_mean|corpus", "laplace_sum_mean", 1.0, "zz|a"),
+        ("argmax|corpus", "exp_argmax", 1.0, "zz|b"),
+        ("median|corpus", "exp_median", 1.0, "zz|c"))
+        .toDF("release_id", "mechanism", "epsilon", "ord")
+      val registry = daily.unionByName(adhoc)
+        .withColumn("seq",
+          row_number().over(Window.orderBy("ord")).cast("long"))
+        .drop("ord")
+      dpBudgetLedger(registry, budget = 6.0).orderBy("seq")
+    }
   )
 
   /** Seed salt for the DP releases. `seeded = true` (the test/verify
@@ -491,6 +532,64 @@ object Privacy {
       .orderBy("event_type")
   }
 
+  /** Shared exact-ε decimal type for the budget ledger: quarters and
+    * integer ε values are exact, and DECIMAL addition is associative —
+    * the admit/refuse verdict can never depend on summation order or a
+    * float ulp.
+    */
+  private val EpsDec = org.apache.spark.sql.types.DecimalType(18, 6)
+
+  /** x46's sequential-composition budget ledger as a public API: given
+    * a release `registry(seq, release_id, mechanism, epsilon)` in
+    * charge order, annotate each row with the exact cumulative ε spent
+    * through it and whether it is ADMITTED under `budget` (basic
+    * composition: a release is admitted iff Σε up to and including it
+    * stays ≤ budget — once the ledger refuses, every later release is
+    * refused too, since ε is non-negative). Output adds `cum_epsilon`
+    * (double — exact for quarter-grained ε), `admitted`, `budget`.
+    *
+    * The cumulative window is deliberately UN-partitioned: a ledger is
+    * release-count-sized (thousands of rows at most — one per release
+    * ever made against the corpus), never corpus-shaped, so the single
+    * task is the honest plan. Budget accounting must be serialized
+    * anyway — two concurrent releases that each check the budget
+    * independently can both admit past it.
+    */
+  def dpBudgetLedger(registry: DataFrame, budget: Double): DataFrame = {
+    val w = Window.orderBy("seq")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    registry
+      .withColumn("cum_eps_d", sum(col("epsilon").cast(EpsDec)).over(w))
+      .select(col("seq"), col("release_id"), col("mechanism"),
+        col("epsilon").cast("double").as("epsilon"),
+        col("cum_eps_d").cast("double").as("cum_epsilon"),
+        (col("cum_eps_d") <= lit(budget).cast(EpsDec)).as("admitted"),
+        lit(budget).as("budget"))
+  }
+
+  /** The REFUSAL primitive a release pipeline calls before running any
+    * mechanism: exact spent-ε from the registry plus the proposal,
+    * checked against the budget — throws (nothing is released, no
+    * budget is spent) when the proposal would overdraw. Returns the new
+    * cumulative spend the caller must append to the registry WITH the
+    * release it admits (charge-then-release: a crash after the charge
+    * wastes budget, which is safe; release-then-charge could release
+    * past budget, which is not). PrivacySpec pins the refusal.
+    */
+  def dpBudgetAdmit(registry: DataFrame, budget: BigDecimal,
+      proposedEps: BigDecimal): BigDecimal = {
+    require(proposedEps > 0, s"a release must spend positive epsilon, got $proposedEps")
+    val spentRow = registry.agg(sum(col("epsilon").cast(EpsDec))).head()
+    val spent: BigDecimal =
+      if (spentRow.isNullAt(0)) BigDecimal(0) else spentRow.getDecimal(0)
+    val after = spent + proposedEps
+    if (after > budget)
+      throw new IllegalStateException(
+        s"DP budget exhausted: spent=$spent + proposed=$proposedEps " +
+          s"exceeds budget=$budget — release refused")
+    after
+  }
+
   /** x42's clamp-then-noise SUM/MEAN release as a public API (see the
     * x42 entry for the sensitivity accounting and the exact-decimal
     * determinism spelling). `seeded` per [[releaseSalt]].
@@ -677,6 +776,34 @@ object Privacy {
         |  FROM sc)
         |SELECT day, event_type AS released_top, CAST(1.0 AS DOUBLE) AS epsilon
         |FROM rk WHERE rk = 1 ORDER BY day""".stripMargin,
+    // x46: the identical ledger — daily ε=0.25 count releases per
+    // distinct day + three ε=1 ad-hoc releases in schedule order,
+    // exact DECIMAL cumulative sums, admitted = cum ≤ 6.
+    "x46_dp_budget" ->
+      """WITH days AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+        |  FROM events),
+        |daily AS (SELECT 'count|' || CAST(day AS VARCHAR) AS release_id,
+        |    'laplace_count' AS mechanism, 0.25 AS epsilon,
+        |    CAST(day AS VARCHAR) AS ord
+        |  FROM days),
+        |adhoc AS (SELECT * FROM (VALUES
+        |    ('sum_mean|corpus', 'laplace_sum_mean', 1.0, 'zz|a'),
+        |    ('argmax|corpus', 'exp_argmax', 1.0, 'zz|b'),
+        |    ('median|corpus', 'exp_median', 1.0, 'zz|c'))
+        |  t(release_id, mechanism, epsilon, ord)),
+        |reg AS (SELECT release_id, mechanism, epsilon,
+        |    CAST(row_number() OVER (ORDER BY ord) AS BIGINT) AS seq
+        |  FROM (SELECT * FROM daily UNION ALL SELECT * FROM adhoc)),
+        |led AS (SELECT seq, release_id, mechanism,
+        |    CAST(epsilon AS DOUBLE) AS epsilon,
+        |    SUM(CAST(epsilon AS DECIMAL(18,6))) OVER (ORDER BY seq
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_d
+        |  FROM reg)
+        |SELECT seq, release_id, mechanism, epsilon,
+        |  CAST(cum_d AS DOUBLE) AS cum_epsilon,
+        |  cum_d <= CAST(6.0 AS DECIMAL(18,6)) AS admitted,
+        |  CAST(6.0 AS DOUBLE) AS budget
+        |FROM led ORDER BY seq""".stripMargin,
     // x44: bin into the public [0,512]/64 grid → dense candidate set
     // (empty bins included) → rank-distance utility from cum/n windows
     // → Gumbel argmax per event_type → midpoint of the winning bin.

@@ -204,21 +204,90 @@ class PrivacySpec extends AnyFunSuite {
     assert(a !== s1, "the default release must not equal the public-seed spelling")
   }
 
-  test("x43 exponential-mechanism release: one category per day, a real candidate, deterministic when seeded") {
+  test("x43 exponential-mechanism release: one category per day, vocabulary candidates, deterministic when seeded") {
     val rel = SparkEntry.queries("x43_dp_argmax_release")(spark, d).collect()
     val days = rel.map(_.getTimestamp(0))
     assert(days.length === days.distinct.length, "exactly one release per day")
-    val candidates = graft.Tables.events(spark, d)
-      .select(date_trunc("day", col("ts")).as("day"), col("event_type")).distinct()
-      .collect().map(r => (r.getTimestamp(0), r.getString(1))).toSet
+    // candidates are the FULL event-type vocabulary per day (r15 advice:
+    // per-day observed candidates would make candidacy itself leak) —
+    // the winner must be a vocabulary member, NOT necessarily observed
+    // that day
+    val vocab = graft.Tables.events(spark, d)
+      .select("event_type").distinct().collect().map(_.getString(0)).toSet
+    val allDays = graft.Tables.events(spark, d)
+      .select(date_trunc("day", col("ts")).as("day")).distinct()
+      .collect().map(_.getTimestamp(0)).toSet
+    assert(days.toSet === allDays, "one release for EVERY day in the corpus")
     rel.foreach { r =>
-      assert(candidates((r.getTimestamp(0), r.getString(1))),
-        "released category must be an observed candidate for that day")
+      assert(vocab(r.getString(1)),
+        "released category must come from the event-type vocabulary")
       assert(r.getDouble(2) === 1.0)
     }
     val again = SparkEntry.queries("x43_dp_argmax_release")(spark, d).collect()
     assert(rel.map(_.toString).toSeq === again.map(_.toString).toSeq,
       "the seeded gate spelling must be bit-stable")
+  }
+
+  test("x43 candidate set is data-independent: a zero-count category can win") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // day 1 observes every type; day 2 observes ONLY 'alpha', once. Under
+    // the old observed-candidates spelling day 2 could only ever release
+    // 'alpha'; with the dense vocabulary grid the unobserved types
+    // compete at count 0, and with utilities this close (0.5 apart) the
+    // seeded Gumbel decides — verified below to pick an UNOBSERVED type,
+    // which is exactly the behavior the ε=1 claim needs (candidacy must
+    // not depend on one record's presence).
+    val day1 = Timestamp.valueOf("2024-01-01 00:00:00")
+    val day2 = Timestamp.valueOf("2024-01-02 00:00:00")
+    val types = Seq("alpha", "beta", "gamma", "delta")
+    val rows = types.map(t => (day1, t)) :+ ((day2, "alpha"))
+    val ev = rows.toDF("ts", "event_type")
+      .withColumn("event_id", monotonically_increasing_id())
+    val rel = Privacy.dpArgmaxRelease(ev, seeded = true).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1))).toMap
+    assert(rel.keySet === Set(day1, day2))
+    assert(types.contains(rel(day2)), "winner still from the vocabulary")
+    assert(rel(day2) !== "alpha",
+      "with near-tied utilities the seeded Gumbel must be able to pick a " +
+        "zero-count candidate — if this ever releases 'alpha', check that " +
+        "the candidate grid is still dense (observed-only candidates would " +
+        "make this assertion IMPOSSIBLE to fail the other way)")
+  }
+
+  test("x46 budget ledger: exact cumulative spend, admission flips once, refusal throws") {
+    import spark.implicits._
+    // ledger semantics on a hand-built registry: 0.25 × 4 dailies + two
+    // ε=1 ad-hoc against budget 2.0 → the first five admit (cum 2.0
+    // exactly — the boundary release is admitted, ≤ not <), the sixth
+    // refuses
+    val reg = Seq(
+      (1L, "d1", "laplace_count", 0.25), (2L, "d2", "laplace_count", 0.25),
+      (3L, "d3", "laplace_count", 0.25), (4L, "d4", "laplace_count", 0.25),
+      (5L, "adhoc1", "exp_argmax", 1.0), (6L, "adhoc2", "exp_median", 1.0))
+      .toDF("seq", "release_id", "mechanism", "epsilon")
+    val led = Privacy.dpBudgetLedger(reg, budget = 2.0)
+      .orderBy("seq").collect()
+    assert(led.map(_.getDouble(4)).toSeq ===
+      Seq(0.25, 0.5, 0.75, 1.0, 2.0, 3.0), "exact cumulative epsilon")
+    assert(led.map(_.getBoolean(5)).toSeq ===
+      Seq(true, true, true, true, true, false),
+      "boundary release admitted (cum == budget), overdraw refused")
+    // admission is monotone: once false, never true again
+    assert(!led.map(_.getBoolean(5)).dropWhile(identity).contains(true))
+    // the refusal primitive: inside budget returns the new spend,
+    // overdraw throws BEFORE anything is released
+    val admitted = Privacy.dpBudgetAdmit(reg.filter(col("seq") <= 4),
+      budget = BigDecimal(2), proposedEps = BigDecimal(1))
+    assert(admitted === BigDecimal(2))
+    val ex = intercept[IllegalStateException] {
+      Privacy.dpBudgetAdmit(reg, budget = BigDecimal(2),
+        proposedEps = BigDecimal("0.000001"))
+    }
+    assert(ex.getMessage.contains("refused"))
+    intercept[IllegalArgumentException] {
+      Privacy.dpBudgetAdmit(reg, budget = BigDecimal(10), proposedEps = BigDecimal(0))
+    }
   }
 
   test("x44 DP median: one release per type, inside the public range, near the true median, seeded-stable") {
