@@ -56,6 +56,22 @@ object Bench {
   private val X37BuildRecorded = (9.150, 0.064)
   private val X37ProbeRecorded = (5.164, 0.064)
 
+  /** x45's phase-split recordings `(median, recording floor)` — r15
+    * verdict #1, the x37 move applied to the MaxScore serve: the
+    * combined entry times LiveIndex seed (two steps) + compact + the
+    * pruned serve as one median by design (the store lifecycle IS the
+    * operator), but the scale claim lives in the SERVE, so a serve
+    * regression must not hide inside build-phase noise. Recorded round
+    * 16 from an isolated 3-sample session (floor in the tuples); the
+    * combined [[BaselineMedians]] entry still gates the total, and the
+    * serve side gets its own floor-scaled 2× gate below. Recorded round
+    * 16 from an isolated 3-sample session at floor 0.076 (combined
+    * 6.524 — consistent with the r15 combined recording 5.918 at the
+    * 1.21× floor ratio).
+    */
+  private val X45BuildRecorded = (5.582, 0.076)
+  private val X45ServeRecorded = (0.942, 0.076)
+
   /** Recorded per-query `(median, recording floor)` (sf0.1, local[32],
     * 3-run interleaved medians under the noop-sink timed action) — the
     * regression baseline. The second element is the calibration floor
@@ -256,9 +272,34 @@ object Bench {
       // AFTER the fold-side additive-stats layer landed
       ("x45_bm25_maxscore" -> ((5.918, 0.058))) +
       // NEW round 16: x46 DP budget ledger (one corpus distinct-day
-      // exchange + a ledger-sized cumulative window)
-      // PLACEHOLDER — recorded below before this round ships
-      ("x46_dp_budget" -> ((9.999, 0.065)))
+      // exchange + a ledger-sized cumulative window); recorded from the
+      // round's 0.076-floor isolated session
+      ("x46_dp_budget" -> ((0.512, 0.076))) ++
+      // RE-RECORDED round 16 (r15 verdict #5): the 25 r15-era
+      // `light_trimmed` keys, from one 0.076-floor isolated 3-run
+      // session with SPARK_GRAFT_NO_TRIM=1 (full medians, not the
+      // trim's min-of-two) — their r12 recordings predated three rounds
+      // of code; all read within floor scaling of the old values (the
+      // "never moved" premise re-measured, worst t19 1.48× raw at a
+      // 1.21× floor ratio). Keys whose refreshed median crosses the
+      // 0.25 s trim cutoff self-evict from the trim set (it derives
+      // from these entries), trading ~3 s of suite time for recordings
+      // that match the shipped code.
+      Map(
+        "f1_explode_tokens" -> 0.324, "f3_inline_structs" -> 0.225,
+        "f4_explode_outer" -> 0.202, "f5_unpivot" -> 0.313,
+        "m2_frame_sample" -> 0.337, "o1_serving_filter_limit" -> 0.183,
+        "o2_topk" -> 0.182, "o3_offset" -> 0.141,
+        "o5_keyset_pagination" -> 0.176, "p1_appid_memo_filter" -> 0.305,
+        "t10_translate_munge" -> 0.214, "t15_hash_suite" -> 0.221,
+        "t16_datetime_suite" -> 0.334, "t17_json_suite" -> 0.233,
+        "t18_higher_order_suite" -> 0.314, "t19_map_suite" -> 0.343,
+        "t20_bitwise_suite" -> 0.212, "t21_variant_suite" -> 0.271,
+        "t5_epoch_roundtrip" -> 0.253, "t8_hex_sequence" -> 0.223,
+        "t9_json_extract" -> 0.230, "x20_bpe_train" -> 0.220,
+        "x28_nfc_normalize" -> 0.243, "x5_rolling_hash" -> 0.216,
+        "x6_hash_sampling" -> 0.225
+      ).view.mapValues((_, 0.076)).toMap
   }
 
   def main(args: Array[String]): Unit = {
@@ -427,10 +468,16 @@ object Bench {
     // PLANS.md shows the gate firing unchanged on a trimmed entry. The
     // set derives from the RECORDED medians, so it is stable across
     // sessions and self-describing (`light_trimmed` in the artifact).
-    val lightTrim: Set[String] = BaselineMedians.collect {
-      case (k, (m, _)) if m < 0.25 && !k.startsWith("d") && !k.startsWith("n") &&
-        !k.startsWith("x3") => k
-    }.toSet
+    // SPARK_GRAFT_NO_TRIM=1 disables the trim for RECORDING sessions
+    // (r15 verdict #5): re-recording a trimmed key's baseline needs the
+    // same 3-run median the original recordings used, not the trim's
+    // min-of-two.
+    val lightTrim: Set[String] =
+      if (sys.env.get("SPARK_GRAFT_NO_TRIM").contains("1")) Set.empty
+      else BaselineMedians.collect {
+        case (k, (m, _)) if m < 0.25 && !k.startsWith("d") && !k.startsWith("n") &&
+          !k.startsWith("x3") => k
+      }.toSet
     // x37 build/probe attribution (r14 verdict #3): the query's store
     // build runs eagerly inside the query function and records its wall
     // time (Dedup.lastX37BuildSec); each timed sample splits into
@@ -438,6 +485,11 @@ object Bench {
     // combined entry, so the probe — the phase with the 100 TB scale
     // claim — is gated separately from build-phase noise.
     val x37Splits = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    // x45 build/serve attribution (r15 verdict #1): same discipline —
+    // the query records its store build (LiveIndex seed + compact) wall
+    // time and each timed sample splits into (build, total − build);
+    // the serve is the MaxScore-bounded phase with the scale claim.
+    val x45Splits = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
     val samples = (1 to Runs).flatMap { r =>
       val pass = ordered.collect {
         case (name, fn) if r < Runs || !lightTrim(name) =>
@@ -445,6 +497,10 @@ object Bench {
           if (name == "x37_intake_bucketed" && t >= 0) {
             val b = graft.operators.Dedup.lastX37BuildSec
             if (b >= 0 && b <= t) x37Splits += ((b, t - b))
+          }
+          if (name == "x45_bm25_maxscore" && t >= 0) {
+            val b = graft.operators.Retrieval.lastX45BuildSec
+            if (b >= 0 && b <= t) x45Splits += ((b, t - b))
           }
           (name, t)
       }
@@ -561,7 +617,8 @@ object Bench {
     // is what the reader actually emitted after row-group/page skipping
     // from the pushed `In(key)` filters — the two layers of the 100 TB
     // probe-I/O claim, now measured instead of pinned-only.
-    def storeScanStats(df: org.apache.spark.sql.DataFrame, root: String): (Double, Double, Double) = {
+    def storeScanStats(plan: org.apache.spark.sql.execution.SparkPlan,
+        root: String): (Double, Double, Double) = {
       import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
       import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
       def walk(p: SparkPlan): Seq[FileSourceScanExec] = p match {
@@ -570,7 +627,7 @@ object Bench {
         case f: FileSourceScanExec => Seq(f)
         case other => (other.children ++ other.subqueries).flatMap(walk)
       }
-      val scans = walk(df.queryExecution.executedPlan)
+      val scans = walk(plan)
         .filter(_.relation.location.rootPaths.exists(_.toUri.getPath.startsWith(root)))
       def m(name: String): Double =
         scans.flatMap(_.metrics.get(name).map(_.value)).sum.toDouble
@@ -593,7 +650,9 @@ object Bench {
     def growthKeys(n: Int) = Seq(s"store_docs_at_${n}x", s"probe_sec_at_${n}x") ++
       Seq("probe", "smallprobe").flatMap(t => Seq(s"${t}_files_at_${n}x",
         s"${t}_mb_at_${n}x", s"${t}_rows_at_${n}x", s"${t}_io_mb_at_${n}x")) ++
-      Seq(s"term_sec_at_${n}x", s"term_rare_sec_at_${n}x")
+      Seq(s"term_sec_at_${n}x", s"term_rare_sec_at_${n}x",
+        s"maxscore_rows_at_${n}x", s"maxscore_postings_at_${n}x",
+        s"maxscore_cands_at_${n}x")
     val growthFields: Seq[(String, Double)] = try {
       import org.apache.spark.sql.functions._
       val root = java.nio.file.Files.createTempDirectory("graft-bench-growth").toString
@@ -625,16 +684,34 @@ object Bench {
       def pipeCopy(j: Int) = if (j == 0) base else base.select(
         (col("doc_id") + lit(j * 1000000000000L)).as("doc_id"), col("lang"),
         suffixed(j).as("text"))
-      // Copy j for the INDEX postings store keeps the ORIGINAL text:
-      // id-offset alone grows the postings 64× while the vocabulary
-      // stays real, so Retrieval.QueryTerms actually MATCH and the term
-      // serve scores 64× the postings at 64× the store. r14's
-      // all-copies-suffixed spelling left zero QueryTerms hits in the
-      // postings store, so term_sec_at_* timed a zero-match serve and
-      // never exercised matched-postings scoring — the one term-serve
-      // cost that genuinely grows with the corpus (r14 advice, medium).
+      // The zipfian probe term for the rare+common serve (MaxScore's
+      // design regime): one deterministic rare long word from the base
+      // slice (min count, then lexical). Computed BEFORE the index
+      // copies are defined — they suffix exactly this word, see below.
+      val rareTerm: String = base
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) >= 8)
+        .groupBy("w").agg(count(lit(1)).as("c"))
+        .orderBy(col("c"), col("w")).limit(1)
+        .collect().headOption.map(_.getString(0)).getOrElse("spark")
+      // Copy j for the INDEX postings store keeps the ORIGINAL text —
+      // EXCEPT the one rare probe term, suffixed per copy for j ≥ 1:
+      // id-offset with real text grows the commons' posting lists 64×
+      // so Retrieval.QueryTerms actually MATCH at every size (r14's
+      // all-suffixed spelling timed a zero-match serve — r14 advice),
+      // while the probe's rare term must stay ABSOLUTELY rare, the way
+      // a real corpus grows (new content multiplies common terms'
+      // postings; a given rare term's df stays tail-sized — copies
+      // multiplying EVERY df 64× pushed the rare df past pushMax and
+      // degraded the serve's In(doc_id) point-reads to semi-join scans,
+      // measuring the harness, not the mechanism; caught by the r16
+      // maxscore_rows curve on its first sf0.1 run).
       def idxCopy(j: Int) = base.select(
-        (col("doc_id") + lit(j * 1000000000000L)).as("doc_id"), col("text"))
+        (col("doc_id") + lit(j * 1000000000000L)).as("doc_id"),
+        (if (j == 0) col("text")
+         else concat_ws(" ", transform(split(col("text"), " "),
+           w => when(w === lit(rareTerm), concat(w, lit(s"c$j"))).otherwise(w))))
+          .as("text"))
       var nextBatch = 0L
       def grow(pairs: Seq[(org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)]): Unit = {
         pairs.foreach { case (p, ix) =>
@@ -713,7 +790,7 @@ object Bench {
           val df = probeAuditOf(batch)
           df.collect() // bounded: audit rows are batch-sized
           val ioMb = (fsBytesRead() - io0) / 1e6
-          val (nf, bytes, rows) = storeScanStats(df, root)
+          val (nf, bytes, rows) = storeScanStats(df.queryExecution.executedPlan, root)
           Seq(s"${tag}_files_at_${n}x" -> nf,
             s"${tag}_mb_at_${n}x" -> bytes / 1e6,
             s"${tag}_rows_at_${n}x" -> rows,
@@ -737,21 +814,13 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }.min
       // The rare+common serve — the zipfian regime the MaxScore pruning
-      // (Retrieval.bm25TopFromStore, r15) exists for: one deterministic
-      // rare long word from the base slice (min count, then lexical —
-      // stays rare RELATIVELY as the index grows, since every copy
-      // carries it once while the common terms' postings grow the same
-      // 64×) + the three common QueryTerms. With all-common terms
-      // (term_sec above) θ cannot clear the common ubs and pruning
-      // degrades to ~naive; here the commons fall in the non-essential
-      // prefix, so their corpus-sized posting lists are read only
-      // point-wise for the rare candidates.
-      val rareTerm: String = base
-        .select(explode(split(col("text"), " ")).as("w"))
-        .filter(length(col("w")) >= 8)
-        .groupBy("w").agg(count(lit(1)).as("c"))
-        .orderBy(col("c"), col("w")).limit(1)
-        .collect().headOption.map(_.getString(0)).getOrElse("spark")
+      // (Retrieval.bm25TopFromStore, r15) exists for: the rare probe
+      // term (fixed df — only copy 0 carries it, see idxCopy) + the
+      // three common QueryTerms whose postings grow with the store.
+      // With all-common terms (term_sec above) θ cannot clear the
+      // common ubs and pruning degrades to ~naive; here the commons
+      // fall in the non-essential prefix, so their corpus-sized posting
+      // lists are read only point-wise for the rare candidates.
       def timeTermRare(): Double = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         graft.streaming.LiveIndex.bm25(spark, idx,
@@ -759,6 +828,63 @@ object Bench {
           .write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }.min
+      // MaxScore pruning measured by SCAN ROWS, not wall time (r15
+      // verdict #2): the flat term_rare_sec curve shows the serve's
+      // COST, this shows its MECHANISM — `maxscore_rows` is every row
+      // the index-store scans actually emitted across ALL of one pruned
+      // serve's jobs (the internal df/θ/candidate collects plus the
+      // final union; captured via a QueryExecutionListener, since the
+      // serve is multi-action and the final frame's plan alone would
+      // undercount), vs `maxscore_postings` — the full matched
+      // posting-list size a naive full-scoring serve reads (one count
+      // job over the same bucket-pruned read, outside the serve).
+      // rows ≪ postings at 64× is the measured claim that common
+      // terms' corpus-sized posting lists are only read point-wise.
+      // `maxscore_cands` names the candidate-set size (pass-1 df +
+      // pass-2 page) the pushes are bounded by. AQE's empty-relation
+      // folding is excluded for the metrics execution (the r15 probe
+      // discipline) so executed-but-empty scans keep their counts.
+      def maxscoreScanFields(n: Int): Seq[(String, Double)] = {
+        val terms = rareTerm +: graft.operators.Retrieval.QueryTerms
+        val postings = graft.streaming.LiveIndex
+          .matchedPostingsCount(spark, idx, terms).toDouble
+        val qes = new java.util.concurrent.ConcurrentLinkedQueue[
+          org.apache.spark.sql.execution.QueryExecution]()
+        val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+          override def onSuccess(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              durationNs: Long): Unit = { qes.add(qe); () }
+          override def onFailure(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              exception: Exception): Unit = ()
+        }
+        spark.conf.set("spark.sql.adaptive.optimizer.excludedRules",
+          "org.apache.spark.sql.execution.adaptive.AQEPropagateEmptyRelation")
+        spark.listenerManager.register(listener)
+        try {
+          graft.streaming.LiveIndex.bm25(spark, idx, terms, 10).collect()
+          // the execution listener is async on the shared bus — poll
+          // until the captured set stops growing across a quiet window
+          var last = -1
+          while (qes.size != last) { last = qes.size; Thread.sleep(250) }
+          import scala.jdk.CollectionConverters._
+          // postings scans ONLY (doclens/aux reads are candidate-pushed
+          // and bounded; the claim under measurement is about posting
+          // lists) — at toy store sizes the candidate machinery's
+          // repeated point-reads can exceed the naive read (pruning
+          // pays when postings ≫ candidates), so the SLOPE vs the
+          // postings curve is the signal, not the intercept
+          val rows = qes.asScala.toSeq
+            .map(qe => storeScanStats(qe.executedPlan, s"$root/idx/postings")._3).sum
+          Seq(s"maxscore_rows_at_${n}x" -> rows,
+            s"maxscore_postings_at_${n}x" -> postings,
+            s"maxscore_cands_at_${n}x" ->
+              graft.operators.Retrieval.lastServeCands.toDouble)
+        } finally {
+          spark.listenerManager.unregister(listener)
+          spark.conf.unset("spark.sql.adaptive.optimizer.excludedRules")
+        }
+      }
       // Granularity emulation for the growth stores' FOLD WRITES: a
       // production bucket file spans many parquet row groups (128 MB
       // default over GB-scale buckets), so the sorted-fold + In(key)
@@ -789,6 +915,7 @@ object Bench {
           out ++= scanFields("smallprobe", n, smallProbe)
           out += (s"term_sec_at_${n}x" -> timeTerm())
           out += (s"term_rare_sec_at_${n}x" -> timeTermRare())
+          out ++= maxscoreScanFields(n)
           phase(s"store growth ${n}x measured")
         }
         // the 1× seed splits into TWO batches so compact() lays the
@@ -879,31 +1006,58 @@ object Bench {
     // x37 build/probe attribution fields + the probe-side regression
     // gate (same shape as the per-query gate: floor-scaled 2× with
     // >1 s materiality; stability comes from the median of the splits).
-    val x37Fields: Seq[(String, Double)] = {
-      def med(xs: Seq[Double]): Double =
-        if (xs.isEmpty) -1.0 else xs.sorted.apply((xs.length - 1) / 2)
-      Seq("x37_build_sec" -> med(x37Splits.map(_._1).toSeq),
-        "x37_probe_sec" -> med(x37Splits.map(_._2).toSeq),
-        "x37_build_sec_recorded" -> X37BuildRecorded._1,
-        "x37_probe_sec_recorded" -> X37ProbeRecorded._1)
-    }
-    val x37ProbeMed = x37Fields.find(_._1 == "x37_probe_sec").map(_._2).getOrElse(-1.0)
-    val x37ProbeReg: Seq[(String, Double)] = {
-      val (b, recFloor) = X37ProbeRecorded
-      if (isBaselineSf && x37ProbeMed >= 0 &&
-          x37ProbeMed > 2 * b * math.max(1.0, floor / recFloor) &&
-          x37ProbeMed - b > 1.0)
-        Seq("x37_probe_sec" -> x37ProbeMed)
+    def splitMed(xs: Seq[Double]): Double =
+      if (xs.isEmpty) -1.0 else xs.sorted.apply((xs.length - 1) / 2)
+    val x37Fields: Seq[(String, Double)] = Seq(
+      "x37_build_sec" -> splitMed(x37Splits.map(_._1).toSeq),
+      "x37_probe_sec" -> splitMed(x37Splits.map(_._2).toSeq),
+      "x37_build_sec_recorded" -> X37BuildRecorded._1,
+      "x37_probe_sec_recorded" -> X37ProbeRecorded._1)
+    val x45Fields: Seq[(String, Double)] = Seq(
+      "x45_build_sec" -> splitMed(x45Splits.map(_._1).toSeq),
+      "x45_serve_sec" -> splitMed(x45Splits.map(_._2).toSeq),
+      "x45_build_sec_recorded" -> X45BuildRecorded._1,
+      "x45_serve_sec_recorded" -> X45ServeRecorded._1)
+    // phase-only regression gates (x37 probe / x45 serve): the same
+    // floor-scaled 2× + >1 s materiality shape as the per-query gate,
+    // applied to the phase median — the seeded-perturbation demo shows
+    // a sleep inside the serve fires this while the combined median's
+    // gate alone would have let it hide in build noise
+    def phaseReg(name: String, med: Double, rec: (Double, Double)): Seq[(String, Double)] = {
+      val (b, recFloor) = rec
+      if (isBaselineSf && med >= 0 &&
+          med > 2 * b * math.max(1.0, floor / recFloor) && med - b > 1.0)
+        Seq(name -> med)
       else Nil
     }
+    val x37ProbeReg = phaseReg("x37_probe_sec",
+      x37Fields.find(_._1 == "x37_probe_sec").map(_._2).getOrElse(-1.0), X37ProbeRecorded)
+    val x45ServeReg = phaseReg("x45_serve_sec",
+      x45Fields.find(_._1 == "x45_serve_sec").map(_._2).getOrElse(-1.0), X45ServeRecorded)
     val errors = results.collect { case (k, m, _) if m < 0 => k } ++
       (if (intakeRate < 0) Seq("intake_drain") else Nil) ++
       (if (redrainCrashed) Seq("intake_redrain") else Nil)
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val reg = json(regressions ++
       (if (intakeRegressed) Seq("intake_docs_per_sec" -> intakeRate) else Nil) ++
-      x37ProbeReg)
-    val growthJson = (growthFields ++ corpusGrowthFields ++ x37Fields).map {
+      x37ProbeReg ++ x45ServeReg)
+    val extras = growthFields ++ corpusGrowthFields ++ x37Fields ++ x45Fields
+    // Growth/attribution-field keyset parity (r15 verdict #6): these
+    // fields are load-bearing evidence (probe I/O curves, phase splits)
+    // but nothing pinned their presence the way BaselineMedians pins
+    // the query keyset — a refactor could silently drop a curve. Fail
+    // loudly on any drift, both directions (the error paths emit the
+    // exact same keysets with -1 values, so parity holds there too).
+    val expectedExtras = (growthSizes.flatMap(growthKeys) ++
+      corpusGrowthSizes.flatMap(corpusKeys) ++
+      Seq("x37_build_sec", "x37_probe_sec",
+        "x37_build_sec_recorded", "x37_probe_sec_recorded",
+        "x45_build_sec", "x45_serve_sec",
+        "x45_build_sec_recorded", "x45_serve_sec_recorded")).toSet
+    require(extras.map(_._1).toSet == expectedExtras,
+      s"growth-field drift — missing: ${expectedExtras -- extras.map(_._1).toSet}, " +
+        s"stale: ${extras.map(_._1).toSet -- expectedExtras}")
+    val growthJson = extras.map {
       case (k, v) => "\"" + k + "\":" + r3(v) }.mkString(",")
     val lightJson = lightTrim.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$Runs,"floor":${r3(floor)},"errors":$errs,"regressions":$reg,"regressions_isolated":$iso,"over2x_isolated":$iso2x,"nonsignal":$nonsignal,"light_trimmed":$lightJson,"intake_docs_per_sec":${r3(intakeRate)},"intake_docs_per_sec_recorded":${r3(IntakeRateRecorded)},"intake_redrain":${r3(intakeRedrain)},"intake_fresh":${r3(intakeFresh)},$growthJson,"sf":"$sfDir","queries":$qs}"""

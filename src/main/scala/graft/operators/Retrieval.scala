@@ -32,6 +32,22 @@ object Retrieval {
   /** Fixed keyword query (terms from the corpus vocabulary). */
   val QueryTerms: Seq[String] = Seq("spark", "merge", "window")
 
+  /** Wall seconds of the last x45 gate's STORE BUILD (LiveIndex seed +
+    * compact), recorded by the query function so Bench can attribute
+    * each timed sample into build vs serve (the x37 split, applied to
+    * x45 per the r15 verdict); −1 until a build completes.
+    */
+  @volatile private[graft] var lastX45BuildSec: Double = -1.0
+
+  /** Candidate-set size of the last [[bm25TopFromStore]] serve:
+    * pass-1 (the rare term's df) + pass-2 (the non-essential-prefix
+    * escapees), when both are bounded; −1 when the serve fell back to
+    * full scoring or the pass-2 set overflowed `pushMax` (the degraded
+    * ~naive regime). Bench reads it beside the scan-row metrics so the
+    * pruning-I/O curve names its candidate sizes.
+    */
+  @volatile private[graft] var lastServeCands: Long = -1L
+
   /** Okapi defaults — shared with [[graft.streaming.LiveIndex]] so the
     * batch and live serving paths cannot silently diverge on
     * parameters.
@@ -175,6 +191,7 @@ object Retrieval {
     // With it, NOTHING on this path scans corpus-proportional data:
     // the rare postings, the candidate lookups, and the candidate
     // doclens reads are all key-pushed bounded scans.
+    lastServeCands = -1L
     val dl = dlFor(None)
     val spark = dl.sparkSession
     def full(): DataFrame =
@@ -237,6 +254,7 @@ object Retrieval {
     val scored1Local = spark.createDataFrame(
       spark.sparkContext.parallelize(top1.toIndexedSeq, 1), scored1.schema)
     val others = sorted.drop(jStar).filterNot(_ == tStar)
+    if (others.isEmpty) lastServeCands = dfMap(tStar)
     val scored2 =
       if (others.isEmpty) None
       else {
@@ -246,6 +264,10 @@ object Retrieval {
         val push2 =
           if (page.length <= pushMax) Some(page.map(_.getLong(0)).toSeq.sorted)
           else None
+        // bounded candidate accounting for the bench's pruning curve:
+        // pass-1 = the rare term's exact df, pass-2 = the collected page
+        // (−1 stays when the page overflowed — the degraded regime)
+        if (push2.isDefined) lastServeCands = dfMap(tStar) + page.length
         val candFrame = push2 match {
           case Some(ids) => ids.toDF("doc_id")
           case None => cand2
@@ -305,6 +327,15 @@ object Retrieval {
     // part never refolds, and the gate must cover the fold layout the
     // 100 TB serve reads (the x37 lesson).
     "x45_bm25_maxscore" -> { (s, d) =>
+      // build/serve attribution (r15 verdict #1, the proven x37 move):
+      // the LiveIndex seed (two id-ordered steps) + compact run EAGERLY
+      // here and record their wall time; the MaxScore serve — the phase
+      // with the 100 TB scale claim — executes after (its pruning jobs
+      // eagerly inside bm25, the final union at the caller's action), so
+      // Bench subtracts the build and gates the serve separately: a
+      // serve regression must not hide inside build-phase noise.
+      lastX45BuildSec = -1.0
+      val tBuild0 = System.nanoTime()
       val docs = Tables.documents(s, d).select("doc_id", "text")
       val root = java.nio.file.Files.createTempDirectory("graft-x45").toString
       val cfg = graft.streaming.LiveIndex.Config(root)
@@ -313,6 +344,7 @@ object Retrieval {
       graft.streaming.LiveIndex.step(docs.filter(col("doc_id") <= mid), 0L, cfg)
       graft.streaming.LiveIndex.step(docs.filter(col("doc_id") > mid), 1L, cfg)
       graft.streaming.LiveIndex.compact(s, cfg)
+      lastX45BuildSec = (System.nanoTime() - tBuild0) / 1e9
       graft.streaming.LiveIndex.bm25(s, cfg, QueryTerms, 15)
         .select("doc_id", "bm25", "n_terms_hit")
         .orderBy(col("bm25").desc, col("doc_id"))

@@ -257,24 +257,8 @@ object LiveIndex {
     // POINT-WISE for its candidate docs — the fold sorts
     // (word, doc_id), so the pushed ids prune row groups within the
     // word's run.
-    def tfFor(sub: Seq[String], pushIds: Option[Seq[Long]]): DataFrame = {
-      val praw = BatchParts.readMaybeBucketed(s,
-        BatchParts.effectiveParts(s, s"${cfg.root}/postings").filter(_._1 <= h),
-        PostingSchema, wordBucket, B)
-      val pruned =
-        if (!praw.columns.contains("bucket")) praw
-        else if (sub.isEmpty) praw.drop("bucket")
-        else praw.filter(sub.map(t =>
-            col("bucket") === pmod(hash(lit(t)), lit(B))).reduce(_ || _))
-          .drop("bucket")
-      val matched = pruned.filter(col("word").isin(sub: _*))
-      val keyed = pushIds match {
-        case Some(ids) if ids.nonEmpty => matched.filter(col("doc_id").isin(ids: _*))
-        case _ => matched
-      }
-      keyed.select("doc_id", "word", "tf")
-        .join(tomb, Seq("doc_id"), "left_anti")
-    }
+    def tfFor(sub: Seq[String], pushIds: Option[Seq[Long]]): DataFrame =
+      postingsFor(s, cfg, h, tomb, sub, pushIds)
     // doclens hook: optional In(doc_id) push for candidate lookups —
     // the id-bucketed, doc_id-sorted fold prunes both dirs and row
     // groups under it (superset-safe; the scoring join restricts)
@@ -293,6 +277,46 @@ object LiveIndex {
     Retrieval.bm25TopFromStore(tfFor, dlFor, terms, n, k1, b,
       pushMax = BatchParts.pushMaxKeys(s),
       precomputed = indexStats(s, cfg, h, terms.distinct))
+  }
+
+  /** The serve path's postings read for a term subset — bucket-pruned
+    * (constant-foldable per-term bucket predicates when the fold is
+    * word-bucketed), `In(word)`-matched, optionally `In(doc_id)`-pushed
+    * for candidate point lookups, tombstone-masked. Factored out of
+    * [[bm25]] so the bench's MaxScore scan-I/O measurement can read the
+    * SAME frame the serve reads (never a parallel spelling that could
+    * drift).
+    */
+  private def postingsFor(s: SparkSession, cfg: Config, h: Long,
+      tomb: DataFrame, sub: Seq[String], pushIds: Option[Seq[Long]]): DataFrame = {
+    val praw = BatchParts.readMaybeBucketed(s,
+      BatchParts.effectiveParts(s, s"${cfg.root}/postings").filter(_._1 <= h),
+      PostingSchema, wordBucket, B)
+    val pruned =
+      if (!praw.columns.contains("bucket")) praw
+      else if (sub.isEmpty) praw.drop("bucket")
+      else praw.filter(sub.map(t =>
+          col("bucket") === pmod(hash(lit(t)), lit(B))).reduce(_ || _))
+        .drop("bucket")
+    val matched = pruned.filter(col("word").isin(sub: _*))
+    val keyed = pushIds match {
+      case Some(ids) if ids.nonEmpty => matched.filter(col("doc_id").isin(ids: _*))
+      case _ => matched
+    }
+    keyed.select("doc_id", "word", "tf")
+      .join(tomb, Seq("doc_id"), "left_anti")
+  }
+
+  /** Total matched posting rows for `terms` — the rows a NAIVE
+    * full-scoring serve must read and score (the denominator of the
+    * bench's MaxScore pruning-I/O curve). One count job over the same
+    * bucket-pruned read the serve uses; never on the serving path.
+    */
+  private[graft] def matchedPostingsCount(s: SparkSession, cfg: Config,
+      terms: Seq[String]): Long = {
+    val h = horizon(s, cfg).getOrElse(Long.MinValue)
+    postingsFor(s, cfg, h, broadcast(tombstones(s, cfg)),
+      terms.distinct, None).count()
   }
 
   /** Exact per-term df and corpus stats assembled from the fold-side
