@@ -274,7 +274,11 @@ object Bench {
       // NEW round 16: x46 DP budget ledger (one corpus distinct-day
       // exchange + a ledger-sized cumulative window); recorded from the
       // round's 0.076-floor isolated session
-      ("x46_dp_budget" -> ((0.512, 0.076))) ++
+      ("x46_dp_budget" -> ((0.512, 0.076))) +
+      // NEW round 16: x47 tree-mechanism continual release (one corpus
+      // day groupBy + public-window-sized node/decomposition joins)
+      // PLACEHOLDER — recorded in an isolated session before shipping
+      ("x47_dp_continual" -> ((9.999, 0.076))) ++
       // RE-RECORDED round 16 (r15 verdict #5): the 25 r15-era
       // `light_trimmed` keys, from one 0.076-floor isolated 3-run
       // session with SPARK_GRAFT_NO_TRIM=1 (full medians, not the

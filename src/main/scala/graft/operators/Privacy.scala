@@ -337,7 +337,15 @@ object Privacy {
           row_number().over(Window.orderBy("ord")).cast("long"))
         .drop("ord")
       dpBudgetLedger(registry, budget = 6.0).orderBy("seq")
-    }
+    },
+    // Binary-tree-mechanism CONTINUAL count release — the streaming
+    // answer the one-shot releases (x40) can't give: a running count
+    // released EVERY day for T days costs T·ε naively; the tree
+    // mechanism ([[dpContinualRelease]]) spends ε once for the whole
+    // window with O(logT/ε·logT) error — per-node seeded Laplace over
+    // the dyadic decomposition of a PUBLIC 64-day calendar grid (empty
+    // days included, the x44 discipline). Only clamped integers ship.
+    "x47_dp_continual" -> { (s, d) => dpContinualRelease(Tables.events(s, d), seeded = true) }
   )
 
   /** Seed salt for the DP releases. `seeded = true` (the test/verify
@@ -530,6 +538,76 @@ object Privacy {
         ((col("bin").cast("double") + lit(0.5)) * lit(w)).as("released_median"),
         lit(1.0).as("epsilon"), lit(0.0).as("lo"), lit(hi).as("hi"))
       .orderBy("event_type")
+  }
+
+  /** x47's binary-tree-mechanism CONTINUAL count release (Chan–Shi–Song
+    * 2011 / Dwork–Naor–Pitassi–Rothblum 2010): release the RUNNING
+    * count through every day of a PUBLIC calendar window, not just
+    * per-day counts (x40). Naively, T prefix releases compose to T·ε;
+    * the tree mechanism spends ε ONCE for the whole stream: each
+    * dyadic node [b·2^ℓ+1, (b+1)·2^ℓ] of the window holds its block's
+    * true count plus Laplace(L/ε) noise (one record lands in exactly
+    * one node per level, so the node vector's sensitivity is L = tree
+    * height, 7 for T = 64), and the released prefix at day t sums the
+    * ≤ L noisy nodes of t's binary decomposition — error O(L·logT/ε)
+    * instead of O(T).
+    *
+    * The time axis is PUBLIC (the x44 grid discipline): a fixed
+    * calendar window of T = 64 days from `epoch`, empty days included
+    * — releases exist for every slot, so the release set reveals
+    * nothing about which days had data. Records outside the window are
+    * out of this release's scope (filtered; a production deployment
+    * opens the next window with fresh budget). Decomposition identity:
+    * node (ℓ, b) ∈ decomp(t) ⟺ bit ℓ of t is set ∧ b = 2·(t >> (ℓ+1));
+    * node block index at level ℓ is (t−1) >> ℓ.
+    *
+    * Determinism: node sums are exact longs; noise is the seeded
+    * 9-digit-rounded Laplace ([[laplace]]); each noisy node is
+    * round(long + noise, 9) and the ≤ L-node prefix sum routes through
+    * DECIMAL(28,12) (the x10 discipline) — bit-identical cross-engine.
+    * Only the clamped integer ships per day. Plan shape: one
+    * combinable day groupBy is the ONLY corpus-sized exchange; the
+    * grid (64 rows), node table (≤ 127 rows), and decomposition join
+    * are all public-window-sized with broadcast level/node sides.
+    * `seeded` per [[releaseSalt]].
+    */
+  def dpContinualRelease(events: DataFrame, seeded: Boolean = false): DataFrame = {
+    val T = 64
+    val L = 7 // levels 0..6: blocks of 1,2,4,...,64 days
+    val b = L / 1.0 // Laplace scale = sensitivity / epsilon = L / 1
+    val salt = releaseSalt(seeded)
+    val s = events.sparkSession
+    import s.implicits._
+    val epochStr = "2024-01-01"
+    val grid = s.range(T).select((col("id") + 1).cast("int").as("t"),
+      date_add(to_date(lit(epochStr)), col("id").cast("int")).as("day"))
+    val daily = events
+      .select(datediff(to_date(col("ts")), to_date(lit(epochStr))).as("d0"))
+      .filter(col("d0") >= 0 && col("d0") < T)
+      .groupBy("d0").agg(count(lit(1)).as("cnt"))
+    val counts = grid.join(daily, grid("t") === daily("d0") + 1, "left")
+      .select(col("t"), col("day"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+    // (level, 2^level, 2^(level+1)) as an exact literal frame — no
+    // double pow in the integer index arithmetic
+    val levels = (0 until L).map(l => (l, 1L << l, 1L << (l + 1)))
+      .toDF("lvl", "p", "p2")
+    val nodes = counts.crossJoin(broadcast(levels))
+      .withColumn("blk", expr("CAST((CAST(t AS BIGINT) - 1) DIV p AS BIGINT)"))
+      .groupBy("lvl", "blk").agg(sum(col("cnt")).as("node_sum"))
+      .withColumn("noisy", round(col("node_sum").cast("double") +
+        laplace(b, seededUnifKey("dpc|", salt,
+          concat(col("lvl").cast("string"), lit("|"), col("blk").cast("string")))), 9))
+    val parts = counts.select("t", "day").crossJoin(broadcast(levels))
+      .filter(expr("(CAST(t AS BIGINT) DIV p) % 2 = 1"))
+      .withColumn("blk", expr("CAST(2 * (CAST(t AS BIGINT) DIV p2) AS BIGINT)"))
+      .join(broadcast(nodes), Seq("lvl", "blk"))
+    parts.groupBy("t", "day")
+      .agg(sum(col("noisy").cast(org.apache.spark.sql.types.DecimalType(28, 12)))
+        .cast("double").as("raw"))
+      .select(col("day"), col("t").cast("long").as("t"),
+        greatest(lit(0L), floor(col("raw") + lit(0.5)).cast("long")).as("released_cum"),
+        lit(1.0).as("epsilon"))
+      .orderBy("t")
   }
 
   /** Shared exact-ε decimal type for the budget ledger: quarters and
@@ -804,6 +882,46 @@ object Privacy {
         |  cum_d <= CAST(6.0 AS DECIMAL(18,6)) AS admitted,
         |  CAST(6.0 AS DOUBLE) AS budget
         |FROM led ORDER BY seq""".stripMargin,
+    // x47: the identical tree mechanism — dense public 64-day grid,
+    // dyadic node sums + per-node seeded Laplace(7), prefix = decimal
+    // sum of the set-bit nodes, floor(x+½) clamp.
+    "x47_dp_continual" ->
+      """WITH grid AS (SELECT CAST(g.range + 1 AS INT) AS t,
+        |    DATE '2024-01-01' + CAST(g.range AS INT) AS day
+        |  FROM range(0, 64) g),
+        |daily AS (SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d0,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events
+        |  WHERE date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) >= 0
+        |    AND date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) < 64
+        |  GROUP BY 1),
+        |counts AS (SELECT grid.t, grid.day, coalesce(daily.cnt, 0) AS cnt
+        |  FROM grid LEFT JOIN daily ON grid.t = daily.d0 + 1),
+        |levels AS (SELECT * FROM (VALUES (0,1,2),(1,2,4),(2,4,8),(3,8,16),
+        |    (4,16,32),(5,32,64),(6,64,128)) v(lvl, p, p2)),
+        |nodes AS (SELECT lvl, (t - 1) // p AS blk,
+        |    CAST(SUM(cnt) AS BIGINT) AS node_sum
+        |  FROM counts CROSS JOIN levels GROUP BY 1, 2),
+        |noisy AS (SELECT lvl, blk,
+        |    round(CAST(node_sum AS DOUBLE) +
+        |      round(-7.0 * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5)), 9), 9)
+        |      AS noisy
+        |  FROM (SELECT lvl, blk, node_sum,
+        |      (CAST(('0x' || substr(md5('dpc|' || CAST(lvl AS VARCHAR) || '|' ||
+        |          CAST(blk AS VARCHAR)), 1, 8)) AS BIGINT) + 0.5) /
+        |        4294967296.0 AS u
+        |    FROM nodes)),
+        |parts AS (SELECT c.t, c.day, l.lvl, 2 * (c.t // l.p2) AS blk
+        |  FROM counts c CROSS JOIN levels l
+        |  WHERE (c.t // l.p) % 2 = 1)
+        |SELECT p.day, CAST(p.t AS BIGINT) AS t,
+        |  CAST(greatest(0.0, floor(
+        |    CAST(SUM(CAST(n.noisy AS DECIMAL(28,12))) AS DOUBLE) + 0.5)) AS BIGINT)
+        |    AS released_cum,
+        |  CAST(1.0 AS DOUBLE) AS epsilon
+        |FROM parts p JOIN noisy n ON p.lvl = n.lvl AND p.blk = n.blk
+        |GROUP BY p.day, p.t
+        |ORDER BY t""".stripMargin,
     // x44: bin into the public [0,512]/64 grid → dense candidate set
     // (empty bins included) → rank-distance utility from cum/n windows
     // → Gumbel argmax per event_type → midpoint of the winning bin.

@@ -255,6 +255,37 @@ class PrivacySpec extends AnyFunSuite {
         "make this assertion IMPOSSIBLE to fail the other way)")
   }
 
+  test("x47 continual release: dense public grid, tree-mechanism error bound, seeded-stable") {
+    val rel = SparkEntry.queries("x47_dp_continual")(spark, d).collect()
+    assert(rel.length === 64, "one release per public slot, empty days included")
+    assert(rel.map(_.getLong(1)).toSeq === (1L to 64L), "dense day indexes")
+    // true running count per grid slot (slots past the data's last day
+    // hold the final total)
+    val daily = graft.Tables.events(spark, d)
+      .select(datediff(to_date(col("ts")), to_date(lit("2024-01-01"))).as("d0"))
+      .filter(col("d0") >= 0 && col("d0") < 64)
+      .groupBy("d0").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val trueCum = (0 until 64).scanLeft(0L)((acc, i) => acc + daily.getOrElse(i, 0L)).drop(1)
+    // each release sums ≤ 7 noisy nodes; the 32-bit seeded uniform
+    // bounds one |Laplace(7)| draw by 7·ln(2^32) ≈ 155.3 → prefix
+    // error < 1088 for ANY seed. Fails if the decomposition double-
+    // counts a node, misses one, or the noise scale is off by a level.
+    rel.foreach { r =>
+      val t = r.getLong(1).toInt
+      assert(math.abs(r.getLong(2) - trueCum(t - 1)) < 1088.0,
+        s"slot $t: released ${r.getLong(2)} vs true ${trueCum(t - 1)} " +
+          "outside the tree-mechanism bound")
+    }
+    // monotone TRUE cum + bounded noise means the released tail must
+    // end within the bound of the corpus total (a prefix/suffix swap
+    // or an off-by-one block index would break this)
+    assert(math.abs(rel.last.getLong(2) - trueCum.last) < 1088.0)
+    val again = SparkEntry.queries("x47_dp_continual")(spark, d).collect()
+    assert(rel.map(_.toString).toSeq === again.map(_.toString).toSeq,
+      "the seeded gate spelling must be bit-stable")
+  }
+
   test("x46 budget ledger: exact cumulative spend, admission flips once, refusal throws") {
     import spark.implicits._
     // ledger semantics on a hand-built registry: 0.25 × 4 dailies + two
