@@ -314,6 +314,21 @@ object Bench {
     val stale = BaselineMedians.keySet -- SparkEntry.queries.keySet
     require(missing.isEmpty && stale.isEmpty,
       s"BaselineMedians drift — missing: $missing, stale: $stale")
+    // README's headline query count is asserted like the keysets (r16
+    // verdict #1: the count drifted to "168" while the inventory grew to
+    // 169 — prose numbers need the same drift guard code constants get).
+    // Skipped silently only when README.md is not in the cwd (a
+    // non-repo-root launch); the driver and local runs both launch from
+    // the repo root.
+    val readme = new java.io.File("README.md")
+    if (readme.exists()) {
+      val text = new String(java.nio.file.Files.readAllBytes(readme.toPath), "UTF-8")
+      """all (\d+) carry""".r.findFirstMatchIn(text).foreach { m =>
+        require(m.group(1).toInt == SparkEntry.queries.size,
+          s"README.md claims 'all ${m.group(1)}' gate queries but " +
+            s"SparkEntry.queries has ${SparkEntry.queries.size} — update the README")
+      }
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // Baseline-comparable sessions are EXACTLY the recorded config's
     // directory — an exact basename match, not a substring (`contains`
@@ -770,6 +785,10 @@ object Bench {
         // plan and silently undercounting the walk — exclude the rule
         // for METRICS executions only; timed runs keep production
         // behavior.
+        // save/restore rather than set/unset (r16 advice): unset would
+        // clobber any pre-existing exclusion list a caller or config set
+        val priorExcluded = spark.conf.getOption(
+          "spark.sql.adaptive.optimizer.excludedRules")
         spark.conf.set("spark.sql.adaptive.optimizer.excludedRules",
           "org.apache.spark.sql.execution.adaptive.AQEPropagateEmptyRelation")
         try {
@@ -799,7 +818,12 @@ object Bench {
             s"${tag}_mb_at_${n}x" -> bytes / 1e6,
             s"${tag}_rows_at_${n}x" -> rows,
             s"${tag}_io_mb_at_${n}x" -> ioMb)
-        } finally spark.conf.unset("spark.sql.adaptive.optimizer.excludedRules")
+        } finally priorExcluded match {
+          case Some(v) => spark.conf.set(
+            "spark.sql.adaptive.optimizer.excludedRules", v)
+          case None => spark.conf.unset(
+            "spark.sql.adaptive.optimizer.excludedRules")
+        }
       }
       // min of two runs (the corpus-growth discipline: one-sided
       // inflation is what a second sample discards, and the curve's
@@ -862,15 +886,25 @@ object Bench {
               qe: org.apache.spark.sql.execution.QueryExecution,
               exception: Exception): Unit = ()
         }
+        val priorExcluded = spark.conf.getOption(
+          "spark.sql.adaptive.optimizer.excludedRules")
         spark.conf.set("spark.sql.adaptive.optimizer.excludedRules",
           "org.apache.spark.sql.execution.adaptive.AQEPropagateEmptyRelation")
         spark.listenerManager.register(listener)
         try {
           graft.streaming.LiveIndex.bm25(spark, idx, terms, 10).collect()
-          // the execution listener is async on the shared bus — poll
-          // until the captured set stops growing across a quiet window
+          // the execution listener is async on the shared bus — require
+          // THREE consecutive quiet 250 ms windows before reading the
+          // captured set (r16 advice: under load a single quiet window
+          // can elapse while onSuccess events are still queued on the
+          // bus, silently undercounting maxscore_rows — the metric the
+          // pruning claim rests on)
           var last = -1
-          while (qes.size != last) { last = qes.size; Thread.sleep(250) }
+          var quiet = 0
+          while (quiet < 3) {
+            Thread.sleep(250)
+            if (qes.size == last) quiet += 1 else { quiet = 0; last = qes.size }
+          }
           import scala.jdk.CollectionConverters._
           // postings scans ONLY (doclens/aux reads are candidate-pushed
           // and bounded; the claim under measurement is about posting
@@ -886,7 +920,12 @@ object Bench {
               graft.operators.Retrieval.lastServeCands.toDouble)
         } finally {
           spark.listenerManager.unregister(listener)
-          spark.conf.unset("spark.sql.adaptive.optimizer.excludedRules")
+          priorExcluded match {
+            case Some(v) => spark.conf.set(
+              "spark.sql.adaptive.optimizer.excludedRules", v)
+            case None => spark.conf.unset(
+              "spark.sql.adaptive.optimizer.excludedRules")
+          }
         }
       }
       // Granularity emulation for the growth stores' FOLD WRITES: a
