@@ -278,7 +278,11 @@ object Bench {
       // NEW round 16: x47 tree-mechanism continual release (one corpus
       // day groupBy + public-window-sized node/decomposition joins)
       // PLACEHOLDER — recorded in an isolated session before shipping
-      ("x47_dp_continual" -> ((9.999, 0.076))) ++
+      ("x47_dp_continual" -> ((9.999, 0.076))) +
+      // NEW round 17: x48 two-window rollover under the ledger (same
+      // plan shape as x47 × 2 windows + the nWindows-row stitch)
+      // PLACEHOLDER — recorded in an isolated session before shipping
+      ("x48_dp_rollover" -> ((9.999, 0.076))) ++
       // RE-RECORDED round 16 (r15 verdict #5): the 25 r15-era
       // `light_trimmed` keys, from one 0.076-floor isolated 3-run
       // session with SPARK_GRAFT_NO_TRIM=1 (full medians, not the

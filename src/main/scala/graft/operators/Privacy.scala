@@ -235,6 +235,10 @@ object Privacy {
     // The gate passes `seeded = true` — the test/verify spelling the
     // DuckDB oracle can replay; see [[dpCountRelease]] for why the
     // PRODUCTION default is the salted (non-recomputable) draw.
+    // Round 17: cells are the DENSE public 64-day grid × vocabulary
+    // (zero-count cells noised like any other) — the release SET no
+    // longer reveals which (type, day) groups had data (r16 advice;
+    // the dpCountRelease scaladoc carries the leak analysis).
     "x40_dp_release" -> { (s, d) => dpCountRelease(Tables.events(s, d), seeded = true) },
     // Differentially-private SUM + MEAN release — the clamp-then-noise
     // step every DP release of CONTINUOUS data needs, which the
@@ -301,42 +305,55 @@ object Privacy {
     // releases, the layer x40/x42/x43/x44 individually lack: each is
     // ε-private alone, but a pipeline that runs a daily count release
     // plus ad-hoc mechanism releases on the SAME corpus spends
-    // Σε = ε₁+ε₂+… (the basic composition theorem), and nothing so far
-    // refused a release past a configured total. The registry here is
-    // the release schedule a real deployment of this family runs: one
-    // scheduled daily count release (ε = 0.25 per day, x40's mechanism)
-    // per distinct day in the corpus, then three ad-hoc full-budget
-    // releases (x42 sum/mean, x43 argmax, x44 median, ε = 1 each),
-    // charged in schedule order against a total budget of 6. The
-    // accounting is EXACT: ε values sum as DECIMAL(18,6) (quarters are
-    // exact, but the point is the mechanism — no float drift can admit
-    // a release the exact sum refuses); `admitted` flips false from the
-    // first release whose cumulative spend exceeds the budget. Output
-    // is the annotated ledger itself — audit evidence, no private data.
-    // Plan shape: ONE distinct over day (combinable, corpus-sized
-    // exchange); everything after runs on the release-count-sized
-    // ledger (the single-partition cumulative window is ledger-sized by
-    // construction — releases number in the thousands at most, never
-    // corpus-shaped).
+    // Σε = ε₁+ε₂+… (the basic composition theorem). Round 17: the
+    // accounting is now ENFORCED, not just displayed — this gate drives
+    // the deployment schedule through the persistent [[DpLedger]]'s
+    // charge-then-release wrapper (the same wrapper every dp*Release
+    // entry point calls), and the `admitted` column below is the
+    // WRAPPER's verdict per charge: what the durable registry actually
+    // recorded, while the DuckDB oracle independently spells the
+    // cumulative cum ≤ budget rule — if ledger enforcement ever
+    // diverged from the exact-decimal accounting, the hash gate fails.
+    // (For THIS schedule the two are provably identical: refusals
+    // begin only once spend plateaus at exactly the 6.0 budget —
+    // quarters divide 6 — after which every positive proposal
+    // overdraws, so refusal is monotone.)
+    //
+    // The schedule itself is PUBLIC (r16 advice): daily ε = 0.25
+    // charges ride the fixed 64-day calendar grid (ContinualEpoch +
+    // 0..63 — x47's grid discipline), NOT corpus-observed days. The
+    // old distinct-over-days spelling made a ledger row appear or
+    // disappear with one record — the exact data-dependent-candidacy
+    // leak x43/x44/x47 close, newly packaged as "shippable audit
+    // evidence". Now the ledger derives from public config alone:
+    // zero private bits by construction, shippable to anyone. Then
+    // three ad-hoc full-budget releases (x42 sum/mean, x43 argmax,
+    // x44 median, ε = 1 each), charged in schedule order against a
+    // total budget of 6; ε sums stay EXACT (BigDecimal driver-side,
+    // DECIMAL(18,6) in the oracle). Plan shape: NO corpus exchange at
+    // all — the schedule is public-config-sized (67 rows), charged in
+    // a driver loop (budget accounting must be serialized; the ledger
+    // scaladoc carries the rationale) and returned via one local toDF.
     "x46_dp_budget" -> { (s, d) =>
       import s.implicits._
-      val daily = Tables.events(s, d)
-        .select(date_trunc("day", col("ts")).as("day")).distinct()
-        .select(
-          concat(lit("count|"), col("day").cast("string")).as("release_id"),
-          lit("laplace_count").as("mechanism"),
-          lit(0.25).as("epsilon"),
-          col("day").cast("string").as("ord"))
-      val adhoc = Seq(
-        ("sum_mean|corpus", "laplace_sum_mean", 1.0, "zz|a"),
-        ("argmax|corpus", "exp_argmax", 1.0, "zz|b"),
-        ("median|corpus", "exp_median", 1.0, "zz|c"))
-        .toDF("release_id", "mechanism", "epsilon", "ord")
-      val registry = daily.unionByName(adhoc)
-        .withColumn("seq",
-          row_number().over(Window.orderBy("ord")).cast("long"))
-        .drop("ord")
-      dpBudgetLedger(registry, budget = 6.0).orderBy("seq")
+      val epoch = java.time.LocalDate.parse(ContinualEpoch)
+      val schedule: Seq[(String, String, BigDecimal)] =
+        (0 until ContinualT).map(i =>
+          (s"count|${epoch.plusDays(i.toLong)}", "laplace_count", BigDecimal("0.25"))) ++
+          Seq(("sum_mean|corpus", "laplace_sum_mean", BigDecimal(1)),
+            ("argmax|corpus", "exp_argmax", BigDecimal(1)),
+            ("median|corpus", "exp_median", BigDecimal(1)))
+      val budget = BigDecimal(6)
+      val led = DpLedger.open(
+        java.nio.file.Files.createTempDirectory("graft-x46-ledger").toString, budget)
+      var cum = BigDecimal(0)
+      val rows = schedule.zipWithIndex.map { case ((id, mech, eps), i) =>
+        cum += eps // the SCHEDULED cumulative (refused ε included) — the audit view
+        (i + 1L, id, mech, eps.toDouble, cum.toDouble,
+          led.tryCharge(id, mech, eps), budget.toDouble)
+      }
+      rows.toDF("seq", "release_id", "mechanism", "epsilon",
+        "cum_epsilon", "admitted", "budget").orderBy("seq")
     },
     // Binary-tree-mechanism CONTINUAL count release — the streaming
     // answer the one-shot releases (x40) can't give: a running count
@@ -344,8 +361,29 @@ object Privacy {
     // mechanism ([[dpContinualRelease]]) spends ε once for the whole
     // window with O(logT/ε·logT) error — per-node seeded Laplace over
     // the dyadic decomposition of a PUBLIC 64-day calendar grid (empty
-    // days included, the x44 discipline). Only clamped integers ship.
-    "x47_dp_continual" -> { (s, d) => dpContinualRelease(Tables.events(s, d), seeded = true) }
+    // days included, the x44 discipline). Only clamped integers ship;
+    // `window_epsilon` is the WINDOW-level ε = 1 (r16 advice — r16's
+    // per-row `epsilon` column invited 64× overcharging by any
+    // composition consumer using the x46 per-release convention).
+    "x47_dp_continual" -> { (s, d) => dpContinualRelease(Tables.events(s, d), seeded = true) },
+    // Window ROLLOVER under the budget ledger — x47 continued past its
+    // window, x46 enforced at release time: two consecutive 64-day
+    // tree-mechanism windows, each charging ε = 1 to a fresh
+    // [[DpLedger]] (budget 2 — both admitted; PrivacySpec pins the
+    // budget-1.5 sibling where window 1 is REFUSED and releases
+    // nothing) and the cross-window running count stitched from
+    // RELEASED values only: global(w, t) = Σ_{v<w} released_vT +
+    // released_wt — pure post-processing, zero extra budget. The
+    // charging happens through the same wrapper the production
+    // entry points use, so this gate exercises the admitted path of
+    // the enforcement layer end-to-end.
+    "x48_dp_rollover" -> { (s, d) =>
+      val led = DpLedger.open(
+        java.nio.file.Files.createTempDirectory("graft-x48-ledger").toString,
+        budget = BigDecimal(2))
+      dpContinualRollover(Tables.events(s, d), nWindows = 2,
+        seeded = true, ledger = Some(led))
+    }
   )
 
   /** Seed salt for the DP releases. `seeded = true` (the test/verify
@@ -420,18 +458,54 @@ object Privacy {
   /** x40's ε=1 Laplace count release as a public API (see the x40 entry
     * for the mechanism/accounting doc). [[releaseSalt]] documents the
     * `seeded` contract — production default is the salted,
-    * non-recomputable draw.
+    * non-recomputable draw. When `ledger` is present the release
+    * charges ε=1 BEFORE the plan is constructed (charge-then-release,
+    * [[DpLedger]]): a refused release throws here and no frame exists
+    * to act on. ε=1 covers the WHOLE frame — the per-(event_type, day)
+    * cells are disjoint, so parallel composition makes the total cost
+    * the max per-cell ε, not the sum.
+    *
+    * Release SET discipline (r16 advice, the x43/x44/x47 principle
+    * applied to the one release that still derived its rows from
+    * observed groups): cells are the DENSE public 64-day calendar
+    * window × the event-type vocabulary, zero-count cells included and
+    * noised like any other. Under the old observed-groups spelling a
+    * cell's PRESENCE in the release flipped with one record — an
+    * unbounded privacy-loss ratio no ε=1 claim survives, and one the
+    * x46 ledger would have re-packaged as shippable audit rows. The
+    * vocabulary is read from the corpus and must be treated as PUBLIC
+    * schema-level knowledge (the x43 caveat); records outside the
+    * window are out of this release's scope (the x47 contract — the
+    * next window is a fresh release with fresh budget,
+    * [[dpContinualRollover]] is the composed form).
     */
-  def dpCountRelease(events: DataFrame, seeded: Boolean = false): DataFrame = {
+  def dpCountRelease(events: DataFrame, seeded: Boolean = false,
+      ledger: Option[DpLedger] = None, releaseId: String = "count"): DataFrame = {
+    ledger.foreach(_.charge(releaseId, "laplace_count", BigDecimal(1)))
     val b = 1.0 // Laplace scale = sensitivity / epsilon = 1 / 1
     val salt = releaseSalt(seeded)
+    val s = events.sparkSession
+    val lo = to_date(lit(ContinualEpoch)).cast("timestamp")
+    val hi = date_add(to_date(lit(ContinualEpoch)), ContinualT).cast("timestamp")
     val grp = events
       .withColumn("day", date_trunc("day", col("ts")))
+      .filter(col("day") >= lo && col("day") < hi)
       .groupBy("event_type", "day")
       .agg(count(lit(1)).as("true_n"))
+    // dense public cells: calendar grid × vocabulary, types broadcast
+    // (a vocabulary is tiny); the grouped frame joins back LEFT so
+    // unobserved cells enter at count 0 — no new corpus exchange
+    val grid = s.range(ContinualT).select(
+      date_add(to_date(lit(ContinualEpoch)), col("id").cast("int"))
+        .cast("timestamp").as("day"))
+    val vocab = events.select("event_type").distinct()
+    val cells = grid.crossJoin(broadcast(vocab))
+    val counts = cells.join(grp, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("true_n"), lit(0L)).as("true_n"))
     // only the clamped integer ships: releasing noise or noisy_n beside
     // it would reconstruct true_n exactly and void the mechanism
-    grp.withColumn("noisy_n",
+    counts.withColumn("noisy_n",
         col("true_n").cast("double") + laplace(b, seededUnif("dp|", salt)))
       .select(col("event_type"), col("day"),
         greatest(lit(0.0), floor(col("noisy_n") + lit(0.5))).cast("long").as("released_n"),
@@ -464,7 +538,11 @@ object Privacy {
     * the per-day argmax is a row_number window over the candidate
     * frame, never the corpus.
     */
-  def dpArgmaxRelease(events: DataFrame, seeded: Boolean = false): DataFrame = {
+  def dpArgmaxRelease(events: DataFrame, seeded: Boolean = false,
+      ledger: Option[DpLedger] = None, releaseId: String = "argmax"): DataFrame = {
+    // per-day selections run over disjoint day partitions — parallel
+    // composition, so the whole frame costs ε=1, charged once
+    ledger.foreach(_.charge(releaseId, "exp_argmax", BigDecimal(1)))
     val salt = releaseSalt(seeded)
     val grp = events
       .withColumn("day", date_trunc("day", col("ts")))
@@ -503,7 +581,11 @@ object Privacy {
     * types×64 cross join over GROUP-sized frames, and the cum/argmax
     * windows run over that candidate frame, never the corpus.
     */
-  def dpMedianRelease(events: DataFrame, seeded: Boolean = false): DataFrame = {
+  def dpMedianRelease(events: DataFrame, seeded: Boolean = false,
+      ledger: Option[DpLedger] = None, releaseId: String = "median"): DataFrame = {
+    // per-type selections over disjoint partitions — parallel
+    // composition, ε=1 for the frame, charged once
+    ledger.foreach(_.charge(releaseId, "exp_median", BigDecimal(1)))
     val salt = releaseSalt(seeded)
     val bins = 64
     val hi = 512.0
@@ -571,43 +653,135 @@ object Privacy {
     * are all public-window-sized with broadcast level/node sides.
     * `seeded` per [[releaseSalt]].
     */
-  def dpContinualRelease(events: DataFrame, seeded: Boolean = false): DataFrame = {
-    val T = 64
-    val L = 7 // levels 0..6: blocks of 1,2,4,...,64 days
-    val b = L / 1.0 // Laplace scale = sensitivity / epsilon = L / 1
-    val salt = releaseSalt(seeded)
+  /** Public calendar epoch + window length shared by every windowed
+    * release (x40's dense grid, x47/x48's continual windows): window w
+    * covers days [epoch + w·T, epoch + (w+1)·T). A fixed PUBLIC time
+    * axis is what makes release sets data-independent (the x44 grid
+    * discipline) — a deployment picks these once, as config, never
+    * from the data.
+    */
+  val ContinualEpoch = "2024-01-01"
+  val ContinualT = 64
+  private val ContinualL = 7 // levels 0..6: blocks of 1,2,4,...,64 days
+
+  /** The tree-mechanism frame for a SET of windows at once:
+    * (win, t, day, win_rel) where win_rel is window `win`'s released
+    * (clamped long) running count at within-window day t ∈ [1, T].
+    * One combinable day groupBy over the corpus is the ONLY
+    * corpus-sized exchange — shared across every requested window;
+    * grid/levels/nodes/decomposition are public-window-sized
+    * broadcasts. Noise seeds are domain-separated PER WINDOW
+    * ("dpc|win|lvl|blk"): windows are independent ε-releases and must
+    * not share draws.
+    */
+  private def continualFrame(events: DataFrame, salt: String,
+      windows: Seq[Int]): DataFrame = {
+    val T = ContinualT
+    val L = ContinualL
+    val b = L / 1.0 // Laplace scale = node-vector sensitivity / epsilon = L / 1
     val s = events.sparkSession
     import s.implicits._
-    val epochStr = "2024-01-01"
-    val grid = s.range(T).select((col("id") + 1).cast("int").as("t"),
-      date_add(to_date(lit(epochStr)), col("id").cast("int")).as("day"))
+    val grid = windows.toDF("win")
+      .crossJoin(s.range(T).select((col("id") + 1).cast("int").as("t")))
+      .select(col("win"), col("t"),
+        date_add(to_date(lit(ContinualEpoch)),
+          (col("win") * lit(T) + col("t") - 1).cast("int")).as("day"))
     val daily = events
-      .select(datediff(to_date(col("ts")), to_date(lit(epochStr))).as("d0"))
-      .filter(col("d0") >= 0 && col("d0") < T)
-      .groupBy("d0").agg(count(lit(1)).as("cnt"))
-    val counts = grid.join(daily, grid("t") === daily("d0") + 1, "left")
-      .select(col("t"), col("day"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+      .select(to_date(col("ts")).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("cnt"))
+    val counts = grid.join(daily, Seq("day"), "left")
+      .select(col("win"), col("t"), col("day"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
     // (level, 2^level, 2^(level+1)) as an exact literal frame — no
     // double pow in the integer index arithmetic
     val levels = (0 until L).map(l => (l, 1L << l, 1L << (l + 1)))
       .toDF("lvl", "p", "p2")
     val nodes = counts.crossJoin(broadcast(levels))
       .withColumn("blk", expr("CAST((CAST(t AS BIGINT) - 1) DIV p AS BIGINT)"))
-      .groupBy("lvl", "blk").agg(sum(col("cnt")).as("node_sum"))
+      .groupBy("win", "lvl", "blk").agg(sum(col("cnt")).as("node_sum"))
       .withColumn("noisy", round(col("node_sum").cast("double") +
         laplace(b, seededUnifKey("dpc|", salt,
-          concat(col("lvl").cast("string"), lit("|"), col("blk").cast("string")))), 9))
-    val parts = counts.select("t", "day").crossJoin(broadcast(levels))
+          concat(col("win").cast("string"), lit("|"),
+            col("lvl").cast("string"), lit("|"), col("blk").cast("string")))), 9))
+    val parts = counts.select("win", "t", "day").crossJoin(broadcast(levels))
       .filter(expr("(CAST(t AS BIGINT) DIV p) % 2 = 1"))
       .withColumn("blk", expr("CAST(2 * (CAST(t AS BIGINT) DIV p2) AS BIGINT)"))
-      .join(broadcast(nodes), Seq("lvl", "blk"))
-    parts.groupBy("t", "day")
+      .join(broadcast(nodes), Seq("win", "lvl", "blk"))
+    parts.groupBy("win", "t", "day")
       .agg(sum(col("noisy").cast(org.apache.spark.sql.types.DecimalType(28, 12)))
         .cast("double").as("raw"))
+      .select(col("win"), col("t"), col("day"),
+        greatest(lit(0L), floor(col("raw") + lit(0.5)).cast("long")).as("win_rel"))
+  }
+
+  /** x47's single-window release. ε accounting (r16 advice): the tree
+    * mechanism spends ε = 1 ONCE for the whole 64-day window, so the
+    * output carries `window_epsilon` on every row of the window — a
+    * per-WINDOW figure, deliberately renamed from r16's `epsilon`
+    * column whose per-row spelling read like 64 independent ε=1
+    * releases (a composition consumer charging per row would overcount
+    * 64×). The executable form of the convention: with a `ledger` the
+    * release charges exactly ONE ε=1 row per window, never per day.
+    */
+  def dpContinualRelease(events: DataFrame, seeded: Boolean = false,
+      window: Int = 0, ledger: Option[DpLedger] = None,
+      releaseId: String = "continual"): DataFrame = {
+    ledger.foreach(_.charge(s"$releaseId|w$window", "tree_continual", BigDecimal(1)))
+    val salt = releaseSalt(seeded)
+    continualFrame(events, salt, Seq(window))
       .select(col("day"), col("t").cast("long").as("t"),
-        greatest(lit(0L), floor(col("raw") + lit(0.5)).cast("long")).as("released_cum"),
-        lit(1.0).as("epsilon"))
+        col("win_rel").as("released_cum"),
+        col("win").cast("long").as("window_id"),
+        lit(1.0).as("window_epsilon"))
       .orderBy("t")
+  }
+
+  /** x48: WINDOW ROLLOVER composed with the budget ledger — the
+    * multi-window production shape x47's scaladoc promised ("a
+    * deployment opens the next window with fresh budget"), made real
+    * (r16 verdict #4). Window w charges its ε = 1 to the ledger
+    * BEFORE release, in window order; the first refused window stops
+    * the rollover — it and every later window release NOTHING (no
+    * rows, no registry append), while already-released windows stand
+    * (released values are public; a budget refusal cannot retract
+    * them).
+    *
+    * Cross-window stitching is PURE POST-PROCESSING of released
+    * values: the global running count at (window w, day t) is
+    * Σ_{v<w} released_vT + released_wt — each term an already-released
+    * clamped integer, so the stitch consumes zero additional budget
+    * (the true cross-window carry is never touched). The offset
+    * window function runs over the nWindows-row frame (public-config-
+    * sized, the ledger rationale for its un-partitioned window).
+    */
+  def dpContinualRollover(events: DataFrame, nWindows: Int,
+      seeded: Boolean = false, ledger: Option[DpLedger] = None,
+      releaseId: String = "continual"): DataFrame = {
+    require(nWindows > 0, s"need at least one window, got $nWindows")
+    val admitted: Seq[Int] = ledger match {
+      case None => 0 until nWindows
+      case Some(l) => (0 until nWindows).iterator.takeWhile(w =>
+        l.tryCharge(s"$releaseId|w$w", "tree_continual", BigDecimal(1))).toSeq
+    }
+    val s = events.sparkSession
+    import s.implicits._
+    if (admitted.isEmpty)
+      return Seq.empty[(Long, java.sql.Date, Long, Long, Double)]
+        .toDF("window_id", "day", "t", "released_cum", "window_epsilon")
+    val salt = releaseSalt(seeded)
+    val frame = continualFrame(events, salt, admitted)
+    val offsets = frame.filter(col("t") === ContinualT)
+      .select(col("win"), col("win_rel").as("win_total"))
+      .withColumn("ofs", coalesce(sum(col("win_total")).over(
+        Window.orderBy("win")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("win", "ofs")
+    frame.join(broadcast(offsets), Seq("win"))
+      .select(col("win").cast("long").as("window_id"), col("day"),
+        col("t").cast("long").as("t"),
+        (col("ofs") + col("win_rel")).as("released_cum"),
+        lit(1.0).as("window_epsilon"))
+      .orderBy("window_id", "t")
   }
 
   /** Shared exact-ε decimal type for the budget ledger: quarters and
@@ -672,7 +846,11 @@ object Privacy {
     * x42 entry for the sensitivity accounting and the exact-decimal
     * determinism spelling). `seeded` per [[releaseSalt]].
     */
-  def dpSumMeanRelease(events: DataFrame, seeded: Boolean = false): DataFrame = {
+  def dpSumMeanRelease(events: DataFrame, seeded: Boolean = false,
+      ledger: Option[DpLedger] = None, releaseId: String = "sum_mean"): DataFrame = {
+    // ε=1 total (split ½/½ across the sum and count draws inside);
+    // disjoint groups → parallel composition, charged once
+    ledger.foreach(_.charge(releaseId, "laplace_sum_mean", BigDecimal(1)))
     val clampC = 50.0
     val salt = releaseSalt(seeded)
     val dec = org.apache.spark.sql.types.DecimalType(28, 9)
@@ -767,18 +945,31 @@ object Privacy {
          |FROM ev JOIN ok USING (event_type, day)
          |WHERE group_n >= 3 AND tvd <= 0.15
          |ORDER BY md5('eid|' || CAST(event_id AS VARCHAR))""".stripMargin,
-    // The identical seeded inverse-CDF Laplace draw: same md5-derived
-    // uniform, same operand order, ln rounded to 9 before the one add.
+    // The identical seeded inverse-CDF Laplace draw over the identical
+    // DENSE public grid × vocabulary cells: same md5-derived uniform,
+    // same operand order, ln rounded to 9 before the one add.
     "x40_dp_release" ->
-      """WITH g AS (SELECT event_type,
+      """WITH grid AS (SELECT CAST(DATE '2024-01-01' + CAST(g.range AS INT) AS TIMESTAMP) AS day
+        |  FROM range(0, 64) g),
+        |vocab AS (SELECT DISTINCT event_type FROM events),
+        |g AS (SELECT event_type,
         |    CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
         |    CAST(count(*) AS BIGINT) AS true_n
-        |  FROM events GROUP BY 1, 2),
+        |  FROM events
+        |  WHERE CAST(date_trunc('day', ts) AS TIMESTAMP)
+        |      >= CAST(DATE '2024-01-01' AS TIMESTAMP)
+        |    AND CAST(date_trunc('day', ts) AS TIMESTAMP)
+        |      < CAST(DATE '2024-01-01' + 64 AS TIMESTAMP)
+        |  GROUP BY 1, 2),
+        |dense AS (SELECT v.event_type, grid.day,
+        |    coalesce(g.true_n, CAST(0 AS BIGINT)) AS true_n
+        |  FROM grid CROSS JOIN vocab v
+        |  LEFT JOIN g ON g.event_type = v.event_type AND g.day = grid.day),
         |n AS (SELECT event_type, day, true_n,
         |    (CAST(('0x' || substr(md5('dp|' || event_type || '|' ||
         |        CAST(day AS VARCHAR)), 1, 8)) AS BIGINT) + 0.5) /
         |      4294967296.0 AS u
-        |  FROM g),
+        |  FROM dense),
         |z AS (SELECT event_type, day, true_n,
         |    round(-1.0 * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5)), 9) AS noise
         |  FROM n)
@@ -854,12 +1045,15 @@ object Privacy {
         |  FROM sc)
         |SELECT day, event_type AS released_top, CAST(1.0 AS DOUBLE) AS epsilon
         |FROM rk WHERE rk = 1 ORDER BY day""".stripMargin,
-    // x46: the identical ledger — daily ε=0.25 count releases per
-    // distinct day + three ε=1 ad-hoc releases in schedule order,
-    // exact DECIMAL cumulative sums, admitted = cum ≤ 6.
+    // x46: the identical ledger over the PUBLIC 64-day calendar
+    // schedule — daily ε=0.25 count charges per grid slot + three ε=1
+    // ad-hoc releases in schedule order, exact DECIMAL cumulative
+    // sums. `admitted` here is the independent cum ≤ 6 spelling; the
+    // Spark side emits the persistent wrapper's per-charge verdicts —
+    // hash equality IS the enforcement-matches-accounting check.
     "x46_dp_budget" ->
-      """WITH days AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
-        |  FROM events),
+      """WITH days AS (SELECT DATE '2024-01-01' + CAST(g.range AS INT) AS day
+        |  FROM range(0, 64) g),
         |daily AS (SELECT 'count|' || CAST(day AS VARCHAR) AS release_id,
         |    'laplace_count' AS mechanism, 0.25 AS epsilon,
         |    CAST(day AS VARCHAR) AS ord
@@ -883,20 +1077,18 @@ object Privacy {
         |  CAST(6.0 AS DOUBLE) AS budget
         |FROM led ORDER BY seq""".stripMargin,
     // x47: the identical tree mechanism — dense public 64-day grid,
-    // dyadic node sums + per-node seeded Laplace(7), prefix = decimal
-    // sum of the set-bit nodes, floor(x+½) clamp.
+    // dyadic node sums + per-node seeded Laplace(7) with the
+    // window-separated seed domain ('dpc|0|…'), prefix = decimal sum
+    // of the set-bit nodes, floor(x+½) clamp, window-level ε column.
     "x47_dp_continual" ->
       """WITH grid AS (SELECT CAST(g.range + 1 AS INT) AS t,
         |    DATE '2024-01-01' + CAST(g.range AS INT) AS day
         |  FROM range(0, 64) g),
-        |daily AS (SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d0,
+        |daily AS (SELECT CAST(ts AS DATE) AS day,
         |    CAST(count(*) AS BIGINT) AS cnt
-        |  FROM events
-        |  WHERE date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) >= 0
-        |    AND date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) < 64
-        |  GROUP BY 1),
+        |  FROM events GROUP BY 1),
         |counts AS (SELECT grid.t, grid.day, coalesce(daily.cnt, 0) AS cnt
-        |  FROM grid LEFT JOIN daily ON grid.t = daily.d0 + 1),
+        |  FROM grid LEFT JOIN daily ON grid.day = daily.day),
         |levels AS (SELECT * FROM (VALUES (0,1,2),(1,2,4),(2,4,8),(3,8,16),
         |    (4,16,32),(5,32,64),(6,64,128)) v(lvl, p, p2)),
         |nodes AS (SELECT lvl, (t - 1) // p AS blk,
@@ -907,7 +1099,7 @@ object Privacy {
         |      round(-7.0 * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5)), 9), 9)
         |      AS noisy
         |  FROM (SELECT lvl, blk, node_sum,
-        |      (CAST(('0x' || substr(md5('dpc|' || CAST(lvl AS VARCHAR) || '|' ||
+        |      (CAST(('0x' || substr(md5('dpc|0|' || CAST(lvl AS VARCHAR) || '|' ||
         |          CAST(blk AS VARCHAR)), 1, 8)) AS BIGINT) + 0.5) /
         |        4294967296.0 AS u
         |    FROM nodes)),
@@ -918,10 +1110,63 @@ object Privacy {
         |  CAST(greatest(0.0, floor(
         |    CAST(SUM(CAST(n.noisy AS DECIMAL(28,12))) AS DOUBLE) + 0.5)) AS BIGINT)
         |    AS released_cum,
-        |  CAST(1.0 AS DOUBLE) AS epsilon
+        |  CAST(0 AS BIGINT) AS window_id,
+        |  CAST(1.0 AS DOUBLE) AS window_epsilon
         |FROM parts p JOIN noisy n ON p.lvl = n.lvl AND p.blk = n.blk
         |GROUP BY p.day, p.t
         |ORDER BY t""".stripMargin,
+    // x48: two tree-mechanism windows with window-separated seeds,
+    // each window's clamped prefix computed exactly as x47's, then the
+    // cross-window stitch from RELEASED values only — window w's rows
+    // add the sum of earlier windows' released t=64 totals. The Spark
+    // side's ledger (budget 2) admits both windows, so the released
+    // window set here is deterministic.
+    "x48_dp_rollover" ->
+      """WITH wins AS (SELECT * FROM (VALUES (0), (1)) w(win)),
+        |grid AS (SELECT w.win, CAST(g.range + 1 AS INT) AS t,
+        |    DATE '2024-01-01' + CAST(w.win * 64 + g.range AS INT) AS day
+        |  FROM range(0, 64) g CROSS JOIN wins w),
+        |daily AS (SELECT CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1),
+        |counts AS (SELECT g.win, g.t, g.day, coalesce(daily.cnt, 0) AS cnt
+        |  FROM grid g LEFT JOIN daily ON g.day = daily.day),
+        |levels AS (SELECT * FROM (VALUES (0,1,2),(1,2,4),(2,4,8),(3,8,16),
+        |    (4,16,32),(5,32,64),(6,64,128)) v(lvl, p, p2)),
+        |nodes AS (SELECT win, lvl, (t - 1) // p AS blk,
+        |    CAST(SUM(cnt) AS BIGINT) AS node_sum
+        |  FROM counts CROSS JOIN levels GROUP BY 1, 2, 3),
+        |noisy AS (SELECT win, lvl, blk,
+        |    round(CAST(node_sum AS DOUBLE) +
+        |      round(-7.0 * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5)), 9), 9)
+        |      AS noisy
+        |  FROM (SELECT win, lvl, blk, node_sum,
+        |      (CAST(('0x' || substr(md5('dpc|' || CAST(win AS VARCHAR) || '|' ||
+        |          CAST(lvl AS VARCHAR) || '|' ||
+        |          CAST(blk AS VARCHAR)), 1, 8)) AS BIGINT) + 0.5) /
+        |        4294967296.0 AS u
+        |    FROM nodes)),
+        |parts AS (SELECT c.win, c.t, c.day, l.lvl, 2 * (c.t // l.p2) AS blk
+        |  FROM counts c CROSS JOIN levels l
+        |  WHERE (c.t // l.p) % 2 = 1),
+        |winrel AS (SELECT p.win, p.t, p.day,
+        |    CAST(greatest(0.0, floor(
+        |      CAST(SUM(CAST(n.noisy AS DECIMAL(28,12))) AS DOUBLE) + 0.5)) AS BIGINT)
+        |      AS win_rel
+        |  FROM parts p JOIN noisy n
+        |    ON p.win = n.win AND p.lvl = n.lvl AND p.blk = n.blk
+        |  GROUP BY p.win, p.t, p.day),
+        |ofs AS (SELECT win,
+        |    CAST(coalesce(SUM(win_rel) OVER (ORDER BY win
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS ofs
+        |  FROM winrel WHERE t = 64)
+        |SELECT CAST(w.win AS BIGINT) AS window_id, w.day,
+        |  CAST(w.t AS BIGINT) AS t,
+        |  CAST(o.ofs + w.win_rel AS BIGINT) AS released_cum,
+        |  CAST(1.0 AS DOUBLE) AS window_epsilon
+        |FROM winrel w JOIN ofs o ON w.win = o.win
+        |ORDER BY window_id, t""".stripMargin,
     // x44: bin into the public [0,512]/64 grid → dense candidate set
     // (empty bins included) → rank-distance utility from cum/n windows
     // → Gumbel argmax per event_type → midpoint of the winning bin.

@@ -121,7 +121,7 @@ class PrivacySpec extends AnyFunSuite {
     }
   }
 
-  test("x40 DP release: non-negative, noise actually perturbs, Laplace tail bounded") {
+  test("x40 DP release: dense public cells, non-negative, noise perturbs, Laplace tail bounded") {
     import org.apache.spark.sql.functions._
     val released = SparkEntry.queries("x40_dp_release")(spark, d).collect()
       .map(r => ((r.getString(0), r.getTimestamp(1)), r.getLong(2))).toMap
@@ -129,10 +129,23 @@ class PrivacySpec extends AnyFunSuite {
       .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
       .count().collect()
       .map(r => ((r.getString(0), r.getTimestamp(1)), r.getLong(2))).toMap
-    assert(released.keySet === truth.keySet, "release covers every group exactly once")
+    // the release set is the DENSE public grid × vocabulary (r16
+    // advice): every one of the 64 calendar slots for every type,
+    // zero-count cells included — a cell's presence reveals NOTHING
+    // about whether that (type, day) had data
+    val vocab = graft.Tables.events(spark, d)
+      .select("event_type").distinct().collect().map(_.getString(0)).toSet
+    val epoch = java.time.LocalDate.parse("2024-01-01")
+    val gridDays = (0 until 64).map(i =>
+      java.sql.Timestamp.valueOf(epoch.plusDays(i.toLong).atStartOfDay())).toSet
+    val expectedCells = for (t <- vocab; day <- gridDays) yield (t, day)
+    assert(released.keySet === expectedCells,
+      "release set must be the full public grid × vocabulary, nothing else")
+    assert(truth.keySet.subsetOf(released.keySet),
+      "every observed group sits inside the public window at this SF")
     val devs = released.map { case (k, rel) =>
-      assert(rel >= 0L, s"group $k released negative count $rel")
-      math.abs(rel - truth(k))
+      assert(rel >= 0L, s"cell $k released negative count $rel")
+      math.abs(rel - truth.getOrElse(k, 0L))
     }
     assert(devs.exists(_ > 0L), "the mechanism must actually perturb some counts")
     // b = 1: P(|noise| > 23) = e^-23 ~ 1e-10; the seeded uniform has 32
@@ -319,6 +332,170 @@ class PrivacySpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Privacy.dpBudgetAdmit(reg, budget = BigDecimal(10), proposedEps = BigDecimal(0))
     }
+  }
+
+  private def freshLedgerDir(): String =
+    java.nio.file.Files.createTempDirectory("graft-spec-ledger").toString
+
+  test("DpLedger enforcement: a refused release throws before the mechanism runs and writes nothing") {
+    import graft.operators.DpLedger
+    val ev = graft.Tables.events(spark, d)
+    val dir = freshLedgerDir()
+    val led = DpLedger.open(dir, budget = BigDecimal("1.5"))
+    // admitted release: identical output to the unledgered spelling,
+    // one durable registry row
+    val charged = Privacy.dpCountRelease(ev, seeded = true, ledger = Some(led)).collect()
+    val plain = Privacy.dpCountRelease(ev, seeded = true).collect()
+    assert(charged.map(_.toString).toSeq === plain.map(_.toString).toSeq,
+      "the ledger must not change WHAT is released, only WHETHER")
+    assert(led.spent === BigDecimal(1))
+    val reg1 = led.registry(spark).collect()
+    assert(reg1.length === 1)
+    assert(reg1.head.getString(1) === "count")
+    assert(reg1.head.getString(2) === "laplace_count")
+    // refused release: throws AT THE CALL — no frame is ever
+    // constructed, so nothing can be acted on or written
+    val ex = intercept[IllegalStateException] {
+      Privacy.dpSumMeanRelease(ev, seeded = true, ledger = Some(led))
+    }
+    assert(ex.getMessage.contains("refused"))
+    assert(led.spent === BigDecimal(1), "a refusal spends nothing")
+    assert(led.registry(spark).count() === 1L, "a refusal appends nothing")
+    // the charge-then-release wrapper never evaluates a refused
+    // mechanism (by-name body)
+    var ran = false
+    intercept[IllegalStateException] {
+      led.release("again", "laplace_sum_mean", BigDecimal(1)) { ran = true }
+    }
+    assert(!ran, "a refused release's mechanism must never run")
+    // durability: reopening the directory resumes the accounting
+    // exactly (ε reloads as the decimal STRING that was written)
+    val reopened = DpLedger.open(dir, budget = BigDecimal("1.5"))
+    assert(reopened.spent === BigDecimal(1))
+    assert(reopened.remaining === BigDecimal("0.5"))
+    assert(!reopened.tryCharge("late", "laplace_count", BigDecimal(1)))
+    assert(reopened.tryCharge("small", "laplace_count", BigDecimal("0.5")),
+      "a smaller later proposal that fits must still be admitted")
+  }
+
+  test("every DP release charges its window epsilon exactly once (x47: one charge per window, never per row)") {
+    import graft.operators.DpLedger
+    val ev = graft.Tables.events(spark, d)
+    val led = DpLedger.open(freshLedgerDir(), budget = BigDecimal(10))
+    Privacy.dpCountRelease(ev, seeded = true, ledger = Some(led))
+    Privacy.dpSumMeanRelease(ev, seeded = true, ledger = Some(led))
+    Privacy.dpArgmaxRelease(ev, seeded = true, ledger = Some(led))
+    Privacy.dpMedianRelease(ev, seeded = true, ledger = Some(led))
+    // x47 releases 64 rows but must charge ONE ε=1 row (r16 advice:
+    // the per-row epsilon column invited 64× overcharging)
+    val rel = Privacy.dpContinualRelease(ev, seeded = true, ledger = Some(led))
+    assert(rel.count() === 64L)
+    val reg = led.registry(spark).orderBy("seq").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getDouble(3)))
+    assert(reg.toSeq === Seq(
+      ("count", "laplace_count", 1.0),
+      ("sum_mean", "laplace_sum_mean", 1.0),
+      ("argmax", "exp_argmax", 1.0),
+      ("median", "exp_median", 1.0),
+      ("continual|w0", "tree_continual", 1.0)))
+    assert(led.spent === BigDecimal(5))
+    // rollover: one charge PER WINDOW through the same wrapper
+    Privacy.dpContinualRollover(ev, nWindows = 2, seeded = true,
+      ledger = Some(led), releaseId = "roll").count()
+    val reg2 = led.registry(spark).orderBy("seq").collect()
+      .map(r => (r.getString(1), r.getDouble(3)))
+    assert(reg2.takeRight(2).toSeq === Seq(("roll|w0", 1.0), ("roll|w1", 1.0)))
+    assert(led.spent === BigDecimal(7))
+  }
+
+  test("x48 rollover: an exhausted budget refuses window N+1; admitted windows stitch from released values only") {
+    import graft.operators.DpLedger
+    val ev = graft.Tables.events(spark, d)
+    // budget 1.5 admits only window 0: the rollover releases 64 rows
+    // for window 0 and NOTHING for window 1 — no rows, no registry
+    // append (r16 verdict #4's refusal pin)
+    val led = DpLedger.open(freshLedgerDir(), budget = BigDecimal("1.5"))
+    val partial = Privacy.dpContinualRollover(ev, nWindows = 2,
+      seeded = true, ledger = Some(led)).collect()
+    assert(partial.length === 64)
+    assert(partial.forall(_.getLong(0) === 0L), "only window 0 released")
+    assert(led.registry(spark).count() === 1L)
+    assert(led.spent === BigDecimal(1))
+    // window 0 of the rollover IS the standalone x47 release (same
+    // window-separated seed domain)
+    val solo0 = Privacy.dpContinualRelease(ev, seeded = true).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    partial.foreach(r => assert(r.getLong(3) === solo0(r.getLong(2)),
+      s"rollover window 0 slot ${r.getLong(2)} diverged from x47"))
+    // budget 2 admits both windows; window 1's global prefix is the
+    // RELEASED window-0 total (its t=64 released value — an already-
+    // public integer) plus window 1's own released prefix: pure
+    // post-processing, verified term by term against the standalone
+    // window-1 release
+    val led2 = DpLedger.open(freshLedgerDir(), budget = BigDecimal(2))
+    val full = Privacy.dpContinualRollover(ev, nWindows = 2,
+      seeded = true, ledger = Some(led2)).collect()
+    assert(full.length === 128)
+    val win0 = full.filter(_.getLong(0) === 0L)
+    val win1 = full.filter(_.getLong(0) === 1L)
+    win0.foreach(r => assert(r.getLong(3) === solo0(r.getLong(2))))
+    val offset = win0.find(_.getLong(2) === 64L).get.getLong(3)
+    val solo1 = Privacy.dpContinualRelease(ev, seeded = true, window = 1)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    win1.foreach(r => assert(r.getLong(3) === offset + solo1(r.getLong(2)),
+      s"window 1 slot ${r.getLong(2)}: stitch must be released-offset + " +
+        "released-window-1 prefix, nothing else"))
+  }
+
+  test("composed-release attack: averaging repeated releases is capped by the ledger at the budget's variance floor") {
+    import graft.operators.DpLedger
+    // THE ATTACK a privacy reviewer actually asks about: an analyst
+    // with release access requests the SAME count release k times
+    // (production salted draws — fresh noise each time) and averages,
+    // driving the noise variance down as 2b²/k. Unmetered, k is
+    // unbounded and the true counts reconstruct to arbitrary
+    // precision. The ledger is the defense: at ε = 1 per release and
+    // budget B = 6, exactly 6 releases are EVER admitted — the 7th
+    // and every later request throws with nothing released — so the
+    // reconstruction variance can never drop below 2b²/6 = 1/3. This
+    // pins the mechanism of the guarantee (the query cap), the
+    // premise that makes averaging meaningful at all (admitted
+    // releases genuinely differ), and the residual itself (the
+    // 6-release average still misses somewhere on this corpus).
+    val ev = graft.Tables.events(spark, d)
+    val led = DpLedger.open(freshLedgerDir(), budget = BigDecimal(6))
+    def snapshot(df: org.apache.spark.sql.DataFrame): Map[(String, java.sql.Timestamp), Long] =
+      df.collect().map(r => ((r.getString(0), r.getTimestamp(1)), r.getLong(2))).toMap
+    val rels = (1 to 6).map { i =>
+      snapshot(Privacy.dpCountRelease(ev, ledger = Some(led),
+        releaseId = s"attack|$i"))
+    }
+    val refusal = intercept[IllegalStateException] {
+      Privacy.dpCountRelease(ev, ledger = Some(led), releaseId = "attack|7")
+    }
+    assert(refusal.getMessage.contains("refused"))
+    assert(led.spent === BigDecimal(6))
+    assert(led.registry(spark).count() === 6L, "exactly B/ε releases ever admitted")
+    assert(rels.distinct.size > 1,
+      "salted releases must differ — otherwise averaging is vacuous and " +
+        "the attack model (and this test) would be testing nothing")
+    val truth = graft.Tables.events(spark, d)
+      .groupBy(org.apache.spark.sql.functions.col("event_type"),
+        org.apache.spark.sql.functions.date_trunc("day",
+          org.apache.spark.sql.functions.col("ts")).as("day"))
+      .count().collect()
+      .map(r => ((r.getString(0), r.getTimestamp(1)), r.getLong(2))).toMap
+    val keys = rels.head.keySet
+    val avgErrs = keys.toSeq.map { k =>
+      val avg = rels.map(_(k)).sum.toDouble / rels.length
+      math.abs(avg - truth.getOrElse(k, 0L).toDouble)
+    }
+    assert(avgErrs.exists(_ > 0.0),
+      "the 6-release average must still carry residual error somewhere — " +
+        "zero residual everywhere would mean the noise was not fresh per release")
+    // the average of 6 tail-bounded draws stays tail-bounded (each
+    // release's per-cell deviation is ≤ 25 by the x40 bound)
+    avgErrs.foreach(e => assert(e <= 25.0))
   }
 
   test("x44 DP median: one release per type, inside the public range, near the true median, seeded-stable") {
