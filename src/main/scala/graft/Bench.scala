@@ -39,8 +39,20 @@ object Bench {
     * The gate below re-drains once in isolation when a session reads
     * under HALF this value and flags a regression only if the re-drain
     * is low too — "low once" is machine noise, adjudicated in-artifact.
+    *
+    * RE-RECORDED round 17 (r16 verdict #5): 56.9 → 43.1. Four
+    * consecutive sessions read below the old recording (38.99 r15
+    * driver; 47.97 r16 calm; 38.28 r17 calm isolated, fresh-JVM 28.34).
+    * The cause is code, not machine: 56.9 predates r16's fold-atomic
+    * additive `_termdf`/`_stats` layer in LiveIndex, which added
+    * per-batch stats maintenance to every step/compact the drain times
+    * (bought so the x45 serve reads corpus stats from fold-local
+    * relations). New value = MEDIAN of the three post-change calm
+    * sessions (47.97, 38.28, 37.65 — the third from the x49 recording
+    * session), per this scaladoc's own three-session discipline;
+    * PLANS.md carries the adjudication.
     */
-  private val IntakeRateRecorded = 56.9
+  private val IntakeRateRecorded = 38.3
 
   /** x37's phase-split recordings `(median, recording floor)` — r14
     * verdict #3: the combined 15.4 s entry times two workloads (store
@@ -71,6 +83,64 @@ object Bench {
     */
   private val X45BuildRecorded = (5.582, 0.076)
   private val X45ServeRecorded = (0.942, 0.076)
+
+  /** Load-bearing growth-curve recordings `(value, recording floor)` —
+    * r16 verdict #3: the store-growth curves (probe/term wall time,
+    * MaxScore scan rows) ARE the 100 TB scale evidence, but until round
+    * 17 they had only presence asserts — a real regression (a store
+    * scan landing unpruned, MaxScore degrading to full scoring) would
+    * never fire anything. Recorded from the round-17 0.049-floor calm
+    * isolated session. The same session ADJUDICATED the r16
+    * `term_sec_at_64x` outlier (5.235 in the r16 driver session): the
+    * calm read is 1.02 — consistent with the prior session's 1.244 —
+    * so 5.235 is wave-attributed, and the gate below would have caught
+    * a real one.
+    *
+    * Gate shape: floor-scaled 2× with >1 s materiality for wall-time
+    * fields, exactly the x37/x45 phase-split gate — PLUS an in-place
+    * retry: the grown stores exist only inside the growth block (no
+    * post-suite isolated re-run is possible, unlike query medians), so
+    * an over-threshold reading re-measures ONCE immediately and fires
+    * only if the retry is also over (the j1/a6 isolated-adjudication
+    * discipline, applied at the only moment the store still exists).
+    * `maxscore_rows` is a deterministic row COUNT, not wall time: no
+    * floor scaling, no retry — materiality is >1000 rows (a pruning
+    * regression multiplies rows by the store factor, never adds 3).
+    */
+  private val GrowthRecordings: Map[String, (Double, Double)] = Map(
+    "probe_sec_at_1x" -> ((5.581, 0.049)),
+    "probe_sec_at_4x" -> ((3.183, 0.049)),
+    "probe_sec_at_16x" -> ((3.266, 0.049)),
+    "probe_sec_at_64x" -> ((2.811, 0.049)),
+    "term_sec_at_1x" -> ((1.140, 0.049)),
+    "term_sec_at_4x" -> ((0.550, 0.049)),
+    "term_sec_at_16x" -> ((0.761, 0.049)),
+    "term_sec_at_64x" -> ((1.020, 0.049)),
+    "term_rare_sec_at_1x" -> ((2.119, 0.049)),
+    "term_rare_sec_at_4x" -> ((0.900, 0.049)),
+    "term_rare_sec_at_16x" -> ((0.645, 0.049)),
+    "term_rare_sec_at_64x" -> ((0.622, 0.049)),
+    "maxscore_rows_at_1x" -> ((4358.0, 0.049)),
+    "maxscore_rows_at_4x" -> ((2376.0, 0.049)),
+    "maxscore_rows_at_16x" -> ((2388.0, 0.049)),
+    "maxscore_rows_at_64x" -> ((2439.0, 0.049)))
+
+  /** Growth-gate fire predicates, extracted pure so the conditions are
+    * spec-testable without a bench session (BenchGateSpec pins that the
+    * r16 driver's term_sec_at_64x outlier FIRES against the calm
+    * recording while the calm historical readings do not — the
+    * sensitivity demonstration for a gate whose fixture, the grown
+    * store, exists only mid-bench). Wall-time fields: the x37/x45
+    * floor-scaled 2× + >1 s materiality. Deterministic scan-row
+    * counts: raw 2× + >1000 rows, no floor (a VM wave cannot move a
+    * row count; a pruning regression multiplies it).
+    */
+  private[graft] def growthTimeOver(v: Double, rec: Double, recFloor: Double,
+      sessionFloor: Double): Boolean =
+    v >= 0 && v > 2 * rec * math.max(1.0, sessionFloor / recFloor) && v - rec > 1.0
+
+  private[graft] def growthCountOver(v: Double, rec: Double): Boolean =
+    v >= 0 && v > 2 * rec && v - rec > 1000.0
 
   /** Recorded per-query `(median, recording floor)` (sf0.1, local[32],
     * 3-run interleaved medians under the noop-sink timed action) — the
@@ -276,13 +346,19 @@ object Bench {
       // round's 0.076-floor isolated session
       ("x46_dp_budget" -> ((0.512, 0.076))) +
       // NEW round 16: x47 tree-mechanism continual release (one corpus
-      // day groupBy + public-window-sized node/decomposition joins)
-      // PLACEHOLDER — recorded in an isolated session before shipping
-      ("x47_dp_continual" -> ((9.999, 0.076))) +
+      // day groupBy + public-window-sized node/decomposition joins);
+      // recorded round 17 from a 0.049-floor isolated 3-run session
+      // (r16 advice: the 9.999 placeholder shipped, gating nothing)
+      ("x47_dp_continual" -> ((0.591, 0.049))) +
       // NEW round 17: x48 two-window rollover under the ledger (same
-      // plan shape as x47 × 2 windows + the nWindows-row stitch)
-      // PLACEHOLDER — recorded in an isolated session before shipping
-      ("x48_dp_rollover" -> ((9.999, 0.076))) ++
+      // plan shape as x47 × 2 windows + the nWindows-row stitch);
+      // recorded from the same 0.049-floor isolated session as x47
+      ("x48_dp_rollover" -> ((0.724, 0.049))) +
+      // NEW round 17: x49 user-level DP count (user-keyed distinct +
+      // per-user row_number cap window + cell-keyed combinable count +
+      // public-grid broadcasts); recorded from a 0.054-floor isolated
+      // 3-run session
+      ("x49_dp_user_count" -> ((0.709, 0.054))) ++
       // RE-RECORDED round 16 (r15 verdict #5): the 25 r15-era
       // `light_trimmed` keys, from one 0.076-floor isolated 3-run
       // session with SPARK_GRAFT_NO_TRIM=1 (full medians, not the
@@ -675,7 +751,23 @@ object Bench {
         s"${t}_mb_at_${n}x", s"${t}_rows_at_${n}x", s"${t}_io_mb_at_${n}x")) ++
       Seq(s"term_sec_at_${n}x", s"term_rare_sec_at_${n}x",
         s"maxscore_rows_at_${n}x", s"maxscore_postings_at_${n}x",
-        s"maxscore_cands_at_${n}x")
+        s"maxscore_cands_at_${n}x") ++
+      // r16 verdict #3: gated growth fields ship their recording and
+      // their in-place retry beside the measurement (the x37/x45
+      // recorded-field convention; retry = -1.0 means "never needed")
+      Seq(s"probe_sec_at_${n}x", s"term_sec_at_${n}x",
+        s"term_rare_sec_at_${n}x").flatMap(k => Seq(s"${k}_rec", s"${k}_retry")) :+
+      s"maxscore_rows_at_${n}x_rec"
+    // Growth-curve regression gate (r16 verdict #3), [[GrowthRecordings]]:
+    // fires into the headline `regressions` field. Wall-time fields get
+    // the floor-scaled 2× + >1 s materiality gate with ONE in-place
+    // retry (the grown store exists only here — this is the only moment
+    // an isolated adjudication is possible); the deterministic
+    // maxscore_rows count gates at 2× + >1000 rows, no floor, no retry.
+    val growthRegB = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    // captured before the growth block's functions._ import shadows the
+    // name with the SQL floor()
+    val sessionFloor = floor
     val growthFields: Seq[(String, Double)] = try {
       import org.apache.spark.sql.functions._
       val root = java.nio.file.Files.createTempDirectory("graft-bench-growth").toString
@@ -832,19 +924,26 @@ object Bench {
       // min of two runs (the corpus-growth discipline: one-sided
       // inflation is what a second sample discards, and the curve's
       // signal is SHAPE at 0.3-3.5 s, far above the floor) — the r15
-      // wall-time trim; the r14 points were 3-run medians
-      def timeProbe(): Double = (1 to 2).map { _ =>
+      // wall-time trim; the r14 points were 3-run medians.
+      // `key` is the artifact field being measured: the perturb hook
+      // (r14 #5 discipline, extended to the growth gate in r17) keys
+      // on it so a seeded sleep lands inside the timed region of BOTH
+      // the measurement and its in-place retry — the end-to-end
+      // demonstration that the growth gate fires (PLANS.md).
+      def timedGrowth(key: String)(action: => Unit): Double = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        probeAudit().write.format("noop").mode("overwrite").save()
+        action
+        perturb.get(key).foreach(s => Thread.sleep((s * 1000).toLong))
         (System.nanoTime() - t0) / 1e9
       }.min
-      def timeTerm(): Double = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
+      def timeProbe(key: String): Double = timedGrowth(key) {
+        probeAudit().write.format("noop").mode("overwrite").save()
+      }
+      def timeTerm(key: String): Double = timedGrowth(key) {
         graft.streaming.LiveIndex.bm25(spark, idx,
           graft.operators.Retrieval.QueryTerms, 10)
           .write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
-      }.min
+      }
       // The rare+common serve — the zipfian regime the MaxScore pruning
       // (Retrieval.bm25TopFromStore, r15) exists for: the rare probe
       // term (fixed df — only copy 0 carries it, see idxCopy) + the
@@ -853,13 +952,11 @@ object Bench {
       // common ubs and pruning degrades to ~naive; here the commons
       // fall in the non-essential prefix, so their corpus-sized posting
       // lists are read only point-wise for the rare candidates.
-      def timeTermRare(): Double = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
+      def timeTermRare(key: String): Double = timedGrowth(key) {
         graft.streaming.LiveIndex.bm25(spark, idx,
           rareTerm +: graft.operators.Retrieval.QueryTerms, 10)
           .write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
-      }.min
+      }
       // MaxScore pruning measured by SCAN ROWS, not wall time (r15
       // verdict #2): the flat term_rare_sec curve shows the serve's
       // COST, this shows its MECHANISM — `maxscore_rows` is every row
@@ -955,14 +1052,40 @@ object Bench {
       hc.set("parquet.page.size.row.check.min", "10")
       try {
         val out = Seq.newBuilder[(String, Double)]
+        def gateTime(k: String, v: Double, again: () => Double): Unit = {
+          val (rec, recFloor) = GrowthRecordings(k)
+          out += (s"${k}_rec" -> rec)
+          def over(x: Double) =
+            isBaselineSf && growthTimeOver(x, rec, recFloor, sessionFloor)
+          val retry = if (over(v)) again() else -1.0
+          out += (s"${k}_retry" -> retry)
+          if (over(v) && over(retry)) growthRegB += (k -> v)
+        }
+        def gateCount(k: String, v: Double): Unit = {
+          val (rec, _) = GrowthRecordings(k)
+          out += (s"${k}_rec" -> rec)
+          if (isBaselineSf && growthCountOver(v, rec)) growthRegB += (k -> v)
+        }
         def measure(n: Int): Unit = {
           out += (s"store_docs_at_${n}x" -> storeDocs())
-          out += (s"probe_sec_at_${n}x" -> timeProbe())
+          val pk = s"probe_sec_at_${n}x"
+          val pv = timeProbe(pk)
+          out += (pk -> pv)
+          gateTime(pk, pv, () => timeProbe(pk))
           out ++= scanFields("probe", n, probe)
           out ++= scanFields("smallprobe", n, smallProbe)
-          out += (s"term_sec_at_${n}x" -> timeTerm())
-          out += (s"term_rare_sec_at_${n}x" -> timeTermRare())
-          out ++= maxscoreScanFields(n)
+          val tk = s"term_sec_at_${n}x"
+          val tv = timeTerm(tk)
+          out += (tk -> tv)
+          gateTime(tk, tv, () => timeTerm(tk))
+          val rk = s"term_rare_sec_at_${n}x"
+          val rv = timeTermRare(rk)
+          out += (rk -> rv)
+          gateTime(rk, rv, () => timeTermRare(rk))
+          val ms = maxscoreScanFields(n)
+          out ++= ms
+          gateCount(s"maxscore_rows_at_${n}x",
+            ms.find(_._1 == s"maxscore_rows_at_${n}x").map(_._2).getOrElse(-1.0))
           phase(s"store growth ${n}x measured")
         }
         // the 1× seed splits into TWO batches so compact() lays the
@@ -1087,7 +1210,7 @@ object Bench {
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val reg = json(regressions ++
       (if (intakeRegressed) Seq("intake_docs_per_sec" -> intakeRate) else Nil) ++
-      x37ProbeReg ++ x45ServeReg)
+      x37ProbeReg ++ x45ServeReg ++ growthRegB)
     val extras = growthFields ++ corpusGrowthFields ++ x37Fields ++ x45Fields
     // Growth/attribution-field keyset parity (r15 verdict #6): these
     // fields are load-bearing evidence (probe I/O curves, phase splits)

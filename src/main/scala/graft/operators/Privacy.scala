@@ -383,6 +383,14 @@ object Privacy {
         budget = BigDecimal(2))
       dpContinualRollover(Tables.events(s, d), nWindows = 2,
         seeded = true, ledger = Some(led))
+    },
+    // USER-level DP daily-active counts ([[dpUserCountRelease]]) — the
+    // privacy-unit upgrade over x40's event-level guarantee: per-user
+    // contribution capped at 4 cells (mechanism preprocessing), so the
+    // Laplace scale is sensitivity/ε = 4, and the "remove one PERSON"
+    // statement holds at ε = 1 for the whole release.
+    "x49_dp_user_count" -> { (s, d) =>
+      dpUserCountRelease(Tables.events(s, d), seeded = true)
     }
   )
 
@@ -509,6 +517,76 @@ object Privacy {
         col("true_n").cast("double") + laplace(b, seededUnif("dp|", salt)))
       .select(col("event_type"), col("day"),
         greatest(lit(0.0), floor(col("noisy_n") + lit(0.5))).cast("long").as("released_n"),
+        lit(1.0).as("epsilon"))
+      .orderBy("event_type", "day")
+  }
+
+  /** x49: USER-level DP daily-active-user counts — the privacy-unit
+    * upgrade the event-level family (x40/x47) cannot claim. x40's ε=1
+    * guarantee is per EVENT: a user with 500 records enjoys only
+    * ε·(record count) under group privacy, which for a heavy user is no
+    * guarantee at all. Training-data pipelines built on user logs need
+    * the user-level statement — "remove one PERSON entirely and the
+    * release distribution moves by at most e^ε" — and that requires
+    * bounding each user's total contribution BEFORE counting (the
+    * standard bounded-user-contribution construction, Wilson et al.,
+    * "Differentially Private SQL with Bounded User Contributions",
+    * VLDB 2020).
+    *
+    * Mechanism: per user, the distinct (event_type, day) cells they
+    * touch inside the public window, capped at the first `capCells` in
+    * (day, event_type) order — the cap consults only that user's own
+    * rows, so it is mechanism preprocessing and costs no budget. Each
+    * kept cell counts its user ONCE (presence, not event volume).
+    * Removing one user then changes at most `capCells` cells by at most
+    * 1 each → L1 sensitivity = capCells, Laplace scale b = capCells/ε.
+    * Note x40's parallel-composition argument does NOT apply here: one
+    * user spans multiple cells, so the cells are not disjoint in the
+    * user-level neighboring relation — that non-disjointness is exactly
+    * why the scale is capCells/ε rather than 1/ε.
+    * Cells are the DENSE 64-day grid × vocabulary (the x40/x43/x44
+    * release-set discipline: a cell's presence must never depend on the
+    * data); only the clamped integer ships.
+    *
+    * Scale shape: one user-keyed corpus exchange (the distinct), a
+    * user-keyed row_number window (parallel across users; a user's
+    * frame is bounded by T×|vocab| cells), one cell-keyed combinable
+    * count, then public-grid broadcasts — nothing corpus-quadratic, the
+    * same skew posture as x42's per-user clamp. `ledger` charges the
+    * release ε through [[DpLedger]] charge-then-release like every
+    * other release entry point.
+    */
+  def dpUserCountRelease(events: DataFrame, seeded: Boolean = false,
+      capCells: Int = 4, ledger: Option[DpLedger] = None,
+      releaseId: String = "user_count"): DataFrame = {
+    ledger.foreach(_.charge(releaseId, "laplace_user_count", BigDecimal(1)))
+    val b = capCells / 1.0 // Laplace scale = user-level sensitivity / epsilon
+    val salt = releaseSalt(seeded)
+    val s = events.sparkSession
+    val lo = to_date(lit(ContinualEpoch)).cast("timestamp")
+    val hi = date_add(to_date(lit(ContinualEpoch)), ContinualT).cast("timestamp")
+    val userCells = events
+      .withColumn("day", date_trunc("day", col("ts")))
+      .filter(col("day") >= lo && col("day") < hi)
+      .select("user_id", "event_type", "day").distinct()
+    val w = Window.partitionBy("user_id").orderBy("day", "event_type")
+    val kept = userCells.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= capCells)
+    val grp = kept.groupBy("event_type", "day")
+      .agg(count(lit(1)).as("true_users"))
+    val grid = s.range(ContinualT).select(
+      date_add(to_date(lit(ContinualEpoch)), col("id").cast("int"))
+        .cast("timestamp").as("day"))
+    val vocab = events.select("event_type").distinct()
+    val cells = grid.crossJoin(broadcast(vocab))
+    val counts = cells.join(grp, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("true_users"), lit(0L)).as("true_users"))
+    counts.withColumn("noisy",
+        col("true_users").cast("double") + laplace(b, seededUnif("dpu|", salt)))
+      .select(col("event_type"), col("day"),
+        greatest(lit(0.0), floor(col("noisy") + lit(0.5))).cast("long")
+          .as("released_users"),
         lit(1.0).as("epsilon"))
       .orderBy("event_type", "day")
   }
@@ -675,20 +753,35 @@ object Privacy {
     * not share draws.
     */
   private def continualFrame(events: DataFrame, salt: String,
-      windows: Seq[Int]): DataFrame = {
+      windows: Seq[Int]): DataFrame =
+    continualFrameFromDaily(
+      events.select(to_date(col("ts")).as("day"))
+        .groupBy("day").agg(count(lit(1)).as("cnt")),
+      salt, windows)
+
+  /** [[continualFrame]] over PRE-AGGREGATED `(day, cnt)` dailies — the
+    * entry the streaming twin uses: [[graft.streaming.LiveRelease]]
+    * maintains per-batch partial day counts (LiveCounts' additive
+    * store), whose re-aggregated totals are bit-identical to the batch
+    * groupBy by associativity, so a release from the live store equals
+    * the batch release on the same records (the twin-equivalence spec's
+    * claim). Everything downstream of the dailies — grid, node noise,
+    * decomposition — is public-window-sized and seeded, so the only
+    * data dependency is through the additive counts.
+    */
+  private[graft] def continualFrameFromDaily(dailyCounts: DataFrame,
+      salt: String, windows: Seq[Int]): DataFrame = {
     val T = ContinualT
     val L = ContinualL
     val b = L / 1.0 // Laplace scale = node-vector sensitivity / epsilon = L / 1
-    val s = events.sparkSession
+    val s = dailyCounts.sparkSession
     import s.implicits._
     val grid = windows.toDF("win")
       .crossJoin(s.range(T).select((col("id") + 1).cast("int").as("t")))
       .select(col("win"), col("t"),
         date_add(to_date(lit(ContinualEpoch)),
           (col("win") * lit(T) + col("t") - 1).cast("int")).as("day"))
-    val daily = events
-      .select(to_date(col("ts")).as("day"))
-      .groupBy("day").agg(count(lit(1)).as("cnt"))
+    val daily = dailyCounts
     val counts = grid.join(daily, Seq("day"), "left")
       .select(col("win"), col("t"), col("day"),
         coalesce(col("cnt"), lit(0L)).as("cnt"))
@@ -729,6 +822,26 @@ object Privacy {
     ledger.foreach(_.charge(s"$releaseId|w$window", "tree_continual", BigDecimal(1)))
     val salt = releaseSalt(seeded)
     continualFrame(events, salt, Seq(window))
+      .select(col("day"), col("t").cast("long").as("t"),
+        col("win_rel").as("released_cum"),
+        col("win").cast("long").as("window_id"),
+        lit(1.0).as("window_epsilon"))
+      .orderBy("t")
+  }
+
+  /** [[dpContinualRelease]] from PRE-AGGREGATED `(day, cnt)` dailies —
+    * same mechanism, same output schema, same ledger contract; the
+    * entry point for stores that maintain the day counts incrementally
+    * ([[graft.streaming.LiveRelease]]). Days outside the window are
+    * ignored by the grid join exactly as raw events outside it are.
+    */
+  def dpContinualReleaseFromDaily(dailyCounts: DataFrame,
+      seeded: Boolean = false, window: Int = 0,
+      ledger: Option[DpLedger] = None,
+      releaseId: String = "continual"): DataFrame = {
+    ledger.foreach(_.charge(s"$releaseId|w$window", "tree_continual", BigDecimal(1)))
+    val salt = releaseSalt(seeded)
+    continualFrameFromDaily(dailyCounts, salt, Seq(window))
       .select(col("day"), col("t").cast("long").as("t"),
         col("win_rel").as("released_cum"),
         col("win").cast("long").as("window_id"),
@@ -1167,6 +1280,44 @@ object Privacy {
         |  CAST(1.0 AS DOUBLE) AS window_epsilon
         |FROM winrel w JOIN ofs o ON w.win = o.win
         |ORDER BY window_id, t""".stripMargin,
+    // x49: per-user distinct cells → row_number cap at 4 → cell counts →
+    // dense grid → seeded Laplace at scale 4 → clamp+floor. Same
+    // md5-uniform and chained-ln spelling as x40, 'dpu|' domain tag.
+    "x49_dp_user_count" ->
+      """WITH grid AS (SELECT CAST(DATE '2024-01-01' + CAST(g.range AS INT) AS TIMESTAMP) AS day
+        |  FROM range(0, 64) g),
+        |vocab AS (SELECT DISTINCT event_type FROM events),
+        |uc AS (SELECT DISTINCT user_id, event_type,
+        |    CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+        |  FROM events
+        |  WHERE CAST(date_trunc('day', ts) AS TIMESTAMP)
+        |      >= CAST(DATE '2024-01-01' AS TIMESTAMP)
+        |    AND CAST(date_trunc('day', ts) AS TIMESTAMP)
+        |      < CAST(DATE '2024-01-01' + 64 AS TIMESTAMP)),
+        |kept AS (SELECT user_id, event_type, day FROM (
+        |    SELECT user_id, event_type, day,
+        |      row_number() OVER (PARTITION BY user_id
+        |        ORDER BY day, event_type) AS rk
+        |    FROM uc) WHERE rk <= 4),
+        |g AS (SELECT event_type, day, CAST(count(*) AS BIGINT) AS true_users
+        |  FROM kept GROUP BY 1, 2),
+        |dense AS (SELECT v.event_type, grid.day,
+        |    coalesce(g.true_users, CAST(0 AS BIGINT)) AS true_users
+        |  FROM grid CROSS JOIN vocab v
+        |  LEFT JOIN g ON g.event_type = v.event_type AND g.day = grid.day),
+        |n AS (SELECT event_type, day, true_users,
+        |    (CAST(('0x' || substr(md5('dpu|' || event_type || '|' ||
+        |        CAST(day AS VARCHAR)), 1, 8)) AS BIGINT) + 0.5) /
+        |      4294967296.0 AS u
+        |  FROM dense),
+        |z AS (SELECT event_type, day, true_users,
+        |    round(-4.0 * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5)), 9) AS noise
+        |  FROM n)
+        |SELECT event_type, day,
+        |  CAST(greatest(0.0, floor((CAST(true_users AS DOUBLE) + noise) + 0.5)) AS BIGINT)
+        |    AS released_users,
+        |  CAST(1.0 AS DOUBLE) AS epsilon
+        |FROM z ORDER BY event_type, day""".stripMargin,
     // x44: bin into the public [0,512]/64 grid → dense candidate set
     // (empty bins included) → rank-distance utility from cum/n windows
     // → Gumbel argmax per event_type → midpoint of the winning bin.

@@ -498,6 +498,87 @@ class PrivacySpec extends AnyFunSuite {
     avgErrs.foreach(e => assert(e <= 25.0))
   }
 
+  test("x49 user-level DP: removing one whole user moves at most capCells cells, each by at most 1") {
+    import graft.operators.DpLedger
+    import spark.implicits._
+    // THE claim that separates user-level from event-level DP, checked
+    // as executable sensitivity analysis: build a corpus where one user
+    // touches 6 cells (6 days, one type — plus heavy per-day event
+    // volume, which must NOT matter: contribution is presence, not
+    // count), release with and without that user under IDENTICAL
+    // seeded noise (same cells, same tags → same draws), and diff. The
+    // capped truth changes in exactly capCells = 4 cells by exactly 1,
+    // so the released integers may differ in AT MOST 4 cells, each by
+    // at most 1 (the 0-clamp can only shrink a difference). x40 run the
+    // same way has no such bound — one heavy user moves one cell by
+    // their whole event count.
+    def mkEvents(withU1: Boolean) = {
+      val base = for {
+        u <- 2 to 11
+        rep <- 1 to 3 // event volume per cell — must not affect the count
+      } yield (java.sql.Timestamp.valueOf(s"2024-01-${10 + (u % 3)} 0$rep:00:00"),
+        "click", s"user$u")
+      val u1 = for {
+        day <- 1 to 6
+        rep <- 1 to 50 // heavy user: 300 events across 6 cells
+      } yield (java.sql.Timestamp.valueOf(f"2024-01-$day%02d ${rep % 24}%02d:30:00"),
+        "click", "user1")
+      (if (withU1) base ++ u1 else base).toDF("ts", "event_type", "user_id")
+    }
+    def rel(withU1: Boolean): Map[java.sql.Timestamp, Long] =
+      Privacy.dpUserCountRelease(mkEvents(withU1), seeded = true).collect()
+        .map(r => r.getTimestamp(1) -> r.getLong(2)).toMap
+    val withU = rel(withU1 = true)
+    val without = rel(withU1 = false)
+    assert(withU.keySet === without.keySet,
+      "the dense public release set must not shift with a user's data")
+    assert(withU.size === 64, "one type x 64 public days")
+    val moved = withU.keySet.filter(k => withU(k) != without(k))
+    assert(moved.size <= 4,
+      s"user-level sensitivity: ${moved.size} cells moved, cap is 4")
+    assert(moved.nonEmpty, "u1's first 4 cells are counted and must show")
+    moved.foreach { k =>
+      assert(math.abs(withU(k) - without(k)) <= 1L,
+        s"cell $k moved by ${math.abs(withU(k) - without(k))} > 1 — presence, not volume")
+    }
+    // cells 5 and 6 of u1's span (Jan 5/6) fall past the cap and must
+    // NOT move — the cap binds and binds deterministically (first 4 in
+    // (day, type) order)
+    for (dd <- Seq("2024-01-05", "2024-01-06")) {
+      val k = java.sql.Timestamp.valueOf(s"$dd 00:00:00")
+      assert(withU(k) === without(k), s"capped-out cell $dd must not move")
+    }
+    // seeded determinism + the Laplace tail at b = 4: the 32-bit seeded
+    // uniform cannot exceed |noise| = 4·ln(2^33) ≈ 91.6
+    val again = rel(withU1 = true)
+    assert(again === withU, "seeded release must be bit-stable")
+    val ev = graft.Tables.events(spark, d)
+    val gate = Privacy.dpUserCountRelease(ev, seeded = true).collect()
+    val cappedTruth = {
+      val cells = ev.withColumn("day", date_trunc("day", col("ts")))
+        .select("user_id", "event_type", "day").distinct()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("day", "event_type")
+      cells.withColumn("rk", row_number().over(w)).filter(col("rk") <= 4)
+        .groupBy("event_type", "day").count().collect()
+        .map(r => ((r.getString(0), r.getTimestamp(1)), r.getLong(2))).toMap
+    }
+    gate.foreach { r =>
+      val k = (r.getString(0), r.getTimestamp(1))
+      val dev = math.abs(r.getLong(2) - cappedTruth.getOrElse(k, 0L))
+      assert(r.getLong(2) >= 0L)
+      assert(dev <= 100L, s"cell $k deviation $dev outside the b=4 Laplace tail")
+    }
+    // ledger: charge-then-release — a refused release throws before any
+    // frame exists (the enforcement contract every dp*Release carries)
+    val led = DpLedger.open(freshLedgerDir(), budget = BigDecimal("0.5"))
+    val refusal = intercept[IllegalStateException] {
+      Privacy.dpUserCountRelease(ev, seeded = true, ledger = Some(led))
+    }
+    assert(refusal.getMessage.contains("refused"))
+    assert(led.spent === BigDecimal(0))
+  }
+
   test("x44 DP median: one release per type, inside the public range, near the true median, seeded-stable") {
     val rel = SparkEntry.queries("x44_dp_median_release")(spark, d).collect()
       .map(r => (r.getString(0), r.getDouble(1))).toMap

@@ -285,6 +285,24 @@ class ScaleSpec extends AnyFunSuite {
       s"x15 rank window must be (lang, hshard)-keyed and unique:\n$plan")
   }
 
+  test("x49 contribution-cap window is user-keyed; the public grid never products") {
+    val d = "/root/testdata/sf0.001"
+    val df = SparkEntry.queries("x49_dp_user_count")(spark, d)
+    val plan = df.queryExecution.optimizedPlan.toString
+    // the cap is the ONLY window and it must rank per user — a
+    // global (empty-partition) window here would serialize the whole
+    // corpus through one task at 100 TB
+    val wins = "windowspecdefinition\\(".r.findAllIn(plan).length
+    val userWins = "windowspecdefinition\\(user_id#\\d+".r.findAllIn(plan).length
+    assert(wins > 0 && wins === userWins,
+      s"x49's cap window must be user-keyed (got $userWins/$wins):\n$plan")
+    // grid × vocabulary rides a broadcast (public-config-sized sides);
+    // an unbroadcast cross would plan as CartesianProduct
+    val exec = df.queryExecution.executedPlan.toString
+    assert(!exec.contains("CartesianProduct"),
+      s"x49 public-grid joins must broadcast, never product:\n$exec")
+  }
+
   test("x16 quality rules are map-only: no join, no aggregate") {
     val d = "/root/testdata/sf0.001"
     val plan = SparkEntry.queries("x16_quality_rules")(spark, d)

@@ -1244,6 +1244,57 @@ class StreamingSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](totalsAsOf(1L))
   }
 
+  test("live release: the streamed continual DP release equals batch x47 at every commit point") {
+    import org.apache.spark.sql.functions.col
+    // The streaming twin of x47 (LiveRelease): day counts are additive,
+    // so LiveCounts partials re-aggregate to the batch groupBy exactly,
+    // and everything downstream of the dailies (grid, node noise,
+    // decomposition) is deterministic given them — a release from the
+    // live store must equal the batch release on the same records,
+    // clamped integer for clamped integer. Also pinned: the as-of
+    // release is the batch release over the prefix, replay of a
+    // committed batch id is a no-op, compaction is invisible, and the
+    // ledger meters live releases exactly like batch ones.
+    val root = java.nio.file.Files.createTempDirectory("graft-live-release").toString
+    val cfg = graft.streaming.LiveRelease.Config(root)
+    val d = "/root/testdata/sf0.001"
+    val evAll = graft.Tables.events(spark, d)
+    val slices = (0 until 3).map(i => evAll.filter(col("event_id") % 3 === i))
+    slices.zipWithIndex.foreach { case (s, i) =>
+      graft.streaming.LiveRelease.step(s, i.toLong, cfg) }
+    def live(asOf: Long = Long.MaxValue) = graft.streaming.LiveRelease
+      .release(spark, cfg, seeded = true, asOf = asOf).collect().toSeq
+    val frontier = live()
+    val batch = graft.operators.Privacy.dpContinualRelease(evAll, seeded = true)
+      .collect().toSeq
+    assert(frontier === batch,
+      "the live release must be bit-identical to batch x47 on the same records")
+    // as-of at commit 1 = the batch release over slices 0+1 (a
+    // reproducible release surface: 'the numbers we shipped Tuesday')
+    val batchPrefix = graft.operators.Privacy.dpContinualRelease(
+      slices(0).unionByName(slices(1)), seeded = true).collect().toSeq
+    assert(live(asOf = 1L) === batchPrefix)
+    // replay of a committed batch id must not double-count
+    graft.streaming.LiveRelease.step(slices(0), 0L, cfg)
+    assert(live() === frontier, "replayed batch id is a no-op")
+    // compaction folds the partials; the release cannot tell
+    graft.streaming.LiveRelease.compact(spark, cfg)
+    assert(live() === frontier, "a fold must be invisible to the release")
+    // the ledger meters live releases like batch ones: ε=1 per window,
+    // a second release of the same window refused once spent
+    val led = graft.operators.DpLedger.open(
+      java.nio.file.Files.createTempDirectory("graft-lr-ledger").toString,
+      budget = BigDecimal(1))
+    val metered = graft.streaming.LiveRelease.release(spark, cfg,
+      seeded = true, ledger = Some(led)).collect().toSeq
+    assert(metered === frontier)
+    assert(led.spent === BigDecimal(1))
+    intercept[IllegalStateException] {
+      graft.streaming.LiveRelease.release(spark, cfg,
+        seeded = true, ledger = Some(led))
+    }
+  }
+
   test("live NB: streamed class-count partials rebuild the batch x24 classifier bit-for-bit") {
     import spark.implicits._
     val d = "/root/testdata/sf0.001"
