@@ -993,19 +993,33 @@ object Bench {
           "org.apache.spark.sql.execution.adaptive.AQEPropagateEmptyRelation")
         spark.listenerManager.register(listener)
         try {
-          graft.streaming.LiveIndex.bm25(spark, idx, terms, 10).collect()
           // the execution listener is async on the shared bus — require
           // THREE consecutive quiet 250 ms windows before reading the
           // captured set (r16 advice: under load a single quiet window
           // can elapse while onSuccess events are still queued on the
           // bus, silently undercounting maxscore_rows — the metric the
           // pruning claim rests on)
-          var last = -1
-          var quiet = 0
-          while (quiet < 3) {
-            Thread.sleep(250)
-            if (qes.size == last) quiet += 1 else { quiet = 0; last = qes.size }
+          def quiesce(): Unit = {
+            var last = -1
+            var quiet = 0
+            while (quiet < 3) {
+              Thread.sleep(250)
+              if (qes.size == last) quiet += 1 else { quiet = 0; last = qes.size }
+            }
           }
+          // Straggler drain BEFORE the serve (round 17 — the growth
+          // gate's first live session caught this as a maxscore_rows
+          // fire): the shared bus delivers to listeners present at
+          // DELIVERY time, so events from executions that COMPLETED
+          // before registration (the matchedPostingsCount denominator
+          // above, the term timings' noop saves) can still land in this
+          // capture when the bus is backlogged — the 4×/16× points read
+          // rows ≈ pruned + postings, i.e. the naive count scan leaked
+          // in. Quiesce first, then discard everything that arrived.
+          quiesce()
+          qes.clear()
+          graft.streaming.LiveIndex.bm25(spark, idx, terms, 10).collect()
+          quiesce()
           import scala.jdk.CollectionConverters._
           // postings scans ONLY (doclens/aux reads are candidate-pushed
           // and bounded; the claim under measurement is about posting

@@ -42,6 +42,16 @@ private[serve] object Facade {
           (400, s"""{"error":"bad request: ${jsonEscape(
             Option(e.getMessage).getOrElse(e.getClass.getSimpleName))}"}"""
             .getBytes("UTF-8"))
+        // a DP budget refusal (DpLedger.charge, the charge-then-release
+        // wrapper) is neither a client fault nor a server fault — it is
+        // the privacy policy answering "not anymore": 429, message
+        // included (the ledger's refusal line carries only public
+        // schedule state — spent/proposed/budget — never data). Scoped
+        // to the ledger's message so an unrelated IllegalStateException
+        // (a writer-path fault) still reads as the 500 it is.
+        case e: IllegalStateException
+            if Option(e.getMessage).exists(_.startsWith("DP budget exhausted")) =>
+          (429, s"""{"error":"${jsonEscape(e.getMessage)}"}""".getBytes("UTF-8"))
         case e: Exception =>
           (500, s"""{"error":"${jsonEscape(e.getClass.getSimpleName)}"}"""
             .getBytes("UTF-8"))

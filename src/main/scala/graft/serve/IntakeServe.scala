@@ -36,7 +36,12 @@ import graft.streaming.LivePipeline
   *    cosine top-k over the continuously-maintained ANN store;
   *  - `GET /stores` — maintenance posture of every store behind the
   *    intake (partition counts, commit frontier, pending
-  *    fold/rewrite recovery debt), driver-side listings only.
+  *    fold/rewrite recovery debt), driver-side listings only;
+  *  - `GET /release[?window=<w>][&as_of=<batch>][&seeded=1]` (when
+  *    constructed with a [[graft.streaming.LiveRelease]] config) —
+  *    the continual DP release from the live day-count store, with
+  *    LIVE budget enforcement: a ledger-refused request answers 429
+  *    and releases nothing.
   *
   * Built like [[HttpServe]] (JDK HttpServer, no dependency, JSON
   * array bodies, wildcard CORS) and, like it, a DEMO-serving tier:
@@ -54,7 +59,9 @@ final class IntakeServe(spark: SparkSession, cfg: LivePipeline.Config,
     port: Int = 0,
     index: Option[graft.streaming.LiveIndex.Config] = None,
     metrics: Option[graft.streaming.IntakeMetrics] = None,
-    vectors: Option[graft.streaming.LiveVectors.Config] = None) {
+    vectors: Option[graft.streaming.LiveVectors.Config] = None,
+    release: Option[graft.streaming.LiveRelease.Config] = None,
+    releaseLedger: Option[graft.operators.DpLedger] = None) {
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
 
@@ -157,6 +164,30 @@ final class IntakeServe(spark: SparkSession, cfg: LivePipeline.Config,
         s""""n_pending_rewrites":${st.nPendingRewrites}}"""
     }.mkString("[", ",", "]")
   })
+  // The DP release API over the live day-count store
+  // ([[graft.streaming.LiveRelease]]): `GET /release[?window=<w>]
+  // [&as_of=<batch>][&seeded=1]` answers the x47 continual release for
+  // that window from the store's totals. Budget enforcement is LIVE
+  // here, not advisory: when constructed with `releaseLedger`, every
+  // request charges its window's ε = 1 through the charge-then-release
+  // wrapper BEFORE any frame exists, and an exhausted budget answers
+  // 429 with the refusal line — nothing computed, nothing released
+  // (Facade maps DpLedger's IllegalStateException). Each request is a
+  // NEW release (fresh salted noise by default — the production
+  // contract), so each request is a new charge even for a window
+  // already released: that is exactly the composed-release averaging
+  // attack, and the ledger's cap is the defense (PrivacySpec).
+  // `seeded=1` opts into the oracle-replayable draw (the releaseSalt
+  // contract's test spelling).
+  release.foreach { rcfg =>
+    server.createContext("/release", (ex: HttpExchange) => Facade.handle(ex) { p =>
+      val window = p.getOrElse("window", "0").toInt
+      val asOf = p.get("as_of").map(_.toLong).getOrElse(Long.MaxValue)
+      val seeded = p.get("seeded").contains("1")
+      rowsJson(graft.streaming.LiveRelease.release(spark, rcfg,
+        window = window, seeded = seeded, ledger = releaseLedger, asOf = asOf))
+    })
+  }
   server.createContext("/snapshot", (ex: HttpExchange) => Facade.handle(ex) { p =>
     // what a training run pinned at ?as_of=<batch> would read: doc and
     // token totals per lang — the reproducible-corpus manifest

@@ -22,7 +22,11 @@ class HttpServeSpec extends AnyFunSuite {
     conn.setRequestMethod("GET")
     val code = conn.getResponseCode
     val is = if (code < 400) conn.getInputStream else conn.getErrorStream
-    val body = try scala.io.Source.fromInputStream(is).mkString finally is.close()
+    // explicit UTF-8: the bodies are written as UTF-8 (Facade), and the
+    // container JVM's default charset is not — a non-ASCII byte in an
+    // error body (the ledger refusal line's em dash) must not throw
+    val body = try scala.io.Source.fromInputStream(is)(
+      scala.io.Codec.UTF8).mkString finally is.close()
     import scala.jdk.CollectionConverters._
     val headers = conn.getHeaderFields.asScala.collect {
       case (k, vs) if k != null => k.toLowerCase -> vs.asScala.mkString(",")
@@ -237,6 +241,49 @@ class HttpServeSpec extends AnyFunSuite {
       assert(body.contains("\"cos\":"))
       val (c2, err) = get(s"$base/knn")
       assert(c2 === 400 && err.contains("missing parameter"))
+    } finally srv.stop()
+  }
+
+  test("/release serves the live continual DP release; an exhausted budget answers 429 and releases nothing") {
+    import org.apache.spark.sql.functions.col
+    val d = "/root/testdata/sf0.001"
+    val rroot = java.nio.file.Files.createTempDirectory("graft-intake-release").toString
+    val rcfg = graft.streaming.LiveRelease.Config(rroot)
+    val evAll = Tables.events(spark, d)
+    (0 until 2).foreach(i => graft.streaming.LiveRelease.step(
+      evAll.filter(col("event_id") % 2 === i), i.toLong, rcfg))
+    val expected = graft.operators.Privacy.dpContinualRelease(evAll, seeded = true)
+      .collect().map(_.getAs[Long]("released_cum")).toSeq
+    // budget 1: exactly one release is EVER admitted over this API
+    val led = graft.operators.DpLedger.open(
+      java.nio.file.Files.createTempDirectory("graft-release-ledger").toString,
+      budget = BigDecimal(1))
+    val cfg = graft.streaming.LivePipeline.Config(
+      java.nio.file.Files.createTempDirectory("graft-intake-release-root").toString)
+    val srv = new graft.serve.IntakeServe(spark, cfg,
+      release = Some(rcfg), releaseLedger = Some(led))
+    srv.start()
+    try {
+      val base = s"http://127.0.0.1:${srv.boundPort}"
+      // seeded=1: the oracle-replayable draw, so the HTTP body is
+      // checkable against the batch x47 release on the same records
+      val (c1, body) = get(s"$base/release?window=0&seeded=1")
+      assert(c1 === 200)
+      val got = "\"released_cum\":(\\d+)".r.findAllMatchIn(body)
+        .map(_.group(1).toLong).toSeq
+      assert(got === expected,
+        s"HTTP release must equal batch x47 on the ingested records: $body")
+      assert(led.spent === BigDecimal(1))
+      // the second request is a NEW release (the averaging attack) —
+      // refused by the ledger as 429 BEFORE any frame exists, nothing
+      // released, spend unchanged
+      val (c2, err) = get(s"$base/release?window=0&seeded=1")
+      assert(c2 === 429, s"budget refusal must answer 429: $err")
+      assert(err.contains("refused") && !err.contains("released_cum"))
+      assert(led.spent === BigDecimal(1))
+      // client fault stays 400, not 429
+      val (c3, _) = get(s"$base/release?window=zero")
+      assert(c3 === 400)
     } finally srv.stop()
   }
 
