@@ -358,7 +358,11 @@ object Bench {
       // per-user row_number cap window + cell-keyed combinable count +
       // public-grid broadcasts); recorded from a 0.054-floor isolated
       // 3-run session
-      ("x49_dp_user_count" -> ((0.709, 0.054))) ++
+      ("x49_dp_user_count" -> ((0.709, 0.054))) +
+      // NEW round 17: x50 Gaussian/zCDP count release (the x40 plan
+      // shape — one combinable corpus agg + pure map Box–Muller noise);
+      // recorded from a 0.066-floor isolated 3-run session
+      ("x50_dp_gaussian" -> ((0.626, 0.066))) ++
       // RE-RECORDED round 16 (r15 verdict #5): the 25 r15-era
       // `light_trimmed` keys, from one 0.076-floor isolated 3-run
       // session with SPARK_GRAFT_NO_TRIM=1 (full medians, not the

@@ -391,6 +391,13 @@ object Privacy {
     // statement holds at ε = 1 for the whole release.
     "x49_dp_user_count" -> { (s, d) =>
       dpUserCountRelease(Tables.events(s, d), seeded = true)
+    },
+    // GAUSSIAN count release under zCDP accounting
+    // ([[dpGaussianCountRelease]]): seeded Box–Muller noise at σ = 2
+    // over the dense public grid, ρ = 0.125 per release summed exactly
+    // by a ρ-currency ledger, (ε, δ) read out via [[zcdpEpsilon]].
+    "x50_dp_gaussian" -> { (s, d) =>
+      dpGaussianCountRelease(Tables.events(s, d), seeded = true)
     }
   )
 
@@ -463,6 +470,29 @@ object Privacy {
   private def laplace(b: Double, u: Column): Column = round(
     -lit(b) * signum(u - lit(0.5)) * log(lit(1.0) - lit(2.0) * abs(u - lit(0.5))), 9)
 
+  /** N(0, σ²) by Box–Muller from two seeded uniforms — the Gaussian
+    * mechanism's draw (x50). Every libm call (ln, cos) is rounded to 9
+    * digits before the next operation (the x10 discipline; sqrt is
+    * IEEE-exact and needs no concession), so the oracle's spelling is
+    * digit-identical. The 32-bit seeded uniform keeps u1 ≥ 2⁻³³, so
+    * |z| ≤ √(2·ln 2³³) ≈ 6.77 by construction — the tail the spec
+    * pins. u1's ln can round to −0.0 at the top of the range; −2·−0.0
+    * = 0.0 and √0 = 0, so no NaN path exists.
+    */
+  private def gaussian(sigma: Double, u1: Column, u2: Column): Column = round(
+    lit(sigma) *
+      round(sqrt(round(lit(-2.0) * round(log(u1), 9), 9)), 9) *
+      round(cos(round(lit(2.0 * math.Pi) * u2, 9)), 9), 9)
+
+  /** zCDP → (ε, δ): a ρ-zCDP mechanism satisfies (ρ + 2√(ρ·ln(1/δ)), δ)
+    * approximate DP for every δ > 0 (Bun–Steinke 2016, Prop. 1.3). The
+    * conversion the x50 ρ-ledger's budget is read through.
+    */
+  def zcdpEpsilon(rho: Double, delta: Double): Double = {
+    require(rho > 0 && delta > 0 && delta < 1, s"need rho>0, 0<delta<1; got $rho, $delta")
+    rho + 2.0 * math.sqrt(rho * math.log(1.0 / delta))
+  }
+
   /** x40's ε=1 Laplace count release as a public API (see the x40 entry
     * for the mechanism/accounting doc). [[releaseSalt]] documents the
     * `seeded` contract — production default is the salted,
@@ -518,6 +548,61 @@ object Privacy {
       .select(col("event_type"), col("day"),
         greatest(lit(0.0), floor(col("noisy_n") + lit(0.5))).cast("long").as("released_n"),
         lit(1.0).as("epsilon"))
+      .orderBy("event_type", "day")
+  }
+
+  /** x50: GAUSSIAN-mechanism count release under zCDP accounting — the
+    * other canonical noise mechanism, and the accounting regime modern
+    * ML release pipelines actually run (DP-SGD's moments/RDP accounting
+    * is zCDP-shaped). Laplace (x40) is the right tool for one release
+    * at pure ε; Gaussian composes better: k ρ-zCDP releases are
+    * (k·ρ)-zCDP — the ledger sums ρ linearly and EXACTLY, and the
+    * (ε, δ) statement falls out ONCE at read time via [[zcdpEpsilon]]
+    * (ρ + 2√(ρ·ln(1/δ))): because the √ term composes sublinearly,
+    * converting the summed ρ is strictly tighter than summing
+    * per-release conversions (5.76 vs 11.0 for four releases at
+    * δ = 1e-6 — the spec pins it), which is why the ledger must
+    * account in ρ and convert at read time, never per release. Pure-ε
+    * accounting of a Gaussian release is impossible (δ = 0 never
+    * holds). Count sensitivity Δ = 1, σ = 2 → ρ = Δ²/(2σ²) = 0.125,
+    * EXACT in decimal, so the ledger arithmetic stays drift-free.
+    *
+    * Same release-set discipline as x40 (dense public grid ×
+    * vocabulary, zero cells noised, only the clamped integer ships)
+    * and the same plan shape (one combinable corpus agg + pure map
+    * noise). `ledger` must be a ρ-CURRENCY ledger — a [[DpLedger]]
+    * instance accounts exactly one currency, and mixing ε charges and
+    * ρ charges in one registry would sum incomparable numbers (the
+    * scaladoc contract; the x50 gate opens its own ρ ledger).
+    */
+  def dpGaussianCountRelease(events: DataFrame, seeded: Boolean = false,
+      ledger: Option[DpLedger] = None, releaseId: String = "gauss_count"): DataFrame = {
+    val sigma = 2.0
+    val rho = BigDecimal("0.125") // 1 / (2 sigma^2), exact
+    ledger.foreach(_.charge(releaseId, "gaussian_count_zcdp", rho))
+    val salt = releaseSalt(seeded)
+    val s = events.sparkSession
+    val lo = to_date(lit(ContinualEpoch)).cast("timestamp")
+    val hi = date_add(to_date(lit(ContinualEpoch)), ContinualT).cast("timestamp")
+    val grp = events
+      .withColumn("day", date_trunc("day", col("ts")))
+      .filter(col("day") >= lo && col("day") < hi)
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("true_n"))
+    val grid = s.range(ContinualT).select(
+      date_add(to_date(lit(ContinualEpoch)), col("id").cast("int"))
+        .cast("timestamp").as("day"))
+    val vocab = events.select("event_type").distinct()
+    val cells = grid.crossJoin(broadcast(vocab))
+    val counts = cells.join(grp, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("true_n"), lit(0L)).as("true_n"))
+    counts.withColumn("noisy",
+        col("true_n").cast("double") +
+          gaussian(sigma, seededUnif("dpg1|", salt), seededUnif("dpg2|", salt)))
+      .select(col("event_type"), col("day"),
+        greatest(lit(0.0), floor(col("noisy") + lit(0.5))).cast("long").as("released_n"),
+        lit(rho.toDouble).as("rho"))
       .orderBy("event_type", "day")
   }
 
@@ -1280,6 +1365,45 @@ object Privacy {
         |  CAST(1.0 AS DOUBLE) AS window_epsilon
         |FROM winrel w JOIN ofs o ON w.win = o.win
         |ORDER BY window_id, t""".stripMargin,
+    // x50: dense grid → two seeded md5 uniforms ('dpg1|'/'dpg2|') →
+    // Box–Muller at σ=2 with every libm call rounded to 9 (ln, cos;
+    // sqrt is IEEE-exact) → clamp+floor. 6.283185307179586 is 2π as
+    // the same double literal the Spark side compiles.
+    "x50_dp_gaussian" ->
+      """WITH grid AS (SELECT CAST(DATE '2024-01-01' + CAST(g.range AS INT) AS TIMESTAMP) AS day
+        |  FROM range(0, 64) g),
+        |vocab AS (SELECT DISTINCT event_type FROM events),
+        |g AS (SELECT event_type,
+        |    CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |    CAST(count(*) AS BIGINT) AS true_n
+        |  FROM events
+        |  WHERE CAST(date_trunc('day', ts) AS TIMESTAMP)
+        |      >= CAST(DATE '2024-01-01' AS TIMESTAMP)
+        |    AND CAST(date_trunc('day', ts) AS TIMESTAMP)
+        |      < CAST(DATE '2024-01-01' + 64 AS TIMESTAMP)
+        |  GROUP BY 1, 2),
+        |dense AS (SELECT v.event_type, grid.day,
+        |    coalesce(g.true_n, CAST(0 AS BIGINT)) AS true_n
+        |  FROM grid CROSS JOIN vocab v
+        |  LEFT JOIN g ON g.event_type = v.event_type AND g.day = grid.day),
+        |n AS (SELECT event_type, day, true_n,
+        |    (CAST(('0x' || substr(md5('dpg1|' || event_type || '|' ||
+        |        CAST(day AS VARCHAR)), 1, 8)) AS BIGINT) + 0.5) /
+        |      4294967296.0 AS u1,
+        |    (CAST(('0x' || substr(md5('dpg2|' || event_type || '|' ||
+        |        CAST(day AS VARCHAR)), 1, 8)) AS BIGINT) + 0.5) /
+        |      4294967296.0 AS u2
+        |  FROM dense),
+        |z AS (SELECT event_type, day, true_n,
+        |    round(2.0 *
+        |      round(sqrt(round(-2.0 * round(ln(u1), 9), 9)), 9) *
+        |      round(cos(round(6.283185307179586 * u2, 9)), 9), 9) AS noise
+        |  FROM n)
+        |SELECT event_type, day,
+        |  CAST(greatest(0.0, floor((CAST(true_n AS DOUBLE) + noise) + 0.5)) AS BIGINT)
+        |    AS released_n,
+        |  CAST(0.125 AS DOUBLE) AS rho
+        |FROM z ORDER BY event_type, day""".stripMargin,
     // x49: per-user distinct cells → row_number cap at 4 → cell counts →
     // dense grid → seeded Laplace at scale 4 → clamp+floor. Same
     // md5-uniform and chained-ln spelling as x40, 'dpu|' domain tag.

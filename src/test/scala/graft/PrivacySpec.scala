@@ -579,6 +579,62 @@ class PrivacySpec extends AnyFunSuite {
     assert(led.spent === BigDecimal(0))
   }
 
+  test("x50 Gaussian release: dense cells, Box-Muller tail bound, zCDP ledger admits exactly budget/rho releases") {
+    import graft.operators.DpLedger
+    import org.apache.spark.sql.functions._
+    val ev = graft.Tables.events(spark, d)
+    val released = Privacy.dpGaussianCountRelease(ev, seeded = true).collect()
+      .map(r => ((r.getString(0), r.getTimestamp(1)), r.getLong(2))).toMap
+    val truth = ev.groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .count().collect()
+      .map(r => ((r.getString(0), r.getTimestamp(1)), r.getLong(2))).toMap
+    val vocab = ev.select("event_type").distinct().collect().map(_.getString(0)).toSet
+    val epoch = java.time.LocalDate.parse("2024-01-01")
+    val gridDays = (0 until 64).map(i =>
+      java.sql.Timestamp.valueOf(epoch.plusDays(i.toLong).atStartOfDay())).toSet
+    assert(released.keySet === (for (t <- vocab; day <- gridDays) yield (t, day)),
+      "release set must be the dense public grid x vocabulary")
+    val devs = released.map { case (k, rel) =>
+      assert(rel >= 0L, s"cell $k released negative count $rel")
+      math.abs(rel - truth.getOrElse(k, 0L))
+    }
+    assert(devs.exists(_ > 0L), "the mechanism must actually perturb some counts")
+    // Box-Muller from a 32-bit uniform: |z| <= sqrt(2 ln 2^33) ~ 6.77,
+    // so |noise| <= sigma * 6.77 * |cos| <= 13.6 BY CONSTRUCTION — a
+    // hard bound, unlike the probabilistic Gaussian tail
+    devs.foreach(dv => assert(dv <= 14L, s"deviation $dv outside the seeded-draw bound"))
+    // seeded determinism
+    assert(Privacy.dpGaussianCountRelease(ev, seeded = true).collect()
+      .map(_.getLong(2)).toSeq ===
+      released.toSeq.sortBy(k => (k._1._1, k._1._2.getTime)).map(_._2),
+      "seeded release must be bit-stable")
+    // zCDP accounting: rho = 0.125 per release sums EXACTLY in the
+    // rho-currency ledger — budget 0.5 admits exactly 4 releases, the
+    // 5th refused before the mechanism runs (the x46/x49 contract in
+    // the other currency); the (eps, delta) statement falls out of the
+    // ledger total via the Bun-Steinke conversion
+    val led = DpLedger.open(freshLedgerDir(), budget = BigDecimal("0.5"))
+    (1 to 4).foreach { i =>
+      Privacy.dpGaussianCountRelease(ev, ledger = Some(led), releaseId = s"g|$i")
+    }
+    assert(led.spent === BigDecimal("0.5"))
+    val refusal = intercept[IllegalStateException] {
+      Privacy.dpGaussianCountRelease(ev, ledger = Some(led), releaseId = "g|5")
+    }
+    assert(refusal.getMessage.contains("refused"))
+    assert(led.spent === BigDecimal("0.5"), "a refused charge spends nothing")
+    // total rho = 0.5 at delta = 1e-6: eps = 0.5 + 2 sqrt(0.5 ln 1e6)
+    val eps = Privacy.zcdpEpsilon(0.5, 1e-6)
+    assert(math.abs(eps - (0.5 + 2.0 * math.sqrt(0.5 * math.log(1e6)))) < 1e-12)
+    // the composition advantage, stated honestly: converting the SUMMED
+    // rho (what the ledger accounts) beats summing per-release (eps,
+    // delta) conversions — 5.76 vs 4 x 2.75 = 11.0 here — because the
+    // sqrt term composes sublinearly; THAT is why the ledger must
+    // account in rho and convert once at read time, never per release
+    assert(eps < 4.0 * Privacy.zcdpEpsilon(0.125, 1e-6),
+      s"summed-rho conversion must beat per-release conversion sums, got $eps")
+  }
+
   test("x44 DP median: one release per type, inside the public range, near the true median, seeded-stable") {
     val rel = SparkEntry.queries("x44_dp_median_release")(spark, d).collect()
       .map(r => (r.getString(0), r.getDouble(1))).toMap
