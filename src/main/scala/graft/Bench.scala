@@ -40,7 +40,7 @@ object Bench {
     * under HALF this value and flags a regression only if the re-drain
     * is low too — "low once" is machine noise, adjudicated in-artifact.
     *
-    * RE-RECORDED round 17 (r16 verdict #5): 56.9 → 43.1. Four
+    * RE-RECORDED round 17 (r16 verdict #5): 56.9 → 38.3. Four
     * consecutive sessions read below the old recording (38.99 r15
     * driver; 47.97 r16 calm; 38.28 r17 calm isolated, fresh-JVM 28.34).
     * The cause is code, not machine: 56.9 predates r16's fold-atomic

@@ -89,12 +89,15 @@ final class DpLedger private (val dir: String, val budget: BigDecimal) {
 
   /** [[tryCharge]] that THROWS on refusal — the spelling the release
     * functions call, so a refused release never returns a frame.
-    * Returns the new cumulative spend on admit.
+    * Returns the new cumulative spend on admit. The refusal is a TYPED
+    * exception ([[DpLedger.BudgetRefused]], r17 review) so callers that
+    * translate it — the HTTP facade's 429 — match on type, not on a
+    * message prefix a rewording would silently break.
     */
   def charge(releaseId: String, mechanism: String, eps: BigDecimal): BigDecimal =
     synchronized {
       if (!tryCharge(releaseId, mechanism, eps))
-        throw new IllegalStateException(
+        throw new DpLedger.BudgetRefused(
           s"DP budget exhausted: spent=$spentV + proposed=$eps exceeds " +
             s"budget=$budget — release '$releaseId' refused")
       spentV
@@ -121,6 +124,13 @@ final class DpLedger private (val dir: String, val budget: BigDecimal) {
 }
 
 object DpLedger {
+  /** Thrown by [[DpLedger.charge]] on a budget refusal. Subclasses
+    * IllegalStateException so existing catch sites keep working; the
+    * message carries only PUBLIC schedule state (spent/proposed/
+    * budget/release id), never data.
+    */
+  final class BudgetRefused(msg: String) extends IllegalStateException(msg)
+
   /** Open (or create) the ledger at `dir` with the given total budget.
     * Reopening an existing directory resumes its accounting exactly.
     */

@@ -518,29 +518,13 @@ object Privacy {
     * [[dpContinualRollover]] is the composed form).
     */
   def dpCountRelease(events: DataFrame, seeded: Boolean = false,
-      ledger: Option[DpLedger] = None, releaseId: String = "count"): DataFrame = {
+      ledger: Option[DpLedger] = None, releaseId: String = "count",
+      vocabulary: Option[Seq[String]] = None): DataFrame = {
     ledger.foreach(_.charge(releaseId, "laplace_count", BigDecimal(1)))
     val b = 1.0 // Laplace scale = sensitivity / epsilon = 1 / 1
     val salt = releaseSalt(seeded)
-    val s = events.sparkSession
-    val lo = to_date(lit(ContinualEpoch)).cast("timestamp")
-    val hi = date_add(to_date(lit(ContinualEpoch)), ContinualT).cast("timestamp")
-    val grp = events
-      .withColumn("day", date_trunc("day", col("ts")))
-      .filter(col("day") >= lo && col("day") < hi)
-      .groupBy("event_type", "day")
-      .agg(count(lit(1)).as("true_n"))
-    // dense public cells: calendar grid × vocabulary, types broadcast
-    // (a vocabulary is tiny); the grouped frame joins back LEFT so
-    // unobserved cells enter at count 0 — no new corpus exchange
-    val grid = s.range(ContinualT).select(
-      date_add(to_date(lit(ContinualEpoch)), col("id").cast("int"))
-        .cast("timestamp").as("day"))
-    val vocab = events.select("event_type").distinct()
-    val cells = grid.crossJoin(broadcast(vocab))
-    val counts = cells.join(grp, Seq("event_type", "day"), "left")
-      .select(col("event_type"), col("day"),
-        coalesce(col("true_n"), lit(0L)).as("true_n"))
+    val grp = windowedGroup(events).agg(count(lit(1)).as("true_n"))
+    val counts = denseCells(events, grp, "true_n", vocabulary)
     // only the clamped integer ships: releasing noise or noisy_n beside
     // it would reconstruct true_n exactly and void the mechanism
     counts.withColumn("noisy_n",
@@ -549,6 +533,55 @@ object Privacy {
         greatest(lit(0.0), floor(col("noisy_n") + lit(0.5))).cast("long").as("released_n"),
         lit(1.0).as("epsilon"))
       .orderBy("event_type", "day")
+  }
+
+  /** The public-window day filter + (event_type, day) grouping every
+    * dense-cell release starts from — one combinable corpus exchange.
+    */
+  private def windowedGroup(events: DataFrame)
+      : org.apache.spark.sql.RelationalGroupedDataset = {
+    val lo = to_date(lit(ContinualEpoch)).cast("timestamp")
+    val hi = date_add(to_date(lit(ContinualEpoch)), ContinualT).cast("timestamp")
+    events
+      .withColumn("day", date_trunc("day", col("ts")))
+      .filter(col("day") >= lo && col("day") < hi)
+      .groupBy("event_type", "day")
+  }
+
+  /** Dense release cells shared by x40/x49/x50: the PUBLIC 64-day
+    * calendar grid × the event-type vocabulary, with the grouped frame
+    * LEFT-joined in so unobserved cells enter at 0 — no new corpus
+    * exchange (grid and vocabulary broadcast).
+    *
+    * THE VOCABULARY IS PART OF THE PRIVACY CONTRACT (r17 review): the
+    * release-set discipline ("a cell's presence must never depend on
+    * the data") holds only if the vocabulary itself is public. Pass
+    * `vocabulary` from deployment config (schema-level knowledge, the
+    * honest production spelling) and the release set is data-independent
+    * by construction. The `None` default derives it from the corpus —
+    * convenient, and what the hash gates use — but then a type whose
+    * EVERY record belongs to one person appears/disappears with that
+    * person, an unbounded privacy-loss ratio no ε (or ρ) claim
+    * survives; the x43 caveat, now enforced at the one place all three
+    * dense releases build their cells.
+    */
+  private def denseCells(events: DataFrame, grp: DataFrame,
+      countCol: String, vocabulary: Option[Seq[String]]): DataFrame = {
+    val s = events.sparkSession
+    val grid = s.range(ContinualT).select(
+      date_add(to_date(lit(ContinualEpoch)), col("id").cast("int"))
+        .cast("timestamp").as("day"))
+    val vocab = vocabulary match {
+      case Some(ts) =>
+        require(ts.nonEmpty, "a public vocabulary must name at least one type")
+        import s.implicits._
+        ts.toDF("event_type")
+      case None => events.select("event_type").distinct()
+    }
+    grid.crossJoin(broadcast(vocab))
+      .join(grp, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col(countCol), lit(0L)).as(countCol))
   }
 
   /** x50: GAUSSIAN-mechanism count release under zCDP accounting — the
@@ -576,27 +609,14 @@ object Privacy {
     * scaladoc contract; the x50 gate opens its own ρ ledger).
     */
   def dpGaussianCountRelease(events: DataFrame, seeded: Boolean = false,
-      ledger: Option[DpLedger] = None, releaseId: String = "gauss_count"): DataFrame = {
+      ledger: Option[DpLedger] = None, releaseId: String = "gauss_count",
+      vocabulary: Option[Seq[String]] = None): DataFrame = {
     val sigma = 2.0
     val rho = BigDecimal("0.125") // 1 / (2 sigma^2), exact
     ledger.foreach(_.charge(releaseId, "gaussian_count_zcdp", rho))
     val salt = releaseSalt(seeded)
-    val s = events.sparkSession
-    val lo = to_date(lit(ContinualEpoch)).cast("timestamp")
-    val hi = date_add(to_date(lit(ContinualEpoch)), ContinualT).cast("timestamp")
-    val grp = events
-      .withColumn("day", date_trunc("day", col("ts")))
-      .filter(col("day") >= lo && col("day") < hi)
-      .groupBy("event_type", "day")
-      .agg(count(lit(1)).as("true_n"))
-    val grid = s.range(ContinualT).select(
-      date_add(to_date(lit(ContinualEpoch)), col("id").cast("int"))
-        .cast("timestamp").as("day"))
-    val vocab = events.select("event_type").distinct()
-    val cells = grid.crossJoin(broadcast(vocab))
-    val counts = cells.join(grp, Seq("event_type", "day"), "left")
-      .select(col("event_type"), col("day"),
-        coalesce(col("true_n"), lit(0L)).as("true_n"))
+    val grp = windowedGroup(events).agg(count(lit(1)).as("true_n"))
+    val counts = denseCells(events, grp, "true_n", vocabulary)
     counts.withColumn("noisy",
         col("true_n").cast("double") +
           gaussian(sigma, seededUnif("dpg1|", salt), seededUnif("dpg2|", salt)))
@@ -631,7 +651,12 @@ object Privacy {
     * why the scale is capCells/ε rather than 1/ε.
     * Cells are the DENSE 64-day grid × vocabulary (the x40/x43/x44
     * release-set discipline: a cell's presence must never depend on the
-    * data); only the clamped integer ships.
+    * data); only the clamped integer ships. PRECONDITION (r17 review):
+    * the user-level statement above holds only under a PUBLIC
+    * vocabulary — pass `vocabulary` from deployment config; with the
+    * corpus-derived default, a type owned entirely by one person
+    * appears/disappears with them, and no ε claim survives
+    * ([[denseCells]] carries the contract).
     *
     * Scale shape: one user-keyed corpus exchange (the distinct), a
     * user-keyed row_number window (parallel across users; a user's
@@ -643,11 +668,15 @@ object Privacy {
     */
   def dpUserCountRelease(events: DataFrame, seeded: Boolean = false,
       capCells: Int = 4, ledger: Option[DpLedger] = None,
-      releaseId: String = "user_count"): DataFrame = {
+      releaseId: String = "user_count",
+      vocabulary: Option[Seq[String]] = None): DataFrame = {
+    // validated BEFORE the ledger charge (r17 review): capCells <= 0
+    // would charge real budget for a degenerate (or, negative,
+    // sign-flipped-noise) frame still labeled epsilon = 1
+    require(capCells >= 1, s"capCells must be >= 1, got $capCells")
     ledger.foreach(_.charge(releaseId, "laplace_user_count", BigDecimal(1)))
     val b = capCells / 1.0 // Laplace scale = user-level sensitivity / epsilon
     val salt = releaseSalt(seeded)
-    val s = events.sparkSession
     val lo = to_date(lit(ContinualEpoch)).cast("timestamp")
     val hi = date_add(to_date(lit(ContinualEpoch)), ContinualT).cast("timestamp")
     val userCells = events
@@ -659,14 +688,7 @@ object Privacy {
       .filter(col("rk") <= capCells)
     val grp = kept.groupBy("event_type", "day")
       .agg(count(lit(1)).as("true_users"))
-    val grid = s.range(ContinualT).select(
-      date_add(to_date(lit(ContinualEpoch)), col("id").cast("int"))
-        .cast("timestamp").as("day"))
-    val vocab = events.select("event_type").distinct()
-    val cells = grid.crossJoin(broadcast(vocab))
-    val counts = cells.join(grp, Seq("event_type", "day"), "left")
-      .select(col("event_type"), col("day"),
-        coalesce(col("true_users"), lit(0L)).as("true_users"))
+    val counts = denseCells(events, grp, "true_users", vocabulary)
     counts.withColumn("noisy",
         col("true_users").cast("double") + laplace(b, seededUnif("dpu|", salt)))
       .select(col("event_type"), col("day"),

@@ -46,12 +46,13 @@ private[serve] object Facade {
         // wrapper) is neither a client fault nor a server fault — it is
         // the privacy policy answering "not anymore": 429, message
         // included (the ledger's refusal line carries only public
-        // schedule state — spent/proposed/budget — never data). Scoped
-        // to the ledger's message so an unrelated IllegalStateException
-        // (a writer-path fault) still reads as the 500 it is.
-        case e: IllegalStateException
-            if Option(e.getMessage).exists(_.startsWith("DP budget exhausted")) =>
-          (429, s"""{"error":"${jsonEscape(e.getMessage)}"}""".getBytes("UTF-8"))
+        // schedule state — spent/proposed/budget — never data). Matched
+        // by TYPE so an unrelated IllegalStateException (a writer-path
+        // fault) still reads as the 500 it is, and a refusal-message
+        // rewording cannot silently break the 429 contract.
+        case e: graft.operators.DpLedger.BudgetRefused =>
+          (429, s"""{"error":"${jsonEscape(
+            Option(e.getMessage).getOrElse("refused"))}"}""".getBytes("UTF-8"))
         case e: Exception =>
           (500, s"""{"error":"${jsonEscape(e.getClass.getSimpleName)}"}"""
             .getBytes("UTF-8"))

@@ -61,7 +61,8 @@ final class IntakeServe(spark: SparkSession, cfg: LivePipeline.Config,
     metrics: Option[graft.streaming.IntakeMetrics] = None,
     vectors: Option[graft.streaming.LiveVectors.Config] = None,
     release: Option[graft.streaming.LiveRelease.Config] = None,
-    releaseLedger: Option[graft.operators.DpLedger] = None) {
+    releaseLedger: Option[graft.operators.DpLedger] = None,
+    releaseWindows: Range = 0 until 1) {
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
 
@@ -182,6 +183,15 @@ final class IntakeServe(spark: SparkSession, cfg: LivePipeline.Config,
   release.foreach { rcfg =>
     server.createContext("/release", (ex: HttpExchange) => Facade.handle(ex) { p =>
       val window = p.getOrElse("window", "0").toInt
+      // window whitelist from SERVER config (r17 review): every request
+      // charges the shared persistent ledger irreversibly, so a typo'd
+      // or hostile window value (window=999, window=-5) must be a 400
+      // BEFORE the charge, never a burned budget + an all-zero-data
+      // "release". The range is deployment config — public, like the
+      // calendar epoch — so rejecting outside it leaks nothing.
+      require(releaseWindows.contains(window),
+        s"window $window outside the served range " +
+          s"[${releaseWindows.start}, ${releaseWindows.end})")
       val asOf = p.get("as_of").map(_.toLong).getOrElse(Long.MaxValue)
       val seeded = p.get("seeded").contains("1")
       rowsJson(graft.streaming.LiveRelease.release(spark, rcfg,

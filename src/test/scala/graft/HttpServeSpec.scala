@@ -284,6 +284,11 @@ class HttpServeSpec extends AnyFunSuite {
       // client fault stays 400, not 429
       val (c3, _) = get(s"$base/release?window=zero")
       assert(c3 === 400)
+      // a window outside the served range is a 400 BEFORE the charge —
+      // never a burned budget for a typo (r17 review); spend unchanged
+      val (c4, err4) = get(s"$base/release?window=7&seeded=1")
+      assert(c4 === 400 && err4.contains("outside the served range"), err4)
+      assert(led.spent === BigDecimal(1))
     } finally srv.stop()
   }
 

@@ -525,8 +525,13 @@ class PrivacySpec extends AnyFunSuite {
         "click", "user1")
       (if (withU1) base ++ u1 else base).toDF("ts", "event_type", "user_id")
     }
+    // vocabulary passed EXPLICITLY as public config (r17 review): the
+    // sensitivity claim requires a data-independent release set, and a
+    // corpus-derived vocabulary would make this experiment hold only by
+    // the accident of u1 sharing 'click' with everyone else
     def rel(withU1: Boolean): Map[java.sql.Timestamp, Long] =
-      Privacy.dpUserCountRelease(mkEvents(withU1), seeded = true).collect()
+      Privacy.dpUserCountRelease(mkEvents(withU1), seeded = true,
+        vocabulary = Some(Seq("click"))).collect()
         .map(r => r.getTimestamp(1) -> r.getLong(2)).toMap
     val withU = rel(withU1 = true)
     val without = rel(withU1 = false)
@@ -577,6 +582,52 @@ class PrivacySpec extends AnyFunSuite {
     }
     assert(refusal.getMessage.contains("refused"))
     assert(led.spent === BigDecimal(0))
+  }
+
+  test("release-set leak: a sole-contributor type shifts corpus-derived cells; a public vocabulary pins them") {
+    import spark.implicits._
+    // The r17 review finding, executable: the dense-grid discipline
+    // ("a cell's presence must never depend on the data") holds only if
+    // the VOCABULARY is public. Build a corpus where u1 is the only
+    // user of type 'rare': under the corpus-derived default the whole
+    // 64-cell 'rare' row appears/disappears with u1 — an observer
+    // distinguishes their presence with certainty, no epsilon claim
+    // survives. Passing the vocabulary as public config restores the
+    // data-independent release set AND the <= capCells sensitivity.
+    def mk(withU1: Boolean) = {
+      val base = (2 to 11).map(u =>
+        (java.sql.Timestamp.valueOf(s"2024-01-${10 + (u % 3)} 01:00:00"), "click", s"user$u"))
+      val u1 = Seq((java.sql.Timestamp.valueOf("2024-01-03 05:30:00"), "rare", "user1"))
+      (if (withU1) base ++ u1 else base).toDF("ts", "event_type", "user_id")
+    }
+    // corpus-derived vocabulary: the leak, demonstrated
+    val leakWith = Privacy.dpUserCountRelease(mk(true), seeded = true).collect()
+    val leakWithout = Privacy.dpUserCountRelease(mk(false), seeded = true).collect()
+    assert(leakWith.length === 128 && leakWithout.length === 64,
+      "the corpus-derived release SET itself moves with one user — the documented leak")
+    // public vocabulary: set pinned, sensitivity restored
+    val vocab = Some(Seq("click", "rare"))
+    def pub(withU1: Boolean) =
+      Privacy.dpUserCountRelease(mk(withU1), seeded = true, vocabulary = vocab)
+        .collect().map(r => ((r.getString(0), r.getTimestamp(1)), r.getLong(2))).toMap
+    val pw = pub(true); val pwo = pub(false)
+    assert(pw.keySet === pwo.keySet && pw.size === 128,
+      "a public vocabulary makes the release set data-independent")
+    val moved = pw.keySet.filter(k => pw(k) != pwo(k))
+    assert(moved.size <= 4 && moved.forall(k => math.abs(pw(k) - pwo(k)) <= 1L),
+      s"with the set pinned, one user moves <= capCells cells by <= 1: $moved")
+    // the same parameter rides x40/x50 through the shared denseCells
+    assert(Privacy.dpCountRelease(mk(false), seeded = true,
+      vocabulary = vocab).collect().length === 128)
+    assert(Privacy.dpGaussianCountRelease(mk(false), seeded = true,
+      vocabulary = vocab).collect().length === 128)
+    // capCells is validated BEFORE the ledger charge
+    import graft.operators.DpLedger
+    val led = DpLedger.open(freshLedgerDir(), budget = BigDecimal(1))
+    intercept[IllegalArgumentException] {
+      Privacy.dpUserCountRelease(mk(true), capCells = 0, ledger = Some(led))
+    }
+    assert(led.spent === BigDecimal(0), "an invalid cap must not burn budget")
   }
 
   test("x50 Gaussian release: dense cells, Box-Muller tail bound, zCDP ledger admits exactly budget/rho releases") {
