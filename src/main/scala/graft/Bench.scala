@@ -40,17 +40,17 @@ object Bench {
     * under HALF this value and flags a regression only if the re-drain
     * is low too — "low once" is machine noise, adjudicated in-artifact.
     *
-    * RE-RECORDED round 17 (r16 verdict #5): 56.9 → 38.3. Four
-    * consecutive sessions read below the old recording (38.99 r15
-    * driver; 47.97 r16 calm; 38.28 r17 calm isolated, fresh-JVM 28.34).
-    * The cause is code, not machine: 56.9 predates r16's fold-atomic
-    * additive `_termdf`/`_stats` layer in LiveIndex, which added
-    * per-batch stats maintenance to every step/compact the drain times
-    * (bought so the x45 serve reads corpus stats from fold-local
-    * relations). New value = MEDIAN of the three post-change calm
-    * sessions (47.97, 38.28, 37.65 — the third from the x49 recording
-    * session), per this scaladoc's own three-session discipline;
-    * PLANS.md carries the adjudication.
+    * RE-RECORDED round 17 (r16 verdict #5): 56.9 → 38.3 = the MEDIAN
+    * of three post-r16 calm sessions (47.97, 38.28, 37.65), after four
+    * consecutive below-recording readings. Causal honesty: r16's
+    * fold-atomic additive `_termdf`/`_stats` layer added real per-batch
+    * drain work and plausibly contributes, but the round's final calm
+    * session then read 57.4 — above even the OLD recording — so the
+    * dominant fact is a wide session spread (observed 23.8–57.4), not
+    * a one-way code slowdown. The median recording is the conservative
+    * center: the half-recording re-drain guard (19.2) stays meaningful
+    * in slow sessions without re-drain churn, and readings above the
+    * recording never fire. PLANS.md carries the full adjudication.
     */
   private val IntakeRateRecorded = 38.3
 
