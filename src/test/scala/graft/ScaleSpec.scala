@@ -303,6 +303,23 @@ class ScaleSpec extends AnyFunSuite {
       s"x49 public-grid joins must broadcast, never product:\n$exec")
   }
 
+  test("x50 Gaussian release: one corpus exchange plus the presentation sort, grid never products") {
+    val d = "/root/testdata/sf0.001"
+    val df = SparkEntry.queries("x50_dp_gaussian")(spark, d)
+    val exec = df.queryExecution.executedPlan.toString
+    // noise is a pure map over the dense cells: the only SHUFFLES are
+    // the (event_type, day) count agg, the corpus-vocabulary distinct
+    // (absent when `vocabulary` arrives as public config — the
+    // production spelling), and the final ORDER BY; broadcasts are the
+    // grid/vocab sides and must stay broadcasts
+    assert(!exec.contains("CartesianProduct"),
+      s"x50 public-grid joins must broadcast, never product:\n$exec")
+    val shuffles = "Exchange (hash|range|Single)".r.findAllIn(
+      exec.split("== Initial Plan ==").head).length
+    assert(shuffles <= 3,
+      s"x50 must shuffle only for agg + vocab distinct + sort, saw $shuffles:\n$exec")
+  }
+
   test("x16 quality rules are map-only: no join, no aggregate") {
     val d = "/root/testdata/sf0.001"
     val plan = SparkEntry.queries("x16_quality_rules")(spark, d)
