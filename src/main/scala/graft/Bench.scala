@@ -362,7 +362,11 @@ object Bench {
       // NEW round 17: x50 Gaussian/zCDP count release (the x40 plan
       // shape — one combinable corpus agg + pure map Box–Muller noise);
       // recorded from a 0.066-floor isolated 3-run session
-      ("x50_dp_gaussian" -> ((0.626, 0.066))) ++
+      ("x50_dp_gaussian" -> ((0.626, 0.066))) +
+      // NEW round 17: x51 SVT AboveThreshold (one combinable day
+      // groupBy + public-grid broadcast + a 64-row halting window);
+      // recorded from a 0.076-floor isolated 3-run session
+      ("x51_dp_above_threshold" -> ((0.510, 0.076))) ++
       // RE-RECORDED round 16 (r15 verdict #5): the 25 r15-era
       // `light_trimmed` keys, from one 0.076-floor isolated 3-run
       // session with SPARK_GRAFT_NO_TRIM=1 (full medians, not the

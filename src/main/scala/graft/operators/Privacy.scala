@@ -398,6 +398,13 @@ object Privacy {
     // by a ρ-currency ledger, (ε, δ) read out via [[zcdpEpsilon]].
     "x50_dp_gaussian" -> { (s, d) =>
       dpGaussianCountRelease(Tables.events(s, d), seeded = true)
+    },
+    // Sparse Vector Technique ([[dpAboveThresholdRelease]]): "first day
+    // the daily volume crosses T = 100", asked of all 64 public days
+    // for ONE ε — ⊥ rows up to and including the first ⊤ ship, counts
+    // never do; the data-dependent length is part of the proven output.
+    "x51_dp_above_threshold" -> { (s, d) =>
+      dpAboveThresholdRelease(Tables.events(s, d), seeded = true)
     }
   )
 
@@ -624,6 +631,66 @@ object Privacy {
         greatest(lit(0.0), floor(col("noisy") + lit(0.5))).cast("long").as("released_n"),
         lit(rho.toDouble).as("rho"))
       .orderBy("event_type", "day")
+  }
+
+  /** x51: Sparse Vector Technique (AboveThreshold) over the daily count
+    * stream — the mechanism for MONITORING under DP: "alert the first
+    * day the event volume crosses T" asked of every day in the window
+    * costs ε TOTAL, not 64·ε, because below-threshold answers are
+    * nearly free (Dwork–Roth, Alg. 1 / Thm. 3.23: noisy threshold
+    * T̂ = T + Lap(2/ε) drawn once, each query compared as
+    * f_t + Lap(4/ε) ≥ T̂, HALT at the first ⊤). x40 pays ε per release
+    * and x47 pays ε per window of RELEASED VALUES; SVT answers an
+    * unbounded stream of threshold QUESTIONS for one ε, which is why
+    * it is the budget-efficient primitive for alerting pipelines.
+    *
+    * Release-set note — deliberately different from the dense-grid
+    * discipline: the output length is DATA-DEPENDENT (rows up to and
+    * including the first ⊤), and that is NOT a leak here, because the
+    * halting point is part of the mechanism's proven output space —
+    * the ε guarantee covers the entire ⊥…⊥⊤ string including where it
+    * stops. The query SCHEDULE stays public (every calendar day of the
+    * 64-day window, empty days included, in calendar order); only the
+    * threshold verdicts ship — never counts, never noise. `threshold`
+    * is public deployment config.
+    *
+    * Plan shape: one combinable day groupBy (the only corpus
+    * exchange), the public grid broadcast in, the halting point a
+    * 64-row min — public-window-sized, the x46 rationale. `ledger`
+    * charges ε = 1 ONCE for the whole stream (the point of SVT).
+    */
+  def dpAboveThresholdRelease(events: DataFrame, threshold: Double = 100.0,
+      seeded: Boolean = false, ledger: Option[DpLedger] = None,
+      releaseId: String = "svt"): DataFrame = {
+    ledger.foreach(_.charge(releaseId, "above_threshold_svt", BigDecimal(1)))
+    val salt = releaseSalt(seeded)
+    val s = events.sparkSession
+    val lo = to_date(lit(ContinualEpoch)).cast("timestamp")
+    val hi = date_add(to_date(lit(ContinualEpoch)), ContinualT).cast("timestamp")
+    val daily = events
+      .withColumn("day", date_trunc("day", col("ts")))
+      .filter(col("day") >= lo && col("day") < hi)
+      .groupBy("day").agg(count(lit(1)).as("cnt"))
+    val grid = s.range(ContinualT).select(
+      date_add(to_date(lit(ContinualEpoch)), col("id").cast("int"))
+        .cast("timestamp").as("day"))
+    val cells = grid.join(daily, Seq("day"), "left")
+      .select(col("day"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+    // T̂ drawn ONCE (day-independent seed tag); per-day noise at scale 4
+    val tHat = lit(threshold) +
+      laplace(2.0, seededUnifKey("dpt|", salt, lit("threshold")))
+    val flagged = cells.withColumn("above",
+      col("cnt").cast("double") +
+        laplace(4.0, seededUnifKey("dpv|", salt, col("day").cast("string"))) >= tHat)
+    // halt at the first ⊤: rows after it are never released (the
+    // mechanism stops; a 64-row window computes the halting point)
+    val w = Window.partitionBy().orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged
+      .withColumn("n_above_so_far", sum(when(col("above"), 1).otherwise(0)).over(w))
+      .filter(col("n_above_so_far") - when(col("above"), 1).otherwise(0) < 1)
+      .select(col("day"), col("above"), lit(1.0).as("stream_epsilon"))
+      .orderBy("day")
   }
 
   /** x49: USER-level DP daily-active-user counts — the privacy-unit
@@ -1426,6 +1493,41 @@ object Privacy {
         |    AS released_n,
         |  CAST(0.125 AS DOUBLE) AS rho
         |FROM z ORDER BY event_type, day""".stripMargin,
+    // x51 SVT: noisy threshold T̂ = 100 + Lap(2) drawn once ('dpt|'
+    // tag), per-day Lap(4) ('dpv|'), cumulative ⊤ count halts the
+    // stream after the first ⊤ — rows past it are never released.
+    "x51_dp_above_threshold" ->
+      """WITH grid AS (SELECT CAST(DATE '2024-01-01' + CAST(g.range AS INT) AS TIMESTAMP) AS day
+        |  FROM range(0, 64) g),
+        |daily AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events
+        |  WHERE CAST(date_trunc('day', ts) AS TIMESTAMP)
+        |      >= CAST(DATE '2024-01-01' AS TIMESTAMP)
+        |    AND CAST(date_trunc('day', ts) AS TIMESTAMP)
+        |      < CAST(DATE '2024-01-01' + 64 AS TIMESTAMP)
+        |  GROUP BY 1),
+        |cells AS (SELECT grid.day, coalesce(daily.cnt, CAST(0 AS BIGINT)) AS cnt
+        |  FROM grid LEFT JOIN daily ON grid.day = daily.day),
+        |th AS (SELECT 100.0 +
+        |    round(-2.0 * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5)), 9) AS that
+        |  FROM (SELECT (CAST(('0x' || substr(md5('dpt|threshold'), 1, 8)) AS BIGINT)
+        |      + 0.5) / 4294967296.0 AS u)),
+        |f AS (SELECT day,
+        |    (CAST(cnt AS DOUBLE) +
+        |      round(-4.0 * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5)), 9))
+        |      >= that AS above
+        |  FROM (SELECT day, cnt,
+        |      (CAST(('0x' || substr(md5('dpv|' || CAST(day AS VARCHAR)), 1, 8))
+        |        AS BIGINT) + 0.5) / 4294967296.0 AS u
+        |    FROM cells), th),
+        |g AS (SELECT day, above,
+        |    SUM(CASE WHEN above THEN 1 ELSE 0 END) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS na
+        |  FROM f)
+        |SELECT day, above, CAST(1.0 AS DOUBLE) AS stream_epsilon
+        |FROM g WHERE na - (CASE WHEN above THEN 1 ELSE 0 END) < 1
+        |ORDER BY day""".stripMargin,
     // x49: per-user distinct cells → row_number cap at 4 → cell counts →
     // dense grid → seeded Laplace at scale 4 → clamp+floor. Same
     // md5-uniform and chained-ln spelling as x40, 'dpu|' domain tag.

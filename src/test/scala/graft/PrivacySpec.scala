@@ -686,6 +686,51 @@ class PrivacySpec extends AnyFunSuite {
       s"summed-rho conversion must beat per-release conversion sums, got $eps")
   }
 
+  test("x51 SVT: one epsilon answers the whole stream, halts at the first above, ships verdicts only") {
+    import graft.operators.DpLedger
+    import spark.implicits._
+    def mk(perDay: Int => Int) = (0 until 64).flatMap { d =>
+      val day = java.time.LocalDate.parse("2024-01-01").plusDays(d.toLong)
+      (0 until perDay(d)).map(r =>
+        (java.sql.Timestamp.valueOf(day.atTime(r % 24, 0)), "click", s"u$r"))
+    }.toDF("ts", "event_type", "user_id")
+    // counts far ABOVE threshold from day 1: the seeded noise
+    // (|Lap(4)| <= 4 ln 2^33 ~ 92, |Lap(2)| <= 46) cannot bridge 9900,
+    // so the release is exactly one row, day 1, above = true
+    val hot = Privacy.dpAboveThresholdRelease(mk(_ => 160), seeded = true).collect()
+    assert(hot.length === 1 && hot.head.getBoolean(1),
+      s"a hot stream must halt at day 1: ${hot.toSeq}")
+    // counts far BELOW threshold everywhere: all 64 days answer, all
+    // false — the no-crossing stream still ships its full public
+    // schedule (the verdict string is the proven output, counts never)
+    val cold = Privacy.dpAboveThresholdRelease(mk(_ => 0), seeded = true).collect()
+    assert(cold.length === 64 && cold.forall(!_.getBoolean(1)))
+    cold.foreach(r => assert(r.schema.fieldNames.toSeq ===
+      Seq("day", "above", "stream_epsilon"), "verdicts only — no counts, no noise"))
+    // structural halt: on the gate corpus, every released row before
+    // the last is below-threshold, and the last is above iff the
+    // stream halted early (fewer than 64 rows)
+    val gate = Privacy.dpAboveThresholdRelease(graft.Tables.events(spark, d),
+      seeded = true).collect()
+    gate.init.foreach(r => assert(!r.getBoolean(1), "rows before the halt are all below"))
+    if (gate.length < 64) assert(gate.last.getBoolean(1), "an early halt means a crossing")
+    // seeded determinism
+    assert(Privacy.dpAboveThresholdRelease(graft.Tables.events(spark, d),
+      seeded = true).collect().toSeq === gate.toSeq)
+    // THE accounting pin — the reason SVT exists: 64 threshold
+    // questions cost ONE epsilon; x40 spelling the same monitor as 64
+    // count releases would need budget 64. Budget 1 admits the whole
+    // stream; a second stream (fresh noise) is a new release, refused.
+    val led = DpLedger.open(freshLedgerDir(), budget = BigDecimal(1))
+    val metered = Privacy.dpAboveThresholdRelease(mk(_ => 160),
+      ledger = Some(led)).collect()
+    assert(metered.nonEmpty && led.spent === BigDecimal(1))
+    intercept[IllegalStateException] {
+      Privacy.dpAboveThresholdRelease(mk(_ => 160), ledger = Some(led))
+    }
+    assert(led.spent === BigDecimal(1))
+  }
+
   test("x44 DP median: one release per type, inside the public range, near the true median, seeded-stable") {
     val rel = SparkEntry.queries("x44_dp_median_release")(spark, d).collect()
       .map(r => (r.getString(0), r.getDouble(1))).toMap
