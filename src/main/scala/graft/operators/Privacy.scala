@@ -662,19 +662,34 @@ object Privacy {
   def dpAboveThresholdRelease(events: DataFrame, threshold: Double = 100.0,
       seeded: Boolean = false, ledger: Option[DpLedger] = None,
       releaseId: String = "svt"): DataFrame = {
-    ledger.foreach(_.charge(releaseId, "above_threshold_svt", BigDecimal(1)))
-    val salt = releaseSalt(seeded)
-    val s = events.sparkSession
     val lo = to_date(lit(ContinualEpoch)).cast("timestamp")
     val hi = date_add(to_date(lit(ContinualEpoch)), ContinualT).cast("timestamp")
-    val daily = events
-      .withColumn("day", date_trunc("day", col("ts")))
-      .filter(col("day") >= lo && col("day") < hi)
-      .groupBy("day").agg(count(lit(1)).as("cnt"))
+    dpAboveThresholdFromDaily(
+      events
+        .withColumn("day", date_trunc("day", col("ts")))
+        .filter(col("day") >= lo && col("day") < hi)
+        .groupBy("day").agg(count(lit(1)).as("cnt")),
+      threshold, seeded, ledger, releaseId)
+  }
+
+  /** [[dpAboveThresholdRelease]] from PRE-AGGREGATED `(day, cnt)`
+    * dailies — the streaming-twin entry ([[graft.streaming.LiveRelease
+    * .aboveThreshold]]): SVT is intrinsically an ALERTING mechanism,
+    * and the live day-count store is where an alerting pipeline
+    * actually asks it. Same equivalence argument as the continual
+    * twin: dailies are additive, everything downstream is seeded and
+    * public-grid-shaped.
+    */
+  def dpAboveThresholdFromDaily(dailyCounts: DataFrame,
+      threshold: Double = 100.0, seeded: Boolean = false,
+      ledger: Option[DpLedger] = None, releaseId: String = "svt"): DataFrame = {
+    ledger.foreach(_.charge(releaseId, "above_threshold_svt", BigDecimal(1)))
+    val salt = releaseSalt(seeded)
+    val s = dailyCounts.sparkSession
     val grid = s.range(ContinualT).select(
       date_add(to_date(lit(ContinualEpoch)), col("id").cast("int"))
         .cast("timestamp").as("day"))
-    val cells = grid.join(daily, Seq("day"), "left")
+    val cells = grid.join(dailyCounts, Seq("day"), "left")
       .select(col("day"), coalesce(col("cnt"), lit(0L)).as("cnt"))
     // T̂ drawn ONCE (day-independent seed tag); per-day noise at scale 4
     val tHat = lit(threshold) +

@@ -78,8 +78,25 @@ object LiveRelease {
   def release(s: SparkSession, cfg: Config, window: Int = 0,
       seeded: Boolean = false, ledger: Option[DpLedger] = None,
       releaseId: String = "continual", asOf: Long = Long.MaxValue): DataFrame = {
-    val daily = LiveCounts.totals(s, ccfg(cfg), asOf)
-      .select(to_date(col("key")).as("day"), col("n").as("cnt"))
+    val daily = dailyCounts(s, cfg, asOf)
     Privacy.dpContinualReleaseFromDaily(daily, seeded, window, ledger, releaseId)
   }
+
+  /** The SVT alert from the live store (x51's streaming twin): "has
+    * the daily volume crossed `threshold` yet, and when" — asked of
+    * every public calendar day for ONE ε, from the totals as of a
+    * commit point. SVT is intrinsically an alerting mechanism; this is
+    * where an alerting pipeline actually asks it. Equal to the batch
+    * [[Privacy.dpAboveThresholdRelease]] on the same ingested records
+    * (StreamingSpec pins it alongside the continual twin).
+    */
+  def aboveThreshold(s: SparkSession, cfg: Config, threshold: Double = 100.0,
+      seeded: Boolean = false, ledger: Option[DpLedger] = None,
+      releaseId: String = "svt", asOf: Long = Long.MaxValue): DataFrame =
+    Privacy.dpAboveThresholdFromDaily(dailyCounts(s, cfg, asOf),
+      threshold, seeded, ledger, releaseId)
+
+  private def dailyCounts(s: SparkSession, cfg: Config, asOf: Long): DataFrame =
+    LiveCounts.totals(s, ccfg(cfg), asOf)
+      .select(to_date(col("key")).as("day"), col("n").as("cnt"))
 }

@@ -1293,6 +1293,16 @@ class StreamingSpec extends AnyFunSuite {
       graft.streaming.LiveRelease.release(spark, cfg,
         seeded = true, ledger = Some(led))
     }
+    // the SVT alert rides the same store and the same equivalence:
+    // live aboveThreshold == batch x51 on the ingested records (both
+    // regimes: the default threshold and one low enough to trip)
+    for (t <- Seq(100.0, 1.0)) {
+      val liveSvt = graft.streaming.LiveRelease
+        .aboveThreshold(spark, cfg, threshold = t, seeded = true).collect().toSeq
+      val batchSvt = graft.operators.Privacy
+        .dpAboveThresholdRelease(evAll, threshold = t, seeded = true).collect().toSeq
+      assert(liveSvt === batchSvt, s"SVT twin diverged at threshold $t")
+    }
   }
 
   test("live NB: streamed class-count partials rebuild the batch x24 classifier bit-for-bit") {
