@@ -16,6 +16,34 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * prescribes (a crash after the charge wastes budget, which is safe;
   * release-then-charge could release past budget, which is not).
   *
+  * CURRENCY (r17 verdict #2): a ledger accounts exactly one privacy
+  * currency — pure-ε (Laplace/exponential releases) or zCDP-ρ
+  * (Gaussian, x50) — declared at [[DpLedger.open]] and recorded on
+  * every registry row. ε and ρ are incomparable numbers (ρ = 0.125
+  * corresponds to ε ≈ 2.75 at δ = 1e−6 via [[Privacy.zcdpEpsilon]]);
+  * summing them in one registry is a silent ~8× under-accounting unit
+  * error. What was a scaladoc-only warning is now enforced: a charge
+  * whose currency differs from the ledger's throws
+  * `IllegalArgumentException` (a caller bug, distinct from the typed
+  * budget refusal), and reopening a directory under a different
+  * currency than its rows were written in fails loudly at load.
+  * Legacy 4-column registries (written before the currency column)
+  * load as ε-currency — every pre-currency charge site was an ε
+  * release, so the migration is exact, and the rows are rewritten in
+  * the 5-column schema on the next admitted charge's append (append
+  * only; old lines stay valid).
+  *
+  * SINGLE WRITER, NOW A TRIPWIRE (r17 verdict #3): serialized budget
+  * accounting was a documented premise — two instances that each load
+  * the file once and append independently can BOTH admit past budget
+  * with no error. [[DpLedger.open]] now takes an OS file lock
+  * (`FileChannel.tryLock` on `registry.lock`) held for the instance
+  * lifetime: a second open on the same directory — another process, or
+  * another instance in this JVM — fails loudly instead of silently
+  * un-serializing the accounting. [[close]] releases the lock (and is
+  * what a reopen-in-process test must call first); locks also release
+  * on process exit, so a crashed driver never wedges the directory.
+  *
   * Durability/scale shape: the registry is a driver-local, fsync'd
   * append-only TSV under `dir` — deliberately NOT a distributed store.
   * A ledger is release-count-sized by construction (one row per release
@@ -26,63 +54,110 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * un-partitioned window). One writer, ordered appends, fsync per
   * charge = the honest plan at any corpus scale; a multi-driver
   * deployment must put `dir` on shared storage behind a single writer
-  * (external coordination, out of scope here). Loaded charges are kept
-  * in memory (ledger-sized), so admit checks cost no I/O and no Spark
-  * job; ε values serialize as plain decimal STRINGS so a reloaded
-  * ledger's accounting is exactly the BigDecimal arithmetic that wrote
-  * it — no float round-trip can drift the admit verdict.
+  * (external coordination, out of scope here — the lock makes a
+  * violated premise fail loudly on POSIX-advisory-lock filesystems,
+  * it does not coordinate). Loaded charges are kept in memory
+  * (ledger-sized), so admit checks cost no I/O and no Spark job; ε
+  * values serialize as plain decimal STRINGS so a reloaded ledger's
+  * accounting is exactly the BigDecimal arithmetic that wrote it — no
+  * float round-trip can drift the admit verdict.
   *
-  * The registry file carries release ids, mechanisms, and ε values —
-  * ship it as audit evidence only if the SCHEDULE is public (the x46
-  * gate's schedule rides the fixed 64-day calendar grid for exactly
-  * this reason; a schedule derived from observed data is as sensitive
-  * as the raw release set — r16 advice).
+  * The registry file carries release ids, mechanisms, currencies, and
+  * values — ship it as audit evidence only if the SCHEDULE is public
+  * (the x46 gate's schedule rides the fixed 64-day calendar grid for
+  * exactly this reason; a schedule derived from observed data is as
+  * sensitive as the raw release set — r16 advice).
   */
-final class DpLedger private (val dir: String, val budget: BigDecimal) {
+final class DpLedger private (val dir: String, val budget: BigDecimal,
+    val currency: String) {
   private val file = new java.io.File(dir, "registry.tsv")
-  // (seq, release_id, mechanism, epsilon) in charge order; append-only
-  private var charges: Vector[(Long, String, String, BigDecimal)] =
+
+  // single-writer tripwire: an exclusive OS lock on dir/registry.lock,
+  // held until close() or process exit. Taken BEFORE the registry is
+  // read, so no instance can load a snapshot another writer is
+  // appending to.
+  private val lockRaf =
+    new java.io.RandomAccessFile(new java.io.File(dir, "registry.lock"), "rw")
+  private val lock: java.nio.channels.FileLock = {
+    val l =
+      try lockRaf.getChannel.tryLock()
+      catch { case _: java.nio.channels.OverlappingFileLockException => null }
+    if (l == null) {
+      lockRaf.close()
+      throw new IllegalStateException(
+        s"ledger directory $dir is already open by another DpLedger instance " +
+          "(budget accounting must have exactly one writer); close() the " +
+          "other instance first")
+    }
+    l
+  }
+  @volatile private var closed = false
+
+  // (seq, release_id, mechanism, value, currency) in charge order;
+  // append-only. 4-column legacy lines load as epsilon-currency.
+  private var charges: Vector[(Long, String, String, BigDecimal, String)] =
     if (!file.exists()) Vector.empty
     else {
       val src = scala.io.Source.fromFile(file, "UTF-8")
       try src.getLines().filter(_.nonEmpty).map { line =>
         line.split("\t", -1) match {
-          case Array(seq, id, mech, eps) =>
-            (seq.toLong, id, mech, BigDecimal(eps))
+          case Array(seq, id, mech, v) =>
+            (seq.toLong, id, mech, BigDecimal(v), DpLedger.Epsilon)
+          case Array(seq, id, mech, v, cur) =>
+            (seq.toLong, id, mech, BigDecimal(v), cur)
           case _ => sys.error(s"corrupt ledger line in $file: '$line'")
         }
       }.toVector
       finally src.close()
     }
+  charges.find(_._5 != currency).foreach { bad =>
+    val other = bad._5
+    close()
+    throw new IllegalStateException(
+      s"ledger at $dir holds $other-currency charges (e.g. release " +
+        s"'${bad._2}') and cannot be opened as a $currency ledger — " +
+        "ε and ρ must never share a registry")
+  }
   private var spentV: BigDecimal = charges.map(_._4).sum
 
-  /** Exact cumulative ε of every ADMITTED charge (refusals spend nothing). */
+  /** Exact cumulative spend of every ADMITTED charge (refusals spend
+    * nothing), in the ledger's [[currency]].
+    */
   def spent: BigDecimal = synchronized(spentV)
 
   def remaining: BigDecimal = synchronized(budget - spentV)
 
-  /** Charge `eps` against the budget: true = admitted (row durably
-    * appended, spend updated), false = refused (nothing written, spend
-    * unchanged — a LATER, smaller proposal may still be admitted; the
-    * x46 gate's schedule is one where refusal happens to be monotone
-    * because spend plateaus exactly at the budget, and the oracle's
-    * cum ≤ budget spelling verifies that identity per run).
+  /** Charge `value` (in `chargeCurrency`) against the budget: true =
+    * admitted (row durably appended, spend updated), false = refused
+    * (nothing written, spend unchanged — a LATER, smaller proposal may
+    * still be admitted; the x46 gate's schedule is one where refusal
+    * happens to be monotone because spend plateaus exactly at the
+    * budget, and the oracle's cum ≤ budget spelling verifies that
+    * identity per run). A currency mismatch is a CALLER BUG, not a
+    * refusal: it throws `IllegalArgumentException` before anything is
+    * checked or written.
     */
-  def tryCharge(releaseId: String, mechanism: String, eps: BigDecimal): Boolean =
+  def tryCharge(releaseId: String, mechanism: String, value: BigDecimal,
+      chargeCurrency: String = DpLedger.Epsilon): Boolean =
     synchronized {
-      require(eps > 0, s"a release must spend positive epsilon, got $eps")
+      require(!closed, s"ledger at $dir is closed")
+      require(chargeCurrency == currency,
+        s"cannot charge $chargeCurrency into a $currency ledger ($dir): " +
+          "ε and ρ are incomparable — open a separate ledger per currency")
+      require(value > 0, s"a release must spend a positive amount, got $value")
       require(!releaseId.contains("\t") && !releaseId.contains("\n") &&
         !mechanism.contains("\t") && !mechanism.contains("\n"),
         "release_id/mechanism must not contain tab or newline (TSV registry)")
-      if (spentV + eps > budget) false
+      if (spentV + value > budget) false
       else {
         val seq = charges.length + 1L
-        val line = s"$seq\t$releaseId\t$mechanism\t${eps.underlying.toPlainString}\n"
+        val line = s"$seq\t$releaseId\t$mechanism\t" +
+          s"${value.underlying.toPlainString}\t$currency\n"
         val out = new java.io.FileOutputStream(file, true)
         try { out.write(line.getBytes("UTF-8")); out.getFD.sync() }
         finally out.close()
-        charges = charges :+ ((seq, releaseId, mechanism, eps))
-        spentV += eps
+        charges = charges :+ ((seq, releaseId, mechanism, value, currency))
+        spentV += value
         true
       }
     }
@@ -94,36 +169,57 @@ final class DpLedger private (val dir: String, val budget: BigDecimal) {
     * translate it — the HTTP facade's 429 — match on type, not on a
     * message prefix a rewording would silently break.
     */
-  def charge(releaseId: String, mechanism: String, eps: BigDecimal): BigDecimal =
+  def charge(releaseId: String, mechanism: String, value: BigDecimal,
+      chargeCurrency: String = DpLedger.Epsilon): BigDecimal =
     synchronized {
-      if (!tryCharge(releaseId, mechanism, eps))
+      if (!tryCharge(releaseId, mechanism, value, chargeCurrency))
         throw new DpLedger.BudgetRefused(
-          s"DP budget exhausted: spent=$spentV + proposed=$eps exceeds " +
-            s"budget=$budget — release '$releaseId' refused")
+          s"DP budget exhausted: spent=$spentV + proposed=$value exceeds " +
+            s"budget=$budget $currency — release '$releaseId' refused")
       spentV
     }
 
   /** Charge-then-release wrapper: `mk` (by-name) is evaluated ONLY after
     * the charge is admitted — on refusal the mechanism never runs.
     */
-  def release[A](releaseId: String, mechanism: String, eps: BigDecimal)(mk: => A): A = {
-    charge(releaseId, mechanism, eps)
+  def release[A](releaseId: String, mechanism: String, value: BigDecimal,
+      chargeCurrency: String = DpLedger.Epsilon)(mk: => A): A = {
+    charge(releaseId, mechanism, value, chargeCurrency)
     mk
   }
 
+  /** Release the single-writer lock. After close the instance refuses
+    * further charges; the directory can then be reopened (resuming the
+    * accounting exactly). Idempotent.
+    */
+  def close(): Unit = synchronized {
+    if (!closed) {
+      closed = true
+      try lock.release() finally lockRaf.close()
+    }
+  }
+
   /** The registry as a frame in [[Privacy.dpBudgetLedger]]'s input
-    * schema (seq, release_id, mechanism, epsilon) — feed it there for
-    * the annotated cumulative view.
+    * schema (seq, release_id, mechanism, epsilon) plus the currency
+    * column — feed it there for the annotated cumulative view.
     */
   def registry(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    synchronized(charges).map { case (seq, id, mech, eps) =>
-      (seq, id, mech, eps.toDouble)
-    }.toDF("seq", "release_id", "mechanism", "epsilon")
+    synchronized(charges).map { case (seq, id, mech, v, cur) =>
+      (seq, id, mech, v.toDouble, cur)
+    }.toDF("seq", "release_id", "mechanism", "epsilon", "currency")
   }
 }
 
 object DpLedger {
+  /** Pure-ε currency (Laplace, exponential-mechanism releases). */
+  val Epsilon = "epsilon"
+
+  /** zCDP-ρ currency (Gaussian releases, x50) — convert the SUMMED ρ
+    * once at read time via [[Privacy.zcdpEpsilon]], never per release.
+    */
+  val Rho = "rho"
+
   /** Thrown by [[DpLedger.charge]] on a budget refusal. Subclasses
     * IllegalStateException so existing catch sites keep working; the
     * message carries only PUBLIC schedule state (spent/proposed/
@@ -131,12 +227,17 @@ object DpLedger {
     */
   final class BudgetRefused(msg: String) extends IllegalStateException(msg)
 
-  /** Open (or create) the ledger at `dir` with the given total budget.
-    * Reopening an existing directory resumes its accounting exactly.
+  /** Open (or create) the ledger at `dir` with the given total budget
+    * in `currency`. Reopening an existing directory resumes its
+    * accounting exactly — and fails loudly if its rows were written in
+    * a different currency, or if another instance holds it open.
     */
-  def open(dir: String, budget: BigDecimal): DpLedger = {
+  def open(dir: String, budget: BigDecimal,
+      currency: String = Epsilon): DpLedger = {
+    require(currency == Epsilon || currency == Rho,
+      s"unknown ledger currency '$currency' (expected '$Epsilon' or '$Rho')")
     val d = new java.io.File(dir)
     if (!d.exists()) require(d.mkdirs(), s"cannot create ledger dir $dir")
-    new DpLedger(dir, budget)
+    new DpLedger(dir, budget, currency)
   }
 }

@@ -267,6 +267,11 @@ object Privacy {
     // exact longs. Plan shape: the (group, user) groupBy is the ONE
     // corpus-sized exchange (map-side combinable); the group re-agg
     // runs over the users×groups-sized result; noise is a pure map.
+    // Round 18 (r17 verdict #1): cells are the DENSE public 64-day
+    // window × vocabulary through the shared denseCells — the release
+    // SET no longer reveals which (type, day) groups had users (zero
+    // cells enter at sum 0 / users 0, released_users clamps to ≥ 1 so
+    // the mean stays defined).
     // Gate spelling: `seeded = true` (oracle-replayable); production
     // callers get the salted draw by default — see [[dpSumMeanRelease]].
     "x42_dp_sum_release" -> { (s, d) => dpSumMeanRelease(Tables.events(s, d), seeded = true) },
@@ -280,10 +285,11 @@ object Privacy {
     // argmax_r(ε·u(r)/(2Δ) + Gumbel(0,1)) samples r with probability
     // ∝ exp(ε·u(r)/(2Δ)). Utility = the candidate's count (Δ = 1: one
     // record moves one count by one), ε = 1. Candidates are the DENSE
-    // day × event-type-vocabulary grid with zero-filled counts — a
-    // data-dependent candidate set (only the types observed that day)
-    // would itself leak; see [[dpArgmaxRelease]] (the x44 principle,
-    // closed round 16 per r15 advice). Only the winning CATEGORY
+    // public-64-day-window × event-type-vocabulary grid with
+    // zero-filled counts — a data-dependent candidate set (only the
+    // types observed that day, or only the days observed at all — the
+    // r17 verdict #1 gap, closed round 18) would itself leak; see
+    // [[dpArgmaxRelease]]. Only the winning CATEGORY
     // ships — never its score or count (the score minus known-seed noise
     // would reconstruct the count and void the accounting).
     "x43_dp_argmax_release" -> { (s, d) => dpArgmaxRelease(Tables.events(s, d), seeded = true) },
@@ -555,10 +561,12 @@ object Privacy {
       .groupBy("event_type", "day")
   }
 
-  /** Dense release cells shared by x40/x49/x50: the PUBLIC 64-day
-    * calendar grid × the event-type vocabulary, with the grouped frame
-    * LEFT-joined in so unobserved cells enter at 0 — no new corpus
-    * exchange (grid and vocabulary broadcast).
+  /** Dense release cells shared by x40/x42/x43/x49/x50/x52: the PUBLIC
+    * 64-day calendar grid × the event-type vocabulary, with the grouped
+    * frame LEFT-joined in so unobserved cells enter at each fill's zero
+    * — no new corpus exchange (grid and vocabulary broadcast). `fills`
+    * names the grouped columns and their zero literals (x42 fills a
+    * DECIMAL sum and a LONG count; the count releases fill one LONG).
     *
     * THE VOCABULARY IS PART OF THE PRIVACY CONTRACT (r17 review): the
     * release-set discipline ("a cell's presence must never depend on
@@ -573,13 +581,18 @@ object Privacy {
     * dense releases build their cells.
     */
   private def denseCells(events: DataFrame, grp: DataFrame,
-      countCol: String, vocabulary: Option[Seq[String]]): DataFrame = {
+      fills: Seq[(String, Column)], vocabulary: Option[Seq[String]]): DataFrame = {
     val s = events.sparkSession
     val grid = s.range(ContinualT).select(
       date_add(to_date(lit(ContinualEpoch)), col("id").cast("int"))
         .cast("timestamp").as("day"))
     val vocab = vocabulary match {
-      case Some(ts) =>
+      case Some(raw) =>
+        // dedup (r17 advice): duplicate vocabulary entries would emit
+        // duplicate release cells — identical noise, repeated rows —
+        // and turn the "≤ capCells cells" sensitivity statements into
+        // statements over a multiset
+        val ts = raw.distinct
         require(ts.nonEmpty, "a public vocabulary must name at least one type")
         import s.implicits._
         ts.toDF("event_type")
@@ -587,9 +600,14 @@ object Privacy {
     }
     grid.crossJoin(broadcast(vocab))
       .join(grp, Seq("event_type", "day"), "left")
-      .select(col("event_type"), col("day"),
-        coalesce(col(countCol), lit(0L)).as(countCol))
+      .select(col("event_type") +: col("day") +:
+        fills.map { case (c, zero) => coalesce(col(c), zero).as(c) }: _*)
   }
+
+  /** [[denseCells]] for the single-LONG-count releases. */
+  private def denseCells(events: DataFrame, grp: DataFrame,
+      countCol: String, vocabulary: Option[Seq[String]]): DataFrame =
+    denseCells(events, grp, Seq(countCol -> lit(0L)), vocabulary)
 
   /** x50: GAUSSIAN-mechanism count release under zCDP accounting — the
     * other canonical noise mechanism, and the accounting regime modern
@@ -612,15 +630,19 @@ object Privacy {
     * and the same plan shape (one combinable corpus agg + pure map
     * noise). `ledger` must be a ρ-CURRENCY ledger — a [[DpLedger]]
     * instance accounts exactly one currency, and mixing ε charges and
-    * ρ charges in one registry would sum incomparable numbers (the
-    * scaladoc contract; the x50 gate opens its own ρ ledger).
+    * ρ charges in one registry would sum incomparable numbers. Since
+    * round 18 the registry ENFORCES this (r17 verdict #2): the charge
+    * below is tagged [[DpLedger.Rho]], and an ε-currency ledger passed
+    * here throws `IllegalArgumentException` before any budget check.
     */
   def dpGaussianCountRelease(events: DataFrame, seeded: Boolean = false,
       ledger: Option[DpLedger] = None, releaseId: String = "gauss_count",
       vocabulary: Option[Seq[String]] = None): DataFrame = {
     val sigma = 2.0
     val rho = BigDecimal("0.125") // 1 / (2 sigma^2), exact
-    ledger.foreach(_.charge(releaseId, "gaussian_count_zcdp", rho))
+    // the ρ-currency charge: a ρ value into an ε ledger now THROWS at
+    // the registry (r17 verdict #2) instead of silently under-counting
+    ledger.foreach(_.charge(releaseId, "gaussian_count_zcdp", rho, DpLedger.Rho))
     val salt = releaseSalt(seeded)
     val grp = windowedGroup(events).agg(count(lit(1)).as("true_n"))
     val counts = denseCells(events, grp, "true_n", vocabulary)
@@ -786,42 +808,39 @@ object Privacy {
     * count/2 (exact in binary) + the rounded Gumbel; ties break by
     * category so the argmax is a total order in both engines.
     *
-    * Candidate set (r15 advice, the x44 principle applied here): each
-    * day scores the FULL event-type vocabulary, with unobserved types
-    * entering at count 0 — never just the types observed that day. A
-    * groupBy-derived candidate set is data-dependent: a category seen
-    * zero times could never win, and a singleton category's CANDIDACY
-    * would appear/disappear with one record — an unbounded
-    * privacy-loss ratio that voids the ε=1 claim. The vocabulary here
-    * is read from the corpus (`events.event_type` distinct) — callers
-    * must treat that vocabulary as PUBLIC schema-level knowledge
-    * (fixed enum of event types), exactly as x44 treats its [0,512]
-    * range; a deployment whose category set is itself sensitive must
-    * pass a fixed public candidate list instead.
+    * Candidate set (r15 advice, the x44 principle applied here; r17
+    * verdict #1 completed it): each day scores the FULL event-type
+    * vocabulary, with unobserved types entering at count 0 — never
+    * just the types observed that day — and since round 18 the DAY
+    * axis rides the same discipline: candidates are the dense PUBLIC
+    * 64-day window × vocabulary through the shared [[denseCells]],
+    * with an explicit `vocabulary` parameter. The old spelling's
+    * `grp.select("day").distinct()` was observed-only and unwindowed:
+    * a day with exactly one record gained or lost its RELEASE ROW with
+    * that record — an unbounded privacy-loss ratio that voids the ε=1
+    * claim, the exact leak the type axis already closed. A release now
+    * exists for every grid day (an empty day's winner is pure Gumbel
+    * over zero counts — deliberately: the release set reveals
+    * nothing). Pass `vocabulary` from deployment config
+    * ([[denseCells]] carries the public-vocabulary contract); records
+    * outside the window are out of this release's scope.
     *
     * Plan shape: one combinable (day, event_type) groupBy is the only
-    * corpus-sized exchange; the dense grid is days × types over
+    * corpus-sized exchange; the dense grid is 64 days × types over
     * GROUP-sized frames (types broadcast), the noise is a pure map and
     * the per-day argmax is a row_number window over the candidate
     * frame, never the corpus.
     */
   def dpArgmaxRelease(events: DataFrame, seeded: Boolean = false,
-      ledger: Option[DpLedger] = None, releaseId: String = "argmax"): DataFrame = {
+      ledger: Option[DpLedger] = None, releaseId: String = "argmax",
+      vocabulary: Option[Seq[String]] = None): DataFrame = {
     // per-day selections run over disjoint day partitions — parallel
     // composition, so the whole frame costs ε=1, charged once
     ledger.foreach(_.charge(releaseId, "exp_argmax", BigDecimal(1)))
     val salt = releaseSalt(seeded)
-    val grp = events
-      .withColumn("day", date_trunc("day", col("ts")))
-      .groupBy("day", "event_type")
-      .agg(count(lit(1)).as("true_n"))
-    // dense candidates from the group-sized frame: no new corpus
-    // exchange, types-side broadcast (a vocabulary is tiny)
-    val cand = grp.select("day").distinct()
-      .crossJoin(broadcast(grp.select("event_type").distinct()))
-    val counts = cand.join(grp, Seq("day", "event_type"), "left")
-      .select(col("day"), col("event_type"),
-        coalesce(col("true_n"), lit(0L)).as("true_n"))
+    val grp = windowedGroup(events).agg(count(lit(1)).as("true_n"))
+    val counts = denseCells(events, grp, "true_n", vocabulary)
+      .select(col("day"), col("event_type"), col("true_n"))
     val scored = counts.withColumn("score",
       col("true_n").cast("double") / lit(2.0) + gumbel(seededUnif("dpx|", salt)))
     scored
@@ -1147,24 +1166,45 @@ object Privacy {
   /** x42's clamp-then-noise SUM/MEAN release as a public API (see the
     * x42 entry for the sensitivity accounting and the exact-decimal
     * determinism spelling). `seeded` per [[releaseSalt]].
+    *
+    * Release SET discipline (r17 verdict #1 — the last release still
+    * deriving its rows from observed groups): cells are the DENSE
+    * public 64-day window × the event-type vocabulary through the
+    * shared [[denseCells]], zero cells noised like any other — under
+    * the old observed-groups spelling a (type, day) group's PRESENCE
+    * in the release flipped with one user's records, the exact leak
+    * class the count releases closed in r16/r17, and the ε=1
+    * parallel-composition claim is only as strong as the release set
+    * is data-independent. Zero cells enter at sum 0 / users 0; the
+    * released user count clamps to ≥ 1 so the post-processed mean
+    * stays defined. Pass `vocabulary` from deployment config
+    * ([[denseCells]] carries the public-vocabulary contract); records
+    * outside the window are out of this release's scope (the x47
+    * window contract).
     */
   def dpSumMeanRelease(events: DataFrame, seeded: Boolean = false,
-      ledger: Option[DpLedger] = None, releaseId: String = "sum_mean"): DataFrame = {
+      ledger: Option[DpLedger] = None, releaseId: String = "sum_mean",
+      vocabulary: Option[Seq[String]] = None): DataFrame = {
     // ε=1 total (split ½/½ across the sum and count draws inside);
     // disjoint groups → parallel composition, charged once
     ledger.foreach(_.charge(releaseId, "laplace_sum_mean", BigDecimal(1)))
     val clampC = 50.0
     val salt = releaseSalt(seeded)
     val dec = org.apache.spark.sql.types.DecimalType(28, 9)
+    val lo = to_date(lit(ContinualEpoch)).cast("timestamp")
+    val hi = date_add(to_date(lit(ContinualEpoch)), ContinualT).cast("timestamp")
     val perUser = events
       .withColumn("day", date_trunc("day", col("ts")))
+      .filter(col("day") >= lo && col("day") < hi)
       .groupBy("event_type", "day", "user_id")
       .agg(sum(round(col("value"), 9).cast(dec)).as("contrib"))
     val clamped = perUser.withColumn("cl",
       least(greatest(col("contrib"), lit(0).cast(dec)), lit(clampC).cast(dec)))
     val grp = clamped.groupBy("event_type", "day")
       .agg(sum(col("cl")).as("true_sum"), count(lit(1)).as("true_users"))
-    grp.select(col("event_type"), col("day"),
+    val cells = denseCells(events, grp,
+      Seq("true_sum" -> lit(0).cast(dec), "true_users" -> lit(0L)), vocabulary)
+    cells.select(col("event_type"), col("day"),
         greatest(lit(0L), floor(col("true_sum").cast("double") +
           laplace(clampC / 0.5, seededUnif("dps|", salt)) + lit(0.5))).as("released_sum"),
         greatest(lit(1L), floor(col("true_users").cast("double") +
@@ -1280,20 +1320,35 @@ object Privacy {
         |    AS released_n,
         |  CAST(1.0 AS DOUBLE) AS epsilon
         |FROM z ORDER BY event_type, day""".stripMargin,
-    // x42: per-user clamp → group sum → two seeded-Laplace noises →
-    // floor(x+½) integerization, the mean from the RELEASED pair.
+    // x42: per-user clamp → group sum → DENSE public grid × vocabulary
+    // (r17 verdict #1: zero cells enter at sum 0 / users 0) → two
+    // seeded-Laplace noises → floor(x+½) integerization, the mean from
+    // the RELEASED pair.
     "x42_dp_sum_release" ->
-      """WITH pu AS (SELECT event_type,
+      """WITH grid AS (SELECT CAST(DATE '2024-01-01' + CAST(g.range AS INT) AS TIMESTAMP) AS day
+        |  FROM range(0, 64) g),
+        |vocab AS (SELECT DISTINCT event_type FROM events),
+        |pu AS (SELECT event_type,
         |    CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, user_id,
         |    SUM(CAST(round(value, 9) AS DECIMAL(28,9))) AS contrib
-        |  FROM events GROUP BY 1, 2, 3),
+        |  FROM events
+        |  WHERE CAST(date_trunc('day', ts) AS TIMESTAMP)
+        |      >= CAST(DATE '2024-01-01' AS TIMESTAMP)
+        |    AND CAST(date_trunc('day', ts) AS TIMESTAMP)
+        |      < CAST(DATE '2024-01-01' + 64 AS TIMESTAMP)
+        |  GROUP BY 1, 2, 3),
         |cl AS (SELECT event_type, day,
         |    least(greatest(contrib, CAST(0 AS DECIMAL(28,9))),
         |          CAST(50 AS DECIMAL(28,9))) AS cl
         |  FROM pu),
-        |g AS (SELECT event_type, day, SUM(cl) AS true_sum,
+        |go AS (SELECT event_type, day, SUM(cl) AS true_sum,
         |    CAST(count(*) AS BIGINT) AS true_users
         |  FROM cl GROUP BY 1, 2),
+        |g AS (SELECT v.event_type, grid.day,
+        |    coalesce(go.true_sum, CAST(0 AS DECIMAL(28,9))) AS true_sum,
+        |    coalesce(go.true_users, CAST(0 AS BIGINT)) AS true_users
+        |  FROM grid CROSS JOIN vocab v
+        |  LEFT JOIN go ON go.event_type = v.event_type AND go.day = grid.day),
         |n AS (SELECT event_type, day, true_sum, true_users,
         |    (CAST(('0x' || substr(md5('dps|' || event_type || '|' ||
         |        CAST(day AS VARCHAR)), 1, 8)) AS BIGINT) + 0.5) /
@@ -1317,21 +1372,28 @@ object Privacy {
         |    AS released_mean,
         |  CAST(1.0 AS DOUBLE) AS epsilon, CAST(50.0 AS DOUBLE) AS clamp
         |FROM r ORDER BY event_type, day""".stripMargin,
-    // x43: Gumbel-max exponential mechanism — per-candidate seeded
-    // uniform → chained-ln Gumbel (each ln rounded to 9, inner clamped
-    // to ≤ -1e-9) → count/2 + G → per-day argmax with category
-    // tie-break; only the winning category ships.
+    // x43: Gumbel-max exponential mechanism over the DENSE public
+    // 64-day grid × vocabulary (r17 verdict #1: both axes public) —
+    // per-candidate seeded uniform → chained-ln Gumbel (each ln
+    // rounded to 9, inner clamped to ≤ -1e-9) → count/2 + G → per-day
+    // argmax with category tie-break; only the winning category ships.
     "x43_dp_argmax_release" ->
-      """WITH g AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+      """WITH grid AS (SELECT CAST(DATE '2024-01-01' + CAST(g.range AS INT) AS TIMESTAMP) AS day
+        |  FROM range(0, 64) g),
+        |vocab AS (SELECT DISTINCT event_type FROM events),
+        |g AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
         |    event_type, CAST(count(*) AS BIGINT) AS true_n
-        |  FROM events GROUP BY 1, 2),
-        |cand AS (SELECT d.day, t.event_type
-        |  FROM (SELECT DISTINCT day FROM g) d
-        |  CROSS JOIN (SELECT DISTINCT event_type FROM g) t),
-        |dense AS (SELECT cand.day, cand.event_type,
+        |  FROM events
+        |  WHERE CAST(date_trunc('day', ts) AS TIMESTAMP)
+        |      >= CAST(DATE '2024-01-01' AS TIMESTAMP)
+        |    AND CAST(date_trunc('day', ts) AS TIMESTAMP)
+        |      < CAST(DATE '2024-01-01' + 64 AS TIMESTAMP)
+        |  GROUP BY 1, 2),
+        |dense AS (SELECT grid.day, v.event_type,
         |    coalesce(g.true_n, CAST(0 AS BIGINT)) AS true_n
-        |  FROM cand LEFT JOIN g
-        |    ON cand.day = g.day AND cand.event_type = g.event_type),
+        |  FROM grid CROSS JOIN vocab v
+        |  LEFT JOIN g
+        |    ON g.day = grid.day AND g.event_type = v.event_type),
         |u AS (SELECT day, event_type, true_n,
         |    (CAST(('0x' || substr(md5('dpx|' || event_type || '|' ||
         |        CAST(day AS VARCHAR)), 1, 8)) AS BIGINT) + 0.5) /

@@ -178,9 +178,16 @@ class PrivacySpec extends AnyFunSuite {
           r.getLong(4)))).toMap
     assert(truth.values.exists { case (cl, raw, _) => cl < raw },
       "the per-user clamp must bind somewhere on this data")
+    // dense release set (r17 verdict #1, the x40/x49/x50 discipline
+    // extended here): every cell of the public 64-day grid × vocabulary
+    // releases, zero cells included — presence reveals nothing
+    val vocabSize = graft.Tables.events(spark, d)
+      .select("event_type").distinct().count()
+    assert(rows.length === 64 * vocabSize,
+      "x42's release set must be the dense public grid x vocabulary")
     rows.foreach { r =>
       val k = (r.getString(0), r.getTimestamp(1))
-      val (cl, _, users) = truth(k)
+      val (cl, _, users) = truth.getOrElse(k, (0.0, 0.0, 0L))
       val relSum = r.getLong(2); val relUsers = r.getLong(3)
       assert(relSum >= 0L && relUsers >= 1L)
       assert(math.abs(relSum - cl) <= 2300.0,
@@ -193,7 +200,8 @@ class PrivacySpec extends AnyFunSuite {
           .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
     }
     assert(rows.map(r => math.abs(r.getLong(2) -
-        math.rint(truth((r.getString(0), r.getTimestamp(1)))._1))).exists(_ > 0),
+        math.rint(truth.getOrElse((r.getString(0), r.getTimestamp(1)),
+          (0.0, 0.0, 0L))._1))).exists(_ > 0),
       "the mechanism must actually perturb some sums")
   }
 
@@ -227,10 +235,13 @@ class PrivacySpec extends AnyFunSuite {
     // that day
     val vocab = graft.Tables.events(spark, d)
       .select("event_type").distinct().collect().map(_.getString(0)).toSet
-    val allDays = graft.Tables.events(spark, d)
-      .select(date_trunc("day", col("ts")).as("day")).distinct()
-      .collect().map(_.getTimestamp(0)).toSet
-    assert(days.toSet === allDays, "one release for EVERY day in the corpus")
+    // the day axis is the PUBLIC 64-day grid since r18 (r17 verdict #1)
+    // — observed-only days made a singleton day's release ROW flip with
+    // one record
+    val epoch0 = java.time.LocalDate.parse("2024-01-01")
+    val gridDays = (0 until 64).map(i =>
+      java.sql.Timestamp.valueOf(epoch0.plusDays(i.toLong).atStartOfDay())).toSet
+    assert(days.toSet === gridDays, "one release for EVERY public grid day")
     rel.foreach { r =>
       assert(vocab(r.getString(1)),
         "released category must come from the event-type vocabulary")
@@ -259,7 +270,11 @@ class PrivacySpec extends AnyFunSuite {
       .withColumn("event_id", monotonically_increasing_id())
     val rel = Privacy.dpArgmaxRelease(ev, seeded = true).collect()
       .map(r => (r.getTimestamp(0), r.getString(1))).toMap
-    assert(rel.keySet === Set(day1, day2))
+    // since r18 the day axis is public too: all 64 grid days release
+    // (empty days' winners are pure Gumbel over zero counts)
+    assert(rel.size === 64 && rel.contains(day1) && rel.contains(day2),
+      "a release for every public grid day")
+    assert(rel.values.forall(types.contains), "every winner from the vocabulary")
     assert(types.contains(rel(day2)), "winner still from the vocabulary")
     assert(rel(day2) !== "alpha",
       "with near-tied utilities the seeded Gumbel must be able to pick a " +
@@ -369,7 +384,10 @@ class PrivacySpec extends AnyFunSuite {
     }
     assert(!ran, "a refused release's mechanism must never run")
     // durability: reopening the directory resumes the accounting
-    // exactly (ε reloads as the decimal STRING that was written)
+    // exactly (ε reloads as the decimal STRING that was written).
+    // close() first — the single-writer lock (r17 verdict #3) makes a
+    // second open on a still-open directory fail loudly
+    led.close()
     val reopened = DpLedger.open(dir, budget = BigDecimal("1.5"))
     assert(reopened.spent === BigDecimal(1))
     assert(reopened.remaining === BigDecimal("0.5"))
@@ -621,6 +639,24 @@ class PrivacySpec extends AnyFunSuite {
       vocabulary = vocab).collect().length === 128)
     assert(Privacy.dpGaussianCountRelease(mk(false), seeded = true,
       vocabulary = vocab).collect().length === 128)
+    // r17 verdict #1: x42 and x43 now ride the same discipline — the
+    // sole-contributor 'rare' type (and u1's singleton day) cannot flip
+    // either release's ROW SET: 128 cells for x42, 64 day-winners for
+    // x43, with or without u1
+    def val1(withU1: Boolean) = mk(withU1).withColumn("value", lit(1.0))
+    for (w <- Seq(true, false)) {
+      assert(Privacy.dpSumMeanRelease(val1(w), seeded = true,
+        vocabulary = vocab).collect().length === 128,
+        s"x42 release set must be the dense grid (withU1=$w)")
+      assert(Privacy.dpArgmaxRelease(mk(w), seeded = true,
+        vocabulary = vocab).collect().length === 64,
+        s"x43 release set must be the 64 public days (withU1=$w)")
+    }
+    // vocabulary dedup (r17 advice): duplicate entries must not emit
+    // duplicate release cells
+    assert(Privacy.dpCountRelease(mk(false), seeded = true,
+      vocabulary = Some(Seq("click", "rare", "click"))).collect().length === 128,
+      "a duplicated vocabulary entry must not duplicate release cells")
     // capCells is validated BEFORE the ledger charge
     import graft.operators.DpLedger
     val led = DpLedger.open(freshLedgerDir(), budget = BigDecimal(1))
@@ -663,8 +699,10 @@ class PrivacySpec extends AnyFunSuite {
     // rho-currency ledger — budget 0.5 admits exactly 4 releases, the
     // 5th refused before the mechanism runs (the x46/x49 contract in
     // the other currency); the (eps, delta) statement falls out of the
-    // ledger total via the Bun-Steinke conversion
-    val led = DpLedger.open(freshLedgerDir(), budget = BigDecimal("0.5"))
+    // ledger total via the Bun-Steinke conversion. The currency is a
+    // constructor field since r18 — an epsilon ledger here would throw.
+    val led = DpLedger.open(freshLedgerDir(), budget = BigDecimal("0.5"),
+      currency = DpLedger.Rho)
     (1 to 4).foreach { i =>
       Privacy.dpGaussianCountRelease(ev, ledger = Some(led), releaseId = s"g|$i")
     }
@@ -684,6 +722,79 @@ class PrivacySpec extends AnyFunSuite {
     // account in rho and convert once at read time, never per release
     assert(eps < 4.0 * Privacy.zcdpEpsilon(0.125, 1e-6),
       s"summed-rho conversion must beat per-release conversion sums, got $eps")
+  }
+
+  test("DpLedger currency: a rho charge into an epsilon ledger throws; a tagged registry reloads only under its own currency") {
+    import graft.operators.DpLedger
+    val ev = graft.Tables.events(spark, d)
+    // the unit error the tag closes (r17 verdict #2): rho = 0.125 into
+    // an epsilon-budget ledger would under-account ~8x. Now a CALLER
+    // BUG, thrown before any budget check — and distinct from a budget
+    // refusal (IllegalArgumentException, not BudgetRefused)
+    val eps = DpLedger.open(freshLedgerDir(), budget = BigDecimal(10))
+    val ex = intercept[IllegalArgumentException] {
+      Privacy.dpGaussianCountRelease(ev, seeded = true, ledger = Some(eps))
+    }
+    assert(ex.getMessage.contains("incomparable"))
+    assert(!ex.isInstanceOf[DpLedger.BudgetRefused])
+    assert(eps.spent === BigDecimal(0), "a currency bug must not burn budget")
+    // direct spelling of the same bug
+    intercept[IllegalArgumentException] {
+      eps.tryCharge("r", "gaussian", BigDecimal("0.125"), DpLedger.Rho)
+    }
+    // a tagged rho registry resumes exactly under rho and refuses to
+    // open as epsilon (migrate loudly, never silently re-denominate)
+    val dir = freshLedgerDir()
+    val rho = DpLedger.open(dir, budget = BigDecimal("0.25"), currency = DpLedger.Rho)
+    rho.charge("g1", "gaussian_count_zcdp", BigDecimal("0.125"), DpLedger.Rho)
+    rho.close()
+    val wrong = intercept[IllegalStateException] {
+      DpLedger.open(dir, budget = BigDecimal("0.25"))
+    }
+    assert(wrong.getMessage.contains("rho-currency"))
+    val resumed = DpLedger.open(dir, budget = BigDecimal("0.25"), currency = DpLedger.Rho)
+    assert(resumed.spent === BigDecimal("0.125"))
+    assert(resumed.registry(spark).select("currency").collect()
+      .map(_.getString(0)).toSeq === Seq("rho"))
+    resumed.close()
+    // legacy 4-column registries (pre-currency rounds) load as epsilon
+    // — every pre-currency charge site was an epsilon release, so the
+    // migration is exact
+    val legacyDir = freshLedgerDir()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(legacyDir, "registry.tsv"),
+      "1\tcount\tlaplace_count\t1\n".getBytes("UTF-8"))
+    val legacy = DpLedger.open(legacyDir, budget = BigDecimal(2))
+    assert(legacy.spent === BigDecimal(1))
+    assert(legacy.tryCharge("count2", "laplace_count", BigDecimal(1)))
+    legacy.close()
+    eps.close()
+  }
+
+  test("DpLedger single-writer lock: two opens on one directory cannot both charge") {
+    import graft.operators.DpLedger
+    // the premise-turned-tripwire (r17 verdict #3): two instances that
+    // each load the registry once and append independently could BOTH
+    // admit past budget. The OS lock makes the second open fail loudly
+    // instead.
+    val dir = freshLedgerDir()
+    val first = DpLedger.open(dir, budget = BigDecimal(1))
+    val ex = intercept[IllegalStateException] {
+      DpLedger.open(dir, budget = BigDecimal(1))
+    }
+    assert(ex.getMessage.contains("already open"))
+    // the held instance keeps working; a closed one refuses charges and
+    // frees the directory for a successor that resumes exactly
+    assert(first.tryCharge("a", "laplace_count", BigDecimal(1)))
+    first.close()
+    intercept[IllegalArgumentException] {
+      first.tryCharge("late", "laplace_count", BigDecimal(1))
+    }
+    val second = DpLedger.open(dir, budget = BigDecimal(1))
+    assert(second.spent === BigDecimal(1))
+    assert(!second.tryCharge("b", "laplace_count", BigDecimal(1)),
+      "the resumed accounting still binds")
+    second.close()
   }
 
   test("x51 SVT: one epsilon answers the whole stream, halts at the first above, ships verdicts only") {
