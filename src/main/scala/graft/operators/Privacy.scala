@@ -411,6 +411,20 @@ object Privacy {
     // never do; the data-dependent length is part of the proven output.
     "x51_dp_above_threshold" -> { (s, d) =>
       dpAboveThresholdRelease(Tables.events(s, d), seeded = true)
+    },
+    // USER-level DP sum/mean ([[dpUserSumRelease]]) — x49's bounded
+    // user contribution composed with x42's magnitude clamp (Wilson
+    // et al. VLDB 2020): ≤ 4 cells per user, each clamped to [0, 50],
+    // so removing one PERSON moves the sum vector by ≤ 200 and the
+    // count vector by ≤ 4; ε = 1 split ½/½ across the two draws.
+    "x52_dp_user_sum" -> { (s, d) =>
+      dpUserSumRelease(Tables.events(s, d), seeded = true)
+    },
+    // Numeric-sparse SVT ([[dpSparseRelease]]): up to c = 2 threshold
+    // alerts for ONE ε — AboveThreshold at ε/2 per episode, restarted
+    // with fresh seeded noise after each ⊤; verdicts only.
+    "x53_dp_sparse" -> { (s, d) =>
+      dpSparseRelease(Tables.events(s, d), seeded = true)
     }
   )
 
@@ -445,7 +459,7 @@ object Privacy {
     * historical leak voids only that release's non-replayability, not
     * future ones.
     */
-  private def releaseSalt(seeded: Boolean): String =
+  private[graft] def releaseSalt(seeded: Boolean): String =
     if (seeded) ""
     else {
       val bytes = new Array[Byte](16)
@@ -706,11 +720,29 @@ object Privacy {
       threshold: Double = 100.0, seeded: Boolean = false,
       ledger: Option[DpLedger] = None, releaseId: String = "svt"): DataFrame = {
     ledger.foreach(_.charge(releaseId, "above_threshold_svt", BigDecimal(1)))
-    val salt = releaseSalt(seeded)
+    aboveThresholdSalted(dailyCounts, threshold, releaseSalt(seeded), None)
+  }
+
+  /** The salted/scoped AboveThreshold core — the episode engine behind
+    * both the public entry above and [[graft.streaming.SvtMonitor]]'s
+    * re-armed episodes. `salt` is the episode's noise domain (a fixed
+    * per-episode salt makes every re-read of the SAME episode derive
+    * the same draws — the monitor's checks are re-reads, not new
+    * releases, so they charge nothing); `resumeAfter` scopes the
+    * question schedule to days strictly after a previously RELEASED
+    * alert day (a public value, so the scoping is post-processing —
+    * the x48 stitching argument). Charging is the CALLER's job: the
+    * public entry charges per stream, the monitor charges per episode
+    * at arm time.
+    */
+  private[graft] def aboveThresholdSalted(dailyCounts: DataFrame,
+      threshold: Double, salt: String,
+      resumeAfter: Option[java.sql.Timestamp]): DataFrame = {
     val s = dailyCounts.sparkSession
-    val grid = s.range(ContinualT).select(
+    val grid0 = s.range(ContinualT).select(
       date_add(to_date(lit(ContinualEpoch)), col("id").cast("int"))
         .cast("timestamp").as("day"))
+    val grid = resumeAfter.fold(grid0)(ts => grid0.filter(col("day") > lit(ts)))
     val cells = grid.join(dailyCounts, Seq("day"), "left")
       .select(col("day"), coalesce(col("cnt"), lit(0L)).as("cnt"))
     // T̂ drawn ONCE (day-independent seed tag); per-day noise at scale 4
@@ -728,6 +760,95 @@ object Privacy {
       .filter(col("n_above_so_far") - when(col("above"), 1).otherwise(0) < 1)
       .select(col("day"), col("above"), lit(1.0).as("stream_epsilon"))
       .orderBy("day")
+  }
+
+  /** x53: the NUMERIC SPARSE extension of x51 — SVT with up to `c`
+    * alerts for one total ε (Dwork–Roth Alg. 2, "Sparse"): run
+    * AboveThreshold with ε′ = ε/c, and after each ⊤ RESTART it — a
+    * fresh noisy threshold T̂ₑ = T + Lap(2c/ε) and fresh per-day noise
+    * Lap(4c/ε) — halting for good after the c-th ⊤ or the window end.
+    * x51 answers "has the volume crossed yet" ONCE per budget; a
+    * monitoring pipeline that must keep paging after the first episode
+    * either re-charges per alert (the [[graft.streaming.SvtMonitor]]
+    * re-arm spelling — c unknown in advance, pay as you go) or fixes c
+    * up front and pays ε once for all c alerts (this spelling —
+    * sequential composition over c AboveThreshold runs at ε/c each,
+    * Dwork–Roth Thm. 3.25). Which wins is a deployment choice: for
+    * k expected alerts, Sparse costs ε with noise scaled by c; re-arm
+    * costs k·ε with noise scaled by 1.
+    *
+    * Output: every asked (day, episode) with its verdict — episode e
+    * covers the days strictly after episode e−1's alert day, up to and
+    * including its own alert day; an episode that exhausts the window
+    * without a ⊤ ends the stream (later episodes ask nothing). Only
+    * verdicts ship, never counts or noise; the data-dependent output
+    * length is part of the mechanism's proven output space (the x51
+    * argument, per episode). `stream_epsilon` is the TOTAL ε = 1 for
+    * all episodes together — the point of Sparse.
+    *
+    * Plan shape: ONE combinable day groupBy (the only corpus
+    * exchange); each episode is flags + a 1-row min over the broadcast
+    * 64-row grid, chained through c driver-loop iterations of
+    * public-window-sized frames — c is small public config, never
+    * data-dependent.
+    */
+  def dpSparseRelease(events: DataFrame, threshold: Double = 100.0,
+      c: Int = 2, seeded: Boolean = false, ledger: Option[DpLedger] = None,
+      releaseId: String = "sparse"): DataFrame = {
+    val lo = to_date(lit(ContinualEpoch)).cast("timestamp")
+    val hi = date_add(to_date(lit(ContinualEpoch)), ContinualT).cast("timestamp")
+    dpSparseFromDaily(
+      events
+        .withColumn("day", date_trunc("day", col("ts")))
+        .filter(col("day") >= lo && col("day") < hi)
+        .groupBy("day").agg(count(lit(1)).as("cnt")),
+      threshold, c, seeded, ledger, releaseId)
+  }
+
+  /** [[dpSparseRelease]] from pre-aggregated `(day, cnt)` dailies — the
+    * streaming-twin entry ([[graft.streaming.LiveRelease.sparse]]);
+    * the x51 additivity argument carries over per episode.
+    */
+  def dpSparseFromDaily(dailyCounts: DataFrame, threshold: Double = 100.0,
+      c: Int = 2, seeded: Boolean = false, ledger: Option[DpLedger] = None,
+      releaseId: String = "sparse"): DataFrame = {
+    require(c >= 1, s"need at least one alert slot, got $c")
+    // one charge for the WHOLE c-alert stream (Dwork–Roth Thm. 3.25)
+    ledger.foreach(_.charge(releaseId, "sparse_svt", BigDecimal(1)))
+    val salt = releaseSalt(seeded)
+    val s = dailyCounts.sparkSession
+    val grid = s.range(ContinualT).select(
+      date_add(to_date(lit(ContinualEpoch)), col("id").cast("int"))
+        .cast("timestamp").as("day"))
+    val cells = grid.join(dailyCounts, Seq("day"), "left")
+      .select(col("day"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+    val tScale = 2.0 * c // Lap(2/ε′), ε′ = 1/c
+    val qScale = 4.0 * c
+    // the episode-(e-1) alert day each episode resumes after; seeded to
+    // the day BEFORE the grid so episode 0 asks from the first slot
+    // (null would be ambiguous with "previous episode never alerted")
+    var prev = s.range(1).select(
+      date_sub(to_date(lit(ContinualEpoch)), 1).cast("timestamp").as("lo_day"))
+    val episodes = (0 until c).map { e =>
+      // per-episode seed domains: T̂ once per episode, noise per day
+      val tHat = lit(threshold) +
+        laplace(tScale, seededUnifKey(s"dpt|$e|", salt, lit("threshold")))
+      val flagged = cells.withColumn("above",
+        col("cnt").cast("double") +
+          laplace(qScale, seededUnifKey(s"dpv|$e|", salt, col("day").cast("string"))) >= tHat)
+      // a null lo_day (prior episode exhausted the window) asks nothing
+      val scoped = flagged.crossJoin(broadcast(prev))
+        .filter(col("day") > col("lo_day"))
+      val bound = scoped.filter(col("above")).agg(min(col("day")).as("b"))
+      val rows = scoped.crossJoin(broadcast(bound))
+        .filter(col("b").isNull || col("day") <= col("b"))
+        .select(col("day"), lit(e.toLong).as("episode"), col("above"))
+      prev = bound.select(col("b").as("lo_day"))
+      rows
+    }
+    episodes.reduce(_.unionByName(_))
+      .withColumn("stream_epsilon", lit(1.0))
+      .orderBy("episode", "day")
   }
 
   /** x49: USER-level DP daily-active-user counts — the privacy-unit
@@ -799,6 +920,89 @@ object Privacy {
         greatest(lit(0.0), floor(col("noisy") + lit(0.5))).cast("long")
           .as("released_users"),
         lit(1.0).as("epsilon"))
+      .orderBy("event_type", "day")
+  }
+
+  /** x52: USER-level DP sum/mean release — x49's privacy unit composed
+    * with x42's magnitude bounding, the construction Wilson et al.
+    * ("Differentially Private SQL with Bounded User Contributions",
+    * VLDB 2020) actually ship for aggregations: bound how MANY
+    * partitions one user touches AND how MUCH they contribute to each.
+    * x42 clamps per-(group, user) contributions but states its ε at
+    * the event-group level (one user present in many groups enjoys
+    * only composed group privacy); x49 upgraded the unit for counts.
+    * This closes the gap for sums (r17 verdict #6).
+    *
+    * Mechanism, in order: (1) per (user, event_type, day) cell inside
+    * the public window, the user's value sum is clamped into
+    * [0, `clamp`] — magnitude bounding, without which one outlier user
+    * makes the sum's sensitivity unbounded; (2) per user, only the
+    * first `capCells` cells in (day, event_type) order survive —
+    * breadth bounding, consulting only that user's own rows (mechanism
+    * preprocessing, no budget); (3) cells aggregate the kept clamped
+    * contributions (`true_sum`) and count each kept user once
+    * (`true_users`). Removing one user then moves at most `capCells`
+    * cells, each by at most `clamp` in the sum and 1 in the count:
+    * L1 sensitivity capCells·clamp for the sum vector and capCells for
+    * the count vector — x40's parallel-composition shortcut does NOT
+    * apply (one user spans cells), exactly as in x49. ε = 1 splits
+    * ½/½ (sequential composition): Laplace(capCells·clamp/½) on sums,
+    * Laplace(capCells/½) on counts; the mean is post-processing of the
+    * two released values. At the defaults (4 cells × clamp 50) the sum
+    * noise is Laplace(400) — honest, and the reason production
+    * deployments tune capCells/clamp to observed contribution shapes
+    * (Wilson et al. §5.1 discuss exactly this trade).
+    *
+    * Cells are the DENSE public grid × vocabulary ([[denseCells]] —
+    * the release-set contract, including the public-vocabulary
+    * precondition); released user counts clamp to ≥ 1 so the mean
+    * stays defined; only the clamped integers ship. Determinism rides
+    * the x42 decimal discipline (round-9 contributions, DECIMAL(28,9)
+    * sums, floor(x+½) integerization). Scale shape: one user-cell
+    * corpus exchange (combinable), a user-keyed row_number window
+    * (frame ≤ T×|vocab| per user), one cell re-agg, then
+    * public-window-sized broadcasts — the x49 posture.
+    */
+  def dpUserSumRelease(events: DataFrame, seeded: Boolean = false,
+      capCells: Int = 4, clamp: Double = 50.0,
+      ledger: Option[DpLedger] = None, releaseId: String = "user_sum",
+      vocabulary: Option[Seq[String]] = None): DataFrame = {
+    // validated BEFORE the ledger charge (the x49 contract): degenerate
+    // bounds must not burn budget under an epsilon = 1 label
+    require(capCells >= 1, s"capCells must be >= 1, got $capCells")
+    require(clamp > 0, s"clamp must be positive, got $clamp")
+    ledger.foreach(_.charge(releaseId, "laplace_user_sum", BigDecimal(1)))
+    val bSum = capCells * clamp / 0.5
+    val bCnt = capCells / 0.5
+    val salt = releaseSalt(seeded)
+    val dec = org.apache.spark.sql.types.DecimalType(28, 9)
+    val lo = to_date(lit(ContinualEpoch)).cast("timestamp")
+    val hi = date_add(to_date(lit(ContinualEpoch)), ContinualT).cast("timestamp")
+    val perCell = events
+      .withColumn("day", date_trunc("day", col("ts")))
+      .filter(col("day") >= lo && col("day") < hi)
+      .groupBy("user_id", "event_type", "day")
+      .agg(sum(round(col("value"), 9).cast(dec)).as("contrib"))
+      .withColumn("cl",
+        least(greatest(col("contrib"), lit(0).cast(dec)), lit(clamp).cast(dec)))
+    val w = Window.partitionBy("user_id").orderBy("day", "event_type")
+    val kept = perCell.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= capCells)
+    val grp = kept.groupBy("event_type", "day")
+      .agg(sum(col("cl")).as("true_sum"), count(lit(1)).as("true_users"))
+    val cells = denseCells(events, grp,
+      Seq("true_sum" -> lit(0).cast(dec), "true_users" -> lit(0L)), vocabulary)
+    cells.select(col("event_type"), col("day"),
+        greatest(lit(0L), floor(col("true_sum").cast("double") +
+          laplace(bSum, seededUnif("dpw|", salt)) + lit(0.5))).as("released_sum"),
+        greatest(lit(1L), floor(col("true_users").cast("double") +
+          laplace(bCnt, seededUnif("dpz|", salt)) + lit(0.5))).as("released_users"))
+      .select(col("event_type"), col("day"),
+        col("released_sum"), col("released_users"),
+        round(col("released_sum").cast("double") /
+          col("released_users").cast("double"), 9).as("released_mean"),
+        lit(1.0).as("epsilon"), lit(clamp).as("clamp"),
+        lit(capCells.toLong).as("cap_cells"))
       .orderBy("event_type", "day")
   }
 
@@ -1605,6 +1809,114 @@ object Privacy {
         |SELECT day, above, CAST(1.0 AS DOUBLE) AS stream_epsilon
         |FROM g WHERE na - (CASE WHEN above THEN 1 ELSE 0 END) < 1
         |ORDER BY day""".stripMargin,
+    // x52: per-(user, cell) clamped contributions → row_number cap at 4
+    // per user → cell sums/user counts → dense grid → two seeded
+    // Laplaces (scale 400 on sums 'dpw|', scale 8 on counts 'dpz|') →
+    // floor(x+½), mean from the RELEASED pair.
+    "x52_dp_user_sum" ->
+      """WITH grid AS (SELECT CAST(DATE '2024-01-01' + CAST(g.range AS INT) AS TIMESTAMP) AS day
+        |  FROM range(0, 64) g),
+        |vocab AS (SELECT DISTINCT event_type FROM events),
+        |pc AS (SELECT user_id, event_type,
+        |    CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |    least(greatest(SUM(CAST(round(value, 9) AS DECIMAL(28,9))),
+        |        CAST(0 AS DECIMAL(28,9))), CAST(50 AS DECIMAL(28,9))) AS cl
+        |  FROM events
+        |  WHERE CAST(date_trunc('day', ts) AS TIMESTAMP)
+        |      >= CAST(DATE '2024-01-01' AS TIMESTAMP)
+        |    AND CAST(date_trunc('day', ts) AS TIMESTAMP)
+        |      < CAST(DATE '2024-01-01' + 64 AS TIMESTAMP)
+        |  GROUP BY 1, 2, 3),
+        |kept AS (SELECT user_id, event_type, day, cl FROM (
+        |    SELECT user_id, event_type, day, cl,
+        |      row_number() OVER (PARTITION BY user_id
+        |        ORDER BY day, event_type) AS rk
+        |    FROM pc) WHERE rk <= 4),
+        |go AS (SELECT event_type, day, SUM(cl) AS true_sum,
+        |    CAST(count(*) AS BIGINT) AS true_users
+        |  FROM kept GROUP BY 1, 2),
+        |g AS (SELECT v.event_type, grid.day,
+        |    coalesce(go.true_sum, CAST(0 AS DECIMAL(28,9))) AS true_sum,
+        |    coalesce(go.true_users, CAST(0 AS BIGINT)) AS true_users
+        |  FROM grid CROSS JOIN vocab v
+        |  LEFT JOIN go ON go.event_type = v.event_type AND go.day = grid.day),
+        |n AS (SELECT event_type, day, true_sum, true_users,
+        |    (CAST(('0x' || substr(md5('dpw|' || event_type || '|' ||
+        |        CAST(day AS VARCHAR)), 1, 8)) AS BIGINT) + 0.5) /
+        |      4294967296.0 AS us,
+        |    (CAST(('0x' || substr(md5('dpz|' || event_type || '|' ||
+        |        CAST(day AS VARCHAR)), 1, 8)) AS BIGINT) + 0.5) /
+        |      4294967296.0 AS uc
+        |  FROM g),
+        |z AS (SELECT event_type, day, true_sum, true_users,
+        |    round(-400.0 * sign(us - 0.5) * ln(1.0 - 2.0 * abs(us - 0.5)), 9) AS ns,
+        |    round(-8.0 * sign(uc - 0.5) * ln(1.0 - 2.0 * abs(uc - 0.5)), 9) AS nc
+        |  FROM n),
+        |r AS (SELECT event_type, day,
+        |    CAST(greatest(0.0, floor(CAST(true_sum AS DOUBLE) + ns + 0.5)) AS BIGINT)
+        |      AS released_sum,
+        |    CAST(greatest(1.0, floor(CAST(true_users AS DOUBLE) + nc + 0.5)) AS BIGINT)
+        |      AS released_users
+        |  FROM z)
+        |SELECT event_type, day, released_sum, released_users,
+        |  round(CAST(released_sum AS DOUBLE) / CAST(released_users AS DOUBLE), 9)
+        |    AS released_mean,
+        |  CAST(1.0 AS DOUBLE) AS epsilon, CAST(50.0 AS DOUBLE) AS clamp,
+        |  CAST(4 AS BIGINT) AS cap_cells
+        |FROM r ORDER BY event_type, day""".stripMargin,
+    // x53 numeric-sparse SVT, c = 2: per-episode noisy thresholds
+    // ('dpt|e|', Lap(4)) and per-day noise ('dpv|e|', Lap(8)); episode
+    // 1 resumes strictly after episode 0's alert day and only if one
+    // exists; verdicts only, one epsilon total.
+    "x53_dp_sparse" ->
+      """WITH grid AS (SELECT CAST(DATE '2024-01-01' + CAST(g.range AS INT) AS TIMESTAMP) AS day
+        |  FROM range(0, 64) g),
+        |daily AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events
+        |  WHERE CAST(date_trunc('day', ts) AS TIMESTAMP)
+        |      >= CAST(DATE '2024-01-01' AS TIMESTAMP)
+        |    AND CAST(date_trunc('day', ts) AS TIMESTAMP)
+        |      < CAST(DATE '2024-01-01' + 64 AS TIMESTAMP)
+        |  GROUP BY 1),
+        |cells AS (SELECT grid.day, coalesce(daily.cnt, CAST(0 AS BIGINT)) AS cnt
+        |  FROM grid LEFT JOIN daily ON grid.day = daily.day),
+        |th0 AS (SELECT 100.0 +
+        |    round(-4.0 * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5)), 9) AS that
+        |  FROM (SELECT (CAST(('0x' || substr(md5('dpt|0|threshold'), 1, 8)) AS BIGINT)
+        |      + 0.5) / 4294967296.0 AS u)),
+        |f0 AS (SELECT day,
+        |    (CAST(cnt AS DOUBLE) +
+        |      round(-8.0 * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5)), 9))
+        |      >= that AS above
+        |  FROM (SELECT day, cnt,
+        |      (CAST(('0x' || substr(md5('dpv|0|' || CAST(day AS VARCHAR)), 1, 8))
+        |        AS BIGINT) + 0.5) / 4294967296.0 AS u
+        |    FROM cells), th0),
+        |b0 AS (SELECT min(day) AS b FROM f0 WHERE above),
+        |e0 AS (SELECT f0.day, CAST(0 AS BIGINT) AS episode, f0.above
+        |  FROM f0 CROSS JOIN b0 WHERE b0.b IS NULL OR f0.day <= b0.b),
+        |th1 AS (SELECT 100.0 +
+        |    round(-4.0 * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5)), 9) AS that
+        |  FROM (SELECT (CAST(('0x' || substr(md5('dpt|1|threshold'), 1, 8)) AS BIGINT)
+        |      + 0.5) / 4294967296.0 AS u)),
+        |f1 AS (SELECT day,
+        |    (CAST(cnt AS DOUBLE) +
+        |      round(-8.0 * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5)), 9))
+        |      >= that AS above
+        |  FROM (SELECT day, cnt,
+        |      (CAST(('0x' || substr(md5('dpv|1|' || CAST(day AS VARCHAR)), 1, 8))
+        |        AS BIGINT) + 0.5) / 4294967296.0 AS u
+        |    FROM cells), th1),
+        |b1 AS (SELECT min(f1.day) AS b FROM f1 CROSS JOIN b0
+        |  WHERE f1.above AND b0.b IS NOT NULL AND f1.day > b0.b),
+        |e1 AS (SELECT f1.day, CAST(1 AS BIGINT) AS episode, f1.above
+        |  FROM f1 CROSS JOIN b0 CROSS JOIN b1
+        |  WHERE b0.b IS NOT NULL AND f1.day > b0.b
+        |    AND (b1.b IS NULL OR f1.day <= b1.b))
+        |SELECT day, episode, above, CAST(1.0 AS DOUBLE) AS stream_epsilon
+        |FROM (SELECT * FROM e0 UNION ALL SELECT * FROM e1)
+        |ORDER BY episode, day""".stripMargin,
     // x49: per-user distinct cells → row_number cap at 4 → cell counts →
     // dense grid → seeded Laplace at scale 4 → clamp+floor. Same
     // md5-uniform and chained-ln spelling as x40, 'dpu|' domain tag.

@@ -37,11 +37,16 @@ import graft.streaming.LivePipeline
   *  - `GET /stores` — maintenance posture of every store behind the
   *    intake (partition counts, commit frontier, pending
   *    fold/rewrite recovery debt), driver-side listings only;
-  *  - `GET /release[?window=<w>][&as_of=<batch>][&seeded=1]` (when
-  *    constructed with a [[graft.streaming.LiveRelease]] config) —
-  *    the continual DP release from the live day-count store, with
-  *    LIVE budget enforcement: a ledger-refused request answers 429
-  *    and releases nothing.
+  *  - `GET /release[?window=<w>][&as_of=<batch>]` (when constructed
+  *    with a [[graft.streaming.LiveRelease]] config) — the continual
+  *    DP release from the live day-count store, with LIVE budget
+  *    enforcement: a ledger-refused request answers 429 and releases
+  *    nothing. The oracle-replayable seeded draw is server
+  *    construction config (`releaseSeeded`), never a query param;
+  *  - `GET /alert[?as_of=<batch>]` (same construction) — the SVT
+  *    threshold question (x51) over the live store at the server's
+  *    `alertThreshold`: verdict rows only, one ε per request-stream,
+  *    same 429 leg.
   *
   * Built like [[HttpServe]] (JDK HttpServer, no dependency, JSON
   * array bodies, wildcard CORS) and, like it, a DEMO-serving tier:
@@ -62,7 +67,9 @@ final class IntakeServe(spark: SparkSession, cfg: LivePipeline.Config,
     vectors: Option[graft.streaming.LiveVectors.Config] = None,
     release: Option[graft.streaming.LiveRelease.Config] = None,
     releaseLedger: Option[graft.operators.DpLedger] = None,
-    releaseWindows: Range = 0 until 1) {
+    releaseWindows: Range = 0 until 1,
+    releaseSeeded: Boolean = false,
+    alertThreshold: Double = 100.0) {
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
 
@@ -178,8 +185,15 @@ final class IntakeServe(spark: SparkSession, cfg: LivePipeline.Config,
   // contract), so each request is a new charge even for a window
   // already released: that is exactly the composed-release averaging
   // attack, and the ledger's cap is the defense (PrivacySpec).
-  // `seeded=1` opts into the oracle-replayable draw (the releaseSalt
-  // contract's test spelling).
+  // The seeded (oracle-replayable) draw is SERVER construction config
+  // (`releaseSeeded` — r17 advice closed): the old `seeded=1` query
+  // param let any caller obtain a noise-predictable release of true
+  // live counts — Laplace draws that are a deterministic function of
+  // public strings, subtractable by anyone — while the ledger still
+  // charged and labeled it ε=1, voiding the guarantee; and each seeded
+  // re-read burned a fresh charge for a bit-identical body. A test
+  // deployment opts in where the ledger and windows are configured,
+  // never per request.
   release.foreach { rcfg =>
     server.createContext("/release", (ex: HttpExchange) => Facade.handle(ex) { p =>
       val window = p.getOrElse("window", "0").toInt
@@ -188,14 +202,35 @@ final class IntakeServe(spark: SparkSession, cfg: LivePipeline.Config,
       // or hostile window value (window=999, window=-5) must be a 400
       // BEFORE the charge, never a burned budget + an all-zero-data
       // "release". The range is deployment config — public, like the
-      // calendar epoch — so rejecting outside it leaks nothing.
+      // calendar epoch — so rejecting outside it leaks nothing. The
+      // message spells the range as its elements (r17 advice: the old
+      // hardcoded half-open "[start, end)" rendering misreported an
+      // inclusive Range's own last element as unserved).
       require(releaseWindows.contains(window),
-        s"window $window outside the served range " +
-          s"[${releaseWindows.start}, ${releaseWindows.end})")
+        s"window $window outside the served windows " +
+          s"{${releaseWindows.mkString(", ")}}")
       val asOf = p.get("as_of").map(_.toLong).getOrElse(Long.MaxValue)
-      val seeded = p.get("seeded").contains("1")
       rowsJson(graft.streaming.LiveRelease.release(spark, rcfg,
-        window = window, seeded = seeded, ledger = releaseLedger, asOf = asOf))
+        window = window, seeded = releaseSeeded, ledger = releaseLedger,
+        asOf = asOf))
+    })
+    // `GET /alert[?as_of=<batch>]` — the SVT question over the live
+    // day-count store (x51 / [[graft.streaming.LiveRelease
+    // .aboveThreshold]]): "has the daily volume crossed the server's
+    // threshold yet, and when" — verdict rows only, never counts. One
+    // request = one AboveThreshold STREAM = one ε charged through the
+    // same ledger/429 contract as /release (64 questions for that one
+    // ε — the reason a monitoring endpoint wants SVT and not 64 count
+    // releases). The push-based sibling with episode semantics and
+    // re-arm accounting is [[graft.streaming.SvtMonitor]]; this is the
+    // pull spelling for dashboards and probes. The threshold is SERVER
+    // config (public, like the calendar epoch) — client-supplied
+    // thresholds would turn budget charges into a free parameter sweep.
+    server.createContext("/alert", (ex: HttpExchange) => Facade.handle(ex) { p =>
+      val asOf = p.get("as_of").map(_.toLong).getOrElse(Long.MaxValue)
+      rowsJson(graft.streaming.LiveRelease.aboveThreshold(spark, rcfg,
+        threshold = alertThreshold, seeded = releaseSeeded,
+        ledger = releaseLedger, releaseId = "svt|http", asOf = asOf))
     })
   }
   server.createContext("/snapshot", (ex: HttpExchange) => Facade.handle(ex) { p =>

@@ -96,6 +96,29 @@ object LiveRelease {
     Privacy.dpAboveThresholdFromDaily(dailyCounts(s, cfg, asOf),
       threshold, seeded, ledger, releaseId)
 
+  /** [[graft.operators.Privacy.aboveThresholdSalted]] over the live
+    * store — the episode engine [[SvtMonitor]] re-reads at every
+    * check (fixed per-episode salt ⇒ same draws ⇒ a re-read, not a
+    * new release; the monitor does its own per-episode charging).
+    */
+  private[graft] def aboveThresholdEpisode(s: SparkSession, cfg: Config,
+      threshold: Double, salt: String,
+      resumeAfter: Option[java.sql.Timestamp],
+      asOf: Long = Long.MaxValue): DataFrame =
+    Privacy.aboveThresholdSalted(dailyCounts(s, cfg, asOf),
+      threshold, salt, resumeAfter)
+
+  /** The numeric-sparse twin (x53): up to `c` alerts for one ε from
+    * the live store's totals — the fixed-alert-budget alternative to
+    * [[graft.streaming.SvtMonitor]]'s pay-per-episode re-arm
+    * ([[Privacy.dpSparseFromDaily]] carries the trade-off).
+    */
+  def sparse(s: SparkSession, cfg: Config, threshold: Double = 100.0,
+      c: Int = 2, seeded: Boolean = false, ledger: Option[DpLedger] = None,
+      releaseId: String = "sparse", asOf: Long = Long.MaxValue): DataFrame =
+    Privacy.dpSparseFromDaily(dailyCounts(s, cfg, asOf),
+      threshold, c, seeded, ledger, releaseId)
+
   private def dailyCounts(s: SparkSession, cfg: Config, asOf: Long): DataFrame =
     LiveCounts.totals(s, ccfg(cfg), asOf)
       .select(to_date(col("key")).as("day"), col("n").as("cnt"))

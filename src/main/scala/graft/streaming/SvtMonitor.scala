@@ -1,0 +1,140 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import graft.operators.{DpLedger, Privacy}
+
+import scala.util.control.NonFatal
+
+/** The alerting habitat SVT exists for (r17 verdict #4): x51 gives the
+  * MECHANISM — "has the daily volume crossed T yet" answered for one ε
+  * — and [[LiveRelease.aboveThreshold]] asks it of the live store, but
+  * until now nothing PAGED: an alerting pipeline needs the verdict
+  * pushed through transports with episode semantics, not polled as a
+  * frame. This monitor composes the three existing disciplines:
+  *
+  *  - [[AdmissionMonitor]]'s episode semantics: ONE page when the
+  *    stream enters the alert state (the episode's first ⊤), silence
+  *    on every further check of the same episode, and a fail-fast
+  *    transport probe at construction with send-failures swallowed at
+  *    runtime (an alerting outage must not take the intake down);
+  *  - SVT's budget shape: each EPISODE is one AboveThreshold stream —
+  *    one ε charged at arm time through the [[DpLedger]]
+  *    charge-then-release wrapper, covering every check of that
+  *    episode (checks re-derive the same draws from a fixed
+  *    per-episode salt, so they are re-reads of the same release, not
+  *    new charges — [[Privacy.aboveThresholdSalted]]);
+  *  - the x48/x53 resume discipline: after an episode alerts at day d
+  *    (a RELEASED public value), the monitor re-arms a NEW ε-charged
+  *    episode whose question schedule is the days strictly after d —
+  *    post-processing of released values, zero extra budget for the
+  *    scoping itself. A deployment that knows its alert count up
+  *    front can pay once instead via the numeric-sparse release
+  *    ([[LiveRelease.sparse]], x53) — ε total with c-scaled noise
+  *    versus this monitor's ε per episode with unit-scale noise; the
+  *    [[Privacy.dpSparseRelease]] scaladoc carries the trade.
+  *
+  * An EXHAUSTED budget alerts nothing, permanently and quietly (one
+  * stderr line): arming the next episode throws [[DpLedger
+  * .BudgetRefused]] BEFORE any frame exists, the monitor latches
+  * `budgetExhausted`, and every later check is a no-op — the privacy
+  * policy answering "not anymore" (the 429 contract, driver-side).
+  *
+  * Check cadence caveat (honest deployment guidance): an episode's
+  * per-day noise is fixed, so checking MID-day answers that day's
+  * question against partial counts, and a later check re-answers it
+  * with fuller counts under the same draw — two different queries, one
+  * noise draw, which weakens the per-query accounting for that day.
+  * Run checks after day close (the reference's daily-report cadence —
+  * python/main.py:343-356's timed loop), or accept the documented
+  * slack for the current day only; completed days' verdicts are final
+  * either way because day counts stop moving.
+  *
+  * Cost per check: one day-keyed re-aggregation of the live store
+  * (calendar-days-sized, never corpus-sized) plus the public 64-row
+  * grid — the [[LiveRelease]] release-time shape, driver-collected at
+  * window size (bounded by construction).
+  */
+final class SvtMonitor(transports: Seq[AlertTransport],
+    cfg: LiveRelease.Config, threshold: Double = 100.0,
+    ledger: Option[DpLedger] = None,
+    releaseIdPrefix: String = "svt-monitor", seeded: Boolean = false) {
+  require(transports.nonEmpty, "SvtMonitor needs at least one transport")
+  AlertTransport.probeAll(transports, "svt-monitor")
+
+  // driver-side episode state (checks run on the driver, like
+  // AdmissionMonitor.observe)
+  private var episodeN = 0
+  private var armedSalt: Option[String] = None
+  private var resumeAfter: Option[java.sql.Timestamp] = None
+  @volatile private var exhausted = false
+
+  /** Episodes armed so far (== alerts fired + the currently armed one,
+    * once any question has been asked).
+    */
+  def episode: Int = synchronized(episodeN)
+
+  /** True once a budget refusal has permanently silenced the monitor. */
+  def budgetExhausted: Boolean = exhausted
+
+  /** Ask the current episode's question of the live store as of a
+    * commit point and page on its first ⊤. Returns the alert day when
+    * THIS check fired the page (for tests and callers that chain), and
+    * None on silence — including the exhausted-budget silence.
+    */
+  def check(s: SparkSession, asOf: Long = Long.MaxValue): Option[java.sql.Timestamp] =
+    synchronized {
+      if (exhausted) return None
+      // window exhausted: an alert on the LAST grid day leaves a new
+      // episode nothing to ask — arming it would charge real ε for an
+      // empty question schedule. The next 64-day window is a fresh
+      // monitor (the x47/x48 rollover contract).
+      val windowEnd = java.sql.Timestamp.valueOf(
+        java.time.LocalDate.parse(Privacy.ContinualEpoch)
+          .plusDays(Privacy.ContinualT - 1L).atStartOfDay())
+      if (armedSalt.isEmpty && resumeAfter.exists(!_.before(windowEnd)))
+        return None
+      try {
+        if (armedSalt.isEmpty) {
+          // arm = charge: one ε covers every check of this episode.
+          // BudgetRefused latches exhaustion; no frame ever existed.
+          try ledger.foreach(_.charge(s"$releaseIdPrefix|e$episodeN",
+            "above_threshold_svt", BigDecimal(1)))
+          catch {
+            case e: DpLedger.BudgetRefused =>
+              exhausted = true
+              System.err.println(s"[svt-monitor] budget exhausted at " +
+                s"episode $episodeN — alerting permanently dark: ${e.getMessage}")
+              return None
+          }
+          armedSalt = Some(Privacy.releaseSalt(seeded))
+          episodeN += 1
+        }
+        val verdicts = LiveRelease.aboveThresholdEpisode(s, cfg, threshold,
+          armedSalt.get, resumeAfter, asOf).collect()
+        val alertDay = verdicts.lastOption
+          .filter(_.getBoolean(1)).map(_.getTimestamp(0))
+        alertDay.foreach { day =>
+          AlertTransport.fanOut(transports,
+            s"DP volume alert: daily event volume crossed threshold " +
+              s"$threshold at $day (episode ${episodeN - 1}, " +
+              "epsilon=1 for the whole episode)")
+          // the episode has halted (SVT semantics): re-arm LAZILY — the
+          // next check charges a fresh ε for a new stream resuming
+          // strictly after the released alert day
+          armedSalt = None
+          resumeAfter = Some(day)
+        }
+        alertDay
+      } catch {
+        // the monitor must never take the intake down (the
+        // AdmissionMonitor contract): a transient read failure skips
+        // this check; episode state is untouched, the next check
+        // re-asks. An interrupt is stream shutdown, not a failure.
+        case _: InterruptedException =>
+          Thread.currentThread().interrupt(); None
+        case NonFatal(e) =>
+          System.err.println(s"[svt-monitor] check failed: ${e.getMessage}")
+          None
+      }
+    }
+}

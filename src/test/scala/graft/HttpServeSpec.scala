@@ -260,23 +260,26 @@ class HttpServeSpec extends AnyFunSuite {
       budget = BigDecimal(1))
     val cfg = graft.streaming.LivePipeline.Config(
       java.nio.file.Files.createTempDirectory("graft-intake-release-root").toString)
+    // the seeded (oracle-replayable) draw is SERVER construction config
+    // (r17 advice: a client-supplied seeded=1 made the noise a
+    // deterministic function of public strings for any caller —
+    // charge-burning, guarantee-voiding — and is now simply not parsed)
     val srv = new graft.serve.IntakeServe(spark, cfg,
-      release = Some(rcfg), releaseLedger = Some(led))
+      release = Some(rcfg), releaseLedger = Some(led), releaseSeeded = true)
     srv.start()
     try {
       val base = s"http://127.0.0.1:${srv.boundPort}"
-      // seeded=1: the oracle-replayable draw, so the HTTP body is
-      // checkable against the batch x47 release on the same records
-      val (c1, body) = get(s"$base/release?window=0&seeded=1")
+      val (c1, body) = get(s"$base/release?window=0")
       assert(c1 === 200)
       val got = "\"released_cum\":(\\d+)".r.findAllMatchIn(body)
         .map(_.group(1).toLong).toSeq
       assert(got === expected,
         s"HTTP release must equal batch x47 on the ingested records: $body")
       assert(led.spent === BigDecimal(1))
-      // the second request is a NEW release (the averaging attack) —
-      // refused by the ledger as 429 BEFORE any frame exists, nothing
-      // released, spend unchanged
+      // a client-sent seeded=1 is inert: unknown params are ignored and
+      // the draw stays whatever the server was constructed with —
+      // here the next charge is refused anyway (429), proving the
+      // request reached the ledger path, not a special seeded path
       val (c2, err) = get(s"$base/release?window=0&seeded=1")
       assert(c2 === 429, s"budget refusal must answer 429: $err")
       assert(err.contains("refused") && !err.contains("released_cum"))
@@ -285,9 +288,51 @@ class HttpServeSpec extends AnyFunSuite {
       val (c3, _) = get(s"$base/release?window=zero")
       assert(c3 === 400)
       // a window outside the served range is a 400 BEFORE the charge —
-      // never a burned budget for a typo (r17 review); spend unchanged
-      val (c4, err4) = get(s"$base/release?window=7&seeded=1")
-      assert(c4 === 400 && err4.contains("outside the served range"), err4)
+      // never a burned budget for a typo (r17 review); spend unchanged.
+      // The message spells the served windows as elements (r17 advice:
+      // no half-open formatting assumption on the Range's shape).
+      val (c4, err4) = get(s"$base/release?window=7")
+      assert(c4 === 400 && err4.contains("outside the served windows {0}"), err4)
+      assert(led.spent === BigDecimal(1))
+    } finally srv.stop()
+  }
+
+  test("/alert serves the SVT verdict stream; one epsilon per request, 429 once the budget is gone") {
+    import org.apache.spark.sql.functions.col
+    val d = "/root/testdata/sf0.001"
+    val rroot = java.nio.file.Files.createTempDirectory("graft-intake-alert").toString
+    val rcfg = graft.streaming.LiveRelease.Config(rroot)
+    val evAll = Tables.events(spark, d)
+    graft.streaming.LiveRelease.step(evAll, 0L, rcfg)
+    val expected = graft.operators.Privacy
+      .dpAboveThresholdRelease(evAll, threshold = 5.0, seeded = true).collect()
+      .map(r => (r.getTimestamp(0), r.getBoolean(1))).toSeq
+    assert(expected.nonEmpty)
+    val led = graft.operators.DpLedger.open(
+      java.nio.file.Files.createTempDirectory("graft-alert-ledger").toString,
+      budget = BigDecimal(1))
+    val cfg = graft.streaming.LivePipeline.Config(
+      java.nio.file.Files.createTempDirectory("graft-intake-alert-root").toString)
+    val srv = new graft.serve.IntakeServe(spark, cfg,
+      release = Some(rcfg), releaseLedger = Some(led), releaseSeeded = true,
+      alertThreshold = 5.0)
+    srv.start()
+    try {
+      val base = s"http://127.0.0.1:${srv.boundPort}"
+      val (c1, body) = get(s"$base/alert")
+      assert(c1 === 200)
+      // verdicts only: above flags, never counts or noise
+      val got = "\"above\":(true|false)".r.findAllMatchIn(body)
+        .map(_.group(1).toBoolean).toSeq
+      assert(got === expected.map(_._2),
+        s"HTTP alert must equal the batch x51 verdicts: $body")
+      assert(!body.contains("cnt") && !body.contains("noise"), body)
+      assert(led.spent === BigDecimal(1),
+        "64 threshold questions cost one epsilon — the reason this endpoint is SVT")
+      // a second request is a new stream — a new charge, here refused
+      // as 429 with nothing released
+      val (c2, err) = get(s"$base/alert")
+      assert(c2 === 429 && err.contains("refused") && !err.contains("above"), err)
       assert(led.spent === BigDecimal(1))
     } finally srv.stop()
   }

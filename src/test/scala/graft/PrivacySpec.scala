@@ -842,6 +842,138 @@ class PrivacySpec extends AnyFunSuite {
     assert(led.spent === BigDecimal(1))
   }
 
+  test("x52 user-level DP sum: one whole user moves at most capCells cells, each sum by at most the clamp") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.DpLedger
+    // The Wilson-et-al. double bound as an executable experiment (the
+    // x49 pattern, for sums): u1 contributes 50 events x value 1000 on
+    // each of 6 days — unclamped that is 300k per cell over 6 cells;
+    // the magnitude clamp caps each cell at 50 and the breadth cap
+    // keeps only the first 4 cells, so removing u1 entirely moves at
+    // most 4 released sums by at most 50 each (noise is seeded, so the
+    // difference IS the clamped contribution) and 4 released user
+    // counts by at most 1.
+    def mkEvents(withU1: Boolean) = {
+      val base = for { u <- 2 to 11; dd <- 1 to 8 } yield
+        (java.sql.Timestamp.valueOf(f"2024-01-$dd%02d 0${u % 10}:00:00"),
+          "click", s"user$u", 10.0)
+      val u1 = for { dd <- 1 to 6; rep <- 1 to 50 } yield
+        (java.sql.Timestamp.valueOf(f"2024-01-$dd%02d ${rep % 24}%02d:30:00"),
+          "click", "user1", 1000.0)
+      (if (withU1) base ++ u1 else base.toSeq)
+        .toDF("ts", "event_type", "user_id", "value")
+    }
+    def rel(withU1: Boolean): Map[java.sql.Timestamp, (Long, Long)] =
+      Privacy.dpUserSumRelease(mkEvents(withU1), seeded = true,
+        vocabulary = Some(Seq("click"))).collect()
+        .map(r => r.getTimestamp(1) -> ((r.getLong(2), r.getLong(3)))).toMap
+    val withU = rel(withU1 = true)
+    val without = rel(withU1 = false)
+    assert(withU.keySet === without.keySet && withU.size === 64,
+      "the dense public release set must not shift with a user's data")
+    val movedSum = withU.keySet.filter(k => withU(k)._1 != without(k)._1)
+    val movedCnt = withU.keySet.filter(k => withU(k)._2 != without(k)._2)
+    assert(movedSum.size <= 4 && movedCnt.size <= 4,
+      s"breadth bound: sums moved at ${movedSum.size} cells, counts at ${movedCnt.size} — cap is 4")
+    assert(movedSum.nonEmpty, "u1's kept cells must show in the sums")
+    movedSum.foreach { k =>
+      assert(math.abs(withU(k)._1 - without(k)._1) <= 51L,
+        s"cell $k sum moved by ${math.abs(withU(k)._1 - without(k)._1)} > clamp+1")
+    }
+    movedCnt.foreach(k => assert(math.abs(withU(k)._2 - without(k)._2) <= 1L))
+    // cells past the cap (Jan 5/6 of u1's span) must not move
+    for (dd <- Seq("2024-01-05", "2024-01-06")) {
+      val k = java.sql.Timestamp.valueOf(s"$dd 00:00:00")
+      assert(withU(k) === without(k), s"capped-out cell $dd must not move")
+    }
+    // seeded stability + gate sanity on the real corpus
+    assert(rel(withU1 = true) === withU, "seeded release must be bit-stable")
+    val ev = graft.Tables.events(spark, d)
+    val gate = Privacy.dpUserSumRelease(ev, seeded = true).collect()
+    val vocabN = ev.select("event_type").distinct().count()
+    assert(gate.length === 64 * vocabN)
+    gate.foreach { r =>
+      assert(r.getLong(2) >= 0L && r.getLong(3) >= 1L)
+      // mean is post-processing of the released pair only
+      assert(r.getDouble(4) ===
+        BigDecimal(r.getLong(2).toDouble / r.getLong(3).toDouble)
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    // parameter validation precedes the charge; refusal precedes the plan
+    val led = DpLedger.open(freshLedgerDir(), budget = BigDecimal("0.5"))
+    intercept[IllegalArgumentException] {
+      Privacy.dpUserSumRelease(ev, capCells = 0, ledger = Some(led))
+    }
+    intercept[IllegalArgumentException] {
+      Privacy.dpUserSumRelease(ev, clamp = 0.0, ledger = Some(led))
+    }
+    assert(led.spent === BigDecimal(0), "invalid bounds must not burn budget")
+    intercept[IllegalStateException] {
+      Privacy.dpUserSumRelease(ev, seeded = true, ledger = Some(led))
+    }
+    assert(led.spent === BigDecimal(0))
+    led.close()
+  }
+
+  test("x53 numeric-sparse SVT: c alerts for one epsilon, episodes resume after each alert, verdicts only") {
+    import spark.implicits._
+    import graft.operators.DpLedger
+    def mk(perDay: Int => Int) = (0 until 64).flatMap { dd =>
+      val day = java.time.LocalDate.parse("2024-01-01").plusDays(dd.toLong)
+      (0 until perDay(dd)).map(r =>
+        (java.sql.Timestamp.valueOf(day.atTime(r % 24, 0)), "click", s"u$r"))
+    }.toDF("ts", "event_type", "user_id")
+    // margins chosen so every verdict is FORCED for any seed: at c = 2
+    // the noise tails are |Lap(8)| <= 8 ln 2^33 ~ 183 and the noisy
+    // threshold moves by |Lap(4)| <= 92, so 500 >> 100 always alerts
+    // and 0 << 1000 never does.
+    // hot stream: episode 0 alerts day 1, episode 1 resumes AND alerts
+    // day 2 — two rows, two episodes, one epsilon
+    val hot = Privacy.dpSparseRelease(mk(_ => 500), seeded = true).collect()
+    assert(hot.length === 2, s"hot stream: ${hot.toSeq}")
+    assert(hot.map(r => (r.getLong(1), r.getBoolean(2))).toSeq ===
+      Seq((0L, true), (1L, true)))
+    assert(hot(0).getTimestamp(0).before(hot(1).getTimestamp(0)))
+    // c = 3 admits a third episode on the same stream for the SAME one
+    // epsilon (scales grow to Lap(12)/Lap(6) — margins still forced)
+    val hot3 = Privacy.dpSparseRelease(mk(_ => 500), c = 3, seeded = true).collect()
+    assert(hot3.length === 3 && hot3.forall(_.getBoolean(2)))
+    // cold stream at threshold 1000: episode 0 asks all 64 days, all
+    // below; the window is exhausted, so episode 1 asks NOTHING
+    val cold = Privacy.dpSparseRelease(mk(_ => 0), threshold = 1000.0,
+      seeded = true).collect()
+    assert(cold.length === 64 && cold.forall(r => r.getLong(1) === 0L && !r.getBoolean(2)))
+    // one spike at day 10: episode 0 ships days 1-10 (last above),
+    // episode 1 ships days 11-64 all below — the resume point is the
+    // alert day, the stream end is the window
+    val spike = Privacy.dpSparseRelease(
+      mk(dd => if (dd == 9) 2000 else 0), threshold = 1000.0,
+      seeded = true).collect()
+    val ep0 = spike.filter(_.getLong(1) === 0L)
+    val ep1 = spike.filter(_.getLong(1) === 1L)
+    assert(ep0.length === 10 && ep0.init.forall(!_.getBoolean(2)) &&
+      ep0.last.getBoolean(2), "episode 0 halts at the spike")
+    assert(ep1.length === 54 && ep1.forall(!_.getBoolean(2)),
+      "episode 1 resumes after the spike and exhausts the window")
+    spike.foreach(r => assert(r.schema.fieldNames.toSeq ===
+      Seq("day", "episode", "above", "stream_epsilon"),
+      "verdicts only — no counts, no noise"))
+    // seeded determinism
+    assert(Privacy.dpSparseRelease(mk(dd => if (dd == 9) 2000 else 0),
+      threshold = 1000.0, seeded = true).collect().toSeq === spike.toSeq)
+    // ONE charge for the whole c-alert stream; a re-run is a new charge
+    val led = DpLedger.open(freshLedgerDir(), budget = BigDecimal(1))
+    assert(Privacy.dpSparseRelease(mk(_ => 500), ledger = Some(led))
+      .collect().length === 2)
+    assert(led.spent === BigDecimal(1))
+    intercept[IllegalStateException] {
+      Privacy.dpSparseRelease(mk(_ => 500), ledger = Some(led))
+    }
+    assert(led.spent === BigDecimal(1))
+    led.close()
+  }
+
   test("x44 DP median: one release per type, inside the public range, near the true median, seeded-stable") {
     val rel = SparkEntry.queries("x44_dp_median_release")(spark, d).collect()
       .map(r => (r.getString(0), r.getDouble(1))).toMap

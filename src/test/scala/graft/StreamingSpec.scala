@@ -1303,6 +1303,78 @@ class StreamingSpec extends AnyFunSuite {
         .dpAboveThresholdRelease(evAll, threshold = t, seeded = true).collect().toSeq
       assert(liveSvt === batchSvt, s"SVT twin diverged at threshold $t")
     }
+    // the sparse twin (x53) rides the same store and additivity
+    for (t <- Seq(100.0, 1.0)) {
+      assert(graft.streaming.LiveRelease
+          .sparse(spark, cfg, threshold = t, seeded = true).collect().toSeq ===
+        graft.operators.Privacy
+          .dpSparseRelease(evAll, threshold = t, seeded = true).collect().toSeq,
+        s"sparse twin diverged at threshold $t")
+    }
+  }
+
+  test("SvtMonitor: page once per episode, re-arm charges fresh epsilon, exhausted budget alerts nothing") {
+    import spark.implicits._
+    // the r17 verdict #4 habitat: SVT wired into episode alerting. One
+    // ε arms an episode and covers EVERY check of it (fixed
+    // per-episode noise — checks are re-reads, not releases); the
+    // first ⊤ pages once through the transports; re-arm is a NEW
+    // ε-charged stream resuming after the released alert day; a
+    // refused arm latches the monitor dark — quietly, permanently.
+    final class Stub extends graft.streaming.AlertTransport {
+      def name = "stub"
+      val sent = scala.collection.mutable.Buffer.empty[String]
+      var probed = false
+      override def probe(): Unit = { probed = true }
+      def send(m: String): Unit = { sent += m; () }
+    }
+    val stub = new Stub
+    val root = java.nio.file.Files.createTempDirectory("graft-svt-mon").toString
+    val cfg = graft.streaming.LiveRelease.Config(root)
+    val led = graft.operators.DpLedger.open(
+      java.nio.file.Files.createTempDirectory("graft-svt-mon-ledger").toString,
+      budget = BigDecimal(2))
+    val mon = new graft.streaming.SvtMonitor(Seq(stub), cfg,
+      threshold = 1000.0, ledger = Some(led), seeded = true)
+    assert(stub.probed, "transports are probed at construction (fail-fast)")
+    def day(dd: Int) = java.time.LocalDate.parse("2024-01-01").plusDays(dd - 1L)
+    def batch(counts: (Int, Int)*) = counts.flatMap { case (dd, n) =>
+      (0 until n).map(r => Tuple1(
+        java.sql.Timestamp.valueOf(day(dd).atTime(r % 24, 0))))
+    }.toDF("ts")
+    // margins force every verdict for any seed: |Lap(4)| <= 92 per day,
+    // the noisy threshold moves by |Lap(2)| <= 46 around 1000
+    // quiet days: arming charges epsilon 1; no page
+    graft.streaming.LiveRelease.step(batch(1 -> 1, 2 -> 1), 0L, cfg)
+    assert(mon.check(spark) === None && stub.sent.isEmpty)
+    assert(led.spent === BigDecimal(1), "arming the episode is the charge")
+    // a re-check of the SAME episode is a re-read: no new charge
+    assert(mon.check(spark) === None)
+    assert(led.spent === BigDecimal(1), "checks of an armed episode are free")
+    // the spike: page ONCE, with the released alert day in the message
+    graft.streaming.LiveRelease.step(batch(3 -> 2000), 1L, cfg)
+    val alert = mon.check(spark)
+    assert(alert.map(_.toLocalDateTime.toLocalDate) === Some(day(3)))
+    assert(stub.sent.size === 1 && stub.sent.head.contains("1000"),
+      s"one page, naming the threshold: ${stub.sent}")
+    assert(led.spent === BigDecimal(1), "the page itself charges nothing new")
+    // next check re-arms (fresh epsilon) and resumes AFTER day 3:
+    // nothing above, silence
+    assert(mon.check(spark) === None && stub.sent.size === 1)
+    assert(led.spent === BigDecimal(2), "re-arm is a new epsilon-charged stream")
+    // a second spike inside the re-armed episode: second page, still no
+    // new charge
+    graft.streaming.LiveRelease.step(batch(5 -> 2000), 2L, cfg)
+    assert(mon.check(spark).map(_.toLocalDateTime.toLocalDate) === Some(day(5)))
+    assert(stub.sent.size === 2 && led.spent === BigDecimal(2))
+    // budget gone: the third arm is refused BEFORE any frame exists —
+    // the monitor latches dark and a later spike pages nothing
+    assert(mon.check(spark) === None)
+    assert(mon.budgetExhausted, "a refused arm must latch the monitor dark")
+    graft.streaming.LiveRelease.step(batch(7 -> 2000), 3L, cfg)
+    assert(mon.check(spark) === None && stub.sent.size === 2)
+    assert(led.spent === BigDecimal(2), "an exhausted monitor never charges again")
+    led.close()
   }
 
   test("live NB: streamed class-count partials rebuild the batch x24 classifier bit-for-bit") {
