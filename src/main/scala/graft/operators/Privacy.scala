@@ -787,9 +787,14 @@ object Privacy {
     * all episodes together — the point of Sparse.
     *
     * Plan shape: ONE combinable day groupBy (the only corpus
-    * exchange); each episode is flags + a 1-row min over the broadcast
-    * 64-row grid, chained through c driver-loop iterations of
-    * public-window-sized frames — c is small public config, never
+    * exchange), then the ≤ 64 dense cells are MATERIALIZED driver-side
+    * (a public-window-sized collect — the x46 rationale) so the c
+    * chained episode frames reference a LocalRelation instead of
+    * re-deriving the corpus agg per branch: a lazy spelling recomputes
+    * the day groupBy once per episode REFERENCE (rows + boundary × c —
+    * up to 6 corpus scans at c = 2), which is the wrong default at
+    * 100 TB. Episode math stays Spark expressions over the local frame
+    * (the oracle replays it); c is small public config, never
     * data-dependent.
     */
   def dpSparseRelease(events: DataFrame, threshold: Double = 100.0,
@@ -820,8 +825,15 @@ object Privacy {
     val grid = s.range(ContinualT).select(
       date_add(to_date(lit(ContinualEpoch)), col("id").cast("int"))
         .cast("timestamp").as("day"))
-    val cells = grid.join(dailyCounts, Seq("day"), "left")
-      .select(col("day"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+    // materialize the ≤ 64-row dense cells once (scaladoc: one corpus
+    // exchange total, episodes chain over a LocalRelation)
+    val cells = {
+      import s.implicits._
+      grid.join(dailyCounts, Seq("day"), "left")
+        .select(col("day"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+        .as[(java.sql.Timestamp, Long)].collect().toSeq
+        .toDF("day", "cnt")
+    }
     val tScale = 2.0 * c // Lap(2/ε′), ε′ = 1/c
     val qScale = 4.0 * c
     // the episode-(e-1) alert day each episode resumes after; seeded to

@@ -38,6 +38,25 @@ class BenchGateSpec extends AnyFunSuite {
     assert(!Bench.growthTimeOver(-1.0, rec, recFloor, sessionFloor = recFloor))
   }
 
+  test("intake_rows_* gates ride the same count predicate: deterministic drain I/O, floor-blind") {
+    // r17 verdict #5: the drain's wall rate has a 2.4x honest session
+    // spread (23.8-57.4 docs/s) — under a 2x gate it can neither fire
+    // nor reassure; the scan-row totals are deterministic for the
+    // fixed slice/batch split, so THEY carry the gate and wall time is
+    // color. Same predicate as maxscore_rows (raw 2x + >1000 rows).
+    val storeRec = 6958.0 // the r18 sf0.1 recording
+    // a probe-pruning regression reads the store side wholesale —
+    // a multiplied total fires
+    assert(Bench.growthCountOver(3 * storeRec, storeRec))
+    // session noise cannot move a row count; identical re-reads and
+    // small drifts (a batch-boundary shift) stay quiet
+    assert(!Bench.growthCountOver(storeRec, storeRec))
+    assert(!Bench.growthCountOver(storeRec + 999.0, storeRec))
+    // a crashed drain (-1 sentinel) never fires the gate — it lands in
+    // `errors` instead
+    assert(!Bench.growthCountOver(-1.0, storeRec))
+  }
+
   test("maxscore_rows gates raw 2x + 1000-row materiality, floor-blind") {
     val rowsRec = 2439.0
     // a pruning regression reads ~the naive postings denominator

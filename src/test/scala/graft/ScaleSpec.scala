@@ -320,6 +320,41 @@ class ScaleSpec extends AnyFunSuite {
       s"x50 must shuffle only for agg + vocab distinct + sort, saw $shuffles:\n$exec")
   }
 
+  test("x52 user-sum cap window is user-keyed; the public grid never products") {
+    val d = "/root/testdata/sf0.001"
+    val df = SparkEntry.queries("x52_dp_user_sum")(spark, d)
+    val plan = df.queryExecution.optimizedPlan.toString
+    // the x49 posture carried to sums: the breadth cap is the ONLY
+    // window and must rank per user — a global window would serialize
+    // the corpus through one task at 100 TB
+    val wins = "windowspecdefinition\\(".r.findAllIn(plan).length
+    val userWins = "windowspecdefinition\\(user_id#\\d+".r.findAllIn(plan).length
+    assert(wins > 0 && wins === userWins,
+      s"x52's cap window must be user-keyed (got $userWins/$wins):\n$plan")
+    val exec = df.queryExecution.executedPlan.toString
+    assert(!exec.contains("CartesianProduct"),
+      s"x52 public-grid joins must broadcast, never product:\n$exec")
+  }
+
+  test("x53 sparse SVT: one corpus day-agg, episode frames stay public-window-sized broadcasts") {
+    val d = "/root/testdata/sf0.001"
+    val df = SparkEntry.queries("x53_dp_sparse")(spark, d)
+    val exec = df.queryExecution.executedPlan.toString
+    // the episode boundary (1-row min) and grid joins must broadcast —
+    // an unbroadcast boundary would plan the 64-row × 1-row composition
+    // as CartesianProduct, which at 100 TB would still be window-sized
+    // but signals the wrong default for anyone widening the frame
+    assert(!exec.contains("CartesianProduct"),
+      s"x53 episode/grid joins must broadcast, never product:\n$exec")
+    // the corpus appears in exactly ONE job — the dailies collect at
+    // construction; the released frame itself chains c episodes over
+    // the materialized 64-row LocalRelation and must contain NO
+    // corpus scan at all (a lazy spelling would re-derive the day agg
+    // once per episode REFERENCE — up to 6 corpus scans at c = 2)
+    assert(!exec.contains("Scan parquet"),
+      s"x53's episode chain must run on the materialized dailies, not rescan the corpus:\n$exec")
+  }
+
   test("x16 quality rules are map-only: no join, no aggregate") {
     val d = "/root/testdata/sf0.001"
     val plan = SparkEntry.queries("x16_quality_rules")(spark, d)
