@@ -568,11 +568,16 @@ object Bench {
       // fix, verbatim from the maxscore capture): require three quiet
       // 250 ms windows, discard pre-registration stragglers, then run,
       // then quiesce again before reading. The sleeps sit OUTSIDE the
-      // timed region, so the rate is unchanged.
+      // timed region, so the rate is unchanged. Deadline-bounded (r18
+      // review): continuous activity on the shared session must
+      // degrade the capture, never hang the bench — after 30 s the
+      // loop proceeds with whatever arrived (calm sessions, the
+      // recording condition, never hit it).
       def quiesce(): Unit = {
         var last = -1
         var quiet = 0
-        while (quiet < 3) {
+        val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+        while (quiet < 3 && System.nanoTime() < deadline) {
           Thread.sleep(250)
           if (qes.size == last) quiet += 1 else { quiet = 0; last = qes.size }
         }

@@ -94,10 +94,15 @@ final class DpLedger private (val dir: String, val budget: BigDecimal,
   @volatile private var closed = false
 
   // (seq, release_id, mechanism, value, currency) in charge order;
-  // append-only. 4-column legacy lines load as epsilon-currency.
+  // append-only. 4-column legacy lines load as epsilon-currency. The
+  // load runs AFTER the lock is taken, so a parse failure must release
+  // it on the way out (r18 review: a corrupt line would otherwise
+  // wedge the directory for the rest of the JVM — every later open,
+  // including one after the file is repaired, would read "already
+  // open").
   private var charges: Vector[(Long, String, String, BigDecimal, String)] =
     if (!file.exists()) Vector.empty
-    else {
+    else try {
       val src = scala.io.Source.fromFile(file, "UTF-8")
       try src.getLines().filter(_.nonEmpty).map { line =>
         line.split("\t", -1) match {
@@ -109,7 +114,7 @@ final class DpLedger private (val dir: String, val budget: BigDecimal,
         }
       }.toVector
       finally src.close()
-    }
+    } catch { case e: Throwable => close(); throw e }
   charges.find(_._5 != currency).foreach { bad =>
     val other = bad._5
     close()

@@ -594,12 +594,20 @@ object Privacy {
     * survives; the x43 caveat, now enforced at the one place all three
     * dense releases build their cells.
     */
+  /** The PUBLIC 64-day calendar grid every windowed release rides —
+    * ONE spelling (r18 review: the grid had been hand-copied at three
+    * sites; a drift in the epoch/cast at one of them would silently
+    * desynchronize release grids that must agree cell-for-cell).
+    */
+  private def publicDayGrid(s: SparkSession): DataFrame =
+    s.range(ContinualT).select(
+      date_add(to_date(lit(ContinualEpoch)), col("id").cast("int"))
+        .cast("timestamp").as("day"))
+
   private def denseCells(events: DataFrame, grp: DataFrame,
       fills: Seq[(String, Column)], vocabulary: Option[Seq[String]]): DataFrame = {
     val s = events.sparkSession
-    val grid = s.range(ContinualT).select(
-      date_add(to_date(lit(ContinualEpoch)), col("id").cast("int"))
-        .cast("timestamp").as("day"))
+    val grid = publicDayGrid(s)
     val vocab = vocabulary match {
       case Some(raw) =>
         // dedup (r17 advice): duplicate vocabulary entries would emit
@@ -739,9 +747,7 @@ object Privacy {
       threshold: Double, salt: String,
       resumeAfter: Option[java.sql.Timestamp]): DataFrame = {
     val s = dailyCounts.sparkSession
-    val grid0 = s.range(ContinualT).select(
-      date_add(to_date(lit(ContinualEpoch)), col("id").cast("int"))
-        .cast("timestamp").as("day"))
+    val grid0 = publicDayGrid(s)
     val grid = resumeAfter.fold(grid0)(ts => grid0.filter(col("day") > lit(ts)))
     val cells = grid.join(dailyCounts, Seq("day"), "left")
       .select(col("day"), coalesce(col("cnt"), lit(0L)).as("cnt"))
@@ -822,14 +828,11 @@ object Privacy {
     ledger.foreach(_.charge(releaseId, "sparse_svt", BigDecimal(1)))
     val salt = releaseSalt(seeded)
     val s = dailyCounts.sparkSession
-    val grid = s.range(ContinualT).select(
-      date_add(to_date(lit(ContinualEpoch)), col("id").cast("int"))
-        .cast("timestamp").as("day"))
     // materialize the ≤ 64-row dense cells once (scaladoc: one corpus
     // exchange total, episodes chain over a LocalRelation)
     val cells = {
       import s.implicits._
-      grid.join(dailyCounts, Seq("day"), "left")
+      publicDayGrid(s).join(dailyCounts, Seq("day"), "left")
         .select(col("day"), coalesce(col("cnt"), lit(0L)).as("cnt"))
         .as[(java.sql.Timestamp, Long)].collect().toSeq
         .toDF("day", "cnt")

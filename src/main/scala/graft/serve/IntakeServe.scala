@@ -174,7 +174,7 @@ final class IntakeServe(spark: SparkSession, cfg: LivePipeline.Config,
   })
   // The DP release API over the live day-count store
   // ([[graft.streaming.LiveRelease]]): `GET /release[?window=<w>]
-  // [&as_of=<batch>][&seeded=1]` answers the x47 continual release for
+  // [&as_of=<batch>]` answers the x47 continual release for
   // that window from the store's totals. Budget enforcement is LIVE
   // here, not advisory: when constructed with `releaseLedger`, every
   // request charges its window's ε = 1 through the charge-then-release

@@ -93,22 +93,33 @@ final class SvtMonitor(transports: Seq[AlertTransport],
           .plusDays(Privacy.ContinualT - 1L).atStartOfDay())
       if (armedSalt.isEmpty && resumeAfter.exists(!_.before(windowEnd)))
         return None
-      try {
-        if (armedSalt.isEmpty) {
-          // arm = charge: one ε covers every check of this episode.
-          // BudgetRefused latches exhaustion; no frame ever existed.
-          try ledger.foreach(_.charge(s"$releaseIdPrefix|e$episodeN",
-            "above_threshold_svt", BigDecimal(1)))
-          catch {
-            case e: DpLedger.BudgetRefused =>
-              exhausted = true
-              System.err.println(s"[svt-monitor] budget exhausted at " +
-                s"episode $episodeN — alerting permanently dark: ${e.getMessage}")
-              return None
-          }
-          armedSalt = Some(Privacy.releaseSalt(seeded))
-          episodeN += 1
+      if (armedSalt.isEmpty) {
+        // arm = charge: one ε covers every check of this episode.
+        // BudgetRefused latches exhaustion; no frame ever existed. A
+        // caller-bug exception (currency mismatch, closed ledger)
+        // PROPAGATES — it must fail loudly, not read as a transient
+        // check failure retried forever (r18 review; the contract the
+        // currency enforcement exists for).
+        try ledger.foreach(_.charge(s"$releaseIdPrefix|e$episodeN",
+          "above_threshold_svt", BigDecimal(1)))
+        catch {
+          case e: DpLedger.BudgetRefused =>
+            exhausted = true
+            System.err.println(s"[svt-monitor] budget exhausted at " +
+              s"episode $episodeN — alerting permanently dark: ${e.getMessage}")
+            return None
         }
+        // the episode index joins the seed domain: each re-armed
+        // episode must draw INDEPENDENT noise even under seeded = true
+        // (r18 review — releaseSalt(true) is "" for every arm, and the
+        // day tags carry no episode counter; without the prefix,
+        // consecutive episodes would re-bill the ledger for
+        // bit-identical draws, the x53 per-episode-domain discipline
+        // violated silently)
+        armedSalt = Some(s"e$episodeN|" + Privacy.releaseSalt(seeded))
+        episodeN += 1
+      }
+      try {
         val verdicts = LiveRelease.aboveThresholdEpisode(s, cfg, threshold,
           armedSalt.get, resumeAfter, asOf).collect()
         val alertDay = verdicts.lastOption

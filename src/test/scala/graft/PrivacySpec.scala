@@ -974,6 +974,28 @@ class PrivacySpec extends AnyFunSuite {
     led.close()
   }
 
+  test("episode salts draw independent SVT noise: e0| and e1| domains differ on a knife-edge stream") {
+    import spark.implicits._
+    // the r18 review finding, executable: SvtMonitor's re-armed
+    // episodes prefix the salt with the episode index so that even the
+    // seeded spelling (releaseSalt(true) == \"\" for every arm) derives
+    // INDEPENDENT draws per episode — billing the ledger twice for
+    // bit-identical noise would void the sequential-composition claim.
+    // Knife-edge fixture: every day's count sits exactly AT the
+    // threshold, so the verdicts are pure noise; two episode domains
+    // agreeing on all 64 coin-ish verdicts (and the halting point)
+    // would mean the domains collapsed.
+    val epoch = java.time.LocalDate.parse("2024-01-01")
+    val daily = (0 until 64).map(i =>
+      (java.sql.Timestamp.valueOf(epoch.plusDays(i.toLong).atStartOfDay()), 100L))
+      .toDF("day", "cnt")
+    def run(salt: String) = Privacy.aboveThresholdSalted(daily, 100.0, salt, None)
+      .collect().map(r => (r.getTimestamp(0), r.getBoolean(1))).toSeq
+    val e0 = run("e0|"); val e1 = run("e1|")
+    assert(e0 !== e1, "episode domains must draw independent noise")
+    assert(run("e0|") === e0, "each episode domain stays deterministic")
+  }
+
   test("x44 DP median: one release per type, inside the public range, near the true median, seeded-stable") {
     val rel = SparkEntry.queries("x44_dp_median_release")(spark, d).collect()
       .map(r => (r.getString(0), r.getDouble(1))).toMap
