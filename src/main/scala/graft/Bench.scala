@@ -400,7 +400,12 @@ object Bench {
       // frames — more tiny jobs than x51, same corpus cost); recorded
       // from a 0.065-floor isolated 3-run session of the materialized
       // spelling
-      ("x53_dp_sparse" -> ((0.822, 0.065))) ++
+      ("x53_dp_sparse" -> ((0.822, 0.065))) +
+      // NEW round 18: x54 stability histogram (one combinable window
+      // groupBy + pure-map noise/threshold/clamp — strictly simpler
+      // than x40, no grid join); recorded from a 0.059-floor isolated
+      // 3-run session
+      ("x54_dp_stable_histogram" -> ((0.355, 0.059))) ++
       // RE-RECORDED round 16 (r15 verdict #5): the 25 r15-era
       // `light_trimmed` keys, from one 0.076-floor isolated 3-run
       // session with SPARK_GRAFT_NO_TRIM=1 (full medians, not the

@@ -425,6 +425,15 @@ object Privacy {
     // with fresh seeded noise after each ⊤; verdicts only.
     "x53_dp_sparse" -> { (s, d) =>
       dpSparseRelease(Tables.events(s, d), seeded = true)
+    },
+    // Stability-based (ε, δ) histogram over an UNKNOWN key domain
+    // ([[dpStableHistogramRelease]]): observed cells + Laplace(1/ε),
+    // released only past the stability threshold τ = 1 + ln(1/(2δ))/ε
+    // — the release path for deployments whose vocabulary is itself
+    // sensitive, where the dense-grid family cannot go; the
+    // data-dependent release set is licensed by δ.
+    "x54_dp_stable_histogram" -> { (s, d) =>
+      dpStableHistogramRelease(Tables.events(s, d), seeded = true)
     }
   )
 
@@ -864,6 +873,70 @@ object Privacy {
     episodes.reduce(_.unionByName(_))
       .withColumn("stream_epsilon", lit(1.0))
       .orderBy("episode", "day")
+  }
+
+  /** x54: stability-based (ε, δ) histogram release over an UNKNOWN key
+    * domain (Korolova–Kenthapadi–Mishra–Ntoulas, WWW 2009; the
+    * "stability histogram" of Bun–Nissim–Stemmer / Balcer–Vadhan) —
+    * the release the dense-grid family explicitly cannot provide:
+    * [[denseCells]]'s contract REQUIRES a public vocabulary, and its
+    * scaladoc warns that a deployment whose category set is itself
+    * sensitive has no correct path through it. This is that path, and
+    * the third — and last — release-set regime in the family:
+    *
+    *  1. dense PUBLIC set (x40/x42/x43/x49/x50): pure ε, presence
+    *     reveals nothing because every public cell always releases;
+    *  2. halting-licensed set (x51/x53): data-dependent length proven
+    *     as part of the mechanism's output space;
+    *  3. δ-LICENSED set (this): observed cells with noisy count above
+    *     a stability threshold τ — the set IS data-dependent, and the
+    *     δ in (ε, δ)-DP is exactly the price: a cell a single record
+    *     created survives its Laplace(1/ε) draw past τ with
+    *     probability ½·e^(−ε(τ−1)) ≤ δ at τ = 1 + ln(1/(2δ))/ε, so
+    *     the release distribution on neighbors differs by at most
+    *     that δ beyond the e^ε factor. Pure ε=1 with δ = 0 over an
+    *     unknown domain is IMPOSSIBLE (any released novel cell is a
+    *     certain distinguisher) — δ is not a weakening here, it is
+    *     the admission fee for not publishing a vocabulary.
+    *
+    * One record lands in one (event_type, day) cell (event-level
+    * add/remove neighbors), so parallel composition over disjoint
+    * cells prices the WHOLE frame at (ε, δ) = (1, 1e−6): τ ≈ 14.12 —
+    * honest and visible in the output (`tau` ships as public config;
+    * a cell must clear it, so released counts are never small, which
+    * is the mechanism's documented utility cost on rare keys). Only
+    * the clamped integer ships; true counts and noise never do. The
+    * τ arithmetic rides the x10 libm discipline (the ln is rounded to
+    * 9 digits in BOTH engines before the one add, and the noisy
+    * comparison operands are bit-identical by the x40 spelling) so
+    * the threshold verdict cannot flip on an ulp across engines.
+    *
+    * Plan shape: one combinable (event_type, day) groupBy is the only
+    * corpus exchange; noise, threshold, and clamp are a pure map over
+    * the group-sized frame — strictly simpler than x40 (no grid
+    * join). `ledger` charges ε = 1 through charge-then-release; δ is
+    * schedule metadata the (ε, δ)-accounting reader composes alongside
+    * (this registry is ε-currency; a deployment composing many δs
+    * tracks them in the release schedule, which is public).
+    */
+  def dpStableHistogramRelease(events: DataFrame, seeded: Boolean = false,
+      delta: Double = 1e-6, ledger: Option[DpLedger] = None,
+      releaseId: String = "stable_hist"): DataFrame = {
+    require(delta > 0 && delta < 1, s"need 0 < delta < 1, got $delta")
+    ledger.foreach(_.charge(releaseId, "laplace_stable_histogram", BigDecimal(1)))
+    val salt = releaseSalt(seeded)
+    // tau = 1 + ln(1/(2 delta)) / eps at eps = 1, ln rounded to 9 (the
+    // x10 discipline) so both engines compute the identical literal
+    val tau = 1.0 + BigDecimal(math.log(1.0 / (2.0 * delta)))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val grp = windowedGroup(events).agg(count(lit(1)).as("true_n"))
+    grp.withColumn("noisy",
+        col("true_n").cast("double") + laplace(1.0, seededUnif("dph|", salt)))
+      .filter(col("noisy") >= lit(tau))
+      .select(col("event_type"), col("day"),
+        floor(col("noisy") + lit(0.5)).cast("long").as("released_n"),
+        lit(1.0).as("epsilon"), lit(delta).as("delta"), lit(tau).as("tau"))
+      .orderBy("event_type", "day")
   }
 
   /** x49: USER-level DP daily-active-user counts — the privacy-unit
@@ -1932,6 +2005,37 @@ object Privacy {
         |SELECT day, episode, above, CAST(1.0 AS DOUBLE) AS stream_epsilon
         |FROM (SELECT * FROM e0 UNION ALL SELECT * FROM e1)
         |ORDER BY episode, day""".stripMargin,
+    // x54: observed window cells → seeded Laplace(1) ('dph|' tag) →
+    // stability threshold tau = 1 + round(ln(1/(2 delta)), 9) →
+    // floor(x+½) of survivors only; identical operand order so the
+    // threshold verdict cannot flip on an ulp.
+    "x54_dp_stable_histogram" ->
+      """WITH g AS (SELECT event_type,
+        |    CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |    CAST(count(*) AS BIGINT) AS true_n
+        |  FROM events
+        |  WHERE CAST(date_trunc('day', ts) AS TIMESTAMP)
+        |      >= CAST(DATE '2024-01-01' AS TIMESTAMP)
+        |    AND CAST(date_trunc('day', ts) AS TIMESTAMP)
+        |      < CAST(DATE '2024-01-01' + 64 AS TIMESTAMP)
+        |  GROUP BY 1, 2),
+        |n AS (SELECT event_type, day, true_n,
+        |    (CAST(('0x' || substr(md5('dph|' || event_type || '|' ||
+        |        CAST(day AS VARCHAR)), 1, 8)) AS BIGINT) + 0.5) /
+        |      4294967296.0 AS u
+        |  FROM g),
+        |z AS (SELECT event_type, day,
+        |    CAST(true_n AS DOUBLE) +
+        |      round(-1.0 * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5)), 9)
+        |      AS noisy
+        |  FROM n),
+        |t AS (SELECT 1.0 + round(ln(500000.0), 9) AS tau)
+        |SELECT event_type, day,
+        |  CAST(floor(noisy + 0.5) AS BIGINT) AS released_n,
+        |  CAST(1.0 AS DOUBLE) AS epsilon, CAST(0.000001 AS DOUBLE) AS delta,
+        |  tau
+        |FROM z, t WHERE noisy >= tau
+        |ORDER BY event_type, day""".stripMargin,
     // x49: per-user distinct cells → row_number cap at 4 → cell counts →
     // dense grid → seeded Laplace at scale 4 → clamp+floor. Same
     // md5-uniform and chained-ln spelling as x40, 'dpu|' domain tag.

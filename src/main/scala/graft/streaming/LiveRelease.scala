@@ -31,8 +31,16 @@ import graft.operators.{DpLedger, Privacy}
   * private infrastructure, never shipped; only [[release]]'s clamped
   * integers leave. Re-releasing the same window with fresh salted
   * noise is a new ε charge the ledger meters (the composed-release
-  * attack spec's cap applies verbatim); re-reading a SEEDED release is
-  * free only in the sense that it is the same release.
+  * attack spec's cap applies verbatim). Deterministic re-DERIVATION of
+  * an already-charged release (same salt ⇒ bit-identical draws ⇒ the
+  * same release, no new information) is how [[SvtMonitor]] re-checks
+  * its armed episode without re-charging; the HTTP tier deliberately
+  * does NOT offer that path — every /release and /alert request
+  * charges, even under the server's seeded test config where bodies
+  * repeat bit-identically (r17 advice). Over-charging is the safe
+  * direction; an uncharged re-read would need the server to prove the
+  * request byte-equivalent to a prior charged one — caching's job,
+  * not the ledger's.
   *
   * 100 TB shape: per micro-batch cost is one combinable day-count
   * partial (batch-sized); release-time cost is one re-aggregation over

@@ -974,6 +974,76 @@ class PrivacySpec extends AnyFunSuite {
     led.close()
   }
 
+  test("x54 stability histogram: unknown-domain release, a singleton's cell is suppressed, survivors clear tau") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.DpLedger
+    // The release regime the dense-grid family cannot provide: no
+    // public vocabulary. The price is delta — a cell one record
+    // created survives only if its Laplace(1) draw clears
+    // tau - 1 = ln(1/(2 delta)) ~ 13.12, probability <= delta = 1e-6.
+    // Fixture: u1's sole-contributor 'rare' record (count 1) must be
+    // suppressed and the release set must not move with u1; a 40-count
+    // hot cell is FORCED past tau for any seed (40 - 22.9 > 14.13).
+    def mk(withU1: Boolean) = {
+      val base = (for { u <- 2 to 31; dd <- 10 to 12 } yield
+        (java.sql.Timestamp.valueOf(f"2024-01-$dd%02d 0${u % 10}:00:00"),
+          "click", s"user$u")) ++
+        (1 to 40).map(r =>
+          (java.sql.Timestamp.valueOf(f"2024-01-05 ${r % 24}%02d:15:00"),
+            "click", s"user${r % 20 + 2}"))
+      val u1 = Seq((java.sql.Timestamp.valueOf("2024-01-03 05:30:00"), "rare", "user1"))
+      (if (withU1) base ++ u1 else base).toDF("ts", "event_type", "user_id")
+    }
+    def rel(withU1: Boolean) =
+      Privacy.dpStableHistogramRelease(mk(withU1), seeded = true).collect()
+        .map(r => ((r.getString(0), r.getTimestamp(1)), r.getLong(2))).toMap
+    val withU = rel(withU1 = true)
+    val without = rel(withU1 = false)
+    assert(withU === without,
+      "a single record's cell must not appear: the release (set AND values) is u1-invariant")
+    assert(!withU.keySet.exists(_._1 == "rare"), "the singleton cell is suppressed")
+    val hot = (("click", java.sql.Timestamp.valueOf("2024-01-05 00:00:00")))
+    assert(withU.contains(hot), "a 40-count cell is forced past tau for any seed")
+    assert(math.abs(withU(hot) - 40L) <= 23L, "released value tracks truth within the Laplace tail")
+    // tau is public config in the output and every survivor clears it
+    val rows = Privacy.dpStableHistogramRelease(mk(true), seeded = true).collect()
+    val tauExpected = 1.0 + BigDecimal(math.log(500000.0))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    rows.foreach { r =>
+      assert(r.getDouble(5) === tauExpected)
+      assert(r.getLong(2) >= 14L, "no released count can sit below floor(tau + 0.5)")
+      assert(r.schema.fieldNames.toSeq ===
+        Seq("event_type", "day", "released_n", "epsilon", "delta", "tau"),
+        "released integers only — true counts and noise never ship")
+    }
+    // gate corpus sanity + seeded determinism: released cells are a
+    // subset of observed cells, values within the Laplace(1) tail
+    val ev = graft.Tables.events(spark, d)
+    val truth = ev.groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .count().collect()
+      .map(r => ((r.getString(0), r.getTimestamp(1)), r.getLong(2))).toMap
+    val gate = Privacy.dpStableHistogramRelease(ev, seeded = true).collect()
+    gate.foreach { r =>
+      val k = (r.getString(0), r.getTimestamp(1))
+      assert(truth.contains(k), "only observed cells can release (unknown domain)")
+      assert(math.abs(r.getLong(2) - truth(k)) <= 24L)
+    }
+    assert(Privacy.dpStableHistogramRelease(ev, seeded = true).collect()
+      .map(_.toString).toSeq === gate.map(_.toString).toSeq, "seeded release is bit-stable")
+    // delta validated before the charge; refusal precedes the plan
+    val led = DpLedger.open(freshLedgerDir(), budget = BigDecimal("0.5"))
+    intercept[IllegalArgumentException] {
+      Privacy.dpStableHistogramRelease(ev, delta = 0.0, ledger = Some(led))
+    }
+    assert(led.spent === BigDecimal(0))
+    intercept[IllegalStateException] {
+      Privacy.dpStableHistogramRelease(ev, seeded = true, ledger = Some(led))
+    }
+    assert(led.spent === BigDecimal(0))
+    led.close()
+  }
+
   test("episode salts draw independent SVT noise: e0| and e1| domains differ on a knife-edge stream") {
     import spark.implicits._
     // the r18 review finding, executable: SvtMonitor's re-armed
