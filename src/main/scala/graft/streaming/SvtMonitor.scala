@@ -53,20 +53,70 @@ import scala.util.control.NonFatal
   * (calendar-days-sized, never corpus-sized) plus the public 64-row
   * grid — the [[LiveRelease]] release-time shape, driver-collected at
   * window size (bounded by construction).
+  *
+  * DURABLE episode state (r18 self-review): the episode counter, the
+  * armed salt, and the resume boundary persist to one fsync'd line
+  * under `cfg.root/svt-monitor/` and reload at construction — without
+  * this, a driver restart forgets it already paged (re-alerting the
+  * same old spike) and re-charges a fresh ε for questions an armed
+  * episode already paid for. Write ordering is charge → persist →
+  * act, so every crash window fails SAFE: a crash between the ledger
+  * charge and the state write wastes that ε (the charge-then-release
+  * direction — budget can be wasted, never exceeded), and a crash
+  * between the page and the alerted-state write can duplicate a page
+  * (the AdmissionMonitor contract: at worst a duplicate page, never a
+  * lost one). The persisted salt lives beside the live count store in
+  * the same trust domain as the un-noised counts themselves — it must
+  * never ship to release consumers, exactly like the store. One
+  * monitor instance per (root, prefix) is the premise (the ledger's
+  * lock remains the budget backstop if it is violated).
   */
 final class SvtMonitor(transports: Seq[AlertTransport],
     cfg: LiveRelease.Config, threshold: Double = 100.0,
     ledger: Option[DpLedger] = None,
     releaseIdPrefix: String = "svt-monitor", seeded: Boolean = false) {
   require(transports.nonEmpty, "SvtMonitor needs at least one transport")
+  require(!releaseIdPrefix.contains("\t") && !releaseIdPrefix.contains("\n") &&
+    !releaseIdPrefix.contains("/"),
+    "releaseIdPrefix must be tab/newline/slash-free (state file name + ledger id)")
   AlertTransport.probeAll(transports, "svt-monitor")
 
   // driver-side episode state (checks run on the driver, like
-  // AdmissionMonitor.observe)
+  // AdmissionMonitor.observe), durably mirrored to the state file
   private var episodeN = 0
   private var armedSalt: Option[String] = None
   private var resumeAfter: Option[java.sql.Timestamp] = None
   @volatile private var exhausted = false
+
+  private val stateFile = {
+    val dir = new java.io.File(cfg.root, "svt-monitor")
+    if (!dir.exists()) require(dir.mkdirs() || dir.exists(),
+      s"cannot create monitor state dir $dir")
+    new java.io.File(dir, s"$releaseIdPrefix.state.tsv")
+  }
+  // resume: (episode, armed salt or "-", resume-after millis or "-")
+  if (stateFile.exists()) {
+    val src = scala.io.Source.fromFile(stateFile, "UTF-8")
+    val line = try src.getLines().find(_.nonEmpty) finally src.close()
+    line.map(_.split("\t", -1)) match {
+      case Some(Array(e, salt, resume)) =>
+        episodeN = e.toInt
+        armedSalt = if (salt == "-") None else Some(salt)
+        resumeAfter =
+          if (resume == "-") None else Some(new java.sql.Timestamp(resume.toLong))
+      case Some(other) =>
+        sys.error(s"corrupt monitor state in $stateFile: '${other.mkString("\t")}'")
+      case None => () // empty file: fresh monitor
+    }
+  }
+
+  private def persist(): Unit = {
+    val line = s"$episodeN\t${armedSalt.getOrElse("-")}\t" +
+      s"${resumeAfter.fold("-")(_.getTime.toString)}\n"
+    val out = new java.io.FileOutputStream(stateFile, false)
+    try { out.write(line.getBytes("UTF-8")); out.getFD.sync() }
+    finally out.close()
+  }
 
   /** Episodes armed so far (== alerts fired + the currently armed one,
     * once any question has been asked).
@@ -118,6 +168,11 @@ final class SvtMonitor(transports: Seq[AlertTransport],
         // violated silently)
         armedSalt = Some(s"e$episodeN|" + Privacy.releaseSalt(seeded))
         episodeN += 1
+        // durable BEFORE any question is asked: a crash after the
+        // charge but before this write wastes the ε (safe direction);
+        // after it, a restarted monitor resumes the SAME episode —
+        // same salt, same draws, no re-charge
+        persist()
       }
       try {
         val verdicts = LiveRelease.aboveThresholdEpisode(s, cfg, threshold,
@@ -131,9 +186,12 @@ final class SvtMonitor(transports: Seq[AlertTransport],
               "epsilon=1 for the whole episode)")
           // the episode has halted (SVT semantics): re-arm LAZILY — the
           // next check charges a fresh ε for a new stream resuming
-          // strictly after the released alert day
+          // strictly after the released alert day. Persisted AFTER the
+          // page: a crash between the two can duplicate the page on
+          // restart (the AdmissionMonitor contract), never lose it.
           armedSalt = None
           resumeAfter = Some(day)
+          persist()
         }
         alertDay
       } catch {

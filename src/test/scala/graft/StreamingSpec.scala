@@ -1377,6 +1377,57 @@ class StreamingSpec extends AnyFunSuite {
     led.close()
   }
 
+  test("SvtMonitor state survives a restart: no re-charge for an armed episode, no re-page of an old spike") {
+    import spark.implicits._
+    // the r18 self-review hole, executable: without durable state a
+    // restarted driver forgets it already paged (re-alerting the same
+    // old spike from day 1) and re-charges a fresh epsilon for an
+    // episode that was already paid for. State persists per
+    // (root, prefix) under cfg.root/svt-monitor.
+    final class Stub extends graft.streaming.AlertTransport {
+      def name = "stub"
+      val sent = scala.collection.mutable.Buffer.empty[String]
+      def send(m: String): Unit = { sent += m; () }
+    }
+    val root = java.nio.file.Files.createTempDirectory("graft-svt-restart").toString
+    val cfg = graft.streaming.LiveRelease.Config(root)
+    val led = graft.operators.DpLedger.open(
+      java.nio.file.Files.createTempDirectory("graft-svt-restart-led").toString,
+      budget = BigDecimal(2))
+    def day(dd: Int) = java.time.LocalDate.parse("2024-01-01").plusDays(dd - 1L)
+    def batch(counts: (Int, Int)*) = counts.flatMap { case (dd, n) =>
+      (0 until n).map(r => Tuple1(
+        java.sql.Timestamp.valueOf(day(dd).atTime(r % 24, 0))))
+    }.toDF("ts")
+    def mon(stub: Stub) = new graft.streaming.SvtMonitor(Seq(stub), cfg,
+      threshold = 1000.0, ledger = Some(led), seeded = true)
+    // instance A arms episode 0 on a quiet store (one charge)
+    val sA = new Stub
+    graft.streaming.LiveRelease.step(batch(1 -> 1, 2 -> 1), 0L, cfg)
+    assert(mon(sA).check(spark) === None && led.spent === BigDecimal(1))
+    // restart while ARMED: instance B resumes the same episode — same
+    // salt, no second charge, and the spike pages through B normally
+    val sB = new Stub
+    val b = mon(sB)
+    assert(b.episode === 1, "the restarted monitor resumes the armed episode")
+    assert(b.check(spark) === None && led.spent === BigDecimal(1),
+      "a restart must not re-charge an episode that was already paid for")
+    graft.streaming.LiveRelease.step(batch(3 -> 2000), 1L, cfg)
+    assert(b.check(spark).map(_.toLocalDateTime.toLocalDate) === Some(day(3)))
+    assert(sB.sent.size === 1 && led.spent === BigDecimal(1))
+    // restart AFTER the alert: instance C must not re-page day 3 — its
+    // next check arms a fresh episode resuming strictly after it
+    val sC = new Stub
+    val c = mon(sC)
+    assert(c.check(spark) === None && sC.sent.isEmpty,
+      "an old spike must never re-page after a restart")
+    assert(led.spent === BigDecimal(2), "the re-arm is the normal fresh charge")
+    graft.streaming.LiveRelease.step(batch(5 -> 2000), 2L, cfg)
+    assert(c.check(spark).map(_.toLocalDateTime.toLocalDate) === Some(day(5)))
+    assert(sC.sent.size === 1)
+    led.close()
+  }
+
   test("live NB: streamed class-count partials rebuild the batch x24 classifier bit-for-bit") {
     import spark.implicits._
     val d = "/root/testdata/sf0.001"
