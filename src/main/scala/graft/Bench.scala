@@ -405,7 +405,13 @@ object Bench {
       // groupBy + pure-map noise/threshold/clamp — strictly simpler
       // than x40, no grid join); recorded from a 0.059-floor isolated
       // 3-run session
-      ("x54_dp_stable_histogram" -> ((0.355, 0.059))) ++
+      ("x54_dp_stable_histogram" -> ((0.355, 0.059))) +
+      // NEW round 18: x55 user-level stability histogram (the x49 plan
+      // shape — user-cell distinct + per-user cap window + cell count —
+      // with x54's pure-map threshold, no grid side); recorded from a
+      // 0.072-floor isolated 3-run session (a first 0.13-floor noisy
+      // session read 1.006 and was discarded for the calmer re-run)
+      ("x55_dp_user_histogram" -> ((0.704, 0.072))) ++
       // RE-RECORDED round 16 (r15 verdict #5): the 25 r15-era
       // `light_trimmed` keys, from one 0.076-floor isolated 3-run
       // session with SPARK_GRAFT_NO_TRIM=1 (full medians, not the

@@ -434,6 +434,14 @@ object Privacy {
     // data-dependent release set is licensed by δ.
     "x54_dp_stable_histogram" -> { (s, d) =>
       dpStableHistogramRelease(Tables.events(s, d), seeded = true)
+    },
+    // USER-level stability histogram ([[dpUserHistogramRelease]]):
+    // x54's unknown-domain release at x49's privacy unit — per-user
+    // cells capped at 4, Laplace(4/ε), released past
+    // τ = 1 + 4·ln(4/(2δ)) ≈ 59.03; the steep τ is the honest price
+    // of user-level protection over keys the adversary may not know.
+    "x55_dp_user_histogram" -> { (s, d) =>
+      dpUserHistogramRelease(Tables.events(s, d), seeded = true)
     }
   )
 
@@ -936,6 +944,72 @@ object Privacy {
       .select(col("event_type"), col("day"),
         floor(col("noisy") + lit(0.5)).cast("long").as("released_n"),
         lit(1.0).as("epsilon"), lit(delta).as("delta"), lit(tau).as("tau"))
+      .orderBy("event_type", "day")
+  }
+
+  /** x55: USER-level stability histogram — x54's unknown-domain
+    * release at x49's privacy unit, the τ-thresholding construction
+    * Wilson et al. (VLDB 2020, §5.2) ship for partition keys that are
+    * not public, completing the family's release matrix:
+    *
+    *  |            | known domain | unknown domain |
+    *  | event unit | x40 dense    | x54 stability  |
+    *  | user unit  | x49 dense    | x55 (this)     |
+    *
+    * Mechanism: per user, distinct (event_type, day) cells inside the
+    * window capped at the first `capCells` in (day, event_type) order
+    * (x49's breadth bound — mechanism preprocessing, no budget); each
+    * kept cell counts its user once; Laplace(capCells/ε) noise (L1
+    * sensitivity of the count vector under remove-one-USER is
+    * capCells); released only past τ = 1 + (capCells/ε)·ln(capCells/(2δ)).
+    * The δ is a UNION BOUND over the release set: removing one user
+    * can delete up to capCells cells entirely (count 1 → nonexistent),
+    * and each such singleton cell survives its draw past τ with
+    * probability ½·e^(−ε(τ−1)/capCells) ≤ δ/capCells — so the whole
+    * release distribution moves by ≤ δ beyond the e^ε factor at the
+    * USER level. At the defaults (capCells 4, δ = 1e−6): τ ≈ 59.03 —
+    * deliberately steep, and the honest price of composing BOTH
+    * protections: only cells ~60 users share can ever release, which
+    * is the correct behavior for a release whose keys the adversary
+    * may not even know exist. τ ships as public config; the τ
+    * arithmetic rides the round-to-9 libm discipline (the ln is
+    * rounded to 9 in both engines, and ×capCells is exact), so the
+    * threshold verdict cannot flip on an ulp.
+    *
+    * Plan shape: x49's — one user-cell corpus distinct (combinable), a
+    * user-keyed row_number window (frames ≤ T×|types| per user), one
+    * cell-keyed combinable count, then pure-map noise/threshold/clamp;
+    * NO grid or vocabulary side (that is the point).
+    */
+  def dpUserHistogramRelease(events: DataFrame, seeded: Boolean = false,
+      capCells: Int = 4, delta: Double = 1e-6,
+      ledger: Option[DpLedger] = None,
+      releaseId: String = "user_hist"): DataFrame = {
+    require(capCells >= 1, s"capCells must be >= 1, got $capCells")
+    require(delta > 0 && delta < 1, s"need 0 < delta < 1, got $delta")
+    ledger.foreach(_.charge(releaseId, "laplace_user_histogram", BigDecimal(1)))
+    val b = capCells / 1.0 // Laplace scale = user-level sensitivity / eps
+    val tau = 1.0 + b * BigDecimal(math.log(capCells / (2.0 * delta)))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val salt = releaseSalt(seeded)
+    val lo = to_date(lit(ContinualEpoch)).cast("timestamp")
+    val hi = date_add(to_date(lit(ContinualEpoch)), ContinualT).cast("timestamp")
+    val userCells = events
+      .withColumn("day", date_trunc("day", col("ts")))
+      .filter(col("day") >= lo && col("day") < hi)
+      .select("user_id", "event_type", "day").distinct()
+    val w = Window.partitionBy("user_id").orderBy("day", "event_type")
+    val kept = userCells.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= capCells)
+    val grp = kept.groupBy("event_type", "day")
+      .agg(count(lit(1)).as("true_users"))
+    grp.withColumn("noisy",
+        col("true_users").cast("double") + laplace(b, seededUnif("dpuh|", salt)))
+      .filter(col("noisy") >= lit(tau))
+      .select(col("event_type"), col("day"),
+        floor(col("noisy") + lit(0.5)).cast("long").as("released_users"),
+        lit(1.0).as("epsilon"), lit(delta).as("delta"), lit(tau).as("tau"),
+        lit(capCells.toLong).as("cap_cells"))
       .orderBy("event_type", "day")
   }
 
@@ -2034,6 +2108,42 @@ object Privacy {
         |  CAST(floor(noisy + 0.5) AS BIGINT) AS released_n,
         |  CAST(1.0 AS DOUBLE) AS epsilon, CAST(0.000001 AS DOUBLE) AS delta,
         |  tau
+        |FROM z, t WHERE noisy >= tau
+        |ORDER BY event_type, day""".stripMargin,
+    // x55: per-user distinct cells → row_number cap at 4 → cell user
+    // counts (NO grid — unknown domain) → seeded Laplace(4) ('dpuh|')
+    // → stability threshold tau = 1 + 4·round(ln(4/(2δ)), 9) →
+    // floor(x+½) of survivors only.
+    "x55_dp_user_histogram" ->
+      """WITH uc AS (SELECT DISTINCT user_id, event_type,
+        |    CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+        |  FROM events
+        |  WHERE CAST(date_trunc('day', ts) AS TIMESTAMP)
+        |      >= CAST(DATE '2024-01-01' AS TIMESTAMP)
+        |    AND CAST(date_trunc('day', ts) AS TIMESTAMP)
+        |      < CAST(DATE '2024-01-01' + 64 AS TIMESTAMP)),
+        |kept AS (SELECT user_id, event_type, day FROM (
+        |    SELECT user_id, event_type, day,
+        |      row_number() OVER (PARTITION BY user_id
+        |        ORDER BY day, event_type) AS rk
+        |    FROM uc) WHERE rk <= 4),
+        |g AS (SELECT event_type, day, CAST(count(*) AS BIGINT) AS true_users
+        |  FROM kept GROUP BY 1, 2),
+        |n AS (SELECT event_type, day, true_users,
+        |    (CAST(('0x' || substr(md5('dpuh|' || event_type || '|' ||
+        |        CAST(day AS VARCHAR)), 1, 8)) AS BIGINT) + 0.5) /
+        |      4294967296.0 AS u
+        |  FROM g),
+        |z AS (SELECT event_type, day,
+        |    CAST(true_users AS DOUBLE) +
+        |      round(-4.0 * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5)), 9)
+        |      AS noisy
+        |  FROM n),
+        |t AS (SELECT 1.0 + 4.0 * round(ln(2000000.0), 9) AS tau)
+        |SELECT event_type, day,
+        |  CAST(floor(noisy + 0.5) AS BIGINT) AS released_users,
+        |  CAST(1.0 AS DOUBLE) AS epsilon, CAST(0.000001 AS DOUBLE) AS delta,
+        |  tau, CAST(4 AS BIGINT) AS cap_cells
         |FROM z, t WHERE noisy >= tau
         |ORDER BY event_type, day""".stripMargin,
     // x49: per-user distinct cells → row_number cap at 4 → cell counts →

@@ -1044,6 +1044,79 @@ class PrivacySpec extends AnyFunSuite {
     led.close()
   }
 
+  test("x55 user-level stability histogram: one whole user moves the release by <= 1 per cell, singletons suppressed") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.DpLedger
+    // The matrix capstone: x54's unknown domain at x49's privacy unit.
+    // tau = 1 + 4 ln(4 / 2e-6) ~ 59.03 and |Lap(4)| <= 91.6... so
+    // FORCED verdicts need margin: a 160-user cell always releases
+    // (160 - 91.6 > 59.03 + margin... 160-91.6=68.4 > 59.03), and a
+    // <= 36-user cell is NOT forced either way — so the fixture uses
+    // 160 users for the hot cell and 10 for the cold ones, where only
+    // the hot side is margin-forced; cold cells could release only on
+    // a >= 49/4-sigma-ish draw, verified deterministic on this seed.
+    def mk(withU1: Boolean) = {
+      // 160 distinct users whose FIRST (and only base) cell is the hot
+      // one; u1 adds a sole-contributor 'rare' cell AND joins the hot
+      // cell, so removing u1 exercises both the set and value bounds
+      val hot = (2 to 161).map(u =>
+        (java.sql.Timestamp.valueOf("2024-01-05 01:00:00"), "click", s"user$u"))
+      val cold = (2 to 11).map(u =>
+        (java.sql.Timestamp.valueOf("2024-01-10 02:00:00"), "click", s"user$u"))
+      val u1 = Seq(
+        (java.sql.Timestamp.valueOf("2024-01-03 05:30:00"), "rare", "user1"),
+        (java.sql.Timestamp.valueOf("2024-01-05 06:00:00"), "click", "user1"))
+      (if (withU1) hot ++ cold ++ u1 else hot ++ cold)
+        .toDF("ts", "event_type", "user_id")
+    }
+    def rel(withU1: Boolean) =
+      Privacy.dpUserHistogramRelease(mk(withU1), seeded = true).collect()
+        .map(r => ((r.getString(0), r.getTimestamp(1)), r.getLong(2))).toMap
+    val withU = rel(withU1 = true)
+    val without = rel(withU1 = false)
+    val hotK = (("click", java.sql.Timestamp.valueOf("2024-01-05 00:00:00")))
+    assert(withU.keySet === without.keySet,
+      "one user must not move the RELEASE SET (the delta-licensed bound)")
+    assert(withU.contains(hotK), "a 160-user cell is forced past tau for any seed")
+    assert(!withU.keySet.exists(_._1 == "rare"),
+      "u1's sole-contributor cell is suppressed (1 + |Lap(4)|max << tau + margin fails only past delta odds)")
+    assert(math.abs(withU(hotK) - without(hotK)) <= 1L,
+      "one user moves a surviving cell's count by at most 1")
+    // columns, tau, and the floor: released integers only
+    val rows = Privacy.dpUserHistogramRelease(mk(true), seeded = true).collect()
+    val tauExpected = 1.0 + 4.0 * BigDecimal(math.log(2000000.0))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    rows.foreach { r =>
+      assert(r.getDouble(5) === tauExpected && r.getLong(6) === 4L)
+      assert(r.getLong(2) >= 59L)
+      assert(r.schema.fieldNames.toSeq === Seq("event_type", "day",
+        "released_users", "epsilon", "delta", "tau", "cap_cells"))
+    }
+    // gate corpus: released cells are a subset of observed cells;
+    // seeded determinism; charge-then-release with validation first
+    val ev = graft.Tables.events(spark, d)
+    val observed = ev.select(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .distinct().collect().map(r => (r.getString(0), r.getTimestamp(1))).toSet
+    val gate = Privacy.dpUserHistogramRelease(ev, seeded = true).collect()
+    gate.foreach(r => assert(observed((r.getString(0), r.getTimestamp(1)))))
+    assert(Privacy.dpUserHistogramRelease(ev, seeded = true).collect()
+      .map(_.toString).toSeq === gate.map(_.toString).toSeq)
+    val led = DpLedger.open(freshLedgerDir(), budget = BigDecimal("0.5"))
+    intercept[IllegalArgumentException] {
+      Privacy.dpUserHistogramRelease(ev, capCells = 0, ledger = Some(led))
+    }
+    intercept[IllegalArgumentException] {
+      Privacy.dpUserHistogramRelease(ev, delta = 1.0, ledger = Some(led))
+    }
+    assert(led.spent === BigDecimal(0))
+    intercept[IllegalStateException] {
+      Privacy.dpUserHistogramRelease(ev, seeded = true, ledger = Some(led))
+    }
+    assert(led.spent === BigDecimal(0))
+    led.close()
+  }
+
   test("episode salts draw independent SVT noise: e0| and e1| domains differ on a knife-edge stream") {
     import spark.implicits._
     // the r18 review finding, executable: SvtMonitor's re-armed

@@ -336,6 +336,22 @@ class ScaleSpec extends AnyFunSuite {
       s"x52 public-grid joins must broadcast, never product:\n$exec")
   }
 
+  test("x55 user-histogram cap window is user-keyed; no grid side, map-only tail") {
+    val d = "/root/testdata/sf0.001"
+    val df = SparkEntry.queries("x55_dp_user_histogram")(spark, d)
+    val plan = df.queryExecution.optimizedPlan.toString
+    val wins = "windowspecdefinition\\(".r.findAllIn(plan).length
+    val userWins = "windowspecdefinition\\(user_id#\\d+".r.findAllIn(plan).length
+    assert(wins > 0 && wins === userWins,
+      s"x55's cap window must be user-keyed (got $userWins/$wins):\n$plan")
+    // unknown domain = no grid/vocab join at all: the only join-free
+    // tail is noise+threshold+clamp over the cell counts
+    val exec = df.queryExecution.executedPlan.toString
+    assert(!exec.contains("CartesianProduct") &&
+      !exec.split("== Initial Plan ==").head.contains("Join"),
+      s"x55 must carry no grid join — the unknown domain is the point:\n$exec")
+  }
+
   test("x53 sparse SVT: one corpus day-agg, episode frames stay public-window-sized broadcasts") {
     val d = "/root/testdata/sf0.001"
     val df = SparkEntry.queries("x53_dp_sparse")(spark, d)
