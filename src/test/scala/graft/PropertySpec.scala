@@ -125,6 +125,38 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("DpLedger: arbitrary charge sequences never overdraw, and a reload resumes the exact spend") {
+    // The budget invariant as a property, not a scenario: for ANY
+    // sequence of positive decimal charges against ANY budget, (1) the
+    // admitted spend never exceeds the budget, (2) spend == the exact
+    // sum of the admitted charges and nothing else, (3) refusals are
+    // exactly the proposals that would overdraw AT THEIR TURN (order
+    // matters — a refused large charge must not block a later smaller
+    // one), and (4) a close-and-reopen resumes the identical exact
+    // BigDecimal spend (the decimal-string durability contract).
+    val genEps: Gen[BigDecimal] = Gen.oneOf(
+      Gen.choose(1, 400).map(n => BigDecimal(n) / 100),      // 0.01..4.00
+      Gen.oneOf("0.1", "0.25", "0.333333333", "1", "1.5").map(BigDecimal(_)))
+    val genSeqC = Gen.listOfN(12, genEps)
+    val genBudget = Gen.choose(1, 80).map(n => BigDecimal(n) / 10) // 0.1..8.0
+    check("ledger", Prop.forAll(genSeqC, genBudget) { (charges, budget) =>
+      val dir = java.nio.file.Files.createTempDirectory("graft-prop-ledger").toString
+      val led = graft.operators.DpLedger.open(dir, budget)
+      var expectSpent = BigDecimal(0)
+      val verdictsOk = charges.zipWithIndex.forall { case (eps, i) =>
+        val shouldAdmit = expectSpent + eps <= budget
+        val admitted = led.tryCharge(s"c$i", "prop", eps)
+        if (admitted) expectSpent += eps
+        admitted == shouldAdmit && led.spent <= budget
+      }
+      led.close()
+      val reopened = graft.operators.DpLedger.open(dir, budget)
+      val resumed = reopened.spent == expectSpent
+      reopened.close()
+      verdictsOk && resumed
+    })
+  }
+
   test("checkpoint math: stride-64 invariants and path fan-out") {
     check("ckpt", Prop.forAll(Gen.choose(0L, 0x3ffffffL)) { n =>
       val seq = n * 64 + 63
