@@ -35,6 +35,7 @@ object SparkEntry {
       graft.operators.TextAnalysis.queries ++
       graft.operators.Curation.queries ++
       graft.operators.Bpe.queries ++
+      graft.operators.Unigram.queries ++
       graft.multimodal.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -56,5 +57,6 @@ object SparkEntry {
       graft.operators.TextAnalysis.oracles ++
       graft.operators.Curation.oracles ++
       graft.operators.Bpe.oracles ++
+      graft.operators.Unigram.oracles ++
       graft.multimodal.Multimodal.oracles
 }

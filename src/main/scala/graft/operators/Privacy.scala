@@ -442,6 +442,15 @@ object Privacy {
     // of user-level protection over keys the adversary may not know.
     "x55_dp_user_histogram" -> { (s, d) =>
       dpUserHistogramRelease(Tables.events(s, d), seeded = true)
+    },
+    // Privacy amplification by subsampling
+    // ([[dpSubsampledCountRelease]]): the x40 count release run over a
+    // deterministic-Bernoulli half of the corpus, charged at the
+    // AMPLIFIED ε' = ln(1 + q(e−1)) ≈ 0.620 instead of ε₀ = 1 — the
+    // accounting primitive DP-SGD-style pipelines compose their whole
+    // budget from.
+    "x56_dp_subsampled" -> { (s, d) =>
+      dpSubsampledCountRelease(Tables.events(s, d), seeded = true)
     }
   )
 
@@ -621,6 +630,19 @@ object Privacy {
       date_add(to_date(lit(ContinualEpoch)), col("id").cast("int"))
         .cast("timestamp").as("day"))
 
+  /** The LAST day of the public window, derived through the same Spark
+    * spelling as [[publicDayGrid]] — callers comparing it against
+    * Spark-derived timestamps (the SvtMonitor window-exhausted guard)
+    * must share the grid's clock: a driver-side
+    * `Timestamp.valueOf(LocalDate.atStartOfDay)` sits in the JVM
+    * default timezone while Spark timestamps follow
+    * `spark.sql.session.timeZone`, and when the two differ the
+    * comparison misjudges the boundary by the offset (r18 advice).
+    * One 64-row job; callers cache it.
+    */
+  private[graft] def publicWindowLastDay(s: SparkSession): java.sql.Timestamp =
+    publicDayGrid(s).agg(max(col("day"))).collect().head.getTimestamp(0)
+
   private def denseCells(events: DataFrame, grp: DataFrame,
       fills: Seq[(String, Column)], vocabulary: Option[Seq[String]]): DataFrame = {
     val s = events.sparkSession
@@ -759,13 +781,32 @@ object Privacy {
     * the x48 stitching argument). Charging is the CALLER's job: the
     * public entry charges per stream, the monitor charges per episode
     * at arm time.
+    *
+    * `completedDaysOnly` (the monitor's day-close discipline, r18
+    * verdict #3 — default OFF here; the monitor defaults it ON)
+    * excludes the newest day PRESENT in `dailyCounts` from the
+    * question schedule: that day's count may still be growing, and
+    * asking its question mid-day then re-asking at close answers two
+    * different queries under one noise draw. The frontier day is part
+    * of the store (the same trust domain as the counts), and scoping
+    * the schedule by it releases nothing — the verdicts that DO ship
+    * still ride the public calendar grid. Cost: one extra max over the
+    * day-sized dailies (broadcast 1-row).
     */
   private[graft] def aboveThresholdSalted(dailyCounts: DataFrame,
       threshold: Double, salt: String,
-      resumeAfter: Option[java.sql.Timestamp]): DataFrame = {
+      resumeAfter: Option[java.sql.Timestamp],
+      completedDaysOnly: Boolean = false): DataFrame = {
     val s = dailyCounts.sparkSession
     val grid0 = publicDayGrid(s)
-    val grid = resumeAfter.fold(grid0)(ts => grid0.filter(col("day") > lit(ts)))
+    val grid1 = resumeAfter.fold(grid0)(ts => grid0.filter(col("day") > lit(ts)))
+    val grid = if (!completedDaysOnly) grid1 else {
+      // an empty store has no closed days: max(day) is null, the
+      // comparison is null, and the schedule is empty — correct
+      val frontier = dailyCounts.agg(max(col("day")).as("_open_day"))
+      grid1.crossJoin(broadcast(frontier))
+        .filter(col("day") < col("_open_day")).drop("_open_day")
+    }
     val cells = grid.join(dailyCounts, Seq("day"), "left")
       .select(col("day"), coalesce(col("cnt"), lit(0L)).as("cnt"))
     // T̂ drawn ONCE (day-independent seed tag); per-day noise at scale 4
@@ -922,22 +963,49 @@ object Privacy {
     * Plan shape: one combinable (event_type, day) groupBy is the only
     * corpus exchange; noise, threshold, and clamp are a pure map over
     * the group-sized frame — strictly simpler than x40 (no grid
-    * join). `ledger` charges ε = 1 through charge-then-release; δ is
-    * schedule metadata the (ε, δ)-accounting reader composes alongside
-    * (this registry is ε-currency; a deployment composing many δs
-    * tracks them in the release schedule, which is public).
+    * join). `ledger` charges the (ε = 1, δ) PAIR through
+    * charge-then-release (r18 verdict #1: δ was schedule metadata the
+    * reader was told to compose alongside — now the registry meters it
+    * per row against [[DpLedger.open]]'s `deltaBudget`, and K
+    * stability releases spend exactly (K, K·δ) with the K+1th refused
+    * by whichever budget binds first, nothing computed).
     */
   def dpStableHistogramRelease(events: DataFrame, seeded: Boolean = false,
       delta: Double = 1e-6, ledger: Option[DpLedger] = None,
+      releaseId: String = "stable_hist"): DataFrame =
+    stableHistogramCore(windowedGroup(events).agg(count(lit(1)).as("true_n")),
+      seeded, delta, ledger, releaseId)
+
+  /** [[dpStableHistogramRelease]] from pre-aggregated
+    * `(event_type, day, true_n)` cells — the streaming-twin entry
+    * ([[graft.streaming.LiveRelease.stableHistogram]]): cell counts
+    * are additive over events, and everything downstream (seeded
+    * noise keyed by the cell, the public τ, the clamp) is
+    * deterministic given the cells, so a release from the live
+    * cell-count store equals the batch release on the same records.
+    * The public-window day filter is applied HERE (the batch entry's
+    * [[windowedGroup]] already filtered; filtering pre-aggregated
+    * cells after the count commutes because days partition events).
+    */
+  def dpStableHistogramFromCells(cells: DataFrame, seeded: Boolean = false,
+      delta: Double = 1e-6, ledger: Option[DpLedger] = None,
       releaseId: String = "stable_hist"): DataFrame = {
+    val lo = to_date(lit(ContinualEpoch)).cast("timestamp")
+    val hi = date_add(to_date(lit(ContinualEpoch)), ContinualT).cast("timestamp")
+    stableHistogramCore(cells.filter(col("day") >= lo && col("day") < hi),
+      seeded, delta, ledger, releaseId)
+  }
+
+  private def stableHistogramCore(grp: DataFrame, seeded: Boolean,
+      delta: Double, ledger: Option[DpLedger], releaseId: String): DataFrame = {
     require(delta > 0 && delta < 1, s"need 0 < delta < 1, got $delta")
-    ledger.foreach(_.charge(releaseId, "laplace_stable_histogram", BigDecimal(1)))
+    ledger.foreach(_.charge(releaseId, "laplace_stable_histogram",
+      BigDecimal(1), delta = BigDecimal(delta)))
     val salt = releaseSalt(seeded)
     // tau = 1 + ln(1/(2 delta)) / eps at eps = 1, ln rounded to 9 (the
     // x10 discipline) so both engines compute the identical literal
     val tau = 1.0 + BigDecimal(math.log(1.0 / (2.0 * delta)))
       .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
-    val grp = windowedGroup(events).agg(count(lit(1)).as("true_n"))
     grp.withColumn("noisy",
         col("true_n").cast("double") + laplace(1.0, seededUnif("dph|", salt)))
       .filter(col("noisy") >= lit(tau))
@@ -985,19 +1053,48 @@ object Privacy {
       capCells: Int = 4, delta: Double = 1e-6,
       ledger: Option[DpLedger] = None,
       releaseId: String = "user_hist"): DataFrame = {
+    val lo = to_date(lit(ContinualEpoch)).cast("timestamp")
+    val hi = date_add(to_date(lit(ContinualEpoch)), ContinualT).cast("timestamp")
+    userHistogramCore(events
+        .withColumn("day", date_trunc("day", col("ts")))
+        .filter(col("day") >= lo && col("day") < hi)
+        .select("user_id", "event_type", "day").distinct(),
+      seeded, capCells, delta, ledger, releaseId)
+  }
+
+  /** [[dpUserHistogramRelease]] from a pre-built DISTINCT
+    * `(user_id, event_type, day)` user-cell set — the streaming-twin
+    * entry ([[graft.streaming.LiveRelease.userHistogram]]): the
+    * distinct user-cell set is idempotent-union additive (the union of
+    * per-batch distinct sets, re-distincted, IS the batch distinct),
+    * and the cap/count/noise/τ tail is deterministic given the set, so
+    * live equals batch. Window filter applied here, as in the batch
+    * entry.
+    */
+  def dpUserHistogramFromUserCells(userCells: DataFrame,
+      seeded: Boolean = false, capCells: Int = 4, delta: Double = 1e-6,
+      ledger: Option[DpLedger] = None,
+      releaseId: String = "user_hist"): DataFrame = {
+    val lo = to_date(lit(ContinualEpoch)).cast("timestamp")
+    val hi = date_add(to_date(lit(ContinualEpoch)), ContinualT).cast("timestamp")
+    userHistogramCore(
+      userCells.filter(col("day") >= lo && col("day") < hi)
+        .select("user_id", "event_type", "day").distinct(),
+      seeded, capCells, delta, ledger, releaseId)
+  }
+
+  private def userHistogramCore(userCells: DataFrame, seeded: Boolean,
+      capCells: Int, delta: Double, ledger: Option[DpLedger],
+      releaseId: String): DataFrame = {
     require(capCells >= 1, s"capCells must be >= 1, got $capCells")
     require(delta > 0 && delta < 1, s"need 0 < delta < 1, got $delta")
-    ledger.foreach(_.charge(releaseId, "laplace_user_histogram", BigDecimal(1)))
+    // the (ε, δ) PAIR charge (r18 verdict #1) — see stableHistogramCore
+    ledger.foreach(_.charge(releaseId, "laplace_user_histogram",
+      BigDecimal(1), delta = BigDecimal(delta)))
     val b = capCells / 1.0 // Laplace scale = user-level sensitivity / eps
     val tau = 1.0 + b * BigDecimal(math.log(capCells / (2.0 * delta)))
       .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
     val salt = releaseSalt(seeded)
-    val lo = to_date(lit(ContinualEpoch)).cast("timestamp")
-    val hi = date_add(to_date(lit(ContinualEpoch)), ContinualT).cast("timestamp")
-    val userCells = events
-      .withColumn("day", date_trunc("day", col("ts")))
-      .filter(col("day") >= lo && col("day") < hi)
-      .select("user_id", "event_type", "day").distinct()
     val w = Window.partitionBy("user_id").orderBy("day", "event_type")
     val kept = userCells.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= capCells)
@@ -1010,6 +1107,77 @@ object Privacy {
         floor(col("noisy") + lit(0.5)).cast("long").as("released_users"),
         lit(1.0).as("epsilon"), lit(delta).as("delta"), lit(tau).as("tau"),
         lit(capCells.toLong).as("cap_cells"))
+      .orderBy("event_type", "day")
+  }
+
+  /** x56: privacy AMPLIFICATION BY SUBSAMPLING — the accounting
+    * primitive real ML release pipelines (DP-SGD above all) are built
+    * on, and the one the family lacked: run an ε₀-DP mechanism on a
+    * Poisson subsample at rate q instead of the full data and the
+    * composed mechanism satisfies ε' = ln(1 + q·(e^{ε₀} − 1)) < q·ε₀·e
+    * — strictly less than ε₀ (the standard amplification lemma:
+    * Kasiviswanathan et al. FOCS 2008 §4 / Li–Qardaji–Su 2012;
+    * tightness in Balle–Barthe–Gaboardi NeurIPS 2018). The intuition
+    * is the proof: a neighboring record is only IN the analyzed data
+    * with probability q, and when it is absent the two worlds are
+    * identical, so the e^{ε₀} distinguishing factor applies only
+    * q-fraction of the time. At the defaults (q = ½, ε₀ = 1):
+    * ε' = ln(1 + ½(e−1)) ≈ 0.620 — the LEDGER IS CHARGED THE AMPLIFIED
+    * VALUE, which is the operational point: K subsampled releases
+    * spend K·0.620…, so a fixed budget admits ~60% more of them than
+    * unamplified ones (PrivacySpec pins amplified < unamplified spend
+    * for the same release count, and the extra admitted release).
+    *
+    * Mechanism: each event is kept iff its seeded uniform
+    * (md5 over "dpss|" ‖ salt ‖ event_id — the x6 deterministic-
+    * Bernoulli discipline, so the DuckDB oracle replays the SAME
+    * subsample) falls below q; the x40 Laplace(1/ε₀) count release
+    * then runs over the kept events on the SAME dense public grid ×
+    * vocabulary (the vocabulary derives from the FULL corpus —
+    * schema-level knowledge, not a function of the sample). Honest
+    * caveat, the [[releaseSalt]] contract verbatim: the amplification
+    * theorem needs the sampling randomness SECRET from the release
+    * consumer — with `seeded = true` (the gate spelling) the sample is
+    * publicly recomputable and the amplified claim is vacuous, exactly
+    * as the seeded noise itself is; the production default mixes the
+    * CSPRNG salt into the sampling hash AND the noise, making both
+    * non-recomputable together.
+    *
+    * Determinism: ε' is a driver-side constant under the x10 libm
+    * discipline — e rounds to 9, the ln of the exact-double inner term
+    * rounds to 9 — so the charged BigDecimal, the released `epsilon`
+    * column, and the oracle's literal agree digit for digit. Plan
+    * shape: x40's exactly (the Bernoulli filter is a pure map BEFORE
+    * the one combinable groupBy, so the corpus exchange shrinks to
+    * q·|corpus|); released counts estimate the SUBSAMPLE (consumers
+    * rescale by 1/q as post-processing — released data, no budget).
+    */
+  def dpSubsampledCountRelease(events: DataFrame, q: Double = 0.5,
+      seeded: Boolean = false, ledger: Option[DpLedger] = None,
+      releaseId: String = "subsampled_count",
+      vocabulary: Option[Seq[String]] = None): DataFrame = {
+    // validated BEFORE the charge (the x49 contract): q outside (0,1)
+    // is not a subsample and must not burn budget
+    require(q > 0 && q < 1, s"need 0 < q < 1, got $q")
+    val e1 = BigDecimal(math.exp(1.0))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val epsAmp = BigDecimal(math.log(1.0 + q * (e1 - 1.0)))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    ledger.foreach(_.charge(releaseId, "laplace_count_subsampled", epsAmp))
+    val salt = releaseSalt(seeded)
+    val kept = events.filter(
+      seededUnifKey("dpss|", salt, col("event_id").cast("string")) < lit(q))
+    val grp = windowedGroup(kept).agg(count(lit(1)).as("true_n"))
+    // vocabulary side from the FULL events frame (see scaladoc); the
+    // grouped side from the kept subsample
+    val counts = denseCells(events, grp, "true_n", vocabulary)
+    counts.withColumn("noisy",
+        col("true_n").cast("double") + laplace(1.0, seededUnif("dpsc|", salt)))
+      .select(col("event_type"), col("day"),
+        greatest(lit(0.0), floor(col("noisy") + lit(0.5))).cast("long")
+          .as("released_n"),
+        lit(epsAmp.toDouble).as("epsilon"), lit(q).as("q"),
+        lit(1.0).as("base_epsilon"))
       .orderBy("event_type", "day")
   }
 
@@ -2146,6 +2314,44 @@ object Privacy {
         |  tau, CAST(4 AS BIGINT) AS cap_cells
         |FROM z, t WHERE noisy >= tau
         |ORDER BY event_type, day""".stripMargin,
+    // x56: md5-Bernoulli keep at q = ½ over event_id ('dpss|' tag) →
+    // the x40 dense-grid Laplace(1) release over the kept events
+    // ('dpsc|' noise tag), vocabulary from the FULL corpus; epsilon is
+    // the amplified round(ln(1 + 0.5*(round(exp(1),9) − 1)), 9).
+    "x56_dp_subsampled" ->
+      """WITH grid AS (SELECT CAST(DATE '2024-01-01' + CAST(g.range AS INT) AS TIMESTAMP) AS day
+        |  FROM range(0, 64) g),
+        |vocab AS (SELECT DISTINCT event_type FROM events),
+        |kept AS (SELECT * FROM events
+        |  WHERE (CAST(('0x' || substr(md5('dpss|' || CAST(event_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) + 0.5) / 4294967296.0 < 0.5),
+        |g AS (SELECT event_type,
+        |    CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |    CAST(count(*) AS BIGINT) AS true_n
+        |  FROM kept
+        |  WHERE CAST(date_trunc('day', ts) AS TIMESTAMP)
+        |      >= CAST(DATE '2024-01-01' AS TIMESTAMP)
+        |    AND CAST(date_trunc('day', ts) AS TIMESTAMP)
+        |      < CAST(DATE '2024-01-01' + 64 AS TIMESTAMP)
+        |  GROUP BY 1, 2),
+        |dense AS (SELECT v.event_type, grid.day,
+        |    coalesce(g.true_n, CAST(0 AS BIGINT)) AS true_n
+        |  FROM grid CROSS JOIN vocab v
+        |  LEFT JOIN g ON g.event_type = v.event_type AND g.day = grid.day),
+        |n AS (SELECT event_type, day, true_n,
+        |    (CAST(('0x' || substr(md5('dpsc|' || event_type || '|' ||
+        |        CAST(day AS VARCHAR)), 1, 8)) AS BIGINT) + 0.5) /
+        |      4294967296.0 AS u
+        |  FROM dense),
+        |z AS (SELECT event_type, day, true_n,
+        |    round(-1.0 * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5)), 9) AS noise
+        |  FROM n)
+        |SELECT event_type, day,
+        |  CAST(greatest(0.0, floor((CAST(true_n AS DOUBLE) + noise) + 0.5)) AS BIGINT)
+        |    AS released_n,
+        |  round(ln(1.0 + 0.5 * (round(exp(1.0), 9) - 1.0)), 9) AS epsilon,
+        |  CAST(0.5 AS DOUBLE) AS q, CAST(1.0 AS DOUBLE) AS base_epsilon
+        |FROM z ORDER BY event_type, day""".stripMargin,
     // x49: per-user distinct cells → row_number cap at 4 → cell counts →
     // dense grid → seeded Laplace at scale 4 → clamp+floor. Same
     // md5-uniform and chained-ln spelling as x40, 'dpu|' domain tag.

@@ -1,0 +1,379 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+
+/** Unigram-LM tokenizer training and encoding (Kudo 2018, the
+  * SentencePiece unigram model — public) — the OTHER production
+  * tokenizer next to BPE (x20/x21): instead of greedy pair merges, a
+  * unigram language model over a candidate piece vocabulary, with each
+  * word segmented by VITERBI into its maximum-likelihood piece
+  * sequence and the model refit from the segmentations (hard EM).
+  *
+  * The round here: (1) seed candidates = every substring of the
+  * word vocabulary up to [[MaxPieceLen]] chars with corpus frequency ≥
+  * [[MinCount]], plus ALL single characters (the coverage guarantee —
+  * every word always has at least its character segmentation);
+  * (2) seed scores = log relative frequency; (3) Viterbi-segment every
+  * distinct word (the E-step, hard assignment); (4) refit piece
+  * frequencies from the segmentations weighted by word count (the
+  * M-step) — the refit table IS the trained model (x57), and encoding
+  * (x58) is a second Viterbi pass under the refit scores. One hard-EM
+  * round, exactly the alternation SentencePiece iterates; further
+  * rounds are the same two steps re-applied.
+  *
+  * VITERBI AS DATAFLOW — the design decision worth documenting: the
+  * textbook DP (best[j] = max over i of best[i] + score(word[i..j]))
+  * is sequential per position, and a layer-by-layer dataframe spelling
+  * either re-derives each layer once per reference (the x53
+  * chained-lineage trap — exponential plan blow-up) or needs a
+  * materialization barrier per position. Instead the DP is spelled as
+  * one relational block over a COMPOSITION TABLE: all ways to cut a
+  * length-n word into ordered parts of ≤ [[MaxPieceLen]] chars is a
+  * tiny data-INDEPENDENT constant relation (708 rows at n ≤ 8 — public
+  * config, broadcast as a literal in both engines), so segmentation =
+  * words ⋈ compositions (on length) ⋈ pieces (on the substring), one
+  * combinable (word, composition) aggregation keeping compositions
+  * whose every part matched a piece, and a per-word argmax window
+  * (frames ≤ 108 candidate rows per word at n = 8). Fully declarative:
+  * no loop, no checkpoint, no driver-side DP. Exactness: piece
+  * log-probs are ln-rounded-to-9 doubles cast to DECIMAL(28,9) (the
+  * x10 libm discipline), so the summed path cost is EXACT decimal
+  * arithmetic — order-independent, engine-identical — and ties break
+  * on the segmentation string, a total order.
+  *
+  * Scale shape at 100 TB: the corpus-proportional work is ONE
+  * tokenize + word-count shuffle (the BPE `vocab0` argument — Zipf
+  * keeps the distinct-word vocabulary orders of magnitude smaller than
+  * the corpus) plus, for x58, the final encode join (broadcast
+  * word→n_pieces into the exploded stream, one combinable per-doc
+  * count — the x21 shape). Everything between is vocabulary-sized:
+  * substring explode ≤ len×[[MaxPieceLen]] per distinct word,
+  * composition join a constant ≤ 443-row fan-out per word, piece
+  * tables broadcast. [[MaxWordLen]] bounds the composition table
+  * (tetranacci growth: 108 compositions at n = 8, ~1490 at n = 12 —
+  * still literal-sized); words longer than it are passed through as
+  * character-count fallbacks at encode (deterministically in both
+  * engines) rather than segmented — raise the constant for corpora
+  * where long words carry real mass.
+  *
+  * Reference frame: the reference pipeline stores raw text fields
+  * verbatim (python/models.py:14-30); a training-data export of the
+  * same records needs exactly this tokenizer-training step, which is
+  * why it sits beside BPE in the §2 north-star family.
+  */
+object Unigram {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Longest word the composition table covers (public config). */
+  val MaxWordLen = 8
+
+  /** Longest candidate piece (public config; SentencePiece's
+    * max_sentencepiece_length analogue).
+    */
+  val MaxPieceLen = 4
+
+  /** Minimum corpus frequency for a multi-char candidate piece; single
+    * characters are always kept (coverage).
+    */
+  val MinCount = 2
+
+  /** All ordered compositions of 1..MaxWordLen into parts of
+    * 1..MaxPieceLen, flattened to one row per part:
+    * (clen, comp_id, part_idx, start, plen, n_parts). Deterministic
+    * enumeration order (shorter first part first), shared VERBATIM by
+    * the Spark literal frame and the oracle's VALUES list so the two
+    * engines cannot disagree about candidate identity.
+    */
+  private lazy val comps: Seq[(Int, Int, Int, Int, Int, Int)] = {
+    def cuts(n: Int): Seq[Seq[Int]] =
+      if (n == 0) Seq(Seq.empty)
+      else (1 to math.min(MaxPieceLen, n)).flatMap(l => cuts(n - l).map(l +: _))
+    (1 to MaxWordLen).flatMap { n =>
+      cuts(n).zipWithIndex.flatMap { case (parts, cid) =>
+        val starts = parts.scanLeft(1)(_ + _).init
+        parts.zip(starts).zipWithIndex.map { case ((plen, start), pi) =>
+          (n, cid, pi, start, plen, parts.length)
+        }
+      }
+    }
+  }
+
+  private val dec = DecimalType(28, 9)
+
+  /** log(freq/tot) as EXACT decimal: each ln rounded to 9 (the x10
+    * libm discipline), cast to DECIMAL(28,9) — a rounded-9 double is
+    * within ~1e-16 of its 9-dp decimal, so both engines' double→decimal
+    * casts land on the same value — then subtracted exactly. Summing
+    * these along a segmentation path is order-independent decimal
+    * arithmetic, which is what makes the Viterbi argmax engine-stable.
+    */
+  private def logpDec(freq: Column, tot: Column): Column =
+    round(log(freq.cast("double")), 9).cast(dec) -
+      round(log(tot.cast("double")), 9).cast(dec)
+
+  /** Distinct words with corpus counts — the ONE corpus-shaped
+    * exchange of training (the BPE `vocab0` argument).
+    */
+  private def wordVocab(docs: DataFrame): DataFrame =
+    docs.select(explode(split(col("text"), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("wc"))
+
+  /** Seed candidate pieces with DECIMAL log-probs: substrings of
+    * length 1..MaxPieceLen over the word vocabulary, weighted by word
+    * count (every occurrence position counts), thresholded at
+    * [[MinCount]] except single chars. The length-0 guard keeps
+    * Spark's `sequence(1, 0)` (which descends, unlike DuckDB's empty
+    * generate_series) out of the plan for empty-string words.
+    */
+  private def seedPieces(wv: DataFrame): DataFrame = {
+    val subs = wv.filter(length(col("word")) >= 1)
+      .select(explode(expr(
+        s"flatten(transform(sequence(1, length(word)), " +
+          s"s -> transform(sequence(1, least($MaxPieceLen, length(word) - s + 1)), " +
+          "l -> substring(word, s, l))))")).as("piece"), col("wc"))
+    val freqs = subs.groupBy("piece").agg(sum(col("wc")).as("freq"))
+      .filter(length(col("piece")) === 1 || col("freq") >= MinCount)
+    val tot = freqs.agg(sum(col("freq")).as("tot"))
+    freqs.crossJoin(broadcast(tot))
+      .select(col("piece"), logpDec(col("freq"), col("tot")).as("logp"))
+  }
+
+  /** One Viterbi pass: the maximum-likelihood segmentation of every
+    * distinct word under `pieces` (piece, logp DECIMAL) — the
+    * composition-table spelling (see the object doc). Returns
+    * (word, wc, seg). Words with no full-coverage composition (longer
+    * than [[MaxWordLen]], or containing a character the piece table
+    * lacks) emit no row — callers fall back at the encode join.
+    */
+  private def viterbi(words: DataFrame, pieces: DataFrame): DataFrame = {
+    val s = words.sparkSession
+    import s.implicits._
+    val compsDf = comps.toDF("clen", "comp_id", "part_idx", "start", "plen", "n_parts")
+    val cand = words
+      .join(broadcast(compsDf), length(col("word")) === col("clen"))
+      .select(col("word"), col("wc"), col("comp_id"), col("part_idx"),
+        col("n_parts"), expr("substring(word, start, plen)").as("piece_str"))
+      .join(broadcast(pieces), col("piece_str") === col("piece"))
+    val scored = cand.groupBy("word", "wc", "comp_id", "n_parts")
+      .agg(count(lit(1)).as("n_matched"), sum(col("logp")).as("cost"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("part_idx"), col("piece")))),
+          p => p.getField("piece")), " ").as("seg"))
+      .filter(col("n_matched") === col("n_parts"))
+    // argmax per word: exact-decimal cost desc, then the segmentation
+    // string — a total order (a composition is recoverable from its
+    // seg, so no two candidate rows of one word share a seg)
+    val w = Window.partitionBy("word").orderBy(col("cost").desc, col("seg"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select("word", "wc", "seg")
+  }
+
+  /** M-step: piece frequencies re-counted from the Viterbi
+    * segmentations, weighted by word count.
+    */
+  private def refitCounts(best: DataFrame): DataFrame =
+    best.select(explode(split(col("seg"), " ")).as("piece"), col("wc"))
+      .groupBy("piece").agg(sum(col("wc")).as("refit_n"))
+
+  /** The trained model (x57's frame: piece, refit_n, logp) for an
+    * arbitrary `(doc_id, text)` frame — the non-memoized spelling toy
+    * corpora and specs drive; the gate queries route through the
+    * per-dataset store ([[ensureTrained]]), which persists the seed
+    * vocabulary across its internal references.
+    */
+  def train(docs: DataFrame): DataFrame = {
+    val wv = wordVocab(docs)
+    val refit = refitCounts(viterbi(wv, seedPieces(wv)))
+    val tot = refit.agg(sum(col("refit_n")).as("tot"))
+    refit.crossJoin(broadcast(tot))
+      .select(col("piece"), col("refit_n"),
+        (round(log(col("refit_n").cast("double")), 9) -
+          round(log(col("tot").cast("double")), 9)).as("logp"))
+      .orderBy(col("refit_n").desc, col("piece"))
+  }
+
+  /** Per-doc encode accounting (x58's frame) for an arbitrary frame —
+    * the non-memoized sibling of [[train]].
+    */
+  def encode(docs: DataFrame): DataFrame = {
+    val wv = wordVocab(docs)
+    val refit = refitCounts(viterbi(wv, seedPieces(wv)))
+    val tot = refit.agg(sum(col("refit_n")).as("tot"))
+    val model = refit.crossJoin(broadcast(tot))
+      .select(col("piece"), logpDec(col("refit_n"), col("tot")).as("logp"))
+    val enc = wv.join(viterbi(wv, model).select(col("word"),
+        size(split(col("seg"), " ")).cast("long").as("np")), Seq("word"), "left")
+      .select(col("word"),
+        coalesce(col("np"), length(col("word")).cast("long")).as("n_pieces"))
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .join(broadcast(enc), "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum(col("n_pieces")).as("n_unigram_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** Trained-model store, materialized once per (JVM, dataset) on the
+    * Bpe.ensureTrained pattern: tokenizer training is ingest-time work
+    * — train once, ship the model. The memo writes two vocab-sized
+    * parquet tables: `model` (piece, refit_n — x57's rows) and `enc`
+    * (word, n_pieces under the refit model, char-count fallback
+    * included — x58's broadcast side), so serving-path calls pay one
+    * broadcast join + one combinable count and re-run no training
+    * actions. Holder semantics are Bpe's verbatim: per-dataset
+    * synchronization, result-only retention, losers discarded unrun.
+    */
+  private final class TrainedHolder {
+    @volatile private var result: (String, String) = _
+    def value(s: SparkSession, d: String): (String, String) = {
+      val r0 = result
+      if (r0 != null) r0
+      else synchronized {
+        if (result == null) {
+          // the seed vocabulary is read by the substring explode, two
+          // Viterbi passes, and the encode fallback join — persist the
+          // one corpus-shaped lineage for the duration of training
+          // (vocab-sized, the Bpe seed-cache argument)
+          val wv = wordVocab(Tables.documents(s, d)).persist()
+          val best1 = viterbi(wv, seedPieces(wv))
+          val refit = refitCounts(best1).persist()
+          val tot = refit.agg(sum(col("refit_n")).as("tot"))
+          val modelOut = Stores.dir(s, d, "unigram-model")
+          refit.write.mode("overwrite").parquet(modelOut)
+          val model = refit.crossJoin(broadcast(tot))
+            .select(col("piece"), logpDec(col("refit_n"), col("tot")).as("logp"))
+          val best2 = viterbi(wv, model)
+          val encOut = Stores.dir(s, d, "unigram-enc")
+          wv.join(best2.select(col("word"),
+              size(split(col("seg"), " ")).cast("long").as("np")),
+              Seq("word"), "left")
+            .select(col("word"),
+              coalesce(col("np"), length(col("word")).cast("long")).as("n_pieces"))
+            .write.mode("overwrite").parquet(encOut)
+          refit.unpersist(false)
+          wv.unpersist(false)
+          result = (modelOut, encOut)
+        }
+        result
+      }
+    }
+  }
+
+  private val trainedCache = scala.collection.concurrent.TrieMap
+    .empty[String, TrainedHolder]
+
+  /** (model, enc) frames from the per-dataset store — paths memoized,
+    * never DataFrames (the Bpe session-rebind rationale).
+    */
+  def ensureTrained(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val (m, e) = trainedCache.getOrElseUpdate(d, new TrainedHolder).value(s, d)
+    (s.read.parquet(m), s.read.parquet(e))
+  }
+
+  def queries: Map[String, Q] = Map(
+    // x57: the trained unigram model — every piece the Viterbi
+    // segmentation actually used, its refit count, and its refit
+    // log-prob (ln-rounded-to-9 in both engines).
+    "x57_unigram_train" -> { (s, d) =>
+      val refit = ensureTrained(s, d)._1
+      val tot = refit.agg(sum(col("refit_n")).as("tot"))
+      refit.crossJoin(broadcast(tot))
+        .select(col("piece"), col("refit_n"),
+          (round(log(col("refit_n").cast("double")), 9) -
+            round(log(col("tot").cast("double")), 9)).as("logp"))
+        .orderBy(col("refit_n").desc, col("piece"))
+    },
+    // x58: per-doc token accounting under the refit model — words
+    // before, unigram pieces after (the x21 compression-accounting
+    // shape; the corpus-side work is one broadcast join + one
+    // combinable count).
+    "x58_unigram_encode" -> { (s, d) =>
+      val enc = ensureTrained(s, d)._2
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .join(broadcast(enc), "word")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"), sum(col("n_pieces")).as("n_unigram_tokens"))
+        .orderBy("doc_id")
+    }
+  )
+
+  // ---- oracle SQL ------------------------------------------------------
+
+  private def compValues: String =
+    comps.map { case (n, cid, pi, st, pl, np) => s"($n,$cid,$pi,$st,$pl,$np)" }
+      .grouped(8).map(_.mkString(", ")).mkString(",\n|    ")
+
+  /** One Viterbi pass as CTEs `cand$tag`/`m$tag`/`best$tag` over the
+    * shared `compst`/`wv` and a (piece, logp DECIMAL) CTE.
+    */
+  private def viterbiCtes(tag: String, piecesCte: String): String =
+    s"""cand$tag AS (SELECT w.word, w.wc, c.comp_id, c.n_parts, c.part_idx,
+       |    substr(w.word, c.start, c.plen) AS piece_str
+       |  FROM wv w JOIN compst c ON len(w.word) = c.clen),
+       |m$tag AS (SELECT cand.word, cand.wc, cand.comp_id, cand.n_parts,
+       |    count(*) AS n_matched, sum(p.logp) AS cost,
+       |    string_agg(p.piece, ' ' ORDER BY cand.part_idx) AS seg
+       |  FROM cand$tag cand JOIN $piecesCte p ON cand.piece_str = p.piece
+       |  GROUP BY 1, 2, 3, 4),
+       |best$tag AS (SELECT word, wc, seg FROM (
+       |    SELECT word, wc, seg, row_number() OVER (PARTITION BY word
+       |      ORDER BY cost DESC, seg) AS rk
+       |    FROM m$tag WHERE n_matched = n_parts) WHERE rk = 1)""".stripMargin
+
+  /** Shared oracle prefix: the composition literal, tokenize + word
+    * vocab, substring seed with log-prob decimals, Viterbi pass 1, and
+    * the refit counts (`ref`) + total (`t1`).
+    */
+  private def chain: String =
+    s"""compst AS (SELECT * FROM (VALUES $compValues)
+       |  AS t(clen, comp_id, part_idx, start, plen, n_parts)),
+       |toks AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+       |wv AS (SELECT word, CAST(count(*) AS BIGINT) AS wc FROM toks GROUP BY word),
+       |starts AS (SELECT word, wc, unnest(generate_series(1, len(word))) AS s
+       |  FROM wv WHERE len(word) >= 1),
+       |subs AS (SELECT substr(word, s, l) AS piece, wc FROM (
+       |    SELECT word, wc, s,
+       |      unnest(generate_series(1, least($MaxPieceLen, len(word) - s + 1))) AS l
+       |    FROM starts)),
+       |p0f AS (SELECT piece, CAST(sum(wc) AS BIGINT) AS freq FROM subs
+       |  GROUP BY piece HAVING len(piece) = 1 OR CAST(sum(wc) AS BIGINT) >= $MinCount),
+       |t0 AS (SELECT CAST(sum(freq) AS BIGINT) AS tot FROM p0f),
+       |p0 AS (SELECT piece,
+       |    CAST(round(ln(CAST(freq AS DOUBLE)), 9) AS DECIMAL(28,9)) -
+       |    CAST(round(ln(CAST(tot AS DOUBLE)), 9) AS DECIMAL(28,9)) AS logp
+       |  FROM p0f, t0),
+       |${viterbiCtes("1", "p0")},
+       |ref AS (SELECT piece, CAST(sum(wc) AS BIGINT) AS refit_n FROM (
+       |    SELECT unnest(string_split(seg, ' ')) AS piece, wc FROM best1)
+       |  GROUP BY piece),
+       |t1 AS (SELECT CAST(sum(refit_n) AS BIGINT) AS tot FROM ref)""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+    "x57_unigram_train" ->
+      s"""WITH $chain
+         |SELECT piece, refit_n,
+         |  round(ln(CAST(refit_n AS DOUBLE)), 9) -
+         |    round(ln(CAST(tot AS DOUBLE)), 9) AS logp
+         |FROM ref, t1 ORDER BY refit_n DESC, piece""".stripMargin,
+    "x58_unigram_encode" ->
+      s"""WITH $chain,
+         |p1 AS (SELECT piece,
+         |    CAST(round(ln(CAST(refit_n AS DOUBLE)), 9) AS DECIMAL(28,9)) -
+         |    CAST(round(ln(CAST(tot AS DOUBLE)), 9) AS DECIMAL(28,9)) AS logp
+         |  FROM ref, t1),
+         |${viterbiCtes("2", "p1")},
+         |enc AS (SELECT wv.word,
+         |    coalesce(CAST(len(string_split(best2.seg, ' ')) AS BIGINT),
+         |      CAST(len(wv.word) AS BIGINT)) AS n_pieces
+         |  FROM wv LEFT JOIN best2 ON wv.word = best2.word),
+         |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(n_pieces) AS BIGINT) AS n_unigram_tokens
+         |FROM tok JOIN enc USING (word)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  )
+}

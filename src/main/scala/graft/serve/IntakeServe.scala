@@ -46,7 +46,12 @@ import graft.streaming.LivePipeline
   *  - `GET /alert[?as_of=<batch>]` (same construction) — the SVT
   *    threshold question (x51) over the live store at the server's
   *    `alertThreshold`: verdict rows only, one ε per request-stream,
-  *    same 429 leg.
+  *    same 429 leg;
+  *  - `GET /histogram[?unit=user][&as_of=<batch>]` (same
+  *    construction) — the δ-licensed stability histogram (x54, or x55
+  *    at `unit=user`) over the live cell stores: each request charges
+  *    the (ε, δ) PAIR against the ledger's two budgets, and either
+  *    overdraw answers 429.
   *
   * Built like [[HttpServe]] (JDK HttpServer, no dependency, JSON
   * array bodies, wildcard CORS) and, like it, a DEMO-serving tier:
@@ -69,7 +74,9 @@ final class IntakeServe(spark: SparkSession, cfg: LivePipeline.Config,
     releaseLedger: Option[graft.operators.DpLedger] = None,
     releaseWindows: Range = 0 until 1,
     releaseSeeded: Boolean = false,
-    alertThreshold: Double = 100.0) {
+    alertThreshold: Double = 100.0,
+    histogramDelta: Double = 1e-6,
+    histogramCapCells: Int = 4) {
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
 
@@ -231,6 +238,33 @@ final class IntakeServe(spark: SparkSession, cfg: LivePipeline.Config,
       rowsJson(graft.streaming.LiveRelease.aboveThreshold(spark, rcfg,
         threshold = alertThreshold, seeded = releaseSeeded,
         ledger = releaseLedger, releaseId = "svt|http", asOf = asOf))
+    })
+    // `GET /histogram[?unit=user][&as_of=<batch>]` — the δ-licensed
+    // stability release over the live cell stores (x54 event-level;
+    // ?unit=user for the x55 user-level sibling): the UNKNOWN-domain
+    // histogram for deployments whose key vocabulary is itself
+    // sensitive. Every request is a new (ε = 1, δ) release charged as a
+    // PAIR through the same ledger/429 contract — a server whose ledger
+    // granted no deltaBudget answers 429 on the FIRST request, which is
+    // the δ metering doing its job (r18 verdict #1), not a fault. δ and
+    // capCells are SERVER config (public, like the threshold): a
+    // client-supplied δ would let callers trade unmetered δ for ε.
+    server.createContext("/histogram", (ex: HttpExchange) => Facade.handle(ex) { p =>
+      val asOf = p.get("as_of").map(_.toLong).getOrElse(Long.MaxValue)
+      val unit = p.getOrElse("unit", "event")
+      require(unit == "event" || unit == "user",
+        s"unit must be 'event' or 'user', got '$unit'")
+      rowsJson(
+        if (unit == "user")
+          graft.streaming.LiveRelease.userHistogram(spark, rcfg,
+            seeded = releaseSeeded, capCells = histogramCapCells,
+            delta = histogramDelta, ledger = releaseLedger,
+            releaseId = "user_hist|http", asOf = asOf)
+        else
+          graft.streaming.LiveRelease.stableHistogram(spark, rcfg,
+            seeded = releaseSeeded, delta = histogramDelta,
+            ledger = releaseLedger, releaseId = "stable_hist|http",
+            asOf = asOf))
     })
   }
   server.createContext("/snapshot", (ex: HttpExchange) => Facade.handle(ex) { p =>

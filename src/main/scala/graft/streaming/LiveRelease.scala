@@ -56,6 +56,15 @@ object LiveRelease {
 
   private def ccfg(cfg: Config) = LiveCounts.Config(cfg.root)
 
+  // sibling stores under the same root for the δ-licensed releases
+  // (x54/x55): the stability histograms need (event_type, day) cell
+  // counts and the distinct (user_id, event_type, day) user-cell set,
+  // neither derivable from the day-keyed store. Keys lead with the
+  // fixed-width ISO day (10 chars) so parsing never depends on the
+  // payload being separator-free.
+  private def cellCfg(cfg: Config) = LiveCounts.Config(s"${cfg.root}/cells")
+  private def userCellCfg(cfg: Config) = LiveCounts.Config(s"${cfg.root}/ucells")
+
   /** One `(key = ISO day)` observation row per event — LiveCounts'
     * observation transform. String keys so the store stays in the
     * shared counts schema; [[release]] parses them back to dates.
@@ -112,9 +121,10 @@ object LiveRelease {
   private[graft] def aboveThresholdEpisode(s: SparkSession, cfg: Config,
       threshold: Double, salt: String,
       resumeAfter: Option[java.sql.Timestamp],
-      asOf: Long = Long.MaxValue): DataFrame =
+      asOf: Long = Long.MaxValue,
+      completedDaysOnly: Boolean = false): DataFrame =
     Privacy.aboveThresholdSalted(dailyCounts(s, cfg, asOf),
-      threshold, salt, resumeAfter)
+      threshold, salt, resumeAfter, completedDaysOnly)
 
   /** The numeric-sparse twin (x53): up to `c` alerts for one ε from
     * the live store's totals — the fixed-alert-budget alternative to
@@ -130,4 +140,88 @@ object LiveRelease {
   private def dailyCounts(s: SparkSession, cfg: Config, asOf: Long): DataFrame =
     LiveCounts.totals(s, ccfg(cfg), asOf)
       .select(to_date(col("key")).as("day"), col("n").as("cnt"))
+
+  // ---- the δ-licensed twins (x54/x55) ----------------------------------
+
+  /** One `(key = ISO-day|event_type)` observation per event — the cell
+    * store's transform. Day first and fixed-width, so the type may
+    * contain anything.
+    */
+  private def prepCells(events: DataFrame): DataFrame =
+    events.select(concat(to_date(col("ts")).cast("string"), lit("|"),
+      col("event_type")).as("key"))
+
+  /** One `(key = ISO-day|user_id|event_type)` observation per event.
+    * user_id is rendered with Spark's long→string cast (events carry
+    * numeric user ids — graft.Tables.events — so the middle field is
+    * separator-free by construction).
+    */
+  private def prepUserCells(events: DataFrame): DataFrame =
+    events.select(concat(to_date(col("ts")).cast("string"), lit("|"),
+      col("user_id").cast("string"), lit("|"), col("event_type")).as("key"))
+
+  /** Continuous cell-count intake for [[stableHistogram]]. */
+  def startCells(events: DataFrame, cfg: Config): StreamingQuery =
+    LiveCounts.start(events, cellCfg(cfg), prepCells)
+
+  def stepCells(events: DataFrame, batchId: Long, cfg: Config): Unit =
+    LiveCounts.step(prepCells(events), batchId, cellCfg(cfg))
+
+  def compactCells(s: SparkSession, cfg: Config): Unit =
+    LiveCounts.compact(s, cellCfg(cfg))
+
+  /** Continuous user-cell intake for [[userHistogram]]. The store
+    * holds per-(day, user, type) EVENT counts; the release uses only
+    * key PRESENCE (n ≥ 1 ⇔ the user touched the cell), which is what
+    * makes the distinct user-cell set idempotent-union additive across
+    * batches — replay and fold cannot change membership.
+    */
+  def startUserCells(events: DataFrame, cfg: Config): StreamingQuery =
+    LiveCounts.start(events, userCellCfg(cfg), prepUserCells)
+
+  def stepUserCells(events: DataFrame, batchId: Long, cfg: Config): Unit =
+    LiveCounts.step(prepUserCells(events), batchId, userCellCfg(cfg))
+
+  def compactUserCells(s: SparkSession, cfg: Config): Unit =
+    LiveCounts.compact(s, userCellCfg(cfg))
+
+  /** The x54 stability histogram from the live cell-count store — the
+    * δ-licensed release regime's streaming twin (r18 verdict #3: every
+    * other regime had one — x47→release, x51→aboveThreshold,
+    * x53→sparse — while the regime whose INPUT is exactly a live count
+    * store had none). Cell counts are additive over events and the
+    * noise/τ/clamp tail is deterministic given the cells
+    * ([[graft.operators.Privacy.dpStableHistogramFromCells]]), so live
+    * equals batch bit-for-bit on the same ingested records
+    * (StreamingSpec pins it). The ledger charge is the (ε, δ) PAIR —
+    * the registry's δ metering applies to the live spelling exactly as
+    * to batch.
+    */
+  def stableHistogram(s: SparkSession, cfg: Config, seeded: Boolean = false,
+      delta: Double = 1e-6, ledger: Option[DpLedger] = None,
+      releaseId: String = "stable_hist",
+      asOf: Long = Long.MaxValue): DataFrame =
+    Privacy.dpStableHistogramFromCells(
+      LiveCounts.totals(s, cellCfg(cfg), asOf)
+        .select(to_timestamp(substring(col("key"), 1, 10)).as("day"),
+          expr("substring(key, 12)").as("event_type"), col("n").as("true_n")),
+      seeded, delta, ledger, releaseId)
+
+  /** The x55 user-level stability histogram from the live user-cell
+    * store — [[stableHistogram]]'s sibling at the user privacy unit.
+    * Only key PRESENCE ships to the mechanism (the distinct set), so
+    * the twin argument is idempotent union + the deterministic
+    * cap/count/noise/τ tail.
+    */
+  def userHistogram(s: SparkSession, cfg: Config, seeded: Boolean = false,
+      capCells: Int = 4, delta: Double = 1e-6,
+      ledger: Option[DpLedger] = None, releaseId: String = "user_hist",
+      asOf: Long = Long.MaxValue): DataFrame =
+    Privacy.dpUserHistogramFromUserCells(
+      LiveCounts.totals(s, userCellCfg(cfg), asOf)
+        .select(to_timestamp(substring(col("key"), 1, 10)).as("day"),
+          split(expr("substring(key, 12)"), "\\|", 2).as("_rest"))
+        .select(col("day"), element_at(col("_rest"), 1).cast("long").as("user_id"),
+          element_at(col("_rest"), 2).as("event_type")),
+      seeded, capCells, delta, ledger, releaseId)
 }

@@ -39,15 +39,22 @@ import scala.util.control.NonFatal
   * `budgetExhausted`, and every later check is a no-op — the privacy
   * policy answering "not anymore" (the 429 contract, driver-side).
   *
-  * Check cadence caveat (honest deployment guidance): an episode's
-  * per-day noise is fixed, so checking MID-day answers that day's
-  * question against partial counts, and a later check re-answers it
-  * with fuller counts under the same draw — two different queries, one
-  * noise draw, which weakens the per-query accounting for that day.
-  * Run checks after day close (the reference's daily-report cadence —
-  * python/main.py:343-356's timed loop), or accept the documented
-  * slack for the current day only; completed days' verdicts are final
-  * either way because day counts stop moving.
+  * Check cadence is ENFORCED, not guidance (r18 verdict #3): an
+  * episode's per-day noise is fixed, so checking MID-day would answer
+  * that day's question against partial counts and a later check
+  * re-answer it with fuller counts under the same draw — two different
+  * queries, one noise draw, which weakens the per-query accounting for
+  * that day. `completedDaysOnly` (DEFAULT ON) therefore excludes the
+  * newest day present in the store from the question schedule: a day's
+  * question is first asked only once a later day's data exists, i.e.
+  * its count has stopped moving, so every asked question is asked of
+  * final counts exactly once per episode — the reference's daily-report
+  * cadence (python/main.py:254-308's polling loop runs a file behind
+  * the archive frontier for the same reason) made structural. The
+  * opt-OUT (`completedDaysOnly = false`) restores the eager spelling
+  * for deployments that ingest strictly day-at-once batches (where the
+  * newest day is already final) and accept the documented slack
+  * otherwise.
   *
   * Cost per check: one day-keyed re-aggregation of the live store
   * (calendar-days-sized, never corpus-sized) plus the public 64-row
@@ -74,7 +81,8 @@ import scala.util.control.NonFatal
 final class SvtMonitor(transports: Seq[AlertTransport],
     cfg: LiveRelease.Config, threshold: Double = 100.0,
     ledger: Option[DpLedger] = None,
-    releaseIdPrefix: String = "svt-monitor", seeded: Boolean = false) {
+    releaseIdPrefix: String = "svt-monitor", seeded: Boolean = false,
+    completedDaysOnly: Boolean = true) {
   require(transports.nonEmpty, "SvtMonitor needs at least one transport")
   require(!releaseIdPrefix.contains("\t") && !releaseIdPrefix.contains("\n") &&
     !releaseIdPrefix.contains("/"),
@@ -87,6 +95,9 @@ final class SvtMonitor(transports: Seq[AlertTransport],
   private var armedSalt: Option[String] = None
   private var resumeAfter: Option[java.sql.Timestamp] = None
   @volatile private var exhausted = false
+  // the grid's last day in the SESSION clock, resolved lazily at the
+  // first check (construction has no SparkSession) and cached
+  private var windowEnd: java.sql.Timestamp = null
 
   private val stateFile = {
     val dir = new java.io.File(cfg.root, "svt-monitor")
@@ -137,10 +148,12 @@ final class SvtMonitor(transports: Seq[AlertTransport],
       // window exhausted: an alert on the LAST grid day leaves a new
       // episode nothing to ask — arming it would charge real ε for an
       // empty question schedule. The next 64-day window is a fresh
-      // monitor (the x47/x48 rollover contract).
-      val windowEnd = java.sql.Timestamp.valueOf(
-        java.time.LocalDate.parse(Privacy.ContinualEpoch)
-          .plusDays(Privacy.ContinualT - 1L).atStartOfDay())
+      // monitor (the x47/x48 rollover contract). The boundary is
+      // derived through the grid's own Spark spelling (r18 advice:
+      // a JVM-default-timezone Timestamp.valueOf beside the
+      // session-timezone resumeAfter misjudges the guard when the two
+      // clocks differ), computed once per monitor.
+      if (windowEnd == null) windowEnd = Privacy.publicWindowLastDay(s)
       if (armedSalt.isEmpty && resumeAfter.exists(!_.before(windowEnd)))
         return None
       if (armedSalt.isEmpty) {
@@ -176,7 +189,7 @@ final class SvtMonitor(transports: Seq[AlertTransport],
       }
       try {
         val verdicts = LiveRelease.aboveThresholdEpisode(s, cfg, threshold,
-          armedSalt.get, resumeAfter, asOf).collect()
+          armedSalt.get, resumeAfter, asOf, completedDaysOnly).collect()
         val alertDay = verdicts.lastOption
           .filter(_.getBoolean(1)).map(_.getTimestamp(0))
         alertDay.foreach { day =>

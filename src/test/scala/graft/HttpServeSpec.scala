@@ -337,6 +337,75 @@ class HttpServeSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("/histogram serves the stability releases from the live cell stores; delta overdraw answers 429") {
+    import org.apache.spark.sql.functions.col
+    val d = "/root/testdata/sf0.001"
+    val rroot = java.nio.file.Files.createTempDirectory("graft-intake-hist").toString
+    val rcfg = graft.streaming.LiveRelease.Config(rroot)
+    // sf0.001 alone has no cell that ~60 users share, so the x55 τ
+    // (≈ 59 at capCells 4, δ 1e-6) suppresses everything — union a
+    // synthetic 70-user hot cell so the user-level release is non-empty
+    val evAll = {
+      import spark.implicits._
+      val hot = (0 until 70).map(u => (900000L + u,
+        java.sql.Timestamp.valueOf("2024-01-05 00:00:00"),
+        9000L + u, "click", 1.0, "")).toDF(
+        "event_id", "ts", "user_id", "event_type", "value", "props")
+      Tables.events(spark, d).unionByName(hot)
+    }
+    graft.streaming.LiveRelease.stepCells(evAll, 0L, rcfg)
+    graft.streaming.LiveRelease.stepUserCells(evAll, 0L, rcfg)
+    val expected = graft.operators.Privacy
+      .dpStableHistogramRelease(evAll, seeded = true).collect()
+      .map(_.getAs[Long]("released_n")).toSeq
+    val expectedUser = graft.operators.Privacy
+      .dpUserHistogramRelease(evAll, seeded = true).collect()
+      .map(_.getAs[Long]("released_users")).toSeq
+    assert(expected.nonEmpty && expectedUser.nonEmpty)
+    // ε budget generous; δ budget licenses exactly TWO 1e-6 releases —
+    // the third 429 is the δ metering (r18 verdict #1) live on the wire
+    val led = graft.operators.DpLedger.open(
+      java.nio.file.Files.createTempDirectory("graft-hist-ledger").toString,
+      budget = BigDecimal(10), deltaBudget = BigDecimal("0.000002"))
+    val cfg = graft.streaming.LivePipeline.Config(
+      java.nio.file.Files.createTempDirectory("graft-intake-hist-root").toString)
+    val srv = new graft.serve.IntakeServe(spark, cfg,
+      release = Some(rcfg), releaseLedger = Some(led), releaseSeeded = true)
+    srv.start()
+    try {
+      val base = s"http://127.0.0.1:${srv.boundPort}"
+      val (c1, body) = get(s"$base/histogram")
+      assert(c1 === 200)
+      val got = "\"released_n\":(\\d+)".r.findAllMatchIn(body)
+        .map(_.group(1).toLong).toSeq
+      assert(got === expected,
+        s"HTTP histogram must equal batch x54 on the ingested records: $body")
+      // only survivors of τ ship; true counts and noise never do
+      assert(!body.contains("true_n") && !body.contains("noisy"), body)
+      assert(led.spent === BigDecimal(1) &&
+        led.spentDelta === BigDecimal("0.000001"),
+        "one request charges the (epsilon, delta) pair")
+      val (c2, body2) = get(s"$base/histogram?unit=user")
+      assert(c2 === 200)
+      val gotU = "\"released_users\":(\\d+)".r.findAllMatchIn(body2)
+        .map(_.group(1).toLong).toSeq
+      assert(gotU === expectedUser,
+        s"unit=user must serve the x55 release: $body2")
+      assert(led.spentDelta === BigDecimal("0.000002"))
+      // third request: ε remains (8 of 10) but δ is spent — 429 names
+      // the binding constraint, nothing released
+      val (c3, err) = get(s"$base/histogram")
+      assert(c3 === 429 && err.contains("delta budget") &&
+        !err.contains("released_n"), err)
+      assert(led.spent === BigDecimal(2) &&
+        led.spentDelta === BigDecimal("0.000002"))
+      // a bad unit is a client fault BEFORE any charge
+      val (c4, err4) = get(s"$base/histogram?unit=day")
+      assert(c4 === 400 && err4.contains("unit"), err4)
+      assert(led.spent === BigDecimal(2))
+    } finally srv.stop()
+  }
+
   test("/metrics serves per-trigger progress from the listener-bus ring") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

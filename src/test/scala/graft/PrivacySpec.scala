@@ -797,6 +797,135 @@ class PrivacySpec extends AnyFunSuite {
     second.close()
   }
 
+  test("DpLedger delta metering: K stability releases spend (K eps, K delta); the K+1th is refused by whichever budget binds") {
+    import graft.operators.DpLedger
+    val ev = graft.Tables.events(spark, d)
+    // the r18 verdict #1 arc closed: δ is charged-then-released like ε,
+    // not composed by a diligent reader. δ budget 3e-6 admits exactly
+    // three δ=1e-6 stability releases while ε (budget 10) never binds.
+    val dir = freshLedgerDir()
+    val led = DpLedger.open(dir, budget = BigDecimal(10),
+      deltaBudget = BigDecimal("0.000003"))
+    Privacy.dpStableHistogramRelease(ev, seeded = true, ledger = Some(led)).collect()
+    assert(led.spent === BigDecimal(1) && led.spentDelta === BigDecimal("0.000001"))
+    Privacy.dpUserHistogramRelease(ev, seeded = true, ledger = Some(led)).collect()
+    Privacy.dpStableHistogramRelease(ev, seeded = true, ledger = Some(led)).collect()
+    assert(led.spent === BigDecimal(3) && led.spentDelta === BigDecimal("0.000003"),
+      "K releases spend exactly (K eps, K delta), in exact decimal arithmetic")
+    // the K+1th: ε has 7 left, δ has 0 — refused BY THE δ BUDGET, named
+    val ex = intercept[DpLedger.BudgetRefused] {
+      Privacy.dpStableHistogramRelease(ev, seeded = true, ledger = Some(led))
+    }
+    assert(ex.getMessage.contains("delta budget"),
+      s"the refusal names the binding constraint: ${ex.getMessage}")
+    assert(led.spent === BigDecimal(3) && led.spentDelta === BigDecimal("0.000003"),
+      "a refusal burns neither coordinate")
+    // pure-ε charges are untouched by an exhausted δ budget (δ = 0 rows)
+    Privacy.dpCountRelease(ev, seeded = true, ledger = Some(led)).collect()
+    assert(led.spent === BigDecimal(4) && led.spentDelta === BigDecimal("0.000003"))
+    led.close()
+    // durability: a reopen resumes BOTH exact spends; the registry
+    // frame carries the per-row delta
+    val resumed = DpLedger.open(dir, budget = BigDecimal(10),
+      deltaBudget = BigDecimal("0.000003"))
+    assert(resumed.spent === BigDecimal(4) &&
+      resumed.spentDelta === BigDecimal("0.000003"))
+    val reg = resumed.registry(spark).orderBy("seq").collect()
+    assert(reg.length === 4)
+    assert(reg.map(_.getDouble(5)).toSeq === Seq(1e-6, 1e-6, 1e-6, 0.0))
+    resumed.close()
+    // when ε binds first, the refusal reads as the classic ε message —
+    // existing consumers of the refusal line keep parsing it
+    val led2 = DpLedger.open(freshLedgerDir(), budget = BigDecimal(1),
+      deltaBudget = BigDecimal(1))
+    Privacy.dpStableHistogramRelease(ev, seeded = true, ledger = Some(led2)).collect()
+    val ex2 = intercept[DpLedger.BudgetRefused] {
+      Privacy.dpStableHistogramRelease(ev, seeded = true, ledger = Some(led2))
+    }
+    assert(ex2.getMessage.contains("DP budget exhausted"))
+    led2.close()
+    // the default deltaBudget is 0: a ledger that never granted δ
+    // refuses the FIRST (ε, δ>0) charge — silently accumulating δ was
+    // exactly the r18 gap
+    val led3 = DpLedger.open(freshLedgerDir(), budget = BigDecimal(10))
+    intercept[DpLedger.BudgetRefused] {
+      Privacy.dpStableHistogramRelease(ev, seeded = true, ledger = Some(led3))
+    }
+    assert(led3.spent === BigDecimal(0) && led3.spentDelta === BigDecimal(0))
+    // a caller-bug negative δ throws before any budget check
+    intercept[IllegalArgumentException] {
+      led3.tryCharge("bad", "m", BigDecimal(1), delta = BigDecimal(-1))
+    }
+    led3.close()
+    // legacy 5-column (currency, pre-δ) lines load as δ = 0 — the
+    // migration is exact because every pre-δ charge site was pure-ε/ρ
+    val legacyDir = freshLedgerDir()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(legacyDir, "registry.tsv"),
+      "1\tcount\tlaplace_count\t1\tepsilon\n".getBytes("UTF-8"))
+    val legacy = DpLedger.open(legacyDir, budget = BigDecimal(2),
+      deltaBudget = BigDecimal("0.000001"))
+    assert(legacy.spent === BigDecimal(1) && legacy.spentDelta === BigDecimal(0))
+    assert(legacy.tryCharge("h", "laplace_stable_histogram", BigDecimal(1),
+      delta = BigDecimal("0.000001")))
+    legacy.close()
+  }
+
+  test("x56 subsampled release: amplified cost is charged, so a budget admits more subsampled releases than full ones") {
+    import graft.operators.DpLedger
+    val ev = graft.Tables.events(spark, d)
+    val rel = Privacy.dpSubsampledCountRelease(ev, seeded = true).collect()
+    // dense release-set discipline: grid × full-corpus vocabulary, every
+    // cell present regardless of what the subsample observed
+    assert(rel.length === 64 * ev.select("event_type").distinct().count().toInt)
+    // the amplified ε' = ln(1 + q(e−1)) at q = ½, under the round-to-9
+    // libm discipline — strictly below the base ε₀ = 1 it amplifies
+    val e1 = BigDecimal(math.exp(1.0))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val epsAmp = BigDecimal(math.log(1.0 + 0.5 * (e1 - 1.0)))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    assert(epsAmp < BigDecimal(1))
+    assert(rel.forall(_.getDouble(3) === epsAmp.toDouble),
+      "the released epsilon column is the amplified value")
+    // seeded determinism (fixed subsample AND fixed noise)
+    assert(Privacy.dpSubsampledCountRelease(ev, seeded = true).collect().toSeq
+      === rel.toSeq)
+    // THE accounting pin: budget 2 admits ⌊2/ε'⌋ = 3 subsampled
+    // releases (3·0.620… ≤ 2) where it admits only 2 full-data ones —
+    // amplified < unamplified spend for the same release count, and
+    // the amplification buys a third release
+    assert(epsAmp * 3 <= BigDecimal(2) && epsAmp * 4 > BigDecimal(2),
+      s"fixture arithmetic: 3 releases fit in budget 2 at $epsAmp")
+    val led = DpLedger.open(freshLedgerDir(), budget = BigDecimal(2))
+    (1 to 3).foreach { i =>
+      Privacy.dpSubsampledCountRelease(ev, seeded = true,
+        ledger = Some(led), releaseId = s"sub$i")
+    }
+    assert(led.spent === epsAmp * 3, "K subsampled releases spend K·ε'")
+    intercept[DpLedger.BudgetRefused] {
+      Privacy.dpSubsampledCountRelease(ev, seeded = true,
+        ledger = Some(led), releaseId = "sub4")
+    }
+    led.close()
+    // q is validated BEFORE the charge: a non-subsample must not burn ε
+    val led2 = DpLedger.open(freshLedgerDir(), budget = BigDecimal(2))
+    intercept[IllegalArgumentException] {
+      Privacy.dpSubsampledCountRelease(ev, q = 1.5, seeded = true,
+        ledger = Some(led2))
+    }
+    assert(led2.spent === BigDecimal(0))
+    led2.close()
+    // the subsample is the exact seeded md5-Bernoulli half: the
+    // released grid equals the x40 release computed over the kept
+    // events by the same rule (noise domains differ only by tag)
+    val keptTrue = ev.filter(
+      (conv(substring(md5(concat(lit("dpss|"), col("event_id").cast("string"))),
+        1, 8), 16, 10).cast("long").cast("double") + lit(0.5)) /
+        lit(4294967296.0) < lit(0.5))
+    val nKept = keptTrue.count()
+    assert(nKept > 0 && nKept < ev.count(), "a proper half, not all or none")
+  }
+
   test("x51 SVT: one epsilon answers the whole stream, halts at the first above, ships verdicts only") {
     import graft.operators.DpLedger
     import spark.implicits._

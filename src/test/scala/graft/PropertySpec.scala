@@ -125,35 +125,50 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
-  test("DpLedger: arbitrary charge sequences never overdraw, and a reload resumes the exact spend") {
-    // The budget invariant as a property, not a scenario: for ANY
-    // sequence of positive decimal charges against ANY budget, (1) the
-    // admitted spend never exceeds the budget, (2) spend == the exact
-    // sum of the admitted charges and nothing else, (3) refusals are
-    // exactly the proposals that would overdraw AT THEIR TURN (order
-    // matters — a refused large charge must not block a later smaller
-    // one), and (4) a close-and-reopen resumes the identical exact
-    // BigDecimal spend (the decimal-string durability contract).
+  test("DpLedger: arbitrary (eps, delta) charge sequences never overdraw either budget, and a reload resumes both exact spends") {
+    // The budget invariant as a property, not a scenario — extended
+    // round 19 to the (ε, δ) PAIR: for ANY sequence of positive-ε,
+    // non-negative-δ decimal charges against ANY pair of budgets,
+    // (1) neither admitted spend ever exceeds its budget, (2) each
+    // spend == the exact sum of the admitted charges' coordinate and
+    // nothing else, (3) refusals are exactly the proposals where
+    // EITHER coordinate would overdraw AT THEIR TURN (order matters —
+    // a refused large charge must not block a later smaller one; a
+    // refusal burns neither coordinate), and (4) a close-and-reopen
+    // resumes the identical exact BigDecimal pair (the decimal-string
+    // durability contract, now two columns).
     val genEps: Gen[BigDecimal] = Gen.oneOf(
       Gen.choose(1, 400).map(n => BigDecimal(n) / 100),      // 0.01..4.00
       Gen.oneOf("0.1", "0.25", "0.333333333", "1", "1.5").map(BigDecimal(_)))
-    val genSeqC = Gen.listOfN(12, genEps)
+    val genDelta: Gen[BigDecimal] = Gen.oneOf(
+      Gen.const(BigDecimal(0)),                              // pure-ε rows
+      Gen.choose(1, 9).map(n => BigDecimal(n) / 1000000))    // 1e-6..9e-6
+    val genSeqC = Gen.listOfN(12, Gen.zip(genEps, genDelta))
     val genBudget = Gen.choose(1, 80).map(n => BigDecimal(n) / 10) // 0.1..8.0
-    check("ledger", Prop.forAll(genSeqC, genBudget) { (charges, budget) =>
-      val dir = java.nio.file.Files.createTempDirectory("graft-prop-ledger").toString
-      val led = graft.operators.DpLedger.open(dir, budget)
-      var expectSpent = BigDecimal(0)
-      val verdictsOk = charges.zipWithIndex.forall { case (eps, i) =>
-        val shouldAdmit = expectSpent + eps <= budget
-        val admitted = led.tryCharge(s"c$i", "prop", eps)
-        if (admitted) expectSpent += eps
-        admitted == shouldAdmit && led.spent <= budget
-      }
-      led.close()
-      val reopened = graft.operators.DpLedger.open(dir, budget)
-      val resumed = reopened.spent == expectSpent
-      reopened.close()
-      verdictsOk && resumed
+    val genDeltaBudget = Gen.choose(0, 40).map(n => BigDecimal(n) / 1000000)
+    check("ledger", Prop.forAll(genSeqC, genBudget, genDeltaBudget) {
+      (charges, budget, deltaBudget) =>
+        val dir = java.nio.file.Files.createTempDirectory("graft-prop-ledger").toString
+        val led = graft.operators.DpLedger.open(dir, budget,
+          deltaBudget = deltaBudget)
+        var expectSpent = BigDecimal(0)
+        var expectDelta = BigDecimal(0)
+        val verdictsOk = charges.zipWithIndex.forall { case ((eps, dlt), i) =>
+          val shouldAdmit = expectSpent + eps <= budget &&
+            expectDelta + dlt <= deltaBudget
+          val admitted = led.tryCharge(s"c$i", "prop", eps, delta = dlt)
+          if (admitted) { expectSpent += eps; expectDelta += dlt }
+          admitted == shouldAdmit && led.spent <= budget &&
+            led.spentDelta <= deltaBudget &&
+            led.spent == expectSpent && led.spentDelta == expectDelta
+        }
+        led.close()
+        val reopened = graft.operators.DpLedger.open(dir, budget,
+          deltaBudget = deltaBudget)
+        val resumed = reopened.spent == expectSpent &&
+          reopened.spentDelta == expectDelta
+        reopened.close()
+        verdictsOk && resumed
     })
   }
 

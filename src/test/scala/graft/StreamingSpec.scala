@@ -1343,7 +1343,10 @@ class StreamingSpec extends AnyFunSuite {
         java.sql.Timestamp.valueOf(day(dd).atTime(r % 24, 0))))
     }.toDF("ts")
     // margins force every verdict for any seed: |Lap(4)| <= 92 per day,
-    // the noisy threshold moves by |Lap(2)| <= 46 around 1000
+    // the noisy threshold moves by |Lap(2)| <= 46 around 1000.
+    // completedDaysOnly (the default) asks a day's question only once
+    // a LATER day exists in the store, so every spike batch here
+    // carries a 1-event day-close marker after it.
     // quiet days: arming charges epsilon 1; no page
     graft.streaming.LiveRelease.step(batch(1 -> 1, 2 -> 1), 0L, cfg)
     assert(mon.check(spark) === None && stub.sent.isEmpty)
@@ -1351,8 +1354,9 @@ class StreamingSpec extends AnyFunSuite {
     // a re-check of the SAME episode is a re-read: no new charge
     assert(mon.check(spark) === None)
     assert(led.spent === BigDecimal(1), "checks of an armed episode are free")
-    // the spike: page ONCE, with the released alert day in the message
-    graft.streaming.LiveRelease.step(batch(3 -> 2000), 1L, cfg)
+    // the spike (day 4's marker closes day 3): page ONCE, with the
+    // released alert day in the message
+    graft.streaming.LiveRelease.step(batch(3 -> 2000, 4 -> 1), 1L, cfg)
     val alert = mon.check(spark)
     assert(alert.map(_.toLocalDateTime.toLocalDate) === Some(day(3)))
     assert(stub.sent.size === 1 && stub.sent.head.contains("1000"),
@@ -1364,17 +1368,67 @@ class StreamingSpec extends AnyFunSuite {
     assert(led.spent === BigDecimal(2), "re-arm is a new epsilon-charged stream")
     // a second spike inside the re-armed episode: second page, still no
     // new charge
-    graft.streaming.LiveRelease.step(batch(5 -> 2000), 2L, cfg)
+    graft.streaming.LiveRelease.step(batch(5 -> 2000, 6 -> 1), 2L, cfg)
     assert(mon.check(spark).map(_.toLocalDateTime.toLocalDate) === Some(day(5)))
     assert(stub.sent.size === 2 && led.spent === BigDecimal(2))
     // budget gone: the third arm is refused BEFORE any frame exists —
     // the monitor latches dark and a later spike pages nothing
     assert(mon.check(spark) === None)
     assert(mon.budgetExhausted, "a refused arm must latch the monitor dark")
-    graft.streaming.LiveRelease.step(batch(7 -> 2000), 3L, cfg)
+    graft.streaming.LiveRelease.step(batch(7 -> 2000, 8 -> 1), 3L, cfg)
     assert(mon.check(spark) === None && stub.sent.size === 2)
     assert(led.spent === BigDecimal(2), "an exhausted monitor never charges again")
     led.close()
+  }
+
+  test("SvtMonitor completedDaysOnly: a frontier-day spike pages only after the day closes; the opt-out pages mid-day") {
+    import spark.implicits._
+    // the r18 verdict #3 enforcement: an episode's per-day noise is
+    // fixed, so a mid-day check must not answer the growing frontier
+    // day's question (it would be re-answered at close under the same
+    // draw). Default ON: the newest day present in the store is
+    // excluded from the schedule until a later day's data closes it.
+    final class Stub extends graft.streaming.AlertTransport {
+      def name = "stub"
+      val sent = scala.collection.mutable.Buffer.empty[String]
+      def send(m: String): Unit = { sent += m; () }
+    }
+    def day(dd: Int) = java.time.LocalDate.parse("2024-01-01").plusDays(dd - 1L)
+    def batch(counts: (Int, Int)*) = counts.flatMap { case (dd, n) =>
+      (0 until n).map(r => Tuple1(
+        java.sql.Timestamp.valueOf(day(dd).atTime(r % 24, 0))))
+    }.toDF("ts")
+    val stub = new Stub
+    val cfg = graft.streaming.LiveRelease.Config(
+      java.nio.file.Files.createTempDirectory("graft-svt-close").toString)
+    val led = graft.operators.DpLedger.open(
+      java.nio.file.Files.createTempDirectory("graft-svt-close-led").toString,
+      budget = BigDecimal(1))
+    val mon = new graft.streaming.SvtMonitor(Seq(stub), cfg,
+      threshold = 1000.0, ledger = Some(led), seeded = true)
+    // the spike lands on the OPEN frontier day: silence, by design —
+    // its question is not yet in the schedule
+    graft.streaming.LiveRelease.step(batch(1 -> 1, 3 -> 2000), 0L, cfg)
+    assert(mon.check(spark) === None && stub.sent.isEmpty,
+      "a mid-day spike must not page while its day is still open")
+    assert(led.spent === BigDecimal(1), "the episode is armed and charged once")
+    // day 4's first event closes day 3: the SAME episode (no new
+    // charge) now asks day 3's question of its final count and pages
+    graft.streaming.LiveRelease.step(batch(4 -> 1), 1L, cfg)
+    assert(mon.check(spark).map(_.toLocalDateTime.toLocalDate) === Some(day(3)))
+    assert(stub.sent.size === 1 && led.spent === BigDecimal(1))
+    led.close()
+    // the documented opt-out: completedDaysOnly = false restores the
+    // eager spelling for day-at-once ingest — the frontier day answers
+    // immediately
+    val stub2 = new Stub
+    val cfg2 = graft.streaming.LiveRelease.Config(
+      java.nio.file.Files.createTempDirectory("graft-svt-eager").toString)
+    val mon2 = new graft.streaming.SvtMonitor(Seq(stub2), cfg2,
+      threshold = 1000.0, seeded = true, completedDaysOnly = false)
+    graft.streaming.LiveRelease.step(batch(1 -> 1, 3 -> 2000), 0L, cfg2)
+    assert(mon2.check(spark).map(_.toLocalDateTime.toLocalDate) === Some(day(3)))
+    assert(stub2.sent.size === 1)
   }
 
   test("SvtMonitor state survives a restart: no re-charge for an armed episode, no re-page of an old spike") {
@@ -1412,7 +1466,7 @@ class StreamingSpec extends AnyFunSuite {
     assert(b.episode === 1, "the restarted monitor resumes the armed episode")
     assert(b.check(spark) === None && led.spent === BigDecimal(1),
       "a restart must not re-charge an episode that was already paid for")
-    graft.streaming.LiveRelease.step(batch(3 -> 2000), 1L, cfg)
+    graft.streaming.LiveRelease.step(batch(3 -> 2000, 4 -> 1), 1L, cfg)
     assert(b.check(spark).map(_.toLocalDateTime.toLocalDate) === Some(day(3)))
     assert(sB.sent.size === 1 && led.spent === BigDecimal(1))
     // restart AFTER the alert: instance C must not re-page day 3 — its
@@ -1422,9 +1476,79 @@ class StreamingSpec extends AnyFunSuite {
     assert(c.check(spark) === None && sC.sent.isEmpty,
       "an old spike must never re-page after a restart")
     assert(led.spent === BigDecimal(2), "the re-arm is the normal fresh charge")
-    graft.streaming.LiveRelease.step(batch(5 -> 2000), 2L, cfg)
+    graft.streaming.LiveRelease.step(batch(5 -> 2000, 6 -> 1), 2L, cfg)
     assert(c.check(spark).map(_.toLocalDateTime.toLocalDate) === Some(day(5)))
     assert(sC.sent.size === 1)
+    led.close()
+  }
+
+  test("stability-histogram twins: live cell stores equal batch x54/x55; the ledger meters the (epsilon, delta) pair") {
+    // the r18 verdict #3 directive: the δ-licensed release regime gets
+    // its live twin like every other regime. Cell counts are additive
+    // (x54) and the distinct user-cell set is idempotent-union additive
+    // (x55), so live == batch bit-for-bit; and the r18 verdict #1
+    // arc — δ metered, not documented — applies to the live spelling:
+    // K releases spend (K·ε, K·δ), the K+1th refused by the δ budget.
+    val root = java.nio.file.Files.createTempDirectory("graft-live-hist").toString
+    val cfg = graft.streaming.LiveRelease.Config(root)
+    val d = "/root/testdata/sf0.001"
+    // union a synthetic 70-user hot cell: sf0.001 alone clears x54's τ
+    // (≈ 14) but nothing clears x55's user-level τ (≈ 59), and an
+    // empty == empty pin would prove nothing about the user twin
+    val evAll = {
+      import spark.implicits._
+      val hot = (0 until 70).map(u => (900000L + u,
+        java.sql.Timestamp.valueOf("2024-01-05 00:00:00"),
+        9000L + u, "click", 1.0, "")).toDF(
+        "event_id", "ts", "user_id", "event_type", "value", "props")
+      graft.Tables.events(spark, d).unionByName(hot)
+    }
+    val slices = (0 until 3).map(i => evAll.filter(col("event_id") % 3 === i))
+    slices.zipWithIndex.foreach { case (s, i) =>
+      graft.streaming.LiveRelease.stepCells(s, i.toLong, cfg)
+      graft.streaming.LiveRelease.stepUserCells(s, i.toLong, cfg)
+    }
+    def liveHist() = graft.streaming.LiveRelease
+      .stableHistogram(spark, cfg, seeded = true).collect().toSeq
+    def liveUser() = graft.streaming.LiveRelease
+      .userHistogram(spark, cfg, seeded = true).collect().toSeq
+    val batchHist = graft.operators.Privacy
+      .dpStableHistogramRelease(evAll, seeded = true).collect().toSeq
+    val batchUser = graft.operators.Privacy
+      .dpUserHistogramRelease(evAll, seeded = true).collect().toSeq
+    assert(batchHist.nonEmpty && batchUser.nonEmpty, "fixture must release cells")
+    assert(liveHist() === batchHist,
+      "the live x54 must be bit-identical to batch on the same records")
+    assert(liveUser() === batchUser,
+      "the live x55 must be bit-identical to batch on the same records")
+    // replay idempotence + fold invisibility, both stores
+    graft.streaming.LiveRelease.stepCells(slices(0), 0L, cfg)
+    graft.streaming.LiveRelease.stepUserCells(slices(0), 0L, cfg)
+    assert(liveHist() === batchHist && liveUser() === batchUser,
+      "replayed batch ids are no-ops")
+    graft.streaming.LiveRelease.compactCells(spark, cfg)
+    graft.streaming.LiveRelease.compactUserCells(spark, cfg)
+    assert(liveHist() === batchHist && liveUser() === batchUser,
+      "a fold must be invisible to the releases")
+    // the (ε, δ) pair, metered live: δ budget 2e-6 admits exactly two
+    // δ=1e-6 releases even though the ε budget (10) never binds
+    val led = graft.operators.DpLedger.open(
+      java.nio.file.Files.createTempDirectory("graft-live-hist-led").toString,
+      budget = BigDecimal(10), deltaBudget = BigDecimal("0.000002"))
+    assert(graft.streaming.LiveRelease.stableHistogram(spark, cfg,
+      seeded = true, ledger = Some(led)).collect().toSeq === batchHist)
+    assert(led.spent === BigDecimal(1) && led.spentDelta === BigDecimal("0.000001"))
+    assert(graft.streaming.LiveRelease.userHistogram(spark, cfg,
+      seeded = true, ledger = Some(led)).collect().toSeq === batchUser)
+    assert(led.spent === BigDecimal(2) && led.spentDelta === BigDecimal("0.000002"))
+    val refused = intercept[graft.operators.DpLedger.BudgetRefused] {
+      graft.streaming.LiveRelease.stableHistogram(spark, cfg,
+        seeded = true, ledger = Some(led))
+    }
+    assert(refused.getMessage.contains("delta budget"),
+      s"the refusal must name the binding constraint: ${refused.getMessage}")
+    assert(led.spent === BigDecimal(2) && led.spentDelta === BigDecimal("0.000002"),
+      "a refusal burns neither coordinate")
     led.close()
   }
 
