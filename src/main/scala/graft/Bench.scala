@@ -413,21 +413,22 @@ object Bench {
       // session read 1.006 and was discarded for the calmer re-run)
       ("x55_dp_user_histogram" -> ((0.704, 0.072))) +
       // NEW round 19: x56 subsampled count release (the x40 plan with a
-      // pure-map Bernoulli filter ahead of the one combinable groupBy);
-      // recorded from a 0.063-floor isolated 3-run session
-      ("x56_dp_subsampled" -> ((0.474, 0.063))) +
+      // pure-map Bernoulli filter ahead of the one combinable groupBy,
+      // plus the full-corpus vocabulary distinct); recorded from a
+      // 0.079-floor isolated 3-run session
+      ("x56_dp_subsampled" -> ((1.046, 0.079))) +
       // NEW round 19: x57 unigram-LM train — reads the memoized
       // per-dataset model store; the first call pays training (one
       // corpus tokenize+count, two composition-join Viterbi passes over
       // the word vocabulary), which lands in the same-session x58 or
       // the warmup, exactly like x20's store. Recorded from a
-      // 0.063-floor isolated 3-run session
-      ("x57_unigram_train" -> ((0.149, 0.063))) +
+      // 0.079-floor isolated 3-run session
+      ("x57_unigram_train" -> ((0.422, 0.079))) +
       // NEW round 19: x58 unigram-LM encode — broadcast (word →
       // n_pieces) into the exploded corpus + one combinable per-doc
-      // count (the x21 shape); recorded from a 0.063-floor isolated
+      // count (the x21 shape); recorded from a 0.079-floor isolated
       // 3-run session
-      ("x58_unigram_encode" -> ((0.441, 0.063))) ++
+      ("x58_unigram_encode" -> ((0.576, 0.079))) ++
       // RE-RECORDED round 16 (r15 verdict #5): the 25 r15-era
       // `light_trimmed` keys, from one 0.076-floor isolated 3-run
       // session with SPARK_GRAFT_NO_TRIM=1 (full medians, not the
