@@ -588,18 +588,30 @@ object Privacy {
       .orderBy("event_type", "day")
   }
 
+  /** The public-window membership predicate on a day column — ONE
+    * spelling (r19 review: [[publicDayGrid]]'s r18 rationale applied
+    * to its FILTER twin, which had been hand-copied at nine sites; a
+    * drifted epoch or cast at one of them would silently desynchronize
+    * release windows — and, since the x54/x55 twins, batch releases
+    * from their streaming twins — cell-for-cell).
+    */
+  private def inPublicWindow(day: Column): Column =
+    day >= to_date(lit(ContinualEpoch)).cast("timestamp") &&
+      day < date_add(to_date(lit(ContinualEpoch)), ContinualT).cast("timestamp")
+
+  /** Events with their `day` column, filtered to the public window —
+    * the shared head of every windowed release.
+    */
+  private def windowedDays(events: DataFrame): DataFrame =
+    events.withColumn("day", date_trunc("day", col("ts")))
+      .filter(inPublicWindow(col("day")))
+
   /** The public-window day filter + (event_type, day) grouping every
     * dense-cell release starts from — one combinable corpus exchange.
     */
   private def windowedGroup(events: DataFrame)
-      : org.apache.spark.sql.RelationalGroupedDataset = {
-    val lo = to_date(lit(ContinualEpoch)).cast("timestamp")
-    val hi = date_add(to_date(lit(ContinualEpoch)), ContinualT).cast("timestamp")
-    events
-      .withColumn("day", date_trunc("day", col("ts")))
-      .filter(col("day") >= lo && col("day") < hi)
-      .groupBy("event_type", "day")
-  }
+      : org.apache.spark.sql.RelationalGroupedDataset =
+    windowedDays(events).groupBy("event_type", "day")
 
   /** Dense release cells shared by x40/x42/x43/x49/x50/x52: the PUBLIC
     * 64-day calendar grid × the event-type vocabulary, with the grouped
@@ -630,18 +642,6 @@ object Privacy {
       date_add(to_date(lit(ContinualEpoch)), col("id").cast("int"))
         .cast("timestamp").as("day"))
 
-  /** The LAST day of the public window, derived through the same Spark
-    * spelling as [[publicDayGrid]] — callers comparing it against
-    * Spark-derived timestamps (the SvtMonitor window-exhausted guard)
-    * must share the grid's clock: a driver-side
-    * `Timestamp.valueOf(LocalDate.atStartOfDay)` sits in the JVM
-    * default timezone while Spark timestamps follow
-    * `spark.sql.session.timeZone`, and when the two differ the
-    * comparison misjudges the boundary by the offset (r18 advice).
-    * One 64-row job; callers cache it.
-    */
-  private[graft] def publicWindowLastDay(s: SparkSession): java.sql.Timestamp =
-    publicDayGrid(s).agg(max(col("day"))).collect().head.getTimestamp(0)
 
   private def denseCells(events: DataFrame, grp: DataFrame,
       fills: Seq[(String, Column)], vocabulary: Option[Seq[String]]): DataFrame = {
@@ -744,16 +744,10 @@ object Privacy {
     */
   def dpAboveThresholdRelease(events: DataFrame, threshold: Double = 100.0,
       seeded: Boolean = false, ledger: Option[DpLedger] = None,
-      releaseId: String = "svt"): DataFrame = {
-    val lo = to_date(lit(ContinualEpoch)).cast("timestamp")
-    val hi = date_add(to_date(lit(ContinualEpoch)), ContinualT).cast("timestamp")
+      releaseId: String = "svt"): DataFrame =
     dpAboveThresholdFromDaily(
-      events
-        .withColumn("day", date_trunc("day", col("ts")))
-        .filter(col("day") >= lo && col("day") < hi)
-        .groupBy("day").agg(count(lit(1)).as("cnt")),
+      windowedDays(events).groupBy("day").agg(count(lit(1)).as("cnt")),
       threshold, seeded, ledger, releaseId)
-  }
 
   /** [[dpAboveThresholdRelease]] from PRE-AGGREGATED `(day, cnt)`
     * dailies — the streaming-twin entry ([[graft.streaming.LiveRelease
@@ -791,22 +785,20 @@ object Privacy {
     * of the store (the same trust domain as the counts), and scoping
     * the schedule by it releases nothing — the verdicts that DO ship
     * still ride the public calendar grid. Cost: one extra max over the
-    * day-sized dailies (broadcast 1-row).
+    * day-sized dailies (broadcast 1-row). PRECONDITION the caller owns:
+    * "newest day present" marks earlier days final only under
+    * day-MONOTONE ingest (this repo's archive tail is ledger-ordered,
+    * so the intake provides it); under event-time disorder a late
+    * arrival for a "closed" day re-opens the documented
+    * two-queries-one-draw slack for that day — a deployment with
+    * disorder should gate its checks on its own watermark instead
+    * (scope the store, not this flag).
     */
   private[graft] def aboveThresholdSalted(dailyCounts: DataFrame,
       threshold: Double, salt: String,
       resumeAfter: Option[java.sql.Timestamp],
       completedDaysOnly: Boolean = false): DataFrame = {
-    val s = dailyCounts.sparkSession
-    val grid0 = publicDayGrid(s)
-    val grid1 = resumeAfter.fold(grid0)(ts => grid0.filter(col("day") > lit(ts)))
-    val grid = if (!completedDaysOnly) grid1 else {
-      // an empty store has no closed days: max(day) is null, the
-      // comparison is null, and the schedule is empty — correct
-      val frontier = dailyCounts.agg(max(col("day")).as("_open_day"))
-      grid1.crossJoin(broadcast(frontier))
-        .filter(col("day") < col("_open_day")).drop("_open_day")
-    }
+    val grid = questionSchedule(dailyCounts, resumeAfter, completedDaysOnly)
     val cells = grid.join(dailyCounts, Seq("day"), "left")
       .select(col("day"), coalesce(col("cnt"), lit(0L)).as("cnt"))
     // T̂ drawn ONCE (day-independent seed tag); per-day noise at scale 4
@@ -825,6 +817,44 @@ object Privacy {
       .select(col("day"), col("above"), lit(1.0).as("stream_epsilon"))
       .orderBy("day")
   }
+
+  /** The episode's question schedule — grid days strictly after the
+    * resume boundary, and (under the day-close discipline) strictly
+    * before the newest day present in the store. ONE spelling, shared
+    * by [[aboveThresholdSalted]] and the monitor's arm-time emptiness
+    * probe so the two can never disagree about what is askable.
+    */
+  private def questionSchedule(dailyCounts: DataFrame,
+      resumeAfter: Option[java.sql.Timestamp],
+      completedDaysOnly: Boolean): DataFrame = {
+    val grid0 = publicDayGrid(dailyCounts.sparkSession)
+    val grid1 = resumeAfter.fold(grid0)(ts => grid0.filter(col("day") > lit(ts)))
+    if (!completedDaysOnly) grid1
+    else {
+      // an empty store has no closed days: max(day) is null, the
+      // comparison is null, and the schedule is empty — correct
+      val frontier = dailyCounts.agg(max(col("day")).as("_open_day"))
+      grid1.crossJoin(broadcast(frontier))
+        .filter(col("day") < col("_open_day")).drop("_open_day")
+    }
+  }
+
+  /** True iff an episode armed now would have at least one question to
+    * ask — the monitor's CHARGE GUARD: arming charges real ε, and an
+    * episode whose schedule is currently empty would spend it on
+    * silence (an alert on the grid's last askable day, or a resume
+    * boundary at the day-close frontier). The schedule is structural
+    * (public grid × resume boundary × store frontier), so probing its
+    * emptiness draws no noise and releases nothing. Subsumes the old
+    * static window-end guard: past the grid's last day no schedule can
+    * ever be non-empty — and because the boundary is evaluated through
+    * the grid's own Spark spelling, the session-vs-JVM timezone skew
+    * the static Timestamp guard carried (r18 advice) cannot recur.
+    */
+  private[graft] def hasAskableQuestion(dailyCounts: DataFrame,
+      resumeAfter: Option[java.sql.Timestamp],
+      completedDaysOnly: Boolean): Boolean =
+    !questionSchedule(dailyCounts, resumeAfter, completedDaysOnly).isEmpty
 
   /** x53: the NUMERIC SPARSE extension of x51 — SVT with up to `c`
     * alerts for one total ε (Dwork–Roth Alg. 2, "Sparse"): run
@@ -863,16 +893,10 @@ object Privacy {
     */
   def dpSparseRelease(events: DataFrame, threshold: Double = 100.0,
       c: Int = 2, seeded: Boolean = false, ledger: Option[DpLedger] = None,
-      releaseId: String = "sparse"): DataFrame = {
-    val lo = to_date(lit(ContinualEpoch)).cast("timestamp")
-    val hi = date_add(to_date(lit(ContinualEpoch)), ContinualT).cast("timestamp")
+      releaseId: String = "sparse"): DataFrame =
     dpSparseFromDaily(
-      events
-        .withColumn("day", date_trunc("day", col("ts")))
-        .filter(col("day") >= lo && col("day") < hi)
-        .groupBy("day").agg(count(lit(1)).as("cnt")),
+      windowedDays(events).groupBy("day").agg(count(lit(1)).as("cnt")),
       threshold, c, seeded, ledger, releaseId)
-  }
 
   /** [[dpSparseRelease]] from pre-aggregated `(day, cnt)` dailies — the
     * streaming-twin entry ([[graft.streaming.LiveRelease.sparse]]);
@@ -989,12 +1013,9 @@ object Privacy {
     */
   def dpStableHistogramFromCells(cells: DataFrame, seeded: Boolean = false,
       delta: Double = 1e-6, ledger: Option[DpLedger] = None,
-      releaseId: String = "stable_hist"): DataFrame = {
-    val lo = to_date(lit(ContinualEpoch)).cast("timestamp")
-    val hi = date_add(to_date(lit(ContinualEpoch)), ContinualT).cast("timestamp")
-    stableHistogramCore(cells.filter(col("day") >= lo && col("day") < hi),
+      releaseId: String = "stable_hist"): DataFrame =
+    stableHistogramCore(cells.filter(inPublicWindow(col("day"))),
       seeded, delta, ledger, releaseId)
-  }
 
   private def stableHistogramCore(grp: DataFrame, seeded: Boolean,
       delta: Double, ledger: Option[DpLedger], releaseId: String): DataFrame = {
@@ -1052,15 +1073,10 @@ object Privacy {
   def dpUserHistogramRelease(events: DataFrame, seeded: Boolean = false,
       capCells: Int = 4, delta: Double = 1e-6,
       ledger: Option[DpLedger] = None,
-      releaseId: String = "user_hist"): DataFrame = {
-    val lo = to_date(lit(ContinualEpoch)).cast("timestamp")
-    val hi = date_add(to_date(lit(ContinualEpoch)), ContinualT).cast("timestamp")
-    userHistogramCore(events
-        .withColumn("day", date_trunc("day", col("ts")))
-        .filter(col("day") >= lo && col("day") < hi)
-        .select("user_id", "event_type", "day").distinct(),
+      releaseId: String = "user_hist"): DataFrame =
+    userHistogramCore(
+      windowedDays(events).select("user_id", "event_type", "day").distinct(),
       seeded, capCells, delta, ledger, releaseId)
-  }
 
   /** [[dpUserHistogramRelease]] from a pre-built DISTINCT
     * `(user_id, event_type, day)` user-cell set — the streaming-twin
@@ -1074,14 +1090,11 @@ object Privacy {
   def dpUserHistogramFromUserCells(userCells: DataFrame,
       seeded: Boolean = false, capCells: Int = 4, delta: Double = 1e-6,
       ledger: Option[DpLedger] = None,
-      releaseId: String = "user_hist"): DataFrame = {
-    val lo = to_date(lit(ContinualEpoch)).cast("timestamp")
-    val hi = date_add(to_date(lit(ContinualEpoch)), ContinualT).cast("timestamp")
+      releaseId: String = "user_hist"): DataFrame =
     userHistogramCore(
-      userCells.filter(col("day") >= lo && col("day") < hi)
+      userCells.filter(inPublicWindow(col("day")))
         .select("user_id", "event_type", "day").distinct(),
       seeded, capCells, delta, ledger, releaseId)
-  }
 
   private def userHistogramCore(userCells: DataFrame, seeded: Boolean,
       capCells: Int, delta: Double, ledger: Option[DpLedger],
@@ -1232,12 +1245,8 @@ object Privacy {
     ledger.foreach(_.charge(releaseId, "laplace_user_count", BigDecimal(1)))
     val b = capCells / 1.0 // Laplace scale = user-level sensitivity / epsilon
     val salt = releaseSalt(seeded)
-    val lo = to_date(lit(ContinualEpoch)).cast("timestamp")
-    val hi = date_add(to_date(lit(ContinualEpoch)), ContinualT).cast("timestamp")
-    val userCells = events
-      .withColumn("day", date_trunc("day", col("ts")))
-      .filter(col("day") >= lo && col("day") < hi)
-      .select("user_id", "event_type", "day").distinct()
+    val userCells =
+      windowedDays(events).select("user_id", "event_type", "day").distinct()
     val w = Window.partitionBy("user_id").orderBy("day", "event_type")
     val kept = userCells.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= capCells)
@@ -1306,11 +1315,7 @@ object Privacy {
     val bCnt = capCells / 0.5
     val salt = releaseSalt(seeded)
     val dec = org.apache.spark.sql.types.DecimalType(28, 9)
-    val lo = to_date(lit(ContinualEpoch)).cast("timestamp")
-    val hi = date_add(to_date(lit(ContinualEpoch)), ContinualT).cast("timestamp")
-    val perCell = events
-      .withColumn("day", date_trunc("day", col("ts")))
-      .filter(col("day") >= lo && col("day") < hi)
+    val perCell = windowedDays(events)
       .groupBy("user_id", "event_type", "day")
       .agg(sum(round(col("value"), 9).cast(dec)).as("contrib"))
       .withColumn("cl",
@@ -1725,11 +1730,7 @@ object Privacy {
     val clampC = 50.0
     val salt = releaseSalt(seeded)
     val dec = org.apache.spark.sql.types.DecimalType(28, 9)
-    val lo = to_date(lit(ContinualEpoch)).cast("timestamp")
-    val hi = date_add(to_date(lit(ContinualEpoch)), ContinualT).cast("timestamp")
-    val perUser = events
-      .withColumn("day", date_trunc("day", col("ts")))
-      .filter(col("day") >= lo && col("day") < hi)
+    val perUser = windowedDays(events)
       .groupBy("event_type", "day", "user_id")
       .agg(sum(round(col("value"), 9).cast(dec)).as("contrib"))
     val clamped = perUser.withColumn("cl",

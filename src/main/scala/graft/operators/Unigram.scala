@@ -179,6 +179,57 @@ object Unigram {
     best.select(explode(split(col("seg"), " ")).as("piece"), col("wc"))
       .groupBy("piece").agg(sum(col("wc")).as("refit_n"))
 
+  // The training chain exists in ONE spelling each (r19 review: the
+  // gate path — the memoized store — and the toy/spec path initially
+  // re-spelled seed→Viterbi→refit→model three times; a fix applied to
+  // one copy would silently desynchronize the path the specs pin from
+  // the path the gates run).
+
+  /** Seed → Viterbi pass 1 → recount: the refit table every entry
+    * point builds from.
+    */
+  private def refitOf(wv: DataFrame): DataFrame =
+    refitCounts(viterbi(wv, seedPieces(wv)))
+
+  private def totOf(refit: DataFrame): DataFrame =
+    refit.agg(sum(col("refit_n")).as("tot"))
+
+  /** x57's output shape: each refit piece with its count and its
+    * refit log-prob (a pure map of two BIGINTs — the plain-double
+    * difference is deterministic, no decimal needed for OUTPUT).
+    */
+  private def modelFrame(refit: DataFrame, tot: DataFrame): DataFrame =
+    refit.crossJoin(broadcast(tot))
+      .select(col("piece"), col("refit_n"),
+        (round(log(col("refit_n").cast("double")), 9) -
+          round(log(col("tot").cast("double")), 9)).as("logp"))
+      .orderBy(col("refit_n").desc, col("piece"))
+
+  /** The (word, n_pieces) encode table: Viterbi pass 2 under the
+    * refit scores (DECIMAL — these are summed along paths), with the
+    * character-count fallback for words the table cannot cover.
+    */
+  private def encFrame(wv: DataFrame, refit: DataFrame,
+      tot: DataFrame): DataFrame = {
+    val scored = refit.crossJoin(broadcast(tot))
+      .select(col("piece"), logpDec(col("refit_n"), col("tot")).as("logp"))
+    wv.join(viterbi(wv, scored).select(col("word"),
+        size(split(col("seg"), " ")).cast("long").as("np")), Seq("word"), "left")
+      .select(col("word"),
+        coalesce(col("np"), length(col("word")).cast("long")).as("n_pieces"))
+  }
+
+  /** The corpus-shaped half of encoding alone: broadcast the encode
+    * table into the exploded word stream, one combinable per-doc
+    * count (the x21 shape).
+    */
+  private def encodeWith(docs: DataFrame, enc: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .join(broadcast(enc), "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum(col("n_pieces")).as("n_unigram_tokens"))
+      .orderBy("doc_id")
+
   /** The trained model (x57's frame: piece, refit_n, logp) for an
     * arbitrary `(doc_id, text)` frame — the non-memoized spelling toy
     * corpora and specs drive; the gate queries route through the
@@ -186,14 +237,8 @@ object Unigram {
     * vocabulary across its internal references.
     */
   def train(docs: DataFrame): DataFrame = {
-    val wv = wordVocab(docs)
-    val refit = refitCounts(viterbi(wv, seedPieces(wv)))
-    val tot = refit.agg(sum(col("refit_n")).as("tot"))
-    refit.crossJoin(broadcast(tot))
-      .select(col("piece"), col("refit_n"),
-        (round(log(col("refit_n").cast("double")), 9) -
-          round(log(col("tot").cast("double")), 9)).as("logp"))
-      .orderBy(col("refit_n").desc, col("piece"))
+    val refit = refitOf(wordVocab(docs))
+    modelFrame(refit, totOf(refit))
   }
 
   /** Per-doc encode accounting (x58's frame) for an arbitrary frame —
@@ -201,19 +246,8 @@ object Unigram {
     */
   def encode(docs: DataFrame): DataFrame = {
     val wv = wordVocab(docs)
-    val refit = refitCounts(viterbi(wv, seedPieces(wv)))
-    val tot = refit.agg(sum(col("refit_n")).as("tot"))
-    val model = refit.crossJoin(broadcast(tot))
-      .select(col("piece"), logpDec(col("refit_n"), col("tot")).as("logp"))
-    val enc = wv.join(viterbi(wv, model).select(col("word"),
-        size(split(col("seg"), " ")).cast("long").as("np")), Seq("word"), "left")
-      .select(col("word"),
-        coalesce(col("np"), length(col("word")).cast("long")).as("n_pieces"))
-    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-      .join(broadcast(enc), "word")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_words"), sum(col("n_pieces")).as("n_unigram_tokens"))
-      .orderBy("doc_id")
+    val refit = refitOf(wv)
+    encodeWith(docs, encFrame(wv, refit, totOf(refit)))
   }
 
   /** Trained-model store, materialized once per (JVM, dataset) on the
@@ -236,22 +270,15 @@ object Unigram {
           // the seed vocabulary is read by the substring explode, two
           // Viterbi passes, and the encode fallback join — persist the
           // one corpus-shaped lineage for the duration of training
-          // (vocab-sized, the Bpe seed-cache argument)
+          // (vocab-sized, the Bpe seed-cache argument); the refit
+          // table likewise (referenced by its total, the model store,
+          // and the pass-2 piece side)
           val wv = wordVocab(Tables.documents(s, d)).persist()
-          val best1 = viterbi(wv, seedPieces(wv))
-          val refit = refitCounts(best1).persist()
-          val tot = refit.agg(sum(col("refit_n")).as("tot"))
+          val refit = refitOf(wv).persist()
           val modelOut = Stores.dir(s, d, "unigram-model")
           refit.write.mode("overwrite").parquet(modelOut)
-          val model = refit.crossJoin(broadcast(tot))
-            .select(col("piece"), logpDec(col("refit_n"), col("tot")).as("logp"))
-          val best2 = viterbi(wv, model)
           val encOut = Stores.dir(s, d, "unigram-enc")
-          wv.join(best2.select(col("word"),
-              size(split(col("seg"), " ")).cast("long").as("np")),
-              Seq("word"), "left")
-            .select(col("word"),
-              coalesce(col("np"), length(col("word")).cast("long")).as("n_pieces"))
+          encFrame(wv, refit, totOf(refit))
             .write.mode("overwrite").parquet(encOut)
           refit.unpersist(false)
           wv.unpersist(false)
@@ -279,26 +306,14 @@ object Unigram {
     // log-prob (ln-rounded-to-9 in both engines).
     "x57_unigram_train" -> { (s, d) =>
       val refit = ensureTrained(s, d)._1
-      val tot = refit.agg(sum(col("refit_n")).as("tot"))
-      refit.crossJoin(broadcast(tot))
-        .select(col("piece"), col("refit_n"),
-          (round(log(col("refit_n").cast("double")), 9) -
-            round(log(col("tot").cast("double")), 9)).as("logp"))
-        .orderBy(col("refit_n").desc, col("piece"))
+      modelFrame(refit, totOf(refit))
     },
     // x58: per-doc token accounting under the refit model — words
     // before, unigram pieces after (the x21 compression-accounting
     // shape; the corpus-side work is one broadcast join + one
     // combinable count).
-    "x58_unigram_encode" -> { (s, d) =>
-      val enc = ensureTrained(s, d)._2
-      Tables.documents(s, d)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-        .join(broadcast(enc), "word")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_words"), sum(col("n_pieces")).as("n_unigram_tokens"))
-        .orderBy("doc_id")
-    }
+    "x58_unigram_encode" -> ((s, d) =>
+      encodeWith(Tables.documents(s, d), ensureTrained(s, d)._2))
   )
 
   // ---- oracle SQL ------------------------------------------------------

@@ -126,6 +126,18 @@ object LiveRelease {
     Privacy.aboveThresholdSalted(dailyCounts(s, cfg, asOf),
       threshold, salt, resumeAfter, completedDaysOnly)
 
+  /** [[graft.operators.Privacy.hasAskableQuestion]] over the live
+    * store — the monitor's arm-time charge guard (arming charges ε;
+    * an episode with a currently empty question schedule would spend
+    * it on silence).
+    */
+  private[graft] def canArmEpisode(s: SparkSession, cfg: Config,
+      resumeAfter: Option[java.sql.Timestamp],
+      asOf: Long = Long.MaxValue,
+      completedDaysOnly: Boolean = false): Boolean =
+    Privacy.hasAskableQuestion(dailyCounts(s, cfg, asOf),
+      resumeAfter, completedDaysOnly)
+
   /** The numeric-sparse twin (x53): up to `c` alerts for one ε from
     * the live store's totals — the fixed-alert-budget alternative to
     * [[graft.streaming.SvtMonitor]]'s pay-per-episode re-arm
@@ -151,14 +163,21 @@ object LiveRelease {
     events.select(concat(to_date(col("ts")).cast("string"), lit("|"),
       col("event_type")).as("key"))
 
-  /** One `(key = ISO-day|user_id|event_type)` observation per event.
-    * user_id is rendered with Spark's long→string cast (events carry
-    * numeric user ids — graft.Tables.events — so the middle field is
-    * separator-free by construction).
+  /** One `(key = ISO-day|<ulen>|<user><event_type>)` observation per
+    * event. The user id is LENGTH-PREFIXED rather than delimited
+    * (r19 review): a delimiter-split spelling silently mis-parses any
+    * deployment whose user ids are non-numeric or contain the
+    * delimiter — merging distinct users before the per-user cap, which
+    * voids the x55 user-level sensitivity claim without an error. The
+    * decimal length can contain no `|`, so `<ulen>` bounds the user
+    * field exactly and BOTH remaining fields may contain anything.
+    * (Null user ids null the whole key — pre-filter them; the batch
+    * spelling's contract is the same.)
     */
   private def prepUserCells(events: DataFrame): DataFrame =
     events.select(concat(to_date(col("ts")).cast("string"), lit("|"),
-      col("user_id").cast("string"), lit("|"), col("event_type")).as("key"))
+      length(col("user_id").cast("string")).cast("string"), lit("|"),
+      col("user_id").cast("string"), col("event_type")).as("key"))
 
   /** Continuous cell-count intake for [[stableHistogram]]. */
   def startCells(events: DataFrame, cfg: Config): StreamingQuery =
@@ -218,10 +237,18 @@ object LiveRelease {
       ledger: Option[DpLedger] = None, releaseId: String = "user_hist",
       asOf: Long = Long.MaxValue): DataFrame =
     Privacy.dpUserHistogramFromUserCells(
+      // invert prepUserCells' length-prefix encoding. user_id stays a
+      // STRING here (the mechanism uses it only as a grouping key —
+      // the cap orders by (day, event_type) — so the release is
+      // identical to the batch spelling over typed ids)
       LiveCounts.totals(s, userCellCfg(cfg), asOf)
         .select(to_timestamp(substring(col("key"), 1, 10)).as("day"),
-          split(expr("substring(key, 12)"), "\\|", 2).as("_rest"))
-        .select(col("day"), element_at(col("_rest"), 1).cast("long").as("user_id"),
-          element_at(col("_rest"), 2).as("event_type")),
+          expr("substring(key, 12)").as("_rest"))
+        .withColumn("_ulen", split(col("_rest"), "\\|", 2).getItem(0))
+        .select(col("day"),
+          expr("substring(_rest, length(_ulen) + 2, cast(_ulen as int))")
+            .as("user_id"),
+          expr("substring(_rest, length(_ulen) + 2 + cast(_ulen as int))")
+            .as("event_type")),
       seeded, capCells, delta, ledger, releaseId)
 }

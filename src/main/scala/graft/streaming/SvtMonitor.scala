@@ -27,7 +27,12 @@ import scala.util.control.NonFatal
   *    (a RELEASED public value), the monitor re-arms a NEW ε-charged
   *    episode whose question schedule is the days strictly after d —
   *    post-processing of released values, zero extra budget for the
-  *    scoping itself. A deployment that knows its alert count up
+  *    scoping itself. The re-arm (and its charge) is DEFERRED while
+  *    that schedule is empty — an alert on the grid's last askable
+  *    day, or a resume boundary sitting at the day-close frontier —
+  *    because arm = charge and an episode with nothing to ask would
+  *    spend ε on silence (r19 review; the emptiness probe is
+  *    structural — grid × boundary × frontier — and draws no noise). A deployment that knows its alert count up
   *    front can pay once instead via the numeric-sparse release
   *    ([[LiveRelease.sparse]], x53) — ε total with c-scaled noise
   *    versus this monitor's ε per episode with unit-scale noise; the
@@ -95,9 +100,6 @@ final class SvtMonitor(transports: Seq[AlertTransport],
   private var armedSalt: Option[String] = None
   private var resumeAfter: Option[java.sql.Timestamp] = None
   @volatile private var exhausted = false
-  // the grid's last day in the SESSION clock, resolved lazily at the
-  // first check (construction has no SparkSession) and cached
-  private var windowEnd: java.sql.Timestamp = null
 
   private val stateFile = {
     val dir = new java.io.File(cfg.root, "svt-monitor")
@@ -145,18 +147,30 @@ final class SvtMonitor(transports: Seq[AlertTransport],
   def check(s: SparkSession, asOf: Long = Long.MaxValue): Option[java.sql.Timestamp] =
     synchronized {
       if (exhausted) return None
-      // window exhausted: an alert on the LAST grid day leaves a new
-      // episode nothing to ask — arming it would charge real ε for an
-      // empty question schedule. The next 64-day window is a fresh
-      // monitor (the x47/x48 rollover contract). The boundary is
-      // derived through the grid's own Spark spelling (r18 advice:
-      // a JVM-default-timezone Timestamp.valueOf beside the
-      // session-timezone resumeAfter misjudges the guard when the two
-      // clocks differ), computed once per monitor.
-      if (windowEnd == null) windowEnd = Privacy.publicWindowLastDay(s)
-      if (armedSalt.isEmpty && resumeAfter.exists(!_.before(windowEnd)))
-        return None
       if (armedSalt.isEmpty) {
+        // arm = charge, so the question schedule must be NON-EMPTY
+        // first: an episode with nothing to ask would spend real ε on
+        // silence. Empty schedules are structural, not transient —
+        // an alert on the grid's last day (the x47/x48 rollover
+        // boundary: the next window is a fresh monitor), or a resume
+        // boundary sitting at the day-close frontier (the schedule
+        // fills as later days close; arming then is free to defer).
+        // The probe is public-grid × boundary × store-frontier shape —
+        // no noise drawn, nothing released — and because it evaluates
+        // through the grid's own Spark spelling, the session-vs-JVM
+        // timezone skew the old static Timestamp guard carried (r18
+        // advice) cannot recur. A transient probe failure skips this
+        // check like any read failure (the AdmissionMonitor contract).
+        val armable =
+          try LiveRelease.canArmEpisode(s, cfg, resumeAfter, asOf, completedDaysOnly)
+          catch {
+            case _: InterruptedException =>
+              Thread.currentThread().interrupt(); return None
+            case NonFatal(e) =>
+              System.err.println(s"[svt-monitor] check failed: ${e.getMessage}")
+              return None
+          }
+        if (!armable) return None
         // arm = charge: one ε covers every check of this episode.
         // BudgetRefused latches exhaustion; no frame ever existed. A
         // caller-bug exception (currency mismatch, closed ledger)

@@ -1362,20 +1362,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(stub.sent.size === 1 && stub.sent.head.contains("1000"),
       s"one page, naming the threshold: ${stub.sent}")
     assert(led.spent === BigDecimal(1), "the page itself charges nothing new")
-    // next check re-arms (fresh epsilon) and resumes AFTER day 3:
-    // nothing above, silence
+    // next check: the re-arm is DEFERRED — resuming after day 3 with
+    // the frontier at day 4 leaves nothing askable yet, and an empty
+    // schedule must not charge (arm = charge)
     assert(mon.check(spark) === None && stub.sent.size === 1)
-    assert(led.spent === BigDecimal(2), "re-arm is a new epsilon-charged stream")
-    // a second spike inside the re-armed episode: second page, still no
-    // new charge
+    assert(led.spent === BigDecimal(1),
+      "an empty re-arm schedule defers the charge, not just the page")
+    // a second spike (day 6 closes day 5): the next check arms the new
+    // episode (fresh epsilon) and pages
     graft.streaming.LiveRelease.step(batch(5 -> 2000, 6 -> 1), 2L, cfg)
     assert(mon.check(spark).map(_.toLocalDateTime.toLocalDate) === Some(day(5)))
-    assert(stub.sent.size === 2 && led.spent === BigDecimal(2))
-    // budget gone: the third arm is refused BEFORE any frame exists —
-    // the monitor latches dark and a later spike pages nothing
+    assert(stub.sent.size === 2 && led.spent === BigDecimal(2),
+      "re-arm is a new epsilon-charged stream")
+    // empty schedule again after the alert: silent AND uncharged —
+    // deferral is not exhaustion
+    assert(mon.check(spark) === None && !mon.budgetExhausted)
+    assert(led.spent === BigDecimal(2))
+    // budget gone: once days become askable again, the third arm is
+    // refused BEFORE any frame exists — the monitor latches dark and a
+    // later spike pages nothing
+    graft.streaming.LiveRelease.step(batch(7 -> 2000, 8 -> 1), 3L, cfg)
     assert(mon.check(spark) === None)
     assert(mon.budgetExhausted, "a refused arm must latch the monitor dark")
-    graft.streaming.LiveRelease.step(batch(7 -> 2000, 8 -> 1), 3L, cfg)
     assert(mon.check(spark) === None && stub.sent.size === 2)
     assert(led.spent === BigDecimal(2), "an exhausted monitor never charges again")
     led.close()
@@ -1406,6 +1414,9 @@ class StreamingSpec extends AnyFunSuite {
       budget = BigDecimal(1))
     val mon = new graft.streaming.SvtMonitor(Seq(stub), cfg,
       threshold = 1000.0, ledger = Some(led), seeded = true)
+    // an empty store has no closed days: nothing askable, and the arm
+    // (= the charge) is deferred, not wasted on a silent episode
+    assert(mon.check(spark) === None && led.spent === BigDecimal(0))
     // the spike lands on the OPEN frontier day: silence, by design —
     // its question is not yet in the schedule
     graft.streaming.LiveRelease.step(batch(1 -> 1, 3 -> 2000), 0L, cfg)
@@ -1475,9 +1486,11 @@ class StreamingSpec extends AnyFunSuite {
     val c = mon(sC)
     assert(c.check(spark) === None && sC.sent.isEmpty,
       "an old spike must never re-page after a restart")
-    assert(led.spent === BigDecimal(2), "the re-arm is the normal fresh charge")
+    assert(led.spent === BigDecimal(1),
+      "the re-arm defers its charge while the post-alert schedule is empty")
     graft.streaming.LiveRelease.step(batch(5 -> 2000, 6 -> 1), 2L, cfg)
     assert(c.check(spark).map(_.toLocalDateTime.toLocalDate) === Some(day(5)))
+    assert(led.spent === BigDecimal(2), "the re-arm is the normal fresh charge")
     assert(sC.sent.size === 1)
     led.close()
   }
