@@ -352,6 +352,72 @@ class ScaleSpec extends AnyFunSuite {
       s"x55 must carry no grid join — the unknown domain is the point:\n$exec")
   }
 
+  test("x56 subsampled release: the Bernoulli filter is map-side, x40's exchange count holds") {
+    val d = "/root/testdata/sf0.001"
+    val df = SparkEntry.queries("x56_dp_subsampled")(spark, d)
+    val exec = df.queryExecution.executedPlan.toString
+    // the subsample must not add plan machinery: the md5 keep-filter is
+    // a pure map ahead of the one combinable (event_type, day) groupBy,
+    // so the only shuffles are the agg, the full-corpus vocabulary
+    // distinct (absent under a public `vocabulary` — the production
+    // spelling), and the presentation sort — x50's budget exactly
+    assert(!exec.contains("CartesianProduct"),
+      s"x56 public-grid joins must broadcast, never product:\n$exec")
+    val shuffles = "Exchange (hash|range|Single)".r.findAllIn(
+      exec.split("== Initial Plan ==").head).length
+    assert(shuffles <= 3,
+      s"x56 must shuffle only for agg + vocab distinct + sort, saw $shuffles:\n$exec")
+    // and no Scala UDF anywhere — the Bernoulli is codegen'd md5/conv
+    assert(!exec.contains("BatchEvalPython") && !exec.contains("ScalaUDF"),
+      s"the keep filter must stay native:\n$exec")
+  }
+
+  test("x57/x58 serve from the materialized unigram store: no training in the gate plans") {
+    val d = "/root/testdata/sf0.001"
+    graft.operators.Unigram.ensureTrained(spark, d) // train once, off the timed path
+    // x57 reads the refit store and maps log-probs over it — no
+    // substring explode, no composition join, no Viterbi window
+    val p57 = SparkEntry.queries("x57_unigram_train")(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(p57.contains("unigram-model"),
+      s"x57 must read the materialized model store:\n$p57")
+    assert(!p57.contains("Generate") && !p57.contains("windowspecdefinition"),
+      s"x57 must not re-run training machinery:\n$p57")
+    // x58's corpus-shaped work is ONE broadcast join + one combinable
+    // per-doc count over the exploded stream (the x21 shape)
+    val p58 = SparkEntry.queries("x58_unigram_encode")(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(p58.contains("unigram-enc") && p58.contains("BroadcastHashJoin"),
+      s"x58 must broadcast the materialized encode table:\n$p58")
+    assert(!p58.contains("SortMergeJoin") && !p58.contains("windowspecdefinition"),
+      s"x58's encode must stay broadcast + combinable count:\n$p58")
+  }
+
+  test("stability-twin releases read key-sized store partials, never a corpus-shaped side") {
+    import spark.implicits._
+    // the x54/x55 twins' release-time cost contract: one re-aggregation
+    // over (key, n) partials — cell-count-sized state — plus the
+    // map-only noise/threshold tail; no window for x54, a user-keyed
+    // cap window only for x55, no cartesian anywhere
+    val root = java.nio.file.Files.createTempDirectory("graft-twin-plan").toString
+    val cfg = graft.streaming.LiveRelease.Config(root)
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    graft.streaming.LiveRelease.stepCells(ev, 0L, cfg)
+    graft.streaming.LiveRelease.stepUserCells(ev, 0L, cfg)
+    val p54 = graft.streaming.LiveRelease.stableHistogram(spark, cfg, seeded = true)
+      .queryExecution.executedPlan.toString
+    assert(!p54.contains("CartesianProduct") &&
+      !p54.contains("windowspecdefinition"),
+      s"the x54 twin is agg + pure-map tail over the cell store:\n$p54")
+    val q55 = graft.streaming.LiveRelease.userHistogram(spark, cfg, seeded = true)
+    val o55 = q55.queryExecution.optimizedPlan.toString
+    val wins = "windowspecdefinition\\(".r.findAllIn(o55).length
+    val userWins = "windowspecdefinition\\(user_id#\\d+".r.findAllIn(o55).length
+    assert(wins > 0 && wins === userWins,
+      s"the x55 twin's only window is the user-keyed cap (got $userWins/$wins):\n$o55")
+    assert(!q55.queryExecution.executedPlan.toString.contains("CartesianProduct"))
+  }
+
   test("x53 sparse SVT: one corpus day-agg, episode frames stay public-window-sized broadcasts") {
     val d = "/root/testdata/sf0.001"
     val df = SparkEntry.queries("x53_dp_sparse")(spark, d)
