@@ -428,7 +428,11 @@ object Bench {
       // n_pieces) into the exploded corpus + one combinable per-doc
       // count (the x21 shape); recorded from a 0.079-floor isolated
       // 3-run session
-      ("x58_unigram_encode" -> ((0.576, 0.079))) ++
+      ("x58_unigram_encode" -> ((0.576, 0.079))) +
+      // NEW round 19: x59 unigram prune — reads the pruned-model store
+      // (the third table the training memo writes); same serve shape as
+      // x57. Recorded from a 0.078-floor isolated 3-run session
+      ("x59_unigram_prune" -> ((0.802, 0.078))) ++
       // RE-RECORDED round 16 (r15 verdict #5): the 25 r15-era
       // `light_trimmed` keys, from one 0.076-floor isolated 3-run
       // session with SPARK_GRAFT_NO_TRIM=1 (full medians, not the

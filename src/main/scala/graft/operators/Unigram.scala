@@ -81,6 +81,13 @@ object Unigram {
     */
   val MinCount = 2
 
+  /** Vocabulary cap for the PRUNE round (x59): the multi-char pieces
+    * kept, by refit count (public config; SentencePiece's vocab_size
+    * analogue — its EM loop alternates refit with exactly this
+    * drop-the-least-useful-pieces step until the target size).
+    */
+  val PruneKeep = 16
+
   /** All ordered compositions of 1..MaxWordLen into parts of
     * 1..MaxPieceLen, flattened to one row per part:
     * (clen, comp_id, part_idx, start, plen, n_parts). Deterministic
@@ -230,6 +237,24 @@ object Unigram {
       .agg(count(lit(1)).as("n_words"), sum(col("n_pieces")).as("n_unigram_tokens"))
       .orderBy("doc_id")
 
+  /** The PRUNE round's surviving pieces with renormalized scores
+    * (x59): single characters always survive (the coverage guarantee —
+    * every word keeps a segmentation), multi-char pieces keep the top
+    * [[PruneKeep]] by (refit count desc, piece). The rank window is
+    * MODEL-sized (the refit table, never the corpus) — the x44
+    * candidate-frame license; a deployment pruning a multi-million-
+    * piece vocabulary would shard it by length like o6's rank.
+    */
+  private def pruneOf(refit: DataFrame): DataFrame = {
+    val multi = refit.filter(length(col("piece")) >= 2)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("refit_n").desc, col("piece"))))
+      .filter(col("rk") <= PruneKeep).drop("rk")
+    val kept = refit.filter(length(col("piece")) === 1).unionByName(multi)
+    kept.crossJoin(broadcast(totOf(kept)))
+      .select(col("piece"), logpDec(col("refit_n"), col("tot")).as("logp"))
+  }
+
   /** The trained model (x57's frame: piece, refit_n, logp) for an
     * arbitrary `(doc_id, text)` frame — the non-memoized spelling toy
     * corpora and specs drive; the gate queries route through the
@@ -239,6 +264,20 @@ object Unigram {
   def train(docs: DataFrame): DataFrame = {
     val refit = refitOf(wordVocab(docs))
     modelFrame(refit, totOf(refit))
+  }
+
+  /** The model after one PRUNE round (x59's frame): prune the refit
+    * vocabulary to [[PruneKeep]] multi-char pieces + all chars,
+    * re-Viterbi every word under the renormalized survivor scores,
+    * re-count — the second half of the SentencePiece EM loop (refit is
+    * the E/M alternation, prune is the vocabulary-shrink step between
+    * rounds). Pieces the re-segmentation abandons drop out of the
+    * model; pieces that absorb their mass grow.
+    */
+  def prune(docs: DataFrame): DataFrame = {
+    val wv = wordVocab(docs)
+    val refit2 = refitCounts(viterbi(wv, pruneOf(refitOf(wv))))
+    modelFrame(refit2, totOf(refit2))
   }
 
   /** Per-doc encode accounting (x58's frame) for an arbitrary frame —
@@ -261,18 +300,18 @@ object Unigram {
     * synchronization, result-only retention, losers discarded unrun.
     */
   private final class TrainedHolder {
-    @volatile private var result: (String, String) = _
-    def value(s: SparkSession, d: String): (String, String) = {
+    @volatile private var result: (String, String, String) = _
+    def value(s: SparkSession, d: String): (String, String, String) = {
       val r0 = result
       if (r0 != null) r0
       else synchronized {
         if (result == null) {
-          // the seed vocabulary is read by the substring explode, two
+          // the seed vocabulary is read by the substring explode, three
           // Viterbi passes, and the encode fallback join — persist the
           // one corpus-shaped lineage for the duration of training
           // (vocab-sized, the Bpe seed-cache argument); the refit
           // table likewise (referenced by its total, the model store,
-          // and the pass-2 piece side)
+          // the pass-2 piece side, and the prune rank)
           val wv = wordVocab(Tables.documents(s, d)).persist()
           val refit = refitOf(wv).persist()
           val modelOut = Stores.dir(s, d, "unigram-model")
@@ -280,9 +319,12 @@ object Unigram {
           val encOut = Stores.dir(s, d, "unigram-enc")
           encFrame(wv, refit, totOf(refit))
             .write.mode("overwrite").parquet(encOut)
+          val prunedOut = Stores.dir(s, d, "unigram-pruned")
+          refitCounts(viterbi(wv, pruneOf(refit)))
+            .write.mode("overwrite").parquet(prunedOut)
           refit.unpersist(false)
           wv.unpersist(false)
-          result = (modelOut, encOut)
+          result = (modelOut, encOut, prunedOut)
         }
         result
       }
@@ -292,12 +334,12 @@ object Unigram {
   private val trainedCache = scala.collection.concurrent.TrieMap
     .empty[String, TrainedHolder]
 
-  /** (model, enc) frames from the per-dataset store — paths memoized,
-    * never DataFrames (the Bpe session-rebind rationale).
+  /** (model, enc, pruned) frames from the per-dataset store — paths
+    * memoized, never DataFrames (the Bpe session-rebind rationale).
     */
-  def ensureTrained(s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    val (m, e) = trainedCache.getOrElseUpdate(d, new TrainedHolder).value(s, d)
-    (s.read.parquet(m), s.read.parquet(e))
+  def ensureTrained(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
+    val (m, e, p) = trainedCache.getOrElseUpdate(d, new TrainedHolder).value(s, d)
+    (s.read.parquet(m), s.read.parquet(e), s.read.parquet(p))
   }
 
   def queries: Map[String, Q] = Map(
@@ -313,7 +355,14 @@ object Unigram {
     // shape; the corpus-side work is one broadcast join + one
     // combinable count).
     "x58_unigram_encode" -> ((s, d) =>
-      encodeWith(Tables.documents(s, d), ensureTrained(s, d)._2))
+      encodeWith(Tables.documents(s, d), ensureTrained(s, d)._2)),
+    // x59: the model after one PRUNE round — survivors of the
+    // vocabulary cap re-fit under a fresh Viterbi pass; the
+    // vocabulary-shrink step that makes unigram training a LOOP.
+    "x59_unigram_prune" -> { (s, d) =>
+      val pruned = ensureTrained(s, d)._3
+      modelFrame(pruned, totOf(pruned))
+    }
   )
 
   // ---- oracle SQL ------------------------------------------------------
@@ -389,6 +438,30 @@ object Unigram {
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
          |  CAST(sum(n_pieces) AS BIGINT) AS n_unigram_tokens
          |FROM tok JOIN enc USING (word)
-         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // x59: prune the refit vocabulary (chars + top-PruneKeep
+    // multi-char by (refit_n desc, piece)), renormalize, re-Viterbi,
+    // re-count — same decimal/tie-break spellings as the passes above.
+    "x59_unigram_prune" ->
+      s"""WITH $chain,
+         |pm AS (SELECT piece, refit_n,
+         |    row_number() OVER (ORDER BY refit_n DESC, piece) AS rk
+         |  FROM ref WHERE len(piece) >= 2),
+         |keptp AS (SELECT piece, refit_n FROM ref WHERE len(piece) = 1
+         |  UNION ALL SELECT piece, refit_n FROM pm WHERE rk <= $PruneKeep),
+         |t2 AS (SELECT CAST(sum(refit_n) AS BIGINT) AS tot FROM keptp),
+         |p2 AS (SELECT piece,
+         |    CAST(round(ln(CAST(refit_n AS DOUBLE)), 9) AS DECIMAL(28,9)) -
+         |    CAST(round(ln(CAST(tot AS DOUBLE)), 9) AS DECIMAL(28,9)) AS logp
+         |  FROM keptp, t2),
+         |${viterbiCtes("2", "p2")},
+         |ref2 AS (SELECT piece, CAST(sum(wc) AS BIGINT) AS refit_n FROM (
+         |    SELECT unnest(string_split(seg, ' ')) AS piece, wc FROM best2)
+         |  GROUP BY piece),
+         |t3 AS (SELECT CAST(sum(refit_n) AS BIGINT) AS tot FROM ref2)
+         |SELECT piece, refit_n,
+         |  round(ln(CAST(refit_n AS DOUBLE)), 9) -
+         |    round(ln(CAST(tot AS DOUBLE)), 9) AS logp
+         |FROM ref2, t3 ORDER BY refit_n DESC, piece""".stripMargin
   )
 }

@@ -72,6 +72,31 @@ class UnigramSpec extends AnyFunSuite {
     assert(a.nonEmpty)
   }
 
+  test("prune keeps all characters plus at most PruneKeep multi-char pieces; coverage survives") {
+    // the vocabulary-shrink step: multi-char survivors are capped,
+    // chars are not (every word must keep a segmentation), and the
+    // re-fit counts cover the whole corpus — each token contributes at
+    // least one piece occurrence
+    val toy = docs("abab abab abab cdcd cdcd efef qq")
+    val pruned = Unigram.prune(toy).collect()
+    val pieces = pruned.map(_.getString(0))
+    assert(pieces.nonEmpty && pieces.distinct.length === pieces.length)
+    assert(pieces.count(_.length >= 2) <= Unigram.PruneKeep)
+    assert(pruned.map(_.getLong(1)).sum >= 7L,
+      "every corpus token re-segments into >= 1 piece")
+    // deterministic like train: exact-decimal costs, total-order ranks
+    assert(Unigram.prune(toy).collect().toSeq === pruned.toSeq)
+  }
+
+  test("x59 gate: the pruned vocabulary respects the cap and stays positive") {
+    val m = SparkEntry.queries("x59_unigram_prune")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(m.nonEmpty)
+    assert(m.count(_.getString(0).length >= 2) <= Unigram.PruneKeep)
+    assert(m.forall(_.getLong(1) > 0))
+    assert(m.forall(_.getDouble(2) <= 0.0))
+  }
+
   test("x57 gate: pieces are bounded by MaxPieceLen and counts are positive") {
     val m = SparkEntry.queries("x57_unigram_train")(spark, "/root/testdata/sf0.001")
       .collect()
