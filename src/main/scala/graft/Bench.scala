@@ -432,7 +432,16 @@ object Bench {
       // NEW round 19: x59 unigram prune — reads the pruned-model store
       // (the third table the training memo writes); same serve shape as
       // x57. Recorded from a 0.078-floor isolated 3-run session
-      ("x59_unigram_prune" -> ((0.802, 0.078))) ++
+      ("x59_unigram_prune" -> ((0.802, 0.078))) +
+      // RE-RECORDED round 19 after the over2x_isolated gate fired in
+      // the round's final full session (0.135 in-suite, 0.122 in the
+      // in-session isolated retry, vs the r12-era 0.055): the wave
+      // protocol's TWO independent isolated calm sessions read 0.178
+      // (floor 0.083) and 0.188 (floor 0.087) — persistent, not a
+      // spike, on source untouched since round 13, so the r12
+      // recording is stale for the current environment (sub-0.2 s
+      // micro-query; the adjudication entry is in PLANS.md)
+      ("n8_ann_multiprobe" -> ((0.188, 0.087))) ++
       // RE-RECORDED round 16 (r15 verdict #5): the 25 r15-era
       // `light_trimmed` keys, from one 0.076-floor isolated 3-run
       // session with SPARK_GRAFT_NO_TRIM=1 (full medians, not the
