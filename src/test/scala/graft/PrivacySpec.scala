@@ -926,6 +926,47 @@ class PrivacySpec extends AnyFunSuite {
     assert(nKept > 0 && nKept < ev.count(), "a proper half, not all or none")
   }
 
+  test("x56 amplification, executable: an unsampled record cannot move the release; a sampled one moves <= 1 cell by <= 1") {
+    // the two-case decomposition the amplification proof integrates
+    // over, run as an experiment (the x49/x52/x55 discipline —
+    // sensitivity claims ship executable): with probability 1−q a
+    // neighboring record is OUTSIDE the analyzed subsample, and the two
+    // worlds' releases are BIT-IDENTICAL (the e^{ε₀} factor never
+    // applies); with probability q it is inside, and the base
+    // mechanism's event-level sensitivity bounds the move — exactly one
+    // (type, day) cell's count shifts by 1 under identical seeded
+    // noise, so the released integer moves by at most 1. Averaging the
+    // two cases is what yields ε' = ln(1 + q(e^{ε₀} − 1)) < ε₀.
+    val ev = graft.Tables.events(spark, d)
+    def sampleU(c: org.apache.spark.sql.Column) =
+      (conv(substring(md5(concat(lit("dpss|"), c.cast("string"))), 1, 8),
+        16, 10).cast("long").cast("double") + lit(0.5)) / lit(4294967296.0)
+    val inWindow = ev
+      .withColumn("day", date_trunc("day", col("ts")))
+      .filter(col("day") >= lit("2024-01-01").cast("timestamp") &&
+        col("day") < lit("2024-03-05").cast("timestamp"))
+      .withColumn("u", sampleU(col("event_id")))
+    val unsampledId = inWindow.filter(col("u") >= 0.5)
+      .select("event_id").head().getLong(0)
+    val sampledId = inWindow.filter(col("u") < 0.5)
+      .select("event_id").head().getLong(0)
+    def release(frame: org.apache.spark.sql.DataFrame) =
+      Privacy.dpSubsampledCountRelease(frame, seeded = true).collect()
+        .map(r => (r.getString(0), r.getTimestamp(1)) -> r.getLong(2)).toMap
+    val base = release(ev)
+    // case 1: the removed record never entered the subsample — the
+    // mechanism literally did not see it, releases are bit-identical
+    assert(release(ev.filter(col("event_id") =!= unsampledId)) === base,
+      "removing an unsampled record must be invisible to the release")
+    // case 2: the removed record was sampled — identical seeds
+    // everywhere, so exactly its own cell can move, by at most 1
+    val moved = release(ev.filter(col("event_id") =!= sampledId))
+    val diffs = base.keySet.map(k => k -> (base(k) - moved(k))).filter(_._2 != 0L)
+    assert(moved.keySet === base.keySet, "the dense release SET is immobile")
+    assert(diffs.size <= 1 && diffs.forall(d => math.abs(d._2) <= 1L),
+      s"a sampled record moves <= 1 cell by <= 1, got $diffs")
+  }
+
   test("x51 SVT: one epsilon answers the whole stream, halts at the first above, ships verdicts only") {
     import graft.operators.DpLedger
     import spark.implicits._
