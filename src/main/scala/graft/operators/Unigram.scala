@@ -238,19 +238,33 @@ object Unigram {
       .orderBy("doc_id")
 
   /** The PRUNE round's surviving pieces with renormalized scores
-    * (x59): single characters always survive (the coverage guarantee —
-    * every word keeps a segmentation), multi-char pieces keep the top
-    * [[PruneKeep]] by (refit count desc, piece). The rank window is
-    * MODEL-sized (the refit table, never the corpus) — the x44
-    * candidate-frame license; a deployment pruning a multi-million-
-    * piece vocabulary would shard it by length like o6's rank.
+    * (x59): every CORPUS character survives (SentencePiece's
+    * required_chars — the coverage guarantee must come from the corpus
+    * char set, NOT from the characters pass 1 happened to use: a word
+    * whose whole-word piece is pruned and whose chars no other
+    * segmentation used would otherwise have no path and silently
+    * vanish from the model — r19 review, caught writing the
+    * redistribution test), at its pass-1 refit count or a floor of 1
+    * when unused (the minimal-probability score required chars get);
+    * multi-char pieces keep the top [[PruneKeep]] by
+    * (refit count desc, piece). The rank window is MODEL-sized (the
+    * refit table, never the corpus) — the x44 candidate-frame license;
+    * a deployment pruning a multi-million-piece vocabulary would shard
+    * it by length like o6's rank.
     */
-  private def pruneOf(refit: DataFrame): DataFrame = {
+  private def pruneOf(wv: DataFrame, refit: DataFrame): DataFrame = {
+    val chars = wv.filter(length(col("word")) >= 1)
+      .select(explode(expr(
+        "transform(sequence(1, length(word)), s -> substring(word, s, 1))"))
+        .as("piece"))
+      .distinct()
+    val keptChars = chars.join(refit, Seq("piece"), "left")
+      .select(col("piece"), coalesce(col("refit_n"), lit(1L)).as("refit_n"))
     val multi = refit.filter(length(col("piece")) >= 2)
       .withColumn("rk", row_number().over(
         Window.orderBy(col("refit_n").desc, col("piece"))))
       .filter(col("rk") <= PruneKeep).drop("rk")
-    val kept = refit.filter(length(col("piece")) === 1).unionByName(multi)
+    val kept = keptChars.unionByName(multi)
     kept.crossJoin(broadcast(totOf(kept)))
       .select(col("piece"), logpDec(col("refit_n"), col("tot")).as("logp"))
   }
@@ -276,7 +290,7 @@ object Unigram {
     */
   def prune(docs: DataFrame): DataFrame = {
     val wv = wordVocab(docs)
-    val refit2 = refitCounts(viterbi(wv, pruneOf(refitOf(wv))))
+    val refit2 = refitCounts(viterbi(wv, pruneOf(wv, refitOf(wv))))
     modelFrame(refit2, totOf(refit2))
   }
 
@@ -320,7 +334,7 @@ object Unigram {
           encFrame(wv, refit, totOf(refit))
             .write.mode("overwrite").parquet(encOut)
           val prunedOut = Stores.dir(s, d, "unigram-pruned")
-          refitCounts(viterbi(wv, pruneOf(refit)))
+          refitCounts(viterbi(wv, pruneOf(wv, refit)))
             .write.mode("overwrite").parquet(prunedOut)
           refit.unpersist(false)
           wv.unpersist(false)
@@ -439,15 +453,20 @@ object Unigram {
          |  CAST(sum(n_pieces) AS BIGINT) AS n_unigram_tokens
          |FROM tok JOIN enc USING (word)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    // x59: prune the refit vocabulary (chars + top-PruneKeep
-    // multi-char by (refit_n desc, piece)), renormalize, re-Viterbi,
-    // re-count — same decimal/tie-break spellings as the passes above.
+    // x59: prune the refit vocabulary (ALL corpus chars at refit count
+    // or floor 1, + top-PruneKeep multi-char by (refit_n desc, piece)),
+    // renormalize, re-Viterbi, re-count — same decimal/tie-break
+    // spellings as the passes above.
     "x59_unigram_prune" ->
       s"""WITH $chain,
+         |chr AS (SELECT DISTINCT substr(word, s, 1) AS piece FROM starts),
+         |keptc AS (SELECT chr.piece,
+         |    coalesce(ref.refit_n, CAST(1 AS BIGINT)) AS refit_n
+         |  FROM chr LEFT JOIN ref ON chr.piece = ref.piece),
          |pm AS (SELECT piece, refit_n,
          |    row_number() OVER (ORDER BY refit_n DESC, piece) AS rk
          |  FROM ref WHERE len(piece) >= 2),
-         |keptp AS (SELECT piece, refit_n FROM ref WHERE len(piece) = 1
+         |keptp AS (SELECT piece, refit_n FROM keptc
          |  UNION ALL SELECT piece, refit_n FROM pm WHERE rk <= $PruneKeep),
          |t2 AS (SELECT CAST(sum(refit_n) AS BIGINT) AS tot FROM keptp),
          |p2 AS (SELECT piece,

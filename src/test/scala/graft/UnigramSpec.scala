@@ -88,6 +88,33 @@ class UnigramSpec extends AnyFunSuite {
     assert(Unigram.prune(toy).collect().toSeq === pruned.toSeq)
   }
 
+  test("prune redistributes: a word whose piece is pruned re-segments into its characters") {
+    // 17 three-char word types over DISJOINT alphabets (no shared
+    // substrings — shared prefixes would let a heavy 2-gram beat the
+    // whole-word piece in pass 1) with distinct counts 2..18: pass 1
+    // segments each as its whole word, so the refit table holds
+    // exactly 17 multi-char pieces and NO characters. The cap keeps
+    // 16, dropping "abc" (count 2) — whose only remaining path is its
+    // characters, which must enter the pruned vocabulary FROM THE
+    // CORPUS CHAR SET at the floor count (the case that caught the
+    // bug: chars taken from the refit table alone would leave the
+    // dropped word with no path and silently erase it from the model)
+    val alphabet = (('a' to 'z') ++ ('A' to 'Z')).mkString
+    val types = (0 until 17).map(i => alphabet.substring(3 * i, 3 * i + 3))
+    val text = types.zipWithIndex
+      .flatMap { case (w, i) => Seq.fill(i + 2)(w) }.mkString(" ")
+    val pruned = Unigram.prune(docs(text)).collect()
+    val pieces = pruned.map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!pieces.contains("abc"), "the cap's loser leaves the model")
+    assert(pieces.count(_._1.length >= 2) === 16)
+    // "abc"'s two occurrences re-segment as a,b,c — its chars carry
+    // its weight; every other word keeps its whole-word piece + count
+    assert(pieces("a") === 2L && pieces("b") === 2L && pieces("c") === 2L)
+    types.drop(1).zipWithIndex.foreach { case (w, i) =>
+      assert(pieces(w) === (i + 3).toLong, s"surviving piece $w")
+    }
+  }
+
   test("x59 gate: the pruned vocabulary respects the cap and stays positive") {
     val m = SparkEntry.queries("x59_unigram_prune")(spark, "/root/testdata/sf0.001")
       .collect()
