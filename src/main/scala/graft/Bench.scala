@@ -433,6 +433,10 @@ object Bench {
       // (the third table the training memo writes); same serve shape as
       // x57. Recorded from a 0.078-floor isolated 3-run session
       ("x59_unigram_prune" -> ((0.802, 0.078))) +
+      // NEW round 19 (continuation): x60 subsampled GAUSSIAN release —
+      // x56's plan with the Box–Muller tail (two md5 uniforms instead
+      // of one); recorded from a 0.065-floor isolated 3-run session
+      ("x60_dp_subsampled_gaussian" -> ((0.455, 0.065))) +
       // RE-RECORDED round 19 after the over2x_isolated gate fired in
       // the round's final full session (0.135 in-suite, 0.122 in the
       // in-session isolated retry, vs the r12-era 0.055): the wave

@@ -303,6 +303,43 @@ object Unigram {
     encodeWith(docs, encFrame(wv, refit, totOf(refit)))
   }
 
+  /** Serving-path encode of ONE text (the IntakeServe `/encode`
+    * endpoint's engine): Viterbi-segment the text's distinct words
+    * against the MEMOIZED per-dataset model store — x57's refit model,
+    * or x59's pruned model at `pruned = true` — returning one row per
+    * word POSITION (pos, word, pieces, n_pieces) so the caller can
+    * reconstruct the token stream. The fallback is [[encFrame]]'s rule
+    * verbatim: a word the composition table cannot cover (longer than
+    * [[MaxWordLen]], or containing a character the model lacks)
+    * segments into its characters via the same coalesce-at-the-join,
+    * so the endpoint's n_pieces agrees with x58's gate accounting word
+    * for word. Request-side frames are query-sized; the model side is
+    * the vocab-sized store broadcast into the Viterbi join — one
+    * bounded Spark job per request (the serving-tier discipline; the
+    * FIRST request on a fresh JVM pays the training memo, like the
+    * x57 gate's warmup).
+    */
+  def encodeText(s: SparkSession, d: String, text: String,
+      pruned: Boolean = false): DataFrame = {
+    import s.implicits._
+    val (model, _, prunedM) = ensureTrained(s, d)
+    val store = if (pruned) prunedM else model
+    val scored = store.crossJoin(broadcast(totOf(store)))
+      .select(col("piece"), logpDec(col("refit_n"), col("tot")).as("logp"))
+    val words = text.split(" ").filter(_.nonEmpty).zipWithIndex
+      .map { case (w, i) => (i.toLong, w) }.toSeq.toDF("pos", "word")
+    val wv = words.select(col("word")).distinct().withColumn("wc", lit(1L))
+    val segs = viterbi(wv, scored).select(col("word"), col("seg"))
+    words.join(segs, Seq("word"), "left")
+      .select(col("pos"), col("word"),
+        coalesce(col("seg"), concat_ws(" ", expr(
+          "transform(sequence(1, length(word)), s -> substring(word, s, 1))")))
+          .as("pieces"),
+        coalesce(size(split(col("seg"), " ")).cast("long"),
+          length(col("word")).cast("long")).as("n_pieces"))
+      .orderBy("pos")
+  }
+
   /** Trained-model store, materialized once per (JVM, dataset) on the
     * Bpe.ensureTrained pattern: tokenizer training is ingest-time work
     * — train once, ship the model. The memo writes two vocab-sized

@@ -51,7 +51,13 @@ import graft.streaming.LivePipeline
   *    construction) — the δ-licensed stability histogram (x54, or x55
   *    at `unit=user`) over the live cell stores: each request charges
   *    the (ε, δ) PAIR against the ledger's two budgets, and either
-  *    overdraw answers 429.
+  *    overdraw answers 429;
+  *  - `GET /encode?text=<words>[&model=pruned]` (when constructed
+  *    with `tokenizer = Some(datasetDir)`) — the tokenizer serving
+  *    twin: Viterbi-segment the text against that dataset's memoized
+  *    unigram model (x57's refit model; `model=pruned` for x59's
+  *    pruned model), one row per word position with its pieces and
+  *    piece count — x58's accounting, served per request.
   *
   * Built like [[HttpServe]] (JDK HttpServer, no dependency, JSON
   * array bodies, wildcard CORS) and, like it, a DEMO-serving tier:
@@ -76,7 +82,8 @@ final class IntakeServe(spark: SparkSession, cfg: LivePipeline.Config,
     releaseSeeded: Boolean = false,
     alertThreshold: Double = 100.0,
     histogramDelta: Double = 1e-6,
-    histogramCapCells: Int = 4) {
+    histogramCapCells: Int = 4,
+    tokenizer: Option[String] = None) {
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
 
@@ -265,6 +272,27 @@ final class IntakeServe(spark: SparkSession, cfg: LivePipeline.Config,
             seeded = releaseSeeded, delta = histogramDelta,
             ledger = releaseLedger, releaseId = "stable_hist|http",
             asOf = asOf))
+    })
+  }
+  // `GET /encode?text=<words>[&model=pruned]` — the tokenizer serving
+  // twin (when constructed with `tokenizer = Some(datasetDir)`): the
+  // unigram model every gate trains (x57) finally has the surface a
+  // tokenizer exists FOR — encode arbitrary text at request time. One
+  // row per word position (pos, word, pieces, n_pieces); the fallback
+  // for uncoverable words is x58's char-split rule, so a client
+  // summing n_pieces reproduces the gate's accounting exactly. The
+  // model side is the memoized vocab-sized store broadcast into a
+  // query-sized Viterbi join — one bounded Spark job per request; the
+  // first request on a fresh JVM pays the training memo (ingest-time
+  // work, the x57 warmup argument). `model` selects refit (default)
+  // or the x59 pruned model; anything else is a 400 before any job.
+  tokenizer.foreach { tdir =>
+    server.createContext("/encode", (ex: HttpExchange) => Facade.handle(ex) { p =>
+      val model = p.getOrElse("model", "refit")
+      require(model == "refit" || model == "pruned",
+        s"model must be 'refit' or 'pruned', got '$model'")
+      rowsJson(graft.operators.Unigram.encodeText(spark, tdir, p("text"),
+        pruned = model == "pruned"))
     })
   }
   server.createContext("/snapshot", (ex: HttpExchange) => Facade.handle(ex) { p =>

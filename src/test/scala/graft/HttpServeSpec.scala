@@ -406,6 +406,59 @@ class HttpServeSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("/encode serves the trained unigram tokenizer; n_pieces reproduces x58's accounting") {
+    import org.apache.spark.sql.functions.col
+    val d = "/root/testdata/sf0.001"
+    val cfg = graft.streaming.LivePipeline.Config(
+      java.nio.file.Files.createTempDirectory("graft-intake-enc-root").toString)
+    val srv = new graft.serve.IntakeServe(spark, cfg, tokenizer = Some(d))
+    srv.start()
+    try {
+      val base = s"http://127.0.0.1:${srv.boundPort}"
+      // one real document's text: the endpoint's summed n_pieces must
+      // equal x58's n_unigram_tokens for that doc — the serving twin
+      // reproduces the gate's accounting word for word
+      val doc = Tables.documents(spark, d).orderBy(col("doc_id")).head()
+      val docId = doc.getAs[Long]("doc_id")
+      val text = doc.getAs[String]("text")
+      val expected = SparkEntry.queries("x58_unigram_encode")(spark, d)
+        .filter(col("doc_id") === docId).head().getAs[Long]("n_unigram_tokens")
+      val enc = java.net.URLEncoder.encode(text, "UTF-8")
+      val (c1, body) = get(s"$base/encode?text=$enc")
+      assert(c1 === 200)
+      val nPieces = "\"n_pieces\":(\\d+)".r.findAllMatchIn(body)
+        .map(_.group(1).toLong).toSeq
+      assert(nPieces.length === text.split(" ").count(_.nonEmpty),
+        s"one row per word position: $body")
+      assert(nPieces.sum === expected,
+        s"summed n_pieces must reproduce x58's n_unigram_tokens ($expected): $body")
+      // every row's pieces concatenate back to its word — a
+      // segmentation, not an approximation
+      val pairs = "\"word\":\"([^\"]*)\",\"pieces\":\"([^\"]*)\"".r
+        .findAllMatchIn(body).map(m => (m.group(1), m.group(2))).toSeq
+      assert(pairs.nonEmpty && pairs.forall { case (w, p) =>
+        p.replace(" ", "") == w }, s"pieces must reconstruct the word: $pairs")
+      // the pruned model serves the same contract (segmentations under
+      // the x59 vocabulary — usually longer, never invalid)
+      val (c2, body2) = get(s"$base/encode?text=$enc&model=pruned")
+      assert(c2 === 200)
+      val pairs2 = "\"word\":\"([^\"]*)\",\"pieces\":\"([^\"]*)\"".r
+        .findAllMatchIn(body2).map(m => (m.group(1), m.group(2))).toSeq
+      assert(pairs2.length === pairs.length && pairs2.forall { case (w, p) =>
+        p.replace(" ", "") == w }, s"pruned-model pieces must reconstruct: $pairs2")
+      // a word the composition table cannot cover falls back to the
+      // char split (x58's rule) instead of erroring or vanishing
+      val (c3, body3) = get(s"$base/encode?text=supercalifragilistic")
+      assert(c3 === 200 && body3.contains("\"n_pieces\":20"),
+        s"a >MaxWordLen word char-splits: $body3")
+      // client faults are 400s before any job: bad model name, missing text
+      val (c4, err4) = get(s"$base/encode?text=abc&model=bpe")
+      assert(c4 === 400 && err4.contains("model"), err4)
+      val (c5, err5) = get(s"$base/encode")
+      assert(c5 === 400 && err5.contains("text"), err5)
+    } finally srv.stop()
+  }
+
   test("/metrics serves per-trigger progress from the listener-bus ring") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

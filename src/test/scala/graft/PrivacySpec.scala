@@ -967,6 +967,98 @@ class PrivacySpec extends AnyFunSuite {
       s"a sampled record moves <= 1 cell by <= 1, got $diffs")
   }
 
+  test("x60 subsampled gaussian: the amplified (eps', delta') pair is charged, and the DELTA budget can be the binding refusal") {
+    import graft.operators.DpLedger
+    val ev = graft.Tables.events(spark, d)
+    val rel = Privacy.dpSubsampledGaussianRelease(ev, seeded = true).collect()
+    // dense release-set discipline holds under subsampling: grid ×
+    // FULL-corpus vocabulary, regardless of what the sample observed
+    assert(rel.length === 64 * ev.select("event_type").distinct().count().toInt)
+    val epsAmp = Privacy.amplifiedEps(0.5)
+    val deltaAmp = Privacy.SubGaussDelta0 * BigDecimal(0.5)
+    assert(epsAmp < BigDecimal(1) && deltaAmp < Privacy.SubGaussDelta0,
+      "BOTH coordinates amplify strictly below the base pair")
+    assert(rel.forall(r => r.getDouble(3) === epsAmp.toDouble &&
+      r.getDouble(4) === deltaAmp.toDouble),
+      "the released (epsilon, delta) columns are the amplified pair")
+    // seeded determinism (fixed subsample AND fixed Box–Muller draws)
+    assert(Privacy.dpSubsampledGaussianRelease(ev, seeded = true).collect().toSeq
+      === rel.toSeq)
+    // THE round-19 pin: δ is the BINDING constraint with ε headroom —
+    // δ' = 5e-7 per release, so a δ budget of 1.2e-6 admits exactly two
+    // releases while ε budget 10 would admit sixteen; the third refusal
+    // names delta, and refusal burns NEITHER coordinate
+    val led = DpLedger.open(freshLedgerDir(), budget = BigDecimal(10),
+      deltaBudget = BigDecimal("0.0000012"))
+    (1 to 2).foreach { i =>
+      Privacy.dpSubsampledGaussianRelease(ev, seeded = true,
+        ledger = Some(led), releaseId = s"sg$i")
+    }
+    assert(led.spent === epsAmp * 2 && led.spentDelta === deltaAmp * 2,
+      "K subsampled-gaussian releases spend exactly (K·eps', K·delta')")
+    val refusal = intercept[DpLedger.BudgetRefused] {
+      Privacy.dpSubsampledGaussianRelease(ev, seeded = true,
+        ledger = Some(led), releaseId = "sg3")
+    }
+    assert(refusal.getMessage.contains("delta budget"),
+      s"the refusal must name the binding DELTA constraint: ${refusal.getMessage}")
+    assert(led.spent === epsAmp * 2 && led.spentDelta === deltaAmp * 2,
+      "a refused release burns neither coordinate")
+    led.close()
+    // a ledger opened WITHOUT a deltaBudget refuses the FIRST release:
+    // the r18-verdict silent-δ-accumulation gap, closed by default
+    val led2 = DpLedger.open(freshLedgerDir(), budget = BigDecimal(10))
+    intercept[DpLedger.BudgetRefused] {
+      Privacy.dpSubsampledGaussianRelease(ev, seeded = true,
+        ledger = Some(led2))
+    }
+    assert(led2.spent === BigDecimal(0) && led2.spentDelta === BigDecimal(0))
+    led2.close()
+    // q validated before the charge (the x49/x56 contract)
+    val led3 = DpLedger.open(freshLedgerDir(), budget = BigDecimal(10),
+      deltaBudget = BigDecimal(1))
+    intercept[IllegalArgumentException] {
+      Privacy.dpSubsampledGaussianRelease(ev, q = 1.5, seeded = true,
+        ledger = Some(led3))
+    }
+    assert(led3.spent === BigDecimal(0) && led3.spentDelta === BigDecimal(0))
+    led3.close()
+  }
+
+  test("x60 amplification, executable: an unsampled record is invisible; a sampled one moves <= 1 cell by <= 1") {
+    // the x56 two-case decomposition run against the 'dpsg|' sample and
+    // the GAUSSIAN tail: with probability 1−q the neighboring record is
+    // outside the analyzed subsample and the worlds are bit-identical
+    // (this is also why δ amplifies: the base mechanism's δ-failure
+    // event can only occur when the record is seen); with probability q
+    // the base mechanism's event-level sensitivity bounds the move to
+    // one (type, day) cell by 1 under identical seeded draws.
+    val ev = graft.Tables.events(spark, d)
+    def sampleU(c: org.apache.spark.sql.Column) =
+      (conv(substring(md5(concat(lit("dpsg|"), c.cast("string"))), 1, 8),
+        16, 10).cast("long").cast("double") + lit(0.5)) / lit(4294967296.0)
+    val inWindow = ev
+      .withColumn("day", date_trunc("day", col("ts")))
+      .filter(col("day") >= lit("2024-01-01").cast("timestamp") &&
+        col("day") < lit("2024-03-05").cast("timestamp"))
+      .withColumn("u", sampleU(col("event_id")))
+    val unsampledId = inWindow.filter(col("u") >= 0.5)
+      .select("event_id").head().getLong(0)
+    val sampledId = inWindow.filter(col("u") < 0.5)
+      .select("event_id").head().getLong(0)
+    def release(frame: org.apache.spark.sql.DataFrame) =
+      Privacy.dpSubsampledGaussianRelease(frame, seeded = true).collect()
+        .map(r => (r.getString(0), r.getTimestamp(1)) -> r.getLong(2)).toMap
+    val base = release(ev)
+    assert(release(ev.filter(col("event_id") =!= unsampledId)) === base,
+      "removing an unsampled record must be invisible to the release")
+    val moved = release(ev.filter(col("event_id") =!= sampledId))
+    val diffs = base.keySet.map(k => k -> (base(k) - moved(k))).filter(_._2 != 0L)
+    assert(moved.keySet === base.keySet, "the dense release SET is immobile")
+    assert(diffs.size <= 1 && diffs.forall(d => math.abs(d._2) <= 1L),
+      s"a sampled record moves <= 1 cell by <= 1, got $diffs")
+  }
+
   test("x51 SVT: one epsilon answers the whole stream, halts at the first above, ships verdicts only") {
     import graft.operators.DpLedger
     import spark.implicits._

@@ -372,6 +372,24 @@ class ScaleSpec extends AnyFunSuite {
       s"the keep filter must stay native:\n$exec")
   }
 
+  test("x60 subsampled gaussian: x56's exchange budget holds — the sample and the noise are both map-side") {
+    val d = "/root/testdata/sf0.001"
+    val df = SparkEntry.queries("x60_dp_subsampled_gaussian")(spark, d)
+    val exec = df.queryExecution.executedPlan.toString
+    // same budget as x56/x50: the md5 keep-filter and the Box–Muller
+    // tail are pure maps; shuffles are the one combinable groupBy, the
+    // full-corpus vocabulary distinct (absent under a public
+    // `vocabulary`), and the presentation sort
+    assert(!exec.contains("CartesianProduct"),
+      s"x60 public-grid joins must broadcast, never product:\n$exec")
+    val shuffles = "Exchange (hash|range|Single)".r.findAllIn(
+      exec.split("== Initial Plan ==").head).length
+    assert(shuffles <= 3,
+      s"x60 must shuffle only for agg + vocab distinct + sort, saw $shuffles:\n$exec")
+    assert(!exec.contains("BatchEvalPython") && !exec.contains("ScalaUDF"),
+      s"the keep filter and noise must stay native:\n$exec")
+  }
+
   test("x57/x58 serve from the materialized unigram store: no training in the gate plans") {
     val d = "/root/testdata/sf0.001"
     graft.operators.Unigram.ensureTrained(spark, d) // train once, off the timed path
