@@ -437,6 +437,13 @@ object Bench {
       // x56's plan with the Box–Muller tail (two md5 uniforms instead
       // of one); recorded from a 0.065-floor isolated 3-run session
       ("x60_dp_subsampled_gaussian" -> ((0.455, 0.065))) +
+      // NEW round 19 (continuation): x61 RDP accountant readout — pure
+      // driver math (63-row LocalRelation, zero corpus scans; the
+      // ScaleSpec pin), so the entry is floor-scale by construction.
+      // Recorded from a 0.112-floor isolated 3-run session (a loaded
+      // afternoon window; the high floor makes the recording
+      // conservative for a floor-scale micro-query)
+      ("x61_rdp_account" -> ((0.222, 0.112))) +
       // RE-RECORDED round 19 after the over2x_isolated gate fired in
       // the round's final full session (0.135 in-suite, 0.122 in the
       // in-session isolated retry, vs the r12-era 0.055): the wave

@@ -458,6 +458,32 @@ object Privacy {
     // the δ-metered ledger; the DP-SGD-shaped composition primitive.
     "x60_dp_subsampled_gaussian" -> { (s, d) =>
       dpSubsampledGaussianRelease(Tables.events(s, d), seeded = true)
+    },
+    // Rényi-DP accounting of a K = 16 subsampled-Gaussian schedule
+    // ([[RdpAccountant]]) — the graduation path x60's basic-composition
+    // accounting names: per-order RDP of the (q = ½, σ = SubGaussSigma)
+    // release (MTZ integer-order binomial sum), composed ×16, converted
+    // at δ = 1e-6 (Mironov Prop. 3). The table carries the whole order
+    // grid plus the converted readout `eps_star` ≈ 2.19 and basic
+    // composition's 16·ε' ≈ 9.92 side by side — the ~4.5× tightening IS
+    // the release. Driver math like x46 (accounting is serialized by
+    // design), one local toDF; the oracle replays the identical
+    // arithmetic as a recursive CTE under the round-to-9 discipline.
+    "x61_rdp_account" -> { (s, d) =>
+      import s.implicits._
+      val lnInvDelta = BigDecimal(math.log(1000000.0))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val rows = RdpAccountant.Orders.map { a =>
+        val rdp = RdpAccountant.rdpSampledGaussian(0.5, SubGaussSigma, a)
+        val tot = 16.0 * rdp
+        (a.toLong, rdp, tot, tot + lnInvDelta / (a - 1))
+      }
+      val epsStar = rows.map(_._4).min
+      val epsBasic = 16.0 * amplifiedEps(0.5).toDouble
+      rows.map { case (a, rdp, tot, eps) =>
+        (a, rdp, tot, eps, epsStar, epsBasic, 1e-6)
+      }.toDF("alpha", "rdp", "rdp_total", "eps", "eps_star", "eps_basic",
+        "delta").orderBy("alpha")
     }
   )
 
@@ -1295,6 +1321,20 @@ object Privacy {
     ledger.foreach(_.charge(releaseId, "gaussian_count_subsampled",
       epsAmp, DpLedger.Epsilon, deltaAmp))
     val salt = releaseSalt(seeded)
+    subsampledGaussianBody(events, q, salt, vocabulary)
+      .select(col("event_type"), col("day"), col("released_n"),
+        lit(epsAmp.toDouble).as("epsilon"),
+        lit(deltaAmp.toDouble).as("delta"),
+        col("q"), col("sigma"))
+      .orderBy("event_type", "day")
+  }
+
+  /** The subsampled-Gaussian MECHANISM x60 and [[dpSubsampledGaussianRdpRelease]]
+    * share — identical sample ('dpsg|' keep), grid, noise, and clamp;
+    * only the ACCOUNTING differs between the two entry points.
+    */
+  private def subsampledGaussianBody(events: DataFrame, q: Double,
+      salt: String, vocabulary: Option[Seq[String]]): DataFrame = {
     val kept = events.filter(
       seededUnifKey("dpsg|", salt, col("event_id").cast("string")) < lit(q))
     val grp = windowedGroup(kept).agg(count(lit(1)).as("true_n"))
@@ -1307,9 +1347,38 @@ object Privacy {
       .select(col("event_type"), col("day"),
         greatest(lit(0.0), floor(col("noisy") + lit(0.5))).cast("long")
           .as("released_n"),
-        lit(epsAmp.toDouble).as("epsilon"),
-        lit(deltaAmp.toDouble).as("delta"),
         lit(q).as("q"), lit(SubGaussSigma).as("sigma"))
+  }
+
+  /** x60's mechanism under the [[RdpAccountant]] instead of the
+    * amplification-lemma pair ledger — the K-schedule spelling: each
+    * release charges its (q, σ) Rényi footprint, the (ε, δ) statement
+    * falls out ONCE at the accountant's read time (converting per
+    * release and summing would reproduce exactly the loose basic
+    * composition the accountant exists to beat — the x50 "account in ρ,
+    * convert at read time" rationale at the Rényi currency). The
+    * released frame is BIT-IDENTICAL to [[dpSubsampledGaussianRelease]]
+    * on the same salt (same sample, same noise; PrivacySpec pins it) —
+    * the accountant changes what a schedule MAY release, never what one
+    * release looks like. `eps_total` carries the post-charge readout at
+    * the accountant's δ target (schedule state, not per-release spend —
+    * the r16 advice that made x47 carry `window_epsilon` applies: a
+    * composition consumer must read the accountant, not sum rows).
+    */
+  def dpSubsampledGaussianRdpRelease(events: DataFrame,
+      accountant: RdpAccountant, q: Double = 0.5, seeded: Boolean = false,
+      releaseId: String = "subsampled_gauss_rdp",
+      vocabulary: Option[Seq[String]] = None): DataFrame = {
+    // validated BEFORE the charge (the x49/x56 contract); the
+    // accountant re-validates q against its own recurrence domain
+    require(q > 0 && q < 1, s"need 0 < q < 1, got $q")
+    val epsAfter = accountant.charge(releaseId, q, SubGaussSigma)
+    val salt = releaseSalt(seeded)
+    subsampledGaussianBody(events, q, salt, vocabulary)
+      .select(col("event_type"), col("day"), col("released_n"),
+        lit(epsAfter).as("eps_total"),
+        lit(accountant.deltaTarget).as("delta_target"),
+        col("q"), col("sigma"))
       .orderBy("event_type", "day")
   }
 
@@ -2518,6 +2587,38 @@ object Privacy {
         |  CAST(0.0000005 AS DOUBLE) AS delta,
         |  CAST(0.5 AS DOUBLE) AS q, CAST($SubGaussSigma AS DOUBLE) AS sigma
         |FROM z ORDER BY event_type, day""".stripMargin,
+    // x61: the MTZ integer-order binomial sum as a recursive CTE — the
+    // term recurrence u_{k+1} = u_k·((α−k)/(k+1))·e9(k/σ²) (q = ½ makes
+    // the q/(1−q) factor exactly 1.0, an IEEE identity), (1−q)^α folded
+    // in through logs so neither engine calls pow; every exp/ln rounds
+    // to 9, all other arithmetic is bit-identical IEEE. σ is the
+    // interpolated 9-digit Scala constant (the x60 discipline); K = 16
+    // scales exactly (a power of two); δ = 1e-6 readout.
+    "x61_rdp_account" ->
+      s"""WITH RECURSIVE r AS (
+        |  SELECT CAST(g.range AS BIGINT) AS alpha, CAST(0 AS BIGINT) AS k,
+        |         CAST(1.0 AS DOUBLE) AS u, CAST(1.0 AS DOUBLE) AS s
+        |  FROM range(2, 65) g
+        |  UNION ALL
+        |  SELECT alpha, k + 1,
+        |         u * ((alpha - k) / (k + 1.0)) *
+        |           round(exp(k / ($SubGaussSigma * $SubGaussSigma)), 9),
+        |         s + u * ((alpha - k) / (k + 1.0)) *
+        |           round(exp(k / ($SubGaussSigma * $SubGaussSigma)), 9)
+        |  FROM r WHERE k < alpha),
+        |f AS (SELECT alpha, s FROM r WHERE k = alpha),
+        |z AS (SELECT alpha,
+        |    round((alpha * round(ln(0.5), 9) + round(ln(s), 9)) / (alpha - 1), 9)
+        |      AS rdp
+        |  FROM f),
+        |t AS (SELECT alpha, rdp, 16.0 * rdp AS rdp_total,
+        |    16.0 * rdp + round(ln(1000000.0), 9) / (alpha - 1) AS eps
+        |  FROM z)
+        |SELECT alpha, rdp, rdp_total, eps,
+        |  min(eps) OVER () AS eps_star,
+        |  16.0 * round(ln(1.0 + 0.5 * (round(exp(1.0), 9) - 1.0)), 9) AS eps_basic,
+        |  CAST(0.000001 AS DOUBLE) AS delta
+        |FROM t ORDER BY alpha""".stripMargin,
     // x49: per-user distinct cells → row_number cap at 4 → cell counts →
     // dense grid → seeded Laplace at scale 4 → clamp+floor. Same
     // md5-uniform and chained-ln spelling as x40, 'dpu|' domain tag.

@@ -1422,4 +1422,121 @@ class PrivacySpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getDouble(1))).toMap
     assert(rel === again, "the seeded gate spelling must be bit-stable")
   }
+
+  test("x61 RDP accounting, executable: the Renyi route releases the same K=16 schedule for ~4.5x less epsilon than basic composition") {
+    import graft.operators.{Privacy => P, RdpAccountant}
+    // the executable form of the x60 scaladoc's graduation claim. Both
+    // routes account the IDENTICAL mechanism schedule: K = 16
+    // subsampled-Gaussian releases at (q = 1/2, sigma = SubGaussSigma).
+    val gate = SparkEntry.queries("x61_rdp_account")(spark, d).collect()
+    assert(gate.length === 63, "one row per integer order in [2, 64]")
+    val epsStar = gate.head.getDouble(4)
+    val epsBasic = gate.head.getDouble(5)
+    // basic composition: 16 x ln(1 + q(e-1)) ~= 9.92
+    assert(math.abs(epsBasic - 9.921832112) < 1e-9)
+    // the Renyi readout at delta = 1e-6 (a STRICTER delta than basic
+    // composition's summed 16*q*delta0 = 8e-6, so the comparison is
+    // conservative in basic's favor)
+    assert(epsStar < epsBasic / 4.0,
+      s"RDP readout $epsStar should be >4x tighter than basic $epsBasic")
+    // eps_star is the min of the eps column, and the table is the
+    // accountant's own curve: 16 charges against a live accountant
+    // read out to exactly the gate's eps_star
+    assert(epsStar === gate.map(_.getDouble(3)).min)
+    val acc = RdpAccountant.open(freshLedgerDir(), epsBudget = BigDecimal(3))
+    (1 to 16).foreach(i => acc.charge(s"rel$i", 0.5, P.SubGaussSigma))
+    assert(acc.spentEpsilon === epsStar,
+      "the gate table and the accountant class must derive one curve")
+    acc.close()
+    // per-order sanity: subsampling strictly tightens every order
+    // against the full-data Gaussian's exact RDP alpha/(2 sigma^2)
+    gate.foreach { r =>
+      val a = r.getLong(0); val rdp = r.getDouble(1)
+      assert(rdp > 0.0, s"order $a: RDP must be positive")
+      assert(rdp < a / (2.0 * P.SubGaussSigma * P.SubGaussSigma),
+        s"order $a: subsampled RDP $rdp must beat the full-data bound")
+    }
+  }
+
+  test("RdpAccountant: charge-then-release, typed refusal, durable resume, single-writer lock") {
+    import graft.operators.{DpLedger, Privacy => P, RdpAccountant}
+    val dir = freshLedgerDir()
+    // budget 1.0 at delta 1e-6: the first charge reads ~0.52 (admitted),
+    // the second would read ~0.75 (admitted), the third ~0.95, the
+    // fourth crosses 1.0 -> refused with the typed exception
+    val acc = RdpAccountant.open(dir, epsBudget = BigDecimal(1))
+    assert(acc.spentEpsilon === 0.0, "zero charges read exactly epsilon 0")
+    var admitted = 0
+    var eps = 0.0
+    try {
+      while (admitted < 100) {
+        val e = acc.charge(s"r$admitted", 0.5, P.SubGaussSigma)
+        assert(e > eps, "the readout grows monotonically with charges")
+        eps = e; admitted += 1
+      }
+      fail("the budget must eventually refuse")
+    } catch {
+      case ex: DpLedger.BudgetRefused =>
+        assert(ex.getMessage.contains("RDP budget exhausted"))
+    }
+    assert(admitted >= 2 && admitted < 100,
+      s"a budget of 1.0 admits a few sqrt-composed releases, got $admitted")
+    assert(acc.size === admitted, "a refusal appends nothing")
+    val epsAtRefusal = acc.spentEpsilon
+    // Renyi composition beats per-release conversion summed: the same
+    // budget under basic composition of the amplified pair admits
+    // floor(1.0 / 0.620) = 1 release; RDP admitted more
+    assert(admitted > 1, "RDP must admit more than basic composition here")
+    acc.close()
+    intercept[IllegalArgumentException] { acc.tryCharge("late", 0.5, 5.0) }
+    // resume: totals recomputed from the (q, sigma) rows, verdicts
+    // bit-identical — the next charge is still refused
+    val resumed = RdpAccountant.open(dir, epsBudget = BigDecimal(1))
+    assert(resumed.spentEpsilon === epsAtRefusal)
+    assert(!resumed.tryCharge("again", 0.5, P.SubGaussSigma))
+    // the registry frame replays the running readout
+    val reg = resumed.registry(spark).orderBy("seq").collect()
+    assert(reg.length === admitted)
+    assert(reg.last.getDouble(4) === epsAtRefusal)
+    assert(reg.map(_.getDouble(4)).toSeq === reg.map(_.getDouble(4)).toSeq.sorted,
+      "eps_after is monotone in the schedule")
+    // single-writer tripwire while held
+    val ex2 = intercept[IllegalStateException] {
+      RdpAccountant.open(dir, epsBudget = BigDecimal(1))
+    }
+    assert(ex2.getMessage.contains("already open"))
+    resumed.close()
+    // caller bugs throw before any check or write
+    val fresh = RdpAccountant.open(freshLedgerDir(), epsBudget = BigDecimal(1))
+    intercept[IllegalArgumentException] { fresh.tryCharge("bad", 0.0, 5.0) }
+    intercept[IllegalArgumentException] { fresh.tryCharge("bad", 1.0, 5.0) }
+    intercept[IllegalArgumentException] { fresh.tryCharge("bad", 0.5, -1.0) }
+    intercept[IllegalArgumentException] { fresh.tryCharge("a\tb", 0.5, 5.0) }
+    assert(fresh.size === 0)
+    fresh.close()
+  }
+
+  test("dpSubsampledGaussianRdpRelease: the mechanism is x60's bit-for-bit; only the accounting differs; a refusal releases nothing") {
+    import graft.operators.{DpLedger, Privacy => P, RdpAccountant}
+    val ev = graft.Tables.events(spark, d)
+    val acc = RdpAccountant.open(freshLedgerDir(), epsBudget = BigDecimal(3))
+    val viaRdp = P.dpSubsampledGaussianRdpRelease(ev, acc, seeded = true)
+      .select("event_type", "day", "released_n").collect()
+    val viaPair = P.dpSubsampledGaussianRelease(ev, seeded = true)
+      .select("event_type", "day", "released_n").collect()
+    assert(viaRdp.toSeq === viaPair.toSeq,
+      "same salt, same sample, same noise — the accountant changes what " +
+        "a schedule may release, never what one release looks like")
+    assert(acc.size === 1, "the release charged its (q, sigma) footprint")
+    acc.close()
+    // refusal: a budget below the single-release readout never builds a
+    // frame (charge-then-release — the mechanism must not run)
+    val tiny = RdpAccountant.open(freshLedgerDir(),
+      epsBudget = BigDecimal("0.1"))
+    intercept[DpLedger.BudgetRefused] {
+      P.dpSubsampledGaussianRdpRelease(ev, tiny, seeded = true)
+    }
+    assert(tiny.size === 0)
+    tiny.close()
+  }
 }

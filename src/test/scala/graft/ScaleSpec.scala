@@ -455,6 +455,24 @@ class ScaleSpec extends AnyFunSuite {
       s"x53's episode chain must run on the materialized dailies, not rescan the corpus:\n$exec")
   }
 
+  test("x61 RDP accounting is pure driver math: a 63-row LocalRelation, zero corpus scans, zero shuffles") {
+    val d = "/root/testdata/sf0.001"
+    val df = SparkEntry.queries("x61_rdp_account")(spark, d)
+    val exec = df.queryExecution.executedPlan.toString
+    // accounting is serialized, release-schedule-sized state by design
+    // (the DpLedger rationale) — at 100 TB the order grid is still 63
+    // rows; a corpus scan or an exchange here would mean the curve was
+    // being derived FROM data, which it must never be
+    assert(!exec.contains("Scan parquet"),
+      s"the Renyi curve is schedule math, never a corpus read:\n$exec")
+    assert(exec.contains("LocalTableScan"),
+      s"the order grid ships as a driver-built LocalRelation:\n$exec")
+    // the presentation sort is the only exchange license; anything more
+    // would mean the curve grew a data dependency
+    assert("Exchange".r.findAllIn(exec).length <= 1,
+      s"at most the presentation sort's exchange:\n$exec")
+  }
+
   test("x16 quality rules are map-only: no join, no aggregate") {
     val d = "/root/testdata/sf0.001"
     val plan = SparkEntry.queries("x16_quality_rules")(spark, d)
