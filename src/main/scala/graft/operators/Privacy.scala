@@ -677,8 +677,21 @@ object Privacy {
 
 
   private def denseCells(events: DataFrame, grp: DataFrame,
+      fills: Seq[(String, Column)], vocabulary: Option[Seq[String]]): DataFrame =
+    denseCellsFrom(events, grp, fills, vocabulary)
+
+  /** [[denseCells]] with an explicit VOCAB SOURCE frame — any frame
+    * carrying an `event_type` column whose distinct values stand in
+    * for the corpus vocabulary when no public one is passed. The batch
+    * entries pass the raw events; the streaming twins pass the
+    * full-corpus cell store (the subsample store must never be the
+    * vocabulary source — a sample-derived release set would make cell
+    * presence depend on the sampling draw). When `vocabulary` is Some,
+    * the source frame is never referenced (no job runs against it).
+    */
+  private def denseCellsFrom(vocabSource: DataFrame, grp: DataFrame,
       fills: Seq[(String, Column)], vocabulary: Option[Seq[String]]): DataFrame = {
-    val s = events.sparkSession
+    val s = vocabSource.sparkSession
     val grid = publicDayGrid(s)
     val vocab = vocabulary match {
       case Some(raw) =>
@@ -690,7 +703,7 @@ object Privacy {
         require(ts.nonEmpty, "a public vocabulary must name at least one type")
         import s.implicits._
         ts.toDF("event_type")
-      case None => events.select("event_type").distinct()
+      case None => vocabSource.select("event_type").distinct()
     }
     grid.crossJoin(broadcast(vocab))
       .join(grp, Seq("event_type", "day"), "left")
@@ -1205,18 +1218,50 @@ object Privacy {
     // validated BEFORE the charge (the x49 contract): q outside (0,1)
     // is not a subsample and must not burn budget
     require(q > 0 && q < 1, s"need 0 < q < 1, got $q")
-    val e1 = BigDecimal(math.exp(1.0))
-      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
-    val epsAmp = BigDecimal(math.log(1.0 + q * (e1 - 1.0)))
-      .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val epsAmp = amplifiedEps(q)
     ledger.foreach(_.charge(releaseId, "laplace_count_subsampled", epsAmp))
     val salt = releaseSalt(seeded)
-    val kept = events.filter(
-      seededUnifKey("dpss|", salt, col("event_id").cast("string")) < lit(q))
+    val kept = events.filter(subsampleKeep("dpss|", salt, q))
     val grp = windowedGroup(kept).agg(count(lit(1)).as("true_n"))
     // vocabulary side from the FULL events frame (see scaladoc); the
     // grouped side from the kept subsample
-    val counts = denseCells(events, grp, "true_n", vocabulary)
+    subsampledCountTail(events, grp, q, epsAmp, salt, vocabulary)
+  }
+
+  /** [[dpSubsampledCountRelease]] from pre-aggregated KEPT-subsample
+    * `(event_type, day, true_n)` cells — the streaming-twin entry
+    * ([[graft.streaming.LiveRelease.subsampledCount]]): the keep
+    * decision is per-event and deterministic given the sampling salt,
+    * so the kept set is batch-invariant, kept-cell counts are additive
+    * over events, and the noise/clamp tail is deterministic given the
+    * cells — live equals batch bit-for-bit on the same records.
+    * `vocabSource` must carry the FULL corpus's event types (the twin
+    * passes the full-cell store; see [[denseCellsFrom]] — a
+    * sample-derived vocabulary would make cell presence depend on the
+    * sampling draw). The window filter commutes with the count like
+    * [[dpStableHistogramFromCells]]'s.
+    */
+  def dpSubsampledCountFromCells(keptCells: DataFrame, vocabSource: DataFrame,
+      q: Double = 0.5, seeded: Boolean = false,
+      ledger: Option[DpLedger] = None,
+      releaseId: String = "subsampled_count",
+      vocabulary: Option[Seq[String]] = None): DataFrame = {
+    require(q > 0 && q < 1, s"need 0 < q < 1, got $q")
+    val epsAmp = amplifiedEps(q)
+    ledger.foreach(_.charge(releaseId, "laplace_count_subsampled", epsAmp))
+    val salt = releaseSalt(seeded)
+    subsampledCountTail(vocabSource,
+      keptCells.filter(inPublicWindow(col("day"))), q, epsAmp, salt, vocabulary)
+  }
+
+  /** x56's dense-grid + Laplace(1/ε₀) + clamp tail, shared by the batch
+    * and FromCells entries so the two spellings cannot drift.
+    */
+  private def subsampledCountTail(vocabSource: DataFrame, grp: DataFrame,
+      q: Double, epsAmp: BigDecimal, salt: String,
+      vocabulary: Option[Seq[String]]): DataFrame = {
+    val counts = denseCellsFrom(vocabSource, grp,
+      Seq("true_n" -> lit(0L)), vocabulary)
     counts.withColumn("noisy",
         col("true_n").cast("double") + laplace(1.0, seededUnif("dpsc|", salt)))
       .select(col("event_type"), col("day"),
@@ -1226,6 +1271,19 @@ object Privacy {
         lit(1.0).as("base_epsilon"))
       .orderBy("event_type", "day")
   }
+
+  /** The Poisson-subsample keep predicate (x56/x60 and their streaming
+    * twins — ONE spelling, so the batch releases and the live stores
+    * cannot sample different sets): keep iff the seeded md5 uniform
+    * over `tag ‖ salt ‖ event_id` falls below q. With an empty salt
+    * (the seeded/test spelling) the sample is publicly recomputable
+    * and any amplification claim is vacuous — [[releaseSalt]]'s
+    * contract; the streaming intake takes the salt as deployment
+    * config because the sample must be FIXED at ingest time.
+    */
+  private[graft] def subsampleKeep(tag: String, salt: String,
+      q: Double): Column =
+    seededUnifKey(tag, salt, col("event_id").cast("string")) < lit(q)
 
   /** x60's base-mechanism δ₀ (1e-6, the x46/x50 read-out value) and the
     * Gaussian σ the classical bound prescribes for (ε₀ = 1, δ₀):
@@ -1335,12 +1393,20 @@ object Privacy {
     */
   private def subsampledGaussianBody(events: DataFrame, q: Double,
       salt: String, vocabulary: Option[Seq[String]]): DataFrame = {
-    val kept = events.filter(
-      seededUnifKey("dpsg|", salt, col("event_id").cast("string")) < lit(q))
+    val kept = events.filter(subsampleKeep("dpsg|", salt, q))
     val grp = windowedGroup(kept).agg(count(lit(1)).as("true_n"))
     // vocabulary side from the FULL events frame (the x56 argument:
     // schema-level knowledge, not a function of the sample)
-    val counts = denseCells(events, grp, "true_n", vocabulary)
+    subsampledGaussianTail(events, grp, q, salt, vocabulary)
+  }
+
+  /** x60's dense-grid + Box–Muller + clamp tail, shared by the batch
+    * body and the FromCells entry so the two spellings cannot drift.
+    */
+  private def subsampledGaussianTail(vocabSource: DataFrame, grp: DataFrame,
+      q: Double, salt: String, vocabulary: Option[Seq[String]]): DataFrame = {
+    val counts = denseCellsFrom(vocabSource, grp,
+      Seq("true_n" -> lit(0L)), vocabulary)
     counts.withColumn("noisy",
         col("true_n").cast("double") + gaussian(SubGaussSigma,
           seededUnif("dpsg1|", salt), seededUnif("dpsg2|", salt)))
@@ -1348,6 +1414,35 @@ object Privacy {
         greatest(lit(0.0), floor(col("noisy") + lit(0.5))).cast("long")
           .as("released_n"),
         lit(q).as("q"), lit(SubGaussSigma).as("sigma"))
+  }
+
+  /** [[dpSubsampledGaussianRelease]] from pre-aggregated KEPT-subsample
+    * `(event_type, day, true_n)` cells — the streaming-twin entry
+    * ([[graft.streaming.LiveRelease.subsampledGaussian]]); the twin
+    * argument is [[dpSubsampledCountFromCells]]'s verbatim (the 'dpsg|'
+    * sample is fixed at ingest by the same [[subsampleKeep]] spelling,
+    * counts are additive, the Gaussian tail is deterministic given the
+    * cells), and the charge is the amplified (ε', δ') PAIR exactly as
+    * the batch entry's.
+    */
+  def dpSubsampledGaussianFromCells(keptCells: DataFrame,
+      vocabSource: DataFrame, q: Double = 0.5, seeded: Boolean = false,
+      ledger: Option[DpLedger] = None,
+      releaseId: String = "subsampled_gauss",
+      vocabulary: Option[Seq[String]] = None): DataFrame = {
+    require(q > 0 && q < 1, s"need 0 < q < 1, got $q")
+    val epsAmp = amplifiedEps(q)
+    val deltaAmp = SubGaussDelta0 * BigDecimal(q)
+    ledger.foreach(_.charge(releaseId, "gaussian_count_subsampled",
+      epsAmp, DpLedger.Epsilon, deltaAmp))
+    val salt = releaseSalt(seeded)
+    subsampledGaussianTail(vocabSource,
+      keptCells.filter(inPublicWindow(col("day"))), q, salt, vocabulary)
+      .select(col("event_type"), col("day"), col("released_n"),
+        lit(epsAmp.toDouble).as("epsilon"),
+        lit(deltaAmp.toDouble).as("delta"),
+        col("q"), col("sigma"))
+      .orderBy("event_type", "day")
   }
 
   /** x60's mechanism under the [[RdpAccountant]] instead of the

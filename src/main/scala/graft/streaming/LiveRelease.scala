@@ -251,4 +251,107 @@ object LiveRelease {
           expr("substring(_rest, length(_ulen) + 2 + cast(_ulen as int))")
             .as("event_type")),
       seeded, capCells, delta, ledger, releaseId)
+
+  // ---- the subsampled twins (x56/x60) -----------------------------------
+
+  // sibling KEPT-subsample stores: one per sample domain ('dpss|' for
+  // the Laplace release, 'dpsg|' for the Gaussian — x60's independence
+  // contract: running both releases must not correlate their
+  // subsamples), keyed like the full-cell store
+  private def subCellCfg(cfg: Config) = LiveCounts.Config(s"${cfg.root}/subcells")
+  private def subgCellCfg(cfg: Config) = LiveCounts.Config(s"${cfg.root}/subgcells")
+
+  /** The full-cell store's event types as the twins' vocabulary source
+    * (the release set must derive from the FULL corpus, never the
+    * sample — [[graft.operators.Privacy.dpSubsampledCountFromCells]]'s
+    * contract), so a deployment running [[startCells]] gets the batch
+    * default's semantics; one that doesn't must pass a public
+    * `vocabulary` (the honest production spelling anyway).
+    */
+  private def cellTypes(s: SparkSession, cfg: Config, asOf: Long): DataFrame =
+    LiveCounts.totals(s, cellCfg(cfg), asOf)
+      .select(expr("substring(key, 12)").as("event_type"))
+
+  private def prepSub(tag: String, samplingSalt: String, q: Double)(
+      events: DataFrame): DataFrame =
+    prepCells(events.filter(Privacy.subsampleKeep(tag, samplingSalt, q)))
+
+  /** Continuous KEPT-subsample intake for [[subsampledCount]]. The
+    * SAMPLING salt is deployment config fixed at ingest time (the
+    * sample must be one draw across the stream's whole life — a salt
+    * that changed between batches would splice two different samples
+    * into one store); the default empty salt is the seeded/test
+    * spelling, publicly recomputable like every seeded release, and
+    * the amplification claim is vacuous under it
+    * ([[graft.operators.Privacy.releaseSalt]]'s contract). Release-time
+    * NOISE salts stay per-release draws exactly as in batch — in the
+    * streaming spelling the two randomness sources are independent
+    * secrets.
+    */
+  def startSubsampled(events: DataFrame, cfg: Config, q: Double = 0.5,
+      samplingSalt: String = ""): StreamingQuery =
+    LiveCounts.start(events, subCellCfg(cfg), prepSub("dpss|", samplingSalt, q))
+
+  def stepSubsampled(events: DataFrame, batchId: Long, cfg: Config,
+      q: Double = 0.5, samplingSalt: String = ""): Unit =
+    LiveCounts.step(prepSub("dpss|", samplingSalt, q)(events), batchId,
+      subCellCfg(cfg))
+
+  def compactSubsampled(s: SparkSession, cfg: Config): Unit =
+    LiveCounts.compact(s, subCellCfg(cfg))
+
+  /** Continuous KEPT-subsample intake for [[subsampledGaussian]] — its
+    * own store under the independent 'dpsg|' sample domain.
+    */
+  def startSubsampledGaussian(events: DataFrame, cfg: Config,
+      q: Double = 0.5, samplingSalt: String = ""): StreamingQuery =
+    LiveCounts.start(events, subgCellCfg(cfg), prepSub("dpsg|", samplingSalt, q))
+
+  def stepSubsampledGaussian(events: DataFrame, batchId: Long, cfg: Config,
+      q: Double = 0.5, samplingSalt: String = ""): Unit =
+    LiveCounts.step(prepSub("dpsg|", samplingSalt, q)(events), batchId,
+      subgCellCfg(cfg))
+
+  def compactSubsampledGaussian(s: SparkSession, cfg: Config): Unit =
+    LiveCounts.compact(s, subgCellCfg(cfg))
+
+  /** The x56 subsampled count release from the live kept-cell store —
+    * the amplification regime's streaming twin (after which EVERY
+    * release regime has one: x47→release, x51→aboveThreshold,
+    * x53→sparse, x54/x55→histograms, x56/x60→these). The keep decision
+    * is per-event and deterministic given the ingest-time sampling
+    * salt, kept-cell counts are additive, and the noise/clamp tail is
+    * deterministic given the cells — live == batch bit-for-bit on the
+    * same records (StreamingSpec pins it). The ledger charge is the
+    * AMPLIFIED ε' exactly as in batch.
+    */
+  def subsampledCount(s: SparkSession, cfg: Config, q: Double = 0.5,
+      seeded: Boolean = false, ledger: Option[DpLedger] = None,
+      releaseId: String = "subsampled_count",
+      vocabulary: Option[Seq[String]] = None,
+      asOf: Long = Long.MaxValue): DataFrame =
+    Privacy.dpSubsampledCountFromCells(
+      subCells(s, subCellCfg(cfg), asOf), cellTypes(s, cfg, asOf),
+      q, seeded, ledger, releaseId, vocabulary)
+
+  /** The x60 subsampled GAUSSIAN release from its live kept-cell
+    * store — [[subsampledCount]]'s sibling in (ε, δ) space; the charge
+    * is the amplified PAIR against the δ-metered ledger, exactly as in
+    * batch.
+    */
+  def subsampledGaussian(s: SparkSession, cfg: Config, q: Double = 0.5,
+      seeded: Boolean = false, ledger: Option[DpLedger] = None,
+      releaseId: String = "subsampled_gauss",
+      vocabulary: Option[Seq[String]] = None,
+      asOf: Long = Long.MaxValue): DataFrame =
+    Privacy.dpSubsampledGaussianFromCells(
+      subCells(s, subgCellCfg(cfg), asOf), cellTypes(s, cfg, asOf),
+      q, seeded, ledger, releaseId, vocabulary)
+
+  /** A kept-subsample store's totals in the FromCells cell schema. */
+  private def subCells(s: SparkSession, ccfg: LiveCounts.Config,
+      asOf: Long): DataFrame =
+    LiveCounts.totals(s, ccfg, asOf)
+      .select(to_timestamp(substring(col("key"), 1, 10)).as("day"),
+        expr("substring(key, 12)").as("event_type"), col("n").as("true_n"))
 }

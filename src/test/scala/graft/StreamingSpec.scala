@@ -1565,6 +1565,80 @@ class StreamingSpec extends AnyFunSuite {
     led.close()
   }
 
+  test("subsampled twins: live kept-cell stores equal batch x56/x60; the pair charge and the vocabulary contract carry over") {
+    // the last release regime without a live twin (x56/x60): the keep
+    // decision is per-event and deterministic given the ingest-time
+    // sampling salt, so the kept set is batch-invariant; kept-cell
+    // counts are additive; the Laplace/Gaussian tails are deterministic
+    // given the cells — live == batch bit-for-bit.
+    val root = java.nio.file.Files.createTempDirectory("graft-live-sub").toString
+    val cfg = graft.streaming.LiveRelease.Config(root)
+    val d = "/root/testdata/sf0.001"
+    val evAll = graft.Tables.events(spark, d)
+    val slices = (0 until 3).map(i => evAll.filter(col("event_id") % 3 === i))
+    slices.zipWithIndex.foreach { case (s, i) =>
+      graft.streaming.LiveRelease.stepSubsampled(s, i.toLong, cfg)
+      graft.streaming.LiveRelease.stepSubsampledGaussian(s, i.toLong, cfg)
+      graft.streaming.LiveRelease.stepCells(s, i.toLong, cfg) // vocabulary source
+    }
+    def liveCount() = graft.streaming.LiveRelease
+      .subsampledCount(spark, cfg, seeded = true).collect().toSeq
+    def liveGauss() = graft.streaming.LiveRelease
+      .subsampledGaussian(spark, cfg, seeded = true).collect().toSeq
+    val batchCount = graft.operators.Privacy
+      .dpSubsampledCountRelease(evAll, seeded = true).collect().toSeq
+    val batchGauss = graft.operators.Privacy
+      .dpSubsampledGaussianRelease(evAll, seeded = true).collect().toSeq
+    assert(batchCount.nonEmpty && batchGauss.nonEmpty)
+    assert(liveCount() === batchCount,
+      "the live x56 must be bit-identical to batch on the same records")
+    assert(liveGauss() === batchGauss,
+      "the live x60 must be bit-identical to batch on the same records")
+    // the two stores sample INDEPENDENT domains: the Laplace twin fed
+    // from the Gaussian store would be a different kept set — guard the
+    // store wiring by checking the kept-cell totals differ
+    val ss = graft.streaming.LiveCounts.totals(spark,
+      graft.streaming.LiveCounts.Config(s"$root/subcells"), Long.MaxValue)
+      .agg(org.apache.spark.sql.functions.sum("n")).head().getLong(0)
+    val sg = graft.streaming.LiveCounts.totals(spark,
+      graft.streaming.LiveCounts.Config(s"$root/subgcells"), Long.MaxValue)
+      .agg(org.apache.spark.sql.functions.sum("n")).head().getLong(0)
+    assert(ss !== sg, s"independent 'dpss|'/'dpsg|' samples should differ ($ss vs $sg)")
+    // replay idempotence + fold invisibility
+    graft.streaming.LiveRelease.stepSubsampled(slices(0), 0L, cfg)
+    graft.streaming.LiveRelease.stepSubsampledGaussian(slices(0), 0L, cfg)
+    assert(liveCount() === batchCount && liveGauss() === batchGauss,
+      "replayed batch ids are no-ops")
+    graft.streaming.LiveRelease.compactSubsampled(spark, cfg)
+    graft.streaming.LiveRelease.compactSubsampledGaussian(spark, cfg)
+    assert(liveCount() === batchCount && liveGauss() === batchGauss,
+      "a fold must be invisible to the releases")
+    // a deployment that does NOT run the full-cell intake passes a
+    // public vocabulary instead; both engines then ride the same
+    // explicit release set (the honest production spelling)
+    val vocab = evAll.select("event_type").distinct()
+      .collect().map(_.getString(0)).toSeq
+    assert(graft.streaming.LiveRelease.subsampledCount(spark, cfg,
+      seeded = true, vocabulary = Some(vocab)).collect().toSeq === batchCount)
+    // the live Gaussian charges the amplified PAIR; a δ-less ledger
+    // refuses it outright, and an admitted charge spends both
+    // coordinates exactly
+    val led = graft.operators.DpLedger.open(
+      java.nio.file.Files.createTempDirectory("graft-live-sub-led").toString,
+      budget = BigDecimal(10), deltaBudget = BigDecimal("0.0000005"))
+    assert(graft.streaming.LiveRelease.subsampledGaussian(spark, cfg,
+      seeded = true, ledger = Some(led)).collect().toSeq === batchGauss)
+    assert(led.spent === BigDecimal("0.620114507") &&
+      led.spentDelta === BigDecimal("0.0000005"),
+      s"the amplified pair, exactly: ${led.spent}, ${led.spentDelta}")
+    val refused = intercept[graft.operators.DpLedger.BudgetRefused] {
+      graft.streaming.LiveRelease.subsampledGaussian(spark, cfg,
+        seeded = true, ledger = Some(led))
+    }
+    assert(refused.getMessage.contains("delta budget"))
+    led.close()
+  }
+
   test("live NB: streamed class-count partials rebuild the batch x24 classifier bit-for-bit") {
     import spark.implicits._
     val d = "/root/testdata/sf0.001"
