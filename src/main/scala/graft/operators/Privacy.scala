@@ -1272,6 +1272,30 @@ object Privacy {
       .orderBy("event_type", "day")
   }
 
+  /** [[dpSubsampledGaussianRdpRelease]] from pre-aggregated
+    * KEPT-subsample cells — the RDP-accounted spelling of
+    * [[dpSubsampledGaussianFromCells]] (same mechanism, same twin
+    * argument; the accountant charges the (q, σ) Rényi footprint
+    * instead of the lemma pair). The serving tier's K-schedule entry
+    * ([[graft.serve.IntakeServe]]'s `/subsampled?mech=gauss` under an
+    * `rdpAccountant`).
+    */
+  def dpSubsampledGaussianRdpFromCells(keptCells: DataFrame,
+      vocabSource: DataFrame, accountant: RdpAccountant, q: Double = 0.5,
+      seeded: Boolean = false, releaseId: String = "subsampled_gauss_rdp",
+      vocabulary: Option[Seq[String]] = None): DataFrame = {
+    require(q > 0 && q < 1, s"need 0 < q < 1, got $q")
+    val epsAfter = accountant.charge(releaseId, q, SubGaussSigma)
+    val salt = releaseSalt(seeded)
+    subsampledGaussianTail(vocabSource,
+      keptCells.filter(inPublicWindow(col("day"))), q, salt, vocabulary)
+      .select(col("event_type"), col("day"), col("released_n"),
+        lit(epsAfter).as("eps_total"),
+        lit(accountant.deltaTarget).as("delta_target"),
+        col("q"), col("sigma"))
+      .orderBy("event_type", "day")
+  }
+
   /** The Poisson-subsample keep predicate (x56/x60 and their streaming
     * twins — ONE spelling, so the batch releases and the live stores
     * cannot sample different sets): keep iff the seeded md5 uniform

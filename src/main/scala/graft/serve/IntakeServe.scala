@@ -52,6 +52,16 @@ import graft.streaming.LivePipeline
   *    at `unit=user`) over the live cell stores: each request charges
   *    the (ε, δ) PAIR against the ledger's two budgets, and either
   *    overdraw answers 429;
+  *  - `GET /subsampled[?mech=gauss][&as_of=<batch>]` (same
+  *    construction) — the amplified releases (x56/x60) over the live
+  *    kept-subsample stores at the server's `subsampleQ`: the Laplace
+  *    leg charges the amplified ε', the Gaussian leg the (ε', δ')
+  *    pair — or, under an `rdpAccountant`, its (q, σ) Rényi footprint
+  *    (the K-schedule spelling) — same 429 contract;
+  *  - `GET /rdp` (when constructed with an `rdpAccountant`) — the
+  *    accountant's audit readout: the (q, σ) registry with running
+  *    conversions, budget, δ target, and current spend; charge-free
+  *    (public schedule state, post-processing of charged releases);
   *  - `GET /encode?text=<words>[&model=pruned]` (when constructed
   *    with `tokenizer = Some(datasetDir)`) — the tokenizer serving
   *    twin: Viterbi-segment the text against that dataset's memoized
@@ -83,6 +93,8 @@ final class IntakeServe(spark: SparkSession, cfg: LivePipeline.Config,
     alertThreshold: Double = 100.0,
     histogramDelta: Double = 1e-6,
     histogramCapCells: Int = 4,
+    subsampleQ: Double = 0.5,
+    rdpAccountant: Option[graft.operators.RdpAccountant] = None,
     tokenizer: Option[String] = None) {
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
@@ -272,6 +284,54 @@ final class IntakeServe(spark: SparkSession, cfg: LivePipeline.Config,
             seeded = releaseSeeded, delta = histogramDelta,
             ledger = releaseLedger, releaseId = "stable_hist|http",
             asOf = asOf))
+    })
+    // `GET /subsampled[?mech=gauss][&as_of=<batch>]` — the amplified
+    // releases (x56 Laplace; ?mech=gauss for the x60 Gaussian) over the
+    // live KEPT-subsample stores. The sampling rate is SERVER config
+    // (`subsampleQ`, public like the threshold): a client-supplied q
+    // would sweep the amplification claim against one fixed sample.
+    // Accounting per mechanism: the Laplace leg charges the amplified
+    // ε' to the pair ledger; the Gaussian leg charges the (ε', δ') pair
+    // — unless the server was constructed with an `rdpAccountant`, in
+    // which case it charges the (q, σ) Rényi footprint instead (the
+    // K-schedule spelling; read the running conversion at /rdp). Either
+    // accountant's refusal answers the same 429.
+    server.createContext("/subsampled", (ex: HttpExchange) => Facade.handle(ex) { p =>
+      val asOf = p.get("as_of").map(_.toLong).getOrElse(Long.MaxValue)
+      val mech = p.getOrElse("mech", "laplace")
+      require(mech == "laplace" || mech == "gauss",
+        s"mech must be 'laplace' or 'gauss', got '$mech'")
+      rowsJson(
+        if (mech == "gauss") rdpAccountant match {
+          case Some(acc) =>
+            graft.streaming.LiveRelease.subsampledGaussianRdp(spark, rcfg,
+              acc, q = subsampleQ, seeded = releaseSeeded,
+              releaseId = "subsampled_gauss_rdp|http", asOf = asOf)
+          case None =>
+            graft.streaming.LiveRelease.subsampledGaussian(spark, rcfg,
+              q = subsampleQ, seeded = releaseSeeded,
+              ledger = releaseLedger, releaseId = "subsampled_gauss|http",
+              asOf = asOf)
+        }
+        else
+          graft.streaming.LiveRelease.subsampledCount(spark, rcfg,
+            q = subsampleQ, seeded = releaseSeeded, ledger = releaseLedger,
+            releaseId = "subsampled_count|http", asOf = asOf))
+    })
+  }
+  // `GET /rdp` — the RDP accountant's audit readout (when constructed
+  // with one): the (q, σ) registry with the running post-charge
+  // conversion, plus the budget, δ target, and current spend as
+  // columns. NO charge — the registry is public schedule state (the
+  // DpLedger shippable-audit rationale: release ids and mechanism
+  // parameters, never data), and reading a conversion of
+  // already-charged releases releases nothing new (post-processing).
+  rdpAccountant.foreach { acc =>
+    server.createContext("/rdp", (ex: HttpExchange) => Facade.handle(ex) { _ =>
+      rowsJson(acc.registry(spark)
+        .withColumn("eps_budget", lit(acc.epsBudget.toDouble))
+        .withColumn("delta_target", lit(acc.deltaTarget))
+        .withColumn("eps_spent", lit(acc.spentEpsilon)))
     })
   }
   // `GET /encode?text=<words>[&model=pruned]` — the tokenizer serving

@@ -348,6 +348,21 @@ object LiveRelease {
       subCells(s, subgCellCfg(cfg), asOf), cellTypes(s, cfg, asOf),
       q, seeded, ledger, releaseId, vocabulary)
 
+  /** [[subsampledGaussian]] under the [[graft.operators.RdpAccountant]]
+    * instead of the lemma-pair ledger — the live K-schedule spelling:
+    * each release charges its (q, σ) Rényi footprint; the (ε, δ)
+    * statement falls out once at the accountant's read time. Same
+    * store, same sample, same noise as the pair-accounted twin.
+    */
+  def subsampledGaussianRdp(s: SparkSession, cfg: Config,
+      accountant: graft.operators.RdpAccountant, q: Double = 0.5,
+      seeded: Boolean = false, releaseId: String = "subsampled_gauss_rdp",
+      vocabulary: Option[Seq[String]] = None,
+      asOf: Long = Long.MaxValue): DataFrame =
+    Privacy.dpSubsampledGaussianRdpFromCells(
+      subCells(s, subgCellCfg(cfg), asOf), cellTypes(s, cfg, asOf),
+      accountant, q, seeded, releaseId, vocabulary)
+
   /** A kept-subsample store's totals in the FromCells cell schema. */
   private def subCells(s: SparkSession, ccfg: LiveCounts.Config,
       asOf: Long): DataFrame =

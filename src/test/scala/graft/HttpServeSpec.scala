@@ -406,6 +406,97 @@ class HttpServeSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("/subsampled serves the amplified releases; an RDP accountant swaps in for the Gaussian leg and /rdp reads the schedule") {
+    val d = "/root/testdata/sf0.001"
+    val rroot = java.nio.file.Files.createTempDirectory("graft-intake-sub").toString
+    val rcfg = graft.streaming.LiveRelease.Config(rroot)
+    val ev = Tables.events(spark, d)
+    graft.streaming.LiveRelease.stepSubsampled(ev, 0L, rcfg)
+    graft.streaming.LiveRelease.stepSubsampledGaussian(ev, 0L, rcfg)
+    graft.streaming.LiveRelease.stepCells(ev, 0L, rcfg) // vocabulary source
+    val expLap = graft.operators.Privacy
+      .dpSubsampledCountRelease(ev, seeded = true).collect()
+      .map(_.getAs[Long]("released_n")).toSeq
+    val expGau = graft.operators.Privacy
+      .dpSubsampledGaussianRelease(ev, seeded = true).collect()
+      .map(_.getAs[Long]("released_n")).toSeq
+    assert(expLap.nonEmpty && expGau.nonEmpty)
+    val cfg = graft.streaming.LivePipeline.Config(
+      java.nio.file.Files.createTempDirectory("graft-intake-sub-root").toString)
+    // phase 1: the lemma-pair accounting — δ budget licenses exactly ONE
+    // Gaussian pair; the Laplace leg spends only ε
+    val led = graft.operators.DpLedger.open(
+      java.nio.file.Files.createTempDirectory("graft-sub-ledger").toString,
+      budget = BigDecimal(10), deltaBudget = BigDecimal("0.0000005"))
+    val srv = new graft.serve.IntakeServe(spark, cfg,
+      release = Some(rcfg), releaseLedger = Some(led), releaseSeeded = true)
+    srv.start()
+    try {
+      val base = s"http://127.0.0.1:${srv.boundPort}"
+      val (c1, b1) = get(s"$base/subsampled")
+      assert(c1 === 200)
+      assert("\"released_n\":(\\d+)".r.findAllMatchIn(b1)
+        .map(_.group(1).toLong).toSeq === expLap,
+        s"the Laplace leg must equal batch x56 on the ingested records: $b1")
+      assert(led.spent === BigDecimal("0.620114507") &&
+        led.spentDelta === BigDecimal(0),
+        "the Laplace leg charges the amplified epsilon only")
+      val (c2, b2) = get(s"$base/subsampled?mech=gauss")
+      assert(c2 === 200)
+      assert("\"released_n\":(\\d+)".r.findAllMatchIn(b2)
+        .map(_.group(1).toLong).toSeq === expGau,
+        s"the Gaussian leg must equal batch x60: $b2")
+      assert(led.spentDelta === BigDecimal("0.0000005"),
+        "the Gaussian leg charges the amplified PAIR")
+      // true counts and noise never ship on either leg
+      assert(!b1.contains("true_n") && !b2.contains("noisy"))
+      val (c3, err3) = get(s"$base/subsampled?mech=gauss")
+      assert(c3 === 429 && err3.contains("delta budget"), err3)
+      val (c4, err4) = get(s"$base/subsampled?mech=cauchy")
+      assert(c4 === 400 && err4.contains("mech"), err4)
+      assert(led.spent === BigDecimal("1.240229014"),
+        "refusals and 400s burn nothing")
+    } finally srv.stop()
+    led.close()
+    // phase 2: the RDP accountant swaps in — budget 1.0 at δ = 1e-6
+    // admits exactly THREE Gaussian releases (the x61 curve), and /rdp
+    // reads the schedule charge-free
+    val acc = graft.operators.RdpAccountant.open(
+      java.nio.file.Files.createTempDirectory("graft-sub-rdp").toString,
+      epsBudget = BigDecimal(1))
+    val srv2 = new graft.serve.IntakeServe(spark, cfg,
+      release = Some(rcfg), releaseSeeded = true,
+      rdpAccountant = Some(acc))
+    srv2.start()
+    try {
+      val base = s"http://127.0.0.1:${srv2.boundPort}"
+      (1 to 3).foreach { i =>
+        val (c, b) = get(s"$base/subsampled?mech=gauss")
+        assert(c === 200, s"release $i should be admitted: $b")
+        assert("\"released_n\":(\\d+)".r.findAllMatchIn(b)
+          .map(_.group(1).toLong).toSeq === expGau,
+          "the RDP-accounted mechanism is the same mechanism")
+      }
+      assert(acc.size === 3)
+      val (c4, err) = get(s"$base/subsampled?mech=gauss")
+      assert(c4 === 429 && err.contains("RDP budget exhausted"), err)
+      assert(acc.size === 3, "a refusal appends nothing")
+      // the audit readout: 3 registry rows, running conversion, no charge
+      val (c5, b5) = get(s"$base/rdp")
+      assert(c5 === 200)
+      assert("\"release_id\":\"subsampled_gauss_rdp\\|http\"".r
+        .findAllMatchIn(b5).size === 3, b5)
+      assert(b5.contains("\"eps_spent\":") && b5.contains("\"eps_budget\":")
+        && b5.contains("\"delta_target\":"), b5)
+      assert(acc.size === 3, "/rdp is charge-free")
+      val after = "\"eps_after\":([0-9.]+)".r.findAllMatchIn(b5)
+        .map(_.group(1).toDouble).toSeq
+      assert(after.length === 3 && after === after.sorted,
+        s"eps_after replays the monotone schedule: $after")
+    } finally srv2.stop()
+    acc.close()
+  }
+
   test("/encode serves the trained unigram tokenizer; n_pieces reproduces x58's accounting") {
     import org.apache.spark.sql.functions.col
     val d = "/root/testdata/sf0.001"

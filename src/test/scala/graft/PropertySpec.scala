@@ -172,6 +172,52 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("RdpAccountant: arbitrary (q, sigma) schedules never read past the budget; refusal is exactly the conversion verdict; reload is bit-identical") {
+    // the DpLedger property at the Rényi currency: for ANY schedule of
+    // (q, σ) charges against ANY ε budget, (1) the readout after every
+    // admitted charge stays ≤ budget, (2) a proposal is admitted iff
+    // the POST-charge conversion would stay within budget at its turn
+    // (re-derived here from the public per-order math), (3) a refusal
+    // changes neither the readout nor the registry, and (4) a
+    // close-and-reopen recomputes the identical readout from the
+    // (q, σ) rows (the recompute-at-load durability contract).
+    import graft.operators.RdpAccountant
+    val genQ: Gen[Double] = Gen.oneOf(0.1, 0.25, 0.5, 0.75, 0.9)
+    val genSigma: Gen[Double] = Gen.oneOf(2.0, 4.0, 5.298802527, 8.0)
+    val genSched = Gen.listOfN(8, Gen.zip(genQ, genSigma))
+    val genBudget = Gen.choose(1, 40).map(n => BigDecimal(n) / 10) // 0.1..4.0
+    check("rdp", Prop.forAll(genSched, genBudget) { (sched, budget) =>
+      val dir = java.nio.file.Files.createTempDirectory("graft-prop-rdp").toString
+      val acc = RdpAccountant.open(dir, budget)
+      var totals = Vector.fill(RdpAccountant.Orders.length)(BigDecimal(0))
+      def eps(t: Vector[BigDecimal]): Double =
+        RdpAccountant.Orders.zip(t).map { case (a, v) =>
+          v.toDouble + BigDecimal(math.log(1e6))
+            .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble / (a - 1)
+        }.min
+      val verdictsOk = sched.zipWithIndex.forall { case ((q, sigma), i) =>
+        val after = RdpAccountant.Orders.zip(totals).map { case (a, v) =>
+          v + BigDecimal(RdpAccountant.rdpSampledGaussian(q, sigma, a))
+            .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+        }
+        val shouldAdmit = BigDecimal(eps(after)) <= budget
+        val admitted = acc.tryCharge(s"c$i", q, sigma)
+        if (admitted) totals = after
+        val readout = if (totals.forall(_ == 0)) 0.0 else eps(totals)
+        admitted == shouldAdmit && acc.spentEpsilon == readout &&
+          (totals.forall(_ == 0) || BigDecimal(acc.spentEpsilon) <= budget)
+      }
+      val expectEps = acc.spentEpsilon
+      val expectN = acc.size
+      acc.close()
+      val reopened = RdpAccountant.open(dir, budget)
+      val resumed = reopened.spentEpsilon == expectEps &&
+        reopened.size == expectN
+      reopened.close()
+      verdictsOk && resumed
+    })
+  }
+
   test("checkpoint math: stride-64 invariants and path fan-out") {
     check("ckpt", Prop.forAll(Gen.choose(0L, 0x3ffffffL)) { n =>
       val seq = n * 64 + 63
