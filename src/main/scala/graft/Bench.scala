@@ -444,6 +444,12 @@ object Bench {
       // afternoon window; the high floor makes the recording
       // conservative for a floor-scale micro-query)
       ("x61_rdp_account" -> ((0.222, 0.112))) +
+      // NEW round 19 (continuation): x62 local-DP randomized response —
+      // a pure-map per-record coin, one combinable <= k-key groupBy, a
+      // broadcast k-row vocabulary join, and the estimator as a map
+      // (plus the corpus vocab distinct at plan build, the x56 shape).
+      // Recorded from a 0.066-floor isolated 3-run session
+      ("x62_local_rr_freq" -> ((0.958, 0.066))) +
       // RE-RECORDED round 19 after the over2x_isolated gate fired in
       // the round's final full session (0.135 in-suite, 0.122 in the
       // in-session isolated retry, vs the r12-era 0.055): the wave

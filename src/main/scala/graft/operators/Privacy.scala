@@ -484,6 +484,16 @@ object Privacy {
         (a, rdp, tot, eps, epsStar, epsBasic, 1e-6)
       }.toDF("alpha", "rdp", "rdp_total", "eps", "eps_star", "eps_basic",
         "delta").orderBy("alpha")
+    },
+    // LOCAL DP ([[localFrequencyRelease]]): k-ary randomized response
+    // at collection (Warner 1965 / Kairouz–Oh–Viswanath 2016) + the
+    // debiased frequency estimator — the OTHER privacy model: each
+    // record is ε-locally-private on its own, the collector never
+    // holds truth, the estimate is post-processing, and no ledger
+    // appears because the ε is spent per record at collection, not
+    // per release against a corpus budget.
+    "x62_local_rr_freq" -> { (s, d) =>
+      localFrequencyRelease(Tables.events(s, d), seeded = true)
     }
   )
 
@@ -1409,6 +1419,149 @@ object Privacy {
         lit(deltaAmp.toDouble).as("delta"),
         col("q"), col("sigma"))
       .orderBy("event_type", "day")
+  }
+
+  /** x62: LOCAL differential privacy — k-ary RANDOMIZED RESPONSE
+    * (Warner 1965; the k-ary generalization analyzed in
+    * Kairouz–Oh–Viswanath 2016) with the debiased frequency estimator.
+    * A different privacy MODEL from everything else in the family: the
+    * central-DP releases (x40…x61) trust a curator who holds true data
+    * and noises aggregates; the LOCAL model trusts no one — each
+    * record is randomized AT COLLECTION, the collector only ever holds
+    * reports, and any analysis of them is post-processing. That is
+    * also why NO LEDGER APPEARS here: the ε is a PER-RECORD guarantee
+    * spent at randomization time (each report is ε-locally-private on
+    * its own; a record reports once, so there is no composition across
+    * releases to meter), not a corpus budget spent at release time —
+    * the accounting contrast is the point of the entry.
+    *
+    * Mechanism, per record: report the true type with probability
+    * p = e^ε/(e^ε + k − 1), otherwise one of the k − 1 OTHER types
+    * uniformly (probability q = 1/(e^ε + k − 1) each) — the two-coin
+    * spelling uses the x6 seeded md5 uniforms ('lrr1|' for the truth
+    * coin, 'lrr2|' for the decoy index over the sorted vocabulary,
+    * both keyed by event_id). Likelihood ratio between any two inputs
+    * is at most p/q = e^ε — the ε-LDP statement.
+    *
+    * Frequency estimation is post-processing: with N reports and
+    * obs_t observed for type t, E[obs_t] = n_t·p + (N − n_t)·q, so
+    * n̂_t = (obs_t − N·q)/(p − q) is unbiased. The estimates satisfy
+    * Σ n̂_t = N EXACTLY in the algebra (the q-mass shuffles between
+    * types but never leaves the simplex; the spec pins it to double
+    * rounding), and the released frame carries (p, q, ε) — public
+    * mechanism parameters a consumer needs to judge the noise floor
+    * (sd(n̂) ≈ √(N·q)/(p − q), the well-known steep LDP utility price
+    * vs central DP's O(1/ε)).
+    *
+    * THE VOCABULARY IS THE RESPONSE DOMAIN — part of the mechanism,
+    * fixed before collection, necessarily PUBLIC (every report is one
+    * of its elements by construction). Pass it from deployment config;
+    * the corpus-derived sorted default is the gate convenience with
+    * [[denseCells]]'s caveat sharpened: in the local model the domain
+    * is not just a release-set nicety, a record whose type is OUTSIDE
+    * it cannot be randomized faithfully at all — such records are
+    * dropped before the coin (their membership test consults only the
+    * public list, so the drop leaks nothing beyond domain membership,
+    * which the model already assumes public).
+    *
+    * Determinism: p and q derive from round9(exp(ε)) and pure double
+    * arithmetic (k is the public domain size), the coins are the
+    * md5-uniform spelling, the decoy index floor(u₂·(k−1)) skips the
+    * true type's slot — every step IEEE-identical in both engines, so
+    * the DuckDB oracle replays the whole collection and estimator.
+    * Plan shape: the randomization is a PURE MAP over the corpus
+    * (exactly what "applied at collection" means operationally), then
+    * one combinable groupBy over ≤ k keys, a broadcast dense join over
+    * the k-row vocabulary, and the estimator as a map — nothing
+    * corpus-quadratic, no corpus-sized shuffle beyond the one count.
+    */
+  def localFrequencyRelease(events: DataFrame, eps: Double = 1.0,
+      seeded: Boolean = false,
+      vocabulary: Option[Seq[String]] = None): DataFrame = {
+    require(eps > 0, s"need eps > 0, got $eps")
+    val s = events.sparkSession
+    import s.implicits._
+    val salt = releaseSalt(seeded)
+    val win = windowedDays(events)
+    val ts: Seq[String] = vocabulary.map(_.distinct.sorted).getOrElse(
+      win.select("event_type").distinct()
+        .collect().map(_.getString(0)).toSeq.sorted)
+    require(ts.size >= 2,
+      s"randomized response needs a response domain of >= 2 types, got $ts")
+    val reports = localRandomize(win, eps, salt, ts)
+    localFrequencyFromReports(
+      reports.select(col("day"), col("reported"), lit(1L).as("n")), eps, ts)
+  }
+
+  /** [[localFrequencyRelease]]'s estimator from pre-aggregated (or
+    * unit-weighted) `(day, reported, n)` report cells — the
+    * streaming-twin entry ([[graft.streaming.LiveRelease
+    * .localFrequency]]): randomization happens per record at ingest
+    * (the local model's whole point — the store never holds a true
+    * type), report counts are additive, and the estimator is
+    * deterministic given the counts and the PUBLIC domain, so live
+    * equals batch on the same records. `domain` must be the response
+    * domain the reports were collected under — k enters (p, q), so an
+    * estimator run under a different domain than the collector's is a
+    * silent unit error; fix both from one deployment config.
+    */
+  def localFrequencyFromReports(reportCells: DataFrame, eps: Double,
+      domain: Seq[String]): DataFrame = {
+    require(eps > 0, s"need eps > 0, got $eps")
+    val ts = domain.distinct.sorted
+    require(ts.size >= 2,
+      s"randomized response needs a response domain of >= 2 types, got $ts")
+    val s = reportCells.sparkSession
+    import s.implicits._
+    val k = ts.length
+    val (p, q) = rrProbabilities(eps, k)
+    val win = reportCells.filter(inPublicWindow(col("day")))
+    val obs = win.groupBy(col("reported").as("event_type"))
+      .agg(sum(col("n")).as("n_reports"))
+    val total = win.agg(coalesce(sum(col("n")), lit(0L)).as("n_total"))
+    ts.toDF("event_type")
+      .join(obs, Seq("event_type"), "left")
+      .select(col("event_type"),
+        coalesce(col("n_reports"), lit(0L)).as("n_reports"))
+      .crossJoin(broadcast(total))
+      .select(col("event_type"), col("n_reports"),
+        ((col("n_reports").cast("double") -
+          col("n_total").cast("double") * lit(q)) / lit(p - q)).as("est_n"),
+        lit(eps).as("epsilon"), lit(p).as("p"), lit(q).as("q"))
+      .orderBy("event_type")
+  }
+
+  /** The per-record k-RR map ([[localFrequencyRelease]]'s collection
+    * step, shared with the streaming twin so batch and ingest cannot
+    * randomize differently): rows outside the public domain drop, each
+    * survivor reports its true type under the 'lrr1|' coin or the
+    * 'lrr2|'-indexed decoy among the other k − 1.
+    */
+  private[graft] def localRandomize(events: DataFrame, eps: Double,
+      salt: String, domain: Seq[String]): DataFrame = {
+    val ts = domain
+    val k = ts.length
+    val (p, _) = rrProbabilities(eps, k)
+    val arr = array(ts.map(lit): _*)
+    val u1 = seededUnifKey("lrr1|", salt, col("event_id").cast("string"))
+    val u2 = seededUnifKey("lrr2|", salt, col("event_id").cast("string"))
+    val r0 = array_position(arr, col("event_type")) - 1 // 0-based true slot
+    val j = floor(u2 * lit((k - 1).toDouble)).cast("long") // 0..k-2
+    val decoy0 = when(j < r0, j).otherwise(j + 1) // skip the true slot
+    events.filter(array_position(arr, col("event_type")) > 0)
+      .select(col("*"),
+        when(u1 < lit(p), col("event_type"))
+          .otherwise(element_at(arr, (decoy0 + 1).cast("int"))).as("reported"))
+  }
+
+  /** k-RR (p, q) from round9(exp(ε)) — ONE spelling for batch, twin,
+    * and estimator, IEEE-identical to the oracle's.
+    */
+  private[graft] def rrProbabilities(eps: Double, k: Int): (Double, Double) = {
+    val e9 = BigDecimal(math.exp(eps))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val denom = e9 + (k - 1)
+    (e9 / denom, 1.0 / denom)
   }
 
   /** The subsampled-Gaussian MECHANISM x60 and [[dpSubsampledGaussianRdpRelease]]
@@ -2738,6 +2891,51 @@ object Privacy {
         |  16.0 * round(ln(1.0 + 0.5 * (round(exp(1.0), 9) - 1.0)), 9) AS eps_basic,
         |  CAST(0.000001 AS DOUBLE) AS delta
         |FROM t ORDER BY alpha""".stripMargin,
+    // x62: k-RR collection replayed record-for-record — the 'lrr1|'
+    // truth coin against p = e9/(e9 + k − 1), the 'lrr2|' decoy index
+    // floor(u2·(k−1)) skipping the true type's slot in the sorted
+    // public domain — then the debiased estimator as pure double
+    // arithmetic over the report counts. k is the domain size from the
+    // same sorted-distinct spelling; list indexing is 1-based like
+    // Spark's element_at.
+    "x62_local_rr_freq" ->
+      """WITH win AS (SELECT event_id, event_type FROM events
+        |  WHERE CAST(date_trunc('day', ts) AS TIMESTAMP)
+        |      >= CAST(DATE '2024-01-01' AS TIMESTAMP)
+        |    AND CAST(date_trunc('day', ts) AS TIMESTAMP)
+        |      < CAST(DATE '2024-01-01' + 64 AS TIMESTAMP)),
+        |v AS (SELECT list_sort(list(DISTINCT event_type)) AS arr FROM win),
+        |c AS (SELECT len(arr) AS k,
+        |    round(exp(1.0), 9) / (round(exp(1.0), 9) + (len(arr) - 1)) AS p,
+        |    1.0 / (round(exp(1.0), 9) + (len(arr) - 1)) AS q
+        |  FROM v),
+        |r AS (SELECT w.event_type,
+        |    (CAST(('0x' || substr(md5('lrr1|' || CAST(w.event_id AS VARCHAR)), 1, 8))
+        |        AS BIGINT) + 0.5) / 4294967296.0 AS u1,
+        |    (CAST(('0x' || substr(md5('lrr2|' || CAST(w.event_id AS VARCHAR)), 1, 8))
+        |        AS BIGINT) + 0.5) / 4294967296.0 AS u2,
+        |    list_position(v.arr, w.event_type) - 1 AS r0
+        |  FROM win w, v
+        |  WHERE list_position(v.arr, w.event_type) IS NOT NULL),
+        |rep AS (SELECT CASE WHEN r.u1 < c.p THEN r.event_type
+        |    ELSE list_extract(v.arr,
+        |      CAST((CASE WHEN floor(r.u2 * (c.k - 1)) < r.r0
+        |            THEN floor(r.u2 * (c.k - 1))
+        |            ELSE floor(r.u2 * (c.k - 1)) + 1 END) AS INT) + 1)
+        |    END AS reported
+        |  FROM r, v, c),
+        |types AS (SELECT unnest(arr) AS event_type FROM v),
+        |obs AS (SELECT reported AS event_type,
+        |    CAST(count(*) AS BIGINT) AS n_reports
+        |  FROM rep GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM rep)
+        |SELECT t.event_type,
+        |  coalesce(o.n_reports, CAST(0 AS BIGINT)) AS n_reports,
+        |  (CAST(coalesce(o.n_reports, CAST(0 AS BIGINT)) AS DOUBLE)
+        |     - CAST(n.n_total AS DOUBLE) * c.q) / (c.p - c.q) AS est_n,
+        |  CAST(1.0 AS DOUBLE) AS epsilon, c.p AS p, c.q AS q
+        |FROM types t LEFT JOIN obs o ON o.event_type = t.event_type, n, c
+        |ORDER BY t.event_type""".stripMargin,
     // x49: per-user distinct cells → row_number cap at 4 → cell counts →
     // dense grid → seeded Laplace at scale 4 → clamp+floor. Same
     // md5-uniform and chained-ln spelling as x40, 'dpu|' domain tag.

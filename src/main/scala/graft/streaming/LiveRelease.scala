@@ -363,6 +363,55 @@ object LiveRelease {
       subCells(s, subgCellCfg(cfg), asOf), cellTypes(s, cfg, asOf),
       accountant, q, seeded, releaseId, vocabulary)
 
+  // ---- the LOCAL-DP twin (x62) ------------------------------------------
+
+  private def lrrCellCfg(cfg: Config) = LiveCounts.Config(s"${cfg.root}/lrrcells")
+
+  /** One `(key = ISO-day|reported)` observation per RANDOMIZED record —
+    * the k-RR coin runs HERE, at ingest, which is what the local model
+    * means operationally: the store (and everything downstream) only
+    * ever holds ε-locally-private reports, never a true type. The
+    * response `domain` and the per-record coin salt are deployment
+    * config fixed at collection time (the domain is part of the
+    * mechanism — k enters (p, q); a domain that changed mid-stream
+    * would splice two mechanisms into one store); the default empty
+    * salt is the seeded/test spelling, publicly recomputable like
+    * every seeded release ([[graft.operators.Privacy.releaseSalt]]).
+    */
+  private def prepLocal(domain: Seq[String], eps: Double, salt: String)(
+      events: DataFrame): DataFrame =
+    prepCells(Privacy.localRandomize(events, eps, salt, domain.distinct.sorted)
+      .select(col("ts"), col("reported").as("event_type")))
+
+  def startLocal(events: DataFrame, cfg: Config, domain: Seq[String],
+      eps: Double = 1.0, samplingSalt: String = ""): StreamingQuery =
+    LiveCounts.start(events, lrrCellCfg(cfg), prepLocal(domain, eps, samplingSalt))
+
+  def stepLocal(events: DataFrame, batchId: Long, cfg: Config,
+      domain: Seq[String], eps: Double = 1.0,
+      samplingSalt: String = ""): Unit =
+    LiveCounts.step(prepLocal(domain, eps, samplingSalt)(events), batchId,
+      lrrCellCfg(cfg))
+
+  def compactLocal(s: SparkSession, cfg: Config): Unit =
+    LiveCounts.compact(s, lrrCellCfg(cfg))
+
+  /** The x62 debiased frequency estimate from the live report store —
+    * pure post-processing of already-ε-locally-private reports (no
+    * ledger: the ε was spent per record at [[startLocal]]'s coin).
+    * `domain`/`eps` must match the collector's config
+    * ([[graft.operators.Privacy.localFrequencyFromReports]] carries
+    * the unit-error warning); live == batch with the same domain and
+    * salt (StreamingSpec pins it).
+    */
+  def localFrequency(s: SparkSession, cfg: Config, domain: Seq[String],
+      eps: Double = 1.0, asOf: Long = Long.MaxValue): DataFrame =
+    Privacy.localFrequencyFromReports(
+      LiveCounts.totals(s, lrrCellCfg(cfg), asOf)
+        .select(to_timestamp(substring(col("key"), 1, 10)).as("day"),
+          expr("substring(key, 12)").as("reported"), col("n")),
+      eps, domain)
+
   /** A kept-subsample store's totals in the FromCells cell schema. */
   private def subCells(s: SparkSession, ccfg: LiveCounts.Config,
       asOf: Long): DataFrame =

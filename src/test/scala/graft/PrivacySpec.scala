@@ -1423,6 +1423,78 @@ class PrivacySpec extends AnyFunSuite {
     assert(rel === again, "the seeded gate spelling must be bit-stable")
   }
 
+  test("x62 local DP, executable: a record's report depends only on that record; the estimator is unbiased algebra") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import graft.operators.{Privacy => P}
+    val ev = graft.Tables.events(spark, d)
+    val domain = ev.select("event_type").distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    // THE local property, executable: flip ONE record's true type and
+    // re-collect under the same coins — every other record's report is
+    // bit-identical (the mechanism is a per-record map; contrast the
+    // central releases, where one record moves an aggregate every
+    // other row feeds)
+    val flipId = ev.select("event_id").head().getLong(0)
+    val flipped = ev.withColumn("event_type",
+      org.apache.spark.sql.functions.when(col("event_id") === flipId,
+        lit(domain.last)).otherwise(col("event_type")))
+    def reports(f: org.apache.spark.sql.DataFrame) =
+      P.localRandomize(f, 1.0, "", domain)
+        .select("event_id", "reported").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val (r1, r2) = (reports(ev), reports(flipped))
+    assert(r1.keySet === r2.keySet)
+    val moved = r1.keySet.filter(id => r1(id) != r2(id))
+    assert(moved.subsetOf(Set(flipId)),
+      s"only the flipped record's report may change, got $moved")
+    // the estimator: sums to N exactly (the q-mass never leaves the
+    // simplex), p/q = e^eps (the LDP likelihood-ratio bound), and the
+    // released frame carries the public mechanism parameters
+    val rel = SparkEntry.queries("x62_local_rr_freq")(spark, d).collect()
+    assert(rel.map(_.getAs[String]("event_type")).toSeq === domain)
+    val n = rel.map(_.getAs[Long]("n_reports")).sum
+    val sumEst = rel.map(_.getAs[Double]("est_n")).sum
+    assert(math.abs(sumEst - n) < 1e-6 * math.max(n, 1L),
+      s"sum of estimates $sumEst must equal N=$n")
+    val (p, q) = (rel.head.getAs[Double]("p"), rel.head.getAs[Double]("q"))
+    val e9 = BigDecimal(math.exp(1.0))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(p / q - e9) < 1e-12,
+      "the likelihood ratio between any two inputs is e^eps")
+    assert(rel.toSeq === SparkEntry.queries("x62_local_rr_freq")(spark, d)
+      .collect().toSeq, "the seeded gate spelling must be bit-stable")
+    // a skewed synthetic: the debiased estimates recover the skew well
+    // within the known LDP noise floor sd ~= sqrt(N*q)/(p-q)
+    val skew = {
+      import spark.implicits._
+      (1 to 10000).map { i =>
+        val t = if (i <= 9000) "hot" else if (i <= 9500) "cold1" else "cold2"
+        (i.toLong, java.sql.Timestamp.valueOf("2024-01-10 00:00:00"),
+          i.toLong, t, 1.0, "")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    }
+    val sRel = P.localFrequencyRelease(skew, seeded = true)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("est_n")).toMap
+    val (ps, qs) = P.rrProbabilities(1.0, 3)
+    val sd = math.sqrt(10000.0 * qs) / (ps - qs)
+    assert(math.abs(sRel("hot") - 9000.0) < 5 * sd,
+      s"hot estimate ${sRel("hot")} should be within 5 sd ($sd) of 9000")
+    assert(sRel("hot") > sRel("cold1") && sRel("hot") > sRel("cold2"))
+    // records outside the PUBLIC response domain cannot be randomized
+    // faithfully and drop before the coin
+    val partial = P.localFrequencyRelease(skew, seeded = true,
+      vocabulary = Some(Seq("cold1", "cold2")))
+    assert(partial.agg(org.apache.spark.sql.functions
+      .sum("n_reports")).head().getLong(0) === 1000L)
+    // a caller-bug domain throws before anything runs
+    intercept[IllegalArgumentException] {
+      P.localFrequencyRelease(skew, vocabulary = Some(Seq("hot")))
+    }
+    intercept[IllegalArgumentException] {
+      P.localFrequencyRelease(skew, eps = 0.0)
+    }
+  }
+
   test("x61 RDP accounting, executable: the Renyi route releases the same K=16 schedule for ~4.5x less epsilon than basic composition") {
     import graft.operators.{Privacy => P, RdpAccountant}
     // the executable form of the x60 scaladoc's graduation claim. Both

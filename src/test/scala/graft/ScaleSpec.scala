@@ -455,6 +455,23 @@ class ScaleSpec extends AnyFunSuite {
       s"x53's episode chain must run on the materialized dailies, not rescan the corpus:\n$exec")
   }
 
+  test("x62 local DP: the coin is a pure map, the only corpus exchange is one <= k-key combinable count") {
+    val d = "/root/testdata/sf0.001"
+    val df = SparkEntry.queries("x62_local_rr_freq")(spark, d)
+    val exec = df.queryExecution.executedPlan.toString
+    // the randomization must be a per-record map (that IS the local
+    // model: no record's report consults any other record) — a join or
+    // window on the randomize path would be a design break, not just a
+    // perf smell. The k-row vocabulary and 1-row total join back as
+    // broadcasts; nothing corpus-shaped meets anything corpus-shaped.
+    assert(!exec.contains("SortMergeJoin"),
+      s"all joins are k-row/1-row broadcasts:\n$exec")
+    assert(!exec.contains("CartesianProduct"),
+      s"the total join must broadcast, never product:\n$exec")
+    assert("partial_sum|partial_count|partial\\(".r.findFirstIn(exec).isDefined,
+      s"the report count must combine map-side before its exchange:\n$exec")
+  }
+
   test("x61 RDP accounting is pure driver math: a 63-row LocalRelation, zero corpus scans, zero shuffles") {
     val d = "/root/testdata/sf0.001"
     val df = SparkEntry.queries("x61_rdp_account")(spark, d)
