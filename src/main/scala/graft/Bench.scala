@@ -450,6 +450,11 @@ object Bench {
       // (plus the corpus vocab distinct at plan build, the x56 shape).
       // Recorded from a 0.066-floor isolated 3-run session
       ("x62_local_rr_freq" -> ((0.958, 0.066))) +
+      // NEW round 19 (continuation): x63 range-tree release — one
+      // combinable day groupBy (the x47 corpus exchange), 127-node
+      // noisy tree + 349-row public cover frame as broadcasts.
+      // Recorded from a 0.062-floor isolated 3-run session
+      ("x63_dp_range_tree" -> ((0.669, 0.062))) +
       // RE-RECORDED round 19 after the over2x_isolated gate fired in
       // the round's final full session (0.135 in-suite, 0.122 in the
       // in-session isolated retry, vs the r12-era 0.055): the wave

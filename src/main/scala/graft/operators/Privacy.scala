@@ -494,6 +494,15 @@ object Privacy {
     // per release against a corpus budget.
     "x62_local_rr_freq" -> { (s, d) =>
       localFrequencyRelease(Tables.events(s, d), seeded = true)
+    },
+    // DP RANGE-COUNT release ([[dpRangeRelease]]): the Hay et al.
+    // hierarchical method — noise the x47 dyadic node vector ONCE
+    // (Laplace(7) per node, 'dpr|' domain, one ε for the window), then
+    // answer the PUBLIC query set (58 weekly + 35 thirty-day + the
+    // full window = 94 ranges) as post-processing: each range sums its
+    // ≤ 2(L−1)-node canonical dyadic cover through DECIMAL(28,12).
+    "x63_dp_range_tree" -> { (s, d) =>
+      dpRangeRelease(Tables.events(s, d), seeded = true)
     }
   )
 
@@ -1479,8 +1488,6 @@ object Privacy {
       seeded: Boolean = false,
       vocabulary: Option[Seq[String]] = None): DataFrame = {
     require(eps > 0, s"need eps > 0, got $eps")
-    val s = events.sparkSession
-    import s.implicits._
     val salt = releaseSalt(seeded)
     val win = windowedDays(events)
     val ts: Seq[String] = vocabulary.map(_.distinct.sorted).getOrElse(
@@ -1535,7 +1542,10 @@ object Privacy {
     * step, shared with the streaming twin so batch and ingest cannot
     * randomize differently): rows outside the public domain drop, each
     * survivor reports its true type under the 'lrr1|' coin or the
-    * 'lrr2|'-indexed decoy among the other k − 1.
+    * 'lrr2|'-indexed decoy among the other k − 1. A null `event_id`
+    * nulls both coins and the row reports a decoy unconditionally —
+    * pre-filter null ids (the x55 twin's contract; the synthetic
+    * corpus has none).
     */
   private[graft] def localRandomize(events: DataFrame, eps: Double,
       salt: String, domain: Seq[String]): DataFrame = {
@@ -2012,6 +2022,118 @@ object Privacy {
         .cast("double").as("raw"))
       .select(col("win"), col("t"), col("day"),
         greatest(lit(0L), floor(col("raw") + lit(0.5)).cast("long")).as("win_rel"))
+  }
+
+  /** x63: DP RANGE-COUNT release from ONE noised dyadic tree — the
+    * companion the continual release (x47) implies but does not
+    * provide: x47 answers the T PREFIX queries; analytics wants
+    * ARBITRARY ranges ("how many events in week 12 / in March"), and
+    * answering each with an x40-style release composes linearly. The
+    * hierarchical method (Hay–Rastogi–Miklau–Suciu VLDB 2010; the same
+    * node vector as Chan–Shi–Song) releases the NOISY DYADIC NODES
+    * once — one record lands in one node per level, so the node
+    * vector's L1 sensitivity is L = 7 and Laplace(L/ε) per node spends
+    * ε ONCE — after which EVERY range answer is post-processing: the
+    * canonical dyadic cover of [lo, hi] is ≤ 2(L−1) disjoint aligned
+    * blocks, and the answer is their noisy sum, error O(L·√logT/ε) per
+    * range instead of per-release budget.
+    *
+    * The QUERY SET is public config (the x46 schedule rationale): all
+    * 58 weekly [t, t+6], all 35 thirty-day [t, t+29], and the full
+    * window — 94 answers for one ε. Covers are pure integer math over
+    * the public grid (greedy largest-aligned-block; PrivacySpec pins
+    * disjointness, alignment, exact union, and the ≤ 2(L−1) bound
+    * against brute force for EVERY [lo, hi] pair in the window), so
+    * they carry no data and the released frame's shape is
+    * data-independent. Only clamped integers ship; per-range `n_nodes`
+    * ships as the public error-bar parameter (a consumer's CI scales
+    * with √n_nodes·L/ε).
+    *
+    * Determinism: node sums are exact longs, the node noise is the
+    * seeded 9-digit Laplace under the 'dpr|' domain (an INDEPENDENT
+    * draw from x47's 'dpc|' — the two releases are separate ε charges
+    * and must not share noise), and each cover's sum routes through
+    * DECIMAL(28,12) in both engines (the x47 spelling). Plan shape:
+    * one combinable day groupBy is the only corpus exchange; levels,
+    * nodes (127 rows), and the 349-row cover frame are broadcasts.
+    */
+  def dpRangeRelease(events: DataFrame, seeded: Boolean = false,
+      ledger: Option[DpLedger] = None,
+      releaseId: String = "range_tree"): DataFrame =
+    dpRangeFromDaily(
+      events.select(to_date(col("ts")).as("day"))
+        .groupBy("day").agg(count(lit(1)).as("cnt")),
+      seeded, ledger, releaseId)
+
+  /** [[dpRangeRelease]] from pre-aggregated `(day, cnt)` dailies — the
+    * streaming-twin entry ([[graft.streaming.LiveRelease.rangeRelease]];
+    * day counts are additive, everything downstream is public-grid
+    * math + seeded noise, the x47 twin argument verbatim).
+    */
+  def dpRangeFromDaily(dailyCounts: DataFrame, seeded: Boolean = false,
+      ledger: Option[DpLedger] = None,
+      releaseId: String = "range_tree"): DataFrame = {
+    ledger.foreach(_.charge(releaseId, "tree_range", BigDecimal(1)))
+    val salt = releaseSalt(seeded)
+    val T = ContinualT
+    val L = ContinualL
+    val s = dailyCounts.sparkSession
+    import s.implicits._
+    val grid = s.range(T).select((col("id") + 1).cast("int").as("t"),
+      date_add(to_date(lit(ContinualEpoch)), col("id").cast("int")).as("day"))
+    val counts = grid.join(dailyCounts, Seq("day"), "left")
+      .select(col("t"), col("day"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+    val levels = (0 until L).map(l => (l, 1L << l, 1L << (l + 1)))
+      .toDF("lvl", "p", "p2")
+    val nodes = counts.crossJoin(broadcast(levels))
+      .withColumn("blk", expr("CAST((CAST(t AS BIGINT) - 1) DIV p AS BIGINT)"))
+      .groupBy("lvl", "blk").agg(sum(col("cnt")).as("node_sum"))
+      .withColumn("noisy", round(col("node_sum").cast("double") +
+        laplace(L / 1.0, seededUnifKey("dpr|", salt,
+          concat(col("lvl").cast("string"), lit("|"),
+            col("blk").cast("string")))), 9))
+    // the public query set + its canonical covers — pure integer math
+    // over the public grid, computed driver-side like the x46 schedule
+    val qs: Seq[(Long, Int, Int)] =
+      (1 to T - 6).map(t => (t.toLong, t, t + 6)) ++
+        (1 to T - 29).map(t => (100L + t, t, t + 29)) ++
+        Seq((200L, 1, T))
+    val cover = qs.flatMap { case (qid, lo, hi) =>
+      dyadicCover(lo, hi).map { case (lvl, blk) => (qid, lo, hi, lvl, blk) }
+    }.toDF("qid", "lo", "hi", "lvl", "blk")
+    cover.join(broadcast(nodes), Seq("lvl", "blk"))
+      .groupBy("qid", "lo", "hi")
+      .agg(sum(col("noisy").cast(org.apache.spark.sql.types.DecimalType(28, 12)))
+          .cast("double").as("raw"),
+        count(lit(1)).as("n_nodes"))
+      .select(col("qid"),
+        date_add(to_date(lit(ContinualEpoch)), col("lo") - 1).as("lo_day"),
+        date_add(to_date(lit(ContinualEpoch)), col("hi") - 1).as("hi_day"),
+        greatest(lit(0L), floor(col("raw") + lit(0.5)).cast("long"))
+          .as("released_range"),
+        col("n_nodes"), lit(1.0).as("window_epsilon"))
+      .orderBy("qid")
+  }
+
+  /** The canonical dyadic cover of [lo, hi] (1-based days, both ends
+    * inclusive) as (level, block) nodes: greedy largest block that is
+    * aligned at `lo` and fits — ≤ 2(L−1) disjoint nodes whose union is
+    * exactly the range (PrivacySpec pins all four properties against
+    * brute force for every range in the window).
+    */
+  private[graft] def dyadicCover(lo: Int, hi: Int): Seq[(Int, Long)] = {
+    require(1 <= lo && lo <= hi && hi <= ContinualT,
+      s"range [$lo, $hi] outside the public window [1, $ContinualT]")
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+    var cur = lo
+    while (cur <= hi) {
+      val align = if (cur == 1) ContinualT else Integer.lowestOneBit(cur - 1)
+      val fit = Integer.highestOneBit(hi - cur + 1)
+      val p = math.min(math.min(align, fit), ContinualT)
+      out += ((Integer.numberOfTrailingZeros(p), ((cur - 1) / p).toLong))
+      cur += p
+    }
+    out.toSeq
   }
 
   /** x47's single-window release. ε accounting (r16 advice): the tree
@@ -2936,6 +3058,80 @@ object Privacy {
         |  CAST(1.0 AS DOUBLE) AS epsilon, c.p AS p, c.q AS q
         |FROM types t LEFT JOIN obs o ON o.event_type = t.event_type, n, c
         |ORDER BY t.event_type""".stripMargin,
+    // x63: x47's node construction under the independent 'dpr|' noise
+    // domain, then the canonical dyadic cover of each public range as
+    // a recursive CTE — p = min(largest block aligned at cur, largest
+    // block fitting the remaining span, 64), pure integer/bit math in
+    // both engines — and the cover's noisy sum through DECIMAL(28,12)
+    // with the x47 clamp.
+    "x63_dp_range_tree" ->
+      """WITH RECURSIVE grid AS (SELECT CAST(g.range + 1 AS INT) AS t,
+        |    DATE '2024-01-01' + CAST(g.range AS INT) AS day
+        |  FROM range(0, 64) g),
+        |daily AS (SELECT CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1),
+        |counts AS (SELECT grid.t, grid.day, coalesce(daily.cnt, 0) AS cnt
+        |  FROM grid LEFT JOIN daily ON grid.day = daily.day),
+        |levels AS (SELECT * FROM (VALUES (0,1,2),(1,2,4),(2,4,8),(3,8,16),
+        |    (4,16,32),(5,32,64),(6,64,128)) v(lvl, p, p2)),
+        |nodes AS (SELECT lvl, (t - 1) // p AS blk,
+        |    CAST(SUM(cnt) AS BIGINT) AS node_sum
+        |  FROM counts CROSS JOIN levels GROUP BY 1, 2),
+        |noisy AS (SELECT lvl, blk,
+        |    round(CAST(node_sum AS DOUBLE) +
+        |      round(-7.0 * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5)), 9), 9)
+        |      AS noisy
+        |  FROM (SELECT lvl, blk, node_sum,
+        |      (CAST(('0x' || substr(md5('dpr|' || CAST(lvl AS VARCHAR) || '|' ||
+        |          CAST(blk AS VARCHAR)), 1, 8)) AS BIGINT) + 0.5) /
+        |        4294967296.0 AS u
+        |    FROM nodes)),
+        |qs AS (SELECT CAST(t AS BIGINT) AS qid, CAST(t AS INT) AS lo,
+        |    CAST(t + 6 AS INT) AS hi
+        |  FROM range(1, 59) r(t)
+        |  UNION ALL SELECT CAST(100 + t AS BIGINT), CAST(t AS INT),
+        |    CAST(t + 29 AS INT) FROM range(1, 36) r(t)
+        |  UNION ALL SELECT CAST(200 AS BIGINT), 1, 64),
+        |cov AS (
+        |  SELECT qid, lo, hi, lo AS cur FROM qs
+        |  UNION ALL
+        |  SELECT qid, lo, hi, cur + pp FROM (
+        |    SELECT qid, lo, hi, cur, least(least(
+        |        CASE WHEN cur = 1 THEN 64 ELSE ((cur - 1) & -(cur - 1)) END,
+        |        CASE WHEN hi - cur + 1 >= 64 THEN 64
+        |             WHEN hi - cur + 1 >= 32 THEN 32
+        |             WHEN hi - cur + 1 >= 16 THEN 16
+        |             WHEN hi - cur + 1 >= 8 THEN 8
+        |             WHEN hi - cur + 1 >= 4 THEN 4
+        |             WHEN hi - cur + 1 >= 2 THEN 2
+        |             ELSE 1 END), 64) AS pp
+        |      FROM cov) WHERE cur + pp <= hi),
+        |cnodes AS (SELECT qid, lo, hi,
+        |    CASE pp WHEN 1 THEN 0 WHEN 2 THEN 1 WHEN 4 THEN 2 WHEN 8 THEN 3
+        |         WHEN 16 THEN 4 WHEN 32 THEN 5 ELSE 6 END AS lvl,
+        |    (cur - 1) // pp AS blk
+        |  FROM (SELECT qid, lo, hi, cur, least(least(
+        |      CASE WHEN cur = 1 THEN 64 ELSE ((cur - 1) & -(cur - 1)) END,
+        |      CASE WHEN hi - cur + 1 >= 64 THEN 64
+        |           WHEN hi - cur + 1 >= 32 THEN 32
+        |           WHEN hi - cur + 1 >= 16 THEN 16
+        |           WHEN hi - cur + 1 >= 8 THEN 8
+        |           WHEN hi - cur + 1 >= 4 THEN 4
+        |           WHEN hi - cur + 1 >= 2 THEN 2
+        |           ELSE 1 END), 64) AS pp
+        |    FROM cov))
+        |SELECT c.qid,
+        |  DATE '2024-01-01' + (c.lo - 1) AS lo_day,
+        |  DATE '2024-01-01' + (c.hi - 1) AS hi_day,
+        |  CAST(greatest(0.0, floor(
+        |    CAST(SUM(CAST(n.noisy AS DECIMAL(28,12))) AS DOUBLE) + 0.5)) AS BIGINT)
+        |    AS released_range,
+        |  CAST(count(*) AS BIGINT) AS n_nodes,
+        |  CAST(1.0 AS DOUBLE) AS window_epsilon
+        |FROM cnodes c JOIN noisy n ON c.lvl = n.lvl AND c.blk = n.blk
+        |GROUP BY c.qid, c.lo, c.hi
+        |ORDER BY c.qid""".stripMargin,
     // x49: per-user distinct cells → row_number cap at 4 → cell counts →
     // dense grid → seeded Laplace at scale 4 → clamp+floor. Same
     // md5-uniform and chained-ln spelling as x40, 'dpu|' domain tag.

@@ -149,6 +149,16 @@ object LiveRelease {
     Privacy.dpSparseFromDaily(dailyCounts(s, cfg, asOf),
       threshold, c, seeded, ledger, releaseId)
 
+  /** The x63 range-count release from the live store (the Hay et al.
+    * noised dyadic tree answering the public 94-range query set for
+    * one ε) — the x47 twin argument verbatim: additive day counts +
+    * public-grid math + seeded node noise ⇒ live == batch.
+    */
+  def rangeRelease(s: SparkSession, cfg: Config, seeded: Boolean = false,
+      ledger: Option[DpLedger] = None, releaseId: String = "range_tree",
+      asOf: Long = Long.MaxValue): DataFrame =
+    Privacy.dpRangeFromDaily(dailyCounts(s, cfg, asOf), seeded, ledger, releaseId)
+
   private def dailyCounts(s: SparkSession, cfg: Config, asOf: Long): DataFrame =
     LiveCounts.totals(s, ccfg(cfg), asOf)
       .select(to_date(col("key")).as("day"), col("n").as("cnt"))

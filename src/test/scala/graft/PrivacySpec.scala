@@ -1495,6 +1495,65 @@ class PrivacySpec extends AnyFunSuite {
     }
   }
 
+  test("x63 range tree: every canonical cover is exact; 94 ranges cost one epsilon; per-range error bounded by its node count") {
+    import graft.operators.{DpLedger, Privacy => P}
+    // the cover math, pinned against brute force for EVERY range in
+    // the window: disjoint aligned dyadic blocks whose union is
+    // exactly [lo, hi], at most 2(L-1) of them
+    for (lo <- 1 to 64; hi <- lo to 64) {
+      val c = P.dyadicCover(lo, hi)
+      val days = c.flatMap { case (lvl, blk) =>
+        val p = 1 << lvl
+        (blk.toInt * p + 1) to ((blk.toInt + 1) * p)
+      }
+      assert(days.sorted === (lo to hi).toSeq,
+        s"[$lo,$hi]: cover $c must union exactly to the range")
+      assert(days.distinct.size === days.size, s"[$lo,$hi]: blocks overlap")
+      assert(c.size <= 12, s"[$lo,$hi]: ${c.size} nodes > 2(L-1)")
+    }
+    intercept[IllegalArgumentException] { P.dyadicCover(0, 5) }
+    intercept[IllegalArgumentException] { P.dyadicCover(5, 65) }
+    // the release: 94 public ranges, data-independent shape, one ledger
+    // charge for ALL of them, per-range error within the Laplace(7)
+    // hard tail bound times the cover size
+    val ev = graft.Tables.events(spark, d)
+    val led = DpLedger.open(freshLedgerDir(), budget = BigDecimal(1))
+    val rel = P.dpRangeRelease(ev, seeded = true, ledger = Some(led)).collect()
+    assert(rel.length === 58 + 35 + 1)
+    assert(led.spent === BigDecimal(1),
+      "94 range answers spend ONE epsilon (post-processing of one node vector)")
+    intercept[DpLedger.BudgetRefused] {
+      P.dpRangeRelease(ev, seeded = true, ledger = Some(led))
+    }
+    led.close()
+    val daily = ev.filter(
+        col("ts") >= java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+      .groupBy(to_date(col("ts")).as("day")).count().collect()
+      .map(r => r.getDate(0).toLocalDate -> r.getLong(1)).toMap
+    val epoch = java.time.LocalDate.parse("2024-01-01")
+    rel.foreach { r =>
+      val lo = r.getDate(1).toLocalDate
+      val hi = r.getDate(2).toLocalDate
+      val truth = (0 to java.time.temporal.ChronoUnit.DAYS
+        .between(lo, hi).toInt)
+        .map(i => daily.getOrElse(lo.plusDays(i.toLong), 0L)).sum
+      val n = r.getLong(4)
+      // |Laplace(7)| from a 32-bit seeded uniform is hard-bounded by
+      // 7*ln(2^32) ~= 155.3; +1 covers the rounding
+      assert(math.abs(r.getLong(3) - truth) <= n * 157,
+        s"range [$lo,$hi]: released ${r.getLong(3)} vs true $truth with $n nodes")
+      assert(n >= 1 && n <= 12)
+    }
+    // the full window is one node; its qid ships last
+    val full = rel.last
+    assert(full.getLong(0) === 200L && full.getLong(4) === 1L)
+    assert(full.getDate(1).toLocalDate === epoch &&
+      full.getDate(2).toLocalDate === epoch.plusDays(63))
+    // seeded gate spelling is bit-stable
+    assert(rel.map(_.toSeq).toSeq ===
+      SparkEntry.queries("x63_dp_range_tree")(spark, d).collect().map(_.toSeq).toSeq)
+  }
+
   test("x61 RDP accounting, executable: the Renyi route releases the same K=16 schedule for ~4.5x less epsilon than basic composition") {
     import graft.operators.{Privacy => P, RdpAccountant}
     // the executable form of the x60 scaladoc's graduation claim. Both

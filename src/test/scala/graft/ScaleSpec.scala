@@ -472,6 +472,21 @@ class ScaleSpec extends AnyFunSuite {
       s"the report count must combine map-side before its exchange:\n$exec")
   }
 
+  test("x63 range tree: one corpus day-agg; tree, covers, and answers are broadcast public-window math") {
+    val d = "/root/testdata/sf0.001"
+    val df = SparkEntry.queries("x63_dp_range_tree")(spark, d)
+    val exec = df.queryExecution.executedPlan.toString
+    // the corpus appears in exactly ONE scan (the day groupBy — the
+    // x47 exchange); the 127-node tree, the 349-row cover frame, and
+    // the 94 answers are public-window-sized and join as broadcasts
+    assert("Scan parquet".r.findAllIn(exec).length === 1,
+      s"exactly one corpus scan (the day agg):\n$exec")
+    assert(!exec.contains("SortMergeJoin"),
+      s"cover/node joins are broadcasts, never corpus SMJs:\n$exec")
+    assert("partial_count|partial\\(".r.findFirstIn(exec).isDefined,
+      s"the day count must combine map-side:\n$exec")
+  }
+
   test("x61 RDP accounting is pure driver math: a 63-row LocalRelation, zero corpus scans, zero shuffles") {
     val d = "/root/testdata/sf0.001"
     val df = SparkEntry.queries("x61_rdp_account")(spark, d)

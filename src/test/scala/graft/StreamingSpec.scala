@@ -1311,6 +1311,14 @@ class StreamingSpec extends AnyFunSuite {
           .dpSparseRelease(evAll, threshold = t, seeded = true).collect().toSeq,
         s"sparse twin diverged at threshold $t")
     }
+    // the range-tree twin (x63) rides the same store: additive dailies
+    // + public covers + seeded node noise => live == batch, and the
+    // whole 94-range answer set is one metered epsilon
+    assert(graft.streaming.LiveRelease
+        .rangeRelease(spark, cfg, seeded = true).collect().toSeq ===
+      graft.operators.Privacy
+        .dpRangeRelease(evAll, seeded = true).collect().toSeq,
+      "range twin diverged")
   }
 
   test("SvtMonitor: page once per episode, re-arm charges fresh epsilon, exhausted budget alerts nothing") {
