@@ -62,6 +62,13 @@ import graft.streaming.LivePipeline
   *    accountant's audit readout: the (q, σ) registry with running
   *    conversions, budget, δ target, and current spend; charge-free
   *    (public schedule state, post-processing of charged releases);
+  *  - `GET /range[?as_of=<batch>]` (release construction) — the x63
+  *    range-count release: 94 public range answers from one noised
+  *    dyadic tree, ONE ε per request, same 429 contract;
+  *  - `GET /local[?as_of=<batch>]` (when constructed with a
+  *    `localDomain`) — the x62 local-DP frequency estimate from the
+  *    live report store; CHARGE-FREE by design (ε was spent per
+  *    record at the ingest coin; reading reports is post-processing);
   *  - `GET /encode?text=<words>[&model=pruned]` (when constructed
   *    with `tokenizer = Some(datasetDir)`) — the tokenizer serving
   *    twin: Viterbi-segment the text against that dataset's memoized
@@ -95,6 +102,8 @@ final class IntakeServe(spark: SparkSession, cfg: LivePipeline.Config,
     histogramCapCells: Int = 4,
     subsampleQ: Double = 0.5,
     rdpAccountant: Option[graft.operators.RdpAccountant] = None,
+    localDomain: Seq[String] = Nil,
+    localEps: Double = 1.0,
     tokenizer: Option[String] = None) {
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
@@ -318,6 +327,33 @@ final class IntakeServe(spark: SparkSession, cfg: LivePipeline.Config,
             q = subsampleQ, seeded = releaseSeeded, ledger = releaseLedger,
             releaseId = "subsampled_count|http", asOf = asOf))
     })
+    // `GET /range[?as_of=<batch>]` — the x63 range-count release over
+    // the live day-count store: 94 public range answers from one
+    // noised dyadic tree, ONE ε per request through the same
+    // ledger/429 contract as /release (the whole answer set is
+    // post-processing of one node vector — that is the endpoint's
+    // selling point vs 94 /release-shaped charges).
+    server.createContext("/range", (ex: HttpExchange) => Facade.handle(ex) { p =>
+      val asOf = p.get("as_of").map(_.toLong).getOrElse(Long.MaxValue)
+      rowsJson(graft.streaming.LiveRelease.rangeRelease(spark, rcfg,
+        seeded = releaseSeeded, ledger = releaseLedger,
+        releaseId = "range_tree|http", asOf = asOf))
+    })
+    // `GET /local[?as_of=<batch>]` (when constructed with a
+    // `localDomain`) — the x62 debiased frequency estimate from the
+    // live report store. CHARGE-FREE BY DESIGN, the local model's
+    // accounting on the wire: the ε was spent per record at the
+    // ingest-time coin ([[graft.streaming.LiveRelease.startLocal]]),
+    // the store holds only ε-locally-private reports, and any reading
+    // of them is post-processing — there is no budget left to refuse.
+    // Domain and ε are SERVER config and must match the collector's
+    // (the estimator's documented unit-error contract).
+    if (localDomain.nonEmpty)
+      server.createContext("/local", (ex: HttpExchange) => Facade.handle(ex) { p =>
+        val asOf = p.get("as_of").map(_.toLong).getOrElse(Long.MaxValue)
+        rowsJson(graft.streaming.LiveRelease.localFrequency(spark, rcfg,
+          localDomain, localEps, asOf = asOf))
+      })
   }
   // `GET /rdp` — the RDP accountant's audit readout (when constructed
   // with one): the (q, σ) registry with the running post-charge

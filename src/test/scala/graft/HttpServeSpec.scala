@@ -497,6 +497,57 @@ class HttpServeSpec extends AnyFunSuite {
     acc.close()
   }
 
+  test("/range serves 94 answers for one epsilon; /local is charge-free because epsilon was spent at the ingest coin") {
+    val d = "/root/testdata/sf0.001"
+    val rroot = java.nio.file.Files.createTempDirectory("graft-intake-range").toString
+    val rcfg = graft.streaming.LiveRelease.Config(rroot)
+    val ev = Tables.events(spark, d)
+    val domain = ev.select("event_type").distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    graft.streaming.LiveRelease.step(ev, 0L, rcfg) // day store (/range)
+    graft.streaming.LiveRelease.stepLocal(ev, 0L, rcfg, domain) // reports
+    val expRange = graft.operators.Privacy.dpRangeRelease(ev, seeded = true)
+      .collect().map(_.getAs[Long]("released_range")).toSeq
+    val expLocal = graft.operators.Privacy
+      .localFrequencyRelease(ev, seeded = true, vocabulary = Some(domain))
+      .collect().map(_.getAs[Double]("est_n")).toSeq
+    val led = graft.operators.DpLedger.open(
+      java.nio.file.Files.createTempDirectory("graft-range-ledger").toString,
+      budget = BigDecimal(1))
+    val cfg = graft.streaming.LivePipeline.Config(
+      java.nio.file.Files.createTempDirectory("graft-intake-range-root").toString)
+    val srv = new graft.serve.IntakeServe(spark, cfg,
+      release = Some(rcfg), releaseLedger = Some(led), releaseSeeded = true,
+      localDomain = domain)
+    srv.start()
+    try {
+      val base = s"http://127.0.0.1:${srv.boundPort}"
+      val (c1, b1) = get(s"$base/range")
+      assert(c1 === 200)
+      assert("\"released_range\":(\\d+)".r.findAllMatchIn(b1)
+        .map(_.group(1).toLong).toSeq === expRange,
+        s"/range must equal batch x63 on the ingested records: $b1")
+      assert("\"qid\":".r.findAllMatchIn(b1).size === 94)
+      assert(led.spent === BigDecimal(1),
+        "94 range answers cost ONE epsilon on the wire")
+      // second request = a NEW release = a new charge the budget refuses
+      val (c2, err2) = get(s"$base/range")
+      assert(c2 === 429 && err2.contains("DP budget exhausted"), err2)
+      // /local: bit-equal to batch, and NO ledger interaction — the
+      // report store holds only randomized reports, reading them is
+      // post-processing; repeat reads stay 200 with spend unchanged
+      for (_ <- 1 to 2) {
+        val (c3, b3) = get(s"$base/local")
+        assert(c3 === 200)
+        assert("\"est_n\":(-?[0-9.]+(?:E-?[0-9]+)?)".r.findAllMatchIn(b3)
+          .map(_.group(1).toDouble).toSeq === expLocal,
+          s"/local must equal the batch x62 estimate: $b3")
+      }
+      assert(led.spent === BigDecimal(1), "/local never charges")
+    } finally srv.stop()
+    led.close()
+  }
+
   test("/encode serves the trained unigram tokenizer; n_pieces reproduces x58's accounting") {
     import org.apache.spark.sql.functions.col
     val d = "/root/testdata/sf0.001"
