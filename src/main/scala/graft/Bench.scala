@@ -440,10 +440,11 @@ object Bench {
       // NEW round 19 (continuation): x61 RDP accountant readout — pure
       // driver math (63-row LocalRelation, zero corpus scans; the
       // ScaleSpec pin), so the entry is floor-scale by construction.
-      // Recorded from a 0.112-floor isolated 3-run session (a loaded
-      // afternoon window; the high floor makes the recording
-      // conservative for a floor-scale micro-query)
-      ("x61_rdp_account" -> ((0.222, 0.112))) +
+      // RE-RECORDED same round from a 0.099-floor isolated 3-run
+      // session after the first (0.222 @ 0.112) loaded-afternoon
+      // recording read 2.5x the calm full-suite value — the re-record
+      // discipline follows the measurement in either direction
+      ("x61_rdp_account" -> ((0.142, 0.099))) +
       // NEW round 19 (continuation): x62 local-DP randomized response —
       // a pure-map per-record coin, one combinable <= k-key groupBy, a
       // broadcast k-row vocabulary join, and the estimator as a map
