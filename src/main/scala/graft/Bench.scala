@@ -456,6 +456,12 @@ object Bench {
       // noisy tree + 349-row public cover frame as broadcasts.
       // Recorded from a 0.062-floor isolated 3-run session
       ("x63_dp_range_tree" -> ((0.669, 0.062))) +
+      // NEW round 19 (continuation): x64 quantile release — x44's plan
+      // (one combinable (type, bin) groupBy; candidate-frame windows)
+      // crossed with the 4-row public quantile frame plus the tiny
+      // monotonize self-join. Recorded from a 0.058-floor isolated
+      // 3-run session
+      ("x64_dp_quantiles" -> ((0.907, 0.058))) +
       // RE-RECORDED round 19 after the over2x_isolated gate fired in
       // the round's final full session (0.135 in-suite, 0.122 in the
       // in-session isolated retry, vs the r12-era 0.055): the wave

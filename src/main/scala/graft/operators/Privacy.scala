@@ -503,6 +503,15 @@ object Privacy {
     // ≤ 2(L−1)-node canonical dyadic cover through DECIMAL(28,12).
     "x63_dp_range_tree" -> { (s, d) =>
       dpRangeRelease(Tables.events(s, d), seeded = true)
+    },
+    // Exponential-mechanism QUANTILE release ([[dpQuantileRelease]]):
+    // x44's rank-distance selection generalized to the public set
+    // {0.25, 0.5, 0.75, 0.9} at ε/4 each (sequential within a type,
+    // parallel across types — the frame costs ε = 1), with the
+    // inverted-quantile failure mode closed by sorted post-processing
+    // (released_q monotone; raw_q the same multiset, permuted).
+    "x64_dp_quantiles" -> { (s, d) =>
+      dpQuantileRelease(Tables.events(s, d), seeded = true)
     }
   )
 
@@ -1861,6 +1870,102 @@ object Privacy {
       .orderBy("day")
   }
 
+  /** x64: exponential-mechanism QUANTILE release — x44's median
+    * generalized to a public quantile SET, completing the selection
+    * family (argmax x43, median x44, quantiles x64; the classical
+    * construction, Smith STOC 2011 §3). For each type and each
+    * q ∈ the PUBLIC set (default {0.25, 0.5, 0.75, 0.9} — deployment
+    * config like the bin grid), the rank-distance utility
+    * u_q(b) = −|cum(b) − q·n| scores the same dense public 64-bin
+    * candidate grid as x44, and the Gumbel-max trick samples
+    * ∝ exp(ε_q·u/(2Δ)) with Δ = 1 and ε_q = ε/|Q| — sequential
+    * composition across the |Q| selections WITHIN a type, parallel
+    * composition across types, so the whole frame costs ε = 1,
+    * charged once.
+    *
+    * MONOTONIZATION (the classic wrinkle, handled): the |Q|
+    * selections are independent, so nothing forces the released
+    * q=0.25 value below the released q=0.75 value — inverted
+    * quantiles are a real failure mode of per-quantile mechanisms.
+    * The fix is pure post-processing (costs nothing): sort the
+    * released values within each type and assign them to the sorted
+    * quantiles. Both the raw winner (`raw_q`) and the monotone
+    * assignment (`released_q`) ship — the same released multiset,
+    * permuted — and the spec pins released_q nondecreasing in q with
+    * raw_q a permutation of it per type.
+    *
+    * Exactness: x44's spelling with the q·n product the one new
+    * double op (q = 0.9 is not binary-exact, but both engines compute
+    * the identical IEEE product of identical operands — the x10
+    * discipline never required exactness, only bit-equality); the
+    * score is one add of u/(2|Q|) + the rounded Gumbel under the
+    * 'dpqn|' seed domain (independent of x44's 'dpm|'), ties break by
+    * bin. Plan shape: x44's — one combinable (type, bin) groupBy is
+    * the only corpus exchange; candidates, scores, winners, and the
+    * |Q|-row-per-type monotonize join are all candidate-frame-sized.
+    */
+  def dpQuantileRelease(events: DataFrame, seeded: Boolean = false,
+      ledger: Option[DpLedger] = None, releaseId: String = "quantiles",
+      quantiles: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.9)): DataFrame = {
+    val qs = quantiles.distinct.sorted
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q < 1),
+      s"quantiles must lie strictly in (0, 1), got $quantiles")
+    ledger.foreach(_.charge(releaseId, "exp_quantiles", BigDecimal(1)))
+    val salt = releaseSalt(seeded)
+    val bins = 64
+    val hi = 512.0
+    val w = hi / bins // 8.0, exact in binary
+    val s = events.sparkSession
+    import s.implicits._
+    val binned = events
+      .select(col("event_type"),
+        least(lit(bins - 1),
+          floor(least(greatest(col("value"), lit(0.0)), lit(hi)) / lit(w)).cast("int"))
+          .as("bin"))
+      .groupBy("event_type", "bin").agg(count(lit(1)).as("c"))
+    val cand = binned.select("event_type").distinct()
+      .crossJoin(s.range(bins).select(col("id").cast("int").as("bin")))
+    val counts = cand.join(binned, Seq("event_type", "bin"), "left")
+      .select(col("event_type"), col("bin"), coalesce(col("c"), lit(0L)).as("c"))
+    val wType = Window.partitionBy("event_type")
+    val wCum = wType.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = counts
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n", sum(col("c")).over(wType))
+    // q beside its literal string spelling: the string rides the seed
+    // (both engines interpolate the same characters) while the double
+    // rides the arithmetic
+    val qdf = qs.map(q => (q, q.toString)).toDF("q", "qname")
+    val scale = 2.0 * qs.length // 8.0 at the default set — exact
+    val u = seededUnifKey("dpqn|", salt,
+      concat(col("event_type"), lit("|"), col("qname"), lit("|"),
+        col("bin").cast("string")))
+    val winners = base.crossJoin(broadcast(qdf))
+      .withColumn("score",
+        -abs(col("cum").cast("double") - col("q") * col("n").cast("double")) /
+          lit(scale) + gumbel(u))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("event_type", "qname")
+          .orderBy(col("score").desc, col("bin"))))
+      .filter(col("rk") === 1)
+      .select(col("event_type"), col("q"),
+        ((col("bin").cast("double") + lit(0.5)) * lit(w)).as("raw_q"))
+    // monotonize: sorted released values meet sorted quantiles
+    val rq = winners.withColumn("rkq",
+      row_number().over(Window.partitionBy("event_type").orderBy("q")))
+    val rv = winners
+      .select(col("event_type").as("et2"), col("raw_q").as("v"),
+        col("q").as("q2"))
+      .withColumn("rkv", row_number().over(
+        Window.partitionBy("et2").orderBy(col("v"), col("q2"))))
+    rq.join(rv, rq("event_type") === rv("et2") && rq("rkq") === rv("rkv"))
+      .select(col("event_type"), col("q").as("quantile"),
+        col("v").as("released_q"), col("raw_q"),
+        lit(1.0 / qs.length).as("epsilon_each"), lit(1.0).as("epsilon"))
+      .orderBy("event_type", "quantile")
+  }
+
   /** x44's exponential-mechanism median release (see the x44 entry for
     * the mechanism and sensitivity accounting). `seeded` per
     * [[releaseSalt]]; Gumbel determinism per [[gumbel]].
@@ -3202,6 +3307,56 @@ object Privacy {
         |SELECT event_type, (CAST(bin AS DOUBLE) + 0.5) * 8.0 AS released_median,
         |  CAST(1.0 AS DOUBLE) AS epsilon, CAST(0.0 AS DOUBLE) AS lo,
         |  CAST(512.0 AS DOUBLE) AS hi
-        |FROM rk WHERE rk = 1 ORDER BY event_type""".stripMargin
+        |FROM rk WHERE rk = 1 ORDER BY event_type""".stripMargin,
+    // x64: x44's bin/candidate/cum spelling, crossed with the public
+    // quantile VALUES (double beside its literal seed string), scored
+    // -|cum - q*n|/8 + the 'dpqn|' Gumbel, per-(type, q) argmax, then
+    // the monotonize self-join (sorted values meet sorted quantiles).
+    "x64_dp_quantiles" ->
+      """WITH b AS (SELECT event_type,
+        |    CAST(least(63, floor(least(greatest(value, 0.0), 512.0) / 8.0)) AS INT)
+        |      AS bin
+        |  FROM events),
+        |c AS (SELECT event_type, bin, CAST(count(*) AS BIGINT) AS c
+        |  FROM b GROUP BY 1, 2),
+        |cand AS (SELECT t.event_type, CAST(g.range AS INT) AS bin
+        |  FROM (SELECT DISTINCT event_type FROM events) t
+        |  CROSS JOIN range(0, 64) g),
+        |d AS (SELECT cand.event_type, cand.bin, coalesce(c.c, 0) AS c
+        |  FROM cand LEFT JOIN c
+        |    ON cand.event_type = c.event_type AND cand.bin = c.bin),
+        |base AS (SELECT event_type, bin,
+        |    CAST(sum(c) OVER (PARTITION BY event_type ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum,
+        |    CAST(sum(c) OVER (PARTITION BY event_type) AS DOUBLE) AS n
+        |  FROM d),
+        |qs AS (SELECT * FROM (VALUES
+        |    (CAST(0.25 AS DOUBLE), '0.25'), (CAST(0.5 AS DOUBLE), '0.5'),
+        |    (CAST(0.75 AS DOUBLE), '0.75'), (CAST(0.9 AS DOUBLE), '0.9'))
+        |  v(q, qname)),
+        |sc AS (SELECT event_type, bin, q, qname,
+        |    -1.0 * abs(cum - q * n) / 8.0 +
+        |      round(-1.0 * ln(-1.0 * least(round(ln(
+        |        (CAST(('0x' || substr(md5('dpqn|' || event_type || '|' || qname
+        |            || '|' || CAST(bin AS VARCHAR)), 1, 8)) AS BIGINT) + 0.5) /
+        |          4294967296.0), 9), -1e-9)), 9) AS score
+        |  FROM base CROSS JOIN qs),
+        |wn AS (SELECT event_type, q, bin,
+        |    row_number() OVER (PARTITION BY event_type, qname
+        |      ORDER BY score DESC, bin) AS rk
+        |  FROM sc),
+        |wr AS (SELECT event_type, q,
+        |    (CAST(bin AS DOUBLE) + 0.5) * 8.0 AS raw_q
+        |  FROM wn WHERE rk = 1),
+        |rq AS (SELECT event_type, q, raw_q,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY q) AS rkq
+        |  FROM wr),
+        |rv AS (SELECT event_type, raw_q AS v,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY raw_q, q) AS rkv
+        |  FROM wr)
+        |SELECT rq.event_type, rq.q AS quantile, rv.v AS released_q, rq.raw_q,
+        |  CAST(0.25 AS DOUBLE) AS epsilon_each, CAST(1.0 AS DOUBLE) AS epsilon
+        |FROM rq JOIN rv ON rq.event_type = rv.event_type AND rq.rkq = rv.rkv
+        |ORDER BY rq.event_type, quantile""".stripMargin
   )
 }

@@ -1554,6 +1554,61 @@ class PrivacySpec extends AnyFunSuite {
       SparkEntry.queries("x63_dp_range_tree")(spark, d).collect().map(_.toSeq).toSeq)
   }
 
+  test("x64 quantiles: one epsilon for the public set, released values monotone, raw winners a permutation, inside the public range") {
+    import graft.operators.{DpLedger, Privacy => P}
+    val ev = graft.Tables.events(spark, d)
+    val led = DpLedger.open(freshLedgerDir(), budget = BigDecimal(1))
+    val rel = P.dpQuantileRelease(ev, seeded = true, ledger = Some(led)).collect()
+    val types = ev.select("event_type").distinct().count().toInt
+    assert(rel.length === types * 4, "one row per (type, public quantile)")
+    assert(led.spent === BigDecimal(1),
+      "the whole quantile frame costs one epsilon (parallel across " +
+        "types, sequential within)")
+    intercept[DpLedger.BudgetRefused] {
+      P.dpQuantileRelease(ev, seeded = true, ledger = Some(led))
+    }
+    led.close()
+    rel.groupBy(_.getString(0)).foreach { case (t, rows) =>
+      val byQ = rows.sortBy(_.getDouble(1))
+      assert(byQ.map(_.getDouble(1)).toSeq === Seq(0.25, 0.5, 0.75, 0.9))
+      val released = byQ.map(_.getDouble(2)).toSeq
+      // THE monotonization contract: whatever the independent Gumbel
+      // draws did, the shipped quantiles never invert
+      assert(released === released.sorted,
+        s"$t: released quantiles must be nondecreasing, got $released")
+      // the monotone assignment permutes the released multiset, never
+      // invents or drops a value
+      assert(released.sorted === byQ.map(_.getDouble(3)).toSeq.sorted,
+        s"$t: released_q must be raw_q's multiset")
+      released.foreach { v =>
+        assert(v > 0.0 && v < 512.0, s"$t: $v outside the public range")
+        assert((v - 4.0) % 8.0 === 0.0, s"$t: $v is not a bin midpoint")
+      }
+      // plausibility: within half the public range of the exact
+      // quantile (catches a sign-flipped or mis-ranked utility while
+      // staying safe for any seed: displacing the winner far needs
+      // more record mass between bins than the Gumbel can pay at eps/4)
+      val vals = ev.filter(col("event_type") === t)
+        .select("value").collect().map(_.getDouble(0)).sorted
+      byQ.foreach { r =>
+        val q = r.getDouble(1)
+        val truth = vals(math.min(vals.length - 1, (q * vals.length).toInt))
+        assert(math.abs(r.getDouble(2) - math.min(truth, 512.0)) < 256.0,
+          s"$t q=$q: released ${r.getDouble(2)} implausibly far from $truth")
+      }
+    }
+    // caller-bug quantile sets throw before any charge
+    intercept[IllegalArgumentException] {
+      P.dpQuantileRelease(ev, quantiles = Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      P.dpQuantileRelease(ev, quantiles = Seq(0.5, 1.0))
+    }
+    // seeded gate spelling is bit-stable
+    assert(rel.map(_.toSeq).toSeq ===
+      SparkEntry.queries("x64_dp_quantiles")(spark, d).collect().map(_.toSeq).toSeq)
+  }
+
   test("x61 RDP accounting, executable: the Renyi route releases the same K=16 schedule for ~4.5x less epsilon than basic composition") {
     import graft.operators.{Privacy => P, RdpAccountant}
     // the executable form of the x60 scaladoc's graduation claim. Both
