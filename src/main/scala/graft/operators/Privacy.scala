@@ -1857,7 +1857,34 @@ object Privacy {
     ledger.foreach(_.charge(releaseId, "exp_argmax", BigDecimal(1)))
     val salt = releaseSalt(seeded)
     val grp = windowedGroup(events).agg(count(lit(1)).as("true_n"))
-    val counts = denseCells(events, grp, "true_n", vocabulary)
+    argmaxCore(events, grp, salt, vocabulary)
+  }
+
+  /** [[dpArgmaxRelease]] from pre-aggregated `(event_type, day, true_n)`
+    * cells — the streaming-twin entry ([[graft.streaming.LiveRelease
+    * .argmaxRelease]], riding the SAME cell store as the x54 twin):
+    * cell counts are additive and the Gumbel selection is
+    * deterministic given the cells, so live equals batch on the same
+    * records. `vocabSource` carries the full-corpus types like the
+    * subsampled twins' ([[denseCellsFrom]]).
+    */
+  def dpArgmaxFromCells(cells: DataFrame, vocabSource: DataFrame,
+      seeded: Boolean = false, ledger: Option[DpLedger] = None,
+      releaseId: String = "argmax",
+      vocabulary: Option[Seq[String]] = None): DataFrame = {
+    ledger.foreach(_.charge(releaseId, "exp_argmax", BigDecimal(1)))
+    val salt = releaseSalt(seeded)
+    argmaxCore(vocabSource, cells.filter(inPublicWindow(col("day"))),
+      salt, vocabulary)
+  }
+
+  /** x43's dense-grid Gumbel selection, shared by the batch and
+    * FromCells entries so the two spellings cannot drift.
+    */
+  private def argmaxCore(vocabSource: DataFrame, grp: DataFrame,
+      salt: String, vocabulary: Option[Seq[String]]): DataFrame = {
+    val counts = denseCellsFrom(vocabSource, grp,
+      Seq("true_n" -> lit(0L)), vocabulary)
       .select(col("day"), col("event_type"), col("true_n"))
     val scored = counts.withColumn("score",
       col("true_n").cast("double") / lit(2.0) + gumbel(seededUnif("dpx|", salt)))
@@ -1912,17 +1939,36 @@ object Privacy {
       s"quantiles must lie strictly in (0, 1), got $quantiles")
     ledger.foreach(_.charge(releaseId, "exp_quantiles", BigDecimal(1)))
     val salt = releaseSalt(seeded)
+    quantileCore(binnedValues(events), salt, qs)
+  }
+
+  /** [[dpQuantileRelease]] from pre-aggregated `(event_type, bin, c)`
+    * value-bin counts — the streaming-twin entry
+    * ([[graft.streaming.LiveRelease.quantileRelease]]);
+    * [[dpMedianFromBinned]]'s twin argument and null-`value`
+    * precondition verbatim.
+    */
+  def dpQuantilesFromBinned(binned: DataFrame, seeded: Boolean = false,
+      ledger: Option[DpLedger] = None, releaseId: String = "quantiles",
+      quantiles: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.9)): DataFrame = {
+    val qs = quantiles.distinct.sorted
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q < 1),
+      s"quantiles must lie strictly in (0, 1), got $quantiles")
+    ledger.foreach(_.charge(releaseId, "exp_quantiles", BigDecimal(1)))
+    val salt = releaseSalt(seeded)
+    quantileCore(binned, salt, qs)
+  }
+
+  /** x64's score/selection/monotonize tail, shared by the batch and
+    * FromBinned entries so the two spellings cannot drift.
+    */
+  private def quantileCore(binned: DataFrame, salt: String,
+      qs: Seq[Double]): DataFrame = {
     val bins = 64
     val hi = 512.0
     val w = hi / bins // 8.0, exact in binary
-    val s = events.sparkSession
+    val s = binned.sparkSession
     import s.implicits._
-    val binned = events
-      .select(col("event_type"),
-        least(lit(bins - 1),
-          floor(least(greatest(col("value"), lit(0.0)), lit(hi)) / lit(w)).cast("int"))
-          .as("bin"))
-      .groupBy("event_type", "bin").agg(count(lit(1)).as("c"))
     val cand = binned.select("event_type").distinct()
       .crossJoin(s.range(bins).select(col("id").cast("int").as("bin")))
     val counts = cand.join(binned, Seq("event_type", "bin"), "left")
@@ -1987,16 +2033,48 @@ object Privacy {
     // composition, ε=1 for the frame, charged once
     ledger.foreach(_.charge(releaseId, "exp_median", BigDecimal(1)))
     val salt = releaseSalt(seeded)
+    medianCore(binnedValues(events), salt)
+  }
+
+  /** [[dpMedianRelease]] from pre-aggregated `(event_type, bin, c)`
+    * value-bin counts — the streaming-twin entry
+    * ([[graft.streaming.LiveRelease.medianRelease]]): the bin
+    * assignment is per-record ([[valueBin]], ONE spelling shared with
+    * the ingest transform), bin counts are additive, and the
+    * candidate/score/selection tail is deterministic given them —
+    * live equals batch on the same records. Precondition: non-null
+    * `value` (a null bins to null and silently leaves the frame in
+    * BOTH spellings — the x55 null-id contract).
+    */
+  def dpMedianFromBinned(binned: DataFrame, seeded: Boolean = false,
+      ledger: Option[DpLedger] = None,
+      releaseId: String = "median"): DataFrame = {
+    ledger.foreach(_.charge(releaseId, "exp_median", BigDecimal(1)))
+    val salt = releaseSalt(seeded)
+    medianCore(binned, salt)
+  }
+
+  /** The public [0, 512]/64 value-bin assignment (x44/x64 and their
+    * streaming twins — one spelling, so batch and ingest cannot bin
+    * differently).
+    */
+  private[graft] def valueBin: Column =
+    least(lit(63),
+      floor(least(greatest(col("value"), lit(0.0)), lit(512.0)) / lit(8.0))
+        .cast("int"))
+
+  private def binnedValues(events: DataFrame): DataFrame =
+    events.select(col("event_type"), valueBin.as("bin"))
+      .groupBy("event_type", "bin").agg(count(lit(1)).as("c"))
+
+  /** x44's candidate/score/selection tail, shared by the batch and
+    * FromBinned entries so the two spellings cannot drift.
+    */
+  private def medianCore(binned: DataFrame, salt: String): DataFrame = {
     val bins = 64
     val hi = 512.0
     val w = hi / bins // 8.0, exact in binary
-    val s = events.sparkSession
-    val binned = events
-      .select(col("event_type"),
-        least(lit(bins - 1),
-          floor(least(greatest(col("value"), lit(0.0)), lit(hi)) / lit(w)).cast("int"))
-          .as("bin"))
-      .groupBy("event_type", "bin").agg(count(lit(1)).as("c"))
+    val s = binned.sparkSession
     val cand = binned.select("event_type").distinct()
       .crossJoin(s.range(bins).select(col("id").cast("int").as("bin")))
     val counts = cand.join(binned, Seq("event_type", "bin"), "left")

@@ -373,6 +373,72 @@ object LiveRelease {
       subCells(s, subgCellCfg(cfg), asOf), cellTypes(s, cfg, asOf),
       accountant, q, seeded, releaseId, vocabulary)
 
+  // ---- the selection-family twins (x43/x44/x64) -------------------------
+
+  /** The x43 exponential-mechanism argmax from the live cell store —
+    * the same store the x54 twin reads (cell counts are additive; the
+    * dense grid × vocabulary and the Gumbel selection are
+    * deterministic given them ⇒ live == batch). Vocabulary contract
+    * per [[subsampledCount]]: the full-cell store's types, or an
+    * explicit public list.
+    */
+  def argmaxRelease(s: SparkSession, cfg: Config, seeded: Boolean = false,
+      ledger: Option[DpLedger] = None, releaseId: String = "argmax",
+      vocabulary: Option[Seq[String]] = None,
+      asOf: Long = Long.MaxValue): DataFrame =
+    Privacy.dpArgmaxFromCells(
+      LiveCounts.totals(s, cellCfg(cfg), asOf)
+        .select(to_timestamp(substring(col("key"), 1, 10)).as("day"),
+          expr("substring(key, 12)").as("event_type"), col("n").as("true_n")),
+      cellTypes(s, cfg, asOf), seeded, ledger, releaseId, vocabulary)
+
+  // value-bin store for the median/quantile twins: key = zero-padded
+  // two-digit public bin FIRST (fixed width, so the type may contain
+  // anything), assigned at ingest by the SAME Privacy.valueBin
+  // spelling the batch releases use
+  private def binCellCfg(cfg: Config) = LiveCounts.Config(s"${cfg.root}/valuebins")
+
+  private def prepValueBins(events: DataFrame): DataFrame =
+    events.select(concat(lpad(Privacy.valueBin.cast("string"), 2, "0"),
+      lit("|"), col("event_type")).as("key"))
+
+  def startValueBins(events: DataFrame, cfg: Config): StreamingQuery =
+    LiveCounts.start(events, binCellCfg(cfg), prepValueBins)
+
+  def stepValueBins(events: DataFrame, batchId: Long, cfg: Config): Unit =
+    LiveCounts.step(prepValueBins(events), batchId, binCellCfg(cfg))
+
+  def compactValueBins(s: SparkSession, cfg: Config): Unit =
+    LiveCounts.compact(s, binCellCfg(cfg))
+
+  private def binnedFromStore(s: SparkSession, cfg: Config,
+      asOf: Long): DataFrame =
+    LiveCounts.totals(s, binCellCfg(cfg), asOf)
+      .select(expr("substring(key, 4)").as("event_type"),
+        substring(col("key"), 1, 2).cast("int").as("bin"),
+        col("n").as("c"))
+
+  /** The x44 median from the live value-bin store (bin assignment at
+    * ingest via the shared spelling, additive bin counts,
+    * deterministic selection tail ⇒ live == batch).
+    */
+  def medianRelease(s: SparkSession, cfg: Config, seeded: Boolean = false,
+      ledger: Option[DpLedger] = None, releaseId: String = "median",
+      asOf: Long = Long.MaxValue): DataFrame =
+    Privacy.dpMedianFromBinned(binnedFromStore(s, cfg, asOf),
+      seeded, ledger, releaseId)
+
+  /** The x64 quantile set from the same value-bin store —
+    * [[medianRelease]]'s sibling with the monotonized public-set
+    * output.
+    */
+  def quantileRelease(s: SparkSession, cfg: Config, seeded: Boolean = false,
+      ledger: Option[DpLedger] = None, releaseId: String = "quantiles",
+      quantiles: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.9),
+      asOf: Long = Long.MaxValue): DataFrame =
+    Privacy.dpQuantilesFromBinned(binnedFromStore(s, cfg, asOf),
+      seeded, ledger, releaseId, quantiles)
+
   // ---- the LOCAL-DP twin (x62) ------------------------------------------
 
   private def lrrCellCfg(cfg: Config) = LiveCounts.Config(s"${cfg.root}/lrrcells")

@@ -1647,6 +1647,61 @@ class StreamingSpec extends AnyFunSuite {
     led.close()
   }
 
+  test("selection-family twins: live cell and value-bin stores rebuild batch x43/x44/x64 bit-for-bit") {
+    // the exponential-mechanism selections get their live spellings:
+    // argmax rides the x54 cell store (additive cell counts), median
+    // and quantiles ride a new value-bin store whose bin assignment
+    // runs at ingest through the SAME Privacy.valueBin spelling batch
+    // uses — additive bin counts + deterministic Gumbel tails ⇒ live
+    // == batch.
+    val root = java.nio.file.Files.createTempDirectory("graft-live-sel").toString
+    val cfg = graft.streaming.LiveRelease.Config(root)
+    val d = "/root/testdata/sf0.001"
+    val evAll = graft.Tables.events(spark, d)
+    val slices = (0 until 3).map(i => evAll.filter(col("event_id") % 3 === i))
+    slices.zipWithIndex.foreach { case (s, i) =>
+      graft.streaming.LiveRelease.stepCells(s, i.toLong, cfg)
+      graft.streaming.LiveRelease.stepValueBins(s, i.toLong, cfg)
+    }
+    def liveArgmax() = graft.streaming.LiveRelease
+      .argmaxRelease(spark, cfg, seeded = true).collect().toSeq
+    def liveMedian() = graft.streaming.LiveRelease
+      .medianRelease(spark, cfg, seeded = true).collect().toSeq
+    def liveQuant() = graft.streaming.LiveRelease
+      .quantileRelease(spark, cfg, seeded = true).collect().toSeq
+    val batchArgmax = graft.operators.Privacy
+      .dpArgmaxRelease(evAll, seeded = true).collect().toSeq
+    val batchMedian = graft.operators.Privacy
+      .dpMedianRelease(evAll, seeded = true).collect().toSeq
+    val batchQuant = graft.operators.Privacy
+      .dpQuantileRelease(evAll, seeded = true).collect().toSeq
+    assert(batchArgmax.nonEmpty && batchMedian.nonEmpty && batchQuant.nonEmpty)
+    assert(liveArgmax() === batchArgmax, "argmax twin diverged")
+    assert(liveMedian() === batchMedian, "median twin diverged")
+    assert(liveQuant() === batchQuant, "quantile twin diverged")
+    // replay idempotence + fold invisibility on the new store
+    graft.streaming.LiveRelease.stepValueBins(slices(0), 0L, cfg)
+    assert(liveMedian() === batchMedian && liveQuant() === batchQuant,
+      "replayed batch ids are no-ops")
+    graft.streaming.LiveRelease.compactValueBins(spark, cfg)
+    assert(liveMedian() === batchMedian && liveQuant() === batchQuant,
+      "a fold must be invisible to the releases")
+    // live charges mirror batch: each selection frame costs one epsilon
+    val led = graft.operators.DpLedger.open(
+      java.nio.file.Files.createTempDirectory("graft-sel-ledger").toString,
+      budget = BigDecimal(2))
+    assert(graft.streaming.LiveRelease.argmaxRelease(spark, cfg,
+      seeded = true, ledger = Some(led)).collect().toSeq === batchArgmax)
+    assert(graft.streaming.LiveRelease.quantileRelease(spark, cfg,
+      seeded = true, ledger = Some(led)).collect().toSeq === batchQuant)
+    assert(led.spent === BigDecimal(2))
+    intercept[graft.operators.DpLedger.BudgetRefused] {
+      graft.streaming.LiveRelease.medianRelease(spark, cfg,
+        seeded = true, ledger = Some(led))
+    }
+    led.close()
+  }
+
   test("local-DP twin: ingest-time randomization; the live report store rebuilds the batch x62 estimate bit-for-bit") {
     // the LOCAL model run the way it is meant to run: the k-RR coin
     // fires per record AT INGEST, so the store never holds a true
