@@ -635,10 +635,35 @@ object Privacy {
       ledger: Option[DpLedger] = None, releaseId: String = "count",
       vocabulary: Option[Seq[String]] = None): DataFrame = {
     ledger.foreach(_.charge(releaseId, "laplace_count", BigDecimal(1)))
-    val b = 1.0 // Laplace scale = sensitivity / epsilon = 1 / 1
     val salt = releaseSalt(seeded)
     val grp = windowedGroup(events).agg(count(lit(1)).as("true_n"))
-    val counts = denseCells(events, grp, "true_n", vocabulary)
+    countCore(events, grp, salt, vocabulary)
+  }
+
+  /** [[dpCountRelease]] from pre-aggregated `(event_type, day, true_n)`
+    * cells — the streaming-twin entry ([[graft.streaming.LiveRelease
+    * .countRelease]], one more consumer of the x54 cell store): cell
+    * counts are additive, the grid/noise/clamp tail deterministic
+    * given them ⇒ live == batch. `vocabSource` per [[denseCellsFrom]].
+    */
+  def dpCountFromCells(cells: DataFrame, vocabSource: DataFrame,
+      seeded: Boolean = false, ledger: Option[DpLedger] = None,
+      releaseId: String = "count",
+      vocabulary: Option[Seq[String]] = None): DataFrame = {
+    ledger.foreach(_.charge(releaseId, "laplace_count", BigDecimal(1)))
+    val salt = releaseSalt(seeded)
+    countCore(vocabSource, cells.filter(inPublicWindow(col("day"))),
+      salt, vocabulary)
+  }
+
+  /** x40's dense-grid Laplace(1/ε) tail, shared by the batch and
+    * FromCells entries so the two spellings cannot drift.
+    */
+  private def countCore(vocabSource: DataFrame, grp: DataFrame,
+      salt: String, vocabulary: Option[Seq[String]]): DataFrame = {
+    val b = 1.0 // Laplace scale = sensitivity / epsilon = 1 / 1
+    val counts = denseCellsFrom(vocabSource, grp,
+      Seq("true_n" -> lit(0L)), vocabulary)
     // only the clamped integer ships: releasing noise or noisy_n beside
     // it would reconstruct true_n exactly and void the mechanism
     counts.withColumn("noisy_n",
@@ -1722,16 +1747,50 @@ object Privacy {
     // sign-flipped-noise) frame still labeled epsilon = 1
     require(capCells >= 1, s"capCells must be >= 1, got $capCells")
     ledger.foreach(_.charge(releaseId, "laplace_user_count", BigDecimal(1)))
-    val b = capCells / 1.0 // Laplace scale = user-level sensitivity / epsilon
     val salt = releaseSalt(seeded)
     val userCells =
       windowedDays(events).select("user_id", "event_type", "day").distinct()
+    userCountCore(events, userCells, capCells, salt, vocabulary)
+  }
+
+  /** [[dpUserCountRelease]] from the pre-aggregated distinct
+    * `(user_id, event_type, day)` user-cell set — the streaming-twin
+    * entry ([[graft.streaming.LiveRelease.userCountRelease]], one more
+    * consumer of the x55 user-cell store): only key PRESENCE feeds the
+    * mechanism, and the distinct set is idempotent-union additive
+    * across batches (the x55 twin argument verbatim), so live equals
+    * batch. The window filter is applied here like every FromCells
+    * entry; `user_id` may arrive as any type — the cap orders by
+    * (day, event_type), so a string-typed id from the store releases
+    * identically to the typed batch column.
+    */
+  def dpUserCountFromUserCells(userCells: DataFrame, vocabSource: DataFrame,
+      seeded: Boolean = false, capCells: Int = 4,
+      ledger: Option[DpLedger] = None, releaseId: String = "user_count",
+      vocabulary: Option[Seq[String]] = None): DataFrame = {
+    require(capCells >= 1, s"capCells must be >= 1, got $capCells")
+    ledger.foreach(_.charge(releaseId, "laplace_user_count", BigDecimal(1)))
+    val salt = releaseSalt(seeded)
+    userCountCore(vocabSource,
+      userCells.filter(inPublicWindow(col("day")))
+        .select("user_id", "event_type", "day").distinct(),
+      capCells, salt, vocabulary)
+  }
+
+  /** x49's cap/count/grid/noise tail, shared by the batch and
+    * FromUserCells entries so the two spellings cannot drift.
+    */
+  private def userCountCore(vocabSource: DataFrame, userCells: DataFrame,
+      capCells: Int, salt: String,
+      vocabulary: Option[Seq[String]]): DataFrame = {
+    val b = capCells / 1.0 // Laplace scale = user-level sensitivity / epsilon
     val w = Window.partitionBy("user_id").orderBy("day", "event_type")
     val kept = userCells.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= capCells)
     val grp = kept.groupBy("event_type", "day")
       .agg(count(lit(1)).as("true_users"))
-    val counts = denseCells(events, grp, "true_users", vocabulary)
+    val counts = denseCellsFrom(vocabSource, grp,
+      Seq("true_users" -> lit(0L)), vocabulary)
     counts.withColumn("noisy",
         col("true_users").cast("double") + laplace(b, seededUnif("dpu|", salt)))
       .select(col("event_type"), col("day"),

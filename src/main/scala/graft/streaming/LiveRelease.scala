@@ -373,6 +373,45 @@ object LiveRelease {
       subCells(s, subgCellCfg(cfg), asOf), cellTypes(s, cfg, asOf),
       accountant, q, seeded, releaseId, vocabulary)
 
+  // ---- the dense-count twins (x40/x49) ----------------------------------
+
+  /** The x40 dense-grid count release from the live cell store (one
+    * more consumer of the x54 store: additive cell counts +
+    * deterministic grid/noise/clamp ⇒ live == batch). Vocabulary
+    * contract per [[subsampledCount]].
+    */
+  def countRelease(s: SparkSession, cfg: Config, seeded: Boolean = false,
+      ledger: Option[DpLedger] = None, releaseId: String = "count",
+      vocabulary: Option[Seq[String]] = None,
+      asOf: Long = Long.MaxValue): DataFrame =
+    Privacy.dpCountFromCells(
+      LiveCounts.totals(s, cellCfg(cfg), asOf)
+        .select(to_timestamp(substring(col("key"), 1, 10)).as("day"),
+          expr("substring(key, 12)").as("event_type"), col("n").as("true_n")),
+      cellTypes(s, cfg, asOf), seeded, ledger, releaseId, vocabulary)
+
+  /** The x49 user-level count release from the live user-cell store
+    * (one more consumer of the x55 store: only key PRESENCE feeds the
+    * mechanism, idempotent-union additive ⇒ live == batch).
+    */
+  def userCountRelease(s: SparkSession, cfg: Config, seeded: Boolean = false,
+      capCells: Int = 4, ledger: Option[DpLedger] = None,
+      releaseId: String = "user_count",
+      vocabulary: Option[Seq[String]] = None,
+      asOf: Long = Long.MaxValue): DataFrame =
+    Privacy.dpUserCountFromUserCells(
+      // invert prepUserCells' length-prefix encoding (the x55 parse)
+      LiveCounts.totals(s, userCellCfg(cfg), asOf)
+        .select(to_timestamp(substring(col("key"), 1, 10)).as("day"),
+          expr("substring(key, 12)").as("_rest"))
+        .withColumn("_ulen", split(col("_rest"), "\\|", 2).getItem(0))
+        .select(col("day"),
+          expr("substring(_rest, length(_ulen) + 2, cast(_ulen as int))")
+            .as("user_id"),
+          expr("substring(_rest, length(_ulen) + 2 + cast(_ulen as int))")
+            .as("event_type")),
+      cellTypes(s, cfg, asOf), seeded, capCells, ledger, releaseId, vocabulary)
+
   // ---- the selection-family twins (x43/x44/x64) -------------------------
 
   /** The x43 exponential-mechanism argmax from the live cell store —

@@ -1542,6 +1542,19 @@ class StreamingSpec extends AnyFunSuite {
       "the live x54 must be bit-identical to batch on the same records")
     assert(liveUser() === batchUser,
       "the live x55 must be bit-identical to batch on the same records")
+    // the dense-count twins ride the SAME two stores: x40 from the
+    // cell counts, x49 from user-cell presence (round-19 continuation
+    // — the dense one-shot regime's live spellings)
+    assert(graft.streaming.LiveRelease
+        .countRelease(spark, cfg, seeded = true).collect().toSeq ===
+      graft.operators.Privacy
+        .dpCountRelease(evAll, seeded = true).collect().toSeq,
+      "the live x40 must be bit-identical to batch")
+    assert(graft.streaming.LiveRelease
+        .userCountRelease(spark, cfg, seeded = true).collect().toSeq ===
+      graft.operators.Privacy
+        .dpUserCountRelease(evAll, seeded = true).collect().toSeq,
+      "the live x49 must be bit-identical to batch")
     // replay idempotence + fold invisibility, both stores
     graft.streaming.LiveRelease.stepCells(slices(0), 0L, cfg)
     graft.streaming.LiveRelease.stepUserCells(slices(0), 0L, cfg)
