@@ -392,8 +392,15 @@ object Dedup {
         val neighborMin = edges
           .join(labels.withColumnRenamed("id", "v").withColumnRenamed("label", "nlabel"), "v")
           .groupBy(col("u").as("id")).agg(min(col("nlabel")).as("nmin"))
+        // `prev` (the round's incoming label) rides along so convergence
+        // is a FILTER over the checkpointed frame, not a re-join against
+        // the previous labels table (r19 optimization: the old spelling
+        // paid one extra keyed join + exchange per round just to count
+        // changes; labels only ever decrease, so label ≠ prev is exactly
+        // the old join's label ≠ old)
         val propagated = labels.join(neighborMin, Seq("id"), "left")
-          .select(col("id"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+          .select(col("id"), col("label").as("prev"),
+            least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
         // pointer doubling: label ← label(label). Neighbor-min alone needs
         // O(diameter) shuffle rounds; the shortcut halves every label
         // chain, so convergence is O(log diameter) rounds — the term that
@@ -402,15 +409,14 @@ object Dedup {
         val short = propagated.as("a")
           .join(propagated.select(col("id").as("lid"), col("label").as("llabel")),
             col("a.label") === col("lid"), "left")
-          .select(col("a.id").as("id"),
+          .select(col("a.id").as("id"), col("a.prev").as("prev"),
             least(col("a.label"), coalesce(col("llabel"), col("a.label"))).as("label"))
         // lazy checkpoint: the convergence count below materializes it,
         // so each round is ONE job instead of checkpoint-job + count-job
         // (driver job-dispatch latency dominates on the tiny label table)
         val next = short.localCheckpoint(false)
-        changed = next.join(labels.withColumnRenamed("label", "old"), "id")
-          .filter(col("label") =!= col("old")).count()
-        labels = next
+        changed = next.filter(col("label") =!= col("prev")).count()
+        labels = next.select("id", "label")
         rounds += 1
       }
       labels.select(col("id").as("doc_id"), col("label").as("cluster"))

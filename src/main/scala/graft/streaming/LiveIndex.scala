@@ -450,17 +450,21 @@ object LiveIndex {
           // bucketed re-layout (doclens by doc_id for the step's replay
           // probe, postings by word for serving's term-bucket pruning)
           // via the shared marker-gated staging
+          // the dedup rides stageBucketedFold's bucket exchange (r19:
+          // the former dropDuplicates here was a second full exchange
+          // of the store); the tombstone anti-join is a broadcast
+          // filter, so it commutes with the dedup
           val flat = parts.map { case (_, p, isFold) =>
               BatchParts.readPartFlat(s, p, isFold, schema)
             }.reduce(_.unionByName(_))
-            .dropDuplicates(keys)
             .join(tomb, Seq("doc_id"), "left_anti")
           // full key sort: postings lay (word, doc_id) so a word's run
           // is doc_id-sorted — the serving path's candidate lookups
           // push In(doc_id) and skip row groups WITHIN a common term's
           // posting list, not just across words; doclens keep their
           // single doc_id key
-          BatchParts.stageBucketedFold(s, dir, hk, gen, flat, bexpr, B, keys)
+          BatchParts.stageBucketedFold(s, dir, hk, gen, flat, bexpr, B, keys,
+            dedupKeys = keys)
           // Fold-side ADDITIVE aggregates, written INSIDE the staging
           // dir before the commit rename (atomic with the fold; the
           // underscore prefix hides them from the fold's own partition
@@ -472,12 +476,19 @@ object LiveIndex {
           // bounded deltas (post-fold batch parts, key-pushed
           // tombstone lookups) instead of re-aggregating the corpus
           // per query — the last corpus-proportional serve reads.
+          // Both read back the JUST-STAGED fold (r19): the old spelling
+          // re-ran the whole union+dedup a second time per sidecar;
+          // the staged files are the deduped store, column-pruned to
+          // the one or two columns each aggregate needs.
           val staging = BatchParts.stagingPath(dir, hk, gen)
+          val staged = s.read.option("basePath", staging)
+            .schema(schema.add(StructField("bucket", IntegerType)))
+            .parquet(staging)
           if (kind == "postings")
-            flat.groupBy("word").agg(count(lit(1)).as("df"))
+            staged.groupBy("word").agg(count(lit(1)).as("df"))
               .write.mode("overwrite").parquet(s"$staging/_termdf")
           else
-            flat.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_tokens"))
+            staged.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_tokens"))
               .na.fill(0L)
               .write.mode("overwrite").parquet(s"$staging/_stats")
           BatchParts.commitFold(s, dir, hk, gen)

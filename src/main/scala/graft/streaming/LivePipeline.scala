@@ -325,7 +325,7 @@ object LivePipeline {
       r.advanced.write.mode("overwrite").parquet(part(cfg.root, "cursors", batchId))
     } finally {
       r.fated.unpersist(); r.quarantine.unpersist(); r.bandRows.unpersist()
-      r.planKeys.foreach(_.unpersist()); ()
+      r.planKeys.foreach(_.unpersist()); r.inPlay.foreach(_.unpersist()); ()
     }
   }
 
@@ -345,7 +345,7 @@ object LivePipeline {
   final case class StepResult(packed: DataFrame, advanced: DataFrame,
       newText: DataFrame, admitted: DataFrame, audit: DataFrame,
       fated: DataFrame, quarantine: DataFrame, bandRows: DataFrame,
-      planKeys: Option[DataFrame] = None)
+      planKeys: Option[DataFrame] = None, inPlay: Option[DataFrame] = None)
 
   /** The step's pure transformation — batch + state frames in,
     * `(packed, advancedCursors, newText, admitted)` out — separated
@@ -561,10 +561,22 @@ object LivePipeline {
     //    bands-store commit (admitted ⊆ probeSet — a semi-join prunes
     //    it down) instead of signing admitted docs a second time;
     //    cache=true persists it across the two uses.
+    // PERSISTED unconditionally (r19 optimization; measured in
+    // OPTIMIZATION_r19.md): inPlay is the common ancestor of TWO plan
+    // branches — probeSet→bandRows (the signing/probe side) and
+    // verdict→fated (the fate side) — and Spark materializes each branch
+    // independently, so even a single downstream action computed the
+    // whole upstream (contract windows, quality features, the exact-
+    // store probe with its corpus-side md5 scan) TWICE. One batch-sized
+    // MEMORY_AND_DISK cache (the `fated` posture; same width class)
+    // halves that. step() unpersists via StepResult; direct callers
+    // (the x30/x31/x37 oracle drivers) lean on the ContextCleaner, the
+    // documented bandRows posture.
     val inPlay = scored.join(corpusDup, Seq("doc_id"), "left")
       .withColumn("dup_in_batch", col("doc_id") =!= col("canonical_doc"))
       .withColumn("dup_of_corpus", coalesce(col("in_corpus"), lit(false)))
       .drop("canonical_doc", "in_corpus")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val probeSet = inPlay.filter(!col("dup_in_batch") && !col("dup_of_corpus") &&
       col("quality_score") >= cfg.minQuality)
     val bandRows0 = Dedup.bandKeys(probeSet.select("doc_id", "text"))
@@ -658,7 +670,7 @@ object LivePipeline {
         (coalesce(col("cum"), lit(0L)) + coalesce(col("add"), lit(0L))).as("cum"))
     StepResult(packed, advanced, newText, admitted,
       fated.select("doc_id", "fate", "quality_score").unionByName(quarantined),
-      fated, quarantine, bandRows, batchKeys)
+      fated, quarantine, bandRows, batchKeys, Some(inPlay))
   }
 
   /** All committed packed output (optionally only batches ≥ `fromBatch`
@@ -1045,14 +1057,16 @@ object LivePipeline {
         // .stageBucketedFold]] — marker-gated, crash-tolerant) — the
         // per-batch probes partition-prune their scans to the arriving
         // batch's buckets, so probe I/O stops scaling with the corpus.
-        // Two keyed corpus exchanges (dedup + the bucket re-layout) at
-        // MAINTENANCE cadence, never per batch.
+        // ONE keyed corpus exchange at MAINTENANCE cadence (r19: the
+        // dedup rides the bucket exchange via stageBucketedFold's
+        // dedupKeys — the former separate distinct was a second full
+        // exchange of the store).
         val flat = parts
           .map { case (_, p, isFold) => BatchParts.readPartFlat(s, p, isFold, schema) }
           .reduce(_.unionByName(_))
-          .distinct()
         BatchParts.stageBucketedFold(s, dir, h, gen, flat,
-          storeBucket(kind), StoreBuckets, storeSortCols(kind))
+          storeBucket(kind), StoreBuckets, storeSortCols(kind),
+          dedupKeys = schema.fieldNames.toSeq)
         BatchParts.commitFold(s, dir, h, gen)
       }
     }
@@ -1382,14 +1396,37 @@ private[streaming] object BatchParts {
     */
   def stageBucketedFold(s: SparkSession, dir: String, h: Long, gen: Long,
       flat: DataFrame, bucketExpr: Column, b: Int,
-      sortCols: Seq[String] = Nil): Unit = {
+      sortCols: Seq[String] = Nil, dedupKeys: Seq[String] = Nil): Unit = {
     val staging = stagingPath(dir, h, gen)
     val laid = flat.withColumn("bucket", bucketExpr)
       .repartition(b, col("bucket"))
+    // `dedupKeys` (r19 optimization): the fold's dedup used to run as a
+    // caller-side distinct/dropDuplicates — a SECOND full exchange of
+    // the store keyed on the row, ahead of the bucket re-layout. The
+    // bucket is a function of the probe key, so equal keys always land
+    // in the same bucket task; deduping AFTER the one bucket exchange —
+    // sort by (sortCols ++ remaining keys), keep the first row of each
+    // key run via lag() — is exchange-free (the window is bucket-keyed,
+    // exactly the partitioning the exchange just established) and the
+    // sort is the same in-bucket sort the row-group layout already
+    // pays. One corpus exchange per fold instead of two; duplicate-key
+    // rows here are replay/compaction debris with identical payloads,
+    // so "first in sort order" and dropDuplicates pick the same values.
+    val orderCols =
+      (sortCols ++ dedupKeys.filterNot(sortCols.contains)).map(col)
     val sorted =
-      if (sortCols.isEmpty) laid
-      else laid.sortWithinPartitions(col("bucket") +: sortCols.map(col): _*)
-    sorted.write.mode("overwrite").partitionBy("bucket").parquet(staging)
+      if (orderCols.isEmpty) laid
+      else laid.sortWithinPartitions(col("bucket") +: orderCols: _*)
+    val out =
+      if (dedupKeys.isEmpty) sorted
+      else {
+        val key = struct(dedupKeys.map(col): _*)
+        val w = Window.partitionBy(col("bucket")).orderBy(orderCols: _*)
+        sorted.withColumn("_prev_key", lag(key, 1).over(w))
+          .filter(col("_prev_key").isNull || col("_prev_key") =!= key)
+          .drop("_prev_key")
+      }
+    out.write.mode("overwrite").partitionBy("bucket").parquet(staging)
     val fs = new Path(dir).getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.create(new Path(staging, s"_buckets-$b"), true).close()
   }

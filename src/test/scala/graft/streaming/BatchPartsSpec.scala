@@ -119,6 +119,42 @@ class BatchPartsSpec extends AnyFunSuite {
     }
   }
 
+  test("fold dedupKeys: duplicates collapse inside the bucket exchange, sort preserved") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-bp-dedup").toString + "/store"
+    // every key appears 1-3 times, with a payload column that is
+    // IDENTICAL across a key's copies (the replay-debris shape the
+    // fold's dedup exists for); keys deliberately out of order
+    val rows = (0 until 256).flatMap { i =>
+      val k = s"k%03d".format((i * 131) % 256)
+      Seq.fill(1 + i % 3)((k, (i * 131) % 256))
+    }
+    val flat = scala.util.Random.shuffle(rows).toDF("k", "payload")
+    BatchParts.stageBucketedFold(spark, dir, 0, 0, flat,
+      pmod(hash(col("k")), lit(8)), 8, Seq("k"), dedupKeys = Seq("k"))
+    BatchParts.commitFold(spark, dir, 0, 0)
+    val foldDir = new java.io.File(dir).listFiles().map(_.getName)
+      .find(_.startsWith("fold=")).get
+    val got = spark.read.option("basePath", s"$dir/$foldDir")
+      .parquet(s"$dir/$foldDir")
+    // exactly one row per key, payloads intact (= dropDuplicates)
+    assert(got.count() === 256L)
+    assert(got.select("k", "payload").distinct().count() === 256L)
+    assert(got.filter(col("payload") =!= conv(substring(col("k"), 2, 3), 10, 10)
+        .cast("int")).count() === 0L)
+    // the row-group premise still holds under the fused dedup: each
+    // written file arrives key-sorted
+    val buckets = new java.io.File(s"$dir/$foldDir").listFiles()
+      .filter(_.getName.startsWith("bucket="))
+    for (b <- buckets; pf <- b.listFiles() if pf.getName.endsWith(".parquet")) {
+      val ks = spark.read.schema("k STRING").parquet(pf.toString)
+        .collect().map(_.getString(0))
+      assert(ks.sameElements(ks.sorted),
+        s"bucket ${b.getName} not key-sorted after dedup")
+    }
+  }
+
   test("fold: reader completeness and convergence at every crash boundary") {
     val allRows = (0L to 8L)
     // boundary 0: staging written but NOT committed (no _SUCCESS)
