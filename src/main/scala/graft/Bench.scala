@@ -540,6 +540,10 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the library's own optimizer rules (value-identical native
+      // kernels) — the session Engine.session documents and Verify
+      // gates; see OPTIMIZATION_r19.md §dsum
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")
       // 64-bucket folds stay under driver-side listing (Engine.session
       // carries the rationale)

@@ -24,6 +24,7 @@ object Profile {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "1024")
       .config("spark.sql.parquet.pushdown.inFilterThreshold", "1024")
@@ -68,8 +69,65 @@ object Profile {
         Option(jobExec.get(e.jobId)).foreach(r => r.t1 = math.max(r.t1, e.time))
     }
 
+    // ad-hoc experiment frames ("exp:<tag>"): cost-attribution probes
+    // for spelling alternatives, never part of the inventory
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    def experiment(tag: String): (SparkSession, String) => org.apache.spark.sql.DataFrame =
+      tag match {
+        case "a10dec" => (s, d) => { // the a10 aggregate as shipped
+          val q = col("l_quantity"); val p = col("l_extendedprice")
+          Tables.lineitem(s, d).groupBy("l_returnflag")
+            .agg(count(lit(1)).as("n"), Cols.dsum(q).as("sum_q"), Cols.dsum(p).as("sum_p"),
+              Cols.dsum(q * q).as("sum_qq"), Cols.dsum(p * p).as("sum_pp"),
+              Cols.dsum(q * p).as("sum_qp"))
+        }
+        case "a10dbl" => (s, d) => { // same with double sums (inexact)
+          val q = col("l_quantity").cast("double"); val p = col("l_extendedprice").cast("double")
+          Tables.lineitem(s, d).groupBy("l_returnflag")
+            .agg(count(lit(1)).as("n"), sum(q).as("sum_q"), sum(p).as("sum_p"),
+              sum(q * q).as("sum_qq"), sum(p * p).as("sum_pp"), sum(q * p).as("sum_qp"))
+        }
+        case "a10one" => (s, d) => { // ONE decimal sum, rest dropped
+          val q = col("l_quantity")
+          Tables.lineitem(s, d).groupBy("l_returnflag")
+            .agg(count(lit(1)).as("n"), Cols.dsum(q).as("sum_q"))
+        }
+        case "a10n" => (s, d) => // no sums at all: scan + count only
+          Tables.lineitem(s, d).groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+        case "a10d18" => (s, d) => { // decimal(18,6) inputs (compact reps)
+          val dec = DecimalType(18, 6)
+          val q = col("l_quantity").cast(dec); val p = col("l_extendedprice").cast(dec)
+          Tables.lineitem(s, d).groupBy("l_returnflag")
+            .agg(count(lit(1)).as("n"),
+              sum(q).cast("double").as("sum_q"), sum(p).cast("double").as("sum_p"),
+              sum(q * q).cast("double").as("sum_qq"),
+              sum(p * p).cast("double").as("sum_pp"),
+              sum(q * p).cast("double").as("sum_qp"))
+        }
+        case "a10ul" => (s, d) => { // cast to decimal kept, ADD in long
+          import org.apache.spark.sql.catalyst.expressions.{Cast, UnscaledValue}
+          s.sessionState.functionRegistry.createOrReplaceTempFunction(
+            "ul6", exprs => UnscaledValue(Cast(exprs.head, Cols.Dec)), "built-in")
+          def ul(c: org.apache.spark.sql.Column) = call_function("ul6", c)
+          val q = col("l_quantity"); val p = col("l_extendedprice")
+          Tables.lineitem(s, d).groupBy("l_returnflag")
+            .agg(count(lit(1)).as("n"), sum(ul(q)).as("sum_q"), sum(ul(p)).as("sum_p"),
+              sum(ul(q * q)).as("sum_qq"), sum(ul(q)).as("sum_pp"),
+              sum(ul(q * p)).as("sum_qp"))
+        }
+        case "a10dec5" => (s, d) => { // dec spelling minus the pp column
+          val q = col("l_quantity"); val p = col("l_extendedprice")
+          Tables.lineitem(s, d).groupBy("l_returnflag")
+            .agg(count(lit(1)).as("n"), Cols.dsum(q).as("sum_q"), Cols.dsum(p).as("sum_p"),
+              Cols.dsum(q * q).as("sum_qq"), Cols.dsum(q).as("sum_pp"),
+              Cols.dsum(q * p).as("sum_qp"))
+        }
+        case other => sys.error(s"unknown experiment: $other")
+      }
     for (name <- args) {
-      val fn = SparkEntry.queries(name)
+      val fn = if (name.startsWith("exp:")) experiment(name.stripPrefix("exp:"))
+        else SparkEntry.queries(name)
       // warm run: JIT, codegen, footer caches — profile the steady state
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       // three timed runs for a median wall; exec detail from the last
@@ -96,19 +154,37 @@ object Profile {
       // exchanges actually ran vs were reused (AQE hides reuse from the
       // static plan)
       if (sys.env.get("SPARK_GRAFT_PROFILE_PLAN").contains("1")) {
-        val df = fn(spark, sfDir)
-        df.write.format("noop").mode("overwrite").save()
-        import org.apache.spark.sql.execution.SparkPlan
-        import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-        def walk(p: SparkPlan): Seq[String] = (p match {
-          case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
-          case q: QueryStageExec => q.nodeName +: walk(q.plan)
-          case other => other.nodeName +: (other.children ++ other.subqueries).flatMap(walk)
-        })
-        val census = walk(df.queryExecution.executedPlan)
-          .groupBy(identity).view.mapValues(_.size).toSeq.sortBy(-_._2)
-        println("  -- executed plan node census --")
-        census.foreach { case (n, c) => println(f"  $c%4d  $n") }
+        // capture the POST-execution adaptive plan (reused stages are
+        // only visible there) via a QueryExecutionListener
+        val qes = new java.util.concurrent.ConcurrentLinkedQueue[
+          org.apache.spark.sql.execution.QueryExecution]()
+        val ql = new org.apache.spark.sql.util.QueryExecutionListener {
+          override def onSuccess(fn: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              d: Long): Unit = { qes.add(qe); () }
+          override def onFailure(fn: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              e: Exception): Unit = ()
+        }
+        spark.listenerManager.register(ql)
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Thread.sleep(1000)
+          import org.apache.spark.sql.execution.SparkPlan
+          import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+          def walk(p: SparkPlan): Seq[String] = (p match {
+            case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+            case q: QueryStageExec => q.nodeName +: walk(q.plan)
+            case other => other.nodeName +: (other.children ++ other.subqueries).flatMap(walk)
+          })
+          import scala.jdk.CollectionConverters._
+          qes.asScala.lastOption.foreach { qe =>
+            val census = walk(qe.executedPlan)
+              .groupBy(identity).view.mapValues(_.size).toSeq.sortBy(-_._2)
+            println("  -- executed plan node census (final adaptive) --")
+            census.foreach { case (n, c) => println(f"  $c%4d  $n") }
+          }
+        } finally spark.listenerManager.unregister(ql)
       }
     }
     spark.stop()

@@ -11,6 +11,12 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // the library's own optimizer rules (the value-identical native
+      // kernels: NativeDotRule, NativeSumRule) — Engine.session has
+      // always carried them; the harness mains must run the session the
+      // library documents, or the gates measure a config no deployment
+      // uses
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")
       // 64-bucket folds stay under driver-side listing (Engine.session
       // carries the rationale)

@@ -90,5 +90,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         builder))
     }
     e.injectOptimizerRule(_ => NativeDotRule)
+    e.injectOptimizerRule(_ => NativeSumRule)
   }
 }

@@ -200,8 +200,17 @@ object TextAnalysis {
     val counts = db.groupBy("bucket").agg(
       sum(when(col("tgt"), col("n")).otherwise(0L)).as("c_t"),
       sum(col("n")).as("c_r"))
-    val totals = counts.agg(sum(col("c_t")).as("t_t"), sum(col("c_r")).as("t_r"))
-    val lr = counts.crossJoin(broadcast(totals))
+    // totals ride a window over the ≤`buckets`-row counts table instead
+    // of a second aggregate over it: a separate `counts.agg(...)` frame
+    // re-plans (and re-runs, when AQE's canonical-exchange reuse misses)
+    // the whole corpus chain — the before-plan had THREE explode+agg
+    // chains, this leaves two planned / one executed. The single
+    // -partition window is licensed by the bounded row count (exact
+    // integer sums, order-independent — values unchanged).
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val lr = counts
+      .withColumn("t_t", sum(col("c_t")).over(wAll))
+      .withColumn("t_r", sum(col("c_r")).over(wAll))
       .select(col("bucket"), round(
         log((col("c_t") + lit(1L)).cast("double") / (col("t_t") + lit(buckets.toLong)).cast("double")) -
           log((col("c_r") + lit(1L)).cast("double") / (col("t_r") + lit(buckets.toLong)).cast("double")),
