@@ -30,3 +30,32 @@ final class TopKDoubles(k: Int) extends Aggregator[Double, Seq[Double], Seq[Doub
   override def outputEncoder: Encoder[Seq[Double]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
 }
+
+/** Bounded distinct-set collector: keeps up to `cap` DISTINCT values per
+  * group, insertion-capped — once full, further new values are dropped,
+  * so a group at the cap is exactly "distinct count ≥ cap" (the only
+  * question a df-threshold below `cap` ever asks of it). Partial state
+  * ships at most `cap` longs per group per task, so a viral key cannot
+  * blow up map-side state or the shuffle — the 100 TB-safe way to build
+  * df-capped posting lists in ONE aggregation instead of
+  * distinct → df-count → anti-join → collect_list (three corpus-shaped
+  * exchanges). Output sorted ascending; `size(out)` is the exact
+  * distinct count whenever it is < cap.
+  */
+final class CappedDistinctLongs(cap: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {
+  require(cap > 0)
+
+  override def zero: Seq[Long] = Vector.empty
+  override def reduce(b: Seq[Long], a: Long): Seq[Long] =
+    // contains() is a ≤cap-element scan — cheap at posting-list caps,
+    // and the buffer stays a flat Vector the encoder handles natively
+    if (b.length >= cap || b.contains(a)) b else b :+ a
+  override def merge(b1: Seq[Long], b2: Seq[Long]): Seq[Long] =
+    b2.foldLeft(b1)(reduce)
+  override def finish(b: Seq[Long]): Seq[Long] = b.sorted
+
+  override def bufferEncoder: Encoder[Seq[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  override def outputEncoder: Encoder[Seq[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+}

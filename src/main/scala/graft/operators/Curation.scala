@@ -257,13 +257,26 @@ object Curation {
     */
   def lmScoreCross(train: DataFrame, score: DataFrame, lambda: Double = Lambda,
       minDf: Long = 1L): DataFrame = {
+    // w1/w2/word are never null (split output), but the explicit filters
+    // pin every consumer's chain to ONE canonical shape: the model joins
+    // INFER isnotnull on their branch and push it below the count
+    // aggregates, which breaks AQE's canonical-exchange reuse — without
+    // them each consumer re-runs the corpus explode (r19 census: the
+    // x23 plan carried 7 scans / 6 explodes of the same corpus)
     val pairs = bigramPairs(train)
-    val cBi = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c_bi"))
-      .filter(col("c_bi") >= minDf)
-    val cW1 = pairs.groupBy("w1").agg(count(lit(1)).as("c_w1"))
+      .filter(col("w1").isNotNull && col("w2").isNotNull)
+    val cBiAll = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c_bi"))
+    val cBi = cBiAll.filter(col("c_bi") >= minDf)
+    // the per-first-word totals re-aggregate the bigram-vocab table
+    // (c_w1 = Σ_w2 c_bi, exact) instead of running a SECOND corpus-wide
+    // pair explode + shuffle
+    val cW1 = cBiAll.groupBy("w1").agg(sum(col("c_bi")).as("c_w1"))
     val toks = train.select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word").isNotNull)
     val cUni = toks.groupBy("word").agg(count(lit(1)).as("c_uni"))
-    val total = toks.agg(count(lit(1)).as("total"))
+    // likewise the token total re-aggregates the vocab table (Σ c_uni)
+    // instead of a second corpus explode + global count
+    val total = cUni.agg(sum(col("c_uni")).as("total"))
     val lp = cBi.join(cW1, "w1")
       .join(cUni.withColumnRenamed("word", "w2"), "w2")
       .crossJoin(broadcast(total))
@@ -725,7 +738,13 @@ object Curation {
     // stats are one tiny agg broadcast back — no global sort anywhere.
     "x23_ccnet_buckets" -> { (s, d) =>
       val docs = Tables.documents(s, d)
+      // the isnotnull is a no-op (group key of the scoring aggregate)
+      // that pins BOTH consumers of `scored` — the stats aggregate and
+      // the left join, whose right side gets isnotnull(doc_id) INFERRED
+      // and pushed down — to one canonical chain, so the whole scoring
+      // pipeline is planned once and stage-reused instead of run twice
       val scored = lmScoreCross(docs.filter(col("lang") === "en"), docs)
+        .filter(col("doc_id").isNotNull)
       val stats = scored.agg(
           count(lit(1)).as("n"),
           graft.Cols.dsum(col("avg_logp")).as("s1"),

@@ -341,27 +341,31 @@ object TextAnalysis {
     // Inverted phrase index build — the exact-match retrieval backbone
     // (and the substring-search infra every contamination audit needs):
     // distinct (word-bigram, doc) postings, hot grams (df > 64 — the
-    // boilerplate-phrase class) excluded from the build by the
-    // d12-style broadcast-anti-join hot list so no posting list goes
-    // corpus-long, singletons dropped, surviving lists serialized in
-    // doc order. At 100 TB the index is ONE explode + two combinable
-    // aggs, and the df cap bounds every output row's width.
+    // boilerplate-phrase class) excluded, singletons dropped, surviving
+    // lists serialized in doc order. Spelled as ONE aggregation: the
+    // CappedDistinctLongs collector (cap 65 = threshold + 1) dedups,
+    // counts, and collects in bounded per-group state, so df, the
+    // postings, AND the hot-gram exclusion (a full collector is exactly
+    // df > 64) ride a single exchange — the previous
+    // distinct → df-count → broadcast-anti-join → collect spelling
+    // planned the corpus explode once PER CONSUMER (and AQE's canonical
+    // stage reuse missed the pair), three exchanges deep. A viral gram
+    // ships ≤ 65 longs per task, so the one exchange cannot skew.
     "x26_inverted_index" -> { (s, d) =>
-      val toks = Tables.documents(s, d)
+      val cappedSet = udaf(new graft.functions.CappedDistinctLongs(65))
+      Tables.documents(s, d)
         .withColumn("ws", split(col("text"), " "))
         .filter(size(col("ws")) >= 2)
         .select(col("doc_id"), explode(expr(
           "transform(sequence(1, size(ws)-1), " +
             "i -> concat(element_at(ws, i), ' ', element_at(ws, i+1)))")).as("gram"))
-        .distinct()
-      val dfreq = toks.groupBy("gram").agg(count(lit(1)).as("df"))
-      val hot = dfreq.filter(col("df") > 64).select("gram")
-      toks.join(broadcast(hot), Seq("gram"), "left_anti")
         .groupBy("gram")
-        .agg(count(lit(1)).as("df"),
-          array_join(transform(sort_array(collect_list(col("doc_id"))),
-            _.cast("string")), ",").as("postings"))
-        .filter(col("df") >= 2)
+        .agg(cappedSet(col("doc_id")).as("ids"))
+        // size < 65 ⇒ the set is complete and size IS the exact df;
+        // size = 65 ⇒ df ≥ 65 > 64 — the hot class, dropped either way
+        .filter(size(col("ids")).between(2, 64))
+        .select(col("gram"), size(col("ids")).cast("long").as("df"),
+          array_join(transform(col("ids"), _.cast("string")), ",").as("postings"))
         .orderBy("gram")
     },
     // PMI collocation mining — the phrase-discovery primitive (corpus

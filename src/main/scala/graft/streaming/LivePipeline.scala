@@ -618,6 +618,14 @@ object LivePipeline {
         // all but degenerate cases — paying a per-batch
         // distinct+collect to learn "skip" would be a hot-path job for
         // nothing; round-14 review)
+        // evaluate the hit-bucket prune FIRST: its full-pass distinct
+        // collect materializes the bandRows persist in ONE signing
+        // pass, so the limit-bounded pushBhKeys collect below is served
+        // from cache — the other order made the LIMIT query the first
+        // action, and its incremental-partition escalation re-ran the
+        // uncached signing chain once per escalation step (measured:
+        // 18 jobs / 1.8 s for a collect that reads ≤ pushMax+1 rows)
+        val prunedBands = prune(bands, bandHitBuckets)
         val pushBhKeys: Option[Seq[Any]] =
           if (batchRows > pushMax) None
           else {
@@ -625,7 +633,7 @@ object LivePipeline {
             if (rows.length > pushMax) None else Some(rows.map(_.get(0)).toSeq)
           }
         val hitKeys = broadcast(bandRows.select("band_id", "bh").distinct())
-        broadcast(pushKeys(prune(bands, bandHitBuckets), "bh", pushBhKeys)
+        broadcast(pushKeys(prunedBands, "bh", pushBhKeys)
           .join(hitKeys, Seq("band_id", "bh"), "left_semi")
           .groupBy("band_id", "bh").agg(countDistinct(col("doc_id")).as("bsz"))
           .filter(col("bsz") <= Dedup.MaxBucketDocs)

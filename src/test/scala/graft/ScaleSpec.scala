@@ -590,11 +590,19 @@ class ScaleSpec extends AnyFunSuite {
     assert(plan.contains("partial_"), s"w13 count must combine map-side:\n$plan")
   }
 
-  test("x26 phrase index: hot grams leave via broadcast anti-join") {
+  test("x26 phrase index: one bounded-state aggregation, no join, no second corpus chain") {
     val d = "/root/testdata/sf0.001"
     val plan = executedPlan(SparkEntry.queries("x26_inverted_index")(spark, d))
-    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
-      s"x26 df cap must be a broadcast anti-join:\n$plan")
+    // r19: df + postings + hot-gram exclusion all ride ONE capped-set
+    // aggregation (CappedDistinctLongs) — no distinct pass, no df-count
+    // pass, no anti-join, and exactly one corpus explode in the plan
+    assert(!plan.contains("Join"), s"x26 must not plan any join:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"),
+      s"x26 postings must build in the capped typed aggregate:\n$plan")
+    // the adaptive plan string prints Final + Initial sections — count
+    // the corpus explode in the executed (final) section only
+    assert("Generate".r.findAllIn(plan.split("== Initial Plan ==").head).size == 1,
+      s"x26 must explode the corpus exactly once:\n$plan")
     assert(!plan.contains("CartesianProduct"), s"x26 must stay keyed:\n$plan")
   }
 
