@@ -431,11 +431,6 @@ object Dedup {
     // both map-side combinable; shingles come from the materialized
     // store, so no digest recompute.
     "d8_contamination" -> { (s, d) =>
-      val assigned = Tables.documents(s, d).select(col("doc_id"),
-        conv(substring(md5(concat(lit("smp|"), col("doc_id").cast("string"))), 1, 4), 16, 10)
-          .cast("long").as("bucket"))
-        .withColumn("split",
-          when(col("bucket") < lit(0.8) * 65536, "train").otherwise("test"))
       // df-cap ([[MaxShingleDf]]): stopword-like shingles are removed
       // from the universe before the split, killing the quadratic bucket
       // a common shingle would create in the test×train join. The hot
@@ -444,9 +439,16 @@ object Dedup {
         .agg(count(lit(1)).as("df"))
         .filter(col("df") > MaxShingleDf)
         .select("shingle")
+      // the split is a pure function of doc_id — computed INLINE on the
+      // shingle stream (one projection) instead of the former join
+      // against a corpus-sized (doc_id, split) dim, which only
+      // broadcast by luck at local scale and is a full shuffle join of
+      // every shingle row at corpus scale. Same expression, same values.
       val toks = shingles(s, d)
         .join(broadcast(hotShingles), Seq("shingle"), "left_anti")
-        .join(assigned, "doc_id")
+        .withColumn("split",
+          when(conv(substring(md5(concat(lit("smp|"), col("doc_id").cast("string"))), 1, 4), 16, 10)
+            .cast("long") < lit(0.8) * 65536, "train").otherwise("test"))
       val train = toks.filter(col("split") === "train")
         .select(col("doc_id").as("train_doc"), col("shingle"))
       val test = toks.filter(col("split") === "test")
@@ -1074,10 +1076,18 @@ object Dedup {
         .select("doc_a", "doc_b")
       val cand = candidatePairs(s, d)
         .filter(smp(col("doc_a")) && smp(col("doc_b")))
-      val hits = truth.join(cand, Seq("doc_a", "doc_b"), "left_semi")
-      truth.agg(count(lit(1)).as("n_truth"))
-        .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
-        .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+      // one FULL OUTER join + one aggregate: the previous spelling
+      // (truth.agg ⨯ cand.agg ⨯ semi-join.agg) consumed `truth` and
+      // `cand` twice each, so BOTH expensive chains (the posting-list
+      // self-join and the LSH bucket pair generation) were planned —
+      // and, when AQE's canonical reuse missed, run — twice. Both
+      // sides are pair-distinct (groupBy / .distinct()), so the join
+      // is 1:1 and the flag counts are exactly the old row counts.
+      truth.select("doc_a", "doc_b").withColumn("t", lit(1))
+        .join(cand.withColumn("c", lit(1)), Seq("doc_a", "doc_b"), "full_outer")
+        .agg(count(col("t")).as("n_truth"),
+          count(col("c")).as("n_cand"),
+          count(when(col("t").isNotNull && col("c").isNotNull, 1)).as("n_hit"))
         .withColumn("lsh_recall",
           col("n_hit").cast("double") / col("n_truth").cast("double"))
         .withColumn("lsh_precision",

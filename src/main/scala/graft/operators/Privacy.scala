@@ -148,7 +148,12 @@ object Privacy {
       val stats = g.groupBy("event_type", "hour")
         .agg(count(lit(1)).as("group_n"),
           countDistinct(col("user_id")).as("n_sensitive"))
-      g.join(stats, Seq("event_type", "hour"))
+      // group-shaped (types × hours) — the hinted broadcast this
+      // family's admit joins document (x38's comment said "x34
+      // included" but the hint was missing here): without it the
+      // initial plan is a corpus-wide shuffle join both ways, repaired
+      // only if AQE's runtime estimate catches it
+      g.join(broadcast(stats), Seq("event_type", "hour"))
         .filter(col("group_n") >= 3 && col("n_sensitive") >= 3)
         .select(pseudonym("eid", col("event_id")).as("event_pseudonym"),
           pseudonym("uid", col("user_id")).as("user_pseudonym"),
@@ -182,16 +187,22 @@ object Privacy {
       val ev = Tables.events(s, d)
         .withColumn("day", date_trunc("day", col("ts")))
         .withColumn("sclass", pmod(col("user_id"), lit(8)))
-      val global = ev.groupBy("sclass")
-        .agg(count(lit(1)).cast(dec).as("gv"))
-      val tot = global.agg(sum(col("gv")).cast(dec).as("n_total"))
       val gc = ev.groupBy("event_type", "day", "sclass")
         .agg(count(lit(1)).cast(dec).as("cnt"))
-      val gn = gc.groupBy("event_type", "day")
-        .agg(sum(col("cnt")).cast(dec).as("group_n"))
-      val scored = gc.join(gn, Seq("event_type", "day"))
+      // the sclass marginals re-aggregate gc (counts partition exactly
+      // over (event_type, day)) instead of a SECOND corpus-wide count
+      // pass; n_total rides an 8-row window over them; group_n rides a
+      // window over the group-sized gc instead of a re-agg + join —
+      // one corpus aggregate feeds everything, and the former unhinted
+      // gc⋈gn shuffle join disappears
+      val global = gc.groupBy("sclass").agg(sum(col("cnt")).cast(dec).as("gv"))
+        .withColumn("n_total", sum(col("gv")).over(
+          Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+          .cast(dec))
+      val scored = gc
+        .withColumn("group_n", sum(col("cnt"))
+          .over(Window.partitionBy("event_type", "day")).cast(dec))
         .join(broadcast(global), Seq("sclass"))
-        .crossJoin(broadcast(tot))
         .groupBy("event_type", "day")
         .agg(max(col("group_n")).as("group_n"),
           sum(abs(col("cnt") * col("n_total") - col("gv") * col("group_n"))).as("s1"),
