@@ -159,8 +159,31 @@ case class Dec128ToDouble(hi: Expression, lo: Expression, cnt: Expression)
 
 object DecimalSum128 {
 
-  /** Static per-row hot path shared by eval and generated code. */
+  /** Static per-row hot path shared by eval and generated code.
+    *
+    * Fast path (no BigDecimal, ~10× cheaper): for |x| < 2^31, if the
+    * integer n = round(x·1e6) ROUND-TRIPS (n/1e6 == x as doubles), then
+    * n IS `BigDecimal.valueOf(x).setScale(6, HALF_UP).unscaled`:
+    * the round-trip makes x the nearest double to n·10⁻⁶, so the
+    * shortest-decimal d (what valueOf yields) lies within ulp(x) of
+    * n·10⁻⁶; below 2^31, ulp(x) ≤ 4.8e-7 < half a scale-6 unit, so d
+    * cannot cross (or even touch — a tie would need distance exactly
+    * 5e-7 > ulp) the rounding boundary, and no second integer can
+    * round-trip (two would put decimals 1e-6 apart inside a width-ulp
+    * interval). Values that fail the check (rounding-boundary
+    * neighborhoods, magnitudes ≥ 2^31) take the exact BigDecimal path —
+    * identical result, just slower. DecimalSumSpec fuzzes the two paths
+    * against each other across magnitudes.
+    */
   def u6(x: Double): Long = {
+    if (x > -2.147e9 && x < 2.147e9) {
+      val n = Math.round(x * 1e6)
+      if (n.toDouble / 1e6 == x) return n
+    }
+    u6Slow(x)
+  }
+
+  private def u6Slow(x: Double): Long = {
     if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x))
       throw new ArithmeticException(
         s"graft_decimal_sum: non-finite input $x (the DECIMAL(28,6) cast rejects it too)")
@@ -172,6 +195,9 @@ object DecimalSum128 {
           "set spark.graft.nativeSum=false to use the portable DECIMAL(28,6) spelling")
     }
   }
+
+  /** Test hook: the always-exact reference path. */
+  private[graft] def u6Reference(x: Double): Long = u6Slow(x)
 
   private val Max38 = new BigInteger("9" * 38)
 

@@ -116,6 +116,27 @@ class DecimalSumSpec extends AnyFunSuite {
     }
   }
 
+  test("u6 fast path agrees with the BigDecimal reference across magnitudes") {
+    val rnd = new scala.util.Random(7)
+    def ref(x: Double): Long = graft.functions.DecimalSum128.u6Reference(x)
+    val boundary = Seq(0.0, -0.0, 1e-7, -1e-7, 5e-7, -5e-7, 1.5e-6, 0.0000005,
+      -0.0000005, 1.0000005, 2.1474835e9, -2.1474835e9, 2.2e9, 9.0e12,
+      0.1, 0.3, 123.45, 1.0 / 3.0, math.Pi)
+    val fuzz = Seq.fill(200000) {
+      rnd.nextInt(6) match {
+        case 0 => (rnd.nextDouble() - 0.5) * 2e6
+        case 1 => rnd.nextInt() / 100.0
+        case 2 => (rnd.nextDouble() - 0.5) * 1e-5
+        case 3 => (rnd.nextDouble() - 0.5) * 5e9 // straddles the 2^31 gate
+        case 4 => rnd.nextLong() % 1000000000L / 1e6 // exact scale-6 values
+        case _ => rnd.nextGaussian()
+      }
+    }
+    (boundary ++ fuzz).foreach { x =>
+      assert(graft.functions.DecimalSum128.u6(x) === ref(x), s"u6 mismatch at $x")
+    }
+  }
+
   test("static helpers: rounding, reconstruction, decimal(38,6) overflow") {
     // HALF_UP on the shortest-decimal representation, like the cast
     assert(DecimalSum128.u6(1.0000005) === 1000001L)
