@@ -802,16 +802,23 @@ object TextAnalysis {
     "x35_winnowing" -> { (s, d) =>
       val k = 4 // gram words
       val wlen = 5 // window grams
+      // grams are built by a PURE MAP over the token array (slice per
+      // position) rather than the former lead()-over-window spelling,
+      // and maxp is just the array size — so of the three per-doc
+      // windows only the one the ALGORITHM needs (min over the sliding
+      // wlen frame) remains; same values (concat_ws over the same k
+      // words), ~identical plan below the window
       val grams = Tables.documents(s, d)
-        .select(col("doc_id"), posexplode(split(col("text"), " ")))
-        .toDF("doc_id", "pos", "word")
-        // grams BEFORE the tail filter: lead() must see the trailing
-        // words a full gram at pos maxp-k+1 still needs
-        .withColumn("gram", concat_ws(" ",
-          (0 until k).map(i => lead(col("word"), i)
-            .over(Window.partitionBy("doc_id").orderBy("pos"))): _*))
-        .withColumn("maxp", max(col("pos")).over(Window.partitionBy("doc_id")))
-        .filter(col("pos") <= col("maxp") - (k - 1))
+        .withColumn("ws", split(col("text"), " "))
+        // docs shorter than one gram select nothing either way (the old
+        // spelling filtered their rows out post-window); the explicit
+        // filter also keeps sequence() from going descending on size<k
+        .filter(size(col("ws")) >= k)
+        .withColumn("maxp", size(col("ws")) - 1)
+        .select(col("doc_id"), col("maxp"), posexplode(expr(
+          s"transform(sequence(1, size(ws) - ${k - 1}), " +
+            s"i -> concat_ws(' ', slice(ws, i, $k)))")))
+        .toDF("doc_id", "maxp", "pos", "gram")
         .withColumn("gh", substring(md5(col("gram")), 1, 8))
         .withColumn("key", concat(col("gh"),
           format_string("%07d", lit(9999999) - col("pos"))))
