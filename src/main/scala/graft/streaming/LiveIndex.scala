@@ -92,22 +92,23 @@ object LiveIndex {
     val dlParts = BatchParts.effectiveParts(s, s"${cfg.root}/doclens")
     if (BatchParts.isCommittedIn(dlParts, batchId)) return
     if (batch.isEmpty) return
+    // the token explode feeds both commits — cache it so each batch
+    // tokenizes once, not twice. (r19 note: a readback spelling —
+    // doclens = Σ tf over the just-written postings — was tried and
+    // REVERTED: it re-scans the store's own postings every batch, which
+    // inflates the deterministic intake_rows_store tripwire ~6× for no
+    // measured wall win; the persist keeps the store-scan totals
+    // load-invariant.)
     val toks = freshArrivals(batch, batchId, cfg, dlParts)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")) > 0)
-    toks.groupBy("word", "doc_id").agg(count(lit(1)).as("tf"))
-      .write.mode("overwrite").parquet(s"${cfg.root}/postings/batch=$batchId")
-    // dl = Σ tf over the doc's words — read the JUST-WRITTEN postings
-    // back (batch-sized, columnar) instead of tokenizing the batch a
-    // second time (the former spelling persisted the explode and ran a
-    // second full-stream aggregation; the readback replaces both the
-    // persist and the second explode exchange). Crash between the two
-    // writes replays the batch: doclens' marker is the commit point
-    // (isCommittedIn above), so a half-written postings dir is simply
-    // overwritten on retry — unchanged semantics.
-    s.read.parquet(s"${cfg.root}/postings/batch=$batchId")
-      .groupBy("doc_id").agg(sum(col("tf")).as("dl"))
-      .write.mode("overwrite").parquet(s"${cfg.root}/doclens/batch=$batchId")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      toks.groupBy("word", "doc_id").agg(count(lit(1)).as("tf"))
+        .write.mode("overwrite").parquet(s"${cfg.root}/postings/batch=$batchId")
+      toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        .write.mode("overwrite").parquet(s"${cfg.root}/doclens/batch=$batchId")
+    } finally { toks.unpersist(); () }
   }
 
   /** The batch rows that will actually index: already-indexed doc_ids
