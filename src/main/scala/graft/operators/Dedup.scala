@@ -439,16 +439,18 @@ object Dedup {
         .agg(count(lit(1)).as("df"))
         .filter(col("df") > MaxShingleDf)
         .select("shingle")
-      // the split is a pure function of doc_id — computed INLINE on the
-      // shingle stream (one projection) instead of the former join
-      // against a corpus-sized (doc_id, split) dim, which only
-      // broadcast by luck at local scale and is a full shuffle join of
-      // every shingle row at corpus scale. Same expression, same values.
-      val toks = shingles(s, d)
-        .join(broadcast(hotShingles), Seq("shingle"), "left_anti")
+      // the split is a pure function of doc_id — computed on the DOC
+      // frame BEFORE the shingle explode (one md5 per doc, carried
+      // through the Generate) instead of the former join against a
+      // corpus-sized (doc_id, split) dim, which only broadcast by luck
+      // at local scale and is a full shuffle join of every shingle row
+      // at corpus scale. Same expression, same values.
+      val toks = sigStore(s, d)
         .withColumn("split",
           when(conv(substring(md5(concat(lit("smp|"), col("doc_id").cast("string"))), 1, 4), 16, 10)
             .cast("long") < lit(0.8) * 65536, "train").otherwise("test"))
+        .select(col("doc_id"), col("split"), explode(col("sh")).as("shingle"))
+        .join(broadcast(hotShingles), Seq("shingle"), "left_anti")
       val train = toks.filter(col("split") === "train")
         .select(col("doc_id").as("train_doc"), col("shingle"))
       val test = toks.filter(col("split") === "test")
