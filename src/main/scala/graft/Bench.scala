@@ -1442,5 +1442,21 @@ object Bench {
       (line + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () } // stdout already has the line
     spark.stop()
+    // Machine-recoverable summary (r19 verdict #1): the full line above
+    // is ~6 KB (186 per-query entries) and is followed by sbt's
+    // [success] trailer, so a tail-bounded capture (the driver keeps
+    // 2000 chars) truncates it mid-JSON. This compact line — totals,
+    // floor, gate COUNTS, no per-query map, < 300 chars — is printed as
+    // the very LAST act after spark.stop() so any stdout tail contains
+    // at least one intact, parseable JSON result. The canonical full
+    // artifact stays `bench_out.json` (see README).
+    val summary = s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
+      s""""runs":$Runs,"floor":${r3(floor)},"n_queries":${results.size},""" +
+      s""""n_errors":${errors.size},"n_regressions":${reg.count(_ == ':')},""" +
+      s""""n_regressions_isolated":${iso.count(_ == ':')},""" +
+      s""""n_over2x_isolated":${iso2x.count(_ == ':')},""" +
+      s""""intake_docs_per_sec":${r3(intakeRate)},"cpus":"$cpus",""" +
+      s""""sf":"$sfDir","full_result":"$outFile"}"""
+    println(summary)
   }
 }

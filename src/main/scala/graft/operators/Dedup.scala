@@ -368,13 +368,27 @@ object Dedup {
     * distributed steps (the Pregel shape).
     */
   private[operators] def clusterLabels(s: SparkSession, d: String): DataFrame = {
-      // The candidate graph is tiny relative to the corpus (near-dup
-      // pairs), so coalesce the iteration to a few partitions — per-round
-      // task overhead, not data volume, dominates. localCheckpoint(eager)
-      // truncates the per-round lineage (the classic iterative-algorithm
-      // failure mode: exponentially growing plans).
-      val edges0 = candidatePairs(s, d)
-      val pairs = edges0.repartition(4).localCheckpoint(true)
+      // The candidate graph is small relative to the corpus (near-dup
+      // pairs), so coalesce the iteration — per-round task overhead, not
+      // data volume, dominates locally. The partition count is sized
+      // from the ACTUAL pair count (r19 verdict #3: the former
+      // `repartition(4)` was a local-mode constant in a query path — at
+      // 100 TB the pair table is corpus-keyed and 4 partitions is a
+      // bottleneck), capped at the session's shuffle parallelism: the
+      // expensive LSH chain materializes ONCE (eager localCheckpoint),
+      // the count rides that materialized RDD (one cheap job), and the
+      // re-layout only runs when the count asks for a different width.
+      // localCheckpoint(eager) truncates the per-round lineage (the
+      // classic iterative-algorithm failure mode: exponentially growing
+      // plans).
+      val ck0 = candidatePairs(s, d).localCheckpoint(true)
+      val rowsPerPart = 2000000L // (long, long) pairs ≈ 32 MB per task
+      val nParts = math.max(1L, math.min(
+        s.sessionState.conf.numShufflePartitions.toLong,
+        (ck0.count() + rowsPerPart - 1) / rowsPerPart)).toInt
+      val pairs =
+        if (ck0.rdd.getNumPartitions == nParts) ck0
+        else ck0.repartition(nParts).localCheckpoint(true)
       val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
         .unionByName(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
         .localCheckpoint(true)

@@ -184,9 +184,17 @@ object Privacy {
     // stay exact to 38 digits.
     "x38_t_closeness" -> { (s, d) =>
       val dec = "decimal(18,0)"
+      // the n_total window below is single-partition, licensed ONLY by
+      // the sclass cardinality (≤ SClasses rows after the groupBy) —
+      // enforce the license so a cardinality edit cannot silently
+      // create a one-task corpus-sized window (r19 verdict #4)
+      val SClasses = 8
+      require(SClasses <= 1024,
+        s"x38 sclass cardinality $SClasses > 1024 — the n_total window " +
+          "is single-partition and licensed by this bound")
       val ev = Tables.events(s, d)
         .withColumn("day", date_trunc("day", col("ts")))
-        .withColumn("sclass", pmod(col("user_id"), lit(8)))
+        .withColumn("sclass", pmod(col("user_id"), lit(SClasses)))
       val gc = ev.groupBy("event_type", "day", "sclass")
         .agg(count(lit(1)).cast(dec).as("cnt"))
       // the sclass marginals re-aggregate gc (counts partition exactly

@@ -181,6 +181,13 @@ object TextAnalysis {
     * in the target finite. Returns (doc_id, n_feats, log_w).
     */
   def dsirWeights(docs: DataFrame, isTarget: Column, buckets: Int = 256): DataFrame = {
+    // the totals window below is single-partition, licensed ONLY by the
+    // bounded model size — enforce the license so a future buckets=1e6
+    // cannot silently create a one-task corpus-sized window (r19
+    // verdict #4)
+    require(buckets > 0 && buckets <= 65536,
+      s"dsirWeights buckets=$buckets outside (0, 65536] — the totals " +
+        "window is single-partition and licensed by this bound")
     val base = docs.select(col("doc_id"), isTarget.as("tgt"),
       split(col("text"), " ").as("a"))
     val feats = base.select(col("doc_id"), col("tgt"), explode(concat(

@@ -438,9 +438,16 @@ object LiveIndex {
     horizon(s, cfg).foreach { h =>
       val tombParts = BatchParts.committed(s, s"${cfg.root}/tombstones")
       val tomb = broadcast(tombstones(s, cfg))
-      for ((kind, schema, keys, bexpr) <- Seq(
-          ("postings", PostingSchema, Seq("word", "doc_id"), wordBucket),
-          ("doclens", DoclenSchema, Seq("doc_id"), idBucket))) {
+      // the two stores' folds are independent relations over disjoint
+      // dirs ("a crash between them leaves one folded and one not,
+      // which readers assemble identically" — the scaladoc's own
+      // contract), so they run concurrently (guide §2.6, r20): one
+      // fold's sidecar aggregate and commit rename overlap the other
+      // fold's map work. Tombstone retirement stays AFTER both.
+      LivePipeline.runWave(
+        for ((kind, schema, keys, bexpr) <- Seq(
+            ("postings", PostingSchema, Seq("word", "doc_id"), wordBucket),
+            ("doclens", DoclenSchema, Seq("doc_id"), idBucket))) yield { () =>
         val dir = s"${cfg.root}/$kind"
         val parts = BatchParts.effectiveParts(s, dir).filter(_._1 <= h)
         // fold when there is history or tombstones to apply — or when
@@ -498,7 +505,7 @@ object LiveIndex {
               .write.mode("overwrite").parquet(s"$staging/_stats")
           BatchParts.commitFold(s, dir, hk, gen)
         }
-      }
+        })
       val fs = new org.apache.hadoop.fs.Path(cfg.root)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       tombParts.foreach { case (_, p) =>

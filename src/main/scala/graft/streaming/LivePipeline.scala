@@ -294,6 +294,22 @@ object LivePipeline {
   /** One incremental step: curate → dedup (exact then LSH-novelty) →
     * pack the arriving batch against state as of the previous commit.
     */
+  /** Run INDEPENDENT Spark actions concurrently on a bounded pool and
+    * wait for all (guide §2.6: actions are only sequential because
+    * driver code calls them sequentially; a few in flight back-fill
+    * executors freed by the current job's straggler tail). Callers
+    * submit only writes/folds with no mutual ordering; any failure
+    * propagates (Await rethrows) and the pool never outlives the call.
+    */
+  private[streaming] def runWave(thunks: Seq[() => Unit]): Unit = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val ec = scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      thunks.map(t => scala.concurrent.Future(t())(ec)).foreach(f =>
+        scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf))
+    } finally { pool.shutdown(); () }
+  }
+
   def step(batch: DataFrame, batchId: Long, cfg: Config): Unit = {
     val s = batch.sparkSession
     if (committed(s, cfg.root, batchId)) return // crash-replay of a done batch
@@ -311,17 +327,30 @@ object LivePipeline {
     // probe plan and re-scan the stores (~5× the per-batch work)
     val r = curatePack(batch, exact, bands, cursors, priorIds, cfg, cache = true)
     try {
-      // Commit: appends first, cursor snapshot LAST (the marker).
-      r.packed.write.mode("overwrite").parquet(part(cfg.root, "packed", batchId))
-      r.audit.write.mode("overwrite").parquet(part(cfg.root, "audit", batchId))
-      r.quarantine.write.mode("overwrite")
-        .parquet(part(cfg.root, "quarantine", batchId))
-      r.bandRows.join(r.admitted.select("doc_id"), Seq("doc_id"), "left_semi")
-        .write.mode("overwrite").parquet(part(cfg.root, "bands", batchId))
-      r.newText.select("text_md5")
-        .write.mode("overwrite").parquet(part(cfg.root, "exact", batchId))
-      r.admitted.select("doc_id", "text_md5")
-        .write.mode("overwrite").parquet(part(cfg.root, "ids", batchId))
+      // Commit: appends first, cursor snapshot LAST (the marker). The
+      // appends carry no mutual ordering — only the cursor write is the
+      // commit point — so they run as CONCURRENT jobs (guide §2.6,
+      // r20): each append is mostly per-action dispatch + a cache read
+      // at micro-batch scale, and at cluster scale one append's
+      // straggler tail back-fills with the next append's tasks. Two
+      // waves so the shared caches fill exactly once before fan-out:
+      // wave 1 primes the two disjoint cache chains (packed fills
+      // fated/inPlay/bandRows/batchKeys; quarantine fills its own
+      // frame), wave 2's four appends are pure cache reads. A crash
+      // mid-wave leaves some appends committed without the cursor
+      // marker — the identical replay window the sequential spelling
+      // had.
+      def write(df: DataFrame, kind: String): () => Unit = () =>
+        df.write.mode("overwrite").parquet(part(cfg.root, kind, batchId))
+      runWave(Seq(
+        write(r.packed, "packed"),
+        write(r.quarantine, "quarantine")))
+      runWave(Seq(
+        write(r.audit, "audit"),
+        write(r.bandRows.join(r.admitted.select("doc_id"), Seq("doc_id"),
+          "left_semi"), "bands"),
+        write(r.newText.select("text_md5"), "exact"),
+        write(r.admitted.select("doc_id", "text_md5"), "ids")))
       r.advanced.write.mode("overwrite").parquet(part(cfg.root, "cursors", batchId))
     } finally {
       r.fated.unpersist(); r.quarantine.unpersist(); r.bandRows.unpersist()
@@ -1041,43 +1070,51 @@ object LivePipeline {
     // partition, erasing every earlier batch's dedup state (r12
     // review #1).
     val lastCommitted = committedParts(s, s"${cfg.root}/cursors").lastOption.map(_._1)
-    for (kind <- Seq("exact", "bands", "ids")) {
-      val dir = s"${cfg.root}/$kind"
-      recoverCompaction(s, cfg.root, kind)
-      val parts = BatchParts.effectiveParts(s, dir)
-        .filter(p => lastCommitted.exists(p._1 <= _))
-      // re-fold when there is history to fold — or when the lone fold
-      // predates the bucketed layout (migration: one maintenance pass
-      // upgrades a flat store to the pruned probe path)
-      val refold = parts.length > 1 || parts.headOption.exists { case (_, p, isFold) =>
-        isFold && !BatchParts.foldBuckets(s, p).contains(StoreBuckets.toLong)
-      }
-      if (refold) {
-        val h = parts.last._1
-        val gen = BatchParts.nextFoldGen(s, dir)
-        val schema = kind match {
-          case "exact" => ExactSchema
-          case "bands" => BandSchema
-          case _ => IdSchema
-        }
-        // the fold IS the store's probe layout: distinct + re-layout
-        // into bucket=<hash(key) % StoreBuckets> dirs ([[BatchParts
-        // .stageBucketedFold]] — marker-gated, crash-tolerant) — the
-        // per-batch probes partition-prune their scans to the arriving
-        // batch's buckets, so probe I/O stops scaling with the corpus.
-        // ONE keyed corpus exchange at MAINTENANCE cadence (r19: the
-        // dedup rides the bucket exchange via stageBucketedFold's
-        // dedupKeys — the former separate distinct was a second full
-        // exchange of the store).
-        val flat = parts
-          .map { case (_, p, isFold) => BatchParts.readPartFlat(s, p, isFold, schema) }
-          .reduce(_.unionByName(_))
-        BatchParts.stageBucketedFold(s, dir, h, gen, flat,
-          storeBucket(kind), StoreBuckets, storeSortCols(kind),
-          dedupKeys = schema.fieldNames.toSeq)
-        BatchParts.commitFold(s, dir, h, gen)
-      }
-    }
+    // the three stores' folds are INDEPENDENT lifecycles over disjoint
+    // dirs (recovery, staging write, commit rename — nothing orders one
+    // store's fold against another's; a crash between folds already
+    // leaves some folded and some not, which readers assemble
+    // identically), so they run concurrently (guide §2.6, r20): at
+    // local scale each fold is dominated by per-action dispatch, at
+    // cluster scale one fold's straggler tail back-fills with the next
+    // store's map tasks.
+    runWave(for (kind <- Seq("exact", "bands", "ids")) yield { () =>
+          val dir = s"${cfg.root}/$kind"
+          recoverCompaction(s, cfg.root, kind)
+          val parts = BatchParts.effectiveParts(s, dir)
+            .filter(p => lastCommitted.exists(p._1 <= _))
+          // re-fold when there is history to fold — or when the lone fold
+          // predates the bucketed layout (migration: one maintenance pass
+          // upgrades a flat store to the pruned probe path)
+          val refold = parts.length > 1 || parts.headOption.exists { case (_, p, isFold) =>
+            isFold && !BatchParts.foldBuckets(s, p).contains(StoreBuckets.toLong)
+          }
+          if (refold) {
+            val h = parts.last._1
+            val gen = BatchParts.nextFoldGen(s, dir)
+            val schema = kind match {
+              case "exact" => ExactSchema
+              case "bands" => BandSchema
+              case _ => IdSchema
+            }
+            // the fold IS the store's probe layout: distinct + re-layout
+            // into bucket=<hash(key) % StoreBuckets> dirs ([[BatchParts
+            // .stageBucketedFold]] — marker-gated, crash-tolerant) — the
+            // per-batch probes partition-prune their scans to the arriving
+            // batch's buckets, so probe I/O stops scaling with the corpus.
+            // ONE keyed corpus exchange at MAINTENANCE cadence (r19: the
+            // dedup rides the bucket exchange via stageBucketedFold's
+            // dedupKeys — the former separate distinct was a second full
+            // exchange of the store).
+            val flat = parts
+              .map { case (_, p, isFold) => BatchParts.readPartFlat(s, p, isFold, schema) }
+              .reduce(_.unionByName(_))
+            BatchParts.stageBucketedFold(s, dir, h, gen, flat,
+              storeBucket(kind), StoreBuckets, storeSortCols(kind),
+              dedupKeys = schema.fieldNames.toSeq)
+            BatchParts.commitFold(s, dir, h, gen)
+          }
+        })
     // cursor snapshots are full states, so only the LATEST is ever
     // read (its id marks the last committed batch, which is all the
     // replay check needs — Spark replays at most the last batch);
