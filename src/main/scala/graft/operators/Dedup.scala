@@ -1075,15 +1075,29 @@ object Dedup {
     "d16_dedup_recall" -> { (s, d) =>
       def smp(c: Column) =
         substring(md5(concat(lit("d16|"), c.cast("string"))), 1, 1) < "8"
-      val toks = shingles(s, d).filter(smp(col("doc_id")))
-      val hotSh = toks.groupBy("shingle").agg(count(lit(1)).as("df"))
-        .filter(col("df") > 64).select("shingle")
-      val cold = toks.join(broadcast(hotSh), Seq("shingle"), "left_anti")
+      // explicit isnotnull: pins the truth and sizes consumers to one
+      // canonical chain so AQE exchange reuse holds (the d15/lmScore
+      // alignment lesson; store doc_ids are never null — a no-op)
+      val toks = shingles(s, d)
+        .filter(smp(col("doc_id")) && col("doc_id").isNotNull)
       val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-      val truth = cold.as("a")
-        .join(cold.as("b"),
-          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      // truth pairs ride df-capped POSTING LISTS instead of a shingle
+      // self-join (r20 — the d15 rewrite applied to the eval's truth
+      // enumeration): one capped-set aggregation (cap 65 = threshold+1,
+      // bounded per-group state; a full set is exactly "df > 64", the
+      // old broadcast anti-join's hot class) and the bounded i<j
+      // expansion of each surviving sorted list. (doc_id, shingle) rows
+      // are distinct by construction (word_shingles dedups per doc), so
+      // counts are bit-identical; df = 1 shingles exit before the pair
+      // exchange instead of riding the self-join for zero output.
+      val cappedSet = udaf(new graft.functions.CappedDistinctLongs(65))
+      val truth = toks.groupBy("shingle").agg(cappedSet(col("doc_id")).as("ds"))
+        .filter(size(col("ds")).between(2, 64))
+        .select(explode(expr(
+          "flatten(transform(ds, (a, i) -> " +
+            "transform(slice(ds, i + 2, size(ds)), b -> struct(a, b))))")).as("p"))
+        .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+        .groupBy("doc_a", "doc_b")
         .agg(count(lit(1)).as("n_common"))
         .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
         .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
@@ -1123,20 +1137,45 @@ object Dedup {
   def containmentPairs(docs: DataFrame, shingleWords: Int = 6,
       maxDf: Long = 16L, minContainment: Double = 0.5): DataFrame = {
     require(shingleWords >= 2 && maxDf >= 2 && minContainment > 0)
+    require(maxDf < Int.MaxValue)
+    // the explicit isnotnull pins every consumer's chain to ONE
+    // canonical shape (the r19 lmScore lesson): the sizes joins INFER
+    // isnotnull(doc_id) and push it below the distinct on their
+    // branches, which breaks AQE's canonical-exchange reuse — without
+    // it the corpus explode runs once per unaligned consumer. Values
+    // unchanged at every call site (a null doc_id violates the intake
+    // contract upstream; the old spelling dropped null pairs at the
+    // self-join anyway).
     val sh = docs.withColumn("ws", split(col("text"), " "))
-      .filter(size(col("ws")) >= shingleWords)
+      .filter(size(col("ws")) >= shingleWords && col("doc_id").isNotNull)
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(1, size(ws)-${shingleWords - 1}), " +
           s"i -> concat_ws(' ', slice(ws, i, $shingleWords)))")).as("sh"))
       .distinct()
-    val hot = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-      .filter(col("df") > maxDf).select("sh")
-    val cold = sh.join(broadcast(hot), Seq("sh"), "left_anti")
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    cold.as("a")
-      .join(cold.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // Pairs ride df-capped POSTING LISTS instead of a shingle self-join
+    // (r20, guide §2.4): one capped-set aggregation per shingle — the
+    // x26 CappedDistinctLongs discipline, bounded per-group state, cap
+    // maxDf+1 so a full set is exactly "df > maxDf" (the old broadcast
+    // anti-join's hot class, dropped identically) — then the bounded
+    // i<j pair expansion of each surviving sorted list. df = 1 shingles
+    // generate no pairs, so they exit BEFORE the pair exchange (the
+    // self-join shuffled and sort-merged them for zero output — in a
+    // natural corpus that is most of the shingle mass), and the
+    // self-join's two corpus-wide exchanges of (doc_id, sh) disappear.
+    // Σ df² ≤ maxDf × |postings| bounds the expansion; values are
+    // bit-identical (same shingle universe, same pairs, same counts).
+    val cappedSet = udaf(new graft.functions.CappedDistinctLongs(maxDf.toInt + 1))
+    val pairs = sh.groupBy("sh").agg(cappedSet(col("doc_id")).as("ds"))
+      // size ≤ maxDf ⇒ the set is complete and size IS the exact df;
+      // size = maxDf+1 ⇒ df > maxDf — the hot class, dropped either way
+      .filter(size(col("ds")).between(2, maxDf.toInt))
+      .select(explode(expr(
+        "flatten(transform(ds, (a, i) -> " +
+          "transform(slice(ds, i + 2, size(ds)), b -> struct(a, b))))")).as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+    pairs
+      .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_shared"))
       .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")

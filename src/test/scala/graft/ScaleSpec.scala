@@ -629,18 +629,31 @@ class ScaleSpec extends AnyFunSuite {
       s"x27 top-100 must plan as distributed top-k, not a global sort:\n$plan")
   }
 
-  test("d15 containment: hot shingles leave via broadcast anti-join, pairs stay keyed") {
+  test("d15 containment: pairs ride df-capped posting lists, no self-join, no products") {
     val d = "/root/testdata/sf0.001"
     val plan = executedPlan(SparkEntry.queries("d15_containment")(spark, d))
-    assert(plan.contains("LeftAnti"), s"d15 df cap must anti-join:\n$plan")
+    // r20: the df cap and the pair universe both come from ONE capped-set
+    // aggregation (CappedDistinctLongs, bounded per-group state) whose
+    // sorted lists expand to i<j pairs — no shingle self-join, no
+    // anti-join, and df=1 shingles exit before the pair exchange
+    assert(plan.contains("ObjectHashAggregate"),
+      s"d15 posting lists must build in the capped typed aggregate:\n$plan")
+    // executed (final) section: ONE corpus shingle explode + ONE bounded
+    // pair expansion — a reappearing shingle self-join would add a third
+    // Generate-feeding chain (and its sh-keyed exchanges)
+    assert("Generate".r.findAllIn(plan.split("== Initial Plan ==").head).size == 2,
+      s"d15 must explode the corpus once and expand pairs once:\n$plan")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
-      s"d15 pair generation must stay shingle-keyed:\n$plan")
+      s"d15 pair generation must stay keyed:\n$plan")
   }
 
   test("d16 recall eval: truth enumeration df-capped, pairing keyed, no products") {
     val d = "/root/testdata/sf0.001"
     val plan = executedPlan(SparkEntry.queries("d16_dedup_recall")(spark, d))
-    assert(plan.contains("LeftAnti"), s"d16 truth must df-cap via anti-join:\n$plan")
+    // r20: the df cap rides the capped-set posting-list aggregation
+    // (the d15 spelling) — bounded per-group state, no anti-join
+    assert(plan.contains("ObjectHashAggregate"),
+      s"d16 truth must df-cap via the capped typed aggregate:\n$plan")
     assert(!plan.contains("CartesianProduct"),
       s"d16 must never enumerate unkeyed pairs (count-only cross joins of 1-row aggs are fine):\n$plan")
   }
