@@ -354,7 +354,8 @@ object LivePipeline {
       r.advanced.write.mode("overwrite").parquet(part(cfg.root, "cursors", batchId))
     } finally {
       r.fated.unpersist(); r.quarantine.unpersist(); r.bandRows.unpersist()
-      r.planKeys.foreach(_.unpersist()); r.inPlay.foreach(_.unpersist()); ()
+      r.planKeys.foreach(_.unpersist()); r.inPlay.foreach(_.unpersist())
+      r.prior.foreach(_.unpersist()); ()
     }
   }
 
@@ -374,7 +375,8 @@ object LivePipeline {
   final case class StepResult(packed: DataFrame, advanced: DataFrame,
       newText: DataFrame, admitted: DataFrame, audit: DataFrame,
       fated: DataFrame, quarantine: DataFrame, bandRows: DataFrame,
-      planKeys: Option[DataFrame] = None, inPlay: Option[DataFrame] = None)
+      planKeys: Option[DataFrame] = None, inPlay: Option[DataFrame] = None,
+      prior: Option[DataFrame] = None)
 
   /** The step's pure transformation — batch + state frames in,
     * `(packed, advancedCursors, newText, admitted)` out — separated
@@ -527,7 +529,18 @@ object LivePipeline {
         broadcast(batchKeys.get.select("doc_id").distinct()),
         Seq("doc_id"), "left_semi"))
     }
+    // PERSISTED unconditionally (r20, the inPlay posture): withPrior —
+    // the contract windows + the prior-id store probe — is the common
+    // ancestor of the FATED chain (contract → scored → inPlay) and the
+    // QUARANTINE chain (collided/collidedPrior), and those chains
+    // materialize in different actions (step's commit writes; the
+    // x30/x31/x37 drivers' audit action after the probe collects), so
+    // without it every batch paid the contract windows and the store
+    // probe twice. Batch-sized MEMORY_AND_DISK; step() unpersists via
+    // StepResult, direct callers lean on the ContextCleaner (the
+    // documented inPlay/bandRows posture).
     val withPrior = contract0.join(priorSlim, Seq("doc_id"), "left")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val collidedPrior = withPrior.filter(
       col("prior_md5").isNotNull && col("prior_md5") =!= col("text_md5"))
     val contract = withPrior.filter(
@@ -707,7 +720,7 @@ object LivePipeline {
         (coalesce(col("cum"), lit(0L)) + coalesce(col("add"), lit(0L))).as("cum"))
     StepResult(packed, advanced, newText, admitted,
       fated.select("doc_id", "fate", "quality_score").unionByName(quarantined),
-      fated, quarantine, bandRows, batchKeys, Some(inPlay))
+      fated, quarantine, bandRows, batchKeys, Some(inPlay), Some(withPrior))
   }
 
   /** All committed packed output (optionally only batches ≥ `fromBatch`
