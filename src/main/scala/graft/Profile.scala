@@ -75,6 +75,18 @@ object Profile {
     import org.apache.spark.sql.types.DecimalType
     def experiment(tag: String): (SparkSession, String) => org.apache.spark.sql.DataFrame =
       tag match {
+        case "md5buckets" => (s, d) => { // the x25 feature-bucket map stage alone
+          val base = Tables.documents(s, d).select(col("doc_id"),
+            split(col("text"), " ").as("a"))
+          base.select(col("doc_id"), explode(concat(
+              col("a"),
+              when(size(col("a")) >= 2, expr(
+                "transform(sequence(1, size(a) - 1), " +
+                  "i -> concat(element_at(a, i), '_', element_at(a, i + 1)))"))
+                .otherwise(array()))).as("feat"))
+            .select((conv(substring(md5(concat(lit("dsir|"), col("feat"))), 1, 2), 16, 10)
+              .cast("long") % 256).as("bucket"))
+        }
         case "a10dec" => (s, d) => { // the a10 aggregate as shipped
           val q = col("l_quantity"); val p = col("l_extendedprice")
           Tables.lineitem(s, d).groupBy("l_returnflag")

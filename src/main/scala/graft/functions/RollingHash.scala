@@ -91,5 +91,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     e.injectOptimizerRule(_ => NativeDotRule)
     e.injectOptimizerRule(_ => NativeSumRule)
+    e.injectOptimizerRule(_ => NativeMd5Rule)
   }
 }
