@@ -826,9 +826,21 @@ object TextAnalysis {
           s"transform(sequence(1, size(ws) - ${k - 1}), " +
             s"i -> concat_ws(' ', slice(ws, i, $k)))")))
         .toDF("doc_id", "maxp", "pos", "gram")
-        .withColumn("gh", substring(md5(col("gram")), 1, 8))
-        .withColumn("key", concat(col("gh"),
-          format_string("%07d", lit(9999999) - col("pos"))))
+        // the (hash, latest-position) window key as ONE LONG instead of
+        // a 15-char string (r20): the old key concatenated 8 lowercase
+        // hex chars with a 7-decimal-digit inverted position and min'd
+        // the strings — per-gram string building plus string compares
+        // in the hot window. gh·10^7 + inv orders IDENTICALLY
+        // (fixed-width lexicographic on (hex, decimal) segments ≡
+        // numeric on the packed pair; gh < 2^32 so the pack fits a
+        // long exactly), and the hash itself rides the native
+        // md5-prefix kernel. fingerprint/pos unpack bit-identically
+        // (%08x is the same lowercase zero-padded hex the substring
+        // produced).
+        .withColumn("ghl",
+          conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long"))
+        .withColumn("key",
+          col("ghl") * 10000000L + (lit(9999999L) - col("pos")))
       val win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, wlen - 1)
       grams
         .withColumn("sel", min(col("key")).over(win))
@@ -838,8 +850,8 @@ object TextAnalysis {
         // end at maxp - (k-1) - (wlen-1) — no second max() window pass
         .filter(col("pos") <= col("maxp") - (k - 1) - (wlen - 1))
         .select(col("doc_id"),
-          (lit(9999999) - substring(col("sel"), 9, 7).cast("long")).as("pos"),
-          substring(col("sel"), 1, 8).as("fingerprint"))
+          (lit(9999999L) - col("sel") % 10000000L).as("pos"),
+          format_string("%08x", expr("sel DIV 10000000")).as("fingerprint"))
         .distinct()
         .orderBy("doc_id", "pos")
     },
